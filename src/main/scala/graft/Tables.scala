@@ -12,14 +12,14 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   /** `events.parquet` carries parquet `TIMESTAMP(NANOS)` which Spark's reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as a raw Long and
-    * derive epoch *seconds* with exact integer math — no double rounding near
-    * second boundaries, identical to DuckDB's `epoch_ns(ts)//1e9`.
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Sessions built via
+    * [[GraftSession]] set `spark.sql.legacy.parquet.nanosAsLong=true` so the
+    * column arrives as a raw Long; we derive epoch *seconds* with exact
+    * integer math — no double rounding near second boundaries, identical to
+    * DuckDB's `epoch_ns(ts)//1e9`.
     */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-  }
 
   /** The engine's canonical timeseries relation: one row per sample,
     * `(metric, e, value, ...)` with `e` = epoch seconds. This is the Spark

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact (hash
+  * groupBy), MinHash+LSH near-dup (shingle → signature → banded buckets →
+  * candidate pairs → exact-Jaccard verify), and SimHash with pigeonhole
+  * blocking for Hamming-bounded near-dups.
+  *
+  * Scale posture: there is NO all-pairs comparison anywhere. Candidate
+  * generation is always a bucket equi-join (shuffle on the band/chunk key),
+  * and exact verification runs only on the candidate set. Pathological
+  * buckets (boilerplate-identical docs) are the usual skew risk — the
+  * verify join keys on (bucket), so AQE skew-split handles them; exact
+  * duplicates should be removed by [[exactDedup]] *before* MinHash.
+  */
+object DedupOps {
+
+  /** Exact-dup groups: md5 over normalized text; representative = min id. */
+  def exactDedupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(TextOps.normalized(col("text"))).as("dup_key"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("rep_doc_id"))
+
+  /** Exact dedup: keep one row (min doc_id) per normalized-text group. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__key", md5(TextOps.normalized(col("text"))))
+      .withColumn("__keep",
+        col("doc_id") === min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__key")))
+      .where(col("__keep"))
+      .drop("__key", "__keep")
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family = xxhash64 seeded by the hash index (a standard public
+    * construction). Returns `array<bigint>` of length k. */
+  def minHashSignature(text: Column, k: Int): Column = {
+    val sh = array_distinct(TextOps.shingles(text))
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  /** LSH candidate pairs: band the signature (`bands` bands × `rowsPerBand`
+    * rows), bucket-join docs sharing any band, emit each unordered pair once.
+    *
+    * @return (doc_a, doc_b) with doc_a < doc_b, distinct.
+    */
+  def minHashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sig = docs.select(
+      col("doc_id"),
+      minHashSignature(col("text"), k).as("sig"))
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(lit(1), slice(col("sig"), b * r + 1, lit(r))))))
+      .toDF("doc_id", "band_idx", "band_sig")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates, then exact Jaccard over
+    * distinct shingle sets, keeping pairs with `jaccard >= minJaccard`. */
+  def nearDupPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                   minJaccard: Double = 0.6): DataFrame = {
+    val cand = minHashCandidates(docs, k, bands)
+    val sets = docs.select(
+      col("doc_id"),
+      array_distinct(TextOps.shingles(col("text"))).as("sh"))
+    cand
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for an explicit pair list (verification stage —
+    * runs on candidates only, never all-pairs). */
+  def jaccardForPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sets = docs.select(
+      col("doc_id"),
+      array_distinct(TextOps.shingles(col("text"))).as("sh"))
+    pairs
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over the token multiset: per bit, sign of the sum of
+    * ±1 contributions from each token's xxhash64 bit. Pure array algebra
+    * (one fold over tokens with a 64-wide accumulator); a custom Catalyst
+    * Expression would fuse this tighter — noted as a perf follow-up. */
+  def simHashBits(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(acc,
+          array((0 until 64).map(b =>
+            when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
+          (a, c) => a + c))
+    transform(counters, c => when(c > 0, 1).otherwise(0))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
+    * pigeonhole blocking: split the 64 bits into `maxHamming + 1` chunks —
+    * any pair within the bound must agree on at least one whole chunk, so a
+    * bucket equi-join per chunk finds all of them (no all-pairs). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sigs = docs.select(col("doc_id"), simHashBits(col("text")).as("bits"))
+    val blocked = sigs.select(
+      col("doc_id"), col("bits"),
+      posexplode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => concat_ws("", slice(col("bits"), c * width + 1, lit(width))))))
+      .toDF("doc_id", "bits", "chunk_idx", "chunk_sig")
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_sig") === col("b.chunk_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        aggregate(zip_with(col("a.bits"), col("b.bits"),
+            (x, y) => when(x =!= y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

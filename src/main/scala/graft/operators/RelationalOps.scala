@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Standard relational surface the reference lacks entirely (SURVEY §2.7) —
+  * joins, set ops, rollup/cube, ranking windows, top-k — plus the natural
+  * timeseries extension the reference almost implies: the as-of join.
+  *
+  * Everything here is plain `Dataset` algebra so Catalyst keeps full freedom
+  * (broadcast vs shuffle join selection, pushdown, AQE skew handling).
+  */
+object RelationalOps {
+
+  /** As-of join: for each left row, attach the *newest* right row with
+    * `right ts <= left ts` within the same key (inclusive).
+    *
+    * Implementation is the union trick: tag both sides, union, then one
+    * window pass per key ordered by (ts, side, tiebreak) carrying the last
+    * non-null right payload. Exactly ONE shuffle (by key) + sort — no range
+    * cross-join blowup, no per-row subquery; this is the 100 TB-safe shape.
+    *
+    * @param rightTieBreak deterministic ordering among right rows sharing
+    *                      (key, ts) — the max wins, matching "newest".
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightTieBreak: String): DataFrame = {
+    val rv = struct(right.columns.map(col): _*)
+    val r = right.select(
+      col(key).as("__k"),
+      col(rightTs).cast("long").as("__t"),
+      lit(0).as("__side"),
+      col(rightTieBreak).cast("long").as("__tb"),
+      rv.as("__rv"))
+    val l = left
+      .withColumn("__k", col(key))
+      .withColumn("__t", col(leftTs).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(null).cast("long"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy("__k")
+      // right rows sort before the left row at the same ts (inclusive as-of);
+      // among equal right ts the tiebreak max wins.
+      .orderBy(col("__t"), col("__side"), col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__k", "__t", "__side", "__tb", "__rv")
+  }
+
+  /** Top-K by an ordering — Spark plans `orderBy.limit` as
+    * TakeOrderedAndProject (per-partition heap + driver merge of K), which is
+    * the right physical shape at any scale. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Ranked top-N per group via row_number (deterministic tie-break must be
+    * part of `order`). */
+  def topNPerGroup(df: DataFrame, n: Int, partition: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(partition: _*).orderBy(order: _*)))
+      .where(col("rk") <= n)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
+  * variant as the 100 TB scale path (candidates come from bucket equi-joins,
+  * exact rerank runs on candidates only — never a full cross join).
+  */
+object SimilarityOps {
+
+  /** Promote float embedding to double for deterministic left-to-right
+    * accumulation (bit-identical to the DuckDB oracle's double math). */
+  def vecD(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: the given query vectors (a SMALL set —
+    * broadcast) against every candidate row. Per-candidate work only; the
+    * top-k per query is a bounded hash/sort on (query) — no all-pairs among
+    * candidates. */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), vecD(col("embedding")).as("qv")))
+    val c = candidates.select(
+      col("vec_id").as("c_id"), vecD(col("embedding")).as("cv"))
+    val scored = c.crossJoin(q)
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Deterministic random hyperplanes: `tables × bitsPerTable` planes in
+    * `dim` dimensions from a fixed seed (engine constant — reproducible
+    * across runs and executors). */
+  def hyperplanes(dim: Int, tables: Int, bitsPerTable: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables, bitsPerTable, dim)(rng.nextGaussian())
+  }
+
+  /** Signed-projection bucket id of a vector for one LSH table. */
+  private def bucketExpr(v: Column, planes: Array[Array[Double]]): Column =
+    concat_ws("", planes.map { p =>
+      val proj = aggregate(
+        zip_with(v, lit(p), (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }.toSeq: _*)
+
+  /** Approximate cosine top-k via multi-table random-hyperplane LSH:
+    * candidates = rows sharing a bucket with the query in ANY table
+    * (union-distinct over tables), then exact cosine rerank of candidates.
+    * The bucket join is an equi-join on (table, bucket) — the scale path:
+    * candidate count per query ≈ n / 2^bits × tables, not n. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, tables, bitsPerTable, seed)
+    def withBuckets(df: DataFrame, idCol: String): DataFrame = {
+      val v = vecD(col("embedding"))
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), bucketExpr(v, planes(t)).as("bkt"))): _*)
+      df.select(col("vec_id").as(idCol), v.as(s"${idCol}_v"),
+          explode(buckets).as("tb"))
+        .select(col(idCol), col(s"${idCol}_v"),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+    val qb = broadcast(withBuckets(queries, "q_id"))
+    val cb = withBuckets(candidates, "c_id")
+    val cand = cb.join(qb, Seq("tbl", "bkt"))
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_id_v", "c_id", "c_id_v")
+      .distinct()
+    cand
+      .withColumn("score", cosine(col("q_id_v"), col("c_id_v")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Embedding near-duplicate pairs (cosine >= minCosine) via the same LSH
+    * tables: bucket-join candidates among ALL rows (no query set), exact
+    * verify. doc pairs emitted once (a < b). */
+  def embeddingNearDupPairs(vectors: DataFrame, minCosine: Double,
+                            dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
+                            seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, tables, bitsPerTable, seed)
+    val v = vecD(col("embedding"))
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), bucketExpr(v, planes(t)).as("bkt"))): _*)
+    val b = vectors.select(col("vec_id"), v.as("v"), explode(buckets).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val l = b.alias("l")
+    val r = b.alias("r")
+    l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .distinct()
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .where(col("score") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+  }
+}

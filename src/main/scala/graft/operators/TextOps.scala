@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table (`doc_id, text, lang, source, n_chars`): tokenization, quality
+  * scoring, language-ID heuristics, fingerprinting.
+  *
+  * All pure `Column` expressions (codegen'd, no UDFs) so they fuse into
+  * whole-stage codegen and scale embarrassingly — per-row work only.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (documents are single-space normalized). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A small function-word list per language for the n-gram/stopword
+    * language-ID heuristic. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Count of tokens that are in `stop`. */
+  def stopwordHits(text: Column, stop: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stop)))
+
+  /** Stopword ratio — integer/integer division, deterministic. */
+  def stopwordRatio(text: Column, stop: Seq[String] = stopwordsEn): Column =
+    stopwordHits(text, stop).cast("double") / tokenCount(text)
+
+  /** Mean token length counted over non-space chars — pure int arithmetic
+    * then one division: deterministic across engines. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text) - (n - lit(1))).cast("double") / n
+  }
+
+  /** Punctuation density per char. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\.,;:!?]", ""))).cast("double") /
+      length(text)
+
+  /** Quality score in [0,1]: favors mid-length docs with low punctuation —
+    * a deterministic toy of the usual heuristic-quality stage. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthTerm = least(n / lit(100.0), lit(1.0))
+    greatest(lit(0.0), lengthTerm * (lit(1.0) - punctRatio(text)))
+  }
+
+  /** Language-ID heuristic: stopword evidence for English vs a crude
+    * "looks-ASCII" prior. Deterministic CASE cascade. */
+  def langGuess(text: Column): Column =
+    when(stopwordHits(text, stopwordsEn) >= 3, lit("en"))
+      .when(length(regexp_replace(text, "[\\x00-\\x7F]", "")) > length(text) / 10, lit("other"))
+      .otherwise(lit("und"))
+
+  /** Canonical text normalization used by the dedup keys. */
+  def normalized(text: Column): Column =
+    trim(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive near-identity (word-permutation invariant). */
+  def bowFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Word k-gram shingles of the document (k fixed at 3; for docs shorter
+    * than k, one partial shingle). */
+  def shingles(text: Column): Column = {
+    val w = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(w) - lit(2), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3))))
+  }
+
+  /** Rolling-hash document fingerprint: the minimum md5 over the shingle set
+    * (a 1-hash MinHash — the full signature lives in DedupOps). */
+  def minShingleFingerprint(text: Column): Column =
+    array_min(transform(shingles(text), s => md5(s)))
+}

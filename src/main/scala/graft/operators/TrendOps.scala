@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.TrendParams
+
+/** One retained sample of the canonical timeseries relation (used by the
+  * faithful gap-decimation operator, which needs a typed sequential scan). */
+final case class Sample(metric: String, e: Long, value: Double, event_id: Long)
+
+/** Batch trend operators — the analytic core of the reference re-expressed
+  * as declarative Spark plans over the canonical series relation
+  * `(event_id, user_id, metric, e, value, props)` (epoch-second `e`).
+  *
+  * Scale posture (100 TB):
+  *  - Per-metric anchors (`max(e)`) are computed with a map-side-combined
+  *    `groupBy(metric)` whose result is tiny (one row per metric) and is
+  *    **broadcast** back — the big fact table is never shuffled to learn its
+  *    own max. No driver `.collect()` anywhere on the data path.
+  *  - All aggregates are hash aggregates over (metric[, band/bucket]) with
+  *    partial aggregation; arg-extremes use lexicographic `min/max(struct)`
+  *    (codegen'd, one pass) instead of per-group sorts.
+  *  - The only sort-based ops are the ones whose semantics *are* sequential
+  *    (rolling last-N, sessionization, faithful decimation); those partition
+  *    by their natural key (metric / user) before sorting.
+  */
+object TrendOps {
+
+  /** Per-metric anchor = ts of the newest sample — the reference anchors its
+    * day bins at the data max, NOT the wall clock (trend-o-meter:18). */
+  def anchors(series: DataFrame): DataFrame =
+    series.groupBy("metric").agg(max("e").as("anchor_e"))
+
+  /** Attach the per-metric anchor via broadcast join (tiny dimension). */
+  def withAnchor(series: DataFrame): DataFrame =
+    series.join(broadcast(anchors(series)), "metric")
+
+  /** Band assignment: the *smallest* configured day bin whose trailing window
+    * contains the sample → bands are disjoint contiguous slices, matching the
+    * reference's single-pass slicing (trend-o-meter:22-33, despite the
+    * "minMaxSince" name — see SURVEY §2.3 A2). NULL beyond the largest bin. */
+  def bandExpr(e: Column, anchor: Column, dayBins: Seq[Int]): Column =
+    dayBins.sorted.reverse.foldLeft(lit(null).cast("int")) { (older, b) =>
+      when(e > anchor - lit(b.toLong * 86400L), lit(b)).otherwise(older)
+    }
+
+  /** A1: argmin/argmax over a series, whole-tuple result (trend-o-meter:11-12).
+    * Sentinel-free: lexicographic `min/max(struct(value, e))` keeps the
+    * extreme value and, among ties, a deterministic ts (min ts for min,
+    * max ts for max) — the reference's "first-seen wins" is order-dependent
+    * and not reproducible in a parallel engine, so our semantics pin the tie
+    * on ts instead (documented divergence, SURVEY §7). */
+  def argMinMax(series: DataFrame): DataFrame =
+    series
+      .groupBy("metric")
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("value"), col("e"))).as("mn"),
+        max(struct(col("value"), col("e"))).as("mx"))
+      .select(
+        col("metric"), col("n"),
+        col("mn.value").as("min_val"), col("mn.e").as("min_ts"),
+        col("mx.value").as("max_val"), col("mx.e").as("max_ts"))
+
+  /** A2 + A3 — the flagship: banded day-bin extents with completeness.
+    *
+    * Two-phase plan (trend-o-meter:17-64): (1) per-metric anchor broadcast;
+    * (2) disjoint-band assignment + single hash aggregate per (metric, band)
+    * producing argmin/argmax tuples, slice length, span, and the A3
+    * completeness gate (`ceil(span_hours) > minDataHoursToRenderBin`,
+    * trend-o-meter:59). The reference's leftover-band `+1` skip (:36-38) is a
+    * bug we do NOT replicate (SURVEY §7). */
+  def bandedExtents(series: DataFrame, p: TrendParams = TrendParams.default): DataFrame =
+    withAnchor(series)
+      .withColumn("day_bin", bandExpr(col("e"), col("anchor_e"), p.dayBins))
+      .where(col("day_bin").isNotNull)
+      .groupBy("metric", "day_bin")
+      .agg(
+        count(lit(1)).as("slice_len"),
+        min(struct(col("value"), col("e"))).as("mn"),
+        max(struct(col("value"), col("e"))).as("mx"),
+        min("e").as("first_e"),
+        max("e").as("last_e"))
+      .select(
+        col("metric"), col("day_bin"), col("slice_len"),
+        col("mn.value").as("min_val"), col("mn.e").as("min_ts"),
+        col("mx.value").as("max_val"), col("mx.e").as("max_ts"),
+        col("first_e"), col("last_e"),
+        (ceil((col("last_e") - col("first_e")) / lit(3600.0)) >
+          lit(p.minDataHoursToRenderBin)).as("is_complete"))
+
+  /** A5: "current value" = mean of the newest N samples per metric
+    * (trend-o-meter:369-371; the reference's `length−1` quirk is a documented
+    * bug we don't replicate). Exact-decimal sum keeps the mean deterministic
+    * under parallel reduction. */
+  def rollingMean(series: DataFrame, n: Int): DataFrame = {
+    val newestFirst =
+      Window.partitionBy("metric").orderBy(col("e").desc, col("event_id").desc)
+    series
+      .withColumn("rn", row_number().over(newestFirst))
+      .where(col("rn") <= n)
+      .groupBy("metric")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .withColumn("mean_val", col("sum_val") / col("n_samples"))
+  }
+
+  /** F1 (bucketized): keep the newest sample per (metric, fixed time bucket)
+    * — the oracle-checkable approximation of the reference's anchored-gap
+    * decimation (trend-o-meter:296-310); see [[decimateFaithful]] for the
+    * exact stateful-scan semantics. Pure hash aggregate: scales. */
+  def decimateBucketized(series: DataFrame, gapSeconds: Long): DataFrame =
+    series
+      .withColumn("bucket", floor(col("e") / lit(gapSeconds.toDouble)).cast("long"))
+      .groupBy("metric", "bucket")
+      .agg(max(struct(col("e"), col("event_id"), col("value"))).as("kept"))
+      .select(
+        col("metric"),
+        (col("bucket") * gapSeconds).as("bucket_start"),
+        col("kept.e").as("e"),
+        col("kept.event_id").as("event_id"),
+        col("kept.value").as("value"))
+
+  /** F1 (faithful): the reference's anchored-gap decimation — scan
+    * newest→oldest per metric, keep a sample iff it is ≥ `gapSeconds` from
+    * the last *kept* sample (trend-o-meter:296-310). Inherently sequential
+    * per metric, so: shuffle by metric, **external sort within partitions**
+    * (no in-memory group materialization), then a linear scan carrying one
+    * `timeMark` per metric run. */
+  def decimateFaithful(series: DataFrame, gapSeconds: Double): Dataset[Sample] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series
+      .select(col("metric"), col("e"), col("value"), col("event_id"))
+      .as[Sample]
+      .repartition(col("metric"))
+      .sortWithinPartitions(col("metric"), col("e").desc, col("event_id").desc)
+      .mapPartitions { it =>
+        var curMetric: String = null
+        var timeMark: Double = -1d
+        it.flatMap { s =>
+          if (s.metric != curMetric) { curMetric = s.metric; timeMark = -1d }
+          if (timeMark == -1d || math.abs(s.e - timeMark) > gapSeconds) {
+            timeMark = s.e.toDouble
+            Some(s)
+          } else None
+        }
+      }
+  }
+
+  /** M3: retention cull — drop samples older than the horizon behind the
+    * per-metric anchor (trend-o-meter:421-435, expressed as the *intended*
+    * filter semantics rather than the 1-per-message eviction loop). */
+  def retentionCull(series: DataFrame, retentionSeconds: Long): DataFrame =
+    withAnchor(series)
+      .where(col("e") > col("anchor_e") - lit(retentionSeconds))
+      .drop("anchor_e")
+
+  /** A6 (batch analogue): per-metric fixed-window message/byte rates
+    * (trend-o-meter:459-519). Bytes = payload length, matching the
+    * reference's byte counters; rate denominators are the window width. */
+  def rateMetrics(series: DataFrame, windowSeconds: Long): DataFrame =
+    series
+      .withColumn("w_start",
+        (floor(col("e") / lit(windowSeconds.toDouble)).cast("long") * windowSeconds))
+      .groupBy("metric", "w_start")
+      .agg(
+        count(lit(1)).as("msgs"),
+        sum(length(col("props"))).as("bytes"))
+      .withColumn("msgs_per_sec", col("msgs") / lit(windowSeconds.toDouble))
+      .withColumn("bytes_per_sec", col("bytes") / lit(windowSeconds.toDouble))
+
+  /** A4 (batch analogue): micro-batch mean — tumbling-window per-metric mean
+    * (trend-o-meter:391,400-406: "average everything buffered since the last
+    * processed sample"; our batch = fixed window). Decimal-exact mean. */
+  def microBatchMean(series: DataFrame, widthSeconds: Long): DataFrame =
+    series
+      .withColumn("w_start",
+        (floor(col("e") / lit(widthSeconds.toDouble)).cast("long") * widthSeconds))
+      .groupBy("metric", "w_start")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .withColumn("mean_val", col("sum_val") / col("n"))
+
+  /** A7 (batch analogue): gap-based sessionization per user — the batch shape
+    * of the reference's active-channel tracking with inactivity timeout
+    * (trend-o-meter:521-525). Single shuffle+sort by user. */
+  def sessionize(series: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("e"), col("event_id"))
+    series
+      .withColumn("prev_e", lag("e", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_e").isNull || (col("e") - col("prev_e")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min("e").as("session_start"),
+        max("e").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

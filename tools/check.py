@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool, not shipped).
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+Loads each <name>/ parquet result written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB against the sf_dir tables, and
+compares: row count, column names, and values (columns sorted by name, rows
+sorted by all columns, exact equality; floats compared bitwise with a
+reported max-abs-diff on mismatch).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # bytes / lists → stable repr for sorting+compare
+            df[c] = df[c].map(lambda v: repr(v) if isinstance(v, (bytes, list)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    results = {}
+    for qdir in sorted(Path(out_dir).iterdir()):
+        if not qdir.is_dir():
+            continue
+        name = qdir.name
+        try:
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in sorted(qdir.glob("*.parquet"))],
+                ignore_index=True)
+        except Exception as e:
+            results[name] = f"SPARK_READ_FAIL: {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"rows_only: {len(spark_df)} rows"
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE_FAIL: {type(e).__name__}: {e}"
+            continue
+        s, d = normalize(spark_df), normalize(duck_df)
+        if list(s.columns) != list(d.columns):
+            results[name] = f"SCHEMA_MISMATCH: spark={list(s.columns)} duck={list(d.columns)}"
+            continue
+        if len(s) != len(d):
+            results[name] = f"ROWS_MISMATCH: spark={len(s)} duck={len(d)}"
+            continue
+        bad = []
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+                sv = sv.astype(float)
+                dv = dv.astype(float)
+                neq = ~((sv == dv) | (sv.isna() & dv.isna()))
+                if neq.any():
+                    diff = (sv[neq] - dv[neq]).abs().max()
+                    bad.append(f"{c}(n={int(neq.sum())},maxdiff={diff})")
+            else:
+                try:
+                    neq = ~((sv == dv) | (pd.isna(sv) & pd.isna(dv)))
+                except Exception:
+                    neq = sv.astype(str) != dv.astype(str)
+                if neq.any():
+                    i = int(neq.idxmax())
+                    bad.append(f"{c}(n={int(neq.sum())},e.g. {sv[i]!r}!={dv[i]!r})")
+        results[name] = "OK" if not bad else "VALUES_MISMATCH: " + "; ".join(bad)
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    n_ro = sum(1 for v in results.values() if str(v).startswith("rows_only"))
+    for k, v in sorted(results.items()):
+        flag = "PASS" if v == "OK" else ("INFO" if str(v).startswith("rows_only") else "FAIL")
+        print(f"[{flag}] {k}: {v}")
+    print(f"== {n_ok} oracle-pass, {n_ro} rows-only, "
+          f"{len(results) - n_ok - n_ro} fail, of {len(results)}")
+    return 0 if len(results) - n_ok - n_ro == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
