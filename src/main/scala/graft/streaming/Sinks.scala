@@ -1,0 +1,51 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Scalars
+
+/** Sink shapes of the reference (S6 display, S7 last-value upsert, S8 append
+  * audit log) as `foreachBatch` functions. All are idempotent under batch
+  * replay — the reference's reconnect re-render (M5, trend-o-meter:277-284)
+  * is free here because sinks render from state, not from deltas.
+  */
+object Sinks {
+
+  /** S6: display sink — format extents rows with the X4 renderers and hand
+    * the rendered frame to a writer (console, test buffer, device adapter).
+    * The reference's character grid (`writeAt`, trend-o-meter:89-107) is the
+    * `render` callback's concern; analytics stop at formatted strings. */
+  def displaySink(render: Seq[String] => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    val lines = batch
+      .withColumn("cell", concat_ws(" ",
+        Scalars.labelCell(Scalars.deVoweled(col("metric")), 10),
+        col("day_bin").cast("string"),
+        Scalars.fixedWidth(Scalars.renderRounded(col("min_val")), 6),
+        Scalars.fixedWidth(Scalars.renderRounded(col("max_val")), 6)))
+      .where(col("is_complete"))
+      .orderBy("metric", "day_bin")
+      .select("cell")
+      .collect() // display-sized result set (metrics × bins), never the fact table
+      .map(_.getString(0))
+      .toSeq
+    render(lines)
+  }
+
+  /** S7: last-value upsert sink — the reference HSETs the response hash so a
+    * late subscriber reads the latest value per field
+    * (trend-o-meter:243-250). Keyed upsert into a provided store. */
+  def lastValueSink(store: TrieMap[String, String], keyCol: String, valCol: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    batch.select(col(keyCol).cast("string"), to_json(struct(col(valCol))))
+      .collect()
+      .foreach { r: Row => store.put(r.getString(0), r.getString(1)) }
+
+  /** S8: append-only audit sink (trend-o-meter:253-262) — each batch appended
+    * as JSON lines with its batch id, the command-log shape. */
+  def auditSink(path: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("append").json(path)
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def docsDF(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized copies and keeps min doc_id") {
+    val docs = docsDF(
+      (1L, "the quick  brown fox"),
+      (2L, "THE QUICK BROWN   FOX"), // normalizes equal
+      (3L, "something else"))
+    val groups = DedupOps.exactDedupGroups(docs).collect()
+    assert(groups.length == 2)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("rep_doc_id") == 1L)
+    assert(DedupOps.exactDedup(docs).count() == 2)
+  }
+
+  test("MinHash LSH finds a planted near-dup and no random false pair") {
+    val words = (0 until 120).map(i => s"w${i % 37}x$i")
+    val base = words.mkString(" ")
+    val nearDup = words.dropRight(4).mkString(" ") // high shingle jaccard
+    val unrelated = (0 until 120).map(i => s"z$i").mkString(" ")
+    val docs = docsDF((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = DedupOps.nearDupPairs(docs, k = 64, bands = 16, minJaccard = 0.6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.9)
+  }
+
+  test("LSH candidate generation contains no cartesian product in the plan") {
+    val docs = docsDF((1L, "a b c d e f"), (2L, "a b c d e g"))
+    val plan = DedupOps.minHashCandidates(docs, 16, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("SimHash: identical docs hamming 0; planted variant within 3; blocking finds it") {
+    val words = (0 until 200).map(i => s"tok${i % 53}n$i")
+    val base = words.mkString(" ")
+    val variant = words.dropRight(2).mkString(" ")
+    val far = (0 until 200).map(i => s"other$i").mkString(" ")
+    val docs = docsDF((1L, base), (2L, variant), (3L, far), (4L, base))
+    val pairs = DedupOps.simHashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 4L && h == 0L })
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("jaccardForPairs verifies only the requested candidate pairs") {
+    val docs = docsDF((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q"))
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.jaccardForPairs(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(out.size == 2)
+    assert(out((1L, 2L)) > out((1L, 3L)))
+    assert(out((1L, 3L)) == 0.0)
+  }
+
+  test("brute-force cosine top-k ranks by true cosine with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),     // query
+      (1L, Array(2f, 0f)),     // cos 1.0
+      (2L, Array(1f, 1f)),     // cos ~0.707
+      (3L, Array(0f, 1f)),     // cos 0
+      (4L, Array(-1f, 0f)))    // cos -1
+      .toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteTopK(vecs.where(col("vec_id") === 0), vecs, 3)
+      .collect().sortBy(_.getAs[Int]("rk"))
+    assert(top.map(_.getAs[Long]("c_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head.getAs[Double]("score") == 1.0)
+  }
+
+  test("LSH top-k scores agree with brute force on shared pairs (real fixture)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where(col("vec_id") < 4)
+    val brute = SimilarityOps.bruteTopK(q, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("c_id")) -> r.getAs[Double]("score")).toMap
+    val lsh = SimilarityOps.lshTopK(q, emb, 10).collect()
+    assert(lsh.nonEmpty)
+    val shared = lsh.flatMap { r =>
+      brute.get((r.getLong(0), r.getAs[Long]("c_id"))).map(b => (r.getAs[Double]("score"), b))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (l, b) => assert(l == b) }
+    val plan = SimilarityOps.lshTopK(q, emb, 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH path must not cross join")
+  }
+
+  test("embedding near-dup finds a planted twin via LSH buckets") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val base = (0 until 20).map(i => (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val twin = Seq((100L, base.head._2.map(x => x * 1.001f)))
+    val vecs = (base ++ twin).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.embeddingNearDupPairs(vecs, minCosine = 0.95).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 100L))
+  }
+
+  test("text ops: token count, stopword ratio, fingerprints are word-order aware/invariant as designed") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the"), // permutation
+      (3L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.bowFingerprint(col("text")).as("bow"),
+      TextOps.minShingleFingerprint(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n") == 6)
+    // BOW fingerprint is permutation-invariant; shingle fingerprint is not.
+    assert(out(1L).getAs[String]("bow") == out(2L).getAs[String]("bow"))
+    assert(out(1L).getAs[String]("bow") != out(3L).getAs[String]("bow"))
+    assert(out(1L).getAs[String]("sh") != out(2L).getAs[String]("sh"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MultimodalOps
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "abcd" * 100), (2L, "xy")).toDF("doc_id", "text")
+  }
+
+  test("binary payload column carries the exact bytes (ASCII: len == chars)") {
+    val rows = MultimodalOps.mediaMeta(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("byte_len") == 400L)
+    assert(rows(2L).getAs[Long]("byte_len") == 2L)
+  }
+
+  test("stub decode is deterministic and keeps the batch shape") {
+    val m1 = MultimodalOps.decodeMeta(MultimodalOps.withMediaPayload(docs)).collect()
+    val m2 = MultimodalOps.decodeMeta(MultimodalOps.withMediaPayload(docs)).collect()
+    assert(m1.map(_.checksum).toSeq == m2.map(_.checksum).toSeq)
+    assert(m1.forall(m => m.width >= 16 && m.height >= 16))
+    assert(m1.map(_.doc_id).toSet == Set(1L, 2L))
+  }
+
+  test("frame sampling is bounded per doc and indexed") {
+    val frames = MultimodalOps.sampleFrames(
+      MultimodalOps.withMediaPayload(docs), stride = 64, maxFrames = 3).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).length == 3) // 400 bytes / 64 stride, capped at 3
+    assert(byDoc(2L).length == 1)
+    assert(byDoc(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.TrendOps
+
+/** SURVEY §5 property layer: structural invariants over generated series.
+  * Uses ScalaCheck generators with explicit seeds (the scalatest-scalacheck
+  * bridge artifact isn't in the offline cache, so sampling is driven
+  * directly — determinism is a bonus). */
+class PropertySpec extends SparkSpec {
+
+  private val DAY = 86400L
+  private val seriesGen: Gen[List[(String, Long, Double)]] = for {
+    n <- Gen.choose(1, 40)
+    base <- Gen.choose(50L * DAY, 200L * DAY)
+    rows <- Gen.listOfN(n, for {
+      off <- Gen.choose(0L, 9L * DAY)
+      v <- Gen.choose(-1000.0, 1000.0)
+      m <- Gen.oneOf("a", "b")
+    } yield (m, base - off, v))
+  } yield rows
+
+  /** Deterministically sample the generator N times and run the check. */
+  private def forAll(gen: Gen[List[(String, Long, Double)]], n: Int = 10)(
+      check: List[(String, Long, Double)] => Unit): Unit =
+    (0 until n).foreach { i =>
+      val rows = gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(sys.error("gen failed"))
+      withClue(s"seed=${42 + i} rows=$rows: ")(check(rows))
+    }
+
+  test("A2: bands partition the retained range; slice lengths sum to retained count") {
+    forAll(seriesGen) { rows =>
+      val df = seriesDF(rows: _*)
+      val extents = TrendOps.bandedExtents(df).collect()
+      val anchors = rows.groupBy(_._1).map { case (m, rs) => m -> rs.map(_._2).max }
+      // expected retained = samples within 7 days (strict) of their metric anchor
+      val retained = rows.count { case (m, e, _) => e > anchors(m) - 7 * DAY }
+      assert(extents.map(_.getAs[Long]("slice_len")).sum == retained)
+      // every band's extents lie within its boundaries
+      extents.foreach { r =>
+        val m = r.getAs[String]("metric"); val bin = r.getAs[Int]("day_bin")
+        val lo = anchors(m) - bin * DAY
+        assert(r.getAs[Long]("first_e") > lo)
+        assert(r.getAs[Long]("last_e") <= anchors(m))
+      }
+    }
+  }
+
+  test("A1: argmin/argmax results are members of the input") {
+    forAll(seriesGen) { rows =>
+      val byMetric = rows.groupBy(_._1)
+      TrendOps.argMinMax(seriesDF(rows: _*)).collect().foreach { r =>
+        val rs = byMetric(r.getAs[String]("metric"))
+        assert(rs.exists(t => t._2 == r.getAs[Long]("min_ts") && t._3 == r.getAs[Double]("min_val")))
+        assert(rs.exists(t => t._2 == r.getAs[Long]("max_ts") && t._3 == r.getAs[Double]("max_val")))
+        assert(r.getAs[Double]("min_val") == rs.map(_._3).min)
+        assert(r.getAs[Double]("max_val") == rs.map(_._3).max)
+      }
+    }
+  }
+
+  test("F1 faithful: kept set is a subset with per-metric gaps > interval") {
+    forAll(seriesGen) { rows =>
+      val kept = TrendOps.decimateFaithful(seriesDF(rows: _*), 60.0).collect()
+      val input = rows.map(t => (t._1, t._2)).toSet
+      kept.foreach(s => assert(input.contains((s.metric, s.e))))
+      kept.groupBy(_.metric).values.foreach { ks =>
+        ks.map(_.e).sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b - a > 60)
+          case _           =>
+        }
+      }
+    }
+  }
+
+  test("M3: retained span per metric never exceeds the horizon") {
+    forAll(seriesGen) { rows =>
+      TrendOps.retentionCull(seriesDF(rows: _*), 7 * DAY)
+        .groupBy("metric")
+        .agg(org.apache.spark.sql.functions.expr("max(e) - min(e)").as("span"))
+        .collect()
+        .foreach(r => assert(r.getAs[Long]("span") < 7 * DAY))
+    }
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrendOps
+import graft.streaming.{Sinks, StreamOps, StreamSample}
+
+class StreamingSpec extends SparkSpec {
+
+  private def startMemQuery(df: org.apache.spark.sql.DataFrame, name: String,
+                            mode: String = "update") =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  test("S3+F3: malformed messages are dropped, valid ones parsed with typed schema") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[String]
+    val q = startMemQuery(StreamOps.parseMessages(in.toDF()), "t_parse", "append")
+    in.addData(
+      """{"ts": 100.5, "source": "s1", "value": {"temperature": 21.5, "humidity": 40.0}}""",
+      """not json at all""",
+      """{"source": "s2", "value": {"x": 1.0}}""") // no ts -> dropped
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_parse").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("source") == "s1")
+    assert(rows.head.getAs[Map[String, Double]]("metrics")("temperature") == 21.5)
+  }
+
+  test("F5+F2: metric explode lifts single-metric restriction; primary filter applies") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[String]
+    val exploded = StreamOps.primarySourceOnly(
+      StreamOps.explodeMetrics(StreamOps.parseMessages(in.toDF())), "s1")
+    val q = startMemQuery(exploded, "t_explode", "append")
+    in.addData(
+      """{"ts": 10, "source": "s1", "value": {"a": 1.0, "b": 2.0}}""",
+      """{"ts": 11, "source": "other", "value": {"a": 9.0}}""")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_explode").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("metric")).toSet == Set("a", "b"))
+  }
+
+  test("A4: windowed micro-batch mean per metric") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[String]
+    val mean = StreamOps.microBatchMean(
+      StreamOps.explodeMetrics(StreamOps.parseMessages(in.toDF())), "5 minutes", "1 minute")
+    val q = startMemQuery(mean, "t_mean")
+    in.addData(
+      """{"ts": 0, "source": "s", "value": {"m": 10.0}}""",
+      """{"ts": 60, "source": "s", "value": {"m": 20.0}}""",
+      """{"ts": 301, "source": "s", "value": {"m": 99.0}}""")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_mean").collect()
+    val w0 = rows.filter(r => r.getAs[Timestamp]("w_start").getTime == 0L)
+    assert(w0.exists(r => r.getAs[Long]("n") == 2L && r.getAs[Double]("mean_val") == 15.0))
+  }
+
+  test("F1 streaming decimation: timeMark state persists across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val dec = StreamOps.decimateStream(in.toDS(), 60.0)
+    val q = startMemQuery(dec.toDF(), "t_dec", "append")
+    def sample(sec: Long, v: Double) =
+      StreamSample(new Timestamp(sec * 1000), "s", "m", v)
+    in.addData(sample(0, 1.0), sample(30, 2.0), sample(90, 3.0))
+    q.processAllAvailable()
+    in.addData(sample(120, 4.0), sample(151, 5.0)) // mark=90: 120 skipped, 151 kept
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("t_dec").collect().map(_.getAs[Long]("e")).toSet
+    assert(kept == Set(0L, 90L, 151L))
+  }
+
+  test("A7 active channels: event-time timeout evicts idle channels") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(StreamOps.activeChannels(in.toDS(), 60L).toDF(), "t_chan")
+    def at(src: String, sec: Long) = StreamSample(new Timestamp(sec * 1000), src, "m", 1.0)
+    in.addData(at("s1", 1000), at("s2", 1000))
+    q.processAllAvailable()
+    in.addData(at("s1", 10000)) // watermark sweeps past s2's timeout
+    q.processAllAvailable()
+    in.addData(at("s1", 20000)) // one more batch so the timeout fires post-watermark
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_chan").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Boolean]("active")))
+    assert(rows.contains(("s1", true)))
+    assert(rows.contains(("s2", false)), s"expected s2 eviction, got ${rows.toSeq}")
+  }
+
+  test("A7 session_window sessions per channel") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(
+      StreamOps.sessionWindows(in.toDS().toDF(), "10 minutes", "1 minute"), "t_sess",
+      mode = "complete")
+    def at(sec: Long) = StreamSample(new Timestamp(sec * 1000), "s1", "m", 1.0)
+    in.addData(at(0), at(300), at(5000))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_sess").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("M1-M3 recompute loop matches the batch flagship on the same data") {
+    val loop = new StreamOps.RecomputeLoop()
+    val anchor = 100L * 86400L
+    val batch1 = seriesDF(("m", anchor - 2 * 86400, 5.0), ("m", anchor - 3600, 1.0))
+    val batch2 = seriesDF(("m", anchor, 2.0), ("m", anchor - 4 * 86400, 9.0))
+    loop.onBatch(batch1)
+    loop.onBatch(batch2)
+    val streamed = loop.extents.get.collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Int]("day_bin"),
+        r.getAs[Long]("slice_len"), r.getAs[Double]("min_val"))).toSet
+    val direct = TrendOps.bandedExtents(batch1.unionByName(batch2)).collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Int]("day_bin"),
+        r.getAs[Long]("slice_len"), r.getAs[Double]("min_val"))).toSet
+    assert(streamed == direct)
+  }
+
+  test("S6/S7/S8 sinks: display formatting, last-value upsert, append audit") {
+    val extents = TrendOps.bandedExtents(
+      seriesDF(("temperature", 100L * 86400, 21.4), ("temperature", 100L * 86400 - 86000, 18.6)))
+    var frame: Seq[String] = Nil
+    Sinks.displaySink(lines => frame = lines)(extents, 0L)
+    assert(frame.nonEmpty && frame.head.contains("tmprtr"))
+
+    val store = scala.collection.concurrent.TrieMap[String, String]()
+    val s = spark
+    import s.implicits._
+    Sinks.lastValueSink(store, "k", "v")(Seq(("a", 1), ("a", 2)).toDF("k", "v"), 0L)
+    assert(store("a").contains("2") || store("a").contains("1")) // last-value per key present
+
+    val dir = java.nio.file.Files.createTempDirectory("audit").toString
+    Sinks.auditSink(dir)(Seq(("cmd", true)).toDF("message", "valid"), 7L)
+    val audit = spark.read.json(dir).collect()
+    assert(audit.length == 1 && audit.head.getAs[Long]("batch_id") == 7L)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.TrendOps
+
+/** SURVEY §5 unit plan: A1 tie-breaks, A2 band boundaries, A3 ceil edge,
+  * F1 bucketized-vs-faithful divergence, M3 horizon, A5/A7 shapes. */
+class TrendOpsSpec extends SparkSpec {
+
+  private val DAY = 86400L
+
+  test("A1 argmin/argmax picks whole tuple; ties resolved to min-ts (min) / max-ts (max)") {
+    val df = seriesDF(
+      ("m", 100L, 5.0), ("m", 200L, 1.0), ("m", 300L, 1.0), // tie at min=1.0
+      ("m", 400L, 9.0), ("m", 500L, 9.0))                   // tie at max=9.0
+    val r = TrendOps.argMinMax(df).collect().head
+    assert(r.getAs[Double]("min_val") == 1.0 && r.getAs[Long]("min_ts") == 200L)
+    assert(r.getAs[Double]("max_val") == 9.0 && r.getAs[Long]("max_ts") == 500L)
+    assert(r.getAs[Long]("n") == 5L)
+  }
+
+  test("A2 bands are disjoint; boundary sample falls in the OLDER band (strict >)") {
+    val anchor = 100L * DAY
+    val df = seriesDF(
+      ("m", anchor, 1.0),               // newest: band 1
+      ("m", anchor - DAY + 1, 2.0),     // just inside band 1
+      ("m", anchor - DAY, 3.0),         // exactly on boundary -> band 3
+      ("m", anchor - 3 * DAY, 4.0),     // boundary -> band 5
+      ("m", anchor - 7 * DAY, 5.0),     // boundary of last band -> excluded
+      ("m", anchor - 8 * DAY, 6.0))     // beyond horizon -> excluded
+    val rows = TrendOps.bandedExtents(df).collect()
+    val byBin = rows.map(r => r.getAs[Int]("day_bin") -> r).toMap
+    assert(byBin.keySet == Set(1, 3, 5))
+    assert(byBin(1).getAs[Long]("slice_len") == 2L)
+    assert(byBin(3).getAs[Long]("slice_len") == 1L)
+    assert(byBin(3).getAs[Double]("min_val") == 3.0)
+    assert(byBin(5).getAs[Double]("min_val") == 4.0)
+  }
+
+  test("A2 empty bands are absent; anchor is per-metric data max, not global") {
+    val anchor = 100L * DAY
+    val df = seriesDF(
+      ("a", anchor, 1.0),
+      ("b", anchor - 10 * DAY, 2.0),           // b's own anchor is 10 days earlier
+      ("b", anchor - 10 * DAY - 3600, 3.0))
+    val rows = TrendOps.bandedExtents(df).collect()
+    // metric b must be banded relative to ITS max, so both b samples band 1.
+    val b = rows.filter(_.getAs[String]("metric") == "b")
+    assert(b.map(_.getAs[Int]("day_bin")).toSet == Set(1))
+    assert(b.head.getAs[Long]("slice_len") == 2L)
+  }
+
+  test("A3 completeness: span of exactly 18h is NOT complete; 18h+1s is") {
+    val anchor = 100L * DAY
+    def spanDf(spanSec: Long) =
+      seriesDF(("m", anchor, 1.0), ("m", anchor - spanSec, 2.0))
+    def complete(spanSec: Long): Boolean =
+      TrendOps.bandedExtents(spanDf(spanSec)).collect()
+        .find(_.getAs[Int]("day_bin") == 1).get.getAs[Boolean]("is_complete")
+    assert(!complete(18L * 3600))
+    assert(complete(18L * 3600 + 1))
+  }
+
+  test("F1 faithful (anchored gap) diverges from bucketized on irregular input") {
+    // newest-first faithful scan from 119: keep 119, skip 61 (58<=60),
+    // skip 59 (60<=60), keep 0 (119>60)  -> {119, 0}
+    // minute buckets: {0,59}->59, {61,119}->119 -> {59, 119}
+    val df = seriesDF(("m", 0L, 1.0), ("m", 59L, 2.0), ("m", 61L, 3.0), ("m", 119L, 4.0))
+    val faithful = TrendOps.decimateFaithful(df, 60.0).collect().map(_.e).toSet
+    val bucketized = TrendOps.decimateBucketized(df, 60L).collect()
+      .map(_.getAs[Long]("e")).toSet
+    assert(faithful == Set(119L, 0L))
+    assert(bucketized == Set(59L, 119L))
+  }
+
+  test("F1 faithful: every consecutive kept pair per metric has gap > interval") {
+    val df = seriesDF((0 until 200).map(i => ("m", i * 13L, i.toDouble)): _*)
+    val kept = TrendOps.decimateFaithful(df, 60.0).collect().map(_.e).sorted
+    kept.sliding(2).foreach {
+      case Array(a, b) => assert(b - a > 60, s"gap $a..$b")
+      case _           =>
+    }
+  }
+
+  test("M3 retention keeps only the horizon behind the per-metric anchor") {
+    val anchor = 100L * DAY
+    val df = seriesDF(
+      ("m", anchor, 1.0), ("m", anchor - 7 * DAY, 2.0), ("m", anchor - 7 * DAY + 1, 3.0))
+    val kept = TrendOps.retentionCull(df, 7 * DAY).collect().map(_.getAs[Double]("value")).toSet
+    assert(kept == Set(1.0, 3.0)) // boundary sample (strict >) culled
+  }
+
+  test("A5 rolling mean uses exactly the newest N; short series uses all (no length-1 quirk)") {
+    val df = seriesDF((1 to 5).map(i => ("m", i * 100L, i.toDouble)): _*)
+    val r3 = TrendOps.rollingMean(df, 3).collect().head
+    assert(r3.getAs[Long]("n_samples") == 3L)
+    assert(r3.getAs[Double]("mean_val") == 4.0) // newest 3 = 5,4,3
+    val rAll = TrendOps.rollingMean(df, 30).collect().head
+    assert(rAll.getAs[Long]("n_samples") == 5L)
+    assert(rAll.getAs[Double]("mean_val") == 3.0)
+  }
+
+  test("A7 sessionization splits on gap strictly greater than the cutoff") {
+    val df = userSeriesDF((1L, 0L), (1L, 1800L), (1L, 3601L), (2L, 0L))
+    val rows = TrendOps.sessionize(df, 1800L).collect()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2) // 0,1800 in one session (gap == cutoff stays), 3601 starts new
+    assert(rows.count(_.getAs[Long]("user_id") == 2L) == 1)
+  }
+
+  test("A6 rates count messages and bytes per (metric, minute)") {
+    val df = seriesDF(("m", 0L, 1.0), ("m", 59L, 1.0), ("m", 60L, 1.0))
+    val rows = TrendOps.rateMetrics(df, 60L).collect()
+    assert(rows.length == 2)
+    val w0 = rows.find(_.getAs[Long]("w_start") == 0L).get
+    assert(w0.getAs[Long]("msgs") == 2L)
+    assert(w0.getAs[Double]("msgs_per_sec") == 2.0 / 60.0)
+  }
+}
