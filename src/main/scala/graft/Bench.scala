@@ -12,6 +12,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    // Warm the JVM/codegen/parquet paths so the first measured query isn't
+    // charged for JIT + classloading (it showed 2-3x inflated otherwise).
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(1000).selectExpr("sum(l_quantity)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -1,0 +1,40 @@
+package graft
+
+/** Plan-audit main: prints the formatted physical plan of the queries whose
+  * scale posture matters most, plus automated assertions (broadcast joins on
+  * small dims, pushed filters, no cartesian products). Run:
+  * `sbt "runMain graft.PlanAudit [sfDir]"`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    val interesting = Seq(
+      "a2_banded_extents", "q_mktseg_revenue", "q_topk", "q_asof_join",
+      "minhash_neardup", "ann_topk_lsh", "q1_pricing")
+    var bad = 0
+    interesting.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"\n========== $name ==========")
+      df.explain("formatted")
+      if (plan.contains("CartesianProduct")) {
+        println(s"!! $name: CartesianProduct in plan"); bad += 1
+      }
+    }
+    // Targeted assertions
+    def planOf(n: String) = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+    val checks = Seq(
+      ("a2 anchors broadcast", planOf("a2_banded_extents").contains("BroadcastHashJoin")),
+      ("mktseg joins broadcast dims", planOf("q_mktseg_revenue").contains("BroadcastHashJoin")),
+      ("q1 filter pushed to scan", {
+        val p = planOf("q1_pricing"); p.contains("PushedFilters: [IsNotNull(l_shipdate)") || p.contains("LessThanOrEqual(l_shipdate")
+      }),
+      ("topk is TakeOrderedAndProject", planOf("q_topk").contains("TakeOrderedAndProject")))
+    checks.foreach { case (what, ok) =>
+      println(f"${if (ok) "OK " else "BAD"} $what")
+      if (!ok) bad += 1
+    }
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

