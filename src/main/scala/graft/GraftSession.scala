@@ -22,6 +22,7 @@ object GraftSession {
       // vectorized reader rejects unless read as raw Long nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()

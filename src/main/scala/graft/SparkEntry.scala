@@ -46,44 +46,62 @@ object SparkEntry {
   // ---- queries -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: bounded newest-first scan (the reference's LRANGE limit).
+    "s1_bounded_scan" -> ((s, dir) =>
+      series(s, dir)
+        .orderBy(col("e").desc, col("event_id").desc)
+        .limit(TrendParams.default.maxListQueryLength)
+        .select("event_id", "metric", "e", "value")),
+
     // A2+A3 flagship: banded day-bin extents with completeness gate.
     "a2_banded_extents" -> ((s, dir) => TrendOps.bandedExtents(series(s, dir))),
+
+    // Same contract through the fused single-pass Aggregator (UDAF
+    // extension point); shares the flagship's oracle.
+    "a2_banded_extents_fused" -> ((s, dir) => TrendOps.bandedExtentsFused(series(s, dir))),
 
     // A1: whole-series argmin/argmax per metric.
     "a1_argminmax" -> ((s, dir) => TrendOps.argMinMax(series(s, dir))),
 
-    // A5: rolling mean of the newest 30 samples per metric.
-    "a5_rolling_mean" -> ((s, dir) => TrendOps.rollingMean(series(s, dir), 30)),
+    // A5: rolling mean of the newest N samples per metric (§2.6 param).
+    "a5_rolling_mean" -> ((s, dir) =>
+      TrendOps.rollingMean(series(s, dir), TrendParams.default.currentValueSamples)),
 
-    // F1 (bucketized): newest sample per (metric, minute bucket).
-    "f1_decimate" -> ((s, dir) => TrendOps.decimateBucketized(series(s, dir), 60L)),
+    // F1 (bucketized): newest sample per (metric, gap bucket) (§2.6 param).
+    "f1_decimate" -> ((s, dir) =>
+      TrendOps.decimateBucketized(series(s, dir),
+        TrendParams.default.minSampleGapSeconds.toLong)),
 
     // F1 (faithful): reference anchored-gap decimation — stateful scan,
     // not SQL-expressible → rows-only + unit tests.
     "f1_decimate_faithful" -> ((s, dir) =>
-      TrendOps.decimateFaithful(series(s, dir), 60.0).toDF()),
+      TrendOps.decimateFaithful(series(s, dir),
+        TrendParams.default.minSampleGapSeconds).toDF()),
 
-    // M3: retention cull to the 7-day horizon, summarized per metric.
+    // M3: retention cull to the max-day-bin horizon, summarized per metric.
     "m3_retention" -> ((s, dir) =>
-      TrendOps.retentionCull(series(s, dir), 7L * 86400L)
+      TrendOps.retentionCull(series(s, dir), TrendParams.default.retentionSeconds)
         .groupBy("metric")
         .agg(count(lit(1)).as("retained"),
           min("e").as("first_e"), max("e").as("last_e"))),
 
-    // A6: per-minute message/byte rates per metric.
-    "a6_rate" -> ((s, dir) => TrendOps.rateMetrics(series(s, dir), 60L)),
+    // A6: per-window message/byte rates per metric (§2.6 param).
+    "a6_rate" -> ((s, dir) =>
+      TrendOps.rateMetrics(series(s, dir), TrendParams.default.rateWindowSeconds.toLong)),
 
-    // A4 (batch analogue): 5-minute micro-batch mean per metric.
-    "a4_batch_mean" -> ((s, dir) => TrendOps.microBatchMean(series(s, dir), 300L)),
+    // A4 (batch analogue): micro-batch mean per metric (§2.6 param).
+    "a4_batch_mean" -> ((s, dir) =>
+      TrendOps.microBatchMean(series(s, dir), TrendParams.default.microBatchSeconds.toLong)),
 
-    // A7 (batch analogue): gap-based sessionization per user.
-    "a7_sessions" -> ((s, dir) => TrendOps.sessionize(series(s, dir), 1800L)),
+    // A7 (batch analogue): gap-based sessionization per user (§2.6 param).
+    "a7_sessions" -> ((s, dir) =>
+      TrendOps.sessionize(series(s, dir), TrendParams.default.sessionGapSeconds)),
 
-    // X1-X9 scalar layer in one projection.
+    // X1-X9 scalar layer in one projection (X7 = real JSON decode).
     "x_scalars" -> ((s, dir) => {
       val df = series(s, dir).where(col("event_id") % 97 === 0)
       val rounded = Scalars.renderRounded(col("value"))
-      val kStr = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+      val kStr = get_json_object(col("props"), "$.k")
       df.select(
         col("event_id"),
         Scalars.deVoweled(col("metric")).as("metric_abbrev"),
@@ -92,7 +110,7 @@ object SparkEntry {
         Scalars.renderLast2(col("value")).as("last2"),
         Scalars.fixedWidth(rounded, 8).as("fixed"),
         Scalars.labelCell(col("metric"), 10).as("label"),
-        kStr.cast("long").as("k"),
+        Scalars.propsK(col("props")).as("k"),
         Scalars.toBool(kStr).as("k_bool"))
     }),
 
@@ -139,6 +157,39 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))),
+
+    // Cube (all grouping sets).
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))),
+
+    // lag/lead/rank window functions per customer.
+    "q_window_lag" -> ((s, dir) => {
+      val byDate = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(byDate).as("prev_price"),
+        lead("o_totalprice", 1).over(byDate).as("next_price"),
+        rank().over(byPrice).as("price_rank"))
+    }),
+
+    // Range join: clicks within 5 minutes before each purchase, per user
+    // (equi-key on user + range predicate — the scalable range-join shape).
+    "q_range_join" -> ((s, dir) => {
+      val sr = series(s, dir)
+      val p = sr.where(col("metric") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("e").as("p_e"))
+      val c = sr.where(col("metric") === "click")
+        .select(col("user_id").as("c_user"), col("e").as("c_e"), col("event_id").as("c_id"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_e") >= col("p_e") - 300 && col("c_e") <= col("p_e"), "left")
+        .groupBy("purchase_id", "user_id", "p_e")
+        .agg(count(col("c_id")).as("n_clicks_5m"))
+    }),
 
     // Ranking window: top-3 orders per priority.
     "q_window_rank" -> ((s, dir) =>
@@ -274,7 +325,12 @@ object SparkEntry {
 
   // ---- oracle SQL ----------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  /** The fused-Aggregator flagship shares the built-ins flagship's oracle
+    * (identical output contract). */
+  def oracleSql: Map[String, String] =
+    baseOracle + ("a2_banded_extents_fused" -> baseOracle("a2_banded_extents"))
+
+  private val baseOracle: Map[String, String] = Map(
     "a2_banded_extents" ->
       s"""WITH $SERIES, $ANCHORS,
          |banded AS (SELECT s.*, $BAND_CASE AS day_bin
@@ -371,11 +427,35 @@ object SparkEntry {
          |  lpad(CAST(CAST(ROUND(value) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS last2,
          |  lpad(CAST(CAST(ROUND(value) AS BIGINT) AS VARCHAR), 8, ' ') AS fixed,
          |  rpad(metric, 10, '.') AS label,
-         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
-         |  CASE WHEN regexp_matches(regexp_extract(props, '"k": ([0-9]+)', 1), '^-?[0-9]+$$')
-         |       THEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) != 0
-         |       ELSE regexp_extract(props, '"k": ([0-9]+)', 1) = 'true' END AS k_bool
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |  CASE WHEN regexp_matches(json_extract_string(props, '$$.k'), '^-?[0-9]+$$')
+         |       THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) != 0
+         |       ELSE json_extract_string(props, '$$.k') = 'true' END AS k_bool
          |FROM series WHERE event_id % 97 = 0""".stripMargin,
+
+    "s1_bounded_scan" ->
+      s"""WITH $SERIES
+         |SELECT event_id, metric, e, value FROM series
+         |ORDER BY e DESC, event_id DESC LIMIT 14400""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |FROM orders""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH $SERIES,
+         |p AS (SELECT event_id AS purchase_id, user_id, e AS p_e FROM series WHERE metric = 'purchase'),
+         |c AS (SELECT user_id AS c_user, e AS c_e, event_id AS c_id FROM series WHERE metric = 'click')
+         |SELECT p.purchase_id, p.user_id, p.p_e, count(c.c_id) AS n_clicks_5m
+         |FROM p LEFT JOIN c ON p.user_id = c.c_user AND c.c_e BETWEEN p.p_e - 300 AND p.p_e
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

@@ -15,8 +15,10 @@ object SimilarityOps {
     * accumulation (bit-identical to the DuckDB oracle's double math). */
   def vecD(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd dot product ([[graft.functions.VecDotProduct]]) —
+    * same left-to-right accumulation as the HOF form, but stays inside
+    * whole-stage codegen (tight primitive loop, no lambda frames). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -49,12 +51,11 @@ object SimilarityOps {
     Array.fill(tables, bitsPerTable, dim)(rng.nextGaussian())
   }
 
-  /** Signed-projection bucket id of a vector for one LSH table. */
+  /** Signed-projection bucket id of a vector for one LSH table (one native
+    * dot product per plane — codegen'd). */
   private def bucketExpr(v: Column, planes: Array[Array[Double]]): Column =
     concat_ws("", planes.map { p =>
-      val proj = aggregate(
-        zip_with(v, lit(p), (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
+      when(dot(v, lit(p)) >= 0, lit("1")).otherwise(lit("0"))
     }.toSeq: _*)
 
   /** Approximate cosine top-k via multi-table random-hyperplane LSH:

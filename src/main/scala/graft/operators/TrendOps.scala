@@ -90,6 +90,30 @@ object TrendOps {
         (ceil((col("last_e") - col("first_e")) / lit(3600.0)) >
           lit(p.minDataHoursToRenderBin)).as("is_complete"))
 
+  /** A2 via the fused single-pass [[ExtentAggregator]] — identical output
+    * contract to [[bandedExtents]] (shares its oracle), but one aggregate
+    * buffer per (metric, band) instead of five expressions: the UDAF
+    * extension point exercised on the flagship. */
+  def bandedExtentsFused(series: DataFrame, p: TrendParams = TrendParams.default): DataFrame = {
+    val extent = udaf(ExtentAggregator,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    withAnchor(series)
+      .withColumn("day_bin", bandExpr(col("e"), col("anchor_e"), p.dayBins))
+      .where(col("day_bin").isNotNull)
+      .groupBy("metric", "day_bin")
+      .agg(extent(col("value"), col("e")).as("x"))
+      .select(
+        col("metric"), col("day_bin"),
+        col("x.slice_len").as("slice_len"),
+        col("x.min_val").as("min_val"), col("x.min_ts").as("min_ts"),
+        col("x.max_val").as("max_val"), col("x.max_ts").as("max_ts"),
+        col("x.first_e").as("first_e"), col("x.last_e").as("last_e"),
+        (ceil((col("x.last_e") - col("x.first_e")) / lit(3600.0)) >
+          lit(p.minDataHoursToRenderBin)).as("is_complete"))
+  }
+
   /** A5: "current value" = mean of the newest N samples per metric
     * (trend-o-meter:369-371; the reference's `length−1` quirk is a documented
     * bug we don't replicate). Exact-decimal sum keeps the mean deterministic

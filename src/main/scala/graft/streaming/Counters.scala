@@ -1,0 +1,43 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** A8 running counters (trend-o-meter:128-132,186-192,486-489): message
+  * rx/batch counts, uptime, and reconnect timestamps — surfaced the Spark
+  * way, as a `StreamingQueryListener` instead of ad-hoc globals. Attach with
+  * `spark.streams.addListener(counters)`. */
+class CounterListener extends StreamingQueryListener {
+  private val startedAtMs = System.currentTimeMillis()
+  private val rxRows = new AtomicLong
+  private val batchCount = new AtomicLong
+  private val queryStarts = new ConcurrentLinkedQueue[String]()
+  private val terminations = new AtomicLong
+
+  override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit =
+    queryStarts.add(event.timestamp)
+
+  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
+    rxRows.addAndGet(event.progress.numInputRows)
+    batchCount.incrementAndGet()
+  }
+
+  override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    terminations.incrementAndGet()
+
+  def totalRowsReceived: Long = rxRows.get
+  def totalBatches: Long = batchCount.get
+  /** Query (re)start timestamps — the reference's `reconnects[]` analogue. */
+  def starts: Seq[String] = queryStarts.asScala.toSeq
+  def uptimeMs: Long = System.currentTimeMillis() - startedAtMs
+
+  /** `get stats` payload (C2 §2.6). */
+  def statsJson: String =
+    s"""{"uptime_ms": $uptimeMs, "rx_rows": $totalRowsReceived,
+       | "batches": $totalBatches, "starts": ${starts.size},
+       | "terminated": ${terminations.get}}""".stripMargin.replaceAll("\n", "")
+}

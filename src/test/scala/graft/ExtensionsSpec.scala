@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecExpressions
+import graft.operators.TrendOps
+import graft.streaming.{CounterListener, StreamOps, StreamSample}
+
+/** Extension points: native Expression, UDAF Aggregator, C2 params, A8
+  * counters. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("VecDotProduct: correct, null-array-safe, codegen'd, matches HOF math") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (null.asInstanceOf[Array[Double]], Array(1.0))).toDF("a", "b")
+    val out = df.select(VecExpressions.vecDot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(1).isNullAt(0))
+    // HOF parity (same accumulation order)
+    val hof = df.where(col("a").isNotNull).select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+      .collect().head.getDouble(0)
+    assert(hof == 32.0)
+    // codegen path active: over a real scan (a local Seq constant-folds to
+    // LocalTableScan), the projection must sit inside WholeStageCodegen.
+    val streamed = spark.range(100).select(
+      array(lit(1.0), col("id").cast("double")).as("a"),
+      array(lit(2.0), lit(3.0)).as("b"))
+    // (`*(n)` is executedPlan.toString's WholeStageCodegen marker)
+    val plan = streamed.select(VecExpressions.vecDot(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+  }
+
+  test("vec_dot is registered in SQL via GraftExtensions") {
+    val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()
+    assert(r.head.getDouble(0) == 11.0)
+  }
+
+  test("fused ExtentAggregator matches the built-ins flagship exactly") {
+    val anchor = 100L * 86400L
+    val df = seriesDF(
+      ("m", anchor, 5.0), ("m", anchor - 3600, 1.0), ("m", anchor - 7200, 1.0),
+      ("m", anchor - 2 * 86400, 9.0), ("n", anchor - 90000, 2.0))
+    def key(r: org.apache.spark.sql.Row) = r.getValuesMap[Any](r.schema.fieldNames)
+    val a = TrendOps.bandedExtents(df).collect().map(key).toSet
+    val b = TrendOps.bandedExtentsFused(df).collect().map(key).toSet
+    assert(a == b)
+  }
+
+  test("C2: get config renders params; set mutates and re-triggers; unknown is safe") {
+    val p = TrendParams.default
+    val get = C2.execute("get config", p)
+    assert(get.ok && get.message.contains("\"minDataHoursToRenderBin\": 18"))
+
+    val anchor = 100L * 86400L
+    val df = seriesDF(("m", anchor, 1.0), ("m", anchor - 20 * 3600, 2.0)) // 20h span
+    val (resp, rerun) = C2.executeAndRerun("set minDataHoursToRenderBin 21", p, df)
+    assert(resp.ok && resp.params.minDataHoursToRenderBin == 21)
+    // 20h span: complete at the default 18, incomplete at 21
+    assert(TrendOps.bandedExtents(df, p).collect().head.getAs[Boolean]("is_complete"))
+    assert(!rerun.collect().head.getAs[Boolean]("is_complete"))
+
+    val bad = C2.execute("frobnicate all the things", p)
+    assert(!bad.ok && bad.params == p)
+    assert(!C2.execute("set minDataHoursToRenderBin nope", p).ok)
+  }
+
+  test("A8 CounterListener tracks rx rows, batches, and query starts") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val counters = new CounterListener
+    spark.streams.addListener(counters)
+    try {
+      val in = MemoryStream[StreamSample]
+      val q = StreamOps.explodeMetrics(
+        in.toDS().toDF()
+          .select(col("ts"), col("source"), map(col("metric"), col("value")).as("metrics")))
+        .writeStream.format("memory").queryName("t_counters").outputMode("append").start()
+      in.addData(StreamSample(new Timestamp(1000), "s", "m", 1.0),
+        StreamSample(new Timestamp(2000), "s", "m", 2.0))
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      // listener delivery is async; give the bus a moment
+      var waited = 0
+      while (counters.totalRowsReceived < 2 && waited < 50) { Thread.sleep(100); waited += 1 }
+      assert(counters.totalRowsReceived >= 2)
+      assert(counters.totalBatches >= 1)
+      assert(counters.starts.nonEmpty)
+      assert(counters.statsJson.contains("\"rx_rows\""))
+    } finally spark.streams.removeListener(counters)
+  }
+}
