@@ -74,4 +74,13 @@ object C2 {
     val resp = execute(command, p)
     (resp, TrendOps.bandedExtents(series, resp.params))
   }
+
+  /** S5 command-stream shape: fold a (micro-)batch of commands over the
+    * param state in arrival order, collecting the responses the S7/S8 sinks
+    * would publish. Used from `foreachBatch` on a command stream. */
+  def foldCommands(commands: Seq[String], p: TrendParams): (TrendParams, Seq[C2Response]) =
+    commands.foldLeft((p, Vector.empty[C2Response])) { case ((cur, acc), cmd) =>
+      val r = execute(cmd, cur)
+      (r.params, acc :+ r)
+    }
 }

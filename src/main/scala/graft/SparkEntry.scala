@@ -199,6 +199,16 @@ object SparkEntry {
         Seq(col("o_totalprice").desc, col("o_orderkey").asc))
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")),
 
+    // SQL-parser surface: the same engine through spark.sql (ANSI text in,
+    // Catalyst plan out) — the reference has no query language at all.
+    "q_sql_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+          |       count(DISTINCT l_suppkey) AS n_suppliers
+          |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // Top-K scan.
     "q_topk" -> ((s, dir) =>
       RelationalOps.topK(
@@ -496,6 +506,11 @@ object SparkEntry {
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
+
+    "q_sql_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |       count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_setops" ->
       """SELECT k, 'open_not_f' AS tag FROM (

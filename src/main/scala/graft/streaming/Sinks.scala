@@ -17,8 +17,11 @@ object Sinks {
   /** S6: display sink — format extents rows with the X4 renderers and hand
     * the rendered frame to a writer (console, test buffer, device adapter).
     * The reference's character grid (`writeAt`, trend-o-meter:89-107) is the
-    * `render` callback's concern; analytics stop at formatted strings. */
+    * `render` callback's concern; analytics stop at formatted strings.
+    * X10: the frame-tick character alternates with batch parity
+    * (trend-o-meter:337-378's liveness indicator). */
   def displaySink(render: Seq[String] => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    val tick = if (batchId % 2 == 0) "~" else "*"
     val lines = batch
       .withColumn("cell", concat_ws(" ",
         Scalars.labelCell(Scalars.deVoweled(col("metric")), 10),
@@ -31,7 +34,7 @@ object Sinks {
       .collect() // display-sized result set (metrics × bins), never the fact table
       .map(_.getString(0))
       .toSeq
-    render(lines)
+    render(s"$tick frame $batchId" +: lines)
   }
 
   /** S7: last-value upsert sink — the reference HSETs the response hash so a

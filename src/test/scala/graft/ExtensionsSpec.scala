@@ -72,6 +72,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(!C2.execute("set minDataHoursToRenderBin nope", p).ok)
   }
 
+  test("S5 command stream folds in arrival order; bad commands don't break the fold") {
+    val (p2, resps) = C2.foldCommands(Seq(
+      "set minDataHoursToRenderBin 10",
+      "garbage",
+      "set currentValueSamples 7",
+      "get config"), TrendParams.default)
+    assert(p2.minDataHoursToRenderBin == 10 && p2.currentValueSamples == 7)
+    assert(resps.map(_.ok) == Seq(true, false, true, true))
+    assert(resps.last.message.contains("\"currentValueSamples\": 7"))
+  }
+
   test("A8 CounterListener tracks rx rows, batches, and query starts") {
     val s = spark
     import s.implicits._

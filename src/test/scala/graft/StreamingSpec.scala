@@ -138,7 +138,10 @@ class StreamingSpec extends SparkSpec {
       seriesDF(("temperature", 100L * 86400, 21.4), ("temperature", 100L * 86400 - 86000, 18.6)))
     var frame: Seq[String] = Nil
     Sinks.displaySink(lines => frame = lines)(extents, 0L)
-    assert(frame.nonEmpty && frame.head.contains("tmprtr"))
+    assert(frame.head.startsWith("~ frame 0")) // X10 tick, even batch
+    assert(frame.exists(_.contains("tmprtr")))
+    Sinks.displaySink(lines => frame = lines)(extents, 1L)
+    assert(frame.head.startsWith("* frame 1")) // alternation on odd batch
 
     val store = scala.collection.concurrent.TrieMap[String, String]()
     val s = spark
