@@ -309,6 +309,13 @@ object SparkEntry {
       SimilarityOps.lshTopK(emb.where(col("vec_id") < 8), emb, 5)
     }),
 
+    // IVF coarse-quantized approximate top-5 (rows-only; score parity with
+    // brute force pinned by unit test).
+    "ann_topk_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfTopK(emb.where(col("vec_id") < 8), emb, 5)
+    }),
+
     // Embedding near-duplicates via LSH buckets over planted twins
     // (rows-only).
     "embedding_neardup" -> ((s, dir) => {

@@ -67,4 +67,20 @@ object RelationalOps {
     df.withColumn("rk", row_number().over(
         Window.partitionBy(partition: _*).orderBy(order: _*)))
       .where(col("rk") <= n)
+
+  /** Skew-salted equi-join: spread each hot key of the BIG side over
+    * `salts` sub-keys (deterministic hash of the whole row, so replays are
+    * stable) and replicate the SMALL side once per salt. Use when one join
+    * key carries a disproportionate share of the big side and the small
+    * side is too large to broadcast — the manual fallback where AQE's
+    * skew-join split can't apply (e.g. non-shuffle-join strategies).
+    * Result == plain inner equi-join, row for row. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -93,6 +93,50 @@ object SimilarityOps {
       .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Approximate cosine top-k via IVF (inverted-file) coarse quantization:
+    * `nlist` deterministic centroids (lowest vec_ids — a kmeans step would
+    * refine them, the partition/probe mechanics are identical), every
+    * candidate assigned to its nearest centroid (one codegen'd dot per
+    * centroid), queries probe their `nprobe` nearest lists, exact rerank
+    * within probed lists only.
+    *
+    * Scale shape: the centroid table is a tiny broadcast dimension (collected
+    * once — it is nlist×dim doubles, not a data path); candidate assignment
+    * is per-row work; the probe is an equi-join on list id. Candidate count
+    * per query ≈ n × nprobe / nlist.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    // Tiny dimension collect (nlist rows), NOT the fact table.
+    val centroids: Array[(Int, Array[Double])] = candidates
+      .orderBy("vec_id").limit(nlist)
+      .select(vecD(col("embedding")).as("v"))
+      .collect()
+      .zipWithIndex
+      .map { case (r: Row, i) => i -> r.getSeq[Double](0).toArray }
+    def scores(v: Column) = (0 until centroids.length).map { case i =>
+      struct(dot(v, lit(centroids(i)._2)).as("s"), lit(i).as("cid"))
+    }
+    def nearestList(v: Column): Column = sort_array(array(scores(v): _*), asc = false)(0)("cid")
+    val assigned = candidates
+      .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("cv"))
+      .withColumn("cid", nearestList(col("cv")))
+    val probed = broadcast(
+      queries
+        .select(col("vec_id").as("q_id"), vecD(col("embedding")).as("qv"))
+        .withColumn("cid", explode(slice(
+          transform(sort_array(array(scores(col("qv")): _*), asc = false), s => s("cid")),
+          1, nprobe))))
+    assigned.join(probed, "cid")
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Embedding near-duplicate pairs (cosine >= minCosine) via the same LSH
     * tables: bucket-join candidates among ALL rows (no query set), exact
     * verify. doc pairs emitted once (a < b). */

@@ -97,6 +97,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "LSH path must not cross join")
   }
 
+  test("IVF top-k scores agree with brute force on shared pairs; no cartesian") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where(col("vec_id") < 4)
+    val brute = SimilarityOps.bruteTopK(q, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("c_id")) -> r.getAs[Double]("score")).toMap
+    val ivf = SimilarityOps.ivfTopK(q, emb, 10, nlist = 16, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    val shared = ivf.flatMap { r =>
+      brute.get((r.getLong(0), r.getAs[Long]("c_id"))).map(b => (r.getAs[Double]("score"), b))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (l, b) => assert(l == b) }
+    val plan = SimilarityOps.ivfTopK(q, emb, 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "IVF path must not cross join")
+  }
+
+  test("salted join equals plain join row-for-row") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val o = orders.withColumnRenamed("o_custkey", "c_custkey")
+    val plain = o.join(customer, "c_custkey")
+      .select("o_orderkey", "c_name").collect().map(_.toSeq).toSet
+    val salted = graft.operators.RelationalOps.saltedJoin(o, customer, "c_custkey", 8)
+      .select("o_orderkey", "c_name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("embedding near-dup finds a planted twin via LSH buckets") {
     val s = spark
     import s.implicits._
