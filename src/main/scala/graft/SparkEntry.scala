@@ -60,6 +60,9 @@ object SparkEntry {
     // extension point); shares the flagship's oracle.
     "a2_banded_extents_fused" -> ((s, dir) => TrendOps.bandedExtentsFused(series(s, dir))),
 
+    // Cumulative ("minMaxSince"-as-named) variant: trailing windows overlap.
+    "a2_cumulative_extents" -> ((s, dir) => TrendOps.bandedExtentsCumulative(series(s, dir))),
+
     // A1: whole-series argmin/argmax per metric.
     "a1_argminmax" -> ((s, dir) => TrendOps.argMinMax(series(s, dir))),
 
@@ -356,6 +359,29 @@ object SparkEntry {
          |               min(value) AS min_val, max(value) AS max_val,
          |               min(e) AS first_e, max(e) AS last_e
          |        FROM banded WHERE day_bin IS NOT NULL GROUP BY 1, 2),
+         |mn AS (SELECT b.metric, b.day_bin, min(b.e) AS min_ts FROM banded b
+         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
+         |        AND b.value = g.min_val GROUP BY 1, 2),
+         |mx AS (SELECT b.metric, b.day_bin, max(b.e) AS max_ts FROM banded b
+         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
+         |        AND b.value = g.max_val GROUP BY 1, 2)
+         |SELECT g.metric, g.day_bin, g.slice_len, g.min_val, mn.min_ts,
+         |       g.max_val, mx.max_ts, g.first_e, g.last_e,
+         |       CEIL((g.last_e - g.first_e)/3600.0) > 18 AS is_complete
+         |FROM agg g
+         |JOIN mn ON g.metric = mn.metric AND g.day_bin = mn.day_bin
+         |JOIN mx ON g.metric = mx.metric AND g.day_bin = mx.day_bin""".stripMargin,
+
+    "a2_cumulative_extents" ->
+      s"""WITH $SERIES, $ANCHORS,
+         |banded AS (SELECT s.*, b.day_bin
+         |           FROM series s JOIN anchors a USING (metric)
+         |           CROSS JOIN (VALUES (1),(3),(5),(7)) AS b(day_bin)
+         |           WHERE s.e > a.anchor_e - b.day_bin*86400),
+         |agg AS (SELECT metric, day_bin, count(*) AS slice_len,
+         |               min(value) AS min_val, max(value) AS max_val,
+         |               min(e) AS first_e, max(e) AS last_e
+         |        FROM banded GROUP BY 1, 2),
          |mn AS (SELECT b.metric, b.day_bin, min(b.e) AS min_ts FROM banded b
          |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
          |        AND b.value = g.min_val GROUP BY 1, 2),

@@ -90,6 +90,33 @@ object TrendOps {
         (ceil((col("last_e") - col("first_e")) / lit(3600.0)) >
           lit(p.minDataHoursToRenderBin)).as("is_complete"))
 
+  /** A2 cumulative variant: the semantics the reference's *name*
+    * (`minMaxSince`, trend-o-meter:154) promises but its code doesn't do —
+    * each day-bin covers the FULL trailing window (bin 3d includes bin 1d's
+    * samples), so a sample contributes to every bin whose window contains it
+    * (SURVEY §7 hard-parts: expose both). Explode-over-bins + the same hash
+    * aggregate; input grows only ×|bins|. */
+  def bandedExtentsCumulative(series: DataFrame, p: TrendParams = TrendParams.default): DataFrame = {
+    val bins = lit(p.dayBins.toArray)
+    withAnchor(series)
+      .withColumn("day_bin",
+        explode(filter(bins, b => col("e") > col("anchor_e") - b.cast("long") * 86400L)))
+      .groupBy("metric", "day_bin")
+      .agg(
+        count(lit(1)).as("slice_len"),
+        min(struct(col("value"), col("e"))).as("mn"),
+        max(struct(col("value"), col("e"))).as("mx"),
+        min("e").as("first_e"),
+        max("e").as("last_e"))
+      .select(
+        col("metric"), col("day_bin"), col("slice_len"),
+        col("mn.value").as("min_val"), col("mn.e").as("min_ts"),
+        col("mx.value").as("max_val"), col("mx.e").as("max_ts"),
+        col("first_e"), col("last_e"),
+        (ceil((col("last_e") - col("first_e")) / lit(3600.0)) >
+          lit(p.minDataHoursToRenderBin)).as("is_complete"))
+  }
+
   /** A2 via the fused single-pass [[ExtentAggregator]] — identical output
     * contract to [[bandedExtents]] (shares its oracle), but one aggregate
     * buffer per (metric, band) instead of five expressions: the UDAF

@@ -33,6 +33,17 @@ object StreamDemo {
     println("=== after batch 2 (second window appears) ===")
     spark.table("demo").orderBy("metric", "w_start").show(false)
     q.stop()
+
+    // A4 exact-parity path: gap-triggered mean over a typed sample stream.
+    val in2 = MemoryStream[StreamSample]
+    val q2 = StreamOps.gapTriggeredMean(in2.toDS(), 60.0).toDF()
+      .writeStream.format("memory").queryName("demo_gap").outputMode("append").start()
+    def at(sec: Long, v: Double) = StreamSample(new java.sql.Timestamp(sec * 1000), "dev1", "temperature", v)
+    in2.addData(at(0, 10.0), at(30, 20.0), at(90, 30.0))
+    q2.processAllAvailable()
+    println("=== gap-triggered means (trigger at 0 and 90; 30s sample buffered into 90's mean) ===")
+    spark.table("demo_gap").orderBy("e").show(false)
+    q2.stop()
     spark.stop()
   }
 }

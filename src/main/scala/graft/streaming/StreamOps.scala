@@ -16,6 +16,9 @@ final case class StreamSample(ts: Timestamp, source: String, metric: String, val
 /** Active-channel tracking output (A7). */
 final case class ChannelUpdate(source: String, active: Boolean, last_seen_sec: Long)
 
+/** Gap-triggered micro-batch mean output (A4 exact parity). */
+final case class TriggeredMean(metric: String, e: Long, mean_val: Double, n: Long)
+
 /** Streaming layer — the reference's pub/sub pipeline re-expressed as
   * Structured Streaming (SURVEY §3.2: trigger = gap test, batch =
   * collectedSamples, state = metricHistory, output = display delta — exactly
@@ -161,6 +164,35 @@ object StreamOps {
           }
           state.update(mark)
           kept.iterator
+      }
+  }
+
+  /** A4+F4 exact parity: the reference's gap-triggered micro-batch mean —
+    * buffer every sample; when one passes the F1 gap test
+    * (`abs(ts − timeMark) > gap`), emit the mean of everything buffered
+    * since the last trigger (including the triggering sample, which
+    * "carries" the mean — trend-o-meter:391,398-406), then reset the
+    * buffer. Keyed running (mark, sum, count) state per metric. */
+  def gapTriggeredMean(samples: Dataset[StreamSample], gapSeconds: Double): Dataset[TriggeredMean] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState[(Double, Double, Long), TriggeredMean](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (metric: String, events: Iterator[StreamSample], state: GroupState[(Double, Double, Long)]) =>
+          var (mark, sum, n) = state.getOption.getOrElse((-1d, 0d, 0L))
+          val out = events.toSeq.sortBy(_.ts.getTime).flatMap { ev =>
+            val sec = ev.ts.getTime / 1000L
+            sum += ev.value; n += 1
+            if (mark == -1d || math.abs(sec - mark) > gapSeconds) {
+              val m = TriggeredMean(metric, sec, sum / n, n)
+              mark = sec.toDouble; sum = 0d; n = 0L
+              Some(m)
+            } else None
+          }
+          state.update((mark, sum, n))
+          out.iterator
       }
   }
 

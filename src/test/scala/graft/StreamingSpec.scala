@@ -83,6 +83,24 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(0L, 90L, 151L))
   }
 
+  test("A4 exact parity: gap-triggered mean buffers between triggers across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(StreamOps.gapTriggeredMean(in.toDS(), 60.0).toDF(), "t_gapmean", "append")
+    def sample(sec: Long, v: Double) = StreamSample(new Timestamp(sec * 1000), "s", "m", v)
+    in.addData(sample(0, 10.0), sample(30, 20.0), sample(90, 30.0))
+    q.processAllAvailable()
+    in.addData(sample(120, 40.0), sample(151, 50.0), sample(152, 60.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_gapmean").collect()
+      .map(r => r.getAs[Long]("e") -> (r.getAs[Double]("mean_val"), r.getAs[Long]("n"))).toMap
+    // trigger at 0: mean of [10]; trigger at 90: mean of [20,30];
+    // trigger at 151: mean of [40,50]; 152 stays buffered.
+    assert(rows == Map(0L -> (10.0, 1L), 90L -> (25.0, 2L), 151L -> (45.0, 2L)))
+  }
+
   test("A7 active channels: event-time timeout evicts idle channels") {
     val s = spark
     import s.implicits._

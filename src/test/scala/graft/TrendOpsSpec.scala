@@ -50,6 +50,21 @@ class TrendOpsSpec extends SparkSpec {
     assert(b.head.getAs[Long]("slice_len") == 2L)
   }
 
+  test("A2 cumulative variant: trailing windows overlap (bin 3 contains bin 1)") {
+    val anchor = 100L * DAY
+    val df = seriesDF(
+      ("m", anchor, 1.0),               // in bins 1,3,5,7
+      ("m", anchor - 2 * DAY, 2.0),     // in bins 3,5,7
+      ("m", anchor - 6 * DAY, 3.0))     // in bin 7 only
+    val rows = TrendOps.bandedExtentsCumulative(df).collect()
+      .map(r => r.getAs[Int]("day_bin") -> r.getAs[Long]("slice_len")).toMap
+    assert(rows == Map(1 -> 1L, 3 -> 2L, 5 -> 2L, 7 -> 3L))
+    // disjoint flagship on the same data: each sample counted once
+    val disjoint = TrendOps.bandedExtents(df).collect()
+      .map(r => r.getAs[Int]("day_bin") -> r.getAs[Long]("slice_len")).toMap
+    assert(disjoint == Map(1 -> 1L, 3 -> 1L, 7 -> 1L))
+  }
+
   test("A3 completeness: span of exactly 18h is NOT complete; 18h+1s is") {
     val anchor = 100L * DAY
     def spanDf(spanSec: Long) =
