@@ -37,6 +37,8 @@ object C2 {
     * or malformed commands return ok=false with the error message (the
     * reference logs and continues, trend-o-meter:440-443). */
   def execute(command: String, p: TrendParams): C2Response = {
+    if (command.trim.isEmpty)
+      return C2Response(ok = false, "", "empty command", p)
     // X9: whitespace tokenize, head = verb (trend-o-meter:173,237).
     val toks = command.trim.split("\\s+").toList
     try toks match {
@@ -59,7 +61,7 @@ object C2 {
         C2Response(ok = true, "set", s"${toks(1)}=${toBool(v)}", p)
       case verb :: _ =>
         C2Response(ok = false, verb, s"unknown command: $command", p)
-      case Nil =>
+      case Nil => // unreachable after the blank guard; kept for totality
         C2Response(ok = false, "", "empty command", p)
     } catch {
       case e: Exception =>

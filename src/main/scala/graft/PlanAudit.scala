@@ -12,7 +12,7 @@ object PlanAudit {
       "a2_banded_extents", "q_mktseg_revenue", "q_topk", "q_asof_join",
       "minhash_neardup", "ann_topk_lsh", "q1_pricing")
     var bad = 0
-    interesting.foreach { name =>
+    val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       println(s"\n========== $name ==========")
@@ -20,9 +20,10 @@ object PlanAudit {
       if (plan.contains("CartesianProduct")) {
         println(s"!! $name: CartesianProduct in plan"); bad += 1
       }
-    }
-    // Targeted assertions
-    def planOf(n: String) = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+      name -> plan
+    }.toMap
+    // Targeted assertions over the plans computed above (one planning pass each)
+    def planOf(n: String) = plans(n)
     val checks = Seq(
       ("a2 anchors broadcast", planOf("a2_banded_extents").contains("BroadcastHashJoin")),
       ("mktseg joins broadcast dims", planOf("q_mktseg_revenue").contains("BroadcastHashJoin")),

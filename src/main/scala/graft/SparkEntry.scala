@@ -63,6 +63,16 @@ object SparkEntry {
     // Cumulative ("minMaxSince"-as-named) variant: trailing windows overlap.
     "a2_cumulative_extents" -> ((s, dir) => TrendOps.bandedExtentsCumulative(series(s, dir))),
 
+    // The reference's full cold-start lifecycle (SURVEY §3.1) as ONE
+    // declarative plan: F1 decimation → A2/A3 extents. (M3's cull is
+    // subsumed — the horizon equals the largest band; S1's 14400-sample
+    // bound is a source concern, exercised by s1_bounded_scan.)
+    "pipeline_cold_start" -> ((s, dir) =>
+      TrendOps.bandedExtents(
+        TrendOps.decimateBucketized(series(s, dir),
+            TrendParams.default.minSampleGapSeconds.toLong)
+          .select(col("event_id"), col("metric"), col("e"), col("value")))),
+
     // A1: whole-series argmin/argmax per metric.
     "a1_argminmax" -> ((s, dir) => TrendOps.argMinMax(series(s, dir))),
 
@@ -124,6 +134,8 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n_rows"),
+          // l_quantity is integer-valued (verified on the fixtures), so the
+          // double sum is order-exact — allowed by the determinism contract.
           sum("l_quantity").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -355,6 +367,33 @@ object SparkEntry {
       s"""WITH $SERIES, $ANCHORS,
          |banded AS (SELECT s.*, $BAND_CASE AS day_bin
          |           FROM series s JOIN anchors a USING (metric)),
+         |agg AS (SELECT metric, day_bin, count(*) AS slice_len,
+         |               min(value) AS min_val, max(value) AS max_val,
+         |               min(e) AS first_e, max(e) AS last_e
+         |        FROM banded WHERE day_bin IS NOT NULL GROUP BY 1, 2),
+         |mn AS (SELECT b.metric, b.day_bin, min(b.e) AS min_ts FROM banded b
+         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
+         |        AND b.value = g.min_val GROUP BY 1, 2),
+         |mx AS (SELECT b.metric, b.day_bin, max(b.e) AS max_ts FROM banded b
+         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
+         |        AND b.value = g.max_val GROUP BY 1, 2)
+         |SELECT g.metric, g.day_bin, g.slice_len, g.min_val, mn.min_ts,
+         |       g.max_val, mx.max_ts, g.first_e, g.last_e,
+         |       CEIL((g.last_e - g.first_e)/3600.0) > 18 AS is_complete
+         |FROM agg g
+         |JOIN mn ON g.metric = mn.metric AND g.day_bin = mn.day_bin
+         |JOIN mx ON g.metric = mx.metric AND g.day_bin = mx.day_bin""".stripMargin,
+
+    "pipeline_cold_start" ->
+      s"""WITH $SERIES,
+         |d0 AS (SELECT metric, e, event_id, value,
+         |  row_number() OVER (PARTITION BY metric, CAST(FLOOR(e/60.0) AS BIGINT)
+         |                     ORDER BY e DESC, event_id DESC) AS rn
+         |  FROM series),
+         |dec AS (SELECT metric, e, event_id, value FROM d0 WHERE rn = 1),
+         |anchors AS (SELECT metric, max(e) AS anchor_e FROM dec GROUP BY metric),
+         |banded AS (SELECT s.*, $BAND_CASE AS day_bin
+         |           FROM dec s JOIN anchors a USING (metric)),
          |agg AS (SELECT metric, day_bin, count(*) AS slice_len,
          |               min(value) AS min_val, max(value) AS max_val,
          |               min(e) AS first_e, max(e) AS last_e

@@ -83,23 +83,13 @@ object DedupOps {
       .distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates, then exact Jaccard over
-    * distinct shingle sets, keeping pairs with `jaccard >= minJaccard`. */
+  /** Full near-dup pipeline: LSH candidates, then exact Jaccard verify
+    * ([[jaccardForPairs]]) keeping pairs with `jaccard >= minJaccard`. */
   def nearDupPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
-                   minJaccard: Double = 0.6): DataFrame = {
-    val cand = minHashCandidates(docs, k, bands)
-    val sets = docs.select(
-      col("doc_id"),
-      array_distinct(TextOps.shingles(col("text"))).as("sh"))
-    cand
-      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
-      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+                   minJaccard: Double = 0.6): DataFrame =
+    jaccardForPairs(minHashCandidates(docs, k, bands), docs)
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Exact n-gram Jaccard for an explicit pair list (verification stage —
     * runs on candidates only, never all-pairs). */

@@ -30,10 +30,20 @@ object ExtentAggregator extends Aggregator[(Double, Long), ExtentBuf, Extent] {
   override def zero: ExtentBuf =
     ExtentBuf(0L, Double.NaN, 0L, Double.NaN, 0L, Long.MaxValue, Long.MinValue)
 
-  @inline private def minWins(v: Double, e: Long, bv: Double, be: Long): Boolean =
-    v < bv || (v == bv && e < be)
-  @inline private def maxWins(v: Double, e: Long, bv: Double, be: Long): Boolean =
-    v > bv || (v == bv && e > be)
+  /** Spark SQL's double total order: NaN greater than everything and equal
+    * to itself; -0.0 == 0.0. Plain `<`/`>` would freeze the buffer once a
+    * NaN lands in it and diverge from the built-in struct ordering. */
+  @inline private def cmp(a: Double, b: Double): Int = {
+    val an = if (a == 0.0d) 0.0d else a
+    val bn = if (b == 0.0d) 0.0d else b
+    java.lang.Double.compare(an, bn)
+  }
+  @inline private def minWins(v: Double, e: Long, bv: Double, be: Long): Boolean = {
+    val c = cmp(v, bv); c < 0 || (c == 0 && e < be)
+  }
+  @inline private def maxWins(v: Double, e: Long, bv: Double, be: Long): Boolean = {
+    val c = cmp(v, bv); c > 0 || (c == 0 && e > be)
+  }
 
   override def reduce(b: ExtentBuf, in: (Double, Long)): ExtentBuf = {
     val (v, e) = in

@@ -45,6 +45,12 @@ object TrendOps {
       when(e > anchor - lit(b.toLong * 86400L), lit(b)).otherwise(older)
     }
 
+  /** A3: the completeness gate shared by every extents variant —
+    * `ceil(span_hours) > minDataHoursToRenderBin` (trend-o-meter:59). One
+    * definition so the three flagship variants cannot silently diverge. */
+  private def isComplete(firstE: Column, lastE: Column, p: TrendParams): Column =
+    (ceil((lastE - firstE) / lit(3600.0)) > lit(p.minDataHoursToRenderBin)).as("is_complete")
+
   /** A1: argmin/argmax over a series, whole-tuple result (trend-o-meter:11-12).
     * Sentinel-free: lexicographic `min/max(struct(value, e))` keeps the
     * extreme value and, among ties, a deterministic ts (min ts for min,
@@ -87,8 +93,7 @@ object TrendOps {
         col("mn.value").as("min_val"), col("mn.e").as("min_ts"),
         col("mx.value").as("max_val"), col("mx.e").as("max_ts"),
         col("first_e"), col("last_e"),
-        (ceil((col("last_e") - col("first_e")) / lit(3600.0)) >
-          lit(p.minDataHoursToRenderBin)).as("is_complete"))
+        isComplete(col("first_e"), col("last_e"), p))
 
   /** A2 cumulative variant: the semantics the reference's *name*
     * (`minMaxSince`, trend-o-meter:154) promises but its code doesn't do —
@@ -113,8 +118,7 @@ object TrendOps {
         col("mn.value").as("min_val"), col("mn.e").as("min_ts"),
         col("mx.value").as("max_val"), col("mx.e").as("max_ts"),
         col("first_e"), col("last_e"),
-        (ceil((col("last_e") - col("first_e")) / lit(3600.0)) >
-          lit(p.minDataHoursToRenderBin)).as("is_complete"))
+        isComplete(col("first_e"), col("last_e"), p))
   }
 
   /** A2 via the fused single-pass [[ExtentAggregator]] — identical output
@@ -137,8 +141,7 @@ object TrendOps {
         col("x.min_val").as("min_val"), col("x.min_ts").as("min_ts"),
         col("x.max_val").as("max_val"), col("x.max_ts").as("max_ts"),
         col("x.first_e").as("first_e"), col("x.last_e").as("last_e"),
-        (ceil((col("x.last_e") - col("x.first_e")) / lit(3600.0)) >
-          lit(p.minDataHoursToRenderBin)).as("is_complete"))
+        isComplete(col("x.first_e"), col("x.last_e"), p))
   }
 
   /** A5: "current value" = mean of the newest N samples per metric

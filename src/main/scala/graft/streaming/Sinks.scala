@@ -39,10 +39,15 @@ object Sinks {
 
   /** S7: last-value upsert sink — the reference HSETs the response hash so a
     * late subscriber reads the latest value per field
-    * (trend-o-meter:243-250). Keyed upsert into a provided store. */
-  def lastValueSink(store: TrieMap[String, String], keyCol: String, valCol: String)(
-      batch: DataFrame, batchId: Long): Unit =
-    batch.select(col(keyCol).cast("string"), to_json(struct(col(valCol))))
+    * (trend-o-meter:243-250). "Last" must be defined by event order, not by
+    * collect()'s partition order, so the caller names the ordering column;
+    * the max-order row per key wins deterministically. */
+  def lastValueSink(store: TrieMap[String, String], keyCol: String, valCol: String,
+                    orderCol: String)(batch: DataFrame, batchId: Long): Unit =
+    batch
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(max(struct(col(orderCol), col(valCol).as("__v"))).as("__last"))
+      .select(col("__k"), to_json(struct(col("__last.__v").as(valCol))))
       .collect()
       .foreach { r: Row => store.put(r.getString(0), r.getString(1)) }
 

@@ -164,8 +164,10 @@ class StreamingSpec extends SparkSpec {
     val store = scala.collection.concurrent.TrieMap[String, String]()
     val s = spark
     import s.implicits._
-    Sinks.lastValueSink(store, "k", "v")(Seq(("a", 1), ("a", 2)).toDF("k", "v"), 0L)
-    assert(store("a").contains("2") || store("a").contains("1")) // last-value per key present
+    Sinks.lastValueSink(store, "k", "v", "ord")(
+      Seq(("a", "old", 1L), ("a", "new", 2L), ("b", "only", 1L)).toDF("k", "v", "ord"), 0L)
+    assert(store("a").contains("new") && !store("a").contains("old")) // event-order last wins
+    assert(store("b").contains("only"))
 
     val dir = java.nio.file.Files.createTempDirectory("audit").toString
     Sinks.auditSink(dir)(Seq(("cmd", true)).toDF("message", "valid"), 7L)

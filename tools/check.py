@@ -38,6 +38,12 @@ def main(out_dir: str, sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     results = {}
+    # A query that crashed in Verify writes no result dir — that must read
+    # as a FAIL here, not silently vanish from the report.
+    present = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    for name in oracle:
+        if name not in present:
+            results[name] = "MISSING_RESULT: query crashed or was not run"
     for qdir in sorted(Path(out_dir).iterdir()):
         if not qdir.is_dir():
             continue
