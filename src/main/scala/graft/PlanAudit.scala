@@ -10,7 +10,7 @@ object PlanAudit {
     val spark = GraftSession.local()
     val interesting = Seq(
       "a2_banded_extents", "q_mktseg_revenue", "q_topk", "q_asof_join",
-      "minhash_neardup", "ann_topk_lsh", "q1_pricing")
+      "minhash_neardup", "ann_topk_lsh", "q1_pricing", "q5_local_volume")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -30,7 +30,8 @@ object PlanAudit {
       ("q1 filter pushed to scan", {
         val p = planOf("q1_pricing"); p.contains("PushedFilters: [IsNotNull(l_shipdate)") || p.contains("LessThanOrEqual(l_shipdate")
       }),
-      ("topk is TakeOrderedAndProject", planOf("q_topk").contains("TakeOrderedAndProject")))
+      ("topk is TakeOrderedAndProject", planOf("q_topk").contains("TakeOrderedAndProject")),
+      ("q5 6-way join broadcasts dims", planOf("q5_local_volume").contains("BroadcastHashJoin")))
     checks.foreach { case (what, ok) =>
       println(f"${if (ok) "OK " else "BAD"} $what")
       if (!ok) bad += 1

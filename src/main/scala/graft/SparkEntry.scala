@@ -156,6 +156,40 @@ object SparkEntry {
             (lit(1) - col("l_discount").cast("decimal(8,2)")))
             .cast("double").as("revenue"))),
 
+    // TPC-H Q3 shape: shipping-priority — segment filter, 3-way join,
+    // top-10 revenue. Decimal-exact revenue for the oracle.
+    "q3_shipping_priority" -> ((s, dir) =>
+      RelationalOps.topK(
+        Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .where(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")) &&
+            col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00")))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(8,2)")))
+            .cast("double").as("revenue")),
+        10, col("revenue").desc, col("l_orderkey").asc)),
+
+    // TPC-H Q5 shape: local-supplier volume — 6-way join through the full
+    // star (region→nation→customer/supplier→orders→lineitem), revenue per
+    // nation. The small dims must broadcast (PlanAudit asserts).
+    "q5_local_volume" -> ((s, dir) =>
+      Tables.region(s, dir).where(col("r_name") === "ASIA")
+        .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(8,2)")))
+            .cast("double").as("revenue"))),
+
     // Top-10 customers by total order value.
     "q_top_customers" -> ((s, dir) =>
       RelationalOps.topK(
@@ -557,6 +591,32 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_volume" ->
+      """SELECT n_name, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
 
     "q_top_customers" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,

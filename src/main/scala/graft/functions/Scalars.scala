@@ -39,6 +39,13 @@ object Scalars {
   def renderLast2(value: Column): Column =
     lpad((renderRounded(value) % 100).cast("string"), 2, "0")
 
+  /** X4 (dispatch): the reference's `rawValRenderers` map
+    * (trend-o-meter:146-151) — pressure renders as its last two digits,
+    * every other metric as the rounded whole number. */
+  def renderFor(metric: Column, value: Column): Column =
+    when(metric === "pressure", renderLast2(value))
+      .otherwise(renderRounded(value).cast("string"))
+
   /** X5: reference `toBool` — integer strings by truthiness, else == "true". */
   def toBool(c: Column): Column =
     when(c.rlike("^-?[0-9]+$"), c.cast("long") =!= 0).otherwise(c === "true")

@@ -214,17 +214,28 @@ object TrendOps {
 
   /** A6 (batch analogue): per-metric fixed-window message/byte rates
     * (trend-o-meter:459-519). Bytes = payload length, matching the
-    * reference's byte counters; rate denominators are the window width. */
-  def rateMetrics(series: DataFrame, windowSeconds: Long): DataFrame =
-    series
+    * reference's byte counters; rate denominators are the window width.
+    *
+    * @param minFillRatio the reference's half-full render gate
+    *   (trend-o-meter:463: render only when the window has data in more
+    *   than `ratio × windowSeconds` distinct seconds). 0 = no gate.
+    */
+  def rateMetrics(series: DataFrame, windowSeconds: Long,
+                  minFillRatio: Double = 0.0): DataFrame = {
+    val rates = series
       .withColumn("w_start",
         (floor(col("e") / lit(windowSeconds.toDouble)).cast("long") * windowSeconds))
       .groupBy("metric", "w_start")
       .agg(
         count(lit(1)).as("msgs"),
-        sum(length(col("props"))).as("bytes"))
+        sum(length(col("props"))).as("bytes"),
+        countDistinct(col("e")).as("filled_secs"))
       .withColumn("msgs_per_sec", col("msgs") / lit(windowSeconds.toDouble))
       .withColumn("bytes_per_sec", col("bytes") / lit(windowSeconds.toDouble))
+    (if (minFillRatio > 0.0)
+       rates.where(col("filled_secs") > lit(windowSeconds * minFillRatio))
+     else rates).drop("filled_secs")
+  }
 
   /** A4 (batch analogue): micro-batch mean — tumbling-window per-metric mean
     * (trend-o-meter:391,400-406: "average everything buffered since the last

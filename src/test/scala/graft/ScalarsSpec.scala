@@ -26,6 +26,11 @@ class ScalarsSpec extends SparkSpec {
     assert(eval1(Scalars.renderLast2(lit(7.0))) == "07")
   }
 
+  test("X4 renderFor dispatches pressure to last-2, others to rounded") {
+    assert(eval1(Scalars.renderFor(lit("pressure"), lit(1013.2))) == "13")
+    assert(eval1(Scalars.renderFor(lit("temperature"), lit(21.6))) == "22")
+  }
+
   test("X5 toBool: numeric strings by truthiness, else == \"true\"") {
     assert(eval1(Scalars.toBool(lit("1"))) == true)
     assert(eval1(Scalars.toBool(lit("0"))) == false)

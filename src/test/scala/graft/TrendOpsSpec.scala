@@ -131,4 +131,15 @@ class TrendOpsSpec extends SparkSpec {
     assert(w0.getAs[Long]("msgs") == 2L)
     assert(w0.getAs[Double]("msgs_per_sec") == 2.0 / 60.0)
   }
+
+  test("A6 half-full gate drops sparsely-filled windows") {
+    // window 0: 2 distinct seconds; window 60: 31 distinct seconds
+    val df = seriesDF(
+      (Seq(("m", 0L, 1.0), ("m", 59L, 1.0)) ++
+        (0 until 31).map(i => ("m", 60L + i, 1.0))): _*)
+    val gated = TrendOps.rateMetrics(df, 60L, minFillRatio = 0.5).collect()
+    assert(gated.map(_.getAs[Long]("w_start")).toSeq == Seq(60L))
+    val ungated = TrendOps.rateMetrics(df, 60L).collect()
+    assert(ungated.length == 2)
+  }
 }
