@@ -17,6 +17,12 @@ object PlanAudit {
       val plan = df.queryExecution.executedPlan.toString
       println(s"\n========== $name ==========")
       df.explain("formatted")
+      // Shuffle budget: every shuffle Exchange moves the full relation
+      // across the cluster — the number to stare at before a 100 TB run.
+      // Broadcast exchanges only ship the small side.
+      val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+      val shuffles = "Exchange".r.findAllIn(plan).size - broadcasts
+      println(s">> $name: $shuffles shuffle(s), $broadcasts broadcast(s)")
       if (plan.contains("CartesianProduct")) {
         println(s"!! $name: CartesianProduct in plan"); bad += 1
       }
