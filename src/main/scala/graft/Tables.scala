@@ -55,4 +55,37 @@ object Tables {
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Declared schema of the canonical series relation, for schema-on-read
+    * sources (JSONL/CSV ingestion paths). */
+  val seriesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, metric STRING, e BIGINT, value DOUBLE, props STRING")
+
+  /** S2+F3 batch-side over JSON-lines: declared schema, PERMISSIVE parse,
+    * malformed lines dropped (not failed) — the reference's
+    * catch-log-and-skip (trend-o-meter:440-443) as a reader policy. */
+  def seriesFromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(seriesSchema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .where(col("_corrupt").isNull && col("e").isNotNull && col("metric").isNotNull)
+      .drop("_corrupt")
+
+  /** Same contract over CSV (header, typed schema, malformed dropped). */
+  def seriesFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(seriesSchema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+      .where(col("e").isNotNull && col("metric").isNotNull)
+
+  /** 100 TB layout: write the canonical series partitioned by metric so
+    * per-metric queries prune whole directories at planning time (at real
+    * scale, add a day bucket: `partitionBy("metric", "day")`). */
+  def writeSeriesPartitioned(series: DataFrame, path: String): Unit =
+    series.write.mode("overwrite").partitionBy("metric").parquet(path)
 }

@@ -27,15 +27,18 @@ object SimilarityOps {
   /** Exact brute-force cosine top-k: the given query vectors (a SMALL set —
     * broadcast) against every candidate row. Per-candidate work only; the
     * top-k per query is a bounded hash/sort on (query) — no all-pairs among
-    * candidates. */
+    * candidates. Norms are staged per ROW (not per pair): each pair costs
+    * one dot product, not three. */
   def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col("vec_id").as("q_id"), vecD(col("embedding")).as("qv")))
-    val c = candidates.select(
-      col("vec_id").as("c_id"), vecD(col("embedding")).as("cv"))
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), vecD(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = candidates
+      .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(q)
       .where(col("q_id") =!= col("c_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
@@ -72,21 +75,23 @@ object SimilarityOps {
     // (multiple references block projection collapse — evaluated once).
     def withBuckets(df: DataFrame, idCol: String): DataFrame = {
       val staged = df.select(col("vec_id").as(idCol), vecD(col("embedding")).as(s"${idCol}_v"))
+        .withColumn(s"${idCol}_n", norm(col(s"${idCol}_v")))
       val v = col(s"${idCol}_v")
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), bucketExpr(v, planes(t)).as("bkt"))): _*)
-      staged.select(col(idCol), v, explode(buckets).as("tb"))
-        .select(col(idCol), v,
+      staged.select(col(idCol), v, col(s"${idCol}_n"), explode(buckets).as("tb"))
+        .select(col(idCol), v, col(s"${idCol}_n"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }
     val qb = broadcast(withBuckets(queries, "q_id"))
     val cb = withBuckets(candidates, "c_id")
     val cand = cb.join(qb, Seq("tbl", "bkt"))
       .where(col("q_id") =!= col("c_id"))
-      .select("q_id", "q_id_v", "c_id", "c_id_v")
+      .select("q_id", "q_id_v", "q_id_n", "c_id", "c_id_v", "c_id_n")
       .distinct()
     cand
-      .withColumn("score", cosine(col("q_id_v"), col("c_id_v")))
+      .withColumn("score",
+        dot(col("q_id_v"), col("c_id_v")) / (col("q_id_n") * col("c_id_n")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
       .where(col("rk") <= k)
@@ -121,16 +126,18 @@ object SimilarityOps {
     def nearestList(v: Column): Column = sort_array(array(scores(v): _*), asc = false)(0)("cid")
     val assigned = candidates
       .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
       .withColumn("cid", nearestList(col("cv")))
     val probed = broadcast(
       queries
         .select(col("vec_id").as("q_id"), vecD(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv")))
         .withColumn("cid", explode(slice(
           transform(sort_array(array(scores(col("qv")): _*), asc = false), s => s("cid")),
           1, nprobe))))
     assigned.join(probed, "cid")
       .where(col("q_id") =!= col("c_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
       .where(col("rk") <= k)
@@ -147,19 +154,22 @@ object SimilarityOps {
     // Same staging as lshTopK: plane projections read the materialized
     // attribute, never the raw cast-transform expression.
     val staged = vectors.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v")))
     val buckets = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), bucketExpr(col("v"), planes(t)).as("bkt"))): _*)
-    val b = staged.select(col("vec_id"), col("v"), explode(buckets).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val b = staged.select(col("vec_id"), col("v"), col("vn"), explode(buckets).as("tb"))
+      .select(col("vec_id"), col("v"), col("vn"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val l = b.alias("l")
     val r = b.alias("r")
     l.join(r,
         col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+        col("l.v").as("va"), col("r.v").as("vb"),
+        col("l.vn").as("na"), col("r.vn").as("nb"))
       .distinct()
-      .withColumn("score", cosine(col("va"), col("vb")))
+      .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("score") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }

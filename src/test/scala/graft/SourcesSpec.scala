@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Alternate source formats (S2/F3 batch-side) + partitioned layout. */
+class SourcesSpec extends SparkSpec {
+
+  test("JSONL source: declared schema, malformed lines dropped not failed") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      """{"event_id": 1, "user_id": 10, "metric": "m", "e": 100, "value": 1.5, "props": "{}"}
+        |this is not json
+        |{"event_id": 2, "user_id": 11, "metric": "m", "e": 200, "value": 2.5, "props": "{}"}
+        |{"event_id": 3, "user_id": 12, "value": 9.9}
+        |""".stripMargin)
+    val df = Tables.seriesFromJsonl(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 2) // corrupt line and metric-less record dropped
+    assert(rows.map(_.getAs[Long]("e")).toSet == Set(100L, 200L))
+    assert(df.schema == Tables.seriesSchema)
+  }
+
+  test("CSV source: header + typed schema, malformed dropped") {
+    val dir = Files.createTempDirectory("csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part.csv"),
+      """event_id,user_id,metric,e,value,props
+        |1,10,m,100,1.5,{}
+        |garbage,row,with,bad,types,entirely-wrong
+        |2,11,n,200,2.5,{}
+        |""".stripMargin)
+    val rows = Tables.seriesFromCsv(spark, dir).collect()
+    assert(rows.map(r => (r.getAs[String]("metric"), r.getAs[Double]("value"))).toSet ==
+      Set(("m", 1.5), ("n", 2.5)))
+  }
+
+  test("metric-partitioned layout prunes partitions for per-metric queries") {
+    val dir = Files.createTempDirectory("plainparquet").toString + "/series"
+    val series = Tables.metricSeries(spark, "/root/testdata/sf0.001")
+    Tables.writeSeriesPartitioned(series, dir)
+    val clicks = spark.read.parquet(dir).where(col("metric") === "click")
+    // partition pruning visible at planning time
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("metric"), plan)
+    // and the data round-trips exactly
+    val expected = series.where(col("metric") === "click").count()
+    assert(clicks.count() == expected && expected > 0)
+  }
+}
