@@ -338,6 +338,35 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.langGuess(col("text")).as("lang_guess"))),
 
+    // PII redaction over deterministically-planted contact info (the base
+    // corpus is synthetic and PII-free, so the op's effect is visible).
+    "text_clean" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.redactPii(
+          concat(col("text"), lit(" contact: user@example.com or +1 (555) 123-4567 ok")))
+          .as("cleaned"))),
+
+    // Token budgets: whitespace + BPE-ish regex counts.
+    "text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+
+    // Deterministic content-hash train/eval split, summarized per lang.
+    "dataset_split" -> ((s, dir) =>
+      CurationOps.withSplit(Tables.documents(s, dir))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))),
+
+    // Seeded stratified sample (rows-only: Spark's sampler RNG is not
+    // reproducible in SQL; determinism for a fixed seed pinned by test).
+    "sample_stratified" -> ((s, dir) =>
+      CurationOps.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "lang", Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5), seed = 42L)),
+
     // Document fingerprints (bag-of-words md5 + min-shingle rolling hash).
     "doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -704,6 +733,26 @@ object SparkEntry {
         |       WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > length(text)/10
         |       THEN 'other' ELSE 'und' END AS lang_guess
         |FROM t""".stripMargin,
+
+    "text_clean" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text || ' contact: user@example.com or +1 (555) 123-4567 ok',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[+]?[0-9][0-9 ()+.-]{6,}[0-9]', '<NUM>', 'g') AS cleaned
+        |FROM documents""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "dataset_split" ->
+      """SELECT lang,
+        |  CASE WHEN md5(text) < 'e6' THEN 'train' ELSE 'eval' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)

@@ -60,6 +60,25 @@ object TextOps {
   def normalized(text: Column): Column =
     trim(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** PII scrub: redact email addresses and long digit runs (phone/account
+    * numbers) — the standard pre-training hygiene pass, pure regexp. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[+]?[0-9][0-9 ()+.-]{6,}[0-9]", "<NUM>")
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks — the usual cheap proxy for subword token budgets (kept to a
+    * regex subset both Java regex and RE2 agree on). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Deterministic train/test split on the content hash: md5 hex compares
+    * bytewise identically everywhere, so `md5 < threshold` is a stable,
+    * engine-independent assignment. "e6" ≈ 90% of the hex space. */
+  def splitTag(text: Column, trainHexCeiling: String = "e6"): Column =
+    when(md5(text) < trainHexCeiling, lit("train")).otherwise(lit("eval"))
+
   /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
     * order-insensitive near-identity (word-permutation invariant). */
   def bowFingerprint(text: Column): Column =

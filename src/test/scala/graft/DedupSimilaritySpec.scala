@@ -135,6 +135,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 100L))
   }
 
+  test("PII redaction scrubs emails and number runs, leaves clean text alone") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org thanks"),
+      (2L, "call +1 (555) 123-4567 today"),
+      (3L, "nothing sensitive here 42"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.TextOps.redactPii(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "reach me at <EMAIL> thanks")
+    assert(out(2L) == "call <NUM> today")
+    assert(out(3L) == "nothing sensitive here 42")
+  }
+
+  test("content-hash split is deterministic and roughly 90/10") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = graft.operators.CurationOps.withSplit(docs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = graft.operators.CurationOps.withSplit(docs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // stable across runs
+    val total = a.values.sum.toDouble
+    assert(a("train") / total > 0.8 && a("train") / total < 0.98)
+  }
+
+  test("stratified sample is deterministic for a fixed seed and respects strata") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "lang")
+    def run() = graft.operators.CurationOps
+      .stratifiedSample(docs, "lang", Map("en" -> 0.1, "de" -> 0.5), seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(run() == run())
+    val sampled = graft.operators.CurationOps
+      .stratifiedSample(docs, "lang", Map("en" -> 0.1), seed = 7L)
+    assert(sampled.where(col("lang") =!= "en").count() == 0)
+  }
+
   test("text ops: token count, stopword ratio, fingerprints are word-order aware/invariant as designed") {
     val s = spark
     import s.implicits._

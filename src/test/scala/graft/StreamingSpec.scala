@@ -135,6 +135,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("M5: checkpointed file-stream restart resumes exactly-once (no reprocessing)") {
+    val base = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val srcDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/checkpoint"
+    new java.io.File(srcDir).mkdirs()
+    def writeFile(n: Int, lines: String*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f$n.jsonl"),
+        lines.mkString("\n"))
+    def startQuery() =
+      StreamOps.explodeMetrics(StreamOps.parseMessages(spark.readStream.text(srcDir)))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck).outputMode("append").start()
+
+    writeFile(1, """{"ts": 10, "source": "s", "value": {"m": 1.0}}""")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outDir).count() == 1)
+
+    writeFile(2, """{"ts": 20, "source": "s", "value": {"m": 2.0}}""")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+    // restart processed ONLY the new file: 2 rows total, no duplicates
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows.map(_.getAs[Double]("value")).toSet == Set(1.0, 2.0))
+  }
+
   test("M1-M3 recompute loop matches the batch flagship on the same data") {
     val loop = new StreamOps.RecomputeLoop()
     val anchor = 100L * 86400L
