@@ -110,6 +110,18 @@ object SparkEntry {
     "a7_sessions" -> ((s, dir) =>
       TrendOps.sessionize(series(s, dir), TrendParams.default.sessionGapSeconds)),
 
+    // Sketch aggregates (HLL++ distinct, GK percentiles) next to exact
+    // counterparts — rows-only (sketch internals differ across engines);
+    // accuracy pinned by unit test.
+    "a9_sketch_stats" -> ((s, dir) => TrendOps.sketchStats(series(s, dir))),
+
+    // Exact percentiles per metric (interpolated median/tail).
+    "a10_percentiles" -> ((s, dir) =>
+      series(s, dir).groupBy("metric").agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))),
+
     // X1-X9 scalar layer in one projection (X7 = real JSON decode).
     "x_scalars" -> ((s, dir) => {
       val df = series(s, dir).where(col("event_id") % 97 === 0)
@@ -562,6 +574,13 @@ object SparkEntry {
          |SELECT user_id, session_idx, min(e) AS session_start, max(e) AS session_end,
          |       count(*) AS n_events
          |FROM sessions GROUP BY 1, 2""".stripMargin,
+
+    "a10_percentiles" ->
+      s"""WITH $SERIES
+         |SELECT metric, quantile_cont(value, 0.5) AS p50,
+         |       quantile_cont(value, 0.9) AS p90,
+         |       quantile_cont(value, 0.99) AS p99
+         |FROM series GROUP BY metric""".stripMargin,
 
     "x_scalars" ->
       s"""WITH $SERIES

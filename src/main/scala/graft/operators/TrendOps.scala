@@ -250,6 +250,19 @@ object TrendOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
       .withColumn("mean_val", col("sum_val") / col("n"))
 
+  /** Sketch aggregates — the 100 TB path for cardinality/quantile questions:
+    * HLL++ distinct counts and GK approximate percentiles are bounded-memory
+    * and mergeable (exact counterparts computed alongside for validation;
+    * at real scale only the sketches run). */
+  def sketchStats(series: DataFrame, rsd: Double = 0.05): DataFrame =
+    series
+      .groupBy("metric")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"))
+
   /** A7 (batch analogue): gap-based sessionization per user — the batch shape
     * of the reference's active-channel tracking with inactivity timeout
     * (trend-o-meter:521-525). Single shuffle+sort by user. */

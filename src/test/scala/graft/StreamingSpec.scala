@@ -175,6 +175,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("S6 grid: writeAt/clear clip correctly; extents layout fills metric rows x bin cols") {
+    val g = new graft.streaming.DisplayGrid(cols = 40, rows = 3)
+    g.writeAt(38, 0, "abcd") // clipped at edge
+    assert(g.render.head.endsWith("ab"))
+    g.writeAt(0, 5, "ignored") // out-of-range row: no crash
+    g.clear()
+    assert(g.render.forall(_.trim.isEmpty))
+
+    val anchor = 100L * 86400L
+    val extents = graft.operators.TrendOps.bandedExtents(seriesDF(
+      ("temperature", anchor, 21.4), ("temperature", anchor - 80000, 18.6),
+      ("pressure", anchor, 1013.2), ("pressure", anchor - 80000, 1009.8)))
+    graft.streaming.DisplayGrid.layoutExtents(extents, g)
+    val frame = g.render
+    assert(frame.exists(_.startsWith("prssr")))     // deVoweled label, metric row
+    assert(frame.exists(_.contains("10/13")))       // pressure rendered last-2
+    assert(frame.exists(l => l.startsWith("tmprtr") && l.contains("19/21")))
+  }
+
   test("S6/S7/S8 sinks: display formatting, last-value upsert, append audit") {
     val extents = TrendOps.bandedExtents(
       seriesDF(("temperature", 100L * 86400, 21.4), ("temperature", 100L * 86400 - 86000, 18.6)))

@@ -132,6 +132,18 @@ class TrendOpsSpec extends SparkSpec {
     assert(w0.getAs[Double]("msgs_per_sec") == 2.0 / 60.0)
   }
 
+  test("sketch stats: approx distinct within rsd of exact; approx median near exact") {
+    val df = Tables.metricSeries(spark, "/root/testdata/sf0.001")
+    TrendOps.sketchStats(df).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15, s"hll off: $approx vs $exact")
+      val p50a = r.getAs[Double]("p50_approx")
+      val p50e = r.getAs[Double]("p50_exact")
+      assert(math.abs(p50a - p50e) / math.max(p50e, 1.0) < 0.1, s"p50 off: $p50a vs $p50e")
+    }
+  }
+
   test("A6 half-full gate drops sparsely-filled windows") {
     // window 0: 2 distinct seconds; window 60: 31 distinct seconds
     val df = seriesDF(
