@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *  - X5 `toBool`                :196-205 (numeric-string truthiness else =="true")
   *  - X6 pad / fixed width       :89,345,371
   *  - X7 JSON decode             :290,385
-  *  - X8 time arithmetic         :19,59,422
+  *  - X8 time arithmetic (:19,59,422) lives inline in TrendOps' band/span math
   *  - X9 command tokenize        :173,237
   */
 object Scalars {
@@ -58,9 +58,6 @@ object Scalars {
     * `get_json_object` keeps it null-safe on malformed rows (F3 semantics). */
   def propsK(props: Column): Column =
     get_json_object(props, "$.k").cast("long")
-
-  /** X8: day→seconds. */
-  def daysToSeconds(days: Column): Column = days * lit(86400L)
 
   /** X9: command tokenize — whitespace split, head = verb. */
   def tokenize(c: Column): Column = split(c, "\\s+")

@@ -5,6 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
+import graft.TrendParams
 import graft.functions.Scalars
 
 /** Sink shapes of the reference (S6 display, S7 last-value upsert, S8 append
@@ -20,14 +21,16 @@ object Sinks {
     * `render` callback's concern; analytics stop at formatted strings.
     * X10: the frame-tick character alternates with batch parity
     * (trend-o-meter:337-378's liveness indicator). */
-  def displaySink(render: Seq[String] => Unit)(batch: DataFrame, batchId: Long): Unit = {
+  def displaySink(render: Seq[String] => Unit,
+                  p: TrendParams = TrendParams.default)(batch: DataFrame, batchId: Long): Unit = {
     val tick = if (batchId % 2 == 0) "~" else "*"
+    val w = p.mainMetricWidth + 2 // reference cell = value width + padding
     val lines = batch
       .withColumn("cell", concat_ws(" ",
         Scalars.labelCell(Scalars.deVoweled(col("metric")), 10),
         col("day_bin").cast("string"),
-        Scalars.fixedWidth(Scalars.renderRounded(col("min_val")), 6),
-        Scalars.fixedWidth(Scalars.renderRounded(col("max_val")), 6)))
+        Scalars.fixedWidth(Scalars.renderRounded(col("min_val")), w),
+        Scalars.fixedWidth(Scalars.renderRounded(col("max_val")), w)))
       .where(col("is_complete"))
       .orderBy("metric", "day_bin")
       .select("cell")

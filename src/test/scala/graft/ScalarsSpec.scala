@@ -18,6 +18,13 @@ class ScalarsSpec extends SparkSpec {
     assert(eval1(Scalars.unixToIso(lit(1704067199L))) == "2023-12-31 23:59:59")
   }
 
+  test("X3 ts-tuple projection renders iso + value struct") {
+    val r = spark.range(1)
+      .select(Scalars.tsTupleWithIso(lit(60L), lit(3.5)).as("t"))
+      .collect().head.getStruct(0)
+    assert(r.getString(0) == "1970-01-01 00:01:00" && r.getDouble(1) == 3.5)
+  }
+
   test("X4 renderers: round-half-up and pressure last-2") {
     assert(eval1(Scalars.renderRounded(lit(12.5))) == 13L)
     assert(eval1(Scalars.renderRounded(lit(12.4))) == 12L)

@@ -120,6 +120,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("s2", false)), s"expected s2 eviction, got ${rows.toSeq}")
   }
 
+  test("A6 streaming sliding rates: per-second panes count messages and bytes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[String]
+    val rates = StreamOps.rateMetrics(StreamOps.parseMessages(in.toDF()),
+      windowSeconds = 10, watermark = "1 minute")
+    val q = startMemQuery(rates, "t_rates")
+    in.addData(
+      """{"ts": 100, "source": "s1", "value": {"m": 1.0}}""",
+      """{"ts": 102, "source": "s1", "value": {"m": 2.0}}""")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_rates").collect()
+    // the pane covering both events (starting at t=93..100) sees msgs=2
+    assert(rows.exists(r => r.getAs[Long]("msgs") == 2L &&
+      r.getAs[Double]("msgs_per_sec") == 0.2))
+    assert(rows.forall(_.getAs[Long]("bytes") > 0))
+  }
+
   test("A7 session_window sessions per channel") {
     val s = spark
     import s.implicits._
