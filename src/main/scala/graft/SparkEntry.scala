@@ -202,6 +202,29 @@ object SparkEntry {
             (lit(1) - col("l_discount").cast("decimal(8,2)")))
             .cast("double").as("revenue"))),
 
+    // TPC-H Q7 shape: trade volume between nation PAIRS — the same
+    // dimension joined twice under different roles (customer nation vs
+    // supplier nation), both broadcast.
+    "q7_nation_pairs" -> ((s, dir) => {
+      val custNation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val suppNation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("c_nationkey") === col("cn_key"))
+        .join(suppNation, col("s_nationkey") === col("sn_key"))
+        .where(col("cust_nation") =!= col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(8,2)")))
+            .cast("double").as("volume"))
+    }),
+
     // Top-10 customers by total order value.
     "q_top_customers" -> ((s, dir) =>
       RelationalOps.topK(
@@ -665,6 +688,20 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1""".stripMargin,
+
+    "q7_nation_pairs" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |       count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name != sn.n_name
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_top_customers" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,

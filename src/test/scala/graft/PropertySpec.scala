@@ -76,6 +76,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("A2 cumulative: slice lengths are monotone nondecreasing in bin; largest bin == retained count") {
+    forAll(seriesGen) { rows =>
+      val byMetric = TrendOps.bandedExtentsCumulative(seriesDF(rows: _*)).collect()
+        .groupBy(_.getAs[String]("metric"))
+      val anchors = rows.groupBy(_._1).map { case (m, rs) => m -> rs.map(_._2).max }
+      byMetric.foreach { case (m, rs) =>
+        val byBin = rs.map(r => r.getAs[Int]("day_bin") -> r.getAs[Long]("slice_len"))
+          .sortBy(_._1)
+        byBin.map(_._2).sliding(2).foreach {
+          case Array(a, b) => assert(a <= b, s"$m: ${byBin.toSeq}")
+          case _           =>
+        }
+        val retained = rows.count { case (mm, e, _) => mm == m && e > anchors(m) - 7 * DAY }
+        assert(byBin.last._2 == retained)
+      }
+    }
+  }
+
+  test("MinHash: identical texts get identical signatures; signature length is k") {
+    forAll(seriesGen, n = 3) { rows =>
+      val s = spark
+      import s.implicits._
+      val text = rows.map(r => s"w${(r._2 % 29)}").mkString(" ")
+      val docs = Seq((1L, text), (2L, text), (3L, text + " extra tail words here"))
+        .toDF("doc_id", "text")
+      val sigs = graft.operators.DedupOps.minHashSignatures(docs, k = 32).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(sigs(1L) == sigs(2L))
+      assert(sigs.values.forall(_.length == 32))
+    }
+  }
+
   test("M3: retained span per metric never exceeds the horizon") {
     forAll(seriesGen) { rows =>
       TrendOps.retentionCull(seriesDF(rows: _*), 7 * DAY)
