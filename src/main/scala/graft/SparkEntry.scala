@@ -258,7 +258,7 @@ object SparkEntry {
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         lag("o_totalprice", 1).over(byDate).as("prev_price"),
         lead("o_totalprice", 1).over(byDate).as("next_price"),
-        rank().over(byPrice).as("price_rank"))
+        rank().over(byPrice).cast("long").as("price_rank"))
     }),
 
     // Range join: clicks within 5 minutes before each purchase, per user
@@ -591,8 +591,8 @@ object SparkEntry {
          |flagged AS (SELECT *, CASE WHEN prev_e IS NULL OR e - prev_e > 1800
          |                           THEN 1 ELSE 0 END AS is_new FROM lagged),
          |sessions AS (SELECT user_id, e,
-         |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
          |  FROM flagged)
          |SELECT user_id, session_idx, min(e) AS session_start, max(e) AS session_end,
          |       count(*) AS n_events

@@ -65,7 +65,7 @@ object RelationalOps {
     * part of `order`). */
   def topNPerGroup(df: DataFrame, n: Int, partition: Seq[Column], order: Seq[Column]): DataFrame =
     df.withColumn("rk", row_number().over(
-        Window.partitionBy(partition: _*).orderBy(order: _*)))
+        Window.partitionBy(partition: _*).orderBy(order: _*)).cast("long"))
       .where(col("rk") <= n)
 
   /** Skew-salted equi-join: spread each hot key of the BIG side over

@@ -41,7 +41,7 @@ object SimilarityOps {
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scored
       .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))).cast("long"))
       .where(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
   }
@@ -93,7 +93,7 @@ object SimilarityOps {
       .withColumn("score",
         dot(col("q_id_v"), col("c_id_v")) / (col("q_id_n") * col("c_id_n")))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))).cast("long"))
       .where(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
   }
@@ -139,7 +139,7 @@ object SimilarityOps {
       .where(col("q_id") =!= col("c_id"))
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))).cast("long"))
       .where(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
   }

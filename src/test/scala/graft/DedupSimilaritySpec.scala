@@ -76,7 +76,7 @@ class DedupSimilaritySpec extends SparkSpec {
       (4L, Array(-1f, 0f)))    // cos -1
       .toDF("vec_id", "embedding")
     val top = SimilarityOps.bruteTopK(vecs.where(col("vec_id") === 0), vecs, 3)
-      .collect().sortBy(_.getAs[Int]("rk"))
+      .collect().sortBy(_.getAs[Long]("rk"))
     assert(top.map(_.getAs[Long]("c_id")).toSeq == Seq(1L, 2L, 3L))
     assert(top.head.getAs[Double]("score") == 1.0)
   }

@@ -67,6 +67,12 @@ def main(out_dir: str, sf_dir: str) -> int:
         if list(s.columns) != list(d.columns):
             results[name] = f"SCHEMA_MISMATCH: spark={list(s.columns)} duck={list(d.columns)}"
             continue
+        dtype_warn = [
+            f"{c}({s[c].dtype}!={d[c].dtype})" for c in s.columns
+            if s[c].dtype != d[c].dtype
+            and not (s[c].dtype.kind == "f" and d[c].dtype.kind == "f")]
+        if dtype_warn:
+            print(f"[WARN] {name}: dtype drift {'; '.join(dtype_warn)}")
         if len(s) != len(d):
             results[name] = f"ROWS_MISMATCH: spark={len(s)} duck={len(d)}"
             continue
