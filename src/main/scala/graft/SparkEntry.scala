@@ -22,7 +22,7 @@ object SparkEntry {
     * rows>0) — the reference's entire display is this query's output
     * (trend-o-meter:17-64,153-163). */
   def entry(spark: SparkSession): DataFrame =
-    TrendOps.bandedExtents(Tables.metricSeries(spark, "/root/testdata/sf0.001"))
+    TrendOps.bandedExtents(series(spark, "/root/testdata/sf0.001"))
 
   // ---- shared SQL fragments (DuckDB dialect) -------------------------------
 
@@ -40,8 +40,14 @@ object SparkEntry {
       |     WHEN s.e > a.anchor_e - 5*86400 THEN 5
       |     WHEN s.e > a.anchor_e - 7*86400 THEN 7 END""".stripMargin
 
-  private def series(s: SparkSession, dir: String): DataFrame =
+  /** Driver-boundary guard: the harness may invoke `entry`/`queries` with a
+    * session it built itself (not [[GraftSession]]); events.parquet carries
+    * TIMESTAMP(NANOS), which Spark only reads with this runtime conf set.
+    * Setting it here (once, at the boundary) keeps Tables' readers pure. */
+  private def series(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.metricSeries(s, dir)
+  }
 
   // ---- queries -------------------------------------------------------------
 
