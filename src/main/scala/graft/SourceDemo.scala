@@ -27,6 +27,21 @@ object SourceDemo {
     println(clicks.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
     println(s"rows: ${clicks.count()}")
+
+    // Bucketed co-located join: both sides bucketed by the join key ->
+    // SortMergeJoin with zero shuffle exchanges.
+    Tables.writeBucketed(
+      Tables.lineitem(spark, "/root/testdata/sf0.001").select("l_orderkey", "l_quantity"),
+      "demo_li", 8, "l_orderkey")
+    Tables.writeBucketed(
+      Tables.orders(spark, "/root/testdata/sf0.001").select("o_orderkey", "o_totalprice"),
+      "demo_o", 8, "o_orderkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val j = spark.table("demo_li").join(spark.table("demo_o"),
+      col("l_orderkey") === col("o_orderkey"))
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(j.queryExecution.executedPlan.toString).size
+    println(s"=== bucketed join: $shuffles shuffle exchange(s), rows ${j.count()} ===")
     spark.stop()
   }
 }

@@ -88,4 +88,12 @@ object Tables {
     * scale, add a day bucket: `partitionBy("metric", "day")`). */
   def writeSeriesPartitioned(series: DataFrame, path: String): Unit =
     series.write.mode("overwrite").partitionBy("metric").parquet(path)
+
+  /** Co-located join layout: bucket (and sort) by the join key at write
+    * time; two tables bucketed the same way join with NO exchange — the
+    * repeated-join amortization strategy at 100 TB. Requires the session
+    * catalog (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

@@ -35,6 +35,26 @@ class SourcesSpec extends SparkSpec {
       Set(("m", 1.5), ("n", 2.5)))
   }
 
+  test("bucketed-by-key tables join with zero shuffle exchanges") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice")
+    Tables.writeBucketed(li, "li_bucketed", 8, "l_orderkey")
+    Tables.writeBucketed(ord, "o_bucketed", 8, "o_orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 0, s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() == li.count()) // every lineitem matches its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("metric-partitioned layout prunes partitions for per-metric queries") {
     val dir = Files.createTempDirectory("plainparquet").toString + "/series"
     val series = Tables.metricSeries(spark, "/root/testdata/sf0.001")
