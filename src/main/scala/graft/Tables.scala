@@ -93,7 +93,17 @@ object Tables {
     * time; two tables bucketed the same way join with NO exchange — the
     * repeated-join amortization strategy at 100 TB. Requires the session
     * catalog (`saveAsTable`). */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    // Idempotent across JVMs: a fresh in-memory catalog doesn't know about a
+    // previous run's managed-table directory, and saveAsTable refuses to
+    // reuse the location — drop both catalog entry and leftover directory.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 }
