@@ -26,6 +26,11 @@ object SparkEntry {
 
   // ---- shared SQL fragments (DuckDB dialect) -------------------------------
 
+  /** Single source of truth for every tunable that appears in BOTH the Spark
+    * plans and the oracle SQL — the oracle strings interpolate from here, so
+    * changing a default cannot desynchronize the two sides silently. */
+  private val P = TrendParams.default
+
   /** events → canonical series relation; mirrors Tables.metricSeries with
     * exact integer epoch-second math (epoch_ns // 1e9 == ts div 1e9). */
   private val SERIES =
@@ -34,24 +39,63 @@ object SparkEntry {
   private val ANCHORS =
     "anchors AS (SELECT metric, max(e) AS anchor_e FROM series GROUP BY metric)"
 
+  /** Disjoint-band CASE generated from [[TrendParams.dayBins]] — the same
+    * bins (and the same strict `>` boundary) as [[TrendOps.bandExpr]]. */
   private val BAND_CASE =
-    """CASE WHEN s.e > a.anchor_e - 86400 THEN 1
-      |     WHEN s.e > a.anchor_e - 3*86400 THEN 3
-      |     WHEN s.e > a.anchor_e - 5*86400 THEN 5
-      |     WHEN s.e > a.anchor_e - 7*86400 THEN 7 END""".stripMargin
+    P.dayBins.sorted
+      .map(b => s"WHEN s.e > a.anchor_e - ${b}*86400 THEN $b")
+      .mkString("CASE ", "\n     ", " END")
+
+  /** A3 completeness-gate fragment (threshold from [[TrendParams]]). */
+  private val IS_COMPLETE =
+    s"CEIL((g.last_e - g.first_e)/3600.0) > ${P.minDataHoursToRenderBin} AS is_complete"
+
+  /** Shared tail of every extents oracle: hash agg per (metric, day_bin) +
+    * deterministic argmin/argmax tie-break (min ts for min, max ts for max). */
+  private val EXTENTS_TAIL =
+    s"""agg AS (SELECT metric, day_bin, count(*) AS slice_len,
+       |               min(value) AS min_val, max(value) AS max_val,
+       |               min(e) AS first_e, max(e) AS last_e
+       |        FROM banded WHERE day_bin IS NOT NULL GROUP BY 1, 2),
+       |mn AS (SELECT b.metric, b.day_bin, min(b.e) AS min_ts FROM banded b
+       |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
+       |        AND b.value = g.min_val GROUP BY 1, 2),
+       |mx AS (SELECT b.metric, b.day_bin, max(b.e) AS max_ts FROM banded b
+       |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
+       |        AND b.value = g.max_val GROUP BY 1, 2)
+       |SELECT g.metric, g.day_bin, g.slice_len, g.min_val, mn.min_ts,
+       |       g.max_val, mx.max_ts, g.first_e, g.last_e,
+       |       $IS_COMPLETE
+       |FROM agg g
+       |JOIN mn ON g.metric = mn.metric AND g.day_bin = mn.day_bin
+       |JOIN mx ON g.metric = mx.metric AND g.day_bin = mx.day_bin""".stripMargin
 
   /** Driver-boundary guard: the harness may invoke `entry`/`queries` with a
-    * session it built itself (not [[GraftSession]]); events.parquet carries
-    * TIMESTAMP(NANOS), which Spark only reads with this runtime conf set.
-    * Setting it here (once, at the boundary) keeps Tables' readers pure. */
-  private def series(s: SparkSession, dir: String): DataFrame = {
+    * session it built itself (not [[GraftSession]]). Two confs are load-
+    * bearing for oracle parity: `nanosAsLong` (events.parquet carries
+    * TIMESTAMP(NANOS), which Spark otherwise rejects) and a UTC session
+    * timezone (from_unixtime rendering and to_timestamp literals must match
+    * DuckDB's naive-UTC comparisons). Every query is routed through this via
+    * the [[queries]] wrapper, so TPC-H readers are covered too. */
+  private def guarded(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.metricSeries(s, dir)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s
   }
+
+  private def series(s: SparkSession, dir: String): DataFrame =
+    Tables.metricSeries(guarded(s), dir)
 
   // ---- queries -------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Every registered query, each wrapped in the driver-boundary [[guarded]]
+    * conf normalization (ADVICE r2: TPC-H entries previously bypassed it). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries.map { case (name, f) =>
+      name -> ((s: SparkSession, dir: String) => f(guarded(s), dir))
+    }
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1: bounded newest-first scan (the reference's LRANGE limit).
     "s1_bounded_scan" -> ((s, dir) =>
       series(s, dir)
@@ -471,72 +515,27 @@ object SparkEntry {
       s"""WITH $SERIES, $ANCHORS,
          |banded AS (SELECT s.*, $BAND_CASE AS day_bin
          |           FROM series s JOIN anchors a USING (metric)),
-         |agg AS (SELECT metric, day_bin, count(*) AS slice_len,
-         |               min(value) AS min_val, max(value) AS max_val,
-         |               min(e) AS first_e, max(e) AS last_e
-         |        FROM banded WHERE day_bin IS NOT NULL GROUP BY 1, 2),
-         |mn AS (SELECT b.metric, b.day_bin, min(b.e) AS min_ts FROM banded b
-         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
-         |        AND b.value = g.min_val GROUP BY 1, 2),
-         |mx AS (SELECT b.metric, b.day_bin, max(b.e) AS max_ts FROM banded b
-         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
-         |        AND b.value = g.max_val GROUP BY 1, 2)
-         |SELECT g.metric, g.day_bin, g.slice_len, g.min_val, mn.min_ts,
-         |       g.max_val, mx.max_ts, g.first_e, g.last_e,
-         |       CEIL((g.last_e - g.first_e)/3600.0) > 18 AS is_complete
-         |FROM agg g
-         |JOIN mn ON g.metric = mn.metric AND g.day_bin = mn.day_bin
-         |JOIN mx ON g.metric = mx.metric AND g.day_bin = mx.day_bin""".stripMargin,
+         |$EXTENTS_TAIL""".stripMargin,
 
     "pipeline_cold_start" ->
       s"""WITH $SERIES,
          |d0 AS (SELECT metric, e, event_id, value,
-         |  row_number() OVER (PARTITION BY metric, CAST(FLOOR(e/60.0) AS BIGINT)
+         |  row_number() OVER (PARTITION BY metric, CAST(FLOOR(e/${P.minSampleGapSeconds}) AS BIGINT)
          |                     ORDER BY e DESC, event_id DESC) AS rn
          |  FROM series),
          |dec AS (SELECT metric, e, event_id, value FROM d0 WHERE rn = 1),
          |anchors AS (SELECT metric, max(e) AS anchor_e FROM dec GROUP BY metric),
          |banded AS (SELECT s.*, $BAND_CASE AS day_bin
          |           FROM dec s JOIN anchors a USING (metric)),
-         |agg AS (SELECT metric, day_bin, count(*) AS slice_len,
-         |               min(value) AS min_val, max(value) AS max_val,
-         |               min(e) AS first_e, max(e) AS last_e
-         |        FROM banded WHERE day_bin IS NOT NULL GROUP BY 1, 2),
-         |mn AS (SELECT b.metric, b.day_bin, min(b.e) AS min_ts FROM banded b
-         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
-         |        AND b.value = g.min_val GROUP BY 1, 2),
-         |mx AS (SELECT b.metric, b.day_bin, max(b.e) AS max_ts FROM banded b
-         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
-         |        AND b.value = g.max_val GROUP BY 1, 2)
-         |SELECT g.metric, g.day_bin, g.slice_len, g.min_val, mn.min_ts,
-         |       g.max_val, mx.max_ts, g.first_e, g.last_e,
-         |       CEIL((g.last_e - g.first_e)/3600.0) > 18 AS is_complete
-         |FROM agg g
-         |JOIN mn ON g.metric = mn.metric AND g.day_bin = mn.day_bin
-         |JOIN mx ON g.metric = mx.metric AND g.day_bin = mx.day_bin""".stripMargin,
+         |$EXTENTS_TAIL""".stripMargin,
 
     "a2_cumulative_extents" ->
       s"""WITH $SERIES, $ANCHORS,
          |banded AS (SELECT s.*, b.day_bin
          |           FROM series s JOIN anchors a USING (metric)
-         |           CROSS JOIN (VALUES (1),(3),(5),(7)) AS b(day_bin)
+         |           CROSS JOIN (VALUES ${P.dayBins.map(b => s"($b)").mkString(",")}) AS b(day_bin)
          |           WHERE s.e > a.anchor_e - b.day_bin*86400),
-         |agg AS (SELECT metric, day_bin, count(*) AS slice_len,
-         |               min(value) AS min_val, max(value) AS max_val,
-         |               min(e) AS first_e, max(e) AS last_e
-         |        FROM banded GROUP BY 1, 2),
-         |mn AS (SELECT b.metric, b.day_bin, min(b.e) AS min_ts FROM banded b
-         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
-         |        AND b.value = g.min_val GROUP BY 1, 2),
-         |mx AS (SELECT b.metric, b.day_bin, max(b.e) AS max_ts FROM banded b
-         |       JOIN agg g ON b.metric = g.metric AND b.day_bin = g.day_bin
-         |        AND b.value = g.max_val GROUP BY 1, 2)
-         |SELECT g.metric, g.day_bin, g.slice_len, g.min_val, mn.min_ts,
-         |       g.max_val, mx.max_ts, g.first_e, g.last_e,
-         |       CEIL((g.last_e - g.first_e)/3600.0) > 18 AS is_complete
-         |FROM agg g
-         |JOIN mn ON g.metric = mn.metric AND g.day_bin = mn.day_bin
-         |JOIN mx ON g.metric = mx.metric AND g.day_bin = mx.day_bin""".stripMargin,
+         |$EXTENTS_TAIL""".stripMargin,
 
     "a1_argminmax" ->
       s"""WITH $SERIES,
@@ -557,33 +556,33 @@ object SparkEntry {
          |SELECT metric, count(*) AS n_samples,
          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
-         |FROM ranked WHERE rn <= 30 GROUP BY metric""".stripMargin,
+         |FROM ranked WHERE rn <= ${P.currentValueSamples} GROUP BY metric""".stripMargin,
 
     "f1_decimate" ->
       s"""WITH $SERIES,
-         |b AS (SELECT metric, CAST(FLOOR(e/60.0) AS BIGINT) AS bucket, e, event_id, value,
-         |  row_number() OVER (PARTITION BY metric, CAST(FLOOR(e/60.0) AS BIGINT)
+         |b AS (SELECT metric, CAST(FLOOR(e/${P.minSampleGapSeconds}) AS BIGINT) AS bucket, e, event_id, value,
+         |  row_number() OVER (PARTITION BY metric, CAST(FLOOR(e/${P.minSampleGapSeconds}) AS BIGINT)
          |                     ORDER BY e DESC, event_id DESC) AS rn
          |  FROM series)
-         |SELECT metric, bucket*60 AS bucket_start, e, event_id, value FROM b WHERE rn = 1""".stripMargin,
+         |SELECT metric, bucket*${P.minSampleGapSeconds.toLong} AS bucket_start, e, event_id, value FROM b WHERE rn = 1""".stripMargin,
 
     "m3_retention" ->
       s"""WITH $SERIES, $ANCHORS
          |SELECT s.metric, count(*) AS retained, min(s.e) AS first_e, max(s.e) AS last_e
          |FROM series s JOIN anchors a USING (metric)
-         |WHERE s.e > a.anchor_e - 604800 GROUP BY 1""".stripMargin,
+         |WHERE s.e > a.anchor_e - ${P.retentionSeconds} GROUP BY 1""".stripMargin,
 
     "a6_rate" ->
       s"""WITH $SERIES
-         |SELECT metric, CAST(FLOOR(e/60.0) AS BIGINT)*60 AS w_start,
+         |SELECT metric, CAST(FLOOR(e/${P.rateWindowSeconds}.0) AS BIGINT)*${P.rateWindowSeconds} AS w_start,
          |       count(*) AS msgs, CAST(SUM(length(props)) AS BIGINT) AS bytes,
-         |       count(*)/60.0 AS msgs_per_sec,
-         |       CAST(SUM(length(props)) AS BIGINT)/60.0 AS bytes_per_sec
+         |       count(*)/${P.rateWindowSeconds}.0 AS msgs_per_sec,
+         |       CAST(SUM(length(props)) AS BIGINT)/${P.rateWindowSeconds}.0 AS bytes_per_sec
          |FROM series GROUP BY 1, 2""".stripMargin,
 
     "a4_batch_mean" ->
       s"""WITH $SERIES
-         |SELECT metric, CAST(FLOOR(e/300.0) AS BIGINT)*300 AS w_start,
+         |SELECT metric, CAST(FLOOR(e/${P.microBatchSeconds}.0) AS BIGINT)*${P.microBatchSeconds} AS w_start,
          |       count(*) AS n,
          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
@@ -594,7 +593,7 @@ object SparkEntry {
          |lagged AS (SELECT user_id, e, event_id,
          |  lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id) AS prev_e
          |  FROM series),
-         |flagged AS (SELECT *, CASE WHEN prev_e IS NULL OR e - prev_e > 1800
+         |flagged AS (SELECT *, CASE WHEN prev_e IS NULL OR e - prev_e > ${P.sessionGapSeconds}
          |                           THEN 1 ELSE 0 END AS is_new FROM lagged),
          |sessions AS (SELECT user_id, e,
          |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
@@ -629,7 +628,7 @@ object SparkEntry {
     "s1_bounded_scan" ->
       s"""WITH $SERIES
          |SELECT event_id, metric, e, value FROM series
-         |ORDER BY e DESC, event_id DESC LIMIT 14400""".stripMargin,
+         |ORDER BY e DESC, event_id DESC LIMIT ${P.maxListQueryLength}""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty

@@ -39,7 +39,13 @@ object TrendOps {
   /** Band assignment: the *smallest* configured day bin whose trailing window
     * contains the sample → bands are disjoint contiguous slices, matching the
     * reference's single-pass slicing (trend-o-meter:22-33, despite the
-    * "minMaxSince" name — see SURVEY §2.3 A2). NULL beyond the largest bin. */
+    * "minMaxSince" name — see SURVEY §2.3 A2). NULL beyond the largest bin.
+    *
+    * Boundary semantics: strict `e > anchor − bin·86400`, so a sample lying
+    * EXACTLY on a band boundary belongs to the larger (older) bin; the
+    * reference's `ts < threshold` slicing keeps it in the smaller bin. The
+    * oracle SQL uses the same strict `>`, so the gate pins OUR semantics —
+    * an intentional divergence recorded in SURVEY §7 hard-parts. */
   def bandExpr(e: Column, anchor: Column, dayBins: Seq[Int]): Column =
     dayBins.sorted.reverse.foldLeft(lit(null).cast("int")) { (older, b) =>
       when(e > anchor - lit(b.toLong * 86400L), lit(b)).otherwise(older)
@@ -178,7 +184,8 @@ object TrendOps {
         col("kept.value").as("value"))
 
   /** F1 (faithful): the reference's anchored-gap decimation — scan
-    * newest→oldest per metric, keep a sample iff it is ≥ `gapSeconds` from
+    * newest→oldest per metric, keep a sample iff it is strictly more than
+    * `gapSeconds` (`>`, matching `Math.abs(...) > timeBetweenSamples`) from
     * the last *kept* sample (trend-o-meter:296-310). Inherently sequential
     * per metric, so: shuffle by metric, **external sort within partitions**
     * (no in-memory group materialization), then a linear scan carrying one
@@ -193,10 +200,12 @@ object TrendOps {
       .sortWithinPartitions(col("metric"), col("e").desc, col("event_id").desc)
       .mapPartitions { it =>
         var curMetric: String = null
-        var timeMark: Double = -1d
+        var seeded = false
+        var timeMark = 0d
         it.flatMap { s =>
-          if (s.metric != curMetric) { curMetric = s.metric; timeMark = -1d }
-          if (timeMark == -1d || math.abs(s.e - timeMark) > gapSeconds) {
+          if (s.metric != curMetric) { curMetric = s.metric; seeded = false }
+          if (!seeded || math.abs(s.e - timeMark) > gapSeconds) {
+            seeded = true
             timeMark = s.e.toDouble
             Some(s)
           } else None
