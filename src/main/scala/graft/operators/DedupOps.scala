@@ -34,28 +34,23 @@ object DedupOps {
       .drop("__key", "__keep")
 
   /** MinHash signatures: k independent min-hashes over the shingle set.
-    * Hash family = xxhash64 seeded by the hash index (a standard public
-    * construction).
+    * Hash family = xxhash64 base hash rehashed per index (a standard public
+    * seeded-rehash construction).
     *
-    * Shape matters at scale: shingles are exploded ONCE and the k minima run
-    * as a single codegen'd hash aggregate with map-side combine (one row per
-    * doc leaves each partition). The naive nested higher-order-function
-    * formulation re-evaluates the shingle build per hash index and falls out
-    * of whole-stage codegen — measured 40×+ slower.
+    * Shape matters at scale: the whole k-signature is computed by ONE
+    * custom expression ([[graft.functions.HashExpressions.MinHashSig]]) in a
+    * tight per-row loop — narrow map-only stage, no explode, no shuffle, no
+    * k-wide aggregate. The earlier explode + k×`min(xxhash64)` aggregate
+    * formulation generated a method too large for the JIT and shuffled the
+    * exploded shingles; the HOF formulation was 40×+ slower again.
+    * Duplicate shingles cannot change a minimum, so no dedup pass is needed.
     *
     * @return (doc_id, sig array<bigint> of length k)
     */
-  def minHashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val shingleHashes = docs
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(col("text")))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"__m$i"))
-    shingleHashes
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-  }
+  def minHashSignatures(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HashExpressions.minHashSig(
+        TextOps.shingles(col("text")), k).as("sig"))
 
   /** LSH candidate pairs: band the signature (`bands` bands × `rowsPerBand`
     * rows), bucket-join docs sharing any band, emit each unordered pair once.
@@ -107,25 +102,17 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over the token multiset: per bit, sign of the sum of
-    * ±1 contributions from each token's xxhash64 bit. Same scale shape as
-    * [[minHashSignatures]]: explode tokens once, 64 codegen'd sum aggregates
-    * with map-side combine, one row per doc out of each partition.
+    * ±1 contributions from each token's xxhash64 bit. Computed by ONE
+    * custom expression ([[graft.functions.HashExpressions.SimHash64]]) as a
+    * single long per doc — narrow map-only stage (no explode/shuffle/64-wide
+    * aggregate), and downstream blocking + Hamming become bit arithmetic.
     *
-    * @return (doc_id, bits array<int> of 64 0/1 values)
+    * @return (doc_id, sig bigint — the 64 signature bits)
     */
-  def simHashSignatures(docs: DataFrame): DataFrame = {
-    val tokenHashes = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$b"))
-    tokenHashes
-      .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 64).map(b =>
-          when(col(s"__b$b") > 0, 1).otherwise(0)): _*).as("bits"))
-  }
+  def simHashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HashExpressions.simHash64(
+        TextOps.tokens(col("text"))).as("sig"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
     * pigeonhole blocking: split the 64 bits into `maxHamming + 1` chunks —
@@ -134,13 +121,12 @@ object DedupOps {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    val mask = (1L << width) - 1L
     val sigs = simHashSignatures(docs)
-    val blocked = sigs.select(
-      col("doc_id"), col("bits"),
-      posexplode(transform(
-        sequence(lit(0), lit(chunks - 1)),
-        c => concat_ws("", slice(col("bits"), c * width + 1, lit(width))))))
-      .toDF("doc_id", "bits", "chunk_idx", "chunk_sig")
+    val chunkCols = array((0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))): _*)
+    val blocked = sigs.select(col("doc_id"), col("sig"), posexplode(chunkCols))
+      .toDF("doc_id", "sig", "chunk_idx", "chunk_sig")
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     a.join(b,
@@ -149,9 +135,8 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        aggregate(zip_with(col("a.bits"), col("b.bits"),
-            (x, y) => when(x =!= y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).as("hamming"))
+        call_function("bit_count",
+          col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

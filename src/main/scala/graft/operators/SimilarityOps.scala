@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Promote float embedding to double for deterministic left-to-right
-    * accumulation (bit-identical to the DuckDB oracle's double math). */
+  /** Promote float embedding to double (used only where a driver-side
+    * collect needs concrete double arrays, e.g. IVF centroids — on the data
+    * path [[dot]] reads float arrays directly instead: a `transform` HOF in
+    * the plan blocks whole-stage codegen AND gets inlined by projection
+    * collapse into every downstream reference, re-materializing a boxed
+    * array per reference per row). */
   def vecD(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Native codegen'd dot product ([[graft.functions.VecDotProduct]]) —
-    * same left-to-right accumulation as the HOF form, but stays inside
-    * whole-stage codegen (tight primitive loop, no lambda frames). */
+  /** Native codegen'd dot product ([[graft.functions.VecDotProduct]]) over
+    * array<float> or array<double> — float elements are widened exactly,
+    * left-to-right accumulation, bit-identical to DuckDB's
+    * `list_dot_product` on the cast-to-double lists. */
   def dot(a: Column, b: Column): Column = graft.functions.VecExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -31,10 +36,10 @@ object SimilarityOps {
     * one dot product, not three. */
   def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries
-      .select(col("vec_id").as("q_id"), vecD(col("embedding")).as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv"))))
     val c = candidates
-      .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("cv"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(q)
       .where(col("q_id") =!= col("c_id"))
@@ -54,13 +59,6 @@ object SimilarityOps {
     Array.fill(tables, bitsPerTable, dim)(rng.nextGaussian())
   }
 
-  /** Signed-projection bucket id of a vector for one LSH table (one native
-    * dot product per plane — codegen'd). */
-  private def bucketExpr(v: Column, planes: Array[Array[Double]]): Column =
-    concat_ws("", planes.map { p =>
-      when(dot(v, lit(p)) >= 0, lit("1")).otherwise(lit("0"))
-    }.toSeq: _*)
-
   /** Approximate cosine top-k via multi-table random-hyperplane LSH:
     * candidates = rows sharing a bucket with the query in ANY table
     * (union-distinct over tables), then exact cosine rerank of candidates.
@@ -70,18 +68,17 @@ object SimilarityOps {
               dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
               seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
-    // Stage the double vector as its own column FIRST so the 64 plane
-    // projections read an attribute, not a re-evaluated cast-transform
-    // (multiple references block projection collapse — evaluated once).
+    // All per-table bucket ids come from ONE custom-expression loop
+    // ([[graft.functions.HashExpressions.HyperplaneBuckets]]) — the unrolled
+    // per-plane dot-product formulation generated a method too large for the
+    // JIT (interpreted bytecode, seconds on thousands of rows).
     def withBuckets(df: DataFrame, idCol: String): DataFrame = {
-      val staged = df.select(col("vec_id").as(idCol), vecD(col("embedding")).as(s"${idCol}_v"))
+      val staged = df.select(col("vec_id").as(idCol), col("embedding").as(s"${idCol}_v"))
         .withColumn(s"${idCol}_n", norm(col(s"${idCol}_v")))
-      val v = col(s"${idCol}_v")
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), bucketExpr(v, planes(t)).as("bkt"))): _*)
-      staged.select(col(idCol), v, col(s"${idCol}_n"), explode(buckets).as("tb"))
-        .select(col(idCol), v, col(s"${idCol}_n"),
-          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      staged.select(col(idCol), col(s"${idCol}_v"), col(s"${idCol}_n"),
+        posexplode(graft.functions.HashExpressions.hyperplaneBuckets(
+          col(s"${idCol}_v"), planes)))
+        .toDF(idCol, s"${idCol}_v", s"${idCol}_n", "tbl", "bkt")
     }
     val qb = broadcast(withBuckets(queries, "q_id"))
     val cb = withBuckets(candidates, "c_id")
@@ -120,21 +117,18 @@ object SimilarityOps {
       .collect()
       .zipWithIndex
       .map { case (r: Row, i) => i -> r.getSeq[Double](0).toArray }
-    def scores(v: Column) = (0 until centroids.length).map { case i =>
-      struct(dot(v, lit(centroids(i)._2)).as("s"), lit(i).as("cid"))
-    }
-    def nearestList(v: Column): Column = sort_array(array(scores(v): _*), asc = false)(0)("cid")
+    val cents = centroids.map(_._2)
     val assigned = candidates
-      .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("cv"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("cid", nearestList(col("cv")))
+      .withColumn("cid",
+        element_at(graft.functions.HashExpressions.topCentroids(col("cv"), cents, 1), 1))
     val probed = broadcast(
       queries
-        .select(col("vec_id").as("q_id"), vecD(col("embedding")).as("qv"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         .withColumn("qn", norm(col("qv")))
-        .withColumn("cid", explode(slice(
-          transform(sort_array(array(scores(col("qv")): _*), asc = false), s => s("cid")),
-          1, nprobe))))
+        .withColumn("cid",
+          explode(graft.functions.HashExpressions.topCentroids(col("qv"), cents, nprobe))))
     assigned.join(probed, "cid")
       .where(col("q_id") =!= col("c_id"))
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -151,15 +145,12 @@ object SimilarityOps {
                             dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
                             seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
-    // Same staging as lshTopK: plane projections read the materialized
-    // attribute, never the raw cast-transform expression.
-    val staged = vectors.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    // Same bucket shape as lshTopK: one custom-expression loop per row.
+    val staged = vectors.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("vn", norm(col("v")))
-    val buckets = array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"), bucketExpr(col("v"), planes(t)).as("bkt"))): _*)
-    val b = staged.select(col("vec_id"), col("v"), col("vn"), explode(buckets).as("tb"))
-      .select(col("vec_id"), col("v"), col("vn"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val b = staged.select(col("vec_id"), col("v"), col("vn"),
+      posexplode(graft.functions.HashExpressions.hyperplaneBuckets(col("v"), planes)))
+      .toDF("vec_id", "v", "vn", "tbl", "bkt")
     val l = b.alias("l")
     val r = b.alias("r")
     l.join(r,

