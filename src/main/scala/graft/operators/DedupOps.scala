@@ -61,12 +61,11 @@ object DedupOps {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sig = minHashSignatures(docs, k)
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(lit(1), slice(col("sig"), b * r + 1, lit(r))))))
+    // Static per-band hash columns (not a transform-HOF over a sequence):
+    // stays codegen'd, and each band hashes its slice exactly once.
+    val bandCols = array((0 until bands).map(b =>
+      hash(lit(1), slice(col("sig"), b * r + 1, r))): _*)
+    val banded = sig.select(col("doc_id"), posexplode(bandCols))
       .toDF("doc_id", "band_idx", "band_sig")
     val a = banded.alias("a")
     val b = banded.alias("b")

@@ -85,25 +85,13 @@ object TextOps {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
   /** Word k-gram shingles of the document (k fixed at 3; for docs shorter
-    * than k, one partial shingle).
-    *
-    * O(n) per doc, with two deliberate tricks: (1) indexed transform with
-    * O(1) `element_at` lookups instead of a slice per position (slice is
-    * O(n) each → O(n²)); (2) the token array is let-bound as a lambda
-    * variable via `transform(array(w), w => ...)` — referencing the raw
-    * `split()` expression inside the inner lambda would re-tokenize the
-    * document once per element (measured ~10× slower). */
+    * than k, one partial shingle). One custom-expression loop per row
+    * ([[graft.functions.TextExpressions.WordShingles]]) — byte-identical
+    * output to the nested-HOF formulation it replaced, without the
+    * interpreted lambda frames (the HOF form was the hot path of every
+    * shingle-consuming op: MinHash, Jaccard verify, fingerprints). */
   def shingles(text: Column): Column =
-    flatten(transform(array(tokens(text)), w => {
-      val n = size(w)
-      val tri = filter(
-        transform(w, (t, i) =>
-          when(i < n - 2,
-            concat_ws(" ", t, element_at(w, i + 2), element_at(w, i + 3)))
-            .otherwise(lit(null))),
-        x => x.isNotNull)
-      when(n >= 3, tri).otherwise(array(concat_ws(" ", w)))
-    }))
+    graft.functions.TextExpressions.wordShingles(tokens(text), 3)
 
   /** Rolling-hash document fingerprint: the minimum md5 over the shingle set
     * (a 1-hash MinHash — the full signature lives in DedupOps). */
