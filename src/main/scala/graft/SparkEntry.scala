@@ -445,12 +445,76 @@ object SparkEntry {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))),
 
-    // Seeded stratified sample (rows-only: Spark's sampler RNG is not
-    // reproducible in SQL; determinism for a fixed seed pinned by test).
+    // Seeded stratified sample — content-hash Bernoulli per stratum, so the
+    // same (seed, doc_id) decision reproduces in ANSI SQL: oracle-checked.
     "sample_stratified" -> ((s, dir) =>
       CurationOps.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "lang"),
         "lang", Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5), seed = 42L)),
+
+    // Exact dedup keeping surviving rows (min doc_id per normalized text).
+    "dedup_keep" -> ((s, dir) =>
+      DedupOps.exactDedup(Tables.documents(s, dir)).select("doc_id", "lang", "source")),
+
+    // Semi/anti joins: customers with vs without an urgent order — the
+    // EXISTS / NOT EXISTS surface (left_semi/left_anti in the plan).
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val urgent = Tables.orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey").as("k")).withColumn("tag", lit("has_urgent"))
+        .unionByName(
+          cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+            .select(col("c_custkey").as("k")).withColumn("tag", lit("no_urgent")))
+    }),
+
+    // Pivot: order counts per priority × status as columns.
+    "q_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("O", "F", "P"))),
+
+    // Explicit GROUPING SETS (rollup/cube generalization) via the SQL
+    // parser surface.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |       sum(l_quantity) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    // Deterministic second-moment stats per metric: variance/stddev of
+    // value and covariance/correlation against day-of-week (weekly
+    // seasonality probe). All inputs are exact decimal/integer sums; the
+    // final arithmetic is the same single IEEE expression on both engines,
+    // so the result is bit-deterministic (unlike builtin var_samp/corr,
+    // whose merge order varies with partitioning).
+    "a11_dispersion" -> ((s, dir) => {
+      val v = col("value").cast("decimal(18,2)")
+      val dow = expr("((e div 86400) + 4) % 7").cast("decimal(18,0)")
+      val n = col("n")
+      series(s, dir).groupBy("metric").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(v).cast("double").as("sum_v"),
+        sum(v * v).cast("double").as("sum_vv"),
+        sum(dow).cast("double").as("sum_d"),
+        sum(dow * dow).cast("double").as("sum_dd"),
+        sum(v * dow).cast("double").as("sum_vd"))
+      .select(
+        col("metric"),
+        n.cast("long").as("n"),
+        (col("sum_v") / n).as("mean_v"),
+        ((col("sum_vv") - col("sum_v") * col("sum_v") / n) / (n - 1)).as("var_v"),
+        sqrt((col("sum_vv") - col("sum_v") * col("sum_v") / n) / (n - 1)).as("stddev_v"),
+        ((col("sum_vd") - col("sum_v") * col("sum_d") / n) / (n - 1)).as("cov_vd"),
+        ((col("sum_vd") - col("sum_v") * col("sum_d") / n) /
+          sqrt((col("sum_vv") - col("sum_v") * col("sum_v") / n) *
+            (col("sum_dd") - col("sum_d") * col("sum_d") / n))).as("corr_vd"))
+    }),
 
     // Document fingerprints (bag-of-words md5 + min-shingle rolling hash).
     "doc_fingerprint" -> ((s, dir) =>
@@ -768,6 +832,57 @@ object SparkEntry {
       """SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS dup_key,
         |       count(*) AS n_copies, min(doc_id) AS rep_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_keep" ->
+      """WITH k AS (SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS kk,
+        |                  min(doc_id) AS keep
+        |           FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN k ON d.doc_id = k.keep""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(42 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '1999' WHEN 'de' THEN '8000' WHEN 'fr' THEN '8000' END""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey AS k, 'has_urgent' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey AS k, 'no_urgent' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "a11_dispersion" ->
+      s"""WITH $SERIES,
+         |m AS (SELECT metric, CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_vv,
+         |  CAST(SUM(CAST((e//86400 + 4) % 7 AS DECIMAL(18,0))) AS DOUBLE) AS sum_d,
+         |  CAST(SUM(CAST((e//86400 + 4) % 7 AS DECIMAL(18,0)) *
+         |           CAST((e//86400 + 4) % 7 AS DECIMAL(18,0))) AS DOUBLE) AS sum_dd,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+         |           CAST((e//86400 + 4) % 7 AS DECIMAL(18,0))) AS DOUBLE) AS sum_vd
+         |  FROM series GROUP BY metric)
+         |SELECT metric, CAST(n AS BIGINT) AS n,
+         |  sum_v / n AS mean_v,
+         |  (sum_vv - sum_v * sum_v / n) / (n - 1) AS var_v,
+         |  sqrt((sum_vv - sum_v * sum_v / n) / (n - 1)) AS stddev_v,
+         |  (sum_vd - sum_v * sum_d / n) / (n - 1) AS cov_vd,
+         |  (sum_vd - sum_v * sum_d / n) /
+         |    sqrt((sum_vv - sum_v * sum_v / n) * (sum_dd - sum_d * sum_d / n)) AS corr_vd
+         |FROM m""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
