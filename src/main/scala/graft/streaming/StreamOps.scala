@@ -196,6 +196,53 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: each left event joined to the same
+    * channel's right events in the trailing `windowSeconds` — the streaming
+    * shape of the batch range join (purchases ← trailing clicks). BOTH
+    * sides carry a watermark and the join condition bounds event time in
+    * both directions, so the engine can evict join state — the unbounded
+    * stream-join state trap avoided by construction. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   windowSeconds: Long = 300,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .select(col("ts").as("r_ts"), col("source").as("r_source"),
+        col("metric").as("r_metric"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("source") === col("r_source") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("r_ts") <= col("ts"))
+  }
+
+  /** Message hygiene for at-least-once transports: drop re-deliveries of
+    * the same (source, metric, ts) sample. `dropDuplicatesWithinWatermark`
+    * keeps dedup state only within the watermark horizon — bounded state,
+    * unlike a plain streaming `dropDuplicates` whose key set grows forever. */
+  def dedupStream(samples: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    samples
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("source", "metric", "ts")
+
+  /** A7 via `transformWithState` (the arbitrary-state API that supersedes
+    * `flatMapGroupsWithState`): typed per-channel `lastSeen` state + an
+    * event-time timer per channel; the timer fires when the watermark
+    * passes `lastSeen + gap`, emitting the eviction. Requires the RocksDB
+    * state store provider (`spark.sql.streaming.stateStore.providerClass`).
+    * Same output contract as [[activeChannels]]. */
+  def activeChannelsTWS(samples: Dataset[StreamSample], gapSeconds: Long): Dataset[ChannelUpdate] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TimeMode
+    samples
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(
+        new ActiveChannelProcessor(gapSeconds),
+        TimeMode.EventTime(),
+        OutputMode.Update())(Encoders.product[ChannelUpdate])
+  }
+
   /** M1+M2+M3+A2 (recompute model): the reference re-runs the full banded
     * extents over retained history after every accepted sample
     * (trend-o-meter:316-333,418). `foreachBatch` + an accumulating history

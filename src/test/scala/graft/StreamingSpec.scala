@@ -154,6 +154,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join: purchases pick up trailing clicks per channel") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val purchases = MemoryStream[StreamSample]
+    val clicks = MemoryStream[StreamSample]
+    val joined = StreamOps.intervalJoin(
+      purchases.toDS().toDF(), clicks.toDS().toDF(), windowSeconds = 300)
+    val q = startMemQuery(joined, "t_ssjoin", "append")
+    def at(ms: MemoryStream[StreamSample], src: String, sec: Long, v: Double) =
+      ms.addData(StreamSample(new Timestamp(sec * 1000), src, "m", v))
+    at(clicks, "u1", 100, 1.0)   // within 300s of the purchase
+    at(clicks, "u1", 900, 2.0)   // after the purchase: excluded
+    at(clicks, "u2", 390, 3.0)   // other channel
+    at(purchases, "u1", 400, 9.9)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_ssjoin").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("source") == "u1")
+    assert(rows.head.getAs[Double]("r_value") == 1.0)
+  }
+
+  test("watermarked stream dedup drops re-delivered samples, keeps distinct ones") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(StreamOps.dedupStream(in.toDS().toDF()), "t_dedup", "append")
+    def sample(sec: Long, v: Double) = StreamSample(new Timestamp(sec * 1000), "s", "m", v)
+    in.addData(sample(10, 1.0), sample(10, 1.0)) // duplicate delivery in-batch
+    q.processAllAvailable()
+    in.addData(sample(10, 1.0), sample(20, 2.0)) // re-delivery across batches
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_dedup").collect()
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows.map(_.getAs[Timestamp]("ts").getTime / 1000).toSet == Set(10L, 20L))
+  }
+
+  test("A7 via transformWithState: timer-driven eviction matches flatMapGroupsWithState contract") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamSample]
+      val q = startMemQuery(StreamOps.activeChannelsTWS(in.toDS(), 60L).toDF(), "t_tws")
+      def at(src: String, sec: Long) = StreamSample(new Timestamp(sec * 1000), src, "m", 1.0)
+      in.addData(at("s1", 1000), at("s2", 1000))
+      q.processAllAvailable()
+      in.addData(at("s1", 10000)) // watermark sweeps past s2's timer
+      q.processAllAvailable()
+      in.addData(at("s1", 20000))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("t_tws").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Boolean]("active")))
+      assert(rows.contains(("s1", true)))
+      assert(rows.contains(("s2", false)), s"expected s2 eviction, got ${rows.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("M5: checkpointed file-stream restart resumes exactly-once (no reprocessing)") {
     val base = java.nio.file.Files.createTempDirectory("ckpt").toString
     val srcDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/checkpoint"
