@@ -10,7 +10,8 @@ object PlanAudit {
     val spark = GraftSession.local()
     val interesting = Seq(
       "a2_banded_extents", "q_mktseg_revenue", "q_topk", "q_asof_join",
-      "minhash_neardup", "ann_topk_lsh", "q1_pricing", "q5_local_volume")
+      "minhash_neardup", "ann_topk_lsh", "q1_pricing", "q5_local_volume",
+      "q_semi_anti", "embedding_neardup", "a11_dispersion", "simhash_neardup")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -37,7 +38,18 @@ object PlanAudit {
         val p = planOf("q1_pricing"); p.contains("PushedFilters: [IsNotNull(l_shipdate)") || p.contains("LessThanOrEqual(l_shipdate")
       }),
       ("topk is TakeOrderedAndProject", planOf("q_topk").contains("TakeOrderedAndProject")),
-      ("q5 6-way join broadcasts dims", planOf("q5_local_volume").contains("BroadcastHashJoin")))
+      ("q5 6-way join broadcasts dims", planOf("q5_local_volume").contains("BroadcastHashJoin")),
+      ("semi/anti planned as semi joins", {
+        val p = planOf("q_semi_anti"); p.contains("LeftSemi") && p.contains("LeftAnti")
+      }),
+      ("embedding near-dup has no cartesian product",
+        !planOf("embedding_neardup").contains("CartesianProduct")),
+      ("dispersion stats are one hash-agg exchange", {
+        val p = planOf("a11_dispersion")
+        p.contains("HashAggregate") && !p.contains("SortAggregate")
+      }),
+      ("simhash near-dup has no cartesian product",
+        !planOf("simhash_neardup").contains("CartesianProduct")))
     checks.foreach { case (what, ok) =>
       println(f"${if (ok) "OK " else "BAD"} $what")
       if (!ok) bad += 1

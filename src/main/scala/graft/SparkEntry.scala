@@ -325,6 +325,20 @@ object SparkEntry {
         .agg(count(col("c_id")).as("n_clicks_5m"))
     }),
 
+    // RANGE-frame window: trailing-1-hour moving count/sum/mean per metric
+    // (event-time range frame, not row frame — ties on e included wholly,
+    // so the result is order-independent and oracle-deterministic).
+    "q_window_range" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("metric").orderBy(col("e"))
+        .rangeBetween(-3600L, org.apache.spark.sql.expressions.Window.currentRow)
+      series(s, dir).select(
+        col("metric"), col("event_id"), col("e"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_1h"))
+        .withColumn("mean_1h", col("sum_1h") / col("n_1h"))
+    }),
+
     // Ranking window: top-3 orders per priority.
     "q_window_rank" -> ((s, dir) =>
       RelationalOps.topNPerGroup(
@@ -781,6 +795,16 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_window_range" ->
+      s"""WITH $SERIES
+         |SELECT metric, event_id, e,
+         |  count(*) OVER w AS n_1h,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (count(*) OVER w) AS mean_1h
+         |FROM series
+         |WINDOW w AS (PARTITION BY metric ORDER BY e
+         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_window_rank" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
