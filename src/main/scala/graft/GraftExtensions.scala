@@ -2,15 +2,25 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.VecDotProduct
+import graft.functions.{HashExpressions, VecDotProduct, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * functions so SQL users get them too (`SELECT vec_dot(a, b)`). Enable with
+  * functions so SQL users get them too (`SELECT vec_dot(a, b)`,
+  * `simhash64(tokens)`, `minhash_sig(tokens, 64)`,
+  * `word_shingles(tokens, 3)`). Enable with
   * `spark.sql.extensions=graft.GraftExtensions` (GraftSession does this).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
@@ -18,6 +28,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_dot takes exactly 2 arguments")
         VecDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[HashExpressions.SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64 takes exactly 1 argument")
+        HashExpressions.SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[HashExpressions.MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sig takes (tokens, k)")
+        HashExpressions.MinHashSig(children.head, litInt(children(1), "minhash_sig k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_shingles takes (tokens, k)")
+        WordShingles(children.head, litInt(children(1), "word_shingles k"))
       }))
   }
 }

@@ -415,6 +415,17 @@ object SparkEntry {
       DedupOps.simHashPairs(docs.unionByName(variants), maxHamming = 3)
     }),
 
+    // Exact n-gram Jaccard for an explicit pair list (the near-dup verify
+    // stage surfaced standalone and oracle-checked): adjacent doc pairs,
+    // trigram-shingle set similarity.
+    "text_jaccard_adjacent" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val pairs = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      DedupOps.jaccardForPairs(pairs, docs)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // Text stats per (lang, source).
     "text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -907,6 +918,18 @@ object SparkEntry {
          |  (sum_vd - sum_v * sum_d / n) /
          |    sqrt((sum_vv - sum_v * sum_v / n) * (sum_dd - sum_d * sum_d / n)) AS corr_vd
          |FROM m""".stripMargin,
+
+    "text_jaccard_adjacent" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |         THEN list_transform(generate_series(1, len(w)-2),
+        |                             i -> array_to_string(w[i:i+2], ' '))
+        |         ELSE [array_to_string(w, ' ')] END) AS s FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

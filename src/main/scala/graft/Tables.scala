@@ -74,6 +74,11 @@ object Tables {
       .where(col("_corrupt").isNull && col("e").isNotNull && col("metric").isNotNull)
       .drop("_corrupt")
 
+  /** Same canonical relation over ORC (the columnar alternative container;
+    * schema enforced at read). */
+  def seriesFromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(seriesSchema).orc(path)
+
   /** Same contract over CSV (header, typed schema, malformed dropped). */
   def seriesFromCsv(spark: SparkSession, path: String): DataFrame =
     spark.read

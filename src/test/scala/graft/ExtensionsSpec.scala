@@ -13,6 +13,28 @@ import graft.streaming.{CounterListener, StreamOps, StreamSample}
   * counters. */
 class ExtensionsSpec extends SparkSpec {
 
+  test("SQL function registry: vec_dot/simhash64/minhash_sig/word_shingles callable from SQL") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "the quick brown fox jumps")).toDF("id", "text")
+      .createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       simhash64(split(text, ' ')) AS sh,
+        |       size(minhash_sig(split(text, ' '), 16)) AS mk,
+        |       word_shingles(split(text, ' '), 3) AS ws
+        |FROM ext_docs""".stripMargin).collect().head
+    assert(row.getAs[Double]("d") == 11.0)
+    // SQL and Column-API paths share the expression, so values agree.
+    val api = Seq(("the quick brown fox jumps")).toDF("text").select(
+      graft.functions.HashExpressions.simHash64(split(col("text"), " ")).as("sh"))
+      .collect().head.getLong(0)
+    assert(row.getAs[Long]("sh") == api)
+    assert(row.getAs[Int]("mk") == 16)
+    assert(row.getSeq[String](row.fieldIndex("ws")) ==
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
   test("VecDotProduct: correct, null-array-safe, codegen'd, matches HOF math") {
     val s = spark
     import s.implicits._

@@ -35,6 +35,19 @@ class SourcesSpec extends SparkSpec {
       Set(("m", 1.5), ("n", 2.5)))
   }
 
+  test("ORC source: canonical schema round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
+    val s = spark
+    import s.implicits._
+    Seq((1L, 10L, "m", 100L, 1.5, "{}"), (2L, 11L, "n", 200L, 2.5, "{}"))
+      .toDF("event_id", "user_id", "metric", "e", "value", "props")
+      .write.orc(dir)
+    val rows = Tables.seriesFromOrc(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(Tables.seriesFromOrc(spark, dir).schema == Tables.seriesSchema)
+    assert(rows.map(_.getAs[String]("metric")).toSet == Set("m", "n"))
+  }
+
   test("bucketed-by-key tables join with zero shuffle exchanges") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_quantity")
