@@ -415,6 +415,38 @@ object SparkEntry {
       DedupOps.simHashPairs(docs.unionByName(variants), maxHamming = 3)
     }),
 
+    // Near-dup clusters: MinHash-LSH pairs → connected components (min-label
+    // propagation) — the grouping stage a real dedup pipeline runs after
+    // pair generation. Rows-only (LSH upstream); invariants pinned by test.
+    "neardup_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.where(col("doc_id") % 50 === 0)
+        .select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), lit(1),
+            greatest(size(TextOps.tokens(col("text"))) - 3, lit(1)))).as("text"))
+      DedupOps.nearDupGroups(
+        DedupOps.nearDupPairs(docs.unionByName(variants), k = 64, bands = 16, minJaccard = 0.6))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_doc_id"))
+    }),
+
+    // End-to-end curation pipeline as ONE declarative plan: quality score →
+    // language gate → exact dedup → content-hash split → per-(lang, split)
+    // summary. Every stage is individually oracle-checked elsewhere; this
+    // query oracle-checks their composition.
+    "pipeline_curation" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("text"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.langGuess(col("text")).as("lg"))
+      val gated = scored.where(col("q") >= 0.5 && col("lg") === "en")
+        .select("doc_id", "lang", "text")
+      CurationOps.withSplit(DedupOps.exactDedup(gated))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+    }),
+
     // Exact n-gram Jaccard for an explicit pair list (the near-dup verify
     // stage surfaced standalone and oracle-checked): adjacent doc pairs,
     // trigram-shingle set similarity.
@@ -918,6 +950,27 @@ object SparkEntry {
          |  (sum_vd - sum_v * sum_d / n) /
          |    sqrt((sum_vv - sum_v * sum_v / n) * (sum_dd - sum_d * sum_d / n)) AS corr_vd
          |FROM m""".stripMargin,
+
+    "pipeline_curation" ->
+      """WITH scored AS (SELECT doc_id, lang, text,
+        |  len(string_split_regex(text, '\s+')) AS n,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in'))) AS stop_hits,
+        |  length(text) AS chars,
+        |  length(text) - length(regexp_replace(text, '[\.,;:!?]', '', 'g')) AS punct
+        |  FROM documents),
+        |gated AS (SELECT doc_id, lang, text FROM scored
+        |  WHERE GREATEST(0.0, LEAST(n/100.0, 1.0) * (1.0 - CAST(punct AS DOUBLE)/chars)) >= 0.5
+        |    AND (CASE WHEN stop_hits >= 3 THEN 'en'
+        |              WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > length(text)/10
+        |              THEN 'other' ELSE 'und' END) = 'en'),
+        |keyed AS (SELECT doc_id, lang, text,
+        |  min(doc_id) OVER (PARTITION BY md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |  FROM gated),
+        |surviving AS (SELECT doc_id, lang, text FROM keyed WHERE doc_id = keep)
+        |SELECT lang, CASE WHEN md5(text) < 'e6' THEN 'train' ELSE 'eval' END AS split,
+        |       count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM surviving GROUP BY 1, 2""".stripMargin,
 
     "text_jaccard_adjacent" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),

@@ -85,6 +85,46 @@ object DedupOps {
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Near-dup clusters from a pair list: connected components via iterative
+    * min-label propagation. Each round is ONE shuffle (join labels across
+    * edges, keep the minimum neighbor label); the loop converges in
+    * O(cluster diameter) rounds — near-dup clusters are shallow chains in
+    * practice. The driver only orchestrates (a 1-row convergence probe per
+    * round) and checkpoints each round's labels to keep the plan linear;
+    * no data ever collects to the driver.
+    *
+    * @return (doc_id, label) where label = min doc_id of the component.
+    */
+  def nearDupGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(labels("doc_id"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.alias("u")
+        .join(labels.alias("l"), "doc_id")
+        .where(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard for an explicit pair list (verification stage —
     * runs on candidates only, never all-pairs). */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {

@@ -163,6 +163,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a("train") / total > 0.8 && a("train") / total < 0.98)
   }
 
+  test("near-dup groups: min-label propagation finds connected components") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.nearDupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain converges to the global min within the iteration bound
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val l2 = DedupOps.nearDupGroups(chain).collect().map(_.getLong(1)).toSet
+    assert(l2 == Set(1L))
+  }
+
   test("stratified sample is deterministic for a fixed seed and respects strata") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "lang")
     def run() = graft.operators.CurationOps
