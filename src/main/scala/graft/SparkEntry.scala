@@ -357,6 +357,15 @@ object SparkEntry {
           |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // Scalar subquery: orders within 10% of the maximum order value —
+    // the subquery result is a broadcast scalar, not a join.
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_sq
+          |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_sq) * 0.9""".stripMargin)
+    }),
+
     // Top-K scan.
     "q_topk" -> ((s, dir) =>
       RelationalOps.topK(
@@ -855,6 +864,10 @@ object SparkEntry {
         |                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders)
         |SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.9""".stripMargin,
 
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
