@@ -172,6 +172,23 @@ object SparkEntry {
         expr("percentile(value, 0.9)").as("p90"),
         expr("percentile(value, 0.99)").as("p99"))),
 
+    // Time-weighted mean per metric (interval-weighted — the correct
+    // average for irregular sampling).
+    "a12_time_weighted_mean" -> ((s, dir) => TrendOps.timeWeightedMean(series(s, dir))),
+
+    // Resample to a 1-minute grid with forward fill (gap repair — the
+    // timeseries resampling op), summarized per metric for the gate:
+    // grid size, observed points, filled points, picked endpoint values.
+    "a13_resample_ffill" -> ((s, dir) =>
+      TrendOps.resampleFfill(series(s, dir), TrendParams.default.minSampleGapSeconds.toLong)
+        .groupBy("metric")
+        .agg(
+          count(lit(1)).as("grid_points"),
+          count(col("value")).as("observed"),
+          count(col("filled")).as("non_null_filled"),
+          min("t").as("first_t"), max("t").as("last_t"),
+          max(struct(col("t"), col("filled"))).getField("filled").as("last_filled"))),
+
     // X1-X9 scalar layer in one projection (X7 = real JSON decode).
     "x_scalars" -> ((s, dir) => {
       val df = series(s, dir).where(col("event_id") % 97 === 0)
@@ -739,6 +756,39 @@ object SparkEntry {
          |       quantile_cont(value, 0.9) AS p90,
          |       quantile_cont(value, 0.99) AS p99
          |FROM series GROUP BY metric""".stripMargin,
+
+    "a12_time_weighted_mean" ->
+      s"""WITH $SERIES,
+         |l AS (SELECT metric, e, value,
+         |  lead(e) OVER (PARTITION BY metric ORDER BY e, event_id) AS next_e
+         |  FROM series)
+         |SELECT metric, count(*) AS n_intervals,
+         |  CAST(SUM(CAST(next_e - e AS DECIMAL(18,0))) AS DOUBLE) AS total_secs,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(next_e - e AS DECIMAL(18,0))) AS DOUBLE) AS weighted_sum,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(next_e - e AS DECIMAL(18,0))) AS DOUBLE) /
+         |    CAST(SUM(CAST(next_e - e AS DECIMAL(18,0))) AS DOUBLE) AS twa
+         |FROM l WHERE next_e IS NOT NULL GROUP BY metric""".stripMargin,
+
+    "a13_resample_ffill" ->
+      s"""WITH $SERIES,
+         |b0 AS (SELECT metric, CAST(FLOOR(e/${P.minSampleGapSeconds}) AS BIGINT)*${P.minSampleGapSeconds.toLong} AS t, value,
+         |  row_number() OVER (PARTITION BY metric, CAST(FLOOR(e/${P.minSampleGapSeconds}) AS BIGINT)
+         |                     ORDER BY e DESC, event_id DESC) AS rn
+         |  FROM series),
+         |b AS (SELECT metric, t, value FROM b0 WHERE rn = 1),
+         |bounds AS (SELECT metric,
+         |  CAST(FLOOR(min(e)/${P.minSampleGapSeconds}) AS BIGINT)*${P.minSampleGapSeconds.toLong} AS lo,
+         |  CAST(FLOOR(max(e)/${P.minSampleGapSeconds}) AS BIGINT)*${P.minSampleGapSeconds.toLong} AS hi
+         |  FROM series GROUP BY 1),
+         |grid AS (SELECT metric, unnest(generate_series(lo, hi, ${P.minSampleGapSeconds.toLong})) AS t FROM bounds),
+         |r AS (SELECT g.metric, g.t, b.value,
+         |  last_value(b.value IGNORE NULLS) OVER (PARTITION BY g.metric ORDER BY g.t) AS filled
+         |  FROM grid g LEFT JOIN b ON g.metric = b.metric AND g.t = b.t)
+         |SELECT metric, count(*) AS grid_points, count(value) AS observed,
+         |       count(filled) AS non_null_filled,
+         |       min(t) AS first_t, max(t) AS last_t,
+         |       arg_max(filled, t) AS last_filled
+         |FROM r GROUP BY metric""".stripMargin,
 
     "x_scalars" ->
       s"""WITH $SERIES

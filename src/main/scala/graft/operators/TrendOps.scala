@@ -283,6 +283,44 @@ object TrendOps {
       .select("metric", "approx_users", "exact_users", "p50_approx", "p50_exact")
   }
 
+  /** Time-weighted mean per metric: each sample weighted by its holding
+    * interval (time until the next sample) — the correct average for
+    * irregularly-sampled series, where the plain mean over-weights bursts.
+    * The last sample of each series has no interval and is excluded.
+    * Exact decimal weighted sums keep the result merge-order independent. */
+  def timeWeightedMean(series: DataFrame): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))
+    series
+      .withColumn("next_e", lead("e", 1).over(w))
+      .where(col("next_e").isNotNull)
+      .withColumn("dt", (col("next_e") - col("e")).cast("decimal(18,0)"))
+      .groupBy("metric")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt")).cast("double").as("total_secs"),
+        sum(col("value").cast("decimal(18,2)") * col("dt")).cast("double").as("weighted_sum"))
+      .withColumn("twa", col("weighted_sum") / col("total_secs"))
+  }
+
+  /** Resample to a regular `stepSeconds` grid with forward fill: newest
+    * sample per (metric, bucket) lands on its grid point; empty grid points
+    * carry the last observation forward (null until the first sample).
+    * Grid generation is per-metric `sequence` + explode — no driver loop;
+    * the fill is one window scan per metric partition. */
+  def resampleFfill(series: DataFrame, stepSeconds: Long): DataFrame = {
+    val buck = decimateBucketized(series, stepSeconds)
+      .select(col("metric"), col("bucket_start").as("t"), col("value"))
+    val bounds = series.groupBy("metric").agg(
+      (floor(min("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("lo"),
+      (floor(max("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("hi"))
+    val grid = bounds.select(col("metric"),
+      explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("t"))
+    val w = Window.partitionBy("metric").orderBy("t")
+    grid.join(buck, Seq("metric", "t"), "left")
+      .withColumn("filled", last("value", ignoreNulls = true).over(w))
+      .select("metric", "t", "value", "filled")
+  }
+
   /** A7 (batch analogue): gap-based sessionization per user — the batch shape
     * of the reference's active-channel tracking with inactivity timeout
     * (trend-o-meter:521-525). Single shuffle+sort by user. */

@@ -144,6 +144,26 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("time-weighted mean weights samples by holding interval") {
+    // m: value 10 held for 90s, value 20 held for 10s -> twa = (10*90+20*10)/100 = 11
+    val df = seriesDF(("m", 0L, 10.0), ("m", 90L, 20.0), ("m", 100L, 99.0))
+    val r = TrendOps.timeWeightedMean(df).collect().head
+    assert(r.getAs[Long]("n_intervals") == 2L)
+    assert(r.getAs[Double]("total_secs") == 100.0)
+    assert(r.getAs[Double]("twa") == 11.0)
+  }
+
+  test("resample + forward fill: grid covers the span, gaps carry last observation") {
+    // samples at 0s and 130s with step 60 -> grid 0,60,120; 60 and 120 filled from 0s
+    val df = seriesDF(("m", 0L, 1.5), ("m", 130L, 9.5))
+    val rows = TrendOps.resampleFfill(df, 60L).collect()
+      .map(r => r.getAs[Long]("t") -> (Option(r.get(2)), r.getAs[Double]("filled"))).toMap
+    assert(rows.keySet == Set(0L, 60L, 120L))
+    assert(rows(0L) == (Some(1.5), 1.5))
+    assert(rows(60L)._1.isEmpty && rows(60L)._2 == 1.5) // gap forward-filled
+    assert(rows(120L) == (Some(9.5), 9.5))              // newest-in-bucket lands on grid
+  }
+
   test("A6 half-full gate drops sparsely-filled windows") {
     // window 0: 2 distinct seconds; window 60: 31 distinct seconds
     val df = seriesDF(
