@@ -189,6 +189,15 @@ object SparkEntry {
           min("t").as("first_t"), max("t").as("last_t"),
           max(struct(col("t"), col("filled"))).getField("filled").as("last_filled"))),
 
+    // EWMA per metric (sequential recurrence — rows-only, unit-pinned).
+    "a14_ewma" -> ((s, dir) => TrendOps.ewma(series(s, dir), alpha = 0.2).toDF()),
+
+    // Fixed-width value histogram per metric.
+    "a15_histogram" -> ((s, dir) =>
+      series(s, dir)
+        .groupBy(col("metric"), floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))),
+
     // X1-X9 scalar layer in one projection (X7 = real JSON decode).
     "x_scalars" -> ((s, dir) => {
       val df = series(s, dir).where(col("event_id") % 97 === 0)
@@ -756,6 +765,12 @@ object SparkEntry {
          |       quantile_cont(value, 0.9) AS p90,
          |       quantile_cont(value, 0.99) AS p99
          |FROM series GROUP BY metric""".stripMargin,
+
+    "a15_histogram" ->
+      s"""WITH $SERIES
+         |SELECT metric, CAST(FLOOR(value/50) AS BIGINT) AS bucket,
+         |       count(*) AS n, min(value) AS lo, max(value) AS hi
+         |FROM series GROUP BY 1, 2""".stripMargin,
 
     "a12_time_weighted_mean" ->
       s"""WITH $SERIES,

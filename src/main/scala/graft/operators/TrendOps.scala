@@ -9,6 +9,9 @@ import graft.TrendParams
   * faithful gap-decimation operator, which needs a typed sequential scan). */
 final case class Sample(metric: String, e: Long, value: Double, event_id: Long)
 
+/** One EWMA output point (see [[TrendOps.ewma]]). */
+final case class EwmaPoint(metric: String, e: Long, value: Double, ewma: Double)
+
 /** Batch trend operators — the analytic core of the reference re-expressed
   * as declarative Spark plans over the canonical series relation
   * `(event_id, user_id, metric, e, value, props)` (epoch-second `e`).
@@ -281,6 +284,34 @@ object TrendOps {
         expr("percentile(value, 0.5)").as("p50_exact"))
     sketches.join(exact, "metric")
       .select("metric", "approx_users", "exact_users", "p50_approx", "p50_exact")
+  }
+
+  /** Exponentially-weighted moving average per metric: the sequential
+    * recurrence `ewma = α·x + (1−α)·prev` scanned oldest→newest. Like
+    * [[decimateFaithful]] this is inherently sequential per metric —
+    * shuffle by metric, external in-partition sort, one linear scan — and
+    * the floating-point recurrence is not reproducible as a finite SQL
+    * expression, so it registers rows-only with unit-test pinning. */
+  def ewma(series: DataFrame, alpha: Double): Dataset[EwmaPoint] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series
+      .select(col("metric"), col("e"), col("value"), col("event_id"))
+      .as[Sample]
+      .repartition(col("metric"))
+      .sortWithinPartitions(col("metric"), col("e"), col("event_id"))
+      .mapPartitions { it =>
+        var curMetric: String = null
+        var prev = 0d
+        var seeded = false
+        it.map { s =>
+          if (s.metric != curMetric) { curMetric = s.metric; seeded = false }
+          val v = if (seeded) alpha * s.value + (1 - alpha) * prev else s.value
+          prev = v
+          seeded = true
+          EwmaPoint(s.metric, s.e, s.value, v)
+        }
+      }
   }
 
   /** Time-weighted mean per metric: each sample weighted by its holding

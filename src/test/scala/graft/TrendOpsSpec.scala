@@ -144,6 +144,13 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("EWMA recurrence seeds at the first sample and decays oldest-to-newest") {
+    val df = seriesDF(("m", 0L, 10.0), ("m", 60L, 20.0), ("m", 120L, 30.0))
+    val rows = TrendOps.ewma(df, alpha = 0.5).collect().sortBy(_.e)
+    assert(rows.map(_.ewma).toSeq == Seq(10.0, 15.0, 22.5))
+    assert(rows.map(_.value).toSeq == Seq(10.0, 20.0, 30.0))
+  }
+
   test("time-weighted mean weights samples by holding interval") {
     // m: value 10 held for 90s, value 20 held for 10s -> twa = (10*90+20*10)/100 = 11
     val df = seriesDF(("m", 0L, 10.0), ("m", 90L, 20.0), ("m", 100L, 99.0))
