@@ -189,6 +189,26 @@ object SparkEntry {
           min("t").as("first_t"), max("t").as("last_t"),
           max(struct(col("t"), col("filled"))).getField("filled").as("last_filled"))),
 
+    // Outlier detection: samples beyond 3 standard deviations of their
+    // metric's mean, summarized per metric. Mean/stddev come from exact
+    // decimal sums (same determinism pattern as a11), broadcast back to the
+    // scan — the fact table is never shuffled.
+    "a16_outliers" -> ((s, dir) => {
+      val sr = series(s, dir)
+      val v = col("value").cast("decimal(18,2)")
+      val stats = sr.groupBy("metric").agg(
+        count(lit(1)).cast("double").as("sn"),
+        sum(v).cast("double").as("sv"),
+        sum(v * v).cast("double").as("svv"))
+        .select(col("metric"), (col("sv") / col("sn")).as("mu"),
+          sqrt((col("svv") - col("sv") * col("sv") / col("sn")) / (col("sn") - 1)).as("sd"))
+      sr.join(broadcast(stats), "metric")
+        .where(abs(col("value") - col("mu")) > col("sd") * 3)
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n_outliers"),
+          min("value").as("min_out"), max("value").as("max_out"))
+    }),
+
     // EWMA per metric (sequential recurrence — rows-only, unit-pinned).
     "a14_ewma" -> ((s, dir) => TrendOps.ewma(series(s, dir), alpha = 0.2).toDF()),
 
@@ -771,6 +791,19 @@ object SparkEntry {
          |SELECT metric, CAST(FLOOR(value/50) AS BIGINT) AS bucket,
          |       count(*) AS n, min(value) AS lo, max(value) AS hi
          |FROM series GROUP BY 1, 2""".stripMargin,
+
+    "a16_outliers" ->
+      s"""WITH $SERIES,
+         |st AS (SELECT metric, CAST(count(*) AS DOUBLE) AS sn,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+         |  FROM series GROUP BY 1),
+         |wide AS (SELECT s.metric, s.value, sv/sn AS mu,
+         |                sqrt((svv - sv*sv/sn)/(sn - 1)) AS sd
+         |         FROM series s JOIN st ON s.metric = st.metric)
+         |SELECT metric, count(*) AS n_outliers,
+         |       min(value) AS min_out, max(value) AS max_out
+         |FROM wide WHERE abs(value - mu) > sd * 3 GROUP BY 1""".stripMargin,
 
     "a12_time_weighted_mean" ->
       s"""WITH $SERIES,

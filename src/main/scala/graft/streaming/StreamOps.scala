@@ -196,6 +196,30 @@ object StreamOps {
       }
   }
 
+  /** Streaming EWMA: the [[graft.operators.TrendOps.ewma]] recurrence as
+    * keyed (prev, seeded) state per metric — the stream continues exactly
+    * where the batch recurrence left off (within a micro-batch, events are
+    * folded in event-time order). */
+  def ewmaStream(samples: Dataset[StreamSample], alpha: Double): Dataset[graft.operators.EwmaPoint] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState[(Double, Boolean), graft.operators.EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (metric: String, events: Iterator[StreamSample], state: GroupState[(Double, Boolean)]) =>
+          var (prev, seeded) = state.getOption.getOrElse((0d, false))
+          val out = events.toSeq.sortBy(_.ts.getTime).map { ev =>
+            val v = if (seeded) alpha * ev.value + (1 - alpha) * prev else ev.value
+            prev = v
+            seeded = true
+            graft.operators.EwmaPoint(metric, ev.ts.getTime / 1000L, ev.value, v)
+          }
+          state.update((prev, seeded))
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: each left event joined to the same
     * channel's right events in the trailing `windowSeconds` — the streaming
     * shape of the batch range join (purchases ← trailing clicks). BOTH

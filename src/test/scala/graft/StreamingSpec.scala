@@ -154,6 +154,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming EWMA matches the batch recurrence across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(StreamOps.ewmaStream(in.toDS(), alpha = 0.5).toDF(), "t_ewma", "append")
+    def sample(sec: Long, v: Double) = StreamSample(new Timestamp(sec * 1000), "s", "m", v)
+    in.addData(sample(0, 10.0), sample(60, 20.0))
+    q.processAllAvailable()
+    in.addData(sample(120, 30.0)) // state carries prev=15.0 across the batch boundary
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_ewma").collect()
+      .map(r => r.getAs[Long]("e") -> r.getAs[Double]("ewma")).toMap
+    assert(got == Map(0L -> 10.0, 60L -> 15.0, 120L -> 22.5))
+    // identical to the batch operator on the same series
+    val batch = graft.operators.TrendOps.ewma(
+      seriesDF(("m", 0L, 10.0), ("m", 60L, 20.0), ("m", 120L, 30.0)), alpha = 0.5)
+      .collect().map(p => p.e -> p.ewma).toMap
+    assert(got == batch)
+  }
+
   test("stream-stream interval join: purchases pick up trailing clicks per channel") {
     val s = spark
     import s.implicits._
