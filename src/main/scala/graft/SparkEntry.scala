@@ -209,6 +209,11 @@ object SparkEntry {
           min("value").as("min_out"), max("value").as("max_out"))
     }),
 
+    // Resample with linear interpolation (full grid — the gap values are
+    // the interesting output).
+    "a17_resample_linear" -> ((s, dir) =>
+      TrendOps.resampleLinear(series(s, dir), TrendParams.default.minSampleGapSeconds.toLong)),
+
     // EWMA per metric (sequential recurrence — rows-only, unit-pinned).
     "a14_ewma" -> ((s, dir) => TrendOps.ewma(series(s, dir), alpha = 0.2).toDF()),
 
@@ -791,6 +796,35 @@ object SparkEntry {
          |SELECT metric, CAST(FLOOR(value/50) AS BIGINT) AS bucket,
          |       count(*) AS n, min(value) AS lo, max(value) AS hi
          |FROM series GROUP BY 1, 2""".stripMargin,
+
+    "a17_resample_linear" ->
+      s"""WITH $SERIES,
+         |b0 AS (SELECT metric, CAST(FLOOR(e/${P.minSampleGapSeconds}) AS BIGINT)*${P.minSampleGapSeconds.toLong} AS t, value,
+         |  row_number() OVER (PARTITION BY metric, CAST(FLOOR(e/${P.minSampleGapSeconds}) AS BIGINT)
+         |                     ORDER BY e DESC, event_id DESC) AS rn
+         |  FROM series),
+         |b AS (SELECT metric, t, value FROM b0 WHERE rn = 1),
+         |bounds AS (SELECT metric,
+         |  CAST(FLOOR(min(e)/${P.minSampleGapSeconds}) AS BIGINT)*${P.minSampleGapSeconds.toLong} AS lo,
+         |  CAST(FLOOR(max(e)/${P.minSampleGapSeconds}) AS BIGINT)*${P.minSampleGapSeconds.toLong} AS hi
+         |  FROM series GROUP BY 1),
+         |grid AS (SELECT metric, unnest(generate_series(lo, hi, ${P.minSampleGapSeconds.toLong})) AS t FROM bounds),
+         |j AS (SELECT g.metric, g.t, b.value FROM grid g
+         |      LEFT JOIN b ON g.metric = b.metric AND g.t = b.t),
+         |w AS (SELECT *,
+         |  last_value(value IGNORE NULLS) OVER wb AS pv,
+         |  last_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt,
+         |  first_value(value IGNORE NULLS) OVER wf AS nv,
+         |  first_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+         |  FROM j WINDOW
+         |    wb AS (PARTITION BY metric ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY metric ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT metric, t, value,
+         |  CASE WHEN value IS NOT NULL THEN value
+         |       WHEN pv IS NULL THEN nv
+         |       WHEN nv IS NULL THEN pv
+         |       ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS interp
+         |FROM w""".stripMargin,
 
     "a16_outliers" ->
       s"""WITH $SERIES,

@@ -352,6 +352,39 @@ object TrendOps {
       .select("metric", "t", "value", "filled")
   }
 
+  /** Resample to a regular grid with LINEAR interpolation: empty grid
+    * points take `prev + (next − prev) · (t − t_prev)/(t_next − t_prev)`
+    * between their neighboring observations (edges fall back to the nearest
+    * observation). Same grid construction as [[resampleFfill]]; neighbors
+    * come from two window scans (trailing last / leading first, nulls
+    * skipped) — still one shuffle per metric. */
+  def resampleLinear(series: DataFrame, stepSeconds: Long): DataFrame = {
+    val buck = decimateBucketized(series, stepSeconds)
+      .select(col("metric"), col("bucket_start").as("t"), col("value"))
+    val bounds = series.groupBy("metric").agg(
+      (floor(min("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("lo"),
+      (floor(max("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("hi"))
+    val grid = bounds.select(col("metric"),
+      explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("t"))
+    val back = Window.partitionBy("metric").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("metric").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col("value").isNotNull, col("t"))
+    grid.join(buck, Seq("metric", "t"), "left")
+      .withColumn("pv", last("value", ignoreNulls = true).over(back))
+      .withColumn("pt", last(obsT, ignoreNulls = true).over(back))
+      .withColumn("nv", first("value", ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(obsT, ignoreNulls = true).over(fwd))
+      .withColumn("interp",
+        when(col("value").isNotNull, col("value"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("t") - col("pt")) / (col("nt") - col("pt")))))
+      .select("metric", "t", "value", "interp")
+  }
+
   /** A7 (batch analogue): gap-based sessionization per user — the batch shape
     * of the reference's active-channel tracking with inactivity timeout
     * (trend-o-meter:521-525). Single shuffle+sort by user. */

@@ -144,6 +144,14 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("linear resample interpolates gaps between neighbors") {
+    // samples at 0s (10.0) and 180s (40.0), step 60 -> 60s and 120s interpolated
+    val df = seriesDF(("m", 0L, 10.0), ("m", 180L, 40.0))
+    val rows = TrendOps.resampleLinear(df, 60L).collect()
+      .map(r => r.getAs[Long]("t") -> r.getAs[Double]("interp")).toMap
+    assert(rows == Map(0L -> 10.0, 60L -> 20.0, 120L -> 30.0, 180L -> 40.0))
+  }
+
   test("EWMA recurrence seeds at the first sample and decays oldest-to-newest") {
     val df = seriesDF(("m", 0L, 10.0), ("m", 60L, 20.0), ("m", 120L, 30.0))
     val rows = TrendOps.ewma(df, alpha = 0.5).collect().sortBy(_.e)
