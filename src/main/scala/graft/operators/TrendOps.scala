@@ -366,16 +366,22 @@ object TrendOps {
       (floor(max("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("hi"))
     val grid = bounds.select(col("metric"),
       explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("t"))
-    val back = Window.partitionBy("metric").orderBy("t")
+    // BOTH neighbor scans are RUNNING frames ([unboundedPreceding,
+    // currentRow]) — the leading neighbor comes from a descending-order
+    // running frame, not a [currentRow, unboundedFollowing] frame: Spark
+    // evaluates shrinking frames by rescanning the partition tail per row
+    // (O(n²) — measured 400+ s on a 43k-point grid; the two running sorts
+    // take well under a second).
+    val back = Window.partitionBy("metric").orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy("metric").orderBy("t")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwdRev = Window.partitionBy("metric").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsT = when(col("value").isNotNull, col("t"))
     grid.join(buck, Seq("metric", "t"), "left")
       .withColumn("pv", last("value", ignoreNulls = true).over(back))
       .withColumn("pt", last(obsT, ignoreNulls = true).over(back))
-      .withColumn("nv", first("value", ignoreNulls = true).over(fwd))
-      .withColumn("nt", first(obsT, ignoreNulls = true).over(fwd))
+      .withColumn("nv", last("value", ignoreNulls = true).over(fwdRev))
+      .withColumn("nt", last(obsT, ignoreNulls = true).over(fwdRev))
       .withColumn("interp",
         when(col("value").isNotNull, col("value"))
           .when(col("pv").isNull, col("nv"))
