@@ -108,6 +108,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TWA lies within [min, max] of the series; total_secs equals the span") {
+    forAll(seriesGen) { rows =>
+      // need >= 2 samples per metric for an interval to exist
+      val byMetric = rows.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      if (byMetric.nonEmpty) {
+        val twa = TrendOps.timeWeightedMean(seriesDF(rows: _*)).collect()
+          .map(r => r.getAs[String]("metric") ->
+            (r.getAs[Double]("twa"), r.getAs[Double]("total_secs"))).toMap
+        byMetric.foreach { case (m, rs) =>
+          val es = rs.map(_._2)
+          val span = (es.max - es.min).toDouble
+          val (v, secs) = twa(m)
+          assert(secs == span, s"metric $m: total_secs $secs != span $span")
+          val vs = rs.map(_._3)
+          assert(v >= vs.min - 1e-9 && v <= vs.max + 1e-9,
+            s"metric $m: twa $v outside [${vs.min}, ${vs.max}]")
+        }
+      }
+    }
+  }
+
+  test("resample: grid step is constant, endpoints bucket-align, ffill never null after first obs") {
+    forAll(seriesGen, n = 5) { rows =>
+      val out = TrendOps.resampleFfill(seriesDF(rows: _*), 60L).collect()
+      out.groupBy(_.getAs[String]("metric")).foreach { case (m, grid) =>
+        val ts = grid.map(_.getAs[Long]("t")).sorted
+        assert(ts.zip(ts.tail).forall { case (a, b) => b - a == 60L }, s"$m grid not regular")
+        val es = rows.filter(_._1 == m).map(_._2)
+        assert(ts.head == es.min / 60 * 60 && ts.last == es.max / 60 * 60)
+        // after the first observed grid point, filled is never null
+        val firstObs = grid.filter(r => !r.isNullAt(2)).map(_.getAs[Long]("t")).min
+        assert(grid.filter(_.getAs[Long]("t") >= firstObs).forall(!_.isNullAt(3)))
+      }
+    }
+  }
+
+  test("EWMA output stays within running [min, max]; one row per input") {
+    forAll(seriesGen, n = 5) { rows =>
+      val out = TrendOps.ewma(seriesDF(rows: _*), alpha = 0.3).collect()
+      assert(out.length == rows.length)
+      out.groupBy(_.metric).foreach { case (m, pts) =>
+        val vs = rows.filter(_._1 == m).map(_._3)
+        pts.foreach(p => assert(p.ewma >= vs.min - 1e-9 && p.ewma <= vs.max + 1e-9))
+      }
+    }
+  }
+
+  test("near-dup groups: empty pair list yields empty labels; labels are component minima") {
+    val s = spark
+    import s.implicits._
+    assert(graft.operators.DedupOps.nearDupGroups(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
+    val pairs = Seq((5L, 4L), (4L, 3L), (9L, 8L)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.DedupOps.nearDupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.filterKeys(Set(3L, 4L, 5L)).values.toSet == Set(3L))
+    assert(labels.filterKeys(Set(8L, 9L)).values.toSet == Set(8L))
+  }
+
   test("M3: retained span per metric never exceeds the horizon") {
     forAll(seriesGen) { rows =>
       TrendOps.retentionCull(seriesDF(rows: _*), 7 * DAY)
