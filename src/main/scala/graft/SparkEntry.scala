@@ -326,6 +326,22 @@ object SparkEntry {
             .cast("double").as("volume"))
     }),
 
+    // TPC-H Q14 shape: promo revenue share — lineitem ⋈ part with a month
+    // filter, conditional aggregation (part broadcast).
+    "q14_promo_revenue" -> ((s, dir) => {
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(8,2)"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-09-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(when(col("p_type") === "PROMO", disc)).cast("double").as("promo_revenue"),
+          sum(disc).cast("double").as("total_revenue"))
+        .withColumn("promo_pct", col("promo_revenue") / col("total_revenue") * 100)
+    }),
+
     // Top-10 customers by total order value.
     "q_top_customers" -> ((s, dir) =>
       RelationalOps.topK(
@@ -969,6 +985,22 @@ object SparkEntry {
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |WHERE cn.n_name != sn.n_name
         |GROUP BY 1, 2""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(8,2))) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(8,2))) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) * 100 AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
 
     "q_top_customers" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,
