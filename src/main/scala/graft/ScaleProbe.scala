@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Scaling sanity probe: times key operators at 1×/4×/16× the sf input
+  * (self-union with id/user offsets so keys stay realistic — 16× sf0.1
+  * events ≈ 1.6M rows) and prints the time ratios. A scalable plan grows
+  * ≈linearly (ratio ≈ input multiple, modulo fixed overheads); a
+  * super-linear ratio flags an operator that would not survive 100 TB.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = GraftSession.local()
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val base = Tables.metricSeries(spark, sfDir)
+
+    def scaled(k: Int): DataFrame =
+      (0 until k).map { i =>
+        base.select(
+          (col("event_id") + lit(i.toLong * 10_000_000L)).as("event_id"),
+          (col("user_id") + lit(i.toLong * 1_000_000L)).as("user_id"),
+          col("metric"), col("e"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+
+    def time(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "a2_banded_extents" -> (df => TrendOps.bandedExtents(df)),
+      "f1_decimate" -> (df => TrendOps.decimateBucketized(df, 60L)),
+      "a7_sessions" -> (df => TrendOps.sessionize(df, 1800L)),
+      "a12_twa" -> (df => TrendOps.timeWeightedMean(df)),
+      "a13_resample" -> (df => TrendOps.resampleFfill(df, 60L)),
+      "a16_outliers_shape" -> { df =>
+        val v = col("value").cast("decimal(18,2)")
+        df.groupBy("metric").agg(sum(v * v).cast("double").as("svv"))
+      })
+
+    for ((name, op) <- ops) {
+      val times = Seq(1, 4, 16).map { k =>
+        val df = scaled(k)
+        op(df).write.format("noop").mode("overwrite").save() // warm plan/codegen
+        time(op(df))
+      }
+      val r4 = times(1) / times(0)
+      val r16 = times(2) / times(0)
+      println(f"[scale] $name%-20s 1x=${times(0)}%6.2fs 4x=${times(1)}%6.2fs " +
+        f"16x=${times(2)}%6.2fs ratios ${r4}%4.1f / ${r16}%5.1f (linear would be 4/16)")
+    }
+    spark.stop()
+  }
+}
