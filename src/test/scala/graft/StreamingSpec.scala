@@ -266,6 +266,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("value")).toSet == Set(1.0, 2.0))
   }
 
+  test("stateful restart: decimation timeMark state survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ckpt-state").toString
+    val srcDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/checkpoint"
+    new java.io.File(srcDir).mkdirs()
+    def writeFile(n: Int, lines: String*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f$n.jsonl"),
+        lines.mkString("\n"))
+    def msg(sec: Long, v: Double) =
+      s"""{"ts": $sec, "source": "s", "value": {"m": $v}}"""
+    def startQuery() = {
+      val samples = StreamOps.explodeMetrics(
+        StreamOps.parseMessages(spark.readStream.text(srcDir))).as[StreamSample]
+      StreamOps.decimateStream(samples, 60.0).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck).outputMode("append").start()
+    }
+    writeFile(1, msg(0, 1.0), msg(30, 2.0), msg(90, 3.0)) // keeps 0, 90
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // restart: mark=90 must come back from the state store — 120 skipped, 151 kept
+    writeFile(2, msg(120, 4.0), msg(151, 5.0))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val kept = spark.read.parquet(outDir).collect().map(_.getAs[Long]("e")).toSet
+    assert(kept == Set(0L, 90L, 151L), s"got $kept")
+  }
+
   test("M1-M3 recompute loop matches the batch flagship on the same data") {
     val loop = new StreamOps.RecomputeLoop()
     val anchor = 100L * 86400L
