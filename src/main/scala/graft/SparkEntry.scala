@@ -697,7 +697,14 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) =>
       MultimodalOps.sampleFrames(
         MultimodalOps.withMediaPayload(Tables.documents(s, dir))).toDF()
-        .select(col("doc_id"), col("frame_idx"), md5(col("frame_bytes")).as("frame_md5")))
+        .select(col("doc_id"), col("frame_idx"), md5(col("frame_bytes")).as("frame_md5"))),
+
+    // Multimodal: stubbed fixed-size resize (rows-only; thumbnail bytes are
+    // a deterministic stride of the payload).
+    "multimodal_resize" -> ((s, dir) =>
+      MultimodalOps.resizeThumb(
+        MultimodalOps.withMediaPayload(Tables.documents(s, dir))).toDF()
+        .select(col("doc_id"), col("src_bytes"), md5(col("thumb")).as("thumb_md5")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------

@@ -18,6 +18,9 @@ final case class MediaMeta(
 /** One sampled "frame" of a media payload (stub decode). */
 final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
+/** Fixed-size resized payload (stub resize). */
+final case class MediaThumb(doc_id: Long, src_bytes: Int, thumb: Array[Byte])
+
 /** Multimodal-column operators: treat image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
@@ -72,6 +75,30 @@ object MultimodalOps {
         Iterator.range(0, bytes.length, stride).take(maxFrames).zipWithIndex.map {
           case (off, idx) => MediaFrame(id, idx, bytes.slice(off, math.min(off + 16, bytes.length)))
         }
+      })
+  }
+
+  /** STUB resize: fixed-size "thumbnail" by byte-striding the payload to
+    * exactly `thumbBytes` bytes (shorter payloads zero-pad) — the
+    * image-resize pipeline shape: binary in, bounded binary out, constant
+    * memory, deterministic. A real deployment swaps the stride loop for a
+    * codec resize call; schema and batching stay identical. */
+  def resizeThumb(docsWithMedia: DataFrame, thumbBytes: Int = 64): Dataset[MediaThumb] = {
+    val spark = docsWithMedia.sparkSession
+    import spark.implicits._
+    docsWithMedia
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = new Array[Byte](thumbBytes)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < thumbBytes) {
+            out(i) = bytes((i.toLong * bytes.length / thumbBytes).toInt)
+            i += 1
+          }
+        }
+        MediaThumb(id, bytes.length, out)
       })
   }
 

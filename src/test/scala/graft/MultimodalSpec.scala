@@ -25,6 +25,18 @@ class MultimodalSpec extends SparkSpec {
     assert(m1.map(_.doc_id).toSet == Set(1L, 2L))
   }
 
+  test("stub resize emits exactly thumbBytes, deterministic, zero-pad for empty") {
+    val t = MultimodalOps.resizeThumb(
+      MultimodalOps.withMediaPayload(docs), thumbBytes = 32).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(t(1L).thumb.length == 32 && t(2L).thumb.length == 32)
+    assert(t(1L).src_bytes == 400 && t(2L).src_bytes == 2)
+    val again = MultimodalOps.resizeThumb(
+      MultimodalOps.withMediaPayload(docs), thumbBytes = 32).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(t(1L).thumb.toSeq == again(1L).thumb.toSeq)
+  }
+
   test("frame sampling is bounded per doc and indexed") {
     val frames = MultimodalOps.sampleFrames(
       MultimodalOps.withMediaPayload(docs), stride = 64, maxFrames = 3).collect()
