@@ -1,16 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{HashExpressions, VecDotProduct, WordShingles}
+import graft.operators.TextOps
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so SQL users get them too (`SELECT vec_dot(a, b)`,
   * `simhash64(tokens)`, `minhash_sig(tokens, 64)`,
-  * `word_shingles(tokens, 3)`). Enable with
+  * `word_shingles(tokens, 3)`, `quality_score(text)`, ...). The text layer
+  * is registered by composing the same Column expressions the Scala API
+  * uses — one definition, both surfaces. Enable with
   * `spark.sql.extensions=graft.GraftExtensions` (GraftSession does this).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -20,6 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other =>
       throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
+
+  /** Register a 1-arg SQL function built from a Column-level combinator —
+    * the SQL expression tree IS the Scala API's tree (no parallel
+    * definition to drift). */
+  private def injectColumnFn(ext: SparkSessionExtensions, name: String)
+                            (f: Column => Column): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(TextOps.getClass.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"$name takes exactly 1 argument")
+        ColumnBridge.eagerExpression(f(ColumnBridge.column(children.head)))
+      }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -50,5 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "word_shingles takes (tokens, k)")
         WordShingles(children.head, litInt(children(1), "word_shingles k"))
       }))
+    injectColumnFn(ext, "quality_score")(TextOps.qualityScore)
+    injectColumnFn(ext, "lang_guess")(TextOps.langGuess)
+    injectColumnFn(ext, "redact_pii")(TextOps.redactPii)
+    injectColumnFn(ext, "token_count")(TextOps.tokenCount(_).cast("int"))
+    injectColumnFn(ext, "bpeish_token_count")(TextOps.bpeishTokenCount(_).cast("int"))
+    injectColumnFn(ext, "doc_split")(TextOps.splitTag(_))
   }
 }

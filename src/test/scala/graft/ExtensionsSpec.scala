@@ -35,6 +35,29 @@ class ExtensionsSpec extends SparkSpec {
       Seq("the quick brown", "quick brown fox", "brown fox jumps"))
   }
 
+  test("text layer registered in SQL composes the same expressions as the Scala API") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "the cat of the hat and a mat, truly."))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_text")
+    val row = spark.sql(
+      """SELECT quality_score(text) AS q, lang_guess(text) AS lg,
+        |       token_count(text) AS n, bpeish_token_count(text) AS bn,
+        |       doc_split(text) AS sp,
+        |       redact_pii(text || ' mail me: a@b.co') AS red
+        |FROM ext_text""".stripMargin).collect().head
+    val api = Seq(("the cat of the hat and a mat, truly.")).toDF("text").select(
+      graft.operators.TextOps.qualityScore(col("text")).as("q"),
+      graft.operators.TextOps.langGuess(col("text")).as("lg"),
+      graft.operators.TextOps.tokenCount(col("text")).as("n")).collect().head
+    assert(row.getAs[Double]("q") == api.getAs[Double]("q"))
+    assert(row.getAs[String]("lg") == "en" && api.getAs[String]("lg") == "en")
+    assert(row.getAs[Int]("n") == api.getAs[Int]("n"))
+    assert(row.getAs[Int]("bn") > row.getAs[Int]("n")) // punctuation splits
+    assert(Set("train", "eval").contains(row.getAs[String]("sp")))
+    assert(row.getAs[String]("red").contains("<EMAIL>"))
+  }
+
   test("VecDotProduct: correct, null-array-safe, codegen'd, matches HOF math") {
     val s = spark
     import s.implicits._
