@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "word_shingles takes (tokens, k)")
         WordShingles(children.head, litInt(children(1), "word_shingles k"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecDotProduct].getName, "vec_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_cosine takes exactly 2 arguments")
+        val (a, b) = (ColumnBridge.column(children.head), ColumnBridge.column(children(1)))
+        ColumnBridge.eagerExpression(graft.operators.SimilarityOps.cosine(a, b))
+      }))
     injectColumnFn(ext, "quality_score")(TextOps.qualityScore)
     injectColumnFn(ext, "lang_guess")(TextOps.langGuess)
     injectColumnFn(ext, "redact_pii")(TextOps.redactPii)

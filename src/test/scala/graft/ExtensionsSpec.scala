@@ -56,6 +56,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("bn") > row.getAs[Int]("n")) // punctuation splits
     assert(Set("train", "eval").contains(row.getAs[String]("sp")))
     assert(row.getAs[String]("red").contains("<EMAIL>"))
+    val cos = spark.sql(
+      "SELECT vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").collect().head
+    assert(cos.getAs[Double]("c") == 1.0)
   }
 
   test("VecDotProduct: correct, null-array-safe, codegen'd, matches HOF math") {
