@@ -110,16 +110,17 @@ object DedupOps {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy("src").agg(min("label").as("nlabel"))
+      val newLabel = least(labels("label"), coalesce(col("nlabel"), labels("label")))
+      // The changed flag rides along in the same projection, so convergence
+      // detection is a cheap filter over the checkpointed round result —
+      // not a second labels-vs-labels join job per round.
       val updated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(labels("doc_id"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .select(labels("doc_id"), newLabel.as("label"),
+          (newLabel =!= labels("label")).as("__changed"))
         .localCheckpoint(true)
-      converged = updated.alias("u")
-        .join(labels.alias("l"), "doc_id")
-        .where(col("u.label") =!= col("l.label"))
-        .isEmpty
-      labels = updated
+      converged = updated.where(col("__changed")).isEmpty
+      labels = updated.drop("__changed")
       i += 1
     }
     labels
