@@ -565,6 +565,25 @@ object SparkEntry {
           concat(col("text"), lit(" contact: user@example.com or +1 (555) 123-4567 ok")))
           .as("cleaned"))),
 
+    // Language-ID evaluation: confusion counts of the heuristic guess
+    // against the ground-truth lang column — the eval stage of a pipeline.
+    "text_lang_confusion" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), TextOps.langGuess(col("text")).as("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))),
+
+    // Top-5 terms per language by document frequency (explode → aggregate →
+    // rank): the wide-explode + two-level aggregation shape at gate scale.
+    "text_top_terms" -> ((s, dir) => {
+      val df = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .groupBy("lang", "term")
+        .agg(countDistinct("doc_id").as("doc_freq"))
+      RelationalOps.topNPerGroup(df, 5,
+        Seq(col("lang")), Seq(col("doc_freq").desc, col("term").asc))
+        .select("lang", "rk", "term", "doc_freq")
+    }),
+
     // Token budgets: whitespace + BPE-ish regex counts.
     "text_tokens" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1201,6 +1220,26 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[+]?[0-9][0-9 ()+.-]{6,}[0-9]', '<NUM>', 'g') AS cleaned
         |FROM documents""".stripMargin,
+
+    "text_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in'))) AS stop_hits,
+        |  length(text) AS chars, text FROM documents)
+        |SELECT lang,
+        |  CASE WHEN stop_hits >= 3 THEN 'en'
+        |       WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > chars/10
+        |       THEN 'other' ELSE 'und' END AS lang_guess,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "text_top_terms" ->
+      """WITH w AS (SELECT lang, doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS term
+        |           FROM documents),
+        |f AS (SELECT lang, term, count(DISTINCT doc_id) AS doc_freq FROM w GROUP BY 1, 2),
+        |r AS (SELECT lang, term, doc_freq,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, term) AS rk FROM f)
+        |SELECT lang, rk, term, doc_freq FROM r WHERE rk <= 5""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
