@@ -25,8 +25,11 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    // Null tokens are passed to concatWs as Java nulls, which it skips (no
+    // separator emitted) — exactly concat_ws semantics, so parity holds even
+    // for token arrays containing nulls.
     def tok(i: Int): UTF8String =
-      if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      if (arr.isNullAt(i)) null else arr.getUTF8String(i)
     if (n >= k) {
       val out = new Array[AnyRef](n - k + 1)
       var i = 0

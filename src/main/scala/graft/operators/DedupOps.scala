@@ -87,15 +87,20 @@ object DedupOps {
 
   /** Near-dup clusters from a pair list: connected components via iterative
     * min-label propagation. Each round is ONE shuffle (join labels across
-    * edges, keep the minimum neighbor label); the loop converges in
-    * O(cluster diameter) rounds — near-dup clusters are shallow chains in
-    * practice. The driver only orchestrates (a 1-row convergence probe per
-    * round) and checkpoints each round's labels to keep the plan linear;
-    * no data ever collects to the driver.
+    * edges, keep the minimum neighbor label); the loop runs until a round
+    * changes no label, which takes O(cluster diameter) rounds. The driver
+    * only orchestrates (a 1-row convergence probe per round) and checkpoints
+    * each round's labels to keep the plan linear; no data ever collects to
+    * the driver.
+    *
+    * `maxIters` is a runaway-job safety bound, not an accuracy knob: if it
+    * is hit before convergence the labels would be WRONG (a component split
+    * across labels), so the method throws instead of returning them. The
+    * default is far above any real near-dup cluster diameter.
     *
     * @return (doc_id, label) where label = min doc_id of the component.
     */
-  def nearDupGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def nearDupGroups(pairs: DataFrame, maxIters: Int = 1000): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -123,6 +128,11 @@ object DedupOps {
       labels = updated.drop("__changed")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupGroups did not converge after $maxIters rounds; " +
+          "labels would be incomplete (a component would carry >1 label). " +
+          "Raise maxIters — convergence needs at most the largest component's diameter.")
     labels
   }
 

@@ -78,11 +78,13 @@ object MultimodalOps {
       })
   }
 
-  /** STUB resize: fixed-size "thumbnail" by byte-striding the payload to
-    * exactly `thumbBytes` bytes (shorter payloads zero-pad) — the
-    * image-resize pipeline shape: binary in, bounded binary out, constant
-    * memory, deterministic. A real deployment swaps the stride loop for a
-    * codec resize call; schema and batching stay identical. */
+  /** STUB resize: fixed-size "thumbnail" of exactly `thumbBytes` bytes —
+    * payloads of at least `thumbBytes` bytes are byte-strided down (the
+    * downscale path); shorter payloads are copied as-is and zero-padded to
+    * length (never stretched). The image-resize pipeline shape: binary in,
+    * bounded binary out, constant memory, deterministic. A real deployment
+    * swaps the stride/pad logic for a codec resize call; schema and
+    * batching stay identical. */
   def resizeThumb(docsWithMedia: DataFrame, thumbBytes: Int = 64): Dataset[MediaThumb] = {
     val spark = docsWithMedia.sparkSession
     import spark.implicits._
@@ -91,12 +93,14 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val out = new Array[Byte](thumbBytes)
-        if (bytes.nonEmpty) {
+        if (bytes.length >= thumbBytes) {
           var i = 0
           while (i < thumbBytes) {
             out(i) = bytes((i.toLong * bytes.length / thumbBytes).toInt)
             i += 1
           }
+        } else {
+          System.arraycopy(bytes, 0, out, 0, bytes.length)
         }
         MediaThumb(id, bytes.length, out)
       })

@@ -174,6 +174,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
     val l2 = DedupOps.nearDupGroups(chain).collect().map(_.getLong(1)).toSet
     assert(l2 == Set(1L))
+    // non-convergence within maxIters is an error, never silent wrong labels
+    val ex = intercept[IllegalStateException] {
+      DedupOps.nearDupGroups(chain, maxIters = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("stratified sample is deterministic for a fixed seed and respects strata") {

@@ -35,6 +35,21 @@ class ExtensionsSpec extends SparkSpec {
       Seq("the quick brown", "quick brown fox", "brown fox jumps"))
   }
 
+  test("word_shingles matches concat_ws byte-for-byte, including null tokens") {
+    val s = spark
+    import s.implicits._
+    // concat_ws skips nulls (no separator emitted); word_shingles must too.
+    val df = Seq(1).toDF("id").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("toks"))
+    val got = df.select(
+      graft.functions.TextExpressions.wordShingles(col("toks"), 3).as("ws"),
+      concat_ws(" ", col("toks")(0), col("toks")(1), col("toks")(2)).as("cw0"),
+      concat_ws(" ", col("toks")(1), col("toks")(2), col("toks")(3)).as("cw1"))
+      .collect().head
+    assert(got.getSeq[String](0) == Seq(got.getString(1), got.getString(2)))
+    assert(got.getSeq[String](0) == Seq("a b", "b c"))
+  }
+
   test("text layer registered in SQL composes the same expressions as the Scala API") {
     val s = spark
     import s.implicits._

@@ -31,6 +31,8 @@ class MultimodalSpec extends SparkSpec {
       .map(x => x.doc_id -> x).toMap
     assert(t(1L).thumb.length == 32 && t(2L).thumb.length == 32)
     assert(t(1L).src_bytes == 400 && t(2L).src_bytes == 2)
+    // short payload: copied verbatim then zero-padded, never stretched
+    assert(t(2L).thumb.drop(2).forall(_ == 0))
     val again = MultimodalOps.resizeThumb(
       MultimodalOps.withMediaPayload(docs), thumbBytes = 32).collect()
       .map(x => x.doc_id -> x).toMap
