@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{HashExpressions, VecDotProduct, WordShingles}
+import graft.functions.{HashExpressions, NgramRepetition, VecDotProduct, WordShingles}
 import graft.operators.TextOps
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vec_cosine takes exactly 2 arguments")
         val (a, b) = (ColumnBridge.column(children.head), ColumnBridge.column(children(1)))
         ColumnBridge.eagerExpression(graft.operators.SimilarityOps.cosine(a, b))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_repetition"),
+      new ExpressionInfo(classOf[NgramRepetition].getName, "ngram_repetition"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ngram_repetition takes (tokens, n)")
+        NgramRepetition(children.head, litInt(children(1), "ngram_repetition n"))
       }))
     injectColumnFn(ext, "quality_score")(TextOps.qualityScore)
     injectColumnFn(ext, "lang_guess")(TextOps.langGuess)

@@ -723,7 +723,88 @@ object SparkEntry {
     "multimodal_resize" -> ((s, dir) =>
       MultimodalOps.resizeThumb(
         MultimodalOps.withMediaPayload(Tables.documents(s, dir))).toDF()
-        .select(col("doc_id"), col("src_bytes"), md5(col("thumb")).as("thumb_md5")))
+        .select(col("doc_id"), col("src_bytes"), md5(col("thumb")).as("thumb_md5"))),
+
+    // Gopher-style n-gram repetition quality signals, one custom-Expression
+    // loop per row (map-only at any scale — no n-gram explode/shuffle):
+    // fraction of characters in the most frequent 2-gram, fraction of
+    // characters covered by duplicated 5-grams.
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("chars"),
+          graft.functions.TextExpressions
+            .ngramRepetition(TextOps.tokens(col("text")), 2).as("r2"),
+          graft.functions.TextExpressions
+            .ngramRepetition(TextOps.tokens(col("text")), 5).as("r5"))
+        .select(col("doc_id"),
+          col("r2.top_gram").as("top_2gram"),
+          col("r2.top_freq").cast("int").as("top_2gram_freq"),
+          (col("r2.top_chars").cast("double") / col("chars")).as("top_2gram_frac"),
+          (col("r5.dup_chars").cast("double") / col("chars")).as("dup_5gram_frac"))),
+
+    // Cross-document duplicated spans: 5-grams present in >= 2 distinct docs
+    // (per-doc-distinct explode, then ONE shuffle keyed by the gram — the
+    // duplicated-passage detection shape that scales; never doc x doc).
+    "text_dup_spans" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir).select(
+        col("doc_id"),
+        explode(array_distinct(graft.functions.TextExpressions
+          .wordShingles(TextOps.tokens(col("text")), 5))).as("gram"))
+      RelationalOps.topK(
+        grams.groupBy("gram")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+          .where(col("n_docs") >= 2),
+        20, col("n_docs").desc, col("gram").asc)
+    }),
+
+    // Train/eval decontamination: train docs sharing an 8-gram with any
+    // eval doc (content-hash split, so exact dups never straddle splits —
+    // hits here are the planted near-duplicates).
+    "decontaminate" -> ((s, dir) =>
+      CurationOps.decontaminate(Tables.documents(s, dir).select("doc_id", "text"), n = 8)),
+
+    // Per-source document quota (domain balancing): keep at most 10 docs
+    // per source, selection ordered by content hash so the surviving set is
+    // deterministic, not scan-order luck.
+    "quota_per_source" -> ((s, dir) =>
+      CurationOps.quotaPerGroup(Tables.documents(s, dir), "source", 10)
+        .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))),
+
+    // Per-vector L2 norms via the codegen vec_dot Expression (exact
+    // float->double widening; sequential fold matches DuckDB's
+    // list_dot_product bit-exactly).
+    "embedding_norms" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"), col("label"),
+        round(SimilarityOps.norm(col("embedding")), 6).as("l2_norm"))),
+
+    // Large-volume orders (TPC-H Q18 shape): HAVING on an aggregate, then
+    // join the survivors back to orders/customer. The filtered aggregate is
+    // tiny, so AQE broadcasts it into both joins.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty")).where(col("sum_qty") > 150)
+      RelationalOps.topK(
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_totalprice").as("total_price"), col("sum_qty")),
+        20, col("total_price").desc, col("o_orderkey").asc)
+    }),
+
+    // Cheapest supplier per part observed in lineitem: the argmin-without-
+    // join pattern (lexicographic min(struct) — one aggregate shuffle; the
+    // oracle uses the equivalent agg + join-back formulation).
+    "q_cheapest_supplier" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(min(struct(
+          col("l_extendedprice").cast("decimal(18,2)").as("p"),
+          col("l_suppkey").as("s"))).as("m"))
+        .select(col("l_partkey"),
+          col("m.p").cast("double").as("min_price"),
+          col("m.s").as("supp")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -1275,6 +1356,82 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       md5(text) AS payload_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, length(text) AS chars,
+        |                  string_split_regex(text, '\s+') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+        |                 i -> array_to_string(w[i:i+1], ' '))) AS g FROM t),
+        |c2 AS (SELECT doc_id, g, count(*) AS f FROM g2 GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, g, f,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY f DESC, g) AS rk FROM c2),
+        |g5 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-4),
+        |                 i -> array_to_string(w[i:i+4], ' '))) AS g FROM t),
+        |c5 AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN f >= 2 THEN f * length(g) ELSE 0 END) AS BIGINT) AS dup_chars
+        |       FROM (SELECT doc_id, g, count(*) AS f FROM g5 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  COALESCE(p.g, '') AS top_2gram,
+        |  CAST(COALESCE(p.f, 0) AS INT) AS top_2gram_freq,
+        |  CAST(COALESCE(p.f * length(p.g), 0) AS DOUBLE) / t.chars AS top_2gram_frac,
+        |  CAST(COALESCE(c5.dup_chars, 0) AS DOUBLE) / t.chars AS dup_5gram_frac
+        |FROM t
+        |LEFT JOIN (SELECT * FROM top2 WHERE rk = 1) p USING (doc_id)
+        |LEFT JOIN c5 USING (doc_id)""".stripMargin,
+
+    "text_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5
+        |        THEN list_transform(generate_series(1, len(w)-4),
+        |                            i -> array_to_string(w[i:i+4], ' '))
+        |        ELSE [array_to_string(w, ' ')] END)) AS gram FROM t)
+        |SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM g GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |             CASE WHEN md5(text) < 'e6' THEN 'train' ELSE 'eval' END AS split,
+        |             string_split_regex(text, '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, split, unnest(list_distinct(CASE WHEN len(w) >= 8
+        |        THEN list_transform(generate_series(1, len(w)-7),
+        |                            i -> array_to_string(w[i:i+7], ' '))
+        |        ELSE [array_to_string(w, ' ')] END)) AS gram FROM t),
+        |e AS (SELECT DISTINCT gram FROM g WHERE split = 'eval')
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN e USING (gram) WHERE split = 'train' GROUP BY 1""".stripMargin,
+
+    "quota_per_source" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, rk, doc_id FROM r WHERE rk <= 10""".stripMargin,
+
+    "embedding_norms" ->
+      """SELECT vec_id, label,
+        |  ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        |FROM embeddings""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_totalprice AS total_price, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_cheapest_supplier" ->
+      """WITH m AS (SELECT l_partkey,
+        |             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS mp
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_partkey, CAST(m.mp AS DOUBLE) AS min_price,
+        |       min(l.l_suppkey) AS supp
+        |FROM lineitem l
+        |JOIN m ON l.l_partkey = m.l_partkey
+        |      AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = m.mp
+        |GROUP BY 1, 2""".stripMargin
   )
 }

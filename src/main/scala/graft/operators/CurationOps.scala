@@ -32,4 +32,38 @@ object CurationOps {
     }
     df.where(thresh.isNotNull && hex < thresh)
   }
+
+  /** Per-group document quota (e.g. cap any one domain/source at `k` docs —
+    * the domain-balance stage of a corpus build). Selection order inside a
+    * group is the content hash (then the key for ties), so WHICH k docs
+    * survive is deterministic and engine-independent, not an artifact of
+    * scan order. One shuffle on the group column; the per-group sort is
+    * bounded by the group size, and a rank ≤ k predicate over a window is
+    * AQE/skew-friendly (no driver involvement).
+    */
+  def quotaPerGroup(docs: DataFrame, group: String, k: Int,
+                    textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(md5(col(textCol)), col(keyCol))
+    docs.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Train/eval decontamination: train-split documents sharing at least one
+    * word `n`-gram with any eval-split document (the standard benchmark-
+    * overlap check run before training). Both sides explode to DISTINCT
+    * per-doc n-grams; the eval gram set is deduplicated and the overlap is
+    * a single equi-join on the gram — never a doc×doc comparison. Returns
+    * (doc_id, n_shared_grams) per contaminated train doc.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = withSplit(docs).select(
+      col("split"), col("doc_id"),
+      explode(array_distinct(
+        graft.functions.TextExpressions.wordShingles(TextOps.tokens(col("text")), n))).as("gram"))
+    val evalGrams = grams.where(col("split") === "eval").select("gram").distinct()
+    grams.where(col("split") === "train")
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

@@ -212,4 +212,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L).getAs[String]("bow") != out(3L).getAs[String]("bow"))
     assert(out(1L).getAs[String]("sh") != out(2L).getAs[String]("sh"))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("decontaminate flags a train doc sharing an 8-gram with an eval doc") {
+    // The split is md5(text) < 'e6' → train. Craft one train and one eval
+    // doc sharing exactly one 8-gram, plus an uncontaminated train doc.
+    val base = (1 to 8).map(i => s"w$i").mkString(" ")
+    def firstWith(prefix: String, train: Boolean): String =
+      Iterator.from(0).map(i => s"$base $prefix$i")
+        .find(t => (md5hex(t) < "e6") == train).get
+    val trainDoc = firstWith("alpha", train = true)
+    val evalDoc = firstWith("beta", train = false)
+    val cleanTrain = Iterator.from(0).map(i => (1 to 10).map(j => s"x${j}y$i").mkString(" "))
+      .find(t => md5hex(t) < "e6").get
+    val docs = docsDF((1L, trainDoc), (2L, evalDoc), (3L, cleanTrain))
+    val out = graft.operators.CurationOps.decontaminate(docs, n = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+  }
+
+  test("quotaPerGroup keeps exactly k docs per group, selected by content hash") {
+    val texts = (0 until 10).map(i => s"doc number $i with its own words")
+    val docs = docsDF(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t) }: _*).withColumn("source", (col("doc_id") % 2 === 0).cast("string"))
+    val kept = graft.operators.CurationOps
+      .quotaPerGroup(docs, "source", k = 3).collect()
+    assert(kept.length == 6)
+    // survivors are the 3 smallest content hashes per source, not scan order
+    val bySource = kept.groupBy(_.getAs[String]("source"))
+    for ((_, rows) <- bySource) {
+      assert(rows.length == 3)
+      val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+      val expected = texts.zipWithIndex
+        .filter { case (_, i) => rows.head.getAs[String]("source") == (i % 2 == 0).toString }
+        .sortBy { case (t, i) => (md5hex(t), i) }.take(3).map(_._2.toLong).toSet
+      assert(ids == expected)
+    }
+  }
 }

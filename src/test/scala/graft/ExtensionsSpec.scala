@@ -50,6 +50,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getSeq[String](0) == Seq("a b", "b c"))
   }
 
+  test("ngram_repetition: hand-computed stats, ties break lexicographically") {
+    val s = spark
+    import s.implicits._
+    // "a b a b a": 2-grams = [a b, b a, a b, b a] → f(a b)=2, f(b a)=2;
+    // tie → lexicographically smallest "a b"; top_chars = 2*3;
+    // dup_chars = 2*3 + 2*3; n_grams = 4.
+    val row = spark.sql(
+      "SELECT ngram_repetition(split('a b a b a', ' '), 2) AS r").select(
+      col("r.top_gram"), col("r.top_freq"), col("r.top_chars"),
+      col("r.dup_chars"), col("r.n_grams")).collect().head
+    assert(row.getString(0) == "a b" && row.getInt(1) == 2)
+    assert(row.getLong(2) == 6L && row.getLong(3) == 12L && row.getInt(4) == 4)
+    // doc shorter than n: zero grams, empty top gram, all counters zero
+    val short = spark.sql(
+      "SELECT ngram_repetition(split('solo', ' '), 2) AS r").select(
+      col("r.top_gram"), col("r.top_freq"), col("r.n_grams")).collect().head
+    assert(short.getString(0) == "" && short.getInt(1) == 0 && short.getInt(2) == 0)
+  }
+
   test("text layer registered in SQL composes the same expressions as the Scala API") {
     val s = spark
     import s.implicits._
