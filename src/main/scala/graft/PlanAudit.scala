@@ -11,7 +11,9 @@ object PlanAudit {
     val interesting = Seq(
       "a2_banded_extents", "q_mktseg_revenue", "q_topk", "q_asof_join",
       "minhash_neardup", "ann_topk_lsh", "q1_pricing", "q5_local_volume",
-      "q_semi_anti", "embedding_neardup", "a11_dispersion", "simhash_neardup")
+      "q_semi_anti", "embedding_neardup", "a11_dispersion", "simhash_neardup",
+      "decontaminate", "text_repetition", "text_dup_spans", "q18_big_orders",
+      "q_cheapest_supplier")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -49,7 +51,23 @@ object PlanAudit {
         p.contains("HashAggregate") && !p.contains("SortAggregate")
       }),
       ("simhash near-dup has no cartesian product",
-        !planOf("simhash_neardup").contains("CartesianProduct")))
+        !planOf("simhash_neardup").contains("CartesianProduct")),
+      ("decontamination is a gram equi-join, never doc x doc", {
+        val p = planOf("decontaminate")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      }),
+      ("repetition stats are map-only (no exchange at all)",
+        !planOf("text_repetition").contains("Exchange")),
+      ("dup spans read only (doc_id, text)",
+        planOf("text_dup_spans").contains("ReadSchema: struct<doc_id:bigint,text:string>")),
+      ("q18 joins the filtered agg without cartesian/NL join", {
+        val p = planOf("q18_big_orders")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      }),
+      ("cheapest-supplier argmin is one hash-agg, no self-join", {
+        val p = planOf("q_cheapest_supplier")
+        p.contains("HashAggregate") && !p.contains("Join")
+      }))
     checks.foreach { case (what, ok) =>
       println(f"${if (ok) "OK " else "BAD"} $what")
       if (!ok) bad += 1
