@@ -793,6 +793,28 @@ object SparkEntry {
         20, col("total_price").desc, col("o_orderkey").asc)
     }),
 
+    // ANN index-accuracy evaluation: recall@5 of the LSH and IVF paths
+    // against the exact brute-force ranking (rows-only — LSH/IVF are not
+    // SQL-expressible; recall floor pinned by unit test).
+    "ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = SimilarityOps.bruteTopK(qs, emb, 5)
+      SimilarityOps.recallAtK(SimilarityOps.lshTopK(qs, emb, 5), exact, 5)
+        .withColumn("method", lit("lsh"))
+        .unionByName(
+          SimilarityOps.recallAtK(SimilarityOps.ivfTopK(qs, emb, 5), exact, 5)
+            .withColumn("method", lit("ivf")))
+        .select("method", "q_id", "recall")
+    }),
+
+    // Ranked retrieval: log-free BM25 over the corpus for a fixed term set
+    // (rational-function scoring — bit-reproducible in ANSI SQL). Map-only
+    // scoring + one broadcast single-row stats agg + TakeOrdered top-k.
+    "text_bm25" -> ((s, dir) =>
+      SearchOps.bm25(Tables.documents(s, dir), Seq("spark", "join", "vector"), k = 15)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))),
+
     // Cheapest supplier per part observed in lineitem: the argmin-without-
     // join pattern (lexicographic min(struct) — one aggregate shuffle; the
     // oracle uses the equivalent agg + join-back formulation).
@@ -1422,6 +1444,32 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |d AS (SELECT doc_id,
+        |        CAST(len(w) AS DOUBLE) AS dl,
+        |        CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |        CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |        CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf2
+        |      FROM t),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) AS sumdl,
+        |        CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |        CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |        CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |      FROM d),
+        |sc AS (SELECT doc_id,
+        |  (((n - df0) + 0.5) / (df0 + 0.5)) *
+        |    ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
+        |+ (((n - df1) + 0.5) / (df1 + 0.5)) *
+        |    ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
+        |+ (((n - df2) + 0.5) / (df2 + 0.5)) *
+        |    ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
+        |  AS score FROM d, s)
+        |SELECT doc_id, ROUND(score, 6) AS score FROM (
+        |  SELECT doc_id, score FROM sc
+        |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15) q""".stripMargin,
 
     "q_cheapest_supplier" ->
       """WITH m AS (SELECT l_partkey,

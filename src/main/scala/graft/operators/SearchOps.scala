@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked text retrieval over the corpus: BM25 scoring for a fixed term
+  * set — the "find the best training examples for X" query shape.
+  *
+  * The score is the standard BM25 form with the log dropped from the IDF
+  * term (a monotone transform per term, so single-term rankings are
+  * unchanged and multi-term rankings weight rarity more aggressively):
+  *
+  *   score(d) = Σ_t  ((N - df_t) + 0.5) / (df_t + 0.5)
+  *              · tf · (k1 + 1) / (tf + k1 · (1 - b + b · dl / avgdl))
+  *
+  * Log-free keeps every factor a rational function of exact integer counts
+  * — each IEEE multiply/divide is deterministic, so the whole score is
+  * bit-reproducible in ANSI SQL for the oracle (ln/log are library calls
+  * with no cross-engine bit guarantee; +0.5 terms also make df = N safe).
+  *
+  * Scale shape: one pass computes per-doc term frequencies map-side
+  * (`size(tokens) - size(array_remove(tokens, term))` — codegen'd
+  * collection ops, no explode); ONE single-row aggregate produces
+  * (N, Σdl, df_t...) and is broadcast back; scoring is map-only; the
+  * top-k is TakeOrderedAndProject. Nothing shuffles the corpus.
+  */
+object SearchOps {
+
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 15,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val toks = TextOps.tokens(col("text"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      (size(toks) - size(array_remove(toks, lit(t)))).cast("double").as(s"tf$i")
+    }
+    val perDoc = docs.select(
+      col("doc_id") +: size(toks).cast("double").as("dl") +: tfCols: _*)
+
+    val statCols =
+      count(lit(1)).cast("double").as("n") +:
+      sum(col("dl").cast("long")).cast("double").as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+
+    // Every factor below is written with explicit parentheses and the same
+    // association order as the oracle SQL — IEEE ops are deterministic only
+    // if both engines evaluate the identical expression tree.
+    def contrib(i: Int): Column = {
+      val idf = ((col("n") - col(s"df$i")) + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      val tfn = (col(s"tf$i") * (lit(k1) + lit(1.0))) /
+        (col(s"tf$i") + lit(k1) * ((lit(1.0) - lit(b)) +
+          lit(b) * col("dl") / (col("sumdl") / col("n"))))
+      idf * tfn
+    }
+    val score = terms.indices.map(contrib).reduceLeft(_ + _)
+
+    RelationalOps.topK(
+      perDoc.crossJoin(broadcast(stats))
+        .select(col("doc_id"), score.as("score"))
+        .where(col("score") > 0),
+      k, col("score").desc, col("doc_id").asc)
+  }
+}

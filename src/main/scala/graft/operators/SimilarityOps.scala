@@ -164,4 +164,18 @@ object SimilarityOps {
       .where(col("score") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }
+
+  /** Recall@k of an approximate ANN result against the exact brute-force
+    * ranking — the accuracy gate to run before switching an index variant
+    * on. Both inputs are (q_id, c_id, ...) top-k frames; the overlap is a
+    * semi join on the tiny result sets (never touches the vectors).
+    * Returns (q_id, recall) with recall = |approx ∩ exact| / k. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    exact.select(col("q_id"), col("c_id"))
+      .join(approx.select(col("q_id"), col("c_id")).withColumn("__hit", lit(1)),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      // left join (not semi) so a query whose approx set misses everything
+      // still reports recall 0.0 rather than vanishing from the eval.
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / k).as("recall"))
 }

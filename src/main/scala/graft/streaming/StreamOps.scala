@@ -240,6 +240,16 @@ object StreamOps {
         col("r_ts") <= col("ts"))
   }
 
+  /** Stream-static enrichment: join each streaming sample to a (small)
+    * static dimension table — channel metadata, display config, unit
+    * conversions. The static side is explicitly `broadcast()`: every
+    * micro-batch maps over the stream with a hash lookup, no state store
+    * and no stream-side shuffle, which is the only posture that holds when
+    * the stream side is unbounded. Left join so samples with no dimension
+    * row survive (enrichment must never drop data). */
+  def enrichStream(samples: DataFrame, dim: DataFrame, key: String): DataFrame =
+    samples.join(broadcast(dim), Seq(key), "left")
+
   /** Message hygiene for at-least-once transports: drop re-deliveries of
     * the same (source, metric, ts) sample. `dropDuplicatesWithinWatermark`
     * keeps dedup state only within the watermark horizon — bounded state,

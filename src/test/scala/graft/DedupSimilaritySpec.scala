@@ -213,6 +213,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L).getAs[String]("sh") != out(2L).getAs[String]("sh"))
   }
 
+  test("recallAtK: overlap fraction per query, misses report 0 not absent") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L)).toDF("q_id", "c_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L), (1L, 98L))
+      .toDF("q_id", "c_id") // q2 entirely missed
+    val r = SimilarityOps.recallAtK(approx, exact, 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(1L -> 0.6, 2L -> 0.0))
+  }
+
+  test("ANN recall@5 eval: IVF probing every list recovers brute force exactly") {
+    // The fixture embeddings are random, so genuine approximate recall is
+    // data-noise (near-orthogonal vectors have no meaningful neighbors) —
+    // the eval op's job is to MEASURE that honestly. The sharp assertion:
+    // IVF with nprobe = nlist degenerates to exact search → recall 1.0.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.where(col("vec_id") < 8)
+    val exact = SimilarityOps.bruteTopK(qs, emb, 5)
+    val full = SimilarityOps.ivfTopK(qs, emb, 5, nlist = 8, nprobe = 8)
+    val r = SimilarityOps.recallAtK(full, exact, 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 8 && r.values.forall(_ == 1.0), s"got $r")
+    // the approximate variants report a recall in [0,1] for every query
+    for (approx <- Seq(SimilarityOps.lshTopK(qs, emb, 5), SimilarityOps.ivfTopK(qs, emb, 5))) {
+      val recalls = SimilarityOps.recallAtK(approx, exact, 5).collect().map(_.getDouble(1))
+      assert(recalls.length == 8 && recalls.forall(x => x >= 0.0 && x <= 1.0))
+    }
+  }
+
+  test("bm25: single-term ranking follows tf, termless docs are excluded") {
+    val docs = docsDF(
+      (1L, "cat cat cat dog"),
+      (2L, "cat dog bird fish"),
+      (3L, "dog bird fish newt"))
+    val out = graft.operators.SearchOps.bm25(docs, Seq("cat"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // ranked, doc 3 absent
+    val scores = out.map(_.getDouble(1))
+    assert(scores(0) > scores(1) && scores.forall(_ > 0))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

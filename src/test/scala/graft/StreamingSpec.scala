@@ -197,6 +197,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("r_value") == 1.0)
   }
 
+  test("stream-static enrichment joins dimension rows, keeps unmatched samples") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val dim = Seq(("s1", "celsius"), ("s2", "hpa")).toDF("source", "unit")
+    val enriched = StreamOps.enrichStream(in.toDS().toDF(), dim, "source")
+    val q = startMemQuery(enriched, "t_enrich", "append")
+    in.addData(
+      StreamSample(new Timestamp(1000), "s1", "m", 1.0),
+      StreamSample(new Timestamp(2000), "s3", "m", 2.0)) // no dim row
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_enrich").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("unit")).toMap
+    assert(rows == Map("s1" -> "celsius", "s3" -> null))
+  }
+
   test("watermarked stream dedup drops re-delivered samples, keeps distinct ones") {
     val s = spark
     import s.implicits._
