@@ -815,6 +815,27 @@ object SparkEntry {
       SearchOps.bm25(Tables.documents(s, dir), Seq("spark", "join", "vector"), k = 15)
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
 
+    // OHLC candlestick bars per metric/day — the downsampled trend-display
+    // rendering (open/close picked deterministically at bucket boundaries).
+    "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
+
+    // Diurnal (hour-of-day) seasonality profile per metric.
+    "a19_diurnal" -> ((s, dir) => TrendOps.diurnalProfile(series(s, dir))),
+
+    // Analytic-window breadth: quartile bucket, percent_rank, cume_dist and
+    // running first per metric — all rational functions of ranks/counts, so
+    // fully oracle-checkable.
+    "q_window_stats" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("metric").orderBy(col("e"), col("event_id"))
+      series(s, dir).select(
+        col("metric"), col("event_id"), col("e"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first("value").over(w).as("first_val"))
+    }),
+
     // Cheapest supplier per part observed in lineitem: the argmin-without-
     // join pattern (lexicographic min(struct) — one aggregate shuffle; the
     // oracle uses the equivalent agg + join-back formulation).
@@ -1470,6 +1491,42 @@ object SparkEntry {
         |SELECT doc_id, ROUND(score, 6) AS score FROM (
         |  SELECT doc_id, score FROM sc
         |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15) q""".stripMargin,
+
+    "a18_ohlc" ->
+      s"""WITH $SERIES,
+         |b AS (SELECT metric, e - (e % 86400) AS bucket_start, e, value FROM series),
+         |g AS (SELECT metric, bucket_start, count(*) AS n,
+         |             max(value) AS high, min(value) AS low,
+         |             min(e) AS first_e, max(e) AS last_e
+         |      FROM b GROUP BY 1, 2),
+         |o AS (SELECT b.metric, b.bucket_start, min(b.value) AS open
+         |      FROM b JOIN g ON b.metric = g.metric AND b.bucket_start = g.bucket_start
+         |                   AND b.e = g.first_e GROUP BY 1, 2),
+         |c AS (SELECT b.metric, b.bucket_start, max(b.value) AS close
+         |      FROM b JOIN g ON b.metric = g.metric AND b.bucket_start = g.bucket_start
+         |                   AND b.e = g.last_e GROUP BY 1, 2)
+         |SELECT g.metric, g.bucket_start, g.n, o.open, g.high, g.low, c.close
+         |FROM g
+         |JOIN o ON g.metric = o.metric AND g.bucket_start = o.bucket_start
+         |JOIN c ON g.metric = c.metric AND g.bucket_start = c.bucket_start""".stripMargin,
+
+    "a19_diurnal" ->
+      s"""WITH $SERIES
+         |SELECT metric, CAST((e % 86400) // 3600 AS INT) AS hour_of_day,
+         |       count(*) AS n,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val,
+         |       min(value) AS min_val, max(value) AS max_val
+         |FROM series GROUP BY 1, 2""".stripMargin,
+
+    "q_window_stats" ->
+      s"""WITH $SERIES
+         |SELECT metric, event_id, e,
+         |  ntile(4) OVER w AS quartile,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume,
+         |  first_value(value) OVER w AS first_val
+         |FROM series
+         |WINDOW w AS (PARTITION BY metric ORDER BY e, event_id)""".stripMargin,
 
     "q_cheapest_supplier" ->
       """WITH m AS (SELECT l_partkey,

@@ -409,4 +409,34 @@ object TrendOps {
         max("e").as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** OHLC candlestick bars per (metric, time bucket) — the downsampled
+    * rendering every trend display draws from. Open/close are the values at
+    * the bucket's first/last timestamp, picked via lexicographic
+    * `min/max(struct(e, value))` so timestamp ties resolve deterministically
+    * (min value for open, max for close — the same agg+join-back-replicable
+    * contract as A1). One hash-aggregate shuffle on (metric, bucket). */
+  def ohlcBars(series: DataFrame, bucketSeconds: Long = 86400L): DataFrame =
+    series
+      .withColumn("bucket_start", col("e") - (col("e") % bucketSeconds))
+      .groupBy("metric", "bucket_start")
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("e"), col("value"))).getField("value").as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(struct(col("e"), col("value"))).getField("value").as("close"))
+
+  /** Diurnal profile: per-metric value statistics by hour of day — the
+    * seasonality view over the full horizon. Exact-decimal mean keeps the
+    * output bit-deterministic (same contract as A4). */
+  def diurnalProfile(series: DataFrame): DataFrame =
+    series
+      .withColumn("hour_of_day", (pmod(col("e"), lit(86400L)) / lit(3600L)).cast("int"))
+      .groupBy("metric", "hour_of_day")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("mean_val"),
+        min("value").as("min_val"),
+        max("value").as("max_val"))
 }
