@@ -33,6 +33,13 @@ object PlanAudit {
     }.toMap
     // Targeted assertions over the plans computed above (one planning pass each)
     def planOf(n: String) = plans(n)
+    // Executes the query (sf is tiny here) so AQE finalizes stages, then
+    // returns the runtime plan — the only place ReusedExchange shows up.
+    def finalPlanOf(n: String): String = {
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
     val checks = Seq(
       ("a2 anchors broadcast", planOf("a2_banded_extents").contains("BroadcastHashJoin")),
       ("mktseg joins broadcast dims", planOf("q_mktseg_revenue").contains("BroadcastHashJoin")),
@@ -64,10 +71,24 @@ object PlanAudit {
         val p = planOf("q18_big_orders")
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
       }),
-      ("cheapest-supplier argmin is one hash-agg, no self-join", {
+      ("cheapest-supplier argmin is one aggregate, no self-join", {
+        // min(struct(...)) carries a struct agg buffer, which hash agg
+        // cannot hold in its mutable row — Spark falls back to
+        // SortAggregate. Still a single-pass agg with ONE exchange and no
+        // join-back, which is the property this query demonstrates.
         val p = planOf("q_cheapest_supplier")
-        p.contains("HashAggregate") && !p.contains("Join")
-      }))
+        p.contains("Aggregate") && !p.contains("Join")
+      }),
+      // The LSH self-joins must compute their signature stage ONCE. The
+      // shuffle-join hint makes both sides identical exchanges; under AQE
+      // the reuse only materializes at runtime, so these assertions drive
+      // the query and inspect the final adaptive plan.
+      ("minhash self-join reuses the signature exchange",
+        finalPlanOf("minhash_neardup").contains("ReusedExchange")),
+      ("simhash self-join reuses the signature exchange",
+        finalPlanOf("simhash_neardup").contains("ReusedExchange")),
+      ("embedding near-dup reuses the bucket exchange",
+        finalPlanOf("embedding_neardup").contains("ReusedExchange")))
     checks.foreach { case (what, ok) =>
       println(f"${if (ok) "OK " else "BAD"} $what")
       if (!ok) bad += 1

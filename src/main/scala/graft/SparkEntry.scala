@@ -257,6 +257,11 @@ object SparkEntry {
         .withColumn("avg_qty", col("sum_qty") / col("n_rows"))),
 
     // 3-way join (broadcastable dims) → revenue per market segment/status.
+    // countDistinct plans an Expand (2× rows into the shuffle), but the
+    // measured alternative — a per-orderkey pre-aggregate feeding a plain
+    // count — was ~25% SLOWER at sf0.1 (the 150k-key partial-agg shuffle
+    // costs more than Expand's doubled-but-tiny-grouped stream), so the
+    // Expand formulation stands.
     "q_mktseg_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))

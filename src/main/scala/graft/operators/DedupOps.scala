@@ -65,8 +65,15 @@ object DedupOps {
     // stays codegen'd, and each band hashes its slice exactly once.
     val bandCols = array((0 until bands).map(b =>
       hash(lit(1), slice(col("sig"), b * r + 1, r))): _*)
+    // SHUFFLE_HASH on the self-join: both sides then shuffle on the same
+    // (band_idx, band_sig) key with identical subplans, so Catalyst's
+    // ReusedExchange computes the signature+banding stage ONCE. The default
+    // broadcast plan has no exchange to reuse and runs that stage twice —
+    // and a broadcast of the full banded relation is impossible at cluster
+    // scale anyway (it is the corpus, not a dim).
     val banded = sig.select(col("doc_id"), posexplode(bandCols))
       .toDF("doc_id", "band_idx", "band_sig")
+      .hint("SHUFFLE_HASH")
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -119,13 +126,27 @@ object DedupOps {
       // The changed flag rides along in the same projection, so convergence
       // detection is a cheap filter over the checkpointed round result —
       // not a second labels-vs-labels join job per round.
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(labels("doc_id"), newLabel.as("label"),
           (newLabel =!= labels("label")).as("__changed"))
         .localCheckpoint(true)
-      converged = updated.where(col("__changed")).isEmpty
-      labels = updated.drop("__changed")
+      // Pointer-jump (path-halving): label := label's label. One extra
+      // self-join per round turns O(diameter) rounds into O(log diameter) —
+      // the large-star/small-star convergence shape. The lookup side joins
+      // on the checkpointed `stepped`, so nothing recomputes.
+      val lookup = stepped.select(
+        col("doc_id").as("__l_id"), col("label").as("__l_label"))
+      val jumped = stepped
+        .join(lookup, stepped("label") === col("__l_id"), "left")
+        .select(stepped("doc_id"),
+          coalesce(col("__l_label"), stepped("label")).as("label"),
+          (col("__changed") ||
+            coalesce(col("__l_label"), stepped("label")) =!= stepped("label"))
+            .as("__changed"))
+        .localCheckpoint(true)
+      converged = jumped.where(col("__changed")).isEmpty
+      labels = jumped.drop("__changed")
       i += 1
     }
     if (!converged)
@@ -175,8 +196,11 @@ object DedupOps {
     val sigs = simHashSignatures(docs)
     val chunkCols = array((0 until chunks).map(c =>
       shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))): _*)
+    // Same exchange-reuse shape as [[minHashCandidates]]: shuffle self-join
+    // on (chunk_idx, chunk_sig) so the signature stage computes once.
     val blocked = sigs.select(col("doc_id"), col("sig"), posexplode(chunkCols))
       .toDF("doc_id", "sig", "chunk_idx", "chunk_sig")
+      .hint("SHUFFLE_HASH")
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     a.join(b,

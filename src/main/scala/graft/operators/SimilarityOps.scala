@@ -148,9 +148,14 @@ object SimilarityOps {
     // Same bucket shape as lshTopK: one custom-expression loop per row.
     val staged = vectors.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("vn", norm(col("v")))
+    // SHUFFLE_HASH self-join on (tbl, bkt): identical shuffle subplans on
+    // both sides → ReusedExchange computes the bucket stage once (the
+    // default broadcast plan recomputes it per side, and broadcasting the
+    // full bucketed corpus is not a cluster-scale option).
     val b = staged.select(col("vec_id"), col("v"), col("vn"),
       posexplode(graft.functions.HashExpressions.hyperplaneBuckets(col("v"), planes)))
       .toDF("vec_id", "v", "vn", "tbl", "bkt")
+      .hint("SHUFFLE_HASH")
     val l = b.alias("l")
     val r = b.alias("r")
     l.join(r,
