@@ -827,6 +827,26 @@ object SparkEntry {
     // Diurnal (hour-of-day) seasonality profile per metric.
     "a19_diurnal" -> ((s, dir) => TrendOps.diurnalProfile(series(s, dir))),
 
+    // CUSUM changepoint screen per metric (exact-arithmetic breach flag).
+    "a20_cusum" -> ((s, dir) =>
+      TrendOps.cusum(series(s, dir), threshold = 50.0)
+        .select(col("metric"), col("event_id"), col("e"),
+          round(col("cusum"), 6).as("cusum"), col("breach"))),
+
+    // Sequence packing: concat-and-chunk training-stream layout.
+    "pack_sequences" -> ((s, dir) =>
+      CurationOps.packSequences(Tables.documents(s, dir), 2048L, 8)),
+
+    // Top-5 TF-IDF keywords per document (log-free rational scoring).
+    "text_tfidf" -> ((s, dir) =>
+      SearchOps.tfidfTopTerms(Tables.documents(s, dir), 5)),
+
+    // Lloyd's k-means refinement over embeddings (rows-only: the iterative
+    // model fit is not one SQL statement; determinism + planted-cluster
+    // behavior pinned by unit tests).
+    "kmeans_assign" -> ((s, dir) =>
+      SimilarityOps.kmeansAssign(Tables.embeddings(s, dir), nClusters = 8, iters = 3)),
+
     // Analytic-window breadth: quartile bucket, percent_rank, cume_dist and
     // running first per metric — all rational functions of ranks/counts, so
     // fully oracle-checkable.
@@ -1532,6 +1552,51 @@ object SparkEntry {
          |  first_value(value) OVER w AS first_val
          |FROM series
          |WINDOW w AS (PARTITION BY metric ORDER BY e, event_id)""".stripMargin,
+
+    // Same exact-arithmetic shape as the Spark side: n·cusum stays in
+    // decimal, the breach compare is exact, and the reported double is one
+    // division at the end.
+    "a20_cusum" ->
+      s"""WITH $SERIES,
+         |d AS (SELECT metric, event_id, e, CAST(value AS DECIMAL(18,2)) AS vd FROM series),
+         |w AS (SELECT metric, event_id, e,
+         |        count(*) OVER (PARTITION BY metric) AS n,
+         |        sum(vd) OVER (PARTITION BY metric) AS total,
+         |        CAST(row_number() OVER o AS BIGINT) AS k,
+         |        sum(vd) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id)),
+         |s AS (SELECT metric, event_id, e, n, n * cum - k * total AS scaled FROM w)
+         |SELECT metric, event_id, e,
+         |       round(CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
+         |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
+         |FROM s""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS grp,
+        |             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, grp, n_tokens,
+        |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |      FROM t)
+        |SELECT doc_id, grp, CAST(start_offset // 2048 AS BIGINT) AS bin, start_offset, n_tokens
+        |FROM c""".stripMargin,
+
+    // tf·N exact integer product, ONE double division — bit-reproducible.
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, tf.term,
+        |         CAST(tf * n.n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |       FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, term) AS BIGINT) AS rk
+        |      FROM sc)
+        |SELECT doc_id, rk, term, round(score, 6) AS score FROM r WHERE rk <= 5""".stripMargin,
 
     "q_cheapest_supplier" ->
       """WITH m AS (SELECT l_partkey,

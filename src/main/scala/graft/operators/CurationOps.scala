@@ -48,6 +48,35 @@ object CurationOps {
     docs.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Sequence packing: assign every document a position in a fixed-capacity
+    * token stream — the concat-and-chunk layout an LLM training run reads
+    * (documents are concatenated per group and the stream is cut into
+    * `capacityTokens` chunks; a doc's `bin` is the chunk where it starts).
+    *
+    * The stream order inside a group is doc_id, and grouping is
+    * `doc_id % nGroups` — both reproducible in ANSI SQL, so the whole
+    * layout is oracle-checkable. Scale shape: the running offset is a
+    * windowed sum PARTITIONED by group (never a global single-task
+    * order-by); `nGroups` is the writer parallelism — at cluster scale one
+    * group ≈ one output shard stream.
+    *
+    * @return (doc_id, grp, bin, start_offset, n_tokens)
+    */
+  def packSequences(docs: DataFrame, capacityTokens: Long = 2048L,
+                    nGroups: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nGroups.toLong)).as("grp"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("grp"),
+        floor(col("start_offset") / lit(capacityTokens)).as("bin"),
+        col("start_offset"), col("n_tokens"))
+  }
+
   /** Train/eval decontamination: train-split documents sharing at least one
     * word `n`-gram with any eval-split document (the standard benchmark-
     * overlap check run before training). Both sides explode to DISTINCT

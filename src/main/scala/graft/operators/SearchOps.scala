@@ -61,4 +61,37 @@ object SearchOps {
         .where(col("score") > 0),
       k, col("score").desc, col("doc_id").asc)
   }
+
+  /** Top-`k` TF-IDF keywords per document — the corpus-wide keyword /
+    * topic-signal extraction stage. Log-free IDF (tf · N / df): a single
+    * exact-integer product followed by ONE double division keeps the score
+    * bit-reproducible in ANSI SQL (same rationale as [[bm25]]).
+    *
+    * Scale shape: explode → (doc, term) count → term doc-frequency — two
+    * aggregate shuffles keyed by (doc_id, term) and (term); the corpus
+    * total is a broadcast scalar; the per-doc rank partitions by doc_id.
+    * No global sort, nothing collects.
+    *
+    * @return (doc_id, rk, term, score)
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, term), so doc frequency is a plain
+    // count — no countDistinct Expand.
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(df_, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * col("n")).cast("double") / col("df").cast("double"))
+          .as("score"))
+    RelationalOps.topNPerGroup(scored, k,
+        Seq(col("doc_id")), Seq(col("score").desc, col("term").asc))
+      .select(col("doc_id"), col("rk"), col("term"),
+        round(col("score"), 6).as("score"))
+  }
 }

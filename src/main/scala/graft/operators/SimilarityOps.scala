@@ -170,6 +170,55 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }
 
+  /** Lloyd's k-means over the embedding column with inner-product
+    * assignment (the refinement step [[ivfTopK]]'s doc promises): start
+    * from the deterministic lowest-vec_id seeds, then alternate
+    * assign-to-nearest-centroid / recompute-centroid-means for `iters`
+    * rounds, and return the final assignment.
+    *
+    * Everything is deterministic: assignment ties break by centroid index
+    * ([[graft.functions.HashExpressions.TopCentroids]]), and centroid means
+    * are exact decimal sums per (cluster, component) divided once — so the
+    * result is independent of partitioning and shuffle order, like every
+    * other op in the engine.
+    *
+    * Scale shape per round: assignment is map-only (one codegen'd dot per
+    * centroid); the update is ONE aggregate shuffle keyed by
+    * (cluster, component) whose result is nClusters × dim rows — a tiny
+    * driver collect of the MODEL, never the data.
+    *
+    * @return (vec_id, cluster_id)
+    */
+  def kmeansAssign(vectors: DataFrame, nClusters: Int = 8, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    var cents: Array[Array[Double]] = vectors
+      .orderBy("vec_id").limit(nClusters)
+      .select(vecD(col("embedding")).as("v"))
+      .collect()
+      .map { case r: Row => r.getSeq[Double](0).toArray }
+    def assign(c: Array[Array[Double]]): DataFrame =
+      vectors.select(col("vec_id"),
+        element_at(graft.functions.HashExpressions.topCentroids(
+          col("embedding"), c, 1), 1).as("cluster_id"),
+        col("embedding"))
+    for (_ <- 1 to iters) {
+      val updated = assign(cents)
+        .select(col("cluster_id"), posexplode(vecD(col("embedding"))))
+        .toDF("cluster_id", "pos", "x")
+        .groupBy("cluster_id", "pos")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      // A cluster that lost every member keeps its previous centroid.
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    assign(cents).select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact brute-force
     * ranking — the accuracy gate to run before switching an index variant
     * on. Both inputs are (q_id, c_id, ...) top-k frames; the overlap is a

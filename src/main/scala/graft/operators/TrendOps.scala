@@ -427,6 +427,34 @@ object TrendOps {
         min("value").as("low"),
         max(struct(col("e"), col("value"))).getField("value").as("close"))
 
+  /** CUSUM drift detection: per-metric cumulative sum of deviations from
+    * the metric's own mean, flagging points where |cusum| exceeds
+    * `threshold` (in value units) — the classic changepoint screen over a
+    * trend series.
+    *
+    * Determinism contract: the mean is never materialized as a rounded
+    * division. With n = per-metric count and T = exact decimal total,
+    * n·cusum_k = n·Σ_{i≤k} v_i − k·T — all integer/decimal arithmetic, so
+    * the breach flag (|n·cusum_k| > n·threshold) is EXACT, and the reported
+    * `cusum` double is one deterministic division at the end. Both windows
+    * partition by metric — no global sort anywhere. */
+  def cusum(series: DataFrame, threshold: Double = 50.0): DataFrame = {
+    val byMetric = Window.partitionBy("metric")
+    val wOrd = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))
+    val thr = lit(BigDecimal(threshold).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    series
+      .withColumn("__vd", col("value").cast("decimal(18,2)"))
+      .withColumn("__n", count(lit(1)).over(byMetric))
+      .withColumn("__total", sum("__vd").over(byMetric))
+      .withColumn("__k", row_number().over(wOrd).cast("long"))
+      .withColumn("__cum", sum("__vd").over(wOrd))
+      .withColumn("__scaled", col("__n") * col("__cum") - col("__k") * col("__total"))
+      .select(
+        col("metric"), col("event_id"), col("e"),
+        (col("__scaled").cast("double") / col("__n").cast("double")).as("cusum"),
+        (abs(col("__scaled")) > col("__n") * thr).as("breach"))
+  }
+
   /** Diurnal profile: per-metric value statistics by hour of day — the
     * seasonality view over the full horizon. Exact-decimal mean keeps the
     * output bit-deterministic (same contract as A4). */

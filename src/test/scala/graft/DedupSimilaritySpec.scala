@@ -293,4 +293,59 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(ids == expected)
     }
   }
+
+  test("sequence packing: running offsets and a chunk-boundary bin step") {
+    val docs = docsDF(
+      (0L, "a b c d"),        // 4 tokens, starts at 0, bin 0
+      (1L, "a b c d e f"),    // 6 tokens, starts at 4, bin 0
+      (2L, "x y z"))          // starts at 10 == capacity -> bin 1
+    val out = graft.operators.CurationOps.packSequences(docs, capacityTokens = 10L, nGroups = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("grp"), r.getAs[Long]("bin"),
+          r.getAs[Long]("start_offset"), r.getAs[Long]("n_tokens"))).toMap
+    assert(out(0L) == ((0L, 0L, 0L, 4L)))
+    assert(out(1L) == ((0L, 0L, 4L, 6L)))
+    assert(out(2L) == ((0L, 1L, 10L, 3L)))
+  }
+
+  test("TF-IDF ranks rare terms above ubiquitous ones per doc") {
+    val docs = docsDF(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana"))
+    // N=3; df: apple 1, banana 3, cherry 1
+    // doc1: apple 2*3/1=6, banana 1*3/3=1; doc2: cherry 3, banana 1
+    val rows = graft.operators.SearchOps.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("score"))).toMap
+    assert(rows((1L, 1L)) == (("apple", 6.0)))
+    assert(rows((1L, 2L)) == (("banana", 1.0)))
+    assert(rows((2L, 1L)) == (("cherry", 3.0)))
+    assert(rows((3L, 1L)) == (("banana", 1.0)))
+  }
+
+  test("k-means separates planted clusters and is run-to-run deterministic") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    def around(c: Array[Float]): Array[Float] =
+      c.map(x => x + rng.nextGaussian().toFloat * 0.1f)
+    val a = Array(10f, 0f, 0f, 0f)
+    val b = Array(0f, 10f, 0f, 0f)
+    // vec 0 near a, vec 1 near b (the two deterministic seeds), then mixed.
+    val vecs = (Seq(0L -> around(a), 1L -> around(b)) ++
+      (2 until 12).map(i => i.toLong -> around(if (i % 2 == 0) a else b)))
+      .toDF("vec_id", "embedding")
+    def run() = graft.operators.SimilarityOps.kmeansAssign(vecs, nClusters = 2, iters = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val got = run()
+    val clusterA = got(0L)
+    val clusterB = got(1L)
+    assert(clusterA != clusterB)
+    (2 until 12).foreach { i =>
+      assert(got(i.toLong) == (if (i % 2 == 0) clusterA else clusterB), s"vec $i")
+    }
+    assert(run() == got) // deterministic across runs
+  }
 }

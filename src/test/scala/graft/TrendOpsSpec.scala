@@ -189,4 +189,33 @@ class TrendOpsSpec extends SparkSpec {
     val ungated = TrendOps.rateMetrics(df, 60L).collect()
     assert(ungated.length == 2)
   }
+
+  test("CUSUM tracks deviation from the metric mean and flags a level shift") {
+    // mean = 5: values 4,6,4,6 stay near 0; then a +10 shift accumulates.
+    val df = seriesDF(
+      ("m", 1L, 4.0), ("m", 2L, 6.0), ("m", 3L, 4.0), ("m", 4L, 6.0),
+      ("m", 5L, 15.0), ("m", 6L, 15.0), ("m", 7L, 15.0), ("m", 8L, 15.0))
+    // mean = 80/8 = 10; cusum_k = sum(v_i - 10) for i<=k
+    val expect = Map(1L -> -6.0, 2L -> -10.0, 3L -> -16.0, 4L -> -20.0,
+      5L -> -15.0, 6L -> -10.0, 7L -> -5.0, 8L -> 0.0)
+    val rows = TrendOps.cusum(df, threshold = 12.0).collect()
+      .map(r => r.getAs[Long]("e") ->
+        (r.getAs[Double]("cusum"), r.getAs[Boolean]("breach"))).toMap
+    expect.foreach { case (e, c) => assert(rows(e)._1 == c, s"cusum at e=$e") }
+    assert(rows.filter(_._2._2).keySet == Set(3L, 4L, 5L)) // |cusum| > 12
+  }
+
+  test("OHLC bars pick first/last values with deterministic tie-breaks") {
+    val df = seriesDF(
+      ("m", 0L, 2.0), ("m", 0L, 1.0),   // tied open timestamp: min value wins
+      ("m", 50L, 9.0), ("m", 100L, 3.0),
+      ("m", 100L, 4.0),                 // tied close timestamp: max value wins
+      ("m", 86400L, 7.0))               // next day's bar
+    val bars = TrendOps.ohlcBars(df, 86400L).collect()
+      .map(r => r.getAs[Long]("bucket_start") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"))).toMap
+    assert(bars(0L) == ((5L, 1.0, 9.0, 1.0, 4.0)))
+    assert(bars(86400L) == ((1L, 7.0, 7.0, 7.0, 7.0)))
+  }
 }
