@@ -13,7 +13,7 @@ object PlanAudit {
       "minhash_neardup", "ann_topk_lsh", "q1_pricing", "q5_local_volume",
       "q_semi_anti", "embedding_neardup", "a11_dispersion", "simhash_neardup",
       "decontaminate", "text_repetition", "text_dup_spans", "q18_big_orders",
-      "q_cheapest_supplier")
+      "q_cheapest_supplier", "a20_cusum", "pack_sequences", "text_tfidf")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -83,6 +83,19 @@ object PlanAudit {
       // shuffle-join hint makes both sides identical exchanges; under AQE
       // the reuse only materializes at runtime, so these assertions drive
       // the query and inspect the final adaptive plan.
+      ("cusum windows partition by metric (no global sort)", {
+        val p = planOf("a20_cusum")
+        !p.contains("Sort [e#") && p.contains("hashpartitioning(metric")
+      }),
+      ("sequence packing shuffles on the group key, not a global order", {
+        val p = planOf("pack_sequences")
+        p.contains("hashpartitioning(grp") && !p.contains("rangepartitioning")
+      }),
+      ("tfidf has no cartesian/NL join on the corpus", {
+        val p = planOf("text_tfidf")
+        !p.contains("CartesianProduct") &&
+          "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 // scalar N only
+      }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),
       ("simhash self-join reuses the signature exchange",

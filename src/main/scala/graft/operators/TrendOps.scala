@@ -339,17 +339,25 @@ object TrendOps {
     * Grid generation is per-metric `sequence` + explode — no driver loop;
     * the fill is one window scan per metric partition. */
   def resampleFfill(series: DataFrame, stepSeconds: Long): DataFrame = {
+    // Span-explode instead of grid-join-then-window: each decimated
+    // observation OWNS the grid points up to its successor (that is what
+    // forward fill means), so the fill is decided on the COMPACT
+    // observation stream (one lead() per obs) and the grid materializes
+    // map-side from a sequence(). The grid never shuffles, never joins,
+    // and the per-metric window sorts |observations| rows, not
+    // |grid| (~20× more at the gate SF). Grid bounds are inherent: the
+    // first/last grid points are the first/last observations' buckets.
     val buck = decimateBucketized(series, stepSeconds)
       .select(col("metric"), col("bucket_start").as("t"), col("value"))
-    val bounds = series.groupBy("metric").agg(
-      (floor(min("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("lo"),
-      (floor(max("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("hi"))
-    val grid = bounds.select(col("metric"),
-      explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("t"))
     val w = Window.partitionBy("metric").orderBy("t")
-    grid.join(buck, Seq("metric", "t"), "left")
-      .withColumn("filled", last("value", ignoreNulls = true).over(w))
-      .select("metric", "t", "value", "filled")
+    buck
+      .withColumn("next_t", lead("t", 1).over(w))
+      .select(col("metric"), col("t").as("obs_t"), col("value").as("obs_v"),
+        explode(sequence(col("t"),
+          coalesce(col("next_t") - stepSeconds, col("t")), lit(stepSeconds))).as("t"))
+      .select(col("metric"), col("t"),
+        when(col("t") === col("obs_t"), col("obs_v")).as("value"),
+        col("obs_v").as("filled"))
   }
 
   /** Resample to a regular grid with LINEAR interpolation: empty grid
@@ -359,36 +367,30 @@ object TrendOps {
     * come from two window scans (trailing last / leading first, nulls
     * skipped) — still one shuffle per metric. */
   def resampleLinear(series: DataFrame, stepSeconds: Long): DataFrame = {
+    // Same span-explode shape as [[resampleFfill]]: a grid point between
+    // observations i and i+1 interpolates between exactly those two, so
+    // one lead() pair on the compact observation stream replaces the
+    // grid-join plus the two grid-length window scans. The interp
+    // expression tree is byte-identical to the previous formulation (and
+    // the oracle SQL): pv + (nv − pv) · ((t − pt) / (nt − pt)) with a
+    // long/long→double division — IEEE parity holds only for the exact
+    // same tree. Edge fallbacks (before-first / after-last grid points)
+    // are vacuous by construction: the grid spans observation buckets.
     val buck = decimateBucketized(series, stepSeconds)
       .select(col("metric"), col("bucket_start").as("t"), col("value"))
-    val bounds = series.groupBy("metric").agg(
-      (floor(min("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("lo"),
-      (floor(max("e") / lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("hi"))
-    val grid = bounds.select(col("metric"),
-      explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("t"))
-    // BOTH neighbor scans are RUNNING frames ([unboundedPreceding,
-    // currentRow]) — the leading neighbor comes from a descending-order
-    // running frame, not a [currentRow, unboundedFollowing] frame: Spark
-    // evaluates shrinking frames by rescanning the partition tail per row
-    // (O(n²) — measured 400+ s on a 43k-point grid; the two running sorts
-    // take well under a second).
-    val back = Window.partitionBy("metric").orderBy(col("t").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwdRev = Window.partitionBy("metric").orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val obsT = when(col("value").isNotNull, col("t"))
-    grid.join(buck, Seq("metric", "t"), "left")
-      .withColumn("pv", last("value", ignoreNulls = true).over(back))
-      .withColumn("pt", last(obsT, ignoreNulls = true).over(back))
-      .withColumn("nv", last("value", ignoreNulls = true).over(fwdRev))
-      .withColumn("nt", last(obsT, ignoreNulls = true).over(fwdRev))
-      .withColumn("interp",
-        when(col("value").isNotNull, col("value"))
-          .when(col("pv").isNull, col("nv"))
-          .when(col("nv").isNull, col("pv"))
+    val w = Window.partitionBy("metric").orderBy("t")
+    buck
+      .withColumn("nt", lead("t", 1).over(w))
+      .withColumn("nv", lead("value", 1).over(w))
+      .select(col("metric"), col("t").as("pt"), col("value").as("pv"),
+        col("nt"), col("nv"),
+        explode(sequence(col("t"),
+          coalesce(col("nt") - stepSeconds, col("t")), lit(stepSeconds))).as("t"))
+      .select(col("metric"), col("t"),
+        when(col("t") === col("pt"), col("pv")).as("value"),
+        when(col("t") === col("pt"), col("pv"))
           .otherwise(col("pv") + (col("nv") - col("pv")) *
-            ((col("t") - col("pt")) / (col("nt") - col("pt")))))
-      .select("metric", "t", "value", "interp")
+            ((col("t") - col("pt")) / (col("nt") - col("pt")))).as("interp"))
   }
 
   /** A7 (batch analogue): gap-based sessionization per user — the batch shape
