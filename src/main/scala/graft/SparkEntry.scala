@@ -833,6 +833,28 @@ object SparkEntry {
         .select(col("metric"), col("event_id"), col("e"),
           round(col("cusum"), 6).as("cusum"), col("breach"))),
 
+    // Seasonality-adjusted anomaly screen: a16's z-score against the
+    // (metric, hour-of-day) diurnal baseline instead of the global mean —
+    // a value normal at peak hour is anomalous at 3am. Baselines are a
+    // 120-row broadcast; same exact-decimal-sum determinism as a16.
+    "a21_seasonal_anomaly" -> ((s, dir) => {
+      val sr = series(s, dir).withColumn("hour_of_day",
+        (pmod(col("e"), lit(86400L)) / lit(3600L)).cast("int"))
+      val v = col("value").cast("decimal(18,2)")
+      val stats = sr.groupBy("metric", "hour_of_day").agg(
+        count(lit(1)).cast("double").as("sn"),
+        sum(v).cast("double").as("sv"),
+        sum(v * v).cast("double").as("svv"))
+        .select(col("metric"), col("hour_of_day"),
+          (col("sv") / col("sn")).as("mu"),
+          sqrt((col("svv") - col("sv") * col("sv") / col("sn")) / (col("sn") - 1)).as("sd"))
+      sr.join(broadcast(stats), Seq("metric", "hour_of_day"))
+        .where(abs(col("value") - col("mu")) > col("sd") * 3)
+        .groupBy("metric", "hour_of_day")
+        .agg(count(lit(1)).as("n_anomalies"),
+          min("value").as("min_v"), max("value").as("max_v"))
+    }),
+
     // Sequence packing: concat-and-chunk training-stream layout.
     "pack_sequences" -> ((s, dir) =>
       CurationOps.packSequences(Tables.documents(s, dir), 2048L, 8)),
@@ -1570,6 +1592,20 @@ object SparkEntry {
          |       round(CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
          |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
          |FROM s""".stripMargin,
+
+    "a21_seasonal_anomaly" ->
+      s"""WITH $SERIES,
+         |h AS (SELECT metric, CAST((e % 86400) // 3600 AS INT) AS hour_of_day, value FROM series),
+         |st AS (SELECT metric, hour_of_day, CAST(count(*) AS DOUBLE) AS sn,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+         |  FROM h GROUP BY 1, 2),
+         |wide AS (SELECT h.metric, h.hour_of_day, h.value, sv/sn AS mu,
+         |                sqrt((svv - sv*sv/sn)/(sn - 1)) AS sd
+         |         FROM h JOIN st ON h.metric = st.metric AND h.hour_of_day = st.hour_of_day)
+         |SELECT metric, hour_of_day, count(*) AS n_anomalies,
+         |       min(value) AS min_v, max(value) AS max_v
+         |FROM wide WHERE abs(value - mu) > sd * 3 GROUP BY 1, 2""".stripMargin,
 
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS grp,

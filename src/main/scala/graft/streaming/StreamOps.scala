@@ -82,6 +82,27 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), avg("value").as("mean_val"))
       .select(col("metric"), col("window.start").as("w_start"), col("n"), col("mean_val"))
 
+  /** Streaming OHLC bars: the incremental form of
+    * [[graft.operators.TrendOps.ohlcBars]] — same deterministic open/close
+    * picks (lexicographic min/max over (event-time, value)), maintained per
+    * (metric, tumbling window) as late data arrives, finalized by the
+    * watermark. min/max/count are all mergeable aggregates, so state per
+    * open bar is O(1) regardless of how many samples land in it. */
+  def ohlcStream(samples: DataFrame,
+                 width: String = "1 day",
+                 watermark: String = "1 day"): DataFrame =
+    samples
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), window(col("ts"), width))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts"), col("value"))).getField("value").as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(struct(col("ts"), col("value"))).getField("value").as("close"))
+      .select(col("metric"), col("window.start").as("bar_start"),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+
   /** A6: sliding-window message/byte rates (trend-o-meter:459-519). The
     * reference's gap-repair bucket eviction is superseded by the watermark
     * (SURVEY §2.3 A6). */

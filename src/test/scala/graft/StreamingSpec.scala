@@ -66,6 +66,34 @@ class StreamingSpec extends SparkSpec {
     assert(w0.exists(r => r.getAs[Long]("n") == 2L && r.getAs[Double]("mean_val") == 15.0))
   }
 
+  test("streaming OHLC bars match the batch operator and merge across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(
+      StreamOps.ohlcStream(in.toDF(), width = "1 minute", watermark = "0 seconds"),
+      "t_ohlc", "update")
+    def sample(sec: Long, v: Double) = StreamSample(new Timestamp(sec * 1000), "s", "m", v)
+    in.addData(sample(5, 2.0), sample(5, 1.0), sample(20, 9.0))
+    q.processAllAvailable()
+    in.addData(sample(50, 3.0), sample(50, 4.0)) // same bar, later batch
+    q.processAllAvailable(); q.stop()
+    val bars = spark.table("t_ohlc").collect()
+      .filter(_.getAs[Timestamp]("bar_start").getTime == 0L)
+      .map(r => (r.getAs[Long]("n"), r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close")))
+    // update mode: latest emission for the bar carries the merged state
+    assert(bars.contains((5L, 1.0, 9.0, 1.0, 4.0)))
+    // batch parity: same data through TrendOps.ohlcBars
+    val batch = TrendOps.ohlcBars(
+      seriesDF(("m", 5L, 2.0), ("m", 5L, 1.0), ("m", 20L, 9.0),
+        ("m", 50L, 3.0), ("m", 50L, 4.0)), 60L).collect().head
+    assert((batch.getAs[Long]("n"), batch.getAs[Double]("open"),
+      batch.getAs[Double]("high"), batch.getAs[Double]("low"),
+      batch.getAs[Double]("close")) == ((5L, 1.0, 9.0, 1.0, 4.0)))
+  }
+
   test("F1 streaming decimation: timeMark state persists across micro-batches") {
     val s = spark
     import s.implicits._
