@@ -40,22 +40,46 @@ object ScaleProbe {
       "a7_sessions" -> (df => TrendOps.sessionize(df, 1800L)),
       "a12_twa" -> (df => TrendOps.timeWeightedMean(df)),
       "a13_resample" -> (df => TrendOps.resampleFfill(df, 60L)),
+      "a17_resample_lin" -> (df => TrendOps.resampleLinear(df, 60L)),
+      "a20_cusum" -> (df => TrendOps.cusum(df)),
+      "a18_ohlc" -> (df => TrendOps.ohlcBars(df)),
       "a16_outliers_shape" -> { df =>
         val v = col("value").cast("decimal(18,2)")
         df.groupBy("metric").agg(sum(v * v).cast("double").as("svv"))
       })
 
-    for ((name, op) <- ops) {
+    def probe(name: String, mk: Int => DataFrame): Unit = {
       val times = Seq(1, 4, 16).map { k =>
-        val df = scaled(k)
-        op(df).write.format("noop").mode("overwrite").save() // warm plan/codegen
-        time(op(df))
+        mk(k).write.format("noop").mode("overwrite").save() // warm plan/codegen
+        time(mk(k))
       }
       val r4 = times(1) / times(0)
       val r16 = times(2) / times(0)
       println(f"[scale] $name%-20s 1x=${times(0)}%6.2fs 4x=${times(1)}%6.2fs " +
         f"16x=${times(2)}%6.2fs ratios ${r4}%4.1f / ${r16}%5.1f (linear would be 4/16)")
     }
+
+    for ((name, op) <- ops) probe(name, k => op(scaled(k)))
+
+    // Document-side operators (text/curation path). Replica texts get a
+    // per-replica suffix token so the 4×/16× corpora are not pure
+    // duplicates (pure dup corpora would legitimately grow near-dup
+    // candidate pairs quadratically and say nothing about plan scaling).
+    val docsBase = Tables.documents(spark, sfDir)
+    def scaledDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        docsBase.select(
+          (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica$i")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+
+    val docOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "pack_sequences" -> (df => CurationOps.packSequences(df)),
+      "text_tfidf" -> (df => SearchOps.tfidfTopTerms(df)),
+      "minhash_signatures" -> (df => DedupOps.minHashSignatures(df, 64)))
+
+    for ((name, op) <- docOps) probe(name, k => op(scaledDocs(k)))
     spark.stop()
   }
 }
