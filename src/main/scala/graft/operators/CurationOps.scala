@@ -77,6 +77,18 @@ object CurationOps {
         col("start_offset"), col("n_tokens"))
   }
 
+  /** Materialize the [[packSequences]] layout: one parquet dataset
+    * partitioned by (grp, bin), i.e. one directory per training chunk —
+    * the shard layout a training job reads sequentially. The pack plan
+    * carries only (doc_id, offsets); text re-attaches via an equi-join on
+    * doc_id, and the write partitions by the pack keys so a chunk's docs
+    * are co-located. At cluster scale `nGroups` is the writer parallelism. */
+  def writePackedShards(docs: DataFrame, outDir: String,
+                        capacityTokens: Long = 2048L, nGroups: Int = 8): Unit =
+    packSequences(docs, capacityTokens, nGroups)
+      .join(docs, "doc_id")
+      .write.mode("overwrite").partitionBy("grp", "bin").parquet(outDir)
+
   /** Train/eval decontamination: train-split documents sharing at least one
     * word `n`-gram with any eval-split document (the standard benchmark-
     * overlap check run before training). Both sides explode to DISTINCT

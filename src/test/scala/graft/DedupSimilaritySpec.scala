@@ -309,6 +309,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2L) == ((0L, 1L, 10L, 3L)))
   }
 
+  test("packed shards write one partition directory per (group, chunk)") {
+    val docs = docsDF(
+      (0L, "a b c d"), (1L, "a b c d e f"), (2L, "x y z"))
+    val out = java.nio.file.Files.createTempDirectory("packed").toString
+    graft.operators.CurationOps.writePackedShards(docs, out, capacityTokens = 10L, nGroups = 1)
+    val dirs = new java.io.File(s"$out/grp=0").listFiles().map(_.getName).filter(_.startsWith("bin=")).toSet
+    assert(dirs == Set("bin=0", "bin=1"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.where(col("bin") === 1).select("text").collect().map(_.getString(0)).toSeq == Seq("x y z"))
+  }
+
   test("TF-IDF ranks rare terms above ubiquitous ones per doc") {
     val docs = docsDF(
       (1L, "apple banana apple"),
