@@ -869,6 +869,20 @@ object SparkEntry {
     "kmeans_assign" -> ((s, dir) =>
       SimilarityOps.kmeansAssign(Tables.embeddings(s, dir), nClusters = 8, iters = 3)),
 
+    // Connected components with a DuckDB-replicable edge set: the LSH pair
+    // sources can't be expressed in SQL (xxhash64 signatures), so the
+    // grouping operator itself gets its oracle here — adjacent-doc shingle
+    // Jaccard >= 0.01 as edges, min-label components via label propagation
+    // on the Spark side vs a recursive CTE on the oracle side.
+    "neardup_cc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      val edges = DedupOps.jaccardForPairs(pairs, docs)
+        .where(col("jaccard") >= 0.01)
+        .select("doc_a", "doc_b")
+      DedupOps.nearDupGroups(edges)
+    }),
+
     // Analytic-window breadth: quartile bucket, percent_rank, cume_dist and
     // running first per metric — all rational functions of ranks/counts, so
     // fully oracle-checkable.
@@ -1592,6 +1606,28 @@ object SparkEntry {
          |       round(CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
          |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
          |FROM s""".stripMargin,
+
+    // Recursive-CTE connected components: only labels smaller than the
+    // destination propagate (the component minimum out-propagates every
+    // other label), UNION dedups the accumulated (node, label) set, and the
+    // final min per node is the component id.
+    "neardup_cc" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |         THEN list_transform(generate_series(1, len(w)-2),
+        |                             i -> array_to_string(w[i:i+2], ' '))
+        |         ELSE [array_to_string(w, ' ')] END) AS s FROM t),
+        |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |             len(list_distinct(a.s || b.s)) >= 0.01),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |cc AS (SELECT src AS doc_id, src AS label FROM e
+        |       UNION
+        |       SELECT e.dst AS doc_id, cc.label
+        |       FROM cc JOIN e ON e.src = cc.doc_id WHERE cc.label < e.dst)
+        |SELECT doc_id, min(label) AS label FROM cc GROUP BY doc_id""".stripMargin,
 
     "a21_seasonal_anomaly" ->
       s"""WITH $SERIES,
