@@ -833,6 +833,36 @@ object SparkEntry {
         .select(col("metric"), col("event_id"), col("e"),
           round(col("cusum"), 6).as("cusum"), col("breach"))),
 
+    // Data-quality gap report: sampling holes longer than the engine's
+    // min-sample-gap parameter.
+    "a22_gap_report" -> ((s, dir) =>
+      TrendOps.gapReport(series(s, dir), P.minSampleGapSeconds.toLong)),
+
+    // Flatline screen over precision-quantized values (stuck sensor).
+    "a23_flatline" -> ((s, dir) =>
+      TrendOps.flatlineRuns(
+        series(s, dir).withColumn("value", round(col("value"), 0)), minRun = 2L)),
+
+    // LTOB shape-preserving display downsample (hourly buckets).
+    "f6_ltob" -> ((s, dir) => TrendOps.ltobDownsample(series(s, dir), 3600L)),
+
+    // As-of join with a staleness bound: clicks older than 1h are no match.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val sr = series(s, dir)
+      val purchases = sr.where(col("metric") === "purchase")
+        .select("event_id", "user_id", "e", "value")
+      val clicks = sr.where(col("metric") === "click")
+        .select("event_id", "user_id", "e", "value")
+      RelationalOps.asOfJoin(purchases, clicks, "user_id", "e", "e", "event_id",
+          toleranceSeconds = Some(3600L))
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          col("e").as("purchase_e"),
+          col("__asof.event_id").as("click_id"),
+          col("__asof.e").as("click_e"),
+          col("__asof.value").as("click_val"))
+    }),
+
     // Seasonality-adjusted anomaly screen: a16's z-score against the
     // (metric, hour-of-day) diurnal baseline instead of the global mean —
     // a value normal at peak hour is anomalous at 3am. Baselines are a
@@ -1606,6 +1636,69 @@ object SparkEntry {
          |       round(CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
          |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
          |FROM s""".stripMargin,
+
+    "a22_gap_report" ->
+      s"""WITH $SERIES,
+         |d AS (SELECT metric, lag(e) OVER (PARTITION BY metric ORDER BY e, event_id) AS prev_e, e
+         |      FROM series)
+         |SELECT metric, prev_e AS gap_start, e AS gap_end, e - prev_e AS gap_secs
+         |FROM d WHERE prev_e IS NOT NULL AND e - prev_e > ${P.minSampleGapSeconds.toLong}""".stripMargin,
+
+    "a23_flatline" ->
+      s"""WITH $SERIES,
+         |q AS (SELECT metric, event_id, e, round(value, 0) AS value FROM series),
+         |d AS (SELECT metric, event_id, e, value,
+         |        CASE WHEN lag(value) OVER w IS NULL
+         |               OR value <> lag(value) OVER w THEN 1 ELSE 0 END AS chg
+         |      FROM q WINDOW w AS (PARTITION BY metric ORDER BY e, event_id)),
+         |r AS (SELECT metric, e, value,
+         |        sum(chg) OVER (PARTITION BY metric ORDER BY e, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+         |      FROM d),
+         |g AS (SELECT metric, run_id, count(*) AS n,
+         |        min(e) AS run_start, max(e) AS run_end, min(value) AS value
+         |      FROM r GROUP BY 1, 2)
+         |SELECT metric, n, run_start, run_end, value FROM g WHERE n >= 2""".stripMargin,
+
+    "f6_ltob" ->
+      s"""WITH $SERIES,
+         |n AS (SELECT metric, event_id, e, value,
+         |        lag(e) OVER w AS prev_e, lag(value) OVER w AS prev_v,
+         |        lead(e) OVER w AS next_e, lead(value) OVER w AS next_v
+         |      FROM series WINDOW w AS (PARTITION BY metric ORDER BY e, event_id)),
+         |a AS (SELECT metric, event_id, e, value, e - (e % 3600) AS bucket_start,
+         |        CASE WHEN prev_e IS NULL OR next_e IS NULL THEN CAST('inf' AS DOUBLE)
+         |             ELSE abs((prev_e - next_e) * (value - prev_v) -
+         |                      (prev_e - e) * (next_v - prev_v)) END AS area
+         |      FROM n),
+         |r AS (SELECT metric, bucket_start, e, value,
+         |        row_number() OVER (PARTITION BY metric, bucket_start
+         |          ORDER BY area DESC, e, event_id) AS rk
+         |      FROM a)
+         |SELECT metric, bucket_start, e, value FROM r WHERE rk = 1""".stripMargin,
+
+    "q_asof_tolerance" ->
+      s"""WITH $SERIES,
+         |u AS (
+         |  SELECT user_id, e AS t, 1 AS side, CAST(NULL AS BIGINT) AS tb,
+         |         event_id AS p_id, e AS p_e,
+         |         CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS BIGINT) AS c_e,
+         |         CAST(NULL AS DOUBLE) AS c_val
+         |  FROM series WHERE metric = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, e, 0, event_id, NULL, NULL, event_id, e, value
+         |  FROM series WHERE metric = 'click'),
+         |w AS (SELECT *,
+         |  last_value(c_id IGNORE NULLS) OVER win AS click_id,
+         |  last_value(c_e IGNORE NULLS) OVER win AS click_e,
+         |  last_value(c_val IGNORE NULLS) OVER win AS click_val
+         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY t, side, tb NULLS LAST
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT p_id AS purchase_id, user_id, p_e AS purchase_e,
+         |       CASE WHEN t - click_e <= 3600 THEN click_id END AS click_id,
+         |       CASE WHEN t - click_e <= 3600 THEN click_e END AS click_e,
+         |       CASE WHEN t - click_e <= 3600 THEN click_val END AS click_val
+         |FROM w WHERE side = 1""".stripMargin,
 
     // Recursive-CTE connected components: only labels smaller than the
     // destination propagate (the component minimum out-propagates every

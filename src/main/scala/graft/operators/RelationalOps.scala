@@ -30,7 +30,8 @@ object RelationalOps {
       key: String,
       leftTs: String,
       rightTs: String,
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val rv = struct(right.columns.map(col): _*)
     val r = right.select(
       col(key).as("__k"),
@@ -50,7 +51,15 @@ object RelationalOps {
       // among equal right ts the tiebreak max wins.
       .orderBy(col("__t"), col("__side"), col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+    val withAsof = u.withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+    // Tolerance (kdb/QuestDB-style ASOF ... TOLERANCE): a match older than
+    // the bound is nulled AFTER the window pass — a mask, not a second
+    // scan, so the plan shape is unchanged.
+    val masked = toleranceSeconds.fold(withAsof)(tol =>
+      withAsof.withColumn("__asof",
+        when(col("__t") - col("__asof").getField(rightTs).cast("long") <= tol,
+          col("__asof"))))
+    masked
       .where(col("__side") === 1)
       .drop("__k", "__t", "__side", "__tb", "__rv")
   }

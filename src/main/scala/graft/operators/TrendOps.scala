@@ -429,6 +429,68 @@ object TrendOps {
         min("value").as("low"),
         max(struct(col("e"), col("value"))).getField("value").as("close"))
 
+  /** Data-quality gap report: sampling intervals longer than
+    * `minGapSeconds` between consecutive samples of a metric — the "where
+    * did my data go" screen. One window pass per metric partition. */
+  def gapReport(series: DataFrame, minGapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))
+    series
+      .withColumn("prev_e", lag("e", 1).over(w))
+      .where(col("prev_e").isNotNull && col("e") - col("prev_e") > minGapSeconds)
+      .select(col("metric"), col("prev_e").as("gap_start"), col("e").as("gap_end"),
+        (col("e") - col("prev_e")).as("gap_secs"))
+  }
+
+  /** Flatline (stuck-sensor) runs: maximal runs of at least `minRun`
+    * consecutive identical values per metric. Callers detecting "stuck
+    * within sensor precision" quantize the value column first (e.g.
+    * `round(value, 0)`) — the operator itself is exact equality. Run ids
+    * are a change-flag cumsum: one window pass, one aggregate. */
+  def flatlineRuns(series: DataFrame, minRun: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))
+    val prev = lag("value", 1).over(w)
+    series
+      .withColumn("chg",
+        when(prev.isNull || col("value") =!= prev, 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("metric", "run_id")
+      .agg(count(lit(1)).as("n"),
+        min("e").as("run_start"), max("e").as("run_end"),
+        min("value").as("value")) // all equal within a run
+      .where(col("n") >= minRun)
+      .drop("run_id")
+  }
+
+  /** Largest-Triangle-One-Bucket display downsampling (Steinarsson's LTOB,
+    * public): per (metric, bucket) keep the point whose triangle with its
+    * immediate neighbors has the largest area — the shape-preserving
+    * decimation a chart renderer wants, unlike newest-wins
+    * [[decimateBucketized]]. LTOB's fixed neighbors keep it one window
+    * pass + one rank (LTTB anchors on the previously SELECTED point — a
+    * sequential dependency that does not parallelize). Global endpoints
+    * get infinite area so they always survive their bucket. */
+  def ltobDownsample(series: DataFrame, bucketSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))
+    val rank = Window.partitionBy("metric", "bucket_start")
+      .orderBy(col("area").desc, col("e"), col("event_id"))
+    series
+      .withColumn("prev_e", lag("e", 1).over(w))
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .withColumn("next_e", lead("e", 1).over(w))
+      .withColumn("next_v", lead("value", 1).over(w))
+      .withColumn("area",
+        when(col("prev_e").isNull || col("next_e").isNull,
+          lit(Double.PositiveInfinity))
+          .otherwise(abs(
+            (col("prev_e") - col("next_e")) * (col("value") - col("prev_v")) -
+              (col("prev_e") - col("e")) * (col("next_v") - col("prev_v")))))
+      .withColumn("bucket_start", col("e") - (col("e") % bucketSeconds))
+      .withColumn("rk", row_number().over(rank))
+      .where(col("rk") === 1)
+      .select("metric", "bucket_start", "e", "value")
+  }
+
   /** CUSUM drift detection: per-metric cumulative sum of deviations from
     * the metric's own mean, flagging points where |cusum| exceeds
     * `threshold` (in value units) — the classic changepoint screen over a

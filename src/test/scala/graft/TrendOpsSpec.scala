@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import graft.operators.TrendOps
 
 /** SURVEY §5 unit plan: A1 tie-breaks, A2 band boundaries, A3 ceil edge,
@@ -203,6 +204,50 @@ class TrendOpsSpec extends SparkSpec {
         (r.getAs[Double]("cusum"), r.getAs[Boolean]("breach"))).toMap
     expect.foreach { case (e, c) => assert(rows(e)._1 == c, s"cusum at e=$e") }
     assert(rows.filter(_._2._2).keySet == Set(3L, 4L, 5L)) // |cusum| > 12
+  }
+
+  test("gap report lists only intervals beyond the threshold") {
+    val df = seriesDF(("m", 0L, 1.0), ("m", 100L, 1.0), ("m", 500L, 1.0))
+    val gaps = TrendOps.gapReport(df, 300L).collect()
+      .map(r => (r.getAs[Long]("gap_start"), r.getAs[Long]("gap_end"), r.getAs[Long]("gap_secs")))
+    assert(gaps.toSeq == Seq((100L, 500L, 400L)))
+  }
+
+  test("flatline runs find maximal identical-value stretches") {
+    val df = seriesDF(
+      ("m", 1L, 5.0), ("m", 2L, 5.0), ("m", 3L, 5.0),
+      ("m", 4L, 7.0), ("m", 5L, 7.0), ("m", 6L, 9.0))
+    val runs = TrendOps.flatlineRuns(df, 2L).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("run_start"),
+        r.getAs[Long]("run_end"), r.getAs[Double]("value"))).toSet
+    assert(runs == Set((3L, 1L, 3L, 5.0), (2L, 4L, 5L, 7.0)))
+  }
+
+  test("LTOB keeps the spike a newest-wins decimation would drop") {
+    val df = seriesDF(
+      ("m", 2L, 0.0), ("m", 11L, 10.0), ("m", 13L, 0.1),
+      ("m", 15L, 0.2), ("m", 22L, 0.0))
+    val kept = TrendOps.ltobDownsample(df, 10L).collect().map(_.getAs[Long]("e")).toSet
+    assert(kept == Set(2L, 11L, 22L)) // endpoints + the spike at 11, not newest (15)
+    val newest = TrendOps.decimateBucketized(df, 10L).collect()
+      .map(_.getAs[Long]("bucket_start")).toSet
+    assert(newest == Set(0L, 10L, 20L)) // same bucket count, different pick rule
+  }
+
+  test("as-of join tolerance nulls matches older than the bound") {
+    val s = spark
+    import s.implicits._
+    val purchases = Seq((1L, 10L, 100L), (2L, 10L, 5000L))
+      .toDF("event_id", "user_id", "e")
+    val clicks = Seq((9L, 10L, 50L)).toDF("event_id", "user_id", "e")
+    def run(tol: Option[Long]) = graft.operators.RelationalOps
+      .asOfJoin(purchases, clicks, "user_id", "e", "e", "event_id", tol)
+      .select(col("event_id"), col("__asof.event_id").as("click_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val unbounded = run(None)
+    assert(unbounded(1L).contains(9L) && unbounded(2L).contains(9L))
+    val bounded = run(Some(1000L))
+    assert(bounded(1L).contains(9L) && bounded(2L).isEmpty) // 4950s stale -> no match
   }
 
   test("OHLC bars pick first/last values with deterministic tie-breaks") {
