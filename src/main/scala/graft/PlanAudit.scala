@@ -13,7 +13,8 @@ object PlanAudit {
       "minhash_neardup", "ann_topk_lsh", "q1_pricing", "q5_local_volume",
       "q_semi_anti", "embedding_neardup", "a11_dispersion", "simhash_neardup",
       "decontaminate", "text_repetition", "text_dup_spans", "q18_big_orders",
-      "q_cheapest_supplier", "a20_cusum", "pack_sequences", "text_tfidf")
+      "q_cheapest_supplier", "a20_cusum", "pack_sequences", "text_tfidf",
+      "f6_ltob", "q_asof_tolerance")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -78,6 +79,14 @@ object PlanAudit {
         // join-back, which is the property this query demonstrates.
         val p = planOf("q_cheapest_supplier")
         p.contains("Aggregate") && !p.contains("Join")
+      }),
+      ("ltob is one metric-partitioned window pass, no join", {
+        val p = planOf("f6_ltob")
+        !p.contains("Join") && p.contains("hashpartitioning(metric")
+      }),
+      ("as-of tolerance keeps the single union+window shape (no join)", {
+        val p = planOf("q_asof_tolerance")
+        !p.contains("Join") && p.contains("Union")
       }),
       // The LSH self-joins must compute their signature stage ONCE. The
       // shuffle-join hint makes both sides identical exchanges; under AQE
