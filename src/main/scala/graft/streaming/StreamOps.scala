@@ -298,6 +298,22 @@ object StreamOps {
         OutputMode.Update())(Encoders.product[ChannelUpdate])
   }
 
+  /** Streaming gap alerts per metric ([[GapAlertProcessor]]): the streaming
+    * counterpart of the batch gap report — the open alert exists ONLY here,
+    * because it fires when data does not arrive. Same RocksDB/TWS
+    * requirements as [[activeChannelsTWS]]. */
+  def gapAlertStream(samples: Dataset[StreamSample], gapSeconds: Long): Dataset[GapAlert] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TimeMode
+    samples
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.metric)(Encoders.STRING)
+      .transformWithState(
+        new GapAlertProcessor(gapSeconds),
+        TimeMode.EventTime(),
+        OutputMode.Update())(Encoders.product[GapAlert])
+  }
+
   /** M1+M2+M3+A2 (recompute model): the reference re-runs the full banded
     * extents over retained history after every accepted sample
     * (trend-o-meter:316-333,418). `foreachBatch` + an accumulating history

@@ -258,6 +258,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Timestamp]("ts").getTime / 1000).toSet == Set(10L, 20L))
   }
 
+  test("streaming gap alert: timer opens the gap, returning data closes it with the full extent") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamSample]
+      val q = startMemQuery(StreamOps.gapAlertStream(in.toDS(), 60L).toDF(), "t_gap")
+      def at(metric: String, sec: Long) = StreamSample(new Timestamp(sec * 1000), "s", metric, 1.0)
+      in.addData(at("m1", 1000), at("m2", 1000))
+      q.processAllAvailable()
+      in.addData(at("m2", 10000)) // watermark sweeps past m1's timer -> open alert
+      q.processAllAvailable()
+      in.addData(at("m1", 20000)) // m1 resumes -> closing row with the full hole
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("t_gap").collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("gap_start"),
+          r.getAs[Long]("gap_end"), r.getAs[Boolean]("open")))
+      assert(rows.contains(("m1", 1000L, -1L, true)), s"expected open alert, got ${rows.toSeq}")
+      assert(rows.contains(("m1", 1000L, 20000L, false)), s"expected closing row, got ${rows.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A7 via transformWithState: timer-driven eviction matches flatMapGroupsWithState contract") {
     val s = spark
     import s.implicits._
