@@ -838,6 +838,59 @@ object SparkEntry {
     "a22_gap_report" -> ((s, dir) =>
       TrendOps.gapReport(series(s, dir), P.minSampleGapSeconds.toLong)),
 
+    // Rollup-tier compositionality: the 1h tier computed by RE-AGGREGATING
+    // the 1m tier (count/sum/min/max all merge associatively) must
+    // hash-match the oracle's direct 1h aggregation over raw events — the
+    // correctness property behind tiered retention / continuous
+    // aggregates, where old raw data is dropped and queries read rollups.
+    "a24_rollup_tier" -> ((s, dir) => {
+      val t1m = series(s, dir)
+        .withColumn("b1m", col("e") - (col("e") % 60))
+        .groupBy("metric", "b1m")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"),
+          min("value").as("mn"), max("value").as("mx"))
+      t1m
+        .withColumn("bucket_start", col("b1m") - (col("b1m") % 3600))
+        .groupBy("metric", "bucket_start")
+        .agg(sum("n").as("n"), sum("sv").as("sv"),
+          min("mn").as("min_val"), max("mx").as("max_val"))
+        .select(col("metric"), col("bucket_start"), col("n"),
+          (col("sv").cast("double") / col("n").cast("double")).as("mean_val"),
+          col("min_val"), col("max_val"))
+    }),
+
+    // Pairwise correlation matrix across metrics, aligned on 60s-bucket
+    // sums. Same determinism pattern as a11: ALL aggregates are exact
+    // decimal sums; doubles appear once, at the final combine, with an
+    // expression tree identical to the oracle's.
+    "a25_corr_matrix" -> ((s, dir) => {
+      val b = series(s, dir)
+        .withColumn("bucket", col("e") - (col("e") % 60))
+        .groupBy("metric", "bucket")
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
+      val l = b.select(col("metric").as("ma"), col("bucket"), col("x").as("xa"))
+      val r = b.select(col("metric").as("mb"), col("bucket"), col("x").as("xb"))
+      l.join(r, Seq("bucket")).where(col("ma") < col("mb"))
+        .groupBy("ma", "mb")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum("xa").cast("double").as("sx"),
+          sum("xb").cast("double").as("sy"),
+          sum(col("xa") * col("xb")).cast("double").as("sxy"),
+          sum(col("xa") * col("xa")).cast("double").as("sxx"),
+          sum(col("xb") * col("xb")).cast("double").as("syy"))
+        // Pairs sharing <2 buckets (or with zero variance) have no defined
+        // correlation — and ANSI mode rightly refuses the 0/0. Filter on
+        // the variance terms BEFORE any division.
+        .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("n"))
+        .withColumn("vy", col("syy") - col("sy") * col("sy") / col("n"))
+        .where(col("n") >= 2 && col("vx") > 0 && col("vy") > 0)
+        .select(col("ma"), col("mb"), col("n").cast("long").as("n_buckets"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt(col("vx") * col("vy")), 6).as("corr"))
+    }),
+
     // Flatline screen over precision-quantized values (stuck sensor).
     "a23_flatline" -> ((s, dir) =>
       TrendOps.flatlineRuns(
@@ -1636,6 +1689,34 @@ object SparkEntry {
          |       round(CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
          |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
          |FROM s""".stripMargin,
+
+    // Direct 1h aggregation over raw events — the Spark side must reproduce
+    // this by composing its 1m tier.
+    "a24_rollup_tier" ->
+      s"""WITH $SERIES
+         |SELECT metric, e - (e % 3600) AS bucket_start, count(*) AS n,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS mean_val,
+         |       min(value) AS min_val, max(value) AS max_val
+         |FROM series GROUP BY 1, 2""".stripMargin,
+
+    "a25_corr_matrix" ->
+      s"""WITH $SERIES,
+         |b AS (SELECT metric, e - (e % 60) AS bucket,
+         |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+         |      FROM series GROUP BY 1, 2),
+         |p AS (SELECT l.metric AS ma, r.metric AS mb,
+         |        CAST(count(*) AS DOUBLE) AS n,
+         |        CAST(SUM(l.x) AS DOUBLE) AS sx, CAST(SUM(r.x) AS DOUBLE) AS sy,
+         |        CAST(SUM(l.x * r.x) AS DOUBLE) AS sxy,
+         |        CAST(SUM(l.x * l.x) AS DOUBLE) AS sxx,
+         |        CAST(SUM(r.x * r.x) AS DOUBLE) AS syy
+         |      FROM b l JOIN b r ON l.bucket = r.bucket AND l.metric < r.metric
+         |      GROUP BY 1, 2),
+         |v AS (SELECT *, sxx - sx * sx / n AS vx, syy - sy * sy / n AS vy FROM p)
+         |SELECT ma, mb, CAST(n AS BIGINT) AS n_buckets,
+         |       round((sxy - sx * sy / n) / sqrt(vx * vy), 6) AS corr
+         |FROM v WHERE n >= 2 AND vx > 0 AND vy > 0""".stripMargin,
 
     "a22_gap_report" ->
       s"""WITH $SERIES,
