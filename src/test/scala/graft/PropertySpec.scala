@@ -176,4 +176,60 @@ class PropertySpec extends SparkSpec {
         .foreach(r => assert(r.getAs[Long]("span") < 7 * DAY))
     }
   }
+
+  test("LTOB: one point per occupied bucket, all members of the input, endpoints kept") {
+    forAll(seriesGen) { rows =>
+      val df = seriesDF(rows: _*)
+      val kept = TrendOps.ltobDownsample(df, 3600L).collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("bucket_start"),
+          r.getAs[Long]("e"), r.getAs[Double]("value")))
+      val buckets = rows.map { case (m, e, _) => (m, e - (e % 3600L)) }.toSet
+      assert(kept.map(k => (k._1, k._2)).toSet == buckets) // one row per occupied bucket
+      val input = rows.map { case (m, e, v) => (m, e, v) }.toSet
+      kept.foreach(k => assert(input.contains((k._1, k._3, k._4)), s"$k not in input"))
+      rows.groupBy(_._1).foreach { case (m, rs) =>
+        val es = kept.filter(_._1 == m).map(_._3).toSet
+        assert(es.contains(rs.map(_._2).min) && es.contains(rs.map(_._2).max),
+          s"endpoints of $m not kept")
+      }
+    }
+  }
+
+  test("CUSUM: per-metric final cumulative deviation is exactly zero") {
+    forAll(seriesGen) { rows =>
+      val out = TrendOps.cusum(seriesDF(rows: _*)).collect()
+      assert(out.length == rows.length)
+      out.groupBy(_.getAs[String]("metric")).foreach { case (m, rs) =>
+        val last = rs.maxBy(r => (r.getAs[Long]("e"), r.getAs[Long]("event_id")))
+        assert(last.getAs[Double]("cusum") == 0.0, s"metric $m final cusum")
+      }
+    }
+  }
+
+  test("sequence packing: offsets are contiguous prefix sums within each group") {
+    val s = spark
+    import s.implicits._
+    val docsGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, Gen.choose(1, 12).map(k => ("w " * k).trim))
+    } yield rows.zipWithIndex.map { case (t, i) => (i.toLong * 3L, t) } // sparse ids
+    (0 until 10).foreach { i =>
+      val rows = docsGen.apply(Gen.Parameters.default, Seed(7L + i))
+        .getOrElse(sys.error("gen failed"))
+      val out = graft.operators.CurationOps
+        .packSequences(rows.toDF("doc_id", "text"), capacityTokens = 16L, nGroups = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("start_offset"), r.getAs[Long]("n_tokens")))
+      assert(out.length == rows.length)
+      out.groupBy(_._1).foreach { case (g, ds) =>
+        val ordered = ds.sortBy(_._2)
+        var expect = 0L
+        ordered.foreach { case (_, id, off, n) =>
+          assert(off == expect, s"grp $g doc $id offset")
+          expect += n
+        }
+      }
+    }
+  }
 }
