@@ -160,9 +160,15 @@ object DedupOps {
   /** Exact n-gram Jaccard for an explicit pair list (verification stage —
     * runs on candidates only, never all-pairs). */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    // Both joins key the sets side on doc_id, so with a shuffle join the
+    // two sets exchanges canonicalize identically and the shingle
+    // computation runs ONCE (ReusedExchange) — and at corpus scale the
+    // shingle-set relation is never broadcastable anyway (same rationale
+    // as the LSH self-joins).
     val sets = docs.select(
       col("doc_id"),
       array_distinct(TextOps.shingles(col("text"))).as("sh"))
+      .hint("SHUFFLE_HASH")
     pairs
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
