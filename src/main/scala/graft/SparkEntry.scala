@@ -596,6 +596,13 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).as("ws_tokens"),
         TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
 
+    // Length-weighted PPS sample: longer docs kept proportionally more
+    // often (content-hash coin — deterministic, partition-independent).
+    "sample_pps" -> ((s, dir) =>
+      CurationOps.ppsSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        "n_chars", refWeight = 4000.0, baseFraction = 0.8, seed = 7L)),
+
     // Deterministic content-hash train/eval split, summarized per lang.
     "dataset_split" -> ((s, dir) =>
       CurationOps.withSplit(Tables.documents(s, dir))
@@ -1376,6 +1383,12 @@ object SparkEntry {
         |                  min(doc_id) AS keep
         |           FROM documents GROUP BY 1)
         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN k ON d.doc_id = k.keep""".stripMargin,
+
+    "sample_pps" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(FLOOR(0.8 * (CAST(n_chars AS DOUBLE) / 4000.0) * 65536) AS BIGINT) >= 65536
+        |   OR substring(md5(CAST(7 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |      printf('%04x', CAST(FLOOR(0.8 * (CAST(n_chars AS DOUBLE) / 4000.0) * 65536) AS BIGINT))""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

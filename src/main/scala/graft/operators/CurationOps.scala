@@ -33,6 +33,25 @@ object CurationOps {
     df.where(thresh.isNotNull && hex < thresh)
   }
 
+  /** Deterministic probability-proportional-to-size sampling: keep a row
+    * with probability `baseFraction · weight / refWeight` (clamped to 1) —
+    * the source-weighting stage of a corpus build (upsample long/high-
+    * quality documents, downsample boilerplate). The coin is the same
+    * content-hash construction as [[stratifiedSample]]: the first 4 md5
+    * hex digits of `(seed:key)` against a per-ROW threshold, so the
+    * decision is reproducible across runs, engines, and partitionings, and
+    * exactly replicable in ANSI SQL. Probability granularity 1/65536;
+    * per-row probability ≥ 1 keeps the row unconditionally (the 5-hex-char
+    * threshold would otherwise compare wrong against 4 hex digits). */
+  def ppsSample(df: DataFrame, weightCol: String, refWeight: Double,
+                baseFraction: Double, seed: Long,
+                keyCol: String = "doc_id"): DataFrame = {
+    val hexv = substring(md5(concat_ws(":", lit(seed), col(keyCol))), 1, 4)
+    val n = floor(lit(baseFraction) * (col(weightCol).cast("double") / lit(refWeight)) *
+      65536).cast("long")
+    df.where(n >= 65536 || hexv < lower(lpad(hex(n), 4, "0")))
+  }
+
   /** Per-group document quota (e.g. cap any one domain/source at `k` docs —
     * the domain-balance stage of a corpus build). Selection order inside a
     * group is the content hash (then the key for ties), so WHICH k docs

@@ -309,6 +309,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2L) == ((0L, 1L, 10L, 3L)))
   }
 
+  test("PPS sampling: zero weight never kept, saturated weight always kept, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, if (i <= 50) 0 else if (i <= 100) 10000 else 500))
+      .toDF("doc_id", "w")
+    def run() = graft.operators.CurationOps
+      .ppsSample(docs, "w", refWeight = 4000.0, baseFraction = 0.5, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    val kept = run()
+    assert((1L to 50L).forall(!kept.contains(_)), "zero-weight rows must be dropped")
+    assert((51L to 100L).forall(kept.contains), "p>=1 rows must all be kept")
+    val mid = (101L to 200L).count(kept.contains)
+    assert(mid > 0 && mid < 100, s"mid-weight rows should be partially sampled, got $mid")
+    assert(run() == kept)
+  }
+
   test("packed shards write one partition directory per (group, chunk)") {
     val docs = docsDF(
       (0L, "a b c d"), (1L, "a b c d e f"), (2L, "x y z"))
