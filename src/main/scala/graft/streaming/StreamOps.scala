@@ -298,6 +298,26 @@ object StreamOps {
         OutputMode.Update())(Encoders.product[ChannelUpdate])
   }
 
+  /** Streaming 1-minute rollup-tier maintenance: the incremental producer
+    * of the tier that [[graft.operators.TrendOps]]-style batch queries
+    * compose upward (the a24 contract: count/sum/min/max merge
+    * associatively, so a 1h view is a re-aggregation of this output).
+    * Update mode + a keyed upsert sink ([[Sinks.lastValueSink]] keyed by
+    * (metric, minute)) maintain the tier table; the decimal sum keeps the
+    * tier bit-exact with a batch recomputation over the same samples. */
+  def minuteTierStream(samples: DataFrame,
+                       watermark: String = "2 minutes"): DataFrame =
+    samples
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), window(col("ts"), "1 minute"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"),
+        min("value").as("mn"),
+        max("value").as("mx"))
+      .select(col("metric"), col("window.start").as("minute_start"),
+        col("n"), col("sv"), col("mn"), col("mx"))
+
   /** Streaming gap alerts per metric ([[GapAlertProcessor]]): the streaming
     * counterpart of the batch gap report — the open alert exists ONLY here,
     * because it fires when data does not arrive. Same RocksDB/TWS

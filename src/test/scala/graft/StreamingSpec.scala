@@ -258,6 +258,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Timestamp]("ts").getTime / 1000).toSet == Set(10L, 20L))
   }
 
+  test("streaming 1m tier equals the batch 1m tier over the same samples (a24 contract)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(StreamOps.minuteTierStream(in.toDF()), "t_tier", "update")
+    def sample(sec: Long, v: Double) = StreamSample(new Timestamp(sec * 1000), "s", "m", v)
+    in.addData(sample(10, 1.5), sample(20, 2.5))
+    q.processAllAvailable()
+    in.addData(sample(40, 0.5), sample(70, 9.0)) // batch 2 updates minute 0, opens minute 1
+    q.processAllAvailable(); q.stop()
+    // update mode: keep the LAST emission per (metric, minute) — the upsert
+    // contract of Sinks.lastValueSink.
+    val tier = spark.table("t_tier").collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Timestamp]("minute_start").getTime / 1000) ->
+        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("sv").doubleValue,
+          r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    val batch = seriesDF(("m", 10L, 1.5), ("m", 20L, 2.5), ("m", 40L, 0.5), ("m", 70L, 9.0))
+      .groupBy(col("metric"), (col("e") - col("e") % 60).as("minute"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("value").cast("decimal(18,2)")).as("sv"),
+        org.apache.spark.sql.functions.min("value").as("mn"),
+        org.apache.spark.sql.functions.max("value").as("mx"))
+      .collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Long]("minute")) ->
+        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("sv").doubleValue,
+          r.getAs[Double]("mn"), r.getAs[Double]("mx"))).toMap
+    assert(tier == batch, s"stream tier $tier != batch tier $batch")
+  }
+
   test("streaming gap alert: timer opens the gap, returning data closes it with the full extent") {
     val s = spark
     import s.implicits._
