@@ -16,6 +16,10 @@ final case class StreamSample(ts: Timestamp, source: String, metric: String, val
 /** Active-channel tracking output (A7). */
 final case class ChannelUpdate(source: String, active: Boolean, last_seen_sec: Long)
 
+/** One streaming CUSUM observation (see [[StreamOps.cusumStream]]). */
+final case class CusumPoint(metric: String, e: Long, value: Double,
+                            cusum: Double, breach: Boolean)
+
 /** Gap-triggered micro-batch mean output (A4 exact parity). */
 final case class TriggeredMean(metric: String, e: Long, mean_val: Double, n: Long)
 
@@ -237,6 +241,32 @@ object StreamOps {
             graft.operators.EwmaPoint(metric, ev.ts.getTime / 1000L, ev.value, v)
           }
           state.update((prev, seeded))
+          out.iterator
+      }
+  }
+
+  /** Streaming CUSUM control chart (SPC): per metric, the running sum of
+    * deviations from a fixed control `target`, with a breach flag at
+    * |cusum| > threshold — the alerting form of the batch changepoint
+    * screen (the batch op baselines on the series' own mean, which needs
+    * the whole series; a control chart monitors against a SET target, so
+    * one running double per metric is the entire state). */
+  def cusumStream(samples: Dataset[StreamSample], target: Double,
+                  threshold: Double): Dataset[CusumPoint] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState[Double, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (metric: String, events: Iterator[StreamSample], state: GroupState[Double]) =>
+          var acc = state.getOption.getOrElse(0d)
+          val out = events.toSeq.sortBy(_.ts.getTime).map { ev =>
+            acc += ev.value - target
+            CusumPoint(metric, ev.ts.getTime / 1000L, ev.value, acc,
+              math.abs(acc) > threshold)
+          }
+          state.update(acc)
           out.iterator
       }
   }

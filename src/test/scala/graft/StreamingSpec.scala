@@ -258,6 +258,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Timestamp]("ts").getTime / 1000).toSet == Set(10L, 20L))
   }
 
+  test("streaming CUSUM accumulates across micro-batches and flags the breach") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(
+      StreamOps.cusumStream(in.toDS(), target = 10.0, threshold = 5.0).toDF(),
+      "t_cusum", "append")
+    def sample(sec: Long, v: Double) = StreamSample(new Timestamp(sec * 1000), "s", "m", v)
+    in.addData(sample(1, 12.0), sample(2, 11.0)) // cusum 2, 3
+    q.processAllAvailable()
+    in.addData(sample(3, 14.0), sample(4, 9.0))  // cusum 7 (breach), 6 (breach)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_cusum").collect()
+      .map(r => r.getAs[Long]("e") -> (r.getAs[Double]("cusum"), r.getAs[Boolean]("breach")))
+      .toMap
+    assert(rows == Map(1L -> (2.0, false), 2L -> (3.0, false),
+      3L -> (7.0, true), 4L -> (6.0, true)))
+  }
+
   test("streaming 1m tier equals the batch 1m tier over the same samples (a24 contract)") {
     val s = spark
     import s.implicits._
