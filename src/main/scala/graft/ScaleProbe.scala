@@ -71,7 +71,10 @@ object ScaleProbe {
         docsBase.select(
           (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
           concat(col("text"), lit(s" replica$i")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          col("lang"), col("source"),
+          // recomputed so the column stays consistent with the suffixed
+          // text for any future weight/quality probe
+          length(concat(col("text"), lit(s" replica$i"))).as("n_chars"))
       }.reduce(_ unionByName _)
 
     val docOps: Seq[(String, DataFrame => DataFrame)] = Seq(

@@ -1387,8 +1387,9 @@ object SparkEntry {
     "sample_pps" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST(FLOOR(0.8 * (CAST(n_chars AS DOUBLE) / 4000.0) * 65536) AS BIGINT) >= 65536
-        |   OR substring(md5(CAST(7 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
-        |      printf('%04x', CAST(FLOOR(0.8 * (CAST(n_chars AS DOUBLE) / 4000.0) * 65536) AS BIGINT))""".stripMargin,
+        |   OR (CAST(FLOOR(0.8 * (CAST(n_chars AS DOUBLE) / 4000.0) * 65536) AS BIGINT) > 0
+        |       AND substring(md5(CAST(7 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |           printf('%04x', CAST(FLOOR(0.8 * (CAST(n_chars AS DOUBLE) / 4000.0) * 65536) AS BIGINT)))""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

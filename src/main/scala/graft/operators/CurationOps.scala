@@ -41,15 +41,19 @@ object CurationOps {
     * hex digits of `(seed:key)` against a per-ROW threshold, so the
     * decision is reproducible across runs, engines, and partitionings, and
     * exactly replicable in ANSI SQL. Probability granularity 1/65536;
-    * per-row probability ≥ 1 keeps the row unconditionally (the 5-hex-char
-    * threshold would otherwise compare wrong against 4 hex digits). */
+    * per-row probability ≥ 1 keeps the row unconditionally and ≤ 0 (zero
+    * or negative weight) never keeps it — both bounds are guarded
+    * explicitly because `hex()` of an out-of-[0,65536) long does not
+    * produce a comparable 4-hex-digit threshold (negative longs render as
+    * 16 two's-complement chars that lpad would TRUNCATE to a near-"ffff"
+    * prefix, silently flipping the probability to ~1). */
   def ppsSample(df: DataFrame, weightCol: String, refWeight: Double,
                 baseFraction: Double, seed: Long,
                 keyCol: String = "doc_id"): DataFrame = {
     val hexv = substring(md5(concat_ws(":", lit(seed), col(keyCol))), 1, 4)
     val n = floor(lit(baseFraction) * (col(weightCol).cast("double") / lit(refWeight)) *
       65536).cast("long")
-    df.where(n >= 65536 || hexv < lower(lpad(hex(n), 4, "0")))
+    df.where(n >= 65536 || (n > 0 && hexv < lower(lpad(hex(n), 4, "0"))))
   }
 
   /** Per-group document quota (e.g. cap any one domain/source at `k` docs —

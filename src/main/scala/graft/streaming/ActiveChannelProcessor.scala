@@ -3,24 +3,23 @@ package graft.streaming
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
-/** A7 active-channel tracking as a [[StatefulProcessor]] (the
-  * `transformWithState` arbitrary-state API): per-channel `lastSeen`
-  * timestamp state plus one event-time timer at `lastSeen + gap`. Activity
-  * re-arms the timer (the previous one is deleted); when the watermark
-  * passes an armed timer the channel is evicted and an `active = false`
-  * update emitted — the reference's inactivity cutoff
-  * (trend-o-meter:521-525,470-478) with real event-time semantics. */
-/** Streaming gap alert: one emitted row per sampling hole, from the side
-  * that only streaming can see — the timer fires when data does NOT
-  * arrive. `open = true` rows (gap_end = -1) are raised by the event-time
-  * timer at `lastSeen + gap`; when the metric resumes, a closing row
-  * carries the full (gap_start, gap_end) — the same interval the batch
-  * gap report ([[graft.operators.TrendOps.gapReport]]) computes on replay. */
+/** Streaming gap alert: one emitted row per sampling hole. `open = true`
+  * rows (gap_end = -1) are raised by the event-time timer at
+  * `lastSeen + gap` — output only streaming can produce, because it fires
+  * when data does NOT arrive. Closed rows carry (gap_start, gap_end) per
+  * CONSECUTIVE sample pair spaced more than `gap` apart — the same
+  * intervals the batch gap report
+  * ([[graft.operators.TrendOps.gapReport]]) computes on replay, whether
+  * the hole spans micro-batches or falls entirely inside one. A late
+  * sample landing inside an open gap closes it silently (at event time
+  * the hole was smaller than the alert suggested; if the silence then
+  * persists, the re-armed timer opens it again). */
 final case class GapAlert(metric: String, gap_start: Long, gap_end: Long, open: Boolean)
 
 /** The [[GapAlert]] processor: `lastSeen` + an open-gap flag per metric.
-  * Activity re-arms the timer; an expired timer opens a gap but KEEPS
-  * `lastSeen` so the closing row can report the hole's true extent. */
+  * Samples process in event-time order; every consecutive spacing beyond
+  * the bound emits a closed row. An expired timer opens a gap but KEEPS
+  * `lastSeen` so the closing row reports the hole's true start. */
 final class GapAlertProcessor(gapSeconds: Long)
     extends StatefulProcessor[String, StreamSample, GapAlert] {
 
@@ -36,24 +35,24 @@ final class GapAlertProcessor(gapSeconds: Long)
       metric: String,
       rows: Iterator[StreamSample],
       timerValues: TimerValues): Iterator[GapAlert] = {
-    val incoming = rows.map(_.ts.getTime).max
-    val closed: Iterator[GapAlert] =
-      if (lastSeen.exists() && gapOpen.exists() && gapOpen.get()) {
-        val start = lastSeen.get()
-        if (incoming > start)
-          Iterator(GapAlert(metric, start / 1000L, incoming / 1000L, open = false))
-        else Iterator.empty
-      } else {
-        // un-fired timer from the previous arrival (if any) is re-armed below
-        if (lastSeen.exists())
-          getHandle.deleteTimer(lastSeen.get() + gapSeconds * 1000L)
-        Iterator.empty
-      }
-    val maxMs = if (lastSeen.exists()) math.max(lastSeen.get(), incoming) else incoming
-    lastSeen.update(maxMs)
+    val sortedTs = rows.map(_.ts.getTime).toArray.sorted
+    val hadState = lastSeen.exists()
+    val wasOpen = hadState && gapOpen.exists() && gapOpen.get()
+    // An un-fired timer from the previous arrival is superseded below;
+    // after an OPEN alert no timer is pending.
+    if (hadState && !wasOpen)
+      getHandle.deleteTimer(lastSeen.get() + gapSeconds * 1000L)
+    val out = Array.newBuilder[GapAlert]
+    var prev = if (hadState) lastSeen.get() else Long.MinValue
+    sortedTs.foreach { t =>
+      if (prev != Long.MinValue && t - prev > gapSeconds * 1000L)
+        out += GapAlert(metric, prev / 1000L, t / 1000L, open = false)
+      prev = math.max(prev, t)
+    }
+    lastSeen.update(prev)
     gapOpen.update(false)
-    getHandle.registerTimer(maxMs + gapSeconds * 1000L)
-    closed
+    getHandle.registerTimer(prev + gapSeconds * 1000L)
+    out.result().iterator
   }
 
   override def handleExpiredTimer(
@@ -66,6 +65,13 @@ final class GapAlertProcessor(gapSeconds: Long)
   }
 }
 
+/** A7 active-channel tracking as a [[StatefulProcessor]] (the
+  * `transformWithState` arbitrary-state API): per-channel `lastSeen`
+  * timestamp state plus one event-time timer at `lastSeen + gap`. Activity
+  * re-arms the timer (the previous one is deleted); when the watermark
+  * passes an armed timer the channel is evicted and an `active = false`
+  * update emitted — the reference's inactivity cutoff
+  * (trend-o-meter:521-525,470-478) with real event-time semantics. */
 final class ActiveChannelProcessor(gapSeconds: Long)
     extends StatefulProcessor[String, StreamSample, ChannelUpdate] {
 

@@ -250,7 +250,14 @@ object StreamOps {
     * |cusum| > threshold — the alerting form of the batch changepoint
     * screen (the batch op baselines on the series' own mean, which needs
     * the whole series; a control chart monitors against a SET target, so
-    * one running double per metric is the entire state). */
+    * one running double per metric is the entire state).
+    *
+    * Ordering contract: samples accumulate in event-time order WITHIN a
+    * micro-batch, in arrival order ACROSS batches — a late cross-batch
+    * sample appends its deviation at arrival position (no event-time
+    * buffering; SPC charts track the monitored stream as observed).
+    * Replays reproduce the same path because batch boundaries replay
+    * identically from the checkpoint. */
   def cusumStream(samples: Dataset[StreamSample], target: Double,
                   threshold: Double): Dataset[CusumPoint] = {
     val spark = samples.sparkSession

@@ -313,13 +313,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val docs = (1L to 200L).map(i =>
-      (i, if (i <= 50) 0 else if (i <= 100) 10000 else 500))
+      (i, if (i <= 25) 0 else if (i <= 50) -3000 // negative weight: also never kept
+          else if (i <= 100) 10000 else 500))
       .toDF("doc_id", "w")
     def run() = graft.operators.CurationOps
       .ppsSample(docs, "w", refWeight = 4000.0, baseFraction = 0.5, seed = 9L)
       .collect().map(_.getLong(0)).toSet
     val kept = run()
-    assert((1L to 50L).forall(!kept.contains(_)), "zero-weight rows must be dropped")
+    assert((1L to 50L).forall(!kept.contains(_)), "zero- and negative-weight rows must be dropped")
     assert((51L to 100L).forall(kept.contains), "p>=1 rows must all be kept")
     val mid = (101L to 200L).count(kept.contains)
     assert(mid > 0 && mid < 100, s"mid-weight rows should be partially sampled, got $mid")

@@ -320,17 +320,27 @@ class StreamingSpec extends SparkSpec {
       val in = MemoryStream[StreamSample]
       val q = startMemQuery(StreamOps.gapAlertStream(in.toDS(), 60L).toDF(), "t_gap")
       def at(metric: String, sec: Long) = StreamSample(new Timestamp(sec * 1000), "s", metric, 1.0)
-      in.addData(at("m1", 1000), at("m2", 1000))
+      // m3's hole lives entirely inside this first micro-batch (later
+      // batches would land behind the advancing watermark and be dropped
+      // before the stateful operator).
+      in.addData(at("m1", 1000), at("m2", 1000), at("m3", 100), at("m3", 400))
       q.processAllAvailable()
       in.addData(at("m2", 10000)) // watermark sweeps past m1's timer -> open alert
       q.processAllAvailable()
-      in.addData(at("m1", 20000)) // m1 resumes -> closing row with the full hole
+      // m1 resumes with TWO samples: the closing row must end at the FIRST
+      // post-gap sample (batch gapReport parity), and the 20000->20030
+      // spacing is fine so no second row.
+      in.addData(at("m1", 20000), at("m1", 20030))
       q.processAllAvailable(); q.stop()
       val rows = spark.table("t_gap").collect()
         .map(r => (r.getAs[String]("metric"), r.getAs[Long]("gap_start"),
           r.getAs[Long]("gap_end"), r.getAs[Boolean]("open")))
       assert(rows.contains(("m1", 1000L, -1L, true)), s"expected open alert, got ${rows.toSeq}")
       assert(rows.contains(("m1", 1000L, 20000L, false)), s"expected closing row, got ${rows.toSeq}")
+      assert(!rows.exists(r => r._1 == "m1" && r._2 == 1000L && r._3 == 20030L),
+        s"closing row must end at the FIRST post-gap sample, got ${rows.toSeq}")
+      assert(rows.contains(("m3", 100L, 400L, false)),
+        s"expected intra-batch hole row, got ${rows.toSeq}")
     } finally {
       prev match {
         case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
