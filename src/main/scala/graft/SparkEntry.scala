@@ -923,6 +923,25 @@ object SparkEntry {
           col("__asof.value").as("click_val"))
     }),
 
+    // Mergeable-sketch tiering: per-minute HLL sketches of distinct users,
+    // UNIONED up to the hour — the distinct-count analogue of a24's
+    // compositional rollup (plain distinct counts don't merge; sketches
+    // do, which is why tiered retention keeps sketches, not counts).
+    // Register-wise max is associative and order-independent, so the
+    // unioned estimate is EXACTLY the direct hourly sketch's estimate
+    // (pinned by test); rows-only because DuckDB's HLL is a different
+    // implementation with different estimates.
+    "a26_hll_tier" -> ((s, dir) => {
+      val minuteSk = series(s, dir)
+        .withColumn("minute", col("e") - (col("e") % 60))
+        .groupBy("metric", "minute")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      minuteSk
+        .withColumn("bucket_start", col("minute") - (col("minute") % 3600))
+        .groupBy("metric", "bucket_start")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
+    }),
+
     // Seasonality-adjusted anomaly screen: a16's z-score against the
     // (metric, hour-of-day) diurnal baseline instead of the global mean —
     // a value normal at peak hour is anomalous at 3am. Baselines are a

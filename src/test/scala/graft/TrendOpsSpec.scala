@@ -206,6 +206,24 @@ class TrendOpsSpec extends SparkSpec {
     assert(rows.filter(_._2._2).keySet == Set(3L, 4L, 5L)) // |cusum| > 12
   }
 
+  test("HLL tier compose: union of minute sketches estimates EXACTLY like the direct hour sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val sr = graft.Tables.metricSeries(spark, dir)
+    val viaTier = graft.SparkEntry.queries("a26_hll_tier")(spark, dir).collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Long]("bucket_start")) ->
+        r.getAs[Long]("approx_users")).toMap
+    val direct = sr
+      .withColumn("bucket_start", col("e") - (col("e") % 3600))
+      .groupBy("metric", "bucket_start")
+      .agg(org.apache.spark.sql.functions
+        .expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("approx_users"))
+      .collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Long]("bucket_start")) ->
+        r.getAs[Long]("approx_users")).toMap
+    assert(viaTier == direct) // register-wise max is associative: no drift, ever
+    assert(viaTier.nonEmpty)
+  }
+
   test("gap report lists only intervals beyond the threshold") {
     val df = seriesDF(("m", 0L, 1.0), ("m", 100L, 1.0), ("m", 500L, 1.0))
     val gaps = TrendOps.gapReport(df, 300L).collect()
