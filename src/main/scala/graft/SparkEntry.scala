@@ -812,10 +812,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.where(col("vec_id") < 8)
       val exact = SimilarityOps.bruteTopK(qs, emb, 5)
-      SimilarityOps.recallAtK(SimilarityOps.lshTopK(qs, emb, 5), exact, 5)
+      SimilarityOps.recallAtK(SimilarityOps.lshTopK(qs, emb, 5), exact)
         .withColumn("method", lit("lsh"))
         .unionByName(
-          SimilarityOps.recallAtK(SimilarityOps.ivfTopK(qs, emb, 5), exact, 5)
+          SimilarityOps.recallAtK(SimilarityOps.ivfTopK(qs, emb, 5), exact)
             .withColumn("method", lit("ivf")))
         .select("method", "q_id", "recall")
     }),
@@ -852,13 +852,13 @@ object SparkEntry {
     // aggregates, where old raw data is dropped and queries read rollups.
     "a24_rollup_tier" -> ((s, dir) => {
       val t1m = series(s, dir)
-        .withColumn("b1m", col("e") - (col("e") % 60))
+        .withColumn("b1m", floor(col("e") / lit(60.0)).cast("long") * 60)
         .groupBy("metric", "b1m")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).as("sv"),
           min("value").as("mn"), max("value").as("mx"))
       t1m
-        .withColumn("bucket_start", col("b1m") - (col("b1m") % 3600))
+        .withColumn("bucket_start", floor(col("b1m") / lit(3600.0)).cast("long") * 3600)
         .groupBy("metric", "bucket_start")
         .agg(sum("n").as("n"), sum("sv").as("sv"),
           min("mn").as("min_val"), max("mx").as("max_val"))
@@ -873,7 +873,7 @@ object SparkEntry {
     // expression tree identical to the oracle's.
     "a25_corr_matrix" -> ((s, dir) => {
       val b = series(s, dir)
-        .withColumn("bucket", col("e") - (col("e") % 60))
+        .withColumn("bucket", floor(col("e") / lit(60.0)).cast("long") * 60)
         .groupBy("metric", "bucket")
         .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
       val l = b.select(col("metric").as("ma"), col("bucket"), col("x").as("xa"))
@@ -933,11 +933,11 @@ object SparkEntry {
     // implementation with different estimates.
     "a26_hll_tier" -> ((s, dir) => {
       val minuteSk = series(s, dir)
-        .withColumn("minute", col("e") - (col("e") % 60))
+        .withColumn("minute", floor(col("e") / lit(60.0)).cast("long") * 60)
         .groupBy("metric", "minute")
         .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
       minuteSk
-        .withColumn("bucket_start", col("minute") - (col("minute") % 3600))
+        .withColumn("bucket_start", floor(col("minute") / lit(3600.0)).cast("long") * 3600)
         .groupBy("metric", "bucket_start")
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
     }),
@@ -1092,9 +1092,9 @@ object SparkEntry {
     "a6_rate" ->
       s"""WITH $SERIES
          |SELECT metric, CAST(FLOOR(e/${P.rateWindowSeconds}.0) AS BIGINT)*${P.rateWindowSeconds} AS w_start,
-         |       count(*) AS msgs, CAST(SUM(length(props)) AS BIGINT) AS bytes,
+         |       count(*) AS msgs, CAST(SUM(strlen(props)) AS BIGINT) AS bytes,
          |       count(*)/${P.rateWindowSeconds}.0 AS msgs_per_sec,
-         |       CAST(SUM(length(props)) AS BIGINT)/${P.rateWindowSeconds}.0 AS bytes_per_sec
+         |       CAST(SUM(strlen(props)) AS BIGINT)/${P.rateWindowSeconds}.0 AS bytes_per_sec
          |FROM series GROUP BY 1, 2""".stripMargin,
 
     "a4_batch_mean" ->
@@ -1671,7 +1671,7 @@ object SparkEntry {
 
     "a18_ohlc" ->
       s"""WITH $SERIES,
-         |b AS (SELECT metric, e - (e % 86400) AS bucket_start, e, value FROM series),
+         |b AS (SELECT metric, CAST(FLOOR(e/86400.0) AS BIGINT)*86400 AS bucket_start, e, value FROM series),
          |g AS (SELECT metric, bucket_start, count(*) AS n,
          |             max(value) AS high, min(value) AS low,
          |             min(e) AS first_e, max(e) AS last_e
@@ -1727,7 +1727,7 @@ object SparkEntry {
     // this by composing its 1m tier.
     "a24_rollup_tier" ->
       s"""WITH $SERIES
-         |SELECT metric, e - (e % 3600) AS bucket_start, count(*) AS n,
+         |SELECT metric, CAST(FLOOR(e/3600.0) AS BIGINT)*3600 AS bucket_start, count(*) AS n,
          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
          |         CAST(count(*) AS DOUBLE) AS mean_val,
          |       min(value) AS min_val, max(value) AS max_val
@@ -1735,7 +1735,7 @@ object SparkEntry {
 
     "a25_corr_matrix" ->
       s"""WITH $SERIES,
-         |b AS (SELECT metric, e - (e % 60) AS bucket,
+         |b AS (SELECT metric, CAST(FLOOR(e/60.0) AS BIGINT)*60 AS bucket,
          |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
          |      FROM series GROUP BY 1, 2),
          |p AS (SELECT l.metric AS ma, r.metric AS mb,
@@ -1780,7 +1780,7 @@ object SparkEntry {
          |        lag(e) OVER w AS prev_e, lag(value) OVER w AS prev_v,
          |        lead(e) OVER w AS next_e, lead(value) OVER w AS next_v
          |      FROM series WINDOW w AS (PARTITION BY metric ORDER BY e, event_id)),
-         |a AS (SELECT metric, event_id, e, value, e - (e % 3600) AS bucket_start,
+         |a AS (SELECT metric, event_id, e, value, CAST(FLOOR(e/3600.0) AS BIGINT)*3600 AS bucket_start,
          |        CASE WHEN prev_e IS NULL OR next_e IS NULL THEN CAST('inf' AS DOUBLE)
          |             ELSE abs((prev_e - next_e) * (value - prev_v) -
          |                      (prev_e - e) * (next_v - prev_v)) END AS area

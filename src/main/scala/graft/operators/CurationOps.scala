@@ -26,7 +26,12 @@ object CurationOps {
                        keyCol: String = "doc_id"): DataFrame = {
     val hex = substring(md5(concat_ws(":", lit(seed), col(keyCol))), 1, 4)
     val thresh = fractions.foldLeft(lit(null).cast("string")) { case (acc, (k, f)) =>
+      // Both bounds guarded: f >= 1 keeps all; f <= 0 must keep NONE —
+      // %04x on a negative Int renders 8 two's-complement chars whose
+      // 4-char prefix is near-"ffff", which would silently flip the
+      // stratum to keep-everything (same trap [[ppsSample]] guards).
       val t = if (f >= 1.0) "g000" // beyond any hex digit — keep all
+              else if (f <= 0.0) "0000" // below any hex digit — keep none
               else f"${math.floor(f * 65536).toInt}%04x"
       when(col(stratum) === k, lit(t)).otherwise(acc)
     }
@@ -63,6 +68,10 @@ object CurationOps {
     * scan order. One shuffle on the group column; the per-group sort is
     * bounded by the group size, and a rank ≤ k predicate over a window is
     * AQE/skew-friendly (no driver involvement).
+    *
+    * Output contract: the input columns plus `rk` (1-based selection rank
+    * within the group — deliberately kept, callers use it for quota
+    * reporting). Inputs that already carry an `rk` column are overwritten.
     */
   def quotaPerGroup(docs: DataFrame, group: String, k: Int,
                     textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {

@@ -130,12 +130,18 @@ object DedupOps {
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(labels("doc_id"), newLabel.as("label"),
           (newLabel =!= labels("label")).as("__changed"))
-        .localCheckpoint(true)
       // Pointer-jump (path-halving): label := label's label. One extra
-      // self-join per round turns O(diameter) rounds into O(log diameter) —
-      // the large-star/small-star convergence shape. The lookup side joins
-      // on the checkpointed `stepped`, so nothing recomputes.
-      val lookup = stepped.select(
+      // join per round turns O(diameter) rounds into O(log diameter) — the
+      // large-star/small-star convergence shape. The lookup side is the
+      // PREVIOUS round's (already checkpointed) labels — a stale lookup is
+      // still monotone-correct (any label it returns is in the same
+      // component and no larger), and it lets the whole round materialize
+      // with ONE checkpoint instead of two: local checkpoints pin executor
+      // storage for the loop's lifetime, so blocks grow O(rounds · |V|) —
+      // halving the constant matters, and production runs on long-lived
+      // clusters should swap in reliable checkpoints (lineage-free local
+      // checkpoint blocks do not survive executor loss).
+      val lookup = labels.select(
         col("doc_id").as("__l_id"), col("label").as("__l_label"))
       val jumped = stepped
         .join(lookup, stepped("label") === col("__l_id"), "left")

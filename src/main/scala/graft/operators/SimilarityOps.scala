@@ -29,6 +29,14 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The shared rank/filter/round tail of every ANN variant — one place
+    * for the tie-break and rounding contract (reuses
+    * [[RelationalOps.topNPerGroup]]). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    RelationalOps.topNPerGroup(scored, k,
+        Seq(col("q_id")), Seq(col("score").desc, col("c_id")))
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
+
   /** Exact brute-force cosine top-k: the given query vectors (a SMALL set —
     * broadcast) against every candidate row. Per-candidate work only; the
     * top-k per query is a bounded hash/sort on (query) — no all-pairs among
@@ -45,10 +53,7 @@ object SimilarityOps {
       .where(col("q_id") =!= col("c_id"))
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
+      .transform(rankTopK(_, k))
   }
 
   /** Deterministic random hyperplanes: `tables × bitsPerTable` planes in
@@ -89,10 +94,7 @@ object SimilarityOps {
     cand
       .withColumn("score",
         dot(col("q_id_v"), col("c_id_v")) / (col("q_id_n") * col("c_id_n")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
+      .transform(rankTopK(_, k))
   }
 
   /** Approximate cosine top-k via IVF (inverted-file) coarse quantization:
@@ -132,10 +134,7 @@ object SimilarityOps {
     assigned.join(probed, "cid")
       .where(col("q_id") =!= col("c_id"))
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
+      .transform(rankTopK(_, k))
   }
 
   /** Embedding near-duplicate pairs (cosine >= minCosine) via the same LSH
@@ -222,14 +221,18 @@ object SimilarityOps {
   /** Recall@k of an approximate ANN result against the exact brute-force
     * ranking — the accuracy gate to run before switching an index variant
     * on. Both inputs are (q_id, c_id, ...) top-k frames; the overlap is a
-    * semi join on the tiny result sets (never touches the vectors).
-    * Returns (q_id, recall) with recall = |approx ∩ exact| / k. */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    * join on the tiny result sets (never touches the vectors). Returns
+    * (q_id, recall) with recall = |approx ∩ exact| / |exact| — the
+    * PER-QUERY exact count, not the parameter k: when the candidate pool
+    * has fewer than k members, dividing by k would cap a perfect index
+    * below 1.0 and spuriously fail the gate. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("q_id"), col("c_id"))
       .join(approx.select(col("q_id"), col("c_id")).withColumn("__hit", lit(1)),
         Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
       // left join (not semi) so a query whose approx set misses everything
       // still reports recall 0.0 rather than vanishing from the eval.
-      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / k).as("recall"))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)).cast("double")).as("recall"))
 }

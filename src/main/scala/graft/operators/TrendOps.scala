@@ -240,7 +240,9 @@ object TrendOps {
       .groupBy("metric", "w_start")
       .agg(
         count(lit(1)).as("msgs"),
-        sum(length(col("props"))).as("bytes"),
+        // octet_length, not length: the contract counts BYTES on the wire
+        // and the two diverge on any non-ASCII payload.
+        sum(octet_length(col("props"))).as("bytes"),
         countDistinct(col("e")).as("filled_secs"))
       .withColumn("msgs_per_sec", col("msgs") / lit(windowSeconds.toDouble))
       .withColumn("bytes_per_sec", col("bytes") / lit(windowSeconds.toDouble))
@@ -350,15 +352,30 @@ object TrendOps {
     val buck = decimateBucketized(series, stepSeconds)
       .select(col("metric"), col("bucket_start").as("t"), col("value"))
     val w = Window.partitionBy("metric").orderBy("t")
+    // Two-level explode bounds per-row array size: one sequence() per span
+    // would materialize (gap/step) elements in a SINGLE row — a metric
+    // dormant for years at a fine step is a multi-million-element unsafe
+    // array (OOM / max-sequence-length failure). Chunk starts first
+    // (≤ span/chunkSteps rows), then ≤ chunkSteps grid points per chunk.
+    val chunkSpan = stepSeconds * RESAMPLE_CHUNK_STEPS
     buck
       .withColumn("next_t", lead("t", 1).over(w))
-      .select(col("metric"), col("t").as("obs_t"), col("value").as("obs_v"),
-        explode(sequence(col("t"),
-          coalesce(col("next_t") - stepSeconds, col("t")), lit(stepSeconds))).as("t"))
+      .withColumn("end", coalesce(col("next_t") - stepSeconds, col("t")))
+      .select(col("metric"), col("t").as("obs_t"), col("value").as("obs_v"), col("end"),
+        explode(sequence(col("t"), col("end"), lit(chunkSpan))).as("c"))
+      .select(col("metric"), col("obs_t"), col("obs_v"),
+        explode(sequence(col("c"),
+          least(col("c") + (chunkSpan - stepSeconds), col("end")),
+          lit(stepSeconds))).as("t"))
       .select(col("metric"), col("t"),
         when(col("t") === col("obs_t"), col("obs_v")).as("value"),
         col("obs_v").as("filled"))
   }
+
+  /** Per-row grid bound for the span-explode resamplers (see
+    * [[resampleFfill]]): chunks of this many steps keep any one row's
+    * generated array small regardless of how long a gap is. */
+  private val RESAMPLE_CHUNK_STEPS = 4096L
 
   /** Resample to a regular grid with LINEAR interpolation: empty grid
     * points take `prev + (next − prev) · (t − t_prev)/(t_next − t_prev)`
@@ -379,13 +396,20 @@ object TrendOps {
     val buck = decimateBucketized(series, stepSeconds)
       .select(col("metric"), col("bucket_start").as("t"), col("value"))
     val w = Window.partitionBy("metric").orderBy("t")
+    // Same two-level chunked explode as [[resampleFfill]] (bounded per-row
+    // arrays on arbitrarily long gaps).
+    val chunkSpan = stepSeconds * RESAMPLE_CHUNK_STEPS
     buck
       .withColumn("nt", lead("t", 1).over(w))
       .withColumn("nv", lead("value", 1).over(w))
+      .withColumn("end", coalesce(col("nt") - stepSeconds, col("t")))
       .select(col("metric"), col("t").as("pt"), col("value").as("pv"),
-        col("nt"), col("nv"),
-        explode(sequence(col("t"),
-          coalesce(col("nt") - stepSeconds, col("t")), lit(stepSeconds))).as("t"))
+        col("nt"), col("nv"), col("end"),
+        explode(sequence(col("t"), col("end"), lit(chunkSpan))).as("c"))
+      .select(col("metric"), col("pt"), col("pv"), col("nt"), col("nv"),
+        explode(sequence(col("c"),
+          least(col("c") + (chunkSpan - stepSeconds), col("end")),
+          lit(stepSeconds))).as("t"))
       .select(col("metric"), col("t"),
         when(col("t") === col("pt"), col("pv")).as("value"),
         when(col("t") === col("pt"), col("pv"))
@@ -420,7 +444,11 @@ object TrendOps {
     * contract as A1). One hash-aggregate shuffle on (metric, bucket). */
   def ohlcBars(series: DataFrame, bucketSeconds: Long = 86400L): DataFrame =
     series
-      .withColumn("bucket_start", col("e") - (col("e") % bucketSeconds))
+      // floor-division bucketing (not e - e % w, whose remainder follows
+      // the dividend's sign): pre-epoch timestamps land in the same bucket
+      // every other operator in this file assigns them to.
+      .withColumn("bucket_start",
+        floor(col("e") / lit(bucketSeconds.toDouble)).cast("long") * bucketSeconds)
       .groupBy("metric", "bucket_start")
       .agg(
         count(lit(1)).as("n"),
@@ -485,7 +513,9 @@ object TrendOps {
           .otherwise(abs(
             (col("prev_e") - col("next_e")) * (col("value") - col("prev_v")) -
               (col("prev_e") - col("e")) * (col("next_v") - col("prev_v")))))
-      .withColumn("bucket_start", col("e") - (col("e") % bucketSeconds))
+      // same floor-division bucketing as [[ohlcBars]] (sign-safe)
+      .withColumn("bucket_start",
+        floor(col("e") / lit(bucketSeconds.toDouble)).cast("long") * bucketSeconds)
       .withColumn("rk", row_number().over(rank))
       .where(col("rk") === 1)
       .select("metric", "bucket_start", "e", "value")

@@ -114,7 +114,7 @@ object StreamOps {
                   windowSeconds: Int = 60,
                   watermark: String = "2 minutes"): DataFrame =
     parsed
-      .withColumn("bytes", length(to_json(col("metrics"))))
+      .withColumn("bytes", octet_length(to_json(col("metrics"))))
       .withWatermark("ts", watermark)
       .groupBy(col("source"), window(col("ts"), s"$windowSeconds seconds", "1 second"))
       .agg(count(lit(1)).as("msgs"), sum("bytes").as("bytes"))

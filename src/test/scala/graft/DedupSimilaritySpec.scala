@@ -220,9 +220,16 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L)).toDF("q_id", "c_id")
     val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L), (1L, 98L))
       .toDF("q_id", "c_id") // q2 entirely missed
-    val r = SimilarityOps.recallAtK(approx, exact, 5).collect()
+    val r = SimilarityOps.recallAtK(approx, exact).collect()
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(r == Map(1L -> 0.6, 2L -> 0.0))
+    // candidate pool smaller than k: a perfect index must still score 1.0
+    // (denominator is the per-query exact count, not the k parameter)
+    val shortExact = Seq((3L, 30L), (3L, 31L), (3L, 32L)).toDF("q_id", "c_id")
+    val shortApprox = Seq((3L, 30L), (3L, 31L), (3L, 32L)).toDF("q_id", "c_id")
+    val r2 = SimilarityOps.recallAtK(shortApprox, shortExact).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r2 == Map(3L -> 1.0))
   }
 
   test("ANN recall@5 eval: IVF probing every list recovers brute force exactly") {
@@ -234,12 +241,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val qs = emb.where(col("vec_id") < 8)
     val exact = SimilarityOps.bruteTopK(qs, emb, 5)
     val full = SimilarityOps.ivfTopK(qs, emb, 5, nlist = 8, nprobe = 8)
-    val r = SimilarityOps.recallAtK(full, exact, 5).collect()
+    val r = SimilarityOps.recallAtK(full, exact).collect()
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(r.size == 8 && r.values.forall(_ == 1.0), s"got $r")
     // the approximate variants report a recall in [0,1] for every query
     for (approx <- Seq(SimilarityOps.lshTopK(qs, emb, 5), SimilarityOps.ivfTopK(qs, emb, 5))) {
-      val recalls = SimilarityOps.recallAtK(approx, exact, 5).collect().map(_.getDouble(1))
+      val recalls = SimilarityOps.recallAtK(approx, exact).collect().map(_.getDouble(1))
       assert(recalls.length == 8 && recalls.forall(x => x >= 0.0 && x <= 1.0))
     }
   }

@@ -224,6 +224,21 @@ class TrendOpsSpec extends SparkSpec {
     assert(viaTier.nonEmpty)
   }
 
+  test("resample survives a gap far beyond one chunk (bounded per-row arrays)") {
+    // 50k steps at 60s spans ~12 chunks of 4096; grid must be complete.
+    val gapSteps = 50000L
+    val df = seriesDF(("m", 0L, 1.0), ("m", gapSteps * 60L, 2.0))
+    val filled = TrendOps.resampleFfill(df, 60L)
+    assert(filled.count() == gapSteps + 1)
+    val edge = filled.where(col("t") === (gapSteps * 60L - 60L) || col("t") === gapSteps * 60L)
+      .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("filled")).toMap
+    assert(edge == Map(gapSteps * 60L - 60L -> 1.0, gapSteps * 60L -> 2.0))
+    val lin = TrendOps.resampleLinear(df, 60L)
+    assert(lin.count() == gapSteps + 1)
+    val mid = lin.where(col("t") === gapSteps * 30L).collect().head.getAs[Double]("interp")
+    assert(mid == 1.5) // exact: halfway between 1.0 and 2.0
+  }
+
   test("gap report lists only intervals beyond the threshold") {
     val df = seriesDF(("m", 0L, 1.0), ("m", 100L, 1.0), ("m", 500L, 1.0))
     val gaps = TrendOps.gapReport(df, 300L).collect()
