@@ -1219,7 +1219,7 @@ object SparkEntry {
          |  rpad(metric, 10, '.') AS label,
          |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
          |  CASE WHEN regexp_matches(json_extract_string(props, '$$.k'), '^-?[0-9]+$$')
-         |       THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) != 0
+         |       THEN regexp_matches(json_extract_string(props, '$$.k'), '[1-9]')
          |       ELSE json_extract_string(props, '$$.k') = 'true' END AS k_bool
          |FROM series WHERE event_id % 97 = 0""".stripMargin,
 

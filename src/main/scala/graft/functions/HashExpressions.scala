@@ -36,6 +36,15 @@ object HashExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sig"
 
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_sig requires array<string>, got ${other.simpleString}")
+      }
+
     def compute(arr: ArrayData): ArrayData = {
       val mins = Array.fill(k)(Long.MaxValue)
       val n = arr.numElements()
@@ -75,6 +84,15 @@ object HashExpressions {
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash64 requires array<string>, got ${other.simpleString}")
+      }
 
     def compute(arr: ArrayData): Long = {
       val counts = new Array[Int](64)
@@ -118,6 +136,9 @@ object HashExpressions {
     * identical subplans stay semantically equal (exchange reuse). */
   case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
       extends UnaryExpression {
+    require(planes.forall(_.length <= 64),
+      "hyperplane_buckets: a table's bucket id is one Long of sign bits — " +
+        "more than 64 planes per table would silently alias (1L << b wraps mod 64)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "hyperplane_buckets"
 

@@ -46,9 +46,12 @@ object Scalars {
     when(metric === "pressure", renderLast2(value))
       .otherwise(renderRounded(value).cast("string"))
 
-  /** X5: reference `toBool` — integer strings by truthiness, else == "true". */
+  /** X5: reference `toBool` — integer strings by truthiness, else == "true".
+    * Truthiness = "contains a nonzero digit", not a long cast: a cast
+    * overflows to null on integers beyond 64 bits, where the reference's
+    * `Number(s)` truthiness is still true. */
   def toBool(c: Column): Column =
-    when(c.rlike("^-?[0-9]+$"), c.cast("long") =!= 0).otherwise(c === "true")
+    when(c.rlike("^-?[0-9]+$"), c.rlike("[1-9]")).otherwise(c === "true")
 
   /** X6: fixed-width cell (right-aligned value, left-aligned label). */
   def fixedWidth(c: Column, w: Int): Column = lpad(c.cast("string"), w, " ")

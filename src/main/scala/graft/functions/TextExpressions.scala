@@ -22,6 +22,15 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires array<string>, got ${other.simpleString}")
+    }
+
   private val space = UTF8String.fromString(" ")
 
   def compute(arr: ArrayData): ArrayData = {
@@ -84,6 +93,15 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 case class NgramRepetition(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = NgramRepetition.schema
   override def prettyName: String = "ngram_repetition"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_repetition requires array<string>, got ${other.simpleString}")
+    }
 
   private val space = UTF8String.fromString(" ")
 

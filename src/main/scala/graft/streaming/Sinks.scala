@@ -29,8 +29,8 @@ object Sinks {
       .withColumn("cell", concat_ws(" ",
         Scalars.labelCell(Scalars.deVoweled(col("metric")), 10),
         col("day_bin").cast("string"),
-        Scalars.fixedWidth(Scalars.renderRounded(col("min_val")), w),
-        Scalars.fixedWidth(Scalars.renderRounded(col("max_val")), w)))
+        Scalars.fixedWidth(Scalars.renderFor(col("metric"), col("min_val")), w),
+        Scalars.fixedWidth(Scalars.renderFor(col("metric"), col("max_val")), w)))
       .where(col("is_complete"))
       .orderBy("metric", "day_bin")
       .select("cell")
@@ -54,9 +54,13 @@ object Sinks {
       .collect()
       .foreach { r: Row => store.put(r.getString(0), r.getString(1)) }
 
-  /** S8: append-only audit sink (trend-o-meter:253-262) — each batch appended
-    * as JSON lines with its batch id, the command-log shape. */
+  /** S8: audit sink (trend-o-meter:253-262) — each batch as JSON lines
+    * with its batch id, the command-log shape. One OVERWRITTEN directory
+    * per batch id (not a blind append): a replayed batch rewrites its own
+    * directory, which is what makes this sink idempotent under the
+    * foreachBatch replay contract. Read the log back with
+    * `option("recursiveFileLookup", "true")`. */
   def auditSink(path: String)(batch: DataFrame, batchId: Long): Unit =
     batch.withColumn("batch_id", lit(batchId))
-      .write.mode("append").json(path)
+      .write.mode("overwrite").json(s"$path/batch-$batchId")
 }

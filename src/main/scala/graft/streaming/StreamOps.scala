@@ -57,12 +57,17 @@ object StreamOps {
     * (trend-o-meter:440-443). */
   def parseMessages(raw: DataFrame): DataFrame =
     raw
-      .select(from_json(col("value").cast("string"), messageSchema).as("m"))
+      .select(col("value"),
+        from_json(col("value").cast("string"), messageSchema).as("m"))
       .where(col("m").isNotNull && col("m.ts").isNotNull)
       .select(
         col("m.ts").cast("timestamp").as("ts"),
         col("m.source").as("source"),
-        col("m.value").as("metrics"))
+        col("m.value").as("metrics"),
+        // bytes-on-the-wire of the raw message, carried so rate metrics
+        // can honor the A6 byte-counter contract after parsing discards
+        // the raw line
+        octet_length(col("value").cast("string")).as("msg_bytes"))
 
   /** F5: metric map → long form; lifts the reference's single-metric
     * restriction (`throw 'nope not anymore!'`, trend-o-meter:121-123). */
@@ -83,8 +88,13 @@ object StreamOps {
     samples
       .withWatermark("ts", watermark)
       .groupBy(col("metric"), window(col("ts"), width))
-      .agg(count(lit(1)).as("n"), avg("value").as("mean_val"))
-      .select(col("metric"), col("window.start").as("w_start"), col("n"), col("mean_val"))
+      // decimal-exact sum, one division — same merge-order-independent
+      // mean contract as the batch counterpart (plain double avg() merges
+      // partial sums in partition order and is not bit-deterministic)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .select(col("metric"), col("window.start").as("w_start"), col("n"),
+        (col("sum_val") / col("n")).as("mean_val"))
 
   /** Streaming OHLC bars: the incremental form of
     * [[graft.operators.TrendOps.ohlcBars]] — same deterministic open/close
@@ -114,7 +124,12 @@ object StreamOps {
                   windowSeconds: Int = 60,
                   watermark: String = "2 minutes"): DataFrame =
     parsed
-      .withColumn("bytes", octet_length(to_json(col("metrics"))))
+      // wire bytes from parseMessages when available; the re-serialized
+      // map is only the fallback for callers handing in bare (ts, source,
+      // metrics) frames
+      .withColumn("bytes",
+        if (parsed.columns.contains("msg_bytes")) col("msg_bytes")
+        else octet_length(to_json(col("metrics"))))
       .withWatermark("ts", watermark)
       .groupBy(col("source"), window(col("ts"), s"$windowSeconds seconds", "1 second"))
       .agg(count(lit(1)).as("msgs"), sum("bytes").as("bytes"))
@@ -176,18 +191,22 @@ object StreamOps {
     import spark.implicits._
     samples
       .groupByKey(_.metric)
-      .flatMapGroupsWithState[Double, Sample](
+      // explicit seeded flag, not a -1 sentinel: a legitimate pre-epoch
+      // sample at second -1 would round-trip AS the sentinel and reset the
+      // gap gate (the batch operator keeps the same (mark, seeded) pair)
+      .flatMapGroupsWithState[(Double, Boolean), Sample](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (metric: String, events: Iterator[StreamSample], state: GroupState[Double]) =>
-          var mark = state.getOption.getOrElse(-1d)
+        (metric: String, events: Iterator[StreamSample], state: GroupState[(Double, Boolean)]) =>
+          var (mark, seeded) = state.getOption.getOrElse((0d, false))
           val kept = events.toSeq.sortBy(_.ts.getTime).flatMap { ev =>
             val sec = ev.ts.getTime / 1000L
-            if (mark == -1d || math.abs(sec - mark) > gapSeconds) {
+            if (!seeded || math.abs(sec - mark) > gapSeconds) {
               mark = sec.toDouble
+              seeded = true
               Some(Sample(metric, sec, ev.value, event_id = sec))
             } else None
           }
-          state.update(mark)
+          state.update((mark, seeded))
           kept.iterator
       }
   }
@@ -203,20 +222,22 @@ object StreamOps {
     import spark.implicits._
     samples
       .groupByKey(_.metric)
-      .flatMapGroupsWithState[(Double, Double, Long), TriggeredMean](
+      // same explicit seeded flag as [[decimateStream]] (no -1 sentinel)
+      .flatMapGroupsWithState[(Double, Boolean, Double, Long), TriggeredMean](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (metric: String, events: Iterator[StreamSample], state: GroupState[(Double, Double, Long)]) =>
-          var (mark, sum, n) = state.getOption.getOrElse((-1d, 0d, 0L))
+        (metric: String, events: Iterator[StreamSample],
+         state: GroupState[(Double, Boolean, Double, Long)]) =>
+          var (mark, seeded, sum, n) = state.getOption.getOrElse((0d, false, 0d, 0L))
           val out = events.toSeq.sortBy(_.ts.getTime).flatMap { ev =>
             val sec = ev.ts.getTime / 1000L
             sum += ev.value; n += 1
-            if (mark == -1d || math.abs(sec - mark) > gapSeconds) {
+            if (!seeded || math.abs(sec - mark) > gapSeconds) {
               val m = TriggeredMean(metric, sec, sum / n, n)
-              mark = sec.toDouble; sum = 0d; n = 0L
+              mark = sec.toDouble; seeded = true; sum = 0d; n = 0L
               Some(m)
             } else None
           }
-          state.update((mark, sum, n))
+          state.update((mark, seeded, sum, n))
           out.iterator
       }
   }
@@ -224,7 +245,12 @@ object StreamOps {
   /** Streaming EWMA: the [[graft.operators.TrendOps.ewma]] recurrence as
     * keyed (prev, seeded) state per metric — the stream continues exactly
     * where the batch recurrence left off (within a micro-batch, events are
-    * folded in event-time order). */
+    * folded in event-time order). Same-second ties fold in arrival order
+    * ([[StreamSample]] carries no event_id to break them the way the batch
+    * op does), so EXACT batch parity holds for streams with unique
+    * per-metric timestamps — e.g. anything downstream of
+    * [[decimateStream]]. The same tie caveat applies to [[cusumStream]]
+    * and [[gapTriggeredMean]]. */
   def ewmaStream(samples: Dataset[StreamSample], alpha: Double): Dataset[graft.operators.EwmaPoint] = {
     val spark = samples.sparkSession
     import spark.implicits._
@@ -375,7 +401,11 @@ object StreamOps {
     * extents over retained history after every accepted sample
     * (trend-o-meter:316-333,418). `foreachBatch` + an accumulating history
     * with retention cull reproduces that model exactly for parity tests;
-    * production streaming uses the incremental aggregations above instead. */
+    * production streaming uses the incremental aggregations above instead.
+    * Each batch local-checkpoints a fresh history and the previous
+    * checkpoint's blocks are reclaimed only on driver GC (ContextCleaner)
+    * — bounded for the parity-test lifetimes this class exists for, one
+    * more reason production uses the incremental operators. */
   final class RecomputeLoop(p: TrendParams = TrendParams.default) extends Serializable {
     @volatile private var history: Option[DataFrame] = None
     @volatile private var latest: Option[DataFrame] = None

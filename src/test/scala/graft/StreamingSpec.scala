@@ -484,7 +484,9 @@ class StreamingSpec extends SparkSpec {
 
     val dir = java.nio.file.Files.createTempDirectory("audit").toString
     Sinks.auditSink(dir)(Seq(("cmd", true)).toDF("message", "valid"), 7L)
-    val audit = spark.read.json(dir).collect()
+    // replaying the same batch must NOT duplicate the audit record
+    Sinks.auditSink(dir)(Seq(("cmd", true)).toDF("message", "valid"), 7L)
+    val audit = spark.read.option("recursiveFileLookup", "true").json(dir).collect()
     assert(audit.length == 1 && audit.head.getAs[Long]("batch_id") == 7L)
   }
 }
