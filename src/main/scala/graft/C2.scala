@@ -21,9 +21,12 @@ final case class C2Response(ok: Boolean, verb: String, message: String, params: 
 object C2 {
 
   /** Reference toBool semantics (trend-o-meter:196-205), control-plane copy
-    * of [[graft.functions.Scalars.toBool]]. */
+    * of [[graft.functions.Scalars.toBool]] — including its overflow-proof
+    * truthiness: an integer string is true iff it contains a nonzero digit
+    * (a long cast would THROW here on >64-bit integers, where the
+    * reference's `Number(s)` is simply truthy). */
   private def toBool(s: String): Boolean =
-    if (s.matches("^-?[0-9]+$")) s.toLong != 0 else s == "true"
+    if (s.matches("^-?[0-9]+$")) s.exists(c => c >= '1' && c <= '9') else s == "true"
 
   private def renderConfig(p: TrendParams): String =
     s"""{"maxListQueryLength": ${p.maxListQueryLength},
@@ -56,6 +59,16 @@ object C2 {
       case "set" :: "samplesPerMinuteRetained" :: v :: Nil =>
         C2Response(ok = true, "set", s"samplesPerMinuteRetained=$v",
           p.copy(samplesPerMinuteRetained = v.toDouble))
+      case "set" :: "maxListQueryLength" :: v :: Nil =>
+        C2Response(ok = true, "set", s"maxListQueryLength=$v",
+          p.copy(maxListQueryLength = v.toInt))
+      case "set" :: "sessionGapSeconds" :: v :: Nil =>
+        C2Response(ok = true, "set", s"sessionGapSeconds=$v",
+          p.copy(sessionGapSeconds = v.toLong))
+      case "set" :: "dayBins" :: v :: Nil =>
+        // comma-separated ascending bin list, e.g. "set dayBins 1,3,5,7"
+        C2Response(ok = true, "set", s"dayBins=$v",
+          p.copy(dayBins = v.split(",").map(_.trim.toInt).toSeq))
       case "set" :: ("debug" | "logMsgs") :: v :: Nil =>
         // Diagnostics toggles: accepted, no analytic effect (X5 coercion).
         C2Response(ok = true, "set", s"${toks(1)}=${toBool(v)}", p)
@@ -71,10 +84,18 @@ object C2 {
 
   /** The reference's recompute-on-parameter-change: apply the command, then
     * re-run the flagship with the updated literals (trend-o-meter:214-220).
-    */
-  def executeAndRerun(command: String, p: TrendParams, series: DataFrame): (C2Response, DataFrame) = {
+    * Only a SUCCESSFUL `set` re-runs — the reference recomputes after a
+    * parameter mutation, not after reads or rejected commands, and on a
+    * large series the re-run is a full scan+aggregate.
+    * @return the response, plus the recomputed extents when the command
+    *         mutated parameters (None otherwise). */
+  def executeAndRerun(command: String, p: TrendParams,
+                      series: DataFrame): (C2Response, Option[DataFrame]) = {
     val resp = execute(command, p)
-    (resp, TrendOps.bandedExtents(series, resp.params))
+    val rerun =
+      if (resp.ok && resp.verb == "set") Some(TrendOps.bandedExtents(series, resp.params))
+      else None
+    (resp, rerun)
   }
 
   /** S5 command-stream shape: fold a (micro-)batch of commands over the

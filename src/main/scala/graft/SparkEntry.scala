@@ -88,9 +88,35 @@ object SparkEntry {
 
   // ---- queries -------------------------------------------------------------
 
+  /** Every 50th document plus a variant with the last `nDrop` tokens
+    * removed — the planted near-duplicates the LSH/dedup queries detect
+    * (the base corpus is fully distinct). */
+  private def withPlantedVariants(documents: DataFrame, nDrop: Int): DataFrame = {
+    val docs = documents.select("doc_id", "text")
+    docs.unionByName(docs.where(col("doc_id") % 50 === 0)
+      .select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), lit(1),
+          greatest(size(TextOps.tokens(col("text"))) - nDrop, lit(1)))).as("text")))
+  }
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Register a per-call UNIQUE temp view, run the SQL against it, then
+    * drop the view (analysis is eager, so the returned frame keeps its
+    * resolved plan) — query functions stay pure: no fixed global view
+    * names to race on under concurrent execution, nothing leaked into the
+    * caller's session catalog. */
+  private def withTempView(df: DataFrame, prefix: String)(sql: String => String): DataFrame = {
+    val name = s"${prefix}_${viewSeq.incrementAndGet()}"
+    df.createOrReplaceTempView(name)
+    try df.sparkSession.sql(sql(name))
+    finally df.sparkSession.catalog.dropTempView(name)
+  }
+
   /** Every registered query, each wrapped in the driver-boundary [[guarded]]
     * conf normalization (ADVICE r2: TPC-H entries previously bypassed it). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries.map { case (name, f) =>
       name -> ((s: SparkSession, dir: String) => f(guarded(s), dir))
     }
@@ -200,6 +226,10 @@ object SparkEntry {
         count(lit(1)).cast("double").as("sn"),
         sum(v).cast("double").as("sv"),
         sum(v * v).cast("double").as("svv"))
+        // a singleton group has no sample variance: filter BEFORE the
+        // (sn - 1) division, which ANSI mode refuses as 0/0 (same guard
+        // a25_corr_matrix carries)
+        .where(col("sn") >= 2)
         .select(col("metric"), (col("sv") / col("sn")).as("mu"),
           sqrt((col("svv") - col("sv") * col("sv") / col("sn")) / (col("sn") - 1)).as("sd"))
       sr.join(broadcast(stats), "metric")
@@ -421,22 +451,18 @@ object SparkEntry {
 
     // SQL-parser surface: the same engine through spark.sql (ANSI text in,
     // Catalyst plan out) — the reference has no query language at all.
-    "q_sql_agg" -> ((s, dir) => {
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
-      s.sql(
-        """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
-          |       count(DISTINCT l_suppkey) AS n_suppliers
-          |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
-    }),
+    "q_sql_agg" -> ((s, dir) =>
+      withTempView(Tables.lineitem(s, dir), "lineitem_v")(v => s"""
+        |SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |       count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM $v GROUP BY l_returnflag""".stripMargin)),
 
     // Scalar subquery: orders within 10% of the maximum order value —
     // the subquery result is a broadcast scalar, not a join.
-    "q_scalar_subquery" -> ((s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
-      s.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_sq
-          |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_sq) * 0.9""".stripMargin)
-    }),
+    "q_scalar_subquery" -> ((s, dir) =>
+      withTempView(Tables.orders(s, dir), "orders_sq")(v => s"""
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM $v
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM $v) * 0.9""".stripMargin)),
 
     // Top-K scan.
     "q_topk" -> ((s, dir) =>
@@ -475,42 +501,29 @@ object SparkEntry {
     // Near-dup via MinHash LSH over planted variants (the base corpus is
     // fully distinct) — banded buckets, candidate pairs, exact-Jaccard
     // verify. Not SQL-expressible → rows-only + unit tests.
-    "minhash_neardup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = docs.where(col("doc_id") % 50 === 0)
-        .select(
-          (col("doc_id") + 1000000).as("doc_id"),
-          concat_ws(" ", slice(TextOps.tokens(col("text")), lit(1),
-            greatest(size(TextOps.tokens(col("text"))) - 3, lit(1)))).as("text"))
-      DedupOps.nearDupPairs(docs.unionByName(variants), k = 64, bands = 16, minJaccard = 0.6)
-    }),
+    // minhash_neardup and neardup_groups MUST use the same nDrop so the
+    // pair-generation and grouping queries see the same planted pairs —
+    // which is why all three share [[withPlantedVariants]].
+    "minhash_neardup" -> ((s, dir) =>
+      DedupOps.nearDupPairs(
+        withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
+        k = 64, bands = 16, minJaccard = 0.6)),
 
     // SimHash near-dup with Hamming<=3 pigeonhole blocking (rows-only).
-    "simhash_neardup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = docs.where(col("doc_id") % 50 === 0)
-        .select(
-          (col("doc_id") + 1000000).as("doc_id"),
-          concat_ws(" ", slice(TextOps.tokens(col("text")), lit(1),
-            greatest(size(TextOps.tokens(col("text"))) - 1, lit(1)))).as("text"))
-      DedupOps.simHashPairs(docs.unionByName(variants), maxHamming = 3)
-    }),
+    "simhash_neardup" -> ((s, dir) =>
+      DedupOps.simHashPairs(
+        withPlantedVariants(Tables.documents(s, dir), nDrop = 1), maxHamming = 3)),
 
     // Near-dup clusters: MinHash-LSH pairs → connected components (min-label
     // propagation) — the grouping stage a real dedup pipeline runs after
     // pair generation. Rows-only (LSH upstream); invariants pinned by test.
-    "neardup_groups" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = docs.where(col("doc_id") % 50 === 0)
-        .select(
-          (col("doc_id") + 1000000).as("doc_id"),
-          concat_ws(" ", slice(TextOps.tokens(col("text")), lit(1),
-            greatest(size(TextOps.tokens(col("text"))) - 3, lit(1)))).as("text"))
+    "neardup_groups" -> ((s, dir) =>
       DedupOps.nearDupGroups(
-        DedupOps.nearDupPairs(docs.unionByName(variants), k = 64, bands = 16, minJaccard = 0.6))
+        DedupOps.nearDupPairs(
+          withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
+          k = 64, bands = 16, minJaccard = 0.6))
         .groupBy("label")
-        .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_doc_id"))
-    }),
+        .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_doc_id"))),
 
     // End-to-end curation pipeline as ONE declarative plan: quality score →
     // language gate → exact dedup → content-hash split → per-(lang, split)
@@ -542,12 +555,16 @@ object SparkEntry {
     // Text stats per (lang, source).
     "text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
+        // tokenize once per row BEFORE the aggregate: two aggregate
+        // expressions over tokenCount(text) would re-split the largest
+        // column twice per row (no cross-aggregate subexpression reuse)
+        .withColumn("__n_tokens", TextOps.tokenCount(col("text")))
         .groupBy("lang", "source")
         .agg(
           count(lit(1)).as("n_docs"),
           sum("n_chars").as("total_chars"),
-          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
-          max(TextOps.tokenCount(col("text"))).as("max_tokens"),
+          sum(col("__n_tokens").cast("long")).as("total_tokens"),
+          max(col("__n_tokens")).as("max_tokens"),
           min("doc_id").as("min_doc_id"))),
 
     // Per-doc quality/language analysis.
@@ -642,14 +659,12 @@ object SparkEntry {
 
     // Explicit GROUPING SETS (rollup/cube generalization) via the SQL
     // parser surface.
-    "q_grouping_sets" -> ((s, dir) => {
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-          |       sum(l_quantity) AS sum_qty
-          |FROM lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
-    }),
+    "q_grouping_sets" -> ((s, dir) =>
+      withTempView(Tables.lineitem(s, dir), "lineitem_gs")(v => s"""
+        |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(l_quantity) AS sum_qty
+        |FROM $v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)),
 
     // Deterministic second-moment stats per metric: variance/stddev of
     // value and covariance/correlation against day-of-week (weekly
@@ -668,6 +683,9 @@ object SparkEntry {
         sum(dow).cast("double").as("sum_d"),
         sum(dow * dow).cast("double").as("sum_dd"),
         sum(v * dow).cast("double").as("sum_vd"))
+      // singleton-variance guard (see a16/a25): a one-sample metric has no
+      // (n - 1) denominator
+      .where(col("n") >= 2)
       .select(
         col("metric"),
         n.cast("long").as("n"),
@@ -954,6 +972,8 @@ object SparkEntry {
         count(lit(1)).cast("double").as("sn"),
         sum(v).cast("double").as("sv"),
         sum(v * v).cast("double").as("svv"))
+        // same singleton-variance guard as a16/a25
+        .where(col("sn") >= 2)
         .select(col("metric"), col("hour_of_day"),
           (col("sv") / col("sn")).as("mu"),
           sqrt((col("svv") - col("sv") * col("sv") / col("sn")) / (col("sn") - 1)).as("sd"))
@@ -1024,7 +1044,7 @@ object SparkEntry {
 
   /** The fused-Aggregator flagship shares the built-ins flagship's oracle
     * (identical output contract). */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     baseOracle + ("a2_banded_extents_fused" -> baseOracle("a2_banded_extents"))
 
   private val baseOracle: Map[String, String] = Map(
@@ -1170,7 +1190,8 @@ object SparkEntry {
          |  FROM series GROUP BY 1),
          |wide AS (SELECT s.metric, s.value, sv/sn AS mu,
          |                sqrt((svv - sv*sv/sn)/(sn - 1)) AS sd
-         |         FROM series s JOIN st ON s.metric = st.metric)
+         |         FROM series s JOIN st ON s.metric = st.metric
+         |         WHERE sn >= 2)
          |SELECT metric, count(*) AS n_outliers,
          |       min(value) AS min_out, max(value) AS max_out
          |FROM wide WHERE abs(value - mu) > sd * 3 GROUP BY 1""".stripMargin,
@@ -1453,7 +1474,7 @@ object SparkEntry {
          |  (sum_vd - sum_v * sum_d / n) / (n - 1) AS cov_vd,
          |  (sum_vd - sum_v * sum_d / n) /
          |    sqrt((sum_vv - sum_v * sum_v / n) * (sum_dd - sum_d * sum_d / n)) AS corr_vd
-         |FROM m""".stripMargin,
+         |FROM m WHERE n >= 2""".stripMargin,
 
     "pipeline_curation" ->
       """WITH scored AS (SELECT doc_id, lang, text,
@@ -1689,7 +1710,7 @@ object SparkEntry {
 
     "a19_diurnal" ->
       s"""WITH $SERIES
-         |SELECT metric, CAST((e % 86400) // 3600 AS INT) AS hour_of_day,
+         |SELECT metric, CAST((((e % 86400) + 86400) % 86400) // 3600 AS INT) AS hour_of_day,
          |       count(*) AS n,
          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val,
          |       min(value) AS min_val, max(value) AS max_val
@@ -1838,14 +1859,15 @@ object SparkEntry {
 
     "a21_seasonal_anomaly" ->
       s"""WITH $SERIES,
-         |h AS (SELECT metric, CAST((e % 86400) // 3600 AS INT) AS hour_of_day, value FROM series),
+         |h AS (SELECT metric, CAST((((e % 86400) + 86400) % 86400) // 3600 AS INT) AS hour_of_day, value FROM series),
          |st AS (SELECT metric, hour_of_day, CAST(count(*) AS DOUBLE) AS sn,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
          |  FROM h GROUP BY 1, 2),
          |wide AS (SELECT h.metric, h.hour_of_day, h.value, sv/sn AS mu,
          |                sqrt((svv - sv*sv/sn)/(sn - 1)) AS sd
-         |         FROM h JOIN st ON h.metric = st.metric AND h.hour_of_day = st.hour_of_day)
+         |         FROM h JOIN st ON h.metric = st.metric AND h.hour_of_day = st.hour_of_day
+         |         WHERE sn >= 2)
          |SELECT metric, hour_of_day, count(*) AS n_anomalies,
          |       min(value) AS min_v, max(value) AS max_v
          |FROM wide WHERE abs(value - mu) > sd * 3 GROUP BY 1, 2""".stripMargin,

@@ -147,7 +147,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(resp.ok && resp.params.minDataHoursToRenderBin == 21)
     // 20h span: complete at the default 18, incomplete at 21
     assert(TrendOps.bandedExtents(df, p).collect().head.getAs[Boolean]("is_complete"))
-    assert(!rerun.collect().head.getAs[Boolean]("is_complete"))
+    assert(!rerun.get.collect().head.getAs[Boolean]("is_complete"))
+    // reads and rejected commands must NOT trigger the full recompute
+    assert(C2.executeAndRerun("get config", p, df)._2.isEmpty)
+    assert(C2.executeAndRerun("frobnicate", p, df)._2.isEmpty)
+
+    // every parameter renderConfig advertises is settable
+    assert(C2.execute("set sessionGapSeconds 900", p).params.sessionGapSeconds == 900L)
+    assert(C2.execute("set maxListQueryLength 777", p).params.maxListQueryLength == 777)
+    assert(C2.execute("set dayBins 2,4,6", p).params.dayBins == Seq(2, 4, 6))
+    // overflow-proof truthiness (matches Scalars.toBool, not a long cast)
+    assert(C2.execute("set debug 99999999999999999999", p).ok)
 
     val bad = C2.execute("frobnicate all the things", p)
     assert(!bad.ok && bad.params == p)
