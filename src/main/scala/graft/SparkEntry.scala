@@ -738,22 +738,30 @@ object SparkEntry {
     // Multimodal: oracle-checkable payload metadata.
     "multimodal_meta" -> ((s, dir) => MultimodalOps.mediaMeta(Tables.documents(s, dir))),
 
-    // Multimodal: stubbed decode + frame sampling (rows-only; plumbing
-    // exercised, codec stubbed — no image libs in this environment).
+    // Multimodal: REAL codec round trip — encode each doc as an actual
+    // PNG/JPEG (planted dims = f(doc_id)), decode the container headers
+    // back. The oracle recomputes format/dims/channels/byte_len in SQL, so
+    // a green row proves the whole encode→parse pipeline.
     "multimodal_decode" -> ((s, dir) =>
       MultimodalOps.decodeMeta(
         MultimodalOps.withMediaPayload(Tables.documents(s, dir))).toDF()),
+
+    // Frame sampling over real decoded pixels: every 8th pixel row, max 8
+    // frames/doc; frame geometry (count, index, band length) is
+    // oracle-checked, band content pinned by unit tests.
     "multimodal_frames" -> ((s, dir) =>
       MultimodalOps.sampleFrames(
         MultimodalOps.withMediaPayload(Tables.documents(s, dir))).toDF()
-        .select(col("doc_id"), col("frame_idx"), md5(col("frame_bytes")).as("frame_md5"))),
+        .select(col("doc_id"), col("frame_idx"), col("frame_len"))),
 
-    // Multimodal: stubbed fixed-size resize (rows-only; thumbnail bytes are
-    // a deterministic stride of the payload).
+    // Nearest-neighbor 16x16 thumbnail on real decoded pixels, re-encoded
+    // as a real PNG; the stored-block PNG closed form makes the output
+    // length oracle-checkable, pixel selection pinned by unit tests.
     "multimodal_resize" -> ((s, dir) =>
       MultimodalOps.resizeThumb(
         MultimodalOps.withMediaPayload(Tables.documents(s, dir))).toDF()
-        .select(col("doc_id"), col("src_bytes"), md5(col("thumb")).as("thumb_md5"))),
+        .select(col("doc_id"), col("src_width"), col("src_height"),
+          col("channels"), col("thumb_len"))),
 
     // Gopher-style n-gram repetition quality signals, one custom-Expression
     // loop per row (map-only at any scale — no n-gram explode/shuffle):
@@ -1598,6 +1606,48 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       md5(text) AS payload_md5
         |FROM documents""".stripMargin,
+
+    // Real-codec round trip: the oracle recomputes the planted dims
+    // (w = 8 + id%57, h = 8 + (id/57)%57), channel plan (JPEG id%3==0 →
+    // 3 comps; PNG even→gray, odd→RGB) and the exact container sizes —
+    // JPEG header stream is 41 bytes, stored-block PNG is
+    // 68 + h·(1 + w·ch) bytes — independently of the Scala encoder.
+    "multimodal_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(8 + doc_id % 57 AS INTEGER) AS w,
+        |  CAST(8 + (doc_id // 57) % 57 AS INTEGER) AS h,
+        |  CASE WHEN doc_id % 3 = 0 THEN 3
+        |       WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 41
+        |            ELSE 68 + h * (1 + w * ch) END AS INTEGER) AS byte_len,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' ELSE 'image/png' END AS format,
+        |  w AS width, h AS height, CAST(ch AS INTEGER) AS channels
+        |FROM d""".stripMargin,
+
+    // Frame geometry for the PNG docs: frames at pixel rows 0,8,16,...
+    // capped at 8, each one w·ch bytes wide.
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(8 + doc_id % 57 AS INTEGER) AS w,
+        |  CAST(8 + (doc_id // 57) % 57 AS INTEGER) AS h,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(0, least(7, (h - 1) // 8))) AS INTEGER) AS frame_idx,
+        |  CAST(w * ch AS INTEGER) AS frame_len
+        |FROM d""".stripMargin,
+
+    // Thumbnail contract for the PNG docs: source dims/channels survive,
+    // output is a 16x16 stored-block PNG → 68 + 16·(1 + 16·ch) bytes.
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 57 AS INTEGER) AS src_width,
+        |  CAST(8 + (doc_id // 57) % 57 AS INTEGER) AS src_height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 340 ELSE 852 END AS INTEGER) AS thumb_len
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, length(text) AS chars,

@@ -1,6 +1,9 @@
 package graft
 
-import org.apache.spark.sql.functions._
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+import graft.functions.ImageCodec
 import graft.operators.MultimodalOps
 
 class MultimodalSpec extends SparkSpec {
@@ -8,43 +11,178 @@ class MultimodalSpec extends SparkSpec {
   private def docs = {
     val s = spark
     import s.implicits._
-    Seq((1L, "abcd" * 100), (2L, "xy")).toDF("doc_id", "text")
+    Seq((1L, "abcd" * 100), (2L, "xy"), (3L, "q"), (6L, "gray even")).toDF("doc_id", "text")
   }
 
-  test("binary payload column carries the exact bytes (ASCII: len == chars)") {
+  // ----- pure codec ---------------------------------------------------
+
+  test("PNG encode→decode round trip is exact (RGB + grayscale)") {
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 7 + 3).toByte)
+    val png = ImageCodec.encodePng(3, 2, 3, rgb)
+    assert(ImageCodec.decodeMeta(png) == ImageCodec.ImageMeta("image/png", 3, 2, 3))
+    val img = ImageCodec.decodePngPixels(png).get
+    assert(img.width == 3 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.toSeq == rgb.toSeq)
+    // closed-form size: 68 + h*(1 + w*ch)
+    assert(png.length == 68 + 2 * (1 + 3 * 3))
+
+    val gray = Array.tabulate(5 * 4)(i => (255 - i).toByte)
+    val png2 = ImageCodec.encodePng(5, 4, 1, gray)
+    assert(ImageCodec.decodePngPixels(png2).get.pixels.toSeq == gray.toSeq)
+    assert(png2.length == 68 + 4 * (1 + 5))
+  }
+
+  /** Build a PNG in the test with explicit per-row filter types and a
+    * REAL compressed zlib stream (java.util.zip.Deflater, not our stored
+    * blocks) — proves the decoder handles spec-conformant foreign PNGs. */
+  private def mkFilteredPng(w: Int, h: Int, ch: Int, pixels: Array[Byte], filters: Array[Int]): Array[Byte] = {
+    val stride = w * ch
+    val bpp = ch
+    val raw = new Array[Byte](h * (1 + stride))
+    for (r <- 0 until h) {
+      val ft = filters(r)
+      raw(r * (1 + stride)) = ft.toByte
+      for (c <- 0 until stride) {
+        val x = pixels(r * stride + c) & 0xff
+        val a = if (c >= bpp) pixels(r * stride + c - bpp) & 0xff else 0
+        val b = if (r > 0) pixels((r - 1) * stride + c) & 0xff else 0
+        val d = if (r > 0 && c >= bpp) pixels((r - 1) * stride + c - bpp) & 0xff else 0
+        val p = { // Paeth predictor for the forward direction
+          val q = a + b - d
+          val pa = math.abs(q - a); val pb = math.abs(q - b); val pc = math.abs(q - d)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else d
+        }
+        val enc = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 => x - p
+        }
+        raw(r * (1 + stride) + 1 + c) = (enc & 0xff).toByte
+      }
+    }
+    val defl = new Deflater(Deflater.BEST_COMPRESSION)
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zl = defl.deflate(buf); defl.end()
+    val idat = java.util.Arrays.copyOf(buf, zl)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length)); out.write(tag.getBytes("US-ASCII")); out.write(data)
+      val crc = new CRC32(); crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      out.write(be32(crc.getValue.toInt)); out.toByteArray
+    }
+    val ihdr = {
+      val o = new ByteArrayOutputStream()
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      o.write(be32(w)); o.write(be32(h)); o.write(8)
+      o.write(if (ch == 1) 0 else if (ch == 3) 2 else if (ch == 4) 6 else 4)
+      o.write(0); o.write(0); o.write(0); o.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(ImageCodec.PngSig)
+    out.write(chunk("IHDR", ihdr))
+    // split IDAT in two chunks to exercise multi-IDAT concatenation
+    out.write(chunk("IDAT", idat.take(idat.length / 2)))
+    out.write(chunk("IDAT", idat.drop(idat.length / 2)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  test("decoder unfilters all five PNG filter types from a Deflater-compressed multi-IDAT stream") {
+    val w = 6; val h = 5; val ch = 3
+    val pixels = Array.tabulate(w * h * ch)(i => ((i * 31 + 17) % 251).toByte)
+    val png = mkFilteredPng(w, h, ch, pixels, Array(0, 1, 2, 3, 4))
+    val img = ImageCodec.decodePngPixels(png).get
+    assert(img.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("JPEG shell parses back exact dims, even with extra segments before SOF") {
+    val j = ImageCodec.encodeJpegShell(640, 480, 3)
+    assert(j.length == 41)
+    assert(ImageCodec.decodeMeta(j) == ImageCodec.ImageMeta("image/jpeg", 640, 480, 3))
+    // splice a COM segment between APP0 and SOF0 — marker scan must skip it
+    val com = Array[Byte](0xFF.toByte, 0xFE.toByte, 0x00, 0x07) ++ "hello".getBytes("US-ASCII")
+    val spliced = j.take(20) ++ com ++ j.drop(20)
+    assert(ImageCodec.decodeMeta(spliced) == ImageCodec.ImageMeta("image/jpeg", 640, 480, 3))
+  }
+
+  test("unknown and corrupt payloads degrade, never throw") {
+    assert(ImageCodec.decodeMeta("not an image".getBytes).format == ImageCodec.FormatUnknown)
+    assert(ImageCodec.decodeMeta(Array.emptyByteArray).format == ImageCodec.FormatUnknown)
+    val png = ImageCodec.encodePng(4, 4, 1, new Array[Byte](16))
+    val truncated = png.take(20)
+    assert(ImageCodec.decodeMeta(truncated).format == ImageCodec.FormatUnknown)
+    assert(ImageCodec.decodePngPixels(truncated).isEmpty)
+    val corruptIdat = png.clone(); corruptIdat(40) = (corruptIdat(40) ^ 0x5a).toByte
+    assert(ImageCodec.decodePngPixels(corruptIdat).isEmpty) // inflate fails cleanly
+  }
+
+  test("nearest-neighbor resize picks the spec'd source pixels") {
+    // 4x4 grayscale with distinct values; downscale to 2x2 → rows/cols 0,2
+    val src = Array.tabulate(16)(i => i.toByte)
+    val img = ImageCodec.Image(4, 4, 1, src)
+    val t = ImageCodec.resizeNearest(img, 2, 2)
+    assert(t.pixels.toSeq == Seq[Byte](0, 2, 8, 10))
+    // upscale 2x2 → 4x4 replicates each pixel 2x2
+    val up = ImageCodec.resizeNearest(ImageCodec.Image(2, 2, 1, Array[Byte](1, 2, 3, 4)), 4, 4)
+    assert(up.pixels.toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
+
+  // ----- Spark operators ----------------------------------------------
+
+  test("withMediaPayload emits real containers; decodeMeta recovers planted dims") {
+    val metas = MultimodalOps.decodeMeta(MultimodalOps.withMediaPayload(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(1L, 2L, 3L, 6L)) {
+      val (w, h) = MultimodalOps.plantedDims(id)
+      val m = metas(id)
+      assert(m.width == w && m.height == h, s"doc $id dims")
+      assert(m.channels == MultimodalOps.plantedChannels(id), s"doc $id channels")
+      assert(m.format == (if (id % 3 == 0) "image/jpeg" else "image/png"), s"doc $id format")
+      if (id % 3 == 0) assert(m.byte_len == 41)
+      else assert(m.byte_len == 68 + h * (1 + w * m.channels))
+    }
+  }
+
+  test("frame bands carry the actual tiled text pixels") {
+    val frames = MultimodalOps.sampleFrames(MultimodalOps.withMediaPayload(docs))
+      .collect().groupBy(_.doc_id)
+    assert(!frames.contains(3L)) // doc 3 is a JPEG shell → no pixel codec → skipped
+    val (w1, h1) = MultimodalOps.plantedDims(1L)
+    val ch1 = MultimodalOps.plantedChannels(1L)
+    val f1 = frames(1L).sortBy(_.frame_idx)
+    assert(f1.length == math.min(8, (h1 - 1) / 8 + 1))
+    assert(f1.forall(_.frame_len == w1 * ch1))
+    // frame 0 is pixel row 0 = the first w*ch bytes of the tiled text
+    val tb = ("abcd" * 100).getBytes("UTF-8")
+    val expected = Array.tabulate(w1 * ch1)(i => tb(i % tb.length))
+    assert(f1.head.frame_bytes.toSeq == expected.toSeq)
+  }
+
+  test("thumbnails are real 16x16 PNGs with the closed-form size") {
+    val thumbs = MultimodalOps.resizeThumb(MultimodalOps.withMediaPayload(docs))
+      .collect().map(t => t.doc_id -> t).toMap
+    assert(!thumbs.contains(3L)) // JPEG shell skipped
+    for ((id, t) <- thumbs) {
+      val expectLen = 68 + 16 * (1 + 16 * t.channels)
+      assert(t.thumb_len == expectLen && t.thumb.length == expectLen, s"doc $id")
+      val back = ImageCodec.decodePngPixels(t.thumb).get
+      assert(back.width == 16 && back.height == 16 && back.channels == t.channels)
+      val (w, h) = MultimodalOps.plantedDims(id)
+      assert(t.src_width == w && t.src_height == h)
+    }
+    // determinism
+    val again = MultimodalOps.resizeThumb(MultimodalOps.withMediaPayload(docs))
+      .collect().map(t => t.doc_id -> t).toMap
+    assert(thumbs(1L).thumb.toSeq == again(1L).thumb.toSeq)
+  }
+
+  test("mediaMeta reports raw ingest byte length and md5") {
     val rows = MultimodalOps.mediaMeta(docs).collect().map(r => r.getLong(0) -> r).toMap
     assert(rows(1L).getAs[Long]("byte_len") == 400L)
     assert(rows(2L).getAs[Long]("byte_len") == 2L)
-  }
-
-  test("stub decode is deterministic and keeps the batch shape") {
-    val m1 = MultimodalOps.decodeMeta(MultimodalOps.withMediaPayload(docs)).collect()
-    val m2 = MultimodalOps.decodeMeta(MultimodalOps.withMediaPayload(docs)).collect()
-    assert(m1.map(_.checksum).toSeq == m2.map(_.checksum).toSeq)
-    assert(m1.forall(m => m.width >= 16 && m.height >= 16))
-    assert(m1.map(_.doc_id).toSet == Set(1L, 2L))
-  }
-
-  test("stub resize emits exactly thumbBytes, deterministic, zero-pad for empty") {
-    val t = MultimodalOps.resizeThumb(
-      MultimodalOps.withMediaPayload(docs), thumbBytes = 32).collect()
-      .map(x => x.doc_id -> x).toMap
-    assert(t(1L).thumb.length == 32 && t(2L).thumb.length == 32)
-    assert(t(1L).src_bytes == 400 && t(2L).src_bytes == 2)
-    // short payload: copied verbatim then zero-padded, never stretched
-    assert(t(2L).thumb.drop(2).forall(_ == 0))
-    val again = MultimodalOps.resizeThumb(
-      MultimodalOps.withMediaPayload(docs), thumbBytes = 32).collect()
-      .map(x => x.doc_id -> x).toMap
-    assert(t(1L).thumb.toSeq == again(1L).thumb.toSeq)
-  }
-
-  test("frame sampling is bounded per doc and indexed") {
-    val frames = MultimodalOps.sampleFrames(
-      MultimodalOps.withMediaPayload(docs), stride = 64, maxFrames = 3).collect()
-    val byDoc = frames.groupBy(_.doc_id)
-    assert(byDoc(1L).length == 3) // 400 bytes / 64 stride, capped at 3
-    assert(byDoc(2L).length == 1)
-    assert(byDoc(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
   }
 }
