@@ -39,6 +39,17 @@ object SparkEntry {
   private val ANCHORS =
     "anchors AS (SELECT metric, max(e) AS anchor_e FROM series GROUP BY metric)"
 
+  /** Direct 1h aggregation over raw events — the check both tier producers
+    * (batch a24 and the streaming replay) must reproduce by composing their
+    * 1m tier. ONE string, two registry keys: the legs share their oracle. */
+  private lazy val ROLLUP_TIER_ORACLE =
+    s"""WITH $SERIES
+       |SELECT metric, CAST(FLOOR(e/3600.0) AS BIGINT)*3600 AS bucket_start, count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS mean_val,
+       |       min(value) AS min_val, max(value) AS max_val
+       |FROM series GROUP BY 1, 2""".stripMargin
+
   /** Disjoint-band CASE generated from [[TrendParams.dayBins]] — the same
     * bins (and the same strict `>` boundary) as [[TrendOps.bandExpr]]. */
   private val BAND_CASE =
@@ -113,6 +124,21 @@ object SparkEntry {
     try df.sparkSession.sql(sql(name))
     finally df.sparkSession.catalog.dropTempView(name)
   }
+
+  /** Re-aggregate a 1-minute tier `(metric, b1m, n, sv, mn, mx)` into the 1h
+    * tier — count/sum/min/max merge associatively, which is the a24
+    * compositionality contract. ONE shared composer for both tier producers
+    * (batch `a24_rollup_tier`, streaming `stream_tier_parity`) so the two
+    * legs cannot desynchronize from the shared oracle. */
+  private def composeHourTier(t1m: DataFrame): DataFrame =
+    t1m
+      .withColumn("bucket_start", floor(col("b1m") / lit(3600.0)).cast("long") * 3600)
+      .groupBy("metric", "bucket_start")
+      .agg(sum("n").as("n"), sum("sv").as("sv"),
+        min("mn").as("min_val"), max("mx").as("max_val"))
+      .select(col("metric"), col("bucket_start"), col("n"),
+        (col("sv").cast("double") / col("n").cast("double")).as("mean_val"),
+        col("min_val"), col("max_val"))
 
   /** Every registered query, each wrapped in the driver-boundary [[guarded]]
     * conf normalization (ADVICE r2: TPC-H entries previously bypassed it). */
@@ -876,22 +902,28 @@ object SparkEntry {
     // hash-match the oracle's direct 1h aggregation over raw events — the
     // correctness property behind tiered retention / continuous
     // aggregates, where old raw data is dropped and queries read rollups.
-    "a24_rollup_tier" -> ((s, dir) => {
-      val t1m = series(s, dir)
+    "a24_rollup_tier" -> ((s, dir) =>
+      composeHourTier(series(s, dir)
         .withColumn("b1m", floor(col("e") / lit(60.0)).cast("long") * 60)
         .groupBy("metric", "b1m")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).as("sv"),
-          min("value").as("mn"), max("value").as("mx"))
-      t1m
-        .withColumn("bucket_start", floor(col("b1m") / lit(3600.0)).cast("long") * 3600)
-        .groupBy("metric", "bucket_start")
-        .agg(sum("n").as("n"), sum("sv").as("sv"),
-          min("mn").as("min_val"), max("mx").as("max_val"))
-        .select(col("metric"), col("bucket_start"), col("n"),
-          (col("sv").cast("double") / col("n").cast("double")).as("mean_val"),
-          col("min_val"), col("max_val"))
-    }),
+          min("value").as("mn"), max("value").as("mx")))),
+
+    // Streaming-parity leg of the a24 contract: the SAME 1h tier, but with
+    // the 1m tier produced by a real Structured Streaming run —
+    // [[graft.streaming.StreamOps.minuteTierStream]] replayed over the
+    // events fixture as a multi-micro-batch file stream
+    // ([[graft.streaming.StreamReplay]]) — instead of a batch aggregation.
+    // Shares a24's oracle SQL verbatim, so a green row proves the streaming
+    // state path (watermark, update-mode incremental merge, keyed upsert
+    // sink) bit-matches both the batch engine and DuckDB.
+    "stream_tier_parity" -> ((s, dir) =>
+      composeHourTier(
+        graft.streaming.StreamReplay.minuteTierReplay(
+          series(s, dir).select("metric", "e", "value"))
+          .withColumn("b1m", col("minute_start").cast("long"))
+          .select("metric", "b1m", "n", "sv", "mn", "mx"))),
 
     // Pairwise correlation matrix across metrics, aligned on 60s-bucket
     // sums. Same determinism pattern as a11: ALL aggregates are exact
@@ -1795,14 +1827,9 @@ object SparkEntry {
          |FROM s""".stripMargin,
 
     // Direct 1h aggregation over raw events — the Spark side must reproduce
-    // this by composing its 1m tier.
-    "a24_rollup_tier" ->
-      s"""WITH $SERIES
-         |SELECT metric, CAST(FLOOR(e/3600.0) AS BIGINT)*3600 AS bucket_start, count(*) AS n,
-         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
-         |         CAST(count(*) AS DOUBLE) AS mean_val,
-         |       min(value) AS min_val, max(value) AS max_val
-         |FROM series GROUP BY 1, 2""".stripMargin,
+    // this by composing its 1m tier (batch leg AND streaming-replay leg).
+    "a24_rollup_tier" -> ROLLUP_TIER_ORACLE,
+    "stream_tier_parity" -> ROLLUP_TIER_ORACLE,
 
     "a25_corr_matrix" ->
       s"""WITH $SERIES,

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-parity replay harness: runs a *real* Structured Streaming query —
+  * file source, micro-batch triggers, watermark, update-mode state store,
+  * checkpointed progress — over a bounded fixture and hands back the final
+  * sink contents as a batch DataFrame, so the streaming subsystem's output
+  * can face the same DuckDB oracle as the batch operators
+  * (the reference's pub/sub path and its recompute loop must agree on the
+  * same retained history — trend-o-meter:316-333,418).
+  *
+  * Replay mechanics, and why each choice is what it is:
+  *
+  *  - The fixture is cut into `slices` time-ordered single-file chunks,
+  *    written to the source directory oldest-first, and consumed with
+  *    `maxFilesPerTrigger=1` — so the query genuinely runs `slices`
+  *    micro-batches that must merge partial aggregation state across
+  *    triggers (one batch would prove nothing about incremental merge).
+  *  - The watermark horizon must cover the fixture's whole event-time span:
+  *    a replay compresses months of event time into seconds of processing
+  *    time, so any narrower horizon would drop rows that a live stream
+  *    would have accepted on time, and the batch oracle (which has no
+  *    lateness concept) could never match. Lateness/drop semantics are
+  *    exercised separately in StreamingSpec with the production default.
+  *  - The sink appends every update-mode emission tagged with its batch id;
+  *    the final table keeps the LAST emission per key — exactly the keyed
+  *    upsert contract of [[Sinks.lastValueSink]], but distributed (no
+  *    driver-side state), so the harness itself stays 100 TB-shaped.
+  */
+object StreamReplay {
+
+  /** Replays the canonical series relation `(metric, e, value)` through
+    * [[StreamOps.minuteTierStream]] and returns the final 1-minute tier
+    * `(metric, minute_start, n, sv, mn, mx)` — the table a batch
+    * re-aggregation composes into coarser tiers (the a24 contract). */
+  def minuteTierReplay(series: DataFrame, slices: Int = 3,
+                       watermark: String = "3650 days"): DataFrame = {
+    val spark = series.sparkSession
+    val root = Files.createTempDirectory("graft_replay_")
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val ckDir = root.resolve("ck").toString
+
+    val src = series.select(col("metric"),
+      timestamp_seconds(col("e")).as("ts"), col("value"))
+
+    // Slice boundaries from the fixture's own span: equal event-time ranges,
+    // written oldest-first so the replay presents data the way a live
+    // transport would. Empty slices (skewed fixtures) still write a valid
+    // parquet footer and simply yield an empty micro-batch.
+    val bounds = src.agg(min(col("ts").cast("long")).as("lo"),
+      max(col("ts").cast("long")).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    (0 until slices).foreach { k =>
+      val from = lo + span * k / slices
+      val until = lo + span * (k + 1) / slices
+      src.where(col("ts").cast("long") >= from && col("ts").cast("long") < until)
+        .coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+
+    val stream = spark.readStream
+      .schema("metric STRING, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+
+    val query = StreamOps.minuteTierStream(stream, watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    // Keyed upsert: the tier row for a (metric, minute) is its last
+    // emission. Within one batch the aggregation emits at most one row per
+    // key, so batch_id alone is a total order per key.
+    val w = Window.partitionBy("metric", "minute_start").orderBy(col("batch_id").desc)
+    spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn", "batch_id")
+  }
+}
