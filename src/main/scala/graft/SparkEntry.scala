@@ -39,6 +39,13 @@ object SparkEntry {
   private val ANCHORS =
     "anchors AS (SELECT metric, max(e) AS anchor_e FROM series GROUP BY metric)"
 
+  /** Where `neardup_groups` exports its Spark-computed LSH edge list for
+    * the oracle's recursive-CTE replay of the clustering stage (the pair
+    * GENERATION is xxhash64-based and so not SQL-expressible; the pair
+    * GROUPING is, over an explicit edge set). Verify runs before the
+    * oracle compare, so the export always precedes its reader. */
+  private val NEARDUP_EDGE_EXPORT = "/tmp/graft_oracle_export/neardup_edges"
+
   /** Direct 1h aggregation over raw events — the check both tier producers
     * (batch a24 and the streaming replay) must reproduce by composing their
     * 1m tier. ONE string, two registry keys: the legs share their oracle. */
@@ -270,7 +277,9 @@ object SparkEntry {
     "a17_resample_linear" -> ((s, dir) =>
       TrendOps.resampleLinear(series(s, dir), TrendParams.default.minSampleGapSeconds.toLong)),
 
-    // EWMA per metric (sequential recurrence — rows-only, unit-pinned).
+    // EWMA per metric. The sequential recurrence is replayed bit-exactly by
+    // a DuckDB recursive CTE (one iteration per series position), so this
+    // is oracle-checked despite being a stateful scan on the Spark side.
     "a14_ewma" -> ((s, dir) => TrendOps.ewma(series(s, dir), alpha = 0.2).toDF()),
 
     // Fixed-width value histogram per metric.
@@ -542,14 +551,22 @@ object SparkEntry {
 
     // Near-dup clusters: MinHash-LSH pairs → connected components (min-label
     // propagation) — the grouping stage a real dedup pipeline runs after
-    // pair generation. Rows-only (LSH upstream); invariants pinned by test.
-    "neardup_groups" -> ((s, dir) =>
-      DedupOps.nearDupGroups(
-        DedupOps.nearDupPairs(
-          withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
-          k = 64, bands = 16, minJaccard = 0.6))
+    // pair generation. The LSH pair source is not SQL-expressible (xxhash64
+    // signatures; edges stay pinned by unit tests), so the query EXPORTS its
+    // edge list and the oracle replays only the clustering stage: a
+    // recursive CTE over the exact same edges must reproduce the same
+    // (label, size, max) per component. Clustering is read back from the
+    // export so both sides provably consume one edge set.
+    "neardup_groups" -> ((s, dir) => {
+      DedupOps.nearDupPairs(
+        withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
+        k = 64, bands = 16, minJaccard = 0.6)
+        .select("doc_a", "doc_b").coalesce(1)
+        .write.mode("overwrite").parquet(NEARDUP_EDGE_EXPORT)
+      DedupOps.nearDupGroups(s.read.parquet(NEARDUP_EDGE_EXPORT))
         .groupBy("label")
-        .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_doc_id"))),
+        .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_doc_id"))
+    }),
 
     // End-to-end curation pipeline as ONE declarative plan: quality score →
     // language gate → exact dedup → content-hash split → per-(lang, split)
@@ -1186,6 +1203,25 @@ object SparkEntry {
          |       quantile_cont(value, 0.9) AS p90,
          |       quantile_cont(value, 0.99) AS p99
          |FROM series GROUP BY metric""".stripMargin,
+
+    // The EWMA recurrence replayed one series position per recursive
+    // iteration. Bit-parity with the Spark fold holds because both sides
+    // evaluate the identical double expression in the identical order:
+    // `0.2*x + (1-0.2)*prev` oldest→newest per metric, (e, event_id)
+    // tie-break — and 1-0.2 rounds to the same double as the 0.8 literal
+    // on both engines (verified exact over the full sf0.01 series).
+    "a14_ewma" ->
+      s"""WITH RECURSIVE $SERIES,
+         |o AS (SELECT metric, e, value,
+         |        CAST(row_number() OVER (PARTITION BY metric ORDER BY e, event_id) AS BIGINT) AS rn
+         |      FROM series),
+         |r AS (
+         |  SELECT metric, rn, e, value, value AS ewma FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.metric, o.rn, o.e, o.value, 0.2 * o.value + (1 - 0.2) * r.ewma
+         |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
+         |)
+         |SELECT metric, e, value, ewma FROM r""".stripMargin,
 
     "a15_histogram" ->
       s"""WITH $SERIES
@@ -1911,6 +1947,24 @@ object SparkEntry {
          |       CASE WHEN t - click_e <= 3600 THEN click_e END AS click_e,
          |       CASE WHEN t - click_e <= 3600 THEN click_val END AS click_val
          |FROM w WHERE side = 1""".stripMargin,
+
+    // Clustering-stage oracle over the Spark-exported LSH edge list (see
+    // the neardup_groups query comment): the same recursive-CTE component
+    // labeling as neardup_cc, but over exactly the edges the Spark side
+    // clustered — so a wrong label, size, or representative in the
+    // distributed min-label/pointer-jump loop fails here.
+    "neardup_groups" ->
+      s"""WITH RECURSIVE
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst
+         |       FROM read_parquet('$NEARDUP_EDGE_EXPORT/*.parquet')),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |cc AS (SELECT src AS doc_id, src AS label FROM e
+         |       UNION
+         |       SELECT e.dst AS doc_id, cc.label
+         |       FROM cc JOIN e ON e.src = cc.doc_id WHERE cc.label < e.dst),
+         |lab AS (SELECT doc_id, min(label) AS label FROM cc GROUP BY doc_id)
+         |SELECT label, count(*) AS cluster_size, max(doc_id) AS max_doc_id
+         |FROM lab GROUP BY label""".stripMargin,
 
     // Recursive-CTE connected components: only labels smaller than the
     // destination propagate (the component minimum out-propagates every

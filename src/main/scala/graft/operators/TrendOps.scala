@@ -291,9 +291,11 @@ object TrendOps {
   /** Exponentially-weighted moving average per metric: the sequential
     * recurrence `ewma = α·x + (1−α)·prev` scanned oldest→newest. Like
     * [[decimateFaithful]] this is inherently sequential per metric —
-    * shuffle by metric, external in-partition sort, one linear scan — and
-    * the floating-point recurrence is not reproducible as a finite SQL
-    * expression, so it registers rows-only with unit-test pinning. */
+    * shuffle by metric, external in-partition sort, one linear scan. The
+    * floating-point recurrence is still oracle-checked: a DuckDB recursive
+    * CTE replays it one series position per iteration, and both sides
+    * evaluate the identical double expression in the identical order, so
+    * the match is bit-exact. */
   def ewma(series: DataFrame, alpha: Double): Dataset[EwmaPoint] = {
     val spark = series.sparkSession
     import spark.implicits._
