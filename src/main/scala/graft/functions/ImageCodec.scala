@@ -35,6 +35,13 @@ object ImageCodec {
 
   val FormatUnknown = "application/octet-stream"
 
+  /** Decode-side sanity bounds (decompression-bomb guard): reject declared
+    * rasters wider/taller than this, or whose filtered byte size exceeds
+    * [[MaxDecodeBytes]], before allocating anything. Header-only parsing
+    * ([[decodeMeta]]) is unaffected — it allocates nothing. */
+  val MaxDecodeDim: Int = 1 << 14        // 16384 px per side
+  val MaxDecodeBytes: Long = 1L << 28    // 256 MiB of raw scanline bytes
+
   // ---------------------------------------------------------------- helpers
 
   private def be32(v: Int): Array[Byte] =
@@ -209,7 +216,9 @@ object ImageCodec {
         else {
           if (i + 3 >= bytes.length) return ImageMeta(FormatUnknown, 0, 0, 0)
           val len = readBe16(bytes, i + 2)
-          if (len < 2 || i + 2 + len > bytes.length) return ImageMeta(FormatUnknown, 0, 0, 0)
+          // Long arithmetic for the same reason as the PNG chunk walk: near
+          // Int.MaxValue-sized blobs must degrade, not overflow the bound.
+          if (len < 2 || i.toLong + 2L + len > bytes.length) return ImageMeta(FormatUnknown, 0, 0, 0)
           if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) { // SOFn
             if (len < 8) return ImageMeta(FormatUnknown, 0, 0, 0)
             val h = readBe16(bytes, i + 5)
@@ -241,7 +250,10 @@ object ImageCodec {
     var done = false
     while (!done && i + 8 <= bytes.length) {
       val len = readBe32(bytes, i)
-      if (len < 0 || i + 12 + len > bytes.length) return None
+      // Bound check in LONG arithmetic: a crafted chunk length near 2^31
+      // would overflow `i + 12 + len` to negative in int math, bypass the
+      // check, and throw out of the never-throw degradation contract.
+      if (len < 0 || i.toLong + 12L + len > bytes.length) return None
       val tag = new String(bytes, i + 4, 4, "US-ASCII")
       tag match {
         case "IHDR" =>
@@ -252,8 +264,13 @@ object ImageCodec {
           val colorType = bytes(i + 17) & 0xff
           val interlace = bytes(i + 20) & 0xff
           channels = channelsOfColorType(colorType)
+          // Dimension sanity cap BEFORE any allocation: a ~100-byte blob
+          // declaring 16000x16000x4 would otherwise allocate ~1 GB twice
+          // over before inflate even fails — a decompression-bomb shape on
+          // untrusted input. Real corpus thumbnails/pages sit far below
+          // 2^14 per side; wider rasters must go through a chunked reader.
           ok = bitDepth == 8 && interlace == 0 && colorType != 3 && channels > 0 &&
-            width > 0 && height > 0
+            width > 0 && height > 0 && width <= MaxDecodeDim && height <= MaxDecodeDim
         case "IDAT" => idat.write(bytes, i + 8, len)
         case "IEND" => done = true
         case _      => () // ancillary chunk: skip
@@ -261,9 +278,11 @@ object ImageCodec {
       i += 12 + len
     }
     if (!ok || idat.size() == 0) return None
+    // With dims capped at MaxDecodeDim and channels <= 4, stride fits int
+    // comfortably; the byte cap still bounds the worst-case allocation.
     val stride = width * channels
-    val rawLen = height.toLong * (1 + stride)
-    if (rawLen > Int.MaxValue) return None
+    val rawLen = height.toLong * (1L + stride)
+    if (rawLen > MaxDecodeBytes) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     try {

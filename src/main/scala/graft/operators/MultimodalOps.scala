@@ -47,9 +47,13 @@ object MultimodalOps {
 
   /** Planted raster dims for a fixture doc — the oracle mirrors this
     * arithmetic: `w = 8 + id%57`, `h = 8 + (id/57)%57` (8..64, so one
-    * zlib stored block always suffices and PNG size stays closed-form). */
+    * zlib stored block always suffices and PNG size stays closed-form).
+    * Plain truncating `%` and `/` on BOTH sides (DuckDB's `%` truncates
+    * too), and ingest asserts `doc_id >= 0` — the one range where
+    * truncating and floor semantics agree, so the two sides cannot
+    * silently diverge on a signed id. */
   private[graft] def plantedDims(docId: Long): (Int, Int) =
-    ((8 + math.floorMod(docId, 57)).toInt, (8 + math.floorMod(docId / 57, 57)).toInt)
+    ((8 + docId % 57).toInt, (8 + (docId / 57) % 57).toInt)
 
   /** Planted channel count: JPEG docs (id%3==0) are 3-component; PNG docs
     * alternate grayscale (even id) / RGB (odd id). */
@@ -57,6 +61,8 @@ object MultimodalOps {
     if (docId % 3 == 0) 3 else if (docId % 2 == 0) 1 else 3
 
   private def renderPayload(docId: Long, text: String): Array[Byte] = {
+    require(docId >= 0, s"fixture ingest requires doc_id >= 0, got $docId " +
+      "(planted-dim arithmetic is only truncation/floor-agnostic there)")
     val (w, h) = plantedDims(docId)
     if (docId % 3 == 0) ImageCodec.encodeJpegShell(w, h, ncomp = 3)
     else {

@@ -181,6 +181,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("near-dup groups: reliable-checkpoint mode produces identical labels") {
+    val s = spark
+    import s.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck_").toString
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val local = DedupOps.nearDupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = DedupOps.nearDupGroups(pairs, checkpointDir = Some(ckDir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+    // reliable mode actually wrote checkpoint data to the durable dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint mode wrote nothing to the checkpoint dir")
+  }
+
   test("stratified sample is deterministic for a fixed seed and respects strata") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "lang")
     def run() = graft.operators.CurationOps

@@ -120,6 +120,42 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decodePngPixels(corruptIdat).isEmpty) // inflate fails cleanly
   }
 
+  test("crafted chunk length near 2^31 degrades instead of overflowing the bound check") {
+    // A syntactically valid signature + IHDR, then a chunk whose declared
+    // length makes `i + 12 + len` wrap negative in int arithmetic. The walk
+    // must reject it (long-math bound), not throw from ByteArrayOutputStream.
+    val png = ImageCodec.encodePng(4, 4, 1, new Array[Byte](16))
+    val evil = png.clone()
+    // First chunk after IHDR starts at offset 8+25=33; patch its length field.
+    evil(33) = 0x7f.toByte; evil(34) = 0xff.toByte; evil(35) = 0xff.toByte; evil(36) = 0xf0.toByte
+    assert(ImageCodec.decodePngPixels(evil).isEmpty)
+    assert(ImageCodec.decodeMeta(evil).format == "image/png") // header itself is still sane
+  }
+
+  test("declared-dimension bomb is rejected before allocation") {
+    // ~100-byte blob claiming 16000x16000 RGBA: without the cap this
+    // allocates ~1 GB before inflate fails. Must return None fast.
+    val out = new ByteArrayOutputStream()
+    out.write(ImageCodec.PngSig)
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(be32(data.length)); o.write(tag.getBytes("US-ASCII")); o.write(data)
+      val crc = new CRC32(); crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      o.write(be32(crc.getValue.toInt)); o.toByteArray
+    }
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(be32(16000)); ihdr.write(be32(16000)); ihdr.write(8)
+    ihdr.write(6); ihdr.write(0); ihdr.write(0); ihdr.write(0) // RGBA
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    out.write(chunk("IDAT", Array[Byte](0x78, 0x01))) // token zlib header
+    out.write(chunk("IEND", Array.emptyByteArray))
+    assert(ImageCodec.decodePngPixels(out.toByteArray).isEmpty)
+    // Header-only parsing still reports the declared dims (no allocation).
+    assert(ImageCodec.decodeMeta(out.toByteArray) ==
+      ImageCodec.ImageMeta("image/png", 16000, 16000, 4))
+  }
+
   test("nearest-neighbor resize picks the spec'd source pixels") {
     // 4x4 grayscale with distinct values; downscale to 2x2 → rows/cols 0,2
     val src = Array.tabulate(16)(i => i.toByte)
