@@ -884,8 +884,19 @@ object SparkEntry {
       SimilarityOps.recallAtK(SimilarityOps.lshTopK(qs, emb, 5), exact)
         .withColumn("method", lit("lsh"))
         .unionByName(
-          SimilarityOps.recallAtK(SimilarityOps.ivfTopK(qs, emb, 5), exact)
+          SimilarityOps.recallAtK(
+            SimilarityOps.ivfTopK(qs, emb, 5, nlist = 32, nprobe = 8), exact)
             .withColumn("method", lit("ivf")))
+        .unionByName(
+          // kmeans-refined coarse quantizer, same nlist/nprobe so the two
+          // IVF legs are apples-to-apples: refinement swaps only the
+          // centroid MODEL (plan stays the list equi-join) and balances
+          // the lists, so recall must not regress vs the raw seeds
+          // (asserted in DedupSimilaritySpec).
+          SimilarityOps.recallAtK(
+            SimilarityOps.ivfTopK(qs, emb, 5, nlist = 32, nprobe = 8,
+              refineIters = 2), exact)
+            .withColumn("method", lit("ivf_kmeans")))
         .select("method", "q_id", "recall")
     }),
 
@@ -943,35 +954,8 @@ object SparkEntry {
           .select("metric", "b1m", "n", "sv", "mn", "mx"))),
 
     // Pairwise correlation matrix across metrics, aligned on 60s-bucket
-    // sums. Same determinism pattern as a11: ALL aggregates are exact
-    // decimal sums; doubles appear once, at the final combine, with an
-    // expression tree identical to the oracle's.
-    "a25_corr_matrix" -> ((s, dir) => {
-      val b = series(s, dir)
-        .withColumn("bucket", floor(col("e") / lit(60.0)).cast("long") * 60)
-        .groupBy("metric", "bucket")
-        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
-      val l = b.select(col("metric").as("ma"), col("bucket"), col("x").as("xa"))
-      val r = b.select(col("metric").as("mb"), col("bucket"), col("x").as("xb"))
-      l.join(r, Seq("bucket")).where(col("ma") < col("mb"))
-        .groupBy("ma", "mb")
-        .agg(
-          count(lit(1)).cast("double").as("n"),
-          sum("xa").cast("double").as("sx"),
-          sum("xb").cast("double").as("sy"),
-          sum(col("xa") * col("xb")).cast("double").as("sxy"),
-          sum(col("xa") * col("xa")).cast("double").as("sxx"),
-          sum(col("xb") * col("xb")).cast("double").as("syy"))
-        // Pairs sharing <2 buckets (or with zero variance) have no defined
-        // correlation — and ANSI mode rightly refuses the 0/0. Filter on
-        // the variance terms BEFORE any division.
-        .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("n"))
-        .withColumn("vy", col("syy") - col("sy") * col("sy") / col("n"))
-        .where(col("n") >= 2 && col("vx") > 0 && col("vy") > 0)
-        .select(col("ma"), col("mb"), col("n").cast("long").as("n_buckets"),
-          round((col("sxy") - col("sx") * col("sy") / col("n")) /
-            sqrt(col("vx") * col("vy")), 6).as("corr"))
-    }),
+    // sums ([[TrendOps.corrMatrix]] — which ENFORCES its O(m²) metric cap).
+    "a25_corr_matrix" -> ((s, dir) => TrendOps.corrMatrix(series(s, dir))),
 
     // Flatline screen over precision-quantized values (stuck sensor).
     "a23_flatline" -> ((s, dir) =>

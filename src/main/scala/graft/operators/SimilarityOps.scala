@@ -98,11 +98,14 @@ object SimilarityOps {
   }
 
   /** Approximate cosine top-k via IVF (inverted-file) coarse quantization:
-    * `nlist` deterministic centroids (lowest vec_ids — a kmeans step would
-    * refine them, the partition/probe mechanics are identical), every
-    * candidate assigned to its nearest centroid (one codegen'd dot per
-    * centroid), queries probe their `nprobe` nearest lists, exact rerank
-    * within probed lists only.
+    * `nlist` centroids — deterministic lowest-vec_id seeds, refined by
+    * `refineIters` Lloyd's update rounds ([[kmeansCentroids]]) when
+    * requested — every candidate assigned to its nearest centroid (one
+    * codegen'd dot per centroid), queries probe their `nprobe` nearest
+    * lists, exact rerank within probed lists only. Refinement changes ONLY
+    * the centroid model (a tiny driver-side array); the plan shape — list
+    * equi-join, broadcast probe side — is identical either way, so recall
+    * improves with zero cost on the data path.
     *
     * Scale shape: the centroid table is a tiny broadcast dimension (collected
     * once — it is nlist×dim doubles, not a data path); candidate assignment
@@ -110,16 +113,13 @@ object SimilarityOps {
     * per query ≈ n × nprobe / nlist.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nlist: Int = 32, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
-    // Tiny dimension collect (nlist rows), NOT the fact table.
-    val centroids: Array[(Int, Array[Double])] = candidates
-      .orderBy("vec_id").limit(nlist)
-      .select(vecD(col("embedding")).as("v"))
-      .collect()
-      .zipWithIndex
-      .map { case (r: Row, i) => i -> r.getSeq[Double](0).toArray }
-    val cents = centroids.map(_._2)
+              nlist: Int = 32, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+    // refineIters=0 → lowest-vec_id seeds (kmeansCentroids with zero update
+    // rounds IS the seed set), so both IVF flavors share one path. Always
+    // spherical: this operator retrieves by COSINE, so the quantizer must
+    // assign by cosine too — unit centroids in both flavors keep the
+    // seeded/refined comparison apples-to-apples and the lists balanced.
+    val cents = kmeansCentroids(candidates, nlist, refineIters, spherical = true)
     val assigned = candidates
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -169,39 +169,53 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }
 
-  /** Lloyd's k-means over the embedding column with inner-product
-    * assignment (the refinement step [[ivfTopK]]'s doc promises): start
-    * from the deterministic lowest-vec_id seeds, then alternate
-    * assign-to-nearest-centroid / recompute-centroid-means for `iters`
-    * rounds, and return the final assignment.
+  /** Nearest-centroid assignment against a driver-side centroid model —
+    * map-only, one codegen'd dot per centroid, ties break by centroid
+    * index ([[graft.functions.HashExpressions.TopCentroids]]). */
+  private def assignToCentroids(vectors: DataFrame, c: Array[Array[Double]]): DataFrame =
+    vectors.select(col("vec_id"),
+      element_at(graft.functions.HashExpressions.topCentroids(
+        col("embedding"), c, 1), 1).as("cluster_id"),
+      col("embedding"))
+
+  /** Lloyd's centroid refinement shared by [[kmeansAssign]] and the
+    * kmeans-refined [[ivfTopK]]: deterministic lowest-vec_id seeds, then
+    * `updates` rounds of assign-to-nearest / recompute-means. With
+    * `updates = 0` this is exactly the seed set.
     *
-    * Everything is deterministic: assignment ties break by centroid index
-    * ([[graft.functions.HashExpressions.TopCentroids]]), and centroid means
-    * are exact decimal sums per (cluster, component) divided once — so the
-    * result is independent of partitioning and shuffle order, like every
-    * other op in the engine.
+    * `spherical = true` renormalizes every centroid to unit length (seeds
+    * AND each round's means) — spherical k-means, the quantizer that
+    * matches COSINE retrieval: assignment by dot against unit centroids IS
+    * cosine assignment, so no centroid "hoovers" vectors merely by having
+    * a larger norm, and list sizes stay balanced. Plain means (`false`)
+    * are the right update for dot-product/Euclidean objectives.
     *
-    * Scale shape per round: assignment is map-only (one codegen'd dot per
-    * centroid); the update is ONE aggregate shuffle keyed by
-    * (cluster, component) whose result is nClusters × dim rows — a tiny
-    * driver collect of the MODEL, never the data.
+    * Everything is deterministic: assignment ties break by centroid index,
+    * and centroid means are exact decimal sums per (cluster, component)
+    * divided once — independent of partitioning and shuffle order (the
+    * final unit-scaling is one more deterministic scalar op per centroid).
     *
-    * @return (vec_id, cluster_id)
-    */
-  def kmeansAssign(vectors: DataFrame, nClusters: Int = 8, iters: Int = 3): DataFrame = {
+    * Scale shape per round: assignment is map-only; the update is ONE
+    * aggregate shuffle keyed by (cluster, component) whose result is
+    * nClusters × dim rows — a tiny driver collect of the MODEL, never the
+    * data. */
+  def kmeansCentroids(vectors: DataFrame, nClusters: Int, updates: Int,
+                      spherical: Boolean = false): Array[Array[Double]] = {
     import org.apache.spark.sql.Row
+    def unit(v: Array[Double]): Array[Double] = {
+      if (!spherical) v
+      else {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0d) v else v.map(_ / n)
+      }
+    }
     var cents: Array[Array[Double]] = vectors
       .orderBy("vec_id").limit(nClusters)
       .select(vecD(col("embedding")).as("v"))
       .collect()
-      .map { case r: Row => r.getSeq[Double](0).toArray }
-    def assign(c: Array[Array[Double]]): DataFrame =
-      vectors.select(col("vec_id"),
-        element_at(graft.functions.HashExpressions.topCentroids(
-          col("embedding"), c, 1), 1).as("cluster_id"),
-        col("embedding"))
-    for (_ <- 1 to iters) {
-      val updated = assign(cents)
+      .map { case r: Row => unit(r.getSeq[Double](0).toArray) }
+    for (_ <- 1 to updates) {
+      val updated = assignToCentroids(vectors, cents)
         .select(col("cluster_id"), posexplode(vecD(col("embedding"))))
         .toDF("cluster_id", "pos", "x")
         .groupBy("cluster_id", "pos")
@@ -210,12 +224,29 @@ object SimilarityOps {
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          cid -> unit(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
         }
       // A cluster that lost every member keeps its previous centroid.
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }
-    assign(cents).select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+    cents
+  }
+
+  /** Lloyd's k-means assignment over the embedding column. `iters` counts
+    * Lloyd ROUNDS, and the final round's assignment IS the returned frame
+    * (fused): `iters - 1` centroid-update rounds run in
+    * [[kmeansCentroids]], then one assignment pass both closes the last
+    * round and produces the output — one fewer pass over the data than the
+    * assign/update/…/assign-again formulation (the BENCH_LOCAL headroom
+    * note).
+    *
+    * @return (vec_id, cluster_id)
+    */
+  def kmeansAssign(vectors: DataFrame, nClusters: Int = 8, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val cents = kmeansCentroids(vectors, nClusters, iters - 1)
+    assignToCentroids(vectors, cents)
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
   }
 
   /** Recall@k of an approximate ANN result against the exact brute-force

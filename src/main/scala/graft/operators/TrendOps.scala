@@ -318,6 +318,50 @@ object TrendOps {
       }
   }
 
+  /** Pairwise Pearson correlation matrix across metrics, aligned on
+    * `bucketSeconds` bucket sums. Determinism: ALL aggregates are exact
+    * decimal sums; doubles appear once, at the final combine. Pairs sharing
+    * <2 buckets or with zero variance have no defined correlation and are
+    * filtered BEFORE any division (ANSI 0/0 guard).
+    *
+    * This operator is O(m²) in the distinct-metric count by construction —
+    * every metric pair sharing a bucket becomes a row — so the width is an
+    * ENFORCED API contract, not a doc note: more than `maxMetrics` distinct
+    * metrics throws before any pair work starts. The default (64 metrics =
+    * 2016 pairs) is display-scale; a wider screen wants a pre-filtered
+    * metric set, chosen deliberately via the parameter. The guard costs one
+    * tiny count-distinct job, negligible next to the pair join it protects.
+    */
+  def corrMatrix(series: DataFrame, bucketSeconds: Long = 60L,
+                 maxMetrics: Int = 64): DataFrame = {
+    val m = series.select(countDistinct(col("metric"))).head().getLong(0)
+    require(m <= maxMetrics,
+      s"corrMatrix is O(m^2) in distinct metrics: got $m > maxMetrics=$maxMetrics. " +
+        "Pre-filter the metric set, or raise maxMetrics deliberately.")
+    val b = series
+      .withColumn("bucket",
+        floor(col("e") / lit(bucketSeconds.toDouble)).cast("long") * bucketSeconds)
+      .groupBy("metric", "bucket")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
+    val l = b.select(col("metric").as("ma"), col("bucket"), col("x").as("xa"))
+    val r = b.select(col("metric").as("mb"), col("bucket"), col("x").as("xb"))
+    l.join(r, Seq("bucket")).where(col("ma") < col("mb"))
+      .groupBy("ma", "mb")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("xa").cast("double").as("sx"),
+        sum("xb").cast("double").as("sy"),
+        sum(col("xa") * col("xb")).cast("double").as("sxy"),
+        sum(col("xa") * col("xa")).cast("double").as("sxx"),
+        sum(col("xb") * col("xb")).cast("double").as("syy"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("n"))
+      .where(col("n") >= 2 && col("vx") > 0 && col("vy") > 0)
+      .select(col("ma"), col("mb"), col("n").cast("long").as("n_buckets"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt(col("vx") * col("vy")), 6).as("corr"))
+  }
+
   /** Time-weighted mean per metric: each sample weighted by its holding
     * interval (time until the next sample) — the correct average for
     * irregularly-sampled series, where the plain mean over-weights bursts.

@@ -268,6 +268,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans-refined IVF: recall does not regress vs lowest-id seeds, plan unchanged") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.where(col("vec_id") < 8)
+    val exact = SimilarityOps.bruteTopK(qs, emb, 5)
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = SimilarityOps.recallAtK(df, exact).collect().map(_.getDouble(1))
+      r.sum / r.length
+    }
+    // Same nlist/nprobe both legs — the comparison isolates the quantizer.
+    // (At tiny probe counts over the RANDOM fixture embeddings single-hit
+    // noise dominates; 8-of-32 lists is where quantizer quality shows.)
+    val seeded = meanRecall(SimilarityOps.ivfTopK(qs, emb, 5, nlist = 32, nprobe = 8))
+    val refined = meanRecall(
+      SimilarityOps.ivfTopK(qs, emb, 5, nlist = 32, nprobe = 8, refineIters = 2))
+    assert(refined >= seeded,
+      s"kmeans-refined IVF recall $refined regressed below seeded-IVF $seeded")
+    // Refinement balances the inverted lists (the 100 TB property: probe
+    // cost is bounded by the largest probed list, so a hoovering centroid
+    // is a tail-latency bug, not just a recall bug).
+    def minListSize(refineIters: Int): Long = {
+      val cents = SimilarityOps.kmeansCentroids(emb, 32, refineIters, spherical = true)
+      emb.select(element_at(graft.functions.HashExpressions.topCentroids(
+          col("embedding"), cents, 1), 1).as("cid"))
+        .groupBy("cid").count().agg(org.apache.spark.sql.functions.min("count"))
+        .head().getLong(0)
+    }
+    assert(minListSize(2) >= minListSize(0),
+      "refinement should not worsen the smallest inverted list")
+    // refinement only swaps the centroid MODEL: the data-path plan must
+    // stay the same list equi-join with no cartesian product
+    val plan = SimilarityOps.ivfTopK(qs, emb, 5, refineIters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "refined IVF must not cross join")
+  }
+
   test("bm25: single-term ranking follows tf, termless docs are excluded") {
     val docs = docsDF(
       (1L, "cat cat cat dog"),

@@ -296,4 +296,16 @@ class TrendOpsSpec extends SparkSpec {
     assert(bars(0L) == ((5L, 1.0, 9.0, 1.0, 4.0)))
     assert(bars(86400L) == ((1L, 7.0, 7.0, 7.0, 7.0)))
   }
+
+  test("corrMatrix enforces its O(m^2) metric cap with a clear error") {
+    // 3 metrics sharing buckets: fine under the cap, throws above it.
+    val df = seriesDF(
+      ("m1", 0L, 1.0), ("m1", 60L, 2.0), ("m2", 0L, 2.0), ("m2", 60L, 5.0),
+      ("m3", 0L, 9.0), ("m3", 60L, 1.0))
+    assert(TrendOps.corrMatrix(df).count() == 3) // all 3 pairs correlate
+    val ex = intercept[IllegalArgumentException] {
+      TrendOps.corrMatrix(df, maxMetrics = 2)
+    }
+    assert(ex.getMessage.contains("O(m^2)") && ex.getMessage.contains("maxMetrics=2"))
+  }
 }
