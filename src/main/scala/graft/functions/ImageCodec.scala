@@ -234,16 +234,22 @@ object ImageCodec {
     } else ImageMeta(FormatUnknown, 0, 0, 0)
   }
 
-  /** Fully decode an 8-bit non-interlaced PNG (color types 0/2/4/6) to raw
-    * interleaved samples: walk chunks, inflate the concatenated IDAT stream
-    * with `java.util.zip.Inflater`, undo scanline filters 0–4 (spec §9).
-    * Returns None for anything this decoder doesn't cover (palette images,
-    * 16-bit, interlaced, truncated/corrupt streams, non-PNG input). */
+  /** Fully decode an 8-bit non-interlaced PNG (color types 0/2/3/4/6) to
+    * raw interleaved samples: walk chunks, inflate the concatenated IDAT
+    * stream with `java.util.zip.Inflater`, undo scanline filters 0–4
+    * (spec §9). Indexed-color images (type 3, 8-bit indices) are expanded
+    * through their PLTE chunk (spec §11.2.3) to a 3-channel RGB raster —
+    * the decoded shape downstream consumers expect. Returns None for
+    * anything this decoder doesn't cover (sub-8-bit packed palettes,
+    * 16-bit, interlaced, truncated/corrupt streams, out-of-range palette
+    * indices, non-PNG input). */
   def decodePngPixels(bytes: Array[Byte]): Option[Image] = {
     if (!isPng(bytes)) return None
     var width = 0
     var height = 0
     var channels = 0
+    var paletted = false
+    var palette: Array[Byte] = null
     var ok = false
     val idat = new ByteArrayOutputStream()
     var i = 8
@@ -263,14 +269,19 @@ object ImageCodec {
           val bitDepth = bytes(i + 16) & 0xff
           val colorType = bytes(i + 17) & 0xff
           val interlace = bytes(i + 20) & 0xff
+          paletted = colorType == 3
           channels = channelsOfColorType(colorType)
           // Dimension sanity cap BEFORE any allocation: a ~100-byte blob
           // declaring 16000x16000x4 would otherwise allocate ~1 GB twice
           // over before inflate even fails — a decompression-bomb shape on
           // untrusted input. Real corpus thumbnails/pages sit far below
           // 2^14 per side; wider rasters must go through a chunked reader.
-          ok = bitDepth == 8 && interlace == 0 && colorType != 3 && channels > 0 &&
+          ok = bitDepth == 8 && interlace == 0 && channels > 0 &&
             width > 0 && height > 0 && width <= MaxDecodeDim && height <= MaxDecodeDim
+        case "PLTE" =>
+          // Palette: 1..256 RGB triples, must precede IDAT (spec §5.6).
+          if (len % 3 != 0 || len == 0 || len > 3 * 256 || idat.size() > 0) return None
+          palette = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + len)
         case "IDAT" => idat.write(bytes, i + 8, len)
         case "IEND" => done = true
         case _      => () // ancillary chunk: skip
@@ -278,11 +289,13 @@ object ImageCodec {
       i += 12 + len
     }
     if (!ok || idat.size() == 0) return None
+    if (paletted && palette == null) return None // type 3 REQUIRES a PLTE (spec §5.6)
     // With dims capped at MaxDecodeDim and channels <= 4, stride fits int
-    // comfortably; the byte cap still bounds the worst-case allocation.
+    // comfortably; the byte cap still bounds the worst-case allocation
+    // (palette expansion triples the raster, so its cap is a third).
     val stride = width * channels
     val rawLen = height.toLong * (1L + stride)
-    if (rawLen > MaxDecodeBytes) return None
+    if (rawLen > (if (paletted) MaxDecodeBytes / 3 else MaxDecodeBytes)) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     try {
@@ -297,7 +310,28 @@ object ImageCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    unfilter(raw, width, height, channels).map(Image(width, height, channels, _))
+    unfilter(raw, width, height, channels).flatMap { samples =>
+      if (!paletted) Some(Image(width, height, channels, samples))
+      else expandPalette(samples, palette).map(Image(width, height, 3, _))
+    }
+  }
+
+  /** Expand 8-bit palette indices through a PLTE table to interleaved RGB;
+    * an index beyond the palette is corrupt input (spec §11.2.3) and
+    * degrades to None like every other malformed shape. */
+  private def expandPalette(indices: Array[Byte], plte: Array[Byte]): Option[Array[Byte]] = {
+    val n = plte.length / 3
+    val out = new Array[Byte](indices.length * 3)
+    var p = 0
+    while (p < indices.length) {
+      val idx = indices(p) & 0xff
+      if (idx >= n) return None
+      out(p * 3) = plte(idx * 3)
+      out(p * 3 + 1) = plte(idx * 3 + 1)
+      out(p * 3 + 2) = plte(idx * 3 + 2)
+      p += 1
+    }
+    Some(out)
   }
 
   /** Undo PNG scanline filters (spec §9): each row starts with a filter-type

@@ -156,6 +156,87 @@ class MultimodalSpec extends SparkSpec {
       ImageCodec.ImageMeta("image/png", 16000, 16000, 4))
   }
 
+  /** Build an indexed-color (type 3) PNG: PLTE of `colors`, 8-bit index
+    * scanlines with the given per-row filter types, Deflater-compressed. */
+  private def mkPalettePng(w: Int, h: Int, colors: Array[(Int, Int, Int)],
+                           indices: Array[Byte], filters: Array[Int]): Array[Byte] = {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(be32(data.length)); o.write(tag.getBytes("US-ASCII")); o.write(data)
+      val crc = new CRC32(); crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      o.write(be32(crc.getValue.toInt)); o.toByteArray
+    }
+    val raw = new Array[Byte](h * (1 + w))
+    for (r <- 0 until h) {
+      raw(r * (1 + w)) = filters(r).toByte
+      for (c <- 0 until w) {
+        val x = indices(r * w + c) & 0xff
+        val a = if (c >= 1) indices(r * w + c - 1) & 0xff else 0
+        val b = if (r > 0) indices((r - 1) * w + c) & 0xff else 0
+        val enc = filters(r) match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+        }
+        raw(r * (1 + w) + 1 + c) = (enc & 0xff).toByte
+      }
+    }
+    val defl = new Deflater(); defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zl = defl.deflate(buf); defl.end()
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(be32(w)); ihdr.write(be32(h)); ihdr.write(8)
+    ihdr.write(3); ihdr.write(0); ihdr.write(0); ihdr.write(0) // indexed-color
+    val plte = colors.flatMap { case (r, g, b) => Array(r.toByte, g.toByte, b.toByte) }
+    val out = new ByteArrayOutputStream()
+    out.write(ImageCodec.PngSig)
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    out.write(chunk("PLTE", plte))
+    out.write(chunk("IDAT", java.util.Arrays.copyOf(buf, zl)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  test("indexed-color PNG decodes through PLTE to RGB, filters applied to index bytes") {
+    val colors = Array((255, 0, 0), (0, 255, 0), (0, 0, 128), (7, 8, 9))
+    val indices = Array[Byte](0, 1, 2, 3, 3, 2, 1, 0, 0, 0, 2, 2)
+    val png = mkPalettePng(4, 3, colors, indices, Array(0, 1, 2))
+    assert(ImageCodec.decodeMeta(png) == ImageCodec.ImageMeta("image/png", 4, 3, 1))
+    val img = ImageCodec.decodePngPixels(png).get
+    assert(img.width == 4 && img.height == 3 && img.channels == 3)
+    val expected = indices.flatMap { i =>
+      val (r, g, b) = colors(i & 0xff); Array(r.toByte, g.toByte, b.toByte)
+    }
+    assert(img.pixels.toSeq == expected.toSeq)
+  }
+
+  test("palette corruption degrades: out-of-range index or missing PLTE") {
+    val colors = Array((10, 20, 30), (40, 50, 60))
+    val bad = mkPalettePng(2, 1, colors, Array[Byte](0, 5), Array(0)) // index 5 > palette
+    assert(ImageCodec.decodePngPixels(bad).isEmpty)
+    val good = mkPalettePng(2, 1, colors, Array[Byte](0, 1), Array(0))
+    // strip the PLTE chunk (starts after sig+IHDR=33; PLTE is 12+6 bytes)
+    val noPlte = good.take(33) ++ good.drop(33 + 18)
+    assert(ImageCodec.decodePngPixels(noPlte).isEmpty) // type 3 requires PLTE
+    assert(ImageCodec.decodePngPixels(good).nonEmpty)
+  }
+
+  test("palette media flows through the Spark frame/thumbnail plumbing") {
+    val s = spark
+    import s.implicits._
+    val colors = Array((9, 9, 9), (200, 100, 50))
+    val indices = Array.tabulate(8 * 8)(i => (i % 2).toByte)
+    val png = mkPalettePng(8, 8, colors, indices, Array.fill(8)(0))
+    val df = Seq((77L, png)).toDF("doc_id", "media")
+    val frames = MultimodalOps.sampleFrames(df, stride = 4, maxFrames = 2).collect()
+    assert(frames.length == 2 && frames.forall(_.frame_len == 8 * 3)) // RGB bands
+    val thumbs = MultimodalOps.resizeThumb(df, 4, 4).collect()
+    assert(thumbs.length == 1 && thumbs.head.channels == 3)
+    val back = ImageCodec.decodePngPixels(thumbs.head.thumb).get
+    assert(back.width == 4 && back.height == 4 && back.channels == 3)
+  }
+
   test("nearest-neighbor resize picks the spec'd source pixels") {
     // 4x4 grayscale with distinct values; downscale to 2x2 → rows/cols 0,2
     val src = Array.tabulate(16)(i => i.toByte)
