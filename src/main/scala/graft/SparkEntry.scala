@@ -39,12 +39,23 @@ object SparkEntry {
   private val ANCHORS =
     "anchors AS (SELECT metric, max(e) AS anchor_e FROM series GROUP BY metric)"
 
-  /** Where `neardup_groups` exports its Spark-computed LSH edge list for
-    * the oracle's recursive-CTE replay of the clustering stage (the pair
-    * GENERATION is xxhash64-based and so not SQL-expressible; the pair
-    * GROUPING is, over an explicit edge set). Verify runs before the
-    * oracle compare, so the export always precedes its reader. */
-  private val NEARDUP_EDGE_EXPORT = "/tmp/graft_oracle_export/neardup_edges"
+  /** Root for Spark-side oracle exports: when a pipeline's GENERATION
+    * stage is not SQL-expressible (xxhash64 signatures, hyperplane
+    * buckets, iterative centroids) but its VERIFY/rerank/cluster stage is,
+    * the query exports the generation stage's output and the oracle
+    * recomputes the downstream stage over exactly those rows — the same
+    * split a production pipeline audits. Verify runs before the oracle
+    * compare, so an export always precedes its reader; each export reads
+    * itself back so the Spark side provably consumes the exported rows. */
+  private val ORACLE_EXPORT_ROOT = "/tmp/graft_oracle_export"
+
+  private val NEARDUP_EDGE_EXPORT = s"$ORACLE_EXPORT_ROOT/neardup_edges"
+
+  private def exportForOracle(df: DataFrame, name: String): DataFrame = {
+    val path = s"$ORACLE_EXPORT_ROOT/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 
   /** Direct 1h aggregation over raw events — the check both tier producers
     * (batch a24 and the streaming replay) must reproduce by composing their
@@ -557,16 +568,16 @@ object SparkEntry {
     // recursive CTE over the exact same edges must reproduce the same
     // (label, size, max) per component. Clustering is read back from the
     // export so both sides provably consume one edge set.
-    "neardup_groups" -> ((s, dir) => {
-      DedupOps.nearDupPairs(
-        withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
-        k = 64, bands = 16, minJaccard = 0.6)
-        .select("doc_a", "doc_b").coalesce(1)
-        .write.mode("overwrite").parquet(NEARDUP_EDGE_EXPORT)
-      DedupOps.nearDupGroups(s.read.parquet(NEARDUP_EDGE_EXPORT))
+    "neardup_groups" -> ((s, dir) =>
+      DedupOps.nearDupGroups(
+        exportForOracle(
+          DedupOps.nearDupPairs(
+            withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
+            k = 64, bands = 16, minJaccard = 0.6)
+            .select("doc_a", "doc_b"),
+          "neardup_edges"))
         .groupBy("label")
-        .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_doc_id"))
-    }),
+        .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_doc_id"))),
 
     // End-to-end curation pipeline as ONE declarative plan: quality score →
     // language gate → exact dedup → content-hash split → per-(lang, split)

@@ -209,11 +209,16 @@ object DedupOps {
       graft.functions.HashExpressions.simHash64(
         TextOps.tokens(col("text"))).as("sig"))
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
-    * pigeonhole blocking: split the 64 bits into `maxHamming + 1` chunks —
-    * any pair within the bound must agree on at least one whole chunk, so a
-    * bucket equi-join per chunk finds all of them (no all-pairs). */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash candidate pairs from pigeonhole blocking, BEFORE the Hamming
+    * filter, with both signatures carried: split the 64 bits into
+    * `maxHamming + 1` chunks — any pair within the bound must agree on at
+    * least one whole chunk, so a bucket equi-join per chunk finds all of
+    * them (no all-pairs). Exposed separately from [[simHashPairs]] so the
+    * Hamming VERIFY stage can be oracle-checked over an exported pair set
+    * (the signatures themselves are xxhash64-based — not SQL-expressible).
+    *
+    * @return (doc_a, doc_b, sig_a, sig_b) distinct, doc_a < doc_b. */
+  def simHashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val mask = (1L << width) - 1L
@@ -233,9 +238,21 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        call_function("bit_count",
-          col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
   }
+
+  /** Hamming verify over an explicit candidate set (the SQL-expressible
+    * stage: XOR + popcount + threshold). */
+  def hammingPairs(cands: DataFrame, maxHamming: Int): DataFrame =
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        call_function("bit_count",
+          col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming:
+    * [[simHashCandidates]] blocking, then the [[hammingPairs]] verify. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simHashCandidates(docs, maxHamming), maxHamming)
 }
