@@ -12,11 +12,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    // Bench the production operators: oracle exports are verify-gate
+    // plumbing (parquet write + read-back inside a few registered
+    // queries), so they pass through untouched here (round-6 VERDICT 5).
+    SparkEntry.configureOracleExport("/tmp/graft_oracle_export", enabled = false)
     // Warm the JVM/codegen/parquet paths so the first measured query isn't
     // charged for JIT + classloading (it showed 2-3x inflated otherwise).
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).selectExpr("sum(l_quantity)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Alphabetical, EXCEPT the streaming replay runs last: it is a real
+    // Structured Streaming job (state-store commits, per-batch checkpoint
+    // fsyncs) whose GC/state pressure measurably bled into the
+    // alphabetically-adjacent text block in round 6's snapshot — at the
+    // end it can no longer contaminate any other query's timing.
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (name == "stream_tier_parity", name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

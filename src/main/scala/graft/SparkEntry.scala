@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Scalars
 import graft.operators._
@@ -39,6 +40,11 @@ object SparkEntry {
   private val ANCHORS =
     "anchors AS (SELECT metric, max(e) AS anchor_e FROM series GROUP BY metric)"
 
+  /** Newest-N-per-metric bound for the faithful-decimation oracle slice —
+    * shared by the Spark query and the recursive-CTE oracle so the two
+    * sides cannot disagree about which rows are in scope. */
+  private val F1_SLICE_N = 300
+
   /** Root for Spark-side oracle exports: when a pipeline's GENERATION
     * stage is not SQL-expressible (xxhash64 signatures, hyperplane
     * buckets, iterative centroids) but its VERIFY/rerank/cluster stage is,
@@ -46,16 +52,62 @@ object SparkEntry {
     * recomputes the downstream stage over exactly those rows — the same
     * split a production pipeline audits. Verify runs before the oracle
     * compare, so an export always precedes its reader; each export reads
-    * itself back so the Spark side provably consumes the exported rows. */
-  private val ORACLE_EXPORT_ROOT = "/tmp/graft_oracle_export"
+    * itself back so the Spark side provably consumes the exported rows.
+    *
+    * PER-RUN (round-6 ADVICE): a fixed shared /tmp root let concurrent or
+    * back-to-back runs (sf0.001 then sf0.01) overwrite each other's
+    * exports, so the DuckDB compare could silently read a DIFFERENT run's
+    * rows. [[Verify]] points the root at a sibling of its out dir before
+    * running any query; [[oracleSql]] is a `def` that interpolates the
+    * CURRENT root and Verify dumps oracle_sql.json AFTER the queries have
+    * run, so each run's SQL travels with its own exports. The default
+    * keeps ad-hoc/spec runs working. */
+  @volatile private var oracleExportRoot: String = "/tmp/graft_oracle_export"
 
-  private val NEARDUP_EDGE_EXPORT = s"$ORACLE_EXPORT_ROOT/neardup_edges"
+  /** When false, [[exportForOracle]] is an identity passthrough: Bench
+    * disables exports so the registered queries measure the PRODUCTION
+    * operators, not the gate plumbing (round-6 VERDICT item 5). */
+  @volatile private var oracleExportEnabled: Boolean = true
 
-  private def exportForOracle(df: DataFrame, name: String): DataFrame = {
-    val path = s"$ORACLE_EXPORT_ROOT/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+  def configureOracleExport(root: String, enabled: Boolean): Unit = {
+    oracleExportRoot = root
+    oracleExportEnabled = enabled
   }
+
+  private def exportGlob(name: String): String =
+    s"$oracleExportRoot/$name/*.parquet"
+
+  /** Shared ANN-rerank oracle body: exact cosine top-5 over an exported
+    * (q_id, c_id) candidate list, [[SimilarityOps.rerankTopK]]'s contract
+    * (score DESC / c_id tie-break, round 6). */
+  private def annRerankOracle(name: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT q_id, c_id FROM read_parquet('${exportGlob(name)}')),
+       |s AS (SELECT p.q_id, p.c_id,
+       |        list_dot_product(qe.v, ce.v) /
+       |          (sqrt(list_dot_product(qe.v, qe.v)) *
+       |           sqrt(list_dot_product(ce.v, ce.v))) AS score
+       |      FROM p JOIN e qe ON qe.vec_id = p.q_id
+       |             JOIN e ce ON ce.vec_id = p.c_id),
+       |r AS (SELECT q_id, c_id, score,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, c_id) AS rk FROM s)
+       |SELECT q_id, rk, c_id, ROUND(score, 6) AS score FROM r WHERE rk <= 5""".stripMargin
+
+  /** `model = true` marks a model-sized export (centroids, parameters —
+    * rows ~ nClusters, never data-sized): those coalesce to one file.
+    * Data-shaped exports (edge/candidate lists) write partitioned — a
+    * single-task write of a full edge list would be a funnel at 100×, and
+    * the oracle's `read_parquet` glob reads a directory of parts as
+    * happily as one file. */
+  private def exportForOracle(df: DataFrame, name: String,
+                              model: Boolean = false): DataFrame =
+    if (!oracleExportEnabled) df
+    else {
+      val path = s"$oracleExportRoot/$name"
+      (if (model) df.coalesce(1) else df).write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
 
   /** Direct 1h aggregation over raw events — the check both tier producers
     * (batch a24 and the streaming replay) must reproduce by composing their
@@ -206,10 +258,29 @@ object SparkEntry {
         TrendParams.default.minSampleGapSeconds.toLong)),
 
     // F1 (faithful): reference anchored-gap decimation — stateful scan,
-    // not SQL-expressible → rows-only + unit tests.
+    // not SQL-expressible in one statement → rows-only + unit tests over
+    // the FULL fixture; the bounded slice below carries the oracle.
     "f1_decimate_faithful" -> ((s, dir) =>
       TrendOps.decimateFaithful(series(s, dir),
         TrendParams.default.minSampleGapSeconds).toDF()),
+
+    // F1 (faithful, gated slice): the same operator over the newest
+    // F1_SLICE_N rows per metric, where a DuckDB recursive-CTE replay of
+    // the sequential anchored-gap chain IS affordable (~2.7 s at sf0.01 vs
+    // 35 s over the full fixture — COVERAGE F1). The slice is itself
+    // newest-anchored, so the chain the oracle walks starts from the exact
+    // row the full scan starts from — this checks the operator's real
+    // semantics (seed row, strict >, last-KEPT anchoring, tie order), not
+    // a simplification.
+    "f1_decimate_faithful_slice" -> ((s, dir) => {
+      val newestFirst =
+        Window.partitionBy("metric").orderBy(col("e").desc, col("event_id").desc)
+      val sliced = series(s, dir)
+        .withColumn("rn", row_number().over(newestFirst))
+        .where(col("rn") <= F1_SLICE_N).drop("rn")
+      TrendOps.decimateFaithful(sliced,
+        TrendParams.default.minSampleGapSeconds).toDF()
+    }),
 
     // M3: retention cull to the max-day-bin horizon, summarized per metric.
     "m3_retention" -> ((s, dir) =>
@@ -555,10 +626,25 @@ object SparkEntry {
         withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
         k = 64, bands = 16, minJaccard = 0.6)),
 
-    // SimHash near-dup with Hamming<=3 pigeonhole blocking (rows-only).
+    // SimHash near-dup with Hamming<=3 pigeonhole blocking (rows-only —
+    // the fused production path; its VERIFY stage is oracle-checked by
+    // simhash_verify below).
     "simhash_neardup" -> ((s, dir) =>
       DedupOps.simHashPairs(
         withPlantedVariants(Tables.documents(s, dir), nDrop = 1), maxHamming = 3)),
+
+    // SimHash Hamming VERIFY stage, export-oracled: the signature/blocking
+    // stage is xxhash64-based (not SQL-expressible), so the candidate set
+    // (doc_a, doc_b, sig_a, sig_b) exports and DuckDB recomputes
+    // XOR + popcount + threshold over exactly those rows — a wrong Hamming
+    // distance or dropped/kept pair on either side fails the compare.
+    "simhash_verify" -> ((s, dir) =>
+      DedupOps.hammingPairs(
+        exportForOracle(
+          DedupOps.simHashCandidates(
+            withPlantedVariants(Tables.documents(s, dir), nDrop = 1), maxHamming = 3),
+          "simhash_cands"),
+        maxHamming = 3)),
 
     // Near-dup clusters: MinHash-LSH pairs → connected components (min-label
     // propagation) — the grouping stage a real dedup pipeline runs after
@@ -777,6 +863,31 @@ object SparkEntry {
     "ann_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       SimilarityOps.ivfTopK(emb.where(col("vec_id") < 8), emb, 5)
+    }),
+
+    // ANN exact-rerank legs, export-oracled: candidate GENERATION is
+    // hash-based (hyperplane buckets / coarse quantizer — legitimately
+    // rows-only), but the rerank is SQL — the probed (q_id, c_id) lists
+    // export and DuckDB recomputes cosine top-k (same rounding and c_id
+    // tie-break) over exactly those candidates. Same parameters as the
+    // fused ann_topk_* queries, so the verified rerank is the one the
+    // production paths fuse in.
+    "ann_rerank_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.rerankTopK(
+        exportForOracle(
+          SimilarityOps.lshCandidates(emb.where(col("vec_id") < 8), emb),
+          "ann_cands_lsh"),
+        emb, 5)
+    }),
+
+    "ann_rerank_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.rerankTopK(
+        exportForOracle(
+          SimilarityOps.ivfCandidates(emb.where(col("vec_id") < 8), emb),
+          "ann_cands_ivf"),
+        emb, 5)
     }),
 
     // Embedding near-duplicates via LSH buckets over planted twins
@@ -1044,11 +1155,26 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       SearchOps.tfidfTopTerms(Tables.documents(s, dir), 5)),
 
-    // Lloyd's k-means refinement over embeddings (rows-only: the iterative
-    // model fit is not one SQL statement; determinism + planted-cluster
-    // behavior pinned by unit tests).
-    "kmeans_assign" -> ((s, dir) =>
-      SimilarityOps.kmeansAssign(Tables.embeddings(s, dir), nClusters = 8, iters = 3)),
+    // Lloyd's k-means over embeddings, ASSIGNMENT stage export-oracled:
+    // the iterative model fit is not one SQL statement (determinism +
+    // planted-cluster behavior stay pinned by unit tests), but the final
+    // assignment is — the fitted centroids (a model: nClusters × dim
+    // doubles) export, the Spark side assigns with the READ-BACK model,
+    // and DuckDB recomputes argmax-dot with the same lower-cluster-id
+    // tie-break per vector. rounds = 3 keeps the pre-rename output
+    // (2 centroid updates + fused final assignment; see kmeansAssign's
+    // doc for the iters→rounds semantics note).
+    "kmeans_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = SimilarityOps.kmeansCentroids(emb, nClusters = 8, updates = 2)
+      val centDf = s.createDataFrame(
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+        .toDF("cluster_id", "cv")
+      val model = exportForOracle(centDf, "kmeans_centroids", model = true)
+        .orderBy("cluster_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      SimilarityOps.assignVectors(emb, model)
+    }),
 
     // Connected components with a DuckDB-replicable edge set: the LSH pair
     // sources can't be expressed in SQL (xxhash64 signatures), so the
@@ -1096,10 +1222,15 @@ object SparkEntry {
 
   /** The fused-Aggregator flagship shares the built-ins flagship's oracle
     * (identical output contract). */
-  lazy val oracleSql: Map[String, String] =
+  /** A `def`, not a `lazy val`: export-reading entries interpolate
+    * [[oracleExportRoot]], which Verify repoints per run before dumping
+    * this map — caching would freeze the default path into every run. */
+  def oracleSql: Map[String, String] =
     baseOracle + ("a2_banded_extents_fused" -> baseOracle("a2_banded_extents"))
 
-  private val baseOracle: Map[String, String] = Map(
+  /** Also a `def` (not a val): the export-reading entries below must see
+    * the export root CURRENT at dump time, not at object init. */
+  private def baseOracle: Map[String, String] = Map(
     "a2_banded_extents" ->
       s"""WITH $SERIES, $ANCHORS,
          |banded AS (SELECT s.*, $BAND_CASE AS day_bin
@@ -1943,6 +2074,61 @@ object SparkEntry {
          |       CASE WHEN t - click_e <= 3600 THEN click_val END AS click_val
          |FROM w WHERE side = 1""".stripMargin,
 
+    // SimHash Hamming-verify oracle over the Spark-exported candidate set
+    // (see the simhash_verify query comment): pure bit arithmetic — a
+    // single XOR + popcount + threshold that DuckDB evaluates independently
+    // over the same (sig_a, sig_b) pairs.
+    "simhash_verify" ->
+      s"""SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+         |FROM read_parquet('${exportGlob("simhash_cands")}')
+         |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
+
+    // ANN rerank oracles over the Spark-exported candidate lists: cosine
+    // via list_dot_product on cast-to-double vectors (the proven
+    // ann_topk_brute parity contract), row_number with the engine's
+    // (score DESC, c_id) tie-break, round to 6.
+    "ann_rerank_lsh" -> annRerankOracle("ann_cands_lsh"),
+    "ann_rerank_ivf" -> annRerankOracle("ann_cands_ivf"),
+
+    // k-means assignment oracle over the Spark-exported centroid MODEL:
+    // nearest centroid = argmax dot (TopCentroids' contract), ties to the
+    // lower cluster_id — exactly row_number ordered by (score DESC,
+    // cluster_id).
+    "kmeans_assign" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT cluster_id, cv FROM read_parquet('${exportGlob("kmeans_centroids")}')),
+         |s AS (SELECT vec_id, cluster_id, list_dot_product(e.v, c.cv) AS score
+         |      FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, cluster_id,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY score DESC, cluster_id) AS rk FROM s)
+         |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+         |FROM r WHERE rk = 1""".stripMargin,
+
+    // Faithful anchored-gap decimation over the newest-N-per-metric slice:
+    // the recursive CTE walks the kept chain exactly as the reference's
+    // sequential scan does — seed at the newest row, then repeatedly take
+    // the newest remaining row strictly more than the gap below the last
+    // KEPT timestamp (LATERAL … ORDER BY e DESC, event_id DESC LIMIT 1).
+    "f1_decimate_faithful_slice" ->
+      s"""WITH RECURSIVE $SERIES,
+         |sl AS (SELECT metric, e, value, event_id,
+         |         row_number() OVER (PARTITION BY metric
+         |           ORDER BY e DESC, event_id DESC) AS rn
+         |       FROM series QUALIFY rn <= $F1_SLICE_N),
+         |k AS (
+         |  SELECT metric, e, value, event_id FROM sl WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.metric, n.e, n.value, n.event_id
+         |  FROM k, LATERAL (SELECT s.metric, s.e, s.value, s.event_id
+         |                   FROM sl s
+         |                   WHERE s.metric = k.metric
+         |                     AND s.e < k.e - ${P.minSampleGapSeconds}
+         |                   ORDER BY s.e DESC, s.event_id DESC LIMIT 1) n
+         |)
+         |SELECT metric, e, value, event_id FROM k""".stripMargin,
+
     // Clustering-stage oracle over the Spark-exported LSH edge list (see
     // the neardup_groups query comment): the same recursive-CTE component
     // labeling as neardup_cc, but over exactly the edges the Spark side
@@ -1951,7 +2137,7 @@ object SparkEntry {
     "neardup_groups" ->
       s"""WITH RECURSIVE
          |e0 AS (SELECT doc_a AS src, doc_b AS dst
-         |       FROM read_parquet('$NEARDUP_EDGE_EXPORT/*.parquet')),
+         |       FROM read_parquet('${exportGlob("neardup_edges")}')),
          |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
          |cc AS (SELECT src AS doc_id, src AS label FROM e
          |       UNION

@@ -8,6 +8,14 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    // Per-run export root (round-6 ADVICE): a SIBLING of outDir, not a
+    // child — the checker treats every outDir subdirectory as a query
+    // result, and a shared fixed path would let another run's export
+    // shadow this one's. Must happen before any query runs; oracle_sql is
+    // dumped after, so the SQL below points at exactly these exports.
+    SparkEntry.configureOracleExport(
+      new java.io.File(outDir).getAbsolutePath.stripSuffix("/") + "_oracle_export",
+      enabled = true)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -97,6 +97,27 @@ object SimilarityOps {
       .transform(rankTopK(_, k))
   }
 
+  /** The (q_id, c_id) candidate list of [[lshTopK]]'s bucket stage, without
+    * the rerank — the GENERATION half surfaced standalone so the exact
+    * rerank ([[rerankTopK]]) can be oracle-checked over an exported
+    * candidate set. Distinct by construction (the fused path dedups the
+    * full tuple and ids determine vectors). */
+  def lshCandidates(queries: DataFrame, candidates: DataFrame,
+                    dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, tables, bitsPerTable, seed)
+    def buckets(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol),
+          posexplode(graft.functions.HashExpressions.hyperplaneBuckets(
+            col("embedding"), planes)))
+        .toDF(idCol, "tbl", "bkt")
+    broadcast(buckets(queries, "q_id"))
+      .join(buckets(candidates, "c_id"), Seq("tbl", "bkt"))
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+      .distinct()
+  }
+
   /** Approximate cosine top-k via IVF (inverted-file) coarse quantization:
     * `nlist` centroids — deterministic lowest-vec_id seeds, refined by
     * `refineIters` Lloyd's update rounds ([[kmeansCentroids]]) when
@@ -137,6 +158,42 @@ object SimilarityOps {
       .transform(rankTopK(_, k))
   }
 
+  /** The (q_id, c_id) probed-list candidates of [[ivfTopK]], without the
+    * rerank — the GENERATION half surfaced standalone for the export-oracle
+    * rerank check. Structurally distinct: every candidate lives in exactly
+    * one inverted list and a query probes `nprobe` distinct lists. */
+  def ivfCandidates(queries: DataFrame, candidates: DataFrame,
+                    nlist: Int = 32, nprobe: Int = 4,
+                    refineIters: Int = 0): DataFrame = {
+    val cents = kmeansCentroids(candidates, nlist, refineIters, spherical = true)
+    val assigned = candidates.select(col("vec_id").as("c_id"),
+      element_at(graft.functions.HashExpressions.topCentroids(
+        col("embedding"), cents, 1), 1).as("cid"))
+    val probed = broadcast(queries.select(col("vec_id").as("q_id"),
+      explode(graft.functions.HashExpressions.topCentroids(
+        col("embedding"), cents, nprobe)).as("cid")))
+    assigned.join(probed, "cid")
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+  }
+
+  /** Exact cosine rerank of an EXPLICIT (q_id, c_id) candidate list — the
+    * VERIFY half every ANN variant shares, standalone so it can run over an
+    * exported candidate set and face a SQL oracle (the fused paths carry
+    * vectors through the bucket join instead and never re-join). Same
+    * score / tie-break / rounding contract as [[rankTopK]]. The pair list
+    * is queries×candidates-bounded — broadcastable — so both vector
+    * attaches are map-side at scale. */
+  def rerankTopK(pairs: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("vn", norm(col("v")))
+    pairs
+      .join(v.select(col("vec_id").as("q_id"), col("v").as("qv"), col("vn").as("qn")), "q_id")
+      .join(v.select(col("vec_id").as("c_id"), col("v").as("cv"), col("vn").as("cn")), "c_id")
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .transform(rankTopK(_, k))
+  }
+
   /** Embedding near-duplicate pairs (cosine >= minCosine) via the same LSH
     * tables: bucket-join candidates among ALL rows (no query set), exact
     * verify. doc pairs emitted once (a < b). */
@@ -172,7 +229,7 @@ object SimilarityOps {
   /** Nearest-centroid assignment against a driver-side centroid model —
     * map-only, one codegen'd dot per centroid, ties break by centroid
     * index ([[graft.functions.HashExpressions.TopCentroids]]). */
-  private def assignToCentroids(vectors: DataFrame, c: Array[Array[Double]]): DataFrame =
+  def assignToCentroids(vectors: DataFrame, c: Array[Array[Double]]): DataFrame =
     vectors.select(col("vec_id"),
       element_at(graft.functions.HashExpressions.topCentroids(
         col("embedding"), c, 1), 1).as("cluster_id"),
@@ -232,22 +289,34 @@ object SimilarityOps {
     cents
   }
 
-  /** Lloyd's k-means assignment over the embedding column. `iters` counts
+  /** Lloyd's k-means assignment over the embedding column. `rounds` counts
     * Lloyd ROUNDS, and the final round's assignment IS the returned frame
-    * (fused): `iters - 1` centroid-update rounds run in
+    * (fused): `rounds - 1` centroid-update rounds run in
     * [[kmeansCentroids]], then one assignment pass both closes the last
     * round and produces the output — one fewer pass over the data than the
     * assign/update/…/assign-again formulation (the BENCH_LOCAL headroom
     * note).
     *
+    * Named `rounds`, not `iters` (round-6 ADVICE): the fused formulation
+    * runs one FEWER centroid update than the pre-fuse `iters` semantics
+    * did — `rounds = N` reproduces old `iters = N - 1` output. The rename
+    * makes every call site face that change, and the registered query's
+    * centroid-export oracle now pins the output bit-exactly anyway.
+    *
     * @return (vec_id, cluster_id)
     */
-  def kmeansAssign(vectors: DataFrame, nClusters: Int = 8, iters: Int = 3): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val cents = kmeansCentroids(vectors, nClusters, iters - 1)
+  def kmeansAssign(vectors: DataFrame, nClusters: Int = 8, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    assignVectors(vectors, kmeansCentroids(vectors, nClusters, rounds - 1))
+  }
+
+  /** Assignment against an EXPLICIT centroid model in the output shape of
+    * [[kmeansAssign]] — the stage the export-oracle replays: centroids are
+    * exported, read back, and assigned with here, so DuckDB's argmax-dot
+    * over the same parquet model must reproduce every label. */
+  def assignVectors(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame =
     assignToCentroids(vectors, cents)
       .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
-  }
 
   /** Recall@k of an approximate ANN result against the exact brute-force
     * ranking — the accuracy gate to run before switching an index variant

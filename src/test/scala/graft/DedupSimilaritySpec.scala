@@ -426,7 +426,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val vecs = (Seq(0L -> around(a), 1L -> around(b)) ++
       (2 until 12).map(i => i.toLong -> around(if (i % 2 == 0) a else b)))
       .toDF("vec_id", "embedding")
-    def run() = graft.operators.SimilarityOps.kmeansAssign(vecs, nClusters = 2, iters = 3)
+    def run() = graft.operators.SimilarityOps.kmeansAssign(vecs, nClusters = 2, rounds = 3)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
     val got = run()
     val clusterA = got(0L)
