@@ -1077,7 +1077,12 @@ object SparkEntry {
 
     // Pairwise correlation matrix across metrics, aligned on 60s-bucket
     // sums ([[TrendOps.corrMatrix]] — which ENFORCES its O(m²) metric cap).
-    "a25_corr_matrix" -> ((s, dir) => TrendOps.corrMatrix(series(s, dir))),
+    // maxMetrics is plumbed EXPLICITLY, sized to the fixture contract
+    // (TESTDATA events carry a handful of event types; 64 leaves wide
+    // headroom without inheriting a silent default) — a wider corpus must
+    // change this registration deliberately, not trip a hidden default.
+    "a25_corr_matrix" -> ((s, dir) =>
+      TrendOps.corrMatrix(series(s, dir), maxMetrics = 64)),
 
     // Flatline screen over precision-quantized values (stuck sensor).
     "a23_flatline" -> ((s, dir) =>

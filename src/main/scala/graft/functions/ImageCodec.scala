@@ -237,17 +237,20 @@ object ImageCodec {
   /** Fully decode an 8-bit non-interlaced PNG (color types 0/2/3/4/6) to
     * raw interleaved samples: walk chunks, inflate the concatenated IDAT
     * stream with `java.util.zip.Inflater`, undo scanline filters 0–4
-    * (spec §9). Indexed-color images (type 3, 8-bit indices) are expanded
-    * through their PLTE chunk (spec §11.2.3) to a 3-channel RGB raster —
-    * the decoded shape downstream consumers expect. Returns None for
-    * anything this decoder doesn't cover (sub-8-bit packed palettes,
-    * 16-bit, interlaced, truncated/corrupt streams, out-of-range palette
-    * indices, non-PNG input). */
+    * (spec §9). Indexed-color images (type 3) are expanded through their
+    * PLTE chunk (spec §11.2.3) to a 3-channel RGB raster — the decoded
+    * shape downstream consumers expect — including the PACKED sub-8-bit
+    * palette depths (1/2/4 bits per index, several pixels per scanline
+    * byte, leftmost pixel in the high-order bits — spec §7.2). Returns
+    * None for anything this decoder doesn't cover (16-bit, sub-8-bit
+    * NON-paletted grayscale, interlaced, truncated/corrupt streams,
+    * out-of-range palette indices, non-PNG input). */
   def decodePngPixels(bytes: Array[Byte]): Option[Image] = {
     if (!isPng(bytes)) return None
     var width = 0
     var height = 0
     var channels = 0
+    var depth = 0
     var paletted = false
     var palette: Array[Byte] = null
     var ok = false
@@ -271,12 +274,15 @@ object ImageCodec {
           val interlace = bytes(i + 20) & 0xff
           paletted = colorType == 3
           channels = channelsOfColorType(colorType)
+          depth = bitDepth
           // Dimension sanity cap BEFORE any allocation: a ~100-byte blob
           // declaring 16000x16000x4 would otherwise allocate ~1 GB twice
           // over before inflate even fails — a decompression-bomb shape on
           // untrusted input. Real corpus thumbnails/pages sit far below
           // 2^14 per side; wider rasters must go through a chunked reader.
-          ok = bitDepth == 8 && interlace == 0 && channels > 0 &&
+          val depthOk = bitDepth == 8 ||
+            (paletted && (bitDepth == 1 || bitDepth == 2 || bitDepth == 4))
+          ok = depthOk && interlace == 0 && channels > 0 &&
             width > 0 && height > 0 && width <= MaxDecodeDim && height <= MaxDecodeDim
         case "PLTE" =>
           // Palette: 1..256 RGB triples, must precede IDAT (spec §5.6).
@@ -291,11 +297,15 @@ object ImageCodec {
     if (!ok || idat.size() == 0) return None
     if (paletted && palette == null) return None // type 3 REQUIRES a PLTE (spec §5.6)
     // With dims capped at MaxDecodeDim and channels <= 4, stride fits int
-    // comfortably; the byte cap still bounds the worst-case allocation
-    // (palette expansion triples the raster, so its cap is a third).
-    val stride = width * channels
+    // comfortably; the byte caps still bound the worst-case allocations —
+    // BOTH the filtered scanline buffer and the palette-expanded raster
+    // (w·h indices → ×3 RGB), which for packed depths is the larger one.
+    val stride =
+      if (depth == 8) width * channels else (width * depth + 7) / 8
     val rawLen = height.toLong * (1L + stride)
-    if (rawLen > (if (paletted) MaxDecodeBytes / 3 else MaxDecodeBytes)) return None
+    val expandedLen =
+      if (paletted) width.toLong * height * 3 else rawLen
+    if (rawLen > MaxDecodeBytes || expandedLen > MaxDecodeBytes) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     try {
@@ -310,10 +320,41 @@ object ImageCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    unfilter(raw, width, height, channels).flatMap { samples =>
+    // Filters operate on BYTES: for packed depths bpp is one byte (spec
+    // §9.2 — "bpp is rounded up to one"), so a/b/c neighbors are the
+    // previous scanline byte, not the previous pixel.
+    val bpp = if (depth == 8) channels else 1
+    unfilter(raw, height, stride, bpp).flatMap { samples =>
       if (!paletted) Some(Image(width, height, channels, samples))
-      else expandPalette(samples, palette).map(Image(width, height, 3, _))
+      else {
+        val indices =
+          if (depth == 8) samples
+          else unpackIndices(samples, width, height, depth, stride)
+        expandPalette(indices, palette).map(Image(width, height, 3, _))
+      }
     }
+  }
+
+  /** Unpack sub-8-bit palette scanlines to one index byte per pixel:
+    * `8 / depth` pixels per byte, leftmost pixel in the high-order bits,
+    * row padding bits ignored (spec §7.2). */
+  private def unpackIndices(rows: Array[Byte], width: Int, height: Int,
+                            depth: Int, stride: Int): Array[Byte] = {
+    val out = new Array[Byte](width * height)
+    val perByte = 8 / depth
+    val mask = (1 << depth) - 1
+    var r = 0
+    while (r < height) {
+      var c = 0
+      while (c < width) {
+        val b = rows(r * stride + c / perByte) & 0xff
+        val shift = 8 - depth * (c % perByte + 1)
+        out(r * width + c) = ((b >> shift) & mask).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** Expand 8-bit palette indices through a PLTE table to interleaved RGB;
@@ -335,10 +376,11 @@ object ImageCodec {
   }
 
   /** Undo PNG scanline filters (spec §9): each row starts with a filter-type
-    * byte; reconstruct with left (a), up (b), up-left (c) neighbors. */
-  private def unfilter(raw: Array[Byte], width: Int, height: Int, channels: Int): Option[Array[Byte]] = {
-    val stride = width * channels
-    val bpp = channels // 8-bit samples: bytes per pixel == channels
+    * byte; reconstruct with left (a), up (b), up-left (c) neighbors.
+    * `stride` is the scanline width in BYTES (packed depths round up);
+    * `bpp` is the filter's byte distance to the left neighbor (channels
+    * for 8-bit samples, 1 for packed). */
+  private def unfilter(raw: Array[Byte], height: Int, stride: Int, bpp: Int): Option[Array[Byte]] = {
     val out = new Array[Byte](height * stride)
     var r = 0
     while (r < height) {

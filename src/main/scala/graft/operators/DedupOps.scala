@@ -119,7 +119,26 @@ object DedupOps {
                     checkpointDir: Option[String] = None): DataFrame = {
     val materialize: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        // setCheckpointDir mutates SESSION-GLOBAL SparkContext state
+        // (round-6 ADVICE): only set it when the caller hasn't already
+        // configured one, and refuse to silently REDIRECT a context whose
+        // checkpoint dir points elsewhere — a concurrent job using reliable
+        // checkpoints would otherwise start writing into this operator's
+        // directory without anyone deciding that.
+        val sc = pairs.sparkSession.sparkContext
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          case Some(existing) =>
+            // getCheckpointDir reports the qualified "<dir>/<uuid>" path
+            // Spark derived, so same-dir reuse matches by prefix after
+            // stripping the filesystem scheme.
+            def plain(p: String) = p.replaceFirst("^[a-z][a-z0-9+.-]*:(//)?", "")
+            require(plain(existing).startsWith(plain(dir)),
+              s"SparkContext checkpoint dir already set to $existing; " +
+                s"refusing to redirect it to $dir session-wide. Use the " +
+                "configured directory, or reconfigure the context before " +
+                "calling.")
+        }
         df => df.checkpoint(true)
       case None =>
         df => df.localCheckpoint(true)

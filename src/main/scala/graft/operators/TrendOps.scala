@@ -330,14 +330,20 @@ object TrendOps {
     * metrics throws before any pair work starts. The default (64 metrics =
     * 2016 pairs) is display-scale; a wider screen wants a pre-filtered
     * metric set, chosen deliberately via the parameter. The guard costs one
-    * tiny count-distinct job, negligible next to the pair join it protects.
+    * tiny count-distinct job, negligible next to the pair join it protects;
+    * `maxMetrics <= 0` opts out of BOTH the cap and that eager job — for
+    * callers that already bounded the metric set themselves (round-6
+    * ADVICE).
     */
   def corrMatrix(series: DataFrame, bucketSeconds: Long = 60L,
                  maxMetrics: Int = 64): DataFrame = {
-    val m = series.select(countDistinct(col("metric"))).head().getLong(0)
-    require(m <= maxMetrics,
-      s"corrMatrix is O(m^2) in distinct metrics: got $m > maxMetrics=$maxMetrics. " +
-        "Pre-filter the metric set, or raise maxMetrics deliberately.")
+    if (maxMetrics > 0) {
+      val m = series.select(countDistinct(col("metric"))).head().getLong(0)
+      require(m <= maxMetrics,
+        s"corrMatrix is O(m^2) in distinct metrics: got $m > maxMetrics=$maxMetrics. " +
+          "Pre-filter the metric set, raise maxMetrics deliberately, or pass " +
+          "maxMetrics <= 0 to opt out for an already-bounded metric set.")
+    }
     val b = series
       .withColumn("bucket",
         floor(col("e") / lit(bucketSeconds.toDouble)).cast("long") * bucketSeconds)

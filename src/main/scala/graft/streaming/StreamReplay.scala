@@ -55,6 +55,14 @@ object StreamReplay {
     // parquet footer and simply yield an empty micro-batch.
     val bounds = src.agg(min(col("ts").cast("long")).as("lo"),
       max(col("ts").cast("long")).as("hi")).head()
+    if (bounds.isNullAt(0)) {
+      // Empty fixture: nothing to replay — return an empty tier with the
+      // exact output schema (the same aggregation over zero batch rows;
+      // withWatermark is eliminated on batch plans) instead of NPE-ing on
+      // the null bounds. The unused temp root is removed on the spot.
+      deleteRecursively(root.toFile)
+      return StreamOps.minuteTierStream(src.limit(0), watermark)
+    }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, hi - lo + 1)
     (0 until slices).foreach { k =>
@@ -70,25 +78,38 @@ object StreamReplay {
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
 
-    val query = StreamOps.minuteTierStream(stream, watermark)
-      .writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outDir)
-      }
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
+    try {
+      val query = StreamOps.minuteTierStream(stream, watermark)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
 
-    // Keyed upsert: the tier row for a (metric, minute) is its last
-    // emission. Within one batch the aggregation emits at most one row per
-    // key, so batch_id alone is a total order per key.
-    val w = Window.partitionBy("metric", "minute_start").orderBy(col("batch_id").desc)
-    spark.read.parquet(outDir)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn", "batch_id")
+      // Keyed upsert: the tier row for a (metric, minute) is its last
+      // emission. Within one batch the aggregation emits at most one row per
+      // key, so batch_id alone is a total order per key.
+      // Eager localCheckpoint detaches the result from the temp parquet
+      // files so the whole replay root can be deleted below — block-manager
+      // durability is plenty for a bounded replay harness.
+      val w = Window.partitionBy("metric", "minute_start").orderBy(col("batch_id").desc)
+      spark.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .drop("rn", "batch_id")
+        .localCheckpoint(true)
+    } finally deleteRecursively(root.toFile)
+  }
+
+  /** The replay's in/out/checkpoint dirs are per-invocation temp state —
+    * leaking them grew unboundedly across runs (round-6 ADVICE). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }

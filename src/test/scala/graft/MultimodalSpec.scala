@@ -156,10 +156,13 @@ class MultimodalSpec extends SparkSpec {
       ImageCodec.ImageMeta("image/png", 16000, 16000, 4))
   }
 
-  /** Build an indexed-color (type 3) PNG: PLTE of `colors`, 8-bit index
-    * scanlines with the given per-row filter types, Deflater-compressed. */
+  /** Build an indexed-color (type 3) PNG: PLTE of `colors`, index
+    * scanlines (packed when `depth` < 8, leftmost pixel in high bits) with
+    * the given per-row filter types applied BYTE-wise (bpp = 1 for type 3
+    * at every depth), Deflater-compressed. */
   private def mkPalettePng(w: Int, h: Int, colors: Array[(Int, Int, Int)],
-                           indices: Array[Byte], filters: Array[Int]): Array[Byte] = {
+                           indices: Array[Byte], filters: Array[Int],
+                           depth: Int = 8): Array[Byte] = {
     def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
     def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
       val o = new ByteArrayOutputStream()
@@ -167,26 +170,34 @@ class MultimodalSpec extends SparkSpec {
       val crc = new CRC32(); crc.update(tag.getBytes("US-ASCII")); crc.update(data)
       o.write(be32(crc.getValue.toInt)); o.toByteArray
     }
-    val raw = new Array[Byte](h * (1 + w))
+    val stride = (w * depth + 7) / 8
+    val packed = new Array[Byte](h * stride)
+    for (r <- 0 until h; c <- 0 until w) {
+      val shift = 8 - depth * (c % (8 / depth) + 1)
+      packed(r * stride + c / (8 / depth)) =
+        (packed(r * stride + c / (8 / depth)) |
+          ((indices(r * w + c) & ((1 << depth) - 1)) << shift)).toByte
+    }
+    val raw = new Array[Byte](h * (1 + stride))
     for (r <- 0 until h) {
-      raw(r * (1 + w)) = filters(r).toByte
-      for (c <- 0 until w) {
-        val x = indices(r * w + c) & 0xff
-        val a = if (c >= 1) indices(r * w + c - 1) & 0xff else 0
-        val b = if (r > 0) indices((r - 1) * w + c) & 0xff else 0
+      raw(r * (1 + stride)) = filters(r).toByte
+      for (c <- 0 until stride) {
+        val x = packed(r * stride + c) & 0xff
+        val a = if (c >= 1) packed(r * stride + c - 1) & 0xff else 0
+        val b = if (r > 0) packed((r - 1) * stride + c) & 0xff else 0
         val enc = filters(r) match {
           case 0 => x
           case 1 => x - a
           case 2 => x - b
         }
-        raw(r * (1 + w) + 1 + c) = (enc & 0xff).toByte
+        raw(r * (1 + stride) + 1 + c) = (enc & 0xff).toByte
       }
     }
     val defl = new Deflater(); defl.setInput(raw); defl.finish()
     val buf = new Array[Byte](raw.length + 64)
     val zl = defl.deflate(buf); defl.end()
     val ihdr = new ByteArrayOutputStream()
-    ihdr.write(be32(w)); ihdr.write(be32(h)); ihdr.write(8)
+    ihdr.write(be32(w)); ihdr.write(be32(h)); ihdr.write(depth)
     ihdr.write(3); ihdr.write(0); ihdr.write(0); ihdr.write(0) // indexed-color
     val plte = colors.flatMap { case (r, g, b) => Array(r.toByte, g.toByte, b.toByte) }
     val out = new ByteArrayOutputStream()
@@ -209,6 +220,40 @@ class MultimodalSpec extends SparkSpec {
       val (r, g, b) = colors(i & 0xff); Array(r.toByte, g.toByte, b.toByte)
     }
     assert(img.pixels.toSeq == expected.toSeq)
+  }
+
+  test("packed sub-8-bit palettes decode at depths 1, 2, 4 (incl. row padding bits)") {
+    // w=5 is deliberately NOT a multiple of any pixels-per-byte, so every
+    // depth exercises trailing padding bits in each scanline.
+    val w = 5; val h = 3
+    for (depth <- Seq(1, 2, 4)) {
+      val nColors = 1 << depth
+      val colors = Array.tabulate(nColors)(i => (i * 17, 255 - i * 9, i * 33 % 256))
+      val indices = Array.tabulate(w * h)(i => (i % nColors).toByte)
+      val png = mkPalettePng(w, h, colors, indices, Array(0, 1, 2), depth)
+      val img = ImageCodec.decodePngPixels(png)
+        .getOrElse(fail(s"depth-$depth palette PNG did not decode"))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      val expected = indices.flatMap { i =>
+        val (r, g, b) = colors(i & 0xff); Array(r.toByte, g.toByte, b.toByte)
+      }
+      assert(img.pixels.toSeq == expected.toSeq, s"depth $depth pixels")
+    }
+    // Out-of-range packed index (depth 2 value pointing past a 3-entry
+    // PLTE) must degrade to None, same as the 8-bit path.
+    val short = Array((1, 2, 3), (4, 5, 6), (7, 8, 9)) // 3 colors, depth 2 allows index 3
+    val bad = mkPalettePng(2, 1, short, Array[Byte](0, 3), Array(0), depth = 2)
+    assert(ImageCodec.decodePngPixels(bad).isEmpty)
+  }
+
+  test("16-bit and interlaced PNGs still degrade to None (documented non-coverage)") {
+    val good = mkPalettePng(2, 2, Array((1, 2, 3), (4, 5, 6)),
+      Array[Byte](0, 1, 1, 0), Array(0, 0))
+    // depth byte lives at sig(8) + len(4) + tag(4) + w(4) + h(4) = 24
+    val d16 = good.clone(); d16(24) = 16
+    assert(ImageCodec.decodePngPixels(d16).isEmpty)
+    val inter = good.clone(); inter(28) = 1 // interlace byte
+    assert(ImageCodec.decodePngPixels(inter).isEmpty)
   }
 
   test("palette corruption degrades: out-of-range index or missing PLTE") {

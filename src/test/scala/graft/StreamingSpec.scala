@@ -489,4 +489,29 @@ class StreamingSpec extends SparkSpec {
     val audit = spark.read.option("recursiveFileLookup", "true").json(dir).collect()
     assert(audit.length == 1 && audit.head.getAs[Long]("batch_id") == 7L)
   }
+
+  test("replay harness: empty input yields an empty tier (no NPE) and temp dirs are cleaned") {
+    import graft.streaming.StreamReplay
+    val before = tmpReplayDirs()
+    val empty = StreamReplay.minuteTierReplay(seriesDF().where(lit(false)))
+    assert(empty.columns.toSeq ==
+      Seq("metric", "minute_start", "n", "sv", "mn", "mx"))
+    assert(empty.count() == 0)
+
+    // Non-empty replay: the result must survive its own temp-root deletion
+    // (localCheckpoint detach) — collect AFTER the call proves it reads no
+    // replay files — and no graft_replay_ dir may be left behind.
+    val tier = StreamReplay.minuteTierReplay(
+      seriesDF(("m", 0L, 1.0), ("m", 61L, 3.0), ("m", 125L, 5.0)), slices = 2)
+    val rows = tier.collect()
+    assert(rows.length == 3) // three distinct minutes
+    assert(tmpReplayDirs() == before)
+  }
+
+  private def tmpReplayDirs(): Set[String] = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .collect { case f if f.getName.startsWith("graft_replay_") => f.getName }
+      .toSet
+  }
 }
