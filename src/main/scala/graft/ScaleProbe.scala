@@ -83,6 +83,47 @@ object ScaleProbe {
       "minhash_signatures" -> (df => DedupOps.minHashSignatures(df, 64)))
 
     for ((name, op) <- docOps) probe(name, k => op(scaledDocs(k)))
+
+    // Round-6 additions (round-6 VERDICT item 8): the kmeans-refined IVF,
+    // the connected-components grouping, and the streaming file replay.
+
+    // Embedding side: replicas perturb one coordinate by a replica-scaled
+    // epsilon so the 16× corpus is not pure duplicates (pure-dup vectors
+    // would put 16 identical rows in every probed list and measure the
+    // dup blowup, not plan scaling).
+    val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    def scaledEmb(k: Int): DataFrame =
+      (0 until k).map { i =>
+        embBase.select(
+          (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, j) => when(j === 0, x + lit(i * 1e-3f)).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+    probe("ivf_topk_refined", { k =>
+      val emb = scaledEmb(k)
+      SimilarityOps.ivfTopK(emb.where(col("vec_id") < 8), emb, 5,
+        nlist = 32, nprobe = 8, refineIters = 2)
+    })
+
+    // CC over an edge list derived from the scaled corpus: chains of 10
+    // docs (diameter ~10, constant across scales — replica offsets keep
+    // chains disjoint), so the ratio isolates the per-round shuffle cost
+    // growth rather than a varying round count.
+    probe("neardup_cc", { k =>
+      val edges = scaledDocs(k).select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1).as("doc_b"))
+        .where(col("doc_id") % 10 =!= 9)
+      DedupOps.nearDupGroups(edges)
+    })
+
+    // Streaming replay: fixed slice count, scaled input — at real scale
+    // each micro-batch is incremental, so the expectation is the
+    // aggregation cost scaling linearly on top of the engine's fixed
+    // per-batch overhead (checkpoint fsyncs, state-store commits).
+    probe("stream_replay", k =>
+      graft.streaming.StreamReplay.minuteTierReplay(scaled(k), slices = 3))
+
     spark.stop()
   }
 }

@@ -646,6 +646,26 @@ object SparkEntry {
           "simhash_cands"),
         maxHamming = 3)),
 
+    // MinHash-LSH Jaccard VERIFY stage, export-oracled (same split as
+    // simhash_verify): the banded-signature candidate generation is
+    // xxhash64-based (rows-only forever), but the exact-Jaccard verify that
+    // gates the pairs is set algebra over trigram shingles — the candidate
+    // (doc_a, doc_b) list exports and DuckDB rebuilds the same planted
+    // corpus, re-shingles both sides, and recomputes |∩|/|∪| with the same
+    // >= 0.6 gate over exactly those candidates. Same nDrop/k/bands as
+    // minhash_neardup, so the verified stage is the production one.
+    "minhash_verify" -> ((s, dir) =>
+      DedupOps.jaccardForPairs(
+        exportForOracle(
+          DedupOps.minHashCandidates(
+            withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
+            k = 64, bands = 16),
+          "minhash_cands"),
+        withPlantedVariants(Tables.documents(s, dir), nDrop = 3))
+        .where(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
+
     // Near-dup clusters: MinHash-LSH pairs → connected components (min-label
     // propagation) — the grouping stage a real dedup pipeline runs after
     // pair generation. The LSH pair source is not SQL-expressible (xxhash64
@@ -890,14 +910,60 @@ object SparkEntry {
         emb, 5)
     }),
 
+    // Recall@k EVALUATION stage, export-oracled: the exact and approximate
+    // top-k lists export (the list CONTENTS stay pinned by ann_topk_brute's
+    // oracle and the rerank legs above), and DuckDB independently replays
+    // the recall computation — left join on (q_id, c_id), hit-count / k —
+    // over exactly those lists. A query whose approx set misses everything
+    // must still report 0.0, which the LEFT join preserves on both sides.
+    "ann_recall_verify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = exportForOracle(
+        SimilarityOps.bruteTopK(qs, emb, 5).select("q_id", "c_id"),
+        "recall_exact")
+      val lsh = exportForOracle(
+        SimilarityOps.lshTopK(qs, emb, 5).select("q_id", "c_id"),
+        "recall_lsh")
+      val ivf = exportForOracle(
+        SimilarityOps.ivfTopK(qs, emb, 5, nlist = 32, nprobe = 8)
+          .select("q_id", "c_id"),
+        "recall_ivf")
+      SimilarityOps.recallAtK(lsh, exact).withColumn("method", lit("lsh"))
+        .unionByName(
+          SimilarityOps.recallAtK(ivf, exact).withColumn("method", lit("ivf")))
+        .select(col("method"), col("q_id"),
+          round(col("recall"), 6).as("recall"))
+    }),
+
     // Embedding near-duplicates via LSH buckets over planted twins
-    // (rows-only).
+    // (rows-only — the fused production path; its VERIFY stage is
+    // oracle-checked by embedding_verify below).
     "embedding_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val twins = emb.where(col("vec_id") % 100 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
       SimilarityOps.embeddingNearDupPairs(emb.unionByName(twins), minCosine = 0.95)
+    }),
+
+    // Embedding near-dup cosine VERIFY stage, export-oracled: the
+    // hyperplane-bucket candidate generation is hash-based (rows-only), but
+    // the cosine gate is arithmetic — the candidate pairs export WITH their
+    // vectors, and DuckDB recomputes the cosine from va/vb (which also
+    // cross-checks the staged norms na/nb through the score) with the same
+    // >= 0.95 gate. Same planted twins and LSH parameters as
+    // embedding_neardup, so the verified stage is the production one.
+    "embedding_verify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val twins = emb.where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      SimilarityOps.cosineVerifyPairs(
+        exportForOracle(
+          SimilarityOps.embeddingCandidatePairs(emb.unionByName(twins)),
+          "embneardup_cands"),
+        minCosine = 0.95)
     }),
 
     // Multimodal: oracle-checkable payload metadata.
@@ -2089,12 +2155,73 @@ object SparkEntry {
          |FROM read_parquet('${exportGlob("simhash_cands")}')
          |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
 
+    // MinHash Jaccard-verify oracle over the Spark-exported candidate set:
+    // DuckDB rebuilds the SAME planted corpus (every 50th doc + a variant
+    // with the last 3 tokens dropped), re-shingles both sides of each
+    // exported candidate pair (trigram shingles, whole-text fallback below
+    // 3 tokens — the proven text_jaccard_adjacent construction), and
+    // recomputes |∩|/|∪| with the engine's >= 0.6 gate on the unrounded
+    // value.
+    "minhash_verify" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         array_to_string(w[1:GREATEST(len(w)-3, 1)], ' ') AS text
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents WHERE doc_id % 50 = 0)),
+         |t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |         THEN list_transform(generate_series(1, len(w)-2),
+         |                             i -> array_to_string(w[i:i+2], ' '))
+         |         ELSE [array_to_string(w, ' ')] END) AS s FROM t),
+         |p AS (SELECT doc_a, doc_b FROM read_parquet('${exportGlob("minhash_cands")}')),
+         |j AS (SELECT p.doc_a, p.doc_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          len(list_distinct(a.s || b.s)) AS jaccard
+         |      FROM p JOIN sh a ON a.doc_id = p.doc_a
+         |             JOIN sh b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+         |FROM j WHERE jaccard >= 0.6""".stripMargin,
+
+    // Embedding near-dup cosine-verify oracle: the exported candidate pairs
+    // carry their vectors, so DuckDB recomputes the cosine entirely from
+    // va/vb (list_dot_product on cast-to-double arrays — the proven parity
+    // contract) and applies the same >= 0.95 gate on the unrounded value.
+    "embedding_verify" ->
+      s"""WITH p AS (SELECT vec_a, vec_b,
+         |             CAST(va AS DOUBLE[]) AS va, CAST(vb AS DOUBLE[]) AS vb
+         |           FROM read_parquet('${exportGlob("embneardup_cands")}')),
+         |s AS (SELECT vec_a, vec_b,
+         |        list_dot_product(va, vb) /
+         |          (sqrt(list_dot_product(va, va)) *
+         |           sqrt(list_dot_product(vb, vb))) AS score
+         |      FROM p)
+         |SELECT vec_a, vec_b, ROUND(score, 6) AS score
+         |FROM s WHERE score >= 0.95""".stripMargin,
+
     // ANN rerank oracles over the Spark-exported candidate lists: cosine
     // via list_dot_product on cast-to-double vectors (the proven
     // ann_topk_brute parity contract), row_number with the engine's
     // (score DESC, c_id) tie-break, round to 6.
     "ann_rerank_lsh" -> annRerankOracle("ann_cands_lsh"),
     "ann_rerank_ivf" -> annRerankOracle("ann_cands_ivf"),
+
+    // Recall@k oracle over the Spark-exported exact + approximate top-k
+    // lists: per-method LEFT join replay of the hit-count / k computation.
+    "ann_recall_verify" ->
+      s"""WITH e AS (SELECT q_id, c_id FROM read_parquet('${exportGlob("recall_exact")}')),
+         |l AS (SELECT q_id, c_id FROM read_parquet('${exportGlob("recall_lsh")}')),
+         |i AS (SELECT q_id, c_id FROM read_parquet('${exportGlob("recall_ivf")}'))
+         |SELECT 'lsh' AS method, e.q_id,
+         |       ROUND(CAST(count(l.c_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM e LEFT JOIN l ON l.q_id = e.q_id AND l.c_id = e.c_id
+         |GROUP BY e.q_id
+         |UNION ALL
+         |SELECT 'ivf' AS method, e.q_id,
+         |       ROUND(CAST(count(i.c_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM e LEFT JOIN i ON i.q_id = e.q_id AND i.c_id = e.c_id
+         |GROUP BY e.q_id""".stripMargin,
 
     // k-means assignment oracle over the Spark-exported centroid MODEL:
     // nearest centroid = argmax dot (TopCentroids' contract), ties to the

@@ -234,17 +234,22 @@ object ImageCodec {
     } else ImageMeta(FormatUnknown, 0, 0, 0)
   }
 
-  /** Fully decode an 8-bit non-interlaced PNG (color types 0/2/3/4/6) to
-    * raw interleaved samples: walk chunks, inflate the concatenated IDAT
+  /** Fully decode a non-interlaced PNG (color types 0/2/3/4/6) to raw
+    * interleaved samples: walk chunks, inflate the concatenated IDAT
     * stream with `java.util.zip.Inflater`, undo scanline filters 0–4
     * (spec §9). Indexed-color images (type 3) are expanded through their
     * PLTE chunk (spec §11.2.3) to a 3-channel RGB raster — the decoded
     * shape downstream consumers expect — including the PACKED sub-8-bit
     * palette depths (1/2/4 bits per index, several pixels per scanline
-    * byte, leftmost pixel in the high-order bits — spec §7.2). Returns
-    * None for anything this decoder doesn't cover (16-bit, sub-8-bit
-    * NON-paletted grayscale, interlaced, truncated/corrupt streams,
-    * out-of-range palette indices, non-PNG input). */
+    * byte, leftmost pixel in the high-order bits — spec §7.2). 16-bit
+    * depths (non-paletted types only — 16-bit type 3 is invalid per spec
+    * §11.2.2) unfilter at the full two-byte sample width (bpp doubles,
+    * spec §9.2) and then reduce each big-endian sample to its HIGH byte:
+    * the exact 16→8-bit truncation, keeping the output raster one byte
+    * per sample for every downstream consumer. Returns None for anything
+    * this decoder doesn't cover (sub-8-bit NON-paletted grayscale,
+    * interlaced, truncated/corrupt streams, out-of-range palette indices,
+    * non-PNG input). */
   def decodePngPixels(bytes: Array[Byte]): Option[Image] = {
     if (!isPng(bytes)) return None
     var width = 0
@@ -281,6 +286,7 @@ object ImageCodec {
           // untrusted input. Real corpus thumbnails/pages sit far below
           // 2^14 per side; wider rasters must go through a chunked reader.
           val depthOk = bitDepth == 8 ||
+            (bitDepth == 16 && !paletted) ||
             (paletted && (bitDepth == 1 || bitDepth == 2 || bitDepth == 4))
           ok = depthOk && interlace == 0 && channels > 0 &&
             width > 0 && height > 0 && width <= MaxDecodeDim && height <= MaxDecodeDim
@@ -301,7 +307,9 @@ object ImageCodec {
     // BOTH the filtered scanline buffer and the palette-expanded raster
     // (w·h indices → ×3 RGB), which for packed depths is the larger one.
     val stride =
-      if (depth == 8) width * channels else (width * depth + 7) / 8
+      if (depth == 16) width * channels * 2
+      else if (depth == 8) width * channels
+      else (width * depth + 7) / 8
     val rawLen = height.toLong * (1L + stride)
     val expandedLen =
       if (paletted) width.toLong * height * 3 else rawLen
@@ -322,10 +330,23 @@ object ImageCodec {
     } finally inf.end()
     // Filters operate on BYTES: for packed depths bpp is one byte (spec
     // §9.2 — "bpp is rounded up to one"), so a/b/c neighbors are the
-    // previous scanline byte, not the previous pixel.
-    val bpp = if (depth == 8) channels else 1
+    // previous scanline byte, not the previous pixel; for 16-bit samples
+    // it DOUBLES — the left neighbor of a sample's high byte is the
+    // previous pixel's high byte, two channels-widths away.
+    val bpp =
+      if (depth == 16) channels * 2 else if (depth == 8) channels else 1
     unfilter(raw, height, stride, bpp).flatMap { samples =>
-      if (!paletted) Some(Image(width, height, channels, samples))
+      if (!paletted) {
+        if (depth != 16) Some(Image(width, height, channels, samples))
+        else {
+          // 16→8 bit: each sample is big-endian (spec §7.1); its high
+          // byte IS the truncated 8-bit value.
+          val out = new Array[Byte](samples.length / 2)
+          var s = 0
+          while (s < out.length) { out(s) = samples(s * 2); s += 1 }
+          Some(Image(width, height, channels, out))
+        }
+      }
       else {
         val indices =
           if (depth == 8) samples

@@ -194,12 +194,14 @@ object SimilarityOps {
       .transform(rankTopK(_, k))
   }
 
-  /** Embedding near-duplicate pairs (cosine >= minCosine) via the same LSH
-    * tables: bucket-join candidates among ALL rows (no query set), exact
-    * verify. doc pairs emitted once (a < b). */
-  def embeddingNearDupPairs(vectors: DataFrame, minCosine: Double,
-                            dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
-                            seed: Long = 42L): DataFrame = {
+  /** Embedding near-dup CANDIDATE pairs — the LSH-bucket generation half of
+    * [[embeddingNearDupPairs]], surfaced standalone (with vectors and norms
+    * attached) so the cosine VERIFY stage can run over an exported candidate
+    * set and face a SQL oracle that recomputes the cosine from the vectors.
+    * Pairs emitted once (vec_a < vec_b), distinct across tables. */
+  def embeddingCandidatePairs(vectors: DataFrame,
+                              dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
+                              seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
     // Same bucket shape as lshTopK: one custom-expression loop per row.
     val staged = vectors.select(col("vec_id"), col("embedding").as("v"))
@@ -221,10 +223,27 @@ object SimilarityOps {
         col("l.v").as("va"), col("r.v").as("vb"),
         col("l.vn").as("na"), col("r.vn").as("nb"))
       .distinct()
+  }
+
+  /** Exact-cosine VERIFY over an explicit candidate pair list carrying
+    * vectors and staged norms (`va/vb/na/nb` from
+    * [[embeddingCandidatePairs]]) — per-pair work only, map-side at any
+    * scale. Kept separate so an exported candidate set can be replayed
+    * here while DuckDB recomputes the same cosine from `va`/`vb`. */
+  def cosineVerifyPairs(pairs: DataFrame, minCosine: Double): DataFrame =
+    pairs
       .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("score") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
-  }
+
+  /** Embedding near-duplicate pairs (cosine >= minCosine) via the same LSH
+    * tables: bucket-join candidates among ALL rows (no query set), exact
+    * verify. doc pairs emitted once (a < b). */
+  def embeddingNearDupPairs(vectors: DataFrame, minCosine: Double,
+                            dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
+                            seed: Long = 42L): DataFrame =
+    cosineVerifyPairs(
+      embeddingCandidatePairs(vectors, dim, tables, bitsPerTable, seed), minCosine)
 
   /** Nearest-centroid assignment against a driver-side centroid model —
     * map-only, one codegen'd dot per centroid, ties break by centroid

@@ -246,7 +246,7 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decodePngPixels(bad).isEmpty)
   }
 
-  test("16-bit and interlaced PNGs still degrade to None (documented non-coverage)") {
+  test("16-bit PALETTED (invalid per spec 11.2.2) and interlaced PNGs degrade to None") {
     val good = mkPalettePng(2, 2, Array((1, 2, 3), (4, 5, 6)),
       Array[Byte](0, 1, 1, 0), Array(0, 0))
     // depth byte lives at sig(8) + len(4) + tag(4) + w(4) + h(4) = 24
@@ -254,6 +254,108 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decodePngPixels(d16).isEmpty)
     val inter = good.clone(); inter(28) = 1 // interlace byte
     assert(ImageCodec.decodePngPixels(inter).isEmpty)
+  }
+
+  /** Build a 16-bit non-paletted PNG: big-endian two-byte samples (spec
+    * 7.1), per-row filters applied BYTE-wise with bpp = channels*2
+    * (spec 9.2). `samples` are 0..65535, length w*h*channels. */
+  private def mk16Png(w: Int, h: Int, colorType: Int, samples: Array[Int],
+                      filters: Array[Int]): Array[Byte] = {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(be32(data.length)); o.write(tag.getBytes("US-ASCII")); o.write(data)
+      val crc = new CRC32(); crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      o.write(be32(crc.getValue.toInt)); o.toByteArray
+    }
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+    }
+    val stride = w * channels * 2
+    val bpp = channels * 2
+    val plain = new Array[Byte](h * stride)
+    for (i <- samples.indices) {
+      plain(i * 2) = ((samples(i) >>> 8) & 0xff).toByte
+      plain(i * 2 + 1) = (samples(i) & 0xff).toByte
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte](h * (1 + stride))
+    for (r <- 0 until h) {
+      raw(r * (1 + stride)) = filters(r).toByte
+      for (c <- 0 until stride) {
+        val x = plain(r * stride + c) & 0xff
+        val a = if (c >= bpp) plain(r * stride + c - bpp) & 0xff else 0
+        val b = if (r > 0) plain((r - 1) * stride + c) & 0xff else 0
+        val d = if (r > 0 && c >= bpp) plain((r - 1) * stride + c - bpp) & 0xff else 0
+        val enc = filters(r) match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 => x - paeth(a, b, d)
+        }
+        raw(r * (1 + stride) + 1 + c) = (enc & 0xff).toByte
+      }
+    }
+    val defl = new Deflater(); defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zl = defl.deflate(buf); defl.end()
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(be32(w)); ihdr.write(be32(h)); ihdr.write(16)
+    ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    val out = new ByteArrayOutputStream()
+    out.write(ImageCodec.PngSig)
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    out.write(chunk("IDAT", java.util.Arrays.copyOf(buf, zl)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  test("16-bit grayscale decodes to the high byte of each big-endian sample") {
+    // Values chosen so truncation is visible: 0x1234 -> 0x12, 0x00ff -> 0x00
+    // (low byte alone must NOT leak through), 0xff00 -> 0xff.
+    val samples = Array(0x1234, 0x00ff, 0xff00, 0x8001, 0x7fff, 0x0000)
+    val png = mk16Png(3, 2, 0, samples, Array(0, 2))
+    val img = ImageCodec.decodePngPixels(png)
+      .getOrElse(fail("16-bit grayscale PNG did not decode"))
+    assert(img.width == 3 && img.height == 2 && img.channels == 1)
+    assert(img.pixels.toSeq ==
+      Seq(0x12, 0x00, 0xff, 0x80, 0x7f, 0x00).map(_.toByte))
+    // decodeMeta sees the same geometry from the header alone
+    assert(ImageCodec.decodeMeta(png) == ImageCodec.ImageMeta("image/png", 3, 2, 1))
+  }
+
+  test("16-bit RGB filters reconstruct at two-byte bpp (Sub/Avg/Paeth rows)") {
+    // A gradient makes every filter's prediction non-trivial; exercising
+    // filters 1/3/4 catches a decoder that used channels instead of
+    // channels*2 as the left-neighbor distance.
+    val w = 4; val h = 4; val channels = 3
+    val samples = Array.tabulate(w * h * channels)(i => (i * 4099 + 257) % 65536)
+    val png = mk16Png(w, h, 2, samples, Array(1, 3, 4, 1))
+    val img = ImageCodec.decodePngPixels(png)
+      .getOrElse(fail("16-bit RGB PNG did not decode"))
+    assert(img.width == w && img.height == h && img.channels == 3)
+    assert(img.pixels.toSeq == samples.map(s => ((s >>> 8) & 0xff).toByte).toSeq)
+  }
+
+  test("16-bit RGBA flows through resize on the truncated 8-bit raster") {
+    val w = 8; val h = 8
+    val samples = Array.tabulate(w * h * 4)(i => (i * 1021) % 65536)
+    val png = mk16Png(w, h, 6, samples, Array.fill(h)(2))
+    val img = ImageCodec.decodePngPixels(png).getOrElse(fail("no decode"))
+    assert(img.channels == 4)
+    val thumb = ImageCodec.resizeNearest(img, 4, 4)
+    assert(thumb.width == 4 && thumb.height == 4 && thumb.channels == 4)
+    // nearest-neighbor picks source pixel (2r, 2c); its high bytes must
+    // appear verbatim in the thumb
+    val srcPix = (r: Int, c: Int, k: Int) =>
+      ((samples((2 * r * w + 2 * c) * 4 + k) >>> 8) & 0xff).toByte
+    for (r <- 0 until 4; c <- 0 until 4; k <- 0 until 4)
+      assert(thumb.pixels((r * 4 + c) * 4 + k) == srcPix(r, c, k), s"($r,$c,$k)")
   }
 
   test("palette corruption degrades: out-of-range index or missing PLTE") {
