@@ -246,10 +246,13 @@ object ImageCodec {
     * §11.2.2) unfilter at the full two-byte sample width (bpp doubles,
     * spec §9.2) and then reduce each big-endian sample to its HIGH byte:
     * the exact 16→8-bit truncation, keeping the output raster one byte
-    * per sample for every downstream consumer. Returns None for anything
-    * this decoder doesn't cover (sub-8-bit NON-paletted grayscale,
-    * interlaced, truncated/corrupt streams, out-of-range palette indices,
-    * non-PNG input). */
+    * per sample for every downstream consumer. Adam7-interlaced images
+    * (spec §8.2) decode as seven reduced sub-images — each pass has its
+    * own scanlines, filter bytes, and (for packed depths) row padding —
+    * whose pixels scatter back to the full raster on the 8×8 pass grid.
+    * Returns None for anything this decoder doesn't cover (sub-8-bit
+    * NON-paletted grayscale, truncated/corrupt streams, out-of-range
+    * palette indices, non-PNG input). */
   def decodePngPixels(bytes: Array[Byte]): Option[Image] = {
     if (!isPng(bytes)) return None
     var width = 0
@@ -258,6 +261,7 @@ object ImageCodec {
     var depth = 0
     var paletted = false
     var palette: Array[Byte] = null
+    var interlaced = false
     var ok = false
     val idat = new ByteArrayOutputStream()
     var i = 8
@@ -288,7 +292,8 @@ object ImageCodec {
           val depthOk = bitDepth == 8 ||
             (bitDepth == 16 && !paletted) ||
             (paletted && (bitDepth == 1 || bitDepth == 2 || bitDepth == 4))
-          ok = depthOk && interlace == 0 && channels > 0 &&
+          interlaced = interlace == 1
+          ok = depthOk && (interlace == 0 || interlace == 1) && channels > 0 &&
             width > 0 && height > 0 && width <= MaxDecodeDim && height <= MaxDecodeDim
         case "PLTE" =>
           // Palette: 1..256 RGB triples, must precede IDAT (spec §5.6).
@@ -302,18 +307,43 @@ object ImageCodec {
     }
     if (!ok || idat.size() == 0) return None
     if (paletted && palette == null) return None // type 3 REQUIRES a PLTE (spec §5.6)
-    // With dims capped at MaxDecodeDim and channels <= 4, stride fits int
+    // Scanline byte width for a row of `pw` pixels at this depth/type.
+    def strideOf(pw: Int): Int =
+      if (depth == 16) pw * channels * 2
+      else if (depth == 8) pw * channels
+      else (pw * depth + 7) / 8
+    // Filters operate on BYTES: for packed depths bpp is one byte (spec
+    // §9.2 — "bpp is rounded up to one"), so a/b/c neighbors are the
+    // previous scanline byte, not the previous pixel; for 16-bit samples
+    // it DOUBLES — the left neighbor of a sample's high byte is the
+    // previous pixel's high byte, two channels-widths away.
+    val bpp =
+      if (depth == 16) channels * 2 else if (depth == 8) channels else 1
+
+    // Decode is pass-based: a non-interlaced image is ONE full-size pass;
+    // Adam7 (spec §8.2) is seven reduced sub-images on the 8×8 grid, each
+    // with its own scanlines + filter bytes (and, packed, row padding),
+    // scattered back by (xstart, ystart, xstep, ystep). Empty passes
+    // (dimension smaller than the pass offset) contribute zero bytes.
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlaced) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val passDims = passes.map { case (xs, ys, xstep, ystep) =>
+      val pw = if (width > xs) (width - xs + xstep - 1) / xstep else 0
+      val ph = if (height > ys) (height - ys + ystep - 1) / ystep else 0
+      (pw, ph)
+    }
+    // With dims capped at MaxDecodeDim and channels <= 4, strides fit int
     // comfortably; the byte caps still bound the worst-case allocations —
     // BOTH the filtered scanline buffer and the palette-expanded raster
     // (w·h indices → ×3 RGB), which for packed depths is the larger one.
-    val stride =
-      if (depth == 16) width * channels * 2
-      else if (depth == 8) width * channels
-      else (width * depth + 7) / 8
-    val rawLen = height.toLong * (1L + stride)
-    val expandedLen =
-      if (paletted) width.toLong * height * 3 else rawLen
-    if (rawLen > MaxDecodeBytes || expandedLen > MaxDecodeBytes) return None
+    val rawLen = passDims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + strideOf(pw))
+    }.sum
+    val expandedLen = width.toLong * height * (if (paletted) 3 else channels)
+    if (rawLen == 0 || rawLen > MaxDecodeBytes || expandedLen > MaxDecodeBytes)
+      return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     try {
@@ -328,54 +358,70 @@ object ImageCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // Filters operate on BYTES: for packed depths bpp is one byte (spec
-    // §9.2 — "bpp is rounded up to one"), so a/b/c neighbors are the
-    // previous scanline byte, not the previous pixel; for 16-bit samples
-    // it DOUBLES — the left neighbor of a sample's high byte is the
-    // previous pixel's high byte, two channels-widths away.
-    val bpp =
-      if (depth == 16) channels * 2 else if (depth == 8) channels else 1
-    unfilter(raw, height, stride, bpp).flatMap { samples =>
-      if (!paletted) {
-        if (depth != 16) Some(Image(width, height, channels, samples))
-        else {
-          // 16→8 bit: each sample is big-endian (spec §7.1); its high
-          // byte IS the truncated 8-bit value.
-          val out = new Array[Byte](samples.length / 2)
-          var s = 0
-          while (s < out.length) { out(s) = samples(s * 2); s += 1 }
-          Some(Image(width, height, channels, out))
-        }
-      }
-      else {
-        val indices =
-          if (depth == 8) samples
-          else unpackIndices(samples, width, height, depth, stride)
-        expandPalette(indices, palette).map(Image(width, height, 3, _))
-      }
-    }
-  }
 
-  /** Unpack sub-8-bit palette scanlines to one index byte per pixel:
-    * `8 / depth` pixels per byte, leftmost pixel in the high-order bits,
-    * row padding bits ignored (spec §7.2). */
-  private def unpackIndices(rows: Array[Byte], width: Int, height: Int,
-                            depth: Int, stride: Int): Array[Byte] = {
-    val out = new Array[Byte](width * height)
-    val perByte = 8 / depth
+    // Fast path for the dominant shape (sequential 8-bit non-paletted):
+    // the unfiltered buffer IS the raster — no scatter pass, no copy.
+    if (!interlaced && !paletted && depth == 8)
+      return unfilter(raw, 0, height, strideOf(width), bpp)
+        .map(Image(width, height, channels, _))
+
+    // General path: unfilter each pass, scatter its pixels into the full
+    // raster — one OUTPUT byte per sample (16-bit reduces to the high
+    // byte of each big-endian sample, spec §7.1) or one index byte per
+    // pixel for paletted input (expanded through the PLTE at the end).
+    val outPerPixel = if (paletted) 1 else channels
+    val plain = new Array[Byte](width * height * outPerPixel)
     val mask = (1 << depth) - 1
-    var r = 0
-    while (r < height) {
-      var c = 0
-      while (c < width) {
-        val b = rows(r * stride + c / perByte) & 0xff
-        val shift = 8 - depth * (c % perByte + 1)
-        out(r * width + c) = ((b >> shift) & mask).toByte
-        c += 1
+    val perByte = if (depth < 8) 8 / depth else 1
+    var off = 0
+    var p = 0
+    while (p < passes.length) {
+      val (xs, ys, xstep, ystep) = passes(p)
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val strideP = strideOf(pw)
+        unfilter(raw, off, ph, strideP, bpp) match {
+          case None => return None
+          case Some(rows) =>
+            var r = 0
+            while (r < ph) {
+              val y = ys + r.toLong * ystep // long: no overflow near caps
+              var c = 0
+              while (c < pw) {
+                val x = xs + c * xstep
+                val outBase = (y * width + x).toInt * outPerPixel
+                if (paletted) {
+                  val idx =
+                    if (depth == 8) rows(r * strideP + c) & 0xff
+                    else {
+                      val shift = 8 - depth * (c % perByte + 1)
+                      ((rows(r * strideP + c / perByte) & 0xff) >>> shift) & mask
+                    }
+                  plain(outBase) = idx.toByte
+                } else if (depth == 16) {
+                  var k = 0
+                  while (k < channels) {
+                    plain(outBase + k) = rows(r * strideP + (c * channels + k) * 2)
+                    k += 1
+                  }
+                } else {
+                  var k = 0
+                  while (k < channels) {
+                    plain(outBase + k) = rows(r * strideP + c * channels + k)
+                    k += 1
+                  }
+                }
+                c += 1
+              }
+              r += 1
+            }
+        }
+        off += ph * (1 + strideP)
       }
-      r += 1
+      p += 1
     }
-    out
+    if (!paletted) Some(Image(width, height, channels, plain))
+    else expandPalette(plain, palette).map(Image(width, height, 3, _))
   }
 
   /** Expand 8-bit palette indices through a PLTE table to interleaved RGB;
@@ -398,18 +444,22 @@ object ImageCodec {
 
   /** Undo PNG scanline filters (spec §9): each row starts with a filter-type
     * byte; reconstruct with left (a), up (b), up-left (c) neighbors.
-    * `stride` is the scanline width in BYTES (packed depths round up);
-    * `bpp` is the filter's byte distance to the left neighbor (channels
-    * for 8-bit samples, 1 for packed). */
-  private def unfilter(raw: Array[Byte], height: Int, stride: Int, bpp: Int): Option[Array[Byte]] = {
+    * `off` is where this (sub-)image's scanlines begin in `raw` — pass
+    * blocks of an interlaced stream unfilter independently (the first row
+    * of every pass has no `up` neighbor). `stride` is the scanline width
+    * in BYTES (packed depths round up); `bpp` is the filter's byte
+    * distance to the left neighbor (channels for 8-bit samples, ×2 for
+    * 16-bit, 1 for packed). */
+  private def unfilter(raw: Array[Byte], off: Int, height: Int, stride: Int,
+                       bpp: Int): Option[Array[Byte]] = {
     val out = new Array[Byte](height * stride)
     var r = 0
     while (r < height) {
-      val ft = raw(r * (1 + stride)) & 0xff
+      val ft = raw(off + r * (1 + stride)) & 0xff
       if (ft > 4) return None
       var c = 0
       while (c < stride) {
-        val x = raw(r * (1 + stride) + 1 + c) & 0xff
+        val x = raw(off + r * (1 + stride) + 1 + c) & 0xff
         val a = if (c >= bpp) out(r * stride + c - bpp) & 0xff else 0
         val b = if (r > 0) out((r - 1) * stride + c) & 0xff else 0
         val d = if (r > 0 && c >= bpp) out((r - 1) * stride + c - bpp) & 0xff else 0

@@ -246,14 +246,174 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decodePngPixels(bad).isEmpty)
   }
 
-  test("16-bit PALETTED (invalid per spec 11.2.2) and interlaced PNGs degrade to None") {
+  test("16-bit PALETTED (invalid per spec 11.2.2) and bogus interlace modes degrade to None") {
     val good = mkPalettePng(2, 2, Array((1, 2, 3), (4, 5, 6)),
       Array[Byte](0, 1, 1, 0), Array(0, 0))
     // depth byte lives at sig(8) + len(4) + tag(4) + w(4) + h(4) = 24
     val d16 = good.clone(); d16(24) = 16
     assert(ImageCodec.decodePngPixels(d16).isEmpty)
-    val inter = good.clone(); inter(28) = 1 // interlace byte
+    // interlace byte: flipping a SEQUENTIAL stream's header to Adam7
+    // changes the expected raw length (7 passes of filter bytes), so the
+    // inflated data no longer fits — must degrade, not mis-scatter
+    val inter = good.clone(); inter(28) = 1
     assert(ImageCodec.decodePngPixels(inter).isEmpty)
+    val bogus = good.clone(); bogus(28) = 2 // not a defined interlace method
+    assert(ImageCodec.decodePngPixels(bogus).isEmpty)
+  }
+
+  /** Adam7 pass grid (spec 8.2): (xstart, ystart, xstep, ystep, pw, ph). */
+  private def adam7Passes(w: Int, h: Int): Seq[(Int, Int, Int, Int, Int, Int)] =
+    Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).map { case (xs, ys, xst, yst) =>
+      val pw = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val ph = if (h > ys) (h - ys + yst - 1) / yst else 0
+      (xs, ys, xst, yst, pw, ph)
+    }
+
+  /** Build an Adam7-interlaced PNG: seven reduced sub-images, each with its
+    * own scanlines, filter bytes (cycling None/Sub/Up per pass row), and —
+    * for packed palette depths — its own row padding. `pix(x, y)` returns
+    * the per-channel sample values of the FULL-image pixel (palette index
+    * for type 3). */
+  private def mkAdam7Png(w: Int, h: Int, colorType: Int, depth: Int,
+                         pix: (Int, Int) => Array[Int],
+                         palette: Array[(Int, Int, Int)] = null): Array[Byte] = {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(be32(data.length)); o.write(tag.getBytes("US-ASCII")); o.write(data)
+      val crc = new CRC32(); crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      o.write(be32(crc.getValue.toInt)); o.toByteArray
+    }
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val raw = new ByteArrayOutputStream()
+    for ((xs, ys, xst, yst, pw, ph) <- adam7Passes(w, h) if pw > 0 && ph > 0) {
+      val stride =
+        if (depth == 16) pw * channels * 2
+        else if (depth == 8) pw * channels
+        else (pw * depth + 7) / 8
+      val bpp = if (depth == 16) channels * 2 else if (depth == 8) channels else 1
+      val plain = new Array[Byte](ph * stride)
+      for (r <- 0 until ph; c <- 0 until pw) {
+        val vals = pix(xs + c * xst, ys + r * yst)
+        if (depth == 16) for (k <- 0 until channels) {
+          plain(r * stride + (c * channels + k) * 2) = ((vals(k) >>> 8) & 0xff).toByte
+          plain(r * stride + (c * channels + k) * 2 + 1) = (vals(k) & 0xff).toByte
+        } else if (depth == 8) for (k <- 0 until channels)
+          plain(r * stride + c * channels + k) = (vals(k) & 0xff).toByte
+        else {
+          val per = 8 / depth
+          val shift = 8 - depth * (c % per + 1)
+          plain(r * stride + c / per) =
+            (plain(r * stride + c / per) | ((vals(0) & ((1 << depth) - 1)) << shift)).toByte
+        }
+      }
+      for (r <- 0 until ph) {
+        val ft = r % 3 // cycle None/Sub/Up: every pass exercises filtering
+        raw.write(ft)
+        for (c <- 0 until stride) {
+          val x = plain(r * stride + c) & 0xff
+          val a = if (c >= bpp) plain(r * stride + c - bpp) & 0xff else 0
+          val b = if (r > 0) plain((r - 1) * stride + c) & 0xff else 0
+          val enc = ft match { case 0 => x; case 1 => x - a; case 2 => x - b }
+          raw.write(enc & 0xff)
+        }
+      }
+    }
+    val rb = raw.toByteArray
+    val defl = new Deflater(); defl.setInput(rb); defl.finish()
+    val buf = new Array[Byte](rb.length + 64)
+    val zl = defl.deflate(buf); defl.end()
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(be32(w)); ihdr.write(be32(h)); ihdr.write(depth)
+    ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(1) // Adam7
+    val out = new ByteArrayOutputStream()
+    out.write(ImageCodec.PngSig)
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    if (palette != null)
+      out.write(chunk("PLTE", palette.flatMap { case (r, g, b) =>
+        Array(r.toByte, g.toByte, b.toByte) }))
+    out.write(chunk("IDAT", java.util.Arrays.copyOf(buf, zl)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  test("Adam7 grayscale 8x8 reconstructs the sequential raster exactly") {
+    // one full 8x8 tile: every pass is non-empty, every pixel distinct
+    val png = mkAdam7Png(8, 8, 0, 8, (x, y) => Array(y * 8 + x + 10))
+    val img = ImageCodec.decodePngPixels(png).getOrElse(fail("no decode"))
+    assert(img.width == 8 && img.height == 8 && img.channels == 1)
+    assert(img.pixels.toSeq == (0 until 64).map(i => (i + 10).toByte))
+  }
+
+  test("Adam7 RGB with odd dims reconstructs (partial and empty passes)") {
+    // 5x3: passes 2 (xstart 4) and 3 (ystart 4) shrink to slivers; pass 3
+    // is EMPTY (height 3 < ystart 4) and must contribute zero bytes
+    val w = 5; val h = 3
+    val png = mkAdam7Png(w, h, 2, 8,
+      (x, y) => Array(x * 40 + y, 255 - x * 7 - y * 11, (x * y * 31 + 5) % 256))
+    val img = ImageCodec.decodePngPixels(png).getOrElse(fail("no decode"))
+    assert(img.width == w && img.height == h && img.channels == 3)
+    val expected = (for (y <- 0 until h; x <- 0 until w) yield Seq(
+      (x * 40 + y).toByte, (255 - x * 7 - y * 11).toByte,
+      ((x * y * 31 + 5) % 256).toByte)).flatten
+    assert(img.pixels.toSeq == expected)
+  }
+
+  test("Adam7 packed depth-2 palette: per-pass row padding, PLTE expansion") {
+    val colors = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9))
+    val w = 5; val h = 5 // pass widths 1..3: padding bits in every pass
+    val png = mkAdam7Png(w, h, 3, 2, (x, y) => Array((x + y) % 4), colors)
+    val img = ImageCodec.decodePngPixels(png).getOrElse(fail("no decode"))
+    assert(img.width == w && img.height == h && img.channels == 3)
+    val expected = (for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, g, b) = colors((x + y) % 4); Seq(r.toByte, g.toByte, b.toByte)
+    }).flatten
+    assert(img.pixels.toSeq == expected)
+  }
+
+  test("Adam7 16-bit RGB scatters the high byte of each sample") {
+    val w = 4; val h = 4
+    val pix = (x: Int, y: Int) =>
+      Array(0x1234 + x * 256 + y, 0x00ff + x, 0xff00 - y * 256)
+    val png = mkAdam7Png(w, h, 2, 16, pix)
+    val img = ImageCodec.decodePngPixels(png).getOrElse(fail("no decode"))
+    assert(img.width == w && img.height == h && img.channels == 3)
+    val expected = (for (y <- 0 until h; x <- 0 until w) yield
+      pix(x, y).toSeq.map(s => ((s >>> 8) & 0xff).toByte)).flatten
+    assert(img.pixels.toSeq == expected)
+  }
+
+  test("Adam7 1x1 image decodes (only pass 1 non-empty)") {
+    val png = mkAdam7Png(1, 1, 0, 8, (_, _) => Array(42))
+    val img = ImageCodec.decodePngPixels(png).getOrElse(fail("no decode"))
+    assert(img.width == 1 && img.height == 1 && img.pixels.toSeq == Seq(42.toByte))
+  }
+
+  test("PNG decoder never throws on corrupt or random input (fuzz)") {
+    val rnd = new scala.util.Random(20260812)
+    // pure random blobs with a PNG signature spliced in front
+    for (_ <- 0 until 200) {
+      val blob = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(blob)
+      ImageCodec.decodePngPixels(ImageCodec.PngSig ++ blob) // must not throw
+      ImageCodec.decodeMeta(blob)                           // must not throw
+    }
+    // structured corruption: single-byte mutations of valid streams of
+    // every supported shape — decode must return SOMETHING without
+    // throwing (either None or a raster) for every mutation position
+    val fixtures = Seq(
+      ImageCodec.encodePng(4, 4, 3, Array.tabulate(48)(_.toByte)),
+      mkPalettePng(4, 3, Array((1, 2, 3), (4, 5, 6)),
+        Array.tabulate(12)(i => (i % 2).toByte), Array(0, 1, 2), depth = 2),
+      mk16Png(3, 2, 0, Array(1000, 2000, 3000, 4000, 5000, 6000), Array(0, 1)),
+      mkAdam7Png(5, 3, 2, 8, (x, y) => Array(x, y, x + y)))
+    for (fx <- fixtures; pos <- 8 until fx.length; delta <- Seq(1, 0x80)) {
+      val m = fx.clone(); m(pos) = (m(pos) ^ delta).toByte
+      ImageCodec.decodePngPixels(m) // must not throw
+    }
   }
 
   /** Build a 16-bit non-paletted PNG: big-endian two-byte samples (spec
