@@ -68,6 +68,27 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("metric-bucketed layout runs time-weighted mean with ZERO shuffles") {
+    // The a12 headroom noted in BENCH_LOCAL: timeWeightedMean pays one
+    // metric-partition exchange on a plain layout (window + final agg both
+    // cluster on metric). Bucketing the event store by metric satisfies
+    // both distributions from the scan — the plan keeps its sorts but has
+    // no exchange at all, which at 100 TB removes the operator's only
+    // data-sized shuffle.
+    val series = Tables.metricSeries(spark, "/root/testdata/sf0.001")
+    Tables.writeBucketed(series, "series_bucketed", 8, "metric")
+    val twa = graft.operators.TrendOps.timeWeightedMean(spark.table("series_bucketed"))
+    val plan = twa.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 0, s"bucketed TWA should not shuffle:\n$plan")
+    // and the result is bit-identical to the plain-layout computation
+    // (decimal sums make the reduction merge-order independent)
+    val expected = graft.operators.TrendOps.timeWeightedMean(series)
+      .collect().map(_.toString).sorted.toSeq
+    val got = twa.collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+  }
+
   test("metric-partitioned layout prunes partitions for per-metric queries") {
     val dir = Files.createTempDirectory("plainparquet").toString + "/series"
     val series = Tables.metricSeries(spark, "/root/testdata/sf0.001")
