@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import graft.TrendParams
-import graft.operators.{Sample, TrendOps}
+import graft.operators.{Sample, TextOps, TrendOps}
 
 /** One parsed stream sample in long form (metric exploded out of the map). */
 final case class StreamSample(ts: Timestamp, source: String, metric: String, value: Double)
@@ -22,6 +22,22 @@ final case class CusumPoint(metric: String, e: Long, value: Double,
 
 /** Gap-triggered micro-batch mean output (A4 exact parity). */
 final case class TriggeredMean(metric: String, e: Long, mean_val: Double, n: Long)
+
+/** One banded document row inside [[StreamOps.nearDupCandidatesStream]]. */
+final case class BandedDoc(ts: Timestamp, doc_id: Long, sig: Array[Long],
+                           band_idx: Int, band_sig: Int)
+
+/** One document retained in a streaming LSH bucket's state. */
+final case class BucketDoc(doc_id: Long, sig: Array[Long])
+
+/** Per-bucket streaming LSH state: retained docs + newest activity. */
+final case class BucketState(docs: List[BucketDoc], max_ts_ms: Long)
+
+/** A streaming near-dup candidate pair (doc_a < doc_b). `est_jaccard` is
+  * the MinHash signature-agreement estimate — the downstream exact verify
+  * ([[graft.operators.DedupOps.jaccardForPairs]]) is batch-composable. */
+final case class NearDupCandidate(doc_a: Long, doc_b: Long,
+                                  est_jaccard: Double, band_idx: Int)
 
 /** Streaming layer — the reference's pub/sub pipeline re-expressed as
   * Structured Streaming (SURVEY §3.2: trigger = gap test, batch =
@@ -395,6 +411,83 @@ object StreamOps {
         new GapAlertProcessor(gapSeconds),
         TimeMode.EventTime(),
         OutputMode.Update())(Encoders.product[GapAlert])
+  }
+
+  /** Streaming MinHash-LSH near-dup candidate gate — dedup-at-ingest, the
+    * streaming counterpart of [[graft.operators.DedupOps.minHashCandidates]]
+    * (same signature expression, same banding arithmetic, so the candidate
+    * sets agree with batch — asserted by the parity test).
+    *
+    * Shape at scale: the signature + banding stage is the SAME map-only
+    * codegen loop as batch (no explode of shingles, no shuffle); the one
+    * stateful exchange keys on (band_idx, band_sig) — the LSH bucket — so
+    * state is sharded by bucket across executors exactly like the batch
+    * bucket equi-join's shuffle. Each bucket retains the (doc_id,
+    * signature) of documents seen within `ttl` of the bucket's newest
+    * activity (event-time timeout past the watermark): streaming dedup
+    * state is inherently WINDOWED — an unbounded exact memory of a 100 TB
+    * corpus belongs in the batch path, and the TTL is the knob that makes
+    * the state O(docs-per-TTL-window), not O(corpus).
+    *
+    * Emits one candidate per (pair, bucket) in APPEND mode when the later
+    * document arrives; a pair sharing several bands emits from each (the
+    * operator is the pair-generation primitive — downstream either
+    * `dropDuplicatesWithinWatermark` or the exact-Jaccard verify dedups,
+    * mirroring batch `minHashCandidates.distinct()`). Within a micro-batch
+    * a bucket processes documents in (ts, doc_id) order, so output is
+    * deterministic under replay.
+    *
+    * @param docs streaming frame with (ts timestamp, doc_id long, text string)
+    */
+  def nearDupCandidatesStream(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                              ttl: String = "1 hour",
+                              watermark: String = "10 minutes"): Dataset[NearDupCandidate] = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Same per-band slice hash as DedupOps.minHashCandidates — candidate
+    // parity with the batch operator depends on this line matching.
+    val bandCols = array((0 until bands).map(b =>
+      hash(lit(1), slice(col("sig"), b * r + 1, r))): _*)
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        graft.functions.HashExpressions.minHashSig(
+          TextOps.shingles(col("text")), k).as("sig"))
+      .select(col("ts"), col("doc_id"), col("sig"), posexplode(bandCols))
+      .toDF("ts", "doc_id", "sig", "band_idx", "band_sig")
+      .as[BandedDoc]
+    banded
+      .groupByKey(b => (b.band_idx, b.band_sig))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((bandIdx, _), events, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+            val out = List.newBuilder[NearDupCandidate]
+            for (ev <- events.toSeq.sortBy(e => (e.ts.getTime, e.doc_id))) {
+              if (!st.docs.exists(_.doc_id == ev.doc_id)) {
+                for (prior <- st.docs) {
+                  var eq = 0; var i = 0
+                  while (i < k) {
+                    if (prior.sig(i) == ev.sig(i)) eq += 1; i += 1
+                  }
+                  out += NearDupCandidate(
+                    math.min(prior.doc_id, ev.doc_id),
+                    math.max(prior.doc_id, ev.doc_id),
+                    eq.toDouble / k, bandIdx)
+                }
+                st = BucketState(BucketDoc(ev.doc_id, ev.sig) :: st.docs,
+                  math.max(st.max_ts_ms, ev.ts.getTime))
+              } else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.max_ts_ms, ttl)
+            out.result().iterator
+          }
+      }
   }
 
   /** M1+M2+M3+A2 (recompute model): the reference re-runs the full banded

@@ -514,4 +514,79 @@ class StreamingSpec extends SparkSpec {
       .collect { case f if f.getName.startsWith("graft_replay_") => f.getName }
       .toSet
   }
+
+  test("streaming near-dup gate: candidate pairs match batch minHashCandidates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // Fixture docs + planted variants (last-3-tokens-dropped), the same
+    // construction the batch dedup queries use — the base corpus is
+    // distinct, so candidates are overwhelmingly the planted pairs.
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("doc_id") < 100).select("doc_id", "text")
+    val variants = base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(graft.operators.TextOps.tokens(col("text")), lit(1),
+          greatest(size(graft.operators.TextOps.tokens(col("text"))) - 3, lit(1)))).as("text"))
+    val corpus = base.unionByName(variants).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val stream = StreamOps.nearDupCandidatesStream(
+      in.toDS().toDF("ts", "doc_id", "text"),
+      k = 64, bands = 16, ttl = "1 hour", watermark = "0 seconds")
+    val q = startMemQuery(stream.toDF(), "t_neardup", "append")
+    // two micro-batches, split mid-corpus: cross-batch pairs exercise the
+    // bucket state, within-batch pairs the in-batch loop
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    in.addData(b1.map { case (id, t) => (new Timestamp(1000L), id, t) }.toSeq)
+    q.processAllAvailable()
+    in.addData(b2.map { case (id, t) => (new Timestamp(2000L), id, t) }.toSeq)
+    q.processAllAvailable(); q.stop()
+
+    val streamPairs = spark.table("t_neardup")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = graft.operators.DedupOps.minHashCandidates(
+        spark.createDataFrame(corpus.toSeq).toDF("doc_id", "text"), 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == batchPairs)
+    assert(streamPairs.nonEmpty) // the planted variants must surface
+    // planted variants agree on most signature components
+    val ests = spark.table("t_neardup")
+      .where(col("doc_b") === col("doc_a") + 1000000)
+      .select("est_jaccard").collect().map(_.getDouble(0))
+    assert(ests.nonEmpty && ests.forall(_ > 0.3))
+  }
+
+  test("streaming near-dup gate: TTL evicts bucket state past the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val stream = StreamOps.nearDupCandidatesStream(
+      in.toDS().toDF("ts", "doc_id", "text"),
+      k = 64, bands = 16, ttl = "60 seconds", watermark = "0 seconds")
+    val q = startMemQuery(stream.toDF(), "t_neardup_ttl", "append")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    def at(sec: Long, id: Long, t: String) = (new Timestamp(sec * 1000), id, t)
+    // A enters at t=1000; B at t=1990 (inside TTL when the dups arrive)
+    in.addData(at(1000, 1, textA))
+    q.processAllAvailable()
+    in.addData(at(1990, 2, textB), at(2000, 99, "unrelated filler text payload"))
+    q.processAllAvailable() // watermark -> 2000: A's buckets (timeout 1060) evict
+    in.addData(at(2001, 11, textA), at(2001, 12, textB))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("t_neardup_ttl")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // B's twin pairs (state retained: 1990 + 60 > 2000); A's twin does NOT
+    // (1000 + 60 < 2000 — bucket evicted before the twin arrived)
+    assert(pairs == Set((2L, 12L)), s"got $pairs")
+    // identical text -> identical signature -> estimate exactly 1.0
+    val est = spark.table("t_neardup_ttl")
+      .where(col("doc_a") === 2).select("est_jaccard").collect().map(_.getDouble(0))
+    assert(est.nonEmpty && est.forall(_ == 1.0))
+  }
 }
