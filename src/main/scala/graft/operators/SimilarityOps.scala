@@ -133,30 +133,79 @@ object SimilarityOps {
     * is per-row work; the probe is an equi-join on list id. Candidate count
     * per query ≈ n × nprobe / nlist.
     */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nlist: Int = 32, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
-    // refineIters=0 → lowest-vec_id seeds (kmeansCentroids with zero update
-    // rounds IS the seed set), so both IVF flavors share one path. Always
-    // spherical: this operator retrieves by COSINE, so the quantizer must
-    // assign by cosine too — unit centroids in both flavors keep the
-    // seeded/refined comparison apples-to-apples and the lists balanced.
+  /** A fitted IVF index: the spherical centroid MODEL (model-sized — rows ~
+    * nlist, lives on the driver like any quantizer model) plus the inverted
+    * lists as a DataFrame `(cid, c_id, cv, cn)` — each vector staged with
+    * its norm in exactly one list. The lists relation is what a deployment
+    * persists (parquet partitioned by nothing special; the cid equi-join
+    * key is in the data): build ONCE over the corpus, then every query
+    * batch is a broadcast-probe equi-join against the stored lists with no
+    * k-means work at all. [[saveIvfIndex]]/[[loadIvfIndex]] round-trip it. */
+  final case class IvfIndex(centroids: Array[Array[Double]], lists: DataFrame)
+
+  /** Fit the IVF index: quantizer centroids + one-list-per-vector
+    * assignment. `refineIters=0` → lowest-vec_id seeds (kmeansCentroids
+    * with zero update rounds IS the seed set), so both IVF flavors share
+    * one path. Always spherical: IVF here retrieves by COSINE, so the
+    * quantizer must assign by cosine too — unit centroids keep the
+    * seeded/refined comparison apples-to-apples and the lists balanced. */
+  def buildIvfIndex(candidates: DataFrame, nlist: Int = 32,
+                    refineIters: Int = 0): IvfIndex = {
     val cents = kmeansCentroids(candidates, nlist, refineIters, spherical = true)
-    val assigned = candidates
+    val lists = candidates
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .withColumn("cn", norm(col("cv")))
       .withColumn("cid",
         element_at(graft.functions.HashExpressions.topCentroids(col("cv"), cents, 1), 1))
+    IvfIndex(cents, lists)
+  }
+
+  /** Query a fitted (possibly reloaded) IVF index: probe `nprobe` lists per
+    * query by centroid dot product, rerank probed candidates by exact
+    * cosine. The query side is a BROADCAST probe into the stored lists —
+    * no shuffle of the corpus, no quantizer refit; at scale this is the
+    * serving path and [[buildIvfIndex]] is the (amortized) build path. */
+  def queryIvfIndex(index: IvfIndex, queries: DataFrame, k: Int,
+                    nprobe: Int = 4): DataFrame = {
     val probed = broadcast(
       queries
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         .withColumn("qn", norm(col("qv")))
         .withColumn("cid",
-          explode(graft.functions.HashExpressions.topCentroids(col("qv"), cents, nprobe))))
-    assigned.join(probed, "cid")
+          explode(graft.functions.HashExpressions.topCentroids(
+            col("qv"), index.centroids, nprobe))))
+    index.lists.join(probed, "cid")
       .where(col("q_id") =!= col("c_id"))
       .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .transform(rankTopK(_, k))
   }
+
+  /** Persist an IVF index: inverted lists as parquet, centroids as a tiny
+    * (cid, cv) parquet alongside — everything a serving job needs. */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.lists.write.mode("overwrite").parquet(s"$dir/lists")
+    index.centroids.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+      .toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Reload a persisted IVF index. Centroid order (= cid) is restored from
+    * the stored cid column, so probe assignment and its index tie-break
+    * reproduce the original exactly. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    IvfIndex(cents, spark.read.parquet(s"$dir/lists"))
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int = 32, nprobe: Int = 4, refineIters: Int = 0): DataFrame =
+    queryIvfIndex(buildIvfIndex(candidates, nlist, refineIters), queries, k, nprobe)
 
   /** The (q_id, c_id) probed-list candidates of [[ivfTopK]], without the
     * rerank — the GENERATION half surfaced standalone for the export-oracle

@@ -437,4 +437,37 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(run() == got) // deterministic across runs
   }
+
+  test("IVF index persists: save -> load -> query matches the fused ivfTopK exactly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val qs = emb.where(col("vec_id") < 8)
+    val fused = graft.operators.SimilarityOps
+      .ivfTopK(qs, emb, 5, nlist = 16, nprobe = 4, refineIters = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_").toString
+    try {
+      val built = graft.operators.SimilarityOps.buildIvfIndex(emb, nlist = 16, refineIters = 2)
+      graft.operators.SimilarityOps.saveIvfIndex(built, dir)
+      // a fresh index object reading ONLY the persisted files — the
+      // serving path: no corpus scan, no kmeans refit at query time
+      val loaded = graft.operators.SimilarityOps.loadIvfIndex(spark, dir)
+      assert(loaded.centroids.length == built.centroids.length)
+      assert(loaded.centroids.zip(built.centroids).forall {
+        case (l, b) => l.toSeq == b.toSeq }) // cid order restored exactly
+      val served = graft.operators.SimilarityOps.queryIvfIndex(loaded, qs, 5, nprobe = 4)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == fused)
+      // and a SECOND query batch against the same loaded index (the
+      // amortization this API exists for) works without rebuilding
+      val more = graft.operators.SimilarityOps.queryIvfIndex(
+        loaded, emb.where(col("vec_id") >= 8 && col("vec_id") < 12), 3, nprobe = 4)
+      assert(more.groupBy("q_id").count().collect().forall(_.getLong(1) == 3))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
