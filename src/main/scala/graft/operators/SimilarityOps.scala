@@ -69,33 +69,72 @@ object SimilarityOps {
     * (union-distinct over tables), then exact cosine rerank of candidates.
     * The bucket join is an equi-join on (table, bucket) — the scale path:
     * candidate count per query ≈ n / 2^bits × tables, not n. */
-  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
-              seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, tables, bitsPerTable, seed)
-    // All per-table bucket ids come from ONE custom-expression loop
-    // ([[graft.functions.HashExpressions.HyperplaneBuckets]]) — the unrolled
-    // per-plane dot-product formulation generated a method too large for the
-    // JIT (interpreted bytecode, seconds on thousands of rows).
-    def withBuckets(df: DataFrame, idCol: String): DataFrame = {
-      val staged = df.select(col("vec_id").as(idCol), col("embedding").as(s"${idCol}_v"))
-        .withColumn(s"${idCol}_n", norm(col(s"${idCol}_v")))
-      staged.select(col(idCol), col(s"${idCol}_v"), col(s"${idCol}_n"),
+  /** Stage a relation's vectors with their norms and per-table LSH buckets.
+    * All per-table bucket ids come from ONE custom-expression loop
+    * ([[graft.functions.HashExpressions.HyperplaneBuckets]]) — the unrolled
+    * per-plane dot-product formulation generated a method too large for the
+    * JIT (interpreted bytecode, seconds on thousands of rows). */
+  private def withBuckets(df: DataFrame, idCol: String,
+                          planes: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col("vec_id").as(idCol), col("embedding").as(s"${idCol}_v"))
+      .withColumn(s"${idCol}_n", norm(col(s"${idCol}_v")))
+      .select(col(idCol), col(s"${idCol}_v"), col(s"${idCol}_n"),
         posexplode(graft.functions.HashExpressions.hyperplaneBuckets(
           col(s"${idCol}_v"), planes)))
-        .toDF(idCol, s"${idCol}_v", s"${idCol}_n", "tbl", "bkt")
-    }
-    val qb = broadcast(withBuckets(queries, "q_id"))
-    val cb = withBuckets(candidates, "c_id")
-    val cand = cb.join(qb, Seq("tbl", "bkt"))
+      .toDF(idCol, s"${idCol}_v", s"${idCol}_n", "tbl", "bkt")
+
+  /** A fitted LSH index: the hyperplane parameters (planes are derived
+    * deterministically from them, so they ARE the quantizer model) plus the
+    * bucketed corpus `(c_id, c_id_v, c_id_n, tbl, bkt)` — the expensive
+    * artifact a deployment persists. Build once, then each query batch is a
+    * broadcast bucket equi-join against the stored relation; the plane
+    * rebuild at query time is a few KB of deterministic arithmetic. */
+  final case class LshIndex(dim: Int, tables: Int, bitsPerTable: Int,
+                            seed: Long, buckets: DataFrame)
+
+  def buildLshIndex(candidates: DataFrame, dim: Int = 64, tables: Int = 8,
+                    bitsPerTable: Int = 8, seed: Long = 42L): LshIndex =
+    LshIndex(dim, tables, bitsPerTable, seed,
+      withBuckets(candidates, "c_id", hyperplanes(dim, tables, bitsPerTable, seed)))
+
+  /** Query a fitted (possibly reloaded) LSH index: bucket the query batch
+    * with the index's OWN plane parameters, broadcast it into the stored
+    * bucket relation, rerank the collisions by exact cosine. */
+  def queryLshIndex(index: LshIndex, queries: DataFrame, k: Int): DataFrame = {
+    val planes = hyperplanes(index.dim, index.tables, index.bitsPerTable, index.seed)
+    val qb = broadcast(withBuckets(queries, "q_id", planes))
+    index.buckets.join(qb, Seq("tbl", "bkt"))
       .where(col("q_id") =!= col("c_id"))
       .select("q_id", "q_id_v", "q_id_n", "c_id", "c_id_v", "c_id_n")
       .distinct()
-    cand
       .withColumn("score",
         dot(col("q_id_v"), col("c_id_v")) / (col("q_id_n") * col("c_id_n")))
       .transform(rankTopK(_, k))
   }
+
+  /** Persist an LSH index: bucketed corpus as parquet plus a one-row
+    * parameter table — everything a serving job needs to reproduce the
+    * planes and probe identically. */
+  def saveLshIndex(index: LshIndex, dir: String): Unit = {
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    index.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    Seq((index.dim, index.tables, index.bitsPerTable, index.seed))
+      .toDF("dim", "tables", "bits_per_table", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex = {
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    LshIndex(p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3),
+      spark.read.parquet(s"$dir/buckets"))
+  }
+
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
+              seed: Long = 42L): DataFrame =
+    queryLshIndex(
+      buildLshIndex(candidates, dim, tables, bitsPerTable, seed), queries, k)
 
   /** The (q_id, c_id) candidate list of [[lshTopK]]'s bucket stage, without
     * the rerank — the GENERATION half surfaced standalone so the exact

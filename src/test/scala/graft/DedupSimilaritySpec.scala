@@ -438,6 +438,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(run() == got) // deterministic across runs
   }
 
+  test("LSH index persists: save -> load -> query matches the fused lshTopK exactly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val qs = emb.where(col("vec_id") < 8)
+    val fused = graft.operators.SimilarityOps.lshTopK(qs, emb, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index_").toString
+    try {
+      graft.operators.SimilarityOps.saveLshIndex(
+        graft.operators.SimilarityOps.buildLshIndex(emb), dir)
+      val loaded = graft.operators.SimilarityOps.loadLshIndex(spark, dir)
+      assert((loaded.dim, loaded.tables, loaded.bitsPerTable, loaded.seed) ==
+        (64, 8, 8, 42L)) // plane params round-trip -> identical probing
+      val served = graft.operators.SimilarityOps.queryLshIndex(loaded, qs, 5)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == fused)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("IVF index persists: save -> load -> query matches the fused ivfTopK exactly") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
