@@ -39,6 +39,22 @@ final case class BucketState(docs: List[BucketDoc], max_ts_ms: Long)
 final case class NearDupCandidate(doc_a: Long, doc_b: Long,
                                   est_jaccard: Double, band_idx: Int)
 
+/** One pigeonhole-blocked document row inside
+  * [[StreamOps.simHashPairsStream]]. */
+final case class SimHashBlockedDoc(ts: Timestamp, doc_id: Long, sig: Long,
+                                   chunk_idx: Int, chunk_sig: Long)
+
+/** One document retained in a streaming SimHash block's state. */
+final case class SimHashBucketDoc(doc_id: Long, sig: Long)
+
+/** Per-block streaming SimHash state: retained docs + newest activity. */
+final case class SimHashBucketState(docs: List[SimHashBucketDoc], max_ts_ms: Long)
+
+/** A streaming VERIFIED SimHash near-dup pair (doc_a < doc_b): `hamming`
+  * is the exact signature distance, already <= the gate's threshold. */
+final case class SimHashMatch(doc_a: Long, doc_b: Long, hamming: Int,
+                              chunk_idx: Int)
+
 /** Streaming layer — the reference's pub/sub pipeline re-expressed as
   * Structured Streaming (SURVEY §3.2: trigger = gap test, batch =
   * collectedSamples, state = metricHistory, output = display delta — exactly
@@ -480,6 +496,71 @@ object StreamOps {
                     eq.toDouble / k, bandIdx)
                 }
                 st = BucketState(BucketDoc(ev.doc_id, ev.sig) :: st.docs,
+                  math.max(st.max_ts_ms, ev.ts.getTime))
+              } else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.max_ts_ms, ttl)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming SimHash near-dup gate — the streaming counterpart of
+    * [[graft.operators.DedupOps.simHashPairs]], and unlike the MinHash gate
+    * it emits fully VERIFIED pairs: the Hamming verify is one XOR+popcount
+    * against the signatures already held in state, so blocking and verify
+    * fuse into the stateful stage exactly as the batch operator fuses its
+    * candidate join with [[graft.operators.DedupOps.hammingPairs]].
+    *
+    * Same pigeonhole arithmetic as batch (64/(maxHamming+1)-bit chunks —
+    * any pair within the Hamming bound must agree on at least one chunk),
+    * so verified pair sets agree with batch on the same corpus (asserted
+    * by the parity test). State is TTL-windowed per block, the same
+    * O(docs-per-window) posture as [[nearDupCandidatesStream]]; state rows
+    * are (doc_id, one long), 8× leaner than the MinHash gate's signatures.
+    *
+    * @param docs streaming frame with (ts timestamp, doc_id long, text string)
+    */
+  def simHashPairsStream(docs: DataFrame, maxHamming: Int = 3,
+                         ttl: String = "1 hour",
+                         watermark: String = "10 minutes"): Dataset[SimHashMatch] = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = (1L << width) - 1L
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Same chunking expression as DedupOps.simHashCandidates — block
+    // parity with the batch operator depends on this line matching.
+    val chunkCols = array((0 until chunks).map(c =>
+      shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))): _*)
+    val blocked = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        graft.functions.HashExpressions.simHash64(
+          TextOps.tokens(col("text"))).as("sig"))
+      .select(col("ts"), col("doc_id"), col("sig"), posexplode(chunkCols))
+      .toDF("ts", "doc_id", "sig", "chunk_idx", "chunk_sig")
+      .as[SimHashBlockedDoc]
+    blocked
+      .groupByKey(b => (b.chunk_idx, b.chunk_sig))
+      .flatMapGroupsWithState[SimHashBucketState, SimHashMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((chunkIdx, _), events, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(SimHashBucketState(Nil, 0L))
+            val out = List.newBuilder[SimHashMatch]
+            for (ev <- events.toSeq.sortBy(e => (e.ts.getTime, e.doc_id))) {
+              if (!st.docs.exists(_.doc_id == ev.doc_id)) {
+                for (prior <- st.docs) {
+                  val h = java.lang.Long.bitCount(prior.sig ^ ev.sig)
+                  if (h <= maxHamming)
+                    out += SimHashMatch(
+                      math.min(prior.doc_id, ev.doc_id),
+                      math.max(prior.doc_id, ev.doc_id), h, chunkIdx)
+                }
+                st = SimHashBucketState(SimHashBucketDoc(ev.doc_id, ev.sig) :: st.docs,
                   math.max(st.max_ts_ms, ev.ts.getTime))
               } else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
             }

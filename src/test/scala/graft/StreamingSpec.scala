@@ -559,6 +559,44 @@ class StreamingSpec extends SparkSpec {
     assert(ests.nonEmpty && ests.forall(_ > 0.3))
   }
 
+  test("streaming SimHash gate: verified pairs match batch simHashPairs") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // near-identical texts (one token changed) plus distinct filler — the
+    // same planted-variant construction the batch simhash queries use
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("doc_id") < 80).select("doc_id", "text")
+    val variants = base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(graft.operators.TextOps.tokens(col("text")), lit(1),
+          greatest(size(graft.operators.TextOps.tokens(col("text"))) - 1, lit(1)))).as("text"))
+    val corpus = base.unionByName(variants).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val stream = StreamOps.simHashPairsStream(
+      in.toDS().toDF("ts", "doc_id", "text"),
+      maxHamming = 3, ttl = "1 hour", watermark = "0 seconds")
+    val q = startMemQuery(stream.toDF(), "t_simhash", "append")
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    in.addData(b1.map { case (id, t) => (new Timestamp(1000L), id, t) }.toSeq)
+    q.processAllAvailable()
+    in.addData(b2.map { case (id, t) => (new Timestamp(2000L), id, t) }.toSeq)
+    q.processAllAvailable(); q.stop()
+
+    // the stream emits VERIFIED pairs with exact hamming — compare the
+    // full (pair, distance) relation, not just the pair set
+    val streamPairs = spark.table("t_simhash")
+      .select("doc_a", "doc_b", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val batchPairs = graft.operators.DedupOps.simHashPairs(
+        spark.createDataFrame(corpus.toSeq).toDF("doc_id", "text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamPairs == batchPairs)
+    assert(streamPairs.nonEmpty) // the planted variants must surface
+  }
+
   test("streaming near-dup gate: TTL evicts bucket state past the watermark") {
     val s = spark
     import s.implicits._
