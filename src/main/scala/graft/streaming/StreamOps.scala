@@ -443,7 +443,10 @@ object StreamOps {
     * activity (event-time timeout past the watermark): streaming dedup
     * state is inherently WINDOWED — an unbounded exact memory of a 100 TB
     * corpus belongs in the batch path, and the TTL is the knob that makes
-    * the state O(docs-per-TTL-window), not O(corpus).
+    * the state O(docs-per-TTL-window), not O(corpus). `maxPerBucket`
+    * additionally bounds any SINGLE bucket (the boilerplate-skew case):
+    * past the cap a bucket stops retaining but keeps flagging new
+    * arrivals against its retained representatives.
     *
     * Emits one candidate per (pair, bucket) in APPEND mode when the later
     * document arrives; a pair sharing several bands emits from each (the
@@ -457,7 +460,8 @@ object StreamOps {
     */
   def nearDupCandidatesStream(docs: DataFrame, k: Int = 64, bands: Int = 16,
                               ttl: String = "1 hour",
-                              watermark: String = "10 minutes"): Dataset[NearDupCandidate] = {
+                              watermark: String = "10 minutes",
+                              maxPerBucket: Int = 10000): Dataset[NearDupCandidate] = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val spark = docs.sparkSession
@@ -495,8 +499,16 @@ object StreamOps {
                     math.max(prior.doc_id, ev.doc_id),
                     eq.toDouble / k, bandIdx)
                 }
-                st = BucketState(BucketDoc(ev.doc_id, ev.sig) :: st.docs,
-                  math.max(st.max_ts_ms, ev.ts.getTime))
+                // Skew guard: a pathological bucket (boilerplate-identical
+                // docs) stops RETAINING past the cap — arrivals still
+                // compare against (and get flagged by) the retained
+                // representatives, but state and per-arrival work stay
+                // O(maxPerBucket), the streaming analogue of the batch
+                // path's AQE skew-split.
+                if (st.docs.lengthCompare(maxPerBucket) < 0)
+                  st = BucketState(BucketDoc(ev.doc_id, ev.sig) :: st.docs,
+                    math.max(st.max_ts_ms, ev.ts.getTime))
+                else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
               } else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
             }
             state.update(st)
@@ -524,7 +536,8 @@ object StreamOps {
     */
   def simHashPairsStream(docs: DataFrame, maxHamming: Int = 3,
                          ttl: String = "1 hour",
-                         watermark: String = "10 minutes"): Dataset[SimHashMatch] = {
+                         watermark: String = "10 minutes",
+                         maxPerBucket: Int = 10000): Dataset[SimHashMatch] = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val mask = (1L << width) - 1L
@@ -560,8 +573,13 @@ object StreamOps {
                       math.min(prior.doc_id, ev.doc_id),
                       math.max(prior.doc_id, ev.doc_id), h, chunkIdx)
                 }
-                st = SimHashBucketState(SimHashBucketDoc(ev.doc_id, ev.sig) :: st.docs,
-                  math.max(st.max_ts_ms, ev.ts.getTime))
+                // Same skew guard as nearDupCandidatesStream: stop
+                // retaining past the cap, keep flagging against the
+                // retained representatives.
+                if (st.docs.lengthCompare(maxPerBucket) < 0)
+                  st = SimHashBucketState(SimHashBucketDoc(ev.doc_id, ev.sig) :: st.docs,
+                    math.max(st.max_ts_ms, ev.ts.getTime))
+                else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
               } else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
             }
             state.update(st)

@@ -559,6 +559,32 @@ class StreamingSpec extends SparkSpec {
     assert(ests.nonEmpty && ests.forall(_ > 0.3))
   }
 
+  test("streaming near-dup gate: maxPerBucket caps state but keeps flagging") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val stream = StreamOps.nearDupCandidatesStream(
+      in.toDS().toDF("ts", "doc_id", "text"),
+      k = 64, bands = 16, ttl = "1 hour", watermark = "0 seconds",
+      maxPerBucket = 2)
+    val q = startMemQuery(stream.toDF(), "t_neardup_cap", "append")
+    val text = "identical boilerplate page text repeated across the corpus"
+    def at(sec: Long, id: Long) = (new Timestamp(sec * 1000), id, text)
+    // four identical docs arrive in order: 1 and 2 are retained (cap=2);
+    // 3 and 4 still flag against the retained representatives but are NOT
+    // retained, so (3,4) never pairs — state stays O(cap)
+    in.addData(at(1000, 1), at(1001, 2), at(1002, 3))
+    q.processAllAvailable()
+    in.addData(at(1003, 4))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("t_neardup_cap")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+      s"got $pairs")
+  }
+
   test("streaming SimHash gate: verified pairs match batch simHashPairs") {
     val s = spark
     import s.implicits._
