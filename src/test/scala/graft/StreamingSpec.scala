@@ -559,6 +559,39 @@ class StreamingSpec extends SparkSpec {
     assert(ests.nonEmpty && ests.forall(_ > 0.3))
   }
 
+  test("stateful restart: near-dup bucket state survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ckpt-neardup").toString
+    val srcDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/checkpoint"
+    new java.io.File(srcDir).mkdirs()
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def writeFile(n: Int, lines: String*): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f$n.jsonl"),
+        lines.mkString("\n"))
+    def doc(sec: Long, id: Long, t: String) =
+      s"""{"sec": $sec, "doc_id": $id, "text": "$t"}"""
+    def startQuery() = {
+      val schema = "sec LONG, doc_id LONG, text STRING"
+      val docs = spark.readStream.schema(schema).json(srcDir)
+        .select(timestamp_seconds(col("sec")).as("ts"), col("doc_id"), col("text"))
+      StreamOps.nearDupCandidatesStream(docs,
+          k = 64, bands = 16, ttl = "1 hour", watermark = "0 seconds").toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck).outputMode("append").start()
+    }
+    writeFile(1, doc(1000, 1, textA))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // restart: doc 1's signatures must come back from the state store —
+    // its twin arriving in a NEW query incarnation still pairs with it
+    writeFile(2, doc(1001, 2, textA))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val pairs = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("streaming near-dup gate: maxPerBucket caps state but keeps flagging") {
     val s = spark
     import s.implicits._
