@@ -392,6 +392,44 @@ class MultimodalSpec extends SparkSpec {
     assert(img.width == 1 && img.height == 1 && img.pixels.toSeq == Seq(42.toByte))
   }
 
+  test("Adam7 round trip holds for random dims, color types, and depths (property)") {
+    val rnd = new scala.util.Random(777)
+    // non-paletted: every color type, 8- and 16-bit, dims 1..20 — random
+    // dims systematically hit the empty-pass and sliver-pass edge cases
+    for (trial <- 0 until 30) {
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(20)
+      val colorType = Seq(0, 2, 4, 6)(rnd.nextInt(4))
+      val channels = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+      val depth16 = rnd.nextBoolean()
+      val content = Array.fill(w * h * channels)(rnd.nextInt(if (depth16) 65536 else 256))
+      val pix = (x: Int, y: Int) =>
+        Array.tabulate(channels)(k => content((y * w + x) * channels + k))
+      val png = mkAdam7Png(w, h, colorType, if (depth16) 16 else 8, pix)
+      val img = ImageCodec.decodePngPixels(png)
+        .getOrElse(fail(s"trial $trial ${w}x$h type $colorType d16=$depth16: no decode"))
+      assert(img.width == w && img.height == h && img.channels == channels)
+      val expected = content.map(v => (if (depth16) v >>> 8 else v).toByte).toSeq
+      assert(img.pixels.toSeq == expected,
+        s"trial $trial ${w}x$h type $colorType d16=$depth16")
+    }
+    // paletted: depths 1/2/4/8, random palettes — per-pass padding bits
+    for (trial <- 0 until 20) {
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(20)
+      val depth = Seq(1, 2, 4, 8)(rnd.nextInt(4))
+      val nColors = math.min(1 << depth, 32)
+      val colors = Array.fill(nColors)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val idx = Array.fill(w * h)(rnd.nextInt(nColors))
+      val png = mkAdam7Png(w, h, 3, depth, (x, y) => Array(idx(y * w + x)), colors)
+      val img = ImageCodec.decodePngPixels(png)
+        .getOrElse(fail(s"trial $trial ${w}x$h depth $depth: no decode"))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      val expected = idx.flatMap { i =>
+        val (r, g, b) = colors(i); Seq(r.toByte, g.toByte, b.toByte)
+      }.toSeq
+      assert(img.pixels.toSeq == expected, s"trial $trial ${w}x$h depth $depth")
+    }
+  }
+
   test("PNG decoder never throws on corrupt or random input (fuzz)") {
     val rnd = new scala.util.Random(20260812)
     // pure random blobs with a PNG signature spliced in front
