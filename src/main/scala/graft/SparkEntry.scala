@@ -1032,6 +1032,15 @@ object SparkEntry {
     "decontaminate" -> ((s, dir) =>
       CurationOps.decontaminate(Tables.documents(s, dir).select("doc_id", "text"), n = 8)),
 
+    // Duplicated-passage REMOVAL (the cleanup step text_dup_spans only
+    // detects): drop every token covered by a cross-doc duplicated 5-gram,
+    // reassemble survivors in position order. Gram-keyed shuffle, never
+    // doc x doc; fully SQL-expressible, so the whole strip (coverage,
+    // counts, reassembled text) is oracle-checked.
+    "text_strip_dup_spans" -> ((s, dir) =>
+      CurationOps.stripDupSpans(
+        Tables.documents(s, dir).select("doc_id", "text"), n = 5)),
+
     // Per-source document quota (domain balancing): keep at most 10 docs
     // per source, selection ordered by content hash so the surviving set is
     // deterministic, not scan-order luck.
@@ -1945,6 +1954,31 @@ object SparkEntry {
         |SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM g GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+
+    // Duplicated-passage removal: token/gram position algebra replayed in
+    // list comprehensions — coverage = union of [start, start+span) over
+    // duplicated-gram occurrences (span = 5, or the whole doc for the
+    // short-doc shingle fallback); survivors string_agg in position order.
+    "text_strip_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |          i -> {'pos': i-1, 'tok': w[i]}), recursive := true) FROM t),
+        |g0 AS (SELECT doc_id, len(w) AS nw, unnest(CASE WHEN len(w) >= 5
+        |         THEN list_transform(generate_series(1, len(w)-4),
+        |                i -> {'start': i-1, 'gram': array_to_string(w[i:i+4], ' ')})
+        |         ELSE [{'start': 0, 'gram': array_to_string(w, ' ')}] END,
+        |         recursive := true) FROM t),
+        |g AS (SELECT doc_id, start, gram, LEAST(5, nw) AS span FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT g.doc_id, g.start + unnest(range(g.span)) AS pos
+        |          FROM g JOIN dup USING (gram))),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok, cov.pos IS NULL AS keep
+        |         FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+        |FROM kept GROUP BY doc_id""".stripMargin,
 
     "decontaminate" ->
       """WITH t AS (SELECT doc_id,

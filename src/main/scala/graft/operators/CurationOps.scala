@@ -139,4 +139,54 @@ object CurationOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Duplicated-passage REMOVAL (the C4/deduplicated-corpus cleanup step —
+    * `text_dup_spans` detects cross-doc duplicated n-grams, this strips
+    * them): every token covered by any occurrence of an n-gram that
+    * appears in >= 2 distinct documents is dropped; survivors rejoin in
+    * position order. Documents shorter than `n` tokens shingle to their
+    * whole text (the [[graft.functions.TextExpressions.WordShingles]]
+    * fallback), so an exact short duplicate strips entirely.
+    *
+    * Scale shape: two explodes (tokens, grams), ONE shuffle keyed by the
+    * gram to find duplicates, an anti-join-style coverage mark keyed by
+    * (doc_id, pos), and a per-doc reassembly agg — never doc × doc. The
+    * reassembly `collect_list` is per-document (bounded by document
+    * length, the same bound `pack_sequences` lives with).
+    *
+    * @return (doc_id, n_tokens, n_kept, clean_text) — one row per input doc
+    */
+  def stripDupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val grams = docs
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("ntok"),
+        posexplode(graft.functions.TextExpressions.wordShingles(
+          TextOps.tokens(col("text")), n)))
+      .toDF("doc_id", "ntok", "start", "gram")
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("gram")
+    // every position covered by any duplicated-gram occurrence; the span
+    // is n for full shingles, the whole (shorter) doc for the fallback
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("start"),
+          col("start") + least(lit(n), col("ntok")) - 1)).as("pos"))
+      .distinct()
+    toks
+      .join(covered.withColumn("c", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("tok"),
+                col("c").isNull.as("keep")))),
+              x => x.getField("keep")),
+            x => x.getField("tok"))).as("clean_text"))
+  }
 }

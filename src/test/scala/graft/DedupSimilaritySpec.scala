@@ -438,6 +438,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(run() == got) // deterministic across runs
   }
 
+  test("stripDupSpans removes exactly the tokens covered by cross-doc 5-grams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "unique alpha beta gamma delta epsilon zeta one two three"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta suffix tail end"),
+      (3L, "totally different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    // docs 1 and 2 share the 5-grams at starts 1 and 2 ("alpha..epsilon",
+    // "beta..zeta") -> coverage is the UNION of both spans, positions 1..6
+    val got = graft.operators.CurationOps.stripDupSpans(docs, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((10L, 4L, "unique one two three")))
+    assert(got(2L) == ((10L, 4L, "prefix suffix tail end")))
+    assert(got(3L) == ((10L, 10L,
+      "totally different words with no overlap at all here now")))
+  }
+
   test("LSH index persists: save -> load -> query matches the fused lshTopK exactly") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
