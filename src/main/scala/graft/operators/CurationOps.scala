@@ -148,45 +148,44 @@ object CurationOps {
     * whole text (the [[graft.functions.TextExpressions.WordShingles]]
     * fallback), so an exact short duplicate strips entirely.
     *
-    * Scale shape: two explodes (tokens, grams), ONE shuffle keyed by the
-    * gram to find duplicates, an anti-join-style coverage mark keyed by
-    * (doc_id, pos), and a per-doc reassembly agg — never doc × doc. The
-    * reassembly `collect_list` is per-document (bounded by document
-    * length, the same bound `pack_sequences` lives with).
+    * Scale shape: the ONLY data-sized stage is the gram explode + its
+    * gram-keyed duplicate shuffle. Duplicated-occurrence START positions
+    * then aggregate to one small array per affected doc, join back keyed
+    * by doc_id, and the strip itself is per-row ARRAY arithmetic (expand
+    * starts to a covered-position set, filter tokens by index, rejoin) —
+    * the token stream is never exploded, never shuffled. Never doc × doc.
     *
     * @return (doc_id, n_tokens, n_kept, clean_text) — one row per input doc
     */
   def stripDupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
-      .toDF("doc_id", "pos", "tok")
     val grams = docs
-      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("ntok"),
+      .select(col("doc_id"),
         posexplode(graft.functions.TextExpressions.wordShingles(
           TextOps.tokens(col("text")), n)))
-      .toDF("doc_id", "ntok", "start", "gram")
+      .toDF("doc_id", "start", "gram")
     val dup = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("gram")
-    // every position covered by any duplicated-gram occurrence; the span
-    // is n for full shingles, the whole (shorter) doc for the fallback
-    val covered = grams.join(dup, "gram")
+    // per affected doc: the start positions of its duplicated-gram
+    // occurrences — a SMALL array (bounded by the doc's gram count)
+    val dupStarts = grams.join(dup, "gram")
+      .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        // covered = union of [start, start + n) per occurrence, capped at
+        // the doc end — the cap only binds for the short-doc whole-text
+        // shingle fallback (full shingles never reach past the end)
+        array_distinct(flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          s => sequence(s, least(s + n - 1, size(col("toks")) - 1)))))
+          .as("cov"))
       .select(col("doc_id"),
-        explode(sequence(col("start"),
-          col("start") + least(lit(n), col("ntok")) - 1)).as("pos"))
-      .distinct()
-    toks
-      .join(covered.withColumn("c", lit(1)), Seq("doc_id", "pos"), "left")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_kept"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("cov"))).cast("long").as("n_kept"),
         concat_ws(" ",
-          transform(
-            filter(
-              array_sort(collect_list(struct(col("pos"), col("tok"),
-                col("c").isNull.as("keep")))),
-              x => x.getField("keep")),
-            x => x.getField("tok"))).as("clean_text"))
+          filter(col("toks"), (_, i) => !array_contains(col("cov"), i)))
+          .as("clean_text"))
   }
 }
