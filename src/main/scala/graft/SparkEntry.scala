@@ -1041,6 +1041,26 @@ object SparkEntry {
       CurationOps.stripDupSpans(
         Tables.documents(s, dir).select("doc_id", "text"), n = 5)),
 
+    // Frequency vocabulary: top-20 tokens by (count DESC, token ASC) — a
+    // total order, so vocabulary and ids are deterministic.
+    "text_vocab" -> ((s, dir) =>
+      CurationOps.buildVocab(Tables.documents(s, dir), maxSize = 20)),
+
+    // Token-id encoding against the fitted vocabulary (text → ids, the
+    // step before sequence packing). The vocab collect is MODEL-sized (20
+    // rows — the kmeans-centroids pattern); the encode itself is one
+    // map-literal transform per row, no join/shuffle. maxSize=20 < the
+    // corpus' distinct-token count, so the OOV path is exercised too. The
+    // id sequence serializes to CSV so the oracle compares full content.
+    "text_encode_ids" -> ((s, dir) => {
+      val vocab = CurationOps.buildVocab(Tables.documents(s, dir), maxSize = 20)
+        .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("token_id")).toMap
+      CurationOps.encodeTokens(Tables.documents(s, dir).select("doc_id", "text"), vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          size(filter(col("token_ids"), x => x === -1L)).cast("long").as("n_oov"),
+          array_join(transform(col("token_ids"), _.cast("string")), ",").as("ids_csv"))
+    }),
+
     // Per-source document quota (domain balancing): keep at most 10 docs
     // per source, selection ordered by content hash so the surviving set is
     // deterministic, not scan-order luck.
@@ -1979,6 +1999,31 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       COALESCE(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos), '') AS clean_text
         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH t AS (SELECT string_split_regex(text, '\s+') AS w FROM documents),
+        |tok AS (SELECT unnest(w) AS tok FROM t),
+        |v0 AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok)
+        |SELECT row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id, tok, n
+        |FROM v0 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    // Token-id encoding replay: DuckDB refits the same top-20 vocabulary
+    // (same total order), explodes tokens WITH positions, joins ids, and
+    // reassembles the CSV in position order — OOV = -1 on both sides.
+    "text_encode_ids" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |tok AS (SELECT unnest(w) AS tok FROM t),
+        |v0 AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |v AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id
+        |      FROM v0 ORDER BY n DESC, tok LIMIT 20),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |        i -> {'pos': i-1, 'tok': w[i]}), recursive := true) FROM t),
+        |j AS (SELECT e.doc_id, e.pos, COALESCE(v.token_id, -1) AS id
+        |      FROM e LEFT JOIN v ON v.tok = e.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     "decontaminate" ->
       """WITH t AS (SELECT doc_id,

@@ -140,6 +140,43 @@ object CurationOps {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Frequency vocabulary over whitespace tokens: the top `maxSize` tokens
+    * by (count DESC, token ASC) — a total order, so the vocabulary and the
+    * ids it assigns are deterministic across runs and engines. One
+    * token-keyed agg shuffle; the ranking window runs on the MODEL-sized
+    * result (≤ maxSize rows), not the corpus.
+    *
+    * @return (token_id, tok, n) with token_id = 0-based rank
+    */
+  def buildVocab(docs: DataFrame, maxSize: Int = 1 << 15): DataFrame =
+    RelationalOps.topK(
+        docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n")),
+        maxSize, col("n").desc, col("tok").asc)
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok").asc)).cast("long") - 1)
+      .select("token_id", "tok", "n")
+
+  /** Encode documents to token-id sequences against a fitted vocabulary
+    * (the text → ids step a training pipeline runs before
+    * [[packSequences]]). The vocabulary is MODEL-sized, so it ships as one
+    * map literal and the encode is a per-row `transform` — map-only at any
+    * corpus scale, no explode, no join, no shuffle. Unknown tokens map to
+    * `oovId`.
+    *
+    * @return (doc_id, n_tokens, token_ids array<long>)
+    */
+  def encodeTokens(docs: DataFrame, vocab: Map[String, Long],
+                   oovId: Long = -1L): DataFrame = {
+    val vmap = typedLit(vocab)
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        transform(col("toks"),
+          t => coalesce(element_at(vmap, t), lit(oovId))).as("token_ids"))
+  }
+
   /** Duplicated-passage REMOVAL (the C4/deduplicated-corpus cleanup step —
     * `text_dup_spans` detects cross-doc duplicated n-grams, this strips
     * them): every token covered by any occurrence of an n-gram that

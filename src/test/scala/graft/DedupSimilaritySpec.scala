@@ -456,6 +456,24 @@ class DedupSimilaritySpec extends SparkSpec {
       "totally different words with no overlap at all here now")))
   }
 
+  test("vocab build ranks by (count desc, token asc); encode maps OOV to -1") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "b a b c b a"),
+      (2L, "a c d a"))
+      .toDF("doc_id", "text")
+    // counts: a=4, b=3, c=2, d=1 -> ids a=0, b=1, c=2; d falls off at maxSize=3
+    val vocab = graft.operators.CurationOps.buildVocab(docs, maxSize = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(vocab.toSeq == Seq((0L, "a", 4L), (1L, "b", 3L), (2L, "c", 2L)))
+    val vmap = vocab.map(v => v._2 -> v._1).toMap
+    val enc = graft.operators.CurationOps.encodeTokens(docs, vmap)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(enc(1L) == Seq(1L, 0L, 1L, 2L, 1L, 0L))
+    assert(enc(2L) == Seq(0L, 2L, -1L, 0L)) // d is OOV
+  }
+
   test("LSH index persists: save -> load -> query matches the fused lshTopK exactly") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
