@@ -1046,6 +1046,24 @@ object SparkEntry {
     "text_vocab" -> ((s, dir) =>
       CurationOps.buildVocab(Tables.documents(s, dir), maxSize = 20)),
 
+    // End-to-end tokenization pipeline as ONE declarative chain: strip
+    // cross-doc duplicated passages, fit the vocabulary on the CLEANED
+    // text (the order a real pipeline uses — dup boilerplate must not
+    // dominate the vocab), encode the cleaned text against it. Each stage
+    // is individually oracle-checked above; this query oracle-checks
+    // their composition (the oracle chains the same three SQL stages).
+    "pipeline_tokenize" -> ((s, dir) => {
+      val cleaned = CurationOps.stripDupSpans(
+          Tables.documents(s, dir).select("doc_id", "text"), n = 5)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val vocab = CurationOps.buildVocab(cleaned, maxSize = 20)
+        .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("token_id")).toMap
+      CurationOps.encodeTokens(cleaned, vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          size(filter(col("token_ids"), x => x === -1L)).cast("long").as("n_oov"),
+          array_join(transform(col("token_ids"), _.cast("string")), ",").as("ids_csv"))
+    }),
+
     // Token-id encoding against the fitted vocabulary (text → ids, the
     // step before sequence packing). The vocab collect is MODEL-sized (20
     // rows — the kmeans-centroids pattern); the encode itself is one
@@ -1999,6 +2017,43 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       COALESCE(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos), '') AS clean_text
         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // Composition oracle: the same three proven stage bodies (strip →
+    // vocab-on-clean → encode) chained as CTEs. A doc stripped to nothing
+    // re-tokenizes as one empty token (split semantics both sides), which
+    // the encode maps to OOV — covered by the fully-stripped fixture docs.
+    "pipeline_tokenize" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |stok AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |          i -> {'pos': i-1, 'tok': w[i]}), recursive := true) FROM t),
+        |g0 AS (SELECT doc_id, len(w) AS nw, unnest(CASE WHEN len(w) >= 5
+        |         THEN list_transform(generate_series(1, len(w)-4),
+        |                i -> {'start': i-1, 'gram': array_to_string(w[i:i+4], ' ')})
+        |         ELSE [{'start': 0, 'gram': array_to_string(w, ' ')}] END,
+        |         recursive := true) FROM t),
+        |g AS (SELECT doc_id, start, gram, LEAST(5, nw) AS span FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT g.doc_id, g.start + unnest(range(g.span)) AS pos
+        |          FROM g JOIN dup USING (gram))),
+        |cleaned AS (SELECT stok.doc_id,
+        |       COALESCE(string_agg(CASE WHEN cov.pos IS NULL THEN stok.tok END,
+        |                           ' ' ORDER BY stok.pos), '') AS text
+        |       FROM stok LEFT JOIN cov ON cov.doc_id = stok.doc_id AND cov.pos = stok.pos
+        |       GROUP BY stok.doc_id),
+        |ct AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM cleaned),
+        |tok AS (SELECT unnest(w) AS tok FROM ct),
+        |v0 AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |v AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id
+        |      FROM v0 ORDER BY n DESC, tok LIMIT 20),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |        i -> {'pos': i-1, 'tok': w[i]}), recursive := true) FROM ct),
+        |j AS (SELECT e.doc_id, e.pos, COALESCE(v.token_id, -1) AS id
+        |      FROM e LEFT JOIN v ON v.tok = e.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     "text_vocab" ->
       """WITH t AS (SELECT string_split_regex(text, '\s+') AS w FROM documents),
