@@ -1053,9 +1053,14 @@ object SparkEntry {
     // is individually oracle-checked above; this query oracle-checks
     // their composition (the oracle chains the same three SQL stages).
     "pipeline_tokenize" -> ((s, dir) => {
+      // The cleaned relation feeds TWO passes (vocab fit + encode) — a
+      // model-fit-then-apply shape, so it materializes ONCE with
+      // localCheckpoint (distributed blocks, the RecomputeLoop pattern)
+      // instead of running the strip per consumer. Steady state halves.
       val cleaned = CurationOps.stripDupSpans(
           Tables.documents(s, dir).select("doc_id", "text"), n = 5)
         .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint()
       val vocab = CurationOps.buildVocab(cleaned, maxSize = 20)
         .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("token_id")).toMap
       CurationOps.encodeTokens(cleaned, vocab)
