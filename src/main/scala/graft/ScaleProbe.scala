@@ -80,7 +80,8 @@ object ScaleProbe {
     val docOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "pack_sequences" -> (df => CurationOps.packSequences(df)),
       "text_tfidf" -> (df => SearchOps.tfidfTopTerms(df)),
-      "minhash_signatures" -> (df => DedupOps.minHashSignatures(df, 64)))
+      "minhash_signatures" -> (df => DedupOps.minHashSignatures(df, 64)),
+      "strip_dup_spans" -> (df => CurationOps.stripDupSpans(df.select("doc_id", "text"))))
 
     for ((name, op) <- docOps) probe(name, k => op(scaledDocs(k)))
 

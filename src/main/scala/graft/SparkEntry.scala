@@ -674,6 +674,28 @@ object SparkEntry {
     // recursive CTE over the exact same edges must reproduce the same
     // (label, size, max) per component. Clustering is read back from the
     // export so both sides provably consume one edge set.
+    // Near-dup REMOVAL — the decision stage after detect → group: every
+    // doc whose component label is not its own id drops (representative =
+    // min doc of the cluster); singletons keep themselves. Same export-
+    // oracle pattern as neardup_groups (own edge export name so the two
+    // queries' edge sets cannot shadow each other in one run): DuckDB
+    // replays the clustering AND the keep decision over the same edges.
+    "neardup_keep" -> ((s, dir) => {
+      val docs = withPlantedVariants(Tables.documents(s, dir), nDrop = 3)
+        .select("doc_id")
+      val labels = DedupOps.nearDupGroups(
+        exportForOracle(
+          DedupOps.nearDupPairs(
+            withPlantedVariants(Tables.documents(s, dir), nDrop = 3),
+            k = 64, bands = 16, minJaccard = 0.6)
+            .select("doc_a", "doc_b"),
+          "neardup_keep_edges"))
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("label"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
+    }),
+
     "neardup_groups" -> ((s, dir) =>
       DedupOps.nearDupGroups(
         exportForOracle(
@@ -2405,6 +2427,26 @@ object SparkEntry {
     // labeling as neardup_cc, but over exactly the edges the Spark side
     // clustered — so a wrong label, size, or representative in the
     // distributed min-label/pointer-jump loop fails here.
+    // Near-dup keep/drop decision replayed over the exported edge set:
+    // same recursive-CTE clustering, then the representative test per doc
+    // of the SAME planted corpus the Spark side built.
+    "neardup_keep" ->
+      s"""WITH RECURSIVE
+         |docs AS (SELECT doc_id FROM documents
+         |         UNION ALL
+         |         SELECT doc_id + 1000000 FROM documents WHERE doc_id % 50 = 0),
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst
+         |       FROM read_parquet('${exportGlob("neardup_keep_edges")}')),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |cc AS (SELECT src AS doc_id, src AS label FROM e
+         |       UNION
+         |       SELECT e.dst AS doc_id, cc.label
+         |       FROM cc JOIN e ON e.src = cc.doc_id WHERE cc.label < e.dst),
+         |lab AS (SELECT doc_id, min(label) AS label FROM cc GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS label,
+         |       COALESCE(lab.label, d.doc_id) = d.doc_id AS kept
+         |FROM docs d LEFT JOIN lab ON lab.doc_id = d.doc_id""".stripMargin,
+
     "neardup_groups" ->
       s"""WITH RECURSIVE
          |e0 AS (SELECT doc_a AS src, doc_b AS dst
