@@ -958,6 +958,26 @@ object SparkEntry {
           round(col("recall"), 6).as("recall"))
     }),
 
+    // Int8 (SQ8) embedding quantization — the 4× memory cut a quantized
+    // ANN index stores. Encode is bit-reproducible (exact max, one pinned
+    // IEEE rounding expression), so codes and scales are fully
+    // oracle-checked; codes serialize to CSV for full-content compare.
+    "embedding_quantize" -> ((s, dir) =>
+      SimilarityOps.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))),
+
+    // Retrieval over the QUANTIZED index: brute cosine top-5 where both
+    // sides score against the dequantized reconstruction — the parity
+    // contract for serving from int8 codes. Fully SQL-expressible, so
+    // the whole quantize → dequantize → score → rank chain is
+    // oracle-checked.
+    "ann_topk_quantized" -> ((s, dir) => {
+      val dq = SimilarityOps.dequantizeInt8(
+        SimilarityOps.quantizeInt8(Tables.embeddings(s, dir)))
+      SimilarityOps.bruteTopK(dq.where(col("vec_id") < 8), dq, 5)
+    }),
+
     // Embedding near-duplicates via LSH buckets over planted twins
     // (rows-only — the fused production path; its VERIFY stage is
     // oracle-checked by embedding_verify below).
@@ -1929,6 +1949,39 @@ object SparkEntry {
         |  list_min(list_transform(generate_series(1, GREATEST(len(w) - 2, 1)),
         |    i -> md5(array_to_string(w[i:i+2], ' ')))) AS min_shingle_fp
         |FROM t""".stripMargin,
+
+    // SQ8 quantization replay: exact per-vector max, scale = max/127,
+    // codes via the same pinned floor(x/scale + 0.5) IEEE expression.
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
+        |SELECT vec_id, scale,
+        |       array_to_string(CASE WHEN scale = 0
+        |         THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+        |         END, ',') AS q_csv
+        |FROM m""".stripMargin,
+
+    // Quantized-retrieval replay: the same quantize, then dequantize
+    // (code · scale) and brute cosine top-5 over the reconstructions —
+    // identical chain to the Spark side, end to end in SQL.
+    "ann_topk_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |dq AS (SELECT vec_id, CASE WHEN scale = 0
+        |         THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+        |         END AS v FROM m),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM dq WHERE vec_id < 8),
+        |s AS (SELECT q_id, dq.vec_id AS c_id,
+        |  list_dot_product(qv, v) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+        |  FROM q, dq WHERE dq.vec_id != q_id),
+        |r AS (SELECT q_id, c_id, score,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM s)
+        |SELECT q_id, rk, c_id, ROUND(score, 6) AS score FROM r WHERE rk <= 5""".stripMargin,
 
     "ann_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

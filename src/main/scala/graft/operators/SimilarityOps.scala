@@ -333,6 +333,34 @@ object SimilarityOps {
     cosineVerifyPairs(
       embeddingCandidatePairs(vectors, dim, tables, bitsPerTable, seed), minCosine)
 
+  /** Symmetric per-vector int8 quantization (the SQ8 scheme ANN systems
+    * use for a 4× memory cut): scale = max|x|/127, q_i = ⌊x_i/scale + ½⌋.
+    * The floor-plus-half form (not a round() builtin) pins the half-way
+    * rounding mode to one IEEE expression both Spark and a SQL oracle
+    * evaluate identically; max is exact (no accumulation), so the whole
+    * encode is bit-reproducible. Zero vectors quantize to all-zero with
+    * scale 0. Map-only at any scale.
+    *
+    * @return (vec_id, scale double, q array<long> of the int8 codes)
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        (aggregate(col("v"), lit(0d), (a, x) => greatest(a, abs(x))) / 127d)
+          .as("scale"),
+        col("v"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0d, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") + lit(0.5d)).cast("long"))).as("q"))
+
+  /** Dequantize [[quantizeInt8]] codes back to double vectors (q_i ·
+    * scale) — the reconstruction a quantized index scores against. */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"),
+      transform(col("q"), j => j.cast("double") * col("scale")).as("embedding"))
+
   /** Nearest-centroid assignment against a driver-side centroid model —
     * map-only, one codegen'd dot per centroid, ties break by centroid
     * index ([[graft.functions.HashExpressions.TopCentroids]]). */

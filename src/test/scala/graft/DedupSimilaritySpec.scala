@@ -456,6 +456,39 @@ class DedupSimilaritySpec extends SparkSpec {
       "totally different words with no overlap at all here now")))
   }
 
+  test("int8 quantization: codes bounded, reconstruction error <= scale/2, recall holds") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val quant = graft.operators.SimilarityOps.quantizeInt8(emb)
+    val rows = quant.collect()
+    assert(rows.length == emb.count())
+    for (r <- rows) {
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Long](2)
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec ${r.getLong(0)} code out of range")
+      assert(scale >= 0)
+    }
+    // per-element reconstruction error is at most scale/2 (symmetric mid-rise)
+    val errOk = quant.join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        zip_with(col("q"), graft.operators.SimilarityOps.vecD(col("embedding")),
+          (j, x) => abs(j.cast("double") * col("scale") - x) <= col("scale") / 2 + lit(1e-12))
+          .as("ok"))
+      .select(forall(col("ok"), identity).as("all_ok"))
+      .collect().forall(_.getBoolean(0))
+    assert(errOk)
+    // retrieval over the dequantized index stays close to exact: recall@5 >= 0.8
+    val dq = graft.operators.SimilarityOps.dequantizeInt8(quant)
+    val exact = graft.operators.SimilarityOps.bruteTopK(
+      emb.where(col("vec_id") < 8), emb, 5)
+    val approx = graft.operators.SimilarityOps.bruteTopK(
+      dq.where(col("vec_id") < 8), dq, 5)
+    val recalls = graft.operators.SimilarityOps.recallAtK(approx, exact)
+      .collect().map(_.getDouble(1))
+    assert(recalls.nonEmpty && recalls.forall(_ >= 0.8),
+      s"quantized recall too low: ${recalls.mkString(",")}")
+  }
+
   test("vocab build ranks by (count desc, token asc); encode maps OOV to -1") {
     val s = spark
     import s.implicits._
