@@ -1088,6 +1088,12 @@ object SparkEntry {
     "text_vocab" -> ((s, dir) =>
       CurationOps.buildVocab(Tables.documents(s, dir), maxSize = 20)),
 
+    // Percentile length screen: docs inside the exact [p10, p90] token-
+    // count band (one broadcast stats row, map-side filter — no shuffle
+    // of the corpus).
+    "length_filter" -> ((s, dir) =>
+      CurationOps.lengthFilter(Tables.documents(s, dir).select("doc_id", "text"))),
+
     // End-to-end tokenization pipeline as ONE declarative chain: strip
     // cross-doc duplicated passages, fit the vocabulary on the CLEANED
     // text (the order a real pipeline uses — dup boilerplate must not
@@ -2134,6 +2140,15 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "length_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT quantile_cont(n_tokens, 0.1) AS lo,
+        |             quantile_cont(n_tokens, 0.9) AS hi FROM t)
+        |SELECT doc_id, n_tokens FROM t, b
+        |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin,
 
     "text_vocab" ->
       """WITH t AS (SELECT string_split_regex(text, '\s+') AS w FROM documents),

@@ -140,6 +140,27 @@ object CurationOps {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Percentile length filter: keep documents whose token count lies in
+    * the corpus' [lo, hi] exact-percentile band — the outlier-length
+    * screen (truncated boilerplate, concatenation accidents) a curation
+    * pipeline runs before quality scoring. EXACT percentiles (Spark
+    * `percentile`, bit-matching `quantile_cont` — the proven a10
+    * contract), computed in ONE tiny aggregate that broadcasts into a
+    * map-side filter: the corpus never shuffles.
+    *
+    * @return (doc_id, n_tokens) for surviving documents
+    */
+  def lengthFilter(docs: DataFrame, lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    val counted = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val bounds = counted.agg(
+      expr(s"percentile(n_tokens, $lo)").as("lo"),
+      expr(s"percentile(n_tokens, $hi)").as("hi"))
+    counted.crossJoin(broadcast(bounds))
+      .where(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select("doc_id", "n_tokens")
+  }
+
   /** Frequency vocabulary over whitespace tokens: the top `maxSize` tokens
     * by (count DESC, token ASC) — a total order, so the vocabulary and the
     * ids it assigns are deterministic across runs and engines. One
