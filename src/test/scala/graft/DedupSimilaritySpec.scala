@@ -489,6 +489,33 @@ class DedupSimilaritySpec extends SparkSpec {
       s"quantized recall too low: ${recalls.mkString(",")}")
   }
 
+  test("lengthFilter keeps exactly the docs inside the percentile band") {
+    val s = spark
+    import s.implicits._
+    // token counts 1..10: p10 = 1.9, p90 = 9.1 (linear interpolation) ->
+    // survivors are counts 2..9
+    val docs = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.CurationOps.lengthFilter(docs, 0.1, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == (2L to 9L).toSet)
+    assert(kept.forall { case (id, n) => n == id }) // counts reported exactly
+  }
+
+  test("stripDupSpans: a short doc duplicated whole-text strips entirely") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "tiny dup"), (2L, "tiny dup"), // < 5 tokens: whole-text shingle
+      (3L, "unrelated standalone content here"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CurationOps.stripDupSpans(docs, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 0L, ""))) // fully stripped
+    assert(got(2L) == ((2L, 0L, "")))
+    assert(got(3L) == ((4L, 4L, "unrelated standalone content here")))
+  }
+
   test("vocab build ranks by (count desc, token asc); encode maps OOV to -1") {
     val s = spark
     import s.implicits._

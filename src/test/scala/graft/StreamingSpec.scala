@@ -656,6 +656,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamPairs.nonEmpty) // the planted variants must surface
   }
 
+  test("streaming SimHash gate: TTL evicts block state past the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val stream = StreamOps.simHashPairsStream(
+      in.toDS().toDF("ts", "doc_id", "text"),
+      maxHamming = 3, ttl = "60 seconds", watermark = "0 seconds")
+    val q = startMemQuery(stream.toDF(), "t_simhash_ttl", "append")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def at(sec: Long, id: Long, t: String) = (new Timestamp(sec * 1000), id, t)
+    in.addData(at(1000, 1, textA))
+    q.processAllAvailable()
+    in.addData(at(2000, 99, "unrelated filler text payload"))
+    q.processAllAvailable() // watermark -> 2000: doc 1's blocks (timeout 1060) evict
+    in.addData(at(2001, 11, textA))
+    q.processAllAvailable(); q.stop()
+    // the identical twin arrives AFTER eviction: no pair may surface
+    assert(spark.table("t_simhash_ttl").count() == 0)
+  }
+
   test("streaming near-dup gate: TTL evicts bucket state past the watermark") {
     val s = spark
     import s.implicits._
