@@ -1208,6 +1208,13 @@ object SparkEntry {
         .select(col("metric"), col("event_id"), col("e"),
           round(col("cusum"), 6).as("cusum"), col("breach"))),
 
+    // Per-metric discrete derivative (rate of change between consecutive
+    // samples) — slope alerts / trend arrows.
+    "a27_derivative" -> ((s, dir) =>
+      TrendOps.derivative(series(s, dir))
+        .select(col("metric"), col("event_id"), col("e"),
+          round(col("slope"), 6).as("slope"))),
+
     // Data-quality gap report: sampling holes longer than the engine's
     // min-sample-gap parameter.
     "a22_gap_report" -> ((s, dir) =>
@@ -2273,6 +2280,16 @@ object SparkEntry {
     // Same exact-arithmetic shape as the Spark side: n·cusum stays in
     // decimal, the breach compare is exact, and the reported double is one
     // division at the end.
+    "a27_derivative" ->
+      s"""WITH $SERIES,
+         |d AS (SELECT metric, event_id, e, CAST(value AS DECIMAL(18,2)) AS vd FROM series),
+         |w AS (SELECT metric, event_id, e, vd,
+         |        lag(vd) OVER o AS pv, lag(e) OVER o AS pe
+         |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id))
+         |SELECT metric, event_id, e,
+         |       round(CAST(vd - pv AS DOUBLE) / CAST(e - pe AS DOUBLE), 6) AS slope
+         |FROM w WHERE pe IS NOT NULL AND e != pe""".stripMargin,
+
     "a20_cusum" ->
       s"""WITH $SERIES,
          |d AS (SELECT metric, event_id, e, CAST(value AS DECIMAL(18,2)) AS vd FROM series),

@@ -584,6 +584,24 @@ object TrendOps {
     * the breach flag (|n·cusum_k| > n·threshold) is EXACT, and the reported
     * `cusum` double is one deterministic division at the end. Both windows
     * partition by metric — no global sort anywhere. */
+  /** Per-metric discrete derivative: Δvalue/Δt between consecutive samples
+    * in (e, event_id) order — the rate-of-change signal behind slope
+    * alerts and trend arrows. Δvalue computes in exact decimals and the
+    * single division by the integer Δt happens once at the end, so the
+    * double slope is bit-deterministic at any partition count. Same-second
+    * successors carry no defined slope and are excluded. ONE metric-keyed
+    * window pass, no joins. */
+  def derivative(series: DataFrame): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))
+    series
+      .withColumn("__pv", lag(col("value").cast("decimal(18,2)"), 1).over(w))
+      .withColumn("__pe", lag(col("e"), 1).over(w))
+      .where(col("__pe").isNotNull && col("e") =!= col("__pe"))
+      .select(col("metric"), col("event_id"), col("e"),
+        ((col("value").cast("decimal(18,2)") - col("__pv")).cast("double") /
+          (col("e") - col("__pe")).cast("double")).as("slope"))
+  }
+
   def cusum(series: DataFrame, threshold: Double = 50.0): DataFrame = {
     val byMetric = Window.partitionBy("metric")
     val wOrd = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))
