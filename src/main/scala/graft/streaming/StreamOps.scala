@@ -23,6 +23,9 @@ final case class CusumPoint(metric: String, e: Long, value: Double,
 /** Gap-triggered micro-batch mean output (A4 exact parity). */
 final case class TriggeredMean(metric: String, e: Long, mean_val: Double, n: Long)
 
+/** One streaming derivative observation ([[StreamOps.derivativeStream]]). */
+final case class SlopePoint(metric: String, e: Long, value: Double, slope: Double)
+
 /** One banded document row inside [[StreamOps.nearDupCandidatesStream]]. */
 final case class BandedDoc(ts: Timestamp, doc_id: Long, sig: Array[Long],
                            band_idx: Int, band_sig: Int)
@@ -300,6 +303,41 @@ object StreamOps {
           }
           state.update((prev, seeded))
           out.iterator
+      }
+  }
+
+  /** Streaming discrete derivative — the incremental twin of
+    * [[graft.operators.TrendOps.derivative]]: one (prev value, prev e)
+    * pair per metric is the entire state. The value delta computes in the
+    * same HALF_UP 2-decimal arithmetic as the batch op's decimal cast and
+    * divides once by the integer time gap, so emitted slopes are
+    * bit-identical to batch on replay (asserted by the parity test).
+    * Same-second successors emit nothing but still advance the
+    * predecessor, exactly like the batch window's lag. Within a
+    * micro-batch events process in event-time order; same-second ties
+    * follow arrival order (the batch op's event_id tie-break has no
+    * streaming counterpart — parity holds for distinct timestamps). */
+  def derivativeStream(samples: Dataset[StreamSample]): Dataset[SlopePoint] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    def dec(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+    samples
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState[(Double, Long, Boolean), SlopePoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (metric: String, events: Iterator[StreamSample], state: GroupState[(Double, Long, Boolean)]) =>
+          var (pv, pe, seeded) = state.getOption.getOrElse((0d, 0L, false))
+          val out = List.newBuilder[SlopePoint]
+          for (ev <- events.toSeq.sortBy(_.ts.getTime)) {
+            val e = ev.ts.getTime / 1000L
+            if (seeded && e != pe)
+              out += SlopePoint(metric, e, ev.value,
+                dec(ev.value).subtract(dec(pv)).doubleValue() / (e - pe).toDouble)
+            pv = ev.value; pe = e; seeded = true
+          }
+          state.update((pv, pe, seeded))
+          out.result().iterator
       }
   }
 

@@ -203,6 +203,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming derivative matches the batch window across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val q = startMemQuery(StreamOps.derivativeStream(in.toDS()).toDF(), "t_slope", "append")
+    def sample(sec: Long, v: Double) = StreamSample(new Timestamp(sec * 1000), "s", "m", v)
+    in.addData(sample(0, 10.0), sample(30, 25.0), sample(30, 26.0))
+    q.processAllAvailable()
+    in.addData(sample(90, 14.0)) // prev=(26.0 @ 30) carried across the boundary
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_slope").collect()
+      .map(r => r.getAs[Long]("e") -> r.getAs[Double]("slope")).toMap
+    // 30s: (25-10)/30 = 0.5; the same-second 26.0 emits nothing but
+    // becomes the predecessor; 90s: (14-26)/60 = -0.2
+    assert(got == Map(30L -> 0.5, 90L -> -0.2))
+    // identical to the batch operator on the same series (distinct-e rows;
+    // the batch keeps the same-second pair out via its e != prev_e guard
+    // and advances lag through it the same way)
+    val batch = graft.operators.TrendOps.derivative(
+      seriesDF(("m", 0L, 10.0), ("m", 30L, 25.0), ("m", 30L, 26.0), ("m", 90L, 14.0)))
+      .collect().map(r => r.getAs[Long]("e") -> r.getAs[Double]("slope")).toMap
+    assert(got == batch)
+  }
+
   test("stream-stream interval join: purchases pick up trailing clicks per channel") {
     val s = spark
     import s.implicits._
