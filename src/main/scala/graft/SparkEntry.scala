@@ -92,7 +92,7 @@ object SparkEntry {
        |r AS (SELECT q_id, c_id, score,
        |        row_number() OVER (PARTITION BY q_id
        |          ORDER BY score DESC, c_id) AS rk FROM s)
-       |SELECT q_id, rk, c_id, ROUND(score, 6) AS score FROM r WHERE rk <= 5""".stripMargin
+       |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin
 
   /** `model = true` marks a model-sized export (centroids, parameters —
     * rows ~ nClusters, never data-sized): those coalesce to one file.
@@ -663,8 +663,7 @@ object SparkEntry {
           "minhash_cands"),
         withPlantedVariants(Tables.documents(s, dir), nDrop = 3))
         .where(col("jaccard") >= 0.6)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("jaccard"), 6).as("jaccard"))),
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))),
 
     // Near-dup clusters: MinHash-LSH pairs → connected components (min-label
     // propagation) — the grouping stage a real dedup pipeline runs after
@@ -731,7 +730,7 @@ object SparkEntry {
       val pairs = docs.where(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       DedupOps.jaccardForPairs(pairs, docs)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }),
 
     // Text stats per (lang, source).
@@ -954,8 +953,7 @@ object SparkEntry {
       SimilarityOps.recallAtK(lsh, exact).withColumn("method", lit("lsh"))
         .unionByName(
           SimilarityOps.recallAtK(ivf, exact).withColumn("method", lit("ivf")))
-        .select(col("method"), col("q_id"),
-          round(col("recall"), 6).as("recall"))
+        .select(col("method"), col("q_id"), col("recall"))
     }),
 
     // Int8 (SQ8) embedding quantization — the 4× memory cut a quantized
@@ -1145,7 +1143,7 @@ object SparkEntry {
     "embedding_norms" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
         col("vec_id"), col("label"),
-        round(SimilarityOps.norm(col("embedding")), 6).as("l2_norm"))),
+        SimilarityOps.norm(col("embedding")).as("l2_norm"))),
 
     // Large-volume orders (TPC-H Q18 shape): HAVING on an aggregate, then
     // join the survivors back to orders/customer. The filtered aggregate is
@@ -1193,7 +1191,7 @@ object SparkEntry {
     // scoring + one broadcast single-row stats agg + TakeOrdered top-k.
     "text_bm25" -> ((s, dir) =>
       SearchOps.bm25(Tables.documents(s, dir), Seq("spark", "join", "vector"), k = 15)
-        .select(col("doc_id"), round(col("score"), 6).as("score"))),
+        .select(col("doc_id"), col("score"))),
 
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
@@ -1203,17 +1201,22 @@ object SparkEntry {
     "a19_diurnal" -> ((s, dir) => TrendOps.diurnalProfile(series(s, dir))),
 
     // CUSUM changepoint screen per metric (exact-arithmetic breach flag).
+    // Portable-rounding rule: the cusum double is one division of an exact
+    // decimal by an integer, bit-identical across engines (a14_ewma
+    // contract) — compare RAW; a round(DOUBLE, n) on a tie-edge value
+    // diverges between Spark (BigDecimal HALF_UP) and DuckDB
+    // (scaled-double) rounding.
     "a20_cusum" -> ((s, dir) =>
       TrendOps.cusum(series(s, dir), threshold = 50.0)
         .select(col("metric"), col("event_id"), col("e"),
-          round(col("cusum"), 6).as("cusum"), col("breach"))),
+          col("cusum"), col("breach"))),
 
     // Per-metric discrete derivative (rate of change between consecutive
-    // samples) — slope alerts / trend arrows.
+    // samples) — slope alerts / trend arrows. Raw double: exact-decimal
+    // numerator ÷ integer Δt is bit-deterministic (see a20 note).
     "a27_derivative" -> ((s, dir) =>
       TrendOps.derivative(series(s, dir))
-        .select(col("metric"), col("event_id"), col("e"),
-          round(col("slope"), 6).as("slope"))),
+        .select(col("metric"), col("event_id"), col("e"), col("slope"))),
 
     // Data-quality gap report: sampling holes longer than the engine's
     // min-sample-gap parameter.
@@ -1397,6 +1400,22 @@ object SparkEntry {
   )
 
   // ---- oracle SQL ----------------------------------------------------------
+  //
+  // PORTABLE-ROUNDING RULE (r9): never `round(DOUBLE, n>0)` on a compare
+  // surface. Spark rounds via BigDecimal HALF_UP on the double's exact
+  // binary expansion; DuckDB rounds via scaled-double arithmetic — on a
+  // tie-edge value (x.xxxxxx5, common when values derive from /100
+  // decimals) the two land on different digits (a27_derivative, r7/r8).
+  // Instead, every double emitted for compare is BIT-DETERMINISTIC — an
+  // exact int/int or decimal/int division, or an identical-order IEEE
+  // expression tree on both sides (the a14_ewma contract: +,-,*,/,sqrt are
+  // correctly rounded per IEEE 754, so same inputs + same tree = same
+  // bits) — and compared RAW. Scale-0 rounding (`round(v, 0)` /
+  // `ROUND(value)`) remains allowed: both engines resolve it exactly
+  // (half-away-from-zero on the exactly-representable double), no scaling
+  // step involved. Transcendentals (ln/exp/pow) are banned from compare
+  // surfaces outright — bm25/tfidf use log-free rational scoring for this
+  // reason.
 
   /** The fused-Aggregator flagship shares the built-ins flagship's oracle
     * (identical output contract). */
@@ -1884,8 +1903,8 @@ object SparkEntry {
         |                             i -> array_to_string(w[i:i+2], ' '))
         |         ELSE [array_to_string(w, ' ')] END) AS s FROM t)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |        len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(a.s || b.s)) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 2 = 0""".stripMargin,
 
@@ -1994,7 +2013,7 @@ object SparkEntry {
         |  FROM q, dq WHERE dq.vec_id != q_id),
         |r AS (SELECT q_id, c_id, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM s)
-        |SELECT q_id, rk, c_id, ROUND(score, 6) AS score FROM r WHERE rk <= 5""".stripMargin,
+        |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin,
 
     "ann_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2005,7 +2024,7 @@ object SparkEntry {
         |  FROM q, e WHERE e.vec_id != q_id),
         |r AS (SELECT q_id, c_id, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM s)
-        |SELECT q_id, rk, c_id, ROUND(score, 6) AS score FROM r WHERE rk <= 5""".stripMargin,
+        |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -2202,8 +2221,8 @@ object SparkEntry {
 
     "embedding_norms" ->
       """SELECT vec_id, label,
-        |  ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                              CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) AS l2_norm
         |FROM embeddings""".stripMargin,
 
     "q18_big_orders" ->
@@ -2237,7 +2256,7 @@ object SparkEntry {
         |+ (((n - df2) + 0.5) / (df2 + 0.5)) *
         |    ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
         |  AS score FROM d, s)
-        |SELECT doc_id, ROUND(score, 6) AS score FROM (
+        |SELECT doc_id, score FROM (
         |  SELECT doc_id, score FROM sc
         |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15) q""".stripMargin,
 
@@ -2287,7 +2306,7 @@ object SparkEntry {
          |        lag(vd) OVER o AS pv, lag(e) OVER o AS pe
          |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id))
          |SELECT metric, event_id, e,
-         |       round(CAST(vd - pv AS DOUBLE) / CAST(e - pe AS DOUBLE), 6) AS slope
+         |       CAST(vd - pv AS DOUBLE) / CAST(e - pe AS DOUBLE) AS slope
          |FROM w WHERE pe IS NOT NULL AND e != pe""".stripMargin,
 
     "a20_cusum" ->
@@ -2301,7 +2320,7 @@ object SparkEntry {
          |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id)),
          |s AS (SELECT metric, event_id, e, n, n * cum - k * total AS scaled FROM w)
          |SELECT metric, event_id, e,
-         |       round(CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
+         |       CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
          |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
          |FROM s""".stripMargin,
 
@@ -2325,7 +2344,7 @@ object SparkEntry {
          |      GROUP BY 1, 2),
          |v AS (SELECT *, sxx - sx * sx / n AS vx, syy - sy * sy / n AS vy FROM p)
          |SELECT ma, mb, CAST(n AS BIGINT) AS n_buckets,
-         |       round((sxy - sx * sy / n) / sqrt(vx * vy), 6) AS corr
+         |       (sxy - sx * sy / n) / sqrt(vx * vy) AS corr
          |FROM v WHERE n >= 2 AND vx > 0 AND vy > 0""".stripMargin,
 
     "a22_gap_report" ->
@@ -2427,7 +2446,7 @@ object SparkEntry {
          |          len(list_distinct(a.s || b.s)) AS jaccard
          |      FROM p JOIN sh a ON a.doc_id = p.doc_a
          |             JOIN sh b ON b.doc_id = p.doc_b)
-         |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+         |SELECT doc_a, doc_b, jaccard
          |FROM j WHERE jaccard >= 0.6""".stripMargin,
 
     // Embedding near-dup cosine-verify oracle: the exported candidate pairs
@@ -2443,7 +2462,7 @@ object SparkEntry {
          |          (sqrt(list_dot_product(va, va)) *
          |           sqrt(list_dot_product(vb, vb))) AS score
          |      FROM p)
-         |SELECT vec_a, vec_b, ROUND(score, 6) AS score
+         |SELECT vec_a, vec_b, score
          |FROM s WHERE score >= 0.95""".stripMargin,
 
     // ANN rerank oracles over the Spark-exported candidate lists: cosine
@@ -2460,12 +2479,12 @@ object SparkEntry {
          |l AS (SELECT q_id, c_id FROM read_parquet('${exportGlob("recall_lsh")}')),
          |i AS (SELECT q_id, c_id FROM read_parquet('${exportGlob("recall_ivf")}'))
          |SELECT 'lsh' AS method, e.q_id,
-         |       ROUND(CAST(count(l.c_id) AS DOUBLE) / count(*), 6) AS recall
+         |       CAST(count(l.c_id) AS DOUBLE) / count(*) AS recall
          |FROM e LEFT JOIN l ON l.q_id = e.q_id AND l.c_id = e.c_id
          |GROUP BY e.q_id
          |UNION ALL
          |SELECT 'ivf' AS method, e.q_id,
-         |       ROUND(CAST(count(i.c_id) AS DOUBLE) / count(*), 6) AS recall
+         |       CAST(count(i.c_id) AS DOUBLE) / count(*) AS recall
          |FROM e LEFT JOIN i ON i.q_id = e.q_id AND i.c_id = e.c_id
          |GROUP BY e.q_id""".stripMargin,
 
@@ -2607,7 +2626,7 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY doc_id
         |          ORDER BY score DESC, term) AS BIGINT) AS rk
         |      FROM sc)
-        |SELECT doc_id, rk, term, round(score, 6) AS score FROM r WHERE rk <= 5""".stripMargin,
+        |SELECT doc_id, rk, term, score FROM r WHERE rk <= 5""".stripMargin,
 
     "q_cheapest_supplier" ->
       """WITH m AS (SELECT l_partkey,

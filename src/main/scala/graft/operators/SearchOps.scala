@@ -91,7 +91,6 @@ object SearchOps {
           .as("score"))
     RelationalOps.topNPerGroup(scored, k,
         Seq(col("doc_id")), Seq(col("score").desc, col("term").asc))
-      .select(col("doc_id"), col("rk"), col("term"),
-        round(col("score"), 6).as("score"))
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
   }
 }

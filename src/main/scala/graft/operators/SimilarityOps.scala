@@ -35,7 +35,7 @@ object SimilarityOps {
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     RelationalOps.topNPerGroup(scored, k,
         Seq(col("q_id")), Seq(col("score").desc, col("c_id")))
-      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score"))
+      .select(col("q_id"), col("rk"), col("c_id"), col("score"))
 
   /** Exact brute-force cosine top-k: the given query vectors (a SMALL set —
     * broadcast) against every candidate row. Per-candidate work only; the
@@ -322,7 +322,7 @@ object SimilarityOps {
     pairs
       .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("score") >= minCosine)
-      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+      .select(col("vec_a"), col("vec_b"), col("score"))
 
   /** Embedding near-duplicate pairs (cosine >= minCosine) via the same LSH
     * tables: bucket-join candidates among ALL rows (no query set), exact

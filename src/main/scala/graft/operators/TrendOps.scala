@@ -364,8 +364,8 @@ object TrendOps {
       .withColumn("vy", col("syy") - col("sy") * col("sy") / col("n"))
       .where(col("n") >= 2 && col("vx") > 0 && col("vy") > 0)
       .select(col("ma"), col("mb"), col("n").cast("long").as("n_buckets"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) /
-          sqrt(col("vx") * col("vy")), 6).as("corr"))
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt(col("vx") * col("vy"))).as("corr"))
   }
 
   /** Time-weighted mean per metric: each sample weighted by its holding
