@@ -20,13 +20,13 @@ object Bench {
     // charged for JIT + classloading (it showed 2-3x inflated otherwise).
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).selectExpr("sum(l_quantity)").collect()
-    // Alphabetical, EXCEPT the streaming replay runs last: it is a real
-    // Structured Streaming job (state-store commits, per-batch checkpoint
+    // Alphabetical, EXCEPT the streaming replays run last: they are real
+    // Structured Streaming jobs (state-store commits, per-batch checkpoint
     // fsyncs) whose GC/state pressure measurably bled into the
     // alphabetically-adjacent text block in round 6's snapshot — at the
-    // end it can no longer contaminate any other query's timing.
+    // end they can no longer contaminate any other query's timing.
     val results = SparkEntry.queries.toSeq
-      .sortBy { case (name, _) => (name == "stream_tier_parity", name) }
+      .sortBy { case (name, _) => (name.startsWith("stream_"), name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -167,6 +167,26 @@ object SparkEntry {
   private def series(s: SparkSession, dir: String): DataFrame =
     Tables.metricSeries(guarded(s), dir)
 
+  /** Tie-free slice of the series: rows whose (metric, second) is unique.
+    * The typed streaming twins ([[graft.streaming.StreamOps]] derivative /
+    * cusum / ewma) carry no event_id to break same-second ties the way
+    * the batch windows do, so their exact-parity contract — and their
+    * CORRECTNESS rows — are defined over this slice; tie behavior stays
+    * pinned by the batch oracles (a27/a20/a14) and StreamingSpec. */
+  private def uniqueSeries(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("metric", "e")
+    series(s, dir)
+      .withColumn("__c", count(lit(1)).over(w))
+      .where(col("__c") === 1)
+      .drop("__c")
+  }
+
+  /** SQL twin of [[uniqueSeries]] (requires the `series` CTE in scope). */
+  private val UNIQUE_SERIES =
+    """useries AS (SELECT metric, e, value FROM (
+      |        SELECT metric, e, value, count(*) OVER (PARTITION BY metric, e) AS c
+      |        FROM series) WHERE c = 1)""".stripMargin
+
   // ---- queries -------------------------------------------------------------
 
   /** Every 50th document plus a variant with the last `nDrop` tokens
@@ -1251,6 +1271,24 @@ object SparkEntry {
           .withColumn("b1m", col("minute_start").cast("long"))
           .select("metric", "b1m", "n", "sv", "mn", "mx"))),
 
+    // The typed stateful twins replayed through the same harness, each
+    // facing a plain-SQL oracle over the tie-free slice (the twins'
+    // documented exact-parity domain — see [[uniqueSeries]]): a green row
+    // proves checkpointed flatMapGroupsWithState state carries the exact
+    // recurrence across micro-batch boundaries.
+    "stream_derivative_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.derivativeReplay(
+        uniqueSeries(s, dir).select("metric", "e", "value"))),
+
+    "stream_cusum_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.cusumReplay(
+        uniqueSeries(s, dir).select("metric", "e", "value"),
+        target = 50.0, threshold = 500.0)),
+
+    "stream_ewma_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.ewmaReplay(
+        uniqueSeries(s, dir).select("metric", "e", "value"), alpha = 0.2)),
+
     // Pairwise correlation matrix across metrics, aligned on 60s-bucket
     // sums ([[TrendOps.corrMatrix]] — which ENFORCES its O(m²) metric cap).
     // maxMetrics is plumbed EXPLICITLY, sized to the fixture contract
@@ -2328,6 +2366,47 @@ object SparkEntry {
     // this by composing its 1m tier (batch leg AND streaming-replay leg).
     "a24_rollup_tier" -> ROLLUP_TIER_ORACLE,
     "stream_tier_parity" -> ROLLUP_TIER_ORACLE,
+
+    // Streaming-twin parity oracles over the tie-free slice. Same
+    // portable-rounding posture as a27/a20/a14: exact decimal or integer
+    // arithmetic up to ONE final division / identical-order double
+    // recurrence, compared raw.
+    "stream_derivative_parity" ->
+      s"""WITH $SERIES, $UNIQUE_SERIES,
+         |d AS (SELECT metric, e, value, CAST(value AS DECIMAL(18,2)) AS vd FROM useries),
+         |w AS (SELECT metric, e, value, vd,
+         |        lag(vd) OVER o AS pv, lag(e) OVER o AS pe
+         |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e))
+         |SELECT metric, e, value,
+         |       CAST(vd - pv AS DOUBLE) / CAST(e - pe AS DOUBLE) AS slope
+         |FROM w WHERE pe IS NOT NULL""".stripMargin,
+
+    "stream_cusum_parity" ->
+      s"""WITH $SERIES, $UNIQUE_SERIES,
+         |w AS (SELECT metric, e, value,
+         |        sum(CAST(value AS DECIMAL(18,2)) - CAST(50.00 AS DECIMAL(18,2)))
+         |          OVER (PARTITION BY metric ORDER BY e
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+         |      FROM useries)
+         |SELECT metric, e, value, CAST(acc AS DOUBLE) AS cusum,
+         |       abs(acc) > CAST(500.00 AS DECIMAL(18,2)) AS breach
+         |FROM w""".stripMargin,
+
+    // The EWMA recurrence replayed one position per recursive iteration —
+    // the a14 oracle's proven identical-expression contract, minus the
+    // event_id tie-break (the slice is tie-free).
+    "stream_ewma_parity" ->
+      s"""WITH RECURSIVE $SERIES, $UNIQUE_SERIES,
+         |o AS (SELECT metric, e, value,
+         |        CAST(row_number() OVER (PARTITION BY metric ORDER BY e) AS BIGINT) AS rn
+         |      FROM useries),
+         |r AS (
+         |  SELECT metric, rn, e, value, value AS ewma FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.metric, o.rn, o.e, o.value, 0.2 * o.value + (1 - 0.2) * r.ewma
+         |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
+         |)
+         |SELECT metric, e, value, ewma FROM r""".stripMargin,
 
     "a25_corr_matrix" ->
       s"""WITH $SERIES,

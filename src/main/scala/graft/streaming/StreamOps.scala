@@ -353,21 +353,35 @@ object StreamOps {
     * sample appends its deviation at arrival position (no event-time
     * buffering; SPC charts track the monitored stream as observed).
     * Replays reproduce the same path because batch boundaries replay
-    * identically from the checkpoint. */
+    * identically from the checkpoint.
+    *
+    * Determinism contract: values, target and threshold all quantize to
+    * 2-decimal fixed point (the repo-wide decimal(18,2) contract) and the
+    * running sum accumulates in EXACT integer cents — order-independent
+    * bits, so the emitted `cusum` double (one exact-integer / 100.0
+    * division per point) and the breach flag (an integer compare) face a
+    * plain SQL windowed decimal SUM bit-for-bit
+    * (`stream_cusum_parity`). */
   def cusumStream(samples: Dataset[StreamSample], target: Double,
                   threshold: Double): Dataset[CusumPoint] = {
     val spark = samples.sparkSession
     import spark.implicits._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    val targetCents = cents(target)
+    val thresholdCents = cents(threshold)
     samples
       .groupByKey(_.metric)
-      .flatMapGroupsWithState[Double, CusumPoint](
+      .flatMapGroupsWithState[Long, CusumPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (metric: String, events: Iterator[StreamSample], state: GroupState[Double]) =>
-          var acc = state.getOption.getOrElse(0d)
+        (metric: String, events: Iterator[StreamSample], state: GroupState[Long]) =>
+          var acc = state.getOption.getOrElse(0L)
           val out = events.toSeq.sortBy(_.ts.getTime).map { ev =>
-            acc += ev.value - target
-            CusumPoint(metric, ev.ts.getTime / 1000L, ev.value, acc,
-              math.abs(acc) > threshold)
+            acc += cents(ev.value) - targetCents
+            CusumPoint(metric, ev.ts.getTime / 1000L, ev.value, acc / 100.0,
+              math.abs(acc) > thresholdCents)
           }
           state.update(acc)
           out.iterator

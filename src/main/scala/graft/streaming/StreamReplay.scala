@@ -34,54 +34,54 @@ import org.apache.spark.sql.functions._
   */
 object StreamReplay {
 
-  /** Replays the canonical series relation `(metric, e, value)` through
-    * [[StreamOps.minuteTierStream]] and returns the final 1-minute tier
-    * `(metric, minute_start, n, sv, mn, mx)` — the table a batch
-    * re-aggregation composes into coarser tiers (the a24 contract). */
-  def minuteTierReplay(series: DataFrame, slices: Int = 3,
-                       watermark: String = "3650 days"): DataFrame = {
-    val spark = series.sparkSession
+  private val SAMPLE_SCHEMA = "ts TIMESTAMP, source STRING, metric STRING, value DOUBLE"
+
+  /** Shared replay plumbing: cut `src` (any relation with a `ts`
+    * timestamp column) into `slices` time-ordered single-file chunks,
+    * run `build(stream)` over them as a checkpointed `maxFilesPerTrigger=1`
+    * file stream, and return every sink emission tagged with its
+    * `batch_id`, eagerly localCheckpointed so the temp root can be
+    * deleted before returning. `None` on an empty fixture.
+    *
+    * Slice boundaries come from the fixture's own span: equal event-time
+    * ranges, written oldest-first so the replay presents data the way a
+    * live transport would. Boundaries land on whole seconds, so rows
+    * sharing an epoch second can never straddle two slices. Empty slices
+    * (skewed fixtures) still write a valid parquet footer and simply
+    * yield an empty micro-batch. */
+  private def sliceAndReplay(src: DataFrame, schema: String, slices: Int,
+                             outputMode: String,
+                             build: DataFrame => DataFrame): Option[DataFrame] = {
+    val spark = src.sparkSession
     val root = Files.createTempDirectory("graft_replay_")
     val inDir = root.resolve("in").toString
     val outDir = root.resolve("out").toString
     val ckDir = root.resolve("ck").toString
-
-    val src = series.select(col("metric"),
-      timestamp_seconds(col("e")).as("ts"), col("value"))
-
-    // Slice boundaries from the fixture's own span: equal event-time ranges,
-    // written oldest-first so the replay presents data the way a live
-    // transport would. Empty slices (skewed fixtures) still write a valid
-    // parquet footer and simply yield an empty micro-batch.
-    val bounds = src.agg(min(col("ts").cast("long")).as("lo"),
-      max(col("ts").cast("long")).as("hi")).head()
-    if (bounds.isNullAt(0)) {
-      // Empty fixture: nothing to replay — return an empty tier with the
-      // exact output schema (the same aggregation over zero batch rows;
-      // withWatermark is eliminated on batch plans) instead of NPE-ing on
-      // the null bounds. The unused temp root is removed on the spot.
-      deleteRecursively(root.toFile)
-      return StreamOps.minuteTierStream(src.limit(0), watermark)
-    }
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, hi - lo + 1)
-    (0 until slices).foreach { k =>
-      val from = lo + span * k / slices
-      val until = lo + span * (k + 1) / slices
-      src.where(col("ts").cast("long") >= from && col("ts").cast("long") < until)
-        .coalesce(1)
-        .write.mode("append").parquet(inDir)
-    }
-
-    val stream = spark.readStream
-      .schema("metric STRING, ts TIMESTAMP, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir)
-
     try {
-      val query = StreamOps.minuteTierStream(stream, watermark)
+      val bounds = src.agg(min(col("ts").cast("long")).as("lo"),
+        max(col("ts").cast("long")).as("hi")).head()
+      // Empty fixture: nothing to replay — the caller builds its empty
+      // result with the exact output schema instead of NPE-ing on the
+      // null bounds.
+      if (bounds.isNullAt(0)) return None
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = math.max(1L, hi - lo + 1)
+      (0 until slices).foreach { k =>
+        val from = lo + span * k / slices
+        val until = lo + span * (k + 1) / slices
+        src.where(col("ts").cast("long") >= from && col("ts").cast("long") < until)
+          .coalesce(1)
+          .write.mode("append").parquet(inDir)
+      }
+
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+
+      val query = build(stream)
         .writeStream
-        .outputMode("update")
+        .outputMode(outputMode)
         .option("checkpointLocation", ckDir)
         .foreachBatch { (batch: DataFrame, id: Long) =>
           batch.withColumn("batch_id", lit(id))
@@ -91,19 +91,85 @@ object StreamReplay {
       try query.processAllAvailable()
       finally query.stop()
 
-      // Keyed upsert: the tier row for a (metric, minute) is its last
-      // emission. Within one batch the aggregation emits at most one row per
-      // key, so batch_id alone is a total order per key.
       // Eager localCheckpoint detaches the result from the temp parquet
-      // files so the whole replay root can be deleted below — block-manager
-      // durability is plenty for a bounded replay harness.
-      val w = Window.partitionBy("metric", "minute_start").orderBy(col("batch_id").desc)
-      spark.read.parquet(outDir)
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .drop("rn", "batch_id")
-        .localCheckpoint(true)
+      // files so the whole replay root can be deleted in the finally —
+      // block-manager durability is plenty for a bounded replay harness.
+      Some(spark.read.parquet(outDir).localCheckpoint(true))
     } finally deleteRecursively(root.toFile)
+  }
+
+  /** series `(metric, e, value)` → the `(ts, source, metric, value)`
+    * [[StreamSample]] relation the typed stateful twins consume. */
+  private def asSamples(series: DataFrame): DataFrame =
+    series.select(timestamp_seconds(col("e")).as("ts"),
+      lit("replay").as("source"), col("metric"), col("value"))
+
+  /** Replays the canonical series relation `(metric, e, value)` through
+    * [[StreamOps.minuteTierStream]] and returns the final 1-minute tier
+    * `(metric, minute_start, n, sv, mn, mx)` — the table a batch
+    * re-aggregation composes into coarser tiers (the a24 contract). */
+  def minuteTierReplay(series: DataFrame, slices: Int = 3,
+                       watermark: String = "3650 days"): DataFrame = {
+    val src = series.select(col("metric"),
+      timestamp_seconds(col("e")).as("ts"), col("value"))
+    // The watermark horizon must cover the fixture's whole event-time span
+    // (see the object doc); lateness semantics are exercised separately.
+    sliceAndReplay(src, "metric STRING, ts TIMESTAMP, value DOUBLE", slices,
+        "update", StreamOps.minuteTierStream(_, watermark)) match {
+      case None => StreamOps.minuteTierStream(src.limit(0), watermark)
+      case Some(appended) =>
+        // Keyed upsert: the tier row for a (metric, minute) is its last
+        // emission. Within one batch the aggregation emits at most one row
+        // per key, so batch_id alone is a total order per key.
+        val w = Window.partitionBy("metric", "minute_start")
+          .orderBy(col("batch_id").desc)
+        appended
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .drop("rn", "batch_id")
+    }
+  }
+
+  /** Replays the series through [[StreamOps.derivativeStream]] —
+    * append-mode emissions are final, so the sink rows ARE the result.
+    * The caller supplies a tie-free series (at most one row per
+    * (metric, second)): that is the documented exact-parity contract of
+    * the typed stateful twins, whose [[StreamSample]] carries no event_id
+    * to break same-second ties the way the batch window does. */
+  def derivativeReplay(series: DataFrame, slices: Int = 3): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val src = asSamples(series)
+    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
+        df => StreamOps.derivativeStream(df.as[StreamSample]).toDF())
+      .map(_.drop("batch_id"))
+      .getOrElse(StreamOps.derivativeStream(src.limit(0).as[StreamSample]).toDF())
+  }
+
+  /** Replays the series through [[StreamOps.cusumStream]] (same tie-free
+    * input contract as [[derivativeReplay]]). */
+  def cusumReplay(series: DataFrame, target: Double, threshold: Double,
+                  slices: Int = 3): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val src = asSamples(series)
+    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
+        df => StreamOps.cusumStream(df.as[StreamSample], target, threshold).toDF())
+      .map(_.drop("batch_id"))
+      .getOrElse(
+        StreamOps.cusumStream(src.limit(0).as[StreamSample], target, threshold).toDF())
+  }
+
+  /** Replays the series through [[StreamOps.ewmaStream]] (same tie-free
+    * input contract as [[derivativeReplay]]). */
+  def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = 3): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val src = asSamples(series)
+    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
+        df => StreamOps.ewmaStream(df.as[StreamSample], alpha).toDF())
+      .map(_.drop("batch_id"))
+      .getOrElse(StreamOps.ewmaStream(src.limit(0).as[StreamSample], alpha).toDF())
   }
 
   /** The replay's in/out/checkpoint dirs are per-invocation temp state —
