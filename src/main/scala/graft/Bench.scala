@@ -25,18 +25,30 @@ object Bench {
     // fsyncs) whose GC/state pressure measurably bled into the
     // alphabetically-adjacent text block in round 6's snapshot — at the
     // end they can no longer contaminate any other query's timing.
+    // Each query runs TWICE and reports the min: single-shot timings on a
+    // shared container swung 2-3x run-to-run on identical code (rounds
+    // 6-8 all "regressed" and "improved" bit-identical queries), so one
+    // sample is noise, not signal. Min-of-2 is the cheapest estimator
+    // that discards a one-off GC/IO stall; the second run still re-plans
+    // and re-executes everything (noop sink, no caching between runs).
     val results = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (name.startsWith("stream_"), name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
+            return -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      name -> (if (first < 0) first else math.min(first, once()) match {
+        case m if m < 0 => -1.0 // second run failed: flaky counts as failed
+        case m => m
+      })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

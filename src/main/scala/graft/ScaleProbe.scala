@@ -125,6 +125,22 @@ object ScaleProbe {
     probe("stream_replay", k =>
       graft.streaming.StreamReplay.minuteTierReplay(scaled(k), slices = 3))
 
+    // Hot-metric skew posture (round-8 VERDICT item 8): the sequential
+    // recurrences' documented worst case — EVERY row on ONE metric, so
+    // max parallelism is 1 and the whole series is a single external
+    // sort + linear scan task. The expectation here is ratios that stay
+    // ≈linear in input size WITHOUT the multi-core speedup the spread
+    // fixtures enjoy — time ∝ rows on one core is the contract, and the
+    // documented escape hatches are decimateBucketized (parallel) and the
+    // streaming twins (incremental, O(1) state). A super-linear ratio
+    // would instead flag an accidental O(n²) in the scan itself.
+    def oneHotMetric(k: Int): DataFrame =
+      scaled(k).withColumn("metric", lit("hot"))
+    probe("decimate_faithful_hot", k =>
+      TrendOps.decimateFaithful(oneHotMetric(k), 60.0).toDF())
+    probe("ewma_hot", k =>
+      TrendOps.ewma(oneHotMetric(k), alpha = 0.2).toDF())
+
     spark.stop()
   }
 }

@@ -181,6 +181,12 @@ object SparkEntry {
       .drop("__c")
   }
 
+  /** One-slot registry for pipeline_tokenize's persisted intermediate:
+    * each invocation frees the previous invocation's blocks, bounding a
+    * long-lived session at one live copy. */
+  private val tokenizeCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** SQL twin of [[uniqueSeries]] (requires the `series` CTE in scope). */
   private val UNIQUE_SERIES =
     """useries AS (SELECT metric, e, value FROM (
@@ -1120,13 +1126,19 @@ object SparkEntry {
     // their composition (the oracle chains the same three SQL stages).
     "pipeline_tokenize" -> ((s, dir) => {
       // The cleaned relation feeds TWO passes (vocab fit + encode) — a
-      // model-fit-then-apply shape, so it materializes ONCE with
-      // localCheckpoint (distributed blocks, the RecomputeLoop pattern)
-      // instead of running the strip per consumer. Steady state halves.
+      // model-fit-then-apply shape, so it materializes ONCE (the vocab
+      // collect below forces it) instead of running the strip per
+      // consumer. persist + a one-slot registry rather than
+      // localCheckpoint: the registry unpersists the PREVIOUS
+      // invocation's blocks, so a long-lived session holds exactly one
+      // live copy instead of growing storage without bound (round-7
+      // verdict item; asserted in TrendOpsSpec).
+      Option(tokenizeCache.getAndSet(null)).foreach(_.unpersist())
       val cleaned = CurationOps.stripDupSpans(
           Tables.documents(s, dir).select("doc_id", "text"), n = 5)
         .select(col("doc_id"), col("clean_text").as("text"))
-        .localCheckpoint()
+        .persist()
+      tokenizeCache.set(cleaned)
       val vocab = CurationOps.buildVocab(cleaned, maxSize = 20)
         .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("token_id")).toMap
       CurationOps.encodeTokens(cleaned, vocab)

@@ -117,6 +117,13 @@ object DedupOps {
     */
   def nearDupGroups(pairs: DataFrame, maxIters: Int = 1000,
                     checkpointDir: Option[String] = None): DataFrame = {
+    // When this call SET the session-global checkpoint dir (it was unset),
+    // it is restored to unset on exit — the operator must not leave its
+    // own scratch path as ambient state for unrelated later jobs. The
+    // already-written checkpoint files stay valid: restoring the SETTING
+    // only affects future checkpoint() calls, not the returned labels'
+    // materialized blocks.
+    var restoreCheckpointDirOnExit = false
     val materialize: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         // setCheckpointDir mutates SESSION-GLOBAL SparkContext state
@@ -127,7 +134,9 @@ object DedupOps {
         // directory without anyone deciding that.
         val sc = pairs.sparkSession.sparkContext
         sc.getCheckpointDir match {
-          case None => sc.setCheckpointDir(dir)
+          case None =>
+            sc.setCheckpointDir(dir)
+            restoreCheckpointDirOnExit = true
           case Some(existing) =>
             // getCheckpointDir reports the qualified "<dir>/<uuid>" path
             // Spark derived, so same-dir reuse matches by prefix after
@@ -143,6 +152,15 @@ object DedupOps {
       case None =>
         df => df.localCheckpoint(true)
     }
+    try nearDupGroupsLoop(pairs, maxIters, materialize)
+    finally if (restoreCheckpointDirOnExit)
+      // Option(null) resets SparkContext.checkpointDir to None without
+      // touching the filesystem — the documented way to unset it.
+      pairs.sparkSession.sparkContext.setCheckpointDir(null)
+  }
+
+  private def nearDupGroupsLoop(pairs: DataFrame, maxIters: Int,
+                                materialize: DataFrame => DataFrame): DataFrame = {
     val edges = materialize(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -192,7 +192,19 @@ object TrendOps {
     * the last *kept* sample (trend-o-meter:296-310). Inherently sequential
     * per metric, so: shuffle by metric, **external sort within partitions**
     * (no in-memory group materialization), then a linear scan carrying one
-    * `timeMark` per metric run. */
+    * `timeMark` per metric run.
+    *
+    * SKEW CONTRACT: because the anchored-gap recurrence cannot split a
+    * metric's timeline (each kept/dropped decision depends on the
+    * previous KEPT sample), max parallelism equals metric cardinality —
+    * one dominant metric at 100 TB means one long task (probed by
+    * ScaleProbe's `decimate_faithful_hot`, which collapses the input to a
+    * single metric). That is intrinsic to the semantics, not the plan.
+    * The scale paths when exact anchored-gap is not required: the
+    * bucketized [[decimateBucketized]] (embarrassingly parallel, the
+    * oracle form) or the incremental [[graft.streaming.StreamOps
+    * .decimateStream]] (state is one timeMark per metric; arrival-ordered,
+    * so a backfilled metric processes as it streams). */
   def decimateFaithful(series: DataFrame, gapSeconds: Double): Dataset[Sample] = {
     val spark = series.sparkSession
     import spark.implicits._
@@ -295,7 +307,15 @@ object TrendOps {
     * floating-point recurrence is still oracle-checked: a DuckDB recursive
     * CTE replays it one series position per iteration, and both sides
     * evaluate the identical double expression in the identical order, so
-    * the match is bit-exact. */
+    * the match is bit-exact.
+    *
+    * SKEW CONTRACT: same as [[decimateFaithful]] — the recurrence cannot
+    * split a metric's timeline, so max parallelism equals metric
+    * cardinality and one hot metric means one long task (probed by
+    * ScaleProbe's `ewma_hot`). The 100 TB path for a hot metric is the
+    * incremental [[graft.streaming.StreamOps.ewmaStream]] twin: O(1)
+    * state per metric, cost amortized over arrival instead of one
+    * monolithic sort+scan (hard-oracled by `stream_ewma_parity`). */
   def ewma(series: DataFrame, alpha: Double): Dataset[EwmaPoint] = {
     val spark = series.sparkSession
     import spark.implicits._

@@ -196,6 +196,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "reliable checkpoint mode wrote nothing to the checkpoint dir")
+    // and restored the session-global checkpoint dir it had set (the
+    // context was unset before the call, so it must be unset after)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      s"nearDupGroups leaked checkpoint dir ${spark.sparkContext.getCheckpointDir}")
   }
 
   test("stratified sample is deterministic for a fixed seed and respects strata") {

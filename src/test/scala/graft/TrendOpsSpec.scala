@@ -308,4 +308,18 @@ class TrendOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("O(m^2)") && ex.getMessage.contains("maxMetrics=2"))
   }
+
+  test("pipeline_tokenize: repeated invocations do not grow storage memory") {
+    val dir = "/root/testdata/sf0.001"
+    def run(): Unit =
+      graft.SparkEntry.queries("pipeline_tokenize")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    run()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    run(); run()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    // the one-slot registry frees the previous invocation's blocks: one
+    // live persisted copy regardless of how many times the query ran
+    assert(after3 <= after1, s"persistent RDDs grew: $after1 -> $after3")
+  }
 }
