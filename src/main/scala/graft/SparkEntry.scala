@@ -77,6 +77,34 @@ object SparkEntry {
   private def exportGlob(name: String): String =
     s"$oracleExportRoot/$name/*.parquet"
 
+  /** Shared exact-Jaccard verify oracle body: rebuilds the planted-variant
+    * corpus ([[withPlantedVariants]] nDrop=3 in SQL), re-shingles both
+    * sides of every exported (doc_a, doc_b) candidate, and recomputes
+    * |∩|/|∪| with the same >= 0.6 gate — parameterized by export name so
+    * the batch and streaming candidate generators face the identical
+    * verify replay. */
+  private def minhashVerifyOracle(name: String): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         array_to_string(w[1:GREATEST(len(w)-3, 1)], ' ') AS text
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+       |        FROM documents WHERE doc_id % 50 = 0)),
+       |t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM docs),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+       |         THEN list_transform(generate_series(1, len(w)-2),
+       |                             i -> array_to_string(w[i:i+2], ' '))
+       |         ELSE [array_to_string(w, ' ')] END) AS s FROM t),
+       |p AS (SELECT doc_a, doc_b FROM read_parquet('${exportGlob(name)}')),
+       |j AS (SELECT p.doc_a, p.doc_b,
+       |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |          len(list_distinct(a.s || b.s)) AS jaccard
+       |      FROM p JOIN sh a ON a.doc_id = p.doc_a
+       |             JOIN sh b ON b.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, jaccard
+       |FROM j WHERE jaccard >= 0.6""".stripMargin
+
   /** Shared ANN-rerank oracle body: exact cosine top-5 over an exported
     * (q_id, c_id) candidate list, [[SimilarityOps.rerankTopK]]'s contract
     * (score DESC / c_id tie-break, round 6). */
@@ -1301,6 +1329,33 @@ object SparkEntry {
       graft.streaming.StreamReplay.ewmaReplay(
         uniqueSeries(s, dir).select("metric", "e", "value"), alpha = 0.2)),
 
+    // Daily OHLC bars maintained by the streaming windowed aggregation
+    // (update-mode upsert, like the 1m tier) — the candlestick view a
+    // live display reads. Tie-free slice: stream open/close pick by
+    // min/max(struct(ts, value)) with no event_id tie-break.
+    "stream_ohlc_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.ohlcReplay(
+        uniqueSeries(s, dir).select("metric", "e", "value"))
+        .select(col("metric"), col("bar_start").cast("long").as("bar_start"),
+          col("n"), col("open"), col("high"), col("low"), col("close"))),
+
+    // Dedup-at-ingest gate driven by a real checkpointed stream: the
+    // replayed candidate pairs EXPORT (same pattern as minhash_verify)
+    // and the exact-Jaccard verify that gates them is oracle-replayed by
+    // DuckDB over exactly those pairs — a hard row for the streaming
+    // TTL-bucket state path, not just the batch-parity test.
+    "stream_neardup_verify" -> ((s, dir) => {
+      val corpus = withPlantedVariants(Tables.documents(s, dir), nDrop = 3)
+      DedupOps.jaccardForPairs(
+        exportForOracle(
+          graft.streaming.StreamReplay.nearDupCandidatesReplay(
+            corpus.select("doc_id", "text"), k = 64, bands = 16),
+          "stream_neardup_cands"),
+        corpus)
+        .where(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
     // Pairwise correlation matrix across metrics, aligned on 60s-bucket
     // sums ([[TrendOps.corrMatrix]] — which ENFORCES its O(m²) metric cap).
     // maxMetrics is plumbed EXPLICITLY, sized to the fixture contract
@@ -2420,6 +2475,27 @@ object SparkEntry {
          |)
          |SELECT metric, e, value, ewma FROM r""".stripMargin,
 
+    // Daily-bar twin of the a18 oracle over the tie-free slice (first_e /
+    // last_e are unique per bar there, matching the stream's
+    // struct-ordered open/close picks).
+    "stream_ohlc_parity" ->
+      s"""WITH $SERIES, $UNIQUE_SERIES,
+         |b AS (SELECT metric, CAST(FLOOR(e/86400.0) AS BIGINT)*86400 AS bar_start, e, value
+         |      FROM useries),
+         |g AS (SELECT metric, bar_start, count(*) AS n,
+         |             max(value) AS high, min(value) AS low,
+         |             min(e) AS first_e, max(e) AS last_e
+         |      FROM b GROUP BY 1, 2),
+         |o AS (SELECT b.metric, b.bar_start, min(b.value) AS open
+         |      FROM b JOIN g ON b.metric = g.metric AND b.bar_start = g.bar_start
+         |                   AND b.e = g.first_e GROUP BY 1, 2),
+         |c AS (SELECT b.metric, b.bar_start, max(b.value) AS close
+         |      FROM b JOIN g ON b.metric = g.metric AND b.bar_start = g.bar_start
+         |                   AND b.e = g.last_e GROUP BY 1, 2)
+         |SELECT g.metric, g.bar_start, g.n, o.open, g.high, g.low, c.close
+         |FROM g JOIN o ON g.metric = o.metric AND g.bar_start = o.bar_start
+         |       JOIN c ON g.metric = c.metric AND g.bar_start = c.bar_start""".stripMargin,
+
     "a25_corr_matrix" ->
       s"""WITH $SERIES,
          |b AS (SELECT metric, CAST(FLOOR(e/60.0) AS BIGINT)*60 AS bucket,
@@ -2518,27 +2594,10 @@ object SparkEntry {
     // 3 tokens — the proven text_jaccard_adjacent construction), and
     // recomputes |∩|/|∪| with the engine's >= 0.6 gate on the unrounded
     // value.
-    "minhash_verify" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id,
-         |         array_to_string(w[1:GREATEST(len(w)-3, 1)], ' ') AS text
-         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
-         |        FROM documents WHERE doc_id % 50 = 0)),
-         |t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM docs),
-         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-         |         THEN list_transform(generate_series(1, len(w)-2),
-         |                             i -> array_to_string(w[i:i+2], ' '))
-         |         ELSE [array_to_string(w, ' ')] END) AS s FROM t),
-         |p AS (SELECT doc_a, doc_b FROM read_parquet('${exportGlob("minhash_cands")}')),
-         |j AS (SELECT p.doc_a, p.doc_b,
-         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |          len(list_distinct(a.s || b.s)) AS jaccard
-         |      FROM p JOIN sh a ON a.doc_id = p.doc_a
-         |             JOIN sh b ON b.doc_id = p.doc_b)
-         |SELECT doc_a, doc_b, jaccard
-         |FROM j WHERE jaccard >= 0.6""".stripMargin,
+    "minhash_verify" -> minhashVerifyOracle("minhash_cands"),
+    // Same verify replay, but over the pairs the STREAMING TTL-bucket
+    // gate emitted — the exported set is the only thing that differs.
+    "stream_neardup_verify" -> minhashVerifyOracle("stream_neardup_cands"),
 
     // Embedding near-dup cosine-verify oracle: the exported candidate pairs
     // carry their vectors, so DuckDB recomputes the cosine entirely from

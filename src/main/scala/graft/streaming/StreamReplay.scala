@@ -160,6 +160,51 @@ object StreamReplay {
         StreamOps.cusumStream(src.limit(0).as[StreamSample], target, threshold).toDF())
   }
 
+  /** Replays the series through [[StreamOps.ohlcStream]] — update-mode
+    * windowed aggregation, so like [[minuteTierReplay]] the final bar for
+    * a (metric, bar_start) is its last emission. Tie-free input contract
+    * as [[derivativeReplay]]: open/close pick by min/max(struct(ts, _)),
+    * which has no event_id tie-break. */
+  def ohlcReplay(series: DataFrame, slices: Int = 3, width: String = "1 day",
+                 watermark: String = "3650 days"): DataFrame = {
+    val src = series.select(col("metric"),
+      timestamp_seconds(col("e")).as("ts"), col("value"))
+    sliceAndReplay(src, "metric STRING, ts TIMESTAMP, value DOUBLE", slices,
+        "update", StreamOps.ohlcStream(_, width, watermark)) match {
+      case None => StreamOps.ohlcStream(src.limit(0), width, watermark)
+      case Some(appended) =>
+        val w = Window.partitionBy("metric", "bar_start")
+          .orderBy(col("batch_id").desc)
+        appended
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .drop("rn", "batch_id")
+    }
+  }
+
+  /** Replays a documents relation `(doc_id, text)` through
+    * [[StreamOps.nearDupCandidatesStream]] and returns the DISTINCT
+    * candidate pair set — the dedup-at-ingest gate driven by a real
+    * checkpointed stream. Event time is synthesized from doc_id (the
+    * slicer needs a time axis to cut real micro-batches; cross-slice
+    * pairs then genuinely traverse the TTL bucket state), and ttl /
+    * watermark are sized to retain the whole corpus — candidate-set
+    * parity with batch [[graft.operators.DedupOps.minHashCandidates]] is
+    * only defined when nothing evicts (the TTL-eviction behavior is
+    * pinned separately in StreamingSpec). */
+  def nearDupCandidatesReplay(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                              slices: Int = 3): DataFrame = {
+    val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
+      col("doc_id"), col("text"))
+    val build = (df: DataFrame) =>
+      StreamOps.nearDupCandidatesStream(df, k, bands,
+        ttl = "36500 days", watermark = "0 seconds").toDF()
+    sliceAndReplay(src, "ts TIMESTAMP, doc_id BIGINT, text STRING", slices,
+        "append", build)
+      .map(_.select("doc_a", "doc_b").distinct())
+      .getOrElse(build(src.limit(0)).select("doc_a", "doc_b"))
+  }
+
   /** Replays the series through [[StreamOps.ewmaStream]] (same tie-free
     * input contract as [[derivativeReplay]]). */
   def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = 3): DataFrame = {
