@@ -105,6 +105,15 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard
        |FROM j WHERE jaccard >= 0.6""".stripMargin
 
+  /** Shared SimHash Hamming-verify oracle body (bit_count over XOR of the
+    * exported signatures) — parameterized by export name so the batch and
+    * streaming block generators face the identical verify replay. */
+  private def simhashVerifyOracle(name: String): String =
+    s"""SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM read_parquet('${exportGlob(name)}')
+       |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin
+
   /** Shared ANN-rerank oracle body: exact cosine top-5 over an exported
     * (q_id, c_id) candidate list, [[SimilarityOps.rerankTopK]]'s contract
     * (score DESC / c_id tie-break, round 6). */
@@ -1356,6 +1365,31 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }),
 
+    // SimHash sibling of stream_neardup_verify: the streamed match set
+    // re-attaches the (map-only, batch-identical) signatures, exports,
+    // and DuckDB recomputes bit_count(xor) <= 3 over exactly those rows.
+    "stream_simhash_verify" -> ((s, dir) => {
+      val corpus = withPlantedVariants(Tables.documents(s, dir), nDrop = 1)
+      val sigs = DedupOps.simHashSignatures(corpus)
+      val withSigs = graft.streaming.StreamReplay.simHashPairsReplay(
+          corpus.select("doc_id", "text"), maxHamming = 3)
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+      DedupOps.hammingPairs(
+        exportForOracle(withSigs, "stream_simhash_cands"), maxHamming = 3)
+    }),
+
+    // Streaming anchored-gap decimation (F4's keep/drop gate) replayed —
+    // the stream scans oldest→newest (arrival order), so it faces its own
+    // ascending recursive-CTE oracle; the batch faithful op's
+    // newest→oldest chain keeps its separate slice oracle.
+    "stream_decimate_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.decimateReplay(
+        uniqueSeries(s, dir).select("metric", "e", "value"),
+        TrendParams.default.minSampleGapSeconds)
+        .select("metric", "e", "value")),
+
     // Pairwise correlation matrix across metrics, aligned on 60s-bucket
     // sums ([[TrendOps.corrMatrix]] — which ENFORCES its O(m²) metric cap).
     // maxMetrics is plumbed EXPLICITLY, sized to the fixture contract
@@ -2475,6 +2509,27 @@ object SparkEntry {
          |)
          |SELECT metric, e, value, ewma FROM r""".stripMargin,
 
+    // The streaming anchored-gap chain replayed ascending, one position
+    // per recursive iteration: state is the last KEPT second (mark); the
+    // first row per metric seeds as kept, and each later row keeps iff
+    // strictly more than the gap from the mark — exactly the
+    // decimateStream recurrence. Integer arithmetic throughout.
+    "stream_decimate_parity" ->
+      s"""WITH RECURSIVE $SERIES, $UNIQUE_SERIES,
+         |o AS (SELECT metric, e, value,
+         |        CAST(row_number() OVER (PARTITION BY metric ORDER BY e) AS BIGINT) AS rn
+         |      FROM useries),
+         |r AS (
+         |  SELECT metric, rn, e, value, e AS mark, true AS kept FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.metric, o.rn, o.e, o.value,
+         |         CASE WHEN abs(o.e - r.mark) > ${P.minSampleGapSeconds}
+         |              THEN o.e ELSE r.mark END AS mark,
+         |         abs(o.e - r.mark) > ${P.minSampleGapSeconds} AS kept
+         |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
+         |)
+         |SELECT metric, e, value FROM r WHERE kept""".stripMargin,
+
     // Daily-bar twin of the a18 oracle over the tie-free slice (first_e /
     // last_e are unique per bar there, matching the stream's
     // struct-ordered open/close picks).
@@ -2581,11 +2636,8 @@ object SparkEntry {
     // (see the simhash_verify query comment): pure bit arithmetic — a
     // single XOR + popcount + threshold that DuckDB evaluates independently
     // over the same (sig_a, sig_b) pairs.
-    "simhash_verify" ->
-      s"""SELECT doc_a, doc_b,
-         |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-         |FROM read_parquet('${exportGlob("simhash_cands")}')
-         |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
+    "simhash_verify" -> simhashVerifyOracle("simhash_cands"),
+    "stream_simhash_verify" -> simhashVerifyOracle("stream_simhash_cands"),
 
     // MinHash Jaccard-verify oracle over the Spark-exported candidate set:
     // DuckDB rebuilds the SAME planted corpus (every 50th doc + a variant

@@ -205,6 +205,39 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)).select("doc_a", "doc_b"))
   }
 
+  /** [[nearDupCandidatesReplay]]'s SimHash sibling: replays
+    * [[StreamOps.simHashPairsStream]] and returns the DISTINCT matched
+    * pair set (same synthetic-time / retain-everything posture). */
+  def simHashPairsReplay(docs: DataFrame, maxHamming: Int = 3,
+                         slices: Int = 3): DataFrame = {
+    val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
+      col("doc_id"), col("text"))
+    val build = (df: DataFrame) =>
+      StreamOps.simHashPairsStream(df, maxHamming,
+        ttl = "36500 days", watermark = "0 seconds").toDF()
+    sliceAndReplay(src, "ts TIMESTAMP, doc_id BIGINT, text STRING", slices,
+        "append", build)
+      .map(_.select("doc_a", "doc_b").distinct())
+      .getOrElse(build(src.limit(0)).select("doc_a", "doc_b"))
+  }
+
+  /** Replays the series through [[StreamOps.decimateStream]] (tie-free
+    * input contract as [[derivativeReplay]]; the stream's oldest→newest
+    * anchored-gap scan faces its own ascending recursive-CTE oracle —
+    * the batch faithful op scans newest→oldest, so the two are parity
+    * twins of DIFFERENT directions by design). */
+  def decimateReplay(series: DataFrame, gapSeconds: Double,
+                     slices: Int = 3): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val src = asSamples(series)
+    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
+        df => StreamOps.decimateStream(df.as[StreamSample], gapSeconds).toDF())
+      .map(_.drop("batch_id"))
+      .getOrElse(
+        StreamOps.decimateStream(src.limit(0).as[StreamSample], gapSeconds).toDF())
+  }
+
   /** Replays the series through [[StreamOps.ewmaStream]] (same tie-free
     * input contract as [[derivativeReplay]]). */
   def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = 3): DataFrame = {
