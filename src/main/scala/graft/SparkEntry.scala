@@ -1390,6 +1390,25 @@ object SparkEntry {
         TrendParams.default.minSampleGapSeconds)
         .select("metric", "e", "value")),
 
+    // A4+F4 exact reference semantics (gap-triggered micro-batch mean)
+    // replayed: buffered raw-double sum, mean emitted by the triggering
+    // sample — the recursive-CTE oracle replays the identical
+    // accumulation order (the ewma contract).
+    "stream_gapmean_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.gapTriggeredMeanReplay(
+        uniqueSeries(s, dir).select("metric", "e", "value"),
+        TrendParams.default.minSampleGapSeconds)),
+
+    // Stream-stream interval join replayed: purchases pick up the same
+    // user's trailing hour of views. Output is order-independent, so the
+    // FULL series replays and faces a plain SQL range join.
+    "stream_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamReplay.intervalJoinReplay(
+        series(s, dir).select("metric", "e", "value", "user_id"),
+        leftMetric = "purchase", rightMetric = "view", windowSeconds = 3600)
+        .select(col("source"), col("ts").cast("long").as("e"), col("value"),
+          col("r_ts").cast("long").as("r_e"), col("r_value"))),
+
     // Pairwise correlation matrix across metrics, aligned on 60s-bucket
     // sums ([[TrendOps.corrMatrix]] — which ENFORCES its O(m²) metric cap).
     // maxMetrics is plumbed EXPLICITLY, sized to the fixture contract
@@ -2529,6 +2548,48 @@ object SparkEntry {
          |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
          |)
          |SELECT metric, e, value FROM r WHERE kept""".stripMargin,
+
+    // Gap-triggered mean: the recursive CTE carries the exact
+    // (mark, sum, n) state — buffered raw-double sum in the identical
+    // left-to-right order, ONE double division at each emission. The
+    // first row per metric always triggers (unseeded), matching the
+    // stream's seed path.
+    "stream_gapmean_parity" ->
+      s"""WITH RECURSIVE $SERIES, $UNIQUE_SERIES,
+         |o AS (SELECT metric, e, value,
+         |        CAST(row_number() OVER (PARTITION BY metric ORDER BY e) AS BIGINT) AS rn
+         |      FROM useries),
+         |r AS (
+         |  SELECT metric, rn, e, value, CAST(e AS DOUBLE) AS mark,
+         |         CAST(0 AS DOUBLE) AS acc, CAST(0 AS BIGINT) AS n,
+         |         value AS mean_val, CAST(1 AS BIGINT) AS out_n, true AS emitted
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.metric, o.rn, o.e, o.value,
+         |         CASE WHEN abs(o.e - r.mark) > ${P.minSampleGapSeconds}
+         |              THEN CAST(o.e AS DOUBLE) ELSE r.mark END,
+         |         CASE WHEN abs(o.e - r.mark) > ${P.minSampleGapSeconds}
+         |              THEN CAST(0 AS DOUBLE) ELSE r.acc + o.value END,
+         |         CASE WHEN abs(o.e - r.mark) > ${P.minSampleGapSeconds}
+         |              THEN CAST(0 AS BIGINT) ELSE r.n + 1 END,
+         |         (r.acc + o.value) / CAST(r.n + 1 AS DOUBLE),
+         |         r.n + 1,
+         |         abs(o.e - r.mark) > ${P.minSampleGapSeconds}
+         |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
+         |)
+         |SELECT metric, e, mean_val, out_n AS n FROM r WHERE emitted""".stripMargin,
+
+    // Range-join oracle for the stream-stream interval join: same-user
+    // purchases x trailing-hour views, raw values carried through — no
+    // arithmetic to diverge.
+    "stream_interval_join" ->
+      s"""WITH $SERIES
+         |SELECT CAST(l.user_id AS VARCHAR) AS source, l.e, l.value,
+         |       r.e AS r_e, r.value AS r_value
+         |FROM series l JOIN series r
+         |  ON l.user_id = r.user_id
+         | AND r.e >= l.e - 3600 AND r.e <= l.e
+         |WHERE l.metric = 'purchase' AND r.metric = 'view'""".stripMargin,
 
     // Daily-bar twin of the a18 oracle over the tie-free slice (first_e /
     // last_e are unique per bar there, matching the stream's

@@ -238,6 +238,43 @@ object StreamReplay {
         StreamOps.decimateStream(src.limit(0).as[StreamSample], gapSeconds).toDF())
   }
 
+  /** Replays the series through [[StreamOps.gapTriggeredMean]] (tie-free
+    * input contract as [[derivativeReplay]]; the raw-double sum replays
+    * in the same order on both sides — the ewma contract). */
+  def gapTriggeredMeanReplay(series: DataFrame, gapSeconds: Double,
+                             slices: Int = 3): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val src = asSamples(series)
+    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
+        df => StreamOps.gapTriggeredMean(df.as[StreamSample], gapSeconds).toDF())
+      .map(_.drop("batch_id"))
+      .getOrElse(
+        StreamOps.gapTriggeredMean(src.limit(0).as[StreamSample], gapSeconds).toDF())
+  }
+
+  /** Replays the events relation `(metric, e, value, user_id)` through
+    * the stream-stream [[StreamOps.intervalJoin]]: the per-user transport
+    * channel is the join key (`source` = user_id), the left stream is the
+    * `leftMetric` events and the right the trailing `rightMetric` events.
+    * Join output is order-independent (no state recurrence), so the full
+    * series replays — no tie-free filter needed — and faces a plain SQL
+    * range-join oracle. */
+  def intervalJoinReplay(events: DataFrame, leftMetric: String,
+                         rightMetric: String, windowSeconds: Long,
+                         slices: Int = 3): DataFrame = {
+    val src = events.select(timestamp_seconds(col("e")).as("ts"),
+      col("user_id").cast("string").as("source"), col("metric"), col("value"))
+    val build = (df: DataFrame) =>
+      StreamOps.intervalJoin(
+        df.where(col("metric") === leftMetric),
+        df.where(col("metric") === rightMetric),
+        windowSeconds, watermark = "3650 days")
+    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append", build)
+      .map(_.drop("batch_id"))
+      .getOrElse(build(src.limit(0)))
+  }
+
   /** Replays the series through [[StreamOps.ewmaStream]] (same tie-free
     * input contract as [[derivativeReplay]]). */
   def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = 3): DataFrame = {
