@@ -1409,6 +1409,43 @@ object SparkEntry {
         .select(col("source"), col("ts").cast("long").as("e"), col("value"),
           col("r_ts").cast("long").as("r_e"), col("r_value"))),
 
+    // Gap-alert timers replayed: the CLOSED alerts (the next sample
+    // arrived and measured the hole) are deterministic and equal the
+    // batch a22 lag-gaps on any input, ties included; OPEN alerts depend
+    // on where the watermark stood when the timer fired (slice-layout
+    // detail, pinned by StreamingSpec) and are filtered out of the gate.
+    "stream_gap_alert_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.samplesReplay(
+          series(s, dir).select("metric", "e", "value"), rocksDb = true) { df =>
+        graft.streaming.StreamOps.gapAlertStream(
+          df.as(org.apache.spark.sql.Encoders.product[graft.streaming.StreamSample]),
+          P.minSampleGapSeconds.toLong).toDF()
+      }.where(!col("open")).select("metric", "gap_start", "gap_end")),
+
+    // At-least-once transport hygiene replayed: every sample delivered
+    // TWICE (the doubled union), the watermarked dedup state must emit
+    // each (source, metric, ts) key once. Tie-free slice so the surviving
+    // value per key is well-defined.
+    "stream_dedup_parity" -> ((s, dir) => {
+      val u = uniqueSeries(s, dir).select("metric", "e", "value")
+      graft.streaming.StreamReplay.samplesReplay(u.unionByName(u)) { df =>
+        graft.streaming.StreamOps.dedupStream(df, watermark = "3650 days")
+      }.select(col("metric"), col("ts").cast("long").as("e"), col("value"))
+    }),
+
+    // Stream-static broadcast enrichment replayed: per-metric display
+    // labels (the X1 deVoweled renderer) joined onto the live stream —
+    // every micro-batch maps with a broadcast hash lookup, no state.
+    "stream_enrich_parity" -> ((s, dir) => {
+      val dim = series(s, dir).select("metric").distinct()
+        .withColumn("label", Scalars.deVoweled(col("metric")))
+      graft.streaming.StreamReplay.samplesReplay(
+          series(s, dir).select("metric", "e", "value")) { df =>
+        graft.streaming.StreamOps.enrichStream(df, dim, "metric")
+      }.select(col("metric"), col("ts").cast("long").as("e"), col("value"),
+        col("label"))
+    }),
+
     // Pairwise correlation matrix across metrics, aligned on 60s-bucket
     // sums ([[TrendOps.corrMatrix]] — which ENFORCES its O(m²) metric cap).
     // maxMetrics is plumbed EXPLICITLY, sized to the fixture contract
@@ -2548,6 +2585,28 @@ object SparkEntry {
          |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
          |)
          |SELECT metric, e, value FROM r WHERE kept""".stripMargin,
+
+    // Closed gap alerts are exactly the batch lag-gaps (a22's shape,
+    // without the derived gap_secs column).
+    "stream_gap_alert_parity" ->
+      s"""WITH $SERIES,
+         |d AS (SELECT metric, lag(e) OVER (PARTITION BY metric ORDER BY e, event_id) AS prev_e, e
+         |      FROM series)
+         |SELECT metric, prev_e AS gap_start, e AS gap_end
+         |FROM d WHERE prev_e IS NOT NULL AND e - prev_e > ${P.minSampleGapSeconds.toLong}""".stripMargin,
+
+    // Doubled delivery in, exactly the unique rows out.
+    "stream_dedup_parity" ->
+      s"""WITH $SERIES, $UNIQUE_SERIES
+         |SELECT metric, e, value FROM useries""".stripMargin,
+
+    // Broadcast-enriched stream: per-metric deVoweled label (X1) on
+    // every row.
+    "stream_enrich_parity" ->
+      s"""WITH $SERIES
+         |SELECT metric, e, value,
+         |       regexp_replace(metric, '[aeiouy]', '', 'g') AS label
+         |FROM series""".stripMargin,
 
     // Gap-triggered mean: the recursive CTE carries the exact
     // (mark, sum, n) state — buffered raw-double sum in the identical

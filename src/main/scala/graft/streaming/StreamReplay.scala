@@ -238,6 +238,32 @@ object StreamReplay {
         StreamOps.decimateStream(src.limit(0).as[StreamSample], gapSeconds).toDF())
   }
 
+  /** Generic append-mode replay over the samples-shaped relation: callers
+    * hand the stream transformation as a closure (typed ops can
+    * `.as[StreamSample]` inside it). Emissions are final (append mode),
+    * so the sink rows minus the batch tag ARE the result.
+    * `rocksDb = true` pins the RocksDB state store provider for the
+    * replay (required by `transformWithState` processors) and restores
+    * the previous session setting afterwards. */
+  def samplesReplay(series: DataFrame, slices: Int = 3,
+                    rocksDb: Boolean = false)
+                   (build: DataFrame => DataFrame): DataFrame = {
+    val src = asSamples(series)
+    val conf = series.sparkSession.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.getOption(key)
+    if (rocksDb) conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append", build)
+        .map(_.drop("batch_id"))
+        .getOrElse(build(src.limit(0)))
+    finally if (rocksDb) prev match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
+  }
+
   /** Replays the series through [[StreamOps.gapTriggeredMean]] (tie-free
     * input contract as [[derivativeReplay]]; the raw-double sum replays
     * in the same order on both sides — the ewma contract). */
