@@ -105,6 +105,22 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard
        |FROM j WHERE jaccard >= 0.6""".stripMargin
 
+  /** Shared embedding cosine-verify oracle body (exact cosine from the
+    * exported va/vb vectors, >= 0.95 gate on the unrounded value) —
+    * parameterized by export name so the batch and streaming LSH gates
+    * face the identical verify replay. */
+  private def embeddingVerifyOracle(name: String): String =
+    s"""WITH p AS (SELECT vec_a, vec_b,
+       |             CAST(va AS DOUBLE[]) AS va, CAST(vb AS DOUBLE[]) AS vb
+       |           FROM read_parquet('${exportGlob(name)}')),
+       |s AS (SELECT vec_a, vec_b,
+       |        list_dot_product(va, vb) /
+       |          (sqrt(list_dot_product(va, va)) *
+       |           sqrt(list_dot_product(vb, vb))) AS score
+       |      FROM p)
+       |SELECT vec_a, vec_b, score
+       |FROM s WHERE score >= 0.95""".stripMargin
+
   /** Shared SimHash Hamming-verify oracle body (bit_count over XOR of the
     * exported signatures) — parameterized by export name so the batch and
     * streaming block generators face the identical verify replay. */
@@ -1067,6 +1083,29 @@ object SparkEntry {
           SimilarityOps.embeddingCandidatePairs(emb.unionByName(twins)),
           "embneardup_cands"),
         minCosine = 0.95)
+    }),
+
+    // The embedding member of the streaming dedup-at-ingest family
+    // replayed: the candidate pairs the TTL-bucket LSH gate emitted
+    // re-attach their vectors/norms (batch-identical staging), export,
+    // and DuckDB replays the exact-cosine verify over exactly those
+    // pairs — embedding_verify's oracle body over the streamed set.
+    "stream_embedding_verify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val twins = emb.where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val corpus = emb.unionByName(twins)
+      val staged = corpus.select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("vn", SimilarityOps.norm(col("v")))
+      val withVecs = graft.streaming.StreamReplay.embeddingNearDupReplay(corpus)
+        .join(staged.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("vn").as("na")), "vec_a")
+        .join(staged.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("vn").as("nb")), "vec_b")
+        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+      SimilarityOps.cosineVerifyPairs(
+        exportForOracle(withVecs, "stream_emb_cands"), minCosine = 0.95)
     }),
 
     // Multimodal: oracle-checkable payload metadata.
@@ -2775,17 +2814,9 @@ object SparkEntry {
     // carry their vectors, so DuckDB recomputes the cosine entirely from
     // va/vb (list_dot_product on cast-to-double arrays — the proven parity
     // contract) and applies the same >= 0.95 gate on the unrounded value.
-    "embedding_verify" ->
-      s"""WITH p AS (SELECT vec_a, vec_b,
-         |             CAST(va AS DOUBLE[]) AS va, CAST(vb AS DOUBLE[]) AS vb
-         |           FROM read_parquet('${exportGlob("embneardup_cands")}')),
-         |s AS (SELECT vec_a, vec_b,
-         |        list_dot_product(va, vb) /
-         |          (sqrt(list_dot_product(va, va)) *
-         |           sqrt(list_dot_product(vb, vb))) AS score
-         |      FROM p)
-         |SELECT vec_a, vec_b, score
-         |FROM s WHERE score >= 0.95""".stripMargin,
+    "embedding_verify" -> embeddingVerifyOracle("embneardup_cands"),
+    // Same verify replay over the pairs the STREAMING LSH gate emitted.
+    "stream_embedding_verify" -> embeddingVerifyOracle("stream_emb_cands"),
 
     // ANN rerank oracles over the Spark-exported candidate lists: cosine
     // via list_dot_product on cast-to-double vectors (the proven

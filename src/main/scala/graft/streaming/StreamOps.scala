@@ -58,6 +58,25 @@ final case class SimHashBucketState(docs: List[SimHashBucketDoc], max_ts_ms: Lon
 final case class SimHashMatch(doc_a: Long, doc_b: Long, hamming: Int,
                               chunk_idx: Int)
 
+/** One hyperplane-bucketed vector row inside
+  * [[StreamOps.embeddingNearDupStream]] — the vector itself is dropped
+  * before the stateful exchange (bucketing is map-side; the gate only
+  * needs ids). */
+final case class EmbBucketedVec(ts: Timestamp, vec_id: Long, tbl: Int, bkt: Long)
+
+/** Per-bucket streaming embedding-LSH state: retained vec_ids + newest
+  * activity. Ids only — the gate emits candidates without computing a
+  * distance (verify is batch-composable downstream), so state is
+  * O(ids per TTL window), not O(ids × dim). */
+final case class EmbBucketState(ids: List[Long], max_ts_ms: Long)
+
+/** A streaming embedding near-dup CANDIDATE pair (vec_a < vec_b) from one
+  * LSH table — the exact-cosine verify
+  * ([[graft.operators.SimilarityOps.cosineVerifyPairs]]) is
+  * batch-composable downstream, mirroring the batch
+  * candidates-then-verify split. */
+final case class EmbCandidate(vec_a: Long, vec_b: Long, tbl: Int)
+
 /** Streaming layer — the reference's pub/sub pipeline re-expressed as
   * Structured Streaming (SURVEY §3.2: trigger = gap test, batch =
   * collectedSamples, state = metricHistory, output = display delta — exactly
@@ -630,6 +649,75 @@ object StreamOps {
                 // retained representatives.
                 if (st.docs.lengthCompare(maxPerBucket) < 0)
                   st = SimHashBucketState(SimHashBucketDoc(ev.doc_id, ev.sig) :: st.docs,
+                    math.max(st.max_ts_ms, ev.ts.getTime))
+                else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
+              } else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.max_ts_ms, ttl)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming embedding near-dup candidate gate — the embedding-cosine
+    * member of the dedup-at-ingest family ([[nearDupCandidatesStream]],
+    * [[simHashPairsStream]]): random-hyperplane LSH buckets (the SAME
+    * deterministic planes as batch
+    * [[graft.operators.SimilarityOps.embeddingCandidatePairs]], so
+    * candidate sets agree when nothing evicts), one stateful exchange
+    * keyed on (table, bucket), TTL-windowed per-bucket vector retention
+    * with the same skew cap as the text gates. Emits one CANDIDATE per
+    * (pair, table) in append mode when the later vector arrives; the
+    * exact-cosine verify stays batch-composable downstream
+    * ([[graft.operators.SimilarityOps.cosineVerifyPairs]]), mirroring the
+    * batch candidates-then-verify split — the gate never computes a
+    * distance, so state retains IDS only (O(ids) per bucket, not
+    * O(ids × dim)), and a downstream `.distinct()` collapses multi-table
+    * hits exactly like batch `.distinct()`.
+    *
+    * @param vectors streaming frame with
+    *                (ts timestamp, vec_id long, embedding array&lt;float&gt;)
+    */
+  def embeddingNearDupStream(vectors: DataFrame,
+                             dim: Int = 64, tables: Int = 8,
+                             bitsPerTable: Int = 8, seed: Long = 42L,
+                             ttl: String = "1 hour",
+                             watermark: String = "10 minutes",
+                             maxPerBucket: Int = 10000): Dataset[EmbCandidate] = {
+    val planes = graft.operators.SimilarityOps.hyperplanes(dim, tables, bitsPerTable, seed)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // Same bucket expression as the batch candidate generator — parity
+    // depends on this line matching.
+    val bucketed = vectors
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("vec_id"),
+        posexplode(graft.functions.HashExpressions.hyperplaneBuckets(
+          col("embedding"), planes)))
+      .toDF("ts", "vec_id", "tbl", "bkt")
+      .withColumn("tbl", col("tbl").cast("int"))
+      .as[EmbBucketedVec]
+    bucketed
+      .groupByKey(b => (b.tbl, b.bkt))
+      .flatMapGroupsWithState[EmbBucketState, EmbCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((tbl, _), events, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(EmbBucketState(Nil, 0L))
+            val out = List.newBuilder[EmbCandidate]
+            for (ev <- events.toSeq.sortBy(e => (e.ts.getTime, e.vec_id))) {
+              if (!st.ids.contains(ev.vec_id)) {
+                for (prior <- st.ids)
+                  out += EmbCandidate(
+                    math.min(prior, ev.vec_id),
+                    math.max(prior, ev.vec_id), tbl)
+                // Same skew guard as the text gates: stop retaining past
+                // the cap, keep flagging against the retained
+                // representatives.
+                if (st.ids.lengthCompare(maxPerBucket) < 0)
+                  st = EmbBucketState(ev.vec_id :: st.ids,
                     math.max(st.max_ts_ms, ev.ts.getTime))
                 else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))
               } else st = st.copy(max_ts_ms = math.max(st.max_ts_ms, ev.ts.getTime))

@@ -221,6 +221,22 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)).select("doc_a", "doc_b"))
   }
 
+  /** [[nearDupCandidatesReplay]]'s embedding sibling: replays
+    * [[StreamOps.embeddingNearDupStream]] over a `(vec_id, embedding)`
+    * relation and returns the DISTINCT candidate pair set (synthetic time
+    * from vec_id, retain-everything TTL). */
+  def embeddingNearDupReplay(vectors: DataFrame, slices: Int = 3): DataFrame = {
+    val src = vectors.select(timestamp_seconds(col("vec_id")).as("ts"),
+      col("vec_id"), col("embedding"))
+    val build = (df: DataFrame) =>
+      StreamOps.embeddingNearDupStream(df,
+        ttl = "36500 days", watermark = "0 seconds").toDF()
+    sliceAndReplay(src, "ts TIMESTAMP, vec_id BIGINT, embedding ARRAY<FLOAT>",
+        slices, "append", build)
+      .map(_.select("vec_a", "vec_b").distinct())
+      .getOrElse(build(src.limit(0)).select("vec_a", "vec_b"))
+  }
+
   /** Replays the series through [[StreamOps.decimateStream]] (tie-free
     * input contract as [[derivativeReplay]]; the stream's oldest→newest
     * anchored-gap scan faces its own ascending recursive-CTE oracle —

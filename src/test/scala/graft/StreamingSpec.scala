@@ -732,4 +732,40 @@ class StreamingSpec extends SparkSpec {
       .where(col("doc_a") === 2).select("est_jaccard").collect().map(_.getDouble(0))
     assert(est.nonEmpty && est.forall(_ == 1.0))
   }
+
+  test("streaming embedding gate: candidate pairs match batch embeddingCandidatePairs") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < 40).select("vec_id", "embedding")
+    val twins = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = base.unionByName(twins).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val in = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val stream = StreamOps.embeddingNearDupStream(
+      in.toDS().toDF("ts", "vec_id", "embedding"),
+      ttl = "1 hour", watermark = "0 seconds")
+    val q = startMemQuery(stream.toDF(), "t_embgate", "append")
+    // two micro-batches, split mid-corpus: cross-batch pairs exercise the
+    // bucket state, within-batch pairs the in-batch loop
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    in.addData(b1.map { case (id, v) => (new Timestamp(1000L), id, v) }.toSeq)
+    q.processAllAvailable()
+    in.addData(b2.map { case (id, v) => (new Timestamp(2000L), id, v) }.toSeq)
+    q.processAllAvailable(); q.stop()
+
+    val streamPairs = spark.table("t_embgate")
+      .select("vec_a", "vec_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = graft.operators.SimilarityOps.embeddingCandidatePairs(
+        spark.createDataFrame(corpus.toSeq).toDF("vec_id", "embedding"))
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == batchPairs)
+    assert(streamPairs.nonEmpty) // the planted twins must surface
+  }
 }
