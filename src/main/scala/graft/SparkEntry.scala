@@ -774,6 +774,24 @@ object SparkEntry {
           (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
     }),
 
+    // Quality-aware removal: same detect -> group pipeline, but the
+    // cluster representative is the HIGHEST-quality member (ties to the
+    // lowest doc_id) — keep the best copy, not the smallest id. The edge
+    // set exports; DuckDB replays clustering AND recomputes the quality
+    // formula (the proven text_quality expression) over the same planted
+    // corpus, so the whole decision is oracle-gated.
+    "neardup_keep_quality" -> ((s, dir) => {
+      val corpus = withPlantedVariants(Tables.documents(s, dir), nDrop = 3)
+      val scores = corpus.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("score"))
+      val labels = DedupOps.nearDupGroups(
+        exportForOracle(
+          DedupOps.nearDupPairs(corpus, k = 64, bands = 16, minJaccard = 0.6)
+            .select("doc_a", "doc_b"),
+          "neardup_q_edges"))
+      DedupOps.nearDupKeepBy(labels, scores)
+    }),
+
     "neardup_groups" -> ((s, dir) =>
       DedupOps.nearDupGroups(
         exportForOracle(
@@ -2903,6 +2921,40 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS label,
          |       COALESCE(lab.label, d.doc_id) = d.doc_id AS kept
          |FROM docs d LEFT JOIN lab ON lab.doc_id = d.doc_id""".stripMargin,
+
+    // Clustering replay over the exported edges PLUS the quality formula
+    // recomputed in SQL (the proven text_quality expression) over the
+    // same planted corpus: the representative is row_number 1 by
+    // (score DESC, doc_id) within each component.
+    "neardup_keep_quality" ->
+      s"""WITH RECURSIVE
+         |docs AS (SELECT doc_id, text FROM documents
+         |         UNION ALL
+         |         SELECT doc_id + 1000000 AS doc_id,
+         |                array_to_string(w[1:GREATEST(len(w)-3, 1)], ' ') AS text
+         |         FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |               FROM documents WHERE doc_id % 50 = 0)),
+         |q AS (SELECT doc_id,
+         |        GREATEST(0.0,
+         |          LEAST(len(string_split_regex(text, '\\s+'))/100.0, 1.0) *
+         |          (1.0 - CAST(length(text) -
+         |                 length(regexp_replace(text, '[\\.,;:!?]', '', 'g'))
+         |                 AS DOUBLE)/length(text))) AS score
+         |      FROM docs),
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst
+         |       FROM read_parquet('${exportGlob("neardup_q_edges")}')),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |cc AS (SELECT src AS doc_id, src AS label FROM e
+         |       UNION
+         |       SELECT e.dst AS doc_id, cc.label
+         |       FROM cc JOIN e ON e.src = cc.doc_id WHERE cc.label < e.dst),
+         |lab AS (SELECT doc_id, min(label) AS label FROM cc GROUP BY doc_id),
+         |f AS (SELECT q.doc_id, COALESCE(lab.label, q.doc_id) AS label, q.score
+         |      FROM q LEFT JOIN lab ON lab.doc_id = q.doc_id),
+         |r AS (SELECT doc_id, label, score,
+         |        row_number() OVER (PARTITION BY label
+         |          ORDER BY score DESC, doc_id) AS rk FROM f)
+         |SELECT doc_id, label, score, rk = 1 AS kept FROM r""".stripMargin,
 
     "neardup_groups" ->
       s"""WITH RECURSIVE

@@ -212,6 +212,28 @@ object DedupOps {
     labels
   }
 
+  /** Quality-aware near-dup removal decision: within each connected
+    * component the representative is the HIGHEST-scoring member (ties to
+    * the lowest doc_id), not the smallest id — the curation-stage choice
+    * a real pipeline makes (keep the best-quality copy of duplicated
+    * content, drop the rest). `labels` is [[nearDupGroups]] output over
+    * the edge nodes; `scores` covers the whole corpus (doc_id, score) —
+    * docs outside any component keep themselves. One broadcast-or-shuffle
+    * join plus a per-label window; nothing collects.
+    *
+    * @return (doc_id, label, score, kept)
+    */
+  def nearDupKeepBy(labels: DataFrame, scores: DataFrame): DataFrame = {
+    val full = scores.join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("score").desc, col("doc_id").asc)
+    full
+      .withColumn("__rk", row_number().over(w))
+      .select(col("doc_id"), col("label"), col("score"),
+        (col("__rk") === 1).as("kept"))
+  }
+
   /** Exact n-gram Jaccard for an explicit pair list (verification stage —
     * runs on candidates only, never all-pairs). */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {

@@ -181,6 +181,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("near-dup keep-by-quality: highest score wins, ties to lowest id, singletons keep") {
+    val s = spark
+    import s.implicits._
+    // component {1,2,3} (chain), singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.nearDupGroups(pairs)
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "score")
+    val kept = DedupOps.nearDupKeepBy(labels, scores).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // 2 and 3 tie at 0.9 -> lowest id (2) is the representative; 1 drops
+    assert(kept == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, false),
+      9L -> (9L, true)))
+  }
+
   test("near-dup groups: reliable-checkpoint mode produces identical labels") {
     val s = spark
     import s.implicits._
