@@ -1584,6 +1584,12 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       CurationOps.packSequences(Tables.documents(s, dir), 2048L, 8)),
 
+    // Deterministic corpus shuffle: content-hash sharded layout for
+    // training-order randomization (map-side shard + per-shard rank — no
+    // global sort).
+    "shuffle_shards" -> ((s, dir) =>
+      CurationOps.shuffleShards(Tables.documents(s, dir), nShards = 8)),
+
     // Top-5 TF-IDF keywords per document (log-free rational scoring).
     "text_tfidf" -> ((s, dir) =>
       SearchOps.tfidfTopTerms(Tables.documents(s, dir), 5)),
@@ -2167,6 +2173,18 @@ object SparkEntry {
         |       CAST(MAX(len(string_split_regex(text, '\s+'))) AS INT) AS max_tokens,
         |       min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "shuffle_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |             md5('42#' || CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents),
+        |s AS (SELECT doc_id, key,
+        |        CAST('0x' || substring(key, 1, 15) AS BIGINT) % 8 AS shard
+        |      FROM k)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |         ORDER BY key, doc_id) AS BIGINT) AS shard_pos
+        |FROM s""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,

@@ -246,4 +246,35 @@ object CurationOps {
           filter(col("toks"), (_, i) => !array_contains(col("cov"), i)))
           .as("clean_text"))
   }
+
+  /** Deterministic corpus shuffle as a SHARDED layout — the
+    * training-order randomization stage: every doc gets a content-hash
+    * position (`md5("<seed>#<doc_id>")`), its shard is the hash modulo
+    * `nShards`, and its in-shard position is the hash order. Reading the
+    * shards (in any order, each sequentially) yields a reproducible
+    * pseudo-random permutation of the corpus.
+    *
+    * Scale shape — deliberately NOT a global sort/row_number: shard
+    * assignment is map-side, and the rank window partitions by shard, so
+    * parallelism is `nShards` with ~|corpus|/nShards rows per task. A
+    * global permutation INDEX would serialize on one ordering task;
+    * shard + in-shard position is the layout training loaders actually
+    * consume. Re-sharding with a different seed is one more map+window
+    * pass.
+    *
+    * @return (doc_id, shard, shard_pos) */
+  def shuffleShards(docs: DataFrame, nShards: Int, seed: Long = 42L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    // 15 hex digits = 60 bits: fits a Long exactly, parses identically in
+    // ANSI SQL (CAST('0x…' AS BIGINT)) — the cross-engine numeric-hash
+    // contract (md5 itself is the proven dataset_split construction).
+    val key = md5(concat_ws("#", lit(seed.toString), col("doc_id").cast("string")))
+    val h = conv(substring(col("__key"), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("__key"))
+      .withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "shard_pos")
+  }
 }
