@@ -32,7 +32,7 @@ object RelationalOps {
       rightTs: String,
       rightTieBreak: String,
       toleranceSeconds: Option[Long] = None): DataFrame = {
-    val rv = struct(right.columns.map(col): _*)
+    val rv = struct(right.columns.toIndexedSeq.map(col): _*)
     val r = right.select(
       col(key).as("__k"),
       col(rightTs).cast("long").as("__t"),
@@ -87,7 +87,7 @@ object RelationalOps {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

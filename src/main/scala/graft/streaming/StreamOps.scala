@@ -747,7 +747,7 @@ object StreamOps {
       val unioned = history.map(_.unionByName(batch)).getOrElse(batch)
       // M3: cull beyond the horizon, then checkpoint-cache the small history.
       val culled = TrendOps.retentionCull(unioned, p.retentionSeconds)
-        .select(batch.columns.map(col): _*)
+        .select(batch.columns.toIndexedSeq.map(col): _*)
       val materialized = culled.localCheckpoint(true)
       history = Some(materialized)
       latest = Some(TrendOps.bandedExtents(materialized, p))
