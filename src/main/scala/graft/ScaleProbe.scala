@@ -125,6 +125,16 @@ object ScaleProbe {
     probe("stream_replay", k =>
       graft.streaming.StreamReplay.minuteTierReplay(scaled(k), slices = 3))
 
+    // Round-9 additions: the sharded shuffle layout (map-side shard +
+    // per-shard rank — expect linear) and the batch leg of the embedding
+    // near-dup gate (bucket self-join behind ReusedExchange — candidate
+    // growth tracks planted-twin density, so with perturbed replicas the
+    // ratio should stay near-linear, not quadratic).
+    probe("shuffle_shards", k =>
+      CurationOps.shuffleShards(scaledDocs(k).select("doc_id"), nShards = 8))
+    probe("emb_cand_pairs", k =>
+      SimilarityOps.embeddingCandidatePairs(scaledEmb(k)))
+
     // Hot-metric skew posture (round-8 VERDICT item 8): the sequential
     // recurrences' documented worst case — EVERY row on ONE metric, so
     // max parallelism is 1 and the whole series is a single external
