@@ -232,4 +232,41 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("shuffleShards: a permutation — every doc exactly once, in-shard ranks contiguous from 1") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    val out = graft.operators.CurationOps.shuffleShards(ids, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == (0L until 500L).toSet) // exactly once
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ranks = rows.map(_._3).sorted
+      assert(ranks.head == 1L && ranks.last == rows.length.toLong &&
+        ranks.distinct.length == rows.length, s"shard $shard ranks not contiguous")
+    }
+    // seed sensitivity: a different seed must produce a different layout
+    val out7 = graft.operators.CurationOps.shuffleShards(ids, nShards = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out7.toSet != out.toSet)
+    // rough balance: no shard more than 2x the ideal share
+    assert(out.groupBy(_._2).values.map(_.size).max <= 2 * 500 / 8)
+  }
+
+  test("nearDupKeepBy: exactly one representative per component, and it has the max score") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.DedupOps.nearDupGroups(pairs)
+    val scores = Seq(1L -> 0.5, 2L -> 0.1, 3L -> 0.4, 5L -> 0.3, 6L -> 0.8, 9L -> 0.0)
+      .toDF("doc_id", "score")
+    val out = graft.operators.DedupOps.nearDupKeepBy(labels, scores).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    out.groupBy(_._2).foreach { case (label, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"label $label: ${kept.length} representatives")
+      assert(kept.head._3 == members.map(_._3).max, s"label $label keeps non-max score")
+    }
+    assert(out.count(_._4) == 3) // {1,2,3} -> 1 (0.5), {5,6} -> 6 (0.8), {9} -> itself
+  }
 }
