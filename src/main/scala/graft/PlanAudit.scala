@@ -105,6 +105,13 @@ object PlanAudit {
         !p.contains("CartesianProduct") &&
           "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 // scalar N only
       }),
+      ("shuffle shards has no global sort (shard-partitioned window only)", {
+        val p = {
+          val df = SparkEntry.queries("shuffle_shards")(spark, sfDir)
+          df.queryExecution.executedPlan.toString
+        }
+        p.contains("hashpartitioning(shard") && !p.contains("rangepartitioning")
+      }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),
       ("simhash self-join reuses the signature exchange",
