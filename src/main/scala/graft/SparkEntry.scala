@@ -1362,6 +1362,33 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).as("sv"),
           min("value").as("mn"), max("value").as("mx")))),
 
+    // Tiered-retention COMPACTED READ: rows older than the horizon exist
+    // only as the 1m rollup tier (the M3 storage policy applied), recent
+    // rows stay raw as singleton tiles, and the hourly query composes
+    // over the HYBRID layout. It must hash-match the direct hourly
+    // aggregation over full raw — a24 proves tier compositionality; this
+    // proves the raw/tier BOUNDARY stitches, including the hour that
+    // spans it (n/sv/mn/mx all merge associatively across the seam).
+    "compacted_read" -> ((s, dir) => {
+      val sr = series(s, dir)
+      // storage-policy cutoff: one scalar read (model-sized, the params
+      // pattern — not a data collect)
+      val cutoff = sr.agg(max("e")).head().getLong(0) - 7L * 86400L
+      val oldTier = sr.where(col("e") < cutoff)
+        .withColumn("b1m", floor(col("e") / lit(60.0)).cast("long") * 60)
+        .groupBy("metric", "b1m")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"),
+          min("value").as("mn"), max("value").as("mx"))
+      val recentRaw = sr.where(col("e") >= cutoff)
+        .select(col("metric"),
+          (floor(col("e") / lit(60.0)).cast("long") * 60).as("b1m"),
+          lit(1L).as("n"),
+          col("value").cast("decimal(18,2)").as("sv"),
+          col("value").as("mn"), col("value").as("mx"))
+      composeHourTier(oldTier.unionByName(recentRaw))
+    }),
+
     // Streaming-parity leg of the a24 contract: the SAME 1h tier, but with
     // the 1m tier produced by a real Structured Streaming run —
     // [[graft.streaming.StreamOps.minuteTierStream]] replayed over the
@@ -2598,6 +2625,9 @@ object SparkEntry {
     // this by composing its 1m tier (batch leg AND streaming-replay leg).
     "a24_rollup_tier" -> ROLLUP_TIER_ORACLE,
     "stream_tier_parity" -> ROLLUP_TIER_ORACLE,
+    // The compacted hybrid (old 1m tier + recent raw) must reproduce the
+    // direct hourly aggregation over full raw — same oracle, third leg.
+    "compacted_read" -> ROLLUP_TIER_ORACLE,
 
     // Streaming-twin parity oracles over the tie-free slice. Same
     // portable-rounding posture as a27/a20/a14: exact decimal or integer
