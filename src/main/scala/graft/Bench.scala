@@ -53,7 +53,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Decomposition: the stream_* entries are checkpointed Structured
+    // Streaming REPLAYS (verification surface) whose cost is dominated by
+    // fixed engine overhead (state-store setup, per-trigger commits), not
+    // data volume — price them separately from the batch operators.
+    val streamTotal = results.collect {
+      case (n, v) if n.startsWith("stream_") && v >= 0 => v }.sum
+    val batch = results.filterNot(_._1.startsWith("stream_"))
+    val batchTotal = batch.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
+      s""""batch_total":$batchTotal,"batch_n":${batch.size},""" +
+      s""""stream_replay_total":$streamTotal,"stream_replay_n":${results.size - batch.size},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
