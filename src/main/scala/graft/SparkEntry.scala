@@ -950,6 +950,37 @@ object SparkEntry {
     // final arithmetic is the same single IEEE expression on both engines,
     // so the result is bit-deterministic (unlike builtin var_samp/corr,
     // whose merge order varies with partitioning).
+    // Higher-moment screen (skewness/kurtosis per metric) from EXACT
+    // decimal power sums — the a11 determinism contract extended to 4th
+    // order: value casts to decimal(7,2) so v^4 stays inside exact
+    // decimal precision in BOTH engines (no precision-cap rounding), the
+    // four sums are exact integers, and every double op below is the
+    // identical expression tree on both sides (sqrt, *, / only — no pow).
+    "a28_moments" -> ((s, dir) => {
+      val v = col("value").cast("decimal(7,2)")
+      val n = col("n")
+      series(s, dir).groupBy("metric").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(v).cast("double").as("s1"),
+          sum(v * v).cast("double").as("s2"),
+          sum(v * v * v).cast("double").as("s3"),
+          sum(v * v * v * v).cast("double").as("s4"))
+        .where(n >= 2)
+        .withColumn("mean_v", col("s1") / n)
+        .withColumn("m2", col("s2") / n - col("mean_v") * col("mean_v"))
+        .withColumn("m3", col("s3") / n -
+          lit(3.0) * col("mean_v") * (col("s2") / n) +
+          lit(2.0) * col("mean_v") * col("mean_v") * col("mean_v"))
+        .withColumn("m4", col("s4") / n -
+          lit(4.0) * col("mean_v") * (col("s3") / n) +
+          lit(6.0) * col("mean_v") * col("mean_v") * (col("s2") / n) -
+          lit(3.0) * col("mean_v") * col("mean_v") * col("mean_v") * col("mean_v"))
+        .where(col("m2") > 0)
+        .select(col("metric"), n.cast("long").as("n"), col("mean_v"), col("m2"),
+          (col("m3") / (sqrt(col("m2")) * col("m2"))).as("skew_v"),
+          (col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurtosis_v"))
+    }),
+
     "a11_dispersion" -> ((s, dir) => {
       val v = col("value").cast("decimal(18,2)")
       val dow = expr("((e div 86400) + 4) % 7").cast("decimal(18,0)")
@@ -2139,6 +2170,41 @@ object SparkEntry {
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    // Two DuckDB-specific constructions keep the power sums bit-exact:
+    // (1) the square widens to DECIMAL(19,4) explicitly — DuckDB caps a
+    // (14,4)x(7,2) product at width 18 (int64), which overflows on v^3;
+    // width 19 forces int128 arithmetic. (2) the wide sums convert to
+    // DOUBLE via VARCHAR: DuckDB's direct int128-decimal→double cast is
+    // off by ulps (measured), while string→double parsing is correctly
+    // rounded — matching Spark's BigDecimal.doubleValue. The association
+    // differs from the Spark side (v2*v2 vs ((v*v)*v)*v) but both are
+    // exact integer arithmetic over the same rationals.
+    "a28_moments" ->
+      s"""WITH $SERIES,
+         |m0 AS (SELECT metric, CAST(value AS DECIMAL(7,2)) AS vd,
+         |         CAST(CAST(value AS DECIMAL(7,2)) * CAST(value AS DECIMAL(7,2))
+         |              AS DECIMAL(19,4)) AS v2
+         |       FROM series),
+         |m AS (SELECT metric, CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(CAST(SUM(vd) AS VARCHAR) AS DOUBLE) AS s1,
+         |  CAST(CAST(SUM(v2) AS VARCHAR) AS DOUBLE) AS s2,
+         |  CAST(CAST(SUM(v2 * vd) AS VARCHAR) AS DOUBLE) AS s3,
+         |  CAST(CAST(SUM(v2 * v2) AS VARCHAR) AS DOUBLE) AS s4
+         |  FROM m0 GROUP BY metric),
+         |c AS (SELECT metric, n, s1 / n AS mean_v, s2, s3, s4 FROM m WHERE n >= 2),
+         |d AS (SELECT metric, n, mean_v,
+         |        s2 / n - mean_v * mean_v AS m2,
+         |        s3 / n - 3.0 * mean_v * (s2 / n) +
+         |          2.0 * mean_v * mean_v * mean_v AS m3,
+         |        s4 / n - 4.0 * mean_v * (s3 / n) +
+         |          6.0 * mean_v * mean_v * (s2 / n) -
+         |          3.0 * mean_v * mean_v * mean_v * mean_v AS m4
+         |      FROM c)
+         |SELECT metric, CAST(n AS BIGINT) AS n, mean_v, m2,
+         |       m3 / (sqrt(m2) * m2) AS skew_v,
+         |       m4 / (m2 * m2) - 3.0 AS kurtosis_v
+         |FROM d WHERE m2 > 0""".stripMargin,
 
     "a11_dispersion" ->
       s"""WITH $SERIES,
