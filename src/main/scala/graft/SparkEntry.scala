@@ -950,6 +950,20 @@ object SparkEntry {
     // final arithmetic is the same single IEEE expression on both engines,
     // so the result is bit-deterministic (unlike builtin var_samp/corr,
     // whose merge order varies with partitioning).
+    // Equi-depth (quantile-bucketed) histogram per metric — the
+    // value-distribution view a fixed-width histogram (a15) distorts for
+    // skewed data: ntile assigns equal-count buckets over the total
+    // (value, event_id) order, so bucket edges ARE the empirical
+    // quantiles. Exact row partitioning, no arithmetic to diverge.
+    "a29_equidepth_hist" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("metric").orderBy(col("value"), col("event_id"))
+      series(s, dir)
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy("metric", "bucket")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+    }),
+
     // Higher-moment screen (skewness/kurtosis per metric) from EXACT
     // decimal power sums — the a11 determinism contract extended to 4th
     // order: value casts to decimal(7,2) so v^4 stays inside exact
@@ -2180,6 +2194,14 @@ object SparkEntry {
     // rounded — matching Spark's BigDecimal.doubleValue. The association
     // differs from the Spark side (v2*v2 vs ((v*v)*v)*v) but both are
     // exact integer arithmetic over the same rationals.
+    "a29_equidepth_hist" ->
+      s"""WITH $SERIES,
+         |b AS (SELECT metric, value,
+         |        ntile(10) OVER (PARTITION BY metric ORDER BY value, event_id) AS bucket
+         |      FROM series)
+         |SELECT metric, bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
     "a28_moments" ->
       s"""WITH $SERIES,
          |m0 AS (SELECT metric, CAST(value AS DECIMAL(7,2)) AS vd,
