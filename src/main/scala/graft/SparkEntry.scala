@@ -955,6 +955,10 @@ object SparkEntry {
     // skewed data: ntile assigns equal-count buckets over the total
     // (value, event_id) order, so bucket edges ARE the empirical
     // quantiles. Exact row partitioning, no arithmetic to diverge.
+    // Skew contract: the exact total order sorts each metric in ONE
+    // window task (the decimateFaithful/ewma posture) — at 100 TB use
+    // the sketch path (a9/a10 percentile_approx) and keep this as the
+    // exact-verification form.
     "a29_equidepth_hist" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("metric").orderBy(col("value"), col("event_id"))
