@@ -150,6 +150,12 @@ object ScaleProbe {
       TrendOps.decimateFaithful(oneHotMetric(k), 60.0).toDF())
     probe("ewma_hot", k =>
       TrendOps.ewma(oneHotMetric(k), alpha = 0.2).toDF())
+    // The round-9 batch escape hatch for that worst case: the time-chunked
+    // EWMA splits the hot metric's timeline into day chunks (parallel
+    // in-chunk folds + a summary-sized carry combine), so unlike ewma_hot
+    // this probe SHOULD show the multi-core speedup of the spread fixtures.
+    probe("ewma_chunked_hot", k =>
+      TrendOps.ewmaChunked(oneHotMetric(k), alpha = 0.2).toDF())
 
     spark.stop()
   }

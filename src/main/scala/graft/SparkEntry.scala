@@ -443,6 +443,15 @@ object SparkEntry {
     // is oracle-checked despite being a stateful scan on the Spark side.
     "a14_ewma" -> ((s, dir) => TrendOps.ewma(series(s, dir), alpha = 0.2).toDF()),
 
+    // Time-chunked parallel EWMA — the batch hot-metric scale path
+    // (parallelism = metric × day-chunk instead of metric). The oracle
+    // replays the SAME three-pass chunked order (in-chunk affine folds,
+    // per-metric carry combine, per-chunk re-fold) via recursive CTEs, so
+    // the match is bit-exact like a14.
+    "a14_ewma_chunked" -> ((s, dir) =>
+      TrendOps.ewmaChunked(series(s, dir), alpha = 0.2,
+        chunkSpanSeconds = 86400L).toDF()),
+
     // Fixed-width value histogram per metric.
     "a15_histogram" -> ((s, dir) =>
       series(s, dir)
@@ -1588,6 +1597,10 @@ object SparkEntry {
     "a25_corr_matrix" -> ((s, dir) =>
       TrendOps.corrMatrix(series(s, dir), maxMetrics = 64)),
 
+    // Lag-1..3 autocorrelation per metric (periodicity/persistence screen)
+    // — exact decimal sums, one final double combine (the a25 contract).
+    "a30_autocorr" -> ((s, dir) => TrendOps.autocorr(series(s, dir), maxLag = 3)),
+
     // Flatline screen over precision-quantized values (stuck sensor).
     "a23_flatline" -> ((s, dir) =>
       TrendOps.flatlineRuns(
@@ -1879,6 +1892,56 @@ object SparkEntry {
          |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
          |)
          |SELECT metric, e, value, ewma FROM r""".stripMargin,
+
+    // The time-chunked EWMA replayed in the same three-pass order the
+    // Spark operator uses: (1) per-(metric, day-chunk) affine folds
+    // (a = Π(1−α), b = fold(α·x + (1−α)·b, 0), bseed = seeded fold),
+    // (2) per-metric carry combine over chunk summaries (state ← a·state + b,
+    // first chunk bseed), (3) per-chunk re-fold from the carry-in. Every
+    // double expression matches the Spark side token-for-token in the same
+    // order, so the compare is bit-exact (the a14 contract, chunked).
+    "a14_ewma_chunked" ->
+      s"""WITH RECURSIVE $SERIES,
+         |o AS (SELECT metric, e, value,
+         |        CAST(FLOOR(e/86400) AS BIGINT) AS c,
+         |        CAST(row_number() OVER (
+         |          PARTITION BY metric, CAST(FLOOR(e/86400) AS BIGINT)
+         |          ORDER BY e, event_id) AS BIGINT) AS rn
+         |      FROM series),
+         |f AS (
+         |  -- CAST pins the recursive column to DOUBLE: a bare 1.0*(1-0.2)
+         |  -- base case would type `a` as a low-scale DECIMAL and round on
+         |  -- every recursive multiply.
+         |  SELECT metric, c, rn, CAST(1 AS DOUBLE)*(1 - 0.2) AS a,
+         |         0.2*value + (1 - 0.2)*0.0 AS b, value AS bseed
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.metric, o.c, o.rn, f.a*(1 - 0.2),
+         |         0.2*o.value + (1 - 0.2)*f.b, 0.2*o.value + (1 - 0.2)*f.bseed
+         |  FROM f JOIN o ON o.metric = f.metric AND o.c = f.c AND o.rn = f.rn + 1
+         |),
+         |s AS (SELECT metric, c, a, b, bseed FROM f
+         |      QUALIFY row_number() OVER (PARTITION BY metric, c ORDER BY rn DESC) = 1),
+         |ck AS (SELECT *, CAST(row_number() OVER (PARTITION BY metric ORDER BY c) AS BIGINT) AS k FROM s),
+         |carry AS (
+         |  SELECT metric, c, k, bseed AS state FROM ck WHERE k = 1
+         |  UNION ALL
+         |  SELECT n.metric, n.c, n.k, n.a*carry.state + n.b
+         |  FROM carry JOIN ck n ON n.metric = carry.metric AND n.k = carry.k + 1
+         |),
+         |ci AS (SELECT n.metric, n.c, p.state AS carry_in
+         |       FROM ck n LEFT JOIN carry p ON p.metric = n.metric AND p.k = n.k - 1),
+         |fin AS (
+         |  SELECT o.metric, o.c, o.rn, o.e, o.value,
+         |         CASE WHEN ci.carry_in IS NULL THEN o.value
+         |              ELSE 0.2*o.value + (1 - 0.2)*ci.carry_in END AS ewma
+         |  FROM o JOIN ci ON ci.metric = o.metric AND ci.c = o.c
+         |  WHERE o.rn = 1
+         |  UNION ALL
+         |  SELECT o.metric, o.c, o.rn, o.e, o.value, 0.2*o.value + (1 - 0.2)*fin.ewma
+         |  FROM fin JOIN o ON o.metric = fin.metric AND o.c = fin.c AND o.rn = fin.rn + 1
+         |)
+         |SELECT metric, e, value, ewma FROM fin""".stripMargin,
 
     "a15_histogram" ->
       s"""WITH $SERIES
@@ -2884,6 +2947,27 @@ object SparkEntry {
          |v AS (SELECT *, sxx - sx * sx / n AS vx, syy - sy * sy / n AS vy FROM p)
          |SELECT ma, mb, CAST(n AS BIGINT) AS n_buckets,
          |       (sxy - sx * sy / n) / sqrt(vx * vy) AS corr
+         |FROM v WHERE n >= 2 AND vx > 0 AND vy > 0""".stripMargin,
+
+    // Lag-k autocorrelation: lagged pairs over the (e, event_id) total
+    // order, six exact DECIMAL aggregates per (metric, lag), then the
+    // identical double combine as a25 (division/sqrt AFTER the guards).
+    "a30_autocorr" ->
+      s"""WITH $SERIES,
+         |u AS (${(1 to 3).map(k =>
+              s"""SELECT metric, $k AS lag, CAST(value AS DECIMAL(18,2)) AS x,
+                 |  lag(CAST(value AS DECIMAL(18,2)), $k) OVER (PARTITION BY metric ORDER BY e, event_id) AS xp
+                 |FROM series""".stripMargin).mkString("\nUNION ALL\n")}),
+         |p AS (SELECT metric, lag,
+         |        CAST(count(*) AS DOUBLE) AS n,
+         |        CAST(SUM(xp) AS DOUBLE) AS sx, CAST(SUM(x) AS DOUBLE) AS sy,
+         |        CAST(SUM(xp * x) AS DOUBLE) AS sxy,
+         |        CAST(SUM(xp * xp) AS DOUBLE) AS sxx,
+         |        CAST(SUM(x * x) AS DOUBLE) AS syy
+         |      FROM u WHERE xp IS NOT NULL GROUP BY 1, 2),
+         |v AS (SELECT *, sxx - sx * sx / n AS vx, syy - sy * sy / n AS vy FROM p)
+         |SELECT metric, lag, CAST(n AS BIGINT) AS n_pairs,
+         |       (sxy - sx * sy / n) / sqrt(vx * vy) AS acf
          |FROM v WHERE n >= 2 AND vx > 0 AND vy > 0""".stripMargin,
 
     "a22_gap_report" ->

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional third arg: comma-separated query names to run (dev
+    // spot-check); the driver's two-arg invocation runs everything.
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)         => (s, o, None)
+      case Array(s, o, names)  => (s, o, Some(names.split(',').toSet))
+    }
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     // Per-run export root (round-6 ADVICE): a SIBLING of outDir, not a
@@ -16,7 +21,9 @@ object Verify {
     SparkEntry.configureOracleExport(
       new java.io.File(outDir).getAbsolutePath.stripSuffix("/") + "_oracle_export",
       enabled = true)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -12,6 +12,26 @@ final case class Sample(metric: String, e: Long, value: Double, event_id: Long)
 /** One EWMA output point (see [[TrendOps.ewma]]). */
 final case class EwmaPoint(metric: String, e: Long, value: Double, ewma: Double)
 
+/** Per-(metric, time-chunk) affine summary of the EWMA recurrence (see
+  * [[TrendOps.ewmaChunked]]): running the chunk's rows from incoming state
+  * `s` ends at `a·s + b`; `bseed` is the end state when the chunk's first
+  * row SEEDS the recurrence (the metric's first chunk). */
+final case class EwmaChunkSummary(
+    metric: String, c: Long, n: Long, a: Double, b: Double, bseed: Double)
+
+/** Carry-in state for one (metric, chunk): `hasCarry = false` marks the
+  * metric's first chunk (seed mode — no predecessor state). */
+final case class EwmaCarry(metric: String, c: Long, carry: Double, hasCarry: Boolean)
+
+/** A series row tagged with its time chunk (internal to [[TrendOps.ewmaChunked]]). */
+final case class ChunkedSample(
+    metric: String, c: Long, e: Long, value: Double, event_id: Long)
+
+/** [[ChunkedSample]] joined with its chunk's carry-in. */
+final case class CarriedSample(
+    metric: String, c: Long, e: Long, value: Double, event_id: Long,
+    carry: Double, hasCarry: Boolean)
+
 /** Batch trend operators — the analytic core of the reference re-expressed
   * as declarative Spark plans over the canonical series relation
   * `(event_id, user_id, metric, e, value, props)` (epoch-second `e`).
@@ -312,7 +332,9 @@ object TrendOps {
     * SKEW CONTRACT: same as [[decimateFaithful]] — the recurrence cannot
     * split a metric's timeline, so max parallelism equals metric
     * cardinality and one hot metric means one long task (probed by
-    * ScaleProbe's `ewma_hot`). The 100 TB path for a hot metric is the
+    * ScaleProbe's `ewma_hot`). The 100 TB paths for a hot metric are the
+    * batch [[ewmaChunked]] (parallel-in-time carry composition, probed by
+    * `ewma_chunked_hot`, hard-oracled by `a14_ewma_chunked`) and the
     * incremental [[graft.streaming.StreamOps.ewmaStream]] twin: O(1)
     * state per metric, cost amortized over arrival instead of one
     * monolithic sort+scan (hard-oracled by `stream_ewma_parity`). */
@@ -333,6 +355,117 @@ object TrendOps {
           val v = if (seeded) alpha * s.value + (1 - alpha) * prev else s.value
           prev = v
           seeded = true
+          EwmaPoint(s.metric, s.e, s.value, v)
+        }
+      }
+  }
+
+  /** Time-chunked EWMA — the batch 100 TB path for a HOT metric, lifting
+    * [[ewma]]'s skew contract (max parallelism = metric cardinality) to
+    * parallelism = metric × time-chunk cardinality via a classic
+    * parallel-scan decomposition of the linear recurrence:
+    *
+    *  1. '''Summaries''' (parallel over (metric, chunk), chunk =
+    *     ⌊e/chunkSpanSeconds⌋): one pinned-order pass per chunk folds the
+    *     affine transform of the recurrence — running the chunk from
+    *     incoming state `s` ends at `a·s + b` with
+    *     `a = Π(1−α)` and `b = fold(α·x + (1−α)·b, b₀=0)`, plus `bseed`,
+    *     the end state when the chunk's first row seeds (s₁ = x₁).
+    *  2. '''Carry combine''' (per metric, over CHUNK SUMMARIES only —
+    *     thousands of rows where the data has billions): ordered fold
+    *     `state ← a·state + b` (first chunk: `bseed`) emits each chunk's
+    *     carry-in.
+    *  3. '''Finalize''' (parallel over (metric, chunk)): re-fold each
+    *     chunk's rows from its carry-in (`α·x + (1−α)·carry` on the first
+    *     row; seed mode for the metric's first chunk) — bit-identical to
+    *     plain [[ewma]] for single-chunk metrics.
+    *
+    * Every double expression has a pinned evaluation order, so the oracle
+    * (a DuckDB recursive-CTE replay of the SAME three passes in the SAME
+    * order) matches bit-exactly. The chunk boundary changes association
+    * (`a·s + b` vs the row-by-row fold), so results differ from [[ewma]]
+    * by last-ulp rounding only — asserted ≤1e-9 relative in the spec; the
+    * semantics are the chunked order itself, exactly replayed by the
+    * oracle. The carry relation is summary-sized, so pass 3's join
+    * broadcasts and the pass costs one fact shuffle on (metric, c). */
+  def ewmaChunked(series: DataFrame, alpha: Double,
+                  chunkSpanSeconds: Long = 86400L): Dataset[EwmaPoint] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val rows = series
+      .select(col("metric"),
+        floor(col("e") / chunkSpanSeconds).cast("long").as("c"),
+        col("e"), col("value"), col("event_id"))
+      .as[ChunkedSample]
+
+    // Pass 1: per-(metric, chunk) affine summaries, pinned (e, event_id) order.
+    val summaries = rows
+      .repartition(col("metric"), col("c"))
+      .sortWithinPartitions(col("metric"), col("c"), col("e"), col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[EwmaChunkSummary] {
+          private val in = it.buffered
+          override def hasNext: Boolean = in.hasNext
+          override def next(): EwmaChunkSummary = {
+            val head = in.next()
+            var n = 1L
+            var a = 1.0 * (1 - alpha)
+            var b = alpha * head.value + (1 - alpha) * 0.0
+            var bseed = head.value
+            while (in.hasNext && in.head.metric == head.metric && in.head.c == head.c) {
+              val s = in.next()
+              n += 1
+              a = a * (1 - alpha)
+              b = alpha * s.value + (1 - alpha) * b
+              bseed = alpha * s.value + (1 - alpha) * bseed
+            }
+            EwmaChunkSummary(head.metric, head.c, n, a, b, bseed)
+          }
+        }
+      }
+
+    // Pass 2: per-metric ordered fold over the tiny summary relation.
+    val carries = summaries
+      .repartition(col("metric"))
+      .sortWithinPartitions(col("metric"), col("c"))
+      .mapPartitions { it =>
+        var curMetric: String = null
+        var state = 0d
+        var seeded = false
+        it.map { s =>
+          if (s.metric != curMetric) { curMetric = s.metric; seeded = false }
+          val out = EwmaCarry(s.metric, s.c, state, seeded)
+          state = if (seeded) s.a * state + s.b else s.bseed
+          seeded = true
+          out
+        }
+      }
+
+    // Pass 3: re-fold each chunk from its carry-in. The tiny carry relation
+    // broadcasts (Catalyst picks BHJ from its stats), so the join moves no
+    // fact rows; the explicit repartition below is the ONE fact shuffle of
+    // this pass and guarantees chunk-contiguous partitions regardless of
+    // which join strategy was chosen.
+    rows.toDF()
+      .join(carries.toDF(), Seq("metric", "c"))
+      .as[CarriedSample]
+      .repartition(col("metric"), col("c"))
+      .sortWithinPartitions(col("metric"), col("c"), col("e"), col("event_id"))
+      .mapPartitions { it =>
+        var curMetric: String = null
+        var curChunk = Long.MinValue
+        var prev = 0d
+        var inChunk = false
+        it.map { s =>
+          if (s.metric != curMetric || s.c != curChunk) {
+            curMetric = s.metric; curChunk = s.c; inChunk = false
+          }
+          val v =
+            if (inChunk) alpha * s.value + (1 - alpha) * prev
+            else if (s.hasCarry) alpha * s.value + (1 - alpha) * s.carry
+            else s.value
+          prev = v
+          inChunk = true
           EwmaPoint(s.metric, s.e, s.value, v)
         }
       }
@@ -386,6 +519,49 @@ object TrendOps {
       .select(col("ma"), col("mb"), col("n").cast("long").as("n_buckets"),
         ((col("sxy") - col("sx") * col("sy") / col("n")) /
           sqrt(col("vx") * col("vy"))).as("corr"))
+  }
+
+  /** Lag-k autocorrelation screen per metric, k = 1..maxLag — the
+    * periodicity/persistence companion to [[corrMatrix]] (same exact-decimal
+    * sums → one final double combine, token-identical on both compare
+    * sides). Pairs are (x(t−k), x(t)) over the (e, event_id) total order;
+    * each lag's Pearson r is computed from six exact DECIMAL aggregates
+    * (n, Σxp, Σx, Σxp·x, Σxp², Σx²) cast to double only for the final
+    * combine, with the a25 ANSI guards (n ≥ 2, positive variances) filtered
+    * BEFORE any division. maxLag branches share one window; each branch is
+    * a per-metric hash aggregate after the lag window — the same skew
+    * contract as the other per-metric windows (a22/a27). */
+  def autocorr(series: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))
+    val vd = col("value").cast("decimal(18,2)")
+    // All lags ride ONE window pass (one shuffle + one in-partition sort);
+    // stack() unpivots to (lag, xp) rows, and the (metric, lag) aggregate
+    // reuses the metric hash partitioning — no further exchange. Exact
+    // decimal sums make the stacked accumulation order irrelevant.
+    val withLags = series
+      .withColumn("x", vd)
+      .select(col("metric") +: col("x") +:
+        (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"xp$k")): _*)
+    withLags
+      .select(col("metric"), col("x"),
+        expr(s"stack($maxLag, ${(1 to maxLag).map(k => s"$k, xp$k").mkString(", ")})")
+          .as(Seq("lag", "xp")))
+      .where(col("xp").isNotNull)
+      .groupBy("metric", "lag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("xp").cast("double").as("sx"),
+        sum("x").cast("double").as("sy"),
+        sum(col("xp") * col("x")).cast("double").as("sxy"),
+        sum(col("xp") * col("xp")).cast("double").as("sxx"),
+        sum(col("x") * col("x")).cast("double").as("syy"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("n"))
+      .where(col("n") >= 2 && col("vx") > 0 && col("vy") > 0)
+      .select(col("metric"), col("lag"), col("n").cast("long").as("n_pairs"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt(col("vx") * col("vy"))).as("acf"))
   }
 
   /** Time-weighted mean per metric: each sample weighted by its holding

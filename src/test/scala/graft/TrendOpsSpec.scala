@@ -160,6 +160,63 @@ class TrendOpsSpec extends SparkSpec {
     assert(rows.map(_.value).toSeq == Seq(10.0, 20.0, 30.0))
   }
 
+  test("chunked EWMA re-anchors each chunk from the combined carry") {
+    // span 100s -> e=0,60 land in chunk 0, e=120 in chunk 1. All halves are
+    // exact in binary, so chunked equals sequential exactly here.
+    val df = seriesDF(("m", 0L, 10.0), ("m", 60L, 20.0), ("m", 120L, 30.0))
+    val rows = TrendOps.ewmaChunked(df, alpha = 0.5, chunkSpanSeconds = 100L)
+      .collect().sortBy(_.e)
+    assert(rows.map(_.ewma).toSeq == Seq(10.0, 15.0, 22.5))
+  }
+
+  test("chunked EWMA is bit-identical to sequential when one chunk spans the series") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      (s"m${i % 3}", i.toLong * 37, rnd.nextDouble() * 100)
+    }
+    val df = seriesDF(rows: _*)
+    val seq = TrendOps.ewma(df, alpha = 0.2).collect()
+      .map(p => (p.metric, p.e) -> p.ewma).toMap
+    val chk = TrendOps.ewmaChunked(df, alpha = 0.2, chunkSpanSeconds = 1000000L)
+      .collect()
+    assert(chk.length == rows.length)
+    chk.foreach(p => assert(seq((p.metric, p.e)) == p.ewma))
+  }
+
+  test("chunked EWMA tracks the sequential recurrence to last-ulp tolerance across chunks") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (s"m${i % 3}", i.toLong * 37, rnd.nextDouble() * 100)
+    }
+    val df = seriesDF(rows: _*)
+    val seq = TrendOps.ewma(df, alpha = 0.2).collect()
+      .map(p => (p.metric, p.e) -> p.ewma).toMap
+    // 500*37s / 1000s span ≈ 19 chunks per metric
+    val chk = TrendOps.ewmaChunked(df, alpha = 0.2, chunkSpanSeconds = 1000L)
+      .collect()
+    assert(chk.length == rows.length)
+    chk.foreach { p =>
+      val s = seq((p.metric, p.e))
+      assert(math.abs(p.ewma - s) <= 1e-9 * math.max(1.0, math.abs(s)),
+        s"chunked ${p.ewma} vs sequential $s at (${p.metric}, ${p.e})")
+    }
+  }
+
+  test("autocorr: lag-1 of an alternating series is -1, constant series is filtered") {
+    // alternating 0,10,0,10… -> lag-1 pairs are perfectly anti-correlated
+    val alt = (0 until 40).map(i => ("alt", i.toLong * 60, if (i % 2 == 0) 0.0 else 10.0))
+    // constant series -> zero variance -> guarded out before division
+    val const = (0 until 40).map(i => ("const", i.toLong * 60, 5.0))
+    val out = TrendOps.autocorr(seriesDF(alt ++ const: _*), maxLag = 2).collect()
+    val byKey = out.map(r =>
+      (r.getAs[String]("metric"), r.getAs[Int]("lag")) -> r.getAs[Double]("acf")).toMap
+    assert(math.abs(byKey(("alt", 1)) - (-1.0)) < 1e-12)
+    assert(math.abs(byKey(("alt", 2)) - 1.0) < 1e-12)
+    assert(!byKey.keySet.exists(_._1 == "const"))
+    val n1 = out.find(r => r.getAs[String]("metric") == "alt" && r.getAs[Int]("lag") == 1).get
+    assert(n1.getAs[Long]("n_pairs") == 39L)
+  }
+
   test("time-weighted mean weights samples by holding interval") {
     // m: value 10 held for 90s, value 20 held for 10s -> twa = (10*90+20*10)/100 = 11
     val df = seriesDF(("m", 0L, 10.0), ("m", 90L, 20.0), ("m", 100L, 99.0))
