@@ -1329,6 +1329,14 @@ object SparkEntry {
         col("vec_id"), col("label"),
         SimilarityOps.norm(col("embedding")).as("l2_norm"))),
 
+    // Per-label centroid cohesion + outlier flag: integer-quantized
+    // components make the centroid sums exact (order-independent); the
+    // cosine rides the pinned vecDot <-> list_dot_product contract.
+    "embedding_dispersion" -> ((s, dir) =>
+      // 0.05 splits this corpus (~25% flagged) — a threshold above the
+      // observed max would make the flag vacuously uniform.
+      SimilarityOps.labelDispersion(Tables.embeddings(s, dir), outlierBelow = 0.05)),
+
     // Large-volume orders (TPC-H Q18 shape): HAVING on an aggregate, then
     // join the survivors back to orders/customer. The filtered aggregate is
     // tiny, so AQE broadcasts it into both joins.
@@ -2676,6 +2684,26 @@ object SparkEntry {
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                        CAST(embedding AS DOUBLE[]))) AS l2_norm
         |FROM embeddings""".stripMargin,
+
+    // Centroid cohesion replay: same integer quantization (scale-0 round
+    // is the portable op), same exact per-(label, dim) sums, same pinned
+    // dot-product fold, same final double expression order.
+    "embedding_dispersion" ->
+      """WITH q AS (SELECT vec_id, label,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |                       x -> round(x * 1000000.0)) AS xv
+        |      FROM embeddings),
+        |c0 AS (SELECT label, generate_subscripts(xv, 1) AS dim, unnest(xv) AS x FROM q),
+        |c1 AS (SELECT label, dim, SUM(x) AS s FROM c0 GROUP BY 1, 2),
+        |cent AS (SELECT label, list(s ORDER BY dim) AS cv FROM c1 GROUP BY label)
+        |SELECT q.vec_id, q.label,
+        |  list_dot_product(q.xv, cent.cv) /
+        |    (sqrt(list_dot_product(q.xv, q.xv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+        |    AS cos_centroid,
+        |  (list_dot_product(q.xv, cent.cv) /
+        |    (sqrt(list_dot_product(q.xv, q.xv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+        |    < 0.05) AS is_outlier
+        |FROM q JOIN cent ON q.label = cent.label""".stripMargin,
 
     "q18_big_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty

@@ -470,4 +470,37 @@ object SimilarityOps {
       // still reports recall 0.0 rather than vanishing from the eval.
       .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
         count(lit(1)).cast("double")).as("recall"))
+
+  /** Per-label centroid-cohesion screen: each vector's cosine to its own
+    * label's centroid, flagging vectors below `outlierBelow` — the
+    * mislabeled/noisy-embedding audit a curation pipeline runs before
+    * trusting group labels (and the cohesion eval for any clustering).
+    *
+    * Determinism scheme: components are quantized to integers
+    * (`round(x·10⁶)`, scale-0 rounding — the proven portable op), so the
+    * per-(label, dim) centroid sums are EXACT integer arithmetic in double
+    * — order-independent under any shuffle/merge order below 2^53 (1e6 ×
+    * 1e9 rows of |x| ≤ 10 stays clear). The quantization scale cancels in
+    * the cosine, evaluated with the pinned left-to-right [[dot]] fold
+    * (bit-identical to DuckDB `list_dot_product`). Scale shape: one
+    * explode + (label, dim)-keyed aggregate (map-side combined), centroids
+    * are label-count × dim rows collected to a label-keyed array relation
+    * that BROADCASTS back; the fact table is never shuffled. */
+  def labelDispersion(emb: DataFrame, outlierBelow: Double = 0.5,
+                      quantScale: Double = 1000000.0): DataFrame = {
+    val qv = transform(col("embedding"), x => round(x.cast("double") * quantScale))
+    val q = emb.select(col("vec_id"), col("label"), qv.as("xv"))
+    val cent = q
+      .select(col("label"), posexplode(col("xv")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sum(col("x")).as("s"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+      .select(col("label"), transform(col("ds"), d => d.getField("s")).as("cv"))
+    val cos = dot(col("xv"), col("cv")) /
+      (sqrt(dot(col("xv"), col("xv"))) * sqrt(dot(col("cv"), col("cv"))))
+    q.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"), cos.as("cos_centroid"),
+        (cos < outlierBelow).as("is_outlier"))
+  }
 }

@@ -610,4 +610,28 @@ class DedupSimilaritySpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("label dispersion flags a planted off-centroid vector") {
+    val s = spark
+    import s.implicits._
+    // label 0: a tight bundle near (1, 0) plus one vector pointing the
+    // opposite way; label 1: its own tight bundle (must not mix).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f), 0),
+      (1L, Array(1.0f, -0.01f), 0),
+      (2L, Array(0.99f, 0.02f), 0),
+      (3L, Array(-1.0f, 0.05f), 0),  // the planted outlier
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.01f, 0.98f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.labelDispersion(vecs, outlierBelow = 0.5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("cos_centroid"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(out.size == 6)
+    assert(out(3L)._2, s"planted outlier not flagged: ${out(3L)}")
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L))
+      assert(!out(id)._2, s"cohesive vector $id misflagged: ${out(id)}")
+    // the bundle members sit close to their centroid
+    assert(out(0L)._1 > 0.9 && out(4L)._1 > 0.9)
+  }
 }
