@@ -907,6 +907,15 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
         "n_chars", refWeight = 4000.0, baseFraction = 0.8, seed = 7L)),
 
+    // Temperature-flattened language mixture (τ = 1/2, reference 75 = the
+    // zh count): en (218 docs) is downsampled ~0.59×, zh keeps exactly
+    // (p = 1 boundary), es/de/fr keep all (p > 1) — exercises both coin
+    // branches on a genuinely skewed group column.
+    "sample_temperature" -> ((s, dir) =>
+      CurationOps.temperatureSample(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        groupCol = "lang", refCount = 75L, seed = 11L)),
+
     // Deterministic content-hash train/eval split, summarized per lang.
     "dataset_split" -> ((s, dir) =>
       CurationOps.withSplit(Tables.documents(s, dir))
@@ -2234,6 +2243,20 @@ object SparkEntry {
         |   OR (CAST(FLOOR(0.8 * (CAST(n_chars AS DOUBLE) / 4000.0) * 65536) AS BIGINT) > 0
         |       AND substring(md5(CAST(7 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
         |           printf('%04x', CAST(FLOOR(0.8 * (CAST(n_chars AS DOUBLE) / 4000.0) * 65536) AS BIGINT)))""".stripMargin,
+
+    // Temperature mixture replay: same per-group count, same
+    // sqrt(ref/n) double expression, same floor(p*65536) coin as the
+    // Spark side (floor of a bit-identical double has no tie surface).
+    "sample_temperature" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng FROM documents GROUP BY 1),
+        |p AS (SELECT d.doc_id, d.lang,
+        |        CAST(FLOOR(1.0 * (sqrt(CAST(75 AS DOUBLE) / CAST(n.ng AS DOUBLE)) / 1.0) * 65536) AS BIGINT) AS coin
+        |      FROM documents d JOIN n ON d.lang = n.lang)
+        |SELECT doc_id, lang FROM p
+        |WHERE coin >= 65536
+        |   OR (coin > 0
+        |       AND substring(md5(CAST(11 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |           printf('%04x', coin))""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

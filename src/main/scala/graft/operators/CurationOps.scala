@@ -61,6 +61,34 @@ object CurationOps {
     df.where(n >= 65536 || (n > 0 && hexv < lower(lpad(hex(n), 4, "0"))))
   }
 
+  /** Temperature-flattened group mixture (τ = 1/2): keep a row of group g
+    * with probability `min(1, sqrt(refCount / n_g))` — the standard
+    * inverse-power flattening of a skewed source/language mix (groups at or
+    * below `refCount` survive whole; a group 4× the reference is halved,
+    * 100× is cut to a tenth). Expected kept size per oversized group is
+    * `sqrt(refCount · n_g)`, the τ = 1/2 temperature curve.
+    *
+    * Determinism: `refCount / n_g` is an exact-integer double division,
+    * `sqrt` is IEEE correctly rounded, and the keep decision reuses the
+    * [[ppsSample]] content-hash coin against `floor(p · 65536)` — floor of
+    * a bit-identical double is bit-identical (no rounding-tie surface), so
+    * the sample is reproducible across runs, engines, and partitionings.
+    * No cross-group normalization sum (that would be an order-dependent
+    * double accumulation); the reference count is an explicit parameter,
+    * as a corpus build wants it pinned anyway. Scale shape: one tiny
+    * group-count aggregate broadcast back; the fact table never shuffles. */
+  def temperatureSample(docs: DataFrame, groupCol: String, refCount: Long,
+                        seed: Long, keyCol: String = "doc_id"): DataFrame = {
+    require(refCount > 0, s"refCount must be positive, got $refCount")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val withP = docs.join(broadcast(counts), Seq(groupCol))
+      .withColumn("__p",
+        sqrt(lit(refCount).cast("double") / col("__n").cast("double")))
+    ppsSample(withP, "__p", refWeight = 1.0, baseFraction = 1.0,
+        seed = seed, keyCol = keyCol)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Per-group document quota (e.g. cap any one domain/source at `k` docs —
     * the domain-balance stage of a corpus build). Selection order inside a
     * group is the content hash (then the key for ties), so WHICH k docs

@@ -406,6 +406,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(run() == kept)
   }
 
+  test("temperature sampling flattens an oversized group toward sqrt(ref·n), keeps small groups whole") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1L to 400L).map(i => (i, "big")) ++ (401L to 500L).map(i => (i, "small")))
+      .toDF("doc_id", "src")
+    def run() = graft.operators.CurationOps
+      .temperatureSample(docs, groupCol = "src", refCount = 100L, seed = 3L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val kept = run()
+    // small group: p = sqrt(100/100) = 1 -> kept unconditionally
+    assert((401L to 500L).forall(kept.contains), "at-reference group must survive whole")
+    // big group: p = sqrt(100/400) = 0.5 -> ~200 of 400 (coin noise only)
+    val big = (1L to 400L).count(kept.contains)
+    assert(big > 150 && big < 250, s"expected ~200 kept from the big group, got $big")
+    assert(run() == kept, "content-hash coin must be reproducible")
+  }
+
   test("packed shards write one partition directory per (group, chunk)") {
     val docs = docsDF(
       (0L, "a b c d"), (1L, "a b c d e f"), (2L, "x y z"))
