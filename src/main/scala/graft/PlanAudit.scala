@@ -14,7 +14,8 @@ object PlanAudit {
       "q_semi_anti", "embedding_neardup", "a11_dispersion", "simhash_neardup",
       "decontaminate", "text_repetition", "text_dup_spans", "q18_big_orders",
       "q_cheapest_supplier", "a20_cusum", "pack_sequences", "text_tfidf",
-      "f6_ltob", "q_asof_tolerance", "a14_ewma_chunked", "a30_autocorr")
+      "f6_ltob", "q_asof_tolerance", "a14_ewma_chunked", "a30_autocorr",
+      "a20_cusum_chunked", "a27_derivative_chunked")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

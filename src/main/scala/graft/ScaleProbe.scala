@@ -156,6 +156,8 @@ object ScaleProbe {
     // this probe SHOULD show the multi-core speedup of the spread fixtures.
     probe("ewma_chunked_hot", k =>
       TrendOps.ewmaChunked(oneHotMetric(k), alpha = 0.2).toDF())
+    probe("cusum_chunked_hot", k => TrendOps.cusumChunked(oneHotMetric(k)))
+    probe("derivative_chunked_hot", k => TrendOps.derivativeChunked(oneHotMetric(k)))
 
     spark.stop()
   }

@@ -173,6 +173,37 @@ object SparkEntry {
        |       min(value) AS min_val, max(value) AS max_val
        |FROM series GROUP BY 1, 2""".stripMargin
 
+  /** CUSUM oracle — ONE string, two keys: exact decimal arithmetic is
+    * associative, so [[graft.operators.TrendOps.cusumChunked]] is
+    * bit-identical to the sequential [[graft.operators.TrendOps.cusum]]
+    * and both registrations share this compare. */
+  private lazy val A20_CUSUM_ORACLE =
+    s"""WITH $SERIES,
+       |d AS (SELECT metric, event_id, e, CAST(value AS DECIMAL(18,2)) AS vd FROM series),
+       |w AS (SELECT metric, event_id, e,
+       |        count(*) OVER (PARTITION BY metric) AS n,
+       |        sum(vd) OVER (PARTITION BY metric) AS total,
+       |        CAST(row_number() OVER o AS BIGINT) AS k,
+       |        sum(vd) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id)),
+       |s AS (SELECT metric, event_id, e, n, n * cum - k * total AS scaled FROM w)
+       |SELECT metric, event_id, e,
+       |       CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
+       |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
+       |FROM s""".stripMargin
+
+  /** Derivative oracle — ONE string, two keys (same associativity argument
+    * for [[graft.operators.TrendOps.derivativeChunked]]). */
+  private lazy val A27_DERIVATIVE_ORACLE =
+    s"""WITH $SERIES,
+       |d AS (SELECT metric, event_id, e, CAST(value AS DECIMAL(18,2)) AS vd FROM series),
+       |w AS (SELECT metric, event_id, e, vd,
+       |        lag(vd) OVER o AS pv, lag(e) OVER o AS pe
+       |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id))
+       |SELECT metric, event_id, e,
+       |       CAST(vd - pv AS DOUBLE) / CAST(e - pe AS DOUBLE) AS slope
+       |FROM w WHERE pe IS NOT NULL AND e != pe""".stripMargin
+
   /** Disjoint-band CASE generated from [[TrendParams.dayBins]] — the same
     * bins (and the same strict `>` boundary) as [[TrendOps.bandExpr]]. */
   private val BAND_CASE =
@@ -1412,11 +1443,26 @@ object SparkEntry {
         .select(col("metric"), col("event_id"), col("e"),
           col("cusum"), col("breach"))),
 
+    // Time-chunked CUSUM: exact decimal arithmetic is associative, so the
+    // chunked decomposition is bit-identical to a20 and SHARES its oracle
+    // (one string, two keys — the stream_tier_parity pattern).
+    "a20_cusum_chunked" -> ((s, dir) =>
+      TrendOps.cusumChunked(series(s, dir), threshold = 50.0)
+        .select(col("metric"), col("event_id"), col("e"),
+          col("cusum"), col("breach"))),
+
     // Per-metric discrete derivative (rate of change between consecutive
     // samples) — slope alerts / trend arrows. Raw double: exact-decimal
     // numerator ÷ integer Δt is bit-deterministic (see a20 note).
     "a27_derivative" -> ((s, dir) =>
       TrendOps.derivative(series(s, dir))
+        .select(col("metric"), col("event_id"), col("e"), col("slope"))),
+
+    // Time-chunked derivative: boundary rows re-keyed to the successor
+    // chunk replace the cross-chunk lag; exact slope math makes it
+    // bit-identical to a27 (shared oracle).
+    "a27_derivative_chunked" -> ((s, dir) =>
+      TrendOps.derivativeChunked(series(s, dir))
         .select(col("metric"), col("event_id"), col("e"), col("slope"))),
 
     // Data-quality gap report: sampling holes longer than the engine's
@@ -2802,30 +2848,13 @@ object SparkEntry {
     // Same exact-arithmetic shape as the Spark side: n·cusum stays in
     // decimal, the breach compare is exact, and the reported double is one
     // division at the end.
-    "a27_derivative" ->
-      s"""WITH $SERIES,
-         |d AS (SELECT metric, event_id, e, CAST(value AS DECIMAL(18,2)) AS vd FROM series),
-         |w AS (SELECT metric, event_id, e, vd,
-         |        lag(vd) OVER o AS pv, lag(e) OVER o AS pe
-         |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id))
-         |SELECT metric, event_id, e,
-         |       CAST(vd - pv AS DOUBLE) / CAST(e - pe AS DOUBLE) AS slope
-         |FROM w WHERE pe IS NOT NULL AND e != pe""".stripMargin,
+    "a27_derivative" -> A27_DERIVATIVE_ORACLE,
+    // The chunked twin is bit-identical by exact-arithmetic associativity:
+    // same oracle string, second key (the stream_tier_parity pattern).
+    "a27_derivative_chunked" -> A27_DERIVATIVE_ORACLE,
 
-    "a20_cusum" ->
-      s"""WITH $SERIES,
-         |d AS (SELECT metric, event_id, e, CAST(value AS DECIMAL(18,2)) AS vd FROM series),
-         |w AS (SELECT metric, event_id, e,
-         |        count(*) OVER (PARTITION BY metric) AS n,
-         |        sum(vd) OVER (PARTITION BY metric) AS total,
-         |        CAST(row_number() OVER o AS BIGINT) AS k,
-         |        sum(vd) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id)),
-         |s AS (SELECT metric, event_id, e, n, n * cum - k * total AS scaled FROM w)
-         |SELECT metric, event_id, e,
-         |       CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
-         |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
-         |FROM s""".stripMargin,
+    "a20_cusum" -> A20_CUSUM_ORACLE,
+    "a20_cusum_chunked" -> A20_CUSUM_ORACLE,
 
     // Direct 1h aggregation over raw events — the Spark side must reproduce
     // this by composing its 1m tier (batch leg AND streaming-replay leg).

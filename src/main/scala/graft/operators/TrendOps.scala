@@ -798,6 +798,78 @@ object TrendOps {
           (col("e") - col("__pe")).cast("double")).as("slope"))
   }
 
+  /** Time-chunked CUSUM — the hot-metric scale twin of [[cusum]]. Unlike
+    * [[ewmaChunked]] no replayed-order contract is needed: every quantity
+    * here is EXACT decimal/integer arithmetic, which is associative, so
+    * splitting the running sum at chunk boundaries changes nothing —
+    * the output is bit-identical to [[cusum]] and shares its oracle
+    * verbatim. Decomposition: the in-chunk running sum/rank come from a
+    * (metric, chunk)-partitioned window; each chunk's carry (prior-chunk
+    * row count and decimal sum) is a window over the SUMMARY relation
+    * (metric-count × chunk-count rows); per-metric n/total reduce from the
+    * same summaries. Carries and totals broadcast back — the fact table
+    * shuffles once, on (metric, chunk). */
+  def cusumChunked(series: DataFrame, threshold: Double = 50.0,
+                   chunkSpanSeconds: Long = 86400L): DataFrame = {
+    val thr = lit(BigDecimal(threshold).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val rows = series
+      .withColumn("__vd", col("value").cast("decimal(18,2)"))
+      .withColumn("__c", floor(col("e") / chunkSpanSeconds).cast("long"))
+    val sums = rows.groupBy("metric", "__c")
+      .agg(count(lit(1)).as("cn"), sum("__vd").as("cs"))
+    val totals = sums.groupBy("metric")
+      .agg(sum("cn").as("__n"), sum("cs").as("__total"))
+    val wPrior = Window.partitionBy("metric").orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = sums.select(col("metric"), col("__c"),
+      coalesce(sum("cn").over(wPrior), lit(0L)).as("__kOff"),
+      coalesce(sum("cs").over(wPrior), lit(0).cast("decimal(18,2)")).as("__cumOff"))
+    val wChunk = Window.partitionBy("metric", "__c").orderBy(col("e"), col("event_id"))
+    rows
+      .join(broadcast(carries), Seq("metric", "__c"))
+      .join(broadcast(totals), Seq("metric"))
+      .withColumn("__k", row_number().over(wChunk).cast("long") + col("__kOff"))
+      .withColumn("__cum", sum("__vd").over(wChunk) + col("__cumOff"))
+      .withColumn("__scaled", col("__n") * col("__cum") - col("__k") * col("__total"))
+      .select(
+        col("metric"), col("event_id"), col("e"),
+        (col("__scaled").cast("double") / col("__n").cast("double")).as("cusum"),
+        (abs(col("__scaled")) > col("__n") * thr).as("breach"))
+  }
+
+  /** Time-chunked derivative — the hot-metric scale twin of [[derivative]];
+    * exact decimal/integer slope math makes it bit-identical to the
+    * sequential form (shared oracle), like [[cusumChunked]]. The only
+    * cross-chunk dependency is each chunk's first row needing its
+    * predecessor: the per-chunk LAST rows (a summary-sized relation) are
+    * re-keyed to the successor chunk and broadcast back as that chunk's
+    * boundary values; the in-chunk lags come from a (metric, chunk)
+    * window. One fact shuffle, parallelism = metric × chunk. */
+  def derivativeChunked(series: DataFrame,
+                        chunkSpanSeconds: Long = 86400L): DataFrame = {
+    val rows = series
+      .withColumn("__vd", col("value").cast("decimal(18,2)"))
+      .withColumn("__c", floor(col("e") / chunkSpanSeconds).cast("long"))
+      .select("metric", "event_id", "e", "__vd", "__c")
+    // Per-chunk last row via lexicographic max(struct) — a map-side-combined
+    // hash aggregate (only partials shuffle), not a full-fact window sort.
+    val lasts = rows
+      .groupBy(col("metric"), (col("__c") + 1).as("__c"))
+      .agg(max(struct(col("e"), col("event_id"), col("__vd"))).as("__last"))
+      .select(col("metric"), col("__c"),
+        col("__last").getField("__vd").as("__bv"),
+        col("__last").getField("e").as("__be"))
+    val wChunk = Window.partitionBy("metric", "__c").orderBy(col("e"), col("event_id"))
+    rows
+      .join(broadcast(lasts), Seq("metric", "__c"), "left")
+      .withColumn("__pv", coalesce(lag(col("__vd"), 1).over(wChunk), col("__bv")))
+      .withColumn("__pe", coalesce(lag(col("e"), 1).over(wChunk), col("__be")))
+      .where(col("__pe").isNotNull && col("e") =!= col("__pe"))
+      .select(col("metric"), col("event_id"), col("e"),
+        ((col("__vd") - col("__pv")).cast("double") /
+          (col("e") - col("__pe")).cast("double")).as("slope"))
+  }
+
   def cusum(series: DataFrame, threshold: Double = 50.0): DataFrame = {
     val byMetric = Window.partitionBy("metric")
     val wOrd = Window.partitionBy("metric").orderBy(col("e"), col("event_id"))

@@ -202,6 +202,33 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunked CUSUM and derivative are bit-identical to the sequential forms") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      (s"m${i % 2}", i.toLong * 37, math.floor(rnd.nextDouble() * 10000) / 100)
+    }
+    val df = seriesDF(rows: _*)
+    // ~15 chunks per metric at span 1000s over the 400*37s range
+    val cusumSeq = TrendOps.cusum(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Double]("cusum"), r.getAs[Boolean]("breach"))).toMap
+    val cusumChk = TrendOps.cusumChunked(df, chunkSpanSeconds = 1000L).collect()
+    assert(cusumChk.length == cusumSeq.size)
+    cusumChk.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(cusumSeq(k) == (r.getAs[Double]("cusum"), r.getAs[Boolean]("breach")),
+        s"cusum mismatch at $k")
+    }
+    val derSeq = TrendOps.derivative(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("slope")).toMap
+    val derChk = TrendOps.derivativeChunked(df, chunkSpanSeconds = 1000L).collect()
+    assert(derChk.length == derSeq.size, "chunked derivative must keep every pair")
+    derChk.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(derSeq(k) == r.getAs[Double]("slope"), s"slope mismatch at $k")
+    }
+  }
+
   test("autocorr: lag-1 of an alternating series is -1, constant series is filtered") {
     // alternating 0,10,0,10… -> lag-1 pairs are perfectly anti-correlated
     val alt = (0 until 40).map(i => ("alt", i.toLong * 60, if (i % 2 == 0) 0.0 else 10.0))
