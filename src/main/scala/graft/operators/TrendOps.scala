@@ -807,8 +807,9 @@ object TrendOps {
     * (metric, chunk)-partitioned window; each chunk's carry (prior-chunk
     * row count and decimal sum) is a window over the SUMMARY relation
     * (metric-count × chunk-count rows); per-metric n/total reduce from the
-    * same summaries. Carries and totals broadcast back — the fact table
-    * shuffles once, on (metric, chunk). */
+    * same summaries. Carries and totals join back un-hinted (broadcast
+    * while small, partitioning-compatible SMJ beyond the broadcast budget)
+    * — the fact table shuffles once, on (metric, chunk). */
   def cusumChunked(series: DataFrame, threshold: Double = 50.0,
                    chunkSpanSeconds: Long = 86400L): DataFrame = {
     val thr = lit(BigDecimal(threshold).setScale(2, BigDecimal.RoundingMode.HALF_UP))
@@ -824,10 +825,15 @@ object TrendOps {
     val carries = sums.select(col("metric"), col("__c"),
       coalesce(sum("cn").over(wPrior), lit(0L)).as("__kOff"),
       coalesce(sum("cs").over(wPrior), lit(0).cast("decimal(18,2)")).as("__cumOff"))
+    // No broadcast() hint: Catalyst broadcasts the summaries while they are
+    // small (stats-driven); at a scale where metric × chunk summaries
+    // outgrow the broadcast budget, the fallback SMJ on (metric, __c)
+    // produces exactly the partitioning the window below needs — no extra
+    // exchange in either regime, and no forced-broadcast OOM.
     val wChunk = Window.partitionBy("metric", "__c").orderBy(col("e"), col("event_id"))
     rows
-      .join(broadcast(carries), Seq("metric", "__c"))
-      .join(broadcast(totals), Seq("metric"))
+      .join(carries, Seq("metric", "__c"))
+      .join(totals, Seq("metric"))
       .withColumn("__k", row_number().over(wChunk).cast("long") + col("__kOff"))
       .withColumn("__cum", sum("__vd").over(wChunk) + col("__cumOff"))
       .withColumn("__scaled", col("__n") * col("__cum") - col("__k") * col("__total"))
@@ -842,7 +848,7 @@ object TrendOps {
     * sequential form (shared oracle), like [[cusumChunked]]. The only
     * cross-chunk dependency is each chunk's first row needing its
     * predecessor: the per-chunk LAST rows (a summary-sized relation) are
-    * re-keyed to the successor chunk and broadcast back as that chunk's
+    * re-keyed to the successor chunk and joined back as that chunk's
     * boundary values; the in-chunk lags come from a (metric, chunk)
     * window. One fact shuffle, parallelism = metric × chunk. */
   def derivativeChunked(series: DataFrame,
@@ -859,9 +865,12 @@ object TrendOps {
       .select(col("metric"), col("__c"),
         col("__last").getField("__vd").as("__bv"),
         col("__last").getField("e").as("__be"))
+    // Un-hinted join for the same reason as [[cusumChunked]]: broadcast
+    // while small, partitioning-compatible SMJ when the boundary relation
+    // outgrows the broadcast budget.
     val wChunk = Window.partitionBy("metric", "__c").orderBy(col("e"), col("event_id"))
     rows
-      .join(broadcast(lasts), Seq("metric", "__c"), "left")
+      .join(lasts, Seq("metric", "__c"), "left")
       .withColumn("__pv", coalesce(lag(col("__vd"), 1).over(wChunk), col("__bv")))
       .withColumn("__pe", coalesce(lag(col("e"), 1).over(wChunk), col("__be")))
       .where(col("__pe").isNotNull && col("e") =!= col("__pe"))
