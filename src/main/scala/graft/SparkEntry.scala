@@ -2764,15 +2764,18 @@ object SparkEntry {
         |      FROM embeddings),
         |c0 AS (SELECT label, generate_subscripts(xv, 1) AS dim, unnest(xv) AS x FROM q),
         |c1 AS (SELECT label, dim, SUM(x) AS s FROM c0 GROUP BY 1, 2),
-        |cent AS (SELECT label, list(s ORDER BY dim) AS cv FROM c1 GROUP BY label)
-        |SELECT q.vec_id, q.label,
-        |  list_dot_product(q.xv, cent.cv) /
-        |    (sqrt(list_dot_product(q.xv, q.xv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
-        |    AS cos_centroid,
-        |  (list_dot_product(q.xv, cent.cv) /
-        |    (sqrt(list_dot_product(q.xv, q.xv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
-        |    < 0.05) AS is_outlier
-        |FROM q JOIN cent ON q.label = cent.label""".stripMargin,
+        |cent AS (SELECT label, list(s ORDER BY dim) AS cv FROM c1 GROUP BY label),
+        |d AS (SELECT q.vec_id, q.label,
+        |        list_dot_product(q.xv, q.xv) AS dxx,
+        |        list_dot_product(cent.cv, cent.cv) AS dcc,
+        |        list_dot_product(q.xv, cent.cv) AS dxc
+        |      FROM q JOIN cent ON q.label = cent.label)
+        |SELECT vec_id, label,
+        |  CASE WHEN dxx > 0 AND dcc > 0
+        |       THEN dxc / (sqrt(dxx) * sqrt(dcc)) END AS cos_centroid,
+        |  coalesce(CASE WHEN dxx > 0 AND dcc > 0
+        |       THEN dxc / (sqrt(dxx) * sqrt(dcc)) END < 0.05, TRUE) AS is_outlier
+        |FROM d""".stripMargin,
 
     "q18_big_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty

@@ -80,8 +80,13 @@ object CurationOps {
   def temperatureSample(docs: DataFrame, groupCol: String, refCount: Long,
                         seed: Long, keyCol: String = "doc_id"): DataFrame = {
     require(refCount > 0, s"refCount must be positive, got $refCount")
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val withP = docs.join(broadcast(counts), Seq(groupCol))
+    // Null-safe group match: groupBy counts a NULL group like any other,
+    // and <=> keeps its rows in the sample (a plain equi-join would
+    // silently drop every untagged-group row regardless of the coin).
+    val counts = docs.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val withP = docs.join(broadcast(counts), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("__p",
         sqrt(lit(refCount).cast("double") / col("__n").cast("double")))
     ppsSample(withP, "__p", refWeight = 1.0, baseFraction = 1.0,

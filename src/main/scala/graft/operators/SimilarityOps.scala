@@ -497,10 +497,19 @@ object SimilarityOps {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
       .select(col("label"), transform(col("ds"), d => d.getField("s")).as("cv"))
-    val cos = dot(col("xv"), col("cv")) /
-      (sqrt(dot(col("xv"), col("xv"))) * sqrt(dot(col("cv"), col("cv"))))
+    // A vector (or centroid) that quantizes to all zeros has no defined
+    // cosine — and under ANSI mode the 0/0 double division THROWS rather
+    // than yielding NaN, so the guard must come before the division (the
+    // a25 pattern). Degenerate rows report a NULL cosine and flag as
+    // outliers: a null/garbage embedding is precisely what this audit
+    // exists to surface.
+    val cos = when(col("__dxx") > 0 && col("__dcc") > 0,
+      col("__dxc") / (sqrt(col("__dxx")) * sqrt(col("__dcc"))))
     q.join(broadcast(cent), Seq("label"))
+      .withColumn("__dxx", dot(col("xv"), col("xv")))
+      .withColumn("__dcc", dot(col("cv"), col("cv")))
+      .withColumn("__dxc", dot(col("xv"), col("cv")))
       .select(col("vec_id"), col("label"), cos.as("cos_centroid"),
-        (cos < outlierBelow).as("is_outlier"))
+        coalesce(cos < outlierBelow, lit(true)).as("is_outlier"))
   }
 }

@@ -17,7 +17,7 @@ final case class EwmaPoint(metric: String, e: Long, value: Double, ewma: Double)
   * `s` ends at `a·s + b`; `bseed` is the end state when the chunk's first
   * row SEEDS the recurrence (the metric's first chunk). */
 final case class EwmaChunkSummary(
-    metric: String, c: Long, n: Long, a: Double, b: Double, bseed: Double)
+    metric: String, c: Long, a: Double, b: Double, bseed: Double)
 
 /** Carry-in state for one (metric, chunk): `hasCarry = false` marks the
   * metric's first chunk (seed mode — no predecessor state). */
@@ -408,18 +408,16 @@ object TrendOps {
           override def hasNext: Boolean = in.hasNext
           override def next(): EwmaChunkSummary = {
             val head = in.next()
-            var n = 1L
             var a = 1.0 * (1 - alpha)
             var b = alpha * head.value + (1 - alpha) * 0.0
             var bseed = head.value
             while (in.hasNext && in.head.metric == head.metric && in.head.c == head.c) {
               val s = in.next()
-              n += 1
               a = a * (1 - alpha)
               b = alpha * s.value + (1 - alpha) * b
               bseed = alpha * s.value + (1 - alpha) * bseed
             }
-            EwmaChunkSummary(head.metric, head.c, n, a, b, bseed)
+            EwmaChunkSummary(head.metric, head.c, a, b, bseed)
           }
         }
       }
@@ -847,10 +845,11 @@ object TrendOps {
     * exact decimal/integer slope math makes it bit-identical to the
     * sequential form (shared oracle), like [[cusumChunked]]. The only
     * cross-chunk dependency is each chunk's first row needing its
-    * predecessor: the per-chunk LAST rows (a summary-sized relation) are
-    * re-keyed to the successor chunk and joined back as that chunk's
-    * boundary values; the in-chunk lags come from a (metric, chunk)
-    * window. One fact shuffle, parallelism = metric × chunk. */
+    * predecessor: the per-chunk LAST rows (a summary-sized relation,
+    * lagged over PRESENT chunk ids so cross-gap pairs survive skipped
+    * chunk indexes) join back as each chunk's boundary values; the
+    * in-chunk lags come from a (metric, chunk) window. One fact shuffle,
+    * parallelism = metric × chunk. */
   def derivativeChunked(series: DataFrame,
                         chunkSpanSeconds: Long = 86400L): DataFrame = {
     val rows = series
@@ -859,12 +858,21 @@ object TrendOps {
       .select("metric", "event_id", "e", "__vd", "__c")
     // Per-chunk last row via lexicographic max(struct) — a map-side-combined
     // hash aggregate (only partials shuffle), not a full-fact window sort.
-    val lasts = rows
-      .groupBy(col("metric"), (col("__c") + 1).as("__c"))
+    // The boundary each chunk needs is the previous PRESENT chunk's last
+    // row — a lag over the summary relation ordered by actual chunk ids,
+    // NOT a join on __c - 1: a metric that skips a chunk index (a gap
+    // longer than chunkSpanSeconds) would otherwise lose its cross-gap
+    // slope and break the bit-identity contract with [[derivative]].
+    val lastPerChunk = rows
+      .groupBy(col("metric"), col("__c"))
       .agg(max(struct(col("e"), col("event_id"), col("__vd"))).as("__last"))
+    val wChunks = Window.partitionBy("metric").orderBy("__c")
+    val lasts = lastPerChunk
+      .withColumn("__prev", lag(col("__last"), 1).over(wChunks))
+      .where(col("__prev").isNotNull)
       .select(col("metric"), col("__c"),
-        col("__last").getField("__vd").as("__bv"),
-        col("__last").getField("e").as("__be"))
+        col("__prev").getField("__vd").as("__bv"),
+        col("__prev").getField("e").as("__be"))
     // Un-hinted join for the same reason as [[cusumChunked]]: broadcast
     // while small, partitioning-compatible SMJ when the boundary relation
     // outgrows the broadcast budget.

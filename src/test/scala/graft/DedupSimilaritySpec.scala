@@ -423,6 +423,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(run() == kept, "content-hash coin must be reproducible")
   }
 
+  test("temperature sampling keeps null-group rows (their own group), zero vectors flag as outliers") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1L to 50L).map(i => (i, Option("tagged"))) ++
+      (51L to 80L).map(i => (i, Option.empty[String])))
+      .toDF("doc_id", "src")
+    val kept = graft.operators.CurationOps
+      .temperatureSample(docs, groupCol = "src", refCount = 100L, seed = 5L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // both groups are at/below the reference -> p = 1 -> everything kept,
+    // INCLUDING the null-group rows a plain equi-join would silently drop
+    assert(kept == (1L to 80L).toSet, s"null-group rows lost: ${(1L to 80L).toSet -- kept}")
+
+    // a vector that quantizes to all zeros has NaN cosine -> must be flagged
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(1e-9f, -1e-9f), 0)) // rounds to the zero vector
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.labelDispersion(vecs, outlierBelow = 0.5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(out(2L), "zero-quantized vector must flag as outlier (NaN cosine)")
+    assert(!out(0L) && !out(1L))
+  }
+
   test("packed shards write one partition directory per (group, chunk)") {
     val docs = docsDF(
       (0L, "a b c d"), (1L, "a b c d e f"), (2L, "x y z"))

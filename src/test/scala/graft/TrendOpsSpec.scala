@@ -229,6 +229,18 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunked derivative keeps the cross-gap slope over a skipped chunk index") {
+    // span 1000: e=0,500 in chunk 0; e=2500 in chunk 2 — chunk 1 is empty.
+    // The (500 -> 2500) pair must survive the decomposition.
+    val df = seriesDF(("m", 0L, 10.0), ("m", 500L, 20.0), ("m", 2500L, 30.0))
+    val seq = TrendOps.derivative(df).collect()
+      .map(r => r.getLong(1) -> r.getAs[Double]("slope")).toMap
+    val chk = TrendOps.derivativeChunked(df, chunkSpanSeconds = 1000L).collect()
+      .map(r => r.getLong(1) -> r.getAs[Double]("slope")).toMap
+    assert(seq.size == 2)
+    assert(chk == seq, s"gap pair lost or wrong: chunked $chk vs sequential $seq")
+  }
+
   test("autocorr: lag-1 of an alternating series is -1, constant series is filtered") {
     // alternating 0,10,0,10… -> lag-1 pairs are perfectly anti-correlated
     val alt = (0 until 40).map(i => ("alt", i.toLong * 60, if (i % 2 == 0) 0.0 else 10.0))
