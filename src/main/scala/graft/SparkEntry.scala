@@ -1325,7 +1325,13 @@ object SparkEntry {
       // invocation's blocks, so a long-lived session holds exactly one
       // live copy instead of growing storage without bound (round-7
       // verdict item; asserted in TrendOpsSpec).
-      Option(tokenizeCache.getAndSet(null)).foreach(_.unpersist())
+      // Guard: the cached frame may belong to a PREVIOUS SparkSession in
+      // this JVM (tests, sequential mains) — unpersisting against a
+      // stopped context throws and would abort this invocation before any
+      // work runs; a dead session's blocks are already gone anyway.
+      Option(tokenizeCache.getAndSet(null)).foreach { prev =>
+        if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist()
+      }
       val cleaned = CurationOps.stripDupSpans(
           Tables.documents(s, dir).select("doc_id", "text"), n = 5)
         .select(col("doc_id"), col("clean_text").as("text"))
@@ -2297,7 +2303,7 @@ object SparkEntry {
       """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng FROM documents GROUP BY 1),
         |p AS (SELECT d.doc_id, d.lang,
         |        CAST(FLOOR(1.0 * (sqrt(CAST(75 AS DOUBLE) / CAST(n.ng AS DOUBLE)) / 1.0) * 65536) AS BIGINT) AS coin
-        |      FROM documents d JOIN n ON d.lang = n.lang)
+        |      FROM documents d JOIN n ON d.lang IS NOT DISTINCT FROM n.lang)
         |SELECT doc_id, lang FROM p
         |WHERE coin >= 65536
         |   OR (coin > 0
@@ -3021,10 +3027,11 @@ object SparkEntry {
          |      FROM series GROUP BY 1, 2),
          |p AS (SELECT l.metric AS ma, r.metric AS mb,
          |        CAST(count(*) AS DOUBLE) AS n,
-         |        CAST(SUM(l.x) AS DOUBLE) AS sx, CAST(SUM(r.x) AS DOUBLE) AS sy,
-         |        CAST(SUM(l.x * r.x) AS DOUBLE) AS sxy,
-         |        CAST(SUM(l.x * l.x) AS DOUBLE) AS sxx,
-         |        CAST(SUM(r.x * r.x) AS DOUBLE) AS syy
+         |        CAST(CAST(SUM(l.x) AS VARCHAR) AS DOUBLE) AS sx,
+         |        CAST(CAST(SUM(r.x) AS VARCHAR) AS DOUBLE) AS sy,
+         |        CAST(CAST(SUM(l.x * r.x) AS VARCHAR) AS DOUBLE) AS sxy,
+         |        CAST(CAST(SUM(l.x * l.x) AS VARCHAR) AS DOUBLE) AS sxx,
+         |        CAST(CAST(SUM(r.x * r.x) AS VARCHAR) AS DOUBLE) AS syy
          |      FROM b l JOIN b r ON l.bucket = r.bucket AND l.metric < r.metric
          |      GROUP BY 1, 2),
          |v AS (SELECT *, sxx - sx * sx / n AS vx, syy - sy * sy / n AS vy FROM p)
@@ -3035,6 +3042,10 @@ object SparkEntry {
     // Lag-k autocorrelation: lagged pairs over the (e, event_id) total
     // order, six exact DECIMAL aggregates per (metric, lag), then the
     // identical double combine as a25 (division/sqrt AFTER the guards).
+    // Sums convert via VARCHAR (the a28 contract): DuckDB's direct
+    // wide-decimal→double cast is two-step (int128→double, then /10^s)
+    // and diverges by ulps once the scaled sum exceeds 2^53; the string
+    // parse is correctly rounded like Spark's BigDecimal.doubleValue.
     "a30_autocorr" ->
       s"""WITH $SERIES,
          |u AS (${(1 to 3).map(k =>
@@ -3043,10 +3054,11 @@ object SparkEntry {
                  |FROM series""".stripMargin).mkString("\nUNION ALL\n")}),
          |p AS (SELECT metric, lag,
          |        CAST(count(*) AS DOUBLE) AS n,
-         |        CAST(SUM(xp) AS DOUBLE) AS sx, CAST(SUM(x) AS DOUBLE) AS sy,
-         |        CAST(SUM(xp * x) AS DOUBLE) AS sxy,
-         |        CAST(SUM(xp * xp) AS DOUBLE) AS sxx,
-         |        CAST(SUM(x * x) AS DOUBLE) AS syy
+         |        CAST(CAST(SUM(xp) AS VARCHAR) AS DOUBLE) AS sx,
+         |        CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sy,
+         |        CAST(CAST(SUM(xp * x) AS VARCHAR) AS DOUBLE) AS sxy,
+         |        CAST(CAST(SUM(xp * xp) AS VARCHAR) AS DOUBLE) AS sxx,
+         |        CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS syy
          |      FROM u WHERE xp IS NOT NULL GROUP BY 1, 2),
          |v AS (SELECT *, sxx - sx * sx / n AS vx, syy - sy * sy / n AS vy FROM p)
          |SELECT metric, lag, CAST(n AS BIGINT) AS n_pairs,

@@ -66,12 +66,25 @@ object StreamReplay {
       if (bounds.isNullAt(0)) return None
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val span = math.max(1L, hi - lo + 1)
+      // FileStreamSource consumes files in MODIFICATION-TIME order with an
+      // arbitrary tie-break — fast consecutive writes can land in the same
+      // millisecond, and an out-of-order replay would silently break every
+      // order-dependent stateful twin (derivative/cusum/ewma/decimate fold
+      // later-slice events first). Stamp each slice's part files with a
+      // strictly increasing modTime so the replay order is the slice
+      // order by construction, not by write-latency luck.
+      val stampBase = System.currentTimeMillis()
+      val stamped = scala.collection.mutable.HashSet[String]()
       (0 until slices).foreach { k =>
         val from = lo + span * k / slices
         val until = lo + span * (k + 1) / slices
         src.where(col("ts").cast("long") >= from && col("ts").cast("long") < until)
           .coalesce(1)
           .write.mode("append").parquet(inDir)
+        Option(new java.io.File(inDir).listFiles()).foreach(_.foreach { f =>
+          if (f.getName.endsWith(".parquet") && stamped.add(f.getName))
+            f.setLastModified(stampBase + k * 1000L)
+        })
       }
 
       val stream = spark.readStream
@@ -130,35 +143,26 @@ object StreamReplay {
     }
   }
 
+  /** Typed view used by the stateful-twin replay wrappers below. */
+  private def asStreamSamples(df: DataFrame) =
+    df.as(org.apache.spark.sql.Encoders.product[StreamSample])
+
   /** Replays the series through [[StreamOps.derivativeStream]] —
     * append-mode emissions are final, so the sink rows ARE the result.
     * The caller supplies a tie-free series (at most one row per
     * (metric, second)): that is the documented exact-parity contract of
     * the typed stateful twins, whose [[StreamSample]] carries no event_id
     * to break same-second ties the way the batch window does. */
-  def derivativeReplay(series: DataFrame, slices: Int = 3): DataFrame = {
-    val spark = series.sparkSession
-    import spark.implicits._
-    val src = asSamples(series)
-    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
-        df => StreamOps.derivativeStream(df.as[StreamSample]).toDF())
-      .map(_.drop("batch_id"))
-      .getOrElse(StreamOps.derivativeStream(src.limit(0).as[StreamSample]).toDF())
-  }
+  def derivativeReplay(series: DataFrame, slices: Int = 3): DataFrame =
+    samplesReplay(series, slices)(df =>
+      StreamOps.derivativeStream(asStreamSamples(df)).toDF())
 
   /** Replays the series through [[StreamOps.cusumStream]] (same tie-free
     * input contract as [[derivativeReplay]]). */
   def cusumReplay(series: DataFrame, target: Double, threshold: Double,
-                  slices: Int = 3): DataFrame = {
-    val spark = series.sparkSession
-    import spark.implicits._
-    val src = asSamples(series)
-    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
-        df => StreamOps.cusumStream(df.as[StreamSample], target, threshold).toDF())
-      .map(_.drop("batch_id"))
-      .getOrElse(
-        StreamOps.cusumStream(src.limit(0).as[StreamSample], target, threshold).toDF())
-  }
+                  slices: Int = 3): DataFrame =
+    samplesReplay(series, slices)(df =>
+      StreamOps.cusumStream(asStreamSamples(df), target, threshold).toDF())
 
   /** Replays the series through [[StreamOps.ohlcStream]] — update-mode
     * windowed aggregation, so like [[minuteTierReplay]] the final bar for
@@ -243,16 +247,9 @@ object StreamReplay {
     * the batch faithful op scans newest→oldest, so the two are parity
     * twins of DIFFERENT directions by design). */
   def decimateReplay(series: DataFrame, gapSeconds: Double,
-                     slices: Int = 3): DataFrame = {
-    val spark = series.sparkSession
-    import spark.implicits._
-    val src = asSamples(series)
-    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
-        df => StreamOps.decimateStream(df.as[StreamSample], gapSeconds).toDF())
-      .map(_.drop("batch_id"))
-      .getOrElse(
-        StreamOps.decimateStream(src.limit(0).as[StreamSample], gapSeconds).toDF())
-  }
+                     slices: Int = 3): DataFrame =
+    samplesReplay(series, slices)(df =>
+      StreamOps.decimateStream(asStreamSamples(df), gapSeconds).toDF())
 
   /** Generic append-mode replay over the samples-shaped relation: callers
     * hand the stream transformation as a closure (typed ops can
@@ -284,16 +281,9 @@ object StreamReplay {
     * input contract as [[derivativeReplay]]; the raw-double sum replays
     * in the same order on both sides — the ewma contract). */
   def gapTriggeredMeanReplay(series: DataFrame, gapSeconds: Double,
-                             slices: Int = 3): DataFrame = {
-    val spark = series.sparkSession
-    import spark.implicits._
-    val src = asSamples(series)
-    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
-        df => StreamOps.gapTriggeredMean(df.as[StreamSample], gapSeconds).toDF())
-      .map(_.drop("batch_id"))
-      .getOrElse(
-        StreamOps.gapTriggeredMean(src.limit(0).as[StreamSample], gapSeconds).toDF())
-  }
+                             slices: Int = 3): DataFrame =
+    samplesReplay(series, slices)(df =>
+      StreamOps.gapTriggeredMean(asStreamSamples(df), gapSeconds).toDF())
 
   /** Replays the events relation `(metric, e, value, user_id)` through
     * the stream-stream [[StreamOps.intervalJoin]]: the per-user transport
@@ -319,15 +309,9 @@ object StreamReplay {
 
   /** Replays the series through [[StreamOps.ewmaStream]] (same tie-free
     * input contract as [[derivativeReplay]]). */
-  def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = 3): DataFrame = {
-    val spark = series.sparkSession
-    import spark.implicits._
-    val src = asSamples(series)
-    sliceAndReplay(src, SAMPLE_SCHEMA, slices, "append",
-        df => StreamOps.ewmaStream(df.as[StreamSample], alpha).toDF())
-      .map(_.drop("batch_id"))
-      .getOrElse(StreamOps.ewmaStream(src.limit(0).as[StreamSample], alpha).toDF())
-  }
+  def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = 3): DataFrame =
+    samplesReplay(series, slices)(df =>
+      StreamOps.ewmaStream(asStreamSamples(df), alpha).toDF())
 
   /** The replay's in/out/checkpoint dirs are per-invocation temp state —
     * leaking them grew unboundedly across runs (round-6 ADVICE). */
