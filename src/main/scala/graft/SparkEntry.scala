@@ -374,6 +374,19 @@ object SparkEntry {
       TrendOps.decimateFaithful(series(s, dir),
         TrendParams.default.minSampleGapSeconds).toDF()),
 
+    // Chain-property verify for the FULL faithful decimation (the slice
+    // oracle replays newest-300 only): the kept rows export, and DuckDB
+    // re-validates the anchored-gap chain with disjoint-interval violation
+    // joins over the whole series — seed = series argmax, every gap
+    // strict, no skipped eligible row, chain exhausted at the tail, and
+    // containment of every kept row. No sequential replay, so this stays
+    // affordable at any SF; green only if the export IS the unique chain.
+    "f1_decimate_verify" -> ((s, dir) =>
+      exportForOracle(
+        TrendOps.decimateFaithful(series(s, dir),
+          TrendParams.default.minSampleGapSeconds).toDF(),
+        "f1_decimate_verify")),
+
     // F1 (faithful, gated slice): the same operator over the newest
     // F1_SLICE_N rows per metric, where a DuckDB recursive-CTE replay of
     // the sequential anchored-gap chain IS affordable (~2.7 s at sf0.01 vs
@@ -3215,6 +3228,44 @@ object SparkEntry {
          |                   ORDER BY s.e DESC, s.event_id DESC LIMIT 1) n
          |)
          |SELECT metric, e, value, event_id FROM k""".stripMargin,
+
+    // Full-series chain validation of the exported faithful decimation:
+    // instead of a sequential replay (unaffordable beyond the slice), the
+    // anchored-gap chain's DEFINING properties are checked set-wise —
+    // consecutive-kept intervals are disjoint, so each is one violation
+    // join. Any violating metric drops out of the result and fails the
+    // compare against the Spark export.
+    "f1_decimate_verify" ->
+      s"""WITH $SERIES,
+         |k AS (SELECT metric, e, value, event_id
+         |      FROM read_parquet('${exportGlob("f1_decimate_verify")}')),
+         |ord AS (SELECT *,
+         |    row_number() OVER (PARTITION BY metric ORDER BY e DESC, event_id DESC) AS rk,
+         |    row_number() OVER (PARTITION BY metric ORDER BY e ASC, event_id ASC) AS rka
+         |  FROM k),
+         |pairs AS (SELECT p.metric, p.e AS pe, n.e AS ne, n.event_id AS nid
+         |          FROM ord p JOIN ord n ON n.metric = p.metric AND n.rk = p.rk + 1),
+         |stop AS (SELECT metric, e, event_id FROM series
+         |         QUALIFY row_number() OVER (PARTITION BY metric ORDER BY e DESC, event_id DESC) = 1),
+         |v1 AS (SELECT t.metric FROM ord t JOIN stop s ON t.metric = s.metric
+         |       WHERE t.rk = 1 AND (t.e != s.e OR t.event_id != s.event_id)),
+         |v2 AS (SELECT metric FROM pairs WHERE NOT (ne < pe - ${P.minSampleGapSeconds})),
+         |v3 AS (SELECT DISTINCT p.metric FROM series s JOIN pairs p
+         |       ON s.metric = p.metric
+         |      AND ((s.e > p.ne AND s.e < p.pe - ${P.minSampleGapSeconds})
+         |           OR (s.e = p.ne AND s.event_id > p.nid))),
+         |v4 AS (SELECT DISTINCT s.metric FROM series s JOIN ord b
+         |       ON s.metric = b.metric AND b.rka = 1
+         |      AND s.e < b.e - ${P.minSampleGapSeconds}),
+         |v5 AS (SELECT t.metric FROM k t LEFT JOIN series s
+         |       ON s.metric = t.metric AND s.e = t.e
+         |      AND s.event_id = t.event_id AND s.value = t.value
+         |       WHERE s.metric IS NULL),
+         |bad AS (SELECT metric FROM v1 UNION SELECT metric FROM v2
+         |        UNION SELECT metric FROM v3 UNION SELECT metric FROM v4
+         |        UNION SELECT metric FROM v5)
+         |SELECT metric, e, value, event_id FROM k
+         |WHERE metric NOT IN (SELECT metric FROM bad)""".stripMargin,
 
     // Clustering-stage oracle over the Spark-exported LSH edge list (see
     // the neardup_groups query comment): the same recursive-CTE component
