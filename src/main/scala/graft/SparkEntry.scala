@@ -1683,6 +1683,10 @@ object SparkEntry {
     // — exact decimal sums, one final double combine (the a25 contract).
     "a30_autocorr" -> ((s, dir) => TrendOps.autocorr(series(s, dir), maxLag = 3)),
 
+    // Robust median/MAD outlier screen (heavy-tail-safe twin of a16) —
+    // picked order statistics, exact until one final double comparison.
+    "a31_mad_outliers" -> ((s, dir) => TrendOps.madOutliers(series(s, dir), k = 3.0)),
+
     // Flatline screen over precision-quantized values (stuck sensor).
     "a23_flatline" -> ((s, dir) =>
       TrendOps.flatlineRuns(
@@ -3051,6 +3055,29 @@ object SparkEntry {
          |SELECT ma, mb, CAST(n AS BIGINT) AS n_buckets,
          |       (sxy - sx * sy / n) / sqrt(vx * vy) AS corr
          |FROM v WHERE n >= 2 AND vx > 0 AND vy > 0""".stripMargin,
+
+    // Robust MAD screen replay: the same PICKED lower-median order
+    // statistics (rank (n+1) div 2 over (value|dev, event_id)), exact
+    // decimals end-to-end, one final double comparison with the identical
+    // k·1.4826·mad expression.
+    "a31_mad_outliers" ->
+      s"""WITH $SERIES,
+         |q AS (SELECT metric, event_id, e, value,
+         |        CAST(value AS DECIMAL(18,2)) AS vd FROM series),
+         |r1 AS (SELECT *, row_number() OVER (PARTITION BY metric ORDER BY vd, event_id) AS rn,
+         |         count(*) OVER (PARTITION BY metric) AS n FROM q),
+         |med AS (SELECT metric, vd AS med FROM r1 WHERE rn = (n + 1) // 2),
+         |d AS (SELECT q.metric, q.event_id, q.e, q.value, q.vd, med.med,
+         |        abs(q.vd - med.med) AS dev
+         |      FROM q JOIN med USING (metric)),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY metric ORDER BY dev, event_id) AS rn,
+         |         count(*) OVER (PARTITION BY metric) AS n FROM d),
+         |mad AS (SELECT metric, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         |SELECT d.metric, d.event_id, d.e, d.value,
+         |       CAST(d.med AS DOUBLE) AS med, CAST(mad.mad AS DOUBLE) AS mad
+         |FROM d JOIN mad USING (metric)
+         |WHERE mad.mad > 0
+         |  AND CAST(d.dev AS DOUBLE) > 3.0 * 1.4826 * CAST(mad.mad AS DOUBLE)""".stripMargin,
 
     // Lag-k autocorrelation: lagged pairs over the (e, event_id) total
     // order, six exact DECIMAL aggregates per (metric, lag), then the

@@ -562,6 +562,48 @@ object TrendOps {
           sqrt(col("vx") * col("vy"))).as("acf"))
   }
 
+  /** Robust (median/MAD) outlier screen — the heavy-tail-safe twin of the
+    * 3σ z-score (a16): a single wild point inflates mean and σ enough to
+    * mask itself, but barely moves the median or the median absolute
+    * deviation. Flags rows with |x − med| > k·1.4826·mad (1.4826 = the
+    * Gaussian MAD→σ consistency constant).
+    *
+    * Determinism: med and mad are PICKED order statistics — the lower
+    * median, rank ⌈n/2⌉ in (value, event_id) order — not interpolated
+    * quantiles, so both are exact decimal data values and every compared
+    * quantity is exact until the one final double comparison (identical
+    * expression both engines). Two per-metric ranking windows (same skew
+    * class as the other per-metric windows); medians join back broadcast.
+    * Groups with mad = 0 (over half the samples identical) have no robust
+    * scale and are excluded before the comparison, like a25's guards. */
+  def madOutliers(series: DataFrame, k: Double = 3.0): DataFrame = {
+    val vd = col("value").cast("decimal(18,2)")
+    val byM = Window.partitionBy("metric")
+    val q = series.select(col("metric"), col("event_id"), col("e"),
+      col("value"), vd.as("__vd"))
+    val wv = Window.partitionBy("metric").orderBy(col("__vd"), col("event_id"))
+    val med = q
+      .withColumn("__rn", row_number().over(wv))
+      .withColumn("__n", count(lit(1)).over(byM))
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("metric"), col("__vd").as("__med"))
+    val dev = q.join(broadcast(med), Seq("metric"))
+      .withColumn("__dev", abs(col("__vd") - col("__med")))
+    val wd = Window.partitionBy("metric").orderBy(col("__dev"), col("event_id"))
+    val mad = dev
+      .withColumn("__rn", row_number().over(wd))
+      .withColumn("__n", count(lit(1)).over(byM))
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("metric"), col("__dev").as("__mad"))
+    dev.join(broadcast(mad), Seq("metric"))
+      .where(col("__mad") > 0 &&
+        col("__dev").cast("double") >
+          lit(k) * lit(1.4826) * col("__mad").cast("double"))
+      .select(col("metric"), col("event_id"), col("e"), col("value"),
+        col("__med").cast("double").as("med"),
+        col("__mad").cast("double").as("mad"))
+  }
+
   /** Time-weighted mean per metric: each sample weighted by its holding
     * interval (time until the next sample) — the correct average for
     * irregularly-sampled series, where the plain mean over-weights bursts.

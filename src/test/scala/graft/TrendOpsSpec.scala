@@ -241,6 +241,20 @@ class TrendOpsSpec extends SparkSpec {
     assert(chk == seq, s"gap pair lost or wrong: chunked $chk vs sequential $seq")
   }
 
+  test("MAD screen flags masked spikes the 3-sigma screen misses; mad=0 groups are excluded") {
+    // 20 base points in [10, 15] plus 3 spikes of 1000: the spikes inflate
+    // sigma to ~330 (z ~ 2.6, under the 3-sigma bar) but barely move the
+    // median/MAD — the classic masking case the robust screen exists for.
+    val base = (0 until 20).map(i => ("m", i.toLong * 60, 10.0 + (i % 6)))
+    val spikes = (0 until 3).map(i => ("m", (20 + i).toLong * 60, 1000.0))
+    val out = TrendOps.madOutliers(seriesDF(base ++ spikes: _*), k = 3.0).collect()
+    assert(out.length == 3, s"expected exactly the 3 spikes, got ${out.length}")
+    assert(out.forall(_.getAs[Double]("value") == 1000.0))
+    // a constant group (mad = 0) has no robust scale: excluded, not flagged
+    val const = (0 until 20).map(i => ("c", i.toLong * 60, 5.0)) :+ ("c", 1200L, 999.0)
+    assert(TrendOps.madOutliers(seriesDF(const: _*), k = 3.0).collect().isEmpty)
+  }
+
   test("autocorr: lag-1 of an alternating series is -1, constant series is filtered") {
     // alternating 0,10,0,10… -> lag-1 pairs are perfectly anti-correlated
     val alt = (0 until 40).map(i => ("alt", i.toLong * 60, if (i % 2 == 0) 0.0 else 10.0))
