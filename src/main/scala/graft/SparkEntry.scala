@@ -1502,6 +1502,30 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).as("sv"),
           min("value").as("mn"), max("value").as("mx")))),
 
+    // Late-data BACKFILL MERGE: the 1m tier is first built WITHOUT the
+    // late rows (every 97th event), then the late slice's own tier
+    // partials merge in by key — counts/sums/min/max combine
+    // associatively, so the backfill touches only union-able partials,
+    // never the raw history. The composed hourly view must hash-match
+    // the direct aggregation over everything (a24's oracle, shared
+    // verbatim) — the correctness property that makes out-of-order
+    // backfill safe at a scale where recomputing raw is off the table.
+    "a32_tier_backfill" -> ((s, dir) => {
+      val sr = series(s, dir)
+      def t1m(df: DataFrame) = df
+        .withColumn("b1m", floor(col("e") / lit(60.0)).cast("long") * 60)
+        .groupBy("metric", "b1m")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"),
+          min("value").as("mn"), max("value").as("mx"))
+      val isLate = col("event_id") % 97 === 0
+      val merged = t1m(sr.where(!isLate)).unionByName(t1m(sr.where(isLate)))
+        .groupBy("metric", "b1m")
+        .agg(sum("n").as("n"), sum("sv").cast("decimal(28,2)").as("sv"),
+          min("mn").as("mn"), max("mx").as("mx"))
+      composeHourTier(merged)
+    }),
+
     // Tiered-retention COMPACTED READ: rows older than the horizon exist
     // only as the 1m rollup tier (the M3 storage policy applied), recent
     // rows stay raw as singleton tiles, and the hourly query composes
@@ -2886,6 +2910,9 @@ object SparkEntry {
     // this by composing its 1m tier (batch leg AND streaming-replay leg).
     "a24_rollup_tier" -> ROLLUP_TIER_ORACLE,
     "stream_tier_parity" -> ROLLUP_TIER_ORACLE,
+    // Backfill-merge is associativity-exact against the same direct
+    // aggregation: third key, same oracle string.
+    "a32_tier_backfill" -> ROLLUP_TIER_ORACLE,
     // The compacted hybrid (old 1m tier + recent raw) must reproduce the
     // direct hourly aggregation over full raw — same oracle, third leg.
     "compacted_read" -> ROLLUP_TIER_ORACLE,
