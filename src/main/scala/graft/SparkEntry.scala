@@ -1711,6 +1711,9 @@ object SparkEntry {
     // picked order statistics, exact until one final double comparison.
     "a31_mad_outliers" -> ((s, dir) => TrendOps.madOutliers(series(s, dir), k = 3.0)),
 
+    // Top day-over-day movers across all metrics — the dashboard headline.
+    "a33_top_movers" -> ((s, dir) => TrendOps.topMovers(series(s, dir), topK = 10)),
+
     // Flatline screen over precision-quantized values (stuck sensor).
     "a23_flatline" -> ((s, dir) =>
       TrendOps.flatlineRuns(
@@ -3082,6 +3085,21 @@ object SparkEntry {
          |SELECT ma, mb, CAST(n AS BIGINT) AS n_buckets,
          |       (sxy - sx * sy / n) / sqrt(vx * vy) AS corr
          |FROM v WHERE n >= 2 AND vx > 0 AND vy > 0""".stripMargin,
+
+    // Top movers replay: day-grain decimal means, adjacent-day lag, global
+    // |delta| top-K with the (metric, day) tie-break that pins WHICH rows
+    // survive the limit.
+    "a33_top_movers" ->
+      s"""WITH $SERIES,
+         |d AS (SELECT metric, CAST(FLOOR(e/86400.0) AS BIGINT)*86400 AS day,
+         |        count(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+         |      FROM series GROUP BY 1, 2),
+         |m AS (SELECT metric, day, CAST(sv AS DOUBLE)/CAST(n AS DOUBLE) AS mean_val FROM d),
+         |p AS (SELECT *, lag(mean_val) OVER w AS prev_mean, lag(day) OVER w AS prev_day
+         |      FROM m WINDOW w AS (PARTITION BY metric ORDER BY day))
+         |SELECT metric, day, mean_val, prev_mean, mean_val - prev_mean AS delta
+         |FROM p WHERE prev_day = day - 86400
+         |ORDER BY abs(mean_val - prev_mean) DESC, metric, day LIMIT 10""".stripMargin,
 
     // Robust MAD screen replay: the same PICKED lower-median order
     // statistics (rank (n+1) div 2 over (value|dev, event_id)), exact

@@ -562,6 +562,33 @@ object TrendOps {
           sqrt(col("vx") * col("vy"))).as("acf"))
   }
 
+  /** Top movers: the K largest day-over-day changes in daily mean across
+    * all metrics — the headline "what moved" panel of a trend dashboard.
+    * Daily means come from exact decimal sums (one double division each,
+    * the a4/a24 contract); deltas compare only ADJACENT days (a gap day
+    * yields no pair rather than a spurious multi-day "move"). Global
+    * top-K orders by |delta| with a (metric, day) tie-break, so WHICH
+    * rows survive the limit is engine-independent; the plan is a
+    * TakeOrdered over day-grain aggregates — no global sort of facts. */
+  def topMovers(series: DataFrame, topK: Int = 10): DataFrame = {
+    val daily = series
+      .withColumn("day", floor(col("e") / lit(86400.0)).cast("long") * 86400)
+      .groupBy("metric", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .withColumn("mean_val", col("sv").cast("double") / col("n").cast("double"))
+    val w = Window.partitionBy("metric").orderBy("day")
+    daily
+      .withColumn("prev_mean", lag(col("mean_val"), 1).over(w))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .where(col("prev_day") === col("day") - 86400)
+      .withColumn("delta", col("mean_val") - col("prev_mean"))
+      .select(col("metric"), col("day"), col("mean_val"),
+        col("prev_mean"), col("delta"))
+      .orderBy(abs(col("delta")).desc, col("metric"), col("day"))
+      .limit(topK)
+  }
+
   /** Robust (median/MAD) outlier screen — the heavy-tail-safe twin of the
     * 3σ z-score (a16): a single wild point inflates mean and σ enough to
     * mask itself, but barely moves the median or the median absolute

@@ -241,6 +241,20 @@ class TrendOpsSpec extends SparkSpec {
     assert(chk == seq, s"gap pair lost or wrong: chunked $chk vs sequential $seq")
   }
 
+  test("top movers ranks adjacent-day mean deltas and skips gap days") {
+    // metric a: day0 mean 10, day1 mean 50 (delta +40)
+    // metric b: day0 mean 10, day2 mean 99 — NOT adjacent, no pair
+    // metric c: day0 mean 20, day1 mean 15 (delta -5)
+    val rows = Seq(
+      ("a", 0L, 10.0), ("a", 86400L, 50.0),
+      ("b", 0L, 10.0), ("b", 2 * 86400L, 99.0),
+      ("c", 0L, 20.0), ("c", 86400L, 15.0))
+    val out = TrendOps.topMovers(seriesDF(rows: _*), topK = 10).collect()
+    assert(out.length == 2, s"expected a and c pairs only, got ${out.length}")
+    assert(out(0).getAs[String]("metric") == "a" && out(0).getAs[Double]("delta") == 40.0)
+    assert(out(1).getAs[String]("metric") == "c" && out(1).getAs[Double]("delta") == -5.0)
+  }
+
   test("MAD screen flags masked spikes the 3-sigma screen misses; mad=0 groups are excluded") {
     // 20 base points in [10, 15] plus 3 spikes of 1000: the spikes inflate
     // sigma to ~330 (z ~ 2.6, under the 3-sigma bar) but barely move the
