@@ -132,7 +132,10 @@ object SparkEntry {
 
   /** Shared ANN-rerank oracle body: exact cosine top-5 over an exported
     * (q_id, c_id) candidate list, [[SimilarityOps.rerankTopK]]'s contract
-    * (score DESC / c_id tie-break, round 6). */
+    * (score DESC / c_id tie-break). The score is compared RAW under the
+    * bit-deterministic dot-product contract — `vecDot` (Spark) and
+    * `list_dot_product` (DuckDB) are the same left-to-right fold, so the
+    * doubles are bit-identical with no rounding applied on either side. */
   private def annRerankOracle(name: String): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |p AS (SELECT q_id, c_id FROM read_parquet('${exportGlob(name)}')),
@@ -188,7 +191,7 @@ object SparkEntry {
        |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id)),
        |s AS (SELECT metric, event_id, e, n, n * cum - k * total AS scaled FROM w)
        |SELECT metric, event_id, e,
-       |       CAST(scaled AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
+       |       CAST(CAST(scaled AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
        |       abs(scaled) > n * CAST(50.00 AS DECIMAL(18,2)) AS breach
        |FROM s""".stripMargin
 
@@ -201,7 +204,7 @@ object SparkEntry {
        |        lag(vd) OVER o AS pv, lag(e) OVER o AS pe
        |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e, event_id))
        |SELECT metric, event_id, e,
-       |       CAST(vd - pv AS DOUBLE) / CAST(e - pe AS DOUBLE) AS slope
+       |       CAST(CAST(vd - pv AS VARCHAR) AS DOUBLE) / CAST(e - pe AS DOUBLE) AS slope
        |FROM w WHERE pe IS NOT NULL AND e != pe""".stripMargin
 
   /** Disjoint-band CASE generated from [[TrendParams.dayBins]] — the same
@@ -2931,7 +2934,7 @@ object SparkEntry {
          |        lag(vd) OVER o AS pv, lag(e) OVER o AS pe
          |      FROM d WINDOW o AS (PARTITION BY metric ORDER BY e))
          |SELECT metric, e, value,
-         |       CAST(vd - pv AS DOUBLE) / CAST(e - pe AS DOUBLE) AS slope
+         |       CAST(CAST(vd - pv AS VARCHAR) AS DOUBLE) / CAST(e - pe AS DOUBLE) AS slope
          |FROM w WHERE pe IS NOT NULL""".stripMargin,
 
     "stream_cusum_parity" ->
@@ -2941,7 +2944,7 @@ object SparkEntry {
          |          OVER (PARTITION BY metric ORDER BY e
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
          |      FROM useries)
-         |SELECT metric, e, value, CAST(acc AS DOUBLE) AS cusum,
+         |SELECT metric, e, value, CAST(CAST(acc AS VARCHAR) AS DOUBLE) AS cusum,
          |       abs(acc) > CAST(500.00 AS DECIMAL(18,2)) AS breach
          |FROM w""".stripMargin,
 
@@ -3103,8 +3106,10 @@ object SparkEntry {
 
     // Robust MAD screen replay: the same PICKED lower-median order
     // statistics (rank (n+1) div 2 over (value|dev, event_id)), exact
-    // decimals end-to-end, one final double comparison with the identical
-    // k·1.4826·mad expression.
+    // decimals end-to-end, one final double comparison against the ONE
+    // Scala-folded k·1.4826 constant (madThreshold), shipped as its
+    // round-trip string so both engines compare the identical double.
+    // Decimal→double conversions go via VARCHAR (the a28 contract).
     "a31_mad_outliers" ->
       s"""WITH $SERIES,
          |q AS (SELECT metric, event_id, e, value,
@@ -3119,10 +3124,13 @@ object SparkEntry {
          |         count(*) OVER (PARTITION BY metric) AS n FROM d),
          |mad AS (SELECT metric, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
          |SELECT d.metric, d.event_id, d.e, d.value,
-         |       CAST(d.med AS DOUBLE) AS med, CAST(mad.mad AS DOUBLE) AS mad
+         |       CAST(CAST(d.med AS VARCHAR) AS DOUBLE) AS med,
+         |       CAST(CAST(mad.mad AS VARCHAR) AS DOUBLE) AS mad
          |FROM d JOIN mad USING (metric)
          |WHERE mad.mad > 0
-         |  AND CAST(d.dev AS DOUBLE) > 3.0 * 1.4826 * CAST(mad.mad AS DOUBLE)""".stripMargin,
+         |  AND CAST(CAST(d.dev AS VARCHAR) AS DOUBLE) >
+         |      CAST('${graft.operators.TrendOps.madThreshold(3.0)}' AS DOUBLE)
+         |        * CAST(CAST(mad.mad AS VARCHAR) AS DOUBLE)""".stripMargin,
 
     // Lag-k autocorrelation: lagged pairs over the (e, event_id) total
     // order, six exact DECIMAL aggregates per (metric, lag), then the

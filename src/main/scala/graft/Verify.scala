@@ -11,8 +11,19 @@ object Verify {
       case Array(s, o)         => (s, o, None)
       case Array(s, o, names)  => (s, o, Some(names.split(',').toSet))
     }
+    // Arg-order guard (round-9 VERDICT): Verify takes (sfDir, outDir) while
+    // tools/check.py takes (outDir, sfDir) — swap-bait. A swapped call used
+    // to fail every query with PATH_NOT_FOUND yet exit 0; name-check the
+    // data dir up front so the mistake is one loud line, not 139 stderr
+    // lines and a green sbt exit.
+    if (!Files.isRegularFile(Paths.get(sfDir, "events.parquet")))
+      sys.error(s"sfDir '$sfDir' does not contain events.parquet — " +
+        "expected a testdata sf directory as the FIRST arg " +
+        "(usage: Verify <sfDir> <outDir> [query,query...])")
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    var ran = 0
+    var failed = 0
     // Per-run export root (round-6 ADVICE): a SIBLING of outDir, not a
     // child — the checker treats every outDir subdirectory as a query
     // result, and a shared fixed path would let another run's export
@@ -24,9 +35,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      ran += 1
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -46,5 +59,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Per-query failures stay soft (the checker reports them as err rows),
+    // but a majority-failed run means the invocation itself is broken
+    // (bad path, bad build) — exit nonzero so sbt doesn't print [success]
+    // over a run that produced nothing comparable.
+    if (ran > 0 && failed * 2 > ran)
+      sys.error(s"$failed of $ran queries failed — refusing to report success")
+    else if (failed > 0)
+      System.err.println(s"[verify] $failed of $ran queries failed")
   }
 }

@@ -603,6 +603,12 @@ object TrendOps {
     * class as the other per-metric windows); medians join back broadcast.
     * Groups with mad = 0 (over half the samples identical) have no robust
     * scale and are excluded before the comparison, like a25's guards. */
+  /** The folded k·1.4826 threshold constant — computed ONCE in Scala double
+    * arithmetic and shared verbatim (via its round-trip decimal string) with
+    * the DuckDB oracle, so oracle parity is structural for ANY k, not a
+    * per-constant coincidence of the two engines' folding orders. */
+  def madThreshold(k: Double): Double = k * 1.4826
+
   def madOutliers(series: DataFrame, k: Double = 3.0): DataFrame = {
     val vd = col("value").cast("decimal(18,2)")
     val byM = Window.partitionBy("metric")
@@ -625,7 +631,7 @@ object TrendOps {
     dev.join(broadcast(mad), Seq("metric"))
       .where(col("__mad") > 0 &&
         col("__dev").cast("double") >
-          lit(k) * lit(1.4826) * col("__mad").cast("double"))
+          lit(madThreshold(k)) * col("__mad").cast("double"))
       .select(col("metric"), col("event_id"), col("e"), col("value"),
         col("__med").cast("double").as("med"),
         col("__mad").cast("double").as("mad"))

@@ -82,8 +82,16 @@ object StreamReplay {
           .coalesce(1)
           .write.mode("append").parquet(inDir)
         Option(new java.io.File(inDir).listFiles()).foreach(_.foreach { f =>
-          if (f.getName.endsWith(".parquet") && stamped.add(f.getName))
-            f.setLastModified(stampBase + k * 1000L)
+          if (f.getName.endsWith(".parquet") && stamped.add(f.getName)) {
+            // A failed stamp silently re-introduces write-latency-ordered
+            // pickup — the exact nondeterminism this exists to kill. Fail
+            // loudly instead of letting an out-of-order replay corrupt an
+            // order-dependent stateful parity row downstream.
+            if (!f.setLastModified(stampBase + k * 1000L))
+              throw new IllegalStateException(
+                s"setLastModified failed for ${f.getPath}; replay order " +
+                  "would fall back to nondeterministic write-latency order")
+          }
         })
       }
 

@@ -31,6 +31,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(out_dir: str, sf_dir: str) -> int:
+    # Arg-order guard: Verify takes (sfDir, outDir), this tool the reverse —
+    # name-check both dirs so a swapped invocation dies on one clear line.
+    if not (Path(out_dir) / "oracle_sql.json").is_file():
+        sys.exit(f"out_dir '{out_dir}' has no oracle_sql.json — arg order is "
+                 "(verify_out_dir, sf_dir); did you swap the args?")
+    if not (Path(sf_dir) / "events.parquet").is_file():
+        sys.exit(f"sf_dir '{sf_dir}' has no events.parquet — arg order is "
+                 "(verify_out_dir, sf_dir); did you swap the args?")
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
