@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators._
 
@@ -158,6 +158,47 @@ object ScaleProbe {
       TrendOps.ewmaChunked(oneHotMetric(k), alpha = 0.2).toDF())
     probe("cusum_chunked_hot", k => TrendOps.cusumChunked(oneHotMetric(k)))
     probe("derivative_chunked_hot", k => TrendOps.derivativeChunked(oneHotMetric(k)))
+
+    // Skew-join posture (round-9 VERDICT item 2): salted vs plain shuffle
+    // join on a fixture where ~90% of the big side collapses onto ONE key
+    // (the gate's q_skew_join shape). Broadcast and AQE's skew-join split
+    // are disabled INSIDE this block only, to isolate what manual salting
+    // buys in exactly the regime it exists for — small side too big to
+    // broadcast, strategy outside AQE's reach. Plain SMJ puts the hot
+    // key's entire sort+merge in one task (so the 16× ratio degrades
+    // toward single-core time); salting spreads it over 16 sub-keys and
+    // should hold the multi-core ratio. Row-for-row equality of the two
+    // paths is pinned by the gate row + DedupSimilaritySpec.
+    {
+      def sk(c: Column) = when(pmod(c, lit(100L)) < 90, lit(0L))
+        .otherwise(pmod(c, lit(100L))).as("sk")
+      val o = Tables.orders(spark, sfDir)
+      def skewedOrders(k: Int): DataFrame =
+        (0 until k).map { i =>
+          o.select((col("o_orderkey") + lit(i.toLong * 10_000_000L))
+              .as("o_orderkey"),
+            col("o_totalprice"), sk(col("o_custkey")))
+        }.reduce(_ unionByName _)
+      val dim = Tables.customer(spark, sfDir)
+        .select(sk(col("c_custkey")))
+        .groupBy("sk").agg(count(lit(1)).as("dim_customers"))
+      def aggAfter(j: DataFrame): DataFrame =
+        j.groupBy("sk").agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val conf = spark.conf
+      val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try {
+        probe("skew_join_plain", k => aggAfter(skewedOrders(k).join(dim, "sk")))
+        probe("skew_join_salted", k =>
+          aggAfter(RelationalOps.saltedJoin(skewedOrders(k), dim, "sk", 16)))
+      } finally {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      }
+    }
 
     spark.stop()
   }

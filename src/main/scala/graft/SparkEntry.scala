@@ -722,6 +722,28 @@ object SparkEntry {
         Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_extendedprice"),
         25, col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
 
+    // Skew-salted join in the gate (round-9 VERDICT item 2): a derived key
+    // collapses ~90% of orders onto one hot value, the dim is one row per
+    // key, and the join runs through RelationalOps.saltedJoin. The oracle
+    // is the PLAIN join SQL — salting must be a pure physical rewrite
+    // (result == plain inner equi-join, row for row); ScaleProbe carries
+    // the salt-vs-plain timing on the same skewed fixture.
+    "q_skew_join" -> ((s, dir) => {
+      def sk(c: Column) = when(pmod(c, lit(100L)) < 90, lit(0L))
+        .otherwise(pmod(c, lit(100L))).as("sk")
+      val big = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), sk(col("o_custkey")))
+      val dim = Tables.customer(s, dir)
+        .select(sk(col("c_custkey")))
+        .groupBy("sk").agg(count(lit(1)).as("dim_customers"))
+      RelationalOps.saltedJoin(big, dim, "sk", salts = 16)
+        .groupBy("sk")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          max(col("dim_customers")).as("dim_customers"))
+    }),
+
     // Set operations: EXCEPT + INTERSECT, tagged.
     "q_setops" -> ((s, dir) => {
       def keys(status: String) =
@@ -2289,6 +2311,21 @@ object SparkEntry {
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
+
+    // Plain-join replay of the salted join: if salting leaked or dropped a
+    // row, the hot key's n_orders/revenue would not reconcile.
+    "q_skew_join" ->
+      """WITH big AS (SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_custkey % 100 < 90 THEN 0
+        |            ELSE o_custkey % 100 END AS sk FROM orders),
+        |dim AS (SELECT CASE WHEN c_custkey % 100 < 90 THEN 0
+        |               ELSE c_custkey % 100 END AS sk,
+        |        count(*) AS dim_customers FROM customer GROUP BY 1)
+        |SELECT b.sk AS sk, count(*) AS n_orders,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            AS VARCHAR) AS DOUBLE) AS revenue,
+        |       max(d.dim_customers) AS dim_customers
+        |FROM big b JOIN dim d USING (sk) GROUP BY b.sk""".stripMargin,
 
     "q_sql_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
