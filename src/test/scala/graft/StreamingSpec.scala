@@ -768,4 +768,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamPairs == batchPairs)
     assert(streamPairs.nonEmpty) // the planted twins must surface
   }
+
+  test("live socket source drives parse→explode→minute tier (source-agnostic in fact)") {
+    import graft.streaming.StreamLive
+    // A real TCP server on an ephemeral port: the socket source connects as
+    // a CLIENT at query start, so the listener must exist first and the
+    // writer side only appears once the connection is accepted.
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var out: java.io.PrintWriter = null
+    val acceptor = new Thread(() => {
+      val sock = server.accept()
+      out = new java.io.PrintWriter(sock.getOutputStream, true)
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val q = StreamLive.pipeline(
+        StreamLive.socketMessages(spark, "127.0.0.1", server.getLocalPort))
+      .writeStream.format("memory").queryName("t_live_tier")
+      .outputMode("update").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (out == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(out != null, "socket source never connected")
+      // three samples inside one minute window + one malformed line the
+      // parse stage must drop, exactly as on the bounded paths
+      out.println("""{"ts": 60, "source": "dev1", "value": {"temperature": 10.0}}""")
+      out.println("""garbage {{{""")
+      out.println("""{"ts": 70, "source": "dev1", "value": {"temperature": 30.0}}""")
+      out.println("""{"ts": 80, "source": "dev2", "value": {"temperature": 20.0}}""")
+      // The socket receiver has no "all data consumed" barrier to the
+      // query, so poll until the tier row reflects all three samples.
+      def tierRow() = spark.table("t_live_tier")
+        .where(col("metric") === "temperature" && col("n") === 3)
+        .collect()
+      while (tierRow().isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val r = tierRow()
+      assert(r.nonEmpty, "minute-tier row with n=3 never arrived from the socket")
+      assert(r.head.getAs[java.math.BigDecimal]("sv").doubleValue() == 60.0)
+      assert(r.head.getAs[Double]("mn") == 10.0)
+      assert(r.head.getAs[Double]("mx") == 30.0)
+      // and the tier row maps onto the display-grid shape displaySink renders
+      val disp = StreamLive.tierToDisplay(
+        spark.table("t_live_tier").where(col("n") === 3)).collect()
+      assert(disp.head.getAs[Long]("day_bin") == 1L) // epoch minute of ts=60..80
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
 }
