@@ -200,6 +200,45 @@ object ScaleProbe {
       }
     }
 
+    // a34 heavy-hitters: the point of the sketch is SHUFFLE VOLUME, not
+    // wall time at toy scale — each task ships one O(cap) summary instead
+    // of one row per distinct term. Measure actual shuffle-write bytes of
+    // the exact top-terms aggregation vs the MG sketch on the 16× corpus
+    // via a stage-metrics listener (listener delivery is async; the short
+    // sleep after each job lets the bus drain before reading the counter).
+    {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measure(df: => DataFrame): (Double, Long) = {
+        Thread.sleep(500); shuffleBytes.set(0L)
+        val t = time(df)
+        Thread.sleep(500)
+        (t, shuffleBytes.get())
+      }
+      val terms16 = scaledDocs(16)
+        .select(col("lang"), explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+      def exactTop(): DataFrame =
+        RelationalOps.topNPerGroup(
+          terms16.groupBy("lang", "term").agg(count(lit(1)).as("f")),
+          20, Seq(lit(1)), Seq(col("f").desc, col("term").asc))
+      def sketchTop(): DataFrame =
+        terms16.groupBy("lang")
+          .agg(HeavyHitters.summary(col("term"), cap = 256).as("sk"))
+          .agg(HeavyHitters.merged(col("sk"), cap = 256).as("sk"))
+          .select(explode(col("sk")).as("t"))
+      val (te, be) = measure(exactTop())
+      val (ts, bs) = measure(sketchTop())
+      println(f"[scale] topk_exact_16x      time=$te%6.2fs shuffle=${be}%d B")
+      println(f"[scale] topk_sketch_16x     time=$ts%6.2fs shuffle=${bs}%d B " +
+        f"(sketch/exact shuffle ratio ${bs.toDouble / math.max(1L, be)}%.3f)")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     spark.stop()
   }
 }

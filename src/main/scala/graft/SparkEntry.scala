@@ -1783,6 +1783,31 @@ object SparkEntry {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
     }),
 
+    // a34: heavy-hitters sketch tier (round-9 VERDICT item 4) — top terms
+    // via mergeable Misra–Gries summaries in the a26 tier shape: per-lang
+    // partial sketches, union-merged to a global summary, top-20 out.
+    // Each task ships one O(cap) summary, so at 100 TB the shuffle is
+    // O(partitions × cap), not O(distinct terms) like exact text_top_terms
+    // (ScaleProbe carries the shuffle-bytes comparison). The oracle is the
+    // EXACT count SQL: the fixture vocabulary (31 terms) is far below
+    // cap=256, so no eviction fires anywhere and MG counts are exact by
+    // construction; eviction and merge bounds are pinned by
+    // HeavyHittersSpec. The final window ranks the 31-row merged summary —
+    // model-sized, never the term stream.
+    "a34_topk_sketch" -> ((s, dir) => {
+      val perLang = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("lang")
+        .agg(HeavyHitters.summary(col("term"), cap = 256).as("sk"))
+      perLang.agg(HeavyHitters.merged(col("sk"), cap = 256).as("sk"))
+        .select(explode(col("sk")).as("t"))
+        .select(col("t.term").as("term"), col("t.count").as("approx_count"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("approx_count").desc, col("term"))).cast("long"))
+        .where(col("rk") <= 20)
+        .select("rk", "term", "approx_count")
+    }),
+
     // Seasonality-adjusted anomaly screen: a16's z-score against the
     // (metric, hour-of-day) diurnal baseline instead of the global mean —
     // a value normal at peak hour is anomalous at 3am. Baselines are a
@@ -2572,6 +2597,16 @@ object SparkEntry {
         |       THEN 'other' ELSE 'und' END AS lang_guess,
         |  count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // The sketch row compares against EXACT occurrence counts — sound
+    // because the fixture vocabulary is far below the sketch cap, so
+    // Misra–Gries provably never evicts (see the a34 registration note).
+    "a34_topk_sketch" ->
+      """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS approx_count FROM t GROUP BY 1),
+        |r AS (SELECT term, approx_count,
+        |        row_number() OVER (ORDER BY approx_count DESC, term) AS rk FROM f)
+        |SELECT rk, term, approx_count FROM r WHERE rk <= 20""".stripMargin,
 
     "text_top_terms" ->
       """WITH w AS (SELECT lang, doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS term
