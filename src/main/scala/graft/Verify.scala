@@ -16,7 +16,9 @@ object Verify {
     // to fail every query with PATH_NOT_FOUND yet exit 0; name-check the
     // data dir up front so the mistake is one loud line, not 139 stderr
     // lines and a green sbt exit.
-    if (!Files.isRegularFile(Paths.get(sfDir, "events.parquet")))
+    // exists, not isRegularFile: ScaleUp sf dirs carry each table as a
+    // DIRECTORY of part files; both layouts are valid Spark reads.
+    if (!Files.exists(Paths.get(sfDir, "events.parquet")))
       sys.error(s"sfDir '$sfDir' does not contain events.parquet — " +
         "expected a testdata sf directory as the FIRST arg " +
         "(usage: Verify <sfDir> <outDir> [query,query...])")

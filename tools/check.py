@@ -1,13 +1,22 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate (dev tool, not shipped).
 
-Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [--only q1,q2,...]
 
 Loads each <name>/ parquet result written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB against the sf_dir tables, and
 compares: row count, column names, and values (columns sorted by name, rows
 sorted by all columns, exact equality; floats compared bitwise with a
 reported max-abs-diff on mismatch).
+
+--only restricts the compare to the named queries (for spot-checks against a
+partial `graft.Verify <sfDir> <outDir> <names>` run — without it, every
+skipped query would be reported as MISSING_RESULT).
+
+sf_dir tables may be single parquet FILES (the driver's layout) or
+DIRECTORIES of part files (graft.ScaleUp's layout); an `events` table whose
+`ts` arrives as raw BIGINT nanos (Spark cannot write TIMESTAMP_NS, so scaled
+copies land as int64) is rebuilt into the timestamp view the oracles expect.
 """
 import json
 import math
@@ -30,21 +39,34 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, only: set | None = None) -> int:
     # Arg-order guard: Verify takes (sfDir, outDir), this tool the reverse —
     # name-check both dirs so a swapped invocation dies on one clear line.
     if not (Path(out_dir) / "oracle_sql.json").is_file():
         sys.exit(f"out_dir '{out_dir}' has no oracle_sql.json — arg order is "
                  "(verify_out_dir, sf_dir); did you swap the args?")
-    if not (Path(sf_dir) / "events.parquet").is_file():
+    if not (Path(sf_dir) / "events.parquet").exists():
         sys.exit(f"sf_dir '{sf_dir}' has no events.parquet — arg order is "
                  "(verify_out_dir, sf_dir); did you swap the args?")
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not p.exists():
+            continue
+        src = f"read_parquet('{p}/*.parquet')" if p.is_dir() else f"read_parquet('{p}')"
+        if t == "events":
+            ts_type = str(con.execute(
+                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0])
+            if ts_type == "BIGINT":
+                # make_timestamp takes MICROS (this DuckDB has no
+                # make_timestamp_ns); the oracles' only consumption of ts is
+                # epoch_ns(ts)//1e9, and floor(floor(ns/1e3)*1e3/1e9) ==
+                # floor(ns/1e9), so micros truncation is second-exact.
+                src = f"(SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM {src})"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     results = {}
     # A query that crashed in Verify writes no result dir — that must read
     # as a FAIL here, not silently vanish from the report.
@@ -56,6 +78,8 @@ def main(out_dir: str, sf_dir: str) -> int:
         if not qdir.is_dir():
             continue
         name = qdir.name
+        if only is not None and name not in only:
+            continue
         try:
             spark_df = pd.concat(
                 [pd.read_parquet(f) for f in sorted(qdir.glob("*.parquet"))],
@@ -114,4 +138,10 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = None
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], only))
