@@ -176,6 +176,16 @@ object SparkEntry {
        |       min(value) AS min_val, max(value) AS max_val
        |FROM series GROUP BY 1, 2""".stripMargin
 
+  /** Exact global term counts, top-20 — the check both heavy-hitter
+    * producers (batch a34 sketch and its streaming replay twin) must
+    * reproduce. ONE string, two registry keys. */
+  private lazy val A34_TOPK_ORACLE =
+    """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      |f AS (SELECT term, count(*) AS approx_count FROM t GROUP BY 1),
+      |r AS (SELECT term, approx_count,
+      |        row_number() OVER (ORDER BY approx_count DESC, term) AS rk FROM f)
+      |SELECT rk, term, approx_count FROM r WHERE rk <= 20""".stripMargin
+
   /** CUSUM oracle — ONE string, two keys: exact decimal arithmetic is
     * associative, so [[graft.operators.TrendOps.cusumChunked]] is
     * bit-identical to the sequential [[graft.operators.TrendOps.cusum]]
@@ -285,6 +295,19 @@ object SparkEntry {
   /** Every 50th document plus a variant with the last `nDrop` tokens
     * removed — the planted near-duplicates the LSH/dedup queries detect
     * (the base corpus is fully distinct). */
+  /** Shared a34 downstream (batch sketch + streaming twin): union-merge the
+    * per-group MG summaries into one global summary, explode, rank top-20
+    * (count desc, term asc). The ranked relation is model-sized (≤ cap
+    * rows), never the term stream. */
+  private def topkFromSummaries(perGroup: DataFrame): DataFrame =
+    perGroup.agg(HeavyHitters.merged(col("sk"), cap = 256).as("sk"))
+      .select(explode(col("sk")).as("t"))
+      .select(col("t.term").as("term"), col("t.count").as("approx_count"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("approx_count").desc, col("term"))).cast("long"))
+      .where(col("rk") <= 20)
+      .select("rk", "term", "approx_count")
+
   private def withPlantedVariants(documents: DataFrame, nDrop: Int): DataFrame = {
     val docs = documents.select("doc_id", "text")
     docs.unionByName(docs.where(col("doc_id") % 50 === 0)
@@ -1794,18 +1817,52 @@ object SparkEntry {
     // construction; eviction and merge bounds are pinned by
     // HeavyHittersSpec. The final window ranks the 31-row merged summary —
     // model-sized, never the term stream.
-    "a34_topk_sketch" -> ((s, dir) => {
-      val perLang = Tables.documents(s, dir)
-        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy("lang")
-        .agg(HeavyHitters.summary(col("term"), cap = 256).as("sk"))
-      perLang.agg(HeavyHitters.merged(col("sk"), cap = 256).as("sk"))
-        .select(explode(col("sk")).as("t"))
-        .select(col("t.term").as("term"), col("t.count").as("approx_count"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("approx_count").desc, col("term"))).cast("long"))
-        .where(col("rk") <= 20)
-        .select("rk", "term", "approx_count")
+    "a34_topk_sketch" -> ((s, dir) =>
+      topkFromSummaries(
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("lang")
+          .agg(HeavyHitters.summary(col("term"), cap = 256).as("sk")))),
+
+    // a34's streaming twin: the SAME per-lang MG summaries maintained
+    // incrementally by a checkpointed update-mode stream (the aggregation
+    // state IS the sketch, merged per micro-batch with the PODS'12
+    // combine), replayed over the sliced corpus and upserted by last
+    // emission — then the identical merge+rank downstream. Shares a34's
+    // exact-count oracle: below cap the cross-batch merge is pointwise
+    // addition, so the streamed counts are exact regardless of how the
+    // slices cut the corpus. A green row proves sketch state carries
+    // exactly across micro-batch boundaries.
+    "stream_topk_parity" -> ((s, dir) =>
+      topkFromSummaries(
+        graft.streaming.StreamReplay.topTermsReplay(
+          Tables.documents(s, dir).select("doc_id", "lang", "text"),
+          cap = 256))),
+
+    // a35: quantile sketch tier — the third sketch-tier member (a26 = HLL
+    // distinct, a34 = MG frequency): per-minute GK summaries union-merged
+    // to hours, p50/p95/p99 served from the STORED sketches with the raw
+    // samples gone — quantiles don't merge associatively the way
+    // count/sum/min/max do, so tiered retention must keep a mergeable
+    // summary, not the percentile. Gate eps = 1e-9 < 1/(2N) at fixture
+    // scale: the compress band is below one rank, no sample is ever
+    // dropped, and each query returns the exact ceil(phi*N)-rank sample —
+    // deterministic and SQL-expressible (the a34 below-cap story for
+    // quantiles). Production eps (1e-2…1e-4) trades that for O(1/eps)
+    // memory; those bounds are pinned by QuantileSketchSpec.
+    "a35_quantile_tier" -> ((s, dir) => {
+      val eps = 1e-9
+      series(s, dir)
+        .withColumn("minute", floor(col("e") / lit(60.0)).cast("long") * 60)
+        .groupBy("metric", "minute")
+        .agg(QuantileSketch.summary(col("value"), eps).as("sk"))
+        .withColumn("bucket_start", floor(col("minute") / lit(3600.0)).cast("long") * 3600)
+        .groupBy("metric", "bucket_start")
+        .agg(QuantileSketch.merged(col("sk"), eps).as("sk"))
+        .select(col("metric"), col("bucket_start"),
+          QuantileSketch.quantile(col("sk"), eps, 0.5).as("p50"),
+          QuantileSketch.quantile(col("sk"), eps, 0.95).as("p95"),
+          QuantileSketch.quantile(col("sk"), eps, 0.99).as("p99"))
     }),
 
     // Seasonality-adjusted anomaly screen: a16's z-score against the
@@ -2598,15 +2655,36 @@ object SparkEntry {
         |  count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM t GROUP BY 1, 2""".stripMargin,
 
-    // The sketch row compares against EXACT occurrence counts — sound
+    // The sketch rows compare against EXACT occurrence counts — sound
     // because the fixture vocabulary is far below the sketch cap, so
     // Misra–Gries provably never evicts (see the a34 registration note).
-    "a34_topk_sketch" ->
-      """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents),
-        |f AS (SELECT term, count(*) AS approx_count FROM t GROUP BY 1),
-        |r AS (SELECT term, approx_count,
-        |        row_number() OVER (ORDER BY approx_count DESC, term) AS rk FROM f)
-        |SELECT rk, term, approx_count FROM r WHERE rk <= 20""".stripMargin,
+    // The streaming twin faces the SAME SQL: below cap the cross-batch
+    // state merge is pointwise addition, so the replayed counts are exact
+    // however the slices cut the corpus.
+    "a34_topk_sketch" -> A34_TOPK_ORACLE,
+    "stream_topk_parity" -> A34_TOPK_ORACLE,
+
+    // Exactness-regime quantile tier (see the a35 registration): with the
+    // gate's eps no GK sample ever compresses away, so each queried
+    // percentile is the exact 1-based ceil(phi*n) rank sample (min/max
+    // clamps at the extremes coincide with the ceil formula for these
+    // phis). The rank multiply is forced through DOUBLE so both engines
+    // round phi*n with the same IEEE product — a DECIMAL phi literal would
+    // ceil differently exactly when the double product lands a hair above
+    // an integer.
+    "a35_quantile_tier" ->
+      s"""WITH $SERIES,
+         |b AS (SELECT metric, CAST(FLOOR(e/3600.0) AS BIGINT)*3600 AS bucket_start, value FROM series),
+         |w AS (SELECT metric, bucket_start, value,
+         |        row_number() OVER (PARTITION BY metric, bucket_start ORDER BY value) AS rn,
+         |        count(*) OVER (PARTITION BY metric, bucket_start) AS n
+         |      FROM b),
+         |q AS (SELECT metric, bucket_start,
+         |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.5 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p50,
+         |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.95 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p95,
+         |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.99 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p99
+         |      FROM w GROUP BY 1, 2)
+         |SELECT metric, bucket_start, p50, p95, p99 FROM q""".stripMargin,
 
     "text_top_terms" ->
       """WITH w AS (SELECT lang, doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS term

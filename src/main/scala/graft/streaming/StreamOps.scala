@@ -484,6 +484,30 @@ object StreamOps {
       .select(col("metric"), col("window.start").as("minute_start"),
         col("n"), col("sv"), col("mn"), col("mx"))
 
+  /** Streaming heavy-hitters maintenance — the incremental producer of
+    * per-lang Misra–Gries term summaries (the a34 sketch tier's streaming
+    * twin): a running "top terms since start" over a document stream, the
+    * dashboard shape the batch a34 computes at rest.
+    *
+    * State shape at scale: ONE O(cap) summary per lang key — the streaming
+    * aggregation state IS the MG buffer, merged incrementally per
+    * micro-batch with the PODS'12 combine ([[graft.operators.HeavyHitters]]).
+    * Below cap the merge is plain pointwise addition, so cross-batch counts
+    * are EXACT and batch-order-independent — which is what lets the replay
+    * parity row face the exact-count oracle; eviction bounds above cap are
+    * pinned by HeavyHittersSpec.
+    *
+    * Update mode: each batch re-emits the summaries of langs it touched;
+    * a keyed upsert (last emission per lang) maintains the summary table.
+    *
+    * @param docs streaming frame with (lang string, text string) columns
+    */
+  def topTermsStream(docs: DataFrame, cap: Int = 256): DataFrame =
+    docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("lang")
+      .agg(graft.operators.HeavyHitters.summary(col("term"), cap).as("sk"))
+
   /** Streaming gap alerts per metric ([[GapAlertProcessor]]): the streaming
     * counterpart of the batch gap report — the open alert exists ONLY here,
     * because it fires when data does not arrive. Same RocksDB/TWS

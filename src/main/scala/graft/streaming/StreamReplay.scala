@@ -302,6 +302,29 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)).select("vec_a", "vec_b"))
   }
 
+  /** Replays a documents relation `(doc_id, lang, text)` through
+    * [[StreamOps.topTermsStream]] and returns the FINAL per-lang MG
+    * summary table `(lang, sk)` — update-mode emissions upserted by last
+    * batch, the same keyed-upsert contract as [[minuteTierReplay]].
+    * Synthetic event time from doc_id (as the other document replays), so
+    * summaries genuinely accumulate across micro-batch boundaries. */
+  def topTermsReplay(docs: DataFrame, cap: Int = 256,
+                     slices: Int = defaultSlices): DataFrame = {
+    val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
+      col("doc_id"), col("lang"), col("text"))
+    val build = (df: DataFrame) => StreamOps.topTermsStream(df, cap)
+    sliceAndReplay(src, "ts TIMESTAMP, doc_id BIGINT, lang STRING, text STRING",
+        slices, "update", build) match {
+      case None => build(src.limit(0))
+      case Some(appended) =>
+        val w = Window.partitionBy("lang").orderBy(col("batch_id").desc)
+        appended
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .drop("rn", "batch_id")
+    }
+  }
+
   /** Replays the series through [[StreamOps.decimateStream]] (tie-free
     * input contract as [[derivativeReplay]]; the stream's oldest→newest
     * anchored-gap scan faces its own ascending recursive-CTE oracle —

@@ -88,4 +88,24 @@ class HeavyHittersSpec extends SparkSpec {
       .select(col("sk")).as[Seq[TermCount]].head()
     assert(out == Seq(TermCount("a", 2), TermCount("c", 2), TermCount("b", 1)))
   }
+
+  test("streaming twin: replayed per-lang summaries are exact across micro-batches") {
+    val s = spark
+    import s.implicits._
+    // doc_ids spread over the slice span so each lang's docs land in
+    // DIFFERENT micro-batches — the cross-batch state merge is the thing
+    // under test, not a single-batch aggregation.
+    val docs = Seq(
+      (1L, "en", "a b a"),
+      (50L, "en", "b c"),
+      (120L, "fr", "x y x"),
+      (200L, "en", "a c c"),
+      (260L, "fr", "y")
+    ).toDF("doc_id", "lang", "text")
+    val sk = graft.streaming.StreamReplay.topTermsReplay(docs, cap = 8, slices = 3)
+    val got = sk.as[(String, Seq[TermCount])].collect().toMap
+    assert(got("en") ==
+      Seq(TermCount("a", 3), TermCount("c", 3), TermCount("b", 2)))
+    assert(got("fr") == Seq(TermCount("x", 2), TermCount("y", 2)))
+  }
 }
