@@ -46,6 +46,18 @@ object ScaleProbe {
       "a16_outliers_shape" -> { df =>
         val v = col("value").cast("decimal(18,2)")
         df.groupBy("metric").agg(sum(v * v).cast("double").as("svv"))
+      },
+      // Quantile tier at PRODUCTION eps (bounded O(1/eps) summaries, unlike
+      // the gate's exactness-regime eps): expect ≈linear — the level-2
+      // merge input is one sketch per (metric, minute), not the row stream.
+      "a35_quantile_tier" -> { df =>
+        val eps = 1e-3
+        df.withColumn("minute", floor(col("e") / lit(60.0)).cast("long") * 60)
+          .groupBy("metric", "minute")
+          .agg(QuantileSketch.summary(col("value"), eps).as("sk"))
+          .withColumn("bucket_start", floor(col("minute") / lit(3600.0)).cast("long") * 3600)
+          .groupBy("metric", "bucket_start")
+          .agg(QuantileSketch.merged(col("sk"), eps).as("sk"))
       })
 
     def probe(name: String, mk: Int => DataFrame): Unit = {

@@ -186,6 +186,24 @@ object SparkEntry {
       |        row_number() OVER (ORDER BY approx_count DESC, term) AS rk FROM f)
       |SELECT rk, term, approx_count FROM r WHERE rk <= 20""".stripMargin
 
+  /** Exactness-regime quantile-tier oracle — ONE string, two keys (batch
+    * a35 + streaming twin): exact 1-based ceil(phi*n)-rank sample per
+    * (metric, hour), rank multiply forced through DOUBLE so both engines
+    * round phi*n with the same IEEE product. */
+  private lazy val A35_QUANTILE_ORACLE =
+    s"""WITH $SERIES,
+       |b AS (SELECT metric, CAST(FLOOR(e/3600.0) AS BIGINT)*3600 AS bucket_start, value FROM series),
+       |w AS (SELECT metric, bucket_start, value,
+       |        row_number() OVER (PARTITION BY metric, bucket_start ORDER BY value) AS rn,
+       |        count(*) OVER (PARTITION BY metric, bucket_start) AS n
+       |      FROM b),
+       |q AS (SELECT metric, bucket_start,
+       |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.5 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p50,
+       |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.95 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p95,
+       |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.99 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p99
+       |      FROM w GROUP BY 1, 2)
+       |SELECT metric, bucket_start, p50, p95, p99 FROM q""".stripMargin
+
   /** CUSUM oracle — ONE string, two keys: exact decimal arithmetic is
     * associative, so [[graft.operators.TrendOps.cusumChunked]] is
     * bit-identical to the sequential [[graft.operators.TrendOps.cusum]]
@@ -295,6 +313,25 @@ object SparkEntry {
   /** Every 50th document plus a variant with the last `nDrop` tokens
     * removed — the planted near-duplicates the LSH/dedup queries detect
     * (the base corpus is fully distinct). */
+  /** Gate eps for the a35 quantile tier and its streaming twin: below
+    * 1/(2N) at every fixture scale, so no GK sample ever compresses away
+    * (the documented exactness regime both oracle rows rely on). */
+  private val QTIER_EPS = 1e-9
+
+  /** Shared a35 downstream (batch tier + streaming twin): union-merge the
+    * per-(metric, minute) GK sketches into hour buckets and serve
+    * p50/p95/p99 from the merged summaries. Input: (metric, minute LONG
+    * epoch-seconds, sk). */
+  private def quantileHoursFromMinuteTier(minuteSk: DataFrame): DataFrame =
+    minuteSk
+      .withColumn("bucket_start", floor(col("minute") / lit(3600.0)).cast("long") * 3600)
+      .groupBy("metric", "bucket_start")
+      .agg(QuantileSketch.merged(col("sk"), QTIER_EPS).as("sk"))
+      .select(col("metric"), col("bucket_start"),
+        QuantileSketch.quantile(col("sk"), QTIER_EPS, 0.5).as("p50"),
+        QuantileSketch.quantile(col("sk"), QTIER_EPS, 0.95).as("p95"),
+        QuantileSketch.quantile(col("sk"), QTIER_EPS, 0.99).as("p99"))
+
   /** Shared a34 downstream (batch sketch + streaming twin): union-merge the
     * per-group MG summaries into one global summary, explode, rank top-20
     * (count desc, term asc). The ranked relation is model-sized (≤ cap
@@ -1850,20 +1887,27 @@ object SparkEntry {
     // deterministic and SQL-expressible (the a34 below-cap story for
     // quantiles). Production eps (1e-2…1e-4) trades that for O(1/eps)
     // memory; those bounds are pinned by QuantileSketchSpec.
-    "a35_quantile_tier" -> ((s, dir) => {
-      val eps = 1e-9
-      series(s, dir)
-        .withColumn("minute", floor(col("e") / lit(60.0)).cast("long") * 60)
-        .groupBy("metric", "minute")
-        .agg(QuantileSketch.summary(col("value"), eps).as("sk"))
-        .withColumn("bucket_start", floor(col("minute") / lit(3600.0)).cast("long") * 3600)
-        .groupBy("metric", "bucket_start")
-        .agg(QuantileSketch.merged(col("sk"), eps).as("sk"))
-        .select(col("metric"), col("bucket_start"),
-          QuantileSketch.quantile(col("sk"), eps, 0.5).as("p50"),
-          QuantileSketch.quantile(col("sk"), eps, 0.95).as("p95"),
-          QuantileSketch.quantile(col("sk"), eps, 0.99).as("p99"))
-    }),
+    "a35_quantile_tier" -> ((s, dir) =>
+      quantileHoursFromMinuteTier(
+        series(s, dir)
+          .withColumn("minute", floor(col("e") / lit(60.0)).cast("long") * 60)
+          .groupBy("metric", "minute")
+          .agg(QuantileSketch.summary(col("value"), QTIER_EPS).as("sk")))),
+
+    // a35's streaming twin, completing the tier-twin symmetry (a24 →
+    // stream_tier, a34 → stream_topk, a35 → this): the per-minute GK
+    // sketches are maintained as STREAMING AGGREGATION STATE (the buffer
+    // is the mergeable summary), replayed over the sliced fixture,
+    // upserted by last emission, then composed to hours by the identical
+    // batch downstream. Shares a35's oracle verbatim — in the exactness
+    // regime the cross-batch sketch merge is lossless, so a green row
+    // proves sketch state carries exactly across micro-batch boundaries.
+    "stream_quantile_parity" -> ((s, dir) =>
+      quantileHoursFromMinuteTier(
+        graft.streaming.StreamReplay.quantileTierReplay(
+            series(s, dir).select("metric", "e", "value"), QTIER_EPS)
+          .select(col("metric"),
+            col("minute_start").cast("long").as("minute"), col("sk")))),
 
     // Seasonality-adjusted anomaly screen: a16's z-score against the
     // (metric, hour-of-day) diurnal baseline instead of the global mean —
@@ -2671,20 +2715,11 @@ object SparkEntry {
     // phis). The rank multiply is forced through DOUBLE so both engines
     // round phi*n with the same IEEE product — a DECIMAL phi literal would
     // ceil differently exactly when the double product lands a hair above
-    // an integer.
-    "a35_quantile_tier" ->
-      s"""WITH $SERIES,
-         |b AS (SELECT metric, CAST(FLOOR(e/3600.0) AS BIGINT)*3600 AS bucket_start, value FROM series),
-         |w AS (SELECT metric, bucket_start, value,
-         |        row_number() OVER (PARTITION BY metric, bucket_start ORDER BY value) AS rn,
-         |        count(*) OVER (PARTITION BY metric, bucket_start) AS n
-         |      FROM b),
-         |q AS (SELECT metric, bucket_start,
-         |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.5 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p50,
-         |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.95 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p95,
-         |        max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.99 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p99
-         |      FROM w GROUP BY 1, 2)
-         |SELECT metric, bucket_start, p50, p95, p99 FROM q""".stripMargin,
+    // an integer. ONE string, two keys: the streaming twin composes the
+    // replayed minute sketches through the identical downstream, and the
+    // lossless cross-batch merge makes the two legs bit-equal.
+    "a35_quantile_tier" -> A35_QUANTILE_ORACLE,
+    "stream_quantile_parity" -> A35_QUANTILE_ORACLE,
 
     "text_top_terms" ->
       """WITH w AS (SELECT lang, doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS term

@@ -508,6 +508,23 @@ object StreamOps {
       .groupBy("lang")
       .agg(graft.operators.HeavyHitters.summary(col("term"), cap).as("sk"))
 
+  /** Streaming quantile-tier maintenance — the incremental producer of
+    * per-(metric, minute) GK summaries ([[graft.operators.QuantileSketch]]),
+    * the a35 tier's streaming twin: the aggregation state is the mergeable
+    * sketch itself, so a batch re-aggregation composes the streamed minute
+    * tier into hours and queries percentiles exactly as it would over an
+    * at-rest tier (the same contract [[minuteTierStream]] has with a24).
+    * In the eps < 1/(2N) exactness regime the composed result is
+    * bit-identical to the batch tier — the replay parity row shares a35's
+    * oracle verbatim. */
+  def quantileTierStream(samples: DataFrame, eps: Double,
+                         watermark: String = "2 minutes"): DataFrame =
+    samples
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), window(col("ts"), "1 minute"))
+      .agg(graft.operators.QuantileSketch.summary(col("value"), eps).as("sk"))
+      .select(col("metric"), col("window.start").as("minute_start"), col("sk"))
+
   /** Streaming gap alerts per metric ([[GapAlertProcessor]]): the streaming
     * counterpart of the batch gap report — the open alert exists ONLY here,
     * because it fires when data does not arrive. Same RocksDB/TWS

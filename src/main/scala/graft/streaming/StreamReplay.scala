@@ -302,6 +302,29 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)).select("vec_a", "vec_b"))
   }
 
+  /** Replays the canonical series relation `(metric, e, value)` through
+    * [[StreamOps.quantileTierStream]] and returns the final per-minute GK
+    * sketch tier `(metric, minute_start, sk)` — same keyed-upsert contract
+    * as [[minuteTierReplay]] (within a batch the aggregation emits at most
+    * one row per key, so batch_id is a total order per key). */
+  def quantileTierReplay(series: DataFrame, eps: Double,
+                         slices: Int = defaultSlices,
+                         watermark: String = "3650 days"): DataFrame = {
+    val src = series.select(col("metric"),
+      timestamp_seconds(col("e")).as("ts"), col("value"))
+    sliceAndReplay(src, "metric STRING, ts TIMESTAMP, value DOUBLE", slices,
+        "update", StreamOps.quantileTierStream(_, eps, watermark)) match {
+      case None => StreamOps.quantileTierStream(src.limit(0), eps, watermark)
+      case Some(appended) =>
+        val w = Window.partitionBy("metric", "minute_start")
+          .orderBy(col("batch_id").desc)
+        appended
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .drop("rn", "batch_id")
+    }
+  }
+
   /** Replays a documents relation `(doc_id, lang, text)` through
     * [[StreamOps.topTermsStream]] and returns the FINAL per-lang MG
     * summary table `(lang, sk)` — update-mode emissions upserted by last

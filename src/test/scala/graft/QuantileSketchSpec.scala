@@ -98,4 +98,26 @@ class QuantileSketchSpec extends SparkSpec {
     assert(hour.getDouble(0) == exactQuantile(values, 0.5))
     assert(hour.getDouble(1) == exactQuantile(values, 0.95))
   }
+
+  test("streaming twin: replayed minute sketches compose to exact hour percentiles") {
+    val s = spark
+    import s.implicits._
+    val eps = 1e-9
+    // 90 values across 3 minutes of one metric; 3 slices cut mid-minute,
+    // so minute sketches genuinely merge across micro-batch boundaries.
+    val vals = stream(90)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("m", i * 2L, v) }.toDF("metric", "e", "value")
+    val minuteSk = graft.streaming.StreamReplay.quantileTierReplay(df, eps, slices = 3)
+    assert(minuteSk.count() == 3) // 180s span / 60s windows
+    val hour = minuteSk
+      .select(col("metric"), col("minute_start").cast("long").as("minute"), col("sk"))
+      .groupBy("metric")
+      .agg(QuantileSketch.merged(col("sk"), eps).as("sk"))
+      .select(QuantileSketch.quantile(col("sk"), eps, 0.5).as("p50"),
+        QuantileSketch.quantile(col("sk"), eps, 0.99).as("p99"))
+      .head()
+    assert(hour.getDouble(0) == exactQuantile(vals, 0.5))
+    assert(hour.getDouble(1) == exactQuantile(vals, 0.99))
+  }
 }
