@@ -15,7 +15,8 @@ object PlanAudit {
       "decontaminate", "text_repetition", "text_dup_spans", "q18_big_orders",
       "q_cheapest_supplier", "a20_cusum", "pack_sequences", "text_tfidf",
       "f6_ltob", "q_asof_tolerance", "a14_ewma_chunked", "a30_autocorr",
-      "a20_cusum_chunked", "a27_derivative_chunked")
+      "a20_cusum_chunked", "a27_derivative_chunked", "a34_topk_sketch",
+      "a35_quantile_tier")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -112,6 +113,15 @@ object PlanAudit {
           df.queryExecution.executedPlan.toString
         }
         p.contains("hashpartitioning(shard") && !p.contains("rangepartitioning")
+      }),
+      ("topk sketch is a two-level object agg, no join-back on the term stream", {
+        val p = planOf("a34_topk_sketch")
+        p.contains("ObjectHashAggregate") && !p.contains("Join")
+      }),
+      ("quantile tier exchanges only on its grouping keys, no join, no global sort", {
+        val p = planOf("a35_quantile_tier")
+        !p.contains("Join") && p.contains("hashpartitioning(metric") &&
+          !p.contains("rangepartitioning")
       }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),

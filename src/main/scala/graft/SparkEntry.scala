@@ -310,9 +310,6 @@ object SparkEntry {
 
   // ---- queries -------------------------------------------------------------
 
-  /** Every 50th document plus a variant with the last `nDrop` tokens
-    * removed — the planted near-duplicates the LSH/dedup queries detect
-    * (the base corpus is fully distinct). */
   /** Gate eps for the a35 quantile tier and its streaming twin: below
     * 1/(2N) at every fixture scale, so no GK sample ever compresses away
     * (the documented exactness regime both oracle rows rely on). */
@@ -345,6 +342,9 @@ object SparkEntry {
       .where(col("rk") <= 20)
       .select("rk", "term", "approx_count")
 
+  /** Every 50th document plus a variant with the last `nDrop` tokens
+    * removed — the planted near-duplicates the LSH/dedup queries detect
+    * (the base corpus is fully distinct). */
   private def withPlantedVariants(documents: DataFrame, nDrop: Int): DataFrame = {
     val docs = documents.select("doc_id", "text")
     docs.unionByName(docs.where(col("doc_id") % 50 === 0)
@@ -2131,12 +2131,43 @@ object SparkEntry {
          |       count(*) AS n_events
          |FROM sessions GROUP BY 1, 2""".stripMargin,
 
+    // Mirrors Spark's Percentile formula EXPLICITLY instead of
+    // quantile_cont: pos = p*(n-1) in double, result = (ceil(pos)-pos)*v_lo
+    // + (pos-floor(pos))*v_hi — the same IEEE expression tree on both
+    // engines — with BOTH of Spark's short-circuits: integer pos, and
+    // v_lo = v_hi (the straddled positions land on the same distinct key,
+    // where Spark returns the value raw while the formula evaluated in
+    // doubles can come back 1 ulp off). quantile_cont computes the same
+    // value through a different operation order; it matched at the gate
+    // fixtures but drifted 1 ulp at sf1 (200k-row series), so the oracle
+    // is structural, not coincidental (round-10 scale finding).
     "a10_percentiles" ->
-      s"""WITH $SERIES
-         |SELECT metric, quantile_cont(value, 0.5) AS p50,
-         |       quantile_cont(value, 0.9) AS p90,
-         |       quantile_cont(value, 0.99) AS p99
-         |FROM series GROUP BY metric""".stripMargin,
+      s"""WITH $SERIES,
+         |w AS (SELECT metric, value,
+         |        CAST(row_number() OVER (PARTITION BY metric ORDER BY value) AS BIGINT) - 1 AS idx,
+         |        count(*) OVER (PARTITION BY metric) AS n
+         |      FROM series),
+         |pos AS (SELECT metric, n,
+         |        CAST(0.5 AS DOUBLE)*CAST(n-1 AS DOUBLE) AS q50,
+         |        CAST(0.9 AS DOUBLE)*CAST(n-1 AS DOUBLE) AS q90,
+         |        CAST(0.99 AS DOUBLE)*CAST(n-1 AS DOUBLE) AS q99
+         |      FROM (SELECT DISTINCT metric, n FROM w)),
+         |v AS (SELECT w.metric,
+         |        max(CASE WHEN idx = CAST(FLOOR(q50) AS BIGINT) THEN value END) AS lo50,
+         |        max(CASE WHEN idx = CAST(CEIL(q50) AS BIGINT) THEN value END) AS hi50,
+         |        max(CASE WHEN idx = CAST(FLOOR(q90) AS BIGINT) THEN value END) AS lo90,
+         |        max(CASE WHEN idx = CAST(CEIL(q90) AS BIGINT) THEN value END) AS hi90,
+         |        max(CASE WHEN idx = CAST(FLOOR(q99) AS BIGINT) THEN value END) AS lo99,
+         |        max(CASE WHEN idx = CAST(CEIL(q99) AS BIGINT) THEN value END) AS hi99
+         |      FROM w JOIN pos ON w.metric = pos.metric GROUP BY 1)
+         |SELECT p.metric,
+         |  CASE WHEN FLOOR(q50) = CEIL(q50) OR lo50 = hi50 THEN lo50
+         |       ELSE (CEIL(q50)-q50)*lo50 + (q50-FLOOR(q50))*hi50 END AS p50,
+         |  CASE WHEN FLOOR(q90) = CEIL(q90) OR lo90 = hi90 THEN lo90
+         |       ELSE (CEIL(q90)-q90)*lo90 + (q90-FLOOR(q90))*hi90 END AS p90,
+         |  CASE WHEN FLOOR(q99) = CEIL(q99) OR lo99 = hi99 THEN lo99
+         |       ELSE (CEIL(q99)-q99)*lo99 + (q99-FLOOR(q99))*hi99 END AS p99
+         |FROM pos p JOIN v ON p.metric = v.metric""".stripMargin,
 
     // The EWMA recurrence replayed one series position per recursive
     // iteration. Bit-parity with the Spark fold holds because both sides

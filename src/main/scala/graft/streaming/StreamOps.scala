@@ -440,9 +440,14 @@ object StreamOps {
   /** Message hygiene for at-least-once transports: drop re-deliveries of
     * the same (source, metric, ts) sample. `dropDuplicatesWithinWatermark`
     * keeps dedup state only within the watermark horizon — bounded state,
-    * unlike a plain streaming `dropDuplicates` whose key set grows forever. */
+    * unlike a plain streaming `dropDuplicates` whose key set grows forever.
+    * On a BATCH frame (the replay harness's empty-fixture fallback hands
+    * one) the within-watermark variant is unsupported and unnecessary —
+    * bounded data dedups with the plain form, same semantics. */
   def dedupStream(samples: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    samples
+    if (!samples.isStreaming)
+      samples.dropDuplicates("source", "metric", "ts")
+    else samples
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("source", "metric", "ts")
 

@@ -31,6 +31,17 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
+  test("scaled events keep a non-empty tie-free slice (per-replica ts offsets)") {
+    // Without per-replica ts offsets every (metric, second) pair appears
+    // factor times and the unique-series slice — the exact-parity domain
+    // of the typed streaming twins — is EMPTY at scale (found when
+    // stream_dedup_parity hit its empty-fixture fallback at sf1).
+    val ev = spark.read.parquet(s"$dst/events.parquet")
+      .select(col("event_type").as("metric"), expr("ts div 1000000000").as("e"))
+    val unique = ev.groupBy("metric", "e").count().where(col("count") === 1)
+    assert(unique.count() > 0, "tie-free slice must be non-empty in scaled dirs")
+  }
+
   test("order->lineitem join relationship holds inside the replica") {
     val o = spark.read.parquet(s"$dst/orders.parquet").where(col("o_orderkey") >= 10_000_000L)
     val l = spark.read.parquet(s"$dst/lineitem.parquet").where(col("l_orderkey") >= 10_000_000L)
