@@ -1876,6 +1876,22 @@ object SparkEntry {
           Tables.documents(s, dir).select("doc_id", "lang", "text"),
           cap = 256))),
 
+    // a26's streaming twin (closing the tier-twin family: a24 counts, a34
+    // frequencies, a35 quantiles, a26 distincts): per-(metric, minute) HLL
+    // sketches maintained as streaming aggregation state, replayed,
+    // upserted, then composed to hourly estimates by the identical batch
+    // downstream. Rows-only like a26 (DuckDB's HLL is a different
+    // implementation) — but register-max is order-independent, so the
+    // streamed tier composes to BIT-EQUAL estimates vs batch a26, pinned
+    // by the StreamingSpec parity test.
+    "stream_hll_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.hllTierReplay(
+          series(s, dir).select("metric", "e", "user_id"))
+        .withColumn("bucket_start",
+          floor(col("minute_start").cast("long") / lit(3600.0)).cast("long") * 3600)
+        .groupBy("metric", "bucket_start")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))),
+
     // a35: quantile sketch tier — the third sketch-tier member (a26 = HLL
     // distinct, a34 = MG frequency): per-minute GK summaries union-merged
     // to hours, p50/p95/p99 served from the STORED sketches with the raw

@@ -530,6 +530,20 @@ object StreamOps {
       .agg(graft.operators.QuantileSketch.summary(col("value"), eps).as("sk"))
       .select(col("metric"), col("window.start").as("minute_start"), col("sk"))
 
+  /** Streaming HLL-tier maintenance — the incremental producer of
+    * per-(metric, minute) distinct-user sketches (a26's streaming twin,
+    * closing the tier-twin family: a24 counts, a34 frequencies, a35
+    * quantiles, a26 distincts): the aggregation state is the HLL sketch,
+    * union-merged per micro-batch. Register-wise max is associative and
+    * order-independent, so a batch composition of the streamed minute tier
+    * is EXACTLY the batch tier's estimate (pinned by the parity test). */
+  def hllTierStream(samples: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    samples
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), window(col("ts"), "1 minute"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .select(col("metric"), col("window.start").as("minute_start"), col("sk"))
+
   /** Streaming gap alerts per metric ([[GapAlertProcessor]]): the streaming
     * counterpart of the batch gap report — the open alert exists ONLY here,
     * because it fires when data does not arrive. Same RocksDB/TWS

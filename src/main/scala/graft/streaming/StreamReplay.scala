@@ -325,6 +325,27 @@ object StreamReplay {
     }
   }
 
+  /** Replays the series relation `(metric, e, user_id)` through
+    * [[StreamOps.hllTierStream]] and returns the final per-minute HLL
+    * sketch tier `(metric, minute_start, sk)` — same keyed-upsert contract
+    * as [[minuteTierReplay]]. */
+  def hllTierReplay(series: DataFrame, slices: Int = defaultSlices,
+                    watermark: String = "3650 days"): DataFrame = {
+    val src = series.select(col("metric"),
+      timestamp_seconds(col("e")).as("ts"), col("user_id"))
+    sliceAndReplay(src, "metric STRING, ts TIMESTAMP, user_id BIGINT", slices,
+        "update", StreamOps.hllTierStream(_, watermark)) match {
+      case None => StreamOps.hllTierStream(src.limit(0), watermark)
+      case Some(appended) =>
+        val w = Window.partitionBy("metric", "minute_start")
+          .orderBy(col("batch_id").desc)
+        appended
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .drop("rn", "batch_id")
+    }
+  }
+
   /** Replays a documents relation `(doc_id, lang, text)` through
     * [[StreamOps.topTermsStream]] and returns the FINAL per-lang MG
     * summary table `(lang, sk)` — update-mode emissions upserted by last

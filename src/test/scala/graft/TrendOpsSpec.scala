@@ -348,6 +348,19 @@ class TrendOpsSpec extends SparkSpec {
     assert(viaTier.nonEmpty)
   }
 
+  test("HLL tier streaming twin: replayed minute sketches compose bit-equal to batch a26") {
+    val dir = "/root/testdata/sf0.001"
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[String]("metric"), r.getAs[Long]("bucket_start")) ->
+        r.getAs[Long]("approx_users")).toMap
+    val streamed = toMap(
+      graft.SparkEntry.queries("stream_hll_parity")(spark, dir).collect())
+    val batch = toMap(
+      graft.SparkEntry.queries("a26_hll_tier")(spark, dir).collect())
+    assert(streamed == batch) // union order across micro-batches cannot drift registers
+    assert(streamed.nonEmpty)
+  }
+
   test("resample survives a gap far beyond one chunk (bounded per-row arrays)") {
     // 50k steps at 60s spans ~12 chunks of 4096; grid must be complete.
     val gapSteps = 50000L
