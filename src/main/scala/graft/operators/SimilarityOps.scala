@@ -286,7 +286,14 @@ object SimilarityOps {
     * [[embeddingNearDupPairs]], surfaced standalone (with vectors and norms
     * attached) so the cosine VERIFY stage can run over an exported candidate
     * set and face a SQL oracle that recomputes the cosine from the vectors.
-    * Pairs emitted once (vec_a < vec_b), distinct across tables. */
+    * Pairs emitted once (vec_a < vec_b), distinct across tables.
+    *
+    * SCALE CONTRACT: all-pairs generation over a corpus of n is
+    * O(n²/2^bitsPerTable) — bucket occupancy grows with n at fixed
+    * granularity, pairs per bucket quadratically. `bitsPerTable` must grow
+    * with the corpus (+2 bits per 4×, keeping occupancy constant) exactly
+    * as IVF grows `nlist`; ScaleProbe measures both the fixed-granularity
+    * blowup and the retuned-knob linear path. */
   def embeddingCandidatePairs(vectors: DataFrame,
                               dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
                               seed: Long = 42L): DataFrame = {

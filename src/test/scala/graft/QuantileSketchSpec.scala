@@ -99,6 +99,34 @@ class QuantileSketchSpec extends SparkSpec {
     assert(hour.getDouble(1) == exactQuantile(values, 0.95))
   }
 
+  test("stored tier: sketches round-trip parquet and answer identically") {
+    val s = spark
+    import s.implicits._
+    // The tier contract is STORAGE: write the minute sketches, drop the
+    // raw samples, read the tier back later and query it. The struct
+    // column must round-trip parquet bit-exactly.
+    val eps = 0.02 // production regime — compressed summaries persist too
+    val rows = (0 until 2000).map(i => ("m" + (i % 3), (i * 37) % 240L, stream(2000)(i)))
+    val tier = rows.toDF("metric", "e", "value")
+      .withColumn("minute", floor(col("e") / lit(60.0)).cast("long") * 60)
+      .groupBy("metric", "minute")
+      .agg(QuantileSketch.summary(col("value"), eps).as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("qtier").toString
+    val written = tier.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.get(2).toString).toMap
+    tier.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val back = reread.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.get(2).toString).toMap
+    assert(back == written && back.nonEmpty) // lossless storage, field for field
+    // ...and the stored tier is queryable with finite answers per group
+    val answered = reread.groupBy("metric")
+      .agg(QuantileSketch.merged(col("sk"), eps).as("sk"))
+      .select(QuantileSketch.quantile(col("sk"), eps, 0.5).as("p50"))
+      .collect().map(_.getDouble(0))
+    assert(answered.length == 3 && answered.forall(v => !v.isNaN))
+  }
+
   test("streaming twin: replayed minute sketches compose to exact hour percentiles") {
     val s = spark
     import s.implicits._
