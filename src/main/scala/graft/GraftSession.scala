@@ -18,9 +18,12 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries parquet TIMESTAMP(NANOS), which Spark's
-      // vectorized reader rejects unless read as raw Long nanos.
+      // Timestamp-generation compat (see Tables.tsEpochSeconds): nanos
+      // files read as raw Long (Spark rejects TIMESTAMP(NANOS) otherwise);
+      // naive-micros files read as plain TIMESTAMP rather than
+      // TIMESTAMP_NTZ, matching DuckDB's naive-as-UTC oracle reading.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 

@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
 /** Simulates the LEAST forgiving way the driver can invoke the contract: a
   * JVM whose default timezone is NOT UTC and a bare `SparkSession.builder`
   * session carrying none of [[GraftSession]]'s confs. Every query's
-  * boundary guard must supply what oracle parity needs (nanosAsLong, UTC
-  * session timezone) — the round-2 ADVICE finding this validates.
+  * boundary guard must supply what oracle parity needs (the timestamp
+  * reader-compat confs, UTC session timezone) — the round-2 ADVICE finding
+  * this validates.
   *
   * Dumps a timezone-sensitive query subset + their oracle SQL in the same
   * layout as [[Verify]], so `tools/check.py` can compare against DuckDB:

@@ -89,19 +89,23 @@ object ScaleUp {
       l.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff))
     }, "lineitem")
 
-    // `ts` arrives as raw Long nanos (GraftSession sets nanosAsLong) and is
-    // written back as plain BIGINT — tools/check.py rebuilds a TIMESTAMP_NS
-    // view for the oracles; the Spark side's `ts div 1e9` is type-agnostic.
-    // Each replica shifts ts by i SECONDS: with identical timestamps every
-    // (metric, epoch-second) pair would appear `factor` times, leaving the
-    // tie-free unique-series slice (the exact-parity domain of the typed
-    // streaming twins) EMPTY at scale — the offset keeps that slice
-    // populated while preserving the time distribution's shape.
+    // `ts` is shifted by i SECONDS per replica in whichever physical type
+    // it arrives (Long nanos under nanosAsLong → +i·1e9; TIMESTAMP micros →
+    // +i-second interval): with identical timestamps every (metric,
+    // epoch-second) pair would appear `factor` times, leaving the tie-free
+    // unique-series slice (the exact-parity domain of the typed streaming
+    // twins) EMPTY at scale — the offset keeps that slice populated while
+    // preserving the time distribution's shape. tools/check.py adapts its
+    // oracle view to whichever type the scaled copy lands as.
     val events = Tables.eventsRaw(spark, src)
+    val tsIsLong = events.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
     write(replicate(events) { (e, i) =>
       e.withColumn("event_id", col("event_id") + lit(i * KeyOff))
         .withColumn("user_id", col("user_id") + lit(i * UserOff))
-        .withColumn("ts", col("ts") + lit(i * 1_000_000_000L))
+        .withColumn("ts",
+          if (tsIsLong) col("ts") + lit(i * 1_000_000_000L)
+          else col("ts") + expr(s"INTERVAL '$i' SECOND"))
     }, "events")
 
     val docs = Tables.documents(spark, src)

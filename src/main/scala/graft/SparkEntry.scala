@@ -267,14 +267,18 @@ object SparkEntry {
        |JOIN mx ON g.metric = mx.metric AND g.day_bin = mx.day_bin""".stripMargin
 
   /** Driver-boundary guard: the harness may invoke `entry`/`queries` with a
-    * session it built itself (not [[GraftSession]]). Two confs are load-
-    * bearing for oracle parity: `nanosAsLong` (events.parquet carries
-    * TIMESTAMP(NANOS), which Spark otherwise rejects) and a UTC session
-    * timezone (from_unixtime rendering and to_timestamp literals must match
-    * DuckDB's naive-UTC comparisons). Every query is routed through this via
-    * the [[queries]] wrapper, so TPC-H readers are covered too. */
+    * session it built itself (not [[GraftSession]]). Three confs are load-
+    * bearing for oracle parity: `nanosAsLong` (a TIMESTAMP(NANOS) `ts`
+    * generation is otherwise rejected outright), NTZ inference off (a
+    * naive-micros `ts` generation must read as plain TIMESTAMP so its
+    * wall-clock is taken as UTC, matching DuckDB's naive reading), and a
+    * UTC session timezone (from_unixtime rendering and to_timestamp
+    * literals must match DuckDB's naive-UTC comparisons). Every query is
+    * routed through this via the [[queries]] wrapper, so TPC-H readers are
+    * covered too. */
   private def guarded(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s
   }

@@ -11,15 +11,30 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.parquet` carries parquet `TIMESTAMP(NANOS)` which Spark's reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Sessions built via
-    * [[GraftSession]] set `spark.sql.legacy.parquet.nanosAsLong=true` so the
-    * column arrives as a raw Long; we derive epoch *seconds* with exact
-    * integer math — no double rounding near second boundaries, identical to
-    * DuckDB's `epoch_ns(ts)//1e9`.
+  /** `events.parquet`'s `ts` physical type has varied across harness data
+    * generations — parquet `TIMESTAMP(NANOS)` (readable only as raw Long
+    * nanos via `nanosAsLong`), `TIMESTAMP(MICROS)` naive (read as
+    * TIMESTAMP_NTZ unless NTZ inference is off), and adjusted-to-UTC micros
+    * (plain TIMESTAMP, also what [[graft.ScaleUp]] writes back). Sessions
+    * built via [[GraftSession]] set both compat confs; [[tsEpochSeconds]]
+    * then derives epoch seconds exactly for whichever type arrives.
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
+
+  /** Exact epoch-seconds derivation for any `ts` generation, matching
+    * DuckDB's `epoch_ns(ts)//1e9` bit for bit: Long nanos → integer `div`;
+    * TIMESTAMP (micros) → long cast (floorDiv micros 1e6); TIMESTAMP_NTZ →
+    * wall-clock taken as UTC (the session timezone every entry point pins)
+    * then the same long cast. No doubles anywhere near second boundaries.
+    */
+  def tsEpochSeconds(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp").cast("long")
+      case _ => col("ts").cast("long")
+    }
 
   /** The engine's canonical timeseries relation: one row per sample,
     * `(metric, e, value, ...)` with `e` = epoch seconds. This is the Spark
@@ -27,15 +42,17 @@ object Tables {
     * (`trend-o-meter:11-16`): the newest-first array invariant becomes an
     * explicit ORDER BY where an operator needs order.
     */
-  def metricSeries(spark: SparkSession, dir: String): DataFrame =
-    eventsRaw(spark, dir).select(
+  def metricSeries(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    raw.select(
       col("event_id"),
       col("user_id"),
       col("event_type").as("metric"),
-      expr("ts div 1000000000").as("e"),
+      tsEpochSeconds(raw).as("e"),
       col("value"),
       col("props")
     )
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -36,8 +36,9 @@ class ScaleUpSpec extends SparkSpec {
     // factor times and the unique-series slice — the exact-parity domain
     // of the typed streaming twins — is EMPTY at scale (found when
     // stream_dedup_parity hit its empty-fixture fallback at sf1).
-    val ev = spark.read.parquet(s"$dst/events.parquet")
-      .select(col("event_type").as("metric"), expr("ts div 1000000000").as("e"))
+    val evRaw = spark.read.parquet(s"$dst/events.parquet")
+    val ev = evRaw.select(
+      col("event_type").as("metric"), Tables.tsEpochSeconds(evRaw).as("e"))
     val unique = ev.groupBy("metric", "e").count().where(col("count") === 1)
     assert(unique.count() > 0, "tie-free slice must be non-empty in scaled dirs")
   }
