@@ -16,7 +16,7 @@ object PlanAudit {
       "q_cheapest_supplier", "a20_cusum", "pack_sequences", "text_tfidf",
       "f6_ltob", "q_asof_tolerance", "a14_ewma_chunked", "a30_autocorr",
       "a20_cusum_chunked", "a27_derivative_chunked", "a34_topk_sketch",
-      "a35_quantile_tier")
+      "a35_quantile_tier", "q_bloom_join", "layout_zorder")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -122,6 +122,19 @@ object PlanAudit {
         val p = planOf("a35_quantile_tier")
         !p.contains("Join") && p.contains("hashpartitioning(metric") &&
           !p.contains("rangepartitioning")
+      }),
+      ("bloom pre-filter probes the fact scan below the join", {
+        // might_contain must sit in a Filter on the lineitem side (scan
+        // stage), not above the join — non-matching rows die pre-shuffle.
+        // Plans print parent-first, so the Filter's line must come AFTER
+        // the join's line.
+        val p = planOf("q_bloom_join")
+        p.contains("might_contain") &&
+          p.indexOf("might_contain") > p.indexOf("Join")
+      }),
+      ("zorder clustering key is computed map-only (zero exchanges)", {
+        val p = planOf("layout_zorder")
+        !p.contains("Exchange")
       }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),

@@ -265,6 +265,59 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(listener)
     }
 
+    // Bloom-pre-filter posture: what riding the dim's key set to the fact
+    // scan buys in the regime the operator exists for — a SHUFFLED join
+    // (broadcast disabled inside this block; at 100 TB the dim is too big
+    // to broadcast while its key set still fits a bloom filter).
+    // Non-matching fact rows die at the scan, so the fact side of the
+    // exchange shrinks to the matching ~3% (+ false positives); result
+    // equality with the plain join is pinned by the gate row +
+    // DedupSimilaritySpec.
+    {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measure(df: => DataFrame): (Double, Long) = {
+        Thread.sleep(500); shuffleBytes.set(0L)
+        val t = time(df)
+        Thread.sleep(500)
+        (t, shuffleBytes.get())
+      }
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+      def fact(k: Int): DataFrame =
+        (0 until k).map { i =>
+          li.select((col("l_orderkey") + lit(i.toLong * 100_000_000L))
+              .as("l_orderkey"),
+            col("l_partkey"), col("l_extendedprice"))
+        }.reduce(_ unionByName _)
+      val dim = Tables.part(spark, sfDir).where(col("p_brand") === "Brand#13")
+        .select("p_partkey", "p_brand")
+      def aggAfter(j: DataFrame): DataFrame =
+        j.groupBy("p_brand").agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val conf = spark.conf
+      val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (tp, bp) = measure(aggAfter(
+          fact(16).join(dim, col("l_partkey") === col("p_partkey"))))
+        val (tb, bb) = measure(aggAfter(
+          RelationalOps.bloomFilteredJoin(fact(16), dim,
+            "l_partkey", "p_partkey")))
+        println(f"[scale] bloom_join_plain_16x   time=$tp%6.2fs shuffle=${bp}%d B")
+        println(f"[scale] bloom_join_bloomed_16x time=$tb%6.2fs shuffle=${bb}%d B " +
+          f"(bloomed/plain shuffle ratio ${bb.toDouble / math.max(1L, bp)}%.3f)")
+      } finally {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     spark.stop()
   }
 }

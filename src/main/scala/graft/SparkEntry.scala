@@ -808,6 +808,25 @@ object SparkEntry {
           max(col("dim_customers")).as("dim_customers"))
     }),
 
+    // Bloom-pre-filtered join (manual runtime row-level filtering, for the
+    // 100 TB shape where the dim is too big to broadcast but its KEY SET
+    // fits a bloom filter): the selective part dim's keys ride a
+    // distributed-built bloom to the lineitem scan, so non-matching fact
+    // rows die BEFORE the join's exchange. The oracle is the PLAIN join
+    // SQL — bloom false positives are re-verified by the join, so the
+    // pre-filter must be a pure physical optimization.
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = Tables.part(s, dir).where(col("p_brand") === "Brand#13")
+        .select("p_partkey", "p_brand")
+      val fact = Tables.lineitem(s, dir).select("l_partkey", "l_extendedprice")
+      RelationalOps.bloomFilteredJoin(fact, dim, "l_partkey", "p_partkey",
+          expectedItems = 4096L, numBits = 65536L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
+
     // Set operations: EXCEPT + INTERSECT, tagged.
     "q_setops" -> ((s, dir) => {
       def keys(status: String) =
@@ -835,6 +854,23 @@ object SparkEntry {
 
     // Exact dedup groups over normalized text.
     "dedup_exact" -> ((s, dir) => DedupOps.exactDedupGroups(Tables.documents(s, dir))),
+
+    // Incremental (corpus-append) dedup — the daily-ingest shape: docs
+    // 0..299 are the standing corpus; the "new batch" is docs 300+ plus
+    // planted exact replays (docs 0..49 re-ingested under new ids, and doc
+    // 300 twice within the batch). Replays must all die against the corpus
+    // key set; the within-batch copy must lose to min doc_id.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.where(col("doc_id") < 300)
+      val batch = docs.where(col("doc_id") >= 300)
+        .unionByName(docs.where(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + lit(10000L)))
+        .unionByName(docs.where(col("doc_id") === 300)
+          .withColumn("doc_id", lit(20000L)))
+      DedupOps.incrementalDedup(batch, corpus)
+        .select("doc_id", "lang", "source")
+    }),
 
     // Near-dup via MinHash LSH over planted variants (the base corpus is
     // fully distinct) — banded buckets, candidate pairs, exact-Jaccard
@@ -1963,6 +1999,15 @@ object SparkEntry {
     "shuffle_shards" -> ((s, dir) =>
       CurationOps.shuffleShards(Tables.documents(s, dir), nShards = 8)),
 
+    // Z-order (Morton) clustering key over the two lineitem join keys —
+    // the sort key a 2-d-prunable clustered write uses. Exported for every
+    // row so the oracle pins the full bit-interleave construction; the
+    // layout write + measured footer-pruning win live in LayoutOpsSpec.
+    "layout_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        LayoutOps.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))),
+
     // Top-5 TF-IDF keywords per document (log-free rational scoring).
     "text_tfidf" -> ((s, dir) =>
       SearchOps.tfidfTopTerms(Tables.documents(s, dir), 5)),
@@ -2504,6 +2549,17 @@ object SparkEntry {
         |       max(d.dim_customers) AS dim_customers
         |FROM big b JOIN dim d USING (sk) GROUP BY b.sk""".stripMargin,
 
+    // Plain-join replay of the bloom-pre-filtered join: any bloom false
+    // NEGATIVE (impossible by construction) or dropped row would break
+    // the per-brand counts.
+    "q_bloom_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |            AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#13'
+        |GROUP BY p_brand""".stripMargin,
+
     "q_sql_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |       count(DISTINCT l_suppkey) AS n_suppliers
@@ -2543,6 +2599,29 @@ object SparkEntry {
       """SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS dup_key,
         |       count(*) AS n_copies, min(doc_id) AS rep_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Incremental-dedup replay: same corpus/batch split, same planted
+    // replays, anti-join on the same normalized-text key, min-doc_id
+    // within-batch claim.
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text, lang, source
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT 20000 AS doc_id, text, lang, source
+        |  FROM documents WHERE doc_id = 300),
+        |keyed AS (
+        |  SELECT *, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS kk
+        |  FROM batch),
+        |kept AS (
+        |  SELECT * FROM keyed
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY kk))
+        |SELECT doc_id, lang, source FROM kept
+        |WHERE kk NOT IN (
+        |  SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |  FROM documents WHERE doc_id < 300)""".stripMargin,
 
     "dedup_keep" ->
       """WITH k AS (SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS kk,
@@ -2699,6 +2778,27 @@ object SparkEntry {
         |       CAST(MAX(len(string_split_regex(text, '\s+'))) AS INT) AS max_tokens,
         |       min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Morton-code replay: the identical magic-number bit-spread chain
+    // (|<<8 &0x00FF00FF, |<<4 &0x0F0F0F0F, |<<2 &0x33333333, |<<1
+    // &0x55555555) in DuckDB's BIGINT bitwise algebra — integer-exact on
+    // both engines, no rounding surface.
+    "layout_zorder" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber,
+        |  (l_partkey & 65535) AS x0, (l_suppkey & 65535) AS y0 FROM lineitem),
+        |a AS (SELECT l_orderkey, l_linenumber,
+        |  ((x0 | (x0 << 8)) & 16711935) AS x1,
+        |  ((y0 | (y0 << 8)) & 16711935) AS y1 FROM m),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |  ((x1 | (x1 << 4)) & 252645135) AS x2,
+        |  ((y1 | (y1 << 4)) & 252645135) AS y2 FROM a),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |  ((x2 | (x2 << 2)) & 858993459) AS x3,
+        |  ((y2 | (y2 << 2)) & 858993459) AS y3 FROM b),
+        |d AS (SELECT l_orderkey, l_linenumber,
+        |  ((x3 | (x3 << 1)) & 1431655765) AS x4,
+        |  ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM c)
+        |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zval FROM d""".stripMargin,
 
     "shuffle_shards" ->
       """WITH k AS (SELECT doc_id,

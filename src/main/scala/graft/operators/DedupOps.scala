@@ -33,6 +33,30 @@ object DedupOps {
       .where(col("__keep"))
       .drop("__key", "__keep")
 
+  /** Incremental (corpus-append) dedup: the daily-ingest shape. A new
+    * batch is admitted only where its normalized-text hash (1) is absent
+    * from the existing corpus — a LEFT ANTI join on the 16-byte key, never
+    * on text — and (2) is not claimed by an earlier row (min doc_id) within
+    * the batch itself.
+    *
+    * Scale posture: the corpus side reduces to its distinct key column
+    * before the join (16 bytes/doc, not the documents), so at 100 TB the
+    * anti-join shuffles keys only; when the daily batch is small relative
+    * to the corpus key set, Catalyst/AQE can instead broadcast the batch
+    * keys. Within-batch dedup is a window over the batch alone. */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame): DataFrame = {
+    val key = md5(TextOps.normalized(col("text")))
+    val corpusKeys = corpus.select(key.as("__key")).distinct()
+    newBatch
+      .withColumn("__key", key)
+      .withColumn("__keep",
+        col("doc_id") === min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__key")))
+      .where(col("__keep"))
+      .join(corpusKeys, Seq("__key"), "left_anti")
+      .drop("__key", "__keep")
+  }
+
   /** MinHash signatures: k independent min-hashes over the shingle set.
     * Hash family = xxhash64 base hash rehashed per index (a standard public
     * seeded-rehash construction).

@@ -77,6 +77,68 @@ object RelationalOps {
         Window.partitionBy(partition: _*).orderBy(order: _*)).cast("long"))
       .where(col("rk") <= n)
 
+  /** Serialized Bloom filter over `key` of `dim`, built DISTRIBUTED by
+    * Spark's own `BloomFilterAggregate` (the expression behind runtime
+    * row-level filtering): partial filters are built map-side per partition
+    * and OR-merged, so the only driver materialization is the final filter
+    * itself — model-sized (numBits/8 bytes), the same posture as the IVF
+    * centroid model. Returns null when `dim` is empty (no keys to admit).
+    *
+    * Keys are pre-hashed with xxhash64 (the aggregate's required input
+    * form), so any key type works and build/probe agree by construction. */
+  def buildKeyBloom(
+      dim: DataFrame,
+      key: Column,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.eagerExpression(xxhash64(key)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    dim.select(ColumnBridge.column(agg).as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** Membership probe against a [[buildKeyBloom]] filter — Spark's codegen
+    * `BloomFilterMightContain` over the same xxhash64 pre-hash. A null
+    * filter (empty build side) admits nothing. */
+  def mightContainKey(bloom: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    if (bloom == null) lit(false)
+    else ColumnBridge.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      ColumnBridge.eagerExpression(xxhash64(key))))
+  }
+
+  /** Bloom-pre-filtered equi-join: probe-side rows that cannot match any
+    * build-side key are dropped AT THE SCAN, before the join's exchange.
+    *
+    * This is the manual form of runtime row-level filtering for the case
+    * Spark's optimizer won't inject it (a shuffled join whose build side is
+    * too big to broadcast but whose KEY SET still fits a bloom filter): at
+    * 100 TB the win is not the join itself but the shuffle it avoids —
+    * non-matching fact rows are never serialized into the exchange. False
+    * positives only cost their shuffle bytes; the join that follows
+    * re-verifies every key, so the result is exactly the plain inner join.
+    *
+    * Sizing: numBits/8 bytes of driver+task memory; ~1% FP at the default
+    * 8 bits/key. The filter build is one extra scan of `dim` — worth it
+    * precisely when `fact` >> `dim`, the 100 TB shape. */
+  def bloomFilteredJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    val bf = buildKeyBloom(dim, col(dimKey), expectedItems, numBits)
+    fact.where(mightContainKey(bf, col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Skew-salted equi-join: spread each hot key of the BIG side over
     * `salts` sub-keys (deterministic hash of the whole row, so replays are
     * stable) and replicate the SMALL side once per salt. Use when one join

@@ -124,6 +124,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bloom-pre-filtered join equals plain join, even with a tiny (high-FP) filter") {
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    val dim = Tables.part(spark, "/root/testdata/sf0.001")
+      .where(col("p_brand") === "Brand#13").select("p_partkey", "p_brand")
+    val plain = lineitem.join(dim, col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_partkey").collect().map(_.toSeq).toSet
+    val bloomed = graft.operators.RelationalOps
+      .bloomFilteredJoin(lineitem, dim, "l_partkey", "p_partkey")
+      .select("l_orderkey", "l_partkey").collect().map(_.toSeq).toSet
+    assert(bloomed == plain)
+    // Deliberately undersized filter (64 bits for dozens of keys): false
+    // positives ride through to the join and must be re-verified away.
+    val tiny = graft.operators.RelationalOps
+      .bloomFilteredJoin(lineitem, dim, "l_partkey", "p_partkey",
+        expectedItems = 8L, numBits = 64L)
+      .select("l_orderkey", "l_partkey").collect().map(_.toSeq).toSet
+    assert(tiny == plain)
+  }
+
+  test("bloom pre-filter on an empty build side admits nothing") {
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_partkey", "l_extendedprice")
+    val dim = Tables.part(spark, "/root/testdata/sf0.001")
+      .where(col("p_brand") === "NO_SUCH_BRAND").select("p_partkey", "p_brand")
+    assert(graft.operators.RelationalOps
+      .bloomFilteredJoin(lineitem, dim, "l_partkey", "p_partkey").isEmpty)
+  }
+
+  test("incremental dedup drops corpus replays and within-batch copies") {
+    val corpus = docsDF((1L, "alpha text"), (2L, "beta text"))
+    val batch = docsDF(
+      (10L, "ALPHA   text"), // normalizes to a corpus dup — must die
+      (11L, "gamma text"), // fresh
+      (12L, "gamma  TEXT"), // within-batch dup of 11 — must lose to min id
+      (13L, "delta text")) // fresh
+    val kept = DedupOps.incrementalDedup(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+    // Empty corpus: within-batch dedup only.
+    val noCorpus = DedupOps.incrementalDedup(batch, corpus.where(lit(false)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noCorpus == Set(10L, 11L, 13L))
+  }
+
   test("embedding near-dup finds a planted twin via LSH buckets") {
     val s = spark
     import s.implicits._

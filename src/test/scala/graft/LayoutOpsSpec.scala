@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LayoutOps
+
+class LayoutOpsSpec extends SparkSpec {
+
+  test("zValue interleaves bits exactly (known values)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (3L, 5L), // x=0b011, y=0b101 → z=0b100111 = 39
+      (0L, 0L), // 0
+      (65535L, 0L), // all even positions → 0x55555555
+      (0L, 65535L), // all odd positions → 0xAAAAAAAA
+      (0x1234L, 0xABCDL)).toDF("x", "y")
+    val got = df.select(LayoutOps.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+
+    def reference(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    assert(got == Seq((3L, 5L), (0L, 0L), (65535L, 0L), (0L, 65535L),
+      (0x1234L, 0xABCDL)).map { case (x, y) => reference(x, y) })
+    assert(got(0) == 39L && got(2) == 0x55555555L && got(3) == 0xAAAAAAAAL)
+  }
+
+  test("zValue masks inputs above 16 bits instead of corrupting high bits") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0x12345L, 0x10001L)).toDF("x", "y") // > 16 bits
+    val z = df.select(LayoutOps.zValue(col("x"), col("y")).as("z"))
+      .head().getLong(0)
+    val masked = df.select(LayoutOps.zValue(
+      col("x").bitwiseAND(lit(0xFFFFL)),
+      col("y").bitwiseAND(lit(0xFFFFL))).as("z")).head().getLong(0)
+    assert(z == masked)
+  }
+
+  test("z-order layout prunes files under BOTH single-dimension range predicates") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val nFiles = 16
+
+    // Files whose footer [min,max] intersects the predicate range — what a
+    // min/max-stats scan planner cannot skip.
+    def filesHit(laid: org.apache.spark.sql.DataFrame,
+        dim: String, lo: Long, hi: Long): Int =
+      LayoutOps.fileBoundingBoxes(laid, col("x"), col("y")).collect().count {
+        r => r.getAs[Long](s"${dim}_min") <= hi && r.getAs[Long](s"${dim}_max") >= lo
+      }
+
+    val z = LayoutOps.zorderLayoutScaled(li, col("x"), col("y"), nFiles)
+      .localCheckpoint(true) // pin the layout: partition ids must not replan
+    // 1-d alternative: range-sort by x alone — tight in x, but every file
+    // spans the whole y domain, so y predicates read everything.
+    val lin = li.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .localCheckpoint(true)
+
+    val yLo = 5L
+    val zYHit = filesHit(z, "y", yLo, yLo)
+    val linYHit = filesHit(lin, "y", yLo, yLo)
+    assert(linYHit == nFiles, "x-sorted layout cannot prune a y predicate")
+    assert(zYHit * 2 <= linYHit,
+      s"z-order must at least halve y-predicate file reads ($zYHit vs $linYHit)")
+
+    val zXHit = filesHit(z, "x", 0L, 19L) // 10% of the x domain
+    assert(zXHit * 2 <= nFiles,
+      s"z-order must still prune x predicates ($zXHit of $nFiles files)")
+  }
+}
