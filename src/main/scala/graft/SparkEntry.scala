@@ -819,8 +819,7 @@ object SparkEntry {
       val dim = Tables.part(s, dir).where(col("p_brand") === "Brand#13")
         .select("p_partkey", "p_brand")
       val fact = Tables.lineitem(s, dir).select("l_partkey", "l_extendedprice")
-      RelationalOps.bloomFilteredJoin(fact, dim, "l_partkey", "p_partkey",
-          expectedItems = 4096L, numBits = 65536L)
+      RelationalOps.bloomFilteredJoin(fact, dim, "l_partkey", "p_partkey")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")

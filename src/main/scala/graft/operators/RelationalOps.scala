@@ -124,19 +124,43 @@ object RelationalOps {
     * positives only cost their shuffle bytes; the join that follows
     * re-verifies every key, so the result is exactly the plain inner join.
     *
-    * Sizing: numBits/8 bytes of driver+task memory; ~1% FP at the default
-    * 8 bits/key. The filter build is one extra scan of `dim` — worth it
-    * precisely when `fact` >> `dim`, the 100 TB shape. */
+    * SIZING IS THE WHOLE GAME for the probe side's per-row cost: each row
+    * pays ~6 random bit-reads into the filter, so a filter that outgrows
+    * cache turns the scan CPU-bound (measured: a 1 MB filter over a 767-key
+    * dim cost more local wall than the 112 MB shuffle it saved; the 8 KB
+    * right-sized filter beat the plain join on wall AND shuffle — see
+    * BENCH_LOCAL.md). The filter build is one extra scan of `dim` — worth
+    * it precisely when `fact` >> `dim`, the 100 TB shape. */
   def bloomFilteredJoin(
       fact: DataFrame,
       dim: DataFrame,
       factKey: String,
       dimKey: String,
-      expectedItems: Long = 1000000L,
-      numBits: Long = 8388608L): DataFrame = {
+      expectedItems: Long,
+      numBits: Long): DataFrame = {
     val bf = buildKeyBloom(dim, col(dimKey), expectedItems, numBits)
     fact.where(mightContainKey(bf, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** [[bloomFilteredJoin]] sized from the build side itself: one count of
+    * `dim` (a tiny job on the SMALL side, or free when key stats are
+    * already known) picks ~10 bits/key (≈1% FP) rounded up to a power of
+    * two, floored at 8 Kbit so small dims stay cache-resident and capped
+    * at 2^27 bits (16 MB) — past that the key set has outgrown what a
+    * per-row probe should pay for and the caller should reconsider. */
+  def bloomFilteredJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String): DataFrame = {
+    val n = math.max(1L, dim.count())
+    val bits = {
+      val want = math.min(1L << 27, math.max(8192L, 10L * n))
+      if (java.lang.Long.bitCount(want) == 1) want
+      else java.lang.Long.highestOneBit(want) << 1
+    }
+    bloomFilteredJoin(fact, dim, factKey, dimKey, n, bits)
   }
 
   /** Skew-salted equi-join: spread each hot key of the BIG side over
