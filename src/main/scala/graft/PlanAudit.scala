@@ -16,7 +16,7 @@ object PlanAudit {
       "q_cheapest_supplier", "a20_cusum", "pack_sequences", "text_tfidf",
       "f6_ltob", "q_asof_tolerance", "a14_ewma_chunked", "a30_autocorr",
       "a20_cusum_chunked", "a27_derivative_chunked", "a34_topk_sketch",
-      "a35_quantile_tier", "q_bloom_join", "layout_zorder")
+      "a35_quantile_tier", "q_bloom_join", "layout_zorder", "table_profile")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -135,6 +135,10 @@ object PlanAudit {
       ("zorder clustering key is computed map-only (zero exchanges)", {
         val p = planOf("layout_zorder")
         !p.contains("Exchange")
+      }),
+      ("table profile is one scan (never one job per column)", {
+        val p = planOf("table_profile")
+        "Scan parquet".r.findAllIn(p).size == 1
       }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),

@@ -826,6 +826,16 @@ object SparkEntry {
             .as("revenue"))
     }),
 
+    // ANALYZE-style single-pass column profile over lineitem's join keys
+    // and flags — the stats layer the engine's own scale knobs consume
+    // (bloom sizing, broadcast thresholds, z-order plane scaling).
+    // Integer/string columns only: double min/max string rendering is not
+    // oracle-portable (shortest-roundtrip printers differ).
+    "table_profile" -> ((s, dir) =>
+      RelationalOps.tableProfile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))),
+
     // Set operations: EXCEPT + INTERSECT, tagged.
     "q_setops" -> ((s, dir) => {
       def keys(status: String) =
@@ -2563,6 +2573,16 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |       count(DISTINCT l_suppkey) AS n_suppliers
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Column-profile replay: one UNION ALL leg per profiled column, the
+    // same count / exact-NDV / string-rendered min-max per leg.
+    "table_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")
+      .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+        |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+        |  CAST(min($c) AS VARCHAR) AS min_repr,
+        |  CAST(max($c) AS VARCHAR) AS max_repr FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
 
     "q_setops" ->
       """SELECT k, 'open_not_f' AS tag FROM (

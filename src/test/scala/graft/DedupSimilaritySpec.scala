@@ -153,6 +153,28 @@ class DedupSimilaritySpec extends SparkSpec {
       .bloomFilteredJoin(lineitem, dim, "l_partkey", "p_partkey").isEmpty)
   }
 
+  test("table profile computes exact per-column stats in one scan") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (2L, None), (3L, Some("a")))
+      .toDF("k", "v")
+    val prof = graft.operators.RelationalOps.tableProfile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = prof("k"); val v = prof("v")
+    assert(k.getAs[Long]("n_rows") == 4L && k.getAs[Long]("n_nonnull") == 4L &&
+      k.getAs[Long]("n_distinct") == 3L &&
+      k.getAs[String]("min_repr") == "1" && k.getAs[String]("max_repr") == "3")
+    assert(v.getAs[Long]("n_nonnull") == 3L && v.getAs[Long]("n_distinct") == 2L &&
+      v.getAs[String]("min_repr") == "a" && v.getAs[String]("max_repr") == "b")
+    // Scale shape: one scan, not one job per column.
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val plan = graft.operators.RelationalOps
+      .tableProfile(li, Seq("l_orderkey", "l_returnflag"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(500))
+  }
+
   test("incremental dedup drops corpus replays and within-batch copies") {
     val corpus = docsDF((1L, "alpha text"), (2L, "beta text"))
     val batch = docsDF(
