@@ -42,6 +42,45 @@ class LayoutOpsSpec extends SparkSpec {
     assert(z == masked)
   }
 
+  test("z-ordered parquet write enables row-group stat pruning end-to-end") {
+    // Not a simulation: both layouts are actually written as parquet (one
+    // row group per file at this size), read back with a pushed-down
+    // second-dimension predicate, and the parquet reader's own footer-stat
+    // row-group skipping is observed via task input metrics (recordsRead =
+    // rows surviving row-group pruning, before the row-level filter).
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val root = java.nio.file.Files.createTempDirectory("zorder_prune").toString
+    LayoutOps.zorderLayoutScaled(li, col("x"), col("y"), 16)
+      .write.parquet(s"$root/z")
+    li.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$root/lin")
+
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def scanned(path: String): Long = {
+      Thread.sleep(300); recordsRead.set(0L)
+      spark.read.parquet(path).where(col("y") === 5L).collect()
+      Thread.sleep(300)
+      recordsRead.get()
+    }
+    try {
+      val total = li.count()
+      val linScanned = scanned(s"$root/lin")
+      val zScanned = scanned(s"$root/z")
+      // 1-d-by-x files all span the full y domain: nothing skips.
+      assert(linScanned == total,
+        s"x-sorted layout should read everything ($linScanned vs $total)")
+      assert(zScanned * 2 <= linScanned,
+        s"z-order must let the parquet reader skip 2x+ ($zScanned vs $linScanned)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("z-order layout prunes files under BOTH single-dimension range predicates") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
