@@ -136,9 +136,11 @@ object PlanAudit {
         val p = planOf("layout_zorder")
         !p.contains("Exchange")
       }),
-      ("table profile is one scan (never one job per column)", {
+      ("table profile is Expand-free with per-leg single-column scans", {
         val p = planOf("table_profile")
-        "Scan parquet".r.findAllIn(p).size == 1
+        !p.contains("Expand") &&
+          p.contains("ReadSchema: struct<l_orderkey:bigint>") &&
+          p.contains("ReadSchema: struct<l_linestatus:string>")
       }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),

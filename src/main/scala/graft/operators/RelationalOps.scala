@@ -163,35 +163,37 @@ object RelationalOps {
     bloomFilteredJoin(fact, dim, factKey, dimKey, n, bits)
   }
 
-  /** ANALYZE-style column profile in ONE scan: per column, non-null count,
-    * exact distinct count, and min/max (string-rendered so heterogeneous
-    * columns stack into one long-format relation). These are the stats the
+  /** ANALYZE-style column profile: per column, non-null count, exact
+    * distinct count, and min/max (string-rendered so heterogeneous columns
+    * stack into one long-format relation). These are the stats the
     * engine's own scale knobs eat — bloom filter sizing, broadcast
-    * decisions, z-order plane scaling — so the profiler must itself be
-    * scale-sane: a single aggregate over one scan, never one job per
-    * column.
+    * decisions, z-order plane scaling.
     *
-    * The k exact `countDistinct`s plan as one Expand (k× the scan's rows
-    * through the partial aggregate — the standard exact-NDV price, paid
-    * map-side). At 100 TB swap them for `approx_count_distinct`: same
-    * single-pass shape, sketch-sized state; exact NDV here keeps the
-    * result SQL-oracle-comparable. */
+    * Shape: one two-level aggregation PER COLUMN (groupBy the value →
+    * count, then fold the groups), unioned. On columnar storage each leg's
+    * scan prunes to ITS one column, so the union's total IO is one wide
+    * scan's worth of bytes, and each exchange carries only that column's
+    * distinct values after map-side partial aggregation. The tempting
+    * alternative — one aggregate with k `countDistinct`s — plans as an
+    * Expand that pushes k× the full row count through a single wide hash
+    * aggregate, measured 14× slower at sf0.1 (BENCH_LOCAL.md); PlanAudit
+    * asserts this stays Expand-free with per-leg single-column scans. At
+    * 100 TB, `approx_count_distinct` in one pass is the sketch swap; exact
+    * NDV here keeps the result SQL-oracle-comparable. */
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableProfile needs at least one column")
-    val aggs = (count(lit(1)).cast("long").as("__n") +: cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
-    }).toIndexedSeq
-    val stackArgs = cols
-      .map(c => s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("__n", s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_nonnull, n_distinct, min_repr, max_repr)")
-      .select(col("col_name"), col("__n").as("n_rows"), col("n_nonnull"),
-        col("n_distinct"), col("min_repr"), col("max_repr"))
+    cols.map { c =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          coalesce(sum("__cnt"), lit(0L)).cast("long").as("n_rows"),
+          coalesce(sum(when(col("__v").isNotNull, col("__cnt"))
+            .otherwise(lit(0L))), lit(0L)).cast("long").as("n_nonnull"),
+          count(col("__v")).as("n_distinct"),
+          min(col("__v")).cast("string").as("min_repr"),
+          max(col("__v")).cast("string").as("max_repr"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_repr"), col("max_repr"))
+    }.reduce(_ unionByName _)
   }
 
   /** Skew-salted equi-join: spread each hot key of the BIG side over
