@@ -68,6 +68,9 @@ object LayoutOps {
   def zorderLayoutScaled(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame = {
     val b = df.agg(min(x).cast("long").as("xlo"), max(x).cast("long").as("xhi"),
       min(y).cast("long").as("ylo"), max(y).cast("long").as("yhi")).head()
+    // Empty input: no bounds to scale by (the head row is all-null, and
+    // unboxing would NPE) — any layout of zero rows is already clustered.
+    if (b.isNullAt(0)) return df
     // Integer-exact scaling via named intermediates (Column API has no
     // integer div; expr needs names).
     val out = df

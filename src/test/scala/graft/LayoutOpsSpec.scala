@@ -42,6 +42,16 @@ class LayoutOpsSpec extends SparkSpec {
     assert(z == masked)
   }
 
+  test("scaled z-order layout tolerates empty and constant-key inputs") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(LayoutOps.zorderLayoutScaled(empty, col("x"), col("y"), 4).isEmpty)
+    val const = Seq((7L, 7L), (7L, 7L)).toDF("x", "y")
+    assert(LayoutOps.zorderLayoutScaled(const, col("x"), col("y"), 4)
+      .collect().length == 2)
+  }
+
   test("z-ordered parquet write enables row-group stat pruning end-to-end") {
     // Not a simulation: both layouts are actually written as parquet (one
     // row group per file at this size), read back with a pushed-down
