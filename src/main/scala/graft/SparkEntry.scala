@@ -286,6 +286,18 @@ object SparkEntry {
   private def series(s: SparkSession, dir: String): DataFrame =
     Tables.metricSeries(guarded(s), dir)
 
+  /** The shared corpus-append fixture: docs 300+ are the fresh batch,
+    * docs 0..49 replay under offset ids (exact dups of the <300 corpus),
+    * and doc 300 replays once within the batch under id 20000. Used by
+    * `dedup_incremental` and its streaming twin so both face the same
+    * planted dups. */
+  private def incrementalBatchFixture(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") >= 300)
+      .unionByName(docs.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(10000L)))
+      .unionByName(docs.where(col("doc_id") === 300)
+        .withColumn("doc_id", lit(20000L)))
+
   /** Tie-free slice of the series: rows whose (metric, second) is unique.
     * The typed streaming twins ([[graft.streaming.StreamOps]] derivative /
     * cusum / ewma) carry no event_id to break same-second ties the way
@@ -871,14 +883,24 @@ object SparkEntry {
     // key set; the within-batch copy must lose to min doc_id.
     "dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val corpus = docs.where(col("doc_id") < 300)
-      val batch = docs.where(col("doc_id") >= 300)
-        .unionByName(docs.where(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + lit(10000L)))
-        .unionByName(docs.where(col("doc_id") === 300)
-          .withColumn("doc_id", lit(20000L)))
-      DedupOps.incrementalDedup(batch, corpus)
+      DedupOps.incrementalDedup(
+          incrementalBatchFixture(docs), docs.where(col("doc_id") < 300))
         .select("doc_id", "lang", "source")
+    }),
+
+    // Streaming twin of dedup_incremental: the same planted batch replayed
+    // as a real checkpointed stream through the ingest gate
+    // (watermark-bounded in-stream state + broadcast corpus-key anti-join).
+    // Parity surface = the kept KEY SET (one survivor per in-stream key,
+    // corpus keys absent) — deterministic at any scale; which doc wins a
+    // same-micro-batch dup is an arbitrary in-batch pick, so the min-id
+    // winner contract is pinned by StreamingSpec's controlled-arrival
+    // test instead.
+    "stream_incrdedup_parity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.streaming.StreamReplay.incrementalDedupReplay(
+        incrementalBatchFixture(docs).select("doc_id", "text"),
+        docs.where(col("doc_id") < 300))
     }),
 
     // Near-dup via MinHash LSH over planted variants (the base corpus is
@@ -2639,6 +2661,24 @@ object SparkEntry {
         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY kk))
         |SELECT doc_id, lang, source FROM kept
         |WHERE kk NOT IN (
+        |  SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |  FROM documents WHERE doc_id < 300)""".stripMargin,
+
+    // Streaming ingest-gate twin: the deterministic parity surface is the
+    // kept KEY SET — every distinct in-stream key not in the corpus,
+    // exactly once.
+    "stream_incrdedup_parity" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT 20000 AS doc_id, text
+        |  FROM documents WHERE doc_id = 300)
+        |SELECT DISTINCT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS dup_key
+        |FROM batch
+        |WHERE md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN (
         |  SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
         |  FROM documents WHERE doc_id < 300)""".stripMargin,
 

@@ -451,6 +451,28 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("source", "metric", "ts")
 
+  /** Corpus-append dedup AT INGEST — the streaming twin of
+    * [[graft.operators.DedupOps.incrementalDedup]]: each arriving doc's
+    * normalized-text key is (1) deduped against the stream's own history
+    * via watermark-bounded state (first arrival wins — with event time
+    * ascending in doc_id, that is the min-id winner, matching batch) and
+    * (2) anti-joined against the STATIC corpus key set, which rides to
+    * every task as a broadcast of 16-byte keys, never text. Stream-static
+    * left-anti is stateless on the corpus side, so corpus size only costs
+    * the broadcast; in-stream state is one key per unseen doc within the
+    * watermark horizon. */
+  def incrementalDedupStream(docs: DataFrame, corpus: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val corpusKeys = broadcast(
+      corpus.select(md5(TextOps.normalized(col("text"))).as("__key")).distinct())
+    val keyed = docs.withColumn("__key", md5(TextOps.normalized(col("text"))))
+    val inStream =
+      if (!docs.isStreaming) keyed.dropDuplicates("__key")
+      else keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("__key")
+    inStream.join(corpusKeys, Seq("__key"), "left_anti").drop("__key")
+  }
+
   /** A7 via `transformWithState` (the arbitrary-state API that supersedes
     * `flatMapGroupsWithState`): typed per-channel `lastSeen` state + an
     * event-time timer per channel; the timer fires when the watermark

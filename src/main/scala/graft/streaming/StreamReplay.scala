@@ -270,6 +270,29 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)).select("doc_a", "doc_b"))
   }
 
+  /** Replays a new-batch documents relation `(doc_id, text)` through
+    * [[StreamOps.incrementalDedupStream]] against a static corpus and
+    * returns the kept rows' NORMALIZED-TEXT KEYS. The key set is the
+    * deterministic parity surface: exactly one survivor per in-stream key,
+    * none of them in the corpus, at any scale — whereas WHICH doc wins a
+    * key whose duplicates co-arrive in one micro-batch is an arbitrary
+    * in-batch pick (found at sf1: whitespace-only docs collide across
+    * ScaleUp replicas — no tokens to suffix — and their slice-local
+    * winners flip). Winner-by-first-arrival == min-id is still pinned,
+    * by StreamingSpec under controlled cross-batch arrival. */
+  def incrementalDedupReplay(batchDocs: DataFrame, corpus: DataFrame,
+                             slices: Int = defaultSlices): DataFrame = {
+    val src = batchDocs.select(timestamp_seconds(col("doc_id")).as("ts"),
+      col("doc_id"), col("text"))
+    val build = (df: DataFrame) =>
+      StreamOps.incrementalDedupStream(df, corpus, watermark = "36500 days")
+    val key = md5(graft.operators.TextOps.normalized(col("text")))
+    sliceAndReplay(src, "ts TIMESTAMP, doc_id BIGINT, text STRING", slices,
+        "append", build)
+      .map(_.select(key.as("dup_key")))
+      .getOrElse(build(src.limit(0)).select(key.as("dup_key")))
+  }
+
   /** [[nearDupCandidatesReplay]]'s SimHash sibling: replays
     * [[StreamOps.simHashPairsStream]] and returns the DISTINCT matched
     * pair set (same synthetic-time / retain-everything posture). */

@@ -283,6 +283,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Timestamp]("ts").getTime / 1000).toSet == Set(10L, 20L))
   }
 
+  test("streaming incremental dedup gate: corpus dups die, in-stream first arrival wins") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = startMemQuery(
+      StreamOps.incrementalDedupStream(
+        in.toDS().toDF("ts", "doc_id", "text"), corpus, watermark = "3650 days"),
+      "t_incrdedup", "append")
+    def doc(id: Long, text: String) = (new Timestamp(id * 1000), id, text)
+    in.addData(doc(10, "ALPHA   text"), doc(11, "gamma text")) // 10 = corpus dup
+    q.processAllAvailable()
+    in.addData(doc(12, "gamma  TEXT"), doc(13, "delta text")) // 12 loses to 11
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("t_incrdedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(11L, 13L))
+    // Matches the batch operator on the same fixture.
+    val batch = Seq((10L, "ALPHA   text"), (11L, "gamma text"),
+      (12L, "gamma  TEXT"), (13L, "delta text")).toDF("doc_id", "text")
+    val batchKept = graft.operators.DedupOps.incrementalDedup(batch, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchKept == kept)
+  }
+
   test("streaming CUSUM accumulates across micro-batches and flags the breach") {
     val s = spark
     import s.implicits._
