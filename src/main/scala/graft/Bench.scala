@@ -37,6 +37,12 @@ object Bench {
     // sample is noise, not signal. Min-of-2 is the cheapest estimator
     // that discards a one-off GC/IO stall; the second run still re-plans
     // and re-executes everything (noop sink, no caching between runs).
+    // Each query reports (cold, min): `queries` stays min-of-2 (the
+    // round-over-round comparison surface), and `queries_cold` preserves
+    // the first run — the warm/cold SPLIT that separates driver-env
+    // variance (cold inflated by GC/IO/classloading pressure, warm
+    // steady) from a real plan regression (both runs move together)
+    // (round-10 verdict item 6).
     val results = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (name.startsWith("stream_"), name) }
       .map { case (name, fn) =>
@@ -51,23 +57,26 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      name -> (if (first < 0) first else math.min(first, once()) match {
+      val best = if (first < 0) first else math.min(first, once()) match {
         case m if m < 0 => -1.0 // second run failed: flaky counts as failed
         case m => m
-      })
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.count(_._2 < 0)
+      }
+      (name, first, best)
+    }.map { case (name, first, best) => name -> (first, best) }
+    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsCold = results.map { case (k, (c, _)) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (_, v)) if v >= 0 => v }.sum
+    val failed = results.count(_._2._2 < 0)
     // Decomposition: the stream_* entries are checkpointed Structured
     // Streaming REPLAYS (verification surface) whose cost is dominated by
     // fixed engine overhead (state-store setup, per-trigger commits), not
     // data volume — price them separately from the batch operators.
     val streamTotal = results.collect {
-      case (n, v) if n.startsWith("stream_") && v >= 0 => v }.sum
+      case (n, (_, v)) if n.startsWith("stream_") && v >= 0 => v }.sum
     val batch = results.filterNot(_._1.startsWith("stream_"))
-    val batchTotal = batch.collect { case (_, v) if v >= 0 => v }.sum
+    val batchTotal = batch.collect { case (_, (_, v)) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
+      s""""queries_cold":$qsCold,""" +
       s""""batch_total":$batchTotal,"batch_n":${batch.size},""" +
       s""""stream_replay_total":$streamTotal,"stream_replay_n":${results.size - batch.size},""" +
       s""""sf":"$sfDir"}""")

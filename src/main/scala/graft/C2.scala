@@ -38,8 +38,15 @@ object C2 {
 
   /** Execute one command against the current params. Never throws: unknown
     * or malformed commands return ok=false with the error message (the
-    * reference logs and continues, trend-o-meter:440-443). */
-  def execute(command: String, p: TrendParams): C2Response = {
+    * reference logs and continues, trend-o-meter:440-443).
+    *
+    * `counters`: the live stream's [[graft.streaming.CounterListener]],
+    * when one is attached — `get stats` then answers with the real
+    * uptime / rx / batch / (re)start numbers (trend-o-meter:177-194)
+    * instead of a pointer. [[graft.streaming.LiveQueryController]] wires
+    * this automatically. */
+  def execute(command: String, p: TrendParams,
+              counters: Option[graft.streaming.CounterListener] = None): C2Response = {
     if (command.trim.isEmpty)
       return C2Response(ok = false, "", "empty command", p)
     // X9: whitespace tokenize, head = verb (trend-o-meter:173,237).
@@ -49,7 +56,9 @@ object C2 {
         C2Response(ok = true, "get", renderConfig(p), p)
       case "get" :: "stats" :: Nil =>
         C2Response(ok = true, "get",
-          """{"note": "rx/batches/reconnects live on streaming.CounterListener"}""", p)
+          counters.map(_.statsJson).getOrElse(
+            """{"note": "no live stream attached; rx/batches/reconnects live on streaming.CounterListener"}"""),
+          p)
       case "set" :: "minDataHoursToRenderBin" :: v :: Nil =>
         C2Response(ok = true, "set", s"minDataHoursToRenderBin=$v",
           p.copy(minDataHoursToRenderBin = v.toInt))
@@ -97,6 +106,24 @@ object C2 {
       else None
     (resp, rerun)
   }
+
+  /** [[executeAndRerun]]'s STREAMING twin — the reference's
+    * mutate-config-and-re-render against a RUNNING stream
+    * (trend-o-meter:214-220): returns a
+    * [[graft.streaming.LiveQueryController]] whose `execute` applies a
+    * successful `set` to the live query via a managed checkpoint-preserving
+    * restart (a Structured Streaming plan's literals are fixed at start,
+    * so "re-render with new params" IS a rebuild — state and source
+    * offsets carry over through the checkpoint, exactly the reference's
+    * clear-display-and-recompute with history retained). `get stats`
+    * answers from the controller's live counters. */
+  def attachLive(
+      build: TrendParams => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: String,
+      initial: TrendParams = TrendParams.default,
+      outputMode: String = "update"): graft.streaming.LiveQueryController =
+    new graft.streaming.LiveQueryController(build, sink, checkpointDir, initial, outputMode)
 
   /** S5 command-stream shape: fold a (micro-)batch of commands over the
     * param state in arrival order, collecting the responses the S7/S8 sinks

@@ -16,7 +16,8 @@ object PlanAudit {
       "q_cheapest_supplier", "a20_cusum", "pack_sequences", "text_tfidf",
       "f6_ltob", "q_asof_tolerance", "a14_ewma_chunked", "a30_autocorr",
       "a20_cusum_chunked", "a27_derivative_chunked", "a34_topk_sketch",
-      "a35_quantile_tier", "q_bloom_join", "layout_zorder", "table_profile")
+      "a35_quantile_tier", "q_bloom_join", "layout_zorder", "table_profile",
+      "table_profile_scale", "a9_sketch_verify")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -129,7 +130,9 @@ object PlanAudit {
         // Plans print parent-first, so the Filter's line must come AFTER
         // the join's line.
         val p = planOf("q_bloom_join")
-        p.contains("might_contain") &&
+        // The explicit Join guard keeps this from passing vacuously
+        // (indexOf = -1 on both sides) if a regression collapsed the join.
+        p.contains("Join") && p.contains("might_contain") &&
           p.indexOf("might_contain") > p.indexOf("Join")
       }),
       ("zorder clustering key is computed map-only (zero exchanges)", {
@@ -141,6 +144,17 @@ object PlanAudit {
         !p.contains("Expand") &&
           p.contains("ReadSchema: struct<l_orderkey:bigint>") &&
           p.contains("ReadSchema: struct<l_linestatus:string>")
+      }),
+      ("scale profile is ONE scan + one agg pair: no Expand, no join, single exchange", {
+        val p = planOf("table_profile_scale")
+        !p.contains("Expand") && !p.contains("Join") &&
+          "Scan parquet".r.findAllIn(p).size == 1 &&
+          "Exchange".r.findAllIn(p).size == 1 // partial->final SinglePartition
+      }),
+      ("a9 sketch verify is a single object-agg pass, no join, metric-keyed exchange", {
+        val p = planOf("a9_sketch_verify")
+        p.contains("ObjectHashAggregate") && !p.contains("Join") &&
+          p.contains("hashpartitioning(metric")
       }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),

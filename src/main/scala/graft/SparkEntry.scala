@@ -508,6 +508,22 @@ object SparkEntry {
     // accuracy pinned by unit test.
     "a9_sketch_stats" -> ((s, dir) => TrendOps.sketchStats(series(s, dir))),
 
+    // a9's GK leg made ORACLE-CHECKABLE via the a35 technique (round-10
+    // verdict item 8): the same mergeable GK summary, built per metric in
+    // the exactness regime (eps 1e-9 < 1/(2N) at every fixture scale), so
+    // each queried percentile is the exact ceil(phi*n)-rank SAMPLE — a
+    // picked value, no arithmetic, bit-comparable across engines. This
+    // splits a9 the way minhash splits candidates/verify: the HLL leg
+    // stays rows-only on a9_sketch_stats (register-hash estimates are
+    // engine-specific), the quantile leg faces SQL here.
+    "a9_sketch_verify" -> ((s, dir) =>
+      series(s, dir).groupBy("metric")
+        .agg(QuantileSketch.summary(col("value"), QTIER_EPS).as("sk"))
+        .select(col("metric"),
+          QuantileSketch.quantile(col("sk"), QTIER_EPS, 0.5).as("p50_sketch"),
+          QuantileSketch.quantile(col("sk"), QTIER_EPS, 0.9).as("p90_sketch"),
+          QuantileSketch.quantile(col("sk"), QTIER_EPS, 0.99).as("p99_sketch"))),
+
     // Exact percentiles per metric (interpolated median/tail).
     "a10_percentiles" -> ((s, dir) =>
       series(s, dir).groupBy("metric").agg(
@@ -848,6 +864,16 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_returnflag", "l_linestatus"))),
 
+    // The scale-default profile (round-10 verdict item 5): identical
+    // shape, approx_count_distinct in ONE single-scan aggregate — the
+    // documented 100 TB swap as shipped code. Rows-only (HLL estimates
+    // are engine-specific); the ±2·rsd error bound vs exact NDV is pinned
+    // by unit test, the single-scan/Expand-free plan by PlanAudit.
+    "table_profile_scale" -> ((s, dir) =>
+      RelationalOps.tableProfileApprox(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))),
+
     // Set operations: EXCEPT + INTERSECT, tagged.
     "q_setops" -> ((s, dir) => {
       def keys(status: String) =
@@ -890,7 +916,8 @@ object SparkEntry {
 
     // Streaming twin of dedup_incremental: the same planted batch replayed
     // as a real checkpointed stream through the ingest gate
-    // (watermark-bounded in-stream state + broadcast corpus-key anti-join).
+    // (watermark-bounded in-stream state + corpus-key bloom pre-gate with
+    // exact anti-join reconciliation of the suspects).
     // Parity surface = the kept KEY SET (one survivor per in-stream key,
     // corpus keys absent) — deterministic at any scale; which doc wins a
     // same-micro-batch dup is an arbitrary in-batch pick, so the min-id
@@ -2660,9 +2687,9 @@ object SparkEntry {
         |  SELECT * FROM keyed
         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY kk))
         |SELECT doc_id, lang, source FROM kept
-        |WHERE kk NOT IN (
-        |  SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
-        |  FROM documents WHERE doc_id < 300)""".stripMargin,
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id < 300
+        |  AND md5(trim(lower(regexp_replace(c.text, '\s+', ' ', 'g')))) = kept.kk)""".stripMargin,
 
     // Streaming ingest-gate twin: the deterministic parity surface is the
     // kept KEY SET — every distinct in-stream key not in the corpus,
@@ -2677,10 +2704,11 @@ object SparkEntry {
         |  SELECT 20000 AS doc_id, text
         |  FROM documents WHERE doc_id = 300)
         |SELECT DISTINCT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS dup_key
-        |FROM batch
-        |WHERE md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN (
-        |  SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
-        |  FROM documents WHERE doc_id < 300)""".stripMargin,
+        |FROM batch b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id < 300
+        |  AND md5(trim(lower(regexp_replace(c.text, '\s+', ' ', 'g'))))
+        |      = md5(trim(lower(regexp_replace(b.text, '\s+', ' ', 'g')))))""".stripMargin,
 
     "dedup_keep" ->
       """WITH k AS (SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS kk,
@@ -2930,6 +2958,20 @@ object SparkEntry {
     // lossless cross-batch merge makes the two legs bit-equal.
     "a35_quantile_tier" -> A35_QUANTILE_ORACLE,
     "stream_quantile_parity" -> A35_QUANTILE_ORACLE,
+
+    // a9's GK leg, whole-metric grain (see the a35 note above for the
+    // exactness-regime rank convention and the forced-DOUBLE multiply).
+    "a9_sketch_verify" ->
+      s"""WITH $SERIES,
+         |w AS (SELECT metric, value,
+         |        row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+         |        count(*) OVER (PARTITION BY metric) AS n
+         |      FROM series)
+         |SELECT metric,
+         |  max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.5 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p50_sketch,
+         |  max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.9 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p90_sketch,
+         |  max(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST(0.99 AS DOUBLE)*n) AS BIGINT)) THEN value END) AS p99_sketch
+         |FROM w GROUP BY 1""".stripMargin,
 
     "text_top_terms" ->
       """WITH w AS (SELECT lang, doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS term

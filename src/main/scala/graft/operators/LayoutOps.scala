@@ -68,9 +68,11 @@ object LayoutOps {
   def zorderLayoutScaled(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame = {
     val b = df.agg(min(x).cast("long").as("xlo"), max(x).cast("long").as("xhi"),
       min(y).cast("long").as("ylo"), max(y).cast("long").as("yhi")).head()
-    // Empty input: no bounds to scale by (the head row is all-null, and
-    // unboxing would NPE) — any layout of zero rows is already clustered.
-    if (b.isNullAt(0)) return df
+    // No usable bounds: empty input, or a clustering key that is entirely
+    // NULL (its min/max are null; getAs[Long] would silently unbox to 0
+    // and z-values of surviving rows would go NULL — a silently degraded
+    // layout). Each key needs BOTH bounds, so check all four fields.
+    if ((0 until 4).exists(b.isNullAt)) return df
     // Integer-exact scaling via named intermediates (Column API has no
     // integer div; expr needs names).
     val out = df

@@ -80,9 +80,14 @@ object QuantileSketch {
       mergeQs(a, b)
     override def finish(b: QuantileSummaries): QuantileTierSketch = toSketch(b)
     // The GK object carries a private insert head buffer that must survive
-    // partial serialization — ship the whole Serializable object.
+    // partial serialization — ship the whole object. Kryo, not Java
+    // serialization: the buffer is also the STREAMING AGGREGATION STATE of
+    // the quantile tier's streaming twin, where one serialized buffer per
+    // (metric, minute) key lives in the state store — Java serialization's
+    // per-object class descriptors priced each near-empty sketch at ~600 B
+    // and dominated the replay's state I/O; Kryo is ~6x smaller.
     override def bufferEncoder: Encoder[QuantileSummaries] =
-      Encoders.javaSerialization[QuantileSummaries]
+      Encoders.kryo[QuantileSummaries]
     override def outputEncoder: Encoder[QuantileTierSketch] = enc()
   }
 
@@ -95,8 +100,9 @@ object QuantileSketch {
     override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
       mergeQs(a, b)
     override def finish(b: QuantileSummaries): QuantileTierSketch = toSketch(b)
+    // Kryo for the same state-size reason as [[BuildAgg]].
     override def bufferEncoder: Encoder[QuantileSummaries] =
-      Encoders.javaSerialization[QuantileSummaries]
+      Encoders.kryo[QuantileSummaries]
     override def outputEncoder: Encoder[QuantileTierSketch] = enc()
   }
 

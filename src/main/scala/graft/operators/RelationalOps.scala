@@ -86,6 +86,16 @@ object RelationalOps {
     *
     * Keys are pre-hashed with xxhash64 (the aggregate's required input
     * form), so any key type works and build/probe agree by construction. */
+  /** `BloomFilterAggregate`'s analysis-time ceilings at Spark's default
+    * session confs (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `maxNumBits`): sizing requests are clamped here so a big build side
+    * degrades to a coarser (higher-FP, still correct) filter instead of
+    * throwing `AnalysisException` — the "dim too big to broadcast" regime
+    * is exactly where the caller is. Callers needing a sharper filter over
+    * >4M keys must raise those confs on the session first. */
+  private val BLOOM_MAX_ITEMS = 4000000L
+  private val BLOOM_MAX_BITS = 1L << 26
+
   def buildKeyBloom(
       dim: DataFrame,
       key: Column,
@@ -96,7 +106,8 @@ object RelationalOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val agg = new BloomFilterAggregate(
       ColumnBridge.eagerExpression(xxhash64(key)),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      Literal(math.min(expectedItems, BLOOM_MAX_ITEMS)),
+      Literal(math.min(numBits, BLOOM_MAX_BITS))).toAggregateExpression()
     dim.select(ColumnBridge.column(agg).as("bf")).head.getAs[Array[Byte]](0)
   }
 
@@ -139,28 +150,42 @@ object RelationalOps {
       expectedItems: Long,
       numBits: Long): DataFrame = {
     val bf = buildKeyBloom(dim, col(dimKey), expectedItems, numBits)
-    fact.where(mightContainKey(bf, col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    // Side-qualified keys: an unqualified col() is ambiguous the moment
+    // both frames carry the key name (same-named natural keys are the
+    // common case outside TPC-H).
+    fact.where(mightContainKey(bf, fact.col(factKey)))
+      .join(dim, fact.col(factKey) === dim.col(dimKey))
   }
 
   /** [[bloomFilteredJoin]] sized from the build side itself: one count of
     * `dim` (a tiny job on the SMALL side, or free when key stats are
     * already known) picks ~10 bits/key (≈1% FP) rounded up to a power of
     * two, floored at 8 Kbit so small dims stay cache-resident and capped
-    * at 2^27 bits (16 MB) — past that the key set has outgrown what a
-    * per-row probe should pay for and the caller should reconsider. */
+    * at 2^26 bits (8 MB, `BloomFilterAggregate`'s default analysis
+    * ceiling) — past that the key set has outgrown what a per-row probe
+    * should pay for and the caller should reconsider (or raise the
+    * session's runtime-bloom confs and size explicitly). */
   def bloomFilteredJoin(
       fact: DataFrame,
       dim: DataFrame,
       factKey: String,
       dimKey: String): DataFrame = {
+    val bf = buildKeyBloomAuto(dim, col(dimKey))
+    fact.where(mightContainKey(bf, fact.col(factKey)))
+      .join(dim, fact.col(factKey) === dim.col(dimKey))
+  }
+
+  /** [[buildKeyBloom]] with the auto-sizing rule above (one count of the
+    * build side → ~10 bits/key, 8 Kbit floor, clamped to the analysis
+    * ceilings). */
+  def buildKeyBloomAuto(dim: DataFrame, key: Column): Array[Byte] = {
     val n = math.max(1L, dim.count())
     val bits = {
-      val want = math.min(1L << 27, math.max(8192L, 10L * n))
+      val want = math.min(BLOOM_MAX_BITS, math.max(8192L, 10L * n))
       if (java.lang.Long.bitCount(want) == 1) want
       else java.lang.Long.highestOneBit(want) << 1
     }
-    bloomFilteredJoin(fact, dim, factKey, dimKey, n, bits)
+    buildKeyBloom(dim, key, math.min(n, BLOOM_MAX_ITEMS), bits)
   }
 
   /** ANALYZE-style column profile: per column, non-null count, exact
@@ -194,6 +219,39 @@ object RelationalOps {
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
           col("n_distinct"), col("min_repr"), col("max_repr"))
     }.reduce(_ unionByName _)
+  }
+
+  /** The 100 TB default profile: same long-format output contract as
+    * [[tableProfile]] but ONE PASS over the table with
+    * `approx_count_distinct` (HLL++) in place of exact NDV — the
+    * documented sketch swap, shipped as code. All k columns' counts,
+    * sketches, and min/max fold in a single Aggregate over a single scan
+    * (HLL buffers are fixed-width, so no Expand and no per-column
+    * re-scan), then a `stack` reshapes the 1×(4k+1) row into k rows —
+    * driver-side-free and exchange-light: one partial/final agg pair,
+    * nothing proportional to data size after the map side.
+    *
+    * `rsd` is HLL++'s target relative standard deviation (default 5%,
+    * Spark's own default for `approx_count_distinct`); the error bound is
+    * pinned by unit test. Registered rows-only: sketch estimates are
+    * engine-specific, so the exact [[tableProfile]] keeps the SQL oracle
+    * and this keeps the scale posture. */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "tableProfileApprox needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ") +
+      ") AS (col_name, n_nonnull, n_distinct_approx, min_repr, max_repr)"
+    one.select(expr(stacked), col("__n").as("n_rows"))
+      .select("col_name", "n_rows", "n_nonnull", "n_distinct_approx",
+        "min_repr", "max_repr")
   }
 
   /** Skew-salted equi-join: spread each hot key of the BIG side over

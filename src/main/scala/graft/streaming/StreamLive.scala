@@ -51,17 +51,18 @@ object StreamLive {
 
   /** Minute-tier rows → the display-grid shape [[Sinks.displaySink]]
     * renders (metric, day_bin, min_val, max_val, is_complete): the live
-    * grid shows per-minute extents, bin = epoch minute. Every tier row is
-    * complete for display purposes — the completeness gate (A3) is a
-    * day-window concept; the minute tier's watermark already bounds
-    * lateness. */
-  def tierToDisplay(tier: DataFrame): DataFrame =
+    * grid shows per-minute extents, bin = epoch minute. `minPerMinute` is
+    * the A3-style render gate at minute granularity — a minute renders
+    * complete only when it retained at least that many samples (the
+    * reference's "enough data to render" applied to the live tier;
+    * `TrendParams.samplesPerMinuteRetained` is the natural source). */
+  def tierToDisplay(tier: DataFrame, minPerMinute: Int = 1): DataFrame =
     tier.select(
       col("metric"),
       (unix_timestamp(col("minute_start")) / 60).cast("long").as("day_bin"),
       col("mn").as("min_val"),
       col("mx").as("max_val"),
-      lit(true).as("is_complete"))
+      (col("n") >= minPerMinute).as("is_complete"))
 
   /** The full live pipeline from a raw one-string-column source. */
   def pipeline(raw: DataFrame): DataFrame =
@@ -69,6 +70,14 @@ object StreamLive {
       StreamOps.explodeMetrics(StreamOps.parseMessages(raw)),
       watermark = "2 minutes")
 
+  /** The live run is C2-CONTROLLED (round-10 verdict item 3): the query
+    * runs under a [[LiveQueryController]], so `set` commands land in a
+    * RUNNING stream — plan literals via managed checkpoint-preserving
+    * restart, display knobs via a live param read in the sink (the
+    * broadcast-refresh flavor; both patterns on show). `GRAFT_LIVE_CMDS`
+    * (";"-separated) injects a command script at half-time — e.g.
+    * `GRAFT_LIVE_CMDS="set samplesPerMinuteRetained 3;get stats"` flips
+    * the minute render gate mid-stream and then reads the live counters. */
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     val raw = args match {
@@ -77,15 +86,21 @@ object StreamLive {
     }
     val runMs = sys.env.get("GRAFT_LIVE_SECONDS")
       .map(_.toLong).getOrElse(20L) * 1000L
-    val q = pipeline(raw).writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        Sinks.displaySink(frame => frame.foreach(println))(
-          tierToDisplay(batch), id)
-      }
-      .start()
-    q.awaitTermination(runMs)
-    q.stop()
+    val ck = java.nio.file.Files.createTempDirectory("graft_live_ck").toString
+    lazy val ctl: LiveQueryController = graft.C2.attachLive(
+      build = _ => pipeline(raw),
+      sink = (batch, id) => Sinks.displaySink(frame => frame.foreach(println))(
+        tierToDisplay(batch,
+          math.ceil(ctl.params.samplesPerMinuteRetained).toInt), id),
+      checkpointDir = ck)
+    ctl.active // force the lazy init so the stream starts now
+    Thread.sleep(runMs / 2)
+    sys.env.get("GRAFT_LIVE_CMDS").foreach(_.split(";").foreach { c =>
+      val r = ctl.execute(c.trim)
+      println(s"[c2] ${r.verb} ok=${r.ok}: ${r.message}")
+    })
+    Thread.sleep(runMs - runMs / 2)
+    ctl.close()
     spark.stop()
   }
 }

@@ -74,10 +74,22 @@ object StreamReplay {
     * live transport would. Boundaries land on whole seconds, so rows
     * sharing an epoch second can never straddle two slices. Empty slices
     * (skewed fixtures) simply contribute no file and one fewer
-    * micro-batch. */
+    * micro-batch.
+    *
+    * `flush`: optional watermark-pusher for APPEND-mode windowed
+    * aggregations — given the fixture's max epoch second, returns a
+    * one-row frame (same schema) whose event time sits far enough past
+    * the span that, once it is consumed as the final micro-batch, the
+    * advancing watermark closes every real window. The engine then runs
+    * one more no-data micro-batch (`noDataMicroBatches`, on by default)
+    * that emits and EVICTS them — append emissions are final, so the
+    * caller needs no keyed-upsert dedup, and state drains instead of
+    * accumulating. The sentinel's own window never closes; callers
+    * filter its key out. */
   private def sliceAndReplay(src: DataFrame, schema: String, slices: Int,
                              outputMode: String,
-                             build: DataFrame => DataFrame): Option[DataFrame] = {
+                             build: DataFrame => DataFrame,
+                             flush: Option[Long => DataFrame] = None): Option[DataFrame] = {
     val spark = src.sparkSession
     val root = newReplayRoot()
     val inDir = root.resolve("in").toString
@@ -134,6 +146,18 @@ object StreamReplay {
                   s"setLastModified failed for ${dest.getPath}; replay order " +
                     "would fall back to nondeterministic write-latency order")
           }
+      }
+      flush.foreach { mk =>
+        val flushStage = root.resolve("flush").toString
+        mk(hi).coalesce(1).write.parquet(flushStage)
+        val f = Option(new java.io.File(flushStage).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(inDir, s"slice-$slices-flush.parquet")
+        Files.move(f.toPath, dest.toPath)
+        if (!dest.setLastModified(stampBase + slices * 1000L))
+          throw new IllegalStateException(
+            s"setLastModified failed for ${dest.getPath}; the flush sentinel " +
+              "must be the LAST file or append-mode windows close early")
       }
 
       val stream = spark.readStream
@@ -327,24 +351,45 @@ object StreamReplay {
 
   /** Replays the canonical series relation `(metric, e, value)` through
     * [[StreamOps.quantileTierStream]] and returns the final per-minute GK
-    * sketch tier `(metric, minute_start, sk)` — same keyed-upsert contract
-    * as [[minuteTierReplay]] (within a batch the aggregation emits at most
-    * one row per key, so batch_id is a total order per key). */
+    * sketch tier `(metric, minute_start, sk)`.
+    *
+    * Unlike [[minuteTierReplay]]'s keyed-upsert posture, this replay runs
+    * APPEND mode with a watermark-flush sentinel (round-10 verdict item 1):
+    * the exactness-regime GK payload is the heaviest state of any parity
+    * (one sketch per (metric, minute) — ~80k keys holding every sample at
+    * sf0.1), so update-mode's re-emission of each touched key per batch
+    * plus a row_number upsert over the appended sketch payloads priced the
+    * replay at ~half the whole stream budget in the driver bench. Append
+    * emits each minute exactly once when the watermark closes it — final
+    * rows, no dedup pass — and EVICTS closed windows from the state store
+    * as the replay advances instead of retaining the whole tier to the
+    * end. The cross-batch property the parity proves is unchanged: minutes
+    * straddling a slice boundary still merge sketch state across
+    * triggers, and the oracle would catch a dropped or double-counted
+    * sample either way. */
   def quantileTierReplay(series: DataFrame, eps: Double,
-                         slices: Int = defaultSlices,
-                         watermark: String = "3650 days"): DataFrame = {
+                         slices: Int = defaultSlices): DataFrame = {
+    val spark = series.sparkSession
     val src = series.select(col("metric"),
       timestamp_seconds(col("e")).as("ts"), col("value"))
+    // Delay covers slice-boundary stragglers (boundaries land on whole
+    // seconds; 2 minutes is the production default and orders of
+    // magnitude more than a boundary can misorder). The sentinel sits
+    // 10 minutes past the span: beyond hi + delay + window, so the final
+    // watermark closes every real minute; its own window never closes
+    // and its key is filtered below.
+    val wmDelay = "2 minutes"
+    val sentinel = "__wm_flush__"
+    val mkFlush = (hi: Long) => spark.range(1).select(
+      lit(sentinel).as("metric"),
+      timestamp_seconds(lit(hi + 600L)).as("ts"),
+      lit(0.0).as("value"))
     sliceAndReplay(src, "metric STRING, ts TIMESTAMP, value DOUBLE", slices,
-        "update", StreamOps.quantileTierStream(_, eps, watermark)) match {
-      case None => StreamOps.quantileTierStream(src.limit(0), eps, watermark)
+        "append", StreamOps.quantileTierStream(_, eps, wmDelay),
+        flush = Some(mkFlush)) match {
+      case None => StreamOps.quantileTierStream(src.limit(0), eps, wmDelay)
       case Some(appended) =>
-        val w = Window.partitionBy("metric", "minute_start")
-          .orderBy(col("batch_id").desc)
-        appended
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .drop("rn", "batch_id")
+        appended.where(col("metric") =!= sentinel).drop("batch_id")
     }
   }
 

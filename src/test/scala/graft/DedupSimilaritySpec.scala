@@ -178,6 +178,33 @@ class DedupSimilaritySpec extends SparkSpec {
       plan.contains("ReadSchema: struct<l_returnflag:string>"), plan.take(2000))
   }
 
+  test("approx table profile: one scan, exact counts/min/max, NDV within the HLL bound") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
+    val rsd = 0.05
+    val approx = graft.operators.RelationalOps.tableProfileApprox(li, cols, rsd)
+    // Single-scan shape: no Expand, no join, exactly one parquet scan.
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand") && !plan.contains("Join"), plan.take(500))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(2000))
+    val a = approx.collect().map(r => r.getString(0) -> r).toMap
+    val exact = graft.operators.RelationalOps.tableProfile(li, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      // Counts and min/max are exact in both variants; only NDV is a
+      // sketch. HLL++ at rsd=5%: allow 4 sigma (plus integer slack for
+      // tiny cardinalities, where the sparse path is exact anyway).
+      assert(a(c).getAs[Long]("n_rows") == exact(c).getAs[Long]("n_rows"))
+      assert(a(c).getAs[Long]("n_nonnull") == exact(c).getAs[Long]("n_nonnull"))
+      assert(a(c).getAs[String]("min_repr") == exact(c).getAs[String]("min_repr"))
+      assert(a(c).getAs[String]("max_repr") == exact(c).getAs[String]("max_repr"))
+      val nd = exact(c).getAs[Long]("n_distinct").toDouble
+      val est = a(c).getAs[Long]("n_distinct_approx").toDouble
+      assert(math.abs(est - nd) <= math.max(2.0, 4 * rsd * nd),
+        s"$c: approx NDV $est vs exact $nd outside 4-sigma")
+    }
+  }
+
   test("incremental dedup drops corpus replays and within-batch copies") {
     val corpus = docsDF((1L, "alpha text"), (2L, "beta text"))
     val batch = docsDF(

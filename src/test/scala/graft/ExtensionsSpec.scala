@@ -175,6 +175,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(resps.last.message.contains("\"currentValueSamples\": 7"))
   }
 
+  test("§2.6 `get stats` composes the LIVE counter values (trend-o-meter:177-194)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val counters = new CounterListener
+    spark.streams.addListener(counters)
+    try {
+      val in = MemoryStream[StreamSample]
+      val q = in.toDS().toDF().writeStream.format("memory")
+        .queryName("t_stats_rt").outputMode("append").start()
+      in.addData(StreamSample(new Timestamp(1000), "s", "m", 1.0),
+        StreamSample(new Timestamp(2000), "s", "m", 2.0),
+        StreamSample(new Timestamp(3000), "s", "m", 3.0))
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      var waited = 0
+      while (counters.totalRowsReceived < 3 && waited < 50) { Thread.sleep(100); waited += 1 }
+      val r = C2.execute("get stats", TrendParams.default, Some(counters))
+      assert(r.ok && r.verb == "get")
+      // Real numbers, not the stub note: rx matches what the stream saw,
+      // the start is logged, and uptime is a live nonzero reading.
+      assert(r.message.contains(s""""rx_rows": ${counters.totalRowsReceived}"""))
+      assert(counters.totalRowsReceived >= 3)
+      assert(r.message.contains(""""starts": 1"""))
+      assert(!r.message.contains("note"))
+      val up = """"uptime_ms": (\d+)""".r.findFirstMatchIn(r.message).map(_.group(1).toLong)
+      assert(up.exists(_ > 0))
+      // Without a listener the command still answers (stub pointer).
+      assert(C2.execute("get stats", TrendParams.default).message.contains("note"))
+    } finally spark.streams.removeListener(counters)
+  }
+
   test("A8 CounterListener tracks rx rows, batches, and query starts") {
     val s = spark
     import s.implicits._

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -306,6 +308,72 @@ class StreamingSpec extends SparkSpec {
     val batchKept = graft.operators.DedupOps.incrementalDedup(batch, corpus)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(batchKept == kept)
+  }
+
+  test("streaming incremental dedup gate holds with auto-broadcast disabled (un-broadcastable corpus posture)") {
+    // The 100 TB regime: a corpus whose key set exceeds every broadcast
+    // threshold. The gate must not depend on a broadcast plan — the bloom
+    // pre-gate plus an un-hinted anti-join must produce the identical key
+    // set when the planner is forced onto the shuffle path.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val q = startMemQuery(
+        StreamOps.incrementalDedupStream(
+          in.toDS().toDF("ts", "doc_id", "text"), corpus, watermark = "3650 days"),
+        "t_incrdedup_nb", "append")
+      def doc(id: Long, text: String) = (new Timestamp(id * 1000), id, text)
+      in.addData(doc(10, "ALPHA   text"), doc(11, "gamma text"))
+      q.processAllAvailable()
+      in.addData(doc(12, "gamma  TEXT"), doc(13, "delta text"))
+      q.processAllAvailable(); q.stop()
+      val kept = spark.table("t_incrdedup_nb").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(11L, 13L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("C2 live control: mid-stream `set dayBins` changes subsequent micro-batch output") {
+    // The reference's mutate-and-re-render against a RUNNING stream
+    // (trend-o-meter:214-220): a successful `set` restarts the plan on the
+    // same checkpoint, so later micro-batches compute with the new
+    // literals while source progress carries over.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StreamSample]
+    val ck = java.nio.file.Files.createTempDirectory("graft_live_ck").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val ctl = C2.attachLive(
+      build = p => in.toDS().toDF()
+        .select(col("ts"), col("metric"),
+          lit(p.retentionSeconds / 86400L).cast("int").as("retention_days")),
+      sink = (batch, id) => batch.collect().foreach(r =>
+        seen.add(r.getAs[Timestamp]("ts").getTime / 1000 -> r.getAs[Int]("retention_days"))),
+      checkpointDir = ck,
+      outputMode = "append")
+    try {
+      def sample(sec: Long) = StreamSample(new Timestamp(sec * 1000), "s", "m", 1.0)
+      in.addData(sample(10))
+      ctl.processAllAvailable()
+      assert(seen.asScala.toMap.apply(10L) == 7) // default dayBins max = 7
+      val r = ctl.execute("set dayBins 1,2")
+      assert(r.ok && r.params.dayBins == Seq(1, 2))
+      in.addData(sample(20))
+      ctl.processAllAvailable()
+      val byTs = seen.asScala.toMap
+      assert(byTs(20L) == 2, s"post-set batch must use the new dayBins: $byTs")
+      assert(byTs(10L) == 7) // pre-set emission is history, not recomputed
+      // get stats composes the controller's LIVE counters: the managed
+      // restart is visible as a second query start (the reconnect log).
+      val stats = ctl.execute("get stats")
+      assert(stats.ok && stats.message.contains("\"starts\": 2"), stats.message)
+    } finally ctl.close()
   }
 
   test("streaming CUSUM accumulates across micro-batches and flags the breach") {
