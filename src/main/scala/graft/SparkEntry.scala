@@ -414,6 +414,28 @@ object SparkEntry {
         .limit(TrendParams.default.maxListQueryLength)
         .select("event_id", "metric", "e", "value")),
 
+    // S3 as a first-class DataSource V2: subscribe → parse → typed rows.
+    // The fixture plays the sensors (materializes a 1-in-20 events slice
+    // as per-event-type channel logs of JSON lines); the graded surface is
+    // the `topiclog` READ + from_json decode, oracled against DuckDB on
+    // the original parquet. See graft.sources.TopicLog.
+    "s3_pubsub_roundtrip" -> ((s, dir) => {
+      val root = graft.sources.TopicLogFixture.eventsLog(
+        s, dir, s"$oracleExportRoot/_topiclog_fixture")
+      graft.sources.TopicLogFixture.decodeEvents(
+        s.read.format("topiclog").option("path", root)
+          .option("pattern", "*").load())
+    }),
+
+    // The same subscription as a genuine micro-batched STREAM: byte-capped
+    // triggers through the DSv2 offset path, checkpointed, decoded with
+    // the identical expressions — shares the batch roundtrip's oracle.
+    "stream_pubsub_parity" -> ((s, dir) => {
+      val root = graft.sources.TopicLogFixture.eventsLog(
+        s, dir, s"$oracleExportRoot/_topiclog_fixture")
+      graft.streaming.StreamReplay.pubsubReplay(s, root)
+    }),
+
     // A2+A3 flagship: banded day-bin extents with completeness gate.
     "a2_banded_extents" -> ((s, dir) => TrendOps.bandedExtents(series(s, dir))),
 
@@ -1119,6 +1141,13 @@ object SparkEntry {
         Seq(col("lang")), Seq(col("doc_freq").desc, col("term").asc))
         .select("lang", "rk", "term", "doc_freq")
     }),
+
+    // Overlapping token-window chunking (RAG / pretraining context prep):
+    // window=64, stride=48, tail start clamped to n-window. Map-only.
+    "text_chunk" -> ((s, dir) =>
+      CurationOps.chunkDocuments(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        window = 64, stride = 48)),
 
     // Token budgets: whitespace + BPE-ish regex counts.
     "text_tokens" -> ((s, dir) =>
@@ -2463,6 +2492,23 @@ object SparkEntry {
          |SELECT event_id, metric, e, value FROM series
          |ORDER BY e DESC, event_id DESC LIMIT ${P.maxListQueryLength}""".stripMargin,
 
+    // The pub/sub roundtrip's oracle reads the SOURCE rows the fixture
+    // sliced: a green hash row proves the channel-log write → subscribe →
+    // JSON decode path loses nothing (ids, epoch seconds, and the
+    // double-valued payload all bit-exact).
+    "s3_pubsub_roundtrip" ->
+      """SELECT event_type, event_id, epoch_ns(ts)//1000000000 AS e,
+        |  user_id, value
+        |FROM events WHERE event_id % 20 = 3""".stripMargin,
+
+    // Streaming twin consumes the same fixture through the micro-batch
+    // offset path; emissions are append-mode passthrough, so the oracle is
+    // identical to the batch roundtrip's.
+    "stream_pubsub_parity" ->
+      """SELECT event_type, event_id, epoch_ns(ts)//1000000000 AS e,
+        |  user_id, value
+        |FROM events WHERE event_id % 20 = 3""".stripMargin,
+
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
@@ -2980,6 +3026,23 @@ object SparkEntry {
         |r AS (SELECT lang, term, doc_freq,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, term) AS rk FROM f)
         |SELECT lang, rk, term, doc_freq FROM r WHERE rk <= 5""".stripMargin,
+
+    // Mirrors chunkDocuments' start convention in integer math: starts
+    // i*stride clamped to n-window, chunk count (max(n-w,0)+s-1)//s + 1.
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |nn AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t),
+        |st AS (
+        |  SELECT doc_id, w, n, CAST(i AS INT) AS chunk_idx,
+        |    LEAST(i * 48, GREATEST(n - 64, 0)) AS begin_token
+        |  FROM nn, UNNEST(generate_series(0, (GREATEST(n - 64, 0) + 47) // 48)) AS u(i))
+        |SELECT doc_id, chunk_idx, begin_token,
+        |  LEAST(64, n - begin_token) AS n_tokens,
+        |  array_to_string(w[begin_token + 1 : begin_token + LEAST(64, n - begin_token)], ' ') AS chunk_text
+        |FROM st""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

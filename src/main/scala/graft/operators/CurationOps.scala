@@ -154,6 +154,44 @@ object CurationOps {
       .join(docs, "doc_id")
       .write.mode("overwrite").partitionBy("grp", "bin").parquet(outDir)
 
+  /** Overlapping token-window chunking — the context-window prep every
+    * RAG / pretraining pipeline runs between curation and tokenization:
+    * each document becomes `ceil(max(n−window,0)/stride)+1` chunks of at
+    * most `window` whitespace tokens, consecutive chunks overlapping by
+    * `window − stride`. The FINAL start clamps to `n − window` so the tail
+    * is always covered by a full-width chunk (never a fragment shorter
+    * than `window` unless the whole document is) and no start repeats —
+    * the deterministic convention, mirrored exactly by the `text_chunk`
+    * oracle in integer arithmetic on both engines.
+    *
+    * Whole plan is built-in codegen array functions over one projection —
+    * map-only, no shuffle, no UDF: at 100 TB this is a pure scan-transform
+    * whose output size is input × (window/stride) by construction. */
+  def chunkDocuments(docs: DataFrame, window: Int = 64,
+                     stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = filter(TextOps.tokens(col("text")), t => t =!= "")
+    docs
+      .select(col("doc_id"), toks.as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      // last chunk index = ceil(max(n-window,0)/stride), in integer math
+      .withColumn("starts",
+        transform(
+          sequence(lit(0L),
+            expr(s"(GREATEST(n - $window, 0) + ${stride - 1}) DIV $stride")),
+          i => least(i * lit(stride.toLong), greatest(col("n") - window, lit(0L)))))
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "begin_token")))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("begin_token"),
+        least(lit(window.toLong), col("n") - col("begin_token")).as("n_tokens"),
+        array_join(
+          slice(col("w"), col("begin_token").cast("int") + 1,
+            least(lit(window), (col("n") - col("begin_token")).cast("int"))),
+          " ").as("chunk_text"))
+  }
+
   /** Train/eval decontamination: train-split documents sharing at least one
     * word `n`-gram with any eval-split document (the standard benchmark-
     * overlap check run before training). Both sides explode to DISTINCT

@@ -44,15 +44,28 @@ object Sinks {
     * late subscriber reads the latest value per field
     * (trend-o-meter:243-250). "Last" must be defined by event order, not by
     * collect()'s partition order, so the caller names the ordering column;
-    * the max-order row per key wins deterministically. */
+    * the max-order row per key wins deterministically.
+    *
+    * The collect is key-cardinality-sized (one row per distinct key), and
+    * `maxKeys` makes that contract ENFORCED rather than assumed: a caller
+    * that accidentally keys by a high-cardinality column fails loudly at
+    * the first oversized batch instead of creeping toward driver OOM. */
   def lastValueSink(store: TrieMap[String, String], keyCol: String, valCol: String,
-                    orderCol: String)(batch: DataFrame, batchId: Long): Unit =
-    batch
+                    orderCol: String, maxKeys: Int = 100000)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch
       .groupBy(col(keyCol).cast("string").as("__k"))
       .agg(max(struct(col(orderCol), col(valCol).as("__v"))).as("__last"))
       .select(col("__k"), to_json(struct(col("__last.__v").as(valCol))))
+      .limit(maxKeys + 1)
       .collect()
-      .foreach { r: Row => store.put(r.getString(0), r.getString(1)) }
+    if (rows.length > maxKeys)
+      throw new IllegalStateException(
+        s"lastValueSink: batch $batchId carries more than $maxKeys distinct " +
+        s"'$keyCol' keys — this sink is for display/response-hash " +
+        "cardinalities; key by a bounded column or raise maxKeys")
+    rows.foreach { r: Row => store.put(r.getString(0), r.getString(1)) }
+  }
 
   /** S8: audit sink (trend-o-meter:253-262) — each batch as JSON lines
     * with its batch id, the command-log shape. One OVERWRITTEN directory

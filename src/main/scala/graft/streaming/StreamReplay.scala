@@ -503,6 +503,45 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)))
   }
 
+  /** S3 pub/sub STREAMING parity: consume an already-materialized channel
+    * log through the DSv2 `topiclog` source as a genuine micro-batched
+    * stream — byte-capped triggers (so the offset/admission path really
+    * splits the log into multiple batches), checkpointed progress, append
+    * mode — and decode the wire JSON with the exact expressions the batch
+    * roundtrip uses ([[graft.sources.TopicLogFixture.decodeEvents]]).
+    * Stateless passthrough, so the final table is the union of emissions
+    * and the oracle is identical to `s3_pubsub_roundtrip`'s. */
+  def pubsubReplay(spark: org.apache.spark.sql.SparkSession, logRoot: String,
+                   triggers: Int = defaultSlices): DataFrame = {
+    val root = newReplayRoot()
+    val outDir = root.resolve("out").toString
+    val ckDir = root.resolve("ck").toString
+    try {
+      val totalBytes =
+        graft.sources.TopicLog.channelSizes(logRoot, "*").values.sum
+      if (totalBytes == 0L)
+        return graft.sources.TopicLogFixture.decodeEvents(
+          spark.read.format("topiclog").option("path", logRoot).load())
+      val cap = math.max(1L, totalBytes / triggers)
+      val query = graft.sources.TopicLogFixture.decodeEvents(
+          spark.readStream.format("topiclog")
+            .option("path", logRoot)
+            .option("maxBytesPerTrigger", cap.toString)
+            .load())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      spark.read.parquet(outDir).localCheckpoint(true).drop("batch_id")
+    } finally deleteRecursively(root.toFile)
+  }
+
   /** Replays the series through [[StreamOps.ewmaStream]] (same tie-free
     * input contract as [[derivativeReplay]]). */
   def ewmaReplay(series: DataFrame, alpha: Double, slices: Int = defaultSlices): DataFrame =

@@ -485,6 +485,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2L) == ((0L, 1L, 10L, 3L)))
   }
 
+  test("token-window chunking: coverage, overlap, clamped tail, short docs") {
+    val docs = docsDF(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10 > window
+      (1L, "a b c"),                                  // n=3 < window -> 1 chunk
+      (2L, ""))                                       // empty -> 1 empty chunk
+    val out = graft.operators.CurationOps
+      .chunkDocuments(docs, window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        (r.getAs[Long]("begin_token"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("chunk_text"))).toMap
+    // n=10, w=4, s=3: last index (6+2)/3 = 2 -> starts 0,3,6 all full-width
+    assert(out((0L, 0)) == ((0L, 4L, "t1 t2 t3 t4")))
+    assert(out((0L, 1)) == ((3L, 4L, "t4 t5 t6 t7")))
+    assert(out((0L, 2)) == ((6L, 4L, "t7 t8 t9 t10")))
+    // n=11: last start clamps to n-w=7 (not 9) -> tail stays full-width
+    val clamped = graft.operators.CurationOps
+      .chunkDocuments(docsDF((9L, (1 to 11).map(i => s"t$i").mkString(" "))),
+        window = 4, stride = 3)
+      .collect().map(r => r.getAs[Long]("begin_token")).sorted
+    assert(clamped.toSeq == Seq(0L, 3L, 6L, 7L))
+    assert(out((1L, 0)) == ((0L, 3L, "a b c")))
+    assert(out((2L, 0)) == ((0L, 0L, "")))
+    assert(out.size == 5)
+  }
+
   test("PPS sampling: zero weight never kept, saturated weight always kept, deterministic") {
     val s = spark
     import s.implicits._

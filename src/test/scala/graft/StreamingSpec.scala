@@ -600,6 +600,14 @@ class StreamingSpec extends SparkSpec {
     assert(store("a").contains("new") && !store("a").contains("old")) // event-order last wins
     assert(store("b").contains("only"))
 
+    // Cardinality contract is enforced, not assumed: a batch with more
+    // distinct keys than maxKeys fails loudly instead of growing the store.
+    val oversized = intercept[IllegalStateException] {
+      Sinks.lastValueSink(store, "k", "v", "ord", maxKeys = 2)(
+        Seq(("x", "1", 1L), ("y", "2", 1L), ("z", "3", 1L)).toDF("k", "v", "ord"), 1L)
+    }
+    assert(oversized.getMessage.contains("distinct"))
+
     val dir = java.nio.file.Files.createTempDirectory("audit").toString
     Sinks.auditSink(dir)(Seq(("cmd", true)).toDF("message", "valid"), 7L)
     // replaying the same batch must NOT duplicate the audit record
