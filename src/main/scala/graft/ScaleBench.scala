@@ -24,7 +24,10 @@ object ScaleBench {
     "q_mktseg_revenue"  -> "lineitem",
     "q5_local_volume"   -> "lineitem",
     "q7_nation_pairs"   -> "lineitem",
-    "minhash_neardup"   -> "documents"
+    "minhash_neardup"   -> "documents",
+    "a35_quantile_tier" -> "events",
+    "a26_hll_tier"      -> "events",
+    "dedup_incremental" -> "documents"
   ).withDefaultValue("lineitem")
 
   def main(args: Array[String]): Unit = {

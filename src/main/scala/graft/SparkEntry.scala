@@ -324,6 +324,39 @@ object SparkEntry {
       |        SELECT metric, e, value, count(*) OVER (PARTITION BY metric, e) AS c
       |        FROM series) WHERE c = 1)""".stripMargin
 
+  /** The PUBLISH-side gate fixture: a 1-in-20 events slice (disjoint from
+    * the subscribe fixture's `% 20 = 3` slice) encoded to the wire shape
+    * the topiclog sink carries — `channel` = event_type, `value` = the
+    * same to_json message [[graft.sources.TopicLogFixture]] uses, plus an
+    * event-time `ts` so the streaming twin can be replay-sliced. */
+  private def publishEncodedEvents(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(guarded(s), dir)
+    val e = Tables.tsEpochSeconds(raw)
+    raw.where(pmod(col("event_id"), lit(20)) === 7)
+      .select(timestamp_seconds(e).as("ts"),
+        col("event_type").as("channel"),
+        to_json(struct(
+          col("event_id").as("id"), e.as("e"),
+          col("user_id").as("uid"),
+          col("value").cast("string").as("v"))).as("value"))
+  }
+
+  /** Publish-gate epilogue: the read-back must detach from the temp log
+    * root before it is deleted (eager localCheckpoint), like the replay
+    * harness does. */
+  private def decodePublishedLog(s: SparkSession, root: java.nio.file.Path): DataFrame =
+    try
+      graft.sources.TopicLogFixture.decodeEvents(
+          s.read.format("topiclog").option("path", root.toString).load())
+        .localCheckpoint(true)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(root.toFile)
+    }
+
   // ---- queries -------------------------------------------------------------
 
   /** Gate eps for the a35 quantile tier and its streaming twin: below
@@ -434,6 +467,29 @@ object SparkEntry {
       val root = graft.sources.TopicLogFixture.eventsLog(
         s, dir, s"$oracleExportRoot/_topiclog_fixture")
       graft.streaming.StreamReplay.pubsubReplay(s, root)
+    }),
+
+    // The PUBLISH half of the loop (reference C2 response PUBLISH
+    // trend-o-meter:247-248, cmdlog LPUSH :253-262, and the sensors' own
+    // publishes): a disjoint events slice encoded to wire JSON, written
+    // through the DSv2 topiclog BATCH write (distributed staged segments +
+    // ordered driver splice), subscribed back, decoded — a green hash row
+    // proves the sink's append path loses and duplicates nothing.
+    "pubsub_publish_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_pub_batch_")
+      publishEncodedEvents(s, dir).drop("ts").write.format("topiclog")
+        .mode("append").option("path", root.toString).save()
+      decodePublishedLog(s, root)
+    }),
+
+    // Same wire rows driven through a genuine checkpointed STREAMING
+    // write: multiple epochs, per-epoch staged commits, epoch markers —
+    // then subscribed back batch-side. Shares the batch publish oracle.
+    "stream_pubsub_sink_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_pub_stream_")
+      graft.streaming.StreamReplay.topicPublishReplay(
+        publishEncodedEvents(s, dir), root.toString)
+      decodePublishedLog(s, root)
     }),
 
     // A2+A3 flagship: banded day-bin extents with completeness gate.
@@ -2508,6 +2564,20 @@ object SparkEntry {
       """SELECT event_type, event_id, epoch_ns(ts)//1000000000 AS e,
         |  user_id, value
         |FROM events WHERE event_id % 20 = 3""".stripMargin,
+
+    // The publish gates' oracle reads the SOURCE rows the sink was fed: a
+    // green hash row proves encode → staged-segment write → ordered splice
+    // → subscribe → decode is lossless and duplicate-free (the streaming
+    // twin additionally crosses epoch-commit boundaries).
+    "pubsub_publish_roundtrip" ->
+      """SELECT event_type, event_id, epoch_ns(ts)//1000000000 AS e,
+        |  user_id, value
+        |FROM events WHERE event_id % 20 = 7""".stripMargin,
+
+    "stream_pubsub_sink_parity" ->
+      """SELECT event_type, event_id, epoch_ns(ts)//1000000000 AS e,
+        |  user_id, value
+        |FROM events WHERE event_id % 20 = 7""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty

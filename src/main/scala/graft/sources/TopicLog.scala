@@ -8,10 +8,12 @@ import java.util.regex.Pattern
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -154,11 +156,21 @@ object TopicLogOffset {
 
 class TopicLogTable(root: String, pattern: String,
                     maxBytesPerTrigger: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"topiclog($root, $pattern)"
   override def schema(): StructType = TopicLog.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    // ACCEPT_ANY_SCHEMA: the WRITE schema (channel, value) is narrower than
+    // the read schema — offsets are assigned by the log, not the writer —
+    // so the analyzer's table-schema match is skipped and the write builder
+    // does its own validation (the Kafka-sink pattern: its read schema
+    // carries partition/offset/timestamp, its write accepts key/value).
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TopicLogWriteBuilder(root, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -335,6 +347,219 @@ class TopicLogReaderFactory extends PartitionReaderFactory {
 
       override def get(): InternalRow = row
       override def close(): Unit = raf.close()
+    }
+  }
+}
+
+/** PUBLISH side of the channel-log broker — the reference's write surface
+  * (C2 response `PUBLISH` trend-o-meter:247-248, cmdlog `LPUSH` :253-262,
+  * and the sensors' own publishes) as a native DSv2 write. Batch
+  * (`df.write.format("topiclog").mode("append")`) and streaming
+  * (`writeStream.format("topiclog")`) share one physical path:
+  *
+  *   1. Each task streams its rows into per-channel STAGED segment files
+  *      under `<root>/.staging/<writeId>/` — data bytes never pass through
+  *      the driver, and a task retry stages under a different taskId (the
+  *      commit coordinator admits exactly one attempt per partition).
+  *   2. Driver `commit()` appends the staged segments onto the live
+  *      `<channel>.log` files in (channel, partitionId, taskId) order —
+  *      zero-copy `FileChannel.transferTo`, whole lines only, so
+  *      concurrent readers (the micro-batch source stats sizes, then
+  *      range-reads) never observe a torn line: an append is visible only
+  *      after its bytes are in place, and readers bound themselves to the
+  *      size they statted.
+  *
+  * Scale posture: parallelism is ACROSS channels/partitions (stage write is
+  * fully distributed); the per-channel append serialization in commit is
+  * the broker's own contract — a single append-only log per channel has
+  * exactly one writer head, the same design point as a Kafka partition
+  * leader. At 100 TB the broker (Kafka et al.) owns that head; this
+  * implementation is the broker for the harness environment.
+  *
+  * Delivery semantics match Spark's own Kafka sink: EXACTLY-ONCE per epoch
+  * in normal operation (epoch marker files under `<root>/.epochs/<queryId>/`
+  * make a replayed streaming commit a no-op), AT-LEAST-ONCE across a driver
+  * crash that lands between the last segment append and the marker write —
+  * the log's consumers are told to key on (channel, offset) for dedup if
+  * they need stronger guarantees, exactly as Kafka-sink users are.
+  *
+  * Input schema: `channel STRING, value STRING` (a read-shaped frame with
+  * its `offset` column is accepted and the offset ignored, so
+  * subscribe→transform→republish round-trips without a projection). The
+  * whole-line contract is enforced per row: a `value` containing a newline
+  * or a channel name that would escape the root (`/`, leading `.`, empty)
+  * is rejected loudly rather than corrupting the log. */
+class TopicLogWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = {
+    val schema = info.schema()
+    def idxOf(name: String): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0 && schema.fields(i).dataType == StringType,
+        s"topiclog write requires a STRING '$name' column, got schema $schema")
+      i
+    }
+    val chIdx = idxOf("channel")
+    val valIdx = idxOf("value")
+    val extras = schema.fieldNames.filterNot(Set("channel", "offset", "value"))
+    require(extras.isEmpty,
+      s"topiclog write accepts only (channel, value [, offset ignored]); " +
+        s"unexpected columns: ${extras.mkString(", ")}")
+    new TopicLogWrite(root, info.queryId(), chIdx, valIdx)
+  }
+}
+
+class TopicLogWrite(root: String, queryId: String, chIdx: Int, valIdx: Int)
+    extends Write {
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val writeId = s"batch-$queryId"
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      TopicLogWriterFactory(root, queryId, chIdx, valIdx)
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      TopicLogCommit.commit(root, writeId, messages, epochMarker = None)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      TopicLogCommit.cleanup(root, writeId)
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      TopicLogWriterFactory(root, queryId, chIdx, valIdx)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      TopicLogCommit.commit(root, s"$queryId-e$epochId", messages,
+        epochMarker = Some((queryId, epochId)))
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      TopicLogCommit.cleanup(root, s"$queryId-e$epochId")
+  }
+}
+
+/** Ships to executors (factories must be serializable — only plain fields
+  * here); one class serves both write modes, differing only in the staging
+  * writeId (batch = one logical write, streaming = one per epoch). */
+case class TopicLogWriterFactory(root: String, queryId: String,
+                                 chIdx: Int, valIdx: Int)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TopicLogDataWriter(root, s"batch-$queryId", partitionId, taskId, chIdx, valIdx)
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new TopicLogDataWriter(root, s"$queryId-e$epochId", partitionId,
+      taskId, chIdx, valIdx)
+}
+
+/** One task's staged output: which channels it wrote, as staged segment
+  * file names relative to the write's staging dir (paths are recomputed
+  * driver-side from root — the message carries no absolute paths so a
+  * shared-FS layout where driver and executors mount the root differently
+  * still commits correctly). */
+case class TopicLogCommitMessage(partitionId: Int, taskId: Long,
+                                 channels: Seq[String])
+    extends WriterCommitMessage
+
+class TopicLogDataWriter(root: String, writeId: String, partitionId: Int,
+                         taskId: Long, chIdx: Int, valIdx: Int)
+    extends DataWriter[InternalRow] {
+  private val stageDir = Paths.get(root, ".staging", writeId)
+  private val open = scala.collection.mutable.Map[String, java.io.OutputStream]()
+
+  private def segPath(channel: String): Path =
+    stageDir.resolve(s"$channel.p$partitionId-t$taskId.seg")
+
+  override def write(row: InternalRow): Unit = {
+    val channel = row.getUTF8String(chIdx).toString
+    val value = row.getUTF8String(valIdx).toString
+    require(channel.nonEmpty && !channel.contains("/") && !channel.startsWith("."),
+      s"invalid channel name '$channel' (empty, '/', or leading '.')")
+    require(!value.contains('\n'),
+      s"topiclog values are whole lines; embedded newline in message for " +
+        s"channel '$channel' (encode multi-line payloads, e.g. to_json)")
+    val out = open.getOrElseUpdate(channel, {
+      Files.createDirectories(stageDir)
+      new java.io.BufferedOutputStream(
+        Files.newOutputStream(segPath(channel),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+          StandardOpenOption.WRITE), 64 * 1024)
+    })
+    out.write(value.getBytes(StandardCharsets.UTF_8))
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val channels = open.keySet.toSeq.sorted
+    open.values.foreach(_.close()); open.clear()
+    TopicLogCommitMessage(partitionId, taskId, channels)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(_.close())
+    open.keys.foreach(ch => Files.deleteIfExists(segPath(ch)))
+    open.clear()
+  }
+
+  override def close(): Unit = open.values.foreach(_.close())
+}
+
+/** Driver-side commit: splice staged segments onto the live channel logs
+  * in deterministic (channel, partition, task) order, mark the epoch, drop
+  * the staging dir. */
+object TopicLogCommit {
+  private def epochMarkerPath(root: String, queryId: String, epochId: Long): Path =
+    Paths.get(root, ".epochs", queryId, epochId.toString)
+
+  def commit(root: String, writeId: String,
+             messages: Array[WriterCommitMessage],
+             epochMarker: Option[(String, Long)]): Unit = {
+    val replayed = epochMarker.exists { case (q, e) =>
+      Files.exists(epochMarkerPath(root, q, e)) }
+    if (!replayed) {
+      val stageDir = Paths.get(root, ".staging", writeId)
+      val perChannel = messages.toSeq
+        .collect { case m: TopicLogCommitMessage => m }
+        .flatMap(m => m.channels.map(ch => (ch, m.partitionId, m.taskId)))
+        .groupBy(_._1)
+      for ((channel, segs) <- perChannel.toSeq.sortBy(_._1)) {
+        val log = Paths.get(root, s"$channel.log")
+        Files.createDirectories(log.getParent)
+        val out = java.nio.channels.FileChannel.open(log,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+          StandardOpenOption.APPEND)
+        try {
+          for ((_, pid, tid) <- segs.sortBy(s => (s._2, s._3))) {
+            val seg = stageDir.resolve(s"$channel.p$pid-t$tid.seg")
+            val in = java.nio.channels.FileChannel.open(seg, StandardOpenOption.READ)
+            try {
+              var pos = 0L
+              val n = in.size()
+              while (pos < n) pos += in.transferTo(pos, n - pos, out)
+            } finally in.close()
+          }
+        } finally out.close()
+      }
+      epochMarker.foreach { case (q, e) =>
+        val marker = epochMarkerPath(root, q, e)
+        Files.createDirectories(marker.getParent)
+        Files.write(marker, Array.emptyByteArray,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
+    }
+    cleanup(root, writeId)
+  }
+
+  /** Remove a write's staging dir (commit epilogue and abort path). */
+  def cleanup(root: String, writeId: String): Unit = {
+    val dir = Paths.get(root, ".staging", writeId)
+    if (Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+      Files.deleteIfExists(dir)
+    }
+    // Drop the (now possibly empty) .staging parent so a log root that has
+    // only ever been written to still lists as channels-only.
+    val parent = Paths.get(root, ".staging")
+    if (Files.isDirectory(parent)) {
+      val s = Files.list(parent)
+      val empty = try !s.iterator().hasNext finally s.close()
+      if (empty) Files.deleteIfExists(parent)
     }
   }
 }

@@ -96,69 +96,7 @@ object StreamReplay {
     val outDir = root.resolve("out").toString
     val ckDir = root.resolve("ck").toString
     try {
-      // The source pipeline can itself be expensive (the tie-free slice
-      // is a full window over the series) and is needed by BOTH the
-      // bounds probe and the slice write — pin it once instead of
-      // recomputing it per job. Fixture-sized; blocks are released by the
-      // context cleaner once the replay returns.
-      val pinned = src.localCheckpoint(true)
-      val bounds = pinned.agg(min(col("ts").cast("long")).as("lo"),
-        max(col("ts").cast("long")).as("hi")).head()
-      // Empty fixture: nothing to replay — the caller builds its empty
-      // result with the exact output schema instead of NPE-ing on the
-      // null bounds.
-      if (bounds.isNullAt(0)) return None
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val span = math.max(1L, hi - lo + 1)
-      // ONE partitioned write job cuts all slices (vs the original one
-      // scan+write per slice — at 3 slices that tripled the fixture
-      // scans): repartition by the slice id puts each slice in a single
-      // task, partitionBy writes it as a single file under __slice=k/.
-      val stageDir = root.resolve("stage").toString
-      val sliceExpr = least(lit(slices - 1),
-        floor((col("ts").cast("long") - lit(lo)) * lit(slices.toLong) / lit(span)))
-        .cast("int")
-      pinned.withColumn("__slice", sliceExpr)
-        .repartition(slices, col("__slice"))
-        .write.partitionBy("__slice").parquet(stageDir)
-      // FileStreamSource consumes files in MODIFICATION-TIME order with an
-      // arbitrary tie-break — an out-of-order replay would silently break
-      // every order-dependent stateful twin (derivative/cusum/ewma/
-      // decimate fold later-slice events first). Move each slice's file
-      // into the flat source dir with a strictly increasing modTime so
-      // the replay order is the slice order by construction, not by
-      // write-latency luck.
-      val stampBase = System.currentTimeMillis()
-      Files.createDirectories(java.nio.file.Paths.get(inDir))
-      (0 until slices).foreach { k =>
-        val sliceDir = new java.io.File(s"$stageDir/__slice=$k")
-        Option(sliceDir.listFiles()).toSeq.flatten
-          .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
-            case (f, i) =>
-              val dest = new java.io.File(inDir, s"slice-$k-$i.parquet")
-              Files.move(f.toPath, dest.toPath)
-              // A failed stamp silently re-introduces write-latency-ordered
-              // pickup — the exact nondeterminism the stamping kills. Fail
-              // loudly instead of letting an out-of-order replay corrupt an
-              // order-dependent stateful parity row downstream.
-              if (!dest.setLastModified(stampBase + k * 1000L))
-                throw new IllegalStateException(
-                  s"setLastModified failed for ${dest.getPath}; replay order " +
-                    "would fall back to nondeterministic write-latency order")
-          }
-      }
-      flush.foreach { mk =>
-        val flushStage = root.resolve("flush").toString
-        mk(hi).coalesce(1).write.parquet(flushStage)
-        val f = Option(new java.io.File(flushStage).listFiles()).toSeq.flatten
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(inDir, s"slice-$slices-flush.parquet")
-        Files.move(f.toPath, dest.toPath)
-        if (!dest.setLastModified(stampBase + slices * 1000L))
-          throw new IllegalStateException(
-            s"setLastModified failed for ${dest.getPath}; the flush sentinel " +
-              "must be the LAST file or append-mode windows close early")
-      }
+      if (!writeSliceFiles(src, slices, root, inDir, flush)) return None
 
       val stream = spark.readStream
         .schema(schema)
@@ -193,6 +131,117 @@ object StreamReplay {
       // files so the whole replay root can be deleted in the finally —
       // block-manager durability is plenty for a bounded replay harness.
       Some(spark.read.parquet(outDir).localCheckpoint(true))
+    } finally deleteRecursively(root.toFile)
+  }
+
+  /** The slice-staging half of [[sliceAndReplay]], reusable by replays
+    * whose SINK is the surface under test (so foreachBatch capture doesn't
+    * apply): cut `src` (any relation with a `ts` timestamp column) into
+    * `slices` time-ordered single-file chunks under `inDir`, modification-
+    * time-stamped so FileStreamSource replays them in slice order. Returns
+    * false when the fixture is empty (nothing staged). */
+  private def writeSliceFiles(src: DataFrame, slices: Int,
+                              root: java.nio.file.Path, inDir: String,
+                              flush: Option[Long => DataFrame]): Boolean = {
+    // The source pipeline can itself be expensive (the tie-free slice
+    // is a full window over the series) and is needed by BOTH the
+    // bounds probe and the slice write — pin it once instead of
+    // recomputing it per job. Fixture-sized; blocks are released by the
+    // context cleaner once the replay returns.
+    val pinned = src.localCheckpoint(true)
+    val bounds = pinned.agg(min(col("ts").cast("long")).as("lo"),
+      max(col("ts").cast("long")).as("hi")).head()
+    // Empty fixture: nothing to replay — the caller builds its empty
+    // result with the exact output schema instead of NPE-ing on the
+    // null bounds.
+    if (bounds.isNullAt(0)) return false
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    // ONE partitioned write job cuts all slices (vs the original one
+    // scan+write per slice — at 3 slices that tripled the fixture
+    // scans): repartition by the slice id puts each slice in a single
+    // task, partitionBy writes it as a single file under __slice=k/.
+    val stageDir = root.resolve("stage").toString
+    val sliceExpr = least(lit(slices - 1),
+      floor((col("ts").cast("long") - lit(lo)) * lit(slices.toLong) / lit(span)))
+      .cast("int")
+    pinned.withColumn("__slice", sliceExpr)
+      .repartition(slices, col("__slice"))
+      .write.partitionBy("__slice").parquet(stageDir)
+    // FileStreamSource consumes files in MODIFICATION-TIME order with an
+    // arbitrary tie-break — an out-of-order replay would silently break
+    // every order-dependent stateful twin (derivative/cusum/ewma/
+    // decimate fold later-slice events first). Move each slice's file
+    // into the flat source dir with a strictly increasing modTime so
+    // the replay order is the slice order by construction, not by
+    // write-latency luck.
+    val stampBase = System.currentTimeMillis()
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    (0 until slices).foreach { k =>
+      val sliceDir = new java.io.File(s"$stageDir/__slice=$k")
+      Option(sliceDir.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+          case (f, i) =>
+            val dest = new java.io.File(inDir, s"slice-$k-$i.parquet")
+            Files.move(f.toPath, dest.toPath)
+            // A failed stamp silently re-introduces write-latency-ordered
+            // pickup — the exact nondeterminism the stamping kills. Fail
+            // loudly instead of letting an out-of-order replay corrupt an
+            // order-dependent stateful parity row downstream.
+            if (!dest.setLastModified(stampBase + k * 1000L))
+              throw new IllegalStateException(
+                s"setLastModified failed for ${dest.getPath}; replay order " +
+                  "would fall back to nondeterministic write-latency order")
+        }
+    }
+    flush.foreach { mk =>
+      val flushStage = root.resolve("flush").toString
+      mk(hi).coalesce(1).write.parquet(flushStage)
+      val f = Option(new java.io.File(flushStage).listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(inDir, s"slice-$slices-flush.parquet")
+      Files.move(f.toPath, dest.toPath)
+      if (!dest.setLastModified(stampBase + slices * 1000L))
+        throw new IllegalStateException(
+          s"setLastModified failed for ${dest.getPath}; the flush sentinel " +
+            "must be the LAST file or append-mode windows close early")
+    }
+    true
+  }
+
+  /** PUBLISH-side replay: drive `msgs` (`ts TIMESTAMP, channel STRING,
+    * value STRING`) through a real checkpointed micro-batched streaming
+    * WRITE into the `topiclog` sink at `logRoot` — the dual of
+    * [[pubsubReplay]], where the DSv2 SINK (staged segments, ordered
+    * driver splice, epoch markers) is the surface under test rather than
+    * the offset/admission read path. The caller reads `logRoot` back with
+    * the batch `topiclog` source to face its oracle. */
+  def topicPublishReplay(msgs: DataFrame, logRoot: String,
+                         slices: Int = defaultSlices): Unit = {
+    val spark = msgs.sparkSession
+    val root = newReplayRoot()
+    val inDir = root.resolve("in").toString
+    val ckDir = root.resolve("ck").toString
+    try {
+      if (!writeSliceFiles(msgs, slices, root, inDir, None)) return
+      // Same physical-knob pinning rationale as sliceAndReplay: fewer
+      // shuffle partitions = fewer near-empty staged segments per epoch.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = spark.readStream
+          .schema("ts TIMESTAMP, channel STRING, value STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .select("channel", "value")
+          .writeStream.format("topiclog")
+          .option("path", logRoot)
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     } finally deleteRecursively(root.toFile)
   }
 

@@ -115,6 +115,134 @@ class TopicLogSpec extends SparkSpec {
       s"exactly-once violated: ${out.size} uniques, ${dupes.get} dupes")
   }
 
+  test("batch write: staged segments splice into channel logs, read round-trips") {
+    val root = tmp("topiclog_wbatch")
+    import spark.implicits._
+    val df = Seq(
+      ("dev0", "a1"), ("dev0", "a2"), ("dev1", "b1"), ("dev2", "c1"))
+      .toDF("channel", "value")
+      .repartition(4) // rows scatter across tasks; commit must still splice
+    df.write.format("topiclog").mode("append").option("path", root).save()
+    val back = spark.read.format("topiclog").option("path", root).load()
+      .select("channel", "value").as[(String, String)].collect().toSet
+    assert(back == Set(("dev0", "a1"), ("dev0", "a2"), ("dev1", "b1"), ("dev2", "c1")))
+    // Append-only contract: a second write appends, never truncates.
+    Seq(("dev1", "b2")).toDF("channel", "value")
+      .write.format("topiclog").mode("append").option("path", root).save()
+    assert(spark.read.format("topiclog").option("path", root).load().count() == 5)
+    // No staging residue after commit.
+    assert(!Files.exists(java.nio.file.Paths.get(root, ".staging")))
+  }
+
+  test("batch write accepts a read-shaped frame (offset ignored) — republish loop") {
+    val src = tmp("topiclog_rep_src")
+    val dst = tmp("topiclog_rep_dst")
+    TopicLogWriter.publish(src, "dev0", Seq("m1", "m2"))
+    TopicLogWriter.publish(src, "dev1", Seq("n1"))
+    spark.read.format("topiclog").option("path", src).load()
+      .write.format("topiclog").mode("append").option("path", dst).save()
+    val back = spark.read.format("topiclog").option("path", dst).load()
+      .select("channel", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("dev0", "m1"), ("dev0", "m2"), ("dev1", "n1")))
+  }
+
+  test("write rejects embedded newlines and path-escaping channel names") {
+    import spark.implicits._
+    val root = tmp("topiclog_wbad")
+    def fails(rows: Seq[(String, String)]): Boolean =
+      try {
+        rows.toDF("channel", "value").coalesce(1)
+          .write.format("topiclog").mode("append").option("path", root).save()
+        false
+      } catch { case _: Throwable => true }
+    assert(fails(Seq(("dev0", "torn\nline"))), "newline value must be rejected")
+    assert(fails(Seq(("../escape", "x"))), "path-escaping channel must be rejected")
+    assert(fails(Seq((".hidden", "x"))), "dot-prefixed channel must be rejected")
+    // Nothing may have reached the logs.
+    assert(TopicLog.channelSizes(root, "*").isEmpty)
+  }
+
+  test("streaming write: epochs commit exactly once, markers recorded") {
+    val srcRoot = tmp("topiclog_ws_src")
+    val dstRoot = tmp("topiclog_ws_dst")
+    val ck = tmp("topiclog_ws_ck")
+    TopicLogWriter.publish(srcRoot, "dev0", Seq("m1", "m2"))
+    val q = spark.readStream.format("topiclog").option("path", srcRoot).load()
+      .select("channel", "value")
+      .writeStream.format("topiclog").option("path", dstRoot)
+      .option("checkpointLocation", ck).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      TopicLogWriter.publish(srcRoot, "dev0", Seq("m3"))
+      TopicLogWriter.publish(srcRoot, "dev1", Seq("n1"))
+      q.processAllAvailable()
+      val back = spark.read.format("topiclog").option("path", dstRoot).load()
+        .select("channel", "value").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(back.length == 4, s"exactly-once violated: ${back.mkString(",")}")
+      assert(back.toSet == Set(
+        ("dev0", "m1"), ("dev0", "m2"), ("dev0", "m3"), ("dev1", "n1")))
+      // Within a channel, arrival order is preserved (offsets ascend in
+      // publish order — the per-channel ordering the reference relies on).
+      val dev0 = spark.read.format("topiclog").option("path", dstRoot).load()
+        .where(col("channel") === "dev0").orderBy("offset")
+        .select("value").collect().map(_.getString(0)).toSeq
+      assert(dev0 == Seq("m1", "m2", "m3"))
+      // Epoch markers exist for the committed epochs.
+      val epochsDir = java.nio.file.Paths.get(dstRoot, ".epochs")
+      assert(Files.isDirectory(epochsDir), "epoch markers missing")
+    } finally q.stop()
+  }
+
+  test("a replayed epoch commit is a no-op (idempotent splice)") {
+    val root = tmp("topiclog_idem")
+    import graft.sources.{TopicLogCommit, TopicLogCommitMessage}
+    // Stage one segment by hand, then commit the same epoch twice — the
+    // second must see the marker and skip the append.
+    def stage(): Unit = {
+      val dir = java.nio.file.Paths.get(root, ".staging", "q1-e5")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("dev0.p0-t0.seg"), "x1\n".getBytes("UTF-8"))
+    }
+    stage()
+    TopicLogCommit.commit(root, "q1-e5",
+      Array(TopicLogCommitMessage(0, 0L, Seq("dev0"))), Some(("q1", 5L)))
+    stage() // engine-side replay restages the epoch's data
+    TopicLogCommit.commit(root, "q1-e5",
+      Array(TopicLogCommitMessage(0, 0L, Seq("dev0"))), Some(("q1", 5L)))
+    assert(Files.readAllBytes(java.nio.file.Paths.get(root, "dev0.log")).length == 3,
+      "replayed epoch appended twice")
+  }
+
+  test("C2 over the broker: subscribe → dispatch → response + cmdlog channels") {
+    val root = tmp("topiclog_c2")
+    TopicLogWriter.publish(root, "c2", Seq("get config"))
+    val ctl = new graft.streaming.TopicLogControl(spark, root)
+    try {
+      ctl.processAllAvailable()
+      // Commands arriving mid-stream fold over the SAME param state, in
+      // offset order — including a rejected one (logged, not fatal).
+      TopicLogWriter.publish(root, "c2",
+        Seq("set minDataHoursToRenderBin 5", "frobnicate now"))
+      ctl.processAllAvailable()
+      assert(ctl.params.minDataHoursToRenderBin == 5)
+      val resp = spark.read.format("topiclog").option("path", root)
+        .option("pattern", "c2resp").load()
+        .orderBy("offset").collect().map(_.getAs[String]("value"))
+      assert(resp.length == 3)
+      assert(resp(0).contains("\"ok\": true") && resp(0).contains("dayBins"))
+      assert(resp(1).contains("minDataHoursToRenderBin=5"))
+      assert(resp(2).contains("\"ok\": false"))
+      val audit = spark.read.format("topiclog").option("path", root)
+        .option("pattern", "cmdlog").load()
+        .orderBy("offset").collect().map(_.getAs[String]("value"))
+      assert(audit.length == 3 && audit(2).contains("\"valid\": false")
+        && audit(1).contains("set minDataHoursToRenderBin 5"))
+    } finally ctl.close()
+  }
+
   test("end-to-end: topiclog feeds the reference parse→tier stack unchanged") {
     val root = tmp("topiclog_e2e")
     // Reference-shaped wire messages across two sensor channels.
