@@ -1198,6 +1198,22 @@ object SparkEntry {
         .select("lang", "rk", "term", "doc_freq")
     }),
 
+    // Trained quality scoring: logistic GD over the bit-exact text feature
+    // vector (weak-supervision labels from the proven heuristic),
+    // fitted weights export as the model, scoring runs with the read-back
+    // doubles — DuckDB recomputes every feature from text and every logit
+    // via list_dot_product (training, like Lloyd, stays outside the
+    // oracle; scoring and keep decisions are pinned bit-for-bit).
+    "quality_train_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = QualityModel.trainLogistic(docs)
+      val back = exportForOracle(
+          s.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("wv"),
+          "quality_weights", model = true)
+        .head.getSeq[Double](0).toArray
+      QualityModel.score(docs, back)
+    }),
+
     // Overlapping token-window chunking (RAG / pretraining context prep):
     // window=64, stride=48, tail start clamped to n-window. Map-only.
     "text_chunk" -> ((s, dir) =>
@@ -1380,6 +1396,36 @@ object SparkEntry {
     "ann_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       SimilarityOps.ivfTopK(emb.where(col("vec_id") < 8), emb, 5)
+    }),
+
+    // Product-quantization encode (the memory tier between SQ8 and raw
+    // floats: m=8 subspaces × k=16 codes over dim 64). Codebooks train
+    // in-query (Lloyd-L2, deterministic), export as the model, and the
+    // encode runs with the READ-BACK doubles; the oracle replays argmin-L2
+    // as argmax list_dot_product over the exported AUGMENTED centroids
+    // (bias −½‖c‖² is model data) with the same lower-code tie-break.
+    "pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trained = SimilarityOps.pqTrain(emb, m = 8, k = 16, updates = 1)
+      val back = SimilarityOps.pqModelFromRows(
+        exportForOracle(SimilarityOps.pqModelToDf(s, trained), "pq_codebook",
+          model = true).collect())
+      SimilarityOps.pqEncodeLong(emb, back)
+    }),
+
+    // PQ retrieval end-to-end: encode → reconstruct → approximate cosine
+    // top-15 → EXACT rerank to top-5, every stage SQL-replicable from the
+    // exported codebook (encode by argmax over cv_aug, reconstruction by
+    // ordered flatten of cv, both scoring stages by list_dot_product) —
+    // the whole serving chain faces the oracle, not just the rerank.
+    "pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trained = SimilarityOps.pqTrain(emb, m = 8, k = 16, updates = 1)
+      val back = SimilarityOps.pqModelFromRows(
+        exportForOracle(SimilarityOps.pqModelToDf(s, trained), "pq_codebook",
+          model = true).collect())
+      SimilarityOps.pqTopK(emb.where(col("vec_id") < 8), emb, back,
+        k = 5, rerankFactor = 3)
     }),
 
     // ANN exact-rerank legs, export-oracled: candidate GENERATION is
@@ -3033,6 +3079,29 @@ object SparkEntry {
         |       THEN 'other' ELSE 'und' END AS lang_guess
         |FROM t""".stripMargin,
 
+    // Trained-quality scoring replay: every feature recomputed from text
+    // with the text_quality-proven arithmetic forms, logit via
+    // list_dot_product against the exported weight model, keep = logit>0.
+    "quality_train_score" ->
+      s"""WITH w AS (SELECT wv FROM read_parquet('${exportGlob("quality_weights")}')),
+         |t AS (SELECT doc_id,
+         |        len(string_split_regex(text, '\\s+')) AS n,
+         |        len(list_filter(string_split_regex(text, '\\s+'),
+         |            x -> x IN ('the','a','of','and','to','in'))) AS stop_hits,
+         |        length(text) AS chars,
+         |        length(text) - length(regexp_replace(text, '[\\.,;:!?]', '', 'g')) AS punct
+         |      FROM documents),
+         |f AS (SELECT doc_id,
+         |        [1.0,
+         |         LEAST(CAST(n AS DOUBLE)/100.0, 1.0),
+         |         CAST(stop_hits AS DOUBLE)/n,
+         |         CAST(punct AS DOUBLE)/chars,
+         |         (CAST(chars - (n - 1) AS DOUBLE)/n)/10.0] AS x
+         |      FROM t)
+         |SELECT doc_id, list_dot_product(x, w.wv) AS logit,
+         |       list_dot_product(x, w.wv) > 0.0 AS keep
+         |FROM f CROSS JOIN w""".stripMargin,
+
     "text_clean" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -3166,6 +3235,60 @@ object SparkEntry {
         |r AS (SELECT q_id, c_id, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM s)
         |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin,
+
+    // PQ encode replay over the exported codebook model: per (vector,
+    // subspace), argmax of list_dot_product against the AUGMENTED
+    // centroids (= argmin L2; the −½‖c‖² bias ships in cv_aug), ties to
+    // the lower code — TopCentroids' exact contract.
+    "pq_encode" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT sub_idx, code, cv_aug
+         |       FROM read_parquet('${exportGlob("pq_codebook")}')),
+         |sub AS (SELECT vec_id, j, list_append(list_slice(v, j*8+1, j*8+8), 1.0) AS xa
+         |        FROM e CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+         |s AS (SELECT vec_id, j, code,
+         |        row_number() OVER (PARTITION BY vec_id, j
+         |          ORDER BY list_dot_product(xa, cv_aug) DESC, code) AS rk
+         |      FROM sub JOIN cb ON cb.sub_idx = j)
+         |SELECT vec_id, CAST(j AS INT) AS sub_idx, CAST(code AS INT) AS code
+         |FROM s WHERE rk = 1""".stripMargin,
+
+    // Full PQ retrieval replay: encode (as above), reconstruct by ordered
+    // flatten of the plain centroids, approximate cosine top-15 over the
+    // reconstructions, then exact cosine rerank to top-5 — stage for stage
+    // the Spark chain, same scores bit-for-bit and same (score DESC, c_id)
+    // tie-breaks at both cuts.
+    "pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT sub_idx, code, cv, cv_aug
+         |       FROM read_parquet('${exportGlob("pq_codebook")}')),
+         |sub AS (SELECT vec_id, j, list_append(list_slice(v, j*8+1, j*8+8), 1.0) AS xa
+         |        FROM e CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+         |enc AS (SELECT vec_id, j, code FROM (
+         |          SELECT vec_id, j, code,
+         |            row_number() OVER (PARTITION BY vec_id, j
+         |              ORDER BY list_dot_product(xa, cv_aug) DESC, code) AS rk
+         |          FROM sub JOIN cb ON cb.sub_idx = j) WHERE rk = 1),
+         |recon AS (SELECT enc.vec_id, flatten(list(cb.cv ORDER BY enc.j)) AS rv
+         |          FROM enc JOIN cb ON cb.sub_idx = enc.j AND cb.code = enc.code
+         |          GROUP BY enc.vec_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |ap AS (SELECT q_id, r.vec_id AS c_id,
+         |         list_dot_product(qv, rv) /
+         |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS s
+         |       FROM q, recon r WHERE r.vec_id != q_id),
+         |cand AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rk
+         |         FROM ap) WHERE rk <= 15),
+         |x AS (SELECT cand.q_id, cand.c_id,
+         |        list_dot_product(eq.v, ec.v) /
+         |          (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS score
+         |      FROM cand JOIN e eq ON eq.vec_id = cand.q_id
+         |                JOIN e ec ON ec.vec_id = cand.c_id),
+         |r AS (SELECT q_id, c_id, score,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, c_id) AS rk FROM x)
+         |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin,
 
     "ann_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -519,4 +519,188 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), cos.as("cos_centroid"),
         coalesce(cos < outlierBelow, lit(true)).as("is_outlier"))
   }
+
+  // ---- Product quantization (PQ) -------------------------------------------
+
+  /** Product-quantization codebook model (Jégou et al., TPAMI 2011): the
+    * `dim`-vector splits into `m` contiguous subspaces of `subDim`
+    * components, each quantized independently against its own `k`-entry
+    * codebook, so a vector stores as `m` small codes (m bytes at k ≤ 256)
+    * instead of `dim` floats — the memory tier between SQ8
+    * ([[quantizeInt8]], 4×) and raw floats that makes a 100 TB embedding
+    * corpus servable from RAM-sized indexes.
+    *
+    * `codebooks(j)(c)` is the plain subspace centroid; `augmented(j)(c)`
+    * is the SAME centroid with `−½‖c‖²` appended, which turns argmin-L2
+    * encoding into argmax-dot over augmented vectors
+    * (`‖x−c‖² = ‖x‖² − 2(x·c − ½‖c‖²)`, and `‖x‖²` is
+    * code-independent) — so encode reuses the codegen'd
+    * [[graft.functions.HashExpressions.TopCentroids]] loop with its
+    * lower-index tie-break, and a SQL oracle replays the argmax with
+    * `list_dot_product` over the EXPORTED augmented rows (the bias is
+    * model data, never recomputed oracle-side). */
+  final case class PqModel(subDim: Int,
+                           codebooks: Array[Array[Array[Double]]],
+                           augmented: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dim: Int = m * subDim
+  }
+
+  object PqModel {
+    /** `−½‖c‖²` with the pinned left-to-right fold (the same accumulation
+      * order [[dot]] uses), so the bias is a deterministic function of the
+      * centroid doubles and round-trips bit-exactly through the model
+      * export. */
+    def bias(cv: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+      -0.5 * acc
+    }
+
+    def fromCodebooks(subDim: Int, books: Array[Array[Array[Double]]]): PqModel =
+      PqModel(subDim, books, books.map(_.map(cv => cv :+ bias(cv))))
+  }
+
+  /** Subspace `j` of the embedding as array<double> (1-based slice). */
+  private def subVecD(v: Column, j: Int, subDim: Int): Column =
+    transform(slice(v, j * subDim + 1, subDim), x => x.cast("double"))
+
+  /** The augmented subvector `[x_j ; 1.0]` that pairs with the augmented
+    * codebook in the argmin-L2-as-argmax-dot encode. */
+  private def augSubVec(v: Column, j: Int, subDim: Int): Column =
+    concat(subVecD(v, j, subDim), array(lit(1.0d)))
+
+  /** Train PQ codebooks with Lloyd rounds under the L2 objective —
+    * deterministic end to end: seeds are the `k` lowest-vec_id vectors
+    * sliced per subspace, assignment ties break to the lower code, and
+    * centroid means are exact decimal sums per (subspace, code, component)
+    * (partitioning- and shuffle-order-independent, the [[kmeansCentroids]]
+    * contract).
+    *
+    * Scale shape per round: ONE pass over the data for ALL `m` subspaces —
+    * the per-subspace argmin is `m` independent map-only [[graft.functions.HashExpressions.TopCentroids]]
+    * expressions in a single projection, then one posexplode +
+    * (subspace, code, component)-keyed aggregate (map-side combined) whose
+    * result is the MODEL (m·k·subDim rows) collected to the driver — the
+    * data never shuffles by itself, only its per-component partial sums do. */
+  def pqTrain(vectors: DataFrame, m: Int = 8, k: Int = 16,
+              updates: Int = 1): PqModel = {
+    val dim = vectors.select(size(col("embedding")).as("d")).head.getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val seedRows = vectors.orderBy("vec_id").limit(k)
+      .select(vecD(col("embedding")).as("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == k, s"need >= $k vectors to seed, got ${seedRows.length}")
+    var model = PqModel.fromCodebooks(subDim,
+      Array.tabulate(m)(j => seedRows.map(_.slice(j * subDim, (j + 1) * subDim))))
+    for (_ <- 1 to updates) {
+      val codeCols = array((0 until m).map(j =>
+        element_at(graft.functions.HashExpressions.topCentroids(
+          augSubVec(col("embedding"), j, subDim), model.augmented(j), 1), 1)): _*)
+      val updated = vectors
+        .select(vecD(col("embedding")).as("v"), posexplode(codeCols).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("v"), col("j") * lit(subDim) + lit(1), lit(subDim))))
+        .toDF("j", "code", "pos", "x")
+        .groupBy("j", "code", "pos")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jc, rows) =>
+          jc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray }
+      // A code that captured no vectors keeps its previous centroid.
+      model = PqModel.fromCodebooks(subDim,
+        Array.tabulate(m)(j => Array.tabulate(k)(c =>
+          updated.getOrElse((j, c), model.codebooks(j)(c)))))
+    }
+    model
+  }
+
+  /** Encode each vector as its `m` PQ codes — map-only (one codegen'd
+    * [[graft.functions.HashExpressions.TopCentroids]] per subspace, no
+    * shuffle), the path that runs over the full corpus at scale.
+    *
+    * @return (vec_id, codes array<int> of length m)
+    */
+  def pqEncode(vectors: DataFrame, model: PqModel): DataFrame = {
+    val codeCols = array((0 until model.m).map(j =>
+      element_at(graft.functions.HashExpressions.topCentroids(
+        augSubVec(col("embedding"), j, model.subDim), model.augmented(j), 1), 1)): _*)
+    vectors.select(col("vec_id"), codeCols.as("codes"))
+  }
+
+  /** [[pqEncode]] in long format `(vec_id, sub_idx, code)` — the
+    * export/oracle surface (one row per code keeps the compare away from
+    * list-typed columns). */
+  def pqEncodeLong(vectors: DataFrame, model: PqModel): DataFrame =
+    pqEncode(vectors, model)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "sub_idx", "code")
+
+  /** Reconstruct the PQ approximation (the concatenation of each code's
+    * plain centroid) — map-only via one literal `(subspace·k + code) →
+    * centroid` map lookup per subspace (model-sized literal, never a
+    * join).
+    *
+    * @return (vec_id, embedding array<double> of length dim)
+    */
+  def pqDecode(codes: DataFrame, model: PqModel): DataFrame = {
+    val k = model.k
+    val entries: Map[Int, Seq[Double]] = (for {
+      j <- 0 until model.m; c <- 0 until k
+    } yield (j * k + c) -> model.codebooks(j)(c).toSeq).toMap
+    val cb = typedlit(entries)
+    codes.select(col("vec_id"),
+      flatten(transform(col("codes"),
+        (code, j) => element_at(cb, j * lit(k) + code))).as("embedding"))
+  }
+
+  /** The PQ model as its export relation `(sub_idx, code, cv, cv_aug)` —
+    * one row per codebook entry, both the plain and the augmented centroid
+    * (the oracle consumes `cv_aug` for encode and `cv` for
+    * reconstruction; shipping the bias as data means no engine ever
+    * recomputes it). */
+  def pqModelToDf(spark: org.apache.spark.sql.SparkSession, model: PqModel): DataFrame = {
+    val rows = for { j <- 0 until model.m; c <- 0 until model.k } yield
+      (j, c, model.codebooks(j)(c).toSeq, model.augmented(j)(c).toSeq)
+    spark.createDataFrame(rows).toDF("sub_idx", "code", "cv", "cv_aug")
+  }
+
+  /** Rebuild a [[PqModel]] from collected [[pqModelToDf]] rows — the
+    * read-back half of the model round-trip (the registered queries encode
+    * with the PERSISTED doubles, the same contract as `kmeans_assign`). */
+  def pqModelFromRows(rows: Array[org.apache.spark.sql.Row]): PqModel = {
+    val parsed = rows.map(r => (r.getInt(0), r.getInt(1),
+      r.getSeq[Double](2).toArray, r.getSeq[Double](3).toArray))
+    val byJ = parsed.groupBy(_._1)
+    val books = Array.tabulate(byJ.size)(j => byJ(j).sortBy(_._2).map(_._3))
+    val augs = Array.tabulate(byJ.size)(j => byJ(j).sortBy(_._2).map(_._4))
+    PqModel(books.head.head.length, books, augs)
+  }
+
+  /** PQ-approximate cosine top-k with exact rerank: candidates score
+    * against their PQ RECONSTRUCTION (encode → decode), the top
+    * `k·rerankFactor` per query rerank with true vectors. Scoring against
+    * the reconstruction is mathematically identical to the classic ADC
+    * lookup-table sum (`q·x̂ = Σ_j q_j·c_{j,code_j}`, accumulated in the
+    * same subspace order by the left-to-right [[dot]] fold) — the LUT is
+    * a constant-factor optimization the plan can adopt without changing a
+    * single emitted score. At scale the candidate stage reads m-byte codes
+    * instead of dim-float vectors; only the rerank touches raw vectors,
+    * for k·rerankFactor rows per query. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, model: PqModel,
+             k: Int, rerankFactor: Int = 3): DataFrame = {
+    val recon = pqDecode(pqEncode(candidates, model), model)
+    val cand = bruteTopK(queries, recon, k * rerankFactor).select("q_id", "c_id")
+    // The rerank joins true vectors for BOTH pair sides; queries need not
+    // be a subset of the candidate corpus, so attach the union (the
+    // dedup shuffle is bounded by the tiny query set plus candidates).
+    val vecs = candidates.select("vec_id", "embedding")
+      .unionByName(queries.select("vec_id", "embedding"))
+      .dropDuplicates("vec_id")
+    rerankTopK(cand, vecs, k)
+  }
 }

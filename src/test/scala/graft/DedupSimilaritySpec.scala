@@ -799,4 +799,93 @@ class DedupSimilaritySpec extends SparkSpec {
     // the bundle members sit close to their centroid
     assert(out(0L)._1 > 0.9 && out(4L)._1 > 0.9)
   }
+
+  test("PQ: encode is the explicit argmin-L2; decode concatenates codebook rows; deterministic") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val model = SimilarityOps.pqTrain(emb, m = 8, k = 16, updates = 1)
+    assert(model.m == 8 && model.k == 16 && model.subDim == 8)
+    val codes = SimilarityOps.pqEncode(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    // replay the encode driver-side with plain argmin ||x - c||^2
+    val raw = emb.select(col("vec_id"),
+        SimilarityOps.vecD(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((id, v) <- raw.take(40); j <- 0 until model.m) {
+      val x = v.slice(j * 8, j * 8 + 8)
+      val want = (0 until model.k).minBy { c =>
+        val cv = model.codebooks(j)(c)
+        (x.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }
+      assert(codes(id)(j) == want, s"vec $id sub $j")
+    }
+    // decode = exact concatenation of the selected codebook rows
+    val recon = SimilarityOps.pqDecode(SimilarityOps.pqEncode(emb, model), model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((id, cs) <- codes.take(20)) {
+      val want = cs.zipWithIndex.flatMap { case (c, j) => model.codebooks(j)(c) }
+      assert(recon(id).sameElements(want), s"vec $id reconstruction")
+    }
+    // training is run-to-run deterministic (exact-decimal means, fixed seeds)
+    def flat3(a: Array[Array[Array[Double]]]): Seq[Double] =
+      a.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    val again = SimilarityOps.pqTrain(emb, m = 8, k = 16, updates = 1)
+    assert(flat3(model.codebooks) == flat3(again.codebooks))
+    // model round-trips through its export relation bit-for-bit
+    val back = SimilarityOps.pqModelFromRows(
+      SimilarityOps.pqModelToDf(spark, model).collect())
+    assert(back.subDim == model.subDim)
+    assert(flat3(back.codebooks) == flat3(model.codebooks))
+    assert(flat3(back.augmented) == flat3(model.augmented))
+  }
+
+  test("PQ retrieval: rerank scores are exact cosines and recall@5 vs brute holds") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val model = SimilarityOps.pqTrain(emb, m = 8, k = 16, updates = 1)
+    val queries = emb.where(col("vec_id") < 8)
+    val got = SimilarityOps.pqTopK(queries, emb, model, k = 5, rerankFactor = 3)
+      .collect()
+    assert(got.length == 8 * 5)
+    // every emitted score is the TRUE cosine of the pair (the rerank
+    // contract) — recompute driver-side
+    val raw = emb.select(col("vec_id"),
+        SimilarityOps.vecD(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) { xy += a(i) * b(i); xx += a(i) * a(i); yy += b(i) * b(i); i += 1 }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    for (r <- got) {
+      val want = cos(raw(r.getAs[Long]("q_id")), raw(r.getAs[Long]("c_id")))
+      assert(math.abs(r.getAs[Double]("score") - want) < 1e-12)
+    }
+    val exact = SimilarityOps.bruteTopK(queries, emb, 5)
+    val recalls = SimilarityOps.recallAtK(
+      SimilarityOps.pqTopK(queries, emb, model, k = 5, rerankFactor = 3), exact)
+      .collect().map(_.getDouble(1))
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.4, s"PQ mean recall@5 too low: $mean (${recalls.mkString(",")})")
+  }
+
+  test("quality model: GD reduces loss, scoring mimics the weak rule, deterministic") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    import graft.operators.QualityModel
+    val w0 = Array.fill(QualityModel.numFeatures)(0.0)
+    val w = QualityModel.trainLogistic(docs)
+    assert(QualityModel.meanLoss(docs, w) < QualityModel.meanLoss(docs, w0),
+      "training did not reduce logistic loss")
+    // the fitted model reproduces the weak-supervision rule on most docs
+    val scored = QualityModel.score(docs, w)
+    val labeled = docs.select(col("doc_id"),
+      QualityModel.weakLabel(col("text")).as("y"))
+    val agree = scored.join(labeled, "doc_id")
+      .select(((col("keep") === (col("y") === 1.0)).cast("int")).as("ok"))
+      .agg(avg("ok")).head.getDouble(0)
+    assert(agree >= 0.8, s"model/rule agreement only $agree")
+    // exact-decimal gradient sums make training run-to-run deterministic
+    assert(QualityModel.trainLogistic(docs).sameElements(w))
+  }
 }
