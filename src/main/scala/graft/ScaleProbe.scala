@@ -60,7 +60,13 @@ object ScaleProbe {
           .agg(QuantileSketch.merged(col("sk"), eps).as("sk"))
       })
 
+    // Optional comma-list filter (SPARK_GRAFT_PROBE_ONLY) so a new
+    // operator's probe can run alone instead of re-timing the whole suite.
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
     def probe(name: String, mk: Int => DataFrame): Unit = {
+      if (!probeOnly.forall(_.contains(name))) return
       val times = Seq(1, 4, 16).map { k =>
         mk(k).write.format("noop").mode("overwrite").save() // warm plan/codegen
         time(mk(k))
@@ -159,6 +165,22 @@ object ScaleProbe {
     probe("emb_cand_pairs", { k =>
       val bits = 8 + (31 - Integer.numberOfLeadingZeros(k)) // 8 + log2(k)
       SimilarityOps.embeddingCandidatePairs(scaledEmb(k), bitsPerTable = bits)
+    })
+
+    // Round-11 additions: PQ train+encode (ScaleUp keeps embeddings as a
+    // fixed dimension table, so the scaled self-union here is PQ's only
+    // with-scale evidence) and the trained quality scorer. Both should hold
+    // ≈linear: PQ's round is one map-only assignment + one model-sized
+    // aggregate, encode is pure map; the scorer is `iters` map-side-combined
+    // gradient aggregates (model-sized collects) + a map-only scoring pass.
+    probe("pq_train_encode", { rep =>
+      val emb = scaledEmb(rep)
+      SimilarityOps.pqEncodeLong(emb,
+        SimilarityOps.pqTrain(emb, m = 8, k = 16, updates = 1))
+    })
+    probe("quality_train_score", { rep =>
+      val docs = scaledDocs(rep)
+      QualityModel.score(docs, QualityModel.trainLogistic(docs))
     })
 
     // Hot-metric skew posture (round-8 VERDICT item 8): the sequential
