@@ -176,6 +176,37 @@ object SparkEntry {
        |       min(value) AS min_val, max(value) AS max_val
        |FROM series GROUP BY 1, 2""".stripMargin
 
+  /** Unrolled 4-iteration integer PageRank over the content-hash link
+    * graph — the recursive-CTE-free replay of `GraphOps.pageRank` (DuckDB
+    * disallows aggregation in a recursive term, and the iteration count is
+    * a compile-time constant anyway, so each round is its own CTE stage
+    * with the same integral `//` steps). */
+  private lazy val PAGERANK_ORACLE: String = {
+    def stage(prev: String, out: String): String =
+      s"""$out AS (SELECT n.node_id,
+         |  CAST(((1000000000000 * 15) // (100 * st.n)) + COALESCE(s.cin, 0) AS BIGINT) AS pr
+         |FROM nodes n CROSS JOIN st LEFT JOIN (
+         |  -- SUM(BIGINT) widens to HUGEINT in DuckDB; every rank is < 1e12
+         |  -- so the narrowing cast is lossless and keeps the column int64.
+         |  SELECT e.dst AS node_id, SUM((p.pr * 85) // (100 * e.outdeg)) AS cin
+         |  FROM e JOIN $prev p ON p.node_id = e.src GROUP BY e.dst) s USING (node_id))""".stripMargin
+    s"""WITH st AS (SELECT count(*) AS n FROM documents),
+       |e0 AS (SELECT d.doc_id AS src,
+       |         CAST('0x' || substr(md5(d.text || '#' || t.t), 1, 12) AS BIGINT) % st.n AS dst
+       |       FROM documents d CROSS JOIN st
+       |            CROSS JOIN (SELECT unnest(range(3)) AS t) t),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT x AS node_id
+       |          FROM (SELECT src AS x FROM e0 UNION ALL SELECT dst FROM e0)),
+       |pr0 AS (SELECT node_id, (1000000000000 // st.n) AS pr FROM nodes CROSS JOIN st),
+       |${stage("pr0", "it1")},
+       |${stage("it1", "it2")},
+       |${stage("it2", "it3")},
+       |${stage("it3", "it4")}
+       |SELECT node_id, pr FROM it4""".stripMargin
+  }
+
   /** Exact global term counts, top-20 — the check both heavy-hitter
     * producers (batch a34 sketch and its streaming replay twin) must
     * reproduce. ONE string, two registry keys. */
@@ -2236,6 +2267,16 @@ object SparkEntry {
       DedupOps.nearDupGroups(edges)
     }),
 
+    // Fixed-point graph analytics: 4 damped PageRank iterations in exact
+    // long micro-units over the content-hash link graph (both engines
+    // derive the SAME edges from md5 hex — the shuffle_shards parse
+    // precedent), so the DuckDB replay of the unrolled iterations matches
+    // every rank bit-for-bit.
+    "graph_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(
+        GraphOps.hashLinkGraph(Tables.documents(s, dir).select("doc_id", "text")),
+        iters = 4)),
+
     // Analytic-window breadth: quartile bucket, percent_rank, cume_dist and
     // running first per metric — all rational functions of ranks/counts, so
     // fully oracle-checkable.
@@ -3235,6 +3276,8 @@ object SparkEntry {
         |r AS (SELECT q_id, c_id, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM s)
         |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin,
+
+    "graph_pagerank" -> PAGERANK_ORACLE,
 
     // PQ encode replay over the exported codebook model: per (vector,
     // subspace), argmax of list_dot_product against the AUGMENTED
