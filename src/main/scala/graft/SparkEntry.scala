@@ -176,6 +176,30 @@ object SparkEntry {
        |       min(value) AS min_val, max(value) AS max_val
        |FROM series GROUP BY 1, 2""".stripMargin
 
+  /** Trained-quality scoring check — features from text via the
+    * text_quality-proven arithmetic forms, logit via `list_dot_product`
+    * against the exported weight model. ONE string, two keys: the batch
+    * scorer and its streaming-gate replay face the identical check. */
+  private lazy val QUALITY_SCORE_ORACLE: String =
+    s"""WITH w AS (SELECT wv FROM read_parquet('${exportGlob("quality_weights")}')),
+       |t AS (SELECT doc_id,
+       |        len(string_split_regex(text, '\\s+')) AS n,
+       |        len(list_filter(string_split_regex(text, '\\s+'),
+       |            x -> x IN ('the','a','of','and','to','in'))) AS stop_hits,
+       |        length(text) AS chars,
+       |        length(text) - length(regexp_replace(text, '[\\.,;:!?]', '', 'g')) AS punct
+       |      FROM documents),
+       |f AS (SELECT doc_id,
+       |        [1.0,
+       |         LEAST(CAST(n AS DOUBLE)/100.0, 1.0),
+       |         CAST(stop_hits AS DOUBLE)/n,
+       |         CAST(punct AS DOUBLE)/chars,
+       |         (CAST(chars - (n - 1) AS DOUBLE)/n)/10.0] AS x
+       |      FROM t)
+       |SELECT doc_id, list_dot_product(x, w.wv) AS logit,
+       |       list_dot_product(x, w.wv) > 0.0 AS keep
+       |FROM f CROSS JOIN w""".stripMargin
+
   /** Unrolled 4-iteration integer PageRank over the content-hash link
     * graph — the recursive-CTE-free replay of `GraphOps.pageRank` (DuckDB
     * disallows aggregation in a recursive term, and the iteration count is
@@ -1039,6 +1063,21 @@ object SparkEntry {
         docs.where(col("doc_id") < 300))
     }),
 
+    // Streaming twin of quality_train_score: train batch-side, export the
+    // SAME weight model, then score the document stream through a real
+    // checkpointed replay — the stateless scoring map is the identical
+    // expression, so the appended emissions face the identical oracle.
+    "stream_quality_parity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = QualityModel.trainLogistic(docs)
+      val back = exportForOracle(
+          s.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("wv"),
+          "quality_weights", model = true)
+        .head.getSeq[Double](0).toArray
+      graft.streaming.StreamReplay.qualityScoreReplay(
+        docs.select("doc_id", "text"), back)
+    }),
+
     // Near-dup via MinHash LSH over planted variants (the base corpus is
     // fully distinct) — banded buckets, candidate pairs, exact-Jaccard
     // verify. Not SQL-expressible → rows-only + unit tests.
@@ -1457,6 +1496,27 @@ object SparkEntry {
           model = true).collect())
       SimilarityOps.pqTopK(emb.where(col("vec_id") < 8), emb, back,
         k = 5, rerankFactor = 3)
+    }),
+
+    // IVF-PQ retrieval end-to-end (the composition serving billion-vector
+    // indexes: coarse probe prunes to nprobe lists, product-quantized
+    // RESIDUALS reconstruct candidates from 4+m bytes): both model
+    // relations (coarse centroids + residual codebooks) export, the query
+    // encodes/serves with the read-back doubles, and DuckDB replays the
+    // whole chain — coarse assign, residual, PQ encode, reconstruction,
+    // probing, approximate screen, exact rerank — bit-for-bit.
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trained = SimilarityOps.ivfPqTrain(emb, nlist = 8, m = 8, pqK = 16)
+      val coarseBack = SimilarityOps.pqModelFromRows(
+        exportForOracle(SimilarityOps.pqModelToDf(s, trained.coarse),
+          "ivfpq_coarse", model = true).collect())
+      val pqBack = SimilarityOps.pqModelFromRows(
+        exportForOracle(SimilarityOps.pqModelToDf(s, trained.pq),
+          "ivfpq_codebook", model = true).collect())
+      SimilarityOps.ivfPqTopK(emb.where(col("vec_id") < 8), emb,
+        SimilarityOps.IvfPqModel(coarseBack, pqBack),
+        k = 5, nprobe = 3, rerankFactor = 3)
     }),
 
     // ANN exact-rerank legs, export-oracled: candidate GENERATION is
@@ -3123,25 +3183,10 @@ object SparkEntry {
     // Trained-quality scoring replay: every feature recomputed from text
     // with the text_quality-proven arithmetic forms, logit via
     // list_dot_product against the exported weight model, keep = logit>0.
-    "quality_train_score" ->
-      s"""WITH w AS (SELECT wv FROM read_parquet('${exportGlob("quality_weights")}')),
-         |t AS (SELECT doc_id,
-         |        len(string_split_regex(text, '\\s+')) AS n,
-         |        len(list_filter(string_split_regex(text, '\\s+'),
-         |            x -> x IN ('the','a','of','and','to','in'))) AS stop_hits,
-         |        length(text) AS chars,
-         |        length(text) - length(regexp_replace(text, '[\\.,;:!?]', '', 'g')) AS punct
-         |      FROM documents),
-         |f AS (SELECT doc_id,
-         |        [1.0,
-         |         LEAST(CAST(n AS DOUBLE)/100.0, 1.0),
-         |         CAST(stop_hits AS DOUBLE)/n,
-         |         CAST(punct AS DOUBLE)/chars,
-         |         (CAST(chars - (n - 1) AS DOUBLE)/n)/10.0] AS x
-         |      FROM t)
-         |SELECT doc_id, list_dot_product(x, w.wv) AS logit,
-         |       list_dot_product(x, w.wv) > 0.0 AS keep
-         |FROM f CROSS JOIN w""".stripMargin,
+    // ONE string, two keys: the streaming gate replays the identical
+    // scoring over the same weights, so it faces the same check.
+    "quality_train_score" -> QUALITY_SCORE_ORACLE,
+    "stream_quality_parity" -> QUALITY_SCORE_ORACLE,
 
     "text_clean" ->
       """SELECT doc_id,
@@ -3332,6 +3377,69 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY q_id
          |          ORDER BY score DESC, c_id) AS rk FROM x)
          |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin,
+
+    // IVF-PQ replay, stage for stage: coarse argmin-L2 assignment via the
+    // augmented argmax (the coarse quantizer is a 1-subspace PQ model, so
+    // its oracle form is exactly pq_encode's), residual by element-wise
+    // subtract against the exported coarse MEAN, residual PQ encode,
+    // reconstruction = coarse + ordered flatten of residual centroids,
+    // nprobe=3 L2 probing per query, approximate top-15 screen, exact
+    // cosine rerank to top-5 — all scores bit-for-bit.
+    "ann_topk_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |co AS (SELECT code AS list_id, cv, cv_aug
+         |       FROM read_parquet('${exportGlob("ivfpq_coarse")}')),
+         |cb AS (SELECT sub_idx, code, cv, cv_aug
+         |       FROM read_parquet('${exportGlob("ivfpq_codebook")}')),
+         |asg AS (SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, co.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(list_append(e.v, 1.0), co.cv_aug) DESC,
+         |                 co.list_id) AS rk
+         |    FROM e CROSS JOIN co) WHERE rk = 1),
+         |resid AS (SELECT e.vec_id, a.list_id,
+         |    list_transform(generate_series(1, 64), i -> e.v[i] - co.cv[i]) AS r
+         |  FROM e JOIN asg a ON a.vec_id = e.vec_id
+         |         JOIN co ON co.list_id = a.list_id),
+         |sub AS (SELECT vec_id, list_id, j,
+         |    list_append(list_slice(r, j*8+1, j*8+8), 1.0) AS xa
+         |  FROM resid CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+         |enc AS (SELECT vec_id, list_id, j, code FROM (
+         |    SELECT s.vec_id, s.list_id, s.j, cb.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY list_dot_product(s.xa, cb.cv_aug) DESC, cb.code) AS rk
+         |    FROM sub s JOIN cb ON cb.sub_idx = s.j) WHERE rk = 1),
+         |pqr AS (SELECT vec_id, list_id, flatten(list(cb.cv ORDER BY enc.j)) AS pv
+         |    FROM enc JOIN cb ON cb.sub_idx = enc.j AND cb.code = enc.code
+         |    GROUP BY vec_id, list_id),
+         |recon AS (SELECT p.vec_id, p.list_id,
+         |    list_transform(generate_series(1, 64), i -> co.cv[i] + p.pv[i]) AS rv
+         |  FROM pqr p JOIN co ON co.list_id = p.list_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |probe AS (SELECT q_id, list_id FROM (
+         |    SELECT q.q_id, co.list_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_dot_product(list_append(q.qv, 1.0), co.cv_aug) DESC,
+         |                 co.list_id) AS rk
+         |    FROM q CROSS JOIN co) WHERE rk <= 3),
+         |ap AS (SELECT q.q_id, r.vec_id AS c_id,
+         |    list_dot_product(q.qv, r.rv) /
+         |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(r.rv, r.rv))) AS s
+         |  FROM q JOIN probe pb ON pb.q_id = q.q_id
+         |         JOIN recon r ON r.list_id = pb.list_id
+         |  WHERE r.vec_id != q.q_id),
+         |cand AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rk
+         |  FROM ap) WHERE rk <= 15),
+         |x AS (SELECT cand.q_id, cand.c_id,
+         |        list_dot_product(eq.v, ec.v) /
+         |          (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS score
+         |      FROM cand JOIN e eq ON eq.vec_id = cand.q_id
+         |                JOIN e ec ON ec.vec_id = cand.c_id),
+         |r2 AS (SELECT q_id, c_id, score,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, c_id) AS rk FROM x)
+         |SELECT q_id, rk, c_id, score FROM r2 WHERE rk <= 5""".stripMargin,
 
     "ann_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -681,6 +681,110 @@ object SimilarityOps {
     PqModel(books.head.head.length, books, augs)
   }
 
+  /** IVF-PQ: coarse L2 quantizer + product-quantized RESIDUALS — the
+    * composition serving billion-vector indexes (coarse list prunes the
+    * search to `nprobe` partitions; the residual `x − c_list` has lower
+    * variance than `x` — within-cluster instead of total — so the same PQ
+    * budget reconstructs it more accurately). A candidate stores as one
+    * small list id + `m` codes.
+    *
+    * The coarse quantizer IS a 1-subspace [[PqModel]] over the full
+    * dimension: that gives argmin-L2 Lloyd training and assignment through
+    * the exact augmented-argmax machinery (and its oracle form) that PQ
+    * already pins — residual against the list MEAN is the L2-optimal
+    * offset (a spherical/unit centroid would be WRONG here: subtracting a
+    * unit-norm direction from a weakly-correlated vector adds variance —
+    * measured on the gate fixture, the residual MSE exceeded raw PQ until
+    * this was switched to means). */
+  final case class IvfPqModel(coarse: PqModel, pq: PqModel) {
+    require(coarse.m == 1, "coarse quantizer must be a single full-dim subspace")
+  }
+
+  private def coarseMapLit(coarse: Array[Array[Double]]): Column =
+    typedlit(coarse.indices.map(i => i -> coarse(i).toSeq).toMap)
+
+  /** Coarse assignment + residual per vector — the shared head of IVF-PQ
+    * train and encode: `(vec_id, list_id, embedding = x − c_list)`,
+    * map-only (augmented argmin-L2 assignment, model-literal centroid
+    * lookup, element-wise subtract). */
+  def residuals(vectors: DataFrame, coarse: PqModel): DataFrame =
+    vectors.select(col("vec_id"),
+        element_at(graft.functions.HashExpressions.topCentroids(
+          augSubVec(col("embedding"), 0, coarse.subDim),
+          coarse.augmented(0), 1), 1).as("list_id"),
+        vecD(col("embedding")).as("v"))
+      .withColumn("cv", element_at(coarseMapLit(coarse.codebooks(0)), col("list_id")))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+
+  /** Train IVF-PQ: L2 coarse k-means (= [[pqTrain]] with one full-dim
+    * subspace), then PQ codebooks over the residuals. Both stages are the
+    * same deterministic trainer, so the whole model is reproducible and
+    * export-oracle-able in one SQL form. */
+  def ivfPqTrain(vectors: DataFrame, nlist: Int = 8, m: Int = 8, pqK: Int = 16,
+                 coarseUpdates: Int = 2, pqUpdates: Int = 1): IvfPqModel = {
+    val coarse = pqTrain(vectors, m = 1, k = nlist, updates = coarseUpdates)
+    IvfPqModel(coarse, pqTrain(residuals(vectors, coarse), m, pqK, pqUpdates))
+  }
+
+  /** Encode to `(vec_id, list_id, codes)` — the IVF-PQ index row: at
+    * k ≤ 256 that is 4 + m bytes per vector instead of 4·dim. Map-only. */
+  def ivfPqEncode(vectors: DataFrame, model: IvfPqModel): DataFrame = {
+    val r = residuals(vectors, model.coarse)
+    val codeCols = array((0 until model.pq.m).map(j =>
+      element_at(graft.functions.HashExpressions.topCentroids(
+        augSubVec(col("embedding"), j, model.pq.subDim), model.pq.augmented(j), 1), 1)): _*)
+    r.select(col("vec_id"), col("list_id"), codeCols.as("codes"))
+  }
+
+  /** Reconstruct `(vec_id, list_id, embedding ≈ x)` from IVF-PQ rows:
+    * coarse centroid plus the decoded residual, element-wise — map-only
+    * model-literal lookups, no join. */
+  def ivfPqDecode(enc: DataFrame, model: IvfPqModel): DataFrame = {
+    val k = model.pq.k
+    val entries: Map[Int, Seq[Double]] = (for {
+      j <- 0 until model.pq.m; c <- 0 until k
+    } yield (j * k + c) -> model.pq.codebooks(j)(c).toSeq).toMap
+    val cbMap = typedlit(entries)
+    enc.select(col("vec_id"), col("list_id"),
+      zip_with(
+        element_at(coarseMapLit(model.coarse.codebooks(0)), col("list_id")),
+        flatten(transform(col("codes"),
+          (code, j) => element_at(cbMap, j * lit(k) + code))),
+        (a, b) => a + b).as("embedding"))
+  }
+
+  /** IVF-PQ cosine top-k: queries probe their `nprobe` nearest coarse
+    * lists (broadcast — query-set-sized), candidates in those lists score
+    * against their IVF-PQ reconstruction, and the top `k·rerankFactor`
+    * rerank with true vectors. At scale the index is partitioned by
+    * `list_id`, so a query touches `nprobe/nlist` of the corpus reading
+    * 4+m bytes per row — the memory/IO posture that serves billions of
+    * vectors; only the rerank touches raw floats. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, model: IvfPqModel,
+                k: Int, nprobe: Int = 3, rerankFactor: Int = 3): DataFrame = {
+    val recon = ivfPqDecode(ivfPqEncode(candidates, model), model)
+    val probed = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(graft.functions.HashExpressions.topCentroids(
+          augSubVec(col("qv"), 0, model.coarse.subDim),
+          model.coarse.augmented(0), nprobe)).as("list_id")))
+    val scored = recon.join(probed, "list_id")
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot(col("qv"), col("embedding")) / (col("qn") * norm(col("embedding"))))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("score"))
+    val cand = RelationalOps.topNPerGroup(scored, k * rerankFactor,
+        Seq(col("q_id")), Seq(col("score").desc, col("c_id")))
+      .select("q_id", "c_id")
+    val vecs = candidates.select("vec_id", "embedding")
+      .unionByName(queries.select("vec_id", "embedding"))
+      .dropDuplicates("vec_id")
+    rerankTopK(cand, vecs, k)
+  }
+
   /** PQ-approximate cosine top-k with exact rerank: candidates score
     * against their PQ RECONSTRUCTION (encode → decode), the top
     * `k·rerankFactor` per query rerank with true vectors. Scoring against

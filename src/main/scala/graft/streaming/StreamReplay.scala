@@ -366,6 +366,27 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)).select(key.as("dup_key")))
   }
 
+  /** Replays a documents relation through the streaming quality gate —
+    * [[graft.operators.QualityModel.score]] over a checkpointed stream
+    * with a FIXED trained weight model (the stateless scoring map is the
+    * identical expression batch runs, so the appended emissions must
+    * equal the batch scoring row-for-row; the live-refresh path for the
+    * weights is C2's managed-restart loop). Stateless append: no
+    * watermark, no state store — the twin proves the ingest-side
+    * plumbing, and its parity row faces the SAME oracle as the batch
+    * scorer. */
+  def qualityScoreReplay(docs: DataFrame, weights: Array[Double],
+                         slices: Int = defaultSlices): DataFrame = {
+    val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
+      col("doc_id"), col("text"))
+    val build = (df: DataFrame) =>
+      graft.operators.QualityModel.score(df.select("doc_id", "text"), weights)
+    sliceAndReplay(src, "ts TIMESTAMP, doc_id BIGINT, text STRING", slices,
+        "append", build)
+      .map(_.drop("batch_id"))
+      .getOrElse(build(src.limit(0)))
+  }
+
   /** [[nearDupCandidatesReplay]]'s SimHash sibling: replays
     * [[StreamOps.simHashPairsStream]] and returns the DISTINCT matched
     * pair set (same synthetic-time / retain-everything posture). */

@@ -869,6 +869,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"PQ mean recall@5 too low: $mean (${recalls.mkString(",")})")
   }
 
+  test("IVF-PQ: residual reconstruction beats raw PQ, recall holds, codes are index-shaped") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val model = SimilarityOps.ivfPqTrain(emb, nlist = 8, m = 8, pqK = 16)
+    val enc = SimilarityOps.ivfPqEncode(emb, model)
+    val rows = enc.collect()
+    assert(rows.length == emb.count())
+    for (r <- rows) {
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 8)
+      val cs = r.getSeq[Int](2)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+    }
+    // mean squared reconstruction error: residual PQ <= raw PQ with the
+    // same code budget (the point of quantizing residuals)
+    def mse(recon: org.apache.spark.sql.DataFrame): Double =
+      recon.select(col("vec_id"), col("embedding").as("rv"))
+        .join(emb.select(col("vec_id"), SimilarityOps.vecD(col("embedding")).as("v")), "vec_id")
+        .select(aggregate(zip_with(col("v"), col("rv"), (a, b) => (a - b) * (a - b)),
+          lit(0d), (acc, x) => acc + x).as("se"))
+        .agg(avg("se")).head.getDouble(0)
+    val ivfpqMse = mse(SimilarityOps.ivfPqDecode(enc, model)
+      .select("vec_id", "embedding"))
+    val rawPq = SimilarityOps.pqTrain(emb, m = 8, k = 16, updates = 1)
+    val rawMse = mse(SimilarityOps.pqDecode(SimilarityOps.pqEncode(emb, rawPq), rawPq))
+    assert(ivfpqMse <= rawMse,
+      s"residual PQ mse $ivfpqMse should not exceed raw PQ mse $rawMse")
+    // retrieval: full-probe IVF-PQ with exact rerank keeps decent recall
+    val queries = emb.where(col("vec_id") < 8)
+    val exact = SimilarityOps.bruteTopK(queries, emb, 5)
+    val approx = SimilarityOps.ivfPqTopK(queries, emb, model, k = 5,
+      nprobe = 8, rerankFactor = 3)
+    val recalls = SimilarityOps.recallAtK(approx, exact).collect().map(_.getDouble(1))
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.4, s"IVF-PQ mean recall@5 too low: $mean")
+  }
+
   test("quality model: GD reduces loss, scoring mimics the weak rule, deterministic") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
