@@ -1268,6 +1268,13 @@ object SparkEntry {
         .select("lang", "rk", "term", "doc_freq")
     }),
 
+    // Corpus bigram LM scoring (perplexity-filter analog): add-one-smoothed
+    // rational bigram probabilities, exact-decimal per-doc mean — the whole
+    // model (the corpus' own count tables) and scoring re-derive in SQL,
+    // no export needed.
+    "text_bigram_lm" -> ((s, dir) =>
+      SearchOps.bigramLmScores(Tables.documents(s, dir))),
+
     // Trained quality scoring: logistic GD over the bit-exact text feature
     // vector (weak-supervision labels from the proven heuristic),
     // fitted weights export as the model, scoring runs with the read-back
@@ -1496,6 +1503,24 @@ object SparkEntry {
           model = true).collect())
       SimilarityOps.pqTopK(emb.where(col("vec_id") < 8), emb, back,
         k = 5, rerankFactor = 3)
+    }),
+
+    // Johnson–Lindenstrauss projection (the dim-reduction front of an ANN
+    // stack): the deterministic Gaussian matrix exports as the model, the
+    // projection runs with the read-back doubles, and DuckDB recomputes
+    // every component via list_dot_product. Long format (vec_id, dim_idx,
+    // value) keeps the compare off list columns.
+    "embedding_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val p = SimilarityOps.projectionMatrix(dim = 64, outDim = 16)
+      val back = exportForOracle(
+          s.createDataFrame(p.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+            .toDF("dim_idx", "pv"),
+          "jl_projection", model = true)
+        .orderBy("dim_idx").collect().map(_.getSeq[Double](1).toArray)
+      SimilarityOps.projectEmbeddings(emb, back)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .toDF("vec_id", "dim_idx", "value")
     }),
 
     // IVF-PQ retrieval end-to-end (the composition serving billion-vector
@@ -3323,6 +3348,35 @@ object SparkEntry {
         |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin,
 
     "graph_pagerank" -> PAGERANK_ORACLE,
+
+    // JL projection replay: every projected component recomputed as
+    // list_dot_product against the exported matrix row.
+    "embedding_project" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT dim_idx, pv FROM read_parquet('${exportGlob("jl_projection")}'))
+         |SELECT vec_id, dim_idx, list_dot_product(v, pv) AS value
+         |FROM e CROSS JOIN p""".stripMargin,
+
+    // Bigram-LM replay: the count tables, the smoothed rational, and the
+    // exact-decimal mean all re-derive from text — generate_series(1, 0)
+    // is empty, matching the Spark side's short-doc guard.
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |uni AS (SELECT tkn, count(*) AS c1
+        |        FROM (SELECT unnest(w) AS tkn FROM t) GROUP BY tkn),
+        |vc AS (SELECT count(*) AS vocab FROM uni),
+        |pr AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+        |bgc AS (SELECT bg, count(*) AS c2 FROM pr GROUP BY bg),
+        |s AS (SELECT doc_id, CAST(c2 + 1 AS DOUBLE) / (c1 + vocab) AS p
+        |      FROM pr JOIN bgc USING (bg)
+        |           JOIN uni ON uni.tkn = pr.w1 CROSS JOIN vc)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS lm_score,
+        |  count(*) AS n_bigrams
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     // PQ encode replay over the exported codebook model: per (vector,
     // subspace), argmax of list_dot_product against the AUGMENTED

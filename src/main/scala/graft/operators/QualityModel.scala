@@ -73,23 +73,30 @@ object QualityModel {
     * @return fitted weights, length [[numFeatures]]
     */
   def trainLogistic(docs: DataFrame, iters: Int = 12, lr: Double = 2.0): Array[Double] = {
+    // Cache the FEATURE relation, not the text: the regex/tokenize work
+    // happens once, and each of the `iters` passes aggregates a slim
+    // (5 doubles + label) frame — at cluster scale this is the standard
+    // materialize-features-then-iterate layout of distributed GD.
     val fx = docs.select(features(col("text")).as("x"), weakLabel(col("text")).as("y"))
-    val n = docs.count().toDouble
-    require(n > 0, "cannot train on an empty corpus")
-    var w = Array.fill(numFeatures)(0.0)
-    for (_ <- 1 to iters) {
-      val wl = typedlit(w.toSeq)
-      val g = fx
-        .select(posexplode(transform(col("x"),
-          xi => xi * (sigmoid(SimilarityOps.dot(col("x"), wl)) - col("y")))))
-        .toDF("pos", "gx")
-        .groupBy("pos")
-        .agg(sum(col("gx").cast("decimal(28,12)")).cast("double").as("g"))
-        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-      require(g.length == numFeatures, s"gradient arity ${g.length}")
-      w = Array.tabulate(numFeatures)(i => w(i) - lr * g(i) / n)
-    }
-    w
+      .cache()
+    try {
+      val n = fx.count().toDouble
+      require(n > 0, "cannot train on an empty corpus")
+      var w = Array.fill(numFeatures)(0.0)
+      for (_ <- 1 to iters) {
+        val wl = typedlit(w.toSeq)
+        val g = fx
+          .select(posexplode(transform(col("x"),
+            xi => xi * (sigmoid(SimilarityOps.dot(col("x"), wl)) - col("y")))))
+          .toDF("pos", "gx")
+          .groupBy("pos")
+          .agg(sum(col("gx").cast("decimal(28,12)")).cast("double").as("g"))
+          .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+        require(g.length == numFeatures, s"gradient arity ${g.length}")
+        w = Array.tabulate(numFeatures)(i => w(i) - lr * g(i) / n)
+      }
+      w
+    } finally fx.unpersist(false)
   }
 
   /** Mean logistic loss of `w` on the corpus — the training-progress gauge

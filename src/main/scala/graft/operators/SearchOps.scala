@@ -93,4 +93,57 @@ object SearchOps {
         Seq(col("doc_id")), Seq(col("score").desc, col("term").asc))
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
   }
+
+  /** Corpus bigram language-model scoring — the perplexity-filter analog
+    * of pretraining curation (KenLM-style fluency gates), made
+    * engine-exact: the model is the corpus' own bigram/unigram count
+    * tables, each bigram scores the add-one-smoothed RATIONAL
+    * `(c(w₁w₂)+1) / (c(w₁)+V)` (two integers, one double division —
+    * deterministic in every engine), and a document's score is the
+    * exact-decimal mean over its bigrams. No logs, no exp — the monotone
+    * map to log-perplexity is the caller's, off the comparison surface.
+    *
+    * Documents with fewer than two tokens have no bigrams and emit no
+    * row (the length gate upstream owns them).
+    *
+    * Scale shape: token and bigram counts are two explode + map-side-
+    * combined aggregates; scoring joins the doc's bigram stream against
+    * the two count relations (shuffle equi-joins on `bg` / `w1` — the
+    * count tables are vocabulary-sized, usually broadcastable after a
+    * frequency floor) and reduces per doc_id. Nothing collects but the
+    * scalar V.
+    *
+    * @return (doc_id, lm_score, n_bigrams)
+    */
+  def bigramLmScores(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    val n = size(col("w"))
+    // Spark's sequence(1, 0) DESCENDS rather than being empty, so the
+    // short-doc case needs the explicit guard (the oracle's
+    // generate_series(1, 0) is empty and matches the `otherwise`).
+    val pairs = w.select(col("doc_id"),
+        explode(when(n >= 2, transform(sequence(lit(1), n - 1),
+            i => struct(
+              element_at(col("w"), i).as("w1"),
+              concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))
+                .as("bg"))))
+          .otherwise(typedlit(Seq.empty[(String, String)])
+            .cast("array<struct<w1:string,bg:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val uni = w.select(explode(col("w")).as("tkn"))
+      .groupBy("tkn").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count()
+    val bg = pairs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    pairs
+      .join(bg, "bg")
+      .join(uni, pairs("w1") === uni("tkn"))
+      .select(col("doc_id"),
+        ((col("c2") + 1).cast("double") /
+          (col("c1") + lit(vocab)).cast("double")).as("p"))
+      .groupBy("doc_id")
+      .agg(
+        (sum(col("p").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
 }

@@ -681,6 +681,28 @@ object SimilarityOps {
     PqModel(books.head.head.length, books, augs)
   }
 
+  /** Deterministic Johnson–Lindenstrauss projection matrix (`outDim` rows
+    * of `dim` Gaussian doubles from a fixed seed — the [[hyperplanes]]
+    * generator with one table), the standard dimensionality-reduction
+    * front of an ANN stack: distances are preserved within (1±ε) for
+    * outDim = O(log n / ε²) regardless of `dim`. */
+  def projectionMatrix(dim: Int, outDim: Int, seed: Long = 7L): Array[Array[Double]] =
+    hyperplanes(dim, 1, outDim, seed)(0)
+
+  /** Project embeddings through an EXPLICIT matrix — map-only, one pinned
+    * left-to-right [[dot]] per output component, so the projected values
+    * are bit-reproducible from the exported matrix (`list_dot_product`
+    * oracle form, the model-export contract). No JL scaling constant is
+    * applied — cosine is scale-invariant and a norm gate can fold the
+    * 1/√outDim into its threshold.
+    *
+    * @return (vec_id, proj array<double> of length outDim)
+    */
+  def projectEmbeddings(vectors: DataFrame, p: Array[Array[Double]]): DataFrame =
+    vectors.select(col("vec_id"),
+      array(p.indices.map(j =>
+        dot(col("embedding"), typedlit(p(j).toSeq))): _*).as("proj"))
+
   /** IVF-PQ: coarse L2 quantizer + product-quantized RESIDUALS — the
     * composition serving billion-vector indexes (coarse list prunes the
     * search to `nprobe` partitions; the residual `x − c_list` has lower

@@ -905,6 +905,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"IVF-PQ mean recall@5 too low: $mean")
   }
 
+  test("JL projection: linear, deterministic, and roughly distance-preserving") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val p = SimilarityOps.projectionMatrix(dim = 64, outDim = 16)
+    assert(p.length == 16 && p.forall(_.length == 64))
+    assert(SimilarityOps.projectionMatrix(64, 16).flatten.toSeq == p.flatten.toSeq)
+    val proj = SimilarityOps.projectEmbeddings(emb, p).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val raw = emb.select(col("vec_id"),
+        SimilarityOps.vecD(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // exact linearity per component vs a driver-side dot
+    for (id <- raw.keys.take(10); j <- 0 until 16) {
+      var acc = 0.0; var i = 0
+      while (i < 64) { acc += raw(id)(i) * p(j)(i); i += 1 }
+      assert(math.abs(proj(id)(j) - acc) < 1e-12)
+    }
+    // JL distance preservation in expectation: with N(0,1) entries,
+    // E[(P_j·x)^2] = ||x||^2, so ||proj||^2 / outDim tracks ||x||^2
+    // within a loose band on average
+    def sq(a: Array[Double]) = a.map(x => x * x).sum
+    val ratios = raw.keys.take(50).toSeq
+      .filter(id => sq(raw(id)) > 0)
+      .map(id => (sq(proj(id)) / 16.0) / sq(raw(id)))
+    val meanRatio = ratios.sum / ratios.length
+    assert(meanRatio > 0.5 && meanRatio < 2.0, s"mean energy ratio $meanRatio")
+  }
+
+  test("bigram LM scores match hand counts; short docs emit no row") {
+    val docs = docsDF((1L, "a b a"), (2L, "a b"), (3L, "c"))
+    val got = graft.operators.SearchOps.bigramLmScores(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // uni: a=3 b=2 c=1, V=3; bg: "a b"=2, "b a"=1
+    // doc1: p(a b)=(2+1)/(3+3)=0.5, p(b a)=(1+1)/(2+3)=0.4 -> mean 0.45
+    // doc2: p(a b)=0.5; doc3: single token, no bigrams, NO row
+    assert(got.keySet == Set(1L, 2L))
+    assert(math.abs(got(1L)._1 - 0.45) < 1e-9 && got(1L)._2 == 2L)
+    assert(math.abs(got(2L)._1 - 0.5) < 1e-9 && got(2L)._2 == 1L)
+  }
+
   test("quality model: GD reduces loss, scoring mimics the weak rule, deterministic") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
