@@ -17,7 +17,9 @@ object PlanAudit {
       "f6_ltob", "q_asof_tolerance", "a14_ewma_chunked", "a30_autocorr",
       "a20_cusum_chunked", "a27_derivative_chunked", "a34_topk_sketch",
       "a35_quantile_tier", "q_bloom_join", "layout_zorder", "table_profile",
-      "table_profile_scale", "a9_sketch_verify")
+      "table_profile_scale", "a9_sketch_verify", "pq_encode", "ann_topk_ivfpq",
+      "graph_pagerank", "quality_train_score", "embedding_project",
+      "text_bigram_lm")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -155,6 +157,25 @@ object PlanAudit {
         val p = planOf("a9_sketch_verify")
         p.contains("ObjectHashAggregate") && !p.contains("Join") &&
           p.contains("hashpartitioning(metric")
+      }),
+      ("pq encode is map-only (zero exchanges)",
+        !planOf("pq_encode").contains("Exchange")),
+      ("quality scoring is map-only after training (zero exchanges)",
+        !planOf("quality_train_score").contains("Exchange")),
+      ("jl projection is map-only (zero exchanges)",
+        !planOf("embedding_project").contains("Exchange")),
+      ("ivfpq probes via broadcast, never cartesian", {
+        val p = planOf("ann_topk_ivfpq")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("pagerank rounds shuffle on graph keys only, no cartesian/NL join", {
+        val p = planOf("graph_pagerank")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("hashpartitioning")
+      }),
+      ("bigram LM scoring joins are equi-joins", {
+        val p = planOf("text_bigram_lm")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
       }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),
