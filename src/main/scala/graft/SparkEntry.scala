@@ -1268,6 +1268,24 @@ object SparkEntry {
         .select("lang", "rk", "term", "doc_freq")
     }),
 
+    // Blocked fuzzy title matching (entity-resolution dedup): prefix/suffix
+    // union blocking + exact integer Levenshtein verify over 5-token
+    // titles, with planted first-char-substituted (suffix block catches)
+    // and appended-char (prefix block catches) variants — candidate
+    // generation AND verdicts replay exactly in SQL.
+    "fuzzy_title_pairs" -> ((s, dir) => {
+      val titles = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        array_join(slice(TextOps.tokens(col("text")), 1, 5), " ").as("s"))
+      val subVar = titles.where(col("id") % 100 === 0)
+        .select((col("id") + 2000000).as("id"),
+          concat(lit("X"), substring(col("s"), 2, 1 << 24)).as("s"))
+      val appVar = titles.where(col("id") % 100 === 50)
+        .select((col("id") + 2000000).as("id"), concat(col("s"), lit("q")).as("s"))
+      DedupOps.fuzzySelfPairs(
+        titles.unionByName(subVar).unionByName(appVar),
+        maxDist = 2, blockLen = 4)
+    }),
+
     // Corpus bigram LM scoring (perplexity-filter analog): add-one-smoothed
     // rational bigram probabilities, exact-decimal per-doc mean — the whole
     // model (the corpus' own count tables) and scoring re-derive in SQL,
@@ -3356,6 +3374,24 @@ object SparkEntry {
          |p AS (SELECT dim_idx, pv FROM read_parquet('${exportGlob("jl_projection")}'))
          |SELECT vec_id, dim_idx, list_dot_product(v, pv) AS value
          |FROM e CROSS JOIN p""".stripMargin,
+
+    // Fuzzy-match replay: same title derivation, same planted variants,
+    // same prefix/suffix blocking union, same integer levenshtein gate.
+    "fuzzy_title_pairs" ->
+      """WITH t0 AS (SELECT doc_id AS id,
+        |        array_to_string(string_split_regex(text, '\s+')[1:5], ' ') AS s
+        |      FROM documents),
+        |t AS (SELECT id, s FROM t0
+        |      UNION ALL SELECT id + 2000000, 'X' || substr(s, 2)
+        |        FROM t0 WHERE id % 100 = 0
+        |      UNION ALL SELECT id + 2000000, s || 'q'
+        |        FROM t0 WHERE id % 100 = 50),
+        |b AS (SELECT id, s, 1 AS bt, substr(s, 1, 4) AS bk FROM t
+        |      UNION ALL SELECT id, s, 2, substr(reverse(s), 1, 4) FROM t),
+        |c AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.s AS s_a, b2.s AS s_b
+        |      FROM b a JOIN b b2 ON a.bt = b2.bt AND a.bk = b2.bk AND a.id < b2.id)
+        |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |FROM c WHERE levenshtein(s_a, s_b) <= 2""".stripMargin,
 
     // Bigram-LM replay: the count tables, the smoothed rational, and the
     // exact-decimal mean all re-derive from text — generate_series(1, 0)

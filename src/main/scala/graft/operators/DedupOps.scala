@@ -338,4 +338,44 @@ object DedupOps {
     * [[simHashCandidates]] blocking, then the [[hammingPairs]] verify. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs(simHashCandidates(docs, maxHamming), maxHamming)
+
+  /** Blocked fuzzy self-join: pairs of near-identical SHORT strings
+    * (titles, names — the entity-resolution side of dedup, where token
+    * shingles are useless) by exact Levenshtein distance ≤ `maxDist`,
+    * without an all-pairs scan.
+    *
+    * Blocking is the prefix/suffix union: candidates share the first OR
+    * the last `blockLen` characters — one equi-join on (side, block key).
+    * The union catches single-sided edits a lone prefix block misses (an
+    * edit in the first character still agrees on the suffix, and vice
+    * versa); like every blocking scheme it is a high-recall HEURISTIC,
+    * not pigeonhole-complete for interior edit combinations — and because
+    * both the blocking and the verify are plain string SQL, an oracle
+    * replays candidate generation and verdicts exactly rather than
+    * trusting recall. Verify is the exact integer `levenshtein` both
+    * engines implement identically.
+    *
+    * SCALE CONTRACT ([[graft.operators.SimilarityOps.embeddingCandidatePairs]]'s
+    * posture): at fixed `blockLen` a block's occupancy grows with n and
+    * candidate pairs quadratically — `blockLen` is the granularity knob
+    * that grows with the corpus to hold occupancy constant.
+    *
+    * @param rows (id long, s string)
+    * @return (id_a, id_b, dist) with id_a < id_b
+    */
+  def fuzzySelfPairs(rows: DataFrame, maxDist: Int = 2, blockLen: Int = 4): DataFrame = {
+    val blocked = rows.select(col("id"), col("s"),
+        explode(array(
+          struct(lit(1).as("bt"), substring(col("s"), 1, blockLen).as("bk")),
+          struct(lit(2).as("bt"),
+            substring(reverse(col("s")), 1, blockLen).as("bk")))).as("b"))
+      .select(col("id"), col("s"), col("b.bt").as("bt"), col("b.bk").as("bk"))
+    blocked.toDF("id_a", "s_a", "bt", "bk")
+      .join(blocked.toDF("id_b", "s_b", "bt", "bk"), Seq("bt", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

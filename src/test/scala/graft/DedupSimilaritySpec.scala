@@ -905,6 +905,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"IVF-PQ mean recall@5 too low: $mean")
   }
 
+  test("fuzzy pairs: substitution caught by suffix block, append by prefix block, far strings dropped") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "Xlpha beta gamma"),  // first-char substitution: prefix differs, suffix agrees
+      (3L, "alpha beta gammaq"), // appended char: suffix differs, prefix agrees
+      (4L, "totally different"), // far from everything
+      (5L, "alpha beta gamma"))  // exact duplicate of 1
+      .toDF("id", "s")
+    val got = graft.operators.DedupOps.fuzzySelfPairs(rows, maxDist = 2, blockLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.get((1L, 2L)).contains(1), s"substitution pair missing: $got")
+    assert(got.get((1L, 3L)).contains(1), s"append pair missing: $got")
+    assert(got.get((1L, 5L)).contains(0))
+    // (2,3) edits BOTH ends (sub at head, append at tail) — neither block
+    // agrees: the documented heuristic incompleteness, pinned here.
+    assert(!got.contains((2L, 3L)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("JL projection: linear, deterministic, and roughly distance-preserving") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
