@@ -182,6 +182,40 @@ object ScaleProbe {
       val docs = scaledDocs(rep)
       QualityModel.score(docs, QualityModel.trainLogistic(docs))
     })
+    // Bigram LM: two explode-aggregates + two equi-joins — expect ≈linear
+    // (the count tables grow sub-linearly; replica-suffixed docs keep the
+    // vocabulary from being a pure 16× duplicate).
+    probe("text_bigram_lm", rep => SearchOps.bigramLmScores(scaledDocs(rep)))
+    // Fuzzy matching: replica tags on BOTH ends decorrelate the blocking
+    // keys across replicas (otherwise identical suffixes stack 16 replicas
+    // into one block and the probe measures the documented
+    // fixed-granularity quadratic, as emb_cand_pairs already does).
+    probe("fuzzy_title_pairs", { rep =>
+      val titles = scaledDocs(rep).select(col("doc_id").as("id"),
+        concat_ws(" ",
+          (col("doc_id") / lit(10_000_000L)).cast("long").cast("string"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 4), " "),
+          (col("doc_id") / lit(10_000_000L)).cast("long").cast("string")).as("s"))
+      DedupOps.fuzzySelfPairs(titles, maxDist = 2, blockLen = 4)
+    })
+    // PageRank: 4 rounds over 10-chains + hub edges (out-degree ≈ 2,
+    // constant round count) — expect ≈linear per-round join/agg growth.
+    probe("graph_pagerank", { rep =>
+      val ids = scaledDocs(rep).select(col("doc_id"))
+      val chain = ids.where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val hub = ids.select(col("doc_id").as("src"),
+        (col("doc_id") - pmod(col("doc_id"), lit(10L))).as("dst"))
+      GraphOps.pageRank(chain.unionByName(hub), iters = 4)
+    })
+    // IVF-PQ train + full retrieval at fixed nlist: probed fraction stays
+    // nprobe/nlist, so scoring work tracks corpus size — expect ≈linear.
+    probe("ann_topk_ivfpq", { rep =>
+      val emb = scaledEmb(rep)
+      val model = SimilarityOps.ivfPqTrain(emb, nlist = 8, m = 8, pqK = 16)
+      SimilarityOps.ivfPqTopK(emb.where(col("vec_id") < 8), emb, model,
+        k = 5, nprobe = 3)
+    })
 
     // Hot-metric skew posture (round-8 VERDICT item 8): the sequential
     // recurrences' documented worst case — EVERY row on ONE metric, so
