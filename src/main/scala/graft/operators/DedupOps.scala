@@ -373,6 +373,11 @@ object DedupOps {
     blocked.toDF("id_a", "s_a", "bt", "bk")
       .join(blocked.toDF("id_b", "s_b", "bt", "bk"), Seq("bt", "bk"))
       .where(col("id_a") < col("id_b"))
+      // Length gate: |len(a)−len(b)| ≤ maxDist is IMPLIED by the distance
+      // bound, so this drops candidates before the dedup exchange and the
+      // O(len²) verify without changing one output row (the oracle keeps
+      // the plain levenshtein filter and must still agree).
+      .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b").distinct()
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .where(col("dist") <= maxDist)
