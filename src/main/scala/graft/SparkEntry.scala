@@ -353,6 +353,17 @@ object SparkEntry {
       .unionByName(docs.where(col("doc_id") === 300)
         .withColumn("doc_id", lit(20000L)))
 
+  /** Build the three-version snapshot-store lifecycle the snapshot_*
+    * queries read from: v1 = docs below 300, v2 = append of the rest,
+    * v3 = compaction. One fresh store per query invocation (unique temp
+    * root) keeps every run bit-deterministic. */
+  private def buildSnapshotFixture(s: SparkSession, dir: String, root: String): Unit = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
+    sources.SnapshotStore.append(docs.where(col("doc_id") < 300), root)
+    sources.SnapshotStore.append(docs.where(col("doc_id") >= 300), root)
+    sources.SnapshotStore.compact(s, root)
+  }
+
   /** Tie-free slice of the series: rows whose (metric, second) is unique.
     * The typed streaming twins ([[graft.streaming.StreamOps]] derivative /
     * cusum / ewma) carry no event_id to break same-second ties the way
@@ -1266,6 +1277,42 @@ object SparkEntry {
       RelationalOps.topNPerGroup(df, 5,
         Seq(col("lang")), Seq(col("doc_freq").desc, col("term").asc))
         .select("lang", "rk", "term", "doc_freq")
+    }),
+
+    // Versioned snapshot store (manifest-published parquet, the
+    // single-writer lakehouse core): three queries drive the full
+    // lifecycle — append v1/v2, compact to v3 — against one fresh store
+    // each, and every read surface (time travel BELOW the compaction,
+    // incremental between versions, post-compaction latest) faces a plain
+    // documents-table oracle, because logical content is exactly what the
+    // store must preserve.
+    "snapshot_timetravel" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      try {
+        buildSnapshotFixture(s, dir, root)
+        sources.SnapshotStore.read(s, root, version = 1).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    "snapshot_incremental" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      try {
+        buildSnapshotFixture(s, dir, root)
+        // what arrived after v1, read without touching v1's directories
+        // (to = 2: the compaction above introduces a directory without
+        // introducing rows, which incremental() documents as the caller's
+        // cut-off decision)
+        sources.SnapshotStore.incremental(s, root, fromExclusive = 1, to = 2)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    "snapshot_compact_read" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      try {
+        buildSnapshotFixture(s, dir, root)
+        sources.SnapshotStore.read(s, root).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
     }),
 
     // Blocked fuzzy title matching (entity-resolution dedup): prefix/suffix
@@ -3374,6 +3421,15 @@ object SparkEntry {
          |p AS (SELECT dim_idx, pv FROM read_parquet('${exportGlob("jl_projection")}'))
          |SELECT vec_id, dim_idx, list_dot_product(v, pv) AS value
          |FROM e CROSS JOIN p""".stripMargin,
+
+    // Snapshot-store replays: the store must preserve logical content
+    // exactly, so each read surface faces the plain table it should equal.
+    "snapshot_timetravel" ->
+      "SELECT doc_id, lang, source FROM documents WHERE doc_id < 300",
+    "snapshot_incremental" ->
+      "SELECT doc_id, lang, source FROM documents WHERE doc_id >= 300",
+    "snapshot_compact_read" ->
+      "SELECT doc_id, lang, source FROM documents",
 
     // Fuzzy-match replay: same title derivation, same planted variants,
     // same prefix/suffix blocking union, same integer levenshtein gate.

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based versioned table store — the batch-pipeline state layer a
+  * continuously-curated corpus needs: append-only snapshot versions, time
+  * travel, INCREMENTAL reads (process only what arrived since the last run,
+  * the batch counterpart of a stream's offset tracking), and small-file
+  * compaction that rewrites layout without changing logical content.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   data/v1/part-*.parquet        (the version's added files)
+  *   data/v2/part-*.parquet
+  *   data/compact3/part-*.parquet  (a compaction's rewrite)
+  *   _manifests/v1.json … vN.json  (one manifest per version)
+  * }}}
+  *
+  * A manifest lists the data DIRECTORIES whose union is the snapshot —
+  * readers plan from the manifest, never by listing `data/` (stale or
+  * in-flight directories are invisible until a manifest claims them). The
+  * commit protocol is write-data-then-publish-manifest via atomic rename,
+  * so a torn write leaves the previous version intact and readable: that
+  * is the lakehouse pattern (Delta/Iceberg) reduced to its single-writer
+  * core — multi-writer arbitration (which needs a lock service or
+  * conditional puts) is explicitly out of scope and documented as such.
+  *
+  * Scale shape: manifests are O(versions + directories) JSON, data moves
+  * only through ordinary partitioned parquet writes, and an incremental
+  * read plans exactly the added directories — no full-table diff, no
+  * copy-on-write of untouched files.
+  */
+object SnapshotStore {
+
+  private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
+
+  private def manifestPath(root: String, v: Int): Path =
+    manifestDir(root).resolve(s"v$v.json")
+
+  /** Highest published version, 0 if none. */
+  def currentVersion(root: String): Int = {
+    val dir = manifestDir(root)
+    if (!Files.exists(dir)) 0
+    else {
+      val stream = Files.list(dir)
+      try {
+        val vs = stream.toArray.toSeq
+          .map(_.asInstanceOf[Path].getFileName.toString)
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("v").stripSuffix(".json").toInt).toOption)
+        if (vs.isEmpty) 0 else vs.max
+      } finally stream.close()
+    }
+  }
+
+  /** Directories of version `v` (exactly as the manifest lists them). */
+  def manifestDirs(root: String, v: Int): Seq[String] = {
+    val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
+    // minimal JSON: {"version":N,"dirs":["...","..."]}
+    val m = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+      .getOrElse(sys.error(s"malformed manifest v$v at $root"))
+    m.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+  }
+
+  /** Publish `dirs` as version `v` — write to a temp file, then ATOMIC_MOVE
+    * into place: readers either see the complete manifest or none. */
+  private def publish(root: String, v: Int, dirs: Seq[String]): Unit = {
+    Files.createDirectories(manifestDir(root))
+    val body = s"""{"version":$v,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = manifestDir(root).resolve(s".v$v.json.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Append `df` as a new snapshot version (version 1 creates the table).
+    * Data lands under its own `data/v{N}` directory; the manifest unions
+    * it with the parent's directories. Returns the new version. */
+  def append(df: DataFrame, root: String): Int = {
+    val parent = currentVersion(root)
+    val v = parent + 1
+    val dir = s"$root/data/v$v"
+    df.write.mode("overwrite").parquet(dir)
+    val parentDirs = if (parent == 0) Seq.empty else manifestDirs(root, parent)
+    publish(root, v, parentDirs :+ dir)
+    v
+  }
+
+  /** Read snapshot `version` (default: latest) — the union of exactly the
+    * manifest's directories. */
+  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(root)
+    require(v > 0, s"no published version at $root")
+    spark.read.parquet(manifestDirs(root, v): _*)
+  }
+
+  /** Rows added AFTER `fromExclusive` up to `to` (default: latest) — plans
+    * only the directories the newer manifests introduced. This is the
+    * batch "what's new since my last run" read; with compactions in the
+    * range the caller should diff against logical content instead
+    * (compaction introduces directories without introducing rows). */
+  def incremental(spark: SparkSession, root: String,
+                  fromExclusive: Int, to: Int = -1): DataFrame = {
+    val v = if (to > 0) to else currentVersion(root)
+    require(fromExclusive >= 0 && v >= fromExclusive,
+      s"bad incremental range ($fromExclusive, $v]")
+    val before =
+      if (fromExclusive == 0) Set.empty[String]
+      else manifestDirs(root, fromExclusive).toSet
+    val added = manifestDirs(root, v).filterNot(before)
+    if (added.isEmpty) read(spark, root, v).limit(0)
+    else spark.read.parquet(added: _*)
+  }
+
+  /** Recursive delete of a store root (harness/test cleanup). */
+  def deleteTree(root: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(root))
+  }
+
+  /** Rewrite the CURRENT snapshot into `targetFiles` files under one new
+    * directory and publish it as a new version with identical logical
+    * content — the small-file maintenance job. Old directories stay on
+    * disk serving older versions (time travel); physical vacuum of
+    * unreferenced versions is a retention policy, not this call. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 4): Int = {
+    val parent = currentVersion(root)
+    require(parent > 0, s"nothing to compact at $root")
+    val v = parent + 1
+    val dir = s"$root/data/compact$v"
+    read(spark, root, parent).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(dir)
+    publish(root, v, Seq(dir))
+    v
+  }
+}

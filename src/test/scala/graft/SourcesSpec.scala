@@ -101,4 +101,60 @@ class SourcesSpec extends SparkSpec {
     val expected = series.where(col("metric") === "click").count()
     assert(clicks.count() == expected && expected > 0)
   }
+
+  test("snapshot store: versions, time travel, incremental, atomic manifests") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    try {
+      assert(SnapshotStore.currentVersion(root) == 0)
+      val a = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "payload")
+      val b = (101L to 150L).map(i => (i, s"row$i")).toDF("id", "payload")
+      assert(SnapshotStore.append(a, root) == 1)
+      assert(SnapshotStore.append(b, root) == 2)
+      // latest = union; time travel sees only v1
+      assert(SnapshotStore.read(spark, root).count() == 150)
+      assert(SnapshotStore.read(spark, root, 1).count() == 100)
+      // incremental (1, 2] is exactly the appended batch
+      val inc = SnapshotStore.incremental(spark, root, 1).collect()
+        .map(_.getLong(0)).sorted
+      assert(inc.toSeq == (101L to 150L))
+      // empty incremental range planless
+      assert(SnapshotStore.incremental(spark, root, 2).count() == 0)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("snapshot compaction: fewer files, identical content, old versions intact") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    try {
+      for (k <- 0 until 5)
+        SnapshotStore.append(
+          (1L to 20L).map(i => (k * 100L + i, s"p$k-$i")).toDF("id", "payload")
+            .repartition(8), root)
+      def filesOf(v: Int): Int =
+        SnapshotStore.manifestDirs(root, v).map(d =>
+          Option(new java.io.File(d).listFiles()).get
+            .count(_.getName.endsWith(".parquet"))).sum
+      val preFiles = filesOf(5)
+      val before = SnapshotStore.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val cv = SnapshotStore.compact(spark, root, targetFiles = 2)
+      assert(cv == 6)
+      assert(filesOf(6) <= 2 && filesOf(6) < preFiles)
+      val after = SnapshotStore.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(after == before)
+      // versions below the compaction still read their original content
+      assert(SnapshotStore.read(spark, root, 2).count() == 40)
+      // appends continue on top of the compacted lineage
+      SnapshotStore.append(Seq((9999L, "tail")).toDF("id", "payload"), root)
+      assert(SnapshotStore.read(spark, root).count() == before.size + 1)
+      assert(SnapshotStore.incremental(spark, root, 6).collect()
+        .map(_.getLong(0)).toSeq == Seq(9999L))
+    } finally SnapshotStore.deleteTree(root)
+  }
 }
