@@ -114,6 +114,40 @@ object SnapshotStore {
     else spark.read.parquet(added: _*)
   }
 
+  /** Epoch-idempotent append — the `foreachBatch` sink contract: Spark
+    * replays a micro-batch after a failure/restart with the SAME epoch id,
+    * so a version that already records this epoch makes the replay a
+    * NO-OP (the TopicLog/Kafka-sink delivery posture, here giving
+    * exactly-once stream→table ingestion on top of at-least-once batch
+    * delivery). Epoch ids are stamped into the manifest; the scan for a
+    * prior stamp is O(versions) driver-side JSON reads. */
+  def appendEpoch(df: DataFrame, root: String, epochId: Long): Int = {
+    val cur = currentVersion(root)
+    val seen = (1 to cur).exists { v =>
+      val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
+      s""""epoch":$epochId[,}]""".r.findFirstIn(text).isDefined
+    }
+    if (seen) cur
+    else {
+      val v = cur + 1
+      val dir = s"$root/data/v$v"
+      df.write.mode("overwrite").parquet(dir)
+      val parentDirs = if (cur == 0) Seq.empty else manifestDirs(root, cur)
+      publishWithEpoch(root, v, parentDirs :+ dir, epochId)
+      v
+    }
+  }
+
+  private def publishWithEpoch(root: String, v: Int, dirs: Seq[String],
+                               epochId: Long): Unit = {
+    Files.createDirectories(manifestDir(root))
+    val body = s"""{"version":$v,"epoch":$epochId,""" +
+      s""""dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = manifestDir(root).resolve(s".v$v.json.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Recursive delete of a store root (harness/test cleanup). */
   def deleteTree(root: String): Unit = {
     def rm(f: java.io.File): Unit = {

@@ -923,4 +923,48 @@ class StreamingSpec extends SparkSpec {
       server.close()
     }
   }
+
+  test("stream ingestion into SnapshotStore: epoch-idempotent appends, replay is a no-op") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snapstream").toString
+    val ck = java.nio.file.Files.createTempDirectory("snapck").toString
+    try {
+      val in = MemoryStream[(Long, String)]
+      def start() = in.toDF().toDF("id", "payload")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+          SnapshotStore.appendEpoch(batch, root, epochId): Unit
+        }
+        .start()
+      val q1 = start()
+      in.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+      in.addData((3L, "c"))
+      q1.processAllAvailable()
+      q1.stop()
+      val v = SnapshotStore.currentVersion(root)
+      assert(SnapshotStore.read(spark, root).count() == 3)
+      // a MANUAL replay of an already-committed epoch must be a no-op
+      val replay = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      assert(SnapshotStore.appendEpoch(replay, root, epochId = 0L) == v)
+      assert(SnapshotStore.read(spark, root).count() == 3)
+      // restart from the same checkpoint: no duplicate ingestion either
+      val q2 = start()
+      in.addData((4L, "d"))
+      q2.processAllAvailable()
+      q2.stop()
+      val ids = SnapshotStore.read(spark, root).collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), ids.mkString(","))
+      // and the incremental read after the pre-restart version is just the tail
+      assert(SnapshotStore.incremental(spark, root, v).collect()
+        .map(_.getLong(0)).toSeq == Seq(4L))
+    } finally {
+      SnapshotStore.deleteTree(root)
+      SnapshotStore.deleteTree(ck)
+    }
+  }
 }
