@@ -148,6 +148,28 @@ object SnapshotStore {
     Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Retention: drop every version below `keepFrom` — delete their
+    * manifests, then physically remove data directories no RETAINED
+    * manifest references (a directory shared with a newer version
+    * survives; only then is deletion safe). The policy half of
+    * [[compact]]'s note that old versions stay readable until vacuumed.
+    * Single-writer like the rest of the store: run it from the owner, not
+    * concurrently with an append. */
+  def vacuum(root: String, keepFrom: Int): Unit = {
+    val cur = currentVersion(root)
+    require(keepFrom >= 1 && keepFrom <= cur,
+      s"keepFrom must be in [1, $cur], got $keepFrom")
+    val retained = (keepFrom to cur).flatMap(v => manifestDirs(root, v)).toSet
+    (1 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    val dataDir = Paths.get(root, "data")
+    if (Files.exists(dataDir)) {
+      val stream = Files.list(dataDir)
+      try stream.toArray.toSeq.map(_.asInstanceOf[Path]).foreach { p =>
+        if (!retained.contains(p.toString)) deleteTree(p.toString)
+      } finally stream.close()
+    }
+  }
+
   /** Recursive delete of a store root (harness/test cleanup). */
   def deleteTree(root: String): Unit = {
     def rm(f: java.io.File): Unit = {

@@ -155,6 +155,24 @@ class SourcesSpec extends SparkSpec {
       assert(SnapshotStore.read(spark, root).count() == before.size + 1)
       assert(SnapshotStore.incremental(spark, root, 6).collect()
         .map(_.getLong(0)).toSeq == Seq(9999L))
+      // vacuum below the compaction: old manifests + unreferenced data go,
+      // retained versions (6, 7) keep reading — the compact dir is shared
+      // by both and must survive
+      SnapshotStore.vacuum(root, keepFrom = 6)
+      assert(SnapshotStore.read(spark, root).count() == before.size + 1)
+      assert(SnapshotStore.read(spark, root, 6).count() == before.size)
+      assert(intercept[Exception] {
+        SnapshotStore.read(spark, root, 2).count()
+      } != null)
+      assert(!new java.io.File(s"$root/data/v1").exists())
+      // appends still work after retention
+      SnapshotStore.append(Seq((10000L, "post")).toDF("id", "payload"), root)
+      assert(SnapshotStore.read(spark, root).count() == before.size + 2)
     } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("registry consistency: every oracle key has a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 }
