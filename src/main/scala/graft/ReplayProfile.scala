@@ -11,6 +11,10 @@ object ReplayProfile {
                 else Seq("stream_ewma_parity", "stream_tier_parity", "stream_interval_join")
     val spark = GraftSession.local()
     SparkEntry.configureOracleExport("/tmp/graft_oracle_export", enabled = false)
+    // Match Bench's slice count on request so profile numbers are
+    // comparable to the driver bench (fixed per-trigger overhead dominates).
+    sys.env.get("SPARK_GRAFT_SLICES").foreach { s =>
+      graft.streaming.StreamReplay.defaultSlices = s.toInt }
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
