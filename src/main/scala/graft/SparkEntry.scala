@@ -1315,6 +1315,34 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Incrementally-maintained rollup view (IVM): the series arrives in
+    // THREE source versions (e % 3 slices, so the same (metric, day)
+    // keys straddle every version), each refresh aggregates ONLY its
+    // delta, and a mid-lifecycle view compaction folds the partials.
+    // The final merged view must equal a from-scratch day rollup of the
+    // whole series — that is the IVM exactness contract, and decimal
+    // partial sums are what make it bit-true in any merge order.
+    "rollup_view_incremental" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        val se = series(s, dir).select("metric", "e", "value")
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 0), src)
+        sources.RollupView.refresh(s, src, view)
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 1), src)
+        sources.RollupView.refresh(s, src, view)
+        sources.RollupView.compact(s, view)
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 2), src)
+        sources.RollupView.refresh(s, src, view)
+        sources.RollupView.read(s, view)
+          .select(col("metric"), col("day"), col("cnt"),
+            col("vsum").cast("double").as("sum_val"),
+            col("vmin").as("min_val"), col("vmax").as("max_val"),
+            (col("vsum").cast("double") / col("cnt")).as("mean_val"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Blocked fuzzy title matching (entity-resolution dedup): prefix/suffix
     // union blocking + exact integer Levenshtein verify over 5-token
     // titles, with planted first-char-substituted (suffix block catches)
@@ -3430,6 +3458,17 @@ object SparkEntry {
       "SELECT doc_id, lang, source FROM documents WHERE doc_id >= 300",
     "snapshot_compact_read" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // IVM exactness: the incrementally-maintained view equals a
+    // from-scratch rollup of the full series (decimal sums keep the
+    // partial merges exact; mean is one double division on both sides).
+    "rollup_view_incremental" ->
+      s"""WITH $SERIES
+         |SELECT metric, e // 86400 AS day, count(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+         |  min(value) AS min_val, max(value) AS max_val,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
+         |FROM series GROUP BY 1, 2""".stripMargin,
 
     // Fuzzy-match replay: same title derivation, same planted variants,
     // same prefix/suffix blocking union, same integer levenshtein gate.

@@ -138,6 +138,40 @@ object SnapshotStore {
     }
   }
 
+  /** Highest epoch stamp any manifest carries, if any — the "last
+    * processed source position" a consumer that appends via
+    * [[appendEpoch]] can resume from (driver-side O(versions) JSON
+    * scan, same cost class as the idempotence check). */
+  def lastEpoch(root: String): Option[Long] = {
+    val cur = currentVersion(root)
+    val stamps = (1 to cur).flatMap { v =>
+      val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
+      """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    }
+    if (stamps.isEmpty) None else Some(stamps.max)
+  }
+
+  /** Compaction that publishes `df`'s rows as the new version's SOLE
+    * content (vs [[compact]], which rewrites the current content
+    * verbatim) — the hook for stores whose logical content is a FOLD of
+    * their rows (e.g. a partial-aggregate view: many delta rows per key
+    * collapse to one). Carries the latest epoch stamp forward so an
+    * [[appendEpoch]] consumer's resume position survives the rewrite. */
+  def compactWith(df: DataFrame, root: String, targetFiles: Int = 4,
+                  epochOverride: Option[Long] = None): Int = {
+    val parent = currentVersion(root)
+    require(parent > 0, s"nothing to compact at $root")
+    val epoch = epochOverride.orElse(lastEpoch(root))
+    val v = parent + 1
+    val dir = s"$root/data/compact$v"
+    df.coalesce(targetFiles).write.mode("overwrite").parquet(dir)
+    epoch match {
+      case Some(e) => publishWithEpoch(root, v, Seq(dir), e)
+      case None    => publish(root, v, Seq(dir))
+    }
+    v
+  }
+
   private def publishWithEpoch(root: String, v: Int, dirs: Seq[String],
                                epochId: Long): Unit = {
     Files.createDirectories(manifestDir(root))

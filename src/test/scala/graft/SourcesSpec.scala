@@ -171,6 +171,60 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("rollup view: delta-only refresh, idempotence, compaction rebuild") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivm").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      // same (metric, day) keys arrive across THREE source versions —
+      // the partial-merge path is exercised, not just per-version aggs
+      def mk(rows: Seq[(String, Long, Double)]) =
+        rows.toDF("metric", "e", "value")
+      def fullRollup() = {
+        val r = SnapshotStore.read(spark, src)
+          .groupBy(col("metric"), expr("e div 86400").as("day"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(30,2)")).as("vsum"),
+            min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+      }
+      def viewRows() =
+        RollupView.read(spark, view).collect().map(x =>
+          (x.getString(0), x.getLong(1), x.getLong(2),
+           x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+      SnapshotStore.append(mk(Seq(("m", 10L, 1.5), ("m", 86410L, 2.0),
+        ("n", 20L, -1.0))), src)
+      RollupView.refresh(spark, src, view)
+      assert(viewRows() == fullRollup())
+      // idempotent: same source position -> no new view version
+      val v0 = SnapshotStore.currentVersion(view)
+      RollupView.refresh(spark, src, view)
+      assert(SnapshotStore.currentVersion(view) == v0)
+      // second append touches EXISTING keys; refresh reads only the delta
+      SnapshotStore.append(mk(Seq(("m", 30L, 4.0), ("n", 86500L, 7.25))), src)
+      RollupView.refresh(spark, src, view)
+      assert(viewRows() == fullRollup())
+      // view compaction folds partials without changing content or stamp
+      val stamp = SnapshotStore.lastEpoch(view)
+      RollupView.compact(spark, view)
+      assert(viewRows() == fullRollup())
+      assert(SnapshotStore.lastEpoch(view) == stamp)
+      // SOURCE compaction replaces counted directories: refresh must
+      // detect it and rebuild (an incremental read would double-count)
+      SnapshotStore.compact(spark, src)
+      SnapshotStore.append(mk(Seq(("m", 50L, -2.5))), src)
+      RollupView.refresh(spark, src, view)
+      assert(viewRows() == fullRollup())
+      // and the rebuild advanced the resume stamp: next refresh is a no-op
+      val v1 = SnapshotStore.currentVersion(view)
+      RollupView.refresh(spark, src, view)
+      assert(SnapshotStore.currentVersion(view) == v1)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("registry consistency: every oracle key has a query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
