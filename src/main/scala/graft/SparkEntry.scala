@@ -2281,6 +2281,20 @@ object SparkEntry {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
     }),
 
+    // HLL set operations (audience overlap): union via register-wise
+    // hll_union, intersection by inclusion-exclusion, Jaccard derived —
+    // one pass over the facts, then an m-row broadcast self-join.
+    // Rows-only (Spark's DataSketches estimates aren't reproducible in
+    // DuckDB); the exact twin below is the oracle surface, and
+    // TrendOpsSpec prices the estimate error against it.
+    "audience_overlap" -> ((s, dir) =>
+      TrendOps.audienceOverlapSketch(series(s, dir))),
+
+    // Exact twin: same matrix from real distinct-user sets (the honest
+    // shuffle the sketch path avoids) — fully SQL-expressible.
+    "audience_overlap_verify" -> ((s, dir) =>
+      TrendOps.audienceOverlapExact(series(s, dir))),
+
     // a34: heavy-hitters sketch tier (round-9 VERDICT item 4) — top terms
     // via mergeable Misra–Gries summaries in the a26 tier shape: per-lang
     // partial sketches, union-merged to a global summary, top-20 out.
@@ -3458,6 +3472,23 @@ object SparkEntry {
       "SELECT doc_id, lang, source FROM documents WHERE doc_id >= 300",
     "snapshot_compact_read" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // Audience overlap, exact leg: distinct-user sets per metric, pairwise
+    // intersections by user equi-join, every pair present (zero-overlap
+    // pairs included via the left join onto the full pair frame).
+    "audience_overlap_verify" ->
+      s"""WITH $SERIES,
+         |mu AS (SELECT DISTINCT metric, user_id FROM series),
+         |c AS (SELECT metric, count(*) AS users FROM mu GROUP BY 1),
+         |i AS (SELECT a.metric AS metric_a, b.metric AS metric_b, count(*) AS iu
+         |      FROM mu a JOIN mu b ON a.user_id = b.user_id AND a.metric < b.metric
+         |      GROUP BY 1, 2)
+         |SELECT ca.metric AS metric_a, cb.metric AS metric_b,
+         |  ca.users AS users_a, cb.users AS users_b,
+         |  COALESCE(i.iu, 0) AS inter_users,
+         |  ca.users + cb.users - COALESCE(i.iu, 0) AS union_users
+         |FROM c ca JOIN c cb ON ca.metric < cb.metric
+         |LEFT JOIN i ON i.metric_a = ca.metric AND i.metric_b = cb.metric""".stripMargin,
 
     // IVM exactness: the incrementally-maintained view equals a
     // from-scratch rollup of the full series (decimal sums keep the

@@ -979,6 +979,74 @@ object TrendOps {
         (abs(col("__scaled")) > col("__n") * thr).as("breach"))
   }
 
+  /** Audience-overlap matrix via HLL sketch SET OPERATIONS — for every
+    * metric pair: estimated distinct users of each side, of the union
+    * (register-wise `hll_union`), and of the intersection by
+    * inclusion–exclusion (|A∩B| ≈ |A| + |B| − |A∪B|), plus the derived
+    * Jaccard. This is the sketch answer to "how much do these two event
+    * audiences overlap" — the question a 100 TB events table cannot
+    * answer exactly without an all-pairs user-set join.
+    *
+    * Scale shape: ONE pass over the facts builds one mergeable HLL per
+    * metric (map-side combined, O(2^lgK) per task per metric); everything
+    * after operates on the m-row sketch relation — the m² pair expansion
+    * is a broadcast self-join of model-sized rows, never touching the
+    * facts again. Same O(m²) width contract as [[corrMatrix]], enforced
+    * by the same `maxMetrics` guard. Intersection inherits the summed
+    * error of inclusion–exclusion (worst for small overlaps — the
+    * documented sketch trade); the exact twin [[audienceOverlapExact]]
+    * is the verify surface that prices that error.
+    */
+  def audienceOverlapSketch(series: DataFrame, lgK: Int = 12,
+                            maxMetrics: Int = 64): DataFrame = {
+    if (maxMetrics > 0) {
+      val m = series.select(countDistinct(col("metric"))).head().getLong(0)
+      require(m <= maxMetrics,
+        s"audienceOverlapSketch is O(m^2) in distinct metrics: got $m > " +
+          s"maxMetrics=$maxMetrics. Pre-filter the metric set, raise " +
+          "maxMetrics deliberately, or pass maxMetrics <= 0 to opt out.")
+    }
+    val sk = series.groupBy("metric")
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
+      .withColumn("est", expr("hll_sketch_estimate(sk)").cast("double"))
+    val a = sk.select(col("metric").as("metric_a"), col("sk").as("sk_a"),
+      col("est").as("est_a"))
+    val b = sk.select(col("metric").as("metric_b"), col("sk").as("sk_b"),
+      col("est").as("est_b"))
+    a.join(broadcast(b), col("metric_a") < col("metric_b"))
+      .withColumn("est_union",
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").cast("double"))
+      .withColumn("est_intersection",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+      .select(col("metric_a"), col("metric_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersection"),
+        (col("est_intersection") / col("est_union")).as("jaccard_est"))
+  }
+
+  /** [[audienceOverlapSketch]]'s exact twin: the same overlap matrix by
+    * actual distinct-user sets — one dedup of (metric, user) then a
+    * user-keyed equi-join for the intersections (shuffle O(distinct
+    * pairs), the honest exact cost the sketch path avoids). Every pair
+    * appears, zero-overlap pairs included (the m² pair frame is a
+    * broadcast cross of the m-row count relation). */
+  def audienceOverlapExact(series: DataFrame): DataFrame = {
+    val mu = series.select(col("metric"), col("user_id")).distinct()
+    val counts = mu.groupBy("metric").agg(count(lit(1)).as("users"))
+    val inter = mu.as("a")
+      .join(mu.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.metric") < col("b.metric"))
+      .groupBy(col("a.metric").as("metric_a"), col("b.metric").as("metric_b"))
+      .agg(count(lit(1)).as("iu"))
+    val ca = counts.select(col("metric").as("metric_a"), col("users").as("users_a"))
+    val cb = counts.select(col("metric").as("metric_b"), col("users").as("users_b"))
+    ca.join(broadcast(cb), col("metric_a") < col("metric_b"))
+      .join(inter, Seq("metric_a", "metric_b"), "left")
+      .withColumn("inter_users", coalesce(col("iu"), lit(0L)))
+      .select(col("metric_a"), col("metric_b"), col("users_a"), col("users_b"),
+        col("inter_users"),
+        (col("users_a") + col("users_b") - col("inter_users")).as("union_users"))
+  }
+
   /** Diurnal profile: per-metric value statistics by hour of day — the
     * seasonality view over the full horizon. Exact-decimal mean keeps the
     * output bit-deterministic (same contract as A4). */

@@ -145,6 +145,30 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("audience overlap: sketch estimates track the exact matrix") {
+    val df = Tables.metricSeries(spark, "/root/testdata/sf0.001")
+    val exact = TrendOps.audienceOverlapExact(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val est = TrendOps.audienceOverlapSketch(df).collect()
+    assert(est.length == exact.size && est.nonEmpty) // every pair, incl zero-overlap
+    est.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (ua, ub, iu, uu) = exact(key)
+      // per-sketch HLL rsd at lgK=12 is ~1.6%; union inherits it, and the
+      // inclusion-exclusion intersection inherits the SUM of the three —
+      // bound each at a loose multiple, absolute floor for tiny overlaps
+      assert(math.abs(r.getDouble(2) - ua) / ua < 0.10, s"$key est_a")
+      assert(math.abs(r.getDouble(4) - uu) / uu < 0.10, s"$key est_union")
+      assert(math.abs(r.getDouble(5) - iu) <= math.max(0.15 * uu, 10.0),
+        s"$key est_intersection ${r.getDouble(5)} vs exact $iu")
+    }
+    // width contract enforced like corrMatrix
+    intercept[IllegalArgumentException] {
+      TrendOps.audienceOverlapSketch(df, maxMetrics = 1).collect()
+    }
+  }
+
   test("linear resample interpolates gaps between neighbors") {
     // samples at 0s (10.0) and 180s (40.0), step 60 -> 60s and 120s interpolated
     val df = seriesDF(("m", 0L, 10.0), ("m", 180L, 40.0))
