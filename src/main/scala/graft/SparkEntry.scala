@@ -1343,6 +1343,23 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Declarative data-expectations gate: six rules over lineitem — four
+    // row-level checks folded into ONE conditional aggregate over ONE
+    // scan, a uniqueness check (key-grouped count), and referential
+    // integrity against orders (anti-join). Two rules are chosen to FAIL
+    // on the clean data (discount cap, returnflag set) so both report
+    // polarities face the oracle.
+    "data_expectations" -> ((s, dir) => {
+      import graft.operators.ValidationOps._
+      graft.operators.ValidationOps.validate(Tables.lineitem(s, dir), Seq(
+        NotNull("l_shipdate"),
+        InRange("l_discount", 0.0, 0.05),
+        InSet("l_returnflag", Seq("A", "N")),
+        MatchesRegex("l_linestatus", "[OF]"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIn("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+    }),
+
     // Blocked fuzzy title matching (entity-resolution dedup): prefix/suffix
     // union blocking + exact integer Levenshtein verify over 5-token
     // titles, with planted first-char-substituted (suffix block catches)
@@ -3472,6 +3489,55 @@ object SparkEntry {
       "SELECT doc_id, lang, source FROM documents WHERE doc_id >= 300",
     "snapshot_compact_read" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // Data-expectations gate: one UNION leg per rule, counts replayed
+    // with FILTER aggregates; rule names must match ValidationOps's
+    // naming verbatim (they are compare keys).
+    "data_expectations" ->
+      """SELECT 'not_null(l_shipdate)' AS rule,
+        |  count(*) FILTER (WHERE l_shipdate IS NULL) AS violated_rows,
+        |  count(*) AS checked_rows,
+        |  count(*) FILTER (WHERE l_shipdate IS NULL) = 0 AS pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_discount, 0.0, 0.05)',
+        |  count(*) FILTER (WHERE l_discount IS NOT NULL
+        |                     AND (l_discount < 0.0 OR l_discount > 0.05)),
+        |  count(*),
+        |  count(*) FILTER (WHERE l_discount IS NOT NULL
+        |                     AND (l_discount < 0.0 OR l_discount > 0.05)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_set(l_returnflag)',
+        |  count(*) FILTER (WHERE l_returnflag IS NOT NULL
+        |                     AND l_returnflag NOT IN ('A', 'N')),
+        |  count(*),
+        |  count(*) FILTER (WHERE l_returnflag IS NOT NULL
+        |                     AND l_returnflag NOT IN ('A', 'N')) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'matches_regex(l_linestatus)',
+        |  count(*) FILTER (WHERE l_linestatus IS NOT NULL
+        |                     AND NOT regexp_full_match(l_linestatus, '(?:[OF])')),
+        |  count(*),
+        |  count(*) FILTER (WHERE l_linestatus IS NOT NULL
+        |                     AND NOT regexp_full_match(l_linestatus, '(?:[OF])')) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey, l_linenumber)',
+        |  CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(n), 0) AS BIGINT),
+        |  COALESCE(SUM(n) FILTER (WHERE n > 1), 0) = 0
+        |FROM (SELECT count(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'ref_in(l_orderkey)',
+        |  count(*) FILTER (WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |  count(*),
+        |  count(*) FILTER (WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+        |FROM lineitem l WHERE l_orderkey IS NOT NULL""".stripMargin,
 
     // Audience overlap, exact leg: distinct-user sets per metric, pairwise
     // intersections by user equi-join, every pair present (zero-overlap

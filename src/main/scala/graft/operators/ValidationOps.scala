@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-expectations validation — the pipeline gate a curated
+  * corpus runs before publishing a snapshot: a rule set over a table,
+  * evaluated to one small report row per rule `(rule, violated_rows,
+  * checked_rows, pass)`. The reference's malformed-record posture
+  * (trend-o-meter:470-476 drops records that fail shape checks) made a
+  * first-class, *reporting* surface: violations are counted and named, so
+  * a gate can fail the publish — or quarantine — instead of silently
+  * dropping.
+  *
+  * Scale shape: every ROW-LEVEL rule (not-null / range / set / regex)
+  * folds into ONE conditional aggregate over ONE scan of the table —
+  * adding a tenth rule adds a counter, not a pass. The two rule kinds
+  * that genuinely need data movement pay exactly their inherent cost:
+  * uniqueness is one key-grouped count (shuffle on the key), referential
+  * integrity one anti-join against the dimension (broadcast- or
+  * bloom-able like any other join) — each still O(one pass). The report
+  * itself is O(rules) rows.
+  */
+object ValidationOps {
+
+  sealed trait Expectation { def name: String }
+
+  /** Column must be non-null. */
+  case class NotNull(col: String) extends Expectation {
+    def name = s"not_null($col)"
+  }
+
+  /** Column must lie in [lo, hi] (nulls are NOT counted here — pair with
+    * [[NotNull]]; a null is its own defect, not a range defect). */
+  case class InRange(col: String, lo: Double, hi: Double) extends Expectation {
+    def name = s"in_range($col, $lo, $hi)"
+  }
+
+  /** Column must be one of `values` (nulls excluded as in [[InRange]]). */
+  case class InSet(col: String, values: Seq[String]) extends Expectation {
+    def name = s"in_set($col)"
+  }
+
+  /** Column must fully match `pattern` (nulls excluded). */
+  case class MatchesRegex(col: String, pattern: String) extends Expectation {
+    def name = s"matches_regex($col)"
+  }
+
+  /** Key must be unique; a violation is every row whose key occurs more
+    * than once (so 3 copies of one key count 3 violated rows). */
+  case class Unique(cols: Seq[String]) extends Expectation {
+    def name = s"unique(${cols.mkString(", ")})"
+  }
+
+  /** Foreign key must exist in `dim(dimCol)` (anti-join semantics: null
+    * fks are excluded — they are [[NotNull]]'s defect). */
+  case class RefIn(col: String, dim: DataFrame, dimCol: String) extends Expectation {
+    def name = s"ref_in($col)"
+  }
+
+  private def violatesCond(e: Expectation): Column = e match {
+    case NotNull(c)          => col(c).isNull
+    case InRange(c, lo, hi)  => col(c).isNotNull && (col(c) < lo || col(c) > hi)
+    case InSet(c, vs)        => col(c).isNotNull && !col(c).isInCollection(vs)
+    case MatchesRegex(c, p)  => col(c).isNotNull && !col(c).rlike("^(?:" + p + ")$")
+    case other => throw new IllegalArgumentException(s"not a row-level rule: $other")
+  }
+
+  /** Evaluate `rules` against `df`. Report row order follows the rule
+    * list; `checked_rows` is the table's row count for row-level rules
+    * and the rule's own domain for unique/ref rules (rows with a
+    * non-null key). */
+  def validate(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    val spark = df.sparkSession
+    val rowLevel = rules.filter {
+      case _: Unique | _: RefIn => false
+      case _                    => true
+    }
+    // one scan, one counter per rule + the total
+    val rowReport: Option[DataFrame] =
+      if (rowLevel.isEmpty) None
+      else {
+        val aggs = rowLevel.zipWithIndex.map { case (r, i) =>
+          sum(when(violatesCond(r), 1L).otherwise(0L)).as(s"v$i")
+        } :+ count(lit(1)).as("checked")
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val stacked = rowLevel.zipWithIndex
+          .map { case (r, i) =>
+            s"'${r.name.replace("'", "''")}', v$i" }
+          .mkString(", ")
+        Some(one.selectExpr(
+          s"stack(${rowLevel.size}, $stacked) AS (rule, violated_rows)",
+          "checked AS checked_rows"))
+      }
+    val keyed = rules.collect {
+      case u @ Unique(cols0) =>
+        val keyed0 = df.select(cols0.map(col): _*)
+        val dupRows = keyed0.groupBy(cols0.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .agg(
+            coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L)).as("violated_rows"),
+            coalesce(sum(col("__n")), lit(0L)).as("checked_rows"))
+        dupRows.select(lit(u.name).as("rule"),
+          col("violated_rows"), col("checked_rows"))
+      case r @ RefIn(c, dim, dimCol) =>
+        val domain = df.where(col(c).isNotNull).select(col(c))
+        val missing = domain.join(dim.select(col(dimCol).as(c)).distinct(),
+          Seq(c), "left_anti")
+        val agg = domain.agg(count(lit(1)).as("checked_rows"))
+          .crossJoin(missing.agg(count(lit(1)).as("violated_rows")))
+        agg.select(lit(r.name).as("rule"),
+          col("violated_rows"), col("checked_rows"))
+    }
+    val parts = rowReport.toSeq ++ keyed
+    require(parts.nonEmpty, "empty rule set")
+    parts.reduce(_.unionByName(_))
+      .withColumn("pass", col("violated_rows") === 0L)
+  }
+}
