@@ -2298,6 +2298,15 @@ object SparkEntry {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
     }),
 
+    // Windowed funnel (view -> click -> purchase within 10 minutes): the
+    // anchor-propagation DP — one user-keyed shuffle, O(K) fold state —
+    // against an oracle that enumerates the chains as a K-way self-join
+    // (exactly the blowup the DP avoids; EXISTS semantics make the two
+    // formulations provably equal).
+    "funnel_steps" -> ((s, dir) =>
+      TrendOps.windowFunnel(series(s, dir),
+        Seq("view", "click", "purchase"), windowSeconds = 600L)),
+
     // HLL set operations (audience overlap): union via register-wise
     // hll_union, intersection by inclusion-exclusion, Jaccard derived —
     // one pass over the facts, then an m-row broadcast self-join.
@@ -3538,6 +3547,28 @@ object SparkEntry {
         |  count(*) FILTER (WHERE NOT EXISTS
         |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
         |FROM lineitem l WHERE l_orderkey IS NOT NULL""".stripMargin,
+
+    // Funnel: EXISTS-a-chain replayed as self-joins per depth. Chain
+    // times are non-decreasing; the completion window binds t_k - t_1.
+    "funnel_steps" ->
+      s"""WITH $SERIES,
+         |s1 AS (SELECT user_id, e FROM series WHERE metric = 'view'),
+         |s2 AS (SELECT user_id, e FROM series WHERE metric = 'click'),
+         |s3 AS (SELECT user_id, e FROM series WHERE metric = 'purchase'),
+         |u1 AS (SELECT DISTINCT user_id FROM s1),
+         |u2 AS (SELECT DISTINCT a.user_id FROM s1 a
+         |       JOIN s2 b ON b.user_id = a.user_id
+         |        AND b.e >= a.e AND b.e - a.e <= 600),
+         |u3 AS (SELECT DISTINCT a.user_id FROM s1 a
+         |       JOIN s2 b ON b.user_id = a.user_id AND b.e >= a.e
+         |       JOIN s3 c ON c.user_id = a.user_id
+         |        AND c.e >= b.e AND c.e - a.e <= 600)
+         |SELECT 1 AS step_idx, 'view' AS step,
+         |       (SELECT count(*) FROM u1) AS users
+         |UNION ALL
+         |SELECT 2, 'click', (SELECT count(*) FROM u2)
+         |UNION ALL
+         |SELECT 3, 'purchase', (SELECT count(*) FROM u3)""".stripMargin,
 
     // Audience overlap, exact leg: distinct-user sets per metric, pairwise
     // intersections by user equi-join, every pair present (zero-overlap

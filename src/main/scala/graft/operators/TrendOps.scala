@@ -979,6 +979,72 @@ object TrendOps {
         (abs(col("__scaled")) > col("__n") * thr).as("breach"))
   }
 
+  /** Windowed funnel: for an ordered sequence of K DISTINCT step metrics,
+    * count how many users have events e₁ … e_k with non-decreasing times,
+    * matching types, and t_k − t₁ ≤ `windowSeconds` — for every prefix
+    * depth k (the product-analytics "reached step k" curve).
+    *
+    * Per-user scan is the anchor-propagation dynamic program (the
+    * windowed-funnel algorithm popularized by OLAP engines): one pass
+    * over the user's step events in (ts, step) order, carrying only the
+    * best (latest) step-1 anchor that has reached each level — a bigger
+    * anchor strictly dominates under a completion-window constraint, so
+    * O(K) state finds the optimal chain without enumerating any. Ties
+    * (equal-second events) chain via the (e, step_idx) sort: lower steps
+    * at the same second update their level before higher steps read it,
+    * and distinct step types mean one event can never serve two steps.
+    *
+    * Scale shape: filter to the K step types (pushed to the scan), ONE
+    * shuffle on user_id, per-user state O(events-of-those-types) for the
+    * sorted array and O(K) for the fold — no self-join, no K-pass
+    * iteration. The K-row result aggregates with a map-side-combined
+    * conditional count. (The EXISTS-of-a-chain semantics replays in SQL
+    * as a K-way self-join — the oracle — whose cost is the all-chains
+    * enumeration this operator exists to avoid.)
+    */
+  def windowFunnel(series: DataFrame, steps: Seq[String],
+                   windowSeconds: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("metric") === s, lit(i + 1)).otherwise(acc) }
+    val ev = series
+      .where(col("metric").isin(steps: _*))
+      .select(col("user_id"), col("e"), stepIdx.as("step_idx"))
+    // fold state: anchors[i] = latest step-1 time whose chain has reached
+    // level i+1, or -1; updated only forward, so set levels are a prefix
+    val fold =
+      s"""aggregate(
+         |  evs,
+         |  array_repeat(-1L, $k),
+         |  (acc, x) -> transform(acc, (a, i) ->
+         |    CASE
+         |      WHEN x.step_idx = i + 1 AND i = 0 THEN greatest(a, x.e)
+         |      WHEN x.step_idx = i + 1 AND element_at(acc, i) >= 0L
+         |           AND x.e - element_at(acc, i) <= ${windowSeconds}L
+         |        THEN greatest(a, element_at(acc, i))
+         |      ELSE a
+         |    END))""".stripMargin
+    val levels = ev
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("e"), col("step_idx")))).as("evs"))
+      .select(col("user_id"),
+        expr(s"size(filter($fold, a -> a >= 0L))").as("level"))
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      (i + 1, s) }.toDF("step_idx", "step")
+    levels
+      .select((for (i <- 1 to k) yield
+        sum(when(col("level") >= i, 1L).otherwise(0L)).as(s"u$i")): _*)
+      .crossJoin(stepRows)
+      .select(col("step_idx"), col("step"),
+        (for (i <- 1 to k) yield when(col("step_idx") === i, col(s"u$i")))
+          .reduce(coalesce(_, _)).as("users"))
+  }
+
   /** Audience-overlap matrix via HLL sketch SET OPERATIONS — for every
     * metric pair: estimated distinct users of each side, of the union
     * (register-wise `hll_union`), and of the intersection by

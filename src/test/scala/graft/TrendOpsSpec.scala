@@ -145,6 +145,34 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("window funnel: anchor DP finds chains, window cuts, ties chain") {
+    val s = spark
+    import s.implicits._
+    def funnel(rows: (Long, String, Long)*) =
+      TrendOps.windowFunnel(
+        rows.toSeq.toDF("user_id", "metric", "e"),
+        Seq("a", "b", "c"), windowSeconds = 100L)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // u1 completes in-window; u2's c lands outside the window of its ONLY
+    // possible anchor; u3 needs the LATER anchor (DP must upgrade: the
+    // first a at 0 would put c at 150 out of window, the second a at 60
+    // keeps it in); u4 chains a tie (b at the same second as a)
+    val got = funnel(
+      (1L, "a", 0L), (1L, "b", 10L), (1L, "c", 20L),
+      (2L, "a", 0L), (2L, "b", 10L), (2L, "c", 150L),
+      (3L, "a", 0L), (3L, "a", 60L), (3L, "b", 70L), (3L, "c", 150L),
+      (4L, "a", 5L), (4L, "b", 5L), (4L, "c", 50L),
+      (5L, "b", 1L), (5L, "c", 2L)) // no step-1: reaches nothing
+    assert(got == Map(1 -> 4L, 2 -> 4L, 3 -> 3L))
+    // out-of-order steps don't chain backwards (c before b)
+    val back = funnel((9L, "a", 0L), (9L, "c", 10L), (9L, "b", 20L))
+    assert(back == Map(1 -> 1L, 2 -> 1L, 3 -> 0L))
+    intercept[IllegalArgumentException] {
+      TrendOps.windowFunnel(Seq((1L, "a", 0L)).toDF("user_id", "metric", "e"),
+        Seq("a", "a"), 10L)
+    }
+  }
+
   test("audience overlap: sketch estimates track the exact matrix") {
     val df = Tables.metricSeries(spark, "/root/testdata/sf0.001")
     val exact = TrendOps.audienceOverlapExact(df).collect()
