@@ -2298,6 +2298,12 @@ object SparkEntry {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
     }),
 
+    // Cohort retention: first-event-day cohorts x day offset, active
+    // users + rate per cell — one map-side-combined day-set per user
+    // (bounded by the horizon, not event count), two shuffles total.
+    "cohort_retention" -> ((s, dir) =>
+      TrendOps.cohortRetention(series(s, dir), maxOffsetDays = 30)),
+
     // Windowed funnel (view -> click -> purchase within 10 minutes): the
     // anchor-propagation DP — one user-keyed shuffle, O(K) fold state —
     // against an oracle that enumerates the chains as a K-way self-join
@@ -3547,6 +3553,22 @@ object SparkEntry {
         |  count(*) FILTER (WHERE NOT EXISTS
         |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
         |FROM lineitem l WHERE l_orderkey IS NOT NULL""".stripMargin,
+
+    // Cohort retention: distinct active days per user, cohort = min day,
+    // one count per (cohort, offset) cell; rate is one double division.
+    "cohort_retention" ->
+      s"""WITH $SERIES,
+         |ud AS (SELECT DISTINCT user_id, e // 86400 AS day FROM series),
+         |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+         |sz AS (SELECT cohort_day, count(*) AS cohort_users FROM c GROUP BY 1),
+         |j AS (SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset
+         |      FROM ud JOIN c ON ud.user_id = c.user_id
+         |      WHERE ud.day - c.cohort_day <= 30)
+         |SELECT j.cohort_day, j.day_offset, count(*) AS active_users,
+         |       sz.cohort_users,
+         |       CAST(count(*) AS DOUBLE) / sz.cohort_users AS retention
+         |FROM j JOIN sz ON sz.cohort_day = j.cohort_day
+         |GROUP BY 1, 2, sz.cohort_users""".stripMargin,
 
     // Funnel: EXISTS-a-chain replayed as self-joins per depth. Chain
     // times are non-decreasing; the completion window binds t_k - t_1.

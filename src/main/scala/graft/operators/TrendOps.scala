@@ -979,6 +979,40 @@ object TrendOps {
         (abs(col("__scaled")) > col("__n") * thr).as("breach"))
   }
 
+  /** Cohort-retention matrix: users are cohorted by the day of their
+    * FIRST event; for each (cohort day, day offset ≤ `maxOffsetDays`)
+    * cell, count the cohort's users active that day, the cohort's size,
+    * and the retention rate — the companion view to [[windowFunnel]]
+    * (funnel: did they convert; retention: did they come back).
+    *
+    * Scale shape: one groupBy(user) with a map-side-combined day SET
+    * (bounded by the horizon's day count, NOT by event count — a user's
+    * million events collapse to ≤ days entries before the shuffle), the
+    * cohort day read off as the set's min, offsets exploded from the
+    * set, then one (cohort, offset) count. Two shuffles total, no
+    * user-level join, nothing O(events) past the first map stage. */
+  def cohortRetention(series: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
+    val perUser = series
+      .select(col("user_id"), expr("e div 86400").as("day"))
+      .groupBy("user_id")
+      .agg(collect_set(col("day")).as("days"))
+      .select(array_min(col("days")).as("cohort_day"), col("days"))
+    val cells = perUser
+      .select(col("cohort_day"),
+        explode(col("days")).as("day"))
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .where(col("day_offset") <= maxOffsetDays)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = perUser.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    cells.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_users"),
+        (col("active_users").cast("double") / col("cohort_users"))
+          .as("retention"))
+  }
+
   /** Windowed funnel: for an ordered sequence of K DISTINCT step metrics,
     * count how many users have events e₁ … e_k with non-decreasing times,
     * matching types, and t_k − t₁ ≤ `windowSeconds` — for every prefix

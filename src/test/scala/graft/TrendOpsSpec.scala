@@ -173,6 +173,27 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("cohort retention: first-day cohorts, offsets, rates") {
+    val s = spark
+    import s.implicits._
+    // u1 cohort day 0, active days 0,1,3; u2 cohort day 0, active day 0;
+    // u3 cohort day 1, active days 1,2 — two events one day dedup to one
+    val df = Seq(
+      (1L, 10L), (1L, 86400L + 5), (1L, 3 * 86400L + 2),
+      (2L, 20L), (2L, 25L),
+      (3L, 86400L + 1), (3L, 2 * 86400L)
+    ).map { case (u, e) => (u, "m", e, 0.0) }
+      .toDF("user_id", "metric", "e", "value")
+    val rows = TrendOps.cohortRetention(df, maxOffsetDays = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows == Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)),   // u1, u2 on day 0
+      (0L, 1L) -> ((1L, 2L, 0.5)),   // u1 back on day 1 (day 3 > cap)
+      (1L, 0L) -> ((1L, 1L, 1.0)),   // u3's own cohort
+      (1L, 1L) -> ((1L, 1L, 1.0))))  // u3 back on day 2
+  }
+
   test("audience overlap: sketch estimates track the exact matrix") {
     val df = Tables.metricSeries(spark, "/root/testdata/sf0.001")
     val exact = TrendOps.audienceOverlapExact(df).collect()
