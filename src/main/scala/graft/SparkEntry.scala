@@ -245,6 +245,29 @@ object SparkEntry {
     * a35 + streaming twin): exact 1-based ceil(phi*n)-rank sample per
     * (metric, hour), rank multiply forced through DOUBLE so both engines
     * round phi*n with the same IEEE product. */
+  /** Shared by funnel_steps and its streaming twin: EXISTS-a-chain per
+    * depth as self-joins — non-decreasing times, completion window binds
+    * t_k - t_1 (intermediate windows are implied by monotonicity). */
+  private lazy val FUNNEL_ORACLE =
+    s"""WITH $SERIES,
+       |s1 AS (SELECT user_id, e FROM series WHERE metric = 'view'),
+       |s2 AS (SELECT user_id, e FROM series WHERE metric = 'click'),
+       |s3 AS (SELECT user_id, e FROM series WHERE metric = 'purchase'),
+       |u1 AS (SELECT DISTINCT user_id FROM s1),
+       |u2 AS (SELECT DISTINCT a.user_id FROM s1 a
+       |       JOIN s2 b ON b.user_id = a.user_id
+       |        AND b.e >= a.e AND b.e - a.e <= 600),
+       |u3 AS (SELECT DISTINCT a.user_id FROM s1 a
+       |       JOIN s2 b ON b.user_id = a.user_id AND b.e >= a.e
+       |       JOIN s3 c ON c.user_id = a.user_id
+       |        AND c.e >= b.e AND c.e - a.e <= 600)
+       |SELECT 1 AS step_idx, 'view' AS step,
+       |       (SELECT count(*) FROM u1) AS users
+       |UNION ALL
+       |SELECT 2, 'click', (SELECT count(*) FROM u2)
+       |UNION ALL
+       |SELECT 3, 'purchase', (SELECT count(*) FROM u3)""".stripMargin
+
   private lazy val A35_QUANTILE_ORACLE =
     s"""WITH $SERIES,
        |b AS (SELECT metric, CAST(FLOOR(e/3600.0) AS BIGINT)*3600 AS bucket_start, value FROM series),
@@ -2313,6 +2336,18 @@ object SparkEntry {
       TrendOps.windowFunnel(series(s, dir),
         Seq("view", "click", "purchase"), windowSeconds = 600L)),
 
+    // Streaming twin of funnel_steps: the same anchor DP as keyed stream
+    // state (O(K) per user), replayed through a real checkpointed stream;
+    // the per-user max emission composes through the SAME count shape and
+    // faces funnel_steps's oracle verbatim — cross-batch anchor carry is
+    // exactly what the parity proves.
+    "stream_funnel_parity" -> ((s, dir) =>
+      TrendOps.funnelCounts(
+        graft.streaming.StreamReplay.funnelReplay(
+          series(s, dir).select("metric", "e", "user_id"),
+          Seq("view", "click", "purchase"), windowSeconds = 600L),
+        Seq("view", "click", "purchase"))),
+
     // HLL set operations (audience overlap): union via register-wise
     // hll_union, intersection by inclusion-exclusion, Jaccard derived —
     // one pass over the facts, then an m-row broadcast self-join.
@@ -3572,25 +3607,10 @@ object SparkEntry {
 
     // Funnel: EXISTS-a-chain replayed as self-joins per depth. Chain
     // times are non-decreasing; the completion window binds t_k - t_1.
-    "funnel_steps" ->
-      s"""WITH $SERIES,
-         |s1 AS (SELECT user_id, e FROM series WHERE metric = 'view'),
-         |s2 AS (SELECT user_id, e FROM series WHERE metric = 'click'),
-         |s3 AS (SELECT user_id, e FROM series WHERE metric = 'purchase'),
-         |u1 AS (SELECT DISTINCT user_id FROM s1),
-         |u2 AS (SELECT DISTINCT a.user_id FROM s1 a
-         |       JOIN s2 b ON b.user_id = a.user_id
-         |        AND b.e >= a.e AND b.e - a.e <= 600),
-         |u3 AS (SELECT DISTINCT a.user_id FROM s1 a
-         |       JOIN s2 b ON b.user_id = a.user_id AND b.e >= a.e
-         |       JOIN s3 c ON c.user_id = a.user_id
-         |        AND c.e >= b.e AND c.e - a.e <= 600)
-         |SELECT 1 AS step_idx, 'view' AS step,
-         |       (SELECT count(*) FROM u1) AS users
-         |UNION ALL
-         |SELECT 2, 'click', (SELECT count(*) FROM u2)
-         |UNION ALL
-         |SELECT 3, 'purchase', (SELECT count(*) FROM u3)""".stripMargin,
+    // The streaming twin shares the oracle verbatim (same counts, same
+    // steps — the replay must land bit-equal).
+    "funnel_steps" -> FUNNEL_ORACLE,
+    "stream_funnel_parity" -> FUNNEL_ORACLE,
 
     // Audience overlap, exact leg: distinct-user sets per metric, pairwise
     // intersections by user equi-join, every pair present (zero-overlap

@@ -1068,11 +1068,23 @@ object TrendOps {
       .agg(sort_array(collect_list(struct(col("e"), col("step_idx")))).as("evs"))
       .select(col("user_id"),
         expr(s"size(filter($fold, a -> a >= 0L))").as("level"))
+    funnelCounts(levels, steps)
+  }
+
+  /** Compose a per-user `(user_id, level)` relation into the funnel's
+    * reporting shape `(step_idx, step, users)` — shared by the batch DP
+    * above and the streaming twin's replay (whose emissions reduce to
+    * the same per-user level surface). */
+  def funnelCounts(levels: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = levels.sparkSession
+    import spark.implicits._
+    val k = steps.size
     val stepRows = steps.zipWithIndex.map { case (s, i) =>
       (i + 1, s) }.toDF("step_idx", "step")
     levels
       .select((for (i <- 1 to k) yield
         sum(when(col("level") >= i, 1L).otherwise(0L)).as(s"u$i")): _*)
+      .select((for (i <- 1 to k) yield coalesce(col(s"u$i"), lit(0L)).as(s"u$i")): _*)
       .crossJoin(stepRows)
       .select(col("step_idx"), col("step"),
         (for (i <- 1 to k) yield when(col("step_idx") === i, col(s"u$i")))

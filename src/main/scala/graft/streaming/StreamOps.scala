@@ -26,6 +26,11 @@ final case class TriggeredMean(metric: String, e: Long, mean_val: Double, n: Lon
 /** One streaming derivative observation ([[StreamOps.derivativeStream]]). */
 final case class SlopePoint(metric: String, e: Long, value: Double, slope: Double)
 
+/** A user's funnel progress emission ([[StreamOps.funnelStream]]): the
+  * deepest step reached so far. Levels only grow, so the latest (= max)
+  * emission per user is the user's standing. */
+final case class FunnelLevel(user_id: Long, level: Int)
+
 /** One banded document row inside [[StreamOps.nearDupCandidatesStream]]. */
 final case class BandedDoc(ts: Timestamp, doc_id: Long, sig: Array[Long],
                            band_idx: Int, band_sig: Int)
@@ -593,6 +598,54 @@ object StreamOps {
       .groupBy(col("metric"), window(col("ts"), "1 minute"))
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
       .select(col("metric"), col("window.start").as("minute_start"), col("sk"))
+
+  /** Streaming windowed funnel — the incremental twin of
+    * [[graft.operators.TrendOps.windowFunnel]]: the anchor-propagation DP
+    * runs per user with the O(K) anchor array as the ENTIRE keyed state
+    * (the DP was built for exactly this — a bigger step-1 anchor
+    * dominates, so no event history is retained), emitting a
+    * [[FunnelLevel]] row whenever a user's reached depth grows. Within a
+    * micro-batch events fold in (event-time, step) order — the batch
+    * op's tie rule — and the replay slicer cuts on whole seconds, so
+    * same-second ties never straddle a state boundary; levels are
+    * monotone, so the parity surface is max(level) per user, which must
+    * equal the batch DP's per-user level exactly (shared oracle).
+    *
+    * @param events streaming frame with (ts timestamp, user_id long, metric string)
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+                   windowSeconds: Long): Dataset[FunnelLevel] = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val k = steps.size
+    val idxOf = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("ts"), col("user_id"), col("metric"))
+      .as[(Timestamp, Long, String)]
+      .filter(t => idxOf.contains(t._3))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Array[Long], FunnelLevel](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[(Timestamp, Long, String)],
+         state: GroupState[Array[Long]]) =>
+          val anchors = state.getOption.getOrElse(Array.fill(k)(-1L))
+          val levelBefore = anchors.count(_ >= 0L)
+          val sorted = evs.toSeq
+            .map(t => (t._1.getTime / 1000L, idxOf(t._3)))
+            .sorted
+          for ((e, j) <- sorted) {
+            if (j == 1) anchors(0) = math.max(anchors(0), e)
+            else if (anchors(j - 2) >= 0L && e - anchors(j - 2) <= windowSeconds)
+              anchors(j - 1) = math.max(anchors(j - 1), anchors(j - 2))
+          }
+          state.update(anchors)
+          val level = anchors.count(_ >= 0L)
+          if (level > levelBefore) Iterator(FunnelLevel(user, level))
+          else Iterator.empty
+      }
+  }
 
   /** Streaming gap alerts per metric ([[GapAlertProcessor]]): the streaming
     * counterpart of the batch gap report — the open alert exists ONLY here,

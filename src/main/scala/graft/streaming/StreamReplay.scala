@@ -366,6 +366,26 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)).select(key.as("dup_key")))
   }
 
+  /** Replays the events relation `(metric, e, user_id)` through
+    * [[StreamOps.funnelStream]] and returns the final per-user funnel
+    * level `(user_id, level)`. Update-mode emissions are level
+    * INCREASES, and levels are monotone, so max per user is the final
+    * standing — no batch-id dedup needed. Users that never reach step 1
+    * emit nothing and are correctly absent. */
+  def funnelReplay(series: DataFrame, steps: Seq[String], windowSeconds: Long,
+                   slices: Int = defaultSlices): DataFrame = {
+    val src = series.select(timestamp_seconds(col("e")).as("ts"),
+      col("user_id"), col("metric"))
+    val build = (df: DataFrame) =>
+      StreamOps.funnelStream(df, steps, windowSeconds).toDF()
+    sliceAndReplay(src, "ts TIMESTAMP, user_id BIGINT, metric STRING", slices,
+        "update", build) match {
+      case None => build(src.limit(0))
+      case Some(appended) =>
+        appended.groupBy("user_id").agg(max(col("level")).as("level"))
+    }
+  }
+
   /** Replays a documents relation through the streaming quality gate —
     * [[graft.operators.QualityModel.score]] over a checkpointed stream
     * with a FIXED trained weight model (the stateless scoring map is the

@@ -230,6 +230,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming funnel: anchors carry across micro-batches, levels monotone") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = startMemQuery(
+      StreamOps.funnelStream(
+        in.toDF().toDF("ts", "user_id", "metric"),
+        Seq("a", "b", "c"), windowSeconds = 100L).toDF(),
+      "t_funnel", "update")
+    def ev(sec: Long, u: Long, m: String) = (new Timestamp(sec * 1000), u, m)
+    in.addData(ev(0, 1L, "a"), ev(10, 1L, "b"), ev(0, 2L, "a"))
+    q.processAllAvailable()
+    // u1's anchor (0) must survive the boundary: c at 90 is in-window;
+    // u2's b at 150 is OUT of its anchor's window — stays level 1
+    in.addData(ev(90, 1L, "c"), ev(150, 2L, "b"))
+    q.processAllAvailable(); q.stop()
+    val byUser = spark.table("t_funnel").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("level")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(byUser == Map(1L -> 3, 2L -> 1))
+    // levels only ever grew (each emission strictly above the previous)
+    val u1Levels = spark.table("t_funnel").collect()
+      .filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Int]("level")).sorted
+    assert(u1Levels.toSeq == u1Levels.distinct.toSeq)
+  }
+
   test("stream-stream interval join: purchases pick up trailing clicks per channel") {
     val s = spark
     import s.implicits._
