@@ -19,7 +19,8 @@ object PlanAudit {
       "a35_quantile_tier", "q_bloom_join", "layout_zorder", "table_profile",
       "table_profile_scale", "a9_sketch_verify", "pq_encode", "ann_topk_ivfpq",
       "graph_pagerank", "quality_train_score", "embedding_project",
-      "text_bigram_lm")
+      "text_bigram_lm", "funnel_steps", "cohort_retention",
+      "audience_overlap", "data_expectations")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -177,6 +178,39 @@ object PlanAudit {
         val p = planOf("text_bigram_lm")
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
       }),
+      ("funnel filters step types AT THE SCAN, one user-keyed exchange, no sort", {
+        val p = planOf("funnel_steps")
+        p.contains("PushedFilters: [In(event_type") &&
+          p.contains("hashpartitioning(user_id") &&
+          !p.contains("rangepartitioning") && !p.contains("CartesianProduct")
+      }),
+      ("cohort retention: user-keyed day sets, cohort sizes broadcast, no user join", {
+        val p = planOf("cohort_retention")
+        p.contains("hashpartitioning(user_id") &&
+          p.contains("BroadcastHashJoin") &&
+          !p.contains("rangepartitioning") && !p.contains("CartesianProduct")
+      }),
+      ("audience overlap: the m-row pair expansion is the ONLY nested-loop join", {
+        // The BNLJ is deliberate (metric_a < metric_b over the model-sized
+        // sketch relation); the facts themselves must be one agg pass.
+        val p = planOf("audience_overlap")
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size == 1 &&
+          !p.contains("CartesianProduct") &&
+          p.contains("ObjectHashAggregate")
+      }),
+      ("data expectations: per-leg pruned scans, anti-join ref check, no Expand", {
+        val p = planOf("data_expectations")
+        !p.contains("Expand") && p.contains("LeftAnti") &&
+          !p.contains("CartesianProduct") &&
+          "Scan parquet".r.findAllIn(p).size <= 6 &&
+          // the four row-level rules fold into ONE scan: lineitem appears
+          // once with exactly the rules' column set
+          p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>")
+      }),
+      ("cohort retention reuses the per-user day-set exchange",
+        finalPlanOf("cohort_retention").contains("ReusedExchange")),
+      ("audience overlap reuses the sketch-build exchange",
+        finalPlanOf("audience_overlap").contains("ReusedExchange")),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),
       ("simhash self-join reuses the signature exchange",
