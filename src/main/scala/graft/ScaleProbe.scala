@@ -58,6 +58,21 @@ object ScaleProbe {
           .withColumn("bucket_start", floor(col("minute") / lit(3600.0)).cast("long") * 3600)
           .groupBy("metric", "bucket_start")
           .agg(QuantileSketch.merged(col("sk"), eps).as("sk"))
+      },
+      // Round-11 analytics: per-user work is constant, user count grows
+      // with k — expect ≈linear for the funnel DP and cohort day-sets,
+      // flat-ish for the sketch overlap (m stays 5; only the fact pass
+      // grows). The validation probe is the one-scan row-rule fold.
+      "funnel_steps" -> (df =>
+        TrendOps.windowFunnel(df, Seq("view", "click", "purchase"), 600L)),
+      "cohort_retention" -> (df => TrendOps.cohortRetention(df, 30)),
+      "audience_overlap" -> (df =>
+        TrendOps.audienceOverlapSketch(df, maxMetrics = 0)),
+      "expectations_fold" -> { df =>
+        import graft.operators.ValidationOps._
+        graft.operators.ValidationOps.validate(df, Seq(
+          NotNull("value"), InRange("value", 0.0, 50.0),
+          InSet("metric", Seq("view", "click")), MatchesRegex("metric", "[a-z]+")))
       })
 
     // Optional comma-list filter (SPARK_GRAFT_PROBE_ONLY) so a new
