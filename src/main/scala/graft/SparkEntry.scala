@@ -1801,6 +1801,19 @@ object SparkEntry {
     }),
 
     // Multimodal: oracle-checkable payload metadata.
+    // Audio modality (the WAV sibling of the multimodal_* image path):
+    // real RIFF/WAVE PCM payloads decoded back by chunk scan; header
+    // metadata and hop-window energy/peak features, both replayed by the
+    // oracle from the planted sample arithmetic — the whole
+    // encode->decode->window-aggregate loop faces SQL.
+    "audio_meta" -> ((s, dir) =>
+      graft.operators.AudioOps.audioMeta(
+        graft.operators.AudioOps.withAudioPayload(Tables.documents(s, dir))).toDF()),
+
+    "audio_energy" -> ((s, dir) =>
+      graft.operators.AudioOps.windowEnergy(
+        graft.operators.AudioOps.withAudioPayload(Tables.documents(s, dir))).toDF()),
+
     "multimodal_meta" -> ((s, dir) => MultimodalOps.mediaMeta(Tables.documents(s, dir))),
 
     // Multimodal: REAL codec round trip — encode each doc as an actual
@@ -3806,6 +3819,34 @@ object SparkEntry {
         |r AS (SELECT q_id, c_id, score,
         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM s)
         |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5""".stripMargin,
+
+    // Audio round trip: canonical 44-byte header + 2 bytes/sample, the
+    // planted count n = 400 + id%600, and 125 us/sample (1e6/8000 exact).
+    "audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(44 + 2 * (400 + doc_id % 600) AS INTEGER) AS byte_len,
+        |  8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(400 + doc_id % 600 AS INTEGER) AS n_samples,
+        |  CAST((400 + doc_id % 600) * 125 AS BIGINT) AS duration_us
+        |FROM documents""".stripMargin,
+
+    // Window energies replayed from the planted sample formula
+    // v(i) = (id*31 + i*7) % 4096 - 2048 — exact BIGINT arithmetic on
+    // both sides; the Spark leg computes from the DECODED bytes.
+    "audio_energy" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(400 + doc_id % 600 AS INTEGER) AS n FROM documents),
+        |w AS (SELECT doc_id, n,
+        |  unnest(generate_series(0, (n - 1) // 160)) AS widx FROM d),
+        |s AS (SELECT doc_id, widx,
+        |  (doc_id * 31 + unnest(generate_series(widx * 160,
+        |     least(widx * 160 + 159, n - 1))) * 7) % 4096 - 2048 AS v
+        |  FROM w)
+        |SELECT doc_id, CAST(widx AS INTEGER) AS window_idx,
+        |  CAST(count(*) AS INTEGER) AS window_len,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -14,6 +14,57 @@ class MultimodalSpec extends SparkSpec {
     Seq((1L, "abcd" * 100), (2L, "xy"), (3L, "q"), (6L, "gray even")).toDF("doc_id", "text")
   }
 
+  // ----- audio (WAV) ---------------------------------------------------
+
+  test("WAV encode→decode round trip: header fields and every sample") {
+    import graft.functions.WavCodec
+    val samples = Array.tabulate(333)(i => ((i * 911) % 4096 - 2048).toShort)
+    val bytes = WavCodec.encodeWav(8000, 1, samples)
+    assert(bytes.length == 44 + 666)
+    val m = WavCodec.decodeWavMeta(bytes).get
+    assert(m == WavCodec.WavMeta(8000, 1, 16, 333))
+    assert(WavCodec.decodeSamples(bytes).toSeq == samples.toSeq)
+  }
+
+  test("WAV decode tolerates extra chunks before data; rejects non-PCM and junk") {
+    import graft.functions.WavCodec
+    val base = WavCodec.encodeWav(8000, 2, Array[Short](1, -1, 300, -300))
+    // splice a LIST chunk between fmt and data (spec-legal chunk order)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    // RIFF size field is now stale, but chunk scanning doesn't use it
+    val m = WavCodec.decodeWavMeta(spliced).get
+    assert(m == WavCodec.WavMeta(8000, 2, 16, 2)) // 4 interleaved / 2 ch
+    assert(WavCodec.decodeSamples(spliced).toSeq == Seq[Short](1, -1, 300, -300))
+    // non-PCM format tag
+    val nonPcm = base.clone(); nonPcm(20) = 3
+    assert(WavCodec.decodeWavMeta(nonPcm).isEmpty)
+    assert(WavCodec.decodeWavMeta("not a wav at all, nope".getBytes).isEmpty)
+  }
+
+  test("audio ops: meta and window energies match the planted arithmetic") {
+    import graft.operators.AudioOps
+    val withAudio = AudioOps.withAudioPayload(docs)
+    val metas = AudioOps.audioMeta(withAudio).collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(1L, 2L, 3L, 6L)) {
+      val n = 400 + (id % 600).toInt
+      assert(metas(id).n_samples == n && metas(id).byte_len == 44 + 2 * n)
+      assert(metas(id).duration_us == n.toLong * 125)
+    }
+    // windows: recompute doc 3's energies from the planted formula
+    val w3 = AudioOps.windowEnergy(withAudio).collect()
+      .filter(_.doc_id == 3L).sortBy(_.window_idx)
+    val n3 = 403
+    assert(w3.map(_.window_len).sum == n3 && w3.length == 3)
+    val expect = (0 until n3).map(i => ((3L * 31 + i * 7) % 4096 - 2048))
+    for (w <- w3) {
+      val sl = expect.slice(w.window_idx * 160, w.window_idx * 160 + w.window_len)
+      assert(w.energy == sl.map(v => v * v).sum, s"window ${w.window_idx}")
+      assert(w.peak == sl.map(math.abs).max)
+    }
+  }
+
   // ----- pure codec ---------------------------------------------------
 
   test("PNG encode→decode round trip is exact (RGB + grayscale)") {
