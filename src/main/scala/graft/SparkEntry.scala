@@ -1338,6 +1338,26 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // File-skipping read: appends carry per-file min/max stats of doc_id
+    // (range-partitioned so files have tight spans), and the range read
+    // plans only the overlapping files from the manifest stats — the
+    // lakehouse data-skipping core. The oracle is the plain filtered
+    // table: skipping must be invisible to results.
+    "snapshot_skip_read" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      try {
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
+        sources.SnapshotStore.appendWithStats(
+          docs.where(col("doc_id") < 300).repartitionByRange(4, col("doc_id")),
+          root, Seq("doc_id"))
+        sources.SnapshotStore.appendWithStats(
+          docs.where(col("doc_id") >= 300).repartitionByRange(4, col("doc_id")),
+          root, Seq("doc_id"))
+        sources.SnapshotStore.readWhere(s, root, "doc_id", 100L, 220L)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Incrementally-maintained rollup view (IVM): the series arrives in
     // THREE source versions (e % 3 slices, so the same (metric, day)
     // keys straddle every version), each refresh aggregates ONLY its
@@ -3641,6 +3661,11 @@ object SparkEntry {
          |  ca.users + cb.users - COALESCE(i.iu, 0) AS union_users
          |FROM c ca JOIN c cb ON ca.metric < cb.metric
          |LEFT JOIN i ON i.metric_a = ca.metric AND i.metric_b = cb.metric""".stripMargin,
+
+    // File skipping must not change results: plain filtered table.
+    "snapshot_skip_read" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id BETWEEN 100 AND 220""".stripMargin,
 
     // IVM exactness: the incrementally-maintained view equals a
     // from-scratch rollup of the full series (decimal sums keep the

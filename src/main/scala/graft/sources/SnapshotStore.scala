@@ -194,7 +194,16 @@ object SnapshotStore {
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom must be in [1, $cur], got $keepFrom")
     val retained = (keepFrom to cur).flatMap(v => manifestDirs(root, v)).toSet
-    (1 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    (1 until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifestPath(root, v))
+      // drop a version's stats sidecar only when its DATA went too — a
+      // v1 directory still referenced by a retained manifest keeps its
+      // skipping stats (stale path-keyed rows never match anything and
+      // would only cost metadata-scan time)
+      if (!retained.contains(s"$root/data/v$v") &&
+          Files.exists(statsPath(root, v)))
+        deleteTree(statsPath(root, v).toString)
+    }
     val dataDir = Paths.get(root, "data")
     if (Files.exists(dataDir)) {
       val stream = Files.list(dataDir)
@@ -202,6 +211,95 @@ object SnapshotStore {
         if (!retained.contains(p.toString)) deleteTree(p.toString)
       } finally stream.close()
     }
+  }
+
+  // ---- file-level min/max data skipping -------------------------------
+  //
+  // The lakehouse stats-pruning core (Delta/Iceberg file skipping reduced
+  // to its single-writer essence): an append can record per-FILE min/max
+  // of chosen numeric columns in a parquet sidecar
+  // (`_stats/v{N}.parquet`, rows `(path, col, lo, hi)`), and a
+  // range-predicate read plans ONLY the files whose interval overlaps —
+  // metadata-sized driver work, no listing, no data-file footer reads.
+  // Files without stats (older versions, compactions) are conservatively
+  // kept, so pruning is always sound; the predicate is re-applied to the
+  // surviving files, so false candidates cost IO, never correctness.
+  // At 100 TB this is the first gate IO passes: a day-keyed or z-ordered
+  // layout turns a point/range query into a handful of file reads before
+  // parquet's own row-group stats see anything.
+
+  private def statsPath(root: String, v: Int): Path =
+    Paths.get(root, "_stats", s"v$v.parquet")
+
+  /** [[append]] + per-file min/max stats for `statsCols` (numeric,
+    * compared as LONG). Costs one extra scan of the freshly written
+    * delta — O(delta), the write-side price of read-side skipping. */
+  def appendWithStats(df: DataFrame, root: String,
+                      statsCols: Seq[String]): Int = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
+    val v = append(df, root)
+    val dir = s"$root/data/v$v"
+    val written = spark.read.parquet(dir)
+    val perFile = statsCols.map { c =>
+      written
+        .select(input_file_name().as("path"), col(c).cast("long").as("x"))
+        .groupBy("path")
+        .agg(min("x").as("lo"), max("x").as("hi"))
+        .select(col("path"), lit(c).as("col"), col("lo"), col("hi"))
+    }.reduce(_ unionByName _)
+    perFile.coalesce(1).write.mode("overwrite")
+      .parquet(statsPath(root, v).toString)
+    v
+  }
+
+  /** Plan the file set for `lo <= col <= hi` on snapshot `version`:
+    * (selected files, total files). Selected = overlapping-stats files
+    * plus every file with no recorded stats (sound fallback). */
+  private[graft] def planFiles(spark: SparkSession, root: String, ver: Int,
+                               statsCol: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.col
+    val v = if (ver > 0) ver else currentVersion(root)
+    val dirs = manifestDirs(root, v)
+    val all = dirs.flatMap { d =>
+      Option(new java.io.File(d).listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.toURI.toString)
+    }
+    // stats rows across every version ≤ v (paths key them; files not in
+    // this snapshot's dirs simply never match)
+    val statRows = (1 to v).flatMap { sv =>
+      val p = statsPath(root, sv)
+      if (!Files.exists(p)) Nil
+      else spark.read.parquet(p.toString)
+        .where(col("col") === statsCol).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+    }.toMap
+    // URI normalization: input_file_name() and File.toURI both yield
+    // file: URIs but may differ in slash count — compare by path suffix
+    def norm(u: String): String = u.replaceFirst("^file:/+", "/")
+    val statByPath = statRows.map { case (k, v2) => norm(k) -> v2 }
+    val selected = all.filter { f =>
+      statByPath.get(norm(f)) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None             => true
+      }
+    }
+    (selected, all.size)
+  }
+
+  /** Range-predicate read with file skipping: plans the overlapping
+    * files via [[planFiles]], re-applies the predicate (row-level
+    * correctness), falls back to an empty frame of the snapshot's
+    * schema when nothing can match. */
+  def readWhere(spark: SparkSession, root: String, statsCol: String,
+                lo: Long, hi: Long, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (files, _) = planFiles(spark, root, version, statsCol, lo, hi)
+    val base =
+      if (files.isEmpty) read(spark, root, version).limit(0)
+      else spark.read.parquet(files: _*)
+    base.where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
   /** Recursive delete of a store root (harness/test cleanup). */

@@ -171,6 +171,38 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("snapshot min/max skipping: narrow range reads few files, exact rows") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("skip").toString
+    try {
+      // three appends, each range-partitioned into 4 files with tight,
+      // disjoint id ranges — the layout stats skipping rewards
+      for (k <- 0 until 3) {
+        val df = ((k * 1000L) until (k * 1000L + 1000L))
+          .map(i => (i, s"p$i")).toDF("id", "payload")
+          .repartitionByRange(4, col("id"))
+        SnapshotStore.appendWithStats(df, root, Seq("id"))
+      }
+      // a range inside one append's span: at most its 4 files survive
+      val (sel, total) = SnapshotStore.planFiles(spark, root, -1, "id", 1100L, 1200L)
+      assert(total == 12 && sel.size <= 2, s"selected ${sel.size} of $total")
+      val got = SnapshotStore.readWhere(spark, root, "id", 1100L, 1200L)
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (1100L to 1200L))
+      // no-overlap range: zero files, empty result with the right schema
+      val (sel0, _) = SnapshotStore.planFiles(spark, root, -1, "id", 99999L, 99999L)
+      assert(sel0.isEmpty)
+      assert(SnapshotStore.readWhere(spark, root, "id", 99999L, 99999L).count() == 0)
+      // a stats-less append (plain append) stays readable: conservative keep
+      SnapshotStore.append(Seq((50000L, "x")).toDF("id", "payload"), root)
+      val (sel1, total1) = SnapshotStore.planFiles(spark, root, -1, "id", 50000L, 50000L)
+      assert(total1 > 12 && sel1.nonEmpty)
+      assert(SnapshotStore.readWhere(spark, root, "id", 50000L, 50000L).count() == 1)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("rollup view: delta-only refresh, idempotence, compaction rebuild") {
     import graft.sources.{RollupView, SnapshotStore}
     val s = spark
