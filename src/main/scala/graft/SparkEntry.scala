@@ -245,6 +245,16 @@ object SparkEntry {
     * a35 + streaming twin): exact 1-based ceil(phi*n)-rank sample per
     * (metric, hour), rank multiply forced through DOUBLE so both engines
     * round phi*n with the same IEEE product. */
+  /** Shared by rollup_view_incremental and its streaming-ingest twin:
+    * the maintained view must equal a from-scratch day rollup. */
+  private lazy val ROLLUP_VIEW_ORACLE =
+    s"""WITH $SERIES
+       |SELECT metric, e // 86400 AS day, count(*) AS cnt,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       |  min(value) AS min_val, max(value) AS max_val,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
+       |FROM series GROUP BY 1, 2""".stripMargin
+
   /** Shared by funnel_steps and its streaming twin: EXISTS-a-chain per
     * depth as self-joins — non-decreasing times, completion window binds
     * t_k - t_1 (intermediate windows are implied by monotonicity). */
@@ -1401,6 +1411,27 @@ object SparkEntry {
         MatchesRegex("l_linestatus", "[OF]"),
         Unique(Seq("l_orderkey", "l_linenumber")),
         RefIn("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+    }),
+
+    // Streaming-IVM twin of rollup_view_incremental: the series arrives
+    // as a REAL checkpointed stream, each micro-batch appended to the
+    // source store (epoch-idempotent) and the view refreshed against the
+    // new version inside the same trigger. The maintained view faces the
+    // SAME from-scratch-rollup oracle — the streaming materialized view
+    // must be indistinguishable from a batch recompute.
+    "stream_rollup_view_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sivm").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        graft.streaming.StreamReplay.snapshotIngestReplay(
+          series(s, dir).select("metric", "e", "value"), src, view)
+        sources.RollupView.read(s, view)
+          .select(col("metric"), col("day"), col("cnt"),
+            col("vsum").cast("double").as("sum_val"),
+            col("vmin").as("min_val"), col("vmax").as("max_val"),
+            (col("vsum").cast("double") / col("cnt")).as("mean_val"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
     }),
 
     // Blocked fuzzy title matching (entity-resolution dedup): prefix/suffix
@@ -3670,13 +3701,9 @@ object SparkEntry {
     // IVM exactness: the incrementally-maintained view equals a
     // from-scratch rollup of the full series (decimal sums keep the
     // partial merges exact; mean is one double division on both sides).
-    "rollup_view_incremental" ->
-      s"""WITH $SERIES
-         |SELECT metric, e // 86400 AS day, count(*) AS cnt,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
-         |  min(value) AS min_val, max(value) AS max_val,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
-         |FROM series GROUP BY 1, 2""".stripMargin,
+    // The streaming-ingest twin shares the oracle verbatim.
+    "rollup_view_incremental" -> ROLLUP_VIEW_ORACLE,
+    "stream_rollup_view_parity" -> ROLLUP_VIEW_ORACLE,
 
     // Fuzzy-match replay: same title derivation, same planted variants,
     // same prefix/suffix blocking union, same integer levenshtein gate.

@@ -245,6 +245,55 @@ object StreamReplay {
     } finally deleteRecursively(root.toFile)
   }
 
+  /** STREAMING-IVM replay: drive the series `(metric, e, value)` through
+    * a checkpointed micro-batched ingest loop — each trigger appends the
+    * raw batch to the SOURCE snapshot store with its epoch id
+    * (exactly-once on at-least-once delivery) and immediately refreshes
+    * the rollup view against the new source version (O(batch) partials,
+    * [[graft.sources.RollupView.refresh]]). The maintained view must
+    * then equal a from-scratch day rollup of the WHOLE series — the
+    * streaming-materialized-view contract, oracle-shared with the batch
+    * lifecycle query. Restart safety is compositional: a replayed epoch
+    * is a store no-op, and refresh against an unchanged source version
+    * is a view no-op. */
+  def snapshotIngestReplay(series: DataFrame, srcRoot: String,
+                           viewRoot: String,
+                           slices: Int = defaultSlices): Unit = {
+    val spark = series.sparkSession
+    val src = series.select(timestamp_seconds(col("e")).as("ts"),
+      col("metric"), col("e"), col("value"))
+    val root = newReplayRoot()
+    val inDir = root.resolve("in").toString
+    val ckDir = root.resolve("ck").toString
+    try {
+      if (!writeSliceFiles(src, slices, root, inDir, None)) return
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = spark.readStream
+          .schema("ts TIMESTAMP, metric STRING, e BIGINT, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .select("metric", "e", "value")
+          .writeStream
+          .option("checkpointLocation", ckDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // no-data triggers publish nothing (an empty version would be
+            // harmless but noisy); a skipped epoch id is fine — ids need
+            // only be replay-stable, not dense
+            if (!batch.isEmpty) {
+              graft.sources.SnapshotStore.appendEpoch(batch, srcRoot, id)
+              graft.sources.RollupView.refresh(spark, srcRoot, viewRoot)
+            }
+            ()
+          }
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally deleteRecursively(root.toFile)
+  }
+
   /** series `(metric, e, value)` → the `(ts, source, metric, value)`
     * [[StreamSample]] relation the typed stateful twins consume. */
   private def asSamples(series: DataFrame): DataFrame =
