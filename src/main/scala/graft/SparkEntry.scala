@@ -759,6 +759,13 @@ object SparkEntry {
     // is oracle-checked despite being a stateful scan on the Spark side.
     "a14_ewma" -> ((s, dir) => TrendOps.ewma(series(s, dir), alpha = 0.2).toDF()),
 
+    // Holt double-exponential smoothing (level + trend + one-step
+    // forecast) — the a14 contract at second order: the recursive-CTE
+    // oracle replays the identical expression tree in the identical
+    // (e, event_id) order, so the compare is bit-exact.
+    "a36_holt" -> ((s, dir) =>
+      TrendOps.holt(series(s, dir), alpha = 0.3, beta = 0.1).toDF()),
+
     // Time-chunked parallel EWMA — the batch hot-metric scale path
     // (parallelism = metric × day-chunk instead of metric). The oracle
     // replays the SAME three-pass chunked order (in-chunk affine folds,
@@ -2805,6 +2812,29 @@ object SparkEntry {
          |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
          |)
          |SELECT metric, e, value, ewma FROM r""".stripMargin,
+
+    // Holt recurrence replayed one position per recursive step; the
+    // trend row re-states the level expression verbatim (the CTE cannot
+    // name a same-row computed column) — identical tokens, identical
+    // bits. Seed: level = x1, trend = 0.
+    "a36_holt" ->
+      s"""WITH RECURSIVE $SERIES,
+         |o AS (SELECT metric, e, value,
+         |        CAST(row_number() OVER (PARTITION BY metric ORDER BY e, event_id) AS BIGINT) AS rn
+         |      FROM series),
+         |r AS (
+         |  SELECT metric, rn, e, value, value AS level,
+         |         CAST(0 AS DOUBLE) AS trend
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.metric, o.rn, o.e, o.value,
+         |         0.3*o.value + (1 - 0.3)*(r.level + r.trend),
+         |         0.1*((0.3*o.value + (1 - 0.3)*(r.level + r.trend)) - r.level)
+         |           + (1 - 0.1)*r.trend
+         |  FROM r JOIN o ON o.metric = r.metric AND o.rn = r.rn + 1
+         |)
+         |SELECT metric, e, value, level, trend, level + trend AS forecast
+         |FROM r""".stripMargin,
 
     // The time-chunked EWMA replayed in the same three-pass order the
     // Spark operator uses: (1) per-(metric, day-chunk) affine folds

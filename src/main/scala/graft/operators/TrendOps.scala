@@ -12,6 +12,12 @@ final case class Sample(metric: String, e: Long, value: Double, event_id: Long)
 /** One EWMA output point (see [[TrendOps.ewma]]). */
 final case class EwmaPoint(metric: String, e: Long, value: Double, ewma: Double)
 
+/** One Holt (double-exponential) smoothing point ([[TrendOps.holt]]):
+  * smoothed level, trend estimate, and the one-step-ahead forecast
+  * `level + trend` the next sample will be judged against. */
+final case class HoltPoint(metric: String, e: Long, value: Double,
+                           level: Double, trend: Double, forecast: Double)
+
 /** Per-(metric, time-chunk) affine summary of the EWMA recurrence (see
   * [[TrendOps.ewmaChunked]]): running the chunk's rows from incoming state
   * `s` ends at `a·s + b`; `bseed` is the end state when the chunk's first
@@ -356,6 +362,51 @@ object TrendOps {
           prev = v
           seeded = true
           EwmaPoint(s.metric, s.e, s.value, v)
+        }
+      }
+  }
+
+  /** Holt double-exponential smoothing (level + linear trend) — the
+    * forecasting step up from [[ewma]] when a series drifts: EWMA lags a
+    * trending signal by design; Holt carries an explicit trend state so
+    * the one-step forecast `level + trend` tracks drift.
+    *
+    *   level₁ = x₁, trend₁ = 0
+    *   levelₜ = α·xₜ + (1−α)·(levelₜ₋₁ + trendₜ₋₁)
+    *   trendₜ = β·(levelₜ − levelₜ₋₁) + (1−β)·trendₜ₋₁
+    *
+    * Same execution contract as [[ewma]]: one pinned-order pass per
+    * metric (parallelism = metric cardinality), doubles combined in a
+    * fixed order so the recursive-CTE oracle replaying the identical
+    * expression tree is bit-exact. Hot-metric scale path: the recurrence
+    * is linear in (level, trend), so the [[ewmaChunked]] parallel-scan
+    * decomposition lifts to a 2×2 affine fold — at the price of
+    * re-associated matrix products (1e-9-parity, not bit-parity), which
+    * is why the chunked-Holt twin is a deliberate non-goal while the
+    * scalar chunked family already demonstrates the technique. */
+  def holt(series: DataFrame, alpha: Double, beta: Double): Dataset[HoltPoint] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series
+      .select(col("metric"), col("e"), col("value"), col("event_id"))
+      .as[Sample]
+      .repartition(col("metric"))
+      .sortWithinPartitions(col("metric"), col("e"), col("event_id"))
+      .mapPartitions { it =>
+        var curMetric: String = null
+        var prevL = 0d
+        var prevB = 0d
+        var seeded = false
+        it.map { s =>
+          if (s.metric != curMetric) { curMetric = s.metric; seeded = false }
+          val (l, b) =
+            if (!seeded) (s.value, 0d)
+            else {
+              val l2 = alpha * s.value + (1 - alpha) * (prevL + prevB)
+              (l2, beta * (l2 - prevL) + (1 - beta) * prevB)
+            }
+          prevL = l; prevB = b; seeded = true
+          HoltPoint(s.metric, s.e, s.value, l, b, l + b)
         }
       }
   }

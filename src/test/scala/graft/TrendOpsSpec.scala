@@ -173,6 +173,27 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("holt smoothing: level tracks drift where ewma lags; hand values exact") {
+    val s = spark
+    import s.implicits._
+    val df = seriesDF(("m", 0L, 10.0), ("m", 60L, 20.0), ("m", 120L, 30.0))
+    val pts = TrendOps.holt(df, alpha = 0.5, beta = 0.5).collect()
+      .sortBy(_.e)
+    // seed: l=10, b=0; t2: l=0.5*20+0.5*10=15, b=0.5*5+0=2.5;
+    // t3: l=0.5*30+0.5*17.5=23.75, b=0.5*8.75+0.5*2.5=5.625
+    assert(pts.map(p => (p.level, p.trend)).toSeq ==
+      Seq((10.0, 0.0), (15.0, 2.5), (23.75, 5.625)))
+    assert(pts.last.forecast == 23.75 + 5.625)
+    // on a pure linear ramp the one-step forecast converges to the next
+    // value while plain EWMA stays permanently behind it
+    val ramp = seriesDF((0 until 50).map(i => ("r", i * 60L, i * 10.0)): _*)
+    val h = TrendOps.holt(ramp, 0.5, 0.5).collect().sortBy(_.e)
+    val e = TrendOps.ewma(ramp, 0.5).collect().sortBy(_.e)
+    val nextVal = 50 * 10.0
+    assert(math.abs((h.last.forecast) - nextVal) < 1.0)
+    assert(nextVal - e.last.ewma > 15.0) // ewma's structural lag
+  }
+
   test("cohort retention: first-day cohorts, offsets, rates") {
     val s = spark
     import s.implicits._
