@@ -1238,6 +1238,25 @@ object SparkEntry {
         .groupBy("label")
         .agg(count(lit(1)).as("cluster_size"), max("doc_id").as("max_doc_id"))),
 
+    // Leakage-safe split: assignment keyed by near-dup CLUSTER (connected
+    // component of the LSH+verify pairs), so a train document can never
+    // have an eval near-twin — the contamination a content-hash split
+    // can't rule out. Oracle replays edges -> CC labels -> md5-threshold
+    // over the group key; the split arithmetic is dataset_split's.
+    "split_leakage_safe" -> ((s, dir) => {
+      val corpus = withPlantedVariants(Tables.documents(s, dir), nDrop = 3)
+      val labels = DedupOps.nearDupGroups(
+        exportForOracle(
+          DedupOps.nearDupPairs(corpus, k = 64, bands = 16, minJaccard = 0.6)
+            .select("doc_a", "doc_b"),
+          "leakage_edges"))
+      CurationOps.leakageSafeSplit(corpus, labels)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"),
+          min("doc_id").as("min_doc_id"))
+    }),
+
     // End-to-end curation pipeline as ONE declarative plan: quality score →
     // language gate → exact dedup → content-hash split → per-(lang, split)
     // summary. Every stage is individually oracle-checked elsewhere; this
@@ -3573,6 +3592,32 @@ object SparkEntry {
         |  CASE WHEN md5(text) < 'e6' THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Cluster-keyed split replay: rebuild the planted corpus, CC-label
+    // the exported near-dup edges (the neardup_groups recursion),
+    // default unlabeled docs to their own id, split on md5 of the group
+    // key, aggregate per split.
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst
+         |       FROM read_parquet('${exportGlob("leakage_edges")}')),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |cc AS (SELECT src AS doc_id, src AS label FROM e
+         |       UNION
+         |       SELECT e.dst AS doc_id, cc.label
+         |       FROM cc JOIN e ON e.src = cc.doc_id WHERE cc.label < e.dst),
+         |lab AS (SELECT doc_id, min(label) AS label FROM cc GROUP BY doc_id),
+         |g AS (SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS grp
+         |      FROM docs d LEFT JOIN lab ON lab.doc_id = d.doc_id)
+         |SELECT CASE WHEN md5(CAST(grp AS VARCHAR)) < 'e6'
+         |            THEN 'train' ELSE 'eval' END AS split,
+         |  count(*) AS n_docs, count(DISTINCT grp) AS n_groups,
+         |  min(doc_id) AS min_doc_id
+         |FROM g GROUP BY 1""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)

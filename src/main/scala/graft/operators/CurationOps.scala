@@ -13,6 +13,30 @@ object CurationOps {
   def withSplit(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("split", TextOps.splitTag(col(textCol)))
 
+  /** Leakage-safe train/eval split: assignment is keyed by the document's
+    * near-dup CLUSTER, not its own content — every member of a connected
+    * near-dup component lands in the SAME split, so a train document can
+    * never have an eval near-twin (the contamination [[withSplit]] cannot
+    * rule out: two near-identical texts hash to independent splits).
+    * `labels` is a `(doc_id, label)` relation from
+    * [[DedupOps.nearDupGroups]]; unlabeled documents (no near-dup edge)
+    * fall back to their own id — singleton clusters. Same md5-threshold
+    * arithmetic as [[TextOps.splitTag]], over the group key.
+    *
+    * Scale shape: one broadcast-or-shuffled equi-join onto the labels
+    * (labels are one row per CLUSTERED doc, a small fraction of the
+    * corpus) and a map-side hash — the split itself adds no new
+    * all-pairs work beyond the dedup pipeline that produced the labels. */
+  def leakageSafeSplit(docs: DataFrame, labels: DataFrame,
+                       trainHexCeiling: String = "e6"): DataFrame =
+    docs
+      .join(labels.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(md5(col("grp").cast("string")) < trainHexCeiling, lit("train"))
+          .otherwise(lit("eval")))
+      .drop("label")
+
   /** Seeded stratified sample per stratum value (e.g. language balance):
     * keep a row iff the first 4 hex digits of `md5("<seed>:<key>")` fall
     * below `floor(fraction · 16^4)` for its stratum. A per-row filter — no

@@ -11,6 +11,29 @@ class DedupSimilaritySpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("leakage-safe split: a near-dup cluster never straddles splits") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.CurationOps
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters (0-1-2 chained, 10-11) + singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.nearDupGroups(pairs)
+    val split = CurationOps.leakageSafeSplit(docs, labels).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(split.size == 200)
+    assert(Set(split(0L), split(1L), split(2L)).size == 1, "cluster 0-1-2 split")
+    assert(split(10L) == split(11L), "cluster 10-11 split")
+    // both splits are actually populated at this size
+    assert(split.values.toSet == Set("train", "eval"))
+    // and the content-hash split CANNOT guarantee this: group members get
+    // independent assignments there (structural point, not flakiness —
+    // the clustered docs here have different texts)
+    val naive = CurationOps.withSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(naive.size == 200) // sanity; no cluster guarantee exists
+  }
+
   test("exact dedup groups normalized copies and keeps min doc_id") {
     val docs = docsDF(
       (1L, "the quick  brown fox"),
