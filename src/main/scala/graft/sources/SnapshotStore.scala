@@ -237,10 +237,16 @@ object SnapshotStore {
   def appendWithStats(df: DataFrame, root: String,
                       statsCols: Seq[String]): Int = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
-    val spark = df.sparkSession
-    import org.apache.spark.sql.functions._
     val v = append(df, root)
-    val dir = s"$root/data/v$v"
+    writeStats(df.sparkSession, root, v, s"$root/data/v$v", statsCols)
+    v
+  }
+
+  /** One read-back scan of `dir` → the version's per-file min/max
+    * sidecar (shared by stats-carrying appends and compactions). */
+  private def writeStats(spark: SparkSession, root: String, v: Int,
+                         dir: String, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
     val written = spark.read.parquet(dir)
     val perFile = statsCols.map { c =>
       written
@@ -251,6 +257,36 @@ object SnapshotStore {
     }.reduce(_ unionByName _)
     perFile.coalesce(1).write.mode("overwrite")
       .parquet(statsPath(root, v).toString)
+  }
+
+  /** Layout-aware compaction: rewrite the snapshot Z-ORDERED on two keys
+    * ([[graft.operators.LayoutOps.zorderLayoutScaled]] — each output file
+    * covers one contiguous stretch of the scaled Morton curve, so its
+    * min/max stays tight in BOTH dimensions) and record fresh per-file
+    * stats for `statsCols`. This is the maintenance step that makes
+    * [[readWhere]] skipping effective on long-lived data: appends arrive
+    * in arrival order (tight in nothing), a periodic z-compaction
+    * re-clusters them so range reads on either key prune files again.
+    * Epoch stamp carries forward like [[compactWith]]. */
+  def compactZordered(spark: SparkSession, root: String,
+                      xCol: String, yCol: String,
+                      targetFiles: Int = 8,
+                      statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.col
+    val parent = currentVersion(root)
+    require(parent > 0, s"nothing to compact at $root")
+    val epoch = lastEpoch(root)
+    val v = parent + 1
+    val dir = s"$root/data/compact$v"
+    graft.operators.LayoutOps
+      .zorderLayoutScaled(read(spark, root, parent), col(xCol), col(yCol),
+        targetFiles)
+      .write.mode("overwrite").parquet(dir)
+    epoch match {
+      case Some(e) => publishWithEpoch(root, v, Seq(dir), e)
+      case None    => publish(root, v, Seq(dir))
+    }
+    if (statsCols.nonEmpty) writeStats(spark, root, v, dir, statsCols)
     v
   }
 

@@ -203,6 +203,39 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("z-ordered compaction restores skipping on arrival-ordered appends") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("zcomp").toString
+    try {
+      // arrival order = x-major: every append's files span the FULL y
+      // domain, so a y-range read can prune nothing
+      for (k <- 0 until 2) {
+        val rows = for (x <- (k * 50) until ((k + 1) * 50); y <- 0 until 40)
+          yield (x.toLong, y.toLong, s"$x/$y")
+        SnapshotStore.appendWithStats(
+          rows.toDF("x", "y", "payload").repartitionByRange(4, col("x")),
+          root, Seq("x", "y"))
+      }
+      val (selBefore, totalBefore) =
+        SnapshotStore.planFiles(spark, root, -1, "y", 0L, 4L)
+      assert(selBefore.size == totalBefore, "arrival order prunes nothing on y")
+      val expected = SnapshotStore.read(spark, root)
+        .where(col("y") <= 4).collect().map(_.getString(2)).sorted
+      // z-compaction re-clusters; y-range reads prune again
+      SnapshotStore.compactZordered(spark, root, "x", "y",
+        targetFiles = 8, statsCols = Seq("x", "y"))
+      val (selAfter, totalAfter) =
+        SnapshotStore.planFiles(spark, root, -1, "y", 0L, 4L)
+      assert(totalAfter == 8 && selAfter.size < totalAfter,
+        s"z-compacted: ${selAfter.size} of $totalAfter")
+      val got = SnapshotStore.readWhere(spark, root, "y", 0L, 4L)
+        .collect().map(_.getString(2)).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("rollup view: delta-only refresh, idempotence, compaction rebuild") {
     import graft.sources.{RollupView, SnapshotStore}
     val s = spark
