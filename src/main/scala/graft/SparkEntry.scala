@@ -245,6 +245,23 @@ object SparkEntry {
     * a35 + streaming twin): exact 1-based ceil(phi*n)-rank sample per
     * (metric, hour), rank multiply forced through DOUBLE so both engines
     * round phi*n with the same IEEE product. */
+  /** Shared by audio_energy and its streaming twin: windows replayed
+    * from the planted sample formula (exact BIGINT arithmetic). */
+  private lazy val AUDIO_ENERGY_ORACLE =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(400 + doc_id % 600 AS INTEGER) AS n FROM documents),
+      |w AS (SELECT doc_id, n,
+      |  unnest(generate_series(0, (n - 1) // 160)) AS widx FROM d),
+      |s AS (SELECT doc_id, widx,
+      |  (doc_id * 31 + unnest(generate_series(widx * 160,
+      |     least(widx * 160 + 159, n - 1))) * 7) % 4096 - 2048 AS v
+      |  FROM w)
+      |SELECT doc_id, CAST(widx AS INTEGER) AS window_idx,
+      |  CAST(count(*) AS INTEGER) AS window_len,
+      |  CAST(SUM(v * v) AS BIGINT) AS energy,
+      |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   /** Shared by rollup_view_incremental and its streaming-ingest twin:
     * the maintained view must equal a from-scratch day rollup. */
   private lazy val ROLLUP_VIEW_ORACLE =
@@ -1890,6 +1907,13 @@ object SparkEntry {
     "audio_energy" -> ((s, dir) =>
       graft.operators.AudioOps.windowEnergy(
         graft.operators.AudioOps.withAudioPayload(Tables.documents(s, dir))).toDF()),
+
+    // Streaming twin of audio_energy: the same render -> real WAV decode
+    // -> hop-window fold over a checkpointed stream (stateless append,
+    // the quality-gate posture); faces audio_energy's oracle verbatim.
+    "stream_audio_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.audioFeaturesReplay(
+        Tables.documents(s, dir).select("doc_id"))),
 
     "multimodal_meta" -> ((s, dir) => MultimodalOps.mediaMeta(Tables.documents(s, dir))),
 
@@ -3959,21 +3983,10 @@ object SparkEntry {
 
     // Window energies replayed from the planted sample formula
     // v(i) = (id*31 + i*7) % 4096 - 2048 — exact BIGINT arithmetic on
-    // both sides; the Spark leg computes from the DECODED bytes.
-    "audio_energy" ->
-      """WITH d AS (SELECT doc_id,
-        |  CAST(400 + doc_id % 600 AS INTEGER) AS n FROM documents),
-        |w AS (SELECT doc_id, n,
-        |  unnest(generate_series(0, (n - 1) // 160)) AS widx FROM d),
-        |s AS (SELECT doc_id, widx,
-        |  (doc_id * 31 + unnest(generate_series(widx * 160,
-        |     least(widx * 160 + 159, n - 1))) * 7) % 4096 - 2048 AS v
-        |  FROM w)
-        |SELECT doc_id, CAST(widx AS INTEGER) AS window_idx,
-        |  CAST(count(*) AS INTEGER) AS window_len,
-        |  CAST(SUM(v * v) AS BIGINT) AS energy,
-        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    // both sides; the Spark leg computes from the DECODED bytes. The
+    // streaming twin shares the oracle verbatim.
+    "stream_audio_parity" -> AUDIO_ENERGY_ORACLE,
+    "audio_energy" -> AUDIO_ENERGY_ORACLE,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

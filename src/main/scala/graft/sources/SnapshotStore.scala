@@ -89,11 +89,21 @@ object SnapshotStore {
   }
 
   /** Read snapshot `version` (default: latest) — the union of exactly the
-    * manifest's directories. */
-  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    * manifest's directories.
+    *
+    * `mergeSchema = true` reconciles versions whose appends EVOLVED the
+    * schema (a column added later reads as null on older rows — the
+    * additive half of lakehouse schema evolution; drops/renames are the
+    * caller's migration, not a read option). It costs a footer read per
+    * file at planning, which is why it is opt-in: the default read plans
+    * from one footer, the right posture when the schema is stable. */
+  def read(spark: SparkSession, root: String, version: Int = -1,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = if (version > 0) version else currentVersion(root)
     require(v > 0, s"no published version at $root")
-    spark.read.parquet(manifestDirs(root, v): _*)
+    val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
+            else spark.read
+    r.parquet(manifestDirs(root, v): _*)
   }
 
   /** Rows added AFTER `fromExclusive` up to `to` (default: latest) — plans

@@ -456,6 +456,25 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)))
   }
 
+  /** Replays the documents relation through the streaming audio feature
+    * gate — [[graft.operators.AudioOps.windowEnergy]] over a checkpointed
+    * stream (render → REAL WAV decode → hop-window fold, all map-only
+    * stateless append like [[qualityScoreReplay]]): the emissions must
+    * equal the batch features row-for-row, and the parity row faces the
+    * SAME oracle as the batch leg. Proves the ingest-side plumbing for a
+    * media stream whose feature extraction runs at the edge of arrival. */
+  def audioFeaturesReplay(docs: DataFrame, slices: Int = defaultSlices): DataFrame = {
+    val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
+      col("doc_id"))
+    val build = (df: DataFrame) =>
+      graft.operators.AudioOps.windowEnergy(
+        graft.operators.AudioOps.withAudioPayload(df.select("doc_id"))).toDF()
+    sliceAndReplay(src, "ts TIMESTAMP, doc_id BIGINT", slices,
+        "append", build)
+      .map(_.drop("batch_id"))
+      .getOrElse(build(src.limit(0)))
+  }
+
   /** [[nearDupCandidatesReplay]]'s SimHash sibling: replays
     * [[StreamOps.simHashPairsStream]] and returns the DISTINCT matched
     * pair set (same synthetic-time / retain-everything posture). */

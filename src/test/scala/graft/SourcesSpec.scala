@@ -203,6 +203,25 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("schema evolution: a later append's new column reads as null on old rows") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("evo").toString
+    try {
+      SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), root)
+      SnapshotStore.append(
+        Seq((3L, "c", 0.9)).toDF("id", "payload", "score"), root)
+      val merged = SnapshotStore.read(spark, root, mergeSchema = true)
+      assert(merged.columns.toSet == Set("id", "payload", "score"))
+      val byId = merged.collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[Any]("score"))).toMap
+      assert(byId(1L).isEmpty && byId(2L).isEmpty && byId(3L).contains(0.9))
+      // the default read stays cheap and still sees every row
+      assert(SnapshotStore.read(spark, root).count() == 3)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("z-ordered compaction restores skipping on arrival-ordered appends") {
     import graft.sources.SnapshotStore
     val s = spark
