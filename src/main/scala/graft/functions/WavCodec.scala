@@ -75,26 +75,39 @@ object WavCodec {
     while (off + 8 <= bytes.length && (meta.isEmpty || dataLen < 0)) {
       val id = tag(bytes, off)
       val sz = rd32(bytes, off + 4)
+      // A crafted/corrupt size field must not stall or reverse the scan
+      // (sz = -8 would make the offset advance zero) — degrade to None,
+      // the documented malformed-blob path.
+      if (sz < 0) return None
       if (id == "fmt " && sz >= 16 && off + 8 + 16 <= bytes.length) {
         if (rd16(bytes, off + 8) != 1) return None // non-PCM
         meta = Some((rd32(bytes, off + 12), rd16(bytes, off + 10),
           rd16(bytes, off + 22)))
-      } else if (id == "data") dataLen = sz
+      } else if (id == "data") {
+        // trust no declared length past the buffer's actual end
+        dataLen = math.max(0, math.min(sz, bytes.length - off - 8))
+      }
       off += 8 + sz + (sz & 1) // chunks are word-aligned per the spec
     }
-    meta.collect { case (rate, ch, bits) if dataLen >= 0 && bits == 16 =>
-      WavMeta(rate, ch, bits, dataLen / 2 / ch)
+    meta.collect {
+      case (rate, ch, bits) if dataLen >= 0 && bits == 16 && ch > 0 =>
+        WavMeta(rate, ch, bits, dataLen / 2 / ch)
     }
   }
 
-  /** The PCM samples of a 16-bit WAV (interleaved as stored). */
+  /** The PCM samples of a 16-bit WAV (interleaved as stored). Same
+    * degrade posture as [[decodeWavMeta]]: junk, truncation, or crafted
+    * size fields yield an empty array, never a crash or a stalled scan. */
   def decodeSamples(bytes: Array[Byte]): Array[Short] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      return Array.empty
     var off = 12
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
       val sz = rd32(bytes, off + 4)
+      if (sz < 0) return Array.empty
       if (id == "data") {
-        val n = sz / 2
+        val n = math.max(0, math.min(sz, bytes.length - off - 8)) / 2
         val out = new Array[Short](n)
         var i = 0
         while (i < n) { out(i) = rd16(bytes, off + 8 + i * 2).toShort; i += 1 }

@@ -207,10 +207,12 @@ object SnapshotStore {
     (1 until keepFrom).foreach { v =>
       Files.deleteIfExists(manifestPath(root, v))
       // drop a version's stats sidecar only when its DATA went too — a
-      // v1 directory still referenced by a retained manifest keeps its
+      // directory still referenced by a retained manifest keeps its
       // skipping stats (stale path-keyed rows never match anything and
-      // would only cost metadata-scan time)
-      if (!retained.contains(s"$root/data/v$v") &&
+      // would only cost metadata-scan time). A version's data lives
+      // under data/v$v (append) OR data/compact$v (compaction).
+      val versionDirs = Set(s"$root/data/v$v", s"$root/data/compact$v")
+      if (!versionDirs.exists(retained.contains) &&
           Files.exists(statsPath(root, v)))
         deleteTree(statsPath(root, v).toString)
     }
@@ -289,8 +291,8 @@ object SnapshotStore {
     val v = parent + 1
     val dir = s"$root/data/compact$v"
     graft.operators.LayoutOps
-      .zorderLayoutScaled(read(spark, root, parent), col(xCol), col(yCol),
-        targetFiles)
+      .zorderLayoutScaled(read(spark, root, parent, mergeSchema = true),
+        col(xCol), col(yCol), targetFiles)
       .write.mode("overwrite").parquet(dir)
     epoch match {
       case Some(e) => publishWithEpoch(root, v, Seq(dir), e)
@@ -313,14 +315,21 @@ object SnapshotStore {
         .filter(_.getName.endsWith(".parquet")).map(_.toURI.toString)
     }
     // stats rows across every version ≤ v (paths key them; files not in
-    // this snapshot's dirs simply never match)
-    val statRows = (1 to v).flatMap { sv =>
-      val p = statsPath(root, sv)
-      if (!Files.exists(p)) Nil
-      else spark.read.parquet(p.toString)
-        .where(col("col") === statsCol).collect()
+    // this snapshot's dirs simply never match) — ONE read over all
+    // existing sidecars, not one Spark job per version. Rows whose
+    // bounds are null (an all-null or non-castable stats column slipped
+    // through the write) are treated as NO stats: the file is
+    // conservatively kept rather than NPE-ing the planner.
+    val statPaths = (1 to v).map(statsPath(root, _))
+      .filter(Files.exists(_)).map(_.toString)
+    val statRows =
+      if (statPaths.isEmpty) Map.empty[String, (Long, Long)]
+      else spark.read.parquet(statPaths: _*)
+        .where(col("col") === statsCol &&
+          col("lo").isNotNull && col("hi").isNotNull)
+        .collect()
         .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
-    }.toMap
+        .toMap
     // URI normalization: input_file_name() and File.toURI both yield
     // file: URIs but may differ in slash count — compare by path suffix
     def norm(u: String): String = u.replaceFirst("^file:/+", "/")
@@ -366,7 +375,12 @@ object SnapshotStore {
     require(parent > 0, s"nothing to compact at $root")
     val v = parent + 1
     val dir = s"$root/data/compact$v"
-    read(spark, root, parent).coalesce(targetFiles)
+    // mergeSchema: a compaction REWRITES the snapshot and publishes only
+    // its own directory — planning from one sampled footer on a
+    // schema-evolved store would silently and permanently drop columns
+    // later appends added. The footer-read cost is paid once, at
+    // maintenance time, not on reads.
+    read(spark, root, parent, mergeSchema = true).coalesce(targetFiles)
       .write.mode("overwrite").parquet(dir)
     publish(root, v, Seq(dir))
     v

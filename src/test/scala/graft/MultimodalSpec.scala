@@ -43,6 +43,27 @@ class MultimodalSpec extends SparkSpec {
     assert(WavCodec.decodeWavMeta("not a wav at all, nope".getBytes).isEmpty)
   }
 
+  test("WAV decode degrades (never hangs or throws) on crafted size fields") {
+    import graft.functions.WavCodec
+    val base = WavCodec.encodeWav(8000, 1, Array[Short](1, 2, 3, 4))
+    // negative chunk size (-8 would make the scan offset advance by 0)
+    val neg = base.clone()
+    neg(16) = 0xf8.toByte; neg(17) = 0xff.toByte
+    neg(18) = 0xff.toByte; neg(19) = 0xff.toByte
+    assert(WavCodec.decodeWavMeta(neg).isEmpty)
+    assert(WavCodec.decodeSamples(neg).isEmpty)
+    // data chunk declaring more bytes than exist: clamp, don't crash
+    val over = base.clone()
+    over(40) = 0x40; over(41) = 0x42 // declared data size 0x4240
+    assert(WavCodec.decodeSamples(over).toSeq == Seq[Short](1, 2, 3, 4))
+    assert(WavCodec.decodeWavMeta(over).get.nSamples == 4)
+    // channels = 0 in fmt: None, not a division crash
+    val ch0 = base.clone(); ch0(22) = 0; ch0(23) = 0
+    assert(WavCodec.decodeWavMeta(ch0).isEmpty)
+    // junk without the RIFF magic never enters the chunk scan
+    assert(WavCodec.decodeSamples(Array.fill[Byte](64)(0x41)).isEmpty)
+  }
+
   test("audio ops: meta and window energies match the planted arithmetic") {
     import graft.operators.AudioOps
     val withAudio = AudioOps.withAudioPayload(docs)

@@ -203,6 +203,32 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("compaction preserves evolved columns; vacuum keeps a live compaction's stats") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("evocomp").toString
+    try {
+      SnapshotStore.appendWithStats(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), root, Seq("id"))
+      SnapshotStore.appendWithStats(
+        Seq((3L, "c", 0.9)).toDF("id", "payload", "score"), root, Seq("id"))
+      // a compaction must not drop the evolved column (one-footer trap)
+      SnapshotStore.compactZordered(spark, root, "id", "id",
+        targetFiles = 2, statsCols = Seq("id"))
+      val merged = SnapshotStore.read(spark, root, mergeSchema = true)
+      assert(merged.columns.toSet == Set("id", "payload", "score"))
+      assert(merged.where(col("score").isNotNull).count() == 1)
+      // vacuum to just the compaction: its stats sidecar (v3) must
+      // survive because its data directory is retained
+      SnapshotStore.append(Seq((4L, "d")).toDF("id", "payload"), root)
+      SnapshotStore.vacuum(root, keepFrom = 3)
+      val (sel, total) = SnapshotStore.planFiles(spark, root, -1, "id", 1L, 1L)
+      assert(sel.size < total, s"stats gone: $sel of $total") // skipping still prunes
+      assert(SnapshotStore.readWhere(spark, root, "id", 1L, 1L).count() == 1)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("schema evolution: a later append's new column reads as null on old rows") {
     import graft.sources.SnapshotStore
     val s = spark
