@@ -72,7 +72,14 @@ object GraphOps {
       if (checkpointEvery > 0 && i % checkpointEvery == 0)
         pr = pr.localCheckpoint(true)
     }
-    pr
+    // Materialize the final ranks BEFORE releasing the cached node/edge
+    // relations (the lazy result plan references them); without the
+    // unpersist every invocation would pin one edge-relation copy in
+    // storage memory for the session's lifetime.
+    val out = pr.localCheckpoint(true)
+    nodes.unpersist(false)
+    e.unpersist(false)
+    out
   }
 
   /** Deterministic content-hash link graph over a dense-id document set:

@@ -133,9 +133,15 @@ object SnapshotStore {
     * prior stamp is O(versions) driver-side JSON reads. */
   def appendEpoch(df: DataFrame, root: String, epochId: Long): Int = {
     val cur = currentVersion(root)
+    // vacuumed versions have no manifest — skip, don't crash (their epoch
+    // stamps are below any epoch a live stream can replay: Spark epoch
+    // ids are monotone and the retained tail carries the newest stamps)
     val seen = (1 to cur).exists { v =>
-      val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
-      s""""epoch":$epochId[,}]""".r.findFirstIn(text).isDefined
+      val p = manifestPath(root, v)
+      Files.exists(p) && {
+        val text = new String(Files.readAllBytes(p), "UTF-8")
+        s""""epoch":$epochId[,}]""".r.findFirstIn(text).isDefined
+      }
     }
     if (seen) cur
     else {
@@ -155,8 +161,12 @@ object SnapshotStore {
   def lastEpoch(root: String): Option[Long] = {
     val cur = currentVersion(root)
     val stamps = (1 to cur).flatMap { v =>
-      val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
-      """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val p = manifestPath(root, v)
+      if (!Files.exists(p)) None // vacuumed below keepFrom
+      else {
+        val text = new String(Files.readAllBytes(p), "UTF-8")
+        """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      }
     }
     if (stamps.isEmpty) None else Some(stamps.max)
   }
@@ -203,7 +213,14 @@ object SnapshotStore {
     val cur = currentVersion(root)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom must be in [1, $cur], got $keepFrom")
-    val retained = (keepFrom to cur).flatMap(v => manifestDirs(root, v)).toSet
+    // Manifests record raw interpolated strings ("$root/data/v1"); the
+    // directory listing yields NORMALIZED paths. Compare canonical forms
+    // on both sides, or a root spelled "/tmp/store/" (double slash after
+    // interpolation) would make every retained dir "unreferenced" and
+    // vacuum would delete LIVE data.
+    def canon(p: String): String = Paths.get(p).normalize().toAbsolutePath.toString
+    val retained = (keepFrom to cur).flatMap(v => manifestDirs(root, v))
+      .map(canon).toSet
     (1 until keepFrom).foreach { v =>
       Files.deleteIfExists(manifestPath(root, v))
       // drop a version's stats sidecar only when its DATA went too — a
@@ -211,7 +228,7 @@ object SnapshotStore {
       // skipping stats (stale path-keyed rows never match anything and
       // would only cost metadata-scan time). A version's data lives
       // under data/v$v (append) OR data/compact$v (compaction).
-      val versionDirs = Set(s"$root/data/v$v", s"$root/data/compact$v")
+      val versionDirs = Set(canon(s"$root/data/v$v"), canon(s"$root/data/compact$v"))
       if (!versionDirs.exists(retained.contains) &&
           Files.exists(statsPath(root, v)))
         deleteTree(statsPath(root, v).toString)
@@ -220,7 +237,7 @@ object SnapshotStore {
     if (Files.exists(dataDir)) {
       val stream = Files.list(dataDir)
       try stream.toArray.toSeq.map(_.asInstanceOf[Path]).foreach { p =>
-        if (!retained.contains(p.toString)) deleteTree(p.toString)
+        if (!retained.contains(canon(p.toString))) deleteTree(p.toString)
       } finally stream.close()
     }
   }

@@ -238,19 +238,28 @@ class TopicLogMicroBatchStream(root: String, pattern: String,
     if (candidate >= size) return size
     val raf = new RandomAccessFile(path, "r")
     try {
-      val window = new Array[Byte]((candidate - from).toInt)
-      raf.seek(from)
-      raf.readFully(window)
-      val lastNl = window.lastIndexOf('\n'.toByte)
-      if (lastNl >= 0) from + lastNl + 1
-      else {
-        // Oversized line: scan forward for its end (bounded by the line).
-        raf.seek(candidate)
-        var pos = candidate
-        var b = raf.read()
-        while (b >= 0 && b != '\n') { pos += 1; b = raf.read() }
-        if (b == '\n') pos + 1 else size
+      // Backward TAIL scan in fixed chunks: the newline we want is almost
+      // always within the last few KB of the admitted window, so the
+      // driver reads O(distance-to-last-newline), not O(admitted bytes) —
+      // and a multi-GiB share can't overflow an Int array allocation the
+      // way a whole-window read did.
+      val chunkSize = 64 * 1024
+      var hi = candidate
+      while (hi > from) {
+        val lo = math.max(from, hi - chunkSize)
+        val buf = new Array[Byte]((hi - lo).toInt)
+        raf.seek(lo)
+        raf.readFully(buf)
+        val lastNl = buf.lastIndexOf('\n'.toByte)
+        if (lastNl >= 0) return lo + lastNl + 1
+        hi = lo
       }
+      // Oversized line: scan forward for its end (bounded by the line).
+      raf.seek(candidate)
+      var pos = candidate
+      var b = raf.read()
+      while (b >= 0 && b != '\n') { pos += 1; b = raf.read() }
+      if (b == '\n') pos + 1 else size
     } finally raf.close()
   }
 
@@ -573,6 +582,30 @@ object TopicLogWriter {
     val bytes = messages.map(m => m + "\n").mkString.getBytes(StandardCharsets.UTF_8)
     Files.write(dir.resolve(s"$channel.log"), bytes,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private def epochMarker(root: String, writerId: String, epochId: Long) =
+    Paths.get(root, ".epochs", writerId, epochId.toString)
+
+  /** Has `epochId` already been published by `writerId`? The foreachBatch
+    * replay guard: check BEFORE executing side effects, so a crash-replayed
+    * micro-batch neither re-runs commands nor re-appends lines. */
+  def epochSeen(root: String, writerId: String, epochId: Long): Boolean =
+    Files.exists(epochMarker(root, writerId, epochId))
+
+  /** Epoch-idempotent multi-channel publish: appends every channel's
+    * lines, then marks the epoch (the same append-then-mark ordering the
+    * DSv2 streaming sink's commit uses, so the delivery contract matches:
+    * exactly-once in normal operation, the marker write is the commit
+    * point). A replayed epoch is a no-op. */
+  def publishEpoch(root: String, writerId: String, epochId: Long,
+                   channelMessages: Seq[(String, Seq[String])]): Boolean = {
+    if (epochSeen(root, writerId, epochId)) return false
+    channelMessages.foreach { case (ch, msgs) => publish(root, ch, msgs) }
+    val marker = epochMarker(root, writerId, epochId)
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, Array.emptyByteArray)
+    true
   }
 }
 

@@ -31,6 +31,10 @@ final case class SlopePoint(metric: String, e: Long, value: Double, slope: Doubl
   * emission per user is the user's standing. */
 final case class FunnelLevel(user_id: Long, level: Int)
 
+/** Keyed funnel state: the anchor array of the DP plus the user's newest
+  * event time (the TTL eviction clock). */
+final case class FunnelState(anchors: Array[Long], max_ts_ms: Long)
+
 /** One banded document row inside [[StreamOps.nearDupCandidatesStream]]. */
 final case class BandedDoc(ts: Timestamp, doc_id: Long, sig: Array[Long],
                            band_idx: Int, band_sig: Int)
@@ -614,36 +618,54 @@ object StreamOps {
     * @param events streaming frame with (ts timestamp, user_id long, metric string)
     */
   def funnelStream(events: DataFrame, steps: Seq[String],
-                   windowSeconds: Long): Dataset[FunnelLevel] = {
+                   windowSeconds: Long,
+                   ttl: String = "30 days",
+                   watermark: String = "10 minutes"): Dataset[FunnelLevel] = {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val k = steps.size
     val idxOf = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     val spark = events.sparkSession
     import spark.implicits._
+    // State is one O(K) entry per user — but on an unbounded stream every
+    // user that EVER sent a step event would retain it forever without an
+    // eviction horizon. Same TTL posture as the near-dup gates: a user
+    // idle past `ttl` of their own newest event is evicted (their chain
+    // could not complete inside the window anyway once ttl >= the funnel
+    // window); the replay harness passes a retain-everything ttl, where
+    // parity with the batch DP is defined.
     events
       .select(col("ts"), col("user_id"), col("metric"))
+      .withWatermark("ts", watermark)
       .as[(Timestamp, Long, String)]
       .filter(t => idxOf.contains(t._3))
       .groupByKey(_._2)
-      .flatMapGroupsWithState[Array[Long], FunnelLevel](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[FunnelState, FunnelLevel](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[(Timestamp, Long, String)],
-         state: GroupState[Array[Long]]) =>
-          val anchors = state.getOption.getOrElse(Array.fill(k)(-1L))
-          val levelBefore = anchors.count(_ >= 0L)
-          val sorted = evs.toSeq
-            .map(t => (t._1.getTime / 1000L, idxOf(t._3)))
-            .sorted
-          for ((e, j) <- sorted) {
-            if (j == 1) anchors(0) = math.max(anchors(0), e)
-            else if (anchors(j - 2) >= 0L && e - anchors(j - 2) <= windowSeconds)
-              anchors(j - 1) = math.max(anchors(j - 1), anchors(j - 2))
+         state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption
+              .getOrElse(FunnelState(Array.fill(k)(-1L), 0L))
+            val anchors = st.anchors
+            val levelBefore = anchors.count(_ >= 0L)
+            var maxMs = st.max_ts_ms
+            val sorted = evs.toSeq
+              .map { t => maxMs = math.max(maxMs, t._1.getTime)
+                (t._1.getTime / 1000L, idxOf(t._3)) }
+              .sorted
+            for ((e, j) <- sorted) {
+              if (j == 1) anchors(0) = math.max(anchors(0), e)
+              else if (anchors(j - 2) >= 0L && e - anchors(j - 2) <= windowSeconds)
+                anchors(j - 1) = math.max(anchors(j - 1), anchors(j - 2))
+            }
+            state.update(FunnelState(anchors, maxMs))
+            state.setTimeoutTimestamp(maxMs, ttl)
+            val level = anchors.count(_ >= 0L)
+            if (level > levelBefore) Iterator(FunnelLevel(user, level))
+            else Iterator.empty
           }
-          state.update(anchors)
-          val level = anchors.count(_ >= 0L)
-          if (level > levelBefore) Iterator(FunnelLevel(user, level))
-          else Iterator.empty
       }
   }
 

@@ -426,7 +426,8 @@ object StreamReplay {
     val src = series.select(timestamp_seconds(col("e")).as("ts"),
       col("user_id"), col("metric"))
     val build = (df: DataFrame) =>
-      StreamOps.funnelStream(df, steps, windowSeconds).toDF()
+      StreamOps.funnelStream(df, steps, windowSeconds,
+        ttl = "36500 days", watermark = "0 seconds").toDF()
     sliceAndReplay(src, "ts TIMESTAMP, user_id BIGINT, metric STRING", slices,
         "update", build) match {
       case None => build(src.limit(0))

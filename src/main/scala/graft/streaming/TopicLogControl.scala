@@ -42,7 +42,8 @@ class TopicLogControl(
     respChannel: String = "c2resp",
     cmdlogChannel: String = "cmdlog",
     initial: TrendParams = TrendParams.default,
-    executor: Option[String => C2Response] = None) extends AutoCloseable {
+    executor: Option[String => C2Response] = None,
+    checkpoint: Option[String] = None) extends AutoCloseable {
 
   @volatile private var current: TrendParams = initial
 
@@ -66,7 +67,15 @@ class TopicLogControl(
       case c             => c.toString
     }
 
-  private val ck = Files.createTempDirectory("graft_c2log_ck_").toString
+  private val ck = checkpoint.getOrElse(
+    Files.createTempDirectory("graft_c2log_ck_").toString)
+
+  // Replay-guard identity: stable across restarts of the SAME control
+  // loop (same checkpoint), distinct across loops — a restarted query
+  // re-delivers its in-flight micro-batch with the SAME batch id, and
+  // the guard below must recognize it.
+  private val ctlId = "ctl-" + Integer.toHexString(
+    (root + "|" + cmdChannel + "|" + ck).hashCode)
 
   private val query: StreamingQuery =
     spark.readStream.format("topiclog")
@@ -74,24 +83,33 @@ class TopicLogControl(
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", ck)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cmds = batch.orderBy("offset").collect()
-          .map(_.getAs[String]("value"))
-        if (cmds.nonEmpty) {
-          val now = System.currentTimeMillis() / 1000
-          val out = cmds.map { cmd =>
-            val r = run(cmd)
-            val resp =
-              s"""{"ok": ${r.ok}, "verb": "${esc(r.verb)}", "message": "${esc(r.message)}"}"""
-            val audit =
-              s"""{"ts": $now, "valid": ${r.ok}, "message": "${esc(cmd)}", "retVal": "${esc(r.message)}"}"""
-            (resp, audit)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Epoch guard BEFORE any side effect: a crash-replayed micro-batch
+        // must neither re-execute commands (a second `set` against
+        // already-mutated or external state) nor re-append response/audit
+        // lines. Same marker mechanism as the DSv2 sink's exactly-once.
+        if (!TopicLogWriter.epochSeen(root, ctlId, batchId)) {
+          val cmds = batch.orderBy("offset").collect()
+            .map(_.getAs[String]("value"))
+          if (cmds.nonEmpty) {
+            val now = System.currentTimeMillis() / 1000
+            val out = cmds.map { cmd =>
+              val r = run(cmd)
+              val resp =
+                s"""{"ok": ${r.ok}, "verb": "${esc(r.verb)}", "message": "${esc(r.message)}"}"""
+              val audit =
+                s"""{"ts": $now, "valid": ${r.ok}, "message": "${esc(cmd)}", "retVal": "${esc(r.message)}"}"""
+              (resp, audit)
+            }
+            // One append per channel per batch (not per command): the splice
+            // cost is per-publish, the contract is per-line. The marker
+            // commits both channels together.
+            TopicLogWriter.publishEpoch(root, ctlId, batchId, Seq(
+              respChannel -> out.map(_._1).toSeq,
+              cmdlogChannel -> out.map(_._2).toSeq))
           }
-          // One append per channel per batch (not per command): the splice
-          // cost is per-publish, the contract is per-line.
-          TopicLogWriter.publish(root, respChannel, out.map(_._1).toSeq)
-          TopicLogWriter.publish(root, cmdlogChannel, out.map(_._2).toSeq)
         }
+        ()
       }
       .start()
 

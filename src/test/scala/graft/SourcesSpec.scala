@@ -335,6 +335,31 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("vacuum + epoch ingest compose; non-canonical roots don't eat live data") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    // trailing slash: manifest strings carry "//" while the directory
+    // listing is normalized — vacuum must compare canonical forms
+    val root = Files.createTempDirectory("vacnorm").toString + "/"
+    try {
+      SnapshotStore.appendEpoch(Seq((1L, "a")).toDF("id", "p"), root, 10L)
+      SnapshotStore.appendEpoch(Seq((2L, "b")).toDF("id", "p"), root, 11L)
+      SnapshotStore.appendEpoch(Seq((3L, "c")).toDF("id", "p"), root, 12L)
+      SnapshotStore.vacuum(root, keepFrom = 2)
+      // live data survived the non-canonical root
+      assert(SnapshotStore.read(spark, root).count() == 3)
+      // epoch scans skip the vacuumed manifest instead of crashing,
+      // and idempotence still holds for a retained epoch
+      assert(SnapshotStore.lastEpoch(root).contains(12L))
+      val cur = SnapshotStore.currentVersion(root)
+      assert(SnapshotStore.appendEpoch(
+        Seq((9L, "dup")).toDF("id", "p"), root, 12L) == cur) // replay no-op
+      SnapshotStore.appendEpoch(Seq((4L, "d")).toDF("id", "p"), root, 13L)
+      assert(SnapshotStore.read(spark, root).count() == 4)
+    } finally SnapshotStore.deleteTree(root.stripSuffix("/"))
+  }
+
   test("registry consistency: every oracle key has a query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")

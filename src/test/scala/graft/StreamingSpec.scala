@@ -240,10 +240,14 @@ class StreamingSpec extends SparkSpec {
         in.toDF().toDF("ts", "user_id", "metric"),
         Seq("a", "b", "c"), windowSeconds = 100L).toDF(),
       "t_funnel", "update")
+    // ts starts at 1, not 0: the event-time-timeout stateful operator
+    // drops rows with ts <= watermark, and the INITIAL watermark is 0 —
+    // a 0-second event would be "late" before any data arrived (real
+    // replays carry epoch-second timestamps, far from this edge)
     def ev(sec: Long, u: Long, m: String) = (new Timestamp(sec * 1000), u, m)
-    in.addData(ev(0, 1L, "a"), ev(10, 1L, "b"), ev(0, 2L, "a"))
+    in.addData(ev(1, 1L, "a"), ev(10, 1L, "b"), ev(1, 2L, "a"))
     q.processAllAvailable()
-    // u1's anchor (0) must survive the boundary: c at 90 is in-window;
+    // u1's anchor (1) must survive the boundary: c at 90 is in-window;
     // u2's b at 150 is OUT of its anchor's window — stays level 1
     in.addData(ev(90, 1L, "c"), ev(150, 2L, "b"))
     q.processAllAvailable(); q.stop()
@@ -255,6 +259,33 @@ class StreamingSpec extends SparkSpec {
     val u1Levels = spark.table("t_funnel").collect()
       .filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Int]("level")).sorted
     assert(u1Levels.toSeq == u1Levels.distinct.toSeq)
+  }
+
+  test("streaming funnel: TTL evicts an idle user's anchors (event-time timeout)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = startMemQuery(
+      StreamOps.funnelStream(
+        in.toDF().toDF("ts", "user_id", "metric"),
+        Seq("a", "b"), windowSeconds = 1000000L,
+        ttl = "10 seconds", watermark = "0 seconds").toDF(),
+      "t_funnel_ttl", "update")
+    def ev(sec: Long, u: Long, m: String) = (new Timestamp(sec * 1000), u, m)
+    in.addData(ev(1, 1L, "a")) // ts >= 1: see the initial-watermark note above
+    q.processAllAvailable()
+    // another user's much-later event advances the watermark past u1's
+    // ttl horizon -> u1's state evicts on the timer
+    in.addData(ev(100, 2L, "a"))
+    q.processAllAvailable()
+    // u1's b arrives after eviction: its anchor is gone, so even though
+    // the funnel window would easily admit the chain, no level-2 emits
+    in.addData(ev(120, 1L, "b"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_funnel_ttl").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("level"))).toSet
+    assert(got == Set((1L, 1), (2L, 1)), s"got $got")
   }
 
   test("stream-stream interval join: purchases pick up trailing clicks per channel") {

@@ -115,6 +115,28 @@ class TopicLogSpec extends SparkSpec {
       s"exactly-once violated: ${out.size} uniques, ${dupes.get} dupes")
   }
 
+  test("publishEpoch: a replayed epoch appends nothing; distinct epochs append") {
+    val root = java.nio.file.Files.createTempDirectory("pubep").toString
+    def lines(ch: String) = {
+      val f = new java.io.File(root, s"$ch.log")
+      if (!f.exists) Nil
+      else scala.io.Source.fromFile(f).getLines().toList
+    }
+    assert(TopicLogWriter.publishEpoch(root, "ctl-x", 0L,
+      Seq("resp" -> Seq("r0"), "audit" -> Seq("a0"))))
+    // crash-replay of the same micro-batch: guard reports seen, no dupes
+    assert(TopicLogWriter.epochSeen(root, "ctl-x", 0L))
+    assert(!TopicLogWriter.publishEpoch(root, "ctl-x", 0L,
+      Seq("resp" -> Seq("r0"), "audit" -> Seq("a0"))))
+    assert(TopicLogWriter.publishEpoch(root, "ctl-x", 1L,
+      Seq("resp" -> Seq("r1"))))
+    assert(lines("resp") == List("r0", "r1") && lines("audit") == List("a0"))
+    // a DIFFERENT control loop's epochs are independent
+    assert(TopicLogWriter.publishEpoch(root, "ctl-y", 0L,
+      Seq("resp" -> Seq("ry"))))
+    assert(lines("resp") == List("r0", "r1", "ry"))
+  }
+
   test("batch write: staged segments splice into channel logs, read round-trips") {
     val root = tmp("topiclog_wbatch")
     import spark.implicits._
