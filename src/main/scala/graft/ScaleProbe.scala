@@ -389,6 +389,39 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(listener)
     }
 
+    // IVM flat-refresh proof: the rollup view's refresh cost must track
+    // the DELTA, not the standing table — build stores whose history is
+    // 1x / 4x / 16x the base series (fully refreshed), then time ONE more
+    // refresh of an identical fixed-size delta against each. A flat line
+    // across the three is the O(delta) claim measured, the difference
+    // between a nightly full recompute and a minutes-long delta pass at
+    // 100 TB. (Runs only under PROBE_ONLY=ivm_refresh: the fixture writes
+    // real parquet stores, heavier than the noop-sink probes above.)
+    if (probeOnly.exists(_.contains("ivm_refresh"))) {
+      import graft.sources.{RollupView, SnapshotStore}
+      val delta = base.select("metric", "e", "value")
+        .where(col("event_id") % 10 === 0).localCheckpoint(true)
+      val times = Seq(1, 4, 16).map { k =>
+        val root = java.nio.file.Files.createTempDirectory(s"ivmp$k").toString
+        val src = s"$root/src"; val view = s"$root/view"
+        try {
+          (0 until k).foreach { i =>
+            SnapshotStore.append(
+              scaled(1).select("metric",  "e", "value")
+                .withColumn("e", col("e") + lit(i.toLong)), src)
+            RollupView.refresh(spark, src, view)
+          }
+          SnapshotStore.append(delta, src)
+          val t0 = System.nanoTime()
+          RollupView.refresh(spark, src, view)
+          (System.nanoTime() - t0) / 1e9
+        } finally SnapshotStore.deleteTree(root)
+      }
+      println(f"[scale] ivm_refresh_fixed_delta table=1x ${times(0)}%5.2fs " +
+        f"4x ${times(1)}%5.2fs 16x ${times(2)}%5.2fs " +
+        f"(flat = O(delta) holds; ratio16 ${times(2) / times(0)}%4.2f)")
+    }
+
     spark.stop()
   }
 }
