@@ -972,6 +972,29 @@ object SparkEntry {
         .agg(count(col("c_id")).as("n_clicks_5m"))
     }),
 
+    // SCD2 temporal join: a two-version dimension per metric (cut at the
+    // series' integer midpoint — both engines derive it exactly), each
+    // event enriched with the version valid at its own time, aggregated
+    // per (metric, version). Half-open intervals pin the boundary event
+    // to the NEW version on both sides.
+    "q_scd2_join" -> ((s, dir) => {
+      val sr = series(s, dir).select("metric", "e", "value")
+      val bounds = sr.agg(
+        expr("min(e) + (max(e) - min(e)) div 2").as("cut"))
+      val metrics = sr.select("metric").distinct()
+        .withColumnRenamed("metric", "dim_metric")
+      val dim = metrics.crossJoin(broadcast(bounds))
+        .select(col("dim_metric"), lit(0L).as("valid_from"),
+          col("cut").as("valid_to"), lit("v1").as("tag"))
+        .unionByName(metrics.crossJoin(broadcast(bounds))
+          .select(col("dim_metric"), col("cut").as("valid_from"),
+            lit(Long.MaxValue).as("valid_to"), lit("v2").as("tag")))
+      RelationalOps.temporalJoin(sr, dim, "metric", "dim_metric", "e")
+        .groupBy("metric", "tag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+    }),
+
     // RANGE-frame window: trailing-1-hour moving count/sum/mean per metric
     // (event-time range frame, not row frame — ties on e included wholly,
     // so the result is order-independent and oracle-deterministic).
@@ -3072,6 +3095,22 @@ object SparkEntry {
         |  lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
         |FROM orders""".stripMargin,
+
+    // SCD2: the same two-version dimension derived in SQL; half-open
+    // validity intervals, boundary event lands in v2 on both sides.
+    "q_scd2_join" ->
+      s"""WITH $SERIES,
+         |b AS (SELECT min(e) + (max(e) - min(e)) // 2 AS cut FROM series),
+         |m AS (SELECT DISTINCT metric FROM series),
+         |d AS (SELECT m.metric AS dim_metric, 0 AS valid_from, b.cut AS valid_to,
+         |             'v1' AS tag FROM m, b
+         |      UNION ALL
+         |      SELECT m.metric, b.cut, 9223372036854775807, 'v2' FROM m, b)
+         |SELECT s.metric, d.tag, count(*) AS n,
+         |       CAST(SUM(CAST(s.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+         |FROM series s JOIN d ON d.dim_metric = s.metric
+         |  AND s.e >= d.valid_from AND s.e < d.valid_to
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_range_join" ->
       s"""WITH $SERIES,

@@ -269,4 +269,31 @@ object RelationalOps {
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** SCD2 temporal join: each fact row picks the dimension VERSION whose
+    * validity interval `[validFrom, validTo)` contains the fact's event
+    * time — the slowly-changing-dimension lookup every warehouse enrich
+    * runs (half-open intervals, so a version change at t assigns t to the
+    * NEW version and a key's versions tile time without overlap).
+    *
+    * Scale shape: an equi-join on the key with the interval predicate as
+    * the residual — versioned dimensions carry a handful of rows per key,
+    * so the join broadcasts when the dim does and degrades to a shuffled
+    * equi-join (residual applied on the matched pairs, never a cross
+    * product) when it doesn't. A dimension too big for either is the
+    * as-of shape: sort the version boundaries into the fact stream with
+    * [[asOfJoin]]'s union+window trick instead.
+    *
+    * `joinType` "left" keeps facts with NO valid version (null dim
+    * columns) — the audit posture; "inner" drops them. */
+  def temporalJoin(fact: DataFrame, dim: DataFrame,
+                   factKey: String, dimKey: String, factTime: String,
+                   validFrom: String = "valid_from",
+                   validTo: String = "valid_to",
+                   joinType: String = "inner"): DataFrame =
+    fact.join(dim,
+      fact.col(factKey) === dim.col(dimKey) &&
+        fact.col(factTime) >= dim.col(validFrom) &&
+        fact.col(factTime) < dim.col(validTo),
+      joinType)
 }

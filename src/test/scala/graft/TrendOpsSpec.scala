@@ -173,6 +173,24 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("SCD2 temporal join: half-open intervals, boundary to new version, left keeps gaps") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.RelationalOps
+    val fact = Seq(("k", 5L, "early"), ("k", 10L, "boundary"), ("k", 20L, "late"),
+      ("k", 99L, "gap")).toDF("fk", "t", "label")
+    val dim = Seq(("k", 0L, 10L, "v1"), ("k", 10L, 30L, "v2"))
+      .toDF("dk", "valid_from", "valid_to", "tag")
+    val inner = RelationalOps.temporalJoin(fact, dim, "fk", "dk", "t")
+      .select("label", "tag").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // t=10 is exactly the version cut: half-open assigns the NEW version
+    assert(inner == Map("early" -> "v1", "boundary" -> "v2", "late" -> "v2"))
+    val left = RelationalOps.temporalJoin(fact, dim, "fk", "dk", "t",
+        joinType = "left")
+      .select("label", "tag").collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(left("gap").isEmpty && left.size == 4) // uncovered fact kept with null
+  }
+
   test("holt smoothing: level tracks drift where ewma lags; hand values exact") {
     val s = spark
     import s.implicits._
