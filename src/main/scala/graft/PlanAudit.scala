@@ -20,7 +20,7 @@ object PlanAudit {
       "table_profile_scale", "a9_sketch_verify", "pq_encode", "ann_topk_ivfpq",
       "graph_pagerank", "quality_train_score", "embedding_project",
       "text_bigram_lm", "funnel_steps", "cohort_retention",
-      "audience_overlap", "data_expectations")
+      "audience_overlap", "data_expectations", "q_scd2_join")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -170,7 +170,14 @@ object PlanAudit {
         p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
       }),
       ("pagerank rounds shuffle on graph keys only, no cartesian/NL join", {
-        val p = planOf("graph_pagerank")
+        // The registered query RELEASES its caches (materialize +
+        // unpersist), so its executed plan is a checkpoint scan; audit
+        // the composed round plan via the release=false hook instead.
+        val p = graft.operators.GraphOps.pageRank(
+          graft.operators.GraphOps.hashLinkGraph(
+            Tables.documents(spark, sfDir).select("doc_id", "text")),
+          iters = 2, release = false)
+          .queryExecution.executedPlan.toString
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
           p.contains("hashpartitioning")
       }),
@@ -206,6 +213,12 @@ object PlanAudit {
           // the four row-level rules fold into ONE scan: lineitem appears
           // once with exactly the rules' column set
           p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>")
+      }),
+      ("SCD2 join is an equi-join with interval residual, no cartesian/NL on facts", {
+        val p = planOf("q_scd2_join")
+        !p.contains("CartesianProduct") && p.contains("Join") &&
+          // the version dimension broadcasts; facts are never NL-joined
+          p.contains("BroadcastHashJoin")
       }),
       ("cohort retention reuses the per-user day-set exchange",
         finalPlanOf("cohort_retention").contains("ReusedExchange")),

@@ -46,7 +46,8 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
                dampNum: Long = 85L, dampDen: Long = 100L,
-               checkpointEvery: Int = 0): DataFrame = {
+               checkpointEvery: Int = 0,
+               release: Boolean = true): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
     val nodes = edges.select(col("src").as("node_id"))
@@ -75,11 +76,15 @@ object GraphOps {
     // Materialize the final ranks BEFORE releasing the cached node/edge
     // relations (the lazy result plan references them); without the
     // unpersist every invocation would pin one edge-relation copy in
-    // storage memory for the session's lifetime.
-    val out = pr.localCheckpoint(true)
-    nodes.unpersist(false)
-    e.unpersist(false)
-    out
+    // storage memory for the session's lifetime. `release = false` keeps
+    // the LAZY composed plan (caches pinned, caller releases) — the plan-
+    // audit hook, since the materialized result is a checkpoint scan.
+    if (release) {
+      val out = pr.localCheckpoint(true)
+      nodes.unpersist(false)
+      e.unpersist(false)
+      out
+    } else pr
   }
 
   /** Deterministic content-hash link graph over a dense-id document set:
