@@ -1297,6 +1297,32 @@ object SparkEntry {
           min("doc_id").as("min_doc_id"))
     }),
 
+    // BPE tokenizer training (Sennrich subword merges): iterative
+    // most-frequent-pair merging over the capped word-frequency table —
+    // vocab-sized iterations, one-row argmax collects (the GD/k-means
+    // model posture). The oracle replays the ENTIRE run: a recursive CTE
+    // applies the exported merges step by step and re-derives each
+    // step's argmax under the same tie-break, so a single wrong merge,
+    // wrong order, or wrong count reddens the row.
+    "bpe_train" -> ((s, dir) =>
+      exportForOracle(
+        BpeOps.train(Tables.documents(s, dir).select("text"),
+          numMerges = 20, vocabCap = 800),
+        "bpe_merges", model = true).localCheckpoint(true)),
+
+    // Encoding with the learned rules: per-doc char/word/BPE-token counts
+    // and the compression ratio (the token-budget pricing surface). The
+    // merge chain applies to DISTINCT words once; the oracle re-encodes
+    // every word from the exported rules through the same literal-replace
+    // semantics.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = BpeOps.train(docs, numMerges = 20, vocabCap = 800)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeOps.encode(docs, merges)
+    }),
+
     // End-to-end curation pipeline as ONE declarative plan: quality score →
     // language gate → exact dedup → content-hash split → per-(lang, split)
     // summary. Every stage is individually oracle-checked elsewhere; this
@@ -3655,6 +3681,81 @@ object SparkEntry {
         |  CASE WHEN md5(text) < 'e6' THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Full BPE training replay: base vocab rebuilt from documents with
+    // the same cap/tie-break, states advanced by applying the EXPORTED
+    // merges (literal delimiter-wrapped replace — identical leftmost-
+    // nonoverlapping semantics in both engines), each step's argmax
+    // re-derived from the replayed state. Output = the recomputed merge
+    // table; equality with Spark's export means every learned rule was
+    // the true argmax at its step.
+    "bpe_train" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT step, lhs, rhs FROM read_parquet('${exportGlob("bpe_merges")}')),
+         |wf AS (SELECT word, count(*) AS freq FROM (
+         |         SELECT unnest(string_split_regex(text, '\\s+')) AS word
+         |         FROM documents)
+         |       WHERE length(word) > 0 GROUP BY 1
+         |       QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= 800),
+         |st AS (
+         |  SELECT 1 AS step,
+         |         regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS w,
+         |         freq
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT st.step + 1,
+         |         replace(st.w, chr(1) || m.lhs || chr(1) || chr(1) || m.rhs || chr(1),
+         |                 chr(1) || m.lhs || m.rhs || chr(1)),
+         |         st.freq
+         |  FROM st JOIN m ON m.step = st.step
+         |),
+         |sy AS (SELECT step, string_split(trim(w, chr(1)), chr(1) || chr(1)) AS s,
+         |              freq FROM st),
+         |pr AS (SELECT step, s[i] AS lhs, s[i + 1] AS rhs, freq
+         |       FROM (SELECT step, s, freq,
+         |               unnest(generate_series(1, len(s) - 1)) AS i
+         |             FROM sy WHERE len(s) >= 2)),
+         |pc AS (SELECT step, lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq
+         |       FROM pr GROUP BY 1, 2, 3),
+         |best AS (SELECT step, lhs, rhs, pair_freq FROM pc
+         |         QUALIFY row_number() OVER (PARTITION BY step
+         |           ORDER BY pair_freq DESC, lhs ASC, rhs ASC) = 1)
+         |SELECT b.step, b.lhs, b.rhs, b.pair_freq
+         |FROM best b WHERE b.step <= (SELECT max(step) FROM m)""".stripMargin,
+
+    // Encode replay: every distinct word re-encoded from the exported
+    // rules (same recursion, same replace semantics), token counts
+    // joined back onto the doc word multiset.
+    "bpe_encode" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT step, lhs, rhs FROM read_parquet('${exportGlob("bpe_merges")}')),
+         |dw AS (SELECT doc_id, word FROM (
+         |         SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |         FROM documents)
+         |       WHERE length(word) > 0),
+         |uw AS (SELECT DISTINCT word FROM dw),
+         |st AS (
+         |  SELECT 1 AS step, word,
+         |         regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS w
+         |  FROM uw
+         |  UNION ALL
+         |  SELECT st.step + 1, st.word,
+         |         replace(st.w, chr(1) || m.lhs || chr(1) || chr(1) || m.rhs || chr(1),
+         |                 chr(1) || m.lhs || m.rhs || chr(1))
+         |  FROM st JOIN m ON m.step = st.step
+         |),
+         |fin AS (SELECT word, w FROM st
+         |        WHERE step = (SELECT COALESCE(max(step), 0) + 1 FROM m)),
+         |tok AS (SELECT word,
+         |          len(string_split(trim(w, chr(1)), chr(1) || chr(1))) AS wt
+         |        FROM fin)
+         |SELECT dw.doc_id, count(*) AS n_words,
+         |       CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(t.wt) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(length(dw.word)) AS DOUBLE) /
+         |         CAST(SUM(t.wt) AS DOUBLE) AS chars_per_token
+         |FROM dw JOIN tok t ON t.word = dw.word
+         |GROUP BY 1""".stripMargin,
 
     // Cluster-keyed split replay: rebuild the planted corpus, CC-label
     // the exported near-dup edges (the neardup_groups recursion),
