@@ -20,7 +20,7 @@ object PlanAudit {
       "table_profile_scale", "a9_sketch_verify", "pq_encode", "ann_topk_ivfpq",
       "graph_pagerank", "quality_train_score", "embedding_project",
       "text_bigram_lm", "funnel_steps", "cohort_retention",
-      "audience_overlap", "data_expectations", "q_scd2_join")
+      "audience_overlap", "data_expectations", "q_scd2_join", "bpe_encode")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -213,6 +213,12 @@ object PlanAudit {
           // the four row-level rules fold into ONE scan: lineitem appears
           // once with exactly the rules' column set
           p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>")
+      }),
+      ("bpe encode: merge chain is map-only over distinct words, no cartesian", {
+        val p = planOf("bpe_encode")
+        !p.contains("CartesianProduct") &&
+          // the word-level encode joins back by equi-key only
+          !p.contains("BroadcastNestedLoopJoin")
       }),
       ("SCD2 join is an equi-join with interval residual, no cartesian/NL on facts", {
         val p = planOf("q_scd2_join")

@@ -201,6 +201,14 @@ object ScaleProbe {
     // (the count tables grow sub-linearly; replica-suffixed docs keep the
     // vocabulary from being a pure 16× duplicate).
     probe("text_bigram_lm", rep => SearchOps.bigramLmScores(scaledDocs(rep)))
+
+    // BPE training: the corpus only funds ONE word-frequency pass; every
+    // merge iteration runs on the CAPPED vocab table regardless of scale
+    // — expect strongly sub-linear (iteration count and per-iteration
+    // size both fixed; only the first pass grows).
+    probe("bpe_train", rep =>
+      graft.operators.BpeOps.train(scaledDocs(rep), numMerges = 12,
+        vocabCap = 800))
     // Fuzzy matching: replica tags on BOTH ends decorrelate the blocking
     // keys across replicas (otherwise identical suffixes stack 16 replicas
     // into one block and the probe measures the documented
