@@ -178,6 +178,11 @@ object PlanAudit {
             Tables.documents(spark, sfDir).select("doc_id", "text")),
           iters = 2, release = false)
           .queryExecution.executedPlan.toString
+        // release=false means THIS caller owns the pinned node/edge
+        // caches — drop them before the later finalPlanOf() executions
+        // run under reduced storage memory (nothing else in the audit
+        // relies on cached frames; localCheckpoints are unaffected)
+        spark.catalog.clearCache()
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
           p.contains("hashpartitioning")
       }),

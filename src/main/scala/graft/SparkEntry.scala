@@ -3695,7 +3695,8 @@ object SparkEntry {
          |wf AS (SELECT word, count(*) AS freq FROM (
          |         SELECT unnest(string_split_regex(text, '\\s+')) AS word
          |         FROM documents)
-         |       WHERE length(word) > 0 GROUP BY 1
+         |       WHERE length(word) > 0 AND NOT contains(word, chr(1))
+         |       GROUP BY 1
          |       QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= 800),
          |st AS (
          |  SELECT 1 AS step,
@@ -3732,7 +3733,7 @@ object SparkEntry {
          |dw AS (SELECT doc_id, word FROM (
          |         SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
          |         FROM documents)
-         |       WHERE length(word) > 0),
+         |       WHERE length(word) > 0 AND NOT contains(word, chr(1))),
          |uw AS (SELECT DISTINCT word FROM dw),
          |st AS (
          |  SELECT 1 AS step, word,

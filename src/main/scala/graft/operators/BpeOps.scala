@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object BpeOps {
 
+  // A corpus token CONTAINING the delimiter would corrupt symbol states
+  // (phantom empty symbols, rules whose search string matches unrelated
+  // positions) - such words are excluded at ingest on BOTH engines, the
+  // same posture as the reference's malformed-record drop.
   private val D = "\u0001"
 
   /** Word → initial symbol state: every character individually wrapped
@@ -62,7 +66,7 @@ object BpeOps {
   def wordFreqs(docs: DataFrame, vocabCap: Int): DataFrame =
     docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .where(length(col("word")) > 0)
+      .where(length(col("word")) > 0 && !col("word").contains(D))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
       .limit(vocabCap)
@@ -118,7 +122,7 @@ object BpeOps {
   def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
-      .where(length(col("word")) > 0)
+      .where(length(col("word")) > 0 && !col("word").contains(D))
     val encoded = words.select("word").distinct()
       .select(col("word"),
         size(symbols(applyMerges(initialState(col("word")), merges)))

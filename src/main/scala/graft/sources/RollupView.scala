@@ -66,10 +66,15 @@ object RollupView {
     val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
     if (srcCur <= from) return SnapshotStore.currentVersion(viewRoot)
     val curDirs = SnapshotStore.manifestDirs(srcRoot, srcCur).toSet
+    // A vacuumed from-manifest means the counted baseline is gone — the
+    // manifest diff cannot be computed, so take the same full-rebuild
+    // branch a compaction takes (instead of crashing on every retry and
+    // wedging the view until manual repair).
+    val baselineGone = from > 0 && !SnapshotStore.hasManifest(srcRoot, from)
     val beforeDirs =
-      if (from == 0) Set.empty[String]
+      if (from == 0 || baselineGone) Set.empty[String]
       else SnapshotStore.manifestDirs(srcRoot, from).toSet
-    if (beforeDirs.exists(d => !curDirs.contains(d))) {
+    if (baselineGone || beforeDirs.exists(d => !curDirs.contains(d))) {
       // a compaction replaced directories we already counted: the manifest
       // diff is no longer the row delta — rebuild once, publish as the
       // view's own compaction (sole content), stamp the new position

@@ -55,6 +55,10 @@ object SnapshotStore {
     }
   }
 
+  /** Does version `v`'s manifest still exist (false once vacuumed)? */
+  def hasManifest(root: String, v: Int): Boolean =
+    Files.exists(manifestPath(root, v))
+
   /** Directories of version `v` (exactly as the manifest lists them). */
   def manifestDirs(root: String, v: Int): Seq[String] = {
     val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
@@ -116,6 +120,9 @@ object SnapshotStore {
     val v = if (to > 0) to else currentVersion(root)
     require(fromExclusive >= 0 && v >= fromExclusive,
       s"bad incremental range ($fromExclusive, $v]")
+    require(fromExclusive == 0 || hasManifest(root, fromExclusive),
+      s"incremental baseline v$fromExclusive was vacuumed at $root — " +
+        "the manifest diff is undefined; re-read the full snapshot instead")
     val before =
       if (fromExclusive == 0) Set.empty[String]
       else manifestDirs(root, fromExclusive).toSet
@@ -399,7 +406,14 @@ object SnapshotStore {
     // maintenance time, not on reads.
     read(spark, root, parent, mergeSchema = true).coalesce(targetFiles)
       .write.mode("overwrite").parquet(dir)
-    publish(root, v, Seq(dir))
+    // Carry the newest epoch stamp forward (the compactWith contract):
+    // without it, a compact-then-vacuum sequence would strip every stamp
+    // from the RETAINED manifest tail, and a crash-replayed epoch whose
+    // stamp lived only below the vacuum line would silently re-ingest.
+    lastEpoch(root) match {
+      case Some(e) => publishWithEpoch(root, v, Seq(dir), e)
+      case None    => publish(root, v, Seq(dir))
+    }
     v
   }
 }

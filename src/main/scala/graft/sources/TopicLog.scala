@@ -512,7 +512,7 @@ class TopicLogDataWriter(root: String, writeId: String, partitionId: Int,
   * the staging dir. */
 object TopicLogCommit {
   private def epochMarkerPath(root: String, queryId: String, epochId: Long): Path =
-    Paths.get(root, ".epochs", queryId, epochId.toString)
+    TopicLogWriter.epochMarker(root, queryId, epochId)
 
   def commit(root: String, writeId: String,
              messages: Array[WriterCommitMessage],
@@ -584,7 +584,11 @@ object TopicLogWriter {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  private def epochMarker(root: String, writerId: String, epochId: Long) =
+  // Shared with the DSv2 sink's commit path (TopicLogCommit) — ONE
+  // marker-path scheme for the `.epochs` namespace, so a layout change
+  // cannot silently break one mechanism's replay detection.
+  private[sources] def epochMarker(root: String, writerId: String,
+                                   epochId: Long): Path =
     Paths.get(root, ".epochs", writerId, epochId.toString)
 
   /** Has `epochId` already been published by `writerId`? The foreachBatch

@@ -623,10 +623,24 @@ object StreamOps {
                    watermark: String = "10 minutes"): Dataset[FunnelLevel] = {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    // The TTL eviction argument below ("an evicted chain could not have
+    // completed anyway") only holds when the TTL covers the funnel
+    // window — enforce it rather than silently diverging from batch.
+    val ttlIv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMs = ttlIv.months * 2592000000L + ttlIv.days * 86400000L +
+      ttlIv.microseconds / 1000L
+    require(ttlMs >= windowSeconds * 1000L,
+      s"ttl '$ttl' must cover windowSeconds=$windowSeconds — an anchor " +
+        "evicted inside the funnel window would lose completions batch finds")
     val k = steps.size
     val idxOf = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     val spark = events.sparkSession
     import spark.implicits._
+    // Late-arrival contract: events older than the watermark are dropped
+    // BEFORE the DP (standard event-time stateful semantics) — size the
+    // watermark to the source's real disorder; the replay harness passes
+    // "0 seconds" because its slices arrive in time order.
     // State is one O(K) entry per user — but on an unbounded stream every
     // user that EVER sent a step event would retain it forever without an
     // eviction horizon. Same TTL posture as the near-dup gates: a user

@@ -357,7 +357,42 @@ class SourcesSpec extends SparkSpec {
         Seq((9L, "dup")).toDF("id", "p"), root, 12L) == cur) // replay no-op
       SnapshotStore.appendEpoch(Seq((4L, "d")).toDF("id", "p"), root, 13L)
       assert(SnapshotStore.read(spark, root).count() == 4)
+      // compact-then-vacuum must NOT strip the stamp lineage: the
+      // compaction carries the newest epoch forward, so a replayed epoch
+      // after the aggressive vacuum is still a no-op (not a duplicate)
+      val cv = SnapshotStore.compact(spark, root)
+      SnapshotStore.vacuum(root, keepFrom = cv)
+      assert(SnapshotStore.lastEpoch(root).contains(13L))
+      val atV = SnapshotStore.currentVersion(root)
+      assert(SnapshotStore.appendEpoch(
+        Seq((9L, "dup")).toDF("id", "p"), root, 13L) == atV)
+      assert(SnapshotStore.read(spark, root).count() == 4)
     } finally SnapshotStore.deleteTree(root.stripSuffix("/"))
+  }
+
+  test("rollup refresh survives a vacuumed incremental baseline (rebuild path)") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivmvac").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      def mk(rows: (String, Long, Double)*) = rows.toSeq.toDF("metric", "e", "value")
+      SnapshotStore.append(mk(("m", 10L, 1.0)), src)
+      RollupView.refresh(spark, src, view) // baseline = src v1
+      SnapshotStore.append(mk(("m", 20L, 2.0)), src)
+      SnapshotStore.append(mk(("m", 30L, 3.0)), src)
+      SnapshotStore.vacuum(src, keepFrom = 2) // v1 manifest (the baseline) gone
+      // refresh detects the missing baseline and rebuilds instead of crashing
+      RollupView.refresh(spark, src, view)
+      val row = RollupView.read(spark, view).collect()
+      assert(row.length == 1 && row(0).getLong(2) == 3L) // all 3 samples, once
+      // and a plain incremental read against the vacuumed baseline fails LOUDLY
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.incremental(spark, src, fromExclusive = 1)
+      }
+      assert(e.getMessage.contains("vacuumed"))
+    } finally SnapshotStore.deleteTree(root)
   }
 
   test("registry consistency: every oracle key has a query") {

@@ -266,26 +266,34 @@ class StreamingSpec extends SparkSpec {
     import s.implicits._
     implicit val ctx = s.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
+    // ttl >= window is ENFORCED (an eviction inside the window would lose
+    // chains batch finds), so eviction is purely a state-size mechanism:
+    // an evicted anchor was already outside its own completion window
     val q = startMemQuery(
       StreamOps.funnelStream(
         in.toDF().toDF("ts", "user_id", "metric"),
-        Seq("a", "b"), windowSeconds = 1000000L,
+        Seq("a", "b"), windowSeconds = 10L,
         ttl = "10 seconds", watermark = "0 seconds").toDF(),
       "t_funnel_ttl", "update")
     def ev(sec: Long, u: Long, m: String) = (new Timestamp(sec * 1000), u, m)
     in.addData(ev(1, 1L, "a")) // ts >= 1: see the initial-watermark note above
     q.processAllAvailable()
     // another user's much-later event advances the watermark past u1's
-    // ttl horizon -> u1's state evicts on the timer
+    // ttl horizon -> u1's state evicts on the timer (timeout branch runs)
     in.addData(ev(100, 2L, "a"))
     q.processAllAvailable()
-    // u1's b arrives after eviction: its anchor is gone, so even though
-    // the funnel window would easily admit the chain, no level-2 emits
+    // u1's b at 120 chains with nothing: anchor evicted AND (consistently,
+    // by the ttl >= window invariant) outside the completion window
     in.addData(ev(120, 1L, "b"))
     q.processAllAvailable(); q.stop()
     val got = spark.table("t_funnel_ttl").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("level"))).toSet
     assert(got == Set((1L, 1), (2L, 1)), s"got $got")
+    // and an under-window ttl is refused outright
+    intercept[IllegalArgumentException] {
+      StreamOps.funnelStream(in.toDF().toDF("ts", "user_id", "metric"),
+        Seq("a", "b"), windowSeconds = 1000000L, ttl = "10 seconds")
+    }
   }
 
   test("stream-stream interval join: purchases pick up trailing clicks per channel") {
