@@ -87,7 +87,12 @@ object WavCodec {
         // trust no declared length past the buffer's actual end
         dataLen = math.max(0, math.min(sz, bytes.length - off - 8))
       }
-      off += 8 + sz + (sz & 1) // chunks are word-aligned per the spec
+      // Advance in Long space: a crafted size near Int.MaxValue overflows
+      // `8 + sz` to a negative Int, which would re-enter the loop with a
+      // negative offset and crash tag(). Past-the-end means scan over.
+      val next = off.toLong + 8L + sz.toLong + (sz & 1)
+      if (next + 8 > bytes.length) off = bytes.length
+      else off = next.toInt // word-aligned chunks per the spec
     }
     meta.collect {
       case (rate, ch, bits) if dataLen >= 0 && bits == 16 && ch > 0 =>
@@ -113,7 +118,11 @@ object WavCodec {
         while (i < n) { out(i) = rd16(bytes, off + 8 + i * 2).toShort; i += 1 }
         return out
       }
-      off += 8 + sz + (sz & 1)
+      // Same Long-space advance as decodeWavMeta: overflow-sized chunks
+      // terminate the scan instead of wrapping to a negative offset.
+      val next = off.toLong + 8L + sz.toLong + (sz & 1)
+      if (next + 8 > bytes.length) off = bytes.length
+      else off = next.toInt
     }
     Array.empty
   }

@@ -96,8 +96,13 @@ object GraphOps {
     * (the fixture contract; asserted). */
   def hashLinkGraph(docs: DataFrame, fanout: Int = 3): DataFrame = {
     val n = docs.count()
-    val Seq(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
-      .head.toSeq.map(_.asInstanceOf[Long]).toSeq
+    require(n > 0, "hashLinkGraph: empty document relation")
+    // Explicit long cast: an int-typed doc_id would otherwise throw a bare
+    // ClassCastException, and null bounds (impossible once n > 0) would
+    // unbox to 0 and produce a misleading dense-range message.
+    val bounds = docs.agg(min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     require(lo == 0L && hi == n - 1, s"doc_ids must be dense [0,$n), got [$lo,$hi]")
     docs.select(col("doc_id").as("src"),
       explode(array((0 until fanout).map(t =>

@@ -1183,7 +1183,11 @@ object TrendOps {
         greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
       .select(col("metric_a"), col("metric_b"), col("est_a"), col("est_b"),
         col("est_union"), col("est_intersection"),
-        (col("est_intersection") / col("est_union")).as("jaccard_est"))
+        // Degenerate pair (both audiences estimate 0): report 0 like the
+        // exact twin's explicit zero counts, not NaN from 0/0.
+        when(col("est_union") > 0.0,
+          col("est_intersection") / col("est_union"))
+          .otherwise(lit(0.0)).as("jaccard_est"))
   }
 
   /** [[audienceOverlapSketch]]'s exact twin: the same overlap matrix by

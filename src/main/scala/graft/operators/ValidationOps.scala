@@ -72,28 +72,31 @@ object ValidationOps {
     * non-null key). */
   def validate(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     val spark = df.sparkSession
-    val rowLevel = rules.filter {
-      case _: Unique | _: RefIn => false
-      case _                    => true
+    // Keep each rule's position in the caller's list: row-level rules are
+    // evaluated in one fused scan and the unique/ref legs separately, so
+    // without the tag the report would order by KIND, not by the list.
+    val rowLevel = rules.zipWithIndex.filter {
+      case (_: Unique | _: RefIn, _) => false
+      case _                         => true
     }
     // one scan, one counter per rule + the total
     val rowReport: Option[DataFrame] =
       if (rowLevel.isEmpty) None
       else {
-        val aggs = rowLevel.zipWithIndex.map { case (r, i) =>
+        val aggs = rowLevel.zipWithIndex.map { case ((r, _), i) =>
           sum(when(violatesCond(r), 1L).otherwise(0L)).as(s"v$i")
         } :+ count(lit(1)).as("checked")
         val one = df.agg(aggs.head, aggs.tail: _*)
         val stacked = rowLevel.zipWithIndex
-          .map { case (r, i) =>
-            s"'${r.name.replace("'", "''")}', v$i" }
+          .map { case ((r, orig), i) =>
+            s"'${r.name.replace("'", "''")}', v$i, ${orig}L" }
           .mkString(", ")
         Some(one.selectExpr(
-          s"stack(${rowLevel.size}, $stacked) AS (rule, violated_rows)",
+          s"stack(${rowLevel.size}, $stacked) AS (rule, violated_rows, __rule_idx)",
           "checked AS checked_rows"))
       }
-    val keyed = rules.collect {
-      case u @ Unique(cols0) =>
+    val keyed = rules.zipWithIndex.collect {
+      case (u @ Unique(cols0), orig) =>
         val keyed0 = df.select(cols0.map(col): _*)
         val dupRows = keyed0.groupBy(cols0.map(col): _*)
           .agg(count(lit(1)).as("__n"))
@@ -101,19 +104,23 @@ object ValidationOps {
             coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L)).as("violated_rows"),
             coalesce(sum(col("__n")), lit(0L)).as("checked_rows"))
         dupRows.select(lit(u.name).as("rule"),
-          col("violated_rows"), col("checked_rows"))
-      case r @ RefIn(c, dim, dimCol) =>
+          col("violated_rows"), lit(orig.toLong).as("__rule_idx"),
+          col("checked_rows"))
+      case (r @ RefIn(c, dim, dimCol), orig) =>
         val domain = df.where(col(c).isNotNull).select(col(c))
         val missing = domain.join(dim.select(col(dimCol).as(c)).distinct(),
           Seq(c), "left_anti")
         val agg = domain.agg(count(lit(1)).as("checked_rows"))
           .crossJoin(missing.agg(count(lit(1)).as("violated_rows")))
         agg.select(lit(r.name).as("rule"),
-          col("violated_rows"), col("checked_rows"))
+          col("violated_rows"), lit(orig.toLong).as("__rule_idx"),
+          col("checked_rows"))
     }
     val parts = rowReport.toSeq ++ keyed
     require(parts.nonEmpty, "empty rule set")
     parts.reduce(_.unionByName(_))
+      .orderBy(col("__rule_idx")) // restore the caller's rule-list order
+      .drop("__rule_idx")
       .withColumn("pass", col("violated_rows") === 0L)
   }
 }

@@ -72,6 +72,15 @@ object SnapshotStore {
   /** Publish `dirs` as version `v` — write to a temp file, then ATOMIC_MOVE
     * into place: readers either see the complete manifest or none. */
   private def publish(root: String, v: Int, dirs: Seq[String]): Unit = {
+    // The manifest's dirs array is parsed back with a naive split(',')
+    // (manifestDirs above); a comma or quote inside a path would fragment
+    // every recorded directory and poison vacuum's retained-set math —
+    // the same live-data-loss class canon() guards against. Refuse the
+    // characters the format cannot represent, loudly and at write time.
+    dirs.find(d => d.contains(",") || d.contains("\"")).foreach { bad =>
+      sys.error(s"snapshot store path contains ',' or '\"' — " +
+        s"unsupported in the manifest format: $bad")
+    }
     Files.createDirectories(manifestDir(root))
     val body = s"""{"version":$v,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
     val tmp = manifestDir(root).resolve(s".v$v.json.tmp")

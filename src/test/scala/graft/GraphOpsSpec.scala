@@ -60,4 +60,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr.length == n) // every doc is a src, so every doc is a node
     assert(pr.map(_.getLong(1)).sum <= 1000000000000L)
   }
+
+  test("hashLinkGraph diagnoses empty input and accepts int-typed doc_id") {
+    val s = spark
+    import s.implicits._
+    // empty relation: a clear message, not a misleading dense-[0,0) require
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.hashLinkGraph(empty)
+    }
+    assert(e.getMessage.contains("empty document relation"))
+    // int-typed ids: the explicit long cast reads them instead of a CCE
+    val ints = Seq((0, "a"), (1, "b"), (2, "c")).toDF("doc_id", "text")
+    assert(GraphOps.hashLinkGraph(ints, fanout = 2).count() == 6)
+  }
 }

@@ -62,6 +62,13 @@ class MultimodalSpec extends SparkSpec {
     assert(WavCodec.decodeWavMeta(ch0).isEmpty)
     // junk without the RIFF magic never enters the chunk scan
     assert(WavCodec.decodeSamples(Array.fill[Byte](64)(0x41)).isEmpty)
+    // overflow-sized chunk: a positive size near Int.MaxValue used to wrap
+    // `off += 8 + sz` to a negative offset and crash tag(); must be None
+    val ovf = base.clone()
+    ovf(16) = 0xf0.toByte; ovf(17) = 0xff.toByte
+    ovf(18) = 0xff.toByte; ovf(19) = 0x7f.toByte // fmt size = 0x7ffffff0
+    assert(WavCodec.decodeWavMeta(ovf).isEmpty)
+    assert(WavCodec.decodeSamples(ovf).isEmpty)
   }
 
   test("audio ops: meta and window energies match the planted arithmetic") {

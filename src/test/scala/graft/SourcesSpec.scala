@@ -125,6 +125,23 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("snapshot store refuses roots the manifest format cannot represent") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    // a comma in the path would fragment every dir on the manifest's
+    // split(',') re-parse and poison vacuum's retained-set computation —
+    // must fail loudly at publish time, before any manifest is written
+    val base = Files.createTempDirectory("snapbad")
+    val root = base.resolve("a,b").toString
+    val e = intercept[RuntimeException] {
+      SnapshotStore.append(Seq((1L, "x")).toDF("id", "payload"), root)
+    }
+    assert(e.getMessage.contains("unsupported in the manifest"))
+    assert(SnapshotStore.currentVersion(root) == 0) // nothing published
+    SnapshotStore.deleteTree(base.toString)
+  }
+
   test("snapshot compaction: fewer files, identical content, old versions intact") {
     import graft.sources.SnapshotStore
     val s = spark

@@ -255,6 +255,14 @@ class TrendOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TrendOps.audienceOverlapSketch(df, maxMetrics = 1).collect()
     }
+    // degenerate pair: all-null user audiences estimate 0 on both sides;
+    // jaccard must report 0 (like the exact twin's zero counts), not 0/0 NaN
+    val s = spark
+    import s.implicits._
+    val degen = Seq(("m1", null: java.lang.Long), ("m2", null: java.lang.Long))
+      .toDF("metric", "user_id")
+    val dr = TrendOps.audienceOverlapSketch(degen).collect()
+    assert(dr.length == 1 && dr.head.getDouble(6) == 0.0)
   }
 
   test("linear resample interpolates gaps between neighbors") {

@@ -53,4 +53,17 @@ class ValidationOpsSpec extends SparkSpec {
       Seq(Unique(Seq("k")), RefIn("k", dim, "dk"), NotNull("k"))).collect().toSeq)
     assert(clean.values.forall { case (v, _, p) => v == 0L && p })
   }
+
+  test("report row order follows the rule list even when kinds interleave") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1.0), (1L, 9.0)).toDF("k", "v")
+    val dim = Seq(Tuple1(1L)).toDF("dk")
+    // NotNull, Unique, InRange, RefIn — row-level and keyed interleaved
+    val names = ValidationOps.validate(df, Seq(
+      NotNull("k"), Unique(Seq("k")), InRange("v", 0.0, 5.0),
+      RefIn("k", dim, "dk"))).collect().map(_.getString(0)).toSeq
+    assert(names == Seq("not_null(k)", "unique(k)",
+      "in_range(v, 0.0, 5.0)", "ref_in(k)"))
+  }
 }
