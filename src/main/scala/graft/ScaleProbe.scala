@@ -430,6 +430,27 @@ object ScaleProbe {
         f"(flat = O(delta) holds; ratio16 ${times(2) / times(0)}%4.2f)")
     }
 
+    // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
+    // a FIXED corpus. The pre-rewrite formulation launched one Spark job
+    // per merge (time ≈ proportional to merges); the driver-local loop
+    // costs one corpus pass + in-memory iterations, so the curve must be
+    // near-flat (the 1024 leg may stop early if the capped vocab runs
+    // out of pairs — the printed n_rules records that).
+    if (!probeOnly.forall(_.contains("bpe_merge_count"))) ()
+    else {
+      val docs = scaledDocs(1).localCheckpoint(true)
+      val legs = Seq(32, 256, 1024).map { m =>
+        val t0 = System.nanoTime()
+        val n = BpeOps.train(docs, numMerges = m, vocabCap = 800).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[scale] bpe_merge_count 32=${legs(0)._1}%5.2fs " +
+        f"256=${legs(1)._1}%5.2fs 1024=${legs(2)._1}%5.2fs " +
+        f"n_rules=${legs.map(_._2).mkString("/")} " +
+        f"(flat = merge loop is no longer O(merges) Spark jobs; " +
+        f"ratio32→1024 ${legs(2)._1 / legs(0)._1}%4.2f)")
+    }
+
     spark.stop()
   }
 }

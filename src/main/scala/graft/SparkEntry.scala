@@ -1310,6 +1310,29 @@ object SparkEntry {
           numMerges = 20, vocabCap = 800),
         "bpe_merges", model = true).localCheckpoint(true)),
 
+    // Production-vocab-scale training run: 256 merges under the SAME
+    // full training-replay oracle. The corpus sees ONE Spark job no
+    // matter how many merges (the loop is driver-local over the capped
+    // model-sized frequency table), so 256 rules cost what 20 did minus
+    // the per-merge job launches — the shape a real 32k-merge tokenizer
+    // needs. The synthetic documents draw from ~31 distinct words (raw-
+    // word training exhausts at ~89 rules), so this trains on the
+    // adjacent-bigram COMPOUND corpus (`left_right` words) — hundreds of
+    // distinct long words, deterministically rebuilt by the oracle.
+    "bpe_train_large" -> ((s, dir) => {
+      val tks = filter(TextOps.tokens(col("text")),
+        t => length(t) > lit(0))
+      val compounds = when(size(tks) >= 2,
+        transform(sequence(lit(1), size(tks) - 1),
+          i => concat(element_at(tks, i), lit("_"), element_at(tks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val compoundDocs = Tables.documents(s, dir)
+        .select(array_join(compounds, " ").as("text"))
+      exportForOracle(
+        BpeOps.train(compoundDocs, numMerges = 256, vocabCap = 800),
+        "bpe_merges_large", model = true).localCheckpoint(true)
+    }),
+
     // Encoding with the learned rules: per-doc char/word/BPE-token counts
     // and the compression ratio (the token-budget pricing surface). The
     // merge chain applies to DISTINCT words once; the oracle re-encodes
@@ -2753,6 +2776,52 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracle + ("a2_banded_extents_fused" -> baseOracle("a2_banded_extents"))
 
+  /** Full BPE training replay against an exported merge table at `glob`:
+    * base vocab rebuilt from documents with the same cap/tie-break,
+    * states advanced by applying the EXPORTED merges (literal delimiter-
+    * wrapped replace — identical leftmost-nonoverlapping semantics in
+    * both engines), each step's argmax re-derived from the replayed
+    * state. Equality with Spark's export means every learned rule was
+    * the true argmax at its step. Shared by the 20-merge gate entry and
+    * the 256-merge production-scale twin (which swaps `wordsSrc` for the
+    * compound-bigram derivation). */
+  private def bpeTrainReplaySql(glob: String,
+      wordsSrc: String =
+        """SELECT unnest(string_split_regex(text, '\s+')) AS word
+          |         FROM documents""".stripMargin): String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT step, lhs, rhs FROM read_parquet('$glob')),
+       |wf AS (SELECT word, count(*) AS freq FROM (
+       |         $wordsSrc)
+       |       WHERE length(word) > 0 AND NOT contains(word, chr(1))
+       |       GROUP BY 1
+       |       QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= 800),
+       |st AS (
+       |  SELECT 1 AS step,
+       |         regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS w,
+       |         freq
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT st.step + 1,
+       |         replace(st.w, chr(1) || m.lhs || chr(1) || chr(1) || m.rhs || chr(1),
+       |                 chr(1) || m.lhs || m.rhs || chr(1)),
+       |         st.freq
+       |  FROM st JOIN m ON m.step = st.step
+       |),
+       |sy AS (SELECT step, string_split(trim(w, chr(1)), chr(1) || chr(1)) AS s,
+       |              freq FROM st),
+       |pr AS (SELECT step, s[i] AS lhs, s[i + 1] AS rhs, freq
+       |       FROM (SELECT step, s, freq,
+       |               unnest(generate_series(1, len(s) - 1)) AS i
+       |             FROM sy WHERE len(s) >= 2)),
+       |pc AS (SELECT step, lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq
+       |       FROM pr GROUP BY 1, 2, 3),
+       |best AS (SELECT step, lhs, rhs, pair_freq FROM pc
+       |         QUALIFY row_number() OVER (PARTITION BY step
+       |           ORDER BY pair_freq DESC, lhs ASC, rhs ASC) = 1)
+       |SELECT b.step, b.lhs, b.rhs, b.pair_freq
+       |FROM best b WHERE b.step <= (SELECT max(step) FROM m)""".stripMargin
+
   /** Also a `def` (not a val): the export-reading entries below must see
     * the export root CURRENT at dump time, not at object init. */
   private def baseOracle: Map[String, String] = Map(
@@ -3689,40 +3758,20 @@ object SparkEntry {
     // re-derived from the replayed state. Output = the recomputed merge
     // table; equality with Spark's export means every learned rule was
     // the true argmax at its step.
-    "bpe_train" ->
-      s"""WITH RECURSIVE
-         |m AS (SELECT step, lhs, rhs FROM read_parquet('${exportGlob("bpe_merges")}')),
-         |wf AS (SELECT word, count(*) AS freq FROM (
-         |         SELECT unnest(string_split_regex(text, '\\s+')) AS word
-         |         FROM documents)
-         |       WHERE length(word) > 0 AND NOT contains(word, chr(1))
-         |       GROUP BY 1
-         |       QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= 800),
-         |st AS (
-         |  SELECT 1 AS step,
-         |         regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS w,
-         |         freq
-         |  FROM wf
-         |  UNION ALL
-         |  SELECT st.step + 1,
-         |         replace(st.w, chr(1) || m.lhs || chr(1) || chr(1) || m.rhs || chr(1),
-         |                 chr(1) || m.lhs || m.rhs || chr(1)),
-         |         st.freq
-         |  FROM st JOIN m ON m.step = st.step
-         |),
-         |sy AS (SELECT step, string_split(trim(w, chr(1)), chr(1) || chr(1)) AS s,
-         |              freq FROM st),
-         |pr AS (SELECT step, s[i] AS lhs, s[i + 1] AS rhs, freq
-         |       FROM (SELECT step, s, freq,
-         |               unnest(generate_series(1, len(s) - 1)) AS i
-         |             FROM sy WHERE len(s) >= 2)),
-         |pc AS (SELECT step, lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq
-         |       FROM pr GROUP BY 1, 2, 3),
-         |best AS (SELECT step, lhs, rhs, pair_freq FROM pc
-         |         QUALIFY row_number() OVER (PARTITION BY step
-         |           ORDER BY pair_freq DESC, lhs ASC, rhs ASC) = 1)
-         |SELECT b.step, b.lhs, b.rhs, b.pair_freq
-         |FROM best b WHERE b.step <= (SELECT max(step) FROM m)""".stripMargin,
+    "bpe_train" -> bpeTrainReplaySql(exportGlob("bpe_merges")),
+
+    // The 256-merge production-scale run replays through the IDENTICAL
+    // recursion; only the glob and the word derivation differ — the
+    // adjacent-bigram compound corpus is rebuilt in SQL from the same
+    // whitespace split (empty tokens filtered BEFORE pairing, exactly
+    // like the Spark side's filtered transform).
+    "bpe_train_large" -> bpeTrainReplaySql(exportGlob("bpe_merges_large"),
+      """SELECT s[i] || '_' || s[i + 1] AS word
+        |         FROM (SELECT s, unnest(generate_series(1, len(s) - 1)) AS i
+        |               FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+        |                       t -> length(t) > 0) AS s
+        |                     FROM documents)
+        |               WHERE len(s) >= 2)""".stripMargin),
 
     // Encode replay: every distinct word re-encoded from the exported
     // rules (same recursion, same replace semantics), token counts

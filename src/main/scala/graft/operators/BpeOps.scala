@@ -48,18 +48,6 @@ object BpeOps {
   def symbols(state: Column): Column =
     split(trim(state, D), D + D)
 
-  /** Adjacent (lhs, rhs) pairs of a state's symbols. The size guard is
-    * load-bearing twice over: `sequence(1, 0)` DESCENDS in Spark, and
-    * ANSI `element_at` throws out of bounds — a fully-merged single-
-    * symbol word must contribute an empty pair array, not an error. */
-  private def adjacentPairs(state: Column): Column = {
-    val s = symbols(state)
-    when(size(s) >= 2,
-      transform(sequence(lit(1), size(s) - 1),
-        i => struct(element_at(s, i).as("lhs"), element_at(s, i + 1).as("rhs"))))
-      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
-  }
-
   /** The capped word-frequency table training runs on: top `vocabCap`
     * corpus words by (freq desc, word asc) — the deterministic rank cut
     * that bounds every iteration's size regardless of corpus scale. */
@@ -71,34 +59,111 @@ object BpeOps {
       .orderBy(col("freq").desc, col("word").asc)
       .limit(vocabCap)
 
+  /** UTF-8-byte string order — Spark's `orderBy` on strings compares
+    * UTF8String bytes unsigned (as does DuckDB's binary collation), and
+    * the driver-local argmax must break ties IDENTICALLY. Java's
+    * `String.compareTo` is UTF-16-code-unit order, which disagrees for
+    * supplementary characters — not a theoretical risk on a real corpus. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** A word's code points as one-symbol strings — the driver-side twin of
+    * [[initialState]] (Java regex `(.)` and RE2 `(.)` both match per code
+    * point, so the symbol unit is the code point, not the UTF-16 char). */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Train `numMerges` BPE rules over `docs`. Returns one row per rule:
     * `(step, lhs, rhs, pair_freq)` in learned order. Stops early when no
-    * adjacent pair remains. */
+    * adjacent pair remains.
+    *
+    * The corpus is touched by exactly ONE Spark job — the capped
+    * word-frequency pass — regardless of `numMerges`. The frequency
+    * table is model-sized by construction (`vocabCap` rows), so the
+    * merge loop runs driver-local over it: pair counting, the (freq
+    * desc, lhs asc, rhs asc) argmax, and the leftmost-nonoverlapping
+    * merge are bit-identical to the previous one-Spark-job-per-merge
+    * formulation (the export oracle replays every step and would redden
+    * on any divergence), but a 32k-merge production vocab now costs 32k
+    * in-memory iterations instead of 32k sequential distributed jobs. */
   def train(docs: DataFrame, numMerges: Int, vocabCap: Int = 1500): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = wordFreqs(docs, vocabCap)
-      .select(initialState(col("word")).as("w"), col("freq"))
-      .localCheckpoint(true)
+    val wf = wordFreqs(docs, vocabCap).collect()
+    val states: Array[Array[String]] =
+      wf.map(r => codePointSymbols(r.getString(0)))
+    val freqs: Array[Long] = wf.map(_.getLong(1))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= numMerges && !exhausted) {
-      val best = vocab
-        .select(col("freq"), explode(adjacentPairs(col("w"))).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum("freq").as("f"))
-        .orderBy(col("f").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+      // ALL adjacent pairs, overlapping occurrences included — the same
+      // multiset the explode→sum produced ([a,a,a] counts (a,a) twice)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < states.length) {
+        val s = states(wi); val f = freqs(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        val (lhs, rhs, f) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += ((step, lhs, rhs, f))
-        vocab = vocab.withColumn("w",
-          replace(col("w"), lit(D + lhs + D + D + rhs + D), lit(D + lhs + rhs + D)))
-        // bound the chained-replace plan depth (the pageRank/CC posture)
-        if (step % 8 == 0) vocab = vocab.localCheckpoint(true)
+        var bestK: (String, String) = null
+        var bestF = Long.MinValue
+        counts.foreach { case (k, f) =>
+          if (bestK == null || f > bestF || (f == bestF &&
+              (utf8Less(k._1, bestK._1) || (k._1 == bestK._1 &&
+                utf8Less(k._2, bestK._2))))) {
+            bestK = k; bestF = f
+          }
+        }
+        val (lhs, rhs) = bestK
+        merges += ((step, lhs, rhs, bestF))
+        // leftmost-nonoverlapping greedy — what literal replace does on
+        // the delimited string (replacements are never rescanned)
+        wi = 0
+        while (wi < states.length) {
+          val s = states(wi)
+          var hit = false
+          var i = 0
+          while (!hit && i < s.length - 1) {
+            hit = s(i) == lhs && s(i + 1) == rhs; i += 1
+          }
+          if (hit) {
+            val out = Array.newBuilder[String]
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == lhs && s(i + 1) == rhs) {
+                out += lhs + rhs; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            states(wi) = out.result()
+          }
+          wi += 1
+        }
         step += 1
       }
     }
