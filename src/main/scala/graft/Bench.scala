@@ -63,8 +63,20 @@ object Bench {
       }
       (name, first, best)
     }.map { case (name, first, best) => name -> (first, best) }
-    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qsCold = results.map { case (k, (c, _)) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    // The harness that consumes this line keeps only the LAST ~2000
+    // characters of output (r11 showed the full-precision two-map line
+    // pushed the cold split and header out of that window, so the
+    // instrument never reached the artifact). Layout is therefore
+    // deliberate: ms-rounded per-query maps go FIRST (self-truncating),
+    // and everything needed to read the round — totals, failures, the
+    // cold-vs-steady DRIFT block (queries whose first run was inflated:
+    // env noise, not plan regressions — round-10 verdict item 6), and
+    // the slowest-steady block — prints at the very END of the line.
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val qsCold = results.map { case (k, (c, _)) => "\"" + k + "\":" + ms(c) }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, (_, v)) if v >= 0 => v }.sum
     val failed = results.count(_._2._2 < 0)
     // Decomposition: the stream_* entries are checkpointed Structured
@@ -75,11 +87,28 @@ object Bench {
       case (n, (_, v)) if n.startsWith("stream_") && v >= 0 => v }.sum
     val batch = results.filterNot(_._1.startsWith("stream_"))
     val batchTotal = batch.collect { case (_, (_, v)) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-      s""""queries_cold":$qsCold,""" +
-      s""""batch_total":$batchTotal,"batch_n":${batch.size},""" +
-      s""""stream_replay_total":$streamTotal,"stream_replay_n":${results.size - batch.size},""" +
-      s""""sf":"$sfDir"}""")
+    val coldTotal = results.collect { case (_, (c, v)) if v >= 0 => c }.sum
+    // cold materially above steady = first-run-only cost (GC/IO/JIT in
+    // this JVM at that moment); a REAL regression moves both runs.
+    val driftAll = results.collect {
+      case (n, (c, v)) if v >= 0 && c > 1.5 * v + 0.05 => (n, c, v)
+    }
+    // cap at the 12 largest absolute excesses so a JIT-heavy small-sf run
+    // can't flood the tail window the harness keeps
+    val drift = driftAll.sortBy { case (_, c, v) => v - c }.take(12)
+      .map { case (n, c, v) => "\"" + n + "\":[" + ms(c) + "," + ms(v) + "]" }
+      .mkString("{", ",", "}")
+    val slowest = results.filter(_._2._2 >= 0)
+      .sortBy(-_._2._2).take(15)
+      .map { case (k, (_, v)) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"queries_cold":$qsCold,"queries":$qs,""" +
+      s""""metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,""" +
+      s""""batch_total":${ms(batchTotal)},"batch_n":${batch.size},""" +
+      s""""stream_replay_total":${ms(streamTotal)},"stream_replay_n":${results.size - batch.size},""" +
+      s""""cold_total":${ms(coldTotal)},"drift_n":${driftAll.size},""" +
+      s""""cold_vs_steady_drift":$drift,""" +
+      s""""slowest_steady":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
