@@ -430,6 +430,34 @@ object ScaleProbe {
         f"(flat = O(delta) holds; ratio16 ${times(2) / times(0)}%4.2f)")
     }
 
+    // Snapshot file-skipping at many-file scale: a 10k-file stats-carrying
+    // version, then a narrow range read. Checks (a) the distributed
+    // stats-join planner stays fast when the per-file stats relation is
+    // 10k rows (nothing driver-resident but the selected paths), and
+    // (b) pruning actually selects ~1% of files for a ~1% id range.
+    // Opt-in only (10k-task write): SPARK_GRAFT_PROBE_ONLY=snapshot_many_files.
+    if (probeOnly.exists(_.contains("snapshot_many_files"))) {
+      import graft.sources.SnapshotStore
+      val root = java.nio.file.Files.createTempDirectory("snapmany").toString
+      try {
+        val nFiles = 10000
+        val df = spark.range(0, nFiles.toLong * 100)
+          .select(col("id"), (col("id") % 97).as("payload"))
+          .repartitionByRange(nFiles, col("id"))
+        val t0 = System.nanoTime()
+        SnapshotStore.appendWithStats(df, root, Seq("id"))
+        val tw = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (sel, tot) = SnapshotStore.planFiles(spark, root, -1, "id", 5000L, 15000L)
+        val tp = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val cnt = SnapshotStore.readWhere(spark, root, "id", 5000L, 15000L).count()
+        val tr = (System.nanoTime() - t2) / 1e9
+        println(f"[scale] snapshot_many_files files=$tot selected=${sel.size} " +
+          f"rows=$cnt write=${tw}%6.1fs plan=${tp}%5.2fs read=${tr}%5.2fs")
+      } finally SnapshotStore.deleteTree(root)
+    }
+
     // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
     // a FIXED corpus. The pre-rewrite formulation launched one Spark job
     // per merge (time ≈ proportional to merges); the driver-local loop

@@ -340,39 +340,47 @@ object SnapshotStore {
     * plus every file with no recorded stats (sound fallback). */
   private[graft] def planFiles(spark: SparkSession, root: String, ver: Int,
                                statsCol: String, lo: Long, hi: Long): (Seq[String], Int) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
     val v = if (ver > 0) ver else currentVersion(root)
     val dirs = manifestDirs(root, v)
     val all = dirs.flatMap { d =>
       Option(new java.io.File(d).listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet")).map(_.toURI.toString)
     }
-    // stats rows across every version ≤ v (paths key them; files not in
-    // this snapshot's dirs simply never match) — ONE read over all
-    // existing sidecars, not one Spark job per version. Rows whose
-    // bounds are null (an all-null or non-castable stats column slipped
-    // through the write) are treated as NO stats: the file is
-    // conservatively kept rather than NPE-ing the planner.
+    // Selection is a JOIN against the stats RELATION, not a driver-side
+    // min/max map: at a million-file/100 TB manifest the per-file stats
+    // never materialize on the driver — only the SELECTED paths do (the
+    // same driver footprint Spark's own FileSourceScanExec carries for
+    // any scan it plans). One read spans every sidecar version ≤ v
+    // (paths key them; files not in this snapshot's dirs simply never
+    // match). Rows whose bounds are null (an all-null or non-castable
+    // stats column slipped through the write) are treated as NO stats:
+    // the file is conservatively kept rather than dropped.
     val statPaths = (1 to v).map(statsPath(root, _))
       .filter(Files.exists(_)).map(_.toString)
-    val statRows =
-      if (statPaths.isEmpty) Map.empty[String, (Long, Long)]
-      else spark.read.parquet(statPaths: _*)
-        .where(col("col") === statsCol &&
-          col("lo").isNotNull && col("hi").isNotNull)
-        .collect()
-        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-    // URI normalization: input_file_name() and File.toURI both yield
-    // file: URIs but may differ in slash count — compare by path suffix
-    def norm(u: String): String = u.replaceFirst("^file:/+", "/")
-    val statByPath = statRows.map { case (k, v2) => norm(k) -> v2 }
-    val selected = all.filter { f =>
-      statByPath.get(norm(f)) match {
-        case Some((flo, fhi)) => fhi >= lo && flo <= hi
-        case None             => true
+    val selected =
+      if (statPaths.isEmpty) all
+      else {
+        import spark.implicits._
+        // URI normalization: input_file_name() and File.toURI both yield
+        // file: URIs but may differ in slash count — join on the bare path
+        def norm(c: org.apache.spark.sql.Column) =
+          regexp_replace(c, "^file:/+", "/")
+        val stats = spark.read.parquet(statPaths: _*)
+          .where(col("col") === statsCol &&
+            col("lo").isNotNull && col("hi").isNotNull)
+          // defensive collapse: should a path ever carry two stats rows,
+          // the bounds union keeps pruning sound and the join 1:1 (a
+          // duplicate match would make spark.read scan the file twice)
+          .groupBy(norm(col("path")).as("p"))
+          .agg(min("lo").as("lo"), max("hi").as("hi"))
+        all.toDF("path")
+          .withColumn("p", norm(col("path")))
+          .join(stats, Seq("p"), "left")
+          .where(col("lo").isNull || (col("hi") >= lo && col("lo") <= hi))
+          .select("path")
+          .collect().map(_.getString(0)).toSeq
       }
-    }
     (selected, all.size)
   }
 
