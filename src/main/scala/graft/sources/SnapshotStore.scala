@@ -11,20 +11,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout under `root/`:
   * {{{
-  *   data/v1/part-*.parquet        (the version's added files)
-  *   data/v2/part-*.parquet
-  *   data/compact3/part-*.parquet  (a compaction's rewrite)
-  *   _manifests/v1.json … vN.json  (one manifest per version)
+  *   data/v1-ab12cd34/part-*.parquet       (a version's added files;
+  *                                          suffix is writer-unique)
+  *   data/compact3-9f0e1d2c/part-*.parquet (a compaction's rewrite)
+  *   _manifests/v1.json … vN.json          (one manifest per version)
   * }}}
   *
   * A manifest lists the data DIRECTORIES whose union is the snapshot —
   * readers plan from the manifest, never by listing `data/` (stale or
   * in-flight directories are invisible until a manifest claims them). The
-  * commit protocol is write-data-then-publish-manifest via atomic rename,
-  * so a torn write leaves the previous version intact and readable: that
-  * is the lakehouse pattern (Delta/Iceberg) reduced to its single-writer
-  * core — multi-writer arbitration (which needs a lock service or
-  * conditional puts) is explicitly out of scope and documented as such.
+  * commit protocol is write-data-then-publish-manifest, with the publish
+  * a CREATE-IF-ABSENT of `v{N}.json`: a torn write leaves the previous
+  * version intact and readable, and two contending writers cannot both
+  * claim a version — the loser gets FileAlreadyExistsException and
+  * either RE-STACKS its (commutative) append on the winner's manifest or
+  * (non-commutative compaction) fails loudly for the caller to re-run.
+  * Data directories carry a writer-unique suffix so contending writers
+  * never share one. That is the lakehouse pattern (Delta/Iceberg)
+  * reduced to a filesystem with atomic link/create. VACUUM remains
+  * owner-run: it deletes unreferenced directories, and an in-flight
+  * append's directory is unreferenced until its manifest publishes — do
+  * not run retention concurrently with writers.
   *
   * Scale shape: manifests are O(versions + directories) JSON, data moves
   * only through ordinary partitioned parquet writes, and an incremental
@@ -69,9 +76,16 @@ object SnapshotStore {
       .filter(_.nonEmpty)
   }
 
-  /** Publish `dirs` as version `v` — write to a temp file, then ATOMIC_MOVE
-    * into place: readers either see the complete manifest or none. */
-  private def publish(root: String, v: Int, dirs: Seq[String]): Unit = {
+  /** Publish `dirs` as version `v` — fully write a uniquely-named temp
+    * file, then CREATE-IF-ABSENT it into place (hard link, atomic on the
+    * local filesystems this store targets): readers either see the
+    * complete manifest or none, and a CONTENDED commit — another writer
+    * already published `v` — throws [[java.nio.file.FileAlreadyExistsException]]
+    * instead of silently replacing the winner's manifest. That exception
+    * is the arbitration signal [[commitAppend]] retries on and the
+    * compactions fail loudly on. */
+  private def publish(root: String, v: Int, dirs: Seq[String],
+                      epoch: Option[Long] = None): Unit = {
     // The manifest's dirs array is parsed back with a naive split(',')
     // (manifestDirs above); a comma or quote inside a path would fragment
     // every recorded directory and poison vacuum's retained-set math —
@@ -82,23 +96,73 @@ object SnapshotStore {
         s"unsupported in the manifest format: $bad")
     }
     Files.createDirectories(manifestDir(root))
-    val body = s"""{"version":$v,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
-    val tmp = manifestDir(root).resolve(s".v$v.json.tmp")
+    val epochField = epoch.map(e => s""""epoch":$e,""").getOrElse("")
+    val body = s"""{"version":$v,$epochField""" +
+      s""""dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+    // unique temp name: two contending writers must never share one
+    // (leading '.' keeps it out of currentVersion's v*.json listing)
+    val tmp = manifestDir(root).resolve(
+      s".v$v-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestPath(root, v), tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        // no-hard-link filesystem: CREATE_NEW is equally lose-proof
+        // (atomic existence check); only the full-content-or-nothing
+        // read guarantee weakens to small-single-write-in-practice
+        Files.write(manifestPath(root, v), body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** A fresh, writer-unique data directory for what will likely publish
+    * as version `v` (the suffix keeps two contending writers from ever
+    * sharing a directory — `mode("overwrite")` on a shared name would
+    * clobber the other writer's files mid-write; the version prefix is
+    * readability only, the manifest is the truth). */
+  private def newDataDir(root: String, kind: String, v: Int): String =
+    s"$root/data/$kind$v-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Commit `dir` as the next version on top of whatever the CURRENT
+    * version is at commit time, retrying on lost races: each attempt
+    * re-reads the parent chain (so the loser stacks on the winner's
+    * manifest, not its own stale view) and [[publish]]'s create-if-absent
+    * either wins the version or throws. Append content is commutative —
+    * the retry is sound; compactions are not and must NOT come here. */
+  private[graft] def commitAppend(root: String, dir: String,
+                           epoch: Option[Long]): Int = {
+    var attempt = 0
+    while (true) {
+      val parent = currentVersion(root)
+      val v = parent + 1
+      val parentDirs = if (parent == 0) Seq.empty else manifestDirs(root, parent)
+      try { publish(root, v, parentDirs :+ dir, epoch); return v }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt < 64,
+            s"manifest commit lost $attempt straight races at $root — " +
+              "writer storm; back off and retry the append")
+      }
+    }
+    -1 // unreachable
   }
 
   /** Append `df` as a new snapshot version (version 1 creates the table).
-    * Data lands under its own `data/v{N}` directory; the manifest unions
-    * it with the parent's directories. Returns the new version. */
-  def append(df: DataFrame, root: String): Int = {
-    val parent = currentVersion(root)
-    val v = parent + 1
-    val dir = s"$root/data/v$v"
+    * Data lands under its own writer-unique directory; the manifest
+    * unions it with the parent's directories. Returns the new version.
+    * Safe under concurrent appenders: data directories are never shared,
+    * and the manifest commit is create-if-absent with a re-stack retry
+    * (see [[commitAppend]]) — contended writers serialize into
+    * sequential versions, neither losing files. A crashed append leaves
+    * an unreferenced directory no reader ever plans; vacuum removes it. */
+  def append(df: DataFrame, root: String): Int =
+    appendReturningDir(df, root)._1
+
+  private def appendReturningDir(df: DataFrame, root: String): (Int, String) = {
+    val dir = newDataDir(root, "v", currentVersion(root) + 1)
     df.write.mode("overwrite").parquet(dir)
-    val parentDirs = if (parent == 0) Seq.empty else manifestDirs(root, parent)
-    publish(root, v, parentDirs :+ dir)
-    v
+    (commitAppend(root, dir, None), dir)
   }
 
   /** Read snapshot `version` (default: latest) — the union of exactly the
@@ -161,12 +225,9 @@ object SnapshotStore {
     }
     if (seen) cur
     else {
-      val v = cur + 1
-      val dir = s"$root/data/v$v"
+      val dir = newDataDir(root, "v", cur + 1)
       df.write.mode("overwrite").parquet(dir)
-      val parentDirs = if (cur == 0) Seq.empty else manifestDirs(root, cur)
-      publishWithEpoch(root, v, parentDirs :+ dir, epochId)
-      v
+      commitAppend(root, dir, Some(epochId))
     }
   }
 
@@ -198,24 +259,29 @@ object SnapshotStore {
     val parent = currentVersion(root)
     require(parent > 0, s"nothing to compact at $root")
     val epoch = epochOverride.orElse(lastEpoch(root))
-    val v = parent + 1
-    val dir = s"$root/data/compact$v"
+    val dir = newDataDir(root, "compact", parent + 1)
     df.coalesce(targetFiles).write.mode("overwrite").parquet(dir)
-    epoch match {
-      case Some(e) => publishWithEpoch(root, v, Seq(dir), e)
-      case None    => publish(root, v, Seq(dir))
-    }
-    v
+    commitCompaction(root, parent, dir, epoch)
   }
 
-  private def publishWithEpoch(root: String, v: Int, dirs: Seq[String],
-                               epochId: Long): Unit = {
-    Files.createDirectories(manifestDir(root))
-    val body = s"""{"version":$v,"epoch":$epochId,""" +
-      s""""dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
-    val tmp = manifestDir(root).resolve(s".v$v.json.tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+  /** Commit a compaction's rewrite directory as `parent + 1`. Unlike an
+    * append, a compaction REPLACES the snapshot it read — if another
+    * writer committed anything since `parent`, publishing the rewrite
+    * would silently drop those rows, so a lost race here FAILS loudly
+    * (the Delta/Iceberg concurrent-modification posture for
+    * non-commutative commits) and the caller re-runs against the new
+    * current version. The orphaned rewrite directory is unreferenced;
+    * vacuum removes it. */
+  private[graft] def commitCompaction(root: String, parent: Int, dir: String,
+                               epoch: Option[Long]): Int = {
+    val v = parent + 1
+    try { publish(root, v, Seq(dir), epoch); v }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        sys.error(s"concurrent commit at $root: version $v was published " +
+          s"while this compaction rewrote v$parent — the rewrite is stale; " +
+          "re-run the compaction against the current version")
+    }
   }
 
   /** Retention: drop every version below `keepFrom` — delete their
@@ -242,11 +308,15 @@ object SnapshotStore {
       // drop a version's stats sidecar only when its DATA went too — a
       // directory still referenced by a retained manifest keeps its
       // skipping stats (stale path-keyed rows never match anything and
-      // would only cost metadata-scan time). A version's data lives
-      // under data/v$v (append) OR data/compact$v (compaction).
-      val versionDirs = Set(canon(s"$root/data/v$v"), canon(s"$root/data/compact$v"))
-      if (!versionDirs.exists(retained.contains) &&
-          Files.exists(statsPath(root, v)))
+      // would only cost metadata-scan time). A version's data dir is
+      // named v$v/compact$v, with an optional writer-unique "-suffix"
+      // (contended-commit naming) — match the basename pattern.
+      val versionOwned = retained.exists { d =>
+        val b = Paths.get(d).getFileName.toString
+        b == s"v$v" || b == s"compact$v" ||
+          b.startsWith(s"v$v-") || b.startsWith(s"compact$v-")
+      }
+      if (!versionOwned && Files.exists(statsPath(root, v)))
         deleteTree(statsPath(root, v).toString)
     }
     val dataDir = Paths.get(root, "data")
@@ -282,8 +352,8 @@ object SnapshotStore {
   def appendWithStats(df: DataFrame, root: String,
                       statsCols: Seq[String]): Int = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
-    val v = append(df, root)
-    writeStats(df.sparkSession, root, v, s"$root/data/v$v", statsCols)
+    val (v, dir) = appendReturningDir(df, root)
+    writeStats(df.sparkSession, root, v, dir, statsCols)
     v
   }
 
@@ -321,16 +391,12 @@ object SnapshotStore {
     val parent = currentVersion(root)
     require(parent > 0, s"nothing to compact at $root")
     val epoch = lastEpoch(root)
-    val v = parent + 1
-    val dir = s"$root/data/compact$v"
+    val dir = newDataDir(root, "compact", parent + 1)
     graft.operators.LayoutOps
       .zorderLayoutScaled(read(spark, root, parent, mergeSchema = true),
         col(xCol), col(yCol), targetFiles)
       .write.mode("overwrite").parquet(dir)
-    epoch match {
-      case Some(e) => publishWithEpoch(root, v, Seq(dir), e)
-      case None    => publish(root, v, Seq(dir))
-    }
+    val v = commitCompaction(root, parent, dir, epoch)
     if (statsCols.nonEmpty) writeStats(spark, root, v, dir, statsCols)
     v
   }
@@ -414,8 +480,7 @@ object SnapshotStore {
   def compact(spark: SparkSession, root: String, targetFiles: Int = 4): Int = {
     val parent = currentVersion(root)
     require(parent > 0, s"nothing to compact at $root")
-    val v = parent + 1
-    val dir = s"$root/data/compact$v"
+    val dir = newDataDir(root, "compact", parent + 1)
     // mergeSchema: a compaction REWRITES the snapshot and publishes only
     // its own directory — planning from one sampled footer on a
     // schema-evolved store would silently and permanently drop columns
@@ -427,10 +492,6 @@ object SnapshotStore {
     // without it, a compact-then-vacuum sequence would strip every stamp
     // from the RETAINED manifest tail, and a crash-replayed epoch whose
     // stamp lived only below the vacuum line would silently re-ingest.
-    lastEpoch(root) match {
-      case Some(e) => publishWithEpoch(root, v, Seq(dir), e)
-      case None    => publish(root, v, Seq(dir))
-    }
-    v
+    commitCompaction(root, parent, dir, lastEpoch(root))
   }
 }

@@ -125,6 +125,64 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("snapshot store: concurrent appenders serialize, no version or file lost") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapconc").toString
+    try {
+      val perWriter = 8
+      val writers = 2
+      // two uncoordinated writers race every commit; the create-if-absent
+      // manifest publish must serialize them into sequential versions
+      // with every batch surviving exactly once
+      val threads = (0 until writers).map { w =>
+        new Thread(() => {
+          for (i <- 0 until perWriter) {
+            val lo = (w * perWriter + i) * 100L
+            SnapshotStore.append(
+              (lo until lo + 100L).map(id => (id, s"w$w-b$i")).toDF("id", "payload"),
+              root)
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(SnapshotStore.currentVersion(root) == writers * perWriter)
+      val ids = SnapshotStore.read(spark, root).collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until writers * perWriter * 100L)) // all, once
+      // lineage is a chain: every version adds exactly one directory on
+      // top of its parent's set (no version skips or forks)
+      for (v <- 2 to writers * perWriter) {
+        val prev = SnapshotStore.manifestDirs(root, v - 1).toSet
+        val cur = SnapshotStore.manifestDirs(root, v).toSet
+        assert(prev.subsetOf(cur) && cur.size == prev.size + 1, s"v$v lineage")
+      }
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("snapshot store: a stale compaction loses its race loudly, winner intact") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapstale").toString
+    try {
+      SnapshotStore.append(Seq((1L, "a")).toDF("id", "payload"), root)
+      // the compaction reads parent = 1 ... meanwhile a writer commits v2
+      val parentSeen = SnapshotStore.currentVersion(root)
+      SnapshotStore.append(Seq((2L, "b")).toDF("id", "payload"), root)
+      // stale rewrite tries to publish as parentSeen + 1 = the taken v2
+      val rewriteDir = Files.createTempDirectory("rw").toString + "/d"
+      Seq((1L, "a")).toDF("id", "payload").write.parquet(rewriteDir)
+      val e = intercept[RuntimeException] {
+        SnapshotStore.commitCompaction(root, parentSeen, rewriteDir, None)
+      }
+      assert(e.getMessage.contains("concurrent commit"))
+      // the winner's lineage is untouched; both rows still read
+      assert(SnapshotStore.currentVersion(root) == 2)
+      assert(SnapshotStore.read(spark, root).count() == 2)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("snapshot store refuses roots the manifest format cannot represent") {
     import graft.sources.SnapshotStore
     val s = spark
@@ -181,7 +239,9 @@ class SourcesSpec extends SparkSpec {
       assert(intercept[Exception] {
         SnapshotStore.read(spark, root, 2).count()
       } != null)
-      assert(!new java.io.File(s"$root/data/v1").exists())
+      // v1's (writer-unique-suffixed) data dir is unreferenced → deleted
+      assert(!new java.io.File(s"$root/data").listFiles()
+        .exists(_.getName.startsWith("v1-")))
       // appends still work after retention
       SnapshotStore.append(Seq((10000L, "post")).toDF("id", "payload"), root)
       assert(SnapshotStore.read(spark, root).count() == before.size + 2)
