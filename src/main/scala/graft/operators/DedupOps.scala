@@ -344,8 +344,13 @@ object DedupOps {
     * shingles are useless) by exact Levenshtein distance ≤ `maxDist`,
     * without an all-pairs scan.
     *
-    * Blocking is the prefix/suffix union: candidates share the first OR
-    * the last `blockLen` characters — one equi-join on (side, block key).
+    * Blocking is the prefix/suffix union COMPOUNDED with a length
+    * bucket: candidates share the first OR the last `blockLen`
+    * characters AND a (maxDist+1)-wide length bucket — one equi-join on
+    * (side, block key, bucket). The bucket key is lossless (see the body
+    * comment) and is the hot-block guard: a skewed corpus where half the
+    * titles open with "the " no longer forms one quadratic block, it
+    * splinters by length.
     * The union catches single-sided edits a lone prefix block misses (an
     * edit in the first character still agrees on the suffix, and vice
     * versa); like every blocking scheme it is a high-recall HEURISTIC,
@@ -358,20 +363,42 @@ object DedupOps {
     * SCALE CONTRACT ([[graft.operators.SimilarityOps.embeddingCandidatePairs]]'s
     * posture): at fixed `blockLen` a block's occupancy grows with n and
     * candidate pairs quadratically — `blockLen` is the granularity knob
-    * that grows with the corpus to hold occupancy constant.
+    * that grows with the corpus to hold occupancy constant; the length
+    * bucket caps what a single popular prefix/suffix can stack into one
+    * block (same-length hot keys remain the residual quadratic, priced
+    * by the spec's planted-hot-prefix bound).
     *
     * @param rows (id long, s string)
     * @return (id_a, id_b, dist) with id_a < id_b
     */
   def fuzzySelfPairs(rows: DataFrame, maxDist: Int = 2, blockLen: Int = 4): DataFrame = {
+    // Second blocking key — LENGTH BUCKET of width maxDist+1: a true pair
+    // has |Δlen| ≤ maxDist (implied by the distance bound), so with each
+    // row emitted into bucket(len) AND bucket(len+maxDist) every true
+    // pair still shares a (prefix/suffix, bucket) block (Δlen < width ⇒
+    // the partner's bucket is one of those two), while a HOT prefix
+    // ("the …" titles) splinters across length buckets instead of one
+    // quadratic block. Output-preserving: the bucket join only restricts
+    // candidates, duplicates fold in the existing distinct().
+    val w = maxDist + 1
+    def bucket(l: Column): Column = floor(l / lit(w.toDouble)).cast("long")
+    val len = length(col("s"))
     val blocked = rows.select(col("id"), col("s"),
-        explode(array(
-          struct(lit(1).as("bt"), substring(col("s"), 1, blockLen).as("bk")),
+        explode(array_distinct(array(
+          struct(lit(1).as("bt"), substring(col("s"), 1, blockLen).as("bk"),
+            bucket(len).as("lb")),
+          struct(lit(1).as("bt"), substring(col("s"), 1, blockLen).as("bk"),
+            bucket(len + maxDist).as("lb")),
           struct(lit(2).as("bt"),
-            substring(reverse(col("s")), 1, blockLen).as("bk")))).as("b"))
-      .select(col("id"), col("s"), col("b.bt").as("bt"), col("b.bk").as("bk"))
-    blocked.toDF("id_a", "s_a", "bt", "bk")
-      .join(blocked.toDF("id_b", "s_b", "bt", "bk"), Seq("bt", "bk"))
+            substring(reverse(col("s")), 1, blockLen).as("bk"),
+            bucket(len).as("lb")),
+          struct(lit(2).as("bt"),
+            substring(reverse(col("s")), 1, blockLen).as("bk"),
+            bucket(len + maxDist).as("lb"))))).as("b"))
+      .select(col("id"), col("s"), col("b.bt").as("bt"), col("b.bk").as("bk"),
+        col("b.lb").as("lb"))
+    blocked.toDF("id_a", "s_a", "bt", "bk", "lb")
+      .join(blocked.toDF("id_b", "s_b", "bt", "bk", "lb"), Seq("bt", "bk", "lb"))
       .where(col("id_a") < col("id_b"))
       // Length gate: |len(a)−len(b)| ≤ maxDist is IMPLIED by the distance
       // bound, so this drops candidates before the dedup exchange and the

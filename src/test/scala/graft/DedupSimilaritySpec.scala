@@ -949,6 +949,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("fuzzy pairs: a hot shared prefix splinters across length buckets, output exact") {
+    val s = spark
+    import s.implicits._
+    // 120 titles all sharing prefix "the " AND suffix (reversed prefix
+    // agrees too) with lengths spread 8..67 — the skewed-corpus shape
+    // that re-opens the blocking quadratic if prefix/suffix is the only key
+    val rows = (0 until 120).map { i =>
+      (i.toLong, "the " + ("x" * (4 + i % 60)) + "end")
+    }.toDF("id", "s")
+    val got = graft.operators.DedupOps
+      .fuzzySelfPairs(rows, maxDist = 2, blockLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // exactness against driver-side brute force (the blocking must not
+    // change one output row)
+    val strs = (0 until 120).map(i => "the " + ("x" * (4 + i % 60)) + "end")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- 0 until 120; b <- a + 1 until 120
+      dd = lev(strs(a), strs(b)) if dd <= 2
+    } yield (a.toLong, b.toLong) -> dd).toMap
+    assert(got == want)
+    // fan-out bound: the largest (block-type, key, length-bucket) block
+    // holds only the handful of length-adjacent rows, not all 120 — the
+    // quadratic the second key exists to prevent
+    val w = 3 // maxDist + 1
+    val maxBlock = (0 until 120)
+      .flatMap { i =>
+        val l = strs(i).length
+        Seq(l / w, (l + 2) / w).distinct.map(lb => ("pfx", lb))
+      }
+      .groupBy(identity).values.map(_.size).max
+    assert(maxBlock <= 12, s"hot block not bounded: $maxBlock of 120")
+  }
+
   test("JL projection: linear, deterministic, and roughly distance-preserving") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
