@@ -69,11 +69,22 @@ object SnapshotStore {
   /** Directories of version `v` (exactly as the manifest lists them). */
   def manifestDirs(root: String, v: Int): Seq[String] = {
     val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
-    // minimal JSON: {"version":N,"dirs":["...","..."]}
+    // minimal JSON: {"version":N,"cols":[...],"dirs":["...","..."]}
     val m = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
       .getOrElse(sys.error(s"malformed manifest v$v at $root"))
     m.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty)
+  }
+
+  /** Column names version `v`'s manifest records (the snapshot's full
+    * evolved schema, in first-seen order) — None for manifests written
+    * before schema tracking existed (their stores keep the old
+    * anything-goes behavior until the next append starts recording). */
+  def manifestCols(root: String, v: Int): Option[Seq[String]] = {
+    val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
+    """"cols"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text).map(
+      _.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty))
   }
 
   /** Publish `dirs` as version `v` — fully write a uniquely-named temp
@@ -85,19 +96,25 @@ object SnapshotStore {
     * is the arbitration signal [[commitAppend]] retries on and the
     * compactions fail loudly on. */
   private def publish(root: String, v: Int, dirs: Seq[String],
-                      epoch: Option[Long] = None): Unit = {
-    // The manifest's dirs array is parsed back with a naive split(',')
-    // (manifestDirs above); a comma or quote inside a path would fragment
-    // every recorded directory and poison vacuum's retained-set math —
-    // the same live-data-loss class canon() guards against. Refuse the
-    // characters the format cannot represent, loudly and at write time.
-    dirs.find(d => d.contains(",") || d.contains("\"")).foreach { bad =>
-      sys.error(s"snapshot store path contains ',' or '\"' — " +
+                      epoch: Option[Long] = None,
+                      cols: Seq[String] = Nil): Unit = {
+    // The manifest's arrays are parsed back with a naive split(',')
+    // (manifestDirs/manifestCols above); a comma or quote inside a path
+    // or column name would fragment every recorded entry and poison
+    // vacuum's retained-set math — the same live-data-loss class canon()
+    // guards against. Refuse the characters the format cannot represent,
+    // loudly and at write time.
+    (dirs ++ cols).find(d => d.contains(",") || d.contains("\"") ||
+        d.contains("]")).foreach { bad =>
+      sys.error(s"snapshot store path or column contains ',', '\"' or ']' — " +
         s"unsupported in the manifest format: $bad")
     }
     Files.createDirectories(manifestDir(root))
     val epochField = epoch.map(e => s""""epoch":$e,""").getOrElse("")
-    val body = s"""{"version":$v,$epochField""" +
+    val colsField =
+      if (cols.isEmpty) ""
+      else s""""cols":[${cols.map("\"" + _ + "\"").mkString(",")}],"""
+    val body = s"""{"version":$v,$epochField$colsField""" +
       s""""dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
     // unique temp name: two contending writers must never share one
     // (leading '.' keeps it out of currentVersion's v*.json listing)
@@ -128,15 +145,41 @@ object SnapshotStore {
     * re-reads the parent chain (so the loser stacks on the winner's
     * manifest, not its own stale view) and [[publish]]'s create-if-absent
     * either wins the version or throws. Append content is commutative —
-    * the retry is sound; compactions are not and must NOT come here. */
+    * the retry is sound; compactions are not and must NOT come here.
+    *
+    * Schema evolution is ADDITIVE-ONLY at append time. An append that
+    * only OMITS recorded columns is fine (older-shaped data; the omitted
+    * columns read null on its rows and the schema keeps them — a DROP is
+    * therefore impossible via append, `compactWith` is the migration).
+    * An append that omits recorded columns AND introduces new ones is
+    * the RENAME signature: published as-is it would silently fragment
+    * into add+null forever (old name null on new rows, new name null on
+    * old), so it is REJECTED with the migration path named. Checked
+    * inside the retry loop: a contender may have evolved the schema
+    * between attempts. */
   private[graft] def commitAppend(root: String, dir: String,
-                           epoch: Option[Long]): Int = {
+                           epoch: Option[Long],
+                           dfCols: Seq[String]): Int = {
     var attempt = 0
     while (true) {
       val parent = currentVersion(root)
       val v = parent + 1
       val parentDirs = if (parent == 0) Seq.empty else manifestDirs(root, parent)
-      try { publish(root, v, parentDirs :+ dir, epoch); return v }
+      val parentCols =
+        if (parent == 0) Seq.empty
+        else manifestCols(root, parent).getOrElse(Seq.empty)
+      val dfLower = dfCols.map(_.toLowerCase).toSet
+      val parentLower = parentCols.map(_.toLowerCase).toSet
+      val missing = parentCols.filterNot(c => dfLower.contains(c.toLowerCase))
+      val added = dfCols.filterNot(c => parentLower.contains(c.toLowerCase))
+      if (missing.nonEmpty && added.nonEmpty)
+        sys.error(s"append looks like a RENAME of ${missing.mkString(", ")} " +
+          s"to ${added.mkString(", ")} at $root — published as-is both " +
+          "names would silently read half-null forever; schema evolution " +
+          "on append is additive-only. Either select the recorded columns " +
+          "or migrate the snapshot with compactWith(renamedDf, ...)")
+      val cols = parentCols ++ added
+      try { publish(root, v, parentDirs :+ dir, epoch, cols); return v }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
@@ -162,7 +205,7 @@ object SnapshotStore {
   private def appendReturningDir(df: DataFrame, root: String): (Int, String) = {
     val dir = newDataDir(root, "v", currentVersion(root) + 1)
     df.write.mode("overwrite").parquet(dir)
-    (commitAppend(root, dir, None), dir)
+    (commitAppend(root, dir, None, df.columns.toSeq), dir)
   }
 
   /** Read snapshot `version` (default: latest) — the union of exactly the
@@ -227,7 +270,7 @@ object SnapshotStore {
     else {
       val dir = newDataDir(root, "v", cur + 1)
       df.write.mode("overwrite").parquet(dir)
-      commitAppend(root, dir, Some(epochId))
+      commitAppend(root, dir, Some(epochId), df.columns.toSeq)
     }
   }
 
@@ -261,7 +304,9 @@ object SnapshotStore {
     val epoch = epochOverride.orElse(lastEpoch(root))
     val dir = newDataDir(root, "compact", parent + 1)
     df.coalesce(targetFiles).write.mode("overwrite").parquet(dir)
-    commitCompaction(root, parent, dir, epoch)
+    // a compaction is the sanctioned SCHEMA MIGRATION path: the rewrite's
+    // own columns become the snapshot schema (rename/drop land here)
+    commitCompaction(root, parent, dir, epoch, df.columns.toSeq)
   }
 
   /** Commit a compaction's rewrite directory as `parent + 1`. Unlike an
@@ -273,9 +318,10 @@ object SnapshotStore {
     * current version. The orphaned rewrite directory is unreferenced;
     * vacuum removes it. */
   private[graft] def commitCompaction(root: String, parent: Int, dir: String,
-                               epoch: Option[Long]): Int = {
+                               epoch: Option[Long],
+                               cols: Seq[String] = Nil): Int = {
     val v = parent + 1
-    try { publish(root, v, Seq(dir), epoch); v }
+    try { publish(root, v, Seq(dir), epoch, cols); v }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         sys.error(s"concurrent commit at $root: version $v was published " +
@@ -392,11 +438,11 @@ object SnapshotStore {
     require(parent > 0, s"nothing to compact at $root")
     val epoch = lastEpoch(root)
     val dir = newDataDir(root, "compact", parent + 1)
+    val merged = read(spark, root, parent, mergeSchema = true)
     graft.operators.LayoutOps
-      .zorderLayoutScaled(read(spark, root, parent, mergeSchema = true),
-        col(xCol), col(yCol), targetFiles)
+      .zorderLayoutScaled(merged, col(xCol), col(yCol), targetFiles)
       .write.mode("overwrite").parquet(dir)
-    val v = commitCompaction(root, parent, dir, epoch)
+    val v = commitCompaction(root, parent, dir, epoch, merged.columns.toSeq)
     if (statsCols.nonEmpty) writeStats(spark, root, v, dir, statsCols)
     v
   }
@@ -486,12 +532,13 @@ object SnapshotStore {
     // schema-evolved store would silently and permanently drop columns
     // later appends added. The footer-read cost is paid once, at
     // maintenance time, not on reads.
-    read(spark, root, parent, mergeSchema = true).coalesce(targetFiles)
+    val merged = read(spark, root, parent, mergeSchema = true)
+    merged.coalesce(targetFiles)
       .write.mode("overwrite").parquet(dir)
     // Carry the newest epoch stamp forward (the compactWith contract):
     // without it, a compact-then-vacuum sequence would strip every stamp
     // from the RETAINED manifest tail, and a crash-replayed epoch whose
     // stamp lived only below the vacuum line would silently re-ingest.
-    commitCompaction(root, parent, dir, lastEpoch(root))
+    commitCompaction(root, parent, dir, lastEpoch(root), merged.columns.toSeq)
   }
 }

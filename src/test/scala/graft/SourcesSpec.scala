@@ -325,6 +325,46 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("schema evolution: rename and drop are rejected deterministically; compactWith migrates") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("evo2").toString
+    try {
+      SnapshotStore.append(Seq((1L, "a")).toDF("id", "payload"), root)
+      // RENAME signature (omit a recorded column + introduce a new one):
+      // rejected — published as-is both names would read half-null forever
+      val eRen = intercept[RuntimeException] {
+        SnapshotStore.append(Seq((2L, "b")).toDF("id", "body"), root)
+      }
+      assert(eRen.getMessage.contains("RENAME") &&
+        eRen.getMessage.contains("payload") && eRen.getMessage.contains("body"))
+      assert(SnapshotStore.currentVersion(root) == 1) // nothing published
+      // DROP via append is impossible by design: a subset append is
+      // accepted (older-shaped data, nulls on its rows) but the schema
+      // record KEEPS the column — deterministic, never a silent drop
+      SnapshotStore.append(Seq(Tuple1(2L)).toDF("id"), root)
+      assert(SnapshotStore.manifestCols(root, 2).get == Seq("id", "payload"))
+      // additive still works, and the schema record grows
+      SnapshotStore.append(Seq((3L, "c", 0.5)).toDF("id", "payload", "score"), root)
+      assert(SnapshotStore.manifestCols(root, 3).get ==
+        Seq("id", "payload", "score"))
+      // the sanctioned migration: compactWith rewrites under the new names
+      val migrated = SnapshotStore.read(spark, root, mergeSchema = true)
+        .withColumnRenamed("payload", "body")
+      SnapshotStore.compactWith(migrated, root)
+      assert(SnapshotStore.manifestCols(root, 4).get.contains("body") &&
+        !SnapshotStore.manifestCols(root, 4).get.contains("payload"))
+      // post-migration: old-name appends are now the rename signature
+      intercept[RuntimeException] {
+        SnapshotStore.append(Seq((4L, "d")).toDF("id", "payload"), root)
+      }
+      SnapshotStore.append(
+        Seq((4L, "d", 0.7)).toDF("id", "body", "score"), root)
+      assert(SnapshotStore.read(spark, root, mergeSchema = true).count() == 4)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("z-ordered compaction restores skipping on arrival-ordered appends") {
     import graft.sources.SnapshotStore
     val s = spark
