@@ -130,6 +130,22 @@ object SimilarityOps {
       spark.read.parquet(s"$dir/buckets"))
   }
 
+  /** Append `newVectors` to a PERSISTED LSH index without a rebuild — the
+    * streaming-ingest serving story: bucket the arrivals under the
+    * index's OWN stored plane parameters and append-write them into the
+    * bucket relation. Bucketing is per-row and model-frozen (the planes
+    * derive from the stored params alone), so append→query is EXACTLY
+    * rebuild→query over the grown corpus — the save/load equality
+    * contract extended to incremental maintenance. Cost: one pass over
+    * the delta, no touch of the existing bucket files. */
+  def appendLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newVectors: DataFrame): Unit = {
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    val planes = hyperplanes(p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
+    withBuckets(newVectors, "c_id", planes)
+      .write.mode("append").parquet(s"$dir/buckets")
+  }
+
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               dim: Int = 64, tables: Int = 8, bitsPerTable: Int = 8,
               seed: Long = 42L): DataFrame =
@@ -191,12 +207,36 @@ object SimilarityOps {
   def buildIvfIndex(candidates: DataFrame, nlist: Int = 32,
                     refineIters: Int = 0): IvfIndex = {
     val cents = kmeansCentroids(candidates, nlist, refineIters, spherical = true)
-    val lists = candidates
+    IvfIndex(cents, assignLists(candidates, cents))
+  }
+
+  /** Stage vectors into inverted-list rows under a GIVEN centroid model —
+    * the assignment half of [[buildIvfIndex]], shared with incremental
+    * append (same expression ⇒ bit-identical list rows either way). */
+  private[graft] def assignLists(vectors: DataFrame,
+                                 cents: Array[Array[Double]]): DataFrame =
+    vectors
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .withColumn("cn", norm(col("cv")))
       .withColumn("cid",
         element_at(graft.functions.HashExpressions.topCentroids(col("cv"), cents, 1), 1))
-    IvfIndex(cents, lists)
+
+  /** Append `newVectors` to a PERSISTED IVF index without a rebuild: the
+    * arrivals are assigned under the index's FROZEN centroid model (the
+    * standard IVF maintenance posture — a refit would shift every list
+    * boundary and demand a full reassignment) and append-written into
+    * the lists relation. Under that frozen model, append→query equals
+    * assign-the-grown-corpus→query EXACTLY; recall drift as the corpus
+    * outgrows the quantizer is the documented trigger for a periodic
+    * [[buildIvfIndex]] rebuild, the compaction of this store. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newVectors: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    assignLists(newVectors, cents)
+      .write.mode("append").parquet(s"$dir/lists")
   }
 
   /** Query a fitted (possibly reloaded) IVF index: probe `nprobe` lists per

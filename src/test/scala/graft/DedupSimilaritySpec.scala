@@ -766,6 +766,67 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH index incremental append: append -> query equals rebuild -> query exactly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val first = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 =!= 0)
+    val qs = emb.where(col("vec_id") < 8)
+    // ground truth: one-shot build over the FULL corpus
+    val rebuilt = graft.operators.SimilarityOps.lshTopK(qs, emb, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("lsh_inc_").toString
+    try {
+      graft.operators.SimilarityOps.saveLshIndex(
+        graft.operators.SimilarityOps.buildLshIndex(first), dir)
+      graft.operators.SimilarityOps.appendLshIndex(spark, dir, rest)
+      val served = graft.operators.SimilarityOps.queryLshIndex(
+        graft.operators.SimilarityOps.loadLshIndex(spark, dir), qs, 5)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == rebuilt) // plane model frozen ⇒ bit-equal results
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("IVF index incremental append: equals assigning the grown corpus under the frozen model") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val first = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 =!= 0)
+    val qs = emb.where(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inc_").toString
+    try {
+      val built = graft.operators.SimilarityOps
+        .buildIvfIndex(first, nlist = 16, refineIters = 2)
+      graft.operators.SimilarityOps.saveIvfIndex(built, dir)
+      graft.operators.SimilarityOps.appendIvfIndex(spark, dir, rest)
+      val served = graft.operators.SimilarityOps.queryIvfIndex(
+        graft.operators.SimilarityOps.loadIvfIndex(spark, dir), qs, 5, nprobe = 4)
+        .collect().map(_.toString).sorted.toSeq
+      // ground truth: the grown corpus assigned under the SAME frozen
+      // centroids (a rebuild would refit the quantizer — the documented
+      // periodic maintenance, not the append contract)
+      val expected = graft.operators.SimilarityOps.queryIvfIndex(
+        graft.operators.SimilarityOps.IvfIndex(built.centroids,
+          graft.operators.SimilarityOps.assignLists(emb, built.centroids)),
+        qs, 5, nprobe = 4)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == expected)
+      // every appended vector is really in the lists exactly once
+      val ids = spark.read.parquet(s"$dir/lists").groupBy("c_id").count().collect()
+      assert(ids.forall(_.getLong(1) == 1) && ids.length == emb.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("IVF index persists: save -> load -> query matches the fused ivfTopK exactly") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
