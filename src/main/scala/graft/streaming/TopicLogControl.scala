@@ -43,7 +43,8 @@ class TopicLogControl(
     cmdlogChannel: String = "cmdlog",
     initial: TrendParams = TrendParams.default,
     executor: Option[String => C2Response] = None,
-    checkpoint: Option[String] = None) extends AutoCloseable {
+    checkpoint: Option[String] = None,
+    maxCmdsPerBatch: Int = 10000) extends AutoCloseable {
 
   @volatile private var current: TrendParams = initial
 
@@ -89,8 +90,18 @@ class TopicLogControl(
         // already-mutated or external state) nor re-append response/audit
         // lines. Same marker mechanism as the DSv2 sink's exactly-once.
         if (!TopicLogWriter.epochSeen(root, ctlId, batchId)) {
-          val cmds = batch.orderBy("offset").collect()
-            .map(_.getAs[String]("value"))
+          // ENFORCED human-scale contract (the lastValueSink posture): a
+          // command batch beyond maxCmdsPerBatch is a mis-wired channel
+          // (data feeding the control plane), and silently collecting it
+          // would be a driver OOM — fail loudly instead.
+          val cmds = batch.orderBy("offset").limit(maxCmdsPerBatch + 1)
+            .collect().map(_.getAs[String]("value"))
+          if (cmds.length > maxCmdsPerBatch)
+            throw new IllegalStateException(
+              s"TopicLogControl: batch $batchId carries more than " +
+                s"$maxCmdsPerBatch commands on '$cmdChannel' — command " +
+                "channels are human-scale by contract; this looks like a " +
+                "data stream wired into the control plane")
           if (cmds.nonEmpty) {
             val now = System.currentTimeMillis() / 1000
             val out = cmds.map { cmd =>

@@ -265,6 +265,21 @@ class TopicLogSpec extends SparkSpec {
     } finally ctl.close()
   }
 
+  test("control loop refuses an oversized command batch (enforced human-scale contract)") {
+    val root = tmp("topiclog_big")
+    // 7 "commands" against a cap of 3: a data stream mis-wired into the
+    // control plane must fail the query loudly, not OOM the driver
+    TopicLogWriter.publish(root, "c2", (1 to 7).map(i => s"get config $i"))
+    val ctl = new graft.streaming.TopicLogControl(spark, root,
+      maxCmdsPerBatch = 3)
+    try {
+      val e = intercept[Exception] { ctl.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("human-scale")), msgs(e).mkString(" | "))
+    } finally ctl.close()
+  }
+
   test("end-to-end: topiclog feeds the reference parse→tier stack unchanged") {
     val root = tmp("topiclog_e2e")
     // Reference-shaped wire messages across two sensor channels.
