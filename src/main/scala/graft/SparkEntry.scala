@@ -1098,6 +1098,35 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_returnflag", "l_linestatus"))),
 
+    // Error-bound verify twin for the approx profile: per column, the
+    // EXACT NDV (DuckDB recomputes it — the hash-checked half) alongside
+    // the exported HLL estimate, plus the |approx−exact| ≤
+    // max(2·rsd·exact, 2) verdict BOTH engines derive from their own
+    // exact count (bit-equal only when the exacts agree). The query
+    // additionally hard-fails if its own estimate breaks the band — an
+    // HLL defect reds the row as MISSING rather than shipping a false.
+    "table_profile_scale_verify" -> ((s, dir) => {
+      val rsd = 0.05
+      val df = Tables.lineitem(s, dir)
+      val per = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus").map { c =>
+          df.agg(countDistinct(col(c)).as("exact_ndv"),
+              approx_count_distinct(col(c), rsd).cast("long").as("approx_ndv"))
+            .select(lit(c).as("col_name"), col("exact_ndv"), col("approx_ndv"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+      per.collect().foreach { r =>
+        val (e, a) = (r.getLong(1), r.getLong(2))
+        require(math.abs(a - e) <= math.max(2 * rsd * e, 2.0),
+          s"approx_count_distinct outside its band on ${r.getString(0)}: " +
+            s"approx=$a exact=$e rsd=$rsd")
+      }
+      exportForOracle(per.select("col_name", "approx_ndv"),
+        "profile_approx", model = true)
+      per.select(col("col_name"), col("exact_ndv"), col("approx_ndv"),
+        (abs(col("approx_ndv") - col("exact_ndv")) <=
+          greatest(col("exact_ndv") * lit(2 * rsd), lit(2.0))).as("bound_ok"))
+    }),
+
     // Set operations: EXCEPT + INTERSECT, tagged.
     "q_setops" -> ((s, dir) => {
       def keys(status: String) =
@@ -3758,6 +3787,26 @@ object SparkEntry {
     // re-derived from the replayed state. Output = the recomputed merge
     // table; equality with Spark's export means every learned rule was
     // the true argmax at its step.
+    // Approx-profile error bound: exact NDV recomputed here (the real
+    // check), the HLL estimate read from the export, the band verdict
+    // derived from THIS engine's exact counts — agreement requires the
+    // exacts to match and the estimate to sit inside the band both ways.
+    "table_profile_scale_verify" ->
+      s"""WITH a AS (SELECT col_name, approx_ndv
+         |           FROM read_parquet('${exportGlob("profile_approx")}')),
+         |e AS (
+         |  SELECT 'l_orderkey' AS col_name,
+         |         count(DISTINCT l_orderkey) AS exact_ndv FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem
+         |  UNION ALL SELECT 'l_linenumber', count(DISTINCT l_linenumber) FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag', count(DISTINCT l_returnflag) FROM lineitem
+         |  UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem)
+         |SELECT e.col_name, e.exact_ndv, a.approx_ndv,
+         |       abs(a.approx_ndv - e.exact_ndv) <=
+         |         greatest(0.1 * e.exact_ndv, 2.0) AS bound_ok
+         |FROM e JOIN a USING (col_name)""".stripMargin,
+
     "bpe_train" -> bpeTrainReplaySql(exportGlob("bpe_merges")),
 
     // The 256-merge production-scale run replays through the IDENTICAL
