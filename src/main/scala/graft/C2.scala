@@ -46,7 +46,8 @@ object C2 {
     * instead of a pointer. [[graft.streaming.LiveQueryController]] wires
     * this automatically. */
   def execute(command: String, p: TrendParams,
-              counters: Option[graft.streaming.CounterListener] = None): C2Response = {
+              counters: Option[graft.streaming.CounterListener] = None,
+              display: Option[graft.streaming.DisplayDevice] = None): C2Response = {
     if (command.trim.isEmpty)
       return C2Response(ok = false, "", "empty command", p)
     // X9: whitespace tokenize, head = verb (trend-o-meter:173,237).
@@ -55,8 +56,18 @@ object C2 {
       case "get" :: "config" :: Nil =>
         C2Response(ok = true, "get", renderConfig(p), p)
       case "get" :: "stats" :: Nil =>
+        // Display-uptime round-trip (trend-o-meter:180): ask the device,
+        // degrade to -1 on any failure — logged-not-fatal, the
+        // reference's own posture (trend-o-meter:181-183).
+        val deviceUptime = display.map { d =>
+          try d.issueCustomCommand("uptime")
+          catch { case e: Exception =>
+            System.err.println(s"error querying device uptime: ${e.getMessage}")
+            "-1"
+          }
+        }.getOrElse("-1")
         C2Response(ok = true, "get",
-          counters.map(_.statsJson).getOrElse(
+          counters.map(_.statsJson(deviceUptime)).getOrElse(
             """{"note": "no live stream attached; rx/batches/reconnects live on streaming.CounterListener"}"""),
           p)
       case "set" :: "minDataHoursToRenderBin" :: v :: Nil =>
@@ -122,8 +133,10 @@ object C2 {
       sink: (DataFrame, Long) => Unit,
       checkpointDir: String,
       initial: TrendParams = TrendParams.default,
-      outputMode: String = "update"): graft.streaming.LiveQueryController =
-    new graft.streaming.LiveQueryController(build, sink, checkpointDir, initial, outputMode)
+      outputMode: String = "update",
+      display: Option[graft.streaming.DisplayDevice] = None): graft.streaming.LiveQueryController =
+    new graft.streaming.LiveQueryController(build, sink, checkpointDir, initial,
+      outputMode, display)
 
   /** S5 command-stream shape: fold a (micro-)batch of commands over the
     * param state in arrival order, collecting the responses the S7/S8 sinks

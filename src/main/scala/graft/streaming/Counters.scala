@@ -35,9 +35,32 @@ class CounterListener extends StreamingQueryListener {
   def starts: Seq[String] = queryStarts.asScala.toSeq
   def uptimeMs: Long = System.currentTimeMillis() - startedAtMs
 
-  /** `get stats` payload (C2 §2.6). */
-  def statsJson: String =
-    s"""{"uptime_ms": $uptimeMs, "rx_rows": $totalRowsReceived,
+  /** `get stats` payload (C2 §2.6). `displayUptime` is the display
+    * device's own answer to the uptime round-trip (trend-o-meter:180's
+    * `issueCustomCommand('uptime')`), `-1` when no device is attached or
+    * the query failed — the reference's exact degrade value. */
+  def statsJson(displayUptime: String = "-1"): String =
+    s"""{"uptime_ms": $uptimeMs, "display_uptime": $displayUptime,
+       | "rx_rows": $totalRowsReceived,
        | "batches": $totalBatches, "starts": ${starts.size},
        | "terminated": ${terminations.get}}""".stripMargin.replaceAll("\n", "")
+}
+
+/** The display adapter's command surface (trend-o-meter:180's
+  * `displayRef.issueCustomCommand`): free-form command in, string answer
+  * out. `get stats` uses it for the device-uptime round-trip; a throwing
+  * device is logged-and-degraded, never fatal (trend-o-meter:181-183). */
+trait DisplayDevice {
+  def issueCustomCommand(cmd: String): String
+}
+
+/** An in-memory display device: answers `uptime` with whole seconds since
+  * construction — the test/console twin of the reference's physical
+  * display adapter. */
+class BufferDisplay extends DisplayDevice {
+  private val t0 = System.currentTimeMillis()
+  def issueCustomCommand(cmd: String): String = cmd match {
+    case "uptime" => ((System.currentTimeMillis() - t0) / 1000).toString
+    case other    => throw new IllegalArgumentException(s"unknown device command: $other")
+  }
 }

@@ -43,7 +43,8 @@ class LiveQueryController(
     sink: (DataFrame, Long) => Unit,
     checkpointDir: String,
     initial: TrendParams = TrendParams.default,
-    outputMode: String = "update") extends AutoCloseable {
+    outputMode: String = "update",
+    display: Option[DisplayDevice] = None) extends AutoCloseable {
 
   /** A8 counters, controller-scoped: uptime is the controller's, and each
     * managed restart lands in `starts` — the reconnect log. */
@@ -74,7 +75,7 @@ class LiveQueryController(
     * reads (`get ...`), no-op sets, and rejected commands leave it
     * running untouched (the reference only re-renders after a mutation). */
   def execute(command: String): C2Response = synchronized {
-    val r = C2.execute(command, current, Some(counters))
+    val r = C2.execute(command, current, Some(counters), display)
     if (r.ok && r.verb == "set" && r.params != current) {
       current = r.params
       query.stop()

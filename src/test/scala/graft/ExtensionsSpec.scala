@@ -227,7 +227,28 @@ class ExtensionsSpec extends SparkSpec {
       assert(counters.totalRowsReceived >= 2)
       assert(counters.totalBatches >= 1)
       assert(counters.starts.nonEmpty)
-      assert(counters.statsJson.contains("\"rx_rows\""))
+      assert(counters.statsJson().contains("\"rx_rows\""))
     } finally spark.streams.removeListener(counters)
+  }
+
+  test("get stats round-trips the display device's uptime, degrading to -1") {
+    import graft.streaming.{BufferDisplay, CounterListener, DisplayDevice}
+    val counters = new CounterListener
+    // healthy device: whole seconds since construction (>= 0)
+    val dev = new BufferDisplay
+    val r = C2.execute("get stats", TrendParams.default, Some(counters), Some(dev))
+    assert(r.ok && r.message.contains("\"display_uptime\""))
+    val up = "\"display_uptime\":\\s*(-?\\d+)".r
+      .findFirstMatchIn(r.message).get.group(1).toLong
+    assert(up >= 0)
+    // throwing device: logged-not-fatal, the reference's -1 degrade
+    val broken = new DisplayDevice {
+      def issueCustomCommand(cmd: String): String = sys.error("device gone")
+    }
+    val r2 = C2.execute("get stats", TrendParams.default, Some(counters), Some(broken))
+    assert(r2.ok && r2.message.contains("\"display_uptime\": -1"))
+    // no device attached: same degrade value
+    val r3 = C2.execute("get stats", TrendParams.default, Some(counters), None)
+    assert(r3.ok && r3.message.contains("\"display_uptime\": -1"))
   }
 }
