@@ -72,7 +72,10 @@ object Bench {
     // cold-vs-steady DRIFT block (queries whose first run was inflated:
     // env noise, not plan regressions — round-10 verdict item 6), and
     // the slowest-steady block — prints at the very END of the line.
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def ms(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val qsCold = results.map { case (k, (c, _)) => "\"" + k + "\":" + ms(c) }

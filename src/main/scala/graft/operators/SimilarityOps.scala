@@ -140,8 +140,8 @@ object SimilarityOps {
     * the delta, no touch of the existing bucket files. */
   def appendLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      newVectors: DataFrame): Unit = {
-    val p = spark.read.parquet(s"$dir/params").collect()(0)
-    val planes = hyperplanes(p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
+    val idx = loadLshIndex(spark, dir) // one param-reading path, shared with serving
+    val planes = hyperplanes(idx.dim, idx.tables, idx.bitsPerTable, idx.seed)
     withBuckets(newVectors, "c_id", planes)
       .write.mode("append").parquet(s"$dir/buckets")
   }
@@ -230,14 +230,9 @@ object SimilarityOps {
     * outgrows the quantizer is the documented trigger for a periodic
     * [[buildIvfIndex]] rebuild, the compaction of this store. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     newVectors: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    assignLists(newVectors, cents)
+                     newVectors: DataFrame): Unit =
+    assignLists(newVectors, loadIvfIndex(spark, dir).centroids)
       .write.mode("append").parquet(s"$dir/lists")
-  }
 
   /** Query a fitted (possibly reloaded) IVF index: probe `nprobe` lists per
     * query by centroid dot product, rerank probed candidates by exact

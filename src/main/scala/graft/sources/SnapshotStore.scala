@@ -162,16 +162,27 @@ object SnapshotStore {
                            dfCols: Seq[String]): Int = {
     var attempt = 0
     while (true) {
+      // A replayed epoch may have been committed by the CONTENDER we just
+      // lost to — re-check on every attempt or the retry would re-stack a
+      // duplicate of an already-ingested micro-batch (the exactly-once
+      // contract appendEpoch advertises). The first iteration's check is
+      // redundant with appendEpoch's but costs one manifest scan.
+      epoch.foreach { e =>
+        if (epochSeen(root, e)) return currentVersion(root)
+      }
       val parent = currentVersion(root)
       val v = parent + 1
       val parentDirs = if (parent == 0) Seq.empty else manifestDirs(root, parent)
       val parentCols =
         if (parent == 0) Seq.empty
         else manifestCols(root, parent).getOrElse(Seq.empty)
-      val dfLower = dfCols.map(_.toLowerCase).toSet
-      val parentLower = parentCols.map(_.toLowerCase).toSet
-      val missing = parentCols.filterNot(c => dfLower.contains(c.toLowerCase))
-      val added = dfCols.filterNot(c => parentLower.contains(c.toLowerCase))
+      // Locale.ROOT: default-locale lowercasing (tr_TR dotless-ı) would
+      // spuriously flag case-insensitively-equal schemas as renames
+      def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+      val dfLower = dfCols.map(lc).toSet
+      val parentLower = parentCols.map(lc).toSet
+      val missing = parentCols.filterNot(c => dfLower.contains(lc(c)))
+      val added = dfCols.filterNot(c => parentLower.contains(lc(c)))
       if (missing.nonEmpty && added.nonEmpty)
         sys.error(s"append looks like a RENAME of ${missing.mkString(", ")} " +
           s"to ${added.mkString(", ")} at $root — published as-is both " +
@@ -255,24 +266,29 @@ object SnapshotStore {
     * delivery). Epoch ids are stamped into the manifest; the scan for a
     * prior stamp is O(versions) driver-side JSON reads. */
   def appendEpoch(df: DataFrame, root: String, epochId: Long): Int = {
-    val cur = currentVersion(root)
-    // vacuumed versions have no manifest — skip, don't crash (their epoch
-    // stamps are below any epoch a live stream can replay: Spark epoch
-    // ids are monotone and the retained tail carries the newest stamps)
-    val seen = (1 to cur).exists { v =>
+    if (epochSeen(root, epochId)) currentVersion(root)
+    else {
+      val dir = newDataDir(root, "v", currentVersion(root) + 1)
+      df.write.mode("overwrite").parquet(dir)
+      commitAppend(root, dir, Some(epochId), df.columns.toSeq)
+    }
+  }
+
+  /** Is `epochId` already stamped in any surviving manifest? Vacuumed
+    * versions have no manifest — skip, don't crash (their epoch stamps
+    * are below any epoch a live stream can replay: Spark epoch ids are
+    * monotone and the retained tail carries the newest stamps). Re-run
+    * by [[commitAppend]] on every contended retry: the winner of a lost
+    * race may have published THIS epoch, and re-stacking on top would
+    * double-ingest the micro-batch. */
+  private def epochSeen(root: String, epochId: Long): Boolean =
+    (1 to currentVersion(root)).exists { v =>
       val p = manifestPath(root, v)
       Files.exists(p) && {
         val text = new String(Files.readAllBytes(p), "UTF-8")
         s""""epoch":$epochId[,}]""".r.findFirstIn(text).isDefined
       }
     }
-    if (seen) cur
-    else {
-      val dir = newDataDir(root, "v", cur + 1)
-      df.write.mode("overwrite").parquet(dir)
-      commitAppend(root, dir, Some(epochId), df.columns.toSeq)
-    }
-  }
 
   /** Highest epoch stamp any manifest carries, if any — the "last
     * processed source position" a consumer that appends via
@@ -349,18 +365,31 @@ object SnapshotStore {
     def canon(p: String): String = Paths.get(p).normalize().toAbsolutePath.toString
     val retained = (keepFrom to cur).flatMap(v => manifestDirs(root, v))
       .map(canon).toSet
+    // A version's OWN data dirs, from its manifest diff against its
+    // parent — computed BEFORE any manifest deletion. Name-pattern
+    // matching is NOT sound here: after a lost-race re-stack, a dir's
+    // name version can differ from its published version, and guessing
+    // by basename deleted live sidecars. A version whose parent manifest
+    // is already gone (earlier vacuum) keeps its sidecar — stale rows
+    // never match a file and only cost metadata-scan time.
+    val ownDirs: Map[Int, Set[String]] =
+      (1 until keepFrom).flatMap { v =>
+        if (!hasManifest(root, v) || (v > 1 && !hasManifest(root, v - 1))) None
+        else {
+          val prev = if (v == 1) Set.empty[String]
+                     else manifestDirs(root, v - 1).map(canon).toSet
+          Some(v -> (manifestDirs(root, v).map(canon).toSet -- prev))
+        }
+      }.toMap
     (1 until keepFrom).foreach { v =>
       Files.deleteIfExists(manifestPath(root, v))
       // drop a version's stats sidecar only when its DATA went too — a
       // directory still referenced by a retained manifest keeps its
       // skipping stats (stale path-keyed rows never match anything and
-      // would only cost metadata-scan time). A version's data dir is
-      // named v$v/compact$v, with an optional writer-unique "-suffix"
-      // (contended-commit naming) — match the basename pattern.
-      val versionOwned = retained.exists { d =>
-        val b = Paths.get(d).getFileName.toString
-        b == s"v$v" || b == s"compact$v" ||
-          b.startsWith(s"v$v-") || b.startsWith(s"compact$v-")
+      // would only cost metadata-scan time)
+      val versionOwned = ownDirs.get(v) match {
+        case Some(dirs) => dirs.exists(retained.contains)
+        case None       => true // unknown ownership: keep, never guess
       }
       if (!versionOwned && Files.exists(statsPath(root, v)))
         deleteTree(statsPath(root, v).toString)

@@ -39,11 +39,22 @@ class CounterListener extends StreamingQueryListener {
     * device's own answer to the uptime round-trip (trend-o-meter:180's
     * `issueCustomCommand('uptime')`), `-1` when no device is attached or
     * the query failed — the reference's exact degrade value. */
-  def statsJson(displayUptime: String = "-1"): String =
-    s"""{"uptime_ms": $uptimeMs, "display_uptime": $displayUptime,
+  def statsJson(displayUptime: String = "-1"): String = {
+    // the device answer is free-form by contract — embed it raw only when
+    // it is a number, else JSON-quote it so the payload stays parseable
+    val dev =
+      if (displayUptime.matches("-?\\d+(\\.\\d+)?")) displayUptime
+      else "\"" + displayUptime.flatMap {
+        case '"'          => "\\\""
+        case '\\'         => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c            => c.toString
+      } + "\""
+    s"""{"uptime_ms": $uptimeMs, "display_uptime": $dev,
        | "rx_rows": $totalRowsReceived,
        | "batches": $totalBatches, "starts": ${starts.size},
        | "terminated": ${terminations.get}}""".stripMargin.replaceAll("\n", "")
+  }
 }
 
 /** The display adapter's command surface (trend-o-meter:180's

@@ -183,6 +183,54 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("a contended retry never re-commits an epoch the race winner already stamped") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapepoch").toString
+    try {
+      SnapshotStore.appendEpoch(Seq((1L, "a")).toDF("id", "payload"), root, 7L)
+      // simulate the loser's retry attempt AFTER the winner published
+      // epoch 7: commitAppend must detect the stamp and become a no-op
+      // instead of re-stacking a duplicate of the micro-batch
+      val dupDir = Files.createTempDirectory("dup").toString + "/d"
+      Seq((1L, "a")).toDF("id", "payload").write.parquet(dupDir)
+      val v = SnapshotStore.commitAppend(root, dupDir, Some(7L), Seq("id", "payload"))
+      assert(v == 1) // returned the current version, published nothing
+      assert(SnapshotStore.currentVersion(root) == 1)
+      assert(SnapshotStore.read(spark, root).count() == 1) // rows once, not twice
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("vacuum keeps a re-stacked version's live stats (ownership from manifests, not names)") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snaprestk").toString
+    try {
+      SnapshotStore.appendWithStats(
+        Seq((1L, "a")).toDF("id", "payload"), root, Seq("id"))
+      // simulate a lost-race re-stack: a dir NAMED like v1's guess but
+      // PUBLISHED as version 2 (name-pattern ownership guessing would
+      // misattribute it)
+      val dir = s"$root/data/v1-deadbeef"
+      Seq((2L, "b")).toDF("id", "payload").write.parquet(dir)
+      val v = SnapshotStore.commitAppend(root, dir, None, Seq("id", "payload"))
+      assert(v == 2)
+      // give the re-stacked version stats under its PUBLISHED version id
+      val stats = Seq((s"file:$dir/part-0.parquet", "id", 2L, 2L))
+        .toDF("path", "col", "lo", "hi")
+      stats.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/_stats/v2.parquet")
+      SnapshotStore.append(Seq((3L, "c")).toDF("id", "payload"), root)
+      // keepFrom=3: v2's manifest goes, but its data dir is retained by
+      // v3's manifest — the v2 stats sidecar must survive
+      SnapshotStore.vacuum(root, keepFrom = 3)
+      assert(Files.exists(java.nio.file.Paths.get(s"$root/_stats/v2.parquet")))
+      assert(SnapshotStore.read(spark, root).count() == 3)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("snapshot store refuses roots the manifest format cannot represent") {
     import graft.sources.SnapshotStore
     val s = spark
