@@ -1484,6 +1484,40 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Row-level DELETE (right-to-be-forgotten) via dir-level copy-on-write:
+    // the store is built from per-language appends, the 'de' docs are
+    // deleted, and the final content faces the plain-SQL filter — the
+    // oracle can't see versions or rewrites, only whether the surviving
+    // relation is exactly the non-matching rows.
+    "snapshot_delete" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snapdel").toString
+      try {
+        buildSnapshotFixture(s, dir, root)
+        sources.SnapshotStore.deleteWhere(s, root, col("lang") === "de")
+        sources.SnapshotStore.read(s, root, mergeSchema = true)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // MERGE/upsert by key: every doc_id divisible by 10 gets its source
+    // replaced with a literal tag, five brand-new synthetic keys insert;
+    // the oracle rebuilds the merged relation with SQL set logic.
+    "snapshot_upsert" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snapups").toString
+      try {
+        import s.implicits._
+        buildSnapshotFixture(s, dir, root)
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
+        val batch = docs.where(col("doc_id") % 10 === 0)
+          .withColumn("source", lit("patched"))
+          .unionByName((1L to 5L).map(i => (1000000L + i, "xx", "inserted"))
+            .toDF("doc_id", "lang", "source"))
+        sources.SnapshotStore.upsert(s, batch, root, Seq("doc_id"))
+        sources.SnapshotStore.read(s, root, mergeSchema = true)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     "snapshot_compact_read" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
       try {
@@ -3941,6 +3975,15 @@ object SparkEntry {
       "SELECT doc_id, lang, source FROM documents WHERE doc_id >= 300",
     "snapshot_compact_read" ->
       "SELECT doc_id, lang, source FROM documents",
+    "snapshot_delete" ->
+      "SELECT doc_id, lang, source FROM documents WHERE lang IS DISTINCT FROM 'de'",
+    "snapshot_upsert" ->
+      """SELECT doc_id, lang, source FROM documents WHERE doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, 'patched' AS source FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT 1000000 + r AS doc_id, 'xx' AS lang, 'inserted' AS source
+        |FROM generate_series(1, 5) t(r)""".stripMargin,
 
     // Data-expectations gate: one UNION leg per rule, counts replayed
     // with FILTER aggregates; rule names must match ValidationOps's

@@ -132,6 +132,29 @@ object SnapshotStore {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** The snapshot schema after a batch with `dfCols` lands on a schema of
+    * `parentCols` — additive growth, with the RENAME signature (omit a
+    * recorded column AND introduce a new one) rejected: published as-is
+    * both names would silently read half-null forever. Shared by the
+    * append and upsert commit paths. Locale.ROOT casing: default-locale
+    * lowercasing (tr_TR dotless-ı) would spuriously flag
+    * case-insensitively-equal schemas as renames. */
+  private def evolveSchema(root: String, parentCols: Seq[String],
+                           dfCols: Seq[String]): Seq[String] = {
+    def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+    val dfLower = dfCols.map(lc).toSet
+    val parentLower = parentCols.map(lc).toSet
+    val missing = parentCols.filterNot(c => dfLower.contains(lc(c)))
+    val added = dfCols.filterNot(c => parentLower.contains(lc(c)))
+    if (missing.nonEmpty && added.nonEmpty)
+      sys.error(s"batch looks like a RENAME of ${missing.mkString(", ")} " +
+        s"to ${added.mkString(", ")} at $root — published as-is both " +
+        "names would silently read half-null forever; schema evolution " +
+        "on append/upsert is additive-only. Either select the recorded " +
+        "columns or migrate the snapshot with compactWith(renamedDf, ...)")
+    parentCols ++ added
+  }
+
   /** A fresh, writer-unique data directory for what will likely publish
     * as version `v` (the suffix keeps two contending writers from ever
     * sharing a directory — `mode("overwrite")` on a shared name would
@@ -176,20 +199,7 @@ object SnapshotStore {
       val parentCols =
         if (parent == 0) Seq.empty
         else manifestCols(root, parent).getOrElse(Seq.empty)
-      // Locale.ROOT: default-locale lowercasing (tr_TR dotless-ı) would
-      // spuriously flag case-insensitively-equal schemas as renames
-      def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
-      val dfLower = dfCols.map(lc).toSet
-      val parentLower = parentCols.map(lc).toSet
-      val missing = parentCols.filterNot(c => dfLower.contains(lc(c)))
-      val added = dfCols.filterNot(c => parentLower.contains(lc(c)))
-      if (missing.nonEmpty && added.nonEmpty)
-        sys.error(s"append looks like a RENAME of ${missing.mkString(", ")} " +
-          s"to ${added.mkString(", ")} at $root — published as-is both " +
-          "names would silently read half-null forever; schema evolution " +
-          "on append is additive-only. Either select the recorded columns " +
-          "or migrate the snapshot with compactWith(renamedDf, ...)")
-      val cols = parentCols ++ added
+      val cols = evolveSchema(root, parentCols, dfCols)
       try { publish(root, v, parentDirs :+ dir, epoch, cols); return v }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -335,15 +345,118 @@ object SnapshotStore {
     * vacuum removes it. */
   private[graft] def commitCompaction(root: String, parent: Int, dir: String,
                                epoch: Option[Long],
-                               cols: Seq[String] = Nil): Int = {
+                               cols: Seq[String] = Nil): Int =
+    commitReplace(root, parent, Seq(dir), epoch, cols)
+
+  /** Commit a REPLACING version (compaction, row-level delete, upsert) —
+    * `dirs` becomes the snapshot, superseding `parent` wholesale. Any
+    * concurrent commit since `parent` would be silently dropped by
+    * publishing this rewrite, so a lost race fails loudly (the
+    * Delta/Iceberg concurrent-modification posture for non-commutative
+    * commits) and the caller re-runs against the new current version.
+    * Orphaned rewrite directories are unreferenced; vacuum removes them. */
+  private[graft] def commitReplace(root: String, parent: Int,
+                                   dirs: Seq[String], epoch: Option[Long],
+                                   cols: Seq[String] = Nil): Int = {
     val v = parent + 1
-    try { publish(root, v, Seq(dir), epoch, cols); v }
+    try { publish(root, v, dirs, epoch, cols); v }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         sys.error(s"concurrent commit at $root: version $v was published " +
-          s"while this compaction rewrote v$parent — the rewrite is stale; " +
-          "re-run the compaction against the current version")
+          s"while this rewrite was derived from v$parent — the rewrite is " +
+          "stale; re-run it against the current version")
     }
+  }
+
+  /** Canonical local-path form shared by the CoW affected-file matching:
+    * `input_file_name()` yields `file:` URIs, manifests record raw
+    * interpolated strings — compare both as normalized absolute paths. */
+  private def canonPath(p: String): String =
+    Paths.get(p.replaceFirst("^file:/+", "/")).normalize().toAbsolutePath.toString
+
+  /** The manifest directories (of `dirs`) that own at least one file in
+    * `affFiles` — the blast radius of a row-level rewrite. */
+  private def owningDirs(dirs: Seq[String], affFiles: Array[String]): Seq[String] =
+    dirs.filter(d => affFiles.exists(_.startsWith(canonPath(d) + "/")))
+
+  /** Row-level DELETE (the right-to-be-forgotten surface a curated-corpus
+    * store legally needs) with DIRECTORY-level copy-on-write: one scan
+    * finds the files holding matching rows (`cond` pushes down to that
+    * scan, so a day-keyed or z-ordered layout prunes most of the store
+    * before any row is read); only the OWNING directories are rewritten
+    * minus the matches, untouched directories carry over by reference
+    * into the new manifest. SQL DELETE semantics: rows where `cond`
+    * evaluates NULL survive. Zero matches is a true no-op — no new
+    * version. Publishes through the non-commutative commit ([[commitReplace]]):
+    * a concurrent append since `parent` fails this rewrite loudly.
+    *
+    * Scale shape: the collect is the affected FILE list
+    * (file-metadata-sized, bounded by the match's blast radius, not the
+    * store); write amplification is directory-granular — the manifest's
+    * unit of reference — so keep delete-heavy stores in many small
+    * date-keyed appends or re-cluster with [[compactZordered]].
+    * Time travel still reads deleted rows at older versions until
+    * [[vacuum]]; a legal purge is delete + vacuum. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  cond: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions._
+    val parent = currentVersion(root)
+    require(parent > 0, s"no published version at $root")
+    val dirs = manifestDirs(root, parent)
+    val withFile = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      .withColumn("__file", input_file_name())
+    val affFiles = withFile.where(cond).select("__file").distinct()
+      .collect().map(r => canonPath(r.getString(0)))
+    if (affFiles.isEmpty) return parent
+    val affDirs = owningDirs(dirs, affFiles)
+    val keep = dirs.filterNot(affDirs.toSet)
+    val rw = newDataDir(root, "rw", parent + 1)
+    spark.read.option("mergeSchema", "true").parquet(affDirs: _*)
+      .where(!coalesce(cond, lit(false))) // NULL-cond rows survive, like SQL
+      .write.parquet(rw)
+    commitReplace(root, parent, keep :+ rw, lastEpoch(root),
+      manifestCols(root, parent).getOrElse(Seq.empty))
+  }
+
+  /** MERGE/upsert by key: rows of `df` REPLACE same-key rows in the
+    * snapshot (whole-row semantics), new keys insert. Directory-level
+    * copy-on-write like [[deleteWhere]]: a key-semi-join against one
+    * scan finds the owning directories, those are rewritten with the
+    * batch's keys anti-joined out, the batch lands as its own directory,
+    * untouched directories carry over by reference. Schema evolution
+    * follows the append contract (additive fine, rename-shaped batches
+    * rejected). Non-commutative commit: a concurrent writer since
+    * `parent` fails this rewrite loudly. */
+  def upsert(spark: SparkSession, df: DataFrame, root: String,
+             keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val parent = currentVersion(root)
+    require(parent > 0, s"no published version at $root — use append to create")
+    val dirs = manifestDirs(root, parent)
+    val keys = df.select(keyCols.map(col): _*).distinct()
+    val withFile = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      .withColumn("__file", input_file_name())
+    val affFiles = withFile.join(keys, keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(r => canonPath(r.getString(0)))
+    val affDirs = owningDirs(dirs, affFiles)
+    val keep = dirs.filterNot(affDirs.toSet)
+    val rewritten =
+      if (affDirs.isEmpty) Seq.empty[String]
+      else {
+        val rw = newDataDir(root, "rw", parent + 1)
+        spark.read.option("mergeSchema", "true").parquet(affDirs: _*)
+          .join(keys, keyCols, "left_anti")
+          .write.parquet(rw)
+        Seq(rw)
+      }
+    val ins = newDataDir(root, "v", parent + 1)
+    df.write.mode("overwrite").parquet(ins)
+    val cols = evolveSchema(root,
+      manifestCols(root, parent).getOrElse(Seq.empty), df.columns.toSeq)
+    commitReplace(root, parent, (keep ++ rewritten) :+ ins,
+      lastEpoch(root), cols)
   }
 
   /** Retention: drop every version below `keepFrom` — delete their

@@ -183,6 +183,72 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("row-level delete: only owning dirs rewritten, null-cond rows survive, no-op skips versioning") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapdel").toString
+    try {
+      // three appends; only the middle one holds matching rows
+      SnapshotStore.append((1L to 10L).map(i => (i, s"keep$i"))
+        .toDF("id", "payload"), root)
+      SnapshotStore.append(
+        Seq((11L, "drop"), (12L, "keep"), (13L, null: String))
+          .toDF("id", "payload"), root)
+      SnapshotStore.append((14L to 20L).map(i => (i, s"keep$i"))
+        .toDF("id", "payload"), root)
+      val dirsBefore = SnapshotStore.manifestDirs(root, 3)
+      val v = SnapshotStore.deleteWhere(spark, root, col("payload") === "drop")
+      assert(v == 4)
+      val after = SnapshotStore.read(spark, root).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      // 11 deleted; 13 (NULL cond) SURVIVES — SQL DELETE semantics
+      assert(after == ((1L to 10L) ++ Seq(12L, 13L) ++ (14L to 20L)))
+      // untouched dirs carried over by reference, exactly one rewrite dir
+      val dirsAfter = SnapshotStore.manifestDirs(root, 4)
+      assert(dirsAfter.count(dirsBefore.contains) == 2)
+      assert(dirsAfter.count(!dirsBefore.contains(_)) == 1)
+      // time travel still reads the pre-delete content
+      assert(SnapshotStore.read(spark, root, 3).count() == 20)
+      // zero matches: a true no-op, no version published
+      assert(SnapshotStore.deleteWhere(spark, root, col("id") > 999L) == 4)
+      assert(SnapshotStore.currentVersion(root) == 4)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("upsert replaces same-key rows, inserts new keys, leaves other dirs by reference") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapups").toString
+    try {
+      SnapshotStore.append((1L to 5L).map(i => (i, s"old$i", 1.0))
+        .toDF("id", "payload", "score"), root)
+      SnapshotStore.append((6L to 10L).map(i => (i, s"old$i", 1.0))
+        .toDF("id", "payload", "score"), root)
+      val dirsBefore = SnapshotStore.manifestDirs(root, 2)
+      // update key 7, insert key 11
+      val v = SnapshotStore.upsert(spark,
+        Seq((7L, "new7", 2.0), (11L, "new11", 2.0))
+          .toDF("id", "payload", "score"), root, Seq("id"))
+      assert(v == 3)
+      val rows = SnapshotStore.read(spark, root, mergeSchema = true).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.size == 11 && rows(7L) == "new7" && rows(11L) == "new11"
+        && rows(6L) == "old6" && rows(1L) == "old1")
+      // dir 1 (keys 1-5) untouched by reference; dir 2 rewritten; batch added
+      val dirsAfter = SnapshotStore.manifestDirs(root, 3)
+      assert(dirsAfter.count(dirsBefore.contains) == 1)
+      assert(dirsAfter.size == 3)
+      // rename-shaped upsert batch is rejected like an append
+      val e = intercept[RuntimeException] {
+        SnapshotStore.upsert(spark,
+          Seq((1L, "x", 1.0)).toDF("id", "body", "score"), root, Seq("id"))
+      }
+      assert(e.getMessage.contains("RENAME"))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("a contended retry never re-commits an epoch the race winner already stamped") {
     import graft.sources.SnapshotStore
     val s = spark
