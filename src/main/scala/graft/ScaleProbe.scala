@@ -458,6 +458,36 @@ object ScaleProbe {
       } finally SnapshotStore.deleteTree(root)
     }
 
+    // Delete blast-radius probe: a store of K date-keyed appends, then a
+    // delete matching rows in exactly ONE directory. Copy-on-write is
+    // dir-granular, so the rewrite cost must stay ~flat as K grows (the
+    // detection scan is predicate-pushed; untouched dirs carry over by
+    // reference). Opt-in: SPARK_GRAFT_PROBE_ONLY=snapshot_delete_radius.
+    if (probeOnly.exists(_.contains("snapshot_delete_radius"))) {
+      import graft.sources.SnapshotStore
+      val legs = Seq(4, 16, 64).map { k =>
+        val root = java.nio.file.Files.createTempDirectory(s"delrad$k").toString
+        try {
+          (0 until k).foreach { d =>
+            SnapshotStore.append(
+              spark.range(d * 10000L, (d + 1) * 10000L)
+                .selectExpr("id", s"$d AS day", "id % 97 AS payload"), root)
+          }
+          val t0 = System.nanoTime()
+          SnapshotStore.deleteWhere(spark, root,
+            col("day") === 0 && col("id") % 2 === 0)
+          val t = (System.nanoTime() - t0) / 1e9
+          val n = SnapshotStore.read(spark, root).count()
+          assert(n == k * 10000L - 5000L)
+          t
+        } finally SnapshotStore.deleteTree(root)
+      }
+      println(f"[scale] snapshot_delete_radius dirs=4/16/64 " +
+        f"${legs(0)}%5.2fs ${legs(1)}%5.2fs ${legs(2)}%5.2fs " +
+        f"(flat-ish = rewrite cost tracks the match, not the store; " +
+        f"ratio4→64 ${legs(2) / legs(0)}%4.2f vs 16 for proportional)")
+    }
+
     // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
     // a FIXED corpus. The pre-rewrite formulation launched one Spark job
     // per merge (time ≈ proportional to merges); the driver-local loop

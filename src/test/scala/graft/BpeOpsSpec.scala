@@ -46,4 +46,34 @@ class BpeOpsSpec extends SparkSpec {
     // doc 2: no rule touches z -> 1 word, 2 chars, 2 tokens
     assert(enc(2L) == ((1L, 2L, 2L)))
   }
+
+  test("encode survives a production-depth merge chain (256 nested replaces)") {
+    val s = spark
+    import s.implicits._
+    // a corpus whose bigram-compound derivation funds 256 real merges
+    // (the bpe_train_large shape), then encode the RAW corpus through
+    // the full 256-rule chain — exercises the 256-deep nested-replace
+    // expression (codegen or interpreted fallback, either must work)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    // compound-bigram corpus (raw vocab exhausts at ~89 rules)
+    val tks = org.apache.spark.sql.functions.filter(
+      graft.operators.TextOps.tokens(col("text")), t => length(t) > lit(0))
+    val compounds = when(size(tks) >= 2,
+      transform(sequence(lit(1), size(tks) - 1),
+        i => concat(element_at(tks, i), lit("_"), element_at(tks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val merges = BpeOps.train(
+        docs.select(array_join(compounds, " ").as("text")),
+        numMerges = 256, vocabCap = 800).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 256, s"only ${merges.length} rules learned")
+    val enc = BpeOps.encode(docs, merges).collect()
+    assert(enc.nonEmpty)
+    // invariants: tokens never exceed chars, never fall below words
+    enc.foreach { r =>
+      val (w, c, t) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t <= c && t >= w, s"doc ${r.getLong(0)}: words=$w chars=$c tokens=$t")
+    }
+  }
 }
