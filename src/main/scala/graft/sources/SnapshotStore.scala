@@ -403,19 +403,28 @@ object SnapshotStore {
     val parent = currentVersion(root)
     require(parent > 0, s"no published version at $root")
     val dirs = manifestDirs(root, parent)
-    val withFile = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      .withColumn("__file", input_file_name())
-    val affFiles = withFile.where(cond).select("__file").distinct()
+    val snap = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    // Filter BEFORE projecting input_file_name(): the nondeterministic
+    // projection blocks predicate pushdown if it comes first (verified:
+    // PushedFilters goes empty), and post-shuffle contexts lose the file
+    // name entirely — filter+project must sit in the scan's own stage.
+    val affFiles = snap.where(cond)
+      .select(input_file_name().as("__file")).distinct()
       .collect().map(r => canonPath(r.getString(0)))
     if (affFiles.isEmpty) return parent
     val affDirs = owningDirs(dirs, affFiles)
     val keep = dirs.filterNot(affDirs.toSet)
     val rw = newDataDir(root, "rw", parent + 1)
-    spark.read.option("mergeSchema", "true").parquet(affDirs: _*)
+    // Rewrite under the FULL snapshot schema, not the affected dirs' own
+    // (a cond referencing a schema-evolved column absent from these dirs
+    // must see it as null, exactly as the detection scan did)
+    spark.read.schema(snap.schema).parquet(affDirs: _*)
       .where(!coalesce(cond, lit(false))) // NULL-cond rows survive, like SQL
       .write.parquet(rw)
-    commitReplace(root, parent, keep :+ rw, lastEpoch(root),
+    val v = commitReplace(root, parent, keep :+ rw, lastEpoch(root),
       manifestCols(root, parent).getOrElse(Seq.empty))
+    inheritStats(spark, root, parent, v, Seq(rw), snap.schema.fieldNames.toSeq)
+    v
   }
 
   /** MERGE/upsert by key: rows of `df` REPLACE same-key rows in the
@@ -433,10 +442,31 @@ object SnapshotStore {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val parent = currentVersion(root)
     require(parent > 0, s"no published version at $root — use append to create")
+    // Fail-fast order: the driver-side schema check costs nothing — run it
+    // before any scan or write so a rename-shaped batch dies in
+    // milliseconds instead of after a full rewrite (orphan dirs included)
+    val cols = evolveSchema(root,
+      manifestCols(root, parent).getOrElse(Seq.empty), df.columns.toSeq)
+    // Replace-by-key is only well-defined for unique batch keys — a
+    // duplicate would silently publish two rows per key (the Delta/
+    // Iceberg MERGE multiple-source-rows error, enforced here too)
+    val keyCount = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(when(col("__n") > 1, 1L)), lit(0L)),
+        count(lit(1))).head
+    val (dupKeys, nKeys) = (keyCount.getLong(0), keyCount.getLong(1))
+    require(dupKeys == 0L,
+      s"upsert batch has $dupKeys duplicate key(s) on (${keyCols.mkString(", ")}) " +
+        "— replace-by-key needs one source row per key; pre-aggregate the batch")
+    if (nKeys == 0L) return parent // empty batch: a true no-op, like deleteWhere
     val dirs = manifestDirs(root, parent)
     val keys = df.select(keyCols.map(col): _*).distinct()
+    // input_file_name() is projected in the SCAN's own stage (before the
+    // join): after a shuffle the file context is lost and the name reads
+    // empty — the projection-then-join order here is load-bearing. The
+    // scan prunes to keyCols; matching requires reading them regardless.
     val withFile = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      .withColumn("__file", input_file_name())
+      .select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
     val affFiles = withFile.join(keys, keyCols, "left_semi")
       .select("__file").distinct()
       .collect().map(r => canonPath(r.getString(0)))
@@ -453,10 +483,28 @@ object SnapshotStore {
       }
     val ins = newDataDir(root, "v", parent + 1)
     df.write.mode("overwrite").parquet(ins)
-    val cols = evolveSchema(root,
-      manifestCols(root, parent).getOrElse(Seq.empty), df.columns.toSeq)
-    commitReplace(root, parent, (keep ++ rewritten) :+ ins,
+    val v = commitReplace(root, parent, (keep ++ rewritten) :+ ins,
       lastEpoch(root), cols)
+    inheritStats(spark, root, parent, v, rewritten :+ ins, df.columns.toSeq)
+    v
+  }
+
+  /** Carry file-skipping stats across a CoW rewrite: if the store tracks
+    * per-file min/max sidecars, stamp the freshly written directories at
+    * the new version for the SAME columns (those still present in the
+    * written schema) — otherwise every delete/upsert would silently
+    * convert pruned data back into always-scanned data. */
+  private def inheritStats(spark: SparkSession, root: String, parent: Int,
+                           v: Int, newDirs: Seq[String],
+                           presentCols: Seq[String]): Unit = {
+    val statPaths = (1 to parent).map(statsPath(root, _))
+      .filter(Files.exists(_)).map(_.toString)
+    if (statPaths.isEmpty || newDirs.isEmpty) return
+    val present = presentCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val tracked = spark.read.parquet(statPaths: _*)
+      .select("col").distinct().collect().map(_.getString(0))
+      .filter(c => present.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    if (tracked.nonEmpty) writeStats(spark, root, v, newDirs, tracked.toSeq)
   }
 
   /** Retention: drop every version below `keepFrom` — delete their
@@ -541,16 +589,16 @@ object SnapshotStore {
                       statsCols: Seq[String]): Int = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
     val (v, dir) = appendReturningDir(df, root)
-    writeStats(df.sparkSession, root, v, dir, statsCols)
+    writeStats(df.sparkSession, root, v, Seq(dir), statsCols)
     v
   }
 
   /** One read-back scan of `dir` → the version's per-file min/max
     * sidecar (shared by stats-carrying appends and compactions). */
   private def writeStats(spark: SparkSession, root: String, v: Int,
-                         dir: String, statsCols: Seq[String]): Unit = {
+                         dirs: Seq[String], statsCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val written = spark.read.parquet(dir)
+    val written = spark.read.parquet(dirs: _*)
     val perFile = statsCols.map { c =>
       written
         .select(input_file_name().as("path"), col(c).cast("long").as("x"))
@@ -585,7 +633,7 @@ object SnapshotStore {
       .zorderLayoutScaled(merged, col(xCol), col(yCol), targetFiles)
       .write.mode("overwrite").parquet(dir)
     val v = commitCompaction(root, parent, dir, epoch, merged.columns.toSeq)
-    if (statsCols.nonEmpty) writeStats(spark, root, v, dir, statsCols)
+    if (statsCols.nonEmpty) writeStats(spark, root, v, Seq(dir), statsCols)
     v
   }
 

@@ -216,6 +216,43 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("delete/upsert hardening: evolved-column cond, dup keys, empty batch, stats inherited") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapcow2").toString
+    try {
+      // dir1 lacks the evolved column; dir2 carries it — with stats
+      SnapshotStore.appendWithStats(
+        (1L to 10L).map(i => (i, s"p$i")).toDF("id", "payload"), root, Seq("id"))
+      SnapshotStore.appendWithStats(
+        (11L to 20L).map(i => (i, s"p$i", i * 1.0)).toDF("id", "payload", "score"),
+        root, Seq("id"))
+      // cond references the evolved column: dir1's rows see it as null
+      // and must survive (null-cond semantics), dir2's matches go
+      val v = SnapshotStore.deleteWhere(spark, root,
+        col("score") > 15.0 || col("id") === 1L)
+      assert(v == 3)
+      val ids = SnapshotStore.read(spark, root, mergeSchema = true)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == ((2L to 15L): Seq[Long]))
+      // the rewrite inherited id-stats: a narrow readWhere still prunes
+      val (sel, total) = SnapshotStore.planFiles(spark, root, -1, "id", 2L, 2L)
+      assert(sel.size < total, s"no pruning after CoW: $sel of $total")
+      assert(SnapshotStore.readWhere(spark, root, "id", 2L, 2L).count() == 1)
+      // duplicate batch keys: rejected loudly, nothing published
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.upsert(spark,
+          Seq((5L, "x"), (5L, "y")).toDF("id", "payload"), root, Seq("id"))
+      }
+      assert(e.getMessage.contains("duplicate key"))
+      // empty batch: true no-op, like a zero-match delete
+      assert(SnapshotStore.upsert(spark,
+        Seq.empty[(Long, String)].toDF("id", "payload"), root, Seq("id")) == 3)
+      assert(SnapshotStore.currentVersion(root) == 3)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("upsert replaces same-key rows, inserts new keys, leaves other dirs by reference") {
     import graft.sources.SnapshotStore
     val s = spark
