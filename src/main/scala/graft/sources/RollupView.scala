@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   * what makes the view bit-equal to a from-scratch rollup — the property
   * the oracle checks.
   *
+  * Source DELETES and UPSERTS ([[SnapshotStore.deleteWhere]]/
+  * [[SnapshotStore.upsert]]) maintain incrementally too: refresh reads
+  * the net row diff ([[SnapshotStore.changes]]), re-aggregates only the
+  * (metric, day) groups that LOST rows (min/max are not retractable
+  * monoids — recompute-the-dirty-group is the standard IVM answer) and
+  * replaces their partials via the view store's own keyed upsert;
+  * insert-only groups keep the O(delta) append path. Only a source
+  * COMPACTION (or pre-kind legacy history, per [[SnapshotStore.manifestOp]])
+  * still falls back to one full rebuild, because a content-preserving
+  * directory swap has no row diff to follow.
+  *
   * Resume position: each refresh stamps the processed SOURCE version into
   * the view's manifest as the epoch id ([[SnapshotStore.appendEpoch]]),
   * so a re-run of the same refresh is a no-op (exactly-once maintenance
@@ -50,8 +61,13 @@ object RollupView {
   /** Delta rows → one partial row per (metric, day). Day is exact integer
     * division of epoch seconds (portable: DuckDB `//`, Spark `div`). */
   private def partials(delta: DataFrame): DataFrame =
-    delta
-      .groupBy(col("metric"), expr("e div 86400").as("day"))
+    partialsByDay(delta.select(
+      col("metric"), expr("e div 86400").as("day"), col("value")))
+
+  /** The same fold over rows that already carry their `day`. */
+  private def partialsByDay(rows: DataFrame): DataFrame =
+    rows
+      .groupBy(col("metric"), col("day"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("value").cast(SumType)).cast(SumType).as("vsum"),
@@ -74,20 +90,97 @@ object RollupView {
     val beforeDirs =
       if (from == 0 || baselineGone) Set.empty[String]
       else SnapshotStore.manifestDirs(srcRoot, from).toSet
-    if (baselineGone || beforeDirs.exists(d => !curDirs.contains(d))) {
-      // a compaction replaced directories we already counted: the manifest
-      // diff is no longer the row delta — rebuild once, publish as the
-      // view's own compaction (sole content), stamp the new position
+    val removed = beforeDirs.exists(d => !curDirs.contains(d))
+    if (baselineGone || (removed && !rowChurnOnly(srcRoot, from, srcCur))) {
+      // a compaction (or unknown-kind legacy history) replaced directories
+      // we already counted: the manifest diff is no longer the row delta —
+      // rebuild once, publish as the view's own compaction (sole content),
+      // stamp the new position
       val full = partials(SnapshotStore.read(spark, srcRoot, srcCur))
       if (SnapshotStore.currentVersion(viewRoot) == 0)
         SnapshotStore.appendEpoch(full, viewRoot, srcCur)
       else
         SnapshotStore.compactWith(full, viewRoot,
           epochOverride = Some(srcCur.toLong))
-    } else {
+    } else if (!removed) {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
       SnapshotStore.appendEpoch(partials(delta), viewRoot, srcCur)
-    }
+    } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur)
+  }
+
+  /** Are all commits in (from, cur] ROW-CHURN kinds (append/delete/
+    * upsert — the manifest's directory diff is the row diff)? A
+    * compaction, or a pre-kind legacy manifest, answers false and sends
+    * refresh down the rebuild branch. */
+  private def rowChurnOnly(root: String, from: Int, cur: Int): Boolean =
+    ((from + 1) to cur).forall(v =>
+      SnapshotStore.manifestOp(root, v)
+        .exists(op => op == "append" || op == "delete" || op == "upsert"))
+
+  /** The RETRACTION refresh: the source lost rows since `from`
+    * ([[SnapshotStore.deleteWhere]]/[[SnapshotStore.upsert]] rewrote
+    * directories), and count/sum could absorb a negative partial but
+    * min/max cannot — a deleted extremum un-derives nothing. The standard
+    * IVM answer, applied here: re-aggregate ONLY the DIRTY groups (the
+    * (metric, day) keys that lost at least one row) from the current
+    * source and REPLACE their partials in the view (the view store's own
+    * keyed [[SnapshotStore.upsert]]); groups that only gained rows append
+    * delta partials exactly like the fast path. A dirty group whose rows
+    * all vanished publishes a TOMBSTONE partial (cnt=0, null extents) —
+    * replace-by-key can't remove, but [[read]] filters zero-count groups
+    * and [[compact]] folds tombstones away physically.
+    *
+    * Cost: O(churn) for the change diff (two EXCEPT ALL over the
+    * rewritten directories), one source scan semi-joined to the dirty
+    * keys for the re-aggregate (broadcastable — dirty keys are
+    * group-keys-sized), O(view ∩ dirty) for the keyed replace. Nothing
+    * is O(standing table) except the dirty-scan's read itself, which
+    * partition/file pruning bounds when the store is day-keyed.
+    *
+    * Crash-safe like the fast path: the keyed replace carries the OLD
+    * stamp forward, only the closing append stamps `srcCur` — a re-run
+    * after a crash between the two recomputes the same diff against the
+    * same immutable manifests and replaces the same keys with the same
+    * rows (replace-by-key is content-idempotent), then stamps. */
+  private def refreshRetracting(spark: SparkSession, srcRoot: String,
+                                viewRoot: String, from: Int,
+                                srcCur: Int): Int = {
+    import org.apache.spark.storage.StorageLevel
+    val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dirty = ch.where(col("_change_type") === "delete")
+        .select(col("metric"), expr("e div 86400").as("day"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!dirty.isEmpty) {
+          val recomputed = partialsByDay(
+            SnapshotStore.read(spark, srcRoot, srcCur)
+              .select(col("metric"), expr("e div 86400").as("day"), col("value"))
+              .join(dirty, Seq("metric", "day"), "left_semi"))
+          val vT = recomputed.schema("vmin").dataType
+          val tombstones = dirty
+            .join(recomputed.select("metric", "day"), Seq("metric", "day"), "left_anti")
+            .select(col("metric"), col("day"),
+              lit(0L).as("cnt"), lit(0).cast(SumType).as("vsum"),
+              lit(null).cast(vT).as("vmin"), lit(null).cast(vT).as("vmax"))
+          SnapshotStore.upsert(spark, recomputed.unionByName(tombstones),
+            viewRoot, Seq("metric", "day"))
+        }
+        // insert-only groups append their delta partials; dirty groups are
+        // already whole in the replace above. The closing append also owns
+        // the `srcCur` stamp, so it publishes even when empty (one
+        // schema-bearing empty file — repartition(1) forces the writer to
+        // emit it; a zero-partition empty write would leave a fileless
+        // directory in the manifest).
+        val ins = partialsByDay(
+          ch.where(col("_change_type") === "insert")
+            .select(col("metric"), expr("e div 86400").as("day"), col("value"))
+            .join(dirty, Seq("metric", "day"), "left_anti"))
+        SnapshotStore.appendEpoch(
+          if (ins.isEmpty) ins.repartition(1) else ins, viewRoot, srcCur)
+      } finally dirty.unpersist()
+    } finally ch.unpersist()
   }
 
   /** The materialized rollup: merge all stored partials. Output carries
@@ -101,6 +194,10 @@ object RollupView {
         sum(col("vsum")).cast(SumType).as("vsum"),
         min(col("vmin")).as("vmin"),
         max(col("vmax")).as("vmax"))
+      // zero-count groups are retraction TOMBSTONES (every source row of
+      // the group was deleted) — logically absent; compact() folds them
+      // away physically
+      .where(col("cnt") > 0)
 
   /** Fold the accumulated partial rows down to one row per (metric, day),
     * published as a view compaction — bounds the merge cost of [[read]]

@@ -87,6 +87,22 @@ object SnapshotStore {
         .filter(_.nonEmpty))
   }
 
+  /** The operation KIND version `v`'s manifest records — "append",
+    * "compact", "delete" or "upsert" — None for pre-kind manifests (or a
+    * vacuumed version). The signal a change consumer needs to tell ROW
+    * CHURN (append/delete/upsert: the manifest's directory diff IS the
+    * row diff) from a content-preserving COMPACTION (directories change,
+    * rows don't — a directory diff across it double-counts). Consumers
+    * treat None conservatively (unknown history: recompute, don't diff). */
+  def manifestOp(root: String, v: Int): Option[String] = {
+    val p = manifestPath(root, v)
+    if (!Files.exists(p)) None
+    else {
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      """"op"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    }
+  }
+
   /** Publish `dirs` as version `v` — fully write a uniquely-named temp
     * file, then CREATE-IF-ABSENT it into place (hard link, atomic on the
     * local filesystems this store targets): readers either see the
@@ -97,7 +113,8 @@ object SnapshotStore {
     * compactions fail loudly on. */
   private def publish(root: String, v: Int, dirs: Seq[String],
                       epoch: Option[Long] = None,
-                      cols: Seq[String] = Nil): Unit = {
+                      cols: Seq[String] = Nil,
+                      op: String = ""): Unit = {
     // The manifest's arrays are parsed back with a naive split(',')
     // (manifestDirs/manifestCols above); a comma or quote inside a path
     // or column name would fragment every recorded entry and poison
@@ -114,7 +131,8 @@ object SnapshotStore {
     val colsField =
       if (cols.isEmpty) ""
       else s""""cols":[${cols.map("\"" + _ + "\"").mkString(",")}],"""
-    val body = s"""{"version":$v,$epochField$colsField""" +
+    val opField = if (op.isEmpty) "" else s""""op":"$op","""
+    val body = s"""{"version":$v,$opField$epochField$colsField""" +
       s""""dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
     // unique temp name: two contending writers must never share one
     // (leading '.' keeps it out of currentVersion's v*.json listing)
@@ -200,7 +218,7 @@ object SnapshotStore {
         if (parent == 0) Seq.empty
         else manifestCols(root, parent).getOrElse(Seq.empty)
       val cols = evolveSchema(root, parentCols, dfCols)
-      try { publish(root, v, parentDirs :+ dir, epoch, cols); return v }
+      try { publish(root, v, parentDirs :+ dir, epoch, cols, "append"); return v }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
@@ -266,6 +284,61 @@ object SnapshotStore {
     val added = manifestDirs(root, v).filterNot(before)
     if (added.isEmpty) read(spark, root, v).limit(0)
     else spark.read.parquet(added: _*)
+  }
+
+  /** Net row-level CHANGE FEED between two snapshot versions — every row
+    * of the snapshot schema plus `_change_type` ("insert" | "delete"; an
+    * upsert's update is a delete of the old row plus an insert of the
+    * new). This is what [[deleteWhere]]/[[upsert]] make necessary: a
+    * consumer (a downstream view, a replication target) can no longer
+    * treat [[incremental]] as "the delta", because a CoW rewrite removes
+    * rows without adding directories full of them.
+    *
+    * Semantics: the NET multiset difference of content — a row inserted
+    * and deleted inside the range reports nothing; identical rows
+    * rewritten between directories (compaction, a CoW rewrite's carried
+    * rows) cancel. Computed content-wise, so it is correct across ANY
+    * commit sequence; computed from only the directories the manifests
+    * DISAGREE on, so its cost is O(churn) — the removed + added
+    * directories' rows, two `EXCEPT ALL` shuffles — not O(table), except
+    * across a compaction (which replaces every directory; check
+    * [[manifestOp]] and cut change ranges at compactions to keep feeds
+    * cheap). Both sides read under one unified schema: schema-evolved
+    * columns compare as null on pre-evolution rows, exactly as [[read]]
+    * serves them. */
+  def changes(spark: SparkSession, root: String,
+              fromExclusive: Int, to: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = if (to > 0) to else currentVersion(root)
+    require(v > 0, s"no published version at $root")
+    require(fromExclusive >= 0 && v >= fromExclusive,
+      s"bad change range ($fromExclusive, $v]")
+    require(fromExclusive == 0 || hasManifest(root, fromExclusive),
+      s"change baseline v$fromExclusive was vacuumed at $root — " +
+        "the content diff is undefined; re-seed the consumer from a full read")
+    val before =
+      if (fromExclusive == 0) Seq.empty[String]
+      else manifestDirs(root, fromExclusive)
+    val after = manifestDirs(root, v)
+    val removed = before.filterNot(after.toSet)
+    val added = after.filterNot(before.toSet)
+    if (removed.isEmpty && added.isEmpty)
+      return read(spark, root, v).limit(0)
+        .withColumn("_change_type", lit("insert"))
+    // One unified schema for BOTH sides (a mergeSchema plan over every
+    // involved directory): EXCEPT ALL needs identical shapes, and a
+    // schema-enforced parquet read serves absent columns as null.
+    val unified = spark.read.option("mergeSchema", "true")
+      .parquet((removed ++ added): _*).schema
+    def side(dirs: Seq[String]): DataFrame =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unified)
+      else spark.read.schema(unified).parquet(dirs: _*)
+    val rem = side(removed)
+    val add = side(added)
+    add.exceptAll(rem).withColumn("_change_type", lit("insert"))
+      .unionByName(rem.exceptAll(add).withColumn("_change_type", lit("delete")))
   }
 
   /** Epoch-idempotent append — the `foreachBatch` sink contract: Spark
@@ -346,7 +419,7 @@ object SnapshotStore {
   private[graft] def commitCompaction(root: String, parent: Int, dir: String,
                                epoch: Option[Long],
                                cols: Seq[String] = Nil): Int =
-    commitReplace(root, parent, Seq(dir), epoch, cols)
+    commitReplace(root, parent, Seq(dir), epoch, cols, "compact")
 
   /** Commit a REPLACING version (compaction, row-level delete, upsert) —
     * `dirs` becomes the snapshot, superseding `parent` wholesale. Any
@@ -357,9 +430,10 @@ object SnapshotStore {
     * Orphaned rewrite directories are unreferenced; vacuum removes them. */
   private[graft] def commitReplace(root: String, parent: Int,
                                    dirs: Seq[String], epoch: Option[Long],
-                                   cols: Seq[String] = Nil): Int = {
+                                   cols: Seq[String] = Nil,
+                                   op: String = "compact"): Int = {
     val v = parent + 1
-    try { publish(root, v, dirs, epoch, cols); v }
+    try { publish(root, v, dirs, epoch, cols, op); v }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         sys.error(s"concurrent commit at $root: version $v was published " +
@@ -422,7 +496,7 @@ object SnapshotStore {
       .where(!coalesce(cond, lit(false))) // NULL-cond rows survive, like SQL
       .write.parquet(rw)
     val v = commitReplace(root, parent, keep :+ rw, lastEpoch(root),
-      manifestCols(root, parent).getOrElse(Seq.empty))
+      manifestCols(root, parent).getOrElse(Seq.empty), "delete")
     inheritStats(spark, root, parent, v, Seq(rw), snap.schema.fieldNames.toSeq)
     v
   }
@@ -484,7 +558,7 @@ object SnapshotStore {
     val ins = newDataDir(root, "v", parent + 1)
     df.write.mode("overwrite").parquet(ins)
     val v = commitReplace(root, parent, (keep ++ rewritten) :+ ins,
-      lastEpoch(root), cols)
+      lastEpoch(root), cols, "upsert")
     inheritStats(spark, root, parent, v, rewritten :+ ins, df.columns.toSeq)
     v
   }

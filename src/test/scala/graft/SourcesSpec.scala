@@ -603,6 +603,173 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("change feed: net insert/delete rows across appends, deletes, upserts") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapcdf").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      SnapshotStore.append((1L to 5L).map(i => (i, s"p$i")).toDF("id", "payload"), root)
+      SnapshotStore.append((6L to 8L).map(i => (i, s"p$i")).toDF("id", "payload"), root)
+      // manifest op kinds are recorded
+      assert(SnapshotStore.manifestOp(root, 1).contains("append"))
+      assert(SnapshotStore.manifestOp(root, 2).contains("append"))
+      // append-only range: pure inserts; from=0 seeds with full content
+      assert(rows(SnapshotStore.changes(spark, root, 1, 2)) ==
+        (6L to 8L).map(i => (i, s"p$i", "insert")).toSet)
+      assert(SnapshotStore.changes(spark, root, 0, 2).count() == 8)
+      assert(SnapshotStore.changes(spark, root, 0, 2)
+        .where(col("_change_type") === "delete").count() == 0)
+      // empty range: no changes, schema intact
+      val empty = SnapshotStore.changes(spark, root, 2, 2)
+      assert(empty.count() == 0 &&
+        empty.columns.toSeq == Seq("id", "payload", "_change_type"))
+      // a delete reports exactly the removed rows, carried rows cancel
+      SnapshotStore.deleteWhere(spark, root, col("id") === 7L)
+      assert(SnapshotStore.manifestOp(root, 3).contains("delete"))
+      assert(rows(SnapshotStore.changes(spark, root, 2, 3)) ==
+        Set((7L, "p7", "delete")))
+      // an upsert's update = delete(old) + insert(new); pure insert = insert
+      SnapshotStore.upsert(spark,
+        Seq((6L, "patched"), (99L, "new")).toDF("id", "payload"), root, Seq("id"))
+      assert(SnapshotStore.manifestOp(root, 4).contains("upsert"))
+      assert(rows(SnapshotStore.changes(spark, root, 3, 4)) ==
+        Set((6L, "p6", "delete"), (6L, "patched", "insert"), (99L, "new", "insert")))
+      // spanning the whole churn: NET diff (insert-then-delete of 7 cancels
+      // only if inside the range — here 7 existed at v2, so it reports)
+      assert(rows(SnapshotStore.changes(spark, root, 2, 4)) ==
+        Set((7L, "p7", "delete"), (6L, "p6", "delete"),
+          (6L, "patched", "insert"), (99L, "new", "insert")))
+      // across a compaction: content preserved -> empty feed (cost caveat
+      // documented; correctness holds regardless of commit kinds)
+      SnapshotStore.compact(spark, root)
+      assert(SnapshotStore.manifestOp(root, 5).contains("compact"))
+      assert(SnapshotStore.changes(spark, root, 4, 5).count() == 0)
+      // vacuumed baseline fails loudly, like incremental()
+      SnapshotStore.vacuum(root, keepFrom = 5)
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.changes(spark, root, 2)
+      }
+      assert(e.getMessage.contains("vacuumed"))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("change feed compares schema-evolved rows under one unified schema") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapcdfev").toString
+    try {
+      SnapshotStore.append((1L to 3L).map(i => (i, s"p$i")).toDF("id", "payload"), root)
+      SnapshotStore.append(Seq((4L, "p4", 0.5)).toDF("id", "payload", "score"), root)
+      // delete hits a PRE-evolution row: its diff rows read score as null
+      // on both sides and must cancel/report consistently
+      SnapshotStore.deleteWhere(spark, root, col("id") === 2L)
+      val ch = SnapshotStore.changes(spark, root, 2, 3).collect()
+      assert(ch.length == 1)
+      val r = ch(0)
+      assert(r.getLong(0) == 2L && r.getString(1) == "p2"
+        && r.isNullAt(2) && r.getString(3) == "delete")
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("rollup view absorbs source deletes incrementally (dirty-group recompute + tombstones)") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivmdel").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      def mk(rows: Seq[(String, Long, Double)]) =
+        rows.toDF("metric", "e", "value")
+      def fullRollup() = {
+        val r = SnapshotStore.read(spark, src)
+          .groupBy(col("metric"), expr("e div 86400").as("day"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(30,2)")).as("vsum"),
+            min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+      }
+      def viewRows() =
+        RollupView.read(spark, view).collect().map(x =>
+          (x.getString(0), x.getLong(1), x.getLong(2),
+           x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+      // two appends: metric m spans two days, metric n one day
+      SnapshotStore.append(mk(Seq(("m", 10L, 5.0), ("m", 20L, 1.0),
+        ("m", 86410L, 2.0), ("n", 30L, -1.0))), src)
+      RollupView.refresh(spark, src, view)
+      SnapshotStore.append(mk(Seq(("m", 40L, 9.0), ("n", 50L, -3.0))), src)
+      RollupView.refresh(spark, src, view)
+      assert(viewRows() == fullRollup())
+      // delete the day-0 m MAXIMUM (min/max must re-derive, not absorb)
+      // and ALL of n (its group vanishes -> tombstone)
+      SnapshotStore.deleteWhere(spark, src,
+        (col("metric") === "m" && col("value") === 9.0) || col("metric") === "n")
+      val vBefore = SnapshotStore.currentVersion(view)
+      RollupView.refresh(spark, src, view)
+      assert(viewRows() == fullRollup())
+      // the n group is GONE from the read (tombstoned), not zero-row garbage
+      assert(!viewRows().exists(_._1 == "n"))
+      // and the refresh took the RETRACTION path, not a rebuild: a keyed
+      // replace (upsert) then the stamping append — never a compaction
+      val kinds = ((vBefore + 1) to SnapshotStore.currentVersion(view))
+        .flatMap(v => SnapshotStore.manifestOp(view, v))
+      assert(kinds == Seq("upsert", "append"), s"got $kinds")
+      // untouched day-1 m partials were carried by reference, not rewritten
+      assert(viewRows().contains(("m", 1L, 1L, 2.0, 2.0, 2.0)))
+      // a second consecutive retraction composes (delete day-0 m minimum)
+      SnapshotStore.deleteWhere(spark, src,
+        col("metric") === "m" && col("value") === 1.0)
+      RollupView.refresh(spark, src, view)
+      assert(viewRows() == fullRollup())
+      assert(viewRows().contains(("m", 0L, 1L, 5.0, 5.0, 5.0)))
+      // re-inserting after a tombstone revives the group through the
+      // ordinary append path (merged cnt > 0 again)
+      SnapshotStore.append(mk(Seq(("n", 60L, 4.5))), src)
+      RollupView.refresh(spark, src, view)
+      assert(viewRows() == fullRollup())
+      assert(viewRows().contains(("n", 0L, 1L, 4.5, 4.5, 4.5)))
+      // compaction folds the tombstones physically; content unchanged
+      RollupView.compact(spark, view)
+      assert(viewRows() == fullRollup())
+      assert(SnapshotStore.read(spark, view)
+        .where(col("cnt") === 0L).count() == 0)
+      // idempotent at position: no new version on a same-position refresh
+      val vStable = SnapshotStore.currentVersion(view)
+      RollupView.refresh(spark, src, view)
+      assert(SnapshotStore.currentVersion(view) == vStable)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("rollup refresh: delete-everything retraction leaves a consistent empty view") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivmdelall").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.0), ("m", 86410L, 2.0))
+        .toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      SnapshotStore.deleteWhere(spark, src, lit(true))
+      RollupView.refresh(spark, src, view)
+      assert(RollupView.read(spark, view).count() == 0)
+      // the stamp advanced: refresh is a no-op at position, and a later
+      // append resumes incrementally from the empty state
+      val vStable = SnapshotStore.currentVersion(view)
+      RollupView.refresh(spark, src, view)
+      assert(SnapshotStore.currentVersion(view) == vStable)
+      SnapshotStore.append(Seq(("m", 20L, 7.0)).toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      val rows = RollupView.read(spark, view).collect()
+      assert(rows.length == 1 && rows(0).getLong(2) == 1L
+        && rows(0).getDouble(4) == 7.0)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("vacuum + epoch ingest compose; non-canonical roots don't eat live data") {
     import graft.sources.SnapshotStore
     val s = spark
