@@ -1526,6 +1526,31 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Net change feed across a delete + upsert: the store is seeded by two
+    // appends (v1/v2), the 'de' docs are deleted (v3) and every doc_id
+    // divisible by 10 is patched / five new keys inserted (v4); the feed
+    // over (v2, v4] must report exactly the NET row diff — an update is a
+    // delete(old)+insert(new) pair, rows a CoW rewrite merely carried
+    // between directories cancel, and a de∩(%10) doc reports its original
+    // row once as a delete and its patched row once as an insert.
+    "snapshot_changes" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_snapcdf").toString
+      try {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
+        sources.SnapshotStore.append(docs.where(col("doc_id") < 300), root)
+        sources.SnapshotStore.append(docs.where(col("doc_id") >= 300), root)
+        sources.SnapshotStore.deleteWhere(s, root, col("lang") === "de")
+        val batch = docs.where(col("doc_id") % 10 === 0)
+          .withColumn("source", lit("patched"))
+          .unionByName((1L to 5L).map(i => (1000000L + i, "xx", "inserted"))
+            .toDF("doc_id", "lang", "source"))
+        sources.SnapshotStore.upsert(s, batch, root, Seq("doc_id"))
+        sources.SnapshotStore.changes(s, root, fromExclusive = 2)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // File-skipping read: appends carry per-file min/max stats of doc_id
     // (range-partitioned so files have tight spans), and the range read
     // plans only the overlapping files from the manifest stats — the
@@ -1563,6 +1588,39 @@ object SparkEntry {
         sources.SnapshotStore.append(se.where(col("e") % 3 === 1), src)
         sources.RollupView.refresh(s, src, view)
         sources.RollupView.compact(s, view)
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 2), src)
+        sources.RollupView.refresh(s, src, view)
+        sources.RollupView.read(s, view)
+          .select(col("metric"), col("day"), col("cnt"),
+            col("vsum").cast("double").as("sum_val"),
+            col("vmin").as("min_val"), col("vmax").as("max_val"),
+            (col("vsum").cast("double") / col("cnt")).as("mean_val"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Retraction IVM: the maintained rollup absorbs a source DELETE
+    // incrementally (dirty-group recompute + tombstones, never a
+    // rebuild — RollupView takes the retraction path because the delete
+    // commit's manifest kind is row churn). Deleting ALL 'click' rows
+    // vanishes whole groups (tombstone leg); deleting even-second 'view'
+    // rows dirties groups that keep rows (recompute leg, min/max
+    // re-derived); the later slice-2 append revives 'click' groups
+    // through the ordinary O(delta) path. The final view faces a
+    // from-scratch rollup of exactly the surviving + late rows.
+    "rollup_view_retract" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivmr").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        val se = series(s, dir).select("metric", "e", "value")
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 0), src)
+        sources.RollupView.refresh(s, src, view)
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 1), src)
+        sources.RollupView.refresh(s, src, view)
+        sources.SnapshotStore.deleteWhere(s, src,
+          col("metric") === "click" ||
+            (col("metric") === "view" && col("e") % 2 === 0))
+        sources.RollupView.refresh(s, src, view)
         sources.SnapshotStore.append(se.where(col("e") % 3 === 2), src)
         sources.RollupView.refresh(s, src, view)
         sources.RollupView.read(s, view)
@@ -3985,6 +4043,25 @@ object SparkEntry {
         |SELECT 1000000 + r AS doc_id, 'xx' AS lang, 'inserted' AS source
         |FROM generate_series(1, 5) t(r)""".stripMargin,
 
+    // The net (v2, v4] diff of the delete+upsert lifecycle: 'de' docs not
+    // caught by the upsert report as plain deletes; every %10 doc reports
+    // its original row as a delete and its patched row as an insert
+    // (including the de∩%10 docs, whose delete-then-reinsert collapses to
+    // exactly that same pair); the five synthetic keys are pure inserts.
+    "snapshot_changes" ->
+      """SELECT doc_id, lang, source, 'delete' AS _change_type
+        |FROM documents WHERE lang = 'de' AND doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, source, 'delete' AS _change_type
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, 'patched' AS source, 'insert' AS _change_type
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT 1000000 + r AS doc_id, 'xx' AS lang, 'inserted' AS source,
+        |  'insert' AS _change_type
+        |FROM generate_series(1, 5) t(r)""".stripMargin,
+
     // Data-expectations gate: one UNION leg per rule, counts replayed
     // with FILTER aggregates; rule names must match ValidationOps's
     // naming verbatim (they are compare keys).
@@ -4085,6 +4162,25 @@ object SparkEntry {
     // The streaming-ingest twin shares the oracle verbatim.
     "rollup_view_incremental" -> ROLLUP_VIEW_ORACLE,
     "stream_rollup_view_parity" -> ROLLUP_VIEW_ORACLE,
+
+    // Retraction-IVM oracle: a from-scratch rollup of exactly the rows
+    // that survive the lifecycle — the delete fired while slices 0/1 were
+    // in the store (so it strips only their matching rows), slice 2
+    // arrived afterwards and survives whole.
+    "rollup_view_retract" ->
+      s"""WITH $SERIES,
+         |final AS (
+         |  SELECT metric, e, value FROM series
+         |  WHERE e % 3 <= 1
+         |    AND NOT (metric = 'click' OR (metric = 'view' AND e % 2 = 0))
+         |  UNION ALL
+         |  SELECT metric, e, value FROM series WHERE e % 3 = 2
+         |)
+         |SELECT metric, e // 86400 AS day, count(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+         |  min(value) AS min_val, max(value) AS max_val,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
+         |FROM final GROUP BY 1, 2""".stripMargin,
 
     // Fuzzy-match replay: same title derivation, same planted variants,
     // same prefix/suffix blocking union, same integer levenshtein gate.
