@@ -488,6 +488,51 @@ object ScaleProbe {
         f"ratio4→64 ${legs(2) / legs(0)}%4.2f vs 16 for proportional)")
     }
 
+    // Retraction-IVM blast radius: a maintained rollup absorbs a delete
+    // of half of ONE day while the standing source grows 4→16→64
+    // day-keyed directories. The refresh's cost terms are the change
+    // diff (one rewritten directory), the dirty-group re-aggregate
+    // (day-range pre-filter pushed to the scan, so day-keyed parquet
+    // prunes the other days' files) and a view upsert — none O(standing
+    // table), so the curve must stay flat-ish while a full rebuild would
+    // scale with K. Opt-in: SPARK_GRAFT_PROBE_ONLY=ivm_retract_radius.
+    if (probeOnly.exists(_.contains("ivm_retract_radius"))) {
+      import graft.sources.{RollupView, SnapshotStore}
+      val legs = Seq(4, 16, 64).map { k =>
+        val root = java.nio.file.Files.createTempDirectory(s"ivmrad$k").toString
+        val src = s"$root/src"; val view = s"$root/view"
+        try {
+          (0 until k).foreach { d =>
+            SnapshotStore.append(
+              spark.range(d * 10000L, (d + 1) * 10000L).selectExpr(
+                "concat('m', id % 7) AS metric",
+                s"$d*86400 + (id % 86400) AS e",
+                "CAST(id % 97 AS DOUBLE) AS value"), src)
+          }
+          RollupView.refresh(spark, src, view)
+          SnapshotStore.deleteWhere(spark, src,
+            col("e") < 86400L && col("e") % 2 === 0)
+          val t0 = System.nanoTime()
+          RollupView.refresh(spark, src, view)
+          val t = (System.nanoTime() - t0) / 1e9
+          // the refresh took the retraction path (keyed replace + stamping
+          // append), not a rebuild, and the maintained content is right
+          val vCur = SnapshotStore.currentVersion(view)
+          val kinds = Seq(vCur - 1, vCur).flatMap(SnapshotStore.manifestOp(view, _))
+          assert(kinds == Seq("upsert", "append"), s"not retraction: $kinds")
+          val total = RollupView.read(spark, view)
+            .agg(sum(col("cnt"))).head().getLong(0)
+          assert(total == k * 10000L - 5000L, s"cnt=$total at k=$k")
+          t
+        } finally SnapshotStore.deleteTree(root)
+      }
+      println(f"[scale] ivm_retract_radius dirs=4/16/64 " +
+        f"${legs(0)}%5.2fs ${legs(1)}%5.2fs ${legs(2)}%5.2fs " +
+        f"(flat-ish = retraction refresh tracks churn + dirty day, " +
+        f"not the standing table; ratio4→64 ${legs(2) / legs(0)}%4.2f " +
+        f"vs 16 for proportional)")
+    }
+
     // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
     // a FIXED corpus. The pre-rewrite formulation launched one Spark job
     // per merge (time ≈ proportional to merges); the driver-local loop

@@ -154,8 +154,25 @@ object RollupView {
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
       try {
         if (!dirty.isEmpty) {
+          // Conservative day-range pre-filter: the semi-join alone gives
+          // the parquet scan nothing to push down, so the re-aggregate
+          // would read the whole standing table. A plain range predicate
+          // on e (spanning the dirty days) reaches the scan as a
+          // PushedFilter — a day-keyed or z-ordered source prunes
+          // files/row-groups before the semi-join refines to the exact
+          // dirty keys. Sound for the non-negative epochs the day
+          // contract (e div 86400 == e // 86400) already assumes; a
+          // negative bound skips the pre-filter rather than guess at
+          // truncation-vs-floor semantics.
+          val b = dirty.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+          val (dlo, dhi) = (b.getLong(0), b.getLong(1))
+          val srcRows = SnapshotStore.read(spark, srcRoot, srcCur)
+          val pre =
+            if (dlo >= 0)
+              srcRows.where(col("e") >= dlo * 86400L && col("e") <= dhi * 86400L + 86399L)
+            else srcRows
           val recomputed = partialsByDay(
-            SnapshotStore.read(spark, srcRoot, srcCur)
+            pre
               .select(col("metric"), expr("e div 86400").as("day"), col("value"))
               .join(dirty, Seq("metric", "day"), "left_semi"))
           val vT = recomputed.schema("vmin").dataType
