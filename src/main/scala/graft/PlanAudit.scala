@@ -240,7 +240,49 @@ object PlanAudit {
       ("simhash self-join reuses the signature exchange",
         finalPlanOf("simhash_neardup").contains("ReusedExchange")),
       ("embedding near-dup reuses the bucket exchange",
-        finalPlanOf("embedding_neardup").contains("ReusedExchange")))
+        finalPlanOf("embedding_neardup").contains("ReusedExchange")),
+      // The retraction-IVM recompute and the change feed live behind
+      // checkpointed registered queries (temp-rooted stores), so their
+      // plans are audited against a tiny inline store instead.
+      ("retraction recompute pre-prunes the scan, semi-joins without cartesian", {
+        import org.apache.spark.sql.functions.col
+        import graft.sources.{RollupView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_ivmr").toString
+        try {
+          val src = s"$root/src"; val view = s"$root/view"
+          (0 until 3).foreach { d =>
+            SnapshotStore.append(spark.range(d * 1000L, (d + 1) * 1000L)
+              .selectExpr("concat('m', id % 3) AS metric",
+                s"$d*86400 + (id % 86400) AS e",
+                "CAST(id % 7 AS DOUBLE) AS value"), src)
+          }
+          RollupView.refresh(spark, src, view)
+          SnapshotStore.deleteWhere(spark, src,
+            col("e") < 86400L && col("e") % 2 === 0)
+          RollupView.refresh(spark, src, view)
+          val p = RollupView.lastRecomputePlan
+          p.contains("GreaterThanOrEqual(e") && p.contains("LessThanOrEqual(e") &&
+            p.contains("LeftSemi") && !p.contains("CartesianProduct")
+        } finally graft.sources.SnapshotStore.deleteTree(root)
+      }),
+      ("change feed diff plans EXCEPT without cartesian", {
+        import org.apache.spark.sql.functions.col
+        import graft.sources.SnapshotStore
+        val root = java.nio.file.Files.createTempDirectory("pa_cdf").toString
+        try {
+          (0 until 3).foreach { d =>
+            SnapshotStore.append(spark.range(d * 1000L, (d + 1) * 1000L)
+              .selectExpr("id", "id % 7 AS payload"), root)
+          }
+          SnapshotStore.deleteWhere(spark, root, col("id") % 2 === 0)
+          val p = SnapshotStore.changes(spark, root, 3)
+            .queryExecution.executedPlan.toString
+          // EXCEPT ALL rewrites to +1/-1 multiplicities + partial-agg +
+          // replicaterows: map-side combine on the churn, no join at all
+          !p.contains("CartesianProduct") && p.contains("replicaterows") &&
+            p.contains("partial_sum")
+        } finally SnapshotStore.deleteTree(root)
+      }))
     checks.foreach { case (what, ok) =>
       println(f"${if (ok) "OK " else "BAD"} $what")
       if (!ok) bad += 1

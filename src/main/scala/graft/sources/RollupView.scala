@@ -51,6 +51,11 @@ import org.apache.spark.sql.functions._
   */
 object RollupView {
 
+  /** Physical plan of the last retraction recompute (see the capture
+    * site in [[refreshRetracting]] for why a hook and not a registered
+    * query plan). */
+  @volatile private[graft] var lastRecomputePlan: String = ""
+
   /** Fixed partial-sum type: wide enough that re-merging compacted
     * partials stays exact (values fit well inside 28 integer digits), and
     * FIXED so every version's parquet schema is identical — Spark's sum
@@ -175,6 +180,11 @@ object RollupView {
             pre
               .select(col("metric"), expr("e div 86400").as("day"), col("value"))
               .join(dirty, Seq("metric", "day"), "left_semi"))
+          // Plan-audit hook: the registered queries return checkpointed
+          // frames (their stores are temp-rooted), so the recompute's
+          // scan-prune/broadcast posture is only visible here. One extra
+          // planning pass, model-free and ms-scale next to the refresh.
+          lastRecomputePlan = recomputed.queryExecution.executedPlan.toString
           val vT = recomputed.schema("vmin").dataType
           val tombstones = dirty
             .join(recomputed.select("metric", "day"), Seq("metric", "day"), "left_anti")
