@@ -1670,6 +1670,36 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // CDC-apply parity: a stream of keyed change batches — inserts AND
+    // updates re-emitting earlier event_ids with patched values — lands
+    // in the snapshot store as epoch-idempotent upserts (first batch
+    // bootstraps the table) through a REAL checkpointed micro-batch
+    // stream, with the maintained rollup refreshed inside each trigger
+    // (the update batch rewrites directories, so the view exercises the
+    // retraction path under streaming). The final view faces a
+    // from-scratch rollup of the last-writer-wins content.
+    "stream_cdc_upsert_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        val se = series(s, dir).select("event_id", "metric", "e", "value")
+        val b0 = se.where(col("e") % 3 === 0).withColumn("__batch", lit(0))
+        val updates = se.where(col("e") % 3 === 0 && col("event_id") % 5 === 0)
+          .withColumn("value", col("value") + lit(1000.0))
+        val b1 = se.where(col("e") % 3 === 1).unionByName(updates)
+          .withColumn("__batch", lit(1))
+        val b2 = se.where(col("e") % 3 === 2).withColumn("__batch", lit(2))
+        graft.streaming.StreamReplay.cdcUpsertReplay(
+          b0.unionByName(b1).unionByName(b2), Seq("event_id"), src, view)
+        sources.RollupView.read(s, view)
+          .select(col("metric"), col("day"), col("cnt"),
+            col("vsum").cast("double").as("sum_val"),
+            col("vmin").as("min_val"), col("vmax").as("max_val"),
+            (col("vsum").cast("double") / col("cnt")).as("mean_val"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Blocked fuzzy title matching (entity-resolution dedup): prefix/suffix
     // union blocking + exact integer Levenshtein verify over 5-token
     // titles, with planted first-char-substituted (suffix block catches)
@@ -4162,6 +4192,24 @@ object SparkEntry {
     // The streaming-ingest twin shares the oracle verbatim.
     "rollup_view_incremental" -> ROLLUP_VIEW_ORACLE,
     "stream_rollup_view_parity" -> ROLLUP_VIEW_ORACLE,
+
+    // CDC-apply oracle: last-writer-wins content — the batch-1 updates
+    // patch the even-slice rows whose event_id % 5 = 0 (same key, same
+    // metric/e, value + 1000; both engines do the identical IEEE double
+    // add before the decimal cast) — rolled up from scratch.
+    "stream_cdc_upsert_parity" ->
+      s"""WITH $SERIES,
+         |final AS (
+         |  SELECT metric, e,
+         |    CASE WHEN e % 3 = 0 AND event_id % 5 = 0
+         |         THEN value + 1000 ELSE value END AS value
+         |  FROM series
+         |)
+         |SELECT metric, e // 86400 AS day, count(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+         |  min(value) AS min_val, max(value) AS max_val,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
+         |FROM final GROUP BY 1, 2""".stripMargin,
 
     // Retraction-IVM oracle: a from-scratch rollup of exactly the rows
     // that survive the lifecycle — the delete fired while slices 0/1 were

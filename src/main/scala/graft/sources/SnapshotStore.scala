@@ -512,15 +512,38 @@ object SnapshotStore {
     * `parent` fails this rewrite loudly. */
   def upsert(spark: SparkSession, df: DataFrame, root: String,
              keyCols: Seq[String]): Int = {
+    require(currentVersion(root) > 0,
+      s"no published version at $root — use append to create")
+    upsertCore(spark, df, root, keyCols, lastEpoch(root))
+  }
+
+  /** Epoch-idempotent upsert — the `foreachBatch` CDC-APPLY contract: a
+    * stream of keyed change batches lands exactly-once even though Spark
+    * replays micro-batches after a failure/restart (a replayed epoch is a
+    * no-op, same as [[appendEpoch]]). A keyed upsert replay would be
+    * CONTENT-idempotent anyway (replacing the same keys with the same
+    * rows), but it would publish a spurious version and rewrite the
+    * owning directories again — the stamp makes the replay free. The
+    * first batch on an empty store bootstraps the table (CDC streams
+    * start with inserts; there is no separate create step to order
+    * against). */
+  def upsertEpoch(spark: SparkSession, df: DataFrame, root: String,
+                  keyCols: Seq[String], epochId: Long): Int =
+    if (epochSeen(root, epochId)) currentVersion(root)
+    else upsertCore(spark, df, root, keyCols, Some(epochId))
+
+  private def upsertCore(spark: SparkSession, df: DataFrame, root: String,
+                         keyCols: Seq[String], epoch: Option[Long]): Int = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val parent = currentVersion(root)
-    require(parent > 0, s"no published version at $root — use append to create")
     // Fail-fast order: the driver-side schema check costs nothing — run it
     // before any scan or write so a rename-shaped batch dies in
     // milliseconds instead of after a full rewrite (orphan dirs included)
-    val cols = evolveSchema(root,
-      manifestCols(root, parent).getOrElse(Seq.empty), df.columns.toSeq)
+    val cols =
+      if (parent == 0) df.columns.toSeq
+      else evolveSchema(root,
+        manifestCols(root, parent).getOrElse(Seq.empty), df.columns.toSeq)
     // Replace-by-key is only well-defined for unique batch keys — a
     // duplicate would silently publish two rows per key (the Delta/
     // Iceberg MERGE multiple-source-rows error, enforced here too)
@@ -533,6 +556,13 @@ object SnapshotStore {
       s"upsert batch has $dupKeys duplicate key(s) on (${keyCols.mkString(", ")}) " +
         "— replace-by-key needs one source row per key; pre-aggregate the batch")
     if (nKeys == 0L) return parent // empty batch: a true no-op, like deleteWhere
+    if (parent == 0) {
+      // bootstrap: every batch row is an insert; the commit is an
+      // ordinary (commutative, retry-safe) append
+      val dir = newDataDir(root, "v", 1)
+      df.write.mode("overwrite").parquet(dir)
+      return commitAppend(root, dir, epoch, df.columns.toSeq)
+    }
     val dirs = manifestDirs(root, parent)
     val keys = df.select(keyCols.map(col): _*).distinct()
     // input_file_name() is projected in the SCAN's own stage (before the
@@ -558,7 +588,7 @@ object SnapshotStore {
     val ins = newDataDir(root, "v", parent + 1)
     df.write.mode("overwrite").parquet(ins)
     val v = commitReplace(root, parent, (keep ++ rewritten) :+ ins,
-      lastEpoch(root), cols, "upsert")
+      epoch, cols, "upsert")
     inheritStats(spark, root, parent, v, rewritten :+ ins, df.columns.toSeq)
     v
   }

@@ -294,6 +294,80 @@ object StreamReplay {
     } finally deleteRecursively(root.toFile)
   }
 
+  /** CDC-APPLY replay: drive `batches` — a relation carrying an explicit
+    * `__batch` column that partitions it into change batches (inserts AND
+    * keyed updates; batch order is semantic, later batches win) — through
+    * a real checkpointed file stream, each micro-batch landing in the
+    * snapshot store as an epoch-idempotent keyed UPSERT
+    * ([[graft.sources.SnapshotStore.upsertEpoch]]; the first batch
+    * bootstraps the table) with the maintained rollup refreshed inside
+    * the same trigger ([[graft.sources.RollupView.refresh]] — an update
+    * batch rewrites directories, so the refresh exercises the RETRACTION
+    * path under streaming, not just the append path). Unlike the
+    * time-sliced replays, the batch composition is the caller's: a CDC
+    * fixture needs batches that re-emit earlier keys, which no time cut
+    * produces. */
+  def cdcUpsertReplay(rawBatches: DataFrame, keyCols: Seq[String],
+                      srcRoot: String, viewRoot: String): Unit = {
+    val batches = rawBatches.withColumn("__batch", col("__batch").cast("int"))
+    val spark = batches.sparkSession
+    val root = newReplayRoot()
+    val inDir = root.resolve("in").toString
+    val ckDir = root.resolve("ck").toString
+    try {
+      val nBatches = batches.agg(max(col("__batch"))).head() match {
+        case r if r.isNullAt(0) => return // empty fixture: nothing to apply
+        case r                  => r.getInt(0) + 1
+      }
+      // one partitioned write cuts every batch into a single file; files
+      // move into the flat source dir with strictly increasing modTimes
+      // so the pickup order IS the batch order (same mechanics as
+      // writeSliceFiles, same loud failure if stamping breaks)
+      val stageDir = root.resolve("stage").toString
+      val dataSchema = batches.drop("__batch").schema
+      batches.repartition(nBatches, col("__batch"))
+        .write.partitionBy("__batch").parquet(stageDir)
+      val stampBase = System.currentTimeMillis()
+      Files.createDirectories(java.nio.file.Paths.get(inDir))
+      (0 until nBatches).foreach { k =>
+        val sliceDir = new java.io.File(s"$stageDir/__batch=$k")
+        Option(sliceDir.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+            case (f, i) =>
+              val dest = new java.io.File(inDir, s"batch-$k-$i.parquet")
+              Files.move(f.toPath, dest.toPath)
+              if (!dest.setLastModified(stampBase + k * 1000L))
+                throw new IllegalStateException(
+                  s"setLastModified failed for ${dest.getPath}; replay " +
+                    "order would fall back to nondeterministic " +
+                    "write-latency order and updates could apply before " +
+                    "their inserts")
+          }
+      }
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = spark.readStream
+          .schema(dataSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .writeStream
+          .option("checkpointLocation", ckDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              graft.sources.SnapshotStore.upsertEpoch(
+                batch.sparkSession, batch, srcRoot, keyCols, id)
+              graft.sources.RollupView.refresh(spark, srcRoot, viewRoot)
+            }
+            ()
+          }
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally deleteRecursively(root.toFile)
+  }
+
   /** series `(metric, e, value)` → the `(ts, source, metric, value)`
     * [[StreamSample]] relation the typed stateful twins consume. */
   private def asSamples(series: DataFrame): DataFrame =

@@ -744,6 +744,61 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("epoch-idempotent upsert: bootstrap, replay no-op, exactly-once content") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapupsep").toString
+    try {
+      def b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+      // first batch bootstraps the table (CDC streams start with inserts)
+      assert(SnapshotStore.upsertEpoch(spark, b0, root, Seq("id"), 0L) == 1)
+      // a replayed epoch is a true no-op: no version, no rewrite
+      assert(SnapshotStore.upsertEpoch(spark, b0, root, Seq("id"), 0L) == 1)
+      assert(SnapshotStore.currentVersion(root) == 1)
+      def b1 = Seq((2L, "B"), (3L, "c")).toDF("id", "p")
+      assert(SnapshotStore.upsertEpoch(spark, b1, root, Seq("id"), 1L) == 2)
+      assert(SnapshotStore.upsertEpoch(spark, b1, root, Seq("id"), 1L) == 2)
+      val got = SnapshotStore.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+      // the stamp lineage is the resume position, like appendEpoch's
+      assert(SnapshotStore.lastEpoch(root).contains(1L))
+      assert(SnapshotStore.manifestOp(root, 2).contains("upsert"))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("cdc upsert replay: last-writer-wins through a checkpointed stream, view follows") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("cdcrep").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      // batch 0 inserts four keys; batch 1 patches key 2 (same metric/e,
+      // new value — the day-0 m maximum moves) and inserts key 5
+      val batches = Seq(
+        (1L, "m", 10L, 1.0, 0), (2L, "m", 20L, 9.0, 0),
+        (3L, "m", 86410L, 2.0, 0), (4L, "n", 30L, -1.0, 0),
+        (2L, "m", 20L, 3.0, 1), (5L, "n", 40L, -2.0, 1))
+        .toDF("event_id", "metric", "e", "value", "__batch")
+      graft.streaming.StreamReplay.cdcUpsertReplay(
+        batches, Seq("event_id"), src, view)
+      val content = SnapshotStore.read(spark, src)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+      assert(content == Map(1L -> 1.0, 2L -> 3.0, 3L -> 2.0,
+        4L -> -1.0, 5L -> -2.0))
+      // the maintained view equals a from-scratch rollup of that content
+      val got = RollupView.read(spark, view).collect().map(x =>
+        (x.getString(0), x.getLong(1), x.getLong(2),
+         x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+      assert(got == Set(
+        ("m", 0L, 2L, 4.0, 1.0, 3.0),   // key-2 max re-derived 9.0 -> 3.0
+        ("m", 1L, 1L, 2.0, 2.0, 2.0),
+        ("n", 0L, 2L, -3.0, -2.0, -1.0)))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("rollup refresh: delete-everything retraction leaves a consistent empty view") {
     import graft.sources.{RollupView, SnapshotStore}
     val s = spark
