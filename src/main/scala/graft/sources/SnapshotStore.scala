@@ -103,6 +103,70 @@ object SnapshotStore {
     }
   }
 
+  /** Commit wall-clock of version `v` (epoch millis), None for pre-stamp
+    * or vacuumed manifests. Recorded at publish time by the committing
+    * writer — monotone per writer, the VERSION CHAIN is the truth under
+    * skew (see [[versionAsOf]]). */
+  def manifestTs(root: String, v: Int): Option[Long] = {
+    val p = manifestPath(root, v)
+    if (!Files.exists(p)) None
+    else {
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    }
+  }
+
+  /** The newest version whose recorded commit stamp is ≤ `tsMillis` — the
+    * TIMESTAMP AS OF half of time travel ([[read]]'s `version` argument
+    * is the VERSION AS OF half). Pre-stamp legacy manifests count as
+    * arbitrarily old (they ARE older commits). Commit stamps come from
+    * contending writers' wall clocks, so under skew a later version can
+    * carry an earlier stamp; the scan takes the max VERSION among
+    * qualifying ones — the version chain, not the clock, orders history.
+    * Fails loudly when every surviving version is newer than `tsMillis`
+    * (asking for a state before the table existed, or below the vacuum
+    * horizon — either way the state is not reconstructable). */
+  def versionAsOf(root: String, tsMillis: Long): Int = {
+    val qualifying = (1 to currentVersion(root)).filter { v =>
+      hasManifest(root, v) && manifestTs(root, v).forall(_ <= tsMillis)
+    }
+    require(qualifying.nonEmpty,
+      s"no version at $root committed at or before $tsMillis — the asked-for " +
+        "state predates the table (or was vacuumed)")
+    qualifying.max
+  }
+
+  /** [[read]] at the newest version committed at or before `tsMillis`. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long,
+               mergeSchema: Boolean = false): DataFrame =
+    read(spark, root, versionAsOf(root, tsMillis), mergeSchema)
+
+  /** Commit history as a relation — `(version, op, ts_millis, epoch,
+    * n_dirs, current)`, one row per SURVIVING manifest (vacuumed versions
+    * have no manifest to describe). The DESCRIBE HISTORY surface:
+    * driver-side O(versions) JSON reads, the same cost class as every
+    * other manifest scan here. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(root)
+    (1 to cur).flatMap { v =>
+      if (!hasManifest(root, v)) None
+      else Some((v, manifestOp(root, v).getOrElse(""),
+        manifestTs(root, v), epochOf(root, v),
+        manifestDirs(root, v).size, v == cur))
+    }.toDF("version", "op", "ts_millis", "epoch", "n_dirs", "current")
+  }
+
+  /** Epoch stamp of one version's manifest, if any. */
+  private def epochOf(root: String, v: Int): Option[Long] = {
+    val p = manifestPath(root, v)
+    if (!Files.exists(p)) None
+    else {
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    }
+  }
+
   /** Publish `dirs` as version `v` — fully write a uniquely-named temp
     * file, then CREATE-IF-ABSENT it into place (hard link, atomic on the
     * local filesystems this store targets): readers either see the
@@ -132,7 +196,8 @@ object SnapshotStore {
       if (cols.isEmpty) ""
       else s""""cols":[${cols.map("\"" + _ + "\"").mkString(",")}],"""
     val opField = if (op.isEmpty) "" else s""""op":"$op","""
-    val body = s"""{"version":$v,$opField$epochField$colsField""" +
+    val tsField = s""""ts":${System.currentTimeMillis()},"""
+    val body = s"""{"version":$v,$opField$tsField$epochField$colsField""" +
       s""""dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
     // unique temp name: two contending writers must never share one
     // (leading '.' keeps it out of currentVersion's v*.json listing)

@@ -744,6 +744,48 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("timestamp time travel + history: AS OF picks by stamp, version chain orders") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapasof").toString
+    try {
+      SnapshotStore.append(Seq((1L, "a")).toDF("id", "p"), root)
+      Thread.sleep(10) // force distinct millisecond stamps between commits
+      SnapshotStore.appendEpoch(Seq((2L, "b")).toDF("id", "p"), root, 42L)
+      Thread.sleep(10)
+      SnapshotStore.deleteWhere(spark, root, col("id") === 1L)
+      val ts = (1 to 3).map(v => SnapshotStore.manifestTs(root, v).get)
+      assert(ts == ts.sorted)
+      // AS OF each stamp reads that version's content exactly
+      assert(SnapshotStore.versionAsOf(root, ts(1)) == 2)
+      assert(SnapshotStore.readAsOf(spark, root, ts(1))
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      assert(SnapshotStore.readAsOf(spark, root, System.currentTimeMillis())
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // asking for a state before the table existed fails loudly
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.versionAsOf(root, ts(0) - 1)
+      }
+      assert(e.getMessage.contains("predates"))
+      // history: one row per version, op kinds + epoch + current flag
+      val h = SnapshotStore.history(spark, root)
+        .orderBy("version").collect()
+      assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+      assert(h.map(_.getString(1)).toSeq == Seq("append", "append", "delete"))
+      assert(h(1).getLong(3) == 42L && h(0).isNullAt(3))
+      assert(h.map(_.getBoolean(5)).toSeq == Seq(false, false, true))
+      // a vacuumed version disappears from history; AS OF below the
+      // horizon fails the same loud way
+      SnapshotStore.vacuum(root, keepFrom = 3)
+      assert(SnapshotStore.history(spark, root).count() == 1)
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotStore.versionAsOf(root, ts(1))
+      }
+      assert(e2.getMessage.contains("predates"))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("epoch-idempotent upsert: bootstrap, replay no-op, exactly-once content") {
     import graft.sources.SnapshotStore
     val s = spark
