@@ -2138,6 +2138,21 @@ object SparkEntry {
       graft.streaming.StreamReplay.audioFeaturesReplay(
         Tables.documents(s, dir).select("doc_id"))),
 
+    // Video modality (the RIFF/AVI third leg of the multimodal triple):
+    // real AVI containers — MainAVIHeader/AVIStreamHeader/BITMAPINFOHEADER
+    // tree plus a movi frame run — walked back by chunk scan; header
+    // metadata and every-2nd-frame byte features, both replayed by the
+    // oracle from the planted container/frame arithmetic (byte_len pins
+    // the encoder's exact chunk layout).
+    "video_meta" -> ((s, dir) =>
+      graft.operators.VideoOps.videoMeta(
+        graft.operators.VideoOps.withVideoPayload(Tables.documents(s, dir))).toDF()),
+
+    "video_frame_sample" -> ((s, dir) =>
+      graft.operators.VideoOps.frameSample(
+        graft.operators.VideoOps.withVideoPayload(Tables.documents(s, dir)),
+        stride = 2).toDF()),
+
     "multimodal_meta" -> ((s, dir) => MultimodalOps.mediaMeta(Tables.documents(s, dir))),
 
     // Multimodal: REAL codec round trip — encode each doc as an actual
@@ -4412,6 +4427,44 @@ object SparkEntry {
     // both sides; the Spark leg computes from the DECODED bytes. The
     // streaming twin shares the oracle verbatim.
     "stream_audio_parity" -> AUDIO_ENERGY_ORACLE,
+
+    // Video header replay: every field is closed-form in doc_id, and
+    // byte_len pins the encoder's exact RIFF tree (12-byte RIFF head +
+    // 200-byte hdrl + 12-byte movi head + per-frame 8-byte chunk heads
+    // with word alignment) — a layout drift breaks the hash.
+    "video_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |  CAST(3 + doc_id % 4 AS INTEGER) AS height,
+        |  CAST(3 + doc_id % 6 AS INTEGER) AS n_frames,
+        |  CAST(20000 + (doc_id % 5) * 20000 AS INTEGER) AS us_per_frame
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(224 + n_frames * (8 + width*height*3 + (width*height*3) % 2)
+        |       AS INTEGER) AS byte_len,
+        |  width, height, n_frames, us_per_frame,
+        |  CAST(n_frames AS BIGINT) * us_per_frame AS duration_us
+        |FROM d""".stripMargin,
+
+    // Frame features replayed from the planted byte formula
+    // v(doc,f,i) = (doc*13 + f*17 + i*5) % 251 over every-2nd-frame
+    // samples — exact integer arithmetic both sides; the Spark leg walks
+    // the REAL container to find each frame's byte extent first.
+    "video_frame_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |  CAST(3 + doc_id % 4 AS INTEGER) AS h,
+        |  CAST(3 + doc_id % 6 AS INTEGER) AS n FROM documents),
+        |f AS (SELECT doc_id, w*h*3 AS s,
+        |  unnest(generate_series(0, n - 1, 2)) AS fi FROM d),
+        |b AS (SELECT doc_id, fi,
+        |  (doc_id*13 + fi*17 + unnest(generate_series(0, s - 1))*5) % 251 AS v
+        |  FROM f)
+        |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(count(*) AS INTEGER) AS frame_len,
+        |  CAST(SUM(v) AS BIGINT) AS byte_sum,
+        |  CAST(MAX(v) AS INTEGER) AS max_byte
+        |FROM b GROUP BY doc_id, fi""".stripMargin,
     "audio_energy" -> AUDIO_ENERGY_ORACLE,
 
     "multimodal_meta" ->

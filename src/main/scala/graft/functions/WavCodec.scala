@@ -17,26 +17,26 @@ object WavCodec {
   final case class WavMeta(sampleRate: Int, channels: Int,
                            bitsPerSample: Int, nSamples: Int)
 
-  private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+  private[functions] def le32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xff).toByte
     b(off + 1) = ((v >> 8) & 0xff).toByte
     b(off + 2) = ((v >> 16) & 0xff).toByte
     b(off + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+  private[functions] def le16(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xff).toByte
     b(off + 1) = ((v >> 8) & 0xff).toByte
   }
 
-  private def rd32(b: Array[Byte], off: Int): Int =
+  private[functions] def rd32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
-  private def rd16(b: Array[Byte], off: Int): Int =
+  private[functions] def rd16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
-  private def tag(b: Array[Byte], off: Int): String =
+  private[functions] def tag(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
   /** Encode mono/interleaved 16-bit PCM as a canonical 44-byte-header WAV. */

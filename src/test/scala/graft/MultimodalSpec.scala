@@ -14,6 +14,83 @@ class MultimodalSpec extends SparkSpec {
     Seq((1L, "abcd" * 100), (2L, "xy"), (3L, "q"), (6L, "gray even")).toDF("doc_id", "text")
   }
 
+  // ----- video (AVI) ---------------------------------------------------
+
+  test("AVI encode→decode round trip: header tree, frame index, exact payloads") {
+    import graft.functions.AviCodec
+    // 45-byte (odd) frames exercise the spec's word alignment
+    val frames = Array.tabulate(5)(f =>
+      Array.tabulate(45)(i => ((f * 7 + i) % 251).toByte))
+    val bytes = AviCodec.encodeAvi(5, 3, 40000, frames)
+    assert(AviCodec.decodeAviMeta(bytes).contains(
+      AviCodec.AviMeta(5, 3, 5, 40000, 1)))
+    val idx = AviCodec.frameIndex(bytes)
+    assert(idx.length == 5 && idx.forall(_._2 == 45))
+    assert(idx.zipWithIndex.forall { case ((off, len), f) =>
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, off, off + len), frames(f))
+    })
+    // total length matches the documented layout arithmetic the
+    // video_meta oracle replays (224 + n * (8 + frameLen + pad))
+    assert(bytes.length == 224 + 5 * (8 + 45 + 1))
+  }
+
+  test("AVI decode degrades (never hangs or throws) on crafted size fields") {
+    import graft.functions.AviCodec
+    val frames = Array.tabulate(3)(f => Array.fill(30)((f + 1).toByte))
+    val base = AviCodec.encodeAvi(4, 3, 40000, frames)
+    // negative inner chunk size (avih size at offset 28): degrade, no stall
+    val neg = base.clone()
+    neg(28) = 0xf8.toByte; neg(29) = 0xff.toByte
+    neg(30) = 0xff.toByte; neg(31) = 0xff.toByte
+    assert(AviCodec.decodeAviMeta(neg).isEmpty)
+    // overflow-sized outer LIST (0x7ffffff0): Long-space advance must end
+    // the scan, not wrap negative and crash tag()
+    val ovf = base.clone()
+    ovf(16) = 0xf0.toByte; ovf(17) = 0xff.toByte
+    ovf(18) = 0xff.toByte; ovf(19) = 0x7f.toByte
+    AviCodec.decodeAviMeta(ovf) // must not throw
+    AviCodec.frameIndex(ovf)    // must not throw
+    // a movi frame chunk declaring more bytes than exist: clamped extent
+    val lastSizeOff = base.length - 30 - 4
+    val over = base.clone()
+    over(lastSizeOff) = 0x40; over(lastSizeOff + 1) = 0x42
+    val idx = AviCodec.frameIndex(over)
+    assert(idx.length == 3 && idx.last._2 == 30) // clamped to the buffer
+    // zero-dimension header: None, not a nonsense relation downstream
+    val w0 = base.clone()
+    w0(64) = 0; w0(65) = 0; w0(66) = 0; w0(67) = 0
+    assert(AviCodec.decodeAviMeta(w0).isEmpty)
+    // junk and truncation never enter the chunk scan
+    assert(AviCodec.decodeAviMeta(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(AviCodec.frameIndex(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(AviCodec.decodeAviMeta(base.take(30)).isEmpty)
+  }
+
+  test("video ops: meta and sampled-frame features match the planted arithmetic") {
+    import graft.operators.VideoOps
+    val withVideo = VideoOps.withVideoPayload(docs)
+    val metas = VideoOps.videoMeta(withVideo).collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(1L, 2L, 3L, 6L)) {
+      val (w, h, n) = ((4 + id % 5).toInt, (3 + id % 4).toInt, (3 + id % 6).toInt)
+      val us = (20000 + (id % 5) * 20000).toInt
+      val s = w * h * 3
+      assert(metas(id).width == w && metas(id).height == h
+        && metas(id).n_frames == n && metas(id).us_per_frame == us)
+      assert(metas(id).byte_len == 224 + n * (8 + s + s % 2))
+      assert(metas(id).duration_us == n.toLong * us)
+    }
+    // doc 3, frame 2 (stride-2 sample): recompute from the planted bytes
+    val f32 = VideoOps.frameSample(withVideo, stride = 2).collect()
+      .filter(v => v.doc_id == 3L && v.frame_idx == 2).head
+    val s3 = (4 + 3 % 5) * (3 + 3 % 4) * 3
+    val vals = (0 until s3).map(i => (3L * 13 + 2 * 17 + i.toLong * 5) % 251)
+    assert(f32.frame_len == s3 && f32.byte_sum == vals.sum
+      && f32.max_byte == vals.max.toInt)
+    // odd frames are NOT sampled at stride 2
+    assert(!VideoOps.frameSample(withVideo, 2).collect().exists(_.frame_idx % 2 == 1))
+  }
+
   // ----- audio (WAV) ---------------------------------------------------
 
   test("WAV encode→decode round trip: header fields and every sample") {
