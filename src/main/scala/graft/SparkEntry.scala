@@ -272,6 +272,24 @@ object SparkEntry {
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
        |FROM series GROUP BY 1, 2""".stripMargin
 
+  /** Shared by video_frame_sample and its streaming twin: stride-2 frame
+    * samples replayed from the planted byte arithmetic. */
+  private lazy val VIDEO_FRAME_ORACLE =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(4 + doc_id % 5 AS INTEGER) AS w,
+      |  CAST(3 + doc_id % 4 AS INTEGER) AS h,
+      |  CAST(3 + doc_id % 6 AS INTEGER) AS n FROM documents),
+      |f AS (SELECT doc_id, w*h*3 AS s,
+      |  unnest(generate_series(0, n - 1, 2)) AS fi FROM d),
+      |b AS (SELECT doc_id, fi,
+      |  (doc_id*13 + fi*17 + unnest(generate_series(0, s - 1))*5) % 251 AS v
+      |  FROM f)
+      |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+      |  CAST(count(*) AS INTEGER) AS frame_len,
+      |  CAST(SUM(v) AS BIGINT) AS byte_sum,
+      |  CAST(MAX(v) AS INTEGER) AS max_byte
+      |FROM b GROUP BY doc_id, fi""".stripMargin
+
   /** Shared by funnel_steps and its streaming twin: EXISTS-a-chain per
     * depth as self-joins — non-decreasing times, completion window binds
     * t_k - t_1 (intermediate windows are implied by monotonicity). */
@@ -2152,6 +2170,13 @@ object SparkEntry {
       graft.operators.VideoOps.frameSample(
         graft.operators.VideoOps.withVideoPayload(Tables.documents(s, dir)),
         stride = 2).toDF()),
+
+    // Streaming twin of video_frame_sample: the same render -> container
+    // walk -> frame sampling over a checkpointed stream; shares the
+    // oracle verbatim.
+    "stream_video_parity" -> ((s, dir) =>
+      graft.streaming.StreamReplay.videoFeaturesReplay(
+        Tables.documents(s, dir).select("doc_id"))),
 
     "multimodal_meta" -> ((s, dir) => MultimodalOps.mediaMeta(Tables.documents(s, dir))),
 
@@ -4449,22 +4474,10 @@ object SparkEntry {
     // Frame features replayed from the planted byte formula
     // v(doc,f,i) = (doc*13 + f*17 + i*5) % 251 over every-2nd-frame
     // samples — exact integer arithmetic both sides; the Spark leg walks
-    // the REAL container to find each frame's byte extent first.
-    "video_frame_sample" ->
-      """WITH d AS (SELECT doc_id,
-        |  CAST(4 + doc_id % 5 AS INTEGER) AS w,
-        |  CAST(3 + doc_id % 4 AS INTEGER) AS h,
-        |  CAST(3 + doc_id % 6 AS INTEGER) AS n FROM documents),
-        |f AS (SELECT doc_id, w*h*3 AS s,
-        |  unnest(generate_series(0, n - 1, 2)) AS fi FROM d),
-        |b AS (SELECT doc_id, fi,
-        |  (doc_id*13 + fi*17 + unnest(generate_series(0, s - 1))*5) % 251 AS v
-        |  FROM f)
-        |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
-        |  CAST(count(*) AS INTEGER) AS frame_len,
-        |  CAST(SUM(v) AS BIGINT) AS byte_sum,
-        |  CAST(MAX(v) AS INTEGER) AS max_byte
-        |FROM b GROUP BY doc_id, fi""".stripMargin,
+    // the REAL container to find each frame's byte extent first. The
+    // streaming twin shares the oracle verbatim.
+    "video_frame_sample" -> VIDEO_FRAME_ORACLE,
+    "stream_video_parity" -> VIDEO_FRAME_ORACLE,
     "audio_energy" -> AUDIO_ENERGY_ORACLE,
 
     "multimodal_meta" ->

@@ -550,6 +550,24 @@ object StreamReplay {
       .getOrElse(build(src.limit(0)))
   }
 
+  /** [[audioFeaturesReplay]]'s video sibling: render → real AVI container
+    * walk → stride-sampled frame features per micro-batch (stateless
+    * append, the quality-gate posture); faces video_frame_sample's
+    * oracle verbatim. */
+  def videoFeaturesReplay(docs: DataFrame, stride: Int = 2,
+                          slices: Int = defaultSlices): DataFrame = {
+    val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
+      col("doc_id"))
+    val build = (df: DataFrame) =>
+      graft.operators.VideoOps.frameSample(
+        graft.operators.VideoOps.withVideoPayload(df.select("doc_id")),
+        stride).toDF()
+    sliceAndReplay(src, "ts TIMESTAMP, doc_id BIGINT", slices,
+        "append", build)
+      .map(_.drop("batch_id"))
+      .getOrElse(build(src.limit(0)))
+  }
+
   /** [[nearDupCandidatesReplay]]'s SimHash sibling: replays
     * [[StreamOps.simHashPairsStream]] and returns the DISTINCT matched
     * pair set (same synthetic-time / retain-everything posture). */
