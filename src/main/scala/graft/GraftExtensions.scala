@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Materialized-view rewrite for registered RollupView pairs — a
+    // post-hoc resolution rule so it sees the stable analyzed aggregate
+    // shape (see RollupRewriteRule's doc for the exactness conditions).
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.RollupRewriteRule(session))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotProduct].getName, "vec_dot"),

@@ -1650,6 +1650,48 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Materialized-view REWRITE: the canonical day rollup is asked of the
+    // SOURCE store, and the registered RollupRewriteRule answers it from
+    // the fresh maintained view (a Catalyst post-hoc resolution rule —
+    // O(groups) instead of O(table)). `used_view` is derived from the
+    // analyzed plan's actual scan roots and faces the oracle as TRUE, so
+    // a silently-declined rewrite fails the hash even though the values
+    // would still be right.
+    "rollup_view_answer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mva").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        val se = series(s, dir).select("metric", "e", "value")
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 0), src)
+        sources.RollupView.refresh(s, src, view)
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 1), src)
+        sources.RollupView.refresh(s, src, view)
+        graft.plans.MaterializedRollups.enable(src, view)
+        try {
+          val agg = sources.SnapshotStore.read(s, src)
+            .groupBy(col("metric"), expr("e div 86400").as("day"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("value").cast("decimal(18,2)")).as("vsum"),
+              min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+          val scanRoots = agg.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          val usedView = scanRoots.nonEmpty && scanRoots.forall(_.contains("/view"))
+          agg.select(col("metric"), col("day"), col("cnt"),
+              col("vsum").cast("double").as("sum_val"),
+              col("min_val"), col("max_val"),
+              (col("vsum").cast("double") / col("cnt")).as("mean_val"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedRollups.disable(src)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Declarative data-expectations gate: six rules over lineitem — four
     // row-level checks folded into ONE conditional aggregate over ONE
     // scan, a uniqueness check (key-grouped count), and referential
@@ -4250,6 +4292,17 @@ object SparkEntry {
          |  min(value) AS min_val, max(value) AS max_val,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
          |FROM final GROUP BY 1, 2""".stripMargin,
+
+    // MV-rewrite oracle: the same from-scratch rollup, plus used_view
+    // TRUE — the rewrite must actually have served the view.
+    "rollup_view_answer" ->
+      s"""WITH $SERIES
+         |SELECT metric, e // 86400 AS day, count(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+         |  min(value) AS min_val, max(value) AS max_val,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val,
+         |  TRUE AS used_view
+         |FROM series GROUP BY 1, 2""".stripMargin,
 
     // Retraction-IVM oracle: a from-scratch rollup of exactly the rows
     // that survive the lifecycle — the delete fired while slices 0/1 were

@@ -1,0 +1,165 @@
+package graft.plans
+
+import java.nio.file.Paths
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.sources.{RollupView, SnapshotStore}
+
+/** Registry of source-store → rollup-view pairs the
+  * [[RollupRewriteRule]] may answer from. Explicit opt-in
+  * ([[enable]]) — a rewrite that silently serves stale or
+  * differently-scoped data would be a correctness bug, so the engine
+  * never guesses which parquet relations are maintained views. */
+object MaterializedRollups {
+
+  private val regs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[plans] def canon(p: String): String =
+    Paths.get(p.replaceFirst("^file:/+", "/")).normalize().toAbsolutePath.toString
+
+  /** Declare that `viewRoot` is [[RollupView]]-maintained over the
+    * snapshot store at `srcRoot`. From now on, canonical day-rollup
+    * aggregates over the source's CURRENT snapshot are answered from the
+    * view — when, and only when, the view's resume stamp matches the
+    * source's current version at planning time. */
+  def enable(srcRoot: String, viewRoot: String): Unit =
+    regs.put(canon(srcRoot), viewRoot)
+
+  def disable(srcRoot: String): Unit = regs.remove(canon(srcRoot))
+
+  def clear(): Unit = regs.clear()
+
+  private[plans] def isEmpty: Boolean = regs.isEmpty
+
+  private[plans] def all: Map[String, String] = regs.asScala.toMap
+}
+
+/** Materialized-view REWRITE for the engine's maintained rollups — the
+  * lakehouse query-acceleration core as one Catalyst rule: an aggregate
+  * of the canonical day-rollup shape
+  *
+  * {{{ src.groupBy(metric, e div 86400).agg(count(1) | sum(value::decimal(≤30,2)) | min(value) | max(value)) }}}
+  *
+  * over a REGISTERED source store's current snapshot is answered from
+  * the O(groups) maintained view instead of the O(table) base relation.
+  * At 100 TB this is the difference between a dashboard query scanning
+  * the corpus and it reading a few thousand partial rows.
+  *
+  * The rewrite fires only when it is EXACT:
+  *  - the scanned relation's root paths are precisely the registered
+  *    source's current-version manifest directories (a time-travel or
+  *    incremental read never rewrites), with at most a column-pruning
+  *    Project between scan and aggregate (a Filter blocks the rewrite —
+  *    the view covers the whole table, not a predicate's slice);
+  *  - the view is FRESH: its resume stamp equals the source's current
+  *    version at planning time (the rule runs at analysis, so the
+  *    decision binds when the DataFrame is built);
+  *  - every aggregate is one of the view's mergeable monoids with the
+  *    view's exact semantics — `count(1)`, `sum(CAST(value AS
+  *    DECIMAL(p≤30, 2)))` (the view's own partial-sum type, so decimal
+  *    merge order cannot change the answer), `min(value)`, `max(value)`
+  *    — anything else (a raw IEEE double sum, avg, distinct, a filter
+  *    clause) declines rather than approximates.
+  *
+  * Output attributes keep the original exprIds (aliased onto the view's
+  * columns), so parent operators resolve unchanged. Registered via
+  * [[graft.GraftExtensions]] as a post-hoc resolution rule — it sees the
+  * stable analyzed shape, before optimizer rewrites pull grouping
+  * expressions into synthetic projections.
+  */
+class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MaterializedRollups.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(ge, ae, child, _) =>
+        relationOf(child)
+          .flatMap { rel => registrationFor(rel).flatMap(rewrite(agg, ge, ae, _)) }
+          .getOrElse(agg)
+    }
+  }
+
+  /** The scanned parquet relation, allowing one column-pruning Project
+    * (plain attributes only) between aggregate and scan. */
+  private def relationOf(plan: LogicalPlan): Option[LogicalRelation] = plan match {
+    case lr: LogicalRelation => Some(lr)
+    case Project(projList, lr: LogicalRelation)
+        if projList.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
+    case _ => None
+  }
+
+  /** A registered, CURRENT, FRESH view for this relation's exact paths. */
+  private def registrationFor(rel: LogicalRelation): Option[String] = {
+    val paths = rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(p => MaterializedRollups.canon(p.toString)).toSet
+      case _ => return None
+    }
+    MaterializedRollups.all.collectFirst {
+      case (srcRoot, viewRoot)
+          if SnapshotStore.currentVersion(srcRoot) > 0 && {
+            val cur = SnapshotStore.currentVersion(srcRoot)
+            SnapshotStore.manifestDirs(srcRoot, cur)
+              .map(MaterializedRollups.canon).toSet == paths &&
+              SnapshotStore.lastEpoch(viewRoot).contains(cur.toLong)
+          } => viewRoot
+    }
+  }
+
+  private def isDiv86400(e: Expression): Option[AttributeReference] = e match {
+    case IntegralDivide(a: AttributeReference, d, _)
+        if d.foldable && a.dataType == LongType &&
+          d.eval() == 86400L && nameIs(a, "e") => Some(a)
+    case _ => None
+  }
+
+  private def nameIs(a: AttributeReference, n: String): Boolean =
+    a.name.equalsIgnoreCase(n)
+
+  private def rewrite(agg: Aggregate, ge: Seq[Expression],
+                      ae: Seq[NamedExpression],
+                      viewRoot: String): Option[LogicalPlan] = {
+    // grouping must be exactly (metric, e div 86400)
+    val (metricAttr, dayOf) = ge match {
+      case Seq(m: AttributeReference, d) if nameIs(m, "metric") =>
+        isDiv86400(d) match {
+          case Some(_) => (m, d)
+          case None    => return None
+        }
+      case _ => return None
+    }
+    // the view side: analyzed merged-partials plan, columns by name
+    val viewPlan = RollupView.read(spark, viewRoot).queryExecution.analyzed
+    def viewCol(n: String): Attribute =
+      viewPlan.output.find(_.name.equalsIgnoreCase(n)).get
+    val projections = ae.map {
+      case m: AttributeReference if m.exprId == metricAttr.exprId =>
+        Alias(viewCol("metric"), m.name)(exprId = m.exprId)
+      case al @ Alias(d, _) if isDiv86400(d).isDefined && d.semanticEquals(dayOf) =>
+        Alias(viewCol("day"), al.name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
+        Alias(viewCol("cnt"), al.name)(exprId = al.exprId)
+      case al @ Alias(ag @ AggregateExpression(
+          Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _), _)
+          if nameIs(v, "value") && dt.scale == 2 && dt.precision <= 30 =>
+        Alias(Cast(viewCol("vsum"), ag.dataType), al.name)(exprId = al.exprId)
+      case al @ Alias(ag @ AggregateExpression(Min(v: AttributeReference), _, false, None, _), _)
+          if nameIs(v, "value") && viewCol("vmin").dataType == ag.dataType =>
+        Alias(viewCol("vmin"), al.name)(exprId = al.exprId)
+      case al @ Alias(ag @ AggregateExpression(Max(v: AttributeReference), _, false, None, _), _)
+          if nameIs(v, "value") && viewCol("vmax").dataType == ag.dataType =>
+        Alias(viewCol("vmax"), al.name)(exprId = al.exprId)
+      case _ => return None // any other shape: decline, never approximate
+    }
+    Some(Project(projections, viewPlan))
+  }
+}

@@ -231,6 +231,68 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.streams.removeListener(counters)
   }
 
+  test("rollup rewrite answers canonical day aggregates from the fresh view only") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.MaterializedRollups
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mvrw").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.5), ("m", 86410L, 2.0),
+        ("n", 20L, -1.0)).toDF("metric", "e", "value"), src)
+      SnapshotStore.append(Seq(("m", 30L, 4.0)).toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      def canonical() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("vsum"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+         r.getDecimal(3).doubleValue, r.getDouble(4), r.getDouble(5))).toSet
+      val direct = rows(canonical()) // registry empty: the base plan
+      MaterializedRollups.enable(src, view)
+      val rewritten = canonical()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      // answered from the view's parquet, not the source's
+      assert(plan.contains("/view"), s"no rewrite in:\n$plan")
+      assert(!plan.contains("/src"), s"source still scanned in:\n$plan")
+      assert(rows(rewritten) == direct)
+      // STALE view: a new source version declines the rewrite
+      SnapshotStore.append(Seq(("n", 40L, 7.0)).toDF("metric", "e", "value"), src)
+      val stale = canonical()
+      assert(stale.queryExecution.executedPlan.toString.contains("/src"))
+      assert(rows(stale) ==
+        direct - (("n", 0L, 1L, -1.0, -1.0, -1.0)) + (("n", 0L, 2L, 6.0, -1.0, 7.0)))
+      RollupView.refresh(spark, src, view)
+      assert(canonical().queryExecution.executedPlan.toString.contains("/view"))
+      // non-canonical shapes decline: raw IEEE double sum, a filter,
+      // a time-travel read
+      val dbl = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(sum(col("value")).as("s"))
+      assert(dbl.queryExecution.executedPlan.toString.contains("/src"))
+      val filtered = SnapshotStore.read(spark, src).where(col("metric") === "m")
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(filtered.queryExecution.executedPlan.toString.contains("/src"))
+      val tt = SnapshotStore.read(spark, src, version = 1)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(tt.queryExecution.executedPlan.toString.contains("/src"))
+      // a pruning select between read and aggregate still rewrites
+      val pruned = SnapshotStore.read(spark, src).select("metric", "e", "value")
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(pruned.queryExecution.executedPlan.toString.contains("/view"))
+    } finally {
+      MaterializedRollups.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
   test("get stats round-trips the display device's uptime, degrading to -1") {
     import graft.streaming.{BufferDisplay, CounterListener, DisplayDevice}
     val counters = new CounterListener
