@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -57,9 +57,11 @@ object MaterializedRollups {
   * The rewrite fires only when it is EXACT:
   *  - the scanned relation's root paths are precisely the registered
   *    source's current-version manifest directories (a time-travel or
-  *    incremental read never rewrites), with at most a column-pruning
-  *    Project between scan and aggregate (a Filter blocks the rewrite —
-  *    the view covers the whole table, not a predicate's slice);
+  *    incremental read never rewrites), with at most column-pruning
+  *    Projects and GROUPING-COLUMN Filters between scan and aggregate (a
+  *    metric predicate commutes with the aggregation and re-applies to
+  *    the view's groups; any predicate touching e/value declines — the
+  *    view covers whole groups, not a row slice);
   *  - the view is FRESH: its resume stamp equals the source's current
   *    version at planning time (the rule runs at analysis, so the
   *    decision binds when the DataFrame is built);
@@ -82,20 +84,31 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (MaterializedRollups.isEmpty) return plan
     plan.transformUp {
       case agg @ Aggregate(ge, ae, child, _) =>
-        relationOf(child)
-          .flatMap { rel => registrationFor(rel).flatMap(rewrite(agg, ge, ae, _)) }
+        dissect(child)
+          .flatMap { case (rel, filters) =>
+            registrationFor(rel).flatMap(rewrite(agg, ge, ae, filters, _))
+          }
           .getOrElse(agg)
     }
   }
 
-  /** The scanned parquet relation, allowing one column-pruning Project
-    * (plain attributes only) between aggregate and scan. */
-  private def relationOf(plan: LogicalPlan): Option[LogicalRelation] = plan match {
-    case lr: LogicalRelation => Some(lr)
-    case Project(projList, lr: LogicalRelation)
-        if projList.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
-    case _ => None
-  }
+  /** The scanned parquet relation plus any Filter conditions between
+    * aggregate and scan, allowing column-pruning Projects (plain
+    * attributes only). Filters are returned, not rejected: a predicate
+    * over GROUPING columns commutes with the aggregation (rows with the
+    * same key share the predicate's verdict), so [[rewrite]] can apply
+    * it to the view's groups — anything referencing a non-grouping
+    * column declines there. */
+  private def dissect(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => Some((lr, Nil))
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        dissect(child)
+      case Filter(cond, child) if cond.deterministic =>
+        dissect(child).map { case (lr, fs) => (lr, cond +: fs) }
+      case _ => None
+    }
 
   /** A registered, CURRENT, FRESH view for this relation's exact paths. */
   private def registrationFor(rel: LogicalRelation): Option[String] = {
@@ -126,7 +139,7 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     a.name.equalsIgnoreCase(n)
 
   private def rewrite(agg: Aggregate, ge: Seq[Expression],
-                      ae: Seq[NamedExpression],
+                      ae: Seq[NamedExpression], filters: Seq[Expression],
                       viewRoot: String): Option[LogicalPlan] = {
     // grouping must be exactly (metric, e div 86400)
     val (metricAttr, dayOf) = ge match {
@@ -137,6 +150,10 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
+    // every filter must reference ONLY the metric grouping column — then
+    // filtering source rows and filtering view groups are the same set
+    if (!filters.forall(_.references.subsetOf(AttributeSet(metricAttr))))
+      return None
     // the view side: analyzed merged-partials plan, columns by name
     val viewPlan = RollupView.read(spark, viewRoot).queryExecution.analyzed
     def viewCol(n: String): Attribute =
@@ -160,6 +177,15 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(viewCol("vmax"), al.name)(exprId = al.exprId)
       case _ => return None // any other shape: decline, never approximate
     }
-    Some(Project(projections, viewPlan))
+    val base =
+      if (filters.isEmpty) viewPlan
+      else {
+        val mapped = filters.map(_.transform {
+          case a: AttributeReference if a.exprId == metricAttr.exprId =>
+            viewCol("metric")
+        }).reduce(And)
+        Filter(mapped, viewPlan)
+      }
+    Some(Project(projections, base))
   }
 }

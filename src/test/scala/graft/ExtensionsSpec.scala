@@ -268,16 +268,25 @@ class ExtensionsSpec extends SparkSpec {
         direct - (("n", 0L, 1L, -1.0, -1.0, -1.0)) + (("n", 0L, 2L, 6.0, -1.0, 7.0)))
       RollupView.refresh(spark, src, view)
       assert(canonical().queryExecution.executedPlan.toString.contains("/view"))
-      // non-canonical shapes decline: raw IEEE double sum, a filter,
-      // a time-travel read
+      // non-canonical shapes decline: raw IEEE double sum, a row-column
+      // filter, a time-travel read
       val dbl = SnapshotStore.read(spark, src)
         .groupBy(col("metric"), expr("e div 86400").as("day"))
         .agg(sum(col("value")).as("s"))
       assert(dbl.queryExecution.executedPlan.toString.contains("/src"))
-      val filtered = SnapshotStore.read(spark, src).where(col("metric") === "m")
+      // a GROUPING-column filter commutes and still rewrites...
+      val byMetric = SnapshotStore.read(spark, src).where(col("metric") === "m")
         .groupBy(col("metric"), expr("e div 86400").as("day"))
         .agg(count(lit(1)).as("cnt"))
-      assert(filtered.queryExecution.executedPlan.toString.contains("/src"))
+      assert(byMetric.queryExecution.executedPlan.toString.contains("/view"))
+      assert(byMetric.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("m", 0L, 2L), ("m", 1L, 1L)))
+      // ...a row-column (value/e) filter declines
+      val byValue = SnapshotStore.read(spark, src).where(col("value") > 0)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(byValue.queryExecution.executedPlan.toString.contains("/src"))
       val tt = SnapshotStore.read(spark, src, version = 1)
         .groupBy(col("metric"), expr("e div 86400").as("day"))
         .agg(count(lit(1)).as("cnt"))
