@@ -141,6 +141,21 @@ object SnapshotStore {
                mergeSchema: Boolean = false): DataFrame =
     read(spark, root, versionAsOf(root, tsMillis), mergeSchema)
 
+  /** Time-based retention — "keep N days" expressed directly: [[vacuum]]
+    * below the AS-OF version of the horizon, so every [[readAsOf]] at or
+    * after `tsMillis` keeps working and everything only older versions
+    * needed is reclaimed. A horizon predating the whole table is a no-op
+    * (nothing is old enough to drop). The natural call is
+    * `vacuumOlderThan(root, now - 30 days)`; [[vacuum]]'s single-writer
+    * caveat applies unchanged. */
+  def vacuumOlderThan(root: String, tsMillis: Long): Unit = {
+    val qualifying = (1 to currentVersion(root)).filter { v =>
+      hasManifest(root, v) && manifestTs(root, v).forall(_ <= tsMillis)
+    }
+    if (qualifying.nonEmpty && qualifying.max > 1)
+      vacuum(root, keepFrom = qualifying.max)
+  }
+
   /** Commit history as a relation — `(version, op, ts_millis, epoch,
     * n_dirs, current)`, one row per SURVIVING manifest (vacuumed versions
     * have no manifest to describe). The DESCRIBE HISTORY surface:

@@ -775,6 +775,15 @@ class SourcesSpec extends SparkSpec {
       assert(h.map(_.getString(1)).toSeq == Seq("append", "append", "delete"))
       assert(h(1).getLong(3) == 42L && h(0).isNullAt(3))
       assert(h.map(_.getBoolean(5)).toSeq == Seq(false, false, true))
+      // time-based retention: a horizon predating the table is a no-op,
+      // a real horizon vacuums below its AS-OF version
+      SnapshotStore.vacuumOlderThan(root, ts(0) - 1)
+      assert(SnapshotStore.history(spark, root).count() == 3)
+      SnapshotStore.vacuumOlderThan(root, ts(1))
+      assert(SnapshotStore.hasManifest(root, 2)
+        && !SnapshotStore.hasManifest(root, 1))
+      // readAsOf at the horizon still serves
+      assert(SnapshotStore.readAsOf(spark, root, ts(1)).count() == 2)
       // a vacuumed version disappears from history; AS OF below the
       // horizon fails the same loud way
       SnapshotStore.vacuum(root, keepFrom = 3)
