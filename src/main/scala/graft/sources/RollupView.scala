@@ -170,12 +170,20 @@ object RollupView {
           // negative bound skips the pre-filter rather than guess at
           // truncation-vs-floor semantics.
           val b = dirty.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
-          val (dlo, dhi) = (b.getLong(0), b.getLong(1))
           val srcRows = SnapshotStore.read(spark, srcRoot, srcCur)
+          // min/max skip null days, so a null-day dirty group (null e —
+          // outside the series contract, but a delete can still target
+          // it) keeps its rows via the isNull arm; an all-null bound set
+          // skips the pre-filter entirely rather than read null as 0
           val pre =
-            if (dlo >= 0)
-              srcRows.where(col("e") >= dlo * 86400L && col("e") <= dhi * 86400L + 86399L)
-            else srcRows
+            if (b.isNullAt(0)) srcRows
+            else {
+              val (dlo, dhi) = (b.getLong(0), b.getLong(1))
+              if (dlo >= 0)
+                srcRows.where(col("e").isNull ||
+                  (col("e") >= dlo * 86400L && col("e") <= dhi * 86400L + 86399L))
+              else srcRows
+            }
           val recomputed = partialsByDay(
             pre
               .select(col("metric"), expr("e div 86400").as("day"), col("value"))

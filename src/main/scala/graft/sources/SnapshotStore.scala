@@ -324,6 +324,7 @@ object SnapshotStore {
   private def appendReturningDir(df: DataFrame, root: String): (Int, String) = {
     val dir = newDataDir(root, "v", currentVersion(root) + 1)
     df.write.mode("overwrite").parquet(dir)
+    enforceConstraints(df.sparkSession, root, dir)
     (commitAppend(root, dir, None, df.columns.toSeq), dir)
   }
 
@@ -433,6 +434,7 @@ object SnapshotStore {
     else {
       val dir = newDataDir(root, "v", currentVersion(root) + 1)
       df.write.mode("overwrite").parquet(dir)
+      enforceConstraints(df.sparkSession, root, dir)
       commitAppend(root, dir, Some(epochId), df.columns.toSeq)
     }
   }
@@ -483,6 +485,10 @@ object SnapshotStore {
     val epoch = epochOverride.orElse(lastEpoch(root))
     val dir = newDataDir(root, "compact", parent + 1)
     df.coalesce(targetFiles).write.mode("overwrite").parquet(dir)
+    // compactWith publishes ARBITRARY rows as the snapshot (unlike
+    // compact/compactZordered, which re-arrange already-validated
+    // content) — the constraint gate applies like any other new batch
+    enforceConstraints(df.sparkSession, root, dir)
     // a compaction is the sanctioned SCHEMA MIGRATION path: the rewrite's
     // own columns become the snapshot schema (rename/drop land here)
     commitCompaction(root, parent, dir, epoch, df.columns.toSeq)
@@ -641,6 +647,7 @@ object SnapshotStore {
       // ordinary (commutative, retry-safe) append
       val dir = newDataDir(root, "v", 1)
       df.write.mode("overwrite").parquet(dir)
+      enforceConstraints(spark, root, dir)
       return commitAppend(root, dir, epoch, df.columns.toSeq)
     }
     val dirs = manifestDirs(root, parent)
@@ -667,6 +674,9 @@ object SnapshotStore {
       }
     val ins = newDataDir(root, "v", parent + 1)
     df.write.mode("overwrite").parquet(ins)
+    // the batch is the NEW content; rewritten dirs only re-arrange rows
+    // that passed enforcement when they first landed
+    enforceConstraints(spark, root, ins)
     val v = commitReplace(root, parent, (keep ++ rewritten) :+ ins,
       epoch, cols, "upsert")
     inheritStats(spark, root, parent, v, rewritten :+ ins, df.columns.toSeq)
@@ -882,6 +892,88 @@ object SnapshotStore {
       if (files.isEmpty) read(spark, root, version).limit(0)
       else spark.read.parquet(files: _*)
     base.where(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  // ---- table constraints ----------------------------------------------
+  //
+  // Delta-style CHECK constraints with SQL semantics: a row passes when
+  // the expression is TRUE or NULL (unknown passes, the SQL-standard
+  // CHECK rule — NOT NULL is spelled `col IS NOT NULL`, which is FALSE
+  // on null). Stored one file per constraint under `_constraints/`
+  // (raw expression text — no quoting/escaping to corrupt, unlike the
+  // manifest's comma-split arrays), enforced on every batch of NEW rows
+  // (append, epoch append, upsert) BEFORE its manifest publishes: a
+  // violating batch fails loudly and leaves only an unreferenced
+  // directory for vacuum. Existing data is validated when the
+  // constraint is ADDED (the ALTER TABLE ADD CONSTRAINT scan), so
+  // enforcement stays O(delta) afterwards — CoW rewrites re-arrange
+  // already-validated rows and are not re-checked.
+
+  private def constraintsDir(root: String): Path = Paths.get(root, "_constraints")
+
+  /** Registered constraints, name → expression text. */
+  def constraints(root: String): Map[String, String] = {
+    val dir = constraintsDir(root)
+    if (!Files.exists(dir)) Map.empty
+    else {
+      val stream = Files.list(dir)
+      try stream.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".sql"))
+        .map(p => p.getFileName.toString.stripSuffix(".sql") ->
+          new String(Files.readAllBytes(p), "UTF-8"))
+        .toMap
+      finally stream.close()
+    }
+  }
+
+  /** Register `name CHECK (exprSql)` — after validating the EXISTING
+    * snapshot satisfies it (a constraint the standing data already
+    * violates would make every future append fail for the wrong
+    * commit). An empty store accepts any constraint. */
+  def addConstraint(spark: SparkSession, root: String,
+                    name: String, exprSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name must be [A-Za-z0-9_-]+, got '$name'")
+    if (currentVersion(root) > 0) {
+      val bad = firstViolation(read(spark, root, mergeSchema = true), exprSql)
+      require(bad.isEmpty,
+        s"existing rows at $root violate CHECK ($exprSql) — first: ${bad.get}")
+    }
+    Files.createDirectories(constraintsDir(root))
+    Files.write(constraintsDir(root).resolve(s"$name.sql"),
+      exprSql.getBytes("UTF-8"))
+  }
+
+  def dropConstraint(root: String, name: String): Unit =
+    Files.deleteIfExists(constraintsDir(root).resolve(s"$name.sql"))
+
+  /** First violating row of `exprSql` in `df`, if any (TRUE/NULL pass —
+    * SQL CHECK semantics). */
+  private def firstViolation(df: DataFrame, exprSql: String) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    df.where(not(coalesce(expr(exprSql), lit(true)))).limit(1)
+      .collect().headOption
+  }
+
+  /** Enforce every registered constraint on the freshly-written batch
+    * directory `dir` — called before the commit that would publish it,
+    * so a violation never becomes a version. One scan of the delta per
+    * registered constraint (the predicates could fold into one pass;
+    * constraint counts are human-scale, the per-constraint error message
+    * wins). A constraint referencing a column the batch omits fails the
+    * batch loudly at resolution — carry the column or drop the
+    * constraint. */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 dir: String): Unit = {
+    val cs = constraints(root)
+    if (cs.isEmpty) return
+    val batch = spark.read.parquet(dir)
+    cs.foreach { case (name, exprSql) =>
+      val bad = firstViolation(batch, exprSql)
+      require(bad.isEmpty,
+        s"batch violates constraint $name CHECK ($exprSql) at $root — " +
+          s"first violating row: ${bad.get}; nothing was published")
+    }
   }
 
   /** Recursive delete of a store root (harness/test cleanup). */

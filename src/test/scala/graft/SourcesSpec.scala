@@ -744,6 +744,59 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("table constraints: SQL CHECK semantics enforced on every new batch, never a version") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapchk").toString
+    try {
+      SnapshotStore.append(Seq((1L, 5.0), (2L, 7.5)).toDF("id", "score"), root)
+      SnapshotStore.addConstraint(spark, root, "score_range",
+        "score >= 0 AND score <= 10")
+      SnapshotStore.addConstraint(spark, root, "id_not_null", "id IS NOT NULL")
+      // adding a constraint the STANDING data violates is rejected
+      val e0 = intercept[IllegalArgumentException] {
+        SnapshotStore.addConstraint(spark, root, "impossible", "score > 6")
+      }
+      assert(e0.getMessage.contains("existing rows"))
+      assert(SnapshotStore.constraints(root).keySet ==
+        Set("score_range", "id_not_null"))
+      // a violating append fails loudly and publishes NOTHING
+      val e1 = intercept[IllegalArgumentException] {
+        SnapshotStore.append(Seq((3L, 11.0)).toDF("id", "score"), root)
+      }
+      assert(e1.getMessage.contains("score_range"))
+      assert(SnapshotStore.currentVersion(root) == 1)
+      // NULL passes a CHECK (SQL semantics) but fails IS NOT NULL
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotStore.append(
+          Seq((null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(1.0)))
+            .toDF("id", "score"), root)
+      }
+      assert(e2.getMessage.contains("id_not_null"))
+      SnapshotStore.append(
+        Seq((java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Double]))
+          .toDF("id", "score"), root) // null score: CHECK passes
+      assert(SnapshotStore.currentVersion(root) == 2)
+      // upsert and epoch-append batches face the same gate
+      val e3 = intercept[IllegalArgumentException] {
+        SnapshotStore.upsert(spark, Seq((1L, -3.0)).toDF("id", "score"),
+          root, Seq("id"))
+      }
+      assert(e3.getMessage.contains("score_range"))
+      val e4 = intercept[IllegalArgumentException] {
+        SnapshotStore.appendEpoch(Seq((9L, 99.0)).toDF("id", "score"), root, 5L)
+      }
+      assert(e4.getMessage.contains("score_range"))
+      assert(SnapshotStore.lastEpoch(root).isEmpty) // the epoch never stamped
+      // dropping the constraint re-opens the gate
+      SnapshotStore.dropConstraint(root, "score_range")
+      SnapshotStore.upsert(spark, Seq((1L, -3.0)).toDF("id", "score"),
+        root, Seq("id"))
+      assert(SnapshotStore.read(spark, root).where(col("score") === -3.0).count() == 1)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("timestamp time travel + history: AS OF picks by stamp, version chain orders") {
     import graft.sources.SnapshotStore
     val s = spark
