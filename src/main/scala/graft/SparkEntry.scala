@@ -1589,6 +1589,26 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Bloom point-lookup read: appends are HASH-partitioned (every file
+    // spans the whole doc_id domain, so min/max stats cannot prune) and
+    // carry per-file blooms; the equality read plans only the files whose
+    // bloom admits the key. The oracle is the plain point SELECT —
+    // skipping must be invisible to results.
+    "snapshot_bloom_read" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      try {
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
+        sources.SnapshotStore.appendWithBloom(
+          docs.where(col("doc_id") < 300).repartition(4, col("doc_id")),
+          root, "doc_id")
+        sources.SnapshotStore.appendWithBloom(
+          docs.where(col("doc_id") >= 300).repartition(4, col("doc_id")),
+          root, "doc_id")
+        sources.SnapshotStore.readEq(s, root, "doc_id", 123L)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Incrementally-maintained rollup view (IVM): the series arrives in
     // THREE source versions (e % 3 slices, so the same (metric, day)
     // keys straddle every version), each refresh aggregates ONLY its
@@ -4147,6 +4167,8 @@ object SparkEntry {
       "SELECT doc_id, lang, source FROM documents",
     "snapshot_delete" ->
       "SELECT doc_id, lang, source FROM documents WHERE lang IS DISTINCT FROM 'de'",
+    "snapshot_bloom_read" ->
+      "SELECT doc_id, lang, source FROM documents WHERE doc_id = 123",
     "snapshot_upsert" ->
       """SELECT doc_id, lang, source FROM documents WHERE doc_id % 10 <> 0
         |UNION ALL

@@ -894,6 +894,114 @@ object SnapshotStore {
     base.where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
+  // ---- per-file bloom point-lookup skipping ---------------------------
+  //
+  // The equality sibling of min/max skipping (Delta's bloom filter
+  // index): hash-scattered high-cardinality keys (doc ids, user ids)
+  // have useless min/max spans — every file covers the whole domain —
+  // but a per-FILE bloom filter answers "can this file hold key K?"
+  // with no false negatives. Sidecar `_bloom/v{N}.parquet`, rows
+  // `(path, col, bloom)`; the bloom bytes are Spark's own
+  // BloomFilterAggregate serialization over xxhash64(key), probed back
+  // through the public util.sketch reader with the same hash — build
+  // and probe agree by construction. Files without a bloom row are
+  // conservatively kept (same soundness posture as [[planFiles]]), and
+  // the predicate re-applies to surviving files, so a false positive
+  // costs IO, never correctness.
+
+  private def bloomPath(root: String, v: Int): Path =
+    Paths.get(root, "_bloom", s"v$v.parquet")
+
+  /** [[append]] + a per-file bloom over `bloomCol` (any key type —
+    * xxhash64 canonicalizes). `numBits` sizes accuracy: ~10 bits/key for
+    * ~1% false positives. One read-back scan of the delta, the same
+    * write-side price class as [[appendWithStats]]. */
+  def appendWithBloom(df: DataFrame, root: String, bloomCol: String,
+                      numBits: Long = 1L << 20): Int = {
+    val (v, dir) = appendReturningDir(df, root)
+    writeBloom(df.sparkSession, root, v, Seq(dir), bloomCol, numBits)
+    v
+  }
+
+  private def writeBloom(spark: SparkSession, root: String, v: Int,
+                         dirs: Seq[String], bloomCol: String,
+                         numBits: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val written = spark.read.parquet(dirs: _*)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.eagerExpression(xxhash64(col(bloomCol))),
+      Literal(math.max(1L, numBits / 10)), // items estimate: ~10 bits/key
+      Literal(numBits)).toAggregateExpression()
+    written
+      .select(input_file_name().as("path"), col(bloomCol))
+      .groupBy("path")
+      .agg(ColumnBridge.column(agg).as("bloom"))
+      .select(col("path"), lit(bloomCol).as("col"), col("bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, v).toString)
+  }
+
+  /** Plan the file set for `bloomCol = value` on snapshot `version`:
+    * (selected files, total files) — the equality counterpart of
+    * [[planFiles]], same distributed selection posture (the sidecar
+    * relation is probed where it lives; only selected paths reach the
+    * driver). */
+  private[graft] def planFilesEq(spark: SparkSession, root: String, ver: Int,
+                                 bloomCol: String,
+                                 value: Any): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    val v = if (ver > 0) ver else currentVersion(root)
+    val dirs = manifestDirs(root, v)
+    val all = dirs.flatMap { d =>
+      Option(new java.io.File(d).listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.toURI.toString)
+    }
+    val sidecars = (1 to v).map(bloomPath(root, _))
+      .filter(Files.exists(_)).map(_.toString)
+    if (sidecars.isEmpty) return (all, all.size)
+    import spark.implicits._
+    def norm(c: org.apache.spark.sql.Column) = regexp_replace(c, "^file:/+", "/")
+    val probe = udf { (bloom: Array[Byte], hash: Long) =>
+      bloom == null ||
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bloom))
+          .mightContainLong(hash)
+    }
+    val blooms = spark.read.parquet(sidecars: _*)
+      .where(col("col") === bloomCol)
+      .select(norm(col("path")).as("p"), col("bloom"))
+    // xxhash64 is TYPE-sensitive: probing a bigint column with an Int
+    // literal would hash differently and a bloom miss would silently
+    // DROP the matching file (a false negative — the one failure bloom
+    // skipping must never have). Cast the literal to the column's actual
+    // snapshot type before hashing, exactly what the build side hashed.
+    val colType = read(spark, root, v).schema.apply(bloomCol).dataType
+    val selected = all.toDF("path")
+      .withColumn("p", norm(col("path")))
+      .withColumn("h", xxhash64(lit(value).cast(colType)))
+      .join(blooms, Seq("p"), "left")
+      .where(col("bloom").isNull || probe(col("bloom"), col("h")))
+      .select("path")
+      .collect().map(_.getString(0)).toSeq
+    (selected, all.size)
+  }
+
+  /** Point-lookup read with bloom skipping: plans the possibly-matching
+    * files via [[planFilesEq]], re-applies the equality (row-level
+    * correctness; bloom positives may be false), empty-schema fallback
+    * when no file can match. */
+  def readEq(spark: SparkSession, root: String, bloomCol: String,
+             value: Any, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (files, _) = planFilesEq(spark, root, version, bloomCol, value)
+    val base =
+      if (files.isEmpty) read(spark, root, version).limit(0)
+      else spark.read.parquet(files: _*)
+    base.where(col(bloomCol) === lit(value))
+  }
+
   // ---- table constraints ----------------------------------------------
   //
   // Delta-style CHECK constraints with SQL semantics: a row passes when
@@ -982,6 +1090,45 @@ object SnapshotStore {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     rm(new java.io.File(root))
+  }
+
+  /** INCREMENTAL bin-packing compaction — the 100 TB shape of the
+    * small-file maintenance job: only directories whose on-disk size is
+    * below `smallBytes` are rewritten (merged into one directory),
+    * everything already-compacted carries over BY REFERENCE. A steady
+    * drip of small appends folds into the standing table at a cost
+    * bounded by the drip, never an O(table) rewrite ([[compact]] stays
+    * the full-rewrite / schema-migration tool). Content-preserving, so
+    * it publishes with the compact kind; fewer than two small
+    * directories means nothing to pack — a true no-op, no version.
+    * File-skipping stats of the rewritten directories are re-derived for
+    * the union of columns their sidecars tracked ([[inheritStats]]), so
+    * packing never converts pruned data back into always-scanned data. */
+  def compactSmall(spark: SparkSession, root: String,
+                   smallBytes: Long = 32L * 1024 * 1024,
+                   targetFiles: Int = 4): Int = {
+    val parent = currentVersion(root)
+    require(parent > 0, s"nothing to compact at $root")
+    val dirs = manifestDirs(root, parent)
+    def dirBytes(d: String): Long = {
+      val fs = Option(new java.io.File(d).listFiles()).toSeq.flatten
+      fs.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val small = dirs.filter(dirBytes(_) < smallBytes)
+    if (small.size < 2) return parent // nothing to pack
+    val keep = dirs.filterNot(small.toSet)
+    val dir = newDataDir(root, "compact", parent + 1)
+    // mergeSchema across the packed directories only: they may span
+    // schema evolution; the merged read plans their union shape and
+    // missing columns fill as null, exactly as read() serves them
+    spark.read.option("mergeSchema", "true").parquet(small: _*)
+      .coalesce(targetFiles).write.mode("overwrite").parquet(dir)
+    val v = commitReplace(root, parent, keep :+ dir, lastEpoch(root),
+      manifestCols(root, parent).getOrElse(Seq.empty), "compact")
+    inheritStats(spark, root, parent, v, Seq(dir),
+      manifestCols(root, parent).getOrElse(
+        spark.read.parquet(dir).columns.toSeq))
+    v
   }
 
   /** Rewrite the CURRENT snapshot into `targetFiles` files under one new

@@ -744,6 +744,70 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("incremental bin-packing: small dirs merge, big dirs ride by reference") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snappack").toString
+    try {
+      // one big directory, three small stats-carrying drips
+      SnapshotStore.appendWithStats(
+        (1L to 20000L).map(i => (i, s"payload-$i")).toDF("id", "p")
+          .repartition(2), root, Seq("id"))
+      (0 until 3).foreach { k =>
+        SnapshotStore.appendWithStats(
+          (100000L + k * 10 to 100009L + k * 10).map(i => (i, s"drip-$i"))
+            .toDF("id", "p"), root, Seq("id"))
+      }
+      val dirsBefore = SnapshotStore.manifestDirs(root, 4)
+      val v = SnapshotStore.compactSmall(spark, root, smallBytes = 64 * 1024)
+      assert(v == 5 && SnapshotStore.manifestOp(root, 5).contains("compact"))
+      val dirsAfter = SnapshotStore.manifestDirs(root, 5)
+      // the big dir rode by reference; the three drips became one dir
+      assert(dirsAfter.count(dirsBefore.contains) == 1)
+      assert(dirsAfter.size == 2)
+      // content identical, time travel intact
+      assert(SnapshotStore.read(spark, root).count() == 20030)
+      assert(SnapshotStore.read(spark, root, 4).count() == 20030)
+      // the packed dir re-derived id stats: a drip-range read still prunes
+      val (sel, total) = SnapshotStore.planFiles(spark, root, -1, "id",
+        100000L, 100005L)
+      assert(sel.size < total, s"no pruning after packing: $sel of $total")
+      assert(SnapshotStore.readWhere(spark, root, "id", 100000L, 100005L)
+        .count() == 6)
+      // one surviving small dir: nothing to pack, a true no-op
+      assert(SnapshotStore.compactSmall(spark, root, smallBytes = 64 * 1024) == 5)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("bloom point-lookup prunes hash-scattered files min/max never could") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapbloom").toString
+    try {
+      // hash-partitioned appends: every file spans the whole id domain,
+      // so range stats are useless — the bloom is the only pruner
+      SnapshotStore.appendWithBloom(
+        (1L to 4000L).map(i => (i, s"p$i")).toDF("id", "p")
+          .repartition(4, col("id")), root, "id")
+      SnapshotStore.appendWithBloom(
+        (4001L to 8000L).map(i => (i, s"p$i")).toDF("id", "p")
+          .repartition(4, col("id")), root, "id")
+      val (sel, total) = SnapshotStore.planFilesEq(spark, root, -1, "id", 42L)
+      assert(total == 8 && sel.size < total, s"no bloom pruning: $sel of $total")
+      assert(SnapshotStore.readEq(spark, root, "id", 42L).count() == 1)
+      // absent key: zero rows regardless of what the bloom admits
+      assert(SnapshotStore.readEq(spark, root, "id", 999999L).count() == 0)
+      // an Int-typed probe against the bigint column still finds the row
+      // (the type-cast guard — a raw Int hash would be a false negative)
+      assert(SnapshotStore.readEq(spark, root, "id", 42).count() == 1)
+      // a column with no bloom rows: conservative keep-everything
+      val (selP, totP) = SnapshotStore.planFilesEq(spark, root, -1, "p", "x")
+      assert(selP.size == totP)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("table constraints: SQL CHECK semantics enforced on every new batch, never a version") {
     import graft.sources.SnapshotStore
     val s = spark
