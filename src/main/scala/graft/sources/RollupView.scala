@@ -154,6 +154,21 @@ object RollupView {
     val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // NULL-keyed groups (null metric or null e — outside the series
+      // contract, but a delete can still target them) would slip every
+      // null-unsafe equi-join below: the dirty semi-join, the tombstone
+      // anti-join, AND the view store's keyed upsert all treat null !=
+      // null, so the old partial would silently survive next to a
+      // tombstone and the merged view would diverge from a from-scratch
+      // rollup forever. One full rebuild handles them exactly.
+      val nullKeyDeletes = !ch.where(col("_change_type") === "delete" &&
+        (col("metric").isNull || col("e").isNull)).isEmpty
+      if (nullKeyDeletes) {
+        // the enclosing finally unpersists ch
+        return SnapshotStore.compactWith(
+          partials(SnapshotStore.read(spark, srcRoot, srcCur)), viewRoot,
+          epochOverride = Some(srcCur.toLong))
+      }
       val dirty = ch.where(col("_change_type") === "delete")
         .select(col("metric"), expr("e div 86400").as("day"))
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -171,18 +186,21 @@ object RollupView {
           // truncation-vs-floor semantics.
           val b = dirty.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
           val srcRows = SnapshotStore.read(spark, srcRoot, srcCur)
-          // min/max skip null days, so a null-day dirty group (null e —
-          // outside the series contract, but a delete can still target
-          // it) keeps its rows via the isNull arm; an all-null bound set
-          // skips the pre-filter entirely rather than read null as 0
+          // Spark's `div` TRUNCATES toward zero, so day 0 spans
+          // e ∈ [-86399, 86399] — the day-0 lower bound must include the
+          // negative tail or a surviving negative-e row would be dropped
+          // from the recompute and its group falsely tombstoned. Negative
+          // dirty days skip the pre-filter (their truncation bands are
+          // not worth encoding for out-of-contract data); null-key groups
+          // never reach here (rebuild branch above).
           val pre =
             if (b.isNullAt(0)) srcRows
             else {
               val (dlo, dhi) = (b.getLong(0), b.getLong(1))
-              if (dlo >= 0)
-                srcRows.where(col("e").isNull ||
-                  (col("e") >= dlo * 86400L && col("e") <= dhi * 86400L + 86399L))
-              else srcRows
+              if (dlo >= 0) {
+                val lo = if (dlo == 0) -86399L else dlo * 86400L
+                srcRows.where(col("e") >= lo && col("e") <= dhi * 86400L + 86399L)
+              } else srcRows
             }
           val recomputed = partialsByDay(
             pre

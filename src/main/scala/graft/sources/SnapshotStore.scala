@@ -66,14 +66,32 @@ object SnapshotStore {
   def hasManifest(root: String, v: Int): Boolean =
     Files.exists(manifestPath(root, v))
 
-  /** Directories of version `v` (exactly as the manifest lists them). */
-  def manifestDirs(root: String, v: Int): Seq[String] = {
-    val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
-    // minimal JSON: {"version":N,"cols":[...],"dirs":["...","..."]}
-    val m = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+  // The manifest's minimal JSON is parsed by these shared regexes — ONE
+  // definition per field, matched against one text read per version
+  // (history() composes four fields from a single read).
+  private val DirsRe = """"dirs"\s*:\s*\[([^\]]*)\]""".r
+  private val ColsRe = """"cols"\s*:\s*\[([^\]]*)\]""".r
+  private val OpRe = """"op"\s*:\s*"([a-z]+)"""".r
+  private val TsRe = """"ts"\s*:\s*(\d+)""".r
+  private val EpochRe = """"epoch"\s*:\s*(\d+)""".r
+
+  private def manifestText(root: String, v: Int): Option[String] = {
+    val p = manifestPath(root, v)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8"))
+  }
+
+  private def dirsOf(root: String, v: Int, text: String): Seq[String] = {
+    val m = DirsRe.findFirstMatchIn(text)
       .getOrElse(sys.error(s"malformed manifest v$v at $root"))
     m.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty)
+  }
+
+  /** Directories of version `v` (exactly as the manifest lists them). */
+  def manifestDirs(root: String, v: Int): Seq[String] = {
+    val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
+    dirsOf(root, v, text)
   }
 
   /** Column names version `v`'s manifest records (the snapshot's full
@@ -82,7 +100,7 @@ object SnapshotStore {
     * anything-goes behavior until the next append starts recording). */
   def manifestCols(root: String, v: Int): Option[Seq[String]] = {
     val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
-    """"cols"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text).map(
+    ColsRe.findFirstMatchIn(text).map(
       _.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty))
   }
@@ -94,27 +112,15 @@ object SnapshotStore {
     * row diff) from a content-preserving COMPACTION (directories change,
     * rows don't — a directory diff across it double-counts). Consumers
     * treat None conservatively (unknown history: recompute, don't diff). */
-  def manifestOp(root: String, v: Int): Option[String] = {
-    val p = manifestPath(root, v)
-    if (!Files.exists(p)) None
-    else {
-      val text = new String(Files.readAllBytes(p), "UTF-8")
-      """"op"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(text).map(_.group(1))
-    }
-  }
+  def manifestOp(root: String, v: Int): Option[String] =
+    manifestText(root, v).flatMap(OpRe.findFirstMatchIn(_).map(_.group(1)))
 
   /** Commit wall-clock of version `v` (epoch millis), None for pre-stamp
     * or vacuumed manifests. Recorded at publish time by the committing
     * writer — monotone per writer, the VERSION CHAIN is the truth under
     * skew (see [[versionAsOf]]). */
-  def manifestTs(root: String, v: Int): Option[Long] = {
-    val p = manifestPath(root, v)
-    if (!Files.exists(p)) None
-    else {
-      val text = new String(Files.readAllBytes(p), "UTF-8")
-      """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-    }
-  }
+  def manifestTs(root: String, v: Int): Option[Long] =
+    manifestText(root, v).flatMap(TsRe.findFirstMatchIn(_).map(_.group(1).toLong))
 
   /** The newest version whose recorded commit stamp is ≤ `tsMillis` — the
     * TIMESTAMP AS OF half of time travel ([[read]]'s `version` argument
@@ -165,21 +171,13 @@ object SnapshotStore {
     import spark.implicits._
     val cur = currentVersion(root)
     (1 to cur).flatMap { v =>
-      if (!hasManifest(root, v)) None
-      else Some((v, manifestOp(root, v).getOrElse(""),
-        manifestTs(root, v), epochOf(root, v),
-        manifestDirs(root, v).size, v == cur))
+      manifestText(root, v).map { text =>
+        (v, OpRe.findFirstMatchIn(text).map(_.group(1)).getOrElse(""),
+          TsRe.findFirstMatchIn(text).map(_.group(1).toLong),
+          EpochRe.findFirstMatchIn(text).map(_.group(1).toLong),
+          dirsOf(root, v, text).size, v == cur)
+      }
     }.toDF("version", "op", "ts_millis", "epoch", "n_dirs", "current")
-  }
-
-  /** Epoch stamp of one version's manifest, if any. */
-  private def epochOf(root: String, v: Int): Option[Long] = {
-    val p = manifestPath(root, v)
-    if (!Files.exists(p)) None
-    else {
-      val text = new String(Files.readAllBytes(p), "UTF-8")
-      """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-    }
   }
 
   /** Publish `dirs` as version `v` — fully write a uniquely-named temp
@@ -397,6 +395,9 @@ object SnapshotStore {
     require(fromExclusive == 0 || hasManifest(root, fromExclusive),
       s"change baseline v$fromExclusive was vacuumed at $root — " +
         "the content diff is undefined; re-seed the consumer from a full read")
+    require(hasManifest(root, v),
+      s"change endpoint v$v was vacuumed at $root — " +
+        "the content diff is undefined; diff against a surviving version")
     val before =
       if (fromExclusive == 0) Seq.empty[String]
       else manifestDirs(root, fromExclusive)
@@ -461,14 +462,9 @@ object SnapshotStore {
     * scan, same cost class as the idempotence check). */
   def lastEpoch(root: String): Option[Long] = {
     val cur = currentVersion(root)
-    val stamps = (1 to cur).flatMap { v =>
-      val p = manifestPath(root, v)
-      if (!Files.exists(p)) None // vacuumed below keepFrom
-      else {
-        val text = new String(Files.readAllBytes(p), "UTF-8")
-        """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-      }
-    }
+    val stamps = (1 to cur).flatMap(v => // vacuumed manifests skip via None
+      manifestText(root, v).flatMap(
+        EpochRe.findFirstMatchIn(_).map(_.group(1).toLong)))
     if (stamps.isEmpty) None else Some(stamps.max)
   }
 
@@ -746,8 +742,16 @@ object SnapshotStore {
         case Some(dirs) => dirs.exists(retained.contains)
         case None       => true // unknown ownership: keep, never guess
       }
-      if (!versionOwned && Files.exists(statsPath(root, v)))
-        deleteTree(statsPath(root, v).toString)
+      if (!versionOwned) {
+        if (Files.exists(statsPath(root, v)))
+          deleteTree(statsPath(root, v).toString)
+        // bloom sidecars follow the same ownership rule as stats: a
+        // vacuumed version whose data went drops its bloom too, or a
+        // year of retention leaves hundreds of dead sidecars that every
+        // planFilesEq must open
+        if (Files.exists(bloomPath(root, v)))
+          deleteTree(bloomPath(root, v).toString)
+      }
     }
     val dataDir = Paths.get(root, "data")
     if (Files.exists(dataDir)) {
@@ -782,6 +786,12 @@ object SnapshotStore {
   def appendWithStats(df: DataFrame, root: String,
                       statsCols: Seq[String]): Int = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
+    // check BEFORE the data publishes: a typo'd column must not become a
+    // committed version whose sidecar write then fails (writeStats's
+    // presence filter is for multi-dir rewrites, not for masking typos)
+    val missing = statsCols.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"statsCols not in the batch schema: ${missing.mkString(", ")}")
     val (v, dir) = appendReturningDir(df, root)
     writeStats(df.sparkSession, root, v, Seq(dir), statsCols)
     v
@@ -792,8 +802,20 @@ object SnapshotStore {
   private def writeStats(spark: SparkSession, root: String, v: Int,
                          dirs: Seq[String], statsCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val written = spark.read.parquet(dirs: _*)
-    val perFile = statsCols.map { c =>
+    // mergeSchema + presence filter: the dirs may span schema evolution
+    // (a bin-packed merge of old-shaped drips, an upsert's rewrite next
+    // to its batch), and selecting a tracked column absent from the
+    // sampled footer would throw AFTER the version already published —
+    // a maintenance job reporting failure for a commit that succeeded.
+    // A column absent from these dirs simply records no stats (readers
+    // conservatively keep statless files).
+    val written = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val have = written.schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val presentCols = statsCols.filter(c =>
+      have.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    if (presentCols.isEmpty) return
+    val perFile = presentCols.map { c =>
       written
         .select(input_file_name().as("path"), col(c).cast("long").as("x"))
         .groupBy("path")
@@ -918,6 +940,9 @@ object SnapshotStore {
     * write-side price class as [[appendWithStats]]. */
   def appendWithBloom(df: DataFrame, root: String, bloomCol: String,
                       numBits: Long = 1L << 20): Int = {
+    // same fail-before-publish contract as appendWithStats
+    require(df.columns.exists(_.equalsIgnoreCase(bloomCol)),
+      s"bloom column '$bloomCol' not in the batch schema")
     val (v, dir) = appendReturningDir(df, root)
     writeBloom(df.sparkSession, root, v, Seq(dir), bloomCol, numBits)
     v

@@ -647,12 +647,17 @@ class SourcesSpec extends SparkSpec {
       SnapshotStore.compact(spark, root)
       assert(SnapshotStore.manifestOp(root, 5).contains("compact"))
       assert(SnapshotStore.changes(spark, root, 4, 5).count() == 0)
-      // vacuumed baseline fails loudly, like incremental()
+      // vacuumed baseline fails loudly, like incremental(); a vacuumed
+      // ENDPOINT gets the same curated error, not a raw NoSuchFile
       SnapshotStore.vacuum(root, keepFrom = 5)
       val e = intercept[IllegalArgumentException] {
         SnapshotStore.changes(spark, root, 2)
       }
       assert(e.getMessage.contains("vacuumed"))
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotStore.changes(spark, root, 0, to = 3)
+      }
+      assert(e2.getMessage.contains("endpoint v3 was vacuumed"))
     } finally SnapshotStore.deleteTree(root)
   }
 
@@ -964,6 +969,44 @@ class SourcesSpec extends SparkSpec {
         ("m", 0L, 2L, 4.0, 1.0, 3.0),   // key-2 max re-derived 9.0 -> 3.0
         ("m", 1L, 1L, 2.0, 2.0, 2.0),
         ("n", 0L, 2L, -3.0, -2.0, -1.0)))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("retraction refresh: null-key deletes rebuild, negative-e day-0 rows survive") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivmedge").toString
+    try {
+      // --- null-e delete: every equi-join in the incremental path is
+      // null-unsafe, so the refresh must take the REBUILD branch
+      val src1 = s"$root/src1"; val view1 = s"$root/view1"
+      SnapshotStore.append(Seq(
+        ("m", null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(5.0)),
+        ("m", java.lang.Long.valueOf(10L), java.lang.Double.valueOf(1.0)))
+        .toDF("metric", "e", "value"), src1)
+      RollupView.refresh(spark, src1, view1)
+      assert(RollupView.read(spark, view1).count() == 2) // (m,null) + (m,0)
+      SnapshotStore.deleteWhere(spark, src1, col("e").isNull)
+      RollupView.refresh(spark, src1, view1)
+      val rows1 = RollupView.read(spark, view1).collect()
+      assert(rows1.length == 1 && rows1(0).getLong(2) == 1L
+        && rows1(0).getDouble(4) == 1.0, "null-key group survived the delete")
+      // the null-key path took the rebuild branch (a view compaction)
+      assert(SnapshotStore.manifestOp(view1,
+        SnapshotStore.currentVersion(view1)).contains("compact"))
+      // --- negative e: Spark div truncates toward zero, so day 0 spans
+      // [-86399, 86399]; the pre-filter must keep the negative survivor
+      val src2 = s"$root/src2"; val view2 = s"$root/view2"
+      SnapshotStore.append(Seq(("m", -1L, 5.0), ("m", 10L, 1.0))
+        .toDF("metric", "e", "value"), src2)
+      RollupView.refresh(spark, src2, view2)
+      SnapshotStore.deleteWhere(spark, src2, col("e") === 10L)
+      RollupView.refresh(spark, src2, view2)
+      val rows2 = RollupView.read(spark, view2).collect()
+      assert(rows2.length == 1 && rows2(0).getLong(1) == 0L
+        && rows2(0).getLong(2) == 1L && rows2(0).getDouble(4) == 5.0,
+        s"negative-e day-0 survivor lost: ${rows2.mkString(",")}")
     } finally SnapshotStore.deleteTree(root)
   }
 
