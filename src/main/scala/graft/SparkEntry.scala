@@ -940,6 +940,291 @@ object SparkEntry {
         .withColumn("promo_pct", col("promo_revenue") / col("total_revenue") * 100)
     }),
 
+    // TPC-H Q4 shape: order-priority checking. The fixtures carry no
+    // commit/receipt dates, so the existential predicate is "some line of
+    // the order was returned" — the plan (date-windowed orders, semi-join
+    // to lineitem, priority count) is Q4's.
+    "q4_order_priority" -> ((s, dir) => {
+      val returned = Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R").select("l_orderkey")
+      Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-07-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q6 shape: forecast-revenue-change — the pure scan-filter-agg
+    // query. All three predicates must reach the parquet scan as
+    // PushedFilters; revenue = price × discount (not 1−discount).
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(8,2)"))
+            .cast("double").as("revenue"))),
+
+    // TPC-H Q8 shape: national market share — one nation's slice of a
+    // region's yearly volume for one part type. The share is a division of
+    // the two already-exact doubles (IEEE-identical on both engines).
+    "q8_market_share" -> ((s, dir) => {
+      val vol = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(8,2)"))
+      Tables.region(s, dir).where(col("r_name") === "AMERICA")
+        .join(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey")),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, dir), col("cn_key") === col("c_nationkey"))
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.part(s, dir).where(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          coalesce(sum(when(col("supp_nation") === "NATION_5", vol))
+            .cast("double"), lit(0.0)).as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+    }),
+
+    // TPC-H Q9 shape: product-type profit. The fixtures have no
+    // ps_supplycost, so cost = retail price × quantity — the join tree
+    // (part-name filter fanning through lineitem to supplier nation and
+    // order year) and exact-decimal profit arithmetic are Q9's.
+    "q9_product_profit" -> ((s, dir) => {
+      val amount = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(8,2)")) -
+        col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(10,0)")
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).where(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(amount).cast("double").as("sum_profit"))
+    }),
+
+    // TPC-H Q10 shape: returned-item reporting — top 20 customers by
+    // returned revenue in one quarter, nation attached.
+    "q10_returned_items" -> ((s, dir) =>
+      RelationalOps.topK(
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00"))),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir).where(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(8,2)")))
+            .cast("double").as("revenue")),
+        20, col("revenue").desc, col("c_custkey").asc)),
+
+    // TPC-H Q11 shape: important-stock identification. No partsupp table,
+    // so "stock value" = shipped price×quantity per part from one nation's
+    // suppliers; the HAVING-vs-global-scalar comparison (part value above
+    // 1/1000 of the total) is Q11's. Both sides of the threshold compare
+    // are the identical exact decimals cast to double, so the boolean is
+    // engine-independent.
+    "q11_part_value" -> ((s, dir) => {
+      val value = col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(10,0)")
+      val perPart = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, dir).where(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(sum(value).as("value_dec"))
+      val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+      perPart.crossJoin(broadcast(total)) // one-row scalar, broadcast
+        .where(col("value_dec").cast("double") * 1000 >
+          col("total_dec").cast("double"))
+        .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
+    }),
+
+    // TPC-H Q12 shape: priority classification per category. No shipmode
+    // column, so the category is the return flag; the conditional
+    // high/low-priority counts over a ship-year window are Q12's.
+    "q12_return_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(high, lit(1))).as("high_line_count"),
+          count(when(!high, lit(1))).as("low_line_count"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — the LEFT OUTER
+    // join whose unmatched side must survive as count 0, then a second
+    // aggregation over the counts.
+    "q13_order_distribution" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the scalar
+    // MAX subquery equality, kept exact by comparing the decimals
+    // themselves (ties would all surface, deterministically).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-07-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(8,2)"))).as("rev_dec"))
+      val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
+      rev.crossJoin(broadcast(mx)) // one-row scalar, broadcast
+        .where(col("rev_dec") === col("max_dec"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q16 shape: supplier count per part attribute. The observed
+    // (part, supplier) pairs from lineitem stand in for partsupp; the
+    // NOT-IN complaint exclusion becomes an anti-join on negative-balance
+    // suppliers.
+    "q16_supplier_parts" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+        .join(Tables.supplier(s, dir).where(col("s_acctbal") < 0)
+          .select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, dir).where(col("p_brand") =!= "Brand#1" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part average, expressed as integer cross-multiplication
+    // (qty < avg/5  ⇔  5·qty·cnt < sum) so the threshold boolean is exact
+    // integer arithmetic on both engines.
+    "q17_small_quantity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("agg_partkey"))
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      li.join(Tables.part(s, dir)
+          .where(col("p_brand") === "Brand#3" && col("p_type") === "SMALL"),
+          col("l_partkey") === col("p_partkey"))
+        .join(stats, col("l_partkey") === col("agg_partkey"))
+        .where(col("qty") * col("cnt_qty") * 5 < col("sum_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+            7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive join predicates — three OR'd
+    // brand/size/quantity bands that Catalyst must still push through the
+    // part join (common-factor extraction).
+    "q19_disjunctive" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(8,2)")))
+            .cast("double").as("revenue"))),
+
+    // TPC-H Q20 shape: suppliers holding stock of flagged parts — the
+    // nested-IN pipeline (parts by name prefix → shipped volume per
+    // supplier×part above threshold → suppliers of one nation), all
+    // semi-joins.
+    "q20_part_suppliers" -> ((s, dir) => {
+      val shipped = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).where(col("p_name").startsWith("red"))
+          .select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 50)
+        .select("l_suppkey")
+      Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir).where(col("n_name") === "NATION_1"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+
+    // TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting.
+    // No receipt/commit dates, so "late" = returned; the EXISTS (another
+    // supplier on the order) + NOT EXISTS (another supplier also late)
+    // self-join pair on lineitem is Q21's.
+    "q21_suppliers_waiting" -> ((s, dir) => {
+      val l1 = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o1"), col("l_suppkey").as("sk1"))
+      val l2 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("sk2"))
+      val l3 = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("sk3"))
+      val base = l1
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("o1") === col("o_orderkey"), "left_semi")
+        .join(l2, col("o1") === col("o2") && col("sk1") =!= col("sk2"),
+          "left_semi")
+        .join(l3, col("o1") === col("o3") && col("sk1") =!= col("sk3"),
+          "left_anti")
+      RelationalOps.topK(
+        base.join(Tables.supplier(s, dir), col("sk1") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("numwait")),
+        20, col("numwait").desc, col("s_suppkey").asc)
+    }),
+
+    // TPC-H Q22 shape: idle positive balances — customers above the
+    // segment-pool's positive average with no orders at all (anti-join).
+    // The average compare is cross-multiplied into exact decimal×count
+    // arithmetic.
+    "q22_idle_balance" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val stats = cust.where(col("bal") > 0)
+        .agg(sum("bal").as("sum_bal"), count(lit(1)).as("cnt_bal"))
+      cust.crossJoin(broadcast(stats)) // one-row scalar, broadcast
+        .where(col("bal") * col("cnt_bal") > col("sum_bal"))
+        .join(Tables.orders(s, dir).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          sum("bal").cast("double").as("totacctbal"))
+    }),
+
     // Top-10 customers by total order value.
     "q_top_customers" -> ((s, dir) =>
       RelationalOps.topK(
