@@ -1206,9 +1206,12 @@ object SparkEntry {
     }),
 
     // TPC-H Q22 shape: idle positive balances — customers above the
-    // segment-pool's positive average with no orders at all (anti-join).
-    // The average compare is cross-multiplied into exact decimal×count
-    // arithmetic.
+    // segment-pool's positive average with no RECENT orders (anti-join
+    // against the 1998+ order window; the fixture has no customer with
+    // zero lifetime orders, so TPC-H's "no orders at all" form would be
+    // vacuously empty — "idle since 1998" keeps the anti-join live at
+    // every SF: 3 rows at sf0.01, 15 at sf1). The average compare is
+    // cross-multiplied into exact decimal×count arithmetic.
     "q22_idle_balance" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
         .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
@@ -1218,7 +1221,9 @@ object SparkEntry {
         .agg(sum("bal").as("sum_bal"), count(lit(1)).as("cnt_bal"))
       cust.crossJoin(broadcast(stats)) // one-row scalar, broadcast
         .where(col("bal") * col("cnt_bal") > col("sum_bal"))
-        .join(Tables.orders(s, dir).select("o_custkey"),
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00")))
+          .select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("numcust"),
@@ -3827,6 +3832,223 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+
+    // ---- r13: oracles for the full TPC-H family (q4..q22). Same
+    // portable-compare rules as q1/q3/q5/q7/q14/q18: exact DECIMAL sums
+    // cast to DOUBLE only at the surface, cross-multiplied thresholds,
+    // pre-join filters kept in subqueries/ON where outer-join semantics
+    // depend on it, deterministic ORDER BY ... LIMIT tie-breaks.
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  COALESCE(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(8,2))) END) AS DOUBLE), 0.0)
+        |    AS nation_volume,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS total_volume,
+        |  COALESCE(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(8,2))) END) AS DOUBLE), 0.0) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS mkt_share
+        |FROM region
+        |JOIN nation cn ON r_regionkey = cn.n_regionkey
+        |JOIN customer ON cn.n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(8,2))) -
+        |           CAST(p_retailprice AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(10,0))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE contains(p_name, 'widget')
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q11_part_value" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(10,0))) AS value_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |total AS (SELECT SUM(value_dec) AS total_dec FROM per_part)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM per_part CROSS JOIN total
+        |WHERE CAST(value_dec AS DOUBLE) * 1000 > CAST(total_dec AS DOUBLE)""".stripMargin,
+
+    "q12_return_priority" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN (SELECT * FROM orders
+        |                   WHERE o_orderpriority <> '5-LOW') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(8,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  GROUP BY 1),
+        |mx AS (SELECT MAX(rev_dec) AS max_dec FROM rev)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = max_dec""".stripMargin,
+
+    "q16_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |                   l_extendedprice FROM lineitem),
+        |stats AS (SELECT l_partkey AS agg_partkey,
+        |                 CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |                 COUNT(*) AS cnt_qty
+        |          FROM li GROUP BY 1)
+        |SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly
+        |FROM li
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN stats ON l_partkey = agg_partkey
+        |WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |  AND qty * cnt_qty * 5 < sum_qty""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_part_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE EXISTS (SELECT 1 FROM part
+        |                WHERE p_partkey = l_partkey AND p_name LIKE 'red%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND EXISTS (SELECT 1 FROM shipped WHERE l_suppkey = s_suppkey)""".stripMargin,
+
+    "q21_suppliers_waiting" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    "q22_idle_balance" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+        |stats AS (SELECT SUM(bal) AS sum_bal, COUNT(*) AS cnt_bal
+        |          FROM cust WHERE bal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM cust CROSS JOIN stats
+        |WHERE bal * cnt_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
 
     "q_top_customers" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,
