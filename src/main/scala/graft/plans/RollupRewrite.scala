@@ -30,17 +30,75 @@ object MaterializedRollups {
     * snapshot store at `srcRoot`. From now on, canonical day-rollup
     * aggregates over the source's CURRENT snapshot are answered from the
     * view — when, and only when, the view's resume stamp matches the
-    * source's current version at planning time. */
+    * source's current version at planning time.
+    *
+    * The rewrite decision binds at ANALYSIS time — when the DataFrame is
+    * BUILT, not when it executes. A plan built while the view was fresh
+    * but executed after a later source commit serves the snapshot the
+    * plan was built against (the older answer) — the same
+    * read-your-build-time-snapshot contract as [[SnapshotStore.read]]
+    * itself, since the declined path would pin the same manifest's
+    * files. Build plans close to execution, or re-build after commits. */
   def enable(srcRoot: String, viewRoot: String): Unit =
     regs.put(canon(srcRoot), viewRoot)
 
   def disable(srcRoot: String): Unit = regs.remove(canon(srcRoot))
 
-  def clear(): Unit = regs.clear()
+  def clear(): Unit = { regs.clear(); probeCache.clear() }
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
   private[plans] def all: Map[String, String] = regs.asScala.toMap
+
+  // ---- freshness-probe cache -----------------------------------------
+  //
+  // registrationFor runs during analysis of EVERY Aggregate in every
+  // query once any rollup is registered; uncached it would re-list the
+  // source's manifest directory, re-read its current manifest, and
+  // re-scan the view's O(versions) epoch chain each time. Both stores
+  // publish state only by writing files into their `_manifests`
+  // directories, so those directories' mtimes are a complete, two-stat
+  // invalidation key: cache the (current version, canonical dirs, view
+  // resume epoch) probe per (srcRoot, viewRoot) and recompute only when
+  // either mtime moves.
+
+  private final case class Probe(srcM: Long, viewM: Long,
+                                 dirs: Set[String], fresh: Boolean)
+
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Probe]()
+
+  private def manifestDirMtime(root: String): Long = {
+    val p = Paths.get(root, "_manifests")
+    // nanosecond key: back-to-back commits land within the same
+    // millisecond under test loads, and a stale "fresh" verdict must not
+    // survive a publish
+    try java.nio.file.Files.getLastModifiedTime(p)
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    catch { case _: java.io.IOException => -1L }
+  }
+
+  /** Current-snapshot dirs + view freshness for a registration, cached
+    * until either store's manifest directory changes. None when the
+    * source has no published version yet. */
+  private[plans] def probe(srcRoot: String, viewRoot: String): Option[(Set[String], Boolean)] = {
+    val srcM = manifestDirMtime(srcRoot)
+    val viewM = manifestDirMtime(viewRoot)
+    if (srcM < 0) return None
+    val cached = probeCache.get(srcRoot)
+    val p =
+      if (cached != null && cached.srcM == srcM && cached.viewM == viewM) cached
+      else {
+        val cur = SnapshotStore.currentVersion(srcRoot)
+        if (cur == 0) return None
+        val fresh = SnapshotStore.lastEpoch(viewRoot).contains(cur.toLong)
+        val next = Probe(srcM, viewM,
+          SnapshotStore.manifestDirs(srcRoot, cur).map(canon).toSet, fresh)
+        probeCache.put(srcRoot, next)
+        next
+      }
+    Some((p.dirs, p.fresh))
+  }
 }
 
 /** Materialized-view REWRITE for the engine's maintained rollups — the
@@ -119,12 +177,9 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     MaterializedRollups.all.collectFirst {
       case (srcRoot, viewRoot)
-          if SnapshotStore.currentVersion(srcRoot) > 0 && {
-            val cur = SnapshotStore.currentVersion(srcRoot)
-            SnapshotStore.manifestDirs(srcRoot, cur)
-              .map(MaterializedRollups.canon).toSet == paths &&
-              SnapshotStore.lastEpoch(viewRoot).contains(cur.toLong)
-          } => viewRoot
+          if MaterializedRollups.probe(srcRoot, viewRoot)
+            .exists { case (dirs, fresh) => fresh && dirs == paths } =>
+        viewRoot
     }
   }
 

@@ -153,10 +153,16 @@ object SnapshotStore {
     * needed is reclaimed. A horizon predating the whole table is a no-op
     * (nothing is old enough to drop). The natural call is
     * `vacuumOlderThan(root, now - 30 days)`; [[vacuum]]'s single-writer
-    * caveat applies unchanged. */
+    * caveat applies unchanged. Manifests WITHOUT a ts stamp (pre-stamp
+    * legacy format) never qualify: their age is unknown, and treating
+    * unknown as "arbitrarily old" would let a keep-30-days call
+    * permanently destroy versions that are actually newer than the
+    * horizon — [[versionAsOf]] makes the same None-is-not-a-match
+    * choice. Legacy stores therefore retain everything until re-stamped
+    * (an explicit [[vacuum]] with `keepFrom` remains available). */
   def vacuumOlderThan(root: String, tsMillis: Long): Unit = {
     val qualifying = (1 to currentVersion(root)).filter { v =>
-      hasManifest(root, v) && manifestTs(root, v).forall(_ <= tsMillis)
+      hasManifest(root, v) && manifestTs(root, v).exists(_ <= tsMillis)
     }
     if (qualifying.nonEmpty && qualifying.max > 1)
       vacuum(root, keepFrom = qualifying.max)
@@ -1009,6 +1015,11 @@ object SnapshotStore {
       .join(blooms, Seq("p"), "left")
       .where(col("bloom").isNull || probe(col("bloom"), col("h")))
       .select("path")
+      // defensive collapse, mirroring planFiles' per-path stats union:
+      // should a path ever carry two bloom rows, keep it once if ANY row
+      // might match (a duplicate match would make spark.read scan — and
+      // readEq return — the file's rows twice)
+      .distinct()
       .collect().map(_.getString(0)).toSeq
     (selected, all.size)
   }

@@ -917,6 +917,39 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("vacuumOlderThan: stamp-less legacy manifests never qualify as old") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("snapvaclegacy").toString
+    try {
+      SnapshotStore.append(Seq((1L, "a")).toDF("id", "p"), root)
+      Thread.sleep(5)
+      SnapshotStore.append(Seq((2L, "b")).toDF("id", "p"), root)
+      // strip the ts stamps, simulating a store upgraded from the
+      // pre-stamp manifest format
+      (1 to 2).foreach { v =>
+        val p = java.nio.file.Paths.get(root, "_manifests", s"v$v.json")
+        val text = new String(Files.readAllBytes(p), "UTF-8")
+        Files.write(p, text.replaceAll(""""ts"\s*:\s*\d+\s*,?""", "")
+          .getBytes("UTF-8"))
+      }
+      assert(SnapshotStore.manifestTs(root, 1).isEmpty)
+      // a keep-30-days call must NOT treat unknown age as arbitrarily
+      // old: both legacy versions survive
+      SnapshotStore.vacuumOlderThan(root, System.currentTimeMillis())
+      assert(SnapshotStore.hasManifest(root, 1) && SnapshotStore.hasManifest(root, 2))
+      // a later stamped commit re-enables time-based retention, and the
+      // legacy versions below it (older by the version chain) go with it
+      Thread.sleep(5)
+      SnapshotStore.append(Seq((3L, "c")).toDF("id", "p"), root)
+      SnapshotStore.vacuumOlderThan(root, System.currentTimeMillis())
+      assert(!SnapshotStore.hasManifest(root, 1) && !SnapshotStore.hasManifest(root, 2)
+        && SnapshotStore.hasManifest(root, 3))
+      assert(SnapshotStore.read(spark, root).count() == 3)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("epoch-idempotent upsert: bootstrap, replay no-op, exactly-once content") {
     import graft.sources.SnapshotStore
     val s = spark
