@@ -221,18 +221,64 @@ object SimilarityOps {
       .withColumn("cid",
         element_at(graft.functions.HashExpressions.topCentroids(col("cv"), cents, 1), 1))
 
+  /** Per-list occupancy skew of an IVF lists relation: max list size over
+    * the all-lists mean (total / nlist — empty lists count, they are the
+    * drift signal). 1.0 = perfectly balanced; the collect is ≤ nlist
+    * counts, model-sized. */
+  private[graft] def listSkew(lists: DataFrame, nlist: Int): Double = {
+    val sizes = lists.groupBy("cid").count().collect().map(_.getLong(1))
+    if (sizes.isEmpty || nlist == 0) 0.0
+    else sizes.max.toDouble * nlist / sizes.sum.toDouble
+  }
+
   /** Append `newVectors` to a PERSISTED IVF index without a rebuild: the
     * arrivals are assigned under the index's FROZEN centroid model (the
     * standard IVF maintenance posture — a refit would shift every list
     * boundary and demand a full reassignment) and append-written into
     * the lists relation. Under that frozen model, append→query equals
-    * assign-the-grown-corpus→query EXACTLY; recall drift as the corpus
-    * outgrows the quantizer is the documented trigger for a periodic
-    * [[buildIvfIndex]] rebuild, the compaction of this store. */
+    * assign-the-grown-corpus→query EXACTLY.
+    *
+    * Recall drift as the corpus outgrows the quantizer is handled by the
+    * built-in maintenance hook: when the append pushes per-list occupancy
+    * skew past `retrainSkewFactor ×` its pre-append level (appends that
+    * FOLLOW the trained distribution leave skew flat; drifted ones pile
+    * into few lists, exactly the shape that starves recall at fixed
+    * nprobe), the quantizer is re-trained on the grown corpus
+    * (`retrainRefineIters` k-means rounds) and the lists rewritten —
+    * the compaction of this store, triggered instead of scheduled.
+    * Returns true when a re-train ran. Pass
+    * `retrainSkewFactor = Double.PositiveInfinity` for the pure frozen
+    * append. Single-writer, like every store-maintenance path here. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     newVectors: DataFrame): Unit =
-    assignLists(newVectors, loadIvfIndex(spark, dir).centroids)
+                     newVectors: DataFrame,
+                     retrainSkewFactor: Double = 4.0,
+                     retrainRefineIters: Int = 2): Boolean = {
+    val index = loadIvfIndex(spark, dir)
+    val nlist = index.centroids.length
+    val skewBefore = listSkew(index.lists, nlist)
+    assignLists(newVectors, index.centroids)
       .write.mode("append").parquet(s"$dir/lists")
+    val grown = spark.read.parquet(s"$dir/lists")
+    val skewAfter = listSkew(grown, nlist)
+    if (skewAfter <= retrainSkewFactor * math.max(skewBefore, 1.0)) false
+    else {
+      // drifted: refit on the grown corpus. The new lists are staged
+      // beside the old (Spark cannot overwrite an input path of a live
+      // plan) and swapped in with a driver-side rename.
+      val refit = buildIvfIndex(
+        grown.select(col("c_id").as("vec_id"), col("cv").as("embedding")),
+        nlist, retrainRefineIters)
+      refit.lists.write.mode("overwrite").parquet(s"$dir/lists_retrain")
+      val root = java.nio.file.Paths.get(dir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(root.resolve("lists").toFile)
+      java.nio.file.Files.move(root.resolve("lists_retrain"), root.resolve("lists"))
+      saveCentroids(spark, refit.centroids, dir)
+      true
+    }
+  }
 
   /** Query a fitted (possibly reloaded) IVF index: probe `nprobe` lists per
     * query by centroid dot product, rerank probed candidates by exact
@@ -258,9 +304,14 @@ object SimilarityOps {
     * (cid, cv) parquet alongside — everything a serving job needs. */
   def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
     val spark = index.lists.sparkSession
-    import spark.implicits._
     index.lists.write.mode("overwrite").parquet(s"$dir/lists")
-    index.centroids.zipWithIndex
+    saveCentroids(spark, index.centroids, dir)
+  }
+
+  private def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                            centroids: Array[Array[Double]], dir: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
       .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
       .toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")

@@ -827,6 +827,54 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF append drift maintenance: skewed appends re-train, recall@10 does not regress") {
+    import graft.operators.SimilarityOps
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val qs = emb.where(col("vec_id") < 8)
+    // drifted arrivals: 1000 copies of vec 0's embedding — a single hot
+    // direction the trained quantizer never saw at this weight, so they
+    // pile into one inverted list (deterministic: no perturbation needed,
+    // cosine ignores scale so exact copies are the cleanest drift)
+    val v0 = emb.where(col("vec_id") === 0).select(col("embedding"))
+    val copies = spark.range(10000, 11000).toDF("vec_id").crossJoin(v0)
+    val grownCorpus = base.unionByName(copies)
+    val exact = SimilarityOps.bruteTopK(qs, grownCorpus, 10)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.recallAtK(approx, exact)
+        .agg(avg(col("recall"))).collect().head.getDouble(0)
+    val dirFrozen = java.nio.file.Files.createTempDirectory("ivf_frozen_").toString
+    val dirDrift = java.nio.file.Files.createTempDirectory("ivf_drift_").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      val built = SimilarityOps.buildIvfIndex(base, nlist = 16, refineIters = 2)
+      SimilarityOps.saveIvfIndex(built, dirFrozen)
+      SimilarityOps.saveIvfIndex(built, dirDrift)
+      // opting out of maintenance keeps the pure frozen-append contract
+      assert(!SimilarityOps.appendIvfIndex(spark, dirFrozen, copies,
+        retrainSkewFactor = Double.PositiveInfinity))
+      // the default hook sees the occupancy spike and re-trains
+      assert(SimilarityOps.appendIvfIndex(spark, dirDrift, copies))
+      // every vector still indexed exactly once after the re-train swap
+      val counts = spark.read.parquet(s"$dirDrift/lists")
+        .groupBy("c_id").count().collect()
+      assert(counts.forall(_.getLong(1) == 1)
+        && counts.length == grownCorpus.count())
+      val frozenRecall = meanRecall(SimilarityOps.queryIvfIndex(
+        SimilarityOps.loadIvfIndex(spark, dirFrozen), qs, 10, nprobe = 4))
+      val retrainedRecall = meanRecall(SimilarityOps.queryIvfIndex(
+        SimilarityOps.loadIvfIndex(spark, dirDrift), qs, 10, nprobe = 4))
+      // the hook's whole point: adapting the quantizer to the drifted
+      // distribution must not lose recall vs serving the stale model
+      assert(retrainedRecall >= frozenRecall,
+        s"retrained=$retrainedRecall frozen=$frozenRecall")
+      assert(retrainedRecall >= 0.5, s"retrained=$retrainedRecall")
+    } finally { rm(new java.io.File(dirFrozen)); rm(new java.io.File(dirDrift)) }
+  }
+
   test("IVF index persists: save -> load -> query matches the fused ivfTopK exactly") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
