@@ -2002,6 +2002,46 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // The HOUR-grain twin of rollup_view_answer: a second maintained view
+    // over the same source serves `e div 3600` groupings (each grain is
+    // its own O(delta)-refreshed view — hour partials are never regrouped
+    // into day answers or vice versa; the rewrite serves only the exact
+    // stored shape). Same used_view pin from the analyzed plan.
+    "rollup_view_answer_hour" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mvah").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        val se = series(s, dir).select("metric", "e", "value")
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 0), src)
+        sources.RollupView.refresh(s, src, view, sources.RollupView.Hour)
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 1), src)
+        sources.RollupView.refresh(s, src, view, sources.RollupView.Hour)
+        graft.plans.MaterializedRollups.enable(src, view, sources.RollupView.Hour)
+        try {
+          val agg = sources.SnapshotStore.read(s, src)
+            .groupBy(col("metric"), expr("e div 3600").as("hour"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("value").cast("decimal(18,2)")).as("vsum"),
+              min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+          val scanRoots = agg.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          val usedView = scanRoots.nonEmpty && scanRoots.forall(_.contains("/view"))
+          agg.select(col("metric"), col("hour"), col("cnt"),
+              col("vsum").cast("double").as("sum_val"),
+              col("min_val"), col("max_val"),
+              (col("vsum").cast("double") / col("cnt")).as("mean_val"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedRollups.disable(src)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Declarative data-expectations gate: six rules over lineitem — four
     // row-level checks folded into ONE conditional aggregate over ONE
     // scan, a uniqueness check (key-grouped count), and referential
@@ -4827,6 +4867,15 @@ object SparkEntry {
     "rollup_view_answer" ->
       s"""WITH $SERIES
          |SELECT metric, e // 86400 AS day, count(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+         |  min(value) AS min_val, max(value) AS max_val,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val,
+         |  TRUE AS used_view
+         |FROM series GROUP BY 1, 2""".stripMargin,
+
+    "rollup_view_answer_hour" ->
+      s"""WITH $SERIES
+         |SELECT metric, e // 3600 AS hour, count(*) AS cnt,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
          |  min(value) AS min_val, max(value) AS max_val,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val,

@@ -21,7 +21,10 @@ import graft.sources.{RollupView, SnapshotStore}
   * never guesses which parquet relations are maintained views. */
 object MaterializedRollups {
 
-  private val regs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // key: (canonical source root, grain seconds) — one maintained view per
+  // grain per source (day 86400 and hour 3600 are the served grains)
+  private val regs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
   private[plans] def canon(p: String): String =
     Paths.get(p.replaceFirst("^file:/+", "/")).normalize().toAbsolutePath.toString
@@ -38,17 +41,28 @@ object MaterializedRollups {
     * plan was built against (the older answer) — the same
     * read-your-build-time-snapshot contract as [[SnapshotStore.read]]
     * itself, since the declined path would pin the same manifest's
-    * files. Build plans close to execution, or re-build after commits. */
-  def enable(srcRoot: String, viewRoot: String): Unit =
-    regs.put(canon(srcRoot), viewRoot)
+    * files. Build plans close to execution, or re-build after commits.
+    *
+    * `grain` picks which bucket width this view serves — [[RollupView.Day]]
+    * (the default) answers `e div 86400` groupings, [[RollupView.Hour]]
+    * answers `e div 3600`. Register each maintained grain separately;
+    * hour partials are NOT re-derived into day answers (the rewrite
+    * serves only the exact stored shape). */
+  def enable(srcRoot: String, viewRoot: String,
+             grain: RollupView.Grain = RollupView.Day): Unit =
+    regs.put((canon(srcRoot), grain.seconds), viewRoot)
 
-  def disable(srcRoot: String): Unit = regs.remove(canon(srcRoot))
+  /** Unregister every grain's view for `srcRoot`. */
+  def disable(srcRoot: String): Unit = {
+    val c = canon(srcRoot)
+    regs.keySet().asScala.filter(_._1 == c).toSeq.foreach(regs.remove)
+  }
 
   def clear(): Unit = { regs.clear(); probeCache.clear() }
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
-  private[plans] def all: Map[String, String] = regs.asScala.toMap
+  private[plans] def all: Map[(String, Long), String] = regs.asScala.toMap
 
   // ---- freshness-probe cache -----------------------------------------
   //
@@ -80,12 +94,14 @@ object MaterializedRollups {
 
   /** Current-snapshot dirs + view freshness for a registration, cached
     * until either store's manifest directory changes. None when the
-    * source has no published version yet. */
+    * source has no published version yet. Keyed per (src, view) pair —
+    * a source serving two grains has two independent probes. */
   private[plans] def probe(srcRoot: String, viewRoot: String): Option[(Set[String], Boolean)] = {
+    val cacheKey = s"$srcRoot|$viewRoot"
     val srcM = manifestDirMtime(srcRoot)
     val viewM = manifestDirMtime(viewRoot)
     if (srcM < 0) return None
-    val cached = probeCache.get(srcRoot)
+    val cached = probeCache.get(cacheKey)
     val p =
       if (cached != null && cached.srcM == srcM && cached.viewM == viewM) cached
       else {
@@ -94,7 +110,7 @@ object MaterializedRollups {
         val fresh = SnapshotStore.lastEpoch(viewRoot).contains(cur.toLong)
         val next = Probe(srcM, viewM,
           SnapshotStore.manifestDirs(srcRoot, cur).map(canon).toSet, fresh)
-        probeCache.put(srcRoot, next)
+        probeCache.put(cacheKey, next)
         next
       }
     Some((p.dirs, p.fresh))
@@ -103,9 +119,10 @@ object MaterializedRollups {
 
 /** Materialized-view REWRITE for the engine's maintained rollups — the
   * lakehouse query-acceleration core as one Catalyst rule: an aggregate
-  * of the canonical day-rollup shape
+  * of the canonical rollup shape at a SERVED grain (day `e div 86400`,
+  * hour `e div 3600` — each answered from its own registered view)
   *
-  * {{{ src.groupBy(metric, e div 86400).agg(count(1) | sum(value::decimal(≤30,2)) | min(value) | max(value)) }}}
+  * {{{ src.groupBy(metric, e div 86400 | e div 3600).agg(count(1) | sum(value::decimal(≤30,2)) | min(value) | max(value)) }}}
   *
   * over a REGISTERED source store's current snapshot is answered from
   * the O(groups) maintained view instead of the O(table) base relation.
@@ -143,9 +160,7 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(ge, ae, child, _) =>
         dissect(child)
-          .flatMap { case (rel, filters) =>
-            registrationFor(rel).flatMap(rewrite(agg, ge, ae, filters, _))
-          }
+          .flatMap { case (rel, filters) => rewrite(agg, ge, ae, filters, rel) }
           .getOrElse(agg)
     }
   }
@@ -168,25 +183,33 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** A registered, CURRENT, FRESH view for this relation's exact paths. */
-  private def registrationFor(rel: LogicalRelation): Option[String] = {
+  /** A registered, CURRENT, FRESH view at `grain` for this relation's
+    * exact paths. */
+  private def registrationFor(rel: LogicalRelation,
+                              grain: RollupView.Grain): Option[String] = {
     val paths = rel.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.map(p => MaterializedRollups.canon(p.toString)).toSet
       case _ => return None
     }
     MaterializedRollups.all.collectFirst {
-      case (srcRoot, viewRoot)
-          if MaterializedRollups.probe(srcRoot, viewRoot)
-            .exists { case (dirs, fresh) => fresh && dirs == paths } =>
+      case ((srcRoot, g), viewRoot)
+          if g == grain.seconds &&
+            MaterializedRollups.probe(srcRoot, viewRoot)
+              .exists { case (dirs, fresh) => fresh && dirs == paths } =>
         viewRoot
     }
   }
 
-  private def isDiv86400(e: Expression): Option[AttributeReference] = e match {
+  private val servedGrains: Map[Any, RollupView.Grain] =
+    Map(RollupView.Day.seconds -> RollupView.Day,
+        RollupView.Hour.seconds -> RollupView.Hour)
+
+  /** `e div G` for a served grain G → that grain. */
+  private def isDivGrain(e: Expression): Option[RollupView.Grain] = e match {
     case IntegralDivide(a: AttributeReference, d, _)
-        if d.foldable && a.dataType == LongType &&
-          d.eval() == 86400L && nameIs(a, "e") => Some(a)
+        if d.foldable && a.dataType == LongType && nameIs(a, "e") =>
+      servedGrains.get(d.eval())
     case _ => None
   }
 
@@ -195,29 +218,31 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, ge: Seq[Expression],
                       ae: Seq[NamedExpression], filters: Seq[Expression],
-                      viewRoot: String): Option[LogicalPlan] = {
-    // grouping must be exactly (metric, e div 86400)
-    val (metricAttr, dayOf) = ge match {
+                      rel: LogicalRelation): Option[LogicalPlan] = {
+    // grouping must be exactly (metric, e div G) for a served grain G
+    val (metricAttr, dayOf, grain) = ge match {
       case Seq(m: AttributeReference, d) if nameIs(m, "metric") =>
-        isDiv86400(d) match {
-          case Some(_) => (m, d)
+        isDivGrain(d) match {
+          case Some(g) => (m, d, g)
           case None    => return None
         }
       case _ => return None
     }
+    val viewRoot = registrationFor(rel, grain).getOrElse(return None)
     // every filter must reference ONLY the metric grouping column — then
     // filtering source rows and filtering view groups are the same set
     if (!filters.forall(_.references.subsetOf(AttributeSet(metricAttr))))
       return None
     // the view side: analyzed merged-partials plan, columns by name
-    val viewPlan = RollupView.read(spark, viewRoot).queryExecution.analyzed
+    val viewPlan =
+      RollupView.read(spark, viewRoot, grain).queryExecution.analyzed
     def viewCol(n: String): Attribute =
       viewPlan.output.find(_.name.equalsIgnoreCase(n)).get
     val projections = ae.map {
       case m: AttributeReference if m.exprId == metricAttr.exprId =>
         Alias(viewCol("metric"), m.name)(exprId = m.exprId)
-      case al @ Alias(d, _) if isDiv86400(d).isDefined && d.semanticEquals(dayOf) =>
-        Alias(viewCol("day"), al.name)(exprId = al.exprId)
+      case al @ Alias(d, _) if d.semanticEquals(dayOf) =>
+        Alias(viewCol(grain.col), al.name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
         Alias(viewCol("cnt"), al.name)(exprId = al.exprId)
       case al @ Alias(ag @ AggregateExpression(

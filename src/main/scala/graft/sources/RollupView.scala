@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (trend-o-meter:258-266 recomputes per-day aggregates when samples
   * arrive) lifted to the batch corpus layer.
   *
-  * The view's stored rows are PARTIAL aggregates per (metric, day):
-  * `(cnt, vsum DECIMAL, vmin, vmax)` — count/sum/min/max are all
+  * The view's stored rows are PARTIAL aggregates per (metric, bucket) at
+  * a chosen [[Grain]] — day (`e div 86400`) by default, hour
+  * (`e div 3600`) as the finer serving tier; one maintained view per
+  * grain: `(cnt, vsum DECIMAL, vmin, vmax)` — count/sum/min/max are all
   * commutative monoids, so a refresh only aggregates the DELTA the
   * source's newer manifests introduced and appends those partials as a
   * new view version. Nothing re-reads the standing corpus:
@@ -51,6 +53,18 @@ import org.apache.spark.sql.functions._
   */
 object RollupView {
 
+  /** A maintained rollup GRAIN: the bucket width in epoch seconds and
+    * the bucket column's stored name. Day and Hour are the served
+    * grains; each grain is its own maintained view over the same source
+    * (hour partials do NOT derive day partials or vice versa — a day is
+    * 24 mergeable hour groups only for count/sum, min/max merge too, but
+    * the rewrite's exactness contract wants the stored column, not a
+    * derived regroup, so each grain maintains independently at the same
+    * O(delta) refresh cost). */
+  final case class Grain(seconds: Long, col: String)
+  val Day: Grain = Grain(86400L, "day")
+  val Hour: Grain = Grain(3600L, "hour")
+
   /** Physical plan of the last retraction recompute (see the capture
     * site in [[refreshRetracting]] for why a hook and not a registered
     * query plan). */
@@ -63,16 +77,17 @@ object RollupView {
     * versions disagree on the sum type would not union. */
   private val SumType = "decimal(30,2)"
 
-  /** Delta rows → one partial row per (metric, day). Day is exact integer
-    * division of epoch seconds (portable: DuckDB `//`, Spark `div`). */
-  private def partials(delta: DataFrame): DataFrame =
-    partialsByDay(delta.select(
-      col("metric"), expr("e div 86400").as("day"), col("value")))
+  /** Delta rows → one partial row per (metric, bucket). The bucket is
+    * exact integer division of epoch seconds (portable: DuckDB `//`,
+    * Spark `div`). */
+  private def partials(delta: DataFrame, g: Grain): DataFrame =
+    partialsByBucket(delta.select(
+      col("metric"), expr(s"e div ${g.seconds}").as(g.col), col("value")), g)
 
-  /** The same fold over rows that already carry their `day`. */
-  private def partialsByDay(rows: DataFrame): DataFrame =
+  /** The same fold over rows that already carry their bucket. */
+  private def partialsByBucket(rows: DataFrame, g: Grain): DataFrame =
     rows
-      .groupBy(col("metric"), col("day"))
+      .groupBy(col("metric"), col(g.col))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("value").cast(SumType)).cast(SumType).as("vsum"),
@@ -81,7 +96,8 @@ object RollupView {
 
   /** Bring the view up to the source's current version. Returns the view
     * version published (or current, when already up to date). */
-  def refresh(spark: SparkSession, srcRoot: String, viewRoot: String): Int = {
+  def refresh(spark: SparkSession, srcRoot: String, viewRoot: String,
+              grain: Grain = Day): Int = {
     val srcCur = SnapshotStore.currentVersion(srcRoot)
     require(srcCur > 0, s"no published source version at $srcRoot")
     val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
@@ -101,7 +117,7 @@ object RollupView {
       // we already counted: the manifest diff is no longer the row delta —
       // rebuild once, publish as the view's own compaction (sole content),
       // stamp the new position
-      val full = partials(SnapshotStore.read(spark, srcRoot, srcCur))
+      val full = partials(SnapshotStore.read(spark, srcRoot, srcCur), grain)
       if (SnapshotStore.currentVersion(viewRoot) == 0)
         SnapshotStore.appendEpoch(full, viewRoot, srcCur)
       else
@@ -109,8 +125,8 @@ object RollupView {
           epochOverride = Some(srcCur.toLong))
     } else if (!removed) {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
-      SnapshotStore.appendEpoch(partials(delta), viewRoot, srcCur)
-    } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur)
+      SnapshotStore.appendEpoch(partials(delta, grain), viewRoot, srcCur)
+    } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur, grain)
   }
 
   /** Are all commits in (from, cur] ROW-CHURN kinds (append/delete/
@@ -149,7 +165,7 @@ object RollupView {
     * rows (replace-by-key is content-idempotent), then stamps. */
   private def refreshRetracting(spark: SparkSession, srcRoot: String,
                                 viewRoot: String, from: Int,
-                                srcCur: Int): Int = {
+                                srcCur: Int, g: Grain): Int = {
     import org.apache.spark.storage.StorageLevel
     val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -166,11 +182,11 @@ object RollupView {
       if (nullKeyDeletes) {
         // the enclosing finally unpersists ch
         return SnapshotStore.compactWith(
-          partials(SnapshotStore.read(spark, srcRoot, srcCur)), viewRoot,
+          partials(SnapshotStore.read(spark, srcRoot, srcCur), g), viewRoot,
           epochOverride = Some(srcCur.toLong))
       }
       val dirty = ch.where(col("_change_type") === "delete")
-        .select(col("metric"), expr("e div 86400").as("day"))
+        .select(col("metric"), expr(s"e div ${g.seconds}").as(g.col))
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
       try {
         if (!dirty.isEmpty) {
@@ -184,28 +200,30 @@ object RollupView {
           // contract (e div 86400 == e // 86400) already assumes; a
           // negative bound skips the pre-filter rather than guess at
           // truncation-vs-floor semantics.
-          val b = dirty.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+          val b = dirty.agg(min(col(g.col)).as("lo"), max(col(g.col)).as("hi")).head()
           val srcRows = SnapshotStore.read(spark, srcRoot, srcCur)
-          // Spark's `div` TRUNCATES toward zero, so day 0 spans
-          // e ∈ [-86399, 86399] — the day-0 lower bound must include the
-          // negative tail or a surviving negative-e row would be dropped
-          // from the recompute and its group falsely tombstoned. Negative
-          // dirty days skip the pre-filter (their truncation bands are
-          // not worth encoding for out-of-contract data); null-key groups
-          // never reach here (rebuild branch above).
+          // Spark's `div` TRUNCATES toward zero, so bucket 0 spans
+          // e ∈ [-(sec-1), sec-1] — the bucket-0 lower bound must include
+          // the negative tail or a surviving negative-e row would be
+          // dropped from the recompute and its group falsely tombstoned.
+          // Negative dirty buckets skip the pre-filter (their truncation
+          // bands are not worth encoding for out-of-contract data);
+          // null-key groups never reach here (rebuild branch above).
           val pre =
             if (b.isNullAt(0)) srcRows
             else {
               val (dlo, dhi) = (b.getLong(0), b.getLong(1))
               if (dlo >= 0) {
-                val lo = if (dlo == 0) -86399L else dlo * 86400L
-                srcRows.where(col("e") >= lo && col("e") <= dhi * 86400L + 86399L)
+                val lo = if (dlo == 0) -(g.seconds - 1) else dlo * g.seconds
+                srcRows.where(col("e") >= lo &&
+                  col("e") <= dhi * g.seconds + (g.seconds - 1))
               } else srcRows
             }
-          val recomputed = partialsByDay(
+          val recomputed = partialsByBucket(
             pre
-              .select(col("metric"), expr("e div 86400").as("day"), col("value"))
-              .join(dirty, Seq("metric", "day"), "left_semi"))
+              .select(col("metric"),
+                expr(s"e div ${g.seconds}").as(g.col), col("value"))
+              .join(dirty, Seq("metric", g.col), "left_semi"), g)
           // Plan-audit hook: the registered queries return checkpointed
           // frames (their stores are temp-rooted), so the recompute's
           // scan-prune/broadcast posture is only visible here. One extra
@@ -213,12 +231,12 @@ object RollupView {
           lastRecomputePlan = recomputed.queryExecution.executedPlan.toString
           val vT = recomputed.schema("vmin").dataType
           val tombstones = dirty
-            .join(recomputed.select("metric", "day"), Seq("metric", "day"), "left_anti")
-            .select(col("metric"), col("day"),
+            .join(recomputed.select("metric", g.col), Seq("metric", g.col), "left_anti")
+            .select(col("metric"), col(g.col),
               lit(0L).as("cnt"), lit(0).cast(SumType).as("vsum"),
               lit(null).cast(vT).as("vmin"), lit(null).cast(vT).as("vmax"))
           SnapshotStore.upsert(spark, recomputed.unionByName(tombstones),
-            viewRoot, Seq("metric", "day"))
+            viewRoot, Seq("metric", g.col))
         }
         // insert-only groups append their delta partials; dirty groups are
         // already whole in the replace above. The closing append also owns
@@ -226,10 +244,11 @@ object RollupView {
         // schema-bearing empty file — repartition(1) forces the writer to
         // emit it; a zero-partition empty write would leave a fileless
         // directory in the manifest).
-        val ins = partialsByDay(
+        val ins = partialsByBucket(
           ch.where(col("_change_type") === "insert")
-            .select(col("metric"), expr("e div 86400").as("day"), col("value"))
-            .join(dirty, Seq("metric", "day"), "left_anti"))
+            .select(col("metric"),
+              expr(s"e div ${g.seconds}").as(g.col), col("value"))
+            .join(dirty, Seq("metric", g.col), "left_anti"), g)
         SnapshotStore.appendEpoch(
           if (ins.isEmpty) ins.repartition(1) else ins, viewRoot, srcCur)
       } finally dirty.unpersist()
@@ -239,9 +258,10 @@ object RollupView {
   /** The materialized rollup: merge all stored partials. Output carries
     * both the exact decimal sum (`vsum`) and the compare-friendly double
     * projections the registry's portable-rounding rule wants. */
-  def read(spark: SparkSession, viewRoot: String): DataFrame =
+  def read(spark: SparkSession, viewRoot: String,
+           grain: Grain = Day): DataFrame =
     SnapshotStore.read(spark, viewRoot)
-      .groupBy("metric", "day")
+      .groupBy("metric", grain.col)
       .agg(
         sum(col("cnt")).as("cnt"),
         sum(col("vsum")).cast(SumType).as("vsum"),
@@ -252,10 +272,11 @@ object RollupView {
       // away physically
       .where(col("cnt") > 0)
 
-  /** Fold the accumulated partial rows down to one row per (metric, day),
-    * published as a view compaction — bounds the merge cost of [[read]]
-    * after many refreshes. Logical content (and the resume stamp) are
-    * unchanged. */
-  def compact(spark: SparkSession, viewRoot: String): Int =
-    SnapshotStore.compactWith(read(spark, viewRoot), viewRoot)
+  /** Fold the accumulated partial rows down to one row per (metric,
+    * bucket), published as a view compaction — bounds the merge cost of
+    * [[read]] after many refreshes. Logical content (and the resume
+    * stamp) are unchanged. */
+  def compact(spark: SparkSession, viewRoot: String,
+              grain: Grain = Day): Int =
+    SnapshotStore.compactWith(read(spark, viewRoot, grain), viewRoot)
 }

@@ -302,6 +302,63 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("rollup rewrite serves hour and day grains from their own views") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.MaterializedRollups
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mvrwh").toString
+    val src = s"$root/src"
+    val dayView = s"$root/dayview"; val hourView = s"$root/hourview"
+    try {
+      // rows straddling hour AND day boundaries so the two grains have
+      // genuinely different groups
+      SnapshotStore.append(Seq(
+        ("m", 10L, 1.5), ("m", 3700L, 2.0), ("m", 86410L, 4.0),
+        ("n", 20L, -1.0)).toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, dayView)
+      RollupView.refresh(spark, src, hourView, RollupView.Hour)
+      def byGrain(div: String, name: String) = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr(s"e div $div").as(name))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("vsum"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+         r.getDecimal(3).doubleValue, r.getDouble(4), r.getDouble(5))).toSet
+      val hourDirect = rows(byGrain("3600", "hour"))
+      val dayDirect = rows(byGrain("86400", "day"))
+      // only the day grain registered: hour queries keep scanning source
+      MaterializedRollups.enable(src, dayView)
+      assert(byGrain("3600", "hour").queryExecution.executedPlan.toString
+        .contains("/src"))
+      // both registered: each grain is served by ITS view
+      MaterializedRollups.enable(src, hourView, RollupView.Hour)
+      val hourPlan = byGrain("3600", "hour").queryExecution.executedPlan.toString
+      assert(hourPlan.contains("/hourview") && !hourPlan.contains("/src"),
+        s"hour grain not served from hour view:\n$hourPlan")
+      val dayPlan = byGrain("86400", "day").queryExecution.executedPlan.toString
+      assert(dayPlan.contains("/dayview") && !dayPlan.contains("/hourview"),
+        s"day grain not served from day view:\n$dayPlan")
+      assert(rows(byGrain("3600", "hour")) == hourDirect)
+      assert(rows(byGrain("86400", "day")) == dayDirect)
+      // hour view going stale declines the hour grain but not the day one
+      SnapshotStore.append(Seq(("n", 7300L, 9.0)).toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, dayView)
+      assert(byGrain("3600", "hour").queryExecution.executedPlan.toString
+        .contains("/src"))
+      assert(byGrain("86400", "day").queryExecution.executedPlan.toString
+        .contains("/dayview"))
+      RollupView.refresh(spark, src, hourView, RollupView.Hour)
+      assert(rows(byGrain("3600", "hour")) ==
+        hourDirect + (("n", 2L, 1L, 9.0, 9.0, 9.0)))
+    } finally {
+      MaterializedRollups.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
   test("get stats round-trips the display device's uptime, degrading to -1") {
     import graft.streaming.{BufferDisplay, CounterListener, DisplayDevice}
     val counters = new CounterListener
