@@ -20,7 +20,11 @@ object PlanAudit {
       "table_profile_scale", "a9_sketch_verify", "pq_encode", "ann_topk_ivfpq",
       "graph_pagerank", "quality_train_score", "embedding_project",
       "text_bigram_lm", "funnel_steps", "cohort_retention",
-      "audience_overlap", "data_expectations", "q_scd2_join", "bpe_encode")
+      "audience_overlap", "data_expectations", "q_scd2_join", "bpe_encode",
+      "q4_order_priority", "q8_market_share", "q9_product_profit",
+      "q10_returned_items", "q13_order_distribution", "q17_small_quantity",
+      "q19_disjunctive", "q20_part_suppliers", "q21_suppliers_waiting",
+      "q22_idle_balance")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -264,6 +268,53 @@ object PlanAudit {
           p.contains("GreaterThanOrEqual(e") && p.contains("LessThanOrEqual(e") &&
             p.contains("LeftSemi") && !p.contains("CartesianProduct")
         } finally graft.sources.SnapshotStore.deleteTree(root)
+      }),
+      // r13: the full TPC-H family's scale posture. Dim tables
+      // (nation/region/part-after-filter/supplier) must broadcast; the
+      // fact-side lineitem joins shuffle on their keys; EXISTS/NOT-EXISTS
+      // pairs plan as semi/anti, never nested-loop over facts.
+      ("q4 order-priority EXISTS plans as a left semi join", {
+        val p = planOf("q4_order_priority")
+        p.contains("LeftSemi") && !p.contains("CartesianProduct")
+      }),
+      ("q8 market share broadcasts its dims, no cartesian", {
+        val p = planOf("q8_market_share")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q9 product profit broadcasts filtered part + nation", {
+        val p = planOf("q9_product_profit")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q10 returned items is a TakeOrderedAndProject top-20",
+        planOf("q10_returned_items").contains("TakeOrderedAndProject")),
+      ("q13 distribution keeps the outer join, no NL join", {
+        val p = planOf("q13_order_distribution")
+        p.contains("LeftOuter") && !p.contains("BroadcastNestedLoopJoin")
+      }),
+      ("q17 correlated-avg join is equi-keyed, no cartesian", {
+        val p = planOf("q17_small_quantity")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      }),
+      ("q19 disjunctive predicates keep the partkey equi-join", {
+        val p = planOf("q19_disjunctive")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      }),
+      ("q20 nested-IN pipeline is all semi joins", {
+        val p = planOf("q20_part_suppliers")
+        p.contains("LeftSemi") && !p.contains("CartesianProduct")
+      }),
+      ("q21 semi+anti self-join pair, supplier broadcast, no cartesian", {
+        val p = planOf("q21_suppliers_waiting")
+        p.contains("LeftSemi") && p.contains("LeftAnti") &&
+          p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q22 one-row scalar broadcasts; idle anti-join is hashed", {
+        val p = planOf("q22_idle_balance")
+        // the crossJoin(broadcast(stats)) is a ONE-ROW scalar: a
+        // BroadcastNestedLoopJoin there is the cheapest possible plan,
+        // while the customer-orders anti-join must stay a hash join
+        p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti") &&
+          !p.contains("CartesianProduct")
       }),
       ("change feed diff plans EXCEPT without cartesian", {
         import org.apache.spark.sql.functions.col
