@@ -316,6 +316,31 @@ object PlanAudit {
         p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti") &&
           !p.contains("CartesianProduct")
       }),
+      ("bucketed fact-fact join has no shuffle on either side", {
+        // q_bucketed_join returns a checkpointed frame (its tables are
+        // temp-rooted), so like the IVM checks the posture is audited
+        // against an inline bucketed pair.
+        import org.apache.spark.sql.functions.col
+        val root = java.nio.file.Files.createTempDirectory("pa_bkt").toString
+        try {
+          graft.operators.LayoutOps.writeBucketed(
+            spark.range(0, 5000).selectExpr("id AS k", "id % 5 AS s"),
+            "pa_bkt_a", s"$root/a", "k", 4)
+          graft.operators.LayoutOps.writeBucketed(
+            spark.range(0, 20000).selectExpr("id % 5000 AS fk", "id AS v"),
+            "pa_bkt_b", s"$root/b", "fk", 4)
+          val p = spark.table("pa_bkt_b").hint("merge")
+            .join(spark.table("pa_bkt_a").hint("merge"), col("fk") === col("k"))
+            .queryExecution.executedPlan.toString
+          p.contains("SortMergeJoin") && p.contains("Bucketed: true") &&
+            !p.contains("Exchange hashpartitioning(fk") &&
+            !p.contains("Exchange hashpartitioning(k")
+        } finally {
+          spark.sql("DROP TABLE IF EXISTS pa_bkt_a")
+          spark.sql("DROP TABLE IF EXISTS pa_bkt_b")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("change feed diff plans EXCEPT without cartesian", {
         import org.apache.spark.sql.functions.col
         import graft.sources.SnapshotStore

@@ -1230,6 +1230,46 @@ object SparkEntry {
           sum("bal").cast("double").as("totacctbal"))
     }),
 
+    // §2.7 co-located join via storage bucketing: both fact tables are
+    // written bucketed on the join key (LayoutOps.writeBucketed), so the
+    // fact-to-fact join plans with ZERO shuffle exchanges beneath it —
+    // only the final small status agg exchanges. The merge hint keeps the
+    // plan on the sort-merge path (a broadcast would also skip the
+    // shuffle, but by SIZE, which 100 TB fact tables don't have). The
+    // `colocated` column is pinned from the executed plan exactly like
+    // rollup_view_answer's used_view: a plan that re-shuffles either
+    // fact side fails the oracle hash.
+    "q_bucketed_join" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      try {
+        LayoutOps.writeBucketed(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
+          "graft_bkt_orders", s"$root/orders", "o_orderkey", 8)
+        LayoutOps.writeBucketed(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          "graft_bkt_lineitem", s"$root/lineitem", "l_orderkey", 8)
+        val joined = s.table("graft_bkt_lineitem").hint("merge")
+          .join(s.table("graft_bkt_orders").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(8,2)")))
+              .cast("double").as("revenue"))
+        val plan = joined.queryExecution.executedPlan.toString
+        val colocated =
+          (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")) &&
+            !plan.contains("Exchange hashpartitioning(l_orderkey") &&
+            !plan.contains("Exchange hashpartitioning(o_orderkey")
+        joined.withColumn("colocated", lit(colocated)).localCheckpoint(true)
+      } finally {
+        s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+        sources.SnapshotStore.deleteTree(root)
+      }
+    }),
+
     // Top-10 customers by total order value.
     "q_top_customers" -> ((s, dir) =>
       RelationalOps.topK(
@@ -4088,6 +4128,14 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+        |  TRUE AS colocated
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
 
     "q_top_customers" ->

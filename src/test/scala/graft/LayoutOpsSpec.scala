@@ -122,4 +122,46 @@ class LayoutOpsSpec extends SparkSpec {
     assert(zXHit * 2 <= nFiles,
       s"z-order must still prune x predicates ($zXHit of $nFiles files)")
   }
+
+  test("bucketed write co-locates the join: no shuffle on either fact side") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("bkt_join").toString
+    try {
+      LayoutOps.writeBucketed(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus"),
+        "t_bkt_orders", s"$root/o", "o_orderkey", 4)
+      LayoutOps.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+        "t_bkt_lineitem", s"$root/l", "l_orderkey", 4)
+      val bucketed = spark.table("t_bkt_lineitem").hint("merge")
+        .join(spark.table("t_bkt_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the whole point: neither fact side re-shuffles on the join key
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // content identical to the plain path-based join
+      val expected = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderstatus")
+      assert(bucketed.select("l_orderkey", "l_quantity", "o_orderstatus")
+        .collect().map(_.toString).sorted.toSeq ==
+        expected.collect().map(_.toString).sorted.toSeq)
+      // a non-bucketed twin of the same join DOES shuffle both sides —
+      // the counterfactual that proves the bucket spec (not size or luck)
+      // removed the exchanges
+      spark.read.parquet(s"$root/l").createOrReplaceTempView("t_flat_l")
+      val flat = spark.read.parquet(s"$root/l").hint("merge")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+          .hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      assert(flat.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(l_orderkey"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+      graft.sources.SnapshotStore.deleteTree(root)
+    }
+  }
 }
