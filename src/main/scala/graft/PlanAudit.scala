@@ -323,12 +323,12 @@ object PlanAudit {
         import org.apache.spark.sql.functions.col
         val root = java.nio.file.Files.createTempDirectory("pa_bkt").toString
         try {
-          graft.operators.LayoutOps.writeBucketed(
+          Tables.writeBucketed(
             spark.range(0, 5000).selectExpr("id AS k", "id % 5 AS s"),
-            "pa_bkt_a", s"$root/a", "k", 4)
-          graft.operators.LayoutOps.writeBucketed(
+            "pa_bkt_a", 4, "k", Some(s"$root/a"))
+          Tables.writeBucketed(
             spark.range(0, 20000).selectExpr("id % 5000 AS fk", "id AS v"),
-            "pa_bkt_b", s"$root/b", "fk", 4)
+            "pa_bkt_b", 4, "fk", Some(s"$root/b"))
           val p = spark.table("pa_bkt_b").hint("merge")
             .join(spark.table("pa_bkt_a").hint("merge"), col("fk") === col("k"))
             .queryExecution.executedPlan.toString

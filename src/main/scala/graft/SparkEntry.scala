@@ -1242,13 +1242,13 @@ object SparkEntry {
     "q_bucketed_join" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft_bkt").toString
       try {
-        LayoutOps.writeBucketed(
+        Tables.writeBucketed(
           Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
-          "graft_bkt_orders", s"$root/orders", "o_orderkey", 8)
-        LayoutOps.writeBucketed(
+          "graft_bkt_orders", 8, "o_orderkey", Some(s"$root/orders"))
+        Tables.writeBucketed(
           Tables.lineitem(s, dir)
             .select("l_orderkey", "l_extendedprice", "l_discount"),
-          "graft_bkt_lineitem", s"$root/lineitem", "l_orderkey", 8)
+          "graft_bkt_lineitem", 8, "l_orderkey", Some(s"$root/lineitem"))
         val joined = s.table("graft_bkt_lineitem").hint("merge")
           .join(s.table("graft_bkt_orders").hint("merge"),
             col("l_orderkey") === col("o_orderkey"))

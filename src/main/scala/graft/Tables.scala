@@ -114,18 +114,28 @@ object Tables {
   /** Co-located join layout: bucket (and sort) by the join key at write
     * time; two tables bucketed the same way join with NO exchange — the
     * repeated-join amortization strategy at 100 TB. Requires the session
-    * catalog (`saveAsTable`). */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    * catalog (`saveAsTable` — a bare parquet path has nowhere to record
+    * the bucket spec). `path` makes it an EXTERNAL table at that
+    * location (e.g. a temp root); None = managed under the warehouse
+    * dir. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String,
+                    path: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    // Idempotent across JVMs: a fresh in-memory catalog doesn't know about a
-    // previous run's managed-table directory, and saveAsTable refuses to
-    // reuse the location — drop both catalog entry and leftover directory.
+    // Idempotent across JVMs AND re-runs: a fresh in-memory catalog
+    // doesn't know about a previous run's table directory, DROP TABLE on
+    // an external/stale table leaves its files behind, and saveAsTable
+    // would either refuse the location or write new bucket files BESIDE
+    // the old ones (silently duplicated rows) — drop both the catalog
+    // entry and the leftover location.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val loc = new org.apache.hadoop.fs.Path(path.getOrElse(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+    path.foreach(p => w.option("path", p))
+    w.saveAsTable(table)
   }
 }

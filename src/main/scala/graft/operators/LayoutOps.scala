@@ -101,30 +101,4 @@ object LayoutOps {
         min(x).as("x_min"), max(x).as("x_max"),
         min(y).as("y_min"), max(y).as("y_max"))
 
-  /** Write `df` as a BUCKETED parquet table at the external location
-    * `path`: rows are hash-partitioned into `buckets` files by
-    * `bucketCol` at WRITE time (each bucket's file internally sorted on
-    * the key), and the bucket spec is recorded in the session catalog
-    * (`saveAsTable` — a bare parquet path has nowhere to carry it), so
-    * every LATER equi-join or aggregation on that column plans with NO
-    * shuffle exchange on this side: the data already sits in the join's
-    * required partitioning.
-    *
-    * This is the co-location half of the 100 TB layout story ([[zValue]]
-    * is the pruning half): bucket the big fact tables on their join key
-    * ONCE at ingest, and every subsequent fact-to-fact join degrades
-    * from two full-table shuffles to a local per-bucket merge — the
-    * single biggest exchange a TPC-H-shaped workload pays. Bucket count
-    * is fixed at write time; pick it for the TARGET cluster's
-    * parallelism (buckets ≥ executors·cores for full fan-out). */
-  def writeBucketed(df: DataFrame, table: String, path: String,
-                    bucketCol: String, buckets: Int): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.format("parquet")
-      .option("path", path)
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
-      .saveAsTable(table)
-  }
 }

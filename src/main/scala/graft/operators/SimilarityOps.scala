@@ -221,63 +221,152 @@ object SimilarityOps {
       .withColumn("cid",
         element_at(graft.functions.HashExpressions.topCentroids(col("cv"), cents, 1), 1))
 
-  /** Per-list occupancy skew of an IVF lists relation: max list size over
-    * the all-lists mean (total / nlist — empty lists count, they are the
-    * drift signal). 1.0 = perfectly balanced; the collect is ≤ nlist
-    * counts, model-sized. */
-  private[graft] def listSkew(lists: DataFrame, nlist: Int): Double = {
-    val sizes = lists.groupBy("cid").count().collect().map(_.getLong(1))
-    if (sizes.isEmpty || nlist == 0) 0.0
-    else sizes.max.toDouble * nlist / sizes.sum.toDouble
+  // ---- IVF index occupancy accounting ---------------------------------
+  //
+  // A persisted index carries two tiny sidecars next to lists/centroids:
+  //   listmeta  — (cid, n) current per-list occupancy, updated O(delta)
+  //               on every append (no full lists scan on the append path)
+  //   trainmeta — (model_hash, train_skew) stamped at every (re)train:
+  //               the skew BASELINE for the drift trigger (comparing to
+  //               the immediately pre-append skew instead would let
+  //               gradual drift ratchet the baseline up and never fire),
+  //               and the model fingerprint loadIvfIndex verifies so an
+  //               interrupted retrain swap fails loudly instead of
+  //               serving new-model list assignments under old centroids.
+
+  /** Occupancy skew from per-list counts: max over the all-lists mean
+    * (total / nlist — empty lists count, they are the drift signal).
+    * 1.0 = perfectly balanced. */
+  private[graft] def skewOf(counts: Map[Int, Long], nlist: Int): Double =
+    if (counts.isEmpty || nlist == 0) 0.0
+    else counts.values.max.toDouble * nlist / counts.values.sum.toDouble
+
+  /** Per-list occupancy of a lists relation — ≤ nlist rows collected,
+    * model-sized. One full scan; the append path avoids it via listmeta. */
+  private[graft] def listCounts(lists: DataFrame): Map[Int, Long] =
+    lists.groupBy("cid").count().collect()
+      .map(r => r.get(0).asInstanceOf[Number].intValue ->
+        r.get(1).asInstanceOf[Number].longValue).toMap
+
+  /** Order-independent fingerprint of a centroid model. */
+  private def modelHash(cents: Array[Array[Double]]): Long =
+    cents.zipWithIndex.foldLeft(17L) { case (h, (cv, i)) =>
+      cv.foldLeft(h * 31 + i)((a, d) =>
+        a * 1099511628211L + java.lang.Double.doubleToLongBits(d))
+    }
+
+  private def writeListMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, counts: Map[Int, Long]): Unit = {
+    import spark.implicits._
+    counts.toSeq.toDF("cid", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/listmeta")
   }
+
+  private def readListMeta(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Option[Map[Int, Long]] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "listmeta"))) None
+    else Some(spark.read.parquet(s"$dir/listmeta").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+
+  private def writeTrainMeta(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, hash: Long, trainSkew: Double,
+                             at: String = "trainmeta"): Unit = {
+    import spark.implicits._
+    Seq((hash, trainSkew)).toDF("model_hash", "train_skew")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$at")
+  }
+
+  private def readTrainMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Option[(Long, Double)] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "trainmeta"))) None
+    else spark.read.parquet(s"$dir/trainmeta").collect().headOption
+      .map(r => (r.getLong(0), r.getDouble(1)))
 
   /** Append `newVectors` to a PERSISTED IVF index without a rebuild: the
     * arrivals are assigned under the index's FROZEN centroid model (the
     * standard IVF maintenance posture — a refit would shift every list
     * boundary and demand a full reassignment) and append-written into
     * the lists relation. Under that frozen model, append→query equals
-    * assign-the-grown-corpus→query EXACTLY.
+    * assign-the-grown-corpus→query EXACTLY. The append path is O(delta):
+    * occupancy updates merge the delta's per-list counts into listmeta,
+    * never re-scanning the standing lists (one legacy re-derive if the
+    * sidecar is absent).
     *
     * Recall drift as the corpus outgrows the quantizer is handled by the
-    * built-in maintenance hook: when the append pushes per-list occupancy
-    * skew past `retrainSkewFactor ×` its pre-append level (appends that
-    * FOLLOW the trained distribution leave skew flat; drifted ones pile
-    * into few lists, exactly the shape that starves recall at fixed
-    * nprobe), the quantizer is re-trained on the grown corpus
-    * (`retrainRefineIters` k-means rounds) and the lists rewritten —
-    * the compaction of this store, triggered instead of scheduled.
-    * Returns true when a re-train ran. Pass
-    * `retrainSkewFactor = Double.PositiveInfinity` for the pure frozen
-    * append. Single-writer, like every store-maintenance path here. */
+    * built-in maintenance hook: when the post-append occupancy skew
+    * exceeds `retrainSkewFactor ×` the skew recorded AT LAST TRAIN
+    * (appends that follow the trained distribution leave skew flat;
+    * drifted ones pile into few lists, exactly the shape that starves
+    * recall at fixed nprobe — and a train-time baseline cannot be
+    * ratcheted up by many small drifts the way a pre-append baseline
+    * could), the quantizer is re-trained on the grown corpus
+    * (`retrainRefineIters` k-means rounds) and the index rewritten via
+    * staged files + ordered swap: trainmeta (new fingerprint) swaps
+    * FIRST, so any interruption leaves a state [[loadIvfIndex]] either
+    * serves correctly (all-old) or rejects loudly (fingerprint
+    * mismatch), never a silent new-lists/old-centroids mix; the old
+    * lists directory is removed only after the swap completes. Returns
+    * true when a re-train ran. Pass `retrainSkewFactor =
+    * Double.PositiveInfinity` for the pure frozen append (no trigger;
+    * occupancy still maintained O(delta)). Single-writer, like every
+    * store-maintenance path here. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      newVectors: DataFrame,
                      retrainSkewFactor: Double = 4.0,
                      retrainRefineIters: Int = 2): Boolean = {
+    import org.apache.spark.storage.StorageLevel
     val index = loadIvfIndex(spark, dir)
     val nlist = index.centroids.length
-    val skewBefore = listSkew(index.lists, nlist)
-    assignLists(newVectors, index.centroids)
-      .write.mode("append").parquet(s"$dir/lists")
-    val grown = spark.read.parquet(s"$dir/lists")
-    val skewAfter = listSkew(grown, nlist)
-    if (skewAfter <= retrainSkewFactor * math.max(skewBefore, 1.0)) false
-    else {
-      // drifted: refit on the grown corpus. The new lists are staged
-      // beside the old (Spark cannot overwrite an input path of a live
-      // plan) and swapped in with a driver-side rename.
-      val refit = buildIvfIndex(
-        grown.select(col("c_id").as("vec_id"), col("cv").as("embedding")),
-        nlist, retrainRefineIters)
-      refit.lists.write.mode("overwrite").parquet(s"$dir/lists_retrain")
-      val root = java.nio.file.Paths.get(dir)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    val assigned = assignLists(newVectors, index.centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.mode("append").parquet(s"$dir/lists")
+      // O(delta) occupancy bookkeeping: delta counts from the in-hand
+      // (persisted) assignment, merged into the sidecar — the standing
+      // lists are re-scanned only when the sidecar is missing (legacy)
+      val deltaCounts = listCounts(assigned)
+      val baseCounts = readListMeta(spark, dir)
+        .getOrElse(listCounts(index.lists))
+      val newCounts = (baseCounts.keySet ++ deltaCounts.keySet).map(k =>
+        k -> (baseCounts.getOrElse(k, 0L) + deltaCounts.getOrElse(k, 0L))).toMap
+      writeListMeta(spark, dir, newCounts)
+      if (retrainSkewFactor == Double.PositiveInfinity) return false
+      val baseline = readTrainMeta(spark, dir).map(_._2)
+        .getOrElse(skewOf(baseCounts, nlist))
+      val skewAfter = skewOf(newCounts, nlist)
+      if (skewAfter <= retrainSkewFactor * math.max(baseline, 1.0)) false
+      else {
+        // drifted: refit on the grown corpus and rewrite the index.
+        // Everything is staged beside the live files (Spark cannot
+        // overwrite an input path of a live plan), then swapped in the
+        // tear-detectable order documented above.
+        val grown = spark.read.parquet(s"$dir/lists")
+        val refit = buildIvfIndex(
+          grown.select(col("c_id").as("vec_id"), col("cv").as("embedding")),
+          nlist, retrainRefineIters)
+        refit.lists.write.mode("overwrite").parquet(s"$dir/lists_retrain")
+        val refitCounts = listCounts(spark.read.parquet(s"$dir/lists_retrain"))
+        writeTrainMeta(spark, dir, modelHash(refit.centroids),
+          skewOf(refitCounts, nlist), at = "trainmeta_retrain")
+        saveCentroids(spark, refit.centroids, dir, at = "centroids_retrain")
+        val root = java.nio.file.Paths.get(dir)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        def swap(name: String): Unit = {
+          rm(root.resolve(name).toFile)
+          java.nio.file.Files.move(root.resolve(s"${name}_retrain"),
+            root.resolve(name))
+        }
+        swap("trainmeta") // new fingerprint first: a tear now fails loudly
+        java.nio.file.Files.move(root.resolve("lists"), root.resolve("lists_old"))
+        java.nio.file.Files.move(root.resolve("lists_retrain"), root.resolve("lists"))
+        swap("centroids")
+        writeListMeta(spark, dir, refitCounts)
+        rm(root.resolve("lists_old").toFile) // old data last: no-loss swap
+        true
       }
-      rm(root.resolve("lists").toFile)
-      java.nio.file.Files.move(root.resolve("lists_retrain"), root.resolve("lists"))
-      saveCentroids(spark, refit.centroids, dir)
-      true
-    }
+    } finally assigned.unpersist()
   }
 
   /** Query a fitted (possibly reloaded) IVF index: probe `nprobe` lists per
@@ -306,15 +395,23 @@ object SimilarityOps {
     val spark = index.lists.sparkSession
     index.lists.write.mode("overwrite").parquet(s"$dir/lists")
     saveCentroids(spark, index.centroids, dir)
+    // occupancy + train-skew baseline for the append-path drift trigger
+    // (one read-back scan of what was just written — the save already
+    // cost O(index); see the sidecar notes above appendIvfIndex)
+    val counts = listCounts(spark.read.parquet(s"$dir/lists"))
+    writeListMeta(spark, dir, counts)
+    writeTrainMeta(spark, dir, modelHash(index.centroids),
+      skewOf(counts, index.centroids.length))
   }
 
   private def saveCentroids(spark: org.apache.spark.sql.SparkSession,
-                            centroids: Array[Array[Double]], dir: String): Unit = {
+                            centroids: Array[Array[Double]], dir: String,
+                            at: String = "centroids"): Unit = {
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
       .toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$at")
   }
 
   /** Reload a persisted IVF index. Centroid order (= cid) is restored from
@@ -325,6 +422,17 @@ object SimilarityOps {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
+    // tear detection: an interrupted retrain swap can leave lists
+    // assigned under a model the centroids files don't hold — the stamp
+    // written FIRST in the swap order makes that state loud here instead
+    // of silently serving wrong probe targets (pre-meta legacy indexes
+    // have no stamp and load as before)
+    readTrainMeta(spark, dir).foreach { case (hash, _) =>
+      require(hash == modelHash(cents),
+        s"IVF index at $dir is torn: stored centroids do not match the " +
+          "model stamped at the last (re)train — a retrain swap was " +
+          "interrupted; re-run buildIvfIndex + saveIvfIndex to repair")
+    }
     IvfIndex(cents, spark.read.parquet(s"$dir/lists"))
   }
 

@@ -52,10 +52,15 @@ object MaterializedRollups {
              grain: RollupView.Grain = RollupView.Day): Unit =
     regs.put((canon(srcRoot), grain.seconds), viewRoot)
 
-  /** Unregister every grain's view for `srcRoot`. */
+  /** Unregister every grain's view for `srcRoot` (and evict its probe
+    * cache entries — registry queries register temp-rooted stores per
+    * run, and a session-lifetime map keyed by never-reused temp paths
+    * would otherwise grow without bound). */
   def disable(srcRoot: String): Unit = {
     val c = canon(srcRoot)
     regs.keySet().asScala.filter(_._1 == c).toSeq.foreach(regs.remove)
+    probeCache.keySet().asScala.filter(_.startsWith(c + "|")).toSeq
+      .foreach(probeCache.remove)
   }
 
   def clear(): Unit = { regs.clear(); probeCache.clear() }
@@ -70,13 +75,18 @@ object MaterializedRollups {
   // query once any rollup is registered; uncached it would re-list the
   // source's manifest directory, re-read its current manifest, and
   // re-scan the view's O(versions) epoch chain each time. Both stores
-  // publish state only by writing files into their `_manifests`
-  // directories, so those directories' mtimes are a complete, two-stat
-  // invalidation key: cache the (current version, canonical dirs, view
-  // resume epoch) probe per (srcRoot, viewRoot) and recompute only when
-  // either mtime moves.
+  // publish state only by writing a new manifest file into their
+  // `_manifests` directories, so (directory mtime, current version) is
+  // a sound invalidation key: a publish strictly increases the version
+  // even when two commits land inside one filesystem-clock tick (Linux
+  // stamps mtimes at coarse-clock granularity, so mtime alone can alias
+  // under back-to-back test commits), and a vacuum — which removes
+  // manifests without changing the version — moves the mtime. The
+  // cache-hit path costs two stats + two directory listings, still far
+  // from the manifest read + O(versions) epoch scan it replaces.
 
   private final case class Probe(srcM: Long, viewM: Long,
+                                 srcV: Int, viewV: Int,
                                  dirs: Set[String], fresh: Boolean)
 
   private val probeCache =
@@ -101,15 +111,17 @@ object MaterializedRollups {
     val srcM = manifestDirMtime(srcRoot)
     val viewM = manifestDirMtime(viewRoot)
     if (srcM < 0) return None
+    val srcV = SnapshotStore.currentVersion(srcRoot)
+    if (srcV == 0) return None
+    val viewV = SnapshotStore.currentVersion(viewRoot)
     val cached = probeCache.get(cacheKey)
     val p =
-      if (cached != null && cached.srcM == srcM && cached.viewM == viewM) cached
+      if (cached != null && cached.srcM == srcM && cached.viewM == viewM &&
+          cached.srcV == srcV && cached.viewV == viewV) cached
       else {
-        val cur = SnapshotStore.currentVersion(srcRoot)
-        if (cur == 0) return None
-        val fresh = SnapshotStore.lastEpoch(viewRoot).contains(cur.toLong)
-        val next = Probe(srcM, viewM,
-          SnapshotStore.manifestDirs(srcRoot, cur).map(canon).toSet, fresh)
+        val fresh = SnapshotStore.lastEpoch(viewRoot).contains(srcV.toLong)
+        val next = Probe(srcM, viewM, srcV, viewV,
+          SnapshotStore.manifestDirs(srcRoot, srcV).map(canon).toSet, fresh)
         probeCache.put(cacheKey, next)
         next
       }

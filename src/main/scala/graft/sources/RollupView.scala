@@ -65,6 +65,41 @@ object RollupView {
   val Day: Grain = Grain(86400L, "day")
   val Hour: Grain = Grain(3600L, "hour")
 
+  private def grainPath(viewRoot: String): java.nio.file.Path =
+    java.nio.file.Paths.get(viewRoot, "_grain")
+
+  /** The grain STAMPED into the view store (first stamped refresh writes
+    * it), None for pre-stamp legacy views (all Day by construction). The
+    * stamp exists so the grain is state of the STORE, not a default
+    * parameter the caller must remember: `refresh(spark, src, hourView)`
+    * with the grain argument forgotten would otherwise append day-keyed
+    * partials into an hour-keyed store — mixed-schema versions that read
+    * would union wrongly or not at all. */
+  def storedGrain(viewRoot: String): Option[Grain] = {
+    val p = grainPath(viewRoot)
+    if (!java.nio.file.Files.exists(p)) None
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim match {
+      case Day.col  => Some(Day)
+      case Hour.col => Some(Hour)
+      case other    => sys.error(s"unknown grain '$other' stamped at $viewRoot")
+    }
+  }
+
+  /** Loud mismatch guard on every maintenance/read surface. */
+  private def requireGrain(viewRoot: String, g: Grain, op: String): Unit =
+    storedGrain(viewRoot).foreach { stored =>
+      require(stored == g,
+        s"$op at $viewRoot asked for grain '${g.col}' but the view is " +
+          s"maintained at '${stored.col}' — pass the view's own grain " +
+          "(a mismatched refresh would corrupt the store)")
+    }
+
+  /** Stamp after a publish so the guard bites from the second call on. */
+  private def stampGrain(viewRoot: String, g: Grain): Unit =
+    if (storedGrain(viewRoot).isEmpty &&
+        SnapshotStore.currentVersion(viewRoot) > 0)
+      java.nio.file.Files.write(grainPath(viewRoot), g.col.getBytes("UTF-8"))
+
   /** Physical plan of the last retraction recompute (see the capture
     * site in [[refreshRetracting]] for why a hook and not a registered
     * query plan). */
@@ -98,6 +133,7 @@ object RollupView {
     * version published (or current, when already up to date). */
   def refresh(spark: SparkSession, srcRoot: String, viewRoot: String,
               grain: Grain = Day): Int = {
+    requireGrain(viewRoot, grain, "refresh")
     val srcCur = SnapshotStore.currentVersion(srcRoot)
     require(srcCur > 0, s"no published source version at $srcRoot")
     val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
@@ -112,7 +148,7 @@ object RollupView {
       if (from == 0 || baselineGone) Set.empty[String]
       else SnapshotStore.manifestDirs(srcRoot, from).toSet
     val removed = beforeDirs.exists(d => !curDirs.contains(d))
-    if (baselineGone || (removed && !rowChurnOnly(srcRoot, from, srcCur))) {
+    val v = if (baselineGone || (removed && !rowChurnOnly(srcRoot, from, srcCur))) {
       // a compaction (or unknown-kind legacy history) replaced directories
       // we already counted: the manifest diff is no longer the row delta —
       // rebuild once, publish as the view's own compaction (sole content),
@@ -127,6 +163,8 @@ object RollupView {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
       SnapshotStore.appendEpoch(partials(delta, grain), viewRoot, srcCur)
     } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur, grain)
+    stampGrain(viewRoot, grain)
+    v
   }
 
   /** Are all commits in (from, cur] ROW-CHURN kinds (append/delete/
@@ -259,7 +297,8 @@ object RollupView {
     * both the exact decimal sum (`vsum`) and the compare-friendly double
     * projections the registry's portable-rounding rule wants. */
   def read(spark: SparkSession, viewRoot: String,
-           grain: Grain = Day): DataFrame =
+           grain: Grain = Day): DataFrame = {
+    requireGrain(viewRoot, grain, "read")
     SnapshotStore.read(spark, viewRoot)
       .groupBy("metric", grain.col)
       .agg(
@@ -271,12 +310,15 @@ object RollupView {
       // the group was deleted) — logically absent; compact() folds them
       // away physically
       .where(col("cnt") > 0)
+  }
 
   /** Fold the accumulated partial rows down to one row per (metric,
     * bucket), published as a view compaction — bounds the merge cost of
     * [[read]] after many refreshes. Logical content (and the resume
     * stamp) are unchanged. */
   def compact(spark: SparkSession, viewRoot: String,
-              grain: Grain = Day): Int =
+              grain: Grain = Day): Int = {
+    requireGrain(viewRoot, grain, "compact")
     SnapshotStore.compactWith(read(spark, viewRoot, grain), viewRoot)
+  }
 }

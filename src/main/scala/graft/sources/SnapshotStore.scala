@@ -157,9 +157,12 @@ object SnapshotStore {
     * legacy format) never qualify: their age is unknown, and treating
     * unknown as "arbitrarily old" would let a keep-30-days call
     * permanently destroy versions that are actually newer than the
-    * horizon — [[versionAsOf]] makes the same None-is-not-a-match
-    * choice. Legacy stores therefore retain everything until re-stamped
-    * (an explicit [[vacuum]] with `keepFrom` remains available). */
+    * horizon. NOTE the deliberate polarity split with [[versionAsOf]]:
+    * READS stay permissive (versionAsOf counts stamp-less manifests as
+    * arbitrarily old so legacy stores still resolve), DESTRUCTION is
+    * conservative (unknown age never vacuums). Legacy stores therefore
+    * retain everything until re-stamped (an explicit [[vacuum]] with
+    * `keepFrom` remains available). */
   def vacuumOlderThan(root: String, tsMillis: Long): Unit = {
     val qualifying = (1 to currentVersion(root)).filter { v =>
       hasManifest(root, v) && manifestTs(root, v).exists(_ <= tsMillis)

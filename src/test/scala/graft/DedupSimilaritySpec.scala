@@ -875,6 +875,66 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally { rm(new java.io.File(dirFrozen)); rm(new java.io.File(dirDrift)) }
   }
 
+  test("IVF drift baseline is train-time: gradual drift cannot ratchet past the trigger") {
+    import graft.operators.SimilarityOps
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val v0 = emb.where(col("vec_id") === 0).select(col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ratchet_").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      SimilarityOps.saveIvfIndex(
+        SimilarityOps.buildIvfIndex(base, nlist = 16, refineIters = 2), dir)
+      // six SMALL single-direction appends: each step grows skew by well
+      // under the 4x factor relative to the PREVIOUS state (the ratchet
+      // that would blind a pre-append baseline), but cumulatively they
+      // cross 4x the train-time baseline and the hook must fire
+      var fired = false
+      var steps = 0
+      while (!fired && steps < 6) {
+        val copies = spark.range(20000 + steps * 1000, 20000 + steps * 1000 + 60)
+          .toDF("vec_id").crossJoin(v0)
+        fired = SimilarityOps.appendIvfIndex(spark, dir, copies)
+        steps += 1
+      }
+      assert(fired, s"gradual drift never fired in $steps steps")
+      // occupancy sidecar stays exact across appends + the re-train swap
+      val metaSum = spark.read.parquet(s"$dir/listmeta")
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      assert(metaSum == spark.read.parquet(s"$dir/lists").count())
+    } finally rm(new java.io.File(dir))
+  }
+
+  test("IVF load rejects a torn index (centroids not matching the trained stamp)") {
+    import graft.operators.SimilarityOps
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_torn_").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      SimilarityOps.saveIvfIndex(
+        SimilarityOps.buildIvfIndex(emb, nlist = 8, refineIters = 1), dir)
+      assert(SimilarityOps.loadIvfIndex(spark, dir).centroids.length == 8)
+      // simulate an interrupted retrain swap: the trained stamp names a
+      // model the centroids files don't hold
+      val s = spark
+      import s.implicits._
+      val Array((h, sk)) = spark.read.parquet(s"$dir/trainmeta")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      Seq((h + 1, sk)).toDF("model_hash", "train_skew")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/trainmeta")
+      val e = intercept[IllegalArgumentException] {
+        SimilarityOps.loadIvfIndex(spark, dir)
+      }
+      assert(e.getMessage.contains("torn"))
+    } finally rm(new java.io.File(dir))
+  }
+
   test("IVF index persists: save -> load -> query matches the fused ivfTopK exactly") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")

@@ -353,6 +353,19 @@ class ExtensionsSpec extends SparkSpec {
       RollupView.refresh(spark, src, hourView, RollupView.Hour)
       assert(rows(byGrain("3600", "hour")) ==
         hourDirect + (("n", 2L, 1L, 9.0, 9.0, 9.0)))
+      // the grain is STORE state, not caller memory: a forgotten grain
+      // argument (defaulting to Day) on the hour view fails loudly
+      // instead of appending day-keyed partials into an hour-keyed store
+      val e = intercept[IllegalArgumentException] {
+        RollupView.refresh(spark, src, hourView)
+      }
+      assert(e.getMessage.contains("maintained at 'hour'"))
+      intercept[IllegalArgumentException] {
+        RollupView.read(spark, dayView, RollupView.Hour)
+      }
+      intercept[IllegalArgumentException] {
+        RollupView.compact(spark, hourView)
+      }
     } finally {
       MaterializedRollups.clear()
       SnapshotStore.deleteTree(root)

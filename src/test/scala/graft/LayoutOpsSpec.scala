@@ -127,12 +127,20 @@ class LayoutOpsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("bkt_join").toString
     try {
-      LayoutOps.writeBucketed(
+      Tables.writeBucketed(
         Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus"),
-        "t_bkt_orders", s"$root/o", "o_orderkey", 4)
-      LayoutOps.writeBucketed(
+        "t_bkt_orders", 4, "o_orderkey", Some(s"$root/o"))
+      Tables.writeBucketed(
         Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
-        "t_bkt_lineitem", s"$root/l", "l_orderkey", 4)
+        "t_bkt_lineitem", 4, "l_orderkey", Some(s"$root/l"))
+      // re-running the same write must REPLACE, not accumulate: DROP
+      // TABLE alone leaves external files behind, and a second
+      // saveAsTable beside them would silently duplicate every row
+      Tables.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+        "t_bkt_lineitem", 4, "l_orderkey", Some(s"$root/l"))
+      assert(spark.table("t_bkt_lineitem").count() ==
+        Tables.lineitem(spark, dir).count())
       val bucketed = spark.table("t_bkt_lineitem").hint("merge")
         .join(spark.table("t_bkt_orders").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
@@ -152,7 +160,6 @@ class LayoutOpsSpec extends SparkSpec {
       // a non-bucketed twin of the same join DOES shuffle both sides —
       // the counterfactual that proves the bucket spec (not size or luck)
       // removed the exchanges
-      spark.read.parquet(s"$root/l").createOrReplaceTempView("t_flat_l")
       val flat = spark.read.parquet(s"$root/l").hint("merge")
         .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
           .hint("merge"), col("l_orderkey") === col("o_orderkey"))

@@ -89,8 +89,10 @@ class TpchEdgeSpec extends SparkSpec {
     // no order-less customer and the anti-join proved nothing. The
     // idle-since-1998 window must keep real rows flowing at the gate SF.
     val rows = SparkEntry.queries("q22_idle_balance")(spark, "/root/testdata/sf0.01")
-      .collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(_.getLong(1) > 0L)) // every surviving segment has customers
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // pin the fixture's known liveness, not just nonemptiness: at sf0.01
+    // exactly the AUTOMOBILE segment survives with 3 idle customers (a
+    // tautological count>0 would pass even if the window stopped biting)
+    assert(rows === Set(("AUTOMOBILE", 3L)))
   }
 }
