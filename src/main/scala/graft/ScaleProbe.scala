@@ -430,6 +430,45 @@ object ScaleProbe {
         f"(flat = O(delta) holds; ratio16 ${times(2) / times(0)}%4.2f)")
     }
 
+    // IVF append O(delta) proof: the occupancy sidecar makes the append
+    // path independent of standing index size — build saved indexes over
+    // 1x/4x/16x the embedding corpus, then time ONE append of an
+    // identical fixed-size delta against each. Flat = O(delta) holds
+    // (a sidecar-less append re-scans the whole lists relation for its
+    // skew accounting and would grow ~16x across the legs).
+    // Opt-in: SPARK_GRAFT_PROBE_ONLY=ivf_append_radius.
+    if (probeOnly.exists(_.contains("ivf_append_radius"))) {
+      import graft.operators.SimilarityOps
+      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      def scaledEmb(k: Int): DataFrame =
+        (0 until k).map(i => emb.select(
+          (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+      val delta = emb.limit(500)
+        .select((col("vec_id") + lit(900_000_000L)).as("vec_id"),
+          col("embedding"))
+        .localCheckpoint(true)
+      def rmDir(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmDir)); f.delete()
+      }
+      val legs = Seq(1, 4, 16).map { k =>
+        val dir = java.nio.file.Files.createTempDirectory(s"ivfapp$k").toString
+        try {
+          SimilarityOps.saveIvfIndex(
+            SimilarityOps.buildIvfIndex(scaledEmb(k), nlist = 64,
+              refineIters = 1), dir)
+          val t0 = System.nanoTime()
+          val retrained = SimilarityOps.appendIvfIndex(spark, dir, delta)
+          val t = (System.nanoTime() - t0) / 1e9
+          require(!retrained, "distribution-following delta must not re-train")
+          t
+        } finally rmDir(new java.io.File(dir))
+      }
+      println(f"[scale] ivf_append_fixed_delta index=1x ${legs(0)}%5.2fs " +
+        f"4x ${legs(1)}%5.2fs 16x ${legs(2)}%5.2fs " +
+        f"(flat = O(delta) holds; ratio16 ${legs(2) / legs(0)}%4.2f)")
+    }
+
     // Snapshot file-skipping at many-file scale: a 10k-file stats-carrying
     // version, then a narrow range read. Checks (a) the distributed
     // stats-join planner stays fast when the per-file stats relation is
