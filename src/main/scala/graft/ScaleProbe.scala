@@ -448,9 +448,6 @@ object ScaleProbe {
         .select((col("vec_id") + lit(900_000_000L)).as("vec_id"),
           col("embedding"))
         .localCheckpoint(true)
-      def rmDir(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmDir)); f.delete()
-      }
       val legs = Seq(1, 4, 16).map { k =>
         val dir = java.nio.file.Files.createTempDirectory(s"ivfapp$k").toString
         try {
@@ -462,7 +459,7 @@ object ScaleProbe {
           val t = (System.nanoTime() - t0) / 1e9
           require(!retrained, "distribution-following delta must not re-train")
           t
-        } finally rmDir(new java.io.File(dir))
+        } finally graft.sources.SnapshotStore.deleteTree(dir)
       }
       println(f"[scale] ivf_append_fixed_delta index=1x ${legs(0)}%5.2fs " +
         f"4x ${legs(1)}%5.2fs 16x ${legs(2)}%5.2fs " +

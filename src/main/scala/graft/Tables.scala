@@ -125,14 +125,23 @@ object Tables {
     // doesn't know about a previous run's table directory, DROP TABLE on
     // an external/stale table leaves its files behind, and saveAsTable
     // would either refuse the location or write new bucket files BESIDE
-    // the old ones (silently duplicated rows) — drop both the catalog
-    // entry and the leftover location.
+    // the old ones (silently duplicated rows) — drop the catalog entry,
+    // the table's PREVIOUS location (read from the catalog before the
+    // drop: a re-run may target a different path, and deleting only the
+    // new one would strand the old files), and the new location.
+    val prevLoc: Option[String] =
+      if (!spark.catalog.tableExists(table)) None
+      else scala.util.Try(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString).toOption
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(path.getOrElse(
-      new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val newLoc = path.getOrElse(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString)
+    (prevLoc.toSeq :+ newLoc).distinct.foreach { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
     path.foreach(p => w.option("path", p))

@@ -255,18 +255,34 @@ object SimilarityOps {
         a * 1099511628211L + java.lang.Double.doubleToLongBits(d))
     }
 
+  /** listmeta carries the model fingerprint its counts were taken under:
+    * a crash can leave the sidecar one step behind an otherwise
+    * consistent index, and stamping the hash turns that stale state into
+    * a cheap self-heal (readListMeta discards a mismatched sidecar and
+    * the caller re-derives) instead of silently wrong drift decisions. */
   private def writeListMeta(spark: org.apache.spark.sql.SparkSession,
-                            dir: String, counts: Map[Int, Long]): Unit = {
+                            dir: String, counts: Map[Int, Long],
+                            hash: Long): Unit = {
     import spark.implicits._
-    counts.toSeq.toDF("cid", "n")
+    counts.toSeq.map { case (c, n) => (c, n, hash) }
+      .toDF("cid", "n", "model_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/listmeta")
   }
 
+  /** Counts valid under `expectedHash` — None when absent OR stamped
+    * under a different model (stale survivor of an interrupted swap). */
   private def readListMeta(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): Option[Map[Int, Long]] =
+                           dir: String, expectedHash: Long): Option[Map[Int, Long]] =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "listmeta"))) None
-    else Some(spark.read.parquet(s"$dir/listmeta").collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    else {
+      val rows = spark.read.parquet(s"$dir/listmeta").collect()
+      val stamped = rows.headOption.forall { r =>
+        !r.schema.fieldNames.contains("model_hash") ||
+          r.getLong(r.fieldIndex("model_hash")) == expectedHash
+      }
+      if (!stamped) None
+      else Some(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    }
 
   private def writeTrainMeta(spark: org.apache.spark.sql.SparkSession,
                              dir: String, hash: Long, trainSkew: Double,
@@ -301,11 +317,16 @@ object SimilarityOps {
     * ratcheted up by many small drifts the way a pre-append baseline
     * could), the quantizer is re-trained on the grown corpus
     * (`retrainRefineIters` k-means rounds) and the index rewritten via
-    * staged files + ordered swap: trainmeta (new fingerprint) swaps
-    * FIRST, so any interruption leaves a state [[loadIvfIndex]] either
-    * serves correctly (all-old) or rejects loudly (fingerprint
-    * mismatch), never a silent new-lists/old-centroids mix; the old
-    * lists directory is removed only after the swap completes. Returns
+    * staged files + ordered swap: stale staging survivors of a prior
+    * interrupted retrain are cleared first (a refused move AFTER the
+    * fingerprint swap would brick a consistent index), then trainmeta
+    * (new fingerprint) swaps FIRST, so any interruption leaves a state
+    * [[loadIvfIndex]] either serves correctly (all-old) or rejects
+    * loudly (fingerprint mismatch), never a silent new-lists/
+    * old-centroids mix; a listmeta left one step behind self-heals via
+    * its own model stamp (discarded + re-derived on the next maintained
+    * append); the old lists directory is removed only after the swap
+    * completes. Returns
     * true when a re-train ran. Pass `retrainSkewFactor =
     * Double.PositiveInfinity` for the pure frozen append (no trigger;
     * occupancy still maintained O(delta)). Single-writer, like every
@@ -319,17 +340,19 @@ object SimilarityOps {
     val nlist = index.centroids.length
     val assigned = assignLists(newVectors, index.centroids)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val curHash = modelHash(index.centroids)
     try {
       assigned.write.mode("append").parquet(s"$dir/lists")
       // O(delta) occupancy bookkeeping: delta counts from the in-hand
       // (persisted) assignment, merged into the sidecar — the standing
       // lists are re-scanned only when the sidecar is missing (legacy)
+      // or stamped under a different model (stale swap survivor)
       val deltaCounts = listCounts(assigned)
-      val baseCounts = readListMeta(spark, dir)
+      val baseCounts = readListMeta(spark, dir, curHash)
         .getOrElse(listCounts(index.lists))
       val newCounts = (baseCounts.keySet ++ deltaCounts.keySet).map(k =>
         k -> (baseCounts.getOrElse(k, 0L) + deltaCounts.getOrElse(k, 0L))).toMap
-      writeListMeta(spark, dir, newCounts)
+      writeListMeta(spark, dir, newCounts, curHash)
       if (retrainSkewFactor == Double.PositiveInfinity) return false
       val baseline = readTrainMeta(spark, dir).map(_._2)
         .getOrElse(skewOf(baseCounts, nlist))
@@ -340,19 +363,26 @@ object SimilarityOps {
         // Everything is staged beside the live files (Spark cannot
         // overwrite an input path of a live plan), then swapped in the
         // tear-detectable order documented above.
+        val root = java.nio.file.Paths.get(dir)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        // clear stale staging/backup survivors of an interrupted PRIOR
+        // retrain first: Files.move refuses an existing target, and
+        // hitting that AFTER the fingerprint swap would brick a
+        // currently-consistent index
+        Seq("lists_old", "lists_retrain", "trainmeta_retrain",
+          "centroids_retrain").foreach(n => rm(root.resolve(n).toFile))
         val grown = spark.read.parquet(s"$dir/lists")
         val refit = buildIvfIndex(
           grown.select(col("c_id").as("vec_id"), col("cv").as("embedding")),
           nlist, retrainRefineIters)
         refit.lists.write.mode("overwrite").parquet(s"$dir/lists_retrain")
         val refitCounts = listCounts(spark.read.parquet(s"$dir/lists_retrain"))
-        writeTrainMeta(spark, dir, modelHash(refit.centroids),
+        val refitHash = modelHash(refit.centroids)
+        writeTrainMeta(spark, dir, refitHash,
           skewOf(refitCounts, nlist), at = "trainmeta_retrain")
         saveCentroids(spark, refit.centroids, dir, at = "centroids_retrain")
-        val root = java.nio.file.Paths.get(dir)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
         def swap(name: String): Unit = {
           rm(root.resolve(name).toFile)
           java.nio.file.Files.move(root.resolve(s"${name}_retrain"),
@@ -362,7 +392,9 @@ object SimilarityOps {
         java.nio.file.Files.move(root.resolve("lists"), root.resolve("lists_old"))
         java.nio.file.Files.move(root.resolve("lists_retrain"), root.resolve("lists"))
         swap("centroids")
-        writeListMeta(spark, dir, refitCounts)
+        // hash-stamped: if we die before this write, the next maintained
+        // append sees the old stamp, discards the sidecar and re-derives
+        writeListMeta(spark, dir, refitCounts, refitHash)
         rm(root.resolve("lists_old").toFile) // old data last: no-loss swap
         true
       }
@@ -399,9 +431,9 @@ object SimilarityOps {
     // (one read-back scan of what was just written — the save already
     // cost O(index); see the sidecar notes above appendIvfIndex)
     val counts = listCounts(spark.read.parquet(s"$dir/lists"))
-    writeListMeta(spark, dir, counts)
-    writeTrainMeta(spark, dir, modelHash(index.centroids),
-      skewOf(counts, index.centroids.length))
+    val hash = modelHash(index.centroids)
+    writeListMeta(spark, dir, counts, hash)
+    writeTrainMeta(spark, dir, hash, skewOf(counts, index.centroids.length))
   }
 
   private def saveCentroids(spark: org.apache.spark.sql.SparkSession,

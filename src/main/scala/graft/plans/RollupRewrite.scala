@@ -82,8 +82,10 @@ object MaterializedRollups {
   // stamps mtimes at coarse-clock granularity, so mtime alone can alias
   // under back-to-back test commits), and a vacuum — which removes
   // manifests without changing the version — moves the mtime. The
-  // cache-hit path costs two stats + two directory listings, still far
-  // from the manifest read + O(versions) epoch scan it replaces.
+  // version half is checked as hasManifest(cached+1) — a publish always
+  // creates exactly the next version file — so the hit path costs two
+  // stats + two existence checks, never a directory listing, far from
+  // the manifest read + O(versions) epoch scan it replaces.
 
   private final case class Probe(srcM: Long, viewM: Long,
                                  srcV: Int, viewV: Int,
@@ -111,21 +113,23 @@ object MaterializedRollups {
     val srcM = manifestDirMtime(srcRoot)
     val viewM = manifestDirMtime(viewRoot)
     if (srcM < 0) return None
+    val cached = probeCache.get(cacheKey)
+    // hit path: two stats + two existence checks. A publish always
+    // creates exactly version current+1, so hasManifest(v+1) catches a
+    // commit that landed inside the cached mtime's clock tick without
+    // paying currentVersion's full directory listing per Aggregate.
+    if (cached != null && cached.srcM == srcM && cached.viewM == viewM &&
+        !SnapshotStore.hasManifest(srcRoot, cached.srcV + 1) &&
+        !SnapshotStore.hasManifest(viewRoot, cached.viewV + 1))
+      return Some((cached.dirs, cached.fresh))
     val srcV = SnapshotStore.currentVersion(srcRoot)
     if (srcV == 0) return None
     val viewV = SnapshotStore.currentVersion(viewRoot)
-    val cached = probeCache.get(cacheKey)
-    val p =
-      if (cached != null && cached.srcM == srcM && cached.viewM == viewM &&
-          cached.srcV == srcV && cached.viewV == viewV) cached
-      else {
-        val fresh = SnapshotStore.lastEpoch(viewRoot).contains(srcV.toLong)
-        val next = Probe(srcM, viewM, srcV, viewV,
-          SnapshotStore.manifestDirs(srcRoot, srcV).map(canon).toSet, fresh)
-        probeCache.put(cacheKey, next)
-        next
-      }
-    Some((p.dirs, p.fresh))
+    val fresh = SnapshotStore.lastEpoch(viewRoot).contains(srcV.toLong)
+    val next = Probe(srcM, viewM, srcV, viewV,
+      SnapshotStore.manifestDirs(srcRoot, srcV).map(canon).toSet, fresh)
+    probeCache.put(cacheKey, next)
+    Some((next.dirs, next.fresh))
   }
 }
 

@@ -85,13 +85,34 @@ object RollupView {
     }
   }
 
-  /** Loud mismatch guard on every maintenance/read surface. */
+  /** Loud mismatch guard on every maintenance/read surface. A store
+    * WITHOUT a stamp (created before stamping existed) is not waved
+    * through blindly: its manifest-recorded schema names its bucket
+    * column, and a store that unambiguously carries the OTHER grain's
+    * column is refused the same way — otherwise a forgotten grain
+    * argument on exactly the pre-stamp stores the stamp can't protect
+    * would corrupt them AND mis-stamp them afterwards. */
   private def requireGrain(viewRoot: String, g: Grain, op: String): Unit =
-    storedGrain(viewRoot).foreach { stored =>
-      require(stored == g,
-        s"$op at $viewRoot asked for grain '${g.col}' but the view is " +
-          s"maintained at '${stored.col}' — pass the view's own grain " +
-          "(a mismatched refresh would corrupt the store)")
+    storedGrain(viewRoot) match {
+      case Some(stored) =>
+        require(stored == g,
+          s"$op at $viewRoot asked for grain '${g.col}' but the view is " +
+            s"maintained at '${stored.col}' — pass the view's own grain " +
+            "(a mismatched refresh would corrupt the store)")
+      case None =>
+        val cur = SnapshotStore.currentVersion(viewRoot)
+        if (cur > 0) {
+          val cols = SnapshotStore.manifestCols(viewRoot, cur)
+            .getOrElse(Seq.empty).map(_.toLowerCase(java.util.Locale.ROOT))
+          Seq(Day, Hour).filter(_ != g)
+            .find(o => cols.contains(o.col) && !cols.contains(g.col))
+            .foreach { o =>
+              throw new IllegalArgumentException(
+                s"$op at $viewRoot asked for grain '${g.col}' but the " +
+                  s"unstamped store's schema carries '${o.col}' — pass " +
+                  "the view's own grain")
+            }
+        }
     }
 
   /** Stamp after a publish so the guard bites from the second call on. */

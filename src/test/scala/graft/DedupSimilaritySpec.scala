@@ -846,9 +846,6 @@ class DedupSimilaritySpec extends SparkSpec {
         .agg(avg(col("recall"))).collect().head.getDouble(0)
     val dirFrozen = java.nio.file.Files.createTempDirectory("ivf_frozen_").toString
     val dirDrift = java.nio.file.Files.createTempDirectory("ivf_drift_").toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     try {
       val built = SimilarityOps.buildIvfIndex(base, nlist = 16, refineIters = 2)
       SimilarityOps.saveIvfIndex(built, dirFrozen)
@@ -872,7 +869,10 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(retrainedRecall >= frozenRecall,
         s"retrained=$retrainedRecall frozen=$frozenRecall")
       assert(retrainedRecall >= 0.5, s"retrained=$retrainedRecall")
-    } finally { rm(new java.io.File(dirFrozen)); rm(new java.io.File(dirDrift)) }
+    } finally {
+      graft.sources.SnapshotStore.deleteTree(dirFrozen)
+      graft.sources.SnapshotStore.deleteTree(dirDrift)
+    }
   }
 
   test("IVF drift baseline is train-time: gradual drift cannot ratchet past the trigger") {
@@ -882,9 +882,6 @@ class DedupSimilaritySpec extends SparkSpec {
     val base = emb.where(col("vec_id") % 2 === 0)
     val v0 = emb.where(col("vec_id") === 0).select(col("embedding"))
     val dir = java.nio.file.Files.createTempDirectory("ivf_ratchet_").toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     try {
       SimilarityOps.saveIvfIndex(
         SimilarityOps.buildIvfIndex(base, nlist = 16, refineIters = 2), dir)
@@ -905,7 +902,7 @@ class DedupSimilaritySpec extends SparkSpec {
       val metaSum = spark.read.parquet(s"$dir/listmeta")
         .agg(sum(col("n"))).collect().head.getLong(0)
       assert(metaSum == spark.read.parquet(s"$dir/lists").count())
-    } finally rm(new java.io.File(dir))
+    } finally graft.sources.SnapshotStore.deleteTree(dir)
   }
 
   test("IVF load rejects a torn index (centroids not matching the trained stamp)") {
@@ -913,9 +910,6 @@ class DedupSimilaritySpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("ivf_torn_").toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     try {
       SimilarityOps.saveIvfIndex(
         SimilarityOps.buildIvfIndex(emb, nlist = 8, refineIters = 1), dir)
@@ -932,7 +926,7 @@ class DedupSimilaritySpec extends SparkSpec {
         SimilarityOps.loadIvfIndex(spark, dir)
       }
       assert(e.getMessage.contains("torn"))
-    } finally rm(new java.io.File(dir))
+    } finally graft.sources.SnapshotStore.deleteTree(dir)
   }
 
   test("IVF index persists: save -> load -> query matches the fused ivfTopK exactly") {
