@@ -366,6 +366,15 @@ class ExtensionsSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         RollupView.compact(spark, hourView)
       }
+      // even with the stamp gone (a store created before stamping
+      // existed), the manifest-recorded schema carries the bucket column
+      // and a mismatched-grain refresh is still refused — the pre-stamp
+      // stores are exactly the ones the stamp can't protect
+      java.nio.file.Files.delete(java.nio.file.Paths.get(hourView, "_grain"))
+      val e2 = intercept[IllegalArgumentException] {
+        RollupView.refresh(spark, src, hourView)
+      }
+      assert(e2.getMessage.contains("unstamped"))
     } finally {
       MaterializedRollups.clear()
       SnapshotStore.deleteTree(root)

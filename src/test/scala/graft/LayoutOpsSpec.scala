@@ -141,6 +141,19 @@ class LayoutOpsSpec extends SparkSpec {
         "t_bkt_lineitem", 4, "l_orderkey", Some(s"$root/l"))
       assert(spark.table("t_bkt_lineitem").count() ==
         Tables.lineitem(spark, dir).count())
+      // a re-run targeting a DIFFERENT path must clean the previous
+      // location too (read from the catalog before the drop) — otherwise
+      // the old bucket files are stranded forever
+      Tables.writeBucketed(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus"),
+        "t_bkt_orders", 4, "o_orderkey", Some(s"$root/o2"))
+      assert(!new java.io.File(s"$root/o").exists(),
+        "previous external location must be cleaned on re-target")
+      assert(spark.table("t_bkt_orders").count() ==
+        Tables.orders(spark, dir).count())
+      Tables.writeBucketed(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus"),
+        "t_bkt_orders", 4, "o_orderkey", Some(s"$root/o"))
       val bucketed = spark.table("t_bkt_lineitem").hint("merge")
         .join(spark.table("t_bkt_orders").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
