@@ -134,6 +134,28 @@ object Tables {
       else scala.util.Try(spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .location.toString).toOption
+    // Self-referential rewrites are refused LOUDLY: df is lazy, so
+    // "re-bucket the table into itself" would delete the previous
+    // location before the scan materializes — unrecoverable data loss
+    // (or a silently empty table under ignoreMissingFiles). A migration
+    // must stage through a different table/location first.
+    val norm = (s: String) =>
+      java.nio.file.Paths.get(s.replaceFirst("^file:/+", "/"))
+        .normalize.toAbsolutePath.toString
+    prevLoc.map(norm).foreach { prev =>
+      val reads = df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(p => norm(p.toString))
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(!reads.exists(r => r == prev || r.startsWith(prev + "/")),
+        s"writeBucketed: df reads from table `$table`'s current location " +
+          s"($prev), which this rewrite deletes before df executes — " +
+          "stage the data through another location first")
+    }
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val newLoc = path.getOrElse(new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString)

@@ -274,7 +274,9 @@ object SimilarityOps {
   private def readListMeta(spark: org.apache.spark.sql.SparkSession,
                            dir: String, expectedHash: Long): Option[Map[Int, Long]] =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "listmeta"))) None
-    else {
+    else scala.util.Try { // a crash mid-overwrite can leave the sidecar
+      // directory file-less/unreadable — that too self-heals as "absent"
+      // (re-derive) rather than bricking every subsequent append
       val rows = spark.read.parquet(s"$dir/listmeta").collect()
       val stamped = rows.headOption.forall { r =>
         !r.schema.fieldNames.contains("model_hash") ||
@@ -282,7 +284,7 @@ object SimilarityOps {
       }
       if (!stamped) None
       else Some(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap)
-    }
+    }.toOption.flatten
 
   private def writeTrainMeta(spark: org.apache.spark.sql.SparkSession,
                              dir: String, hash: Long, trainSkew: Double,
@@ -295,8 +297,8 @@ object SimilarityOps {
   private def readTrainMeta(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Option[(Long, Double)] =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "trainmeta"))) None
-    else spark.read.parquet(s"$dir/trainmeta").collect().headOption
-      .map(r => (r.getLong(0), r.getDouble(1)))
+    else scala.util.Try(spark.read.parquet(s"$dir/trainmeta").collect().headOption
+      .map(r => (r.getLong(0), r.getDouble(1)))).toOption.flatten
 
   /** Append `newVectors` to a PERSISTED IVF index without a rebuild: the
     * arrivals are assigned under the index's FROZEN centroid model (the
@@ -364,15 +366,21 @@ object SimilarityOps {
         // overwrite an input path of a live plan), then swapped in the
         // tear-detectable order documented above.
         val root = java.nio.file.Paths.get(dir)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        def clear(name: String): Unit = {
+          val p = root.resolve(name)
+          graft.sources.SnapshotStore.deleteTree(p.toString)
+          // verified, not best-effort: a silently failed delete here
+          // would surface AFTER the fingerprint swap (Files.move refuses
+          // an existing target) and brick a currently-consistent index —
+          // fail loudly now, while everything is still intact
+          require(!java.nio.file.Files.exists(p),
+            s"IVF retrain at $dir: could not clear stale '$name' from a " +
+              "previously interrupted retrain — remove it and re-run")
         }
         // clear stale staging/backup survivors of an interrupted PRIOR
-        // retrain first: Files.move refuses an existing target, and
-        // hitting that AFTER the fingerprint swap would brick a
-        // currently-consistent index
+        // retrain first
         Seq("lists_old", "lists_retrain", "trainmeta_retrain",
-          "centroids_retrain").foreach(n => rm(root.resolve(n).toFile))
+          "centroids_retrain").foreach(clear)
         val grown = spark.read.parquet(s"$dir/lists")
         val refit = buildIvfIndex(
           grown.select(col("c_id").as("vec_id"), col("cv").as("embedding")),
@@ -384,7 +392,7 @@ object SimilarityOps {
           skewOf(refitCounts, nlist), at = "trainmeta_retrain")
         saveCentroids(spark, refit.centroids, dir, at = "centroids_retrain")
         def swap(name: String): Unit = {
-          rm(root.resolve(name).toFile)
+          graft.sources.SnapshotStore.deleteTree(root.resolve(name).toString)
           java.nio.file.Files.move(root.resolve(s"${name}_retrain"),
             root.resolve(name))
         }
@@ -395,7 +403,9 @@ object SimilarityOps {
         // hash-stamped: if we die before this write, the next maintained
         // append sees the old stamp, discards the sidecar and re-derives
         writeListMeta(spark, dir, refitCounts, refitHash)
-        rm(root.resolve("lists_old").toFile) // old data last: no-loss swap
+        // old data last: no-loss swap (a failed delete here is retried by
+        // the NEXT retrain's verified clear, never blocking this one)
+        graft.sources.SnapshotStore.deleteTree(root.resolve("lists_old").toString)
         true
       }
     } finally assigned.unpersist()

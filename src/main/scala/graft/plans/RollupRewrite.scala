@@ -114,13 +114,20 @@ object MaterializedRollups {
     val viewM = manifestDirMtime(viewRoot)
     if (srcM < 0) return None
     val cached = probeCache.get(cacheKey)
-    // hit path: two stats + two existence checks. A publish always
+    // hit path: two stats + four existence checks. A publish always
     // creates exactly version current+1, so hasManifest(v+1) catches a
     // commit that landed inside the cached mtime's clock tick without
     // paying currentVersion's full directory listing per Aggregate.
+    // The cached version itself must ALSO still exist: a vacuum that
+    // aliased into the same tick removes manifests bottom-up, so any
+    // vacuum that could have erased evidence of newer commits (v+1
+    // absent despite commits) necessarily erased v too — checking both
+    // makes the pair airtight (v present ∧ v+1 absent ⇒ v is current).
+    def unmoved(root: String, v: Int): Boolean =
+      (v == 0 || SnapshotStore.hasManifest(root, v)) &&
+        !SnapshotStore.hasManifest(root, v + 1)
     if (cached != null && cached.srcM == srcM && cached.viewM == viewM &&
-        !SnapshotStore.hasManifest(srcRoot, cached.srcV + 1) &&
-        !SnapshotStore.hasManifest(viewRoot, cached.viewV + 1))
+        unmoved(srcRoot, cached.srcV) && unmoved(viewRoot, cached.viewV))
       return Some((cached.dirs, cached.fresh))
     val srcV = SnapshotStore.currentVersion(srcRoot)
     if (srcV == 0) return None

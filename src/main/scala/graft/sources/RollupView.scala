@@ -85,21 +85,25 @@ object RollupView {
     }
   }
 
-  /** Loud mismatch guard on every maintenance/read surface. A store
-    * WITHOUT a stamp (created before stamping existed) is not waved
-    * through blindly: its manifest-recorded schema names its bucket
-    * column, and a store that unambiguously carries the OTHER grain's
-    * column is refused the same way — otherwise a forgotten grain
-    * argument on exactly the pre-stamp stores the stamp can't protect
-    * would corrupt them AND mis-stamp them afterwards. */
-  private def requireGrain(viewRoot: String, g: Grain, op: String): Unit =
+  /** Loud mismatch guard. The stamp check is one file read; the
+    * `inferFromSchema` fallback additionally inspects an UNSTAMPED
+    * store's manifest-recorded schema (a directory listing + manifest
+    * read), so it runs only on the MUTATING surface (refresh — the one
+    * place a forgotten grain argument would corrupt and then mis-stamp
+    * a pre-stamp store). read/compact skip the inference: a mismatched
+    * unstamped read already fails loudly on the missing bucket column,
+    * and [[graft.plans.RollupRewriteRule]] calls read during analysis
+    * of every Aggregate — per-Aggregate directory listings are exactly
+    * what its probe cache exists to avoid. */
+  private def requireGrain(viewRoot: String, g: Grain, op: String,
+                           inferFromSchema: Boolean = false): Unit =
     storedGrain(viewRoot) match {
       case Some(stored) =>
         require(stored == g,
           s"$op at $viewRoot asked for grain '${g.col}' but the view is " +
             s"maintained at '${stored.col}' — pass the view's own grain " +
             "(a mismatched refresh would corrupt the store)")
-      case None =>
+      case None if inferFromSchema =>
         val cur = SnapshotStore.currentVersion(viewRoot)
         if (cur > 0) {
           val cols = SnapshotStore.manifestCols(viewRoot, cur)
@@ -113,6 +117,7 @@ object RollupView {
                   "the view's own grain")
             }
         }
+      case None => ()
     }
 
   /** Stamp after a publish so the guard bites from the second call on. */
@@ -154,7 +159,7 @@ object RollupView {
     * version published (or current, when already up to date). */
   def refresh(spark: SparkSession, srcRoot: String, viewRoot: String,
               grain: Grain = Day): Int = {
-    requireGrain(viewRoot, grain, "refresh")
+    requireGrain(viewRoot, grain, "refresh", inferFromSchema = true)
     val srcCur = SnapshotStore.currentVersion(srcRoot)
     require(srcCur > 0, s"no published source version at $srcRoot")
     val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
