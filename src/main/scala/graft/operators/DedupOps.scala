@@ -406,8 +406,12 @@ object DedupOps {
       // the plain levenshtein filter and must still agree).
       .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b").distinct()
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .where(col("dist") <= maxDist)
+      // threshold form: banded DP, O(len·maxDist) per candidate instead
+      // of the full O(len²) matrix, returning -1 past the bound — same
+      // surviving rows and distances, so the oracle's plain levenshtein
+      // filter still agrees bit-for-bit
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
 }
