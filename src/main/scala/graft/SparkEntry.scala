@@ -3321,6 +3321,32 @@ object SparkEntry {
       SimilarityOps.assignVectors(emb, model)
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dedup — kmeans clusters
+    // ARE the candidate blocks, exact cosine runs within-cluster only, a
+    // vector with any lower-id tau-neighbor in its cluster drops. Planted
+    // scaled twins guarantee live duplicate pairs at every SF; the fitted
+    // centroid model and the twin rows export, and DuckDB replays
+    // assignment (argmax-dot, lower-cluster tie-break), the within-cluster
+    // self-join, the exact-cosine gate, and the anti-join — the full keep
+    // decision re-derived end-to-end.
+    "semdedup_keep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val twins = exportForOracle(
+        emb.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 2000000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.0005f)).as("embedding")),
+        "semdedup_twins", model = true)
+      val corpus = emb.unionByName(twins)
+      val cents = SimilarityOps.kmeansCentroids(corpus, nClusters = 16, updates = 2)
+      val centDf = s.createDataFrame(
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+        .toDF("cluster_id", "cv")
+      val model = exportForOracle(centDf, "semdedup_centroids", model = true)
+        .orderBy("cluster_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      SimilarityOps.semanticKeep(corpus, model, tau = 0.96)
+    }),
+
     // Connected components with a DuckDB-replicable edge set: the LSH pair
     // sources can't be expressed in SQL (xxhash64 signatures), so the
     // grouping operator itself gets its oracle here — adjacent-doc shingle
@@ -5836,6 +5862,36 @@ object SparkEntry {
          |          ORDER BY score DESC, cluster_id) AS rk FROM s)
          |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
          |FROM r WHERE rk = 1""".stripMargin,
+
+    // SemDeDup keep-set oracle: the full decision chain re-derived — the
+    // planted-twin corpus rebuilt from the twin export, assignment over
+    // the exported centroid model (argmax dot, lower-cluster tie-break:
+    // kmeans_assign's proven form), within-cluster (a < b) pairs, the
+    // exact-cosine >= tau gate with the SAME evaluation shape as the
+    // Spark side (dot / (sqrt(dot)·sqrt(dot)), left-to-right folds both
+    // engines), and the final NOT-IN anti-join.
+    "semdedup_keep" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM read_parquet('${exportGlob("semdedup_twins")}')),
+         |c AS (SELECT cluster_id, cv FROM read_parquet('${exportGlob("semdedup_centroids")}')),
+         |s AS (SELECT e.vec_id, e.v, c.cluster_id,
+         |        list_dot_product(e.v, c.cv) AS score
+         |      FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, v, cluster_id FROM (
+         |          SELECT vec_id, v, cluster_id,
+         |            row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY score DESC, cluster_id) AS rk
+         |          FROM s) WHERE rk = 1),
+         |p AS (SELECT b.vec_id AS dropped
+         |      FROM asg a JOIN asg b
+         |        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |      WHERE list_dot_product(a.v, b.v) /
+         |              (sqrt(list_dot_product(a.v, a.v)) *
+         |               sqrt(list_dot_product(b.v, b.v))) >= 0.96)
+         |SELECT vec_id FROM e
+         |WHERE vec_id NOT IN (SELECT dropped FROM p)""".stripMargin,
 
     // Faithful anchored-gap decimation over the newest-N-per-metric slice:
     // the recursive CTE walks the kept chain exactly as the reference's

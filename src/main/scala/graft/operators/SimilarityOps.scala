@@ -1065,4 +1065,58 @@ object SimilarityOps {
       .dropDuplicates("vec_id")
     rerankTopK(cand, vecs, k)
   }
+
+  // ======================================================================
+  // SemDeDup — semantic near-dedup over embeddings (Abbas et al. 2023,
+  // "SemDeDup: Data-efficient learning at web-scale through semantic
+  // deduplication", arXiv:2303.09540). Candidate generation is the kmeans
+  // cluster itself: exact cosine runs only WITHIN a cluster (an equi-join
+  // on cluster_id), never across the corpus — the published trade: work
+  // drops from O(N^2) to O(Σ|c_i|^2), and cross-cluster near-dups are the
+  // accepted miss surface. At 100 TB nClusters grows with the corpus so
+  // per-cluster candidate blocks stay bounded (the paper uses 50k clusters
+  // on LAION-440M — ~N/9k); the assignment stage is map-only against a
+  // broadcast centroid model.
+  // ======================================================================
+
+  /** Within-cluster semantic duplicate pairs: assign every vector to its
+    * nearest centroid (dot-argmax, ties to the lower centroid index —
+    * [[assignToCentroids]]), then exact cosine over same-cluster (a < b)
+    * pairs only. Output: (cluster_id, vec_a, vec_b, score) with
+    * score >= tau.
+    *
+    * Norms are staged per ROW before the self-join (one dot per pair, not
+    * three), and the join is an equi-join on cluster_id — no cartesian
+    * reaches the plan. */
+  def semanticDupPairs(vectors: DataFrame, cents: Array[Array[Double]],
+                       tau: Double): DataFrame = {
+    val assigned = assignToCentroids(vectors, cents)
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+        col("embedding").as("v"))
+      .withColumn("n", norm(col("v")))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("cluster_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("score") >= tau)
+      .select(col("cluster_id"), col("vec_a"), col("vec_b"), col("score"))
+  }
+
+  /** SemDeDup keep set: a vector is DROPPED iff some lower-id vector in
+    * its own cluster has cosine >= tau with it — deterministic and
+    * order-independent ("dominated by any lower id"). The lowest id of
+    * every within-cluster duplicate component always survives; a clique
+    * of mutual near-dups keeps exactly that one representative (a
+    * non-clique component can keep more — a member whose only tau-edges
+    * point to HIGHER ids is itself undominated). Returns the surviving
+    * (vec_id) rows. */
+  def semanticKeep(vectors: DataFrame, cents: Array[Array[Double]],
+                   tau: Double): DataFrame = {
+    val dropped = semanticDupPairs(vectors, cents, tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    vectors.select("vec_id").join(dropped, Seq("vec_id"), "left_anti")
+  }
 }

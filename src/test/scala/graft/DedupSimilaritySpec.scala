@@ -1212,4 +1212,63 @@ class DedupSimilaritySpec extends SparkSpec {
     // exact-decimal gradient sums make training run-to-run deterministic
     assert(QualityModel.trainLogistic(docs).sameElements(w))
   }
+
+  // ---- SemDeDup (within-cluster semantic dedup) ----
+
+  test("semdedup: dominated-by-any-lower-id semantics along a chain") {
+    val s = spark
+    import s.implicits._
+    // One cluster; a<b<c on a 20-degree fan: cos(a,b)=cos(b,c)~0.94 >= tau,
+    // cos(a,c)~0.77 < tau. b drops (dominated by a); c drops too — its
+    // dominator b is itself dropped, but domination is order-independent.
+    def rot(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val vecs = Seq((1L, rot(0)), (2L, rot(20)), (3L, rot(40)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0))
+    val kept = SimilarityOps.semanticKeep(vecs, cents, tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"chain should keep only its lowest id, got $kept")
+    val pairs = SimilarityOps.semanticDupPairs(vecs, cents, tau = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("semdedup: clusters bound the candidate set — cross-cluster dups are missed") {
+    val s = spark
+    import s.implicits._
+    // Two near-identical vectors straddling the centroid boundary: the
+    // published SemDeDup trade (accepted miss surface) — both survive.
+    // dots against c0=(1,0) / c1=(cos6°,sin6°): v1 1.0 vs 0.9987 → c0;
+    // v2 1.0 vs 1.0029 → c1; v3 1.0 vs 0.9988 → c0.
+    val vecs = Seq(
+      (1L, Array(1f, 0.04f)),
+      (2L, Array(1f, 0.08f)),
+      (3L, Array(1f, 0.041f)))
+    .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.9945, 0.1045))
+    val asg = SimilarityOps.assignToCentroids(vecs, cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster_id")).toMap
+    assert(asg(1L) == 0 && asg(2L) == 1 && asg(3L) == 0, s"planted split broke: $asg")
+    val kept = SimilarityOps.semanticKeep(vecs, cents, tau = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    // cosine(1,2) ~0.9992 >= tau but different clusters: 2 survives;
+    // cosine(1,3) ~0.99999 same cluster: 3 drops.
+    assert(kept == Set(1L, 2L), s"expected cross-cluster miss + in-cluster drop, got $kept")
+  }
+
+  test("semdedup candidate generation is a cluster equi-join — no cartesian in the plan") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 64).map(i => (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(0.1), Array.fill(8)(-0.1))
+    val plan = SimilarityOps.semanticDupPairs(vecs, cents, tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
