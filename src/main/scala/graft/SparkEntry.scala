@@ -2000,6 +2000,52 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // HLL-sketch maintained NDV view through the SAME commit lifecycle as
+    // rollup_view_retract (append, append, retraction delete, append —
+    // every maintenance path of the shared IVM engine runs), answering
+    // "distinct users per (metric, day)" from stored mergeable sketches.
+    // Approx-surface contract: exact NDV (computed from the final source
+    // both engines) rides next to the exported estimate, the band verdict
+    // derives independently on each side, and Spark hard-fails an
+    // out-of-band estimate before anything exports (lgK 12 → ~1.6% RSE;
+    // the 5% band is ~3σ with an absolute floor of 2).
+    "ndv_rollup_answer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ndv").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        val se = series(s, dir).select("metric", "e", "user_id")
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 0), src)
+        sources.NdvView.refresh(s, src, view)
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 1), src)
+        sources.NdvView.refresh(s, src, view)
+        sources.SnapshotStore.deleteWhere(s, src,
+          col("metric") === "click" ||
+            (col("metric") === "view" && col("e") % 2 === 0))
+        sources.NdvView.refresh(s, src, view)
+        sources.SnapshotStore.append(se.where(col("e") % 3 === 2), src)
+        sources.NdvView.refresh(s, src, view)
+        val exact = sources.SnapshotStore.read(s, src)
+          .groupBy(col("metric"), expr("e div 86400").as("day"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        val joined = sources.NdvView.read(s, view)
+          .join(exact, Seq("metric", "day"))
+          .localCheckpoint(true)
+        joined.collect().foreach { r =>
+          val a = r.getAs[Long]("approx_users")
+          val e = r.getAs[Long]("exact_users")
+          require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+            s"ndv estimate outside its band for ${r.getAs[String]("metric")}/" +
+              s"${r.getAs[Long]("day")}: approx=$a exact=$e")
+        }
+        exportForOracle(joined.select("metric", "day", "approx_users"),
+          "ndv_approx", model = true)
+        joined.select(col("metric"), col("day"),
+          col("exact_users"), col("approx_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Materialized-view REWRITE: the canonical day rollup is asked of the
     // SOURCE store, and the registered RollupRewriteRule answers it from
     // the fresh maintained view (a Catalyst post-hoc resolution rule —
@@ -4974,6 +5020,30 @@ object SparkEntry {
          |  min(value) AS min_val, max(value) AS max_val,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
          |FROM final GROUP BY 1, 2""".stripMargin,
+
+    // NDV-view oracle: the same final-content replay as rollup_view_retract
+    // gives the EXACT distinct count per group; the estimate comes from the
+    // Spark export (the sketch itself is not SQL-expressible), and the band
+    // verdict re-derives here with the same arithmetic — an out-of-band or
+    // missing group fails the hash compare.
+    "ndv_rollup_answer" ->
+      s"""WITH $SERIES,
+         |final AS (
+         |  SELECT metric, e, user_id FROM series
+         |  WHERE e % 3 <= 1
+         |    AND NOT (metric = 'click' OR (metric = 'view' AND e % 2 = 0))
+         |  UNION ALL
+         |  SELECT metric, e, user_id FROM series WHERE e % 3 = 2
+         |),
+         |ex AS (SELECT metric, e // 86400 AS day,
+         |         count(DISTINCT user_id) AS exact_users
+         |       FROM final GROUP BY 1, 2),
+         |ap AS (SELECT metric, day, approx_users
+         |       FROM read_parquet('${exportGlob("ndv_approx")}'))
+         |SELECT ex.metric, ex.day, ex.exact_users, ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok
+         |FROM ex JOIN ap USING (metric, day)""".stripMargin,
 
     // Fuzzy-match replay: same title derivation, same planted variants,
     // same prefix/suffix blocking union, same integer levenshtein gate.

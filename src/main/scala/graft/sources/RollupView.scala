@@ -95,7 +95,7 @@ object RollupView {
     * and [[graft.plans.RollupRewriteRule]] calls read during analysis
     * of every Aggregate — per-Aggregate directory listings are exactly
     * what its probe cache exists to avoid. */
-  private def requireGrain(viewRoot: String, g: Grain, op: String,
+  private[sources] def requireGrain(viewRoot: String, g: Grain, op: String,
                            inferFromSchema: Boolean = false): Unit =
     storedGrain(viewRoot) match {
       case Some(stored) =>
@@ -138,27 +138,66 @@ object RollupView {
     * versions disagree on the sum type would not union. */
   private val SumType = "decimal(30,2)"
 
-  /** Delta rows → one partial row per (metric, bucket). The bucket is
-    * exact integer division of epoch seconds (portable: DuckDB `//`,
-    * Spark `div`). */
-  private def partials(delta: DataFrame, g: Grain): DataFrame =
-    partialsByBucket(delta.select(
-      col("metric"), expr(s"e div ${g.seconds}").as(g.col), col("value")), g)
+  /** The mergeable-aggregate CONTENT of a maintained view, factored out
+    * of the maintenance skeleton: [[refresh]]'s epoch stamping,
+    * compaction/vacuum detection, retraction diffing, dirty-group
+    * recompute, and tombstoning are identical for ANY commutative-monoid
+    * partial (the IVM engine); what varies is which source columns feed
+    * the fold, the fold itself, and the tombstone row shape. The classic
+    * count/sum/min/max rollup ([[ClassicSpec]]) and the HLL NDV sketch
+    * view ([[NdvView]]) are two instances of the one engine. Every spec's
+    * fold MUST be a commutative monoid over row multisets (so partials
+    * merge in any order) and MUST key on (metric, grain-bucket) — the
+    * skeleton's dirty-key joins and keyed upsert assume it. */
+  private[sources] trait PartialSpec {
+    /** Project source (or change-feed) rows to (metric, bucket, value
+      * columns). The bucket is exact integer division of epoch seconds
+      * (portable: DuckDB `//`, Spark `div`). */
+    def bucketed(rows: DataFrame, g: Grain): DataFrame
+    /** Fold bucketed rows to ONE partial row per (metric, bucket). */
+    def fold(rows: DataFrame, g: Grain): DataFrame
+    /** Tombstone partials (logically-absent markers, `cnt = 0`) for dirty
+      * keys whose source rows all vanished; `recomputed` is in scope so
+      * null value columns can copy its exact types. */
+    def tombstones(keys: DataFrame, recomputed: DataFrame, g: Grain): DataFrame
+  }
 
-  /** The same fold over rows that already carry their bucket. */
-  private def partialsByBucket(rows: DataFrame, g: Grain): DataFrame =
-    rows
-      .groupBy(col("metric"), col(g.col))
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("value").cast(SumType)).cast(SumType).as("vsum"),
-        min(col("value")).as("vmin"),
-        max(col("value")).as("vmax"))
+  /** The classic rollup content: count/sum/min/max per (metric, bucket). */
+  private[sources] object ClassicSpec extends PartialSpec {
+    def bucketed(rows: DataFrame, g: Grain): DataFrame =
+      rows.select(col("metric"), expr(s"e div ${g.seconds}").as(g.col), col("value"))
+    def fold(rows: DataFrame, g: Grain): DataFrame =
+      rows
+        .groupBy(col("metric"), col(g.col))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(SumType)).cast(SumType).as("vsum"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"))
+    def tombstones(keys: DataFrame, recomputed: DataFrame, g: Grain): DataFrame = {
+      val vT = recomputed.schema("vmin").dataType
+      keys.select(col("metric"), col(g.col),
+        lit(0L).as("cnt"), lit(0).cast(SumType).as("vsum"),
+        lit(null).cast(vT).as("vmin"), lit(null).cast(vT).as("vmax"))
+    }
+  }
+
 
   /** Bring the view up to the source's current version. Returns the view
     * version published (or current, when already up to date). */
   def refresh(spark: SparkSession, srcRoot: String, viewRoot: String,
-              grain: Grain = Day): Int = {
+              grain: Grain = Day): Int =
+    refreshWith(spark, srcRoot, viewRoot, grain, ClassicSpec)
+
+  /** The maintenance engine behind [[refresh]], parameterized by the
+    * view's [[PartialSpec]] content (see the trait doc). A store is
+    * permanently owned by ONE spec: the first refresh fixes the partial
+    * schema, and a later refresh under a different spec fails loudly on
+    * the store's schema contract ([[SnapshotStore.commitAppend]]'s
+    * column check) before any mixed-content version could publish. */
+  private[sources] def refreshWith(spark: SparkSession, srcRoot: String,
+                                   viewRoot: String, grain: Grain,
+                                   spec: PartialSpec): Int = {
     requireGrain(viewRoot, grain, "refresh", inferFromSchema = true)
     val srcCur = SnapshotStore.currentVersion(srcRoot)
     require(srcCur > 0, s"no published source version at $srcRoot")
@@ -179,7 +218,8 @@ object RollupView {
       // we already counted: the manifest diff is no longer the row delta —
       // rebuild once, publish as the view's own compaction (sole content),
       // stamp the new position
-      val full = partials(SnapshotStore.read(spark, srcRoot, srcCur), grain)
+      val full = spec.fold(
+        spec.bucketed(SnapshotStore.read(spark, srcRoot, srcCur), grain), grain)
       if (SnapshotStore.currentVersion(viewRoot) == 0)
         SnapshotStore.appendEpoch(full, viewRoot, srcCur)
       else
@@ -187,8 +227,9 @@ object RollupView {
           epochOverride = Some(srcCur.toLong))
     } else if (!removed) {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
-      SnapshotStore.appendEpoch(partials(delta, grain), viewRoot, srcCur)
-    } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur, grain)
+      SnapshotStore.appendEpoch(
+        spec.fold(spec.bucketed(delta, grain), grain), viewRoot, srcCur)
+    } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur, grain, spec)
     stampGrain(viewRoot, grain)
     v
   }
@@ -229,7 +270,8 @@ object RollupView {
     * rows (replace-by-key is content-idempotent), then stamps. */
   private def refreshRetracting(spark: SparkSession, srcRoot: String,
                                 viewRoot: String, from: Int,
-                                srcCur: Int, g: Grain): Int = {
+                                srcCur: Int, g: Grain,
+                                spec: PartialSpec): Int = {
     import org.apache.spark.storage.StorageLevel
     val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -246,8 +288,9 @@ object RollupView {
       if (nullKeyDeletes) {
         // the enclosing finally unpersists ch
         return SnapshotStore.compactWith(
-          partials(SnapshotStore.read(spark, srcRoot, srcCur), g), viewRoot,
-          epochOverride = Some(srcCur.toLong))
+          spec.fold(
+            spec.bucketed(SnapshotStore.read(spark, srcRoot, srcCur), g), g),
+          viewRoot, epochOverride = Some(srcCur.toLong))
       }
       val dirty = ch.where(col("_change_type") === "delete")
         .select(col("metric"), expr(s"e div ${g.seconds}").as(g.col))
@@ -283,22 +326,18 @@ object RollupView {
                   col("e") <= dhi * g.seconds + (g.seconds - 1))
               } else srcRows
             }
-          val recomputed = partialsByBucket(
-            pre
-              .select(col("metric"),
-                expr(s"e div ${g.seconds}").as(g.col), col("value"))
+          val recomputed = spec.fold(
+            spec.bucketed(pre, g)
               .join(dirty, Seq("metric", g.col), "left_semi"), g)
           // Plan-audit hook: the registered queries return checkpointed
           // frames (their stores are temp-rooted), so the recompute's
           // scan-prune/broadcast posture is only visible here. One extra
           // planning pass, model-free and ms-scale next to the refresh.
           lastRecomputePlan = recomputed.queryExecution.executedPlan.toString
-          val vT = recomputed.schema("vmin").dataType
-          val tombstones = dirty
-            .join(recomputed.select("metric", g.col), Seq("metric", g.col), "left_anti")
-            .select(col("metric"), col(g.col),
-              lit(0L).as("cnt"), lit(0).cast(SumType).as("vsum"),
-              lit(null).cast(vT).as("vmin"), lit(null).cast(vT).as("vmax"))
+          val tombstones = spec.tombstones(
+            dirty.join(recomputed.select("metric", g.col),
+              Seq("metric", g.col), "left_anti"),
+            recomputed, g)
           SnapshotStore.upsert(spark, recomputed.unionByName(tombstones),
             viewRoot, Seq("metric", g.col))
         }
@@ -308,10 +347,8 @@ object RollupView {
         // schema-bearing empty file — repartition(1) forces the writer to
         // emit it; a zero-partition empty write would leave a fileless
         // directory in the manifest).
-        val ins = partialsByBucket(
-          ch.where(col("_change_type") === "insert")
-            .select(col("metric"),
-              expr(s"e div ${g.seconds}").as(g.col), col("value"))
+        val ins = spec.fold(
+          spec.bucketed(ch.where(col("_change_type") === "insert"), g)
             .join(dirty, Seq("metric", g.col), "left_anti"), g)
         SnapshotStore.appendEpoch(
           if (ins.isEmpty) ins.repartition(1) else ins, viewRoot, srcCur)

@@ -1133,4 +1133,109 @@ class SourcesSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
+
+  // ---- NdvView: HLL-sketch maintained distinct-count rollup ----
+
+  test("ndv view: incremental sketch merge == single-pass rebuild, idempotence, compaction") {
+    import graft.sources.{NdvView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ndvivm").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      def mk(rows: Seq[(String, Long, String)]) =
+        rows.toDF("metric", "e", "user_id")
+      // single-pass truth: one sketch over the FINAL rows per group
+      def fullNdv() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, ${NdvView.LgK}))")
+          .as("approx_users"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      def viewRows() = NdvView.read(spark, view).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      def exact() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      // overlapping users across versions and within groups
+      SnapshotStore.append(mk(Seq(("m", 10L, "u1"), ("m", 20L, "u2"),
+        ("m", 86410L, "u1"), ("n", 30L, "u3"))), src)
+      NdvView.refresh(spark, src, view)
+      assert(viewRows() == fullNdv())
+      // same source position → no new view version
+      val v0 = SnapshotStore.currentVersion(view)
+      NdvView.refresh(spark, src, view)
+      assert(SnapshotStore.currentVersion(view) == v0)
+      // delta touches existing keys with BOTH repeat and new users: the
+      // union of the old and new partial sketches must equal one sketch
+      // over all rows (register-max is associative/commutative)
+      SnapshotStore.append(mk(Seq(("m", 40L, "u1"), ("m", 50L, "u4"),
+        ("n", 86500L, "u3"))), src)
+      NdvView.refresh(spark, src, view)
+      assert(viewRows() == fullNdv())
+      // at this tiny cardinality HLL is exact — pins the semantics, not
+      // just internal consistency
+      assert(viewRows() == exact())
+      // view compaction folds partial sketches, content + stamp unchanged
+      val stamp = SnapshotStore.lastEpoch(view)
+      NdvView.compact(spark, view)
+      assert(viewRows() == fullNdv())
+      assert(SnapshotStore.lastEpoch(view) == stamp)
+      // source compaction → rebuild branch
+      SnapshotStore.compact(spark, src)
+      SnapshotStore.append(mk(Seq(("m", 60L, "u5"))), src)
+      NdvView.refresh(spark, src, view)
+      assert(viewRows() == fullNdv())
+      assert(viewRows() == exact())
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("ndv view retraction: dirty-group re-sketch, tombstone, and revival") {
+    import graft.sources.{NdvView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ndvret").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      def mk(rows: Seq[(String, Long, String)]) =
+        rows.toDF("metric", "e", "user_id")
+      def viewRows() = NdvView.read(spark, view).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      SnapshotStore.append(mk(Seq(("m", 10L, "u1"), ("m", 20L, "u2"),
+        ("m", 30L, "u2"), ("n", 40L, "u9"))), src)
+      NdvView.refresh(spark, src, view)
+      assert(viewRows() == Set(("m", 0L, 2L), ("n", 0L, 1L)))
+      // a deleted user un-derives nothing from a monotone sketch: the
+      // dirty group must RE-SKETCH from source, not union anything
+      SnapshotStore.deleteWhere(spark, src, col("user_id") === "u2")
+      NdvView.refresh(spark, src, view)
+      assert(viewRows() == Set(("m", 0L, 1L), ("n", 0L, 1L)))
+      // delete every row of group n → tombstoned (absent from read)
+      SnapshotStore.deleteWhere(spark, src, col("metric") === "n")
+      NdvView.refresh(spark, src, view)
+      assert(viewRows() == Set(("m", 0L, 1L)))
+      // revival: a later insert into the tombstoned key merges its fresh
+      // sketch past the null-sketch tombstone (nulls skip the union)
+      SnapshotStore.append(mk(Seq(("n", 50L, "u7"), ("n", 55L, "u8"))), src)
+      NdvView.refresh(spark, src, view)
+      assert(viewRows() == Set(("m", 0L, 1L), ("n", 0L, 2L)))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("ndv view: mixed-spec refresh against a classic-rollup store fails loudly") {
+    import graft.sources.{NdvView, RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ndvmix").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      SnapshotStore.append(
+        Seq(("m", 10L, 1.0, "u1")).toDF("metric", "e", "value", "user_id"), src)
+      RollupView.refresh(spark, src, view) // classic partials own the store
+      SnapshotStore.append(
+        Seq(("m", 20L, 2.0, "u2")).toDF("metric", "e", "value", "user_id"), src)
+      val ex = intercept[Exception] { NdvView.refresh(spark, src, view) }
+      assert(ex.getMessage != null)
+    } finally SnapshotStore.deleteTree(root)
+  }
 }
