@@ -24,7 +24,7 @@ object PlanAudit {
       "q4_order_priority", "q8_market_share", "q9_product_profit",
       "q10_returned_items", "q13_order_distribution", "q17_small_quantity",
       "q19_disjunctive", "q20_part_suppliers", "q21_suppliers_waiting",
-      "q22_idle_balance")
+      "q22_idle_balance", "semdedup_keep")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -338,6 +338,35 @@ object PlanAudit {
         } finally {
           spark.sql("DROP TABLE IF EXISTS pa_bkt_a")
           spark.sql("DROP TABLE IF EXISTS pa_bkt_b")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
+      ("semdedup candidates are a cluster equi-join + anti-join, no cartesian", {
+        val p = planOf("semdedup_keep")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
+          p.contains("LeftAnti")
+      }),
+      ("ndv sketch-shape aggregate is served from the sketch view's scan", {
+        // temp-rooted store like the IVM checks: register, plan the
+        // user-shaped datasketches aggregate, assert the analyzed scan
+        // reads ONLY the view
+        import org.apache.spark.sql.functions.{col, expr}
+        import graft.sources.{NdvView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_ndv").toString
+        try {
+          SnapshotStore.append(spark.range(0, 2000)
+            .selectExpr("'m' AS metric", "id * 40 AS e",
+              "concat('u', id % 300) AS user_id"), s"$root/src")
+          NdvView.refresh(spark, s"$root/src", s"$root/nview")
+          graft.plans.MaterializedRollups.enableNdv(s"$root/src", s"$root/nview")
+          val p = SnapshotStore.read(spark, s"$root/src")
+            .groupBy(col("metric"), expr("e div 86400").as("day"))
+            .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, " +
+              s"${NdvView.LgK}))").as("approx_users"))
+            .queryExecution.executedPlan.toString
+          p.contains("/nview") && !p.contains("/src")
+        } finally {
+          graft.plans.MaterializedRollups.disable(s"$root/src")
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),

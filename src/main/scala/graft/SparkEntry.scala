@@ -2046,6 +2046,61 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // The Catalyst SERVING leg of the NDV view: the user-shaped
+    // datasketches distinct-count aggregate over the REGISTERED source —
+    // `hll_sketch_estimate(hll_sketch_agg(user_id, lgK))` grouped
+    // (metric, day) — is answered from the maintained sketch view by
+    // RollupRewriteRule (used_view pinned TRUE from the analyzed plan's
+    // scan roots, so a declined rewrite fails the hash), and the answer
+    // is bit-equal to the single-pass aggregate because register-max
+    // union is associative. Exact NDV + the band verdict ride along
+    // under the approx-surface contract.
+    "ndv_view_answer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ndva").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/nview"
+        val se = series(s, dir).select("metric", "e", "user_id")
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 0), src)
+        sources.NdvView.refresh(s, src, view)
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 1), src)
+        sources.NdvView.refresh(s, src, view)
+        graft.plans.MaterializedRollups.enableNdv(src, view)
+        try {
+          val agg = sources.SnapshotStore.read(s, src)
+            .groupBy(col("metric"), expr("e div 86400").as("day"))
+            .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, " +
+              s"${sources.NdvView.LgK}))").as("approx_users"))
+          val scanRoots = agg.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          val usedView = scanRoots.nonEmpty && scanRoots.forall(_.contains("/nview"))
+          val exact = sources.SnapshotStore.read(s, src)
+            .groupBy(col("metric"), expr("e div 86400").as("day"))
+            .agg(countDistinct(col("user_id")).as("exact_users"))
+          val joined = agg.join(exact, Seq("metric", "day"))
+            .localCheckpoint(true)
+          joined.collect().foreach { r =>
+            val a = r.getAs[Long]("approx_users")
+            val e = r.getAs[Long]("exact_users")
+            require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+              s"served ndv estimate outside its band: approx=$a exact=$e")
+          }
+          exportForOracle(joined.select("metric", "day", "approx_users"),
+            "ndva_approx", model = true)
+          joined.select(col("metric"), col("day"),
+              col("exact_users"), col("approx_users"),
+              (abs(col("approx_users") - col("exact_users")) <=
+                greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
+            .withColumn("used_view", lit(usedView))
+        } finally graft.plans.MaterializedRollups.disable(src)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Materialized-view REWRITE: the canonical day rollup is asked of the
     // SOURCE store, and the registered RollupRewriteRule answers it from
     // the fresh maintained view (a Catalyst post-hoc resolution rule —
@@ -5043,6 +5098,23 @@ object SparkEntry {
          |SELECT ex.metric, ex.day, ex.exact_users, ap.approx_users,
          |       abs(ap.approx_users - ex.exact_users) <=
          |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok
+         |FROM ex JOIN ap USING (metric, day)""".stripMargin,
+
+    // Serving-leg oracle: both append slices together are the whole
+    // series, so exact NDV derives from it directly; the estimate comes
+    // from the export, and used_view must be TRUE — a declined rewrite
+    // on the Spark side fails the hash here.
+    "ndv_view_answer" ->
+      s"""WITH $SERIES,
+         |ex AS (SELECT metric, e // 86400 AS day,
+         |         count(DISTINCT user_id) AS exact_users
+         |       FROM series GROUP BY 1, 2),
+         |ap AS (SELECT metric, day, approx_users
+         |       FROM read_parquet('${exportGlob("ndva_approx")}'))
+         |SELECT ex.metric, ex.day, ex.exact_users, ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok,
+         |       TRUE AS used_view
          |FROM ex JOIN ap USING (metric, day)""".stripMargin,
 
     // Fuzzy-match replay: same title derivation, same planted variants,

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -21,10 +21,12 @@ import graft.sources.{RollupView, SnapshotStore}
   * never guesses which parquet relations are maintained views. */
 object MaterializedRollups {
 
-  // key: (canonical source root, grain seconds) — one maintained view per
-  // grain per source (day 86400 and hour 3600 are the served grains)
+  // key: (canonical source root, grain seconds, view kind) — one
+  // maintained view per (grain, kind) per source (day 86400 / hour 3600
+  // are the served grains; "classic" count/sum/min/max and "ndv" HLL
+  // sketch views are the served kinds)
   private val regs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), String]()
 
   private[plans] def canon(p: String): String =
     Paths.get(p.replaceFirst("^file:/+", "/")).normalize().toAbsolutePath.toString
@@ -50,7 +52,20 @@ object MaterializedRollups {
     * serves only the exact stored shape). */
   def enable(srcRoot: String, viewRoot: String,
              grain: RollupView.Grain = RollupView.Day): Unit =
-    regs.put((canon(srcRoot), grain.seconds), viewRoot)
+    regs.put((canon(srcRoot), grain.seconds, "classic"), viewRoot)
+
+  /** Declare that `viewRoot` is [[graft.sources.NdvView]]-maintained over
+    * the snapshot store at `srcRoot`: distinct-count aggregates of the
+    * view's EXACT sketch shape — `hll_sketch_estimate(hll_sketch_agg(
+    * user_id, lgK))` at the view's own lgK, grouped (metric, grain) —
+    * are answered from stored sketches. Served EXACTLY (register-max
+    * union is associative, so the view's merged estimate is bit-equal to
+    * the single-pass aggregate); Spark's own `approx_count_distinct`
+    * (HLL++, a different estimator) is never rewritten — the answer
+    * would change. Same freshness/binding contract as [[enable]]. */
+  def enableNdv(srcRoot: String, viewRoot: String,
+                grain: RollupView.Grain = RollupView.Day): Unit =
+    regs.put((canon(srcRoot), grain.seconds, "ndv"), viewRoot)
 
   /** Unregister every grain's view for `srcRoot` (and evict its probe
     * cache entries — registry queries register temp-rooted stores per
@@ -67,7 +82,7 @@ object MaterializedRollups {
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
-  private[plans] def all: Map[(String, Long), String] = regs.asScala.toMap
+  private[plans] def all: Map[(String, Long, String), String] = regs.asScala.toMap
 
   // ---- freshness-probe cache -----------------------------------------
   //
@@ -206,18 +221,18 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** A registered, CURRENT, FRESH view at `grain` for this relation's
-    * exact paths. */
-  private def registrationFor(rel: LogicalRelation,
-                              grain: RollupView.Grain): Option[String] = {
+  /** A registered, CURRENT, FRESH view of `kind` at `grain` for this
+    * relation's exact paths. */
+  private def registrationFor(rel: LogicalRelation, grain: RollupView.Grain,
+                              kind: String): Option[String] = {
     val paths = rel.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.map(p => MaterializedRollups.canon(p.toString)).toSet
       case _ => return None
     }
     MaterializedRollups.all.collectFirst {
-      case ((srcRoot, g), viewRoot)
-          if g == grain.seconds &&
+      case ((srcRoot, g, k), viewRoot)
+          if g == grain.seconds && k == kind &&
             MaterializedRollups.probe(srcRoot, viewRoot)
               .exists { case (dirs, fresh) => fresh && dirs == paths } =>
         viewRoot
@@ -251,14 +266,62 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
-    val viewRoot = registrationFor(rel, grain).getOrElse(return None)
     // every filter must reference ONLY the metric grouping column — then
     // filtering source rows and filtering view groups are the same set
     if (!filters.forall(_.references.subsetOf(AttributeSet(metricAttr))))
       return None
+    // each view KIND serves its own aggregate shapes; a query mixing
+    // kinds (e.g. sum(value) next to a sketch estimate) declines both
+    serve(ae, metricAttr, dayOf, grain, filters, rel, "classic")
+      .orElse(serve(ae, metricAttr, dayOf, grain, filters, rel, "ndv"))
+  }
+
+  /** Classic-view aggregate shapes → view column (None = not this kind's
+    * shape; the whole rewrite declines). */
+  private def classicAgg(al: Alias, viewCol: String => Attribute): Option[NamedExpression] =
+    al match {
+      case Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
+        Some(Alias(viewCol("cnt"), al.name)(exprId = al.exprId))
+      case Alias(ag @ AggregateExpression(
+          Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _), _)
+          if nameIs(v, "value") && dt.scale == 2 && dt.precision <= 30 =>
+        Some(Alias(Cast(viewCol("vsum"), ag.dataType), al.name)(exprId = al.exprId))
+      case Alias(ag @ AggregateExpression(Min(v: AttributeReference), _, false, None, _), _)
+          if nameIs(v, "value") && viewCol("vmin").dataType == ag.dataType =>
+        Some(Alias(viewCol("vmin"), al.name)(exprId = al.exprId))
+      case Alias(ag @ AggregateExpression(Max(v: AttributeReference), _, false, None, _), _)
+          if nameIs(v, "value") && viewCol("vmax").dataType == ag.dataType =>
+        Some(Alias(viewCol("vmax"), al.name)(exprId = al.exprId))
+      case _ => None
+    }
+
+  /** NDV-view aggregate shape: `hll_sketch_estimate(hll_sketch_agg(
+    * user_id, lgK))` at the view's own lgK — the ONE form the stored
+    * sketches reproduce bit-exactly (register-max union is associative).
+    * `approx_count_distinct` (HLL++) or a different lgK would change the
+    * estimate, so they are not shapes — the rewrite declines. */
+  private def ndvAgg(al: Alias, viewCol: String => Attribute): Option[NamedExpression] =
+    al match {
+      case Alias(HllSketchEstimate(AggregateExpression(
+          HllSketchAgg(u: AttributeReference, lgk, _, _), _, false, None, _)), _)
+          if nameIs(u, "user_id") && lgk.foldable &&
+            lgk.eval() == graft.sources.NdvView.LgK =>
+        Some(Alias(viewCol("approx_users"), al.name)(exprId = al.exprId))
+      case _ => None
+    }
+
+  /** Serve the aggregate from the registered `kind` view when EVERY
+    * output maps onto the view's stored shape. */
+  private def serve(ae: Seq[NamedExpression], metricAttr: AttributeReference,
+                    dayOf: Expression, grain: RollupView.Grain,
+                    filters: Seq[Expression], rel: LogicalRelation,
+                    kind: String): Option[LogicalPlan] = {
+    val viewRoot = registrationFor(rel, grain, kind).getOrElse(return None)
     // the view side: analyzed merged-partials plan, columns by name
-    val viewPlan =
-      RollupView.read(spark, viewRoot, grain).queryExecution.analyzed
+    val viewPlan = (kind match {
+      case "classic" => RollupView.read(spark, viewRoot, grain)
+      case _         => graft.sources.NdvView.read(spark, viewRoot, grain)
+    }).queryExecution.analyzed
     def viewCol(n: String): Attribute =
       viewPlan.output.find(_.name.equalsIgnoreCase(n)).get
     val projections = ae.map {
@@ -266,19 +329,10 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(viewCol("metric"), m.name)(exprId = m.exprId)
       case al @ Alias(d, _) if d.semanticEquals(dayOf) =>
         Alias(viewCol(grain.col), al.name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
-        Alias(viewCol("cnt"), al.name)(exprId = al.exprId)
-      case al @ Alias(ag @ AggregateExpression(
-          Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _), _)
-          if nameIs(v, "value") && dt.scale == 2 && dt.precision <= 30 =>
-        Alias(Cast(viewCol("vsum"), ag.dataType), al.name)(exprId = al.exprId)
-      case al @ Alias(ag @ AggregateExpression(Min(v: AttributeReference), _, false, None, _), _)
-          if nameIs(v, "value") && viewCol("vmin").dataType == ag.dataType =>
-        Alias(viewCol("vmin"), al.name)(exprId = al.exprId)
-      case al @ Alias(ag @ AggregateExpression(Max(v: AttributeReference), _, false, None, _), _)
-          if nameIs(v, "value") && viewCol("vmax").dataType == ag.dataType =>
-        Alias(viewCol("vmax"), al.name)(exprId = al.exprId)
-      case _ => return None // any other shape: decline, never approximate
+      case al: Alias =>
+        (if (kind == "classic") classicAgg(al, viewCol) else ndvAgg(al, viewCol))
+          .getOrElse(return None) // any other shape: decline, never approximate
+      case _ => return None
     }
     val base =
       if (filters.isEmpty) viewPlan

@@ -381,6 +381,82 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("ndv rewrite serves the exact sketch shape from the ndv view, next to classic") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.MaterializedRollups
+    import graft.sources.{NdvView, RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ndvrw").toString
+    val src = s"$root/src"; val view = s"$root/view"; val nview = s"$root/nview"
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.5, "u1"), ("m", 20L, 2.0, "u2"),
+        ("m", 86410L, 3.0, "u1"), ("n", 30L, -1.0, "u3"))
+        .toDF("metric", "e", "value", "user_id"), src)
+      SnapshotStore.append(Seq(("m", 40L, 4.0, "u4"))
+        .toDF("metric", "e", "value", "user_id"), src)
+      RollupView.refresh(spark, src, view)
+      NdvView.refresh(spark, src, nview)
+      MaterializedRollups.enable(src, view)
+      MaterializedRollups.enableNdv(src, nview)
+      def ndvShape() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, ${NdvView.LgK}))")
+          .as("approx_users"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // the sketch shape is served from the NDV view — and the answer is
+      // bit-equal to the direct single-pass aggregate
+      val served = ndvShape()
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("/nview"), s"no ndv rewrite in:\n$plan")
+      assert(!plan.contains("/src"), s"source still scanned in:\n$plan")
+      assert(rows(served) == Set(("m", 0L, 3L), ("m", 1L, 1L), ("n", 0L, 1L)))
+      // classic shapes keep going to the classic view, not the ndv one
+      val classic = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val cplan = classic.queryExecution.executedPlan.toString
+      assert(cplan.contains("/view") && !cplan.contains("/nview"), cplan)
+      // a DIFFERENT estimator (approx_count_distinct = HLL++) must NOT be
+      // served from datasketches sketches — the answer would change
+      val hllpp = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(approx_count_distinct(col("user_id")).as("a"))
+      assert(hllpp.queryExecution.executedPlan.toString.contains("/src"))
+      // a different lgK changes the estimate → declines
+      val otherLgk = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("a"))
+      assert(otherLgk.queryExecution.executedPlan.toString.contains("/src"))
+      // mixed kinds (classic cnt + sketch estimate) decline both views
+      val mixed = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, ${NdvView.LgK}))")
+            .as("approx_users"))
+      assert(mixed.queryExecution.executedPlan.toString.contains("/src"))
+      // a metric filter commutes and still serves
+      val filtered = SnapshotStore.read(spark, src).where(col("metric") === "m")
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, ${NdvView.LgK}))")
+          .as("approx_users"))
+      assert(filtered.queryExecution.executedPlan.toString.contains("/nview"))
+      assert(rows(filtered) == Set(("m", 0L, 3L), ("m", 1L, 1L)))
+      // STALE ndv view declines; refresh re-serves
+      SnapshotStore.append(Seq(("n", 50L, 5.0, "u5"))
+        .toDF("metric", "e", "value", "user_id"), src)
+      assert(ndvShape().queryExecution.executedPlan.toString.contains("/src"))
+      NdvView.refresh(spark, src, nview)
+      assert(ndvShape().queryExecution.executedPlan.toString.contains("/nview"))
+      assert(rows(ndvShape()) ==
+        Set(("m", 0L, 3L), ("m", 1L, 1L), ("n", 0L, 2L)))
+    } finally {
+      MaterializedRollups.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
   test("get stats round-trips the display device's uptime, degrading to -1") {
     import graft.streaming.{BufferDisplay, CounterListener, DisplayDevice}
     val counters = new CounterListener
