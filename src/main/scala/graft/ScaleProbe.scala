@@ -569,6 +569,53 @@ object ScaleProbe {
         f"vs 16 for proportional)")
     }
 
+    // NDV-view refresh radius: the sketch view absorbs ONE fixed-size
+    // appended day while the standing source grows 4→16→64 day dirs.
+    // The fast path sketches only the delta's manifests (O(delta)) —
+    // a refresh that re-sketched the corpus would scale with K. Opt-in:
+    // SPARK_GRAFT_PROBE_ONLY=ndv_refresh_radius.
+    if (probeOnly.exists(_.contains("ndv_refresh_radius"))) {
+      import graft.sources.{NdvView, SnapshotStore}
+      val legs = Seq(4, 16, 64).map { k =>
+        val root = java.nio.file.Files.createTempDirectory(s"ndvrad$k").toString
+        val src = s"$root/src"; val view = s"$root/view"
+        try {
+          (0 until k).foreach { d =>
+            SnapshotStore.append(
+              spark.range(d * 10000L, (d + 1) * 10000L).selectExpr(
+                "concat('m', id % 7) AS metric",
+                s"$d*86400 + (id % 86400) AS e",
+                "concat('u', id % 997) AS user_id"), src)
+          }
+          NdvView.refresh(spark, src, view)
+          // the identical delta at every K: one new day, 10k rows
+          SnapshotStore.append(
+            spark.range(0L, 10000L).selectExpr(
+              "concat('m', id % 7) AS metric",
+              s"$k*86400 + (id % 86400) AS e",
+              "concat('u', id % 997) AS user_id"), src)
+          val t0 = System.nanoTime()
+          NdvView.refresh(spark, src, view)
+          val t = (System.nanoTime() - t0) / 1e9
+          // fast append path, and the delta day's estimates are live:
+          // each metric's ids stride 7 over 10k rows, so id % 997 covers
+          // all 997 residues per metric — truth is 7 × 997, banded 5%
+          val vCur = SnapshotStore.currentVersion(view)
+          assert(SnapshotStore.manifestOp(view, vCur).contains("append"),
+            s"not the O(delta) append path at k=$k")
+          val deltaDay = NdvView.read(spark, view)
+            .where(col("day") === k).agg(sum(col("approx_users"))).head().getLong(0)
+          assert(math.abs(deltaDay - 7L * 997L) <= 0.05 * 7 * 997,
+            s"delta-day ndv=$deltaDay at k=$k (truth 6979)")
+          t
+        } finally SnapshotStore.deleteTree(root)
+      }
+      println(f"[scale] ndv_refresh_radius dirs=4/16/64 " +
+        f"${legs(0)}%5.2fs ${legs(1)}%5.2fs ${legs(2)}%5.2fs " +
+        f"(flat-ish = sketch refresh reads only the delta's manifests; " +
+        f"ratio4→64 ${legs(2) / legs(0)}%4.2f vs 16 for proportional)")
+    }
+
     // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
     // a FIXED corpus. The pre-rewrite formulation launched one Spark job
     // per merge (time ≈ proportional to merges); the driver-local loop
