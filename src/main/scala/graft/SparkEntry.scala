@@ -2251,6 +2251,48 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // The NDV view maintained by the SAME checkpointed CDC stream:
+    // per-trigger keyed upsert + sketch-view refresh. The second batch
+    // RE-ATTRIBUTES every 5th slice-0 event to a new synthetic user —
+    // a monotone sketch cannot forget the old user, so the update MUST
+    // drive the dirty-group re-sketch path, and the final estimates are
+    // band-verified against exact NDV over the last-writer-wins content
+    // (replayed in SQL on the oracle side).
+    "stream_ndv_view_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ndvcdc").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        val se = series(s, dir).select("event_id", "metric", "e", "user_id")
+        val b0 = se.where(col("e") % 3 === 0).withColumn("__batch", lit(0))
+        val updates = se.where(col("e") % 3 === 0 && col("event_id") % 5 === 0)
+          .withColumn("user_id", col("user_id") + lit(1000000000L))
+        val b1 = se.where(col("e") % 3 === 1).unionByName(updates)
+          .withColumn("__batch", lit(1))
+        val b2 = se.where(col("e") % 3 === 2).withColumn("__batch", lit(2))
+        graft.streaming.StreamReplay.cdcUpsertReplay(
+          b0.unionByName(b1).unionByName(b2), Seq("event_id"), src, view,
+          (sp, sr, vr) => sources.NdvView.refresh(sp, sr, vr))
+        val exact = sources.SnapshotStore.read(s, src)
+          .groupBy(col("metric"), expr("e div 86400").as("day"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        val joined = sources.NdvView.read(s, view)
+          .join(exact, Seq("metric", "day"))
+          .localCheckpoint(true)
+        joined.collect().foreach { r =>
+          val a = r.getAs[Long]("approx_users")
+          val e = r.getAs[Long]("exact_users")
+          require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+            s"streamed ndv estimate outside its band: approx=$a exact=$e")
+        }
+        exportForOracle(joined.select("metric", "day", "approx_users"),
+          "ndvcdc_approx", model = true)
+        joined.select(col("metric"), col("day"),
+          col("exact_users"), col("approx_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Blocked fuzzy title matching (entity-resolution dedup): prefix/suffix
     // union blocking + exact integer Levenshtein verify over 5-token
     // titles, with planted first-char-substituted (suffix block catches)
@@ -5036,6 +5078,27 @@ object SparkEntry {
          |  min(value) AS min_val, max(value) AS max_val,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val
          |FROM final GROUP BY 1, 2""".stripMargin,
+
+    // Streamed-NDV oracle: last-writer-wins re-attribution replayed in
+    // SQL (the +1e9 offset cannot collide with fixture user ids), exact
+    // NDV from it, estimate from the export, band verdict re-derived.
+    "stream_ndv_view_parity" ->
+      s"""WITH $SERIES,
+         |final AS (
+         |  SELECT metric, e,
+         |    CASE WHEN e % 3 = 0 AND event_id % 5 = 0
+         |         THEN user_id + 1000000000 ELSE user_id END AS user_id
+         |  FROM series
+         |),
+         |ex AS (SELECT metric, e // 86400 AS day,
+         |         count(DISTINCT user_id) AS exact_users
+         |       FROM final GROUP BY 1, 2),
+         |ap AS (SELECT metric, day, approx_users
+         |       FROM read_parquet('${exportGlob("ndvcdc_approx")}'))
+         |SELECT ex.metric, ex.day, ex.exact_users, ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok
+         |FROM ex JOIN ap USING (metric, day)""".stripMargin,
 
     // MV-rewrite oracle: the same from-scratch rollup, plus used_view
     // TRUE — the rewrite must actually have served the view.

@@ -308,7 +308,9 @@ object StreamReplay {
     * fixture needs batches that re-emit earlier keys, which no time cut
     * produces. */
   def cdcUpsertReplay(rawBatches: DataFrame, keyCols: Seq[String],
-                      srcRoot: String, viewRoot: String): Unit = {
+                      srcRoot: String, viewRoot: String,
+                      refreshView: (org.apache.spark.sql.SparkSession, String, String) => Int =
+                        graft.sources.RollupView.refresh(_, _, _)): Unit = {
     val batches = rawBatches.withColumn("__batch", col("__batch").cast("int"))
     val spark = batches.sparkSession
     val root = newReplayRoot()
@@ -357,7 +359,7 @@ object StreamReplay {
             if (!batch.isEmpty) {
               graft.sources.SnapshotStore.upsertEpoch(
                 batch.sparkSession, batch, srcRoot, keyCols, id)
-              graft.sources.RollupView.refresh(spark, srcRoot, viewRoot)
+              refreshView(spark, srcRoot, viewRoot)
             }
             ()
           }
