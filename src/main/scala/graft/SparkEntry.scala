@@ -77,6 +77,22 @@ object SparkEntry {
   private def exportGlob(name: String): String =
     s"$oracleExportRoot/$name/*.parquet"
 
+  /** Shared band-verify oracle for the hour-grain HLL tier (batch a26 and
+    * its streaming twin differ only in which export carries the
+    * estimates): exact NDV per (metric, hour) from the series, estimate
+    * from the export, the 5%-floor-2 verdict re-derived. */
+  private def hllTierBandOracle(glob: String): String =
+    s"""WITH $SERIES,
+       |ex AS (SELECT metric, (e // 3600) * 3600 AS bucket_start,
+       |         count(DISTINCT user_id) AS exact_users
+       |       FROM series GROUP BY 1, 2),
+       |ap AS (SELECT metric, bucket_start, approx_users
+       |       FROM read_parquet('$glob'))
+       |SELECT ex.metric, ex.bucket_start, ex.exact_users, ap.approx_users,
+       |       abs(ap.approx_users - ex.exact_users) <=
+       |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok
+       |FROM ex JOIN ap USING (metric, bucket_start)""".stripMargin
+
   /** Shared exact-Jaccard verify oracle body: rebuilds the planted-variant
     * corpus ([[withPlantedVariants]] nDrop=3 in SQL), re-shingles both
     * sides of every exported (doc_a, doc_b) candidate, and recomputes
@@ -3263,14 +3279,37 @@ object SparkEntry {
     // (pinned by test); rows-only because DuckDB's HLL is a different
     // implementation with different estimates.
     "a26_hll_tier" -> ((s, dir) => {
-      val minuteSk = series(s, dir)
+      val sr = series(s, dir)
+      val minuteSk = sr
         .withColumn("minute", floor(col("e") / lit(60.0)).cast("long") * 60)
         .groupBy("metric", "minute")
         .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
-      minuteSk
+      val approx = minuteSk
         .withColumn("bucket_start", floor(col("minute") / lit(3600.0)).cast("long") * 3600)
         .groupBy("metric", "bucket_start")
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
+      // approx-surface contract (r13): the tier estimate rides next to the
+      // exact hour NDV, band verdict derived independently both engines,
+      // Spark hard-fails out-of-band pre-export — promotes this from
+      // rows-only to a full hash row.
+      val exact = sr
+        .withColumn("bucket_start", floor(col("e") / lit(3600.0)).cast("long") * 3600)
+        .groupBy("metric", "bucket_start")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val joined = approx.join(exact, Seq("metric", "bucket_start"))
+        .localCheckpoint(true)
+      joined.collect().foreach { r =>
+        val a = r.getAs[Long]("approx_users")
+        val e = r.getAs[Long]("exact_users")
+        require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+          s"hll tier estimate outside its band: approx=$a exact=$e")
+      }
+      exportForOracle(joined.select("metric", "bucket_start", "approx_users"),
+        "a26_approx", model = true)
+      joined.select(col("metric"), col("bucket_start"),
+        col("exact_users"), col("approx_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
     }),
 
     // Cohort retention: first-event-day cohorts x day offset, active
@@ -3355,13 +3394,35 @@ object SparkEntry {
     // implementation) — but register-max is order-independent, so the
     // streamed tier composes to BIT-EQUAL estimates vs batch a26, pinned
     // by the StreamingSpec parity test.
-    "stream_hll_parity" -> ((s, dir) =>
-      graft.streaming.StreamReplay.hllTierReplay(
-          series(s, dir).select("metric", "e", "user_id"))
+    "stream_hll_parity" -> ((s, dir) => {
+      val sr = series(s, dir)
+      val approx = graft.streaming.StreamReplay.hllTierReplay(
+          sr.select("metric", "e", "user_id"))
         .withColumn("bucket_start",
           floor(col("minute_start").cast("long") / lit(3600.0)).cast("long") * 3600)
         .groupBy("metric", "bucket_start")
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))),
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
+      // same band-verified promotion as batch a26 — the streamed minute
+      // sketches must land inside the same bound around the same exact NDV
+      val exact = sr
+        .withColumn("bucket_start", floor(col("e") / lit(3600.0)).cast("long") * 3600)
+        .groupBy("metric", "bucket_start")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val joined = approx.join(exact, Seq("metric", "bucket_start"))
+        .localCheckpoint(true)
+      joined.collect().foreach { r =>
+        val a = r.getAs[Long]("approx_users")
+        val e = r.getAs[Long]("exact_users")
+        require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+          s"streamed hll estimate outside its band: approx=$a exact=$e")
+      }
+      exportForOracle(joined.select("metric", "bucket_start", "approx_users"),
+        "hllstream_approx", model = true)
+      joined.select(col("metric"), col("bucket_start"),
+        col("exact_users"), col("approx_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
+    }),
 
     // a35: quantile sketch tier — the third sketch-tier member (a26 = HLL
     // distinct, a34 = MG frequency): per-minute GK summaries union-merged
@@ -4716,6 +4777,12 @@ object SparkEntry {
     // lossless cross-batch merge makes the two legs bit-equal.
     "a35_quantile_tier" -> A35_QUANTILE_ORACLE,
     "stream_quantile_parity" -> A35_QUANTILE_ORACLE,
+
+    // a26 + its streaming twin, band-verified (r13): exact hour NDV
+    // re-derived here, estimate from each leg's export, band verdict
+    // re-derived with the same arithmetic.
+    "a26_hll_tier" -> hllTierBandOracle(exportGlob("a26_approx")),
+    "stream_hll_parity" -> hllTierBandOracle(exportGlob("hllstream_approx")),
 
     // a9's GK leg, whole-metric grain (see the a35 note above for the
     // exactness-regime rank convention and the forced-DOUBLE multiply).

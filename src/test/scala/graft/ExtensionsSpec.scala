@@ -451,6 +451,20 @@ class ExtensionsSpec extends SparkSpec {
       assert(ndvShape().queryExecution.executedPlan.toString.contains("/nview"))
       assert(rows(ndvShape()) ==
         Set(("m", 0L, 3L), ("m", 1L, 1L), ("n", 0L, 2L)))
+      // HOUR-grain ndv view: maintained by the same engine, served for
+      // the hour-shaped aggregate from ITS view; the day shape keeps its
+      // own (and an hour registration alone never answers day)
+      val hview = s"$root/hview"
+      NdvView.refresh(spark, src, hview, RollupView.Hour)
+      MaterializedRollups.enableNdv(src, hview, RollupView.Hour)
+      val hourShape = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 3600").as("hour"))
+        .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, ${NdvView.LgK}))")
+          .as("approx_users"))
+      val hplan = hourShape.queryExecution.executedPlan.toString
+      assert(hplan.contains("/hview") && !hplan.contains("/src"), hplan)
+      assert(rows(hourShape) == Set(("m", 0L, 3L), ("m", 24L, 1L), ("n", 0L, 2L)))
+      assert(ndvShape().queryExecution.executedPlan.toString.contains("/nview"))
     } finally {
       MaterializedRollups.clear()
       SnapshotStore.deleteTree(root)
