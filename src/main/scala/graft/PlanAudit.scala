@@ -24,7 +24,7 @@ object PlanAudit {
       "q4_order_priority", "q8_market_share", "q9_product_profit",
       "q10_returned_items", "q13_order_distribution", "q17_small_quantity",
       "q19_disjunctive", "q20_part_suppliers", "q21_suppliers_waiting",
-      "q22_idle_balance", "semdedup_keep")
+      "q22_idle_balance", "semdedup_keep", "q2_min_cost_supplier")
     var bad = 0
     val plans = interesting.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -315,6 +315,11 @@ object PlanAudit {
         // while the customer-orders anti-join must stay a hash join
         p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti") &&
           !p.contains("CartesianProduct")
+      }),
+      ("q2 min-cost supplier: dims+per-part-min broadcast, top-k, no cartesian", {
+        val p = planOf("q2_min_cost_supplier")
+        p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject") &&
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
       }),
       ("bucketed fact-fact join has no shuffle on either side", {
         // q_bucketed_join returns a checkpointed frame (its tables are

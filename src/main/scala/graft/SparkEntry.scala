@@ -849,6 +849,48 @@ object SparkEntry {
         Scalars.toBool(kStr).as("k_bool"))
     }),
 
+    // TPC-H Q2 shape: min-cost supplier per part within a region. The
+    // observed (part, supplier) pairs from lineitem stand in for partsupp
+    // (the fixture has no partsupp table — same surrogate as q11/q16/q20);
+    // "supply cost" is the minimum observed line price, kept as an exact
+    // DECIMAL so the correlated-min equality is bit-exact in both engines.
+    // Scale posture: the dim chain (supplier⋈nation⋈region), the
+    // qualifying-part set, and the per-part min relation are all
+    // model-sized and broadcast; the only shuffle on the fact path is the
+    // (partkey, suppkey) pre-aggregate. The correlated min is computed
+    // AFTER restricting to qualifying parts — the part filter commutes
+    // with the per-part min, and doing so shrinks both legs. The sort key
+    // (acctbal DESC, n_name, s_name, p_partkey, s_suppkey) is a total
+    // order (rows are unique on (p_partkey, s_suppkey)), so LIMIT 100 is
+    // deterministic; at sf0.01 the pre-limit set is 155 rows, so the
+    // limit genuinely binds.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val euro = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir).where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = Tables.part(s, dir)
+        .where(col("p_type") === "STANDARD" && col("p_size") <= 25)
+        .select("p_partkey")
+      val ps = Tables.lineitem(s, dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost_dec"))
+      val pse = ps
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+      val mn = pse.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("cost_dec")).as("min_dec"))
+      pse.join(broadcast(mn),
+          col("p_partkey") === col("mk") && col("cost_dec") === col("min_dec"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+        .select(col("s_acctbal").cast("double").as("acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("s_suppkey"),
+          col("cost_dec").cast("double").as("supply_cost"))
+    }),
+
     // TPC-H Q1-shaped pricing summary (exact-decimal revenue).
     "q1_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -4067,6 +4109,31 @@ object SparkEntry {
          |SELECT p.purchase_id, p.user_id, p.p_e, count(c.c_id) AS n_clicks_5m
          |FROM p LEFT JOIN c ON p.user_id = c.c_user AND c.c_e BETWEEN p.p_e - 300 AND p.p_e
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH euro AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost_dec
+        |  FROM lineitem GROUP BY 1, 2),
+        |pse AS (
+        |  SELECT p_partkey, l_suppkey, cost_dec, s_name, s_acctbal, n_name
+        |  FROM ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN euro ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'STANDARD' AND p_size <= 25),
+        |mn AS (SELECT p_partkey AS mk, MIN(cost_dec) AS min_dec
+        |       FROM pse GROUP BY 1)
+        |SELECT CAST(s_acctbal AS DOUBLE) AS acctbal, s_name, n_name,
+        |       p_partkey, l_suppkey AS s_suppkey,
+        |       CAST(cost_dec AS DOUBLE) AS supply_cost
+        |FROM pse JOIN mn ON p_partkey = mk AND cost_dec = min_dec
+        |ORDER BY acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
