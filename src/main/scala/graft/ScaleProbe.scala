@@ -616,6 +616,42 @@ object ScaleProbe {
         f"ratio4→64 ${legs(2) / legs(0)}%4.2f vs 16 for proportional)")
     }
 
+    // Inverted-index lookup radius: ONE bm25 serve (fixed 500 hit docs,
+    // fixed terms) while the indexed corpus grows 1x/4x/16x with FILLER
+    // docs whose vocabulary is disjoint from the probe terms. Lookup
+    // cost is O(postings of the queried terms) — the hit postings are
+    // constant, so the serve must stay flat while a full-scan bm25
+    // would track the corpus. Opt-in:
+    // SPARK_GRAFT_PROBE_ONLY=search_lookup_radius.
+    if (probeOnly.exists(_.contains("search_lookup_radius"))) {
+      import graft.sources.{SearchIndex, SnapshotStore}
+      val legs = Seq(1, 4, 16).map { k =>
+        val root = java.nio.file.Files.createTempDirectory(s"sidxrad$k").toString
+        try {
+          val hits = spark.range(0L, 500L).selectExpr(
+            "id AS doc_id",
+            "concat('needle common', id % 5, ' tail', id % 17) AS text")
+          val filler = spark.range(0L, k * 40000L).selectExpr(
+            "1000000 + id AS doc_id",
+            "concat('straw', id % 1000, ' chaff', id % 31, ' dust') AS text")
+          SearchIndex.index(spark, hits.unionByName(filler), root, buckets = 16)
+          val t0 = System.nanoTime()
+          val top = SearchIndex.bm25(spark, root,
+            Seq("needle", "common1"), k = 10).collect()
+          val t = (System.nanoTime() - t0) / 1e9
+          // every returned doc is a hit doc — filler must never score
+          assert(top.nonEmpty && top.forall(_.getLong(0) < 500L),
+            s"filler docs leaked into the top-k at k=$k")
+          t
+        } finally SnapshotStore.deleteTree(root)
+      }
+      println(f"[scale] search_lookup_radius corpus=1x/4x/16x " +
+        f"${legs(0)}%5.2fs ${legs(1)}%5.2fs ${legs(2)}%5.2fs " +
+        f"(flat = serve reads only the probe terms' bloom-selected " +
+        f"posting files; ratio1→16 ${legs(2) / legs(0)}%4.2f vs 16 for " +
+        f"corpus-proportional)")
+    }
+
     // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
     // a FIXED corpus. The pre-rewrite formulation launched one Spark job
     // per merge (time ≈ proportional to merges); the driver-local loop

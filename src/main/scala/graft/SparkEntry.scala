@@ -181,6 +181,35 @@ object SparkEntry {
       df.sparkSession.read.parquet(path)
     }
 
+  /** Full-scan log-free BM25 (terms spark/join/vector, k=15) — ONE string,
+    * two registry keys: the scan leg (`text_bm25`) and the inverted-index
+    * serving leg (`search_index_bm25`) must both reproduce it bit-exactly. */
+  private lazy val BM25_ORACLE =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |d AS (SELECT doc_id,
+      |        CAST(len(w) AS DOUBLE) AS dl,
+      |        CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |        CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+      |        CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf2
+      |      FROM t),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |        CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) AS sumdl,
+      |        CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |        CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |        CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |      FROM d),
+      |sc AS (SELECT doc_id,
+      |  (((n - df0) + 0.5) / (df0 + 0.5)) *
+      |    ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
+      |+ (((n - df1) + 0.5) / (df1 + 0.5)) *
+      |    ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
+      |+ (((n - df2) + 0.5) / (df2 + 0.5)) *
+      |    ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
+      |  AS score FROM d, s)
+      |SELECT doc_id, score FROM (
+      |  SELECT doc_id, score FROM sc
+      |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15) q""".stripMargin
+
   /** Direct 1h aggregation over raw events — the check both tier producers
     * (batch a24 and the streaming replay) must reproduce by composing their
     * 1m tier. ONE string, two registry keys: the legs share their oracle. */
@@ -3017,6 +3046,41 @@ object SparkEntry {
       SearchOps.bm25(Tables.documents(s, dir), Seq("spark", "join", "vector"), k = 15)
         .select(col("doc_id"), col("score"))),
 
+    // BM25 served from the PERSISTED inverted index (SearchIndex): one
+    // corpus pass at ingest, then term lookups touch only bloom-pruned
+    // posting files — never the corpus. The served score replays the
+    // full-scan expression tree bit-exactly, so this query runs against
+    // text_bm25's unchanged full-scan DuckDB oracle: a lossy index, a
+    // wrong df, or a drifted stats row all fail the hash.
+    "search_index_bm25" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+      try {
+        val idx = s"$root/idx"
+        sources.SearchIndex.index(s, Tables.documents(s, dir), idx)
+        sources.SearchIndex.bm25(s, idx, Seq("spark", "join", "vector"), k = 15)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // The INCREMENTAL leg of the inverted index: two doc_id-disjoint
+    // batches indexed separately (postings + additive stats rows), then a
+    // conjunctive containment probe — the decontamination lookup shape —
+    // served from the grown index. The oracle replays the containment
+    // over the full corpus in DuckDB, so a lost posting, a double-counted
+    // stats row, or a bloom false NEGATIVE (a file wrongly skipped)
+    // fails the hash.
+    "search_index_and" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sand").toString
+      try {
+        val idx = s"$root/idx"
+        val docs = Tables.documents(s, dir)
+        sources.SearchIndex.index(s, docs.where(col("doc_id") % 2 === 0), idx)
+        sources.SearchIndex.index(s, docs.where(col("doc_id") % 2 =!= 0), idx)
+        sources.SearchIndex.containingAll(s, idx, Seq("spark", "data"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -5755,31 +5819,17 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin,
 
-    "text_bm25" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-        |d AS (SELECT doc_id,
-        |        CAST(len(w) AS DOUBLE) AS dl,
-        |        CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
-        |        CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
-        |        CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf2
-        |      FROM t),
-        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |        CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) AS sumdl,
-        |        CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-        |        CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-        |        CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-        |      FROM d),
-        |sc AS (SELECT doc_id,
-        |  (((n - df0) + 0.5) / (df0 + 0.5)) *
-        |    ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
-        |+ (((n - df1) + 0.5) / (df1 + 0.5)) *
-        |    ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
-        |+ (((n - df2) + 0.5) / (df2 + 0.5)) *
-        |    ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
-        |  AS score FROM d, s)
-        |SELECT doc_id, score FROM (
-        |  SELECT doc_id, score FROM sc
-        |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15) q""".stripMargin,
+    "text_bm25" -> BM25_ORACLE,
+
+    // Index-served BM25 must equal the full scan bit-for-bit — ONE oracle
+    // string, two registry keys (the ROLLUP_TIER_ORACLE pattern).
+    "search_index_bm25" -> BM25_ORACLE,
+
+    "search_index_and" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(list_filter(w, x -> x = 'spark')) > 0
+        |  AND len(list_filter(w, x -> x = 'data')) > 0""".stripMargin,
 
     "a18_ohlc" ->
       s"""WITH $SERIES,

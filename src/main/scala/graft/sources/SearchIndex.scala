@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RelationalOps, TextOps}
+
+/** Persisted inverted text index over a document corpus, maintained
+  * incrementally through [[SnapshotStore]].
+  *
+  * The reference's search surface (`SearchOps.bm25`, the decontamination
+  * scan) re-reads the whole corpus per query — fine for one ad-hoc
+  * question, wrong for a serving path: at 100 TB every "which documents
+  * mention X" probe would be a full-corpus pass. This index pays one
+  * corpus pass at INGEST and makes every later lookup O(postings of the
+  * queried terms):
+  *
+  *   - postings table (term, doc_id, dl, tf), one row per distinct
+  *     (term, document) pair, stored range-clustered on `term` (each
+  *     parquet file covers a narrow term range) with a per-file BLOOM
+  *     sidecar on `term` — a term lookup plans its file set via
+  *     [[SnapshotStore.readEq]] and touches only files that can contain
+  *     the term, never the corpus and never the rest of the index;
+  *   - corpus stats (doc count, total token count) as one additive delta
+  *     row per ingest batch in a sibling store — BM25's global factors
+  *     reduce over O(batches) tiny rows, no corpus re-scan;
+  *   - maintenance is append-only and O(delta): indexing a new batch
+  *     tokenizes ONLY that batch and appends its postings + one stats row.
+  *     Integer-count stats are exactly additive and per-(term,doc) posting
+  *     rows from disjoint batches never collide, so an incrementally grown
+  *     index answers bit-identically to a from-scratch rebuild (spec- and
+  *     oracle-pinned). Re-indexing or deleting EXISTING documents is out
+  *     of contract (postings for the old text would double-count); updates
+  *     go through rebuild.
+  *
+  * Served BM25 replays [[graft.operators.SearchOps.bm25]]'s exact
+  * expression tree (log-free rational scoring, identical association
+  * order, per-term slot columns summed in the caller's term order), so an
+  * index-served score is BIT-EQUAL to the full-scan score — the
+  * correctness gate runs the full-scan DuckDB oracle unchanged against
+  * the served result.
+  */
+object SearchIndex {
+
+  /** The corpus-stats sibling store (inside `root`, so one deleteTree
+    * owns both). */
+  private def statsRoot(root: String): String = s"$root/_corpusstats"
+
+  /** Exploded (term, doc_id, dl, tf) postings of a document batch —
+    * `dl` is the document token count, `tf` the term's count within it.
+    * One aggregate shuffle keyed (term, doc_id); tf=0 rows don't exist
+    * by construction (explode emits only present terms). */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Index a batch of NEW documents: append its postings (range-clustered
+    * on term, bloom sidecar on term) and one additive stats row. The
+    * first call creates the index; later calls grow it O(delta). Batches
+    * must be doc_id-disjoint (see class doc). */
+  def index(spark: SparkSession, docs: DataFrame, root: String,
+            buckets: Int = 8): Int = {
+    val p = postingsOf(docs)
+      .repartitionByRange(buckets, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(TextOps.tokens(col("text"))).cast("long")), lit(0L))
+        .as("sum_dl"))
+    val v = SnapshotStore.appendWithBloom(p, root, "term")
+    SnapshotStore.append(stats, statsRoot(root))
+    v
+  }
+
+  /** Union of the bloom-pruned posting reads for `terms` — each term
+    * plans its own file set; only files whose bloom can contain the term
+    * are opened. */
+  def postingsFor(spark: SparkSession, root: String,
+                  terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "postingsFor needs at least one term")
+    terms.distinct
+      .map(t => SnapshotStore.readEq(spark, root, "term", t))
+      .reduce(_ unionByName _)
+  }
+
+  /** ONE-row (n, sumdl) corpus stats as doubles — the reduce spans
+    * O(ingest batches) delta rows, never the corpus. Integer sums are
+    * order-exact, so the cast-to-double factors are bit-equal to a
+    * single-pass aggregate's. */
+  def corpusStats(spark: SparkSession, root: String): DataFrame =
+    SnapshotStore.read(spark, statsRoot(root))
+      .agg(sum("n_docs").cast("double").as("n"),
+        sum("sum_dl").cast("double").as("sumdl"))
+
+  /** BM25 top-`k` served from the index. Identical expression tree (and
+    * association order) as `SearchOps.bm25`; each query term gets a slot
+    * column so the final score sums per-term contributions in the SAME
+    * fixed term order as the scan version's reduceLeft. `terms` must be
+    * distinct (duplicate slots would double-count). Absent terms (no
+    * postings anywhere) contribute exactly the scan version's +0.0.
+    *
+    * Scale shape: posting reads are bloom-pruned per term; df comes from
+    * counting the in-hand posting rows (exact — a (term,doc) pair exists
+    * iff tf>0); the df relation and the one-row stats broadcast; scoring
+    * is one aggregate keyed doc_id over only the matched docs; top-k is
+    * TakeOrderedAndProject. The corpus is never scanned. */
+  def bm25(spark: SparkSession, root: String, terms: Seq[String],
+           k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.distinct.size == terms.size, "bm25 terms must be distinct")
+    val posts = postingsFor(spark, root, terms)
+    val dfs = posts.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val base = posts
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(corpusStats(spark, root))) // one-row scalar
+    val tfd = col("tf").cast("double")
+    val idf = ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    val tfn = (tfd * (lit(k1) + lit(1.0))) /
+      (tfd + lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * col("dl").cast("double") / (col("sumdl") / col("n"))))
+    val slotted = base.select(col("doc_id"), col("term"),
+      (idf * tfn).as("contrib"))
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("contrib"))).as(s"c$i")
+    }
+    val per = slotted.groupBy("doc_id").agg(slots.head, slots.tail: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    RelationalOps.topK(
+      per.select(col("doc_id"), score.as("score")).where(col("score") > 0),
+      k, col("score").desc, col("doc_id").asc)
+  }
+
+  /** Documents containing ALL of `terms` — the decontamination /
+    * exact-containment probe served from the index: intersect the
+    * bloom-pruned posting sets by counting distinct term hits per doc
+    * (posting rows are unique per (term, doc), so a plain count suffices).
+    * O(postings of the rarest-to-commonest queried terms), corpus never
+    * scanned. */
+  def containingAll(spark: SparkSession, root: String,
+                    terms: Seq[String]): DataFrame = {
+    val want = terms.distinct
+    postingsFor(spark, root, want)
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .where(col("nt") === want.size)
+      .select("doc_id")
+  }
+}

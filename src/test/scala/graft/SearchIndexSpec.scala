@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SearchOps
+import graft.sources.{SearchIndex, SnapshotStore}
+
+/** Inverted-index contract: served results are BIT-EQUAL to the full
+  * corpus scan, incremental growth equals rebuild, and term lookups
+  * actually prune posting files (the whole point of the index). */
+class SearchIndexSpec extends SparkSpec {
+
+  private def docsDF(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** A corpus whose vocabulary is term-range-separable, so range
+    * clustering puts different terms into different files. */
+  private def corpus(n: Int): DataFrame =
+    docsDF((0L until n.toLong).map { i =>
+      val w = ('a' + (i % 8).toInt).toChar.toString * 3 // aaa..hhh
+      (i, s"$w common$i filler ${"zzz" * (1 + (i % 3).toInt)}")
+    }: _*)
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("sidx_spec").toString
+    try f(root) finally SnapshotStore.deleteTree(root)
+  }
+
+  test("served bm25 is bit-equal to the full scan, and absent terms match") {
+    withRoot { root =>
+      val docs = corpus(64)
+      SearchIndex.index(spark, docs, root, buckets = 4)
+      // 'nosuchterm' has no postings: the served side must reproduce the
+      // scan side's +0.0 contribution, not drop the doc or NaN the score
+      val terms = Seq("aaa", "filler", "nosuchterm")
+      val served = SearchIndex.bm25(spark, root, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val scanned = SearchOps.bm25(docs, terms, k = 10)
+        .select(col("doc_id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == scanned) // exact doubles: same expression tree
+    }
+  }
+
+  test("incrementally grown index answers identically to a rebuild") {
+    withRoot { root => withRoot { root2 =>
+      val docs = corpus(64)
+      SearchIndex.index(spark, docs.where(col("doc_id") < 32), root, buckets = 4)
+      SearchIndex.index(spark, docs.where(col("doc_id") >= 32), root, buckets = 4)
+      SearchIndex.index(spark, docs, root2, buckets = 4)
+      val terms = Seq("bbb", "filler")
+      val grown = SearchIndex.bm25(spark, root, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val rebuilt = SearchIndex.bm25(spark, root2, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(grown == rebuilt)
+      // stats rows are additive: two deltas reduce to the full corpus
+      val st = SearchIndex.corpusStats(spark, root).collect()(0)
+      val st2 = SearchIndex.corpusStats(spark, root2).collect()(0)
+      assert(st.getDouble(0) == 64.0 && st == st2)
+    }}
+  }
+
+  test("term lookup prunes posting files via the bloom sidecar") {
+    withRoot { root =>
+      SearchIndex.index(spark, corpus(256), root, buckets = 8)
+      // range clustering on term puts 'aaa' (first of the vocabulary)
+      // into a narrow file range; the bloom must skip most of the rest
+      val (sel, total) = SnapshotStore.planFilesEq(spark, root, -1, "term", "aaa")
+      assert(total >= 8, s"expected the range layout to spread files, got $total")
+      assert(sel.size < total, s"no pruning: $sel of $total files selected")
+      // and the pruned read is still complete: every doc with 'aaa'
+      val got = SearchIndex.containingAll(spark, root, Seq("aaa"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (0L until 256L by 8).toSet)
+    }
+  }
+
+  test("conjunctive containment equals the corpus predicate; misses are empty") {
+    withRoot { root =>
+      val docs = corpus(64)
+      SearchIndex.index(spark, docs, root, buckets = 4)
+      val got = SearchIndex.containingAll(spark, root, Seq("ccc", "filler"))
+        .collect().map(_.getLong(0)).toSet
+      val want = docs
+        .where(array_contains(operators.TextOps.tokens(col("text")), "ccc") &&
+          array_contains(operators.TextOps.tokens(col("text")), "filler"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want && want.nonEmpty)
+      assert(SearchIndex.containingAll(spark, root, Seq("nosuchterm")).isEmpty)
+    }
+  }
+
+  test("served bm25 plan: broadcast df/stats joins, no cartesian") {
+    withRoot { root =>
+      SearchIndex.index(spark, corpus(32), root, buckets = 2)
+      val plan = SearchIndex.bm25(spark, root, Seq("aaa", "filler"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.contains("TakeOrderedAndProject"))
+    }
+  }
+}
