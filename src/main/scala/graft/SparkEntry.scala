@@ -181,11 +181,13 @@ object SparkEntry {
       df.sparkSession.read.parquet(path)
     }
 
-  /** Full-scan log-free BM25 (terms spark/join/vector, k=15) — ONE string,
-    * two registry keys: the scan leg (`text_bm25`) and the inverted-index
-    * serving leg (`search_index_bm25`) must both reproduce it bit-exactly. */
-  private lazy val BM25_ORACLE =
-    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+  /** Full-scan log-free BM25 (terms spark/join/vector, k=15) — ONE body,
+    * three registry keys: the scan leg (`text_bm25`), the inverted-index
+    * serving leg (`search_index_bm25`), and the post-delete serving leg
+    * (`search_index_delete`, whose corpus is the WHERE-surviving docs)
+    * must all reproduce it bit-exactly. */
+  private def bm25Oracle(where: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents$where),
       |d AS (SELECT doc_id,
       |        CAST(len(w) AS DOUBLE) AS dl,
       |        CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
@@ -209,6 +211,8 @@ object SparkEntry {
       |SELECT doc_id, score FROM (
       |  SELECT doc_id, score FROM sc
       |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15) q""".stripMargin
+
+  private lazy val BM25_ORACLE = bm25Oracle("")
 
   /** Direct 1h aggregation over raw events — the check both tier producers
     * (batch a24 and the streaming replay) must reproduce by composing their
@@ -3081,6 +3085,40 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // POSITIONAL phrase probe served from the index — the strict
+    // decontamination shape (verbatim n-gram match, not bag-of-words):
+    // each phrase word's bloom-pruned postings explode to (doc, pos−i)
+    // anchors; an occurrence is an anchor present in every leg. The
+    // oracle replays the identical positional logic over the corpus in
+    // DuckDB (unnest WITH ORDINALITY), so a lost position, an unsorted
+    // pos array, or an off-by-one anchor all fail the hash.
+    "search_index_phrase" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sphr").toString
+      try {
+        val idx = s"$root/idx"
+        sources.SearchIndex.index(s, Tables.documents(s, dir), idx)
+        sources.SearchIndex.containingPhrase(s, idx, Seq("table", "value"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Right-to-be-forgotten propagated to the SERVING index: CoW posting
+    // delete + ONE negative stats row, after which served BM25 must be
+    // bit-equal to an index rebuilt on the surviving corpus — the oracle
+    // is the same full-scan BM25 body restricted to surviving docs, so a
+    // stale N, an unrecovered token mass, or a surviving posting all
+    // fail the hash.
+    "search_index_delete" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sdel").toString
+      try {
+        val idx = s"$root/idx"
+        sources.SearchIndex.index(s, Tables.documents(s, dir), idx)
+        sources.SearchIndex.deleteDocsWhere(s, idx, col("doc_id") % 7 === 3)
+        sources.SearchIndex.bm25(s, idx, Seq("spark", "join", "vector"), k = 15)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -5830,6 +5868,18 @@ object SparkEntry {
         |SELECT doc_id FROM t
         |WHERE len(list_filter(w, x -> x = 'spark')) > 0
         |  AND len(list_filter(w, x -> x = 'data')) > 0""".stripMargin,
+
+    // Positional replay: 1-based subscripts vs the index's 0-based
+    // positions cancel in the anchor arithmetic (both legs shift).
+    "search_index_phrase" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos FROM t),
+        |l0 AS (SELECT doc_id, pos AS anchor FROM tok WHERE term = 'table'),
+        |l1 AS (SELECT doc_id, pos - 1 AS anchor FROM tok WHERE term = 'value')
+        |SELECT doc_id, count(*) AS nhits
+        |FROM l0 JOIN l1 USING (doc_id, anchor) GROUP BY 1""".stripMargin,
+
+    "search_index_delete" -> bm25Oracle(" WHERE doc_id % 7 != 3"),
 
     "a18_ohlc" ->
       s"""WITH $SERIES,

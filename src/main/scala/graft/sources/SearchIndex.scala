@@ -46,17 +46,23 @@ object SearchIndex {
     * owns both). */
   private def statsRoot(root: String): String = s"$root/_corpusstats"
 
-  /** Exploded (term, doc_id, dl, tf) postings of a document batch —
-    * `dl` is the document token count, `tf` the term's count within it.
-    * One aggregate shuffle keyed (term, doc_id); tf=0 rows don't exist
-    * by construction (explode emits only present terms). */
+  /** Exploded (term, doc_id, dl, tf, pos) postings of a document batch —
+    * `dl` is the document token count, `tf` the term's count within it,
+    * `pos` the SORTED 0-based token positions (sort_array pins the
+    * collect_list order, which is otherwise partition-dependent). The
+    * positions make the index positional — phrase queries resolve from
+    * postings alone ([[containingPhrase]]) without touching the corpus —
+    * at the standard storage price (one int per occurrence). One
+    * aggregate shuffle keyed (term, doc_id); tf=0 rows don't exist by
+    * construction (explode emits only present terms). */
   def postingsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        explode(col("w")).as("term"))
+        posexplode(col("w")).as(Seq("p", "term")))
       .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("pos"))
 
   /** Index a batch of NEW documents: append its postings (range-clustered
     * on term, bloom sidecar on term) and one additive stats row. The
@@ -134,6 +140,52 @@ object SearchIndex {
     RelationalOps.topK(
       per.select(col("doc_id"), score.as("score")).where(col("score") > 0),
       k, col("score").desc, col("doc_id").asc)
+  }
+
+  /** Documents containing the exact token PHRASE, with occurrence
+    * counts — the strict decontamination probe (an n-gram verbatim-match
+    * lookup) served positionally from the index: each phrase word's
+    * bloom-pruned postings explode to (doc, pos − i) anchors, and a
+    * phrase occurrence is an anchor present in ALL word legs (a
+    * (doc, anchor) equi-join count — overlapping occurrences count,
+    * repeated words in the phrase work because each leg explodes its
+    * own positions). O(postings of the phrase words), corpus never
+    * scanned.
+    *
+    * @return (doc_id, nhits) for docs with ≥1 occurrence */
+  def containingPhrase(spark: SparkSession, root: String,
+                       phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "containingPhrase needs a non-empty phrase")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      SnapshotStore.readEq(spark, root, "term", t)
+        .select(col("doc_id"), explode(col("pos")).as("p"))
+        .select(col("doc_id"), (col("p") - lit(i)).as("anchor"))
+    }
+    legs
+      .reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy("doc_id").agg(count(lit(1)).as("nhits"))
+  }
+
+  /** Delete documents from the index — the right-to-be-forgotten hook
+    * propagated to the serving artifact: postings CoW-delete through the
+    * store (only owning directories rewrite) and ONE negative stats row
+    * re-centers BM25's global factors, so post-delete scores are
+    * BIT-EQUAL to an index rebuilt on the surviving corpus (integer
+    * decrements are exact; `dl` rides on every posting row, so the
+    * departing token mass is recovered from the index itself — the
+    * deleted text is not needed). Directories the CoW rewrite produces
+    * carry no bloom rows, so lookups conservatively keep them until the
+    * next indexing maintenance — pruning degrades, correctness never. */
+  def deleteDocsWhere(spark: SparkSession, root: String,
+                      cond: org.apache.spark.sql.Column): Unit = {
+    val gone = SnapshotStore.read(spark, root).where(cond)
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), // negated below; 0-row delete → (0,0)
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
+      .localCheckpoint(true) // pin BEFORE the postings rewrite below
+    SnapshotStore.deleteWhere(spark, root, cond)
+    SnapshotStore.append(gone, statsRoot(root))
   }
 
   /** Documents containing ALL of `terms` — the decontamination /

@@ -95,6 +95,55 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("phrase search: overlap, repeated words, boundaries, cross-batch growth") {
+    withRoot { root =>
+      SearchIndex.index(spark,
+        docsDF(
+          (0L, "x a a a y"),   // "a a" occurs twice, OVERLAPPING
+          (1L, "a b end"),     // phrase at doc start
+          (2L, "lead a b"),    // phrase at doc end
+          (3L, "b a nothing"), // reversed order — must NOT match "a b"
+          (4L, "a x b")),      // gap — must NOT match
+        root, buckets = 2)
+      // incremental growth: the phrase resolver must see batch-2 postings
+      SearchIndex.index(spark, docsDF((5L, "z a b z a b")), root, buckets = 2)
+      def hits(ph: String*) =
+        SearchIndex.containingPhrase(spark, root, ph)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(hits("a", "b") == Map(1L -> 1L, 2L -> 1L, 5L -> 2L))
+      assert(hits("a", "a") == Map(0L -> 2L)) // overlapping occurrences count
+      assert(hits("a", "a", "a") == Map(0L -> 1L))
+      assert(hits("nosuchword", "b").isEmpty)
+    }
+  }
+
+  test("deleting docs re-centers the index exactly to the surviving corpus") {
+    withRoot { root => withRoot { root2 =>
+      val docs = corpus(64)
+      SearchIndex.index(spark, docs, root, buckets = 4)
+      SearchIndex.deleteDocsWhere(spark, root, col("doc_id") % 4 === 1)
+      // the reference: an index BUILT on the survivors
+      SearchIndex.index(spark, docs.where(col("doc_id") % 4 =!= 1), root2,
+        buckets = 4)
+      val terms = Seq("aaa", "filler")
+      val after = SearchIndex.bm25(spark, root, terms, k = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val rebuilt = SearchIndex.bm25(spark, root2, terms, k = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(after == rebuilt) // exact doubles: N/sumdl/df all re-centered
+      assert(SearchIndex.corpusStats(spark, root).collect()(0)
+        == SearchIndex.corpusStats(spark, root2).collect()(0))
+      // deleted docs are unreachable through every probe
+      assert(!SearchIndex.containingAll(spark, root, Seq("filler"))
+        .collect().map(_.getLong(0)).exists(_ % 4 == 1))
+      // deleting nothing changes nothing
+      SearchIndex.deleteDocsWhere(spark, root, col("doc_id") === -999L)
+      val again = SearchIndex.bm25(spark, root, terms, k = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(again == after)
+    }}
+  }
+
   test("served bm25 plan: broadcast df/stats joins, no cartesian") {
     withRoot { root =>
       SearchIndex.index(spark, corpus(32), root, buckets = 2)
