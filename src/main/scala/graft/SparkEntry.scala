@@ -3119,6 +3119,23 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // STREAMING maintenance parity for the search index: documents
+    // arrive through a real checkpointed file stream, every micro-batch
+    // lands via the epoch-idempotent indexEpoch (replayed triggers are
+    // no-ops; stats can never drift from postings), and BM25 served
+    // from the stream-grown index must hit the SAME full-scan oracle as
+    // the batch build — one oracle body, now four keys.
+    "stream_search_index_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ssix").toString
+      try {
+        val idx = s"$root/idx"
+        graft.streaming.StreamReplay.searchIndexIngestReplay(
+          Tables.documents(s, dir), idx)
+        sources.SearchIndex.bm25(s, idx, Seq("spark", "join", "vector"), k = 15)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -5880,6 +5897,8 @@ object SparkEntry {
         |FROM l0 JOIN l1 USING (doc_id, anchor) GROUP BY 1""".stripMargin,
 
     "search_index_delete" -> bm25Oracle(" WHERE doc_id % 7 != 3"),
+
+    "stream_search_index_parity" -> BM25_ORACLE,
 
     "a18_ohlc" ->
       s"""WITH $SERIES,

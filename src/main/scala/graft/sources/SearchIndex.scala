@@ -82,6 +82,37 @@ object SearchIndex {
     v
   }
 
+  /** Epoch-idempotent [[index]] — the STREAMING ingest hook: postings
+    * publish through [[SnapshotStore.appendEpoch]] (a replayed trigger
+    * after a checkpoint restart is a true no-op), and the stats row
+    * appends ONLY when the postings version actually advanced, so the
+    * two stores can never drift under replay (single-writer streams —
+    * the foreachBatch contract). The bloom sidecar is written AFTER the
+    * commit (pure acceleration: a crash between the two leaves a
+    * correct, conservatively-read version). */
+  def indexEpoch(spark: SparkSession, docs: DataFrame, root: String,
+                 epochId: Long, buckets: Int = 8): Int = {
+    val p = postingsOf(docs)
+      .repartitionByRange(buckets, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+    val before = SnapshotStore.currentVersion(root)
+    val v = SnapshotStore.appendEpoch(p, root, epochId)
+    if (v != before) {
+      SnapshotStore.append(
+        docs.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(size(TextOps.tokens(col("text"))).cast("long")),
+            lit(0L)).as("sum_dl")),
+        statsRoot(root))
+      SnapshotStore.writeBloomSidecar(spark, root, v,
+        SnapshotStore.manifestDirs(root, v)
+          .diff(if (before > 0) SnapshotStore.manifestDirs(root, before)
+                else Nil),
+        "term")
+    }
+    v
+  }
+
   /** Union of the bloom-pruned posting reads for `terms` — each term
     * plans its own file set; only files whose bloom can contain the term
     * are opened. */

@@ -957,6 +957,17 @@ object SnapshotStore {
     v
   }
 
+  /** Bloom sidecar for specific dirs of an ALREADY-committed version —
+    * the hook for epoch-stamped ingest paths ([[appendEpoch]] callers
+    * like SearchIndex.indexEpoch) that publish first and bloom after:
+    * the sidecar is pure acceleration, so a crash between commit and
+    * bloom leaves a correct, conservatively-read version. */
+  private[sources] def writeBloomSidecar(spark: SparkSession, root: String,
+                                         v: Int, dirs: Seq[String],
+                                         bloomCol: String,
+                                         numBits: Long = 1L << 20): Unit =
+    if (dirs.nonEmpty) writeBloom(spark, root, v, dirs, bloomCol, numBits)
+
   private def writeBloom(spark: SparkSession, root: String, v: Int,
                          dirs: Seq[String], bloomCol: String,
                          numBits: Long): Unit = {

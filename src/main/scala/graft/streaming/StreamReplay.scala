@@ -294,6 +294,46 @@ object StreamReplay {
     } finally deleteRecursively(root.toFile)
   }
 
+  /** Streaming maintenance of the inverted SEARCH index: documents
+    * arrive through a real checkpointed file stream and every micro-batch
+    * lands via [[graft.sources.SearchIndex.indexEpoch]] — epoch-stamped
+    * postings + the guarded additive stats row, so a replayed trigger is
+    * a true no-op and the index a crash-restarted stream rebuilds equals
+    * the one-shot build. The caller serves queries from `idxRoot` after
+    * the drain; parity against the full-scan oracle is the registry's. */
+  def searchIndexIngestReplay(docs: DataFrame, idxRoot: String,
+                              slices: Int = defaultSlices): Unit = {
+    val spark = docs.sparkSession
+    val src = docs.select(timestamp_seconds(col("doc_id")).as("ts"),
+      col("doc_id"), col("text"))
+    val root = newReplayRoot()
+    val inDir = root.resolve("in").toString
+    val ckDir = root.resolve("ck").toString
+    try {
+      if (!writeSliceFiles(src, slices, root, inDir, None)) return
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = spark.readStream
+          .schema("ts TIMESTAMP, doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .select("doc_id", "text")
+          .writeStream
+          .option("checkpointLocation", ckDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              graft.sources.SearchIndex.indexEpoch(spark, batch, idxRoot, id)
+            }
+            ()
+          }
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally deleteRecursively(root.toFile)
+  }
+
   /** CDC-APPLY replay: drive `batches` — a relation carrying an explicit
     * `__batch` column that partitions it into change batches (inserts AND
     * keyed updates; batch order is semantic, later batches win) — through

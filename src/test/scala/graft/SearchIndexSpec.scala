@@ -144,6 +144,28 @@ class SearchIndexSpec extends SparkSpec {
     }}
   }
 
+  test("epoch-stamped ingest: replays are no-ops, stats never drift, blooms land") {
+    withRoot { root =>
+      val b0 = corpus(64).where(col("doc_id") < 32)
+      val b1 = corpus(64).where(col("doc_id") >= 32)
+      SearchIndex.indexEpoch(spark, b0, root, epochId = 0L)
+      SearchIndex.indexEpoch(spark, b1, root, epochId = 1L)
+      val snap = SearchIndex.bm25(spark, root, Seq("aaa", "filler"), k = 20)
+        .collect().toSeq
+      val statsSnap = SearchIndex.corpusStats(spark, root).collect()(0)
+      // a crash-restarted stream re-delivers the last trigger: no-op on
+      // BOTH stores (a drifted stats row would shift every bm25 score)
+      SearchIndex.indexEpoch(spark, b1, root, epochId = 1L)
+      assert(SearchIndex.bm25(spark, root, Seq("aaa", "filler"), k = 20)
+        .collect().toSeq == snap)
+      assert(SearchIndex.corpusStats(spark, root).collect()(0) == statsSnap)
+      assert(statsSnap.getDouble(0) == 64.0)
+      // the post-commit bloom sidecar is live: lookups prune epoch dirs too
+      val (sel, total) = SnapshotStore.planFilesEq(spark, root, -1, "term", "aaa")
+      assert(sel.size < total, s"epoch-path blooms missing: $sel of $total")
+    }
+  }
+
   test("served bm25 plan: broadcast df/stats joins, no cartesian") {
     withRoot { root =>
       SearchIndex.index(spark, corpus(32), root, buckets = 2)
