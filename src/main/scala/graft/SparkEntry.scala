@@ -3136,6 +3136,27 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Full index LIFECYCLE under one oracle: two epoch-stamped ingest
+    // batches → right-to-be-forgotten delete → maintenance compaction
+    // (re-cluster + re-bloom + stats fold) → serve. Every maintenance
+    // step must be invisible to the answer — the oracle is the plain
+    // full-scan BM25 over the surviving corpus.
+    "search_index_lifecycle" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_slcy").toString
+      try {
+        val idx = s"$root/idx"
+        val docs = Tables.documents(s, dir)
+        sources.SearchIndex.indexEpoch(s, docs.where(col("doc_id") % 2 === 0),
+          idx, epochId = 0L)
+        sources.SearchIndex.indexEpoch(s, docs.where(col("doc_id") % 2 =!= 0),
+          idx, epochId = 1L)
+        sources.SearchIndex.deleteDocsWhere(s, idx, col("doc_id") % 5 === 2)
+        sources.SearchIndex.compactIndex(s, idx)
+        sources.SearchIndex.bm25(s, idx, Seq("spark", "join", "vector"), k = 15)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -5899,6 +5920,8 @@ object SparkEntry {
     "search_index_delete" -> bm25Oracle(" WHERE doc_id % 7 != 3"),
 
     "stream_search_index_parity" -> BM25_ORACLE,
+
+    "search_index_lifecycle" -> bm25Oracle(" WHERE doc_id % 5 != 2"),
 
     "a18_ohlc" ->
       s"""WITH $SERIES,

@@ -113,6 +113,33 @@ object SearchIndex {
     v
   }
 
+  /** Index maintenance compaction — the step that restores serving
+    * geometry after drip ingest and deletes fragment it: re-range-cluster
+    * ALL postings on term into `targetFiles` files (each file again
+    * covers one narrow term range), re-bloom the rewrite (CoW'd delete
+    * dirs and epoch drips whose sidecars went stale prune again), and
+    * fold the stats store's delta rows to ONE row (the stats reduce
+    * stays O(1) afterward instead of O(lifetime batches)). Content is
+    * untouched — every query answers bit-identically across the
+    * compaction (spec-pinned). Same non-commutative commit contract as
+    * any store compaction: a concurrent writer fails the rewrite loudly. */
+  def compactIndex(spark: SparkSession, root: String,
+                   targetFiles: Int = 8): Int = {
+    val p = SnapshotStore.read(spark, root)
+      .repartitionByRange(targetFiles, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+    val v = SnapshotStore.compactWith(p, root, targetFiles)
+    SnapshotStore.writeBloomSidecar(spark, root, v,
+      SnapshotStore.manifestDirs(root, v), "term")
+    val sr = statsRoot(root)
+    SnapshotStore.compactWith(
+      SnapshotStore.read(spark, sr).agg(
+        coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl")),
+      sr, targetFiles = 1)
+    v
+  }
+
   /** Union of the bloom-pruned posting reads for `terms` — each term
     * plans its own file set; only files whose bloom can contain the term
     * are opened. */

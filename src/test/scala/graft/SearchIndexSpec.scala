@@ -166,6 +166,40 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction restores pruning and answers stay bit-identical") {
+    withRoot { root =>
+      val docs = corpus(128)
+      // fragment: 4 epoch drips + a CoW delete (its rewrite dirs have no
+      // bloom rows, so lookups conservatively read them)
+      (0 until 4).foreach { i =>
+        SearchIndex.indexEpoch(spark,
+          docs.where(col("doc_id") % 4 === i), root, epochId = i.toLong)
+      }
+      SearchIndex.deleteDocsWhere(spark, root, col("doc_id") % 8 === 5)
+      val terms = Seq("aaa", "filler")
+      val before = SearchIndex.bm25(spark, root, terms, k = 40).collect().toSeq
+      val phraseBefore = SearchIndex
+        .containingPhrase(spark, root, Seq("aaa", "common2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      SearchIndex.compactIndex(spark, root, targetFiles = 8)
+
+      assert(SearchIndex.bm25(spark, root, terms, k = 40)
+        .collect().toSeq == before)
+      assert(SearchIndex.containingPhrase(spark, root, Seq("aaa", "common2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == phraseBefore)
+      // geometry restored: 8 files total, a term lookup prunes most
+      val (sel, total) = SnapshotStore.planFilesEq(spark, root, -1, "term", "aaa")
+      assert(total == 8, s"expected the compacted layout, got $total files")
+      assert(sel.size < total, s"no pruning after compaction: $sel of $total")
+      // stats store folded to one row, value preserved
+      val sf = SnapshotStore.read(spark, s"$root/_corpusstats")
+      assert(sf.count() == 1)
+      assert(SearchIndex.corpusStats(spark, root).collect()(0).getDouble(0)
+        == 128.0 - 16.0)
+    }
+  }
+
   test("served bm25 plan: broadcast df/stats joins, no cartesian") {
     withRoot { root =>
       SearchIndex.index(spark, corpus(32), root, buckets = 2)
