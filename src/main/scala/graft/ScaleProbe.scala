@@ -652,6 +652,55 @@ object ScaleProbe {
         f"corpus-proportional)")
     }
 
+    // Join-view refresh radius: ONE fixed-size left delta (1000 orders,
+    // monotone new keys) absorbed while BOTH standing sides grow
+    // 1x/4x/16x (stats-carrying appends). The delta path reads the
+    // standing right side file-pruned to the delta's key range and
+    // bloom-prefilters the surviving rows, so the refresh must stay
+    // flat; a naive re-join would track the 16x. Opt-in:
+    // SPARK_GRAFT_PROBE_ONLY=join_view_radius.
+    if (probeOnly.exists(_.contains("join_view_radius"))) {
+      import graft.sources.{JoinView, SnapshotStore}
+      val legs = Seq(1, 4, 16).map { k =>
+        val root = java.nio.file.Files.createTempDirectory(s"jvrad$k").toString
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        try {
+          (0 until k).foreach { i =>
+            SnapshotStore.appendWithStats(
+              spark.range(i * 50000L, (i + 1) * 50000L).selectExpr(
+                "id AS o_id", "concat('c', id % 97) AS cust", "id * 1.0 AS total"),
+              l, Seq("o_id"))
+            SnapshotStore.appendWithStats(
+              spark.range(i * 50000L, (i + 1) * 50000L).selectExpr(
+                "id AS lo_id", "1L AS ln", "id * 2.0 AS qty"),
+              r, Seq("lo_id"))
+          }
+          JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+          val base = k * 50000L
+          SnapshotStore.appendWithStats(
+            spark.range(base, base + 1000L).selectExpr(
+              "id AS o_id", "concat('c', id % 97) AS cust", "id * 1.0 AS total"),
+            l, Seq("o_id"))
+          // the delta's keys have no right match (new range) — the view
+          // must not grow, and the refresh must not have re-joined
+          val t0 = System.nanoTime()
+          JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+          val t = (System.nanoTime() - t0) / 1e9
+          assert(JoinView.read(spark, v).count() == k * 50000L,
+            s"view grew on a matchless delta at k=$k")
+          val vCur = SnapshotStore.currentVersion(v)
+          assert(SnapshotStore.manifestOp(v, vCur).contains("append"),
+            s"not the O(delta) append path at k=$k")
+          t
+        } finally SnapshotStore.deleteTree(root)
+      }
+      println(f"[scale] join_view_radius standing=1x/4x/16x " +
+        f"${legs(0)}%5.2fs ${legs(1)}%5.2fs ${legs(2)}%5.2fs " +
+        f"(flat = delta refresh file-prunes the standing side to the " +
+        f"delta's key range; ratio1→16 ${legs(2) / legs(0)}%4.2f vs 16 " +
+        f"for re-join)")
+    }
+
     // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
     // a FIXED corpus. The pre-rewrite formulation launched one Spark job
     // per merge (time ≈ proportional to merges); the driver-local loop

@@ -3157,6 +3157,37 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Incrementally maintained JOIN view (delta-join IVM — the
+    // denormalization half; RollupView owns the aggregate half): orders
+    // and lineitem arrive in interleaved appends (left-only, right-only
+    // delta paths both taken: Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR with the
+    // standing side bloom-prefiltered by the delta's keys), then a
+    // source DELETE drives the dirty-key retraction rewrite. The final
+    // view content must equal the plain SQL join over the surviving
+    // sources — the oracle replays exactly that.
+    "join_view_answer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jv").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val o = Tables.orders(s, dir); val li = Tables.lineitem(s, dir)
+        def refresh(): Unit =
+          sources.JoinView.refresh(s, l, r, v, "o_orderkey", "l_orderkey")
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 === 0), l)
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 0), r)
+        refresh() // bootstrap
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 =!= 0), l)
+        refresh() // left-only delta
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 =!= 0), r)
+        refresh() // right-only delta
+        sources.SnapshotStore.deleteWhere(s, l, col("o_orderkey") % 7 === 3)
+        refresh() // retraction rewrite
+        sources.JoinView.read(s, v)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -5922,6 +5953,12 @@ object SparkEntry {
     "stream_search_index_parity" -> BM25_ORACLE,
 
     "search_index_lifecycle" -> bm25Oracle(" WHERE doc_id % 5 != 2"),
+
+    "join_view_answer" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       l_linenumber, l_partkey, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey % 7 != 3""".stripMargin,
 
     "a18_ohlc" ->
       s"""WITH $SERIES,

@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalOps
+
+/** Incrementally maintained equi-JOIN view between two [[SnapshotStore]]
+  * tables — the denormalization half of IVM ([[RollupView]] owns the
+  * aggregate half). The view materializes `L ⋈ R` on one key pair and
+  * absorbs source commits without re-running the join:
+  *
+  *   - append-only delta (the classic delta-join identity):
+  *     Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR — the two terms are disjoint
+  *     (L_old excludes ΔL) and together exactly the new rows. Each term
+  *     joins a DELTA against a standing side with the standing side
+  *     bloom-prefiltered by the delta's keys
+  *     ([[RelationalOps.bloomFilteredJoin]]): only standing rows whose
+  *     key might match shuffle — O(Δ + matching), never O(standing).
+  *   - retraction (a source lost rows to delete/upsert): the DIRTY join
+  *     keys come from the sources' O(churn) change feeds; the view
+  *     rewrites as (view ∖ dirty) ∪ (L_new ⋈ R_new restricted to dirty)
+  *     — the expensive JOIN work is bounded by the dirty keys' rows,
+  *     the rewrite cost by the view itself (no un-keyed store can
+  *     retract cheaper), published as the view's own compaction.
+  *   - a source compaction (or a vacuumed refresh baseline) invalidates
+  *     the manifest diff: one full rebuild, same as [[RollupView]].
+  *
+  * The refresh position is ONE epoch stamp packing both source cursors
+  * (`leftVer * 10^6 + rightVer`) into the view's manifest — crash-safe
+  * the same way the rollup view is: the delta path publishes through
+  * [[SnapshotStore.appendEpoch]] (a replayed refresh with the same
+  * cursors is a true no-op), the rewrite paths through the
+  * non-commutative compaction commit.
+  *
+  * Contract: single equi-key per side; the two schemas' non-key columns
+  * must not collide (checked at bootstrap); the view's rows are
+  * `l.* ++ r.*` minus the right key (recoverable from the left key).
+  */
+object JoinView {
+
+  private val CursorBase = 1000000L
+
+  private def pack(lv: Int, rv: Int): Long = {
+    require(lv < CursorBase && rv < CursorBase,
+      s"source version beyond cursor capacity: $lv/$rv")
+    lv * CursorBase + rv
+  }
+
+  private def cursors(viewRoot: String): (Int, Int) =
+    SnapshotStore.lastEpoch(viewRoot)
+      .map(e => ((e / CursorBase).toInt, (e % CursorBase).toInt))
+      .getOrElse((0, 0))
+
+  /** The view-shaped join of two source frames. */
+  private def joined(l: DataFrame, r: DataFrame,
+                     leftKey: String, rightKey: String): DataFrame =
+    l.join(r, l(leftKey) === r(rightKey)).drop(r(rightKey))
+
+  /** Append/no-op commits only in (from, cur], with both endpoint
+    * manifests alive (the manifest diff and the old-version read both
+    * need them)? */
+  private def appendOnly(root: String, from: Int, cur: Int): Boolean =
+    SnapshotStore.hasManifest(root, from) &&
+      SnapshotStore.hasManifest(root, cur) &&
+      ((from + 1) to cur).forall(v =>
+        SnapshotStore.manifestOp(root, v).contains("append"))
+
+  /** Row-churn commits only (append/delete/upsert) — the change feed is
+    * the row delta; a compaction or legacy manifest answers false. */
+  private def churnOnly(root: String, from: Int, cur: Int): Boolean =
+    SnapshotStore.hasManifest(root, from) &&
+      SnapshotStore.hasManifest(root, cur) &&
+      ((from + 1) to cur).forall(v =>
+        SnapshotStore.manifestOp(root, v)
+          .exists(op => op == "append" || op == "delete" || op == "upsert"))
+
+  /** The standing side of a delta join, FILE-pruned by the delta's key
+    * range when the standing store carries min/max stats on the join key
+    * (appendWithStats / a z-ordered compaction): keys outside
+    * [min(Δkeys), max(Δkeys)] cannot match, so only overlapping files
+    * are read — with monotone ingest keys (the common fact-table shape)
+    * a delta touches only the newest files of the other side. Statless
+    * stores fall back to the full snapshot read (sound, just unpruned);
+    * non-integral keys skip range pruning (the stats sidecar is
+    * long-typed). The bloom row-prefilter still applies on top. */
+  private def standing(spark: SparkSession, root: String, ver: Int,
+                       key: String, deltaKeys: DataFrame): DataFrame = {
+    val full = SnapshotStore.read(spark, root, ver)
+    val integral = full.schema(key).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (!integral) full
+    else {
+      val mm = deltaKeys
+        .agg(min(col("__bk").cast("long")), max(col("__bk").cast("long")))
+        .head()
+      if (mm.isNullAt(0)) full.limit(0) // empty delta: nothing can match
+      else SnapshotStore.readWhere(spark, root, key,
+        mm.getLong(0), mm.getLong(1), ver)
+    }
+  }
+
+  /** Bring the view up to both sources' current versions. Returns the
+    * view version (unchanged when both cursors already match). */
+  def refresh(spark: SparkSession, leftRoot: String, rightRoot: String,
+              viewRoot: String, leftKey: String, rightKey: String): Int = {
+    val lv = SnapshotStore.currentVersion(leftRoot)
+    val rv = SnapshotStore.currentVersion(rightRoot)
+    require(lv > 0 && rv > 0,
+      s"both sources must have a published version ($leftRoot=$lv, $rightRoot=$rv)")
+    val (plv, prv) = cursors(viewRoot)
+    if (lv == plv && rv == prv) return SnapshotStore.currentVersion(viewRoot)
+    require(lv >= plv && rv >= prv,
+      s"source went backwards: ($plv,$prv) -> ($lv,$rv)")
+
+    val lNew = SnapshotStore.read(spark, leftRoot, lv)
+    val rNew = SnapshotStore.read(spark, rightRoot, rv)
+
+    if (plv == 0 && prv == 0) {
+      // bootstrap: non-key column collision would corrupt every later
+      // dirty anti-join — fail before the first version publishes
+      val overlap = lNew.columns.toSet.intersect(rNew.columns.toSet) - rightKey
+      require(overlap.isEmpty,
+        s"non-key columns collide across the join view's sides: $overlap")
+      SnapshotStore.appendEpoch(
+        joined(lNew, rNew, leftKey, rightKey), viewRoot, pack(lv, rv))
+    } else if (appendOnly(leftRoot, plv, lv) && appendOnly(rightRoot, prv, rv)) {
+      // Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR; standing sides bloom-prefiltered
+      // by the in-hand delta's keys so only possibly-matching rows join
+      val parts = Seq(
+        if (lv > plv) {
+          val dk = SnapshotStore.incremental(spark, leftRoot, plv, lv)
+            .select(col(leftKey).as("__bk")).distinct().localCheckpoint(true)
+          Some(joined(
+            SnapshotStore.incremental(spark, leftRoot, plv, lv),
+            RelationalOps.bloomFilteredJoin(
+              standing(spark, rightRoot, rv, rightKey, dk), dk,
+              rightKey, "__bk").drop("__bk"),
+            leftKey, rightKey))
+        } else None,
+        if (rv > prv) {
+          val dk = SnapshotStore.incremental(spark, rightRoot, prv, rv)
+            .select(col(rightKey).as("__bk")).distinct().localCheckpoint(true)
+          Some(joined(
+            RelationalOps.bloomFilteredJoin(
+              standing(spark, leftRoot, plv, leftKey, dk), dk,
+              leftKey, "__bk").drop("__bk"),
+            SnapshotStore.incremental(spark, rightRoot, prv, rv),
+            leftKey, rightKey))
+        } else None).flatten
+      SnapshotStore.appendEpoch(
+        parts.reduce(_ unionByName _), viewRoot, pack(lv, rv))
+    } else if (churnOnly(leftRoot, plv, lv) && churnOnly(rightRoot, prv, rv)) {
+      // retraction: dirty keys from both change feeds, join work bounded
+      // by them; the view rewrites once (anti-join survivors + recompute)
+      val dirty = SnapshotStore.changes(spark, leftRoot, plv, lv)
+          .select(col(leftKey).as("__dk"))
+        .unionByName(SnapshotStore.changes(spark, rightRoot, prv, rv)
+          .select(col(rightKey).as("__dk")))
+        .distinct()
+      val survivors = SnapshotStore.read(spark, viewRoot)
+        .join(broadcast(dirty), col(leftKey) === col("__dk"), "left_anti")
+      val recomputed = joined(
+        lNew.join(broadcast(dirty), col(leftKey) === col("__dk"), "left_semi"),
+        rNew.join(broadcast(dirty), col(rightKey) === col("__dk"), "left_semi"),
+        leftKey, rightKey)
+      SnapshotStore.compactWith(
+        survivors.unionByName(recomputed), viewRoot,
+        epochOverride = Some(pack(lv, rv)))
+    } else {
+      // a source compaction (or vacuumed baseline) broke the diff: rebuild
+      SnapshotStore.compactWith(
+        joined(lNew, rNew, leftKey, rightKey), viewRoot,
+        epochOverride = Some(pack(lv, rv)))
+    }
+  }
+
+  /** The maintained join content. */
+  def read(spark: SparkSession, viewRoot: String): DataFrame =
+    SnapshotStore.read(spark, viewRoot)
+}

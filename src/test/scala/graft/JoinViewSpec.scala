@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{JoinView, SnapshotStore}
+
+/** Join-view IVM contract: after ANY commit sequence on either source,
+  * the maintained view's content equals the from-scratch join, and each
+  * maintenance path publishes the commit KIND it claims (append for
+  * deltas, compact for rewrites). */
+class JoinViewSpec extends SparkSpec {
+
+  private def ordersDF(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, s"cust${i % 3}", i * 10.0)).toDF("o_id", "cust", "total")
+  }
+
+  private def linesDF(rows: (Long, Long, Double)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (o, ln, q) => (o, ln, q) }.toDF("lo_id", "ln", "qty")
+  }
+
+  private def withRoots(f: (String, String, String) => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("jv_spec").toString
+    try f(s"$root/L", s"$root/R", s"$root/V")
+    finally SnapshotStore.deleteTree(root)
+  }
+
+  private def viewRows(v: String): Set[(Long, String, Double, Long, Double)] =
+    JoinView.read(spark, v).collect()
+      .map(r => (r.getAs[Long]("o_id"), r.getAs[String]("cust"),
+        r.getAs[Double]("total"), r.getAs[Long]("ln"), r.getAs[Double]("qty")))
+      .toSet
+
+  private def truth(l: String, r: String): Set[(Long, String, Double, Long, Double)] = {
+    val lf = SnapshotStore.read(spark, l)
+    val rf = SnapshotStore.read(spark, r)
+    lf.join(rf, lf("o_id") === rf("lo_id")).collect()
+      .map(x => (x.getAs[Long]("o_id"), x.getAs[String]("cust"),
+        x.getAs[Double]("total"), x.getAs[Long]("ln"), x.getAs[Double]("qty")))
+      .toSet
+  }
+
+  private def lastOp(v: String): String =
+    SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v)).getOrElse("?")
+
+  test("bootstrap, left/right/both append deltas — each equals the rejoin") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(ordersDF(1, 2, 3), l)
+      SnapshotStore.append(linesDF((1, 1, 5.0), (2, 1, 7.0), (9, 1, 1.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(viewRows(v) == truth(l, r) && viewRows(v).size == 2)
+
+      SnapshotStore.append(ordersDF(9, 10), l) // left-only: 9 now matches
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append")
+
+      SnapshotStore.append(linesDF((3, 1, 2.0), (10, 1, 4.0), (10, 2, 6.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append")
+
+      // both sides move before one refresh — ΔL⋈ΔR must appear exactly once
+      SnapshotStore.append(ordersDF(20), l)
+      SnapshotStore.append(linesDF((20, 1, 8.0), (20, 2, 9.0), (1, 2, 3.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append")
+
+      // no-change refresh is a no-op (same cursors, same version)
+      val before = SnapshotStore.currentVersion(v)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(SnapshotStore.currentVersion(v) == before)
+    }
+  }
+
+  test("retraction: source deletes/upserts rewrite only dirty keys") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(ordersDF(1L to 20L: _*), l)
+      SnapshotStore.append(
+        linesDF((1L to 20L).flatMap(o => Seq((o, 1L, o * 1.0), (o, 2L, o * 2.0))): _*), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(viewRows(v).size == 40)
+
+      SnapshotStore.deleteWhere(spark, l, col("o_id") % 5 === 0)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(viewRows(v) == truth(l, r) && viewRows(v).size == 32)
+      assert(lastOp(v) == "compact") // the rewrite path, not a blind append
+
+      // keyed upsert on the right: changed rows re-join, others survive
+      SnapshotStore.upsert(spark, linesDF((1, 1, 99.0), (21, 1, 21.0)), r,
+        Seq("lo_id", "ln"))
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(viewRows(v) == truth(l, r))
+      assert(viewRows(v).exists(t => t._1 == 1L && t._4 == 1L && t._5 == 99.0))
+    }
+  }
+
+  test("a source compaction forces one rebuild; content unchanged") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(ordersDF(1, 2), l)
+      SnapshotStore.append(linesDF((1, 1, 1.0), (2, 1, 2.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      val content = viewRows(v)
+      SnapshotStore.compact(spark, l)
+      SnapshotStore.append(ordersDF(3), l)
+      SnapshotStore.append(linesDF((3, 1, 3.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(lastOp(v) == "compact")
+      assert(viewRows(v) == truth(l, r) && viewRows(v).size == content.size + 1)
+    }
+  }
+
+  test("non-key column collision fails loudly at bootstrap") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(Seq((1L, "x")).toDF("o_id", "shared"), l)
+      SnapshotStore.append(Seq((1L, "y")).toDF("lo_id", "shared"), r)
+      val e = intercept[IllegalArgumentException] {
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      }
+      assert(e.getMessage.contains("shared"))
+      assert(SnapshotStore.currentVersion(v) == 0) // nothing published
+    }
+  }
+
+  test("stats-carrying sources: a delta refresh file-prunes the standing side") {
+    withRoots { (l, r, v) =>
+      // monotone ingest keys, stats recorded per append — the standing
+      // side's old files cover key ranges a NEW delta can never match
+      (0 until 6).foreach { i =>
+        SnapshotStore.appendWithStats(
+          ordersDF((i * 100L) until (i * 100L + 100L): _*), l, Seq("o_id"))
+        SnapshotStore.appendWithStats(
+          linesDF(((i * 100L) until (i * 100L + 100L)).map(o => (o, 1L, 1.0)): _*),
+          r, Seq("lo_id"))
+      }
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(viewRows(v).size == 600)
+      // one new-range left delta: its keys overlap NO existing right file
+      // except none — but the join content must still be exact
+      SnapshotStore.appendWithStats(ordersDF(100L to 150L: _*), l, Seq("o_id"))
+      // the pruned standing read: [100,150] overlaps only dir 1 of 6
+      val (sel, total) = SnapshotStore.planFiles(spark, r, -1, "lo_id", 100L, 150L)
+      assert(sel.size < total, s"standing side unpruned: ${sel.size} of $total")
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      // duplicate orders for keys 100..150 now: 51 extra join rows each
+      assert(viewRows(v) == truth(l, r))
+      assert(JoinView.read(spark, v).count() == 651)
+    }
+  }
+
+  test("delta path plan: standing side bloom-prefiltered, no cartesian") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(ordersDF(1L to 50L: _*), l)
+      SnapshotStore.append(linesDF((1L to 50L).map(o => (o, 1L, 1.0)): _*), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      SnapshotStore.append(ordersDF(51), l)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      // audit the just-executed shape by rebuilding the delta frame
+      val delta = SnapshotStore.incremental(spark, l, 1, 2)
+      val pre = graft.operators.RelationalOps.bloomFilteredJoin(
+        SnapshotStore.read(spark, r),
+        delta.select(col("o_id").as("__bk")).distinct(), "lo_id", "__bk")
+      val plan = pre.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no bloom prefilter in:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+      assert(viewRows(v) == truth(l, r))
+    }
+  }
+}
