@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shape (see RollupRewriteRule's doc for the exactness conditions).
     ext.injectPostHocResolutionRule(session =>
       new graft.plans.RollupRewriteRule(session))
+    // Materialized JOIN-view rewrite for registered JoinView triples —
+    // same post-hoc resolution slot, same exactness posture.
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.JoinRewriteRule(session))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotProduct].getName, "vec_dot"),

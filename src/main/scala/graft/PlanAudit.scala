@@ -375,6 +375,31 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("user-shaped equi-join is served from the join view's scan", {
+        import org.apache.spark.sql.functions.col
+        import graft.sources.{JoinView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_jv").toString
+        try {
+          SnapshotStore.append(spark.range(0, 1000)
+            .selectExpr("id AS o_id", "id % 5 AS seg"), s"$root/L")
+          SnapshotStore.append(spark.range(0, 3000)
+            .selectExpr("id % 1000 AS lo_id", "id AS ln"), s"$root/R")
+          JoinView.refresh(spark, s"$root/L", s"$root/R", s"$root/jview",
+            "o_id", "lo_id")
+          graft.plans.MaterializedJoins.enable(s"$root/L", s"$root/R",
+            s"$root/jview", "o_id", "lo_id")
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          val p = lf.join(rf, lf("o_id") === rf("lo_id"))
+            .queryExecution.executedPlan.toString
+          // served: ONE view scan, no join operator left in the plan
+          p.contains("/jview") && !p.contains("/L") && !p.contains("/R") &&
+            !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("change feed diff plans EXCEPT without cartesian", {
         import org.apache.spark.sql.functions.col
         import graft.sources.SnapshotStore

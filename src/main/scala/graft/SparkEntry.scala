@@ -3188,6 +3188,64 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // STREAMING maintenance parity for the join view: lineitem drips in
+    // through a real checkpointed file stream (orders stands), each
+    // trigger appending epoch-stamped rows and refreshing the view via
+    // the right-only delta path. The stream-grown view must equal the
+    // plain SQL join — same oracle family as the batch leg.
+    "stream_join_view_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sjv").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        sources.SnapshotStore.append(Tables.orders(s, dir), l)
+        graft.streaming.StreamReplay.joinViewIngestReplay(
+          Tables.lineitem(s, dir), "l_orderkey", l, r, v,
+          "o_orderkey", "l_orderkey")
+        sources.JoinView.read(s, v)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // The Catalyst SERVING leg of the join view — transparent
+    // denormalization: a USER-shaped inner equi-join of the two
+    // registered stores' current snapshots (with a side filter between
+    // scan and join, which commutes with an inner join and re-applies to
+    // view rows) is answered from the maintained JoinView by
+    // JoinRewriteRule. used_view is pinned from the analyzed plan's scan
+    // roots, so a declined rewrite fails the hash; the values face the
+    // plain SQL join oracle.
+    "join_view_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jvs").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        sources.SnapshotStore.append(Tables.orders(s, dir), l)
+        sources.SnapshotStore.append(Tables.lineitem(s, dir), r)
+        sources.JoinView.refresh(s, l, r, v, "o_orderkey", "l_orderkey")
+        graft.plans.MaterializedJoins.enable(l, r, v, "o_orderkey", "l_orderkey")
+        try {
+          val lf = sources.SnapshotStore.read(s, l)
+            .where(col("o_orderpriority") === "1-URGENT")
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("o_orderkey") === rf("l_orderkey"))
+          val scanRoots = q.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          val usedView = scanRoots.nonEmpty && scanRoots.forall(_.contains("/view"))
+          q.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedJoins.disable(l)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -5959,6 +6017,17 @@ object SparkEntry {
         |       l_linenumber, l_partkey, l_quantity
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey % 7 != 3""".stripMargin,
+
+    "stream_join_view_parity" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       l_linenumber, l_partkey, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+
+    "join_view_serve" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       l_linenumber, l_partkey, l_quantity, TRUE AS used_view
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "a18_ohlc" ->
       s"""WITH $SERIES,

@@ -1,0 +1,224 @@
+package graft.plans
+
+import java.nio.file.Paths
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.sources.{JoinView, SnapshotStore}
+
+/** Registry of (left store, right store, key pair) → maintained
+  * [[JoinView]] the [[JoinRewriteRule]] may answer from. Explicit opt-in
+  * like [[MaterializedRollups]] — the engine never guesses which parquet
+  * relations are maintained views. */
+object MaterializedJoins {
+
+  // key: (canonical left root, canonical right root, left key, right key)
+  private val regs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), String]()
+
+  private def canon(p: String): String =
+    Paths.get(p.replaceFirst("^file:/+", "/")).normalize().toAbsolutePath.toString
+
+  /** Declare `viewRoot` as [[JoinView]]-maintained over the two stores on
+    * (leftKey = rightKey). From now on a user-shaped INNER equi-join of
+    * the two sources' CURRENT snapshots on that key pair is answered from
+    * the view — when, and only when, the view's packed cursor matches
+    * both sources' current versions at planning time (the same
+    * analysis-time binding contract as [[MaterializedRollups.enable]]). */
+  def enable(leftRoot: String, rightRoot: String, viewRoot: String,
+             leftKey: String, rightKey: String): Unit =
+    regs.put((canon(leftRoot), canon(rightRoot),
+      leftKey.toLowerCase, rightKey.toLowerCase), viewRoot)
+
+  /** Unregister every pair mentioning `root` on either side (and evict
+    * probe cache entries — registry queries use never-reused temp roots). */
+  def disable(root: String): Unit = {
+    val c = canon(root)
+    regs.keySet().asScala.filter(k => k._1 == c || k._2 == c)
+      .toSeq.foreach(regs.remove)
+    probeCache.keySet().asScala.filter(_.contains(c + "|")).toSeq
+      .foreach(probeCache.remove)
+  }
+
+  def clear(): Unit = { regs.clear(); probeCache.clear() }
+
+  private[plans] def isEmpty: Boolean = regs.isEmpty
+
+  private[plans] def all: Map[(String, String, String, String), String] =
+    regs.asScala.toMap
+
+  // Freshness-probe cache, the MaterializedRollups posture for THREE
+  // stores: all state publishes write a `_manifests` file, so the three
+  // directories' nanosecond mtimes plus a hasManifest(v)/(v+1) pair per
+  // store are a sound invalidation key; the hit path is stats and
+  // existence checks, never a listing or manifest read.
+  private final case class JProbe(lM: Long, rM: Long, vM: Long,
+                                  lV: Int, rV: Int, vV: Int,
+                                  lDirs: Set[String], rDirs: Set[String],
+                                  fresh: Boolean)
+
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, JProbe]()
+
+  private def mtime(root: String): Long = {
+    val p = Paths.get(root, "_manifests")
+    try java.nio.file.Files.getLastModifiedTime(p)
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    catch { case _: java.io.IOException => -1L }
+  }
+
+  private def unmoved(root: String, v: Int): Boolean =
+    (v == 0 || SnapshotStore.hasManifest(root, v)) &&
+      !SnapshotStore.hasManifest(root, v + 1)
+
+  /** Both sources' current-snapshot dirs + view freshness, cached until
+    * any of the three stores' manifest directories change. */
+  private[plans] def probe(leftRoot: String, rightRoot: String,
+                           viewRoot: String): Option[(Set[String], Set[String], Boolean)] = {
+    val key = s"$leftRoot|$rightRoot|$viewRoot"
+    val (lM, rM, vM) = (mtime(leftRoot), mtime(rightRoot), mtime(viewRoot))
+    if (lM < 0 || rM < 0) return None
+    val cached = probeCache.get(key)
+    if (cached != null && cached.lM == lM && cached.rM == rM && cached.vM == vM &&
+        unmoved(leftRoot, cached.lV) && unmoved(rightRoot, cached.rV) &&
+        unmoved(viewRoot, cached.vV))
+      return Some((cached.lDirs, cached.rDirs, cached.fresh))
+    val lV = SnapshotStore.currentVersion(leftRoot)
+    val rV = SnapshotStore.currentVersion(rightRoot)
+    if (lV == 0 || rV == 0) return None
+    val vV = SnapshotStore.currentVersion(viewRoot)
+    val fresh = SnapshotStore.lastEpoch(viewRoot)
+      .contains(JoinView.packedCursor(lV, rV))
+    val next = JProbe(lM, rM, vM, lV, rV, vV,
+      SnapshotStore.manifestDirs(leftRoot, lV).map(canon).toSet,
+      SnapshotStore.manifestDirs(rightRoot, rV).map(canon).toSet, fresh)
+    probeCache.put(key, next)
+    Some((next.lDirs, next.rDirs, next.fresh))
+  }
+
+  private[plans] def canonPaths(rel: LogicalRelation): Option[Set[String]] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(p => canon(p.toString)).toSet)
+      case _ => None
+    }
+}
+
+/** Materialized JOIN-view rewrite — transparent denormalization serving:
+  * a user-shaped INNER equi-join of two REGISTERED stores' current
+  * snapshots on the registered key pair is answered from the maintained
+  * [[JoinView]] instead of re-running the join. At 100 TB this turns
+  * every fact-to-fact navigation query from a two-sided shuffle join
+  * into a scan of rows the refresh already paid for.
+  *
+  * Fires only when EXACT:
+  *   - both scanned relations' root paths are precisely the registered
+  *     stores' current-version manifest dirs (time travel / incremental
+  *     reads never rewrite), with at most column-pruning Projects and
+  *     deterministic row Filters between scan and join — an inner join
+  *     commutes with per-side filters (σ_p(L) ⋈ R = σ_p(L ⋈ R) when p
+  *     reads only L's columns), so side filters re-apply to view rows;
+  *   - the view is FRESH: its packed cursor equals BOTH sources' current
+  *     versions at planning time (analysis-time binding, as documented
+  *     on [[MaterializedJoins.enable]]);
+  *   - the join condition is a single equality on the registered key
+  *     pair (either operand order). Any other shape declines.
+  *
+  * Output attributes keep the original exprIds; the right key column
+  * (dropped in the view) is served from the left key's view column —
+  * value-equal by the inner-join equality itself. */
+class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MaterializedJoins.isEmpty) return plan
+    plan.transformUp {
+      case j @ Join(lchild, rchild, Inner, Some(cond), _) =>
+        rewrite(j, lchild, rchild, cond).getOrElse(j)
+    }
+  }
+
+  /** Scan relation + any deterministic Filters between it and the join,
+    * through column-pruning Projects (plain attributes only). */
+  private def dissect(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => Some((lr, Nil))
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        dissect(child)
+      case Filter(cond, child) if cond.deterministic =>
+        dissect(child).map { case (lr, fs) => (lr, cond +: fs) }
+      case _ => None
+    }
+
+  private def rewrite(j: Join, lchild: LogicalPlan, rchild: LogicalPlan,
+                      cond: Expression): Option[LogicalPlan] = {
+    val (la, ra) = cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (lchild.outputSet.contains(a) && rchild.outputSet.contains(b)) (a, b)
+        else if (lchild.outputSet.contains(b) && rchild.outputSet.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    val (lrel, lfilters) = dissect(lchild).getOrElse(return None)
+    val (rrel, rfilters) = dissect(rchild).getOrElse(return None)
+    val lpaths = MaterializedJoins.canonPaths(lrel).getOrElse(return None)
+    val rpaths = MaterializedJoins.canonPaths(rrel).getOrElse(return None)
+    // an inner join is symmetric: match the registration in either side
+    // order (the user may write R.join(L) for a view registered (L, R))
+    def matches(lr: String, rr: String, lk: String, rk: String,
+                vr: String): Boolean =
+      lk == la.name.toLowerCase && rk == ra.name.toLowerCase &&
+        MaterializedJoins.probe(lr, rr, vr).exists {
+          case (ld, rd, fresh) => fresh && ld == lpaths && rd == rpaths
+        }
+    val viewRoot = MaterializedJoins.all.collectFirst {
+      case ((lr, rr, lk, rk), vr)
+          if matches(lr, rr, lk, rk, vr) ||
+            (lk == ra.name.toLowerCase && rk == la.name.toLowerCase &&
+              MaterializedJoins.probe(lr, rr, vr).exists {
+                case (ld, rd, fresh) => fresh && ld == rpaths && rd == lpaths
+              }) => vr
+    }.getOrElse(return None)
+
+    val viewPlan = JoinView.read(spark, viewRoot).queryExecution.analyzed
+    val byName = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    // the registered right key was dropped in the view; the inner
+    // equality makes the two key columns value-identical, so whichever
+    // key name the view lacks is served from the other key's column
+    // (covers both join orientations)
+    def resolve(name: String): Option[Attribute] =
+      byName.get(name.toLowerCase)
+        .orElse(if (name.equalsIgnoreCase(ra.name))
+          byName.get(la.name.toLowerCase) else None)
+        .orElse(if (name.equalsIgnoreCase(la.name))
+          byName.get(ra.name.toLowerCase) else None)
+
+    val projections = j.output.map { attr =>
+      resolve(attr.name) match {
+        case Some(vc) if vc.dataType == attr.dataType =>
+          Alias(vc, attr.name)(exprId = attr.exprId)
+        case _ => return None
+      }
+    }
+    var mappable = true
+    val mapped = (lfilters ++ rfilters).map(_.transform {
+      case a: AttributeReference =>
+        resolve(a.name) match {
+          case Some(vc) if vc.dataType == a.dataType => vc
+          case _ => mappable = false; a
+        }
+    })
+    if (!mappable) return None
+    val base =
+      if (mapped.isEmpty) viewPlan
+      else Filter(mapped.reduce(And), viewPlan)
+    Some(Project(projections, base))
+  }
+}

@@ -41,6 +41,10 @@ object JoinView {
 
   private val CursorBase = 1000000L
 
+  /** The epoch stamp a view refreshed through (leftVer, rightVer) carries
+    * — the freshness probe the Catalyst join rewrite checks. */
+  private[graft] def packedCursor(lv: Int, rv: Int): Long = pack(lv, rv)
+
   private def pack(lv: Int, rv: Int): Long = {
     require(lv < CursorBase && rv < CursorBase,
       s"source version beyond cursor capacity: $lv/$rv")

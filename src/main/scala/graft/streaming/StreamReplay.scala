@@ -334,6 +334,52 @@ object StreamReplay {
     } finally deleteRecursively(root.toFile)
   }
 
+  /** Streaming maintenance of a JOIN view: the right side arrives
+    * through a real checkpointed file stream (the left stands — the
+    * fact-drip-into-dimension shape) and every micro-batch lands as an
+    * epoch-stamped append on the right store with the join view
+    * refreshed inside the same trigger. Both layers are idempotent
+    * under trigger replay (the store by epoch, the view by its packed
+    * cursor), so a crash-restarted stream converges to the same view. */
+  def joinViewIngestReplay(rightRows: DataFrame, orderCol: String,
+                           leftRoot: String, rightRoot: String,
+                           viewRoot: String, leftKey: String,
+                           rightKey: String,
+                           slices: Int = defaultSlices): Unit = {
+    val spark = rightRows.sparkSession
+    val cols = rightRows.columns
+    val src = rightRows.withColumn("ts", timestamp_seconds(col(orderCol)))
+    val root = newReplayRoot()
+    val inDir = root.resolve("in").toString
+    val ckDir = root.resolve("ck").toString
+    try {
+      if (!writeSliceFiles(src, slices, root, inDir, None)) return
+      val schema = spark.read.parquet(inDir).schema
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .select(cols.head, cols.tail: _*)
+          .writeStream
+          .option("checkpointLocation", ckDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              graft.sources.SnapshotStore.appendEpoch(batch, rightRoot, id)
+              graft.sources.JoinView.refresh(spark, leftRoot, rightRoot,
+                viewRoot, leftKey, rightKey)
+            }
+            ()
+          }
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally deleteRecursively(root.toFile)
+  }
+
   /** CDC-APPLY replay: drive `batches` — a relation carrying an explicit
     * `__batch` column that partitions it into change batches (inserts AND
     * keyed updates; batch order is semantic, later batches win) — through

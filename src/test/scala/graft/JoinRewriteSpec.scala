@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.MaterializedJoins
+import graft.sources.{JoinView, SnapshotStore}
+
+/** Join-rewrite polarities: serve exactly when the view is fresh and the
+  * shape matches; decline (and stay CORRECT off the view) otherwise. */
+class JoinRewriteSpec extends SparkSpec {
+
+  private def withStores(f: (String, String, String) => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("jrw_spec").toString
+    val l = s"$root/L"
+    try f(l, s"$root/R", s"$root/view")
+    finally { MaterializedJoins.disable(l); SnapshotStore.deleteTree(root) }
+  }
+
+  private def seed(l: String, r: String, v: String): Unit = {
+    val s = spark
+    import s.implicits._
+    SnapshotStore.append(
+      (1L to 40L).map(i => (i, s"c${i % 4}", i * 1.0)).toDF("o_id", "cust", "total"), l)
+    SnapshotStore.append(
+      (1L to 60L).map(i => (i % 40 + 1, i, i * 2.0)).toDF("lo_id", "ln", "qty"), r)
+    JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+    MaterializedJoins.enable(l, r, v, "o_id", "lo_id")
+  }
+
+  private def scansView(df: DataFrame): Boolean = {
+    val roots = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    roots.nonEmpty && roots.forall(_.contains("/view"))
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("o_id"), col("ln"), col("qty")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("serves a fresh user-shaped join; side filters ride; right key maps") {
+    withStores { (l, r, v) =>
+      seed(l, r, v)
+      val lf = SnapshotStore.read(spark, l).where(col("cust") === "c1")
+      val rf = SnapshotStore.read(spark, r)
+      val q = lf.join(rf, lf("o_id") === rf("lo_id"))
+      assert(scansView(q), "fresh matching join did not rewrite")
+      val base = SnapshotStore.read(spark, l).where(col("cust") === "c1")
+      val rf2 = SnapshotStore.read(spark, r)
+      val truth = rows(base.join(rf2, base("o_id") === rf2("lo_id")))
+      assert(rows(q) == truth && truth.nonEmpty)
+      // the dropped right key is served from the left key's column
+      assert(q.select(col("lo_id")).collect().map(_.getLong(0)).toSet
+        == truth.map(_._1))
+      // flipped operand order serves too
+      val lf2 = SnapshotStore.read(spark, l)
+      val q2 = rf.join(lf2, rf("lo_id") === lf2("o_id"))
+      assert(scansView(q2))
+    }
+  }
+
+  test("declines on staleness, serves again after refresh") {
+    withStores { (l, r, v) =>
+      seed(l, r, v)
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(Seq((99L, "c9", 9.0)).toDF("o_id", "cust", "total"), l)
+      def userJoin() = {
+        val lf = SnapshotStore.read(spark, l); val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("o_id") === rf("lo_id"))
+      }
+      val stale = userJoin()
+      assert(!scansView(stale), "STALE view served — correctness bug")
+      assert(rows(stale).size == 60) // declined path still answers correctly
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(scansView(userJoin()), "refreshed view not served")
+    }
+  }
+
+  test("declines: wrong keys, outer join, non-equi, time travel") {
+    withStores { (l, r, v) =>
+      seed(l, r, v)
+      val lf = SnapshotStore.read(spark, l); val rf = SnapshotStore.read(spark, r)
+      assert(!scansView(lf.join(rf, lf("o_id") === rf("ln"))))
+      assert(!scansView(lf.join(rf, lf("o_id") === rf("lo_id"), "left_outer")))
+      assert(!scansView(lf.join(rf, lf("o_id") < rf("lo_id"))))
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(Seq((100L, 100L, 1.0)).toDF("lo_id", "ln", "qty"), r)
+      val oldR = SnapshotStore.read(spark, r, version = 1)
+      assert(!scansView(lf.join(oldR, lf("o_id") === oldR("lo_id"))),
+        "time-travel read must never rewrite")
+    }
+  }
+}
