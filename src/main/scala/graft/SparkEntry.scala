@@ -3246,6 +3246,29 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Git-like BRANCHES on the snapshot store: fork the table mid-history
+    // (one manifest write, zero data copied), let main and the branch
+    // diverge (main gains a third batch; the branch runs a candidate
+    // deletion pass), read BOTH — isolation means each side equals its
+    // own lifecycle replayed in SQL. The union with a src tag puts both
+    // worlds under one hash.
+    "snapshot_branch_read" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_br").toString
+      try {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 0), root)
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 1), root)
+        val br = sources.SnapshotStore.createBranch(root, "candidate")
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 2), root)
+        sources.SnapshotStore.deleteWhere(s, br, col("l_orderkey") % 5 === 0)
+        sources.SnapshotStore.read(s, root).withColumn("src", lit("main"))
+          .unionByName(
+            sources.SnapshotStore.read(s, br).withColumn("src", lit("branch")))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -6028,6 +6051,16 @@ object SparkEntry {
         |       l_linenumber, l_partkey, l_quantity, TRUE AS used_view
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "snapshot_branch_read" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       'main' AS src
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       'branch' AS src
+        |FROM lineitem
+        |WHERE l_orderkey % 3 != 2 AND l_orderkey % 5 != 0""".stripMargin,
 
     "a18_ohlc" ->
       s"""WITH $SERIES,

@@ -713,6 +713,82 @@ object SnapshotStore {
     * [[compact]]'s note that old versions stay readable until vacuumed.
     * Single-writer like the rest of the store: run it from the owner, not
     * concurrently with an append. */
+  // ---- branches --------------------------------------------------------
+  //
+  // Git-like BRANCHES on the snapshot store (the Iceberg/Nessie
+  // experimentation surface a curated-corpus pipeline needs: fork the
+  // 100 TB table, run a candidate curation pass against the fork, diff,
+  // then keep or discard — without copying a byte). A branch is a FULL
+  // snapshot store rooted at `root/_branches/<name>` whose version 1
+  // manifest references the parent snapshot's data directories by path:
+  // the fork is one manifest write + the constraint files. Every
+  // existing operation (read, append, deleteWhere, upsert, changes,
+  // compaction, time travel, its own vacuum, even sub-branches) works on
+  // the branch root unchanged — branch writes land under the BRANCH's
+  // own data directory, CoW rewrites copy only owning directories into
+  // the branch, carried parent directories stay shared by reference.
+  // Isolation is structural: the parent's manifests never mention branch
+  // dirs and vice versa. A read-only fork (a TAG) is a branch nobody
+  // writes to. Parent [[vacuum]] retains every directory any branch
+  // still references (below) — deleting a fork's shared history out from
+  // under it is the one way this layout could lose data.
+
+  private def branchesDir(root: String): Path = Paths.get(root, "_branches")
+
+  /** The branch's store root — pass it to any SnapshotStore operation. */
+  def branchRoot(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"branch name must be [A-Za-z0-9_-]+, got '$name'")
+    s"$root/_branches/$name"
+  }
+
+  /** Live branch names (a deleted branch disappears). */
+  def branches(root: String): Seq[String] = {
+    val d = branchesDir(root)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val stream = Files.list(d)
+      try stream.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
+      finally stream.close()
+    }
+  }
+
+  /** Fork `name` from snapshot `fromVersion` (default: current). One
+    * manifest write referencing the parent's directories — no data
+    * copied (spec-pinned); the parent's CHECK constraints are copied so
+    * the fork keeps the table's contract. The branch starts epoch-fresh
+    * (a stream consuming into the branch owns its own resume chain). */
+  def createBranch(root: String, name: String, fromVersion: Int = -1): String = {
+    val v = if (fromVersion > 0) fromVersion else currentVersion(root)
+    require(v > 0 && hasManifest(root, v),
+      s"cannot branch from version $v at $root (missing or vacuumed)")
+    val br = branchRoot(root, name)
+    require(currentVersion(br) == 0, s"branch '$name' already exists at $root")
+    publish(br, 1, manifestDirs(root, v), None,
+      manifestCols(root, v).getOrElse(Nil), "branch")
+    constraints(root).foreach { case (n, sql) =>
+      Files.createDirectories(Paths.get(br, "_constraints"))
+      Files.write(Paths.get(br, "_constraints", s"$n.sql"), sql.getBytes("UTF-8"))
+    }
+    br
+  }
+
+  /** Drop the branch: its manifests and its OWN data go; parent
+    * directories it referenced are untouched (they belong to the
+    * parent's retained-set math). */
+  def deleteBranch(root: String, name: String): Unit =
+    deleteTree(branchRoot(root, name))
+
+  /** Every directory any live branch (recursively) still references —
+    * parent vacuum must retain these. */
+  private def branchReferencedDirs(root: String): Set[String] =
+    branches(root).flatMap { b =>
+      val br = branchRoot(root, b)
+      (1 to currentVersion(br)).filter(hasManifest(br, _))
+        .flatMap(v => manifestDirs(br, v)) ++ branchReferencedDirs(br)
+    }.toSet
+
   def vacuum(root: String, keepFrom: Int): Unit = {
     val cur = currentVersion(root)
     require(keepFrom >= 1 && keepFrom <= cur,
@@ -723,8 +799,11 @@ object SnapshotStore {
     // interpolation) would make every retained dir "unreferenced" and
     // vacuum would delete LIVE data.
     def canon(p: String): String = Paths.get(p).normalize().toAbsolutePath.toString
-    val retained = (keepFrom to cur).flatMap(v => manifestDirs(root, v))
-      .map(canon).toSet
+    // every live branch's referenced dirs are retained too: a fork shares
+    // the parent's history by reference, and vacuuming it away would
+    // delete the branch's live data
+    val retained = ((keepFrom to cur).flatMap(v => manifestDirs(root, v)) ++
+      branchReferencedDirs(root)).map(canon).toSet
     // A version's OWN data dirs, from its manifest diff against its
     // parent — computed BEFORE any manifest deletion. Name-pattern
     // matching is NOT sound here: after a lost-race re-stack, a dir's

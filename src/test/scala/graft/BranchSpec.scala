@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotStore
+
+/** Branch contract: a fork is a manifest write (no data copied), writes
+  * are isolated in BOTH directions, parent vacuum never eats a branch's
+  * shared history, and the fork inherits the table's CHECK contract. */
+class BranchSpec extends SparkSpec {
+
+  private def df(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, i % 7)).toDF("id", "grp")
+  }
+
+  private def idsOf(root: String): Set[Long] =
+    SnapshotStore.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("br_spec").toString
+    try f(root) finally SnapshotStore.deleteTree(root)
+  }
+
+  test("fork is a manifest write: dirs shared, zero data copied") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 100L: _*), root)
+      SnapshotStore.append(df(101L to 200L: _*), root)
+      val br = SnapshotStore.createBranch(root, "exp")
+      assert(SnapshotStore.manifestDirs(br, 1).toSet
+        == SnapshotStore.manifestDirs(root, 2).toSet)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(br, "data")),
+        "fork copied data")
+      assert(idsOf(br) == (1L to 200L).toSet)
+      // duplicate name refuses; time-travel fork reads the old snapshot
+      intercept[IllegalArgumentException](SnapshotStore.createBranch(root, "exp"))
+      val old = SnapshotStore.createBranch(root, "asof-v1", fromVersion = 1)
+      assert(idsOf(old) == (1L to 100L).toSet)
+    }
+  }
+
+  test("writes are isolated in both directions; branch CoW never touches parent") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 100L: _*), root)
+      val br = SnapshotStore.createBranch(root, "exp")
+      SnapshotStore.append(df(201L to 210L: _*), br)          // branch append
+      SnapshotStore.deleteWhere(spark, br, col("id") % 2 === 0) // branch CoW
+      SnapshotStore.append(df(301L to 310L: _*), root)         // parent append
+      assert(idsOf(br) ==
+        ((1L to 100L) ++ (201L to 210L)).filter(_ % 2 == 1).toSet)
+      assert(idsOf(root) == ((1L to 100L) ++ (301L to 310L)).toSet,
+        "branch write leaked into the parent")
+      // sub-branch of a branch works and sees the branch's state
+      val sub = SnapshotStore.createBranch(br, "deeper")
+      assert(idsOf(sub) == idsOf(br))
+      // dropping the branch leaves the parent intact
+      SnapshotStore.deleteBranch(root, "exp")
+      assert(SnapshotStore.branches(root).isEmpty)
+      assert(idsOf(root) == ((1L to 100L) ++ (301L to 310L)).toSet)
+    }
+  }
+
+  test("parent vacuum retains every branch-referenced directory") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 50L: _*), root)
+      val br = SnapshotStore.createBranch(root, "keepme")
+      // the parent rewrites itself past the fork: the fork's dirs drop
+      // out of the parent's OWN retained manifests entirely
+      SnapshotStore.deleteWhere(spark, root, col("id") <= 25L)
+      SnapshotStore.compact(spark, root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      // without branch retention this read would hit deleted files
+      assert(idsOf(br) == (1L to 50L).toSet,
+        "parent vacuum deleted the branch's shared history")
+      // and after the branch is gone, a re-vacuum reclaims those dirs
+      SnapshotStore.deleteBranch(root, "keepme")
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      assert(idsOf(root) == (26L to 50L).toSet)
+    }
+  }
+
+  test("the fork inherits CHECK constraints") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      SnapshotStore.addConstraint(spark, root, "pos", "id > 0")
+      val br = SnapshotStore.createBranch(root, "exp")
+      intercept[Exception](SnapshotStore.append(df(-5L), br))
+      assert(idsOf(br) == (1L to 10L).toSet) // violating batch never landed
+      SnapshotStore.append(df(11L), br)      // a clean batch still lands
+      assert(idsOf(br).contains(11L))
+    }
+  }
+}
