@@ -3269,6 +3269,27 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Branch DIFF — the review step before keeping or discarding a fork:
+    // main gains a batch the branch never saw; the branch deletes rows
+    // and appends a mutated batch. The net content diff (multiset EXCEPT
+    // both ways, side-tagged) must equal the divergence replayed in SQL.
+    "snapshot_branch_diff" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_brd").toString
+      try {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 0), root)
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 1), root)
+        val br = sources.SnapshotStore.createBranch(root, "candidate")
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 2), root)
+        sources.SnapshotStore.deleteWhere(s, br, col("l_orderkey") % 5 === 0)
+        sources.SnapshotStore.append(
+          li.where(col("l_orderkey") % 3 === 2)
+            .withColumn("l_quantity", col("l_quantity") + lit(100.0)), br)
+        sources.SnapshotStore.diff(s, root, br).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -6061,6 +6082,18 @@ object SparkEntry {
         |       'branch' AS src
         |FROM lineitem
         |WHERE l_orderkey % 3 != 2 AND l_orderkey % 5 != 0""".stripMargin,
+
+    "snapshot_branch_diff" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       'left_only' AS _diff_side
+        |FROM lineitem
+        |WHERE (l_orderkey % 3 != 2 AND l_orderkey % 5 = 0)
+        |   OR l_orderkey % 3 = 2
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |       l_quantity + 100.0 AS l_quantity, 'right_only' AS _diff_side
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 2""".stripMargin,
 
     "a18_ohlc" ->
       s"""WITH $SERIES,

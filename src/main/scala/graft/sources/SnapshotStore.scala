@@ -780,6 +780,22 @@ object SnapshotStore {
   def deleteBranch(root: String, name: String): Unit =
     deleteTree(branchRoot(root, name))
 
+  /** Net content DIFF of a branch against its parent (or any two
+    * stores' current snapshots): the review step before keeping or
+    * discarding a fork. Multiset semantics like [[changes]] — rows the
+    * two sides share (by value) cancel, including everything still
+    * carried by reference, so the diff's cost tracks the DIVERGENCE
+    * (two EXCEPT ALLs over content; shared dirs read once per side),
+    * not the table. `_diff_side` tags "left_only" / "right_only". */
+  def diff(spark: SparkSession, leftRoot: String,
+           rightRoot: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val l = read(spark, leftRoot)
+    val r = read(spark, rightRoot)
+    l.exceptAll(r).withColumn("_diff_side", lit("left_only"))
+      .unionByName(r.exceptAll(l).withColumn("_diff_side", lit("right_only")))
+  }
+
   /** Every directory any live branch (recursively) still references —
     * parent vacuum must retain these. */
   private def branchReferencedDirs(root: String): Set[String] =
