@@ -2161,15 +2161,7 @@ object SparkEntry {
             .groupBy(col("metric"), expr("e div 86400").as("day"))
             .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, " +
               s"${sources.NdvView.LgK}))").as("approx_users"))
-          val scanRoots = agg.queryExecution.analyzed.collect {
-            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-              lr.relation match {
-                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                  fs.location.rootPaths.map(_.toString)
-                case _ => Seq.empty[String]
-              }
-          }.flatten
-          val usedView = scanRoots.nonEmpty && scanRoots.forall(_.contains("/nview"))
+          val usedView = graft.plans.PlanProbe.scansOnly(agg, "/nview")
           val exact = sources.SnapshotStore.read(s, src)
             .groupBy(col("metric"), expr("e div 86400").as("day"))
             .agg(countDistinct(col("user_id")).as("exact_users"))
@@ -2215,15 +2207,7 @@ object SparkEntry {
             .agg(count(lit(1)).as("cnt"),
               sum(col("value").cast("decimal(18,2)")).as("vsum"),
               min(col("value")).as("min_val"), max(col("value")).as("max_val"))
-          val scanRoots = agg.queryExecution.analyzed.collect {
-            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-              lr.relation match {
-                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                  fs.location.rootPaths.map(_.toString)
-                case _ => Seq.empty[String]
-              }
-          }.flatten
-          val usedView = scanRoots.nonEmpty && scanRoots.forall(_.contains("/view"))
+          val usedView = graft.plans.PlanProbe.scansOnly(agg, "/view")
           agg.select(col("metric"), col("day"), col("cnt"),
               col("vsum").cast("double").as("sum_val"),
               col("min_val"), col("max_val"),
@@ -2255,15 +2239,7 @@ object SparkEntry {
             .agg(count(lit(1)).as("cnt"),
               sum(col("value").cast("decimal(18,2)")).as("vsum"),
               min(col("value")).as("min_val"), max(col("value")).as("max_val"))
-          val scanRoots = agg.queryExecution.analyzed.collect {
-            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-              lr.relation match {
-                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                  fs.location.rootPaths.map(_.toString)
-                case _ => Seq.empty[String]
-              }
-          }.flatten
-          val usedView = scanRoots.nonEmpty && scanRoots.forall(_.contains("/view"))
+          val usedView = graft.plans.PlanProbe.scansOnly(agg, "/view")
           agg.select(col("metric"), col("hour"), col("cnt"),
               col("vsum").cast("double").as("sum_val"),
               col("min_val"), col("max_val"),
@@ -3229,15 +3205,7 @@ object SparkEntry {
             .where(col("o_orderpriority") === "1-URGENT")
           val rf = sources.SnapshotStore.read(s, r)
           val q = lf.join(rf, lf("o_orderkey") === rf("l_orderkey"))
-          val scanRoots = q.queryExecution.analyzed.collect {
-            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-              lr.relation match {
-                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                  fs.location.rootPaths.map(_.toString)
-                case _ => Seq.empty[String]
-              }
-          }.flatten
-          val usedView = scanRoots.nonEmpty && scanRoots.forall(_.contains("/view"))
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
           q.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
               col("l_linenumber"), col("l_partkey"), col("l_quantity"))
             .withColumn("used_view", lit(usedView))

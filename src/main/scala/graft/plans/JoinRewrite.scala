@@ -23,8 +23,9 @@ object MaterializedJoins {
   private val regs =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), String]()
 
-  private def canon(p: String): String =
-    Paths.get(p.replaceFirst("^file:/+", "/")).normalize().toAbsolutePath.toString
+  // path canonicalization, mtime probing, and version-pinning shared
+  // with MaterializedRollups — ONE definition of each invariant
+  private def canon(p: String): String = MaterializedRollups.canon(p)
 
   /** Declare `viewRoot` as [[JoinView]]-maintained over the two stores on
     * (leftKey = rightKey). From now on a user-shaped INNER equi-join of
@@ -67,16 +68,11 @@ object MaterializedJoins {
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[String, JProbe]()
 
-  private def mtime(root: String): Long = {
-    val p = Paths.get(root, "_manifests")
-    try java.nio.file.Files.getLastModifiedTime(p)
-      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-    catch { case _: java.io.IOException => -1L }
-  }
+  private def mtime(root: String): Long =
+    MaterializedRollups.manifestDirMtime(root)
 
   private def unmoved(root: String, v: Int): Boolean =
-    (v == 0 || SnapshotStore.hasManifest(root, v)) &&
-      !SnapshotStore.hasManifest(root, v + 1)
+    MaterializedRollups.storeUnmoved(root, v)
 
   /** Both sources' current-snapshot dirs + view freshness, cached until
     * any of the three stores' manifest directories change. */

@@ -109,7 +109,9 @@ object MaterializedRollups {
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Probe]()
 
-  private def manifestDirMtime(root: String): Long = {
+  // shared with MaterializedJoins — both registries' probe caches key on
+  // the same publish-site invariant
+  private[plans] def manifestDirMtime(root: String): Long = {
     val p = Paths.get(root, "_manifests")
     // nanosecond key: back-to-back commits land within the same
     // millisecond under test loads, and a stale "fresh" verdict must not
@@ -118,6 +120,14 @@ object MaterializedRollups {
       .to(java.util.concurrent.TimeUnit.NANOSECONDS)
     catch { case _: java.io.IOException => -1L }
   }
+
+  /** Is the cached `v` still this store's current version? (v present ∧
+    * v+1 absent — a publish always creates exactly the next version
+    * file; see the cache-soundness comment above.) Shared with
+    * MaterializedJoins. */
+  private[plans] def storeUnmoved(root: String, v: Int): Boolean =
+    (v == 0 || SnapshotStore.hasManifest(root, v)) &&
+      !SnapshotStore.hasManifest(root, v + 1)
 
   /** Current-snapshot dirs + view freshness for a registration, cached
     * until either store's manifest directory changes. None when the
@@ -138,11 +148,8 @@ object MaterializedRollups {
     // vacuum that could have erased evidence of newer commits (v+1
     // absent despite commits) necessarily erased v too — checking both
     // makes the pair airtight (v present ∧ v+1 absent ⇒ v is current).
-    def unmoved(root: String, v: Int): Boolean =
-      (v == 0 || SnapshotStore.hasManifest(root, v)) &&
-        !SnapshotStore.hasManifest(root, v + 1)
     if (cached != null && cached.srcM == srcM && cached.viewM == viewM &&
-        unmoved(srcRoot, cached.srcV) && unmoved(viewRoot, cached.viewV))
+        storeUnmoved(srcRoot, cached.srcV) && storeUnmoved(viewRoot, cached.viewV))
       return Some((cached.dirs, cached.fresh))
     val srcV = SnapshotStore.currentVersion(srcRoot)
     if (srcV == 0) return None

@@ -64,32 +64,66 @@ object SearchIndex {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("p"))).as("pos"))
 
+  /** One (n_docs, sum_dl) delta row for a batch — ONE definition for the
+    * batch and streaming ingest paths (they must stay bit-identical or a
+    * mixed-path corpus breaks the grown==rebuild guarantee). */
+  private def statsOf(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(TextOps.tokens(col("text"))).cast("long")), lit(0L))
+        .as("sum_dl"))
+
   /** Index a batch of NEW documents: append its postings (range-clustered
     * on term, bloom sidecar on term) and one additive stats row. The
     * first call creates the index; later calls grow it O(delta). Batches
-    * must be doc_id-disjoint (see class doc). */
+    * must be doc_id-disjoint (see class doc).
+    *
+    * The two commits are not atomic: a crash between the postings append
+    * and the stats row leaves BM25's global factors under-counted (and a
+    * blind re-run would double-index the batch). Exactly-once ingest
+    * goes through [[indexEpoch]]; after a batch-path crash, run
+    * [[repairStats]] and re-index only the batch whose postings are
+    * absent. */
   def index(spark: SparkSession, docs: DataFrame, root: String,
             buckets: Int = 8): Int = {
     val p = postingsOf(docs)
       .repartitionByRange(buckets, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(size(TextOps.tokens(col("text"))).cast("long")), lit(0L))
-        .as("sum_dl"))
     val v = SnapshotStore.appendWithBloom(p, root, "term")
-    SnapshotStore.append(stats, statsRoot(root))
+    SnapshotStore.append(statsOf(docs), statsRoot(root))
     v
   }
 
+  /** Rebuild the corpus-stats store from the postings — the RECOVERY for
+    * a crash that landed postings without their stats row ([[index]] /
+    * [[deleteDocsWhere]] windows). Stats are fully derivable: every
+    * posting row carries its document's `dl`, so n = distinct doc count
+    * and Σdl = the distinct (doc, dl) pairs' sum — exact integers,
+    * bit-equal to the incrementally maintained values. One postings scan
+    * (O(index)) — the rare-path price of keeping the maintenance paths
+    * O(delta). Idempotent: publishes as the stats store's compaction. */
+  def repairStats(spark: SparkSession, root: String): Unit = {
+    val fromPostings = SnapshotStore.read(spark, root)
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    val sr = statsRoot(root)
+    if (SnapshotStore.currentVersion(sr) == 0)
+      SnapshotStore.append(fromPostings, sr)
+    else SnapshotStore.compactWith(fromPostings, sr, targetFiles = 1)
+  }
+
   /** Epoch-idempotent [[index]] — the STREAMING ingest hook: postings
-    * publish through [[SnapshotStore.appendEpoch]] (a replayed trigger
-    * after a checkpoint restart is a true no-op), and the stats row
-    * appends ONLY when the postings version actually advanced, so the
-    * two stores can never drift under replay (single-writer streams —
-    * the foreachBatch contract). The bloom sidecar is written AFTER the
-    * commit (pure acceleration: a crash between the two leaves a
-    * correct, conservatively-read version). */
+    * AND the stats row each publish through their OWN store's
+    * [[SnapshotStore.appendEpoch]] guard. Per-store guards are what make
+    * the pair crash-convergent: a replayed trigger after a checkpoint
+    * restart no-ops whichever halves already committed and lands
+    * whichever half the crash cut off (foreachBatch re-delivers the same
+    * batch content, so the late stats row is the same row) — one guard
+    * spanning both stores would skip the stats append forever when the
+    * crash fell between the two commits. The bloom sidecar is written
+    * AFTER the commit (pure acceleration: a crash between commit and
+    * bloom leaves a correct, conservatively-read version). */
   def indexEpoch(spark: SparkSession, docs: DataFrame, root: String,
                  epochId: Long, buckets: Int = 8): Int = {
     val p = postingsOf(docs)
@@ -97,13 +131,8 @@ object SearchIndex {
       .sortWithinPartitions("term", "doc_id")
     val before = SnapshotStore.currentVersion(root)
     val v = SnapshotStore.appendEpoch(p, root, epochId)
+    SnapshotStore.appendEpoch(statsOf(docs), statsRoot(root), epochId)
     if (v != before) {
-      SnapshotStore.append(
-        docs.agg(
-          count(lit(1)).as("n_docs"),
-          coalesce(sum(size(TextOps.tokens(col("text"))).cast("long")),
-            lit(0L)).as("sum_dl")),
-        statsRoot(root))
       SnapshotStore.writeBloomSidecar(spark, root, v,
         SnapshotStore.manifestDirs(root, v)
           .diff(if (before > 0) SnapshotStore.manifestDirs(root, before)
@@ -233,7 +262,12 @@ object SearchIndex {
     * departing token mass is recovered from the index itself — the
     * deleted text is not needed). Directories the CoW rewrite produces
     * carry no bloom rows, so lookups conservatively keep them until the
-    * next indexing maintenance — pruning degrades, correctness never. */
+    * next indexing maintenance — pruning degrades, correctness never.
+    *
+    * The delete and the stats decrement are two commits: a crash
+    * between them leaves the stats over-counted, and a RE-RUN cannot
+    * recover it (the postings are already gone, so the recomputed
+    * decrement is zero) — run [[repairStats]] after a crashed delete. */
   def deleteDocsWhere(spark: SparkSession, root: String,
                       cond: org.apache.spark.sql.Column): Unit = {
     val gone = SnapshotStore.read(spark, root).where(cond)

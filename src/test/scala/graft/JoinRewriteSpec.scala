@@ -28,17 +28,8 @@ class JoinRewriteSpec extends SparkSpec {
     MaterializedJoins.enable(l, r, v, "o_id", "lo_id")
   }
 
-  private def scansView(df: DataFrame): Boolean = {
-    val roots = df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Seq.empty[String]
-        }
-    }.flatten
-    roots.nonEmpty && roots.forall(_.contains("/view"))
-  }
+  private def scansView(df: DataFrame): Boolean =
+    graft.plans.PlanProbe.scansOnly(df, "/view")
 
   private def rows(df: DataFrame): Set[(Long, Long, Double)] =
     df.select(col("o_id"), col("ln"), col("qty")).collect()

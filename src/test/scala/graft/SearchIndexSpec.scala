@@ -166,6 +166,57 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("a crash between the postings and stats commits converges on replay") {
+    withRoot { root =>
+      val b0 = corpus(64).where(col("doc_id") < 32)
+      val b1 = corpus(64).where(col("doc_id") >= 32)
+      SearchIndex.indexEpoch(spark, b0, root, epochId = 0L)
+      // simulate the torn trigger: epoch 1's POSTINGS committed but the
+      // process died before the stats row (the at-least-once window)
+      SnapshotStore.appendEpoch(
+        SearchIndex.postingsOf(b1), root, epochId = 1L)
+      assert(SearchIndex.corpusStats(spark, root).collect()(0).getDouble(0)
+        == 32.0) // drifted: postings know 64 docs, stats only 32
+      // the checkpoint restart re-delivers the same trigger: postings
+      // no-op, the MISSING stats row lands — per-store epoch guards
+      SearchIndex.indexEpoch(spark, b1, root, epochId = 1L)
+      assert(SearchIndex.corpusStats(spark, root).collect()(0).getDouble(0)
+        == 64.0)
+      // and the converged index answers like a clean build
+      withRoot { root2 =>
+        SearchIndex.index(spark, corpus(64), root2, buckets = 8)
+        assert(SearchIndex.bm25(spark, root, Seq("aaa", "filler"), k = 20)
+          .collect().toSeq ==
+          SearchIndex.bm25(spark, root2, Seq("aaa", "filler"), k = 20)
+            .collect().toSeq)
+      }
+    }
+  }
+
+  test("repairStats rebuilds the stats store from postings exactly") {
+    withRoot { root =>
+      val docs = corpus(64)
+      SearchIndex.index(spark, docs.where(col("doc_id") < 32), root, buckets = 4)
+      // simulate the batch-path crash: postings landed, stats row didn't
+      SnapshotStore.appendWithBloom(
+        SearchIndex.postingsOf(docs.where(col("doc_id") >= 32))
+          .repartitionByRange(4, col("term"), col("doc_id")),
+        root, "term")
+      SearchIndex.repairStats(spark, root)
+      val st = SearchIndex.corpusStats(spark, root).collect()(0)
+      assert(st.getDouble(0) == 64.0)
+      // bit-equal to a clean build's stats AND scores
+      withRoot { root2 =>
+        SearchIndex.index(spark, docs, root2, buckets = 4)
+        assert(st == SearchIndex.corpusStats(spark, root2).collect()(0))
+        assert(SearchIndex.bm25(spark, root, Seq("bbb", "filler"), k = 20)
+          .collect().toSeq ==
+          SearchIndex.bm25(spark, root2, Seq("bbb", "filler"), k = 20)
+            .collect().toSeq)
+      }
+    }
+  }
+
   test("compaction restores pruning and answers stay bit-identical") {
     withRoot { root =>
       val docs = corpus(128)
