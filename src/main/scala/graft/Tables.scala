@@ -143,14 +143,7 @@ object Tables {
       java.nio.file.Paths.get(s.replaceFirst("^file:/+", "/"))
         .normalize.toAbsolutePath.toString
     prevLoc.map(norm).foreach { prev =>
-      val reads = df.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(p => norm(p.toString))
-            case _ => Seq.empty[String]
-          }
-      }.flatten
+      val reads = graft.plans.PlanProbe.scanRoots(df).map(norm)
       require(!reads.exists(r => r == prev || r.startsWith(prev + "/")),
         s"writeBucketed: df reads from table `$table`'s current location " +
           s"($prev), which this rewrite deletes before df executes — " +

@@ -66,12 +66,29 @@ object SearchIndex {
 
   /** One (n_docs, sum_dl) delta row for a batch — ONE definition for the
     * batch and streaming ingest paths (they must stay bit-identical or a
-    * mixed-path corpus breaks the grown==rebuild guarantee). */
-  private def statsOf(docs: DataFrame): DataFrame =
-    docs.agg(
+    * mixed-path corpus breaks the grown==rebuild guarantee). NULL text
+    * is OUT OF CONTRACT and fails loudly here, before anything commits:
+    * a null-text doc would be counted by n_docs yet emit zero posting
+    * rows (posexplode of a null array), silently breaking
+    * [[repairStats]]' postings-derivable guarantee. The empty string is
+    * fine (it tokenizes to one empty token and gets a posting row). The
+    * one-row collect is the null gate's price — the aggregate scan of
+    * the batch happens either way, and the row is model-sized. */
+  private def statsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val r = docs.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(size(TextOps.tokens(col("text"))).cast("long")), lit(0L))
-        .as("sum_dl"))
+        .as("sum_dl"),
+      count(when(col("text").isNull, 1)).as("n_null")).head()
+    require(r.getAs[Long]("n_null") == 0L,
+      s"${r.getAs[Long]("n_null")} document(s) with NULL text — out of the " +
+        "index contract (a null-text doc has no postings, so crash repair " +
+        "could not recover its stats); filter or fill them before indexing")
+    import spark.implicits._
+    Seq((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl")))
+      .toDF("n_docs", "sum_dl")
+  }
 
   /** Index a batch of NEW documents: append its postings (range-clustered
     * on term, bloom sidecar on term) and one additive stats row. The
@@ -86,11 +103,12 @@ object SearchIndex {
     * absent. */
   def index(spark: SparkSession, docs: DataFrame, root: String,
             buckets: Int = 8): Int = {
+    val stats = statsOf(docs) // eager: the null gate fires pre-commit
     val p = postingsOf(docs)
       .repartitionByRange(buckets, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
     val v = SnapshotStore.appendWithBloom(p, root, "term")
-    SnapshotStore.append(statsOf(docs), statsRoot(root))
+    SnapshotStore.append(stats, statsRoot(root))
     v
   }
 
@@ -99,18 +117,31 @@ object SearchIndex {
     * [[deleteDocsWhere]] windows). Stats are fully derivable: every
     * posting row carries its document's `dl`, so n = distinct doc count
     * and Σdl = the distinct (doc, dl) pairs' sum — exact integers,
-    * bit-equal to the incrementally maintained values. One postings scan
-    * (O(index)) — the rare-path price of keeping the maintenance paths
-    * O(delta). Idempotent: publishes as the stats store's compaction. */
+    * bit-equal to the incrementally maintained values — the ingest-time
+    * null-text gate in statsOf is what makes this total: every indexed
+    * doc has at least one posting row. One postings scan (O(index)) —
+    * the rare-path price of keeping the maintenance paths O(delta).
+    * Idempotent, and safe against a LIVE stream's restart: the rebuilt
+    * stats publish carrying the POSTINGS store's newest epoch stamp
+    * forward (the rebuild already covers every epoch the postings
+    * carry), so a torn trigger's replay finds its epoch seen on both
+    * stores and no-ops instead of re-appending mass the repair already
+    * counted. */
   def repairStats(spark: SparkSession, root: String): Unit = {
     val fromPostings = SnapshotStore.read(spark, root)
       .groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
     val sr = statsRoot(root)
-    if (SnapshotStore.currentVersion(sr) == 0)
-      SnapshotStore.append(fromPostings, sr)
-    else SnapshotStore.compactWith(fromPostings, sr, targetFiles = 1)
+    val covered = (SnapshotStore.lastEpoch(root).toSeq ++
+      SnapshotStore.lastEpoch(sr).toSeq).maxOption
+    (SnapshotStore.currentVersion(sr), covered) match {
+      case (0, Some(e)) => SnapshotStore.appendEpoch(fromPostings, sr, e)
+      case (0, None)    => SnapshotStore.append(fromPostings, sr)
+      case _ =>
+        SnapshotStore.compactWith(fromPostings, sr, targetFiles = 1,
+          epochOverride = covered)
+    }
   }
 
   /** Epoch-idempotent [[index]] — the STREAMING ingest hook: postings
@@ -126,12 +157,13 @@ object SearchIndex {
     * bloom leaves a correct, conservatively-read version). */
   def indexEpoch(spark: SparkSession, docs: DataFrame, root: String,
                  epochId: Long, buckets: Int = 8): Int = {
+    val stats = statsOf(docs) // eager: the null gate fires pre-commit
     val p = postingsOf(docs)
       .repartitionByRange(buckets, col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
     val before = SnapshotStore.currentVersion(root)
     val v = SnapshotStore.appendEpoch(p, root, epochId)
-    SnapshotStore.appendEpoch(statsOf(docs), statsRoot(root), epochId)
+    SnapshotStore.appendEpoch(stats, statsRoot(root), epochId)
     if (v != before) {
       SnapshotStore.writeBloomSidecar(spark, root, v,
         SnapshotStore.manifestDirs(root, v)

@@ -217,6 +217,48 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("repairStats carries the torn epoch's stamp: the replay cannot double-count") {
+    withRoot { root =>
+      SearchIndex.indexEpoch(spark, corpus(64).where(col("doc_id") < 32),
+        root, epochId = 0L)
+      // torn trigger: epoch 1's postings landed, stats did not
+      SnapshotStore.appendEpoch(
+        SearchIndex.postingsOf(corpus(64).where(col("doc_id") >= 32)),
+        root, epochId = 1L)
+      SearchIndex.repairStats(spark, root) // operator repairs mid-outage
+      assert(SearchIndex.corpusStats(spark, root).collect()(0).getDouble(0)
+        == 64.0)
+      // the stream restarts and replays epoch 1: BOTH stores must no-op —
+      // an unstamped repair would re-append the batch's stats mass here
+      SearchIndex.indexEpoch(spark, corpus(64).where(col("doc_id") >= 32),
+        root, epochId = 1L)
+      assert(SearchIndex.corpusStats(spark, root).collect()(0).getDouble(0)
+        == 64.0, "replayed epoch re-counted mass the repair already covered")
+    }
+  }
+
+  test("null text fails loudly before anything commits") {
+    withRoot { root =>
+      val s = spark
+      import s.implicits._
+      SearchIndex.index(spark, corpus(8), root, buckets = 2)
+      val withNull = Seq((100L, "fine words"), (101L, null))
+        .toDF("doc_id", "text")
+      intercept[IllegalArgumentException](
+        SearchIndex.index(spark, withNull, root))
+      intercept[IllegalArgumentException](
+        SearchIndex.indexEpoch(spark, withNull, root, epochId = 9L))
+      // nothing landed: postings, stats, and scores all unchanged
+      assert(SearchIndex.corpusStats(spark, root).collect()(0).getDouble(0)
+        == 8.0)
+      assert(SearchIndex.containingAll(spark, root, Seq("fine")).isEmpty)
+      // the empty string stays IN contract (tokenizes to one empty token)
+      SearchIndex.index(spark, Seq((102L, "")).toDF("doc_id", "text"), root)
+      assert(SearchIndex.corpusStats(spark, root).collect()(0).getDouble(0)
+        == 9.0)
+    }
+  }
+
   test("compaction restores pruning and answers stay bit-identical") {
     withRoot { root =>
       val docs = corpus(128)
