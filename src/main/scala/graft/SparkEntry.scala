@@ -3258,6 +3258,27 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Branch MERGE lifecycle: fork, run a curation pass on the fork
+    // (deletion + mutated re-append), fast-forward merge back by
+    // reference (one manifest write, zero bytes copied), read main —
+    // which must now equal the branch's lifecycle replayed in SQL.
+    "snapshot_branch_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_brm").toString
+      try {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 2 === 0), root)
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 2 =!= 0), root)
+        val br = sources.SnapshotStore.createBranch(root, "curation")
+        sources.SnapshotStore.deleteWhere(s, br, col("l_quantity") > 40.0)
+        sources.SnapshotStore.append(
+          li.where(col("l_quantity") > 40.0)
+            .withColumn("l_quantity", lit(40.0)), br)
+        sources.SnapshotStore.mergeBranch(s, root, "curation")
+        sources.SnapshotStore.read(s, root).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -6050,6 +6071,12 @@ object SparkEntry {
         |       'branch' AS src
         |FROM lineitem
         |WHERE l_orderkey % 3 != 2 AND l_orderkey % 5 != 0""".stripMargin,
+
+    "snapshot_branch_merge" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       CASE WHEN l_quantity > 40.0 THEN 40.0 ELSE l_quantity END
+        |         AS l_quantity
+        |FROM lineitem""".stripMargin,
 
     "snapshot_branch_diff" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -774,11 +774,47 @@ object SnapshotStore {
     br
   }
 
+  /** FAST-FORWARD merge of a branch into its parent: when the parent has
+    * not moved since the fork (its current directory set still equals
+    * the branch's fork manifest), the branch's current content becomes
+    * the parent's next version by REFERENCE — one manifest write, zero
+    * bytes copied, exactly as cheap as the fork was. A diverged parent
+    * refuses loudly (the Nessie posture: inspect [[diff]] and reconcile
+    * explicitly — an engine that auto-merged diverged table states would
+    * be inventing conflict semantics). The merged manifest may reference
+    * branch-owned directories; [[deleteBranch]] refuses while any live
+    * parent manifest does (compact + vacuum the parent first to migrate
+    * the content into parent-owned storage, then delete). The parent's
+    * epoch resume position carries forward. */
+  def mergeBranch(spark: SparkSession, root: String, name: String): Int = {
+    val br = branchRoot(root, name)
+    val bv = currentVersion(br)
+    require(bv > 0, s"no branch '$name' at $root")
+    val parent = currentVersion(root)
+    require(manifestDirs(root, parent).toSet == manifestDirs(br, 1).toSet,
+      s"parent moved since branch '$name' forked — fast-forward only; " +
+        "diff() the two and reconcile explicitly")
+    commitReplace(root, parent, manifestDirs(br, bv), lastEpoch(root),
+      manifestCols(br, bv).getOrElse(Nil), "merge")
+  }
+
   /** Drop the branch: its manifests and its OWN data go; parent
     * directories it referenced are untouched (they belong to the
-    * parent's retained-set math). */
-  def deleteBranch(root: String, name: String): Unit =
-    deleteTree(branchRoot(root, name))
+    * parent's retained-set math). REFUSES while any live parent manifest
+    * still references a directory under the branch (a merged-by-reference
+    * branch is parent data now — compact + vacuum the parent first). */
+  def deleteBranch(root: String, name: String): Unit = {
+    val br = branchRoot(root, name)
+    val prefix = Paths.get(br).normalize().toAbsolutePath.toString + "/"
+    val referenced = (1 to currentVersion(root)).exists { v =>
+      hasManifest(root, v) && manifestDirs(root, v).exists(d =>
+        Paths.get(d).normalize().toAbsolutePath.toString.startsWith(prefix))
+    }
+    require(!referenced,
+      s"branch '$name' is referenced by a live parent manifest (merged by " +
+        "reference) — compact and vacuum the parent before deleting it")
+    deleteTree(br)
+  }
 
   /** Net content DIFF of a branch against its parent (or any two
     * stores' current snapshots): the review step before keeping or
@@ -805,6 +841,38 @@ object SnapshotStore {
         .flatMap(v => manifestDirs(br, v)) ++ branchReferencedDirs(br)
     }.toSet
 
+  /** Directories under `root` that stores OUTSIDE its own subtree still
+    * reference — possible once [[mergeBranch]] puts branch-owned dirs
+    * into a parent manifest by reference. A BRANCH's own vacuum must
+    * retain these or it deletes data its parent (or an aunt/sibling
+    * subtree forked after the merge) is serving. Walks the ancestor
+    * chain; at each level counts that ancestor's own live manifests plus
+    * every branch subtree EXCEPT the one we came through (our own
+    * subtree's references are the normal retained-set math). */
+  private def externallyReferencedDirs(root: String): Set[String] = {
+    def canon(p: String): String =
+      Paths.get(p).normalize().toAbsolutePath.toString
+    val rc = canon(root)
+    def refsOf(store: String, excludeBranch: Option[String]): Seq[String] = {
+      val own = (1 to currentVersion(store)).filter(hasManifest(store, _))
+        .flatMap(v => manifestDirs(store, v))
+      val branchRefs = branches(store).filterNot(excludeBranch.contains)
+        .flatMap(b => refsOf(branchRoot(store, b), None))
+      own ++ branchRefs
+    }
+    val marker = "/_branches/"
+    var out = Set.empty[String]
+    var cur = rc
+    while (cur.contains(marker)) {
+      val idx = cur.lastIndexOf(marker)
+      val parent = cur.substring(0, idx)
+      val cameThrough = cur.substring(idx + marker.length).split('/').head
+      out ++= refsOf(parent, Some(cameThrough)).map(canon)
+      cur = parent
+    }
+    out.filter(_.startsWith(rc + "/"))
+  }
+
   def vacuum(root: String, keepFrom: Int): Unit = {
     val cur = currentVersion(root)
     require(keepFrom >= 1 && keepFrom <= cur,
@@ -815,11 +883,13 @@ object SnapshotStore {
     // interpolation) would make every retained dir "unreferenced" and
     // vacuum would delete LIVE data.
     def canon(p: String): String = Paths.get(p).normalize().toAbsolutePath.toString
-    // every live branch's referenced dirs are retained too: a fork shares
-    // the parent's history by reference, and vacuuming it away would
-    // delete the branch's live data
+    // every live branch's referenced dirs are retained too (a fork shares
+    // the parent's history by reference), and so are OUR dirs that an
+    // ancestor or sibling subtree references after a by-reference merge —
+    // vacuuming either away would delete live data someone else serves
     val retained = ((keepFrom to cur).flatMap(v => manifestDirs(root, v)) ++
-      branchReferencedDirs(root)).map(canon).toSet
+      branchReferencedDirs(root)).map(canon).toSet ++
+      externallyReferencedDirs(root)
     // A version's OWN data dirs, from its manifest diff against its
     // parent — computed BEFORE any manifest deletion. Name-pattern
     // matching is NOT sound here: after a lost-race re-stack, a dir's

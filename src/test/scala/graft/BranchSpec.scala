@@ -82,6 +82,59 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("fast-forward merge: by reference, divergence refuses, delete guarded") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 50L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.deleteWhere(spark, br, col("id") % 2 === 0)
+      SnapshotStore.append(df(101L to 110L: _*), br)
+      SnapshotStore.mergeBranch(spark, root, "work")
+      // main now IS the branch content, by reference — no data copied
+      assert(idsOf(root) ==
+        ((1L to 50L).filter(_ % 2 == 1) ++ (101L to 110L)).toSet)
+      assert(SnapshotStore.manifestOp(root, SnapshotStore.currentVersion(root))
+        .contains("merge"))
+      // the merged branch is parent data now: deleting it refuses loudly
+      intercept[IllegalArgumentException](SnapshotStore.deleteBranch(root, "work"))
+      // migrate the content into parent-owned storage, then delete works
+      SnapshotStore.compact(spark, root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      SnapshotStore.deleteBranch(root, "work")
+      assert(idsOf(root) ==
+        ((1L to 50L).filter(_ % 2 == 1) ++ (101L to 110L)).toSet)
+    }
+  }
+
+  test("a diverged parent refuses the merge") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      SnapshotStore.createBranch(root, "work")
+      SnapshotStore.append(df(11L), root) // parent moves after the fork
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.mergeBranch(spark, root, "work"))
+      assert(e.getMessage.contains("fast-forward"))
+      assert(idsOf(root) == (1L to 11L).toSet) // nothing changed
+    }
+  }
+
+  test("branch vacuum retains dirs a post-merge parent still references") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 20L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.append(df(21L to 30L: _*), br) // branch-own dir
+      SnapshotStore.mergeBranch(spark, root, "work")
+      // the branch keeps moving, then vacuums its own history: the
+      // branch-own dir the PARENT's merged manifest references must
+      // survive even though the branch's retained manifests are the
+      // only thing its own math would keep
+      SnapshotStore.deleteWhere(spark, br, col("id") > 25L)
+      SnapshotStore.vacuum(br, keepFrom = SnapshotStore.currentVersion(br))
+      assert(idsOf(root) == (1L to 30L).toSet,
+        "branch vacuum deleted data the parent's merged manifest serves")
+      assert(idsOf(br) == (1L to 25L).toSet)
+    }
+  }
+
   test("the fork inherits CHECK constraints") {
     withRoot { root =>
       SnapshotStore.append(df(1L to 10L: _*), root)
