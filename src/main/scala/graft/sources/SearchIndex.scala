@@ -157,6 +157,12 @@ object SearchIndex {
     * bloom leaves a correct, conservatively-read version). */
   def indexEpoch(spark: SparkSession, docs: DataFrame, root: String,
                  epochId: Long, buckets: Int = 8): Int = {
+    // fully-replayed trigger: both stores stamped — skip at manifest-read
+    // cost instead of paying the batch's tokenize+aggregate again (every
+    // restart replays the last committed epoch)
+    if (SnapshotStore.epochStamped(root, epochId) &&
+        SnapshotStore.epochStamped(statsRoot(root), epochId))
+      return SnapshotStore.currentVersion(root)
     val stats = statsOf(docs) // eager: the null gate fires pre-commit
     val p = postingsOf(docs)
       .repartitionByRange(buckets, col("term"), col("doc_id"))

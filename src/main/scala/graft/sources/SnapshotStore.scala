@@ -456,6 +456,12 @@ object SnapshotStore {
     * by [[commitAppend]] on every contended retry: the winner of a lost
     * race may have published THIS epoch, and re-stacking on top would
     * double-ingest the micro-batch. */
+  /** [[epochSeen]] for sibling ingest layers (SearchIndex) that guard a
+    * multi-store trigger and want to skip the batch's recompute work
+    * entirely when every store already carries the stamp. */
+  private[sources] def epochStamped(root: String, epochId: Long): Boolean =
+    epochSeen(root, epochId)
+
   private def epochSeen(root: String, epochId: Long): Boolean =
     (1 to currentVersion(root)).exists { v =>
       val p = manifestPath(root, v)
@@ -791,10 +797,31 @@ object SnapshotStore {
     val bv = currentVersion(br)
     require(bv > 0, s"no branch '$name' at $root")
     val parent = currentVersion(root)
-    require(manifestDirs(root, parent).toSet == manifestDirs(br, 1).toSet,
-      s"parent moved since branch '$name' forked — fast-forward only; " +
-        "diff() the two and reconcile explicitly")
-    commitReplace(root, parent, manifestDirs(br, bv), lastEpoch(root),
+    // fast-forward = the parent's current content is SOME surviving state
+    // of the branch's own history (the fork point, or a previous merge
+    // point — so iterate-merge-iterate keeps working); only surviving
+    // manifests are consulted, so a branch that vacuumed its history
+    // refuses with this message instead of crashing on a missing file
+    val parentDirs = manifestDirs(root, parent).toSet
+    require((1 to bv).exists(v =>
+        hasManifest(br, v) && manifestDirs(br, v).toSet == parentDirs),
+      s"parent is not an ancestor state of branch '$name' — fast-forward " +
+        "only; diff() the two and reconcile explicitly")
+    // a CHECK added to the parent AFTER the fork is not in the branch's
+    // copied constraint set: validate the merged content against the
+    // parent's CURRENT contract before it publishes, like every other
+    // content-publishing path
+    constraints(root).foreach { case (n, sql) =>
+      val bad = firstViolation(read(spark, br, bv, mergeSchema = true), sql)
+      require(bad.isEmpty,
+        s"branch '$name' violates the parent's CHECK $n ($sql) — " +
+          s"first: ${bad.get}")
+    }
+    // both resume positions carry forward: a stream that ingested into
+    // the branch and repoints at the merged parent must find its epochs
+    // stamped, or the restart replay double-ingests
+    val epoch = (lastEpoch(root).toSeq ++ lastEpoch(br).toSeq).maxOption
+    commitReplace(root, parent, manifestDirs(br, bv), epoch,
       manifestCols(br, bv).getOrElse(Nil), "merge")
   }
 
@@ -805,14 +832,16 @@ object SnapshotStore {
     * branch is parent data now — compact + vacuum the parent first). */
   def deleteBranch(root: String, name: String): Unit = {
     val br = branchRoot(root, name)
-    val prefix = Paths.get(br).normalize().toAbsolutePath.toString + "/"
-    val referenced = (1 to currentVersion(root)).exists { v =>
-      hasManifest(root, v) && manifestDirs(root, v).exists(d =>
-        Paths.get(d).normalize().toAbsolutePath.toString.startsWith(prefix))
-    }
-    require(!referenced,
-      s"branch '$name' is referenced by a live parent manifest (merged by " +
-        "reference) — compact and vacuum the parent before deleting it")
+    // the FULL outside-the-subtree walk (ancestors at every level plus
+    // the sibling subtrees forked after a merge) — checking only the
+    // immediate parent's manifests would let the documented
+    // compact+vacuum remediation delete data a post-merge sibling fork
+    // still serves
+    val refs = externallyReferencedDirs(br)
+    require(refs.isEmpty,
+      s"branch '$name' is referenced outside its own subtree (merged by " +
+        s"reference; e.g. ${refs.head}) — compact and vacuum the " +
+        "referencing stores before deleting it")
     deleteTree(br)
   }
 

@@ -135,6 +135,59 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("deleteBranch refuses while a post-merge SIBLING fork still references it") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val work = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.append(df(11L to 20L: _*), work) // work-own dir
+      SnapshotStore.mergeBranch(spark, root, "work")
+      // a sibling forked AFTER the merge references work's data dir
+      val exp = SnapshotStore.createBranch(root, "exp")
+      // the old remediation path: parent's merge manifests go away...
+      SnapshotStore.compact(spark, root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      // ...but exp still serves work's dir — delete must refuse
+      intercept[IllegalArgumentException](SnapshotStore.deleteBranch(root, "work"))
+      assert(idsOf(exp) == (1L to 20L).toSet)
+      SnapshotStore.deleteBranch(root, "exp")
+      SnapshotStore.deleteBranch(root, "work") // now unreferenced: fine
+      assert(idsOf(root) == (1L to 20L).toSet)
+    }
+  }
+
+  test("iterate-merge-iterate: a second fast-forward merge succeeds") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.append(df(11L), br)
+      SnapshotStore.mergeBranch(spark, root, "work")
+      SnapshotStore.append(df(12L), br) // branch keeps iterating
+      SnapshotStore.mergeBranch(spark, root, "work") // parent == merge point
+      assert(idsOf(root) == (1L to 12L).toSet)
+    }
+  }
+
+  test("merge enforces the parent's POST-fork constraints and carries epochs") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      SnapshotStore.appendEpoch(df(50L), br, epochId = 7L) // stream into branch
+      SnapshotStore.addConstraint(spark, root, "cap", "id <= 100")
+      SnapshotStore.appendEpoch(df(500L), br, epochId = 8L) // violates cap
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.mergeBranch(spark, root, "work"))
+      assert(e.getMessage.contains("cap"))
+      // drop the violating rows on the branch; merge lands and the
+      // branch's epoch resume position survives on the parent
+      SnapshotStore.deleteWhere(spark, br, col("id") > 100L)
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idsOf(root) == ((1L to 10L) :+ 50L).toSet)
+      assert(SnapshotStore.lastEpoch(root).contains(8L),
+        "merge dropped the branch's epoch stamps")
+    }
+  }
+
   test("the fork inherits CHECK constraints") {
     withRoot { root =>
       SnapshotStore.append(df(1L to 10L: _*), root)
