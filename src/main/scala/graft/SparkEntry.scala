@@ -3279,6 +3279,40 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // COMPOSITE-key join view: two column families of lineitem keyed
+    // (orderkey, linenumber), maintained through bootstrap + left/right
+    // deltas + a retraction that deletes SOME lines of an order while
+    // its sibling lines survive (the dirty-key granularity proof: a
+    // single-key view would retract the whole order). The key pair is
+    // NOT unique in the fixture, so this also pins multiset join
+    // maintenance — duplicate key groups cross-product identically in
+    // the view and the SQL replay.
+    "join_view_composite" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jvc").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val li = Tables.lineitem(s, dir)
+        val lf = li.select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+        val rf = li.select(col("l_orderkey").as("r_orderkey"),
+          col("l_linenumber").as("r_linenumber"),
+          col("l_returnflag"), col("l_discount"))
+        def refresh(): Unit = sources.JoinView.refreshKeys(s, l, r, v,
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("r_orderkey", "r_linenumber"))
+        sources.SnapshotStore.append(lf.where(col("l_orderkey") % 2 === 0), l)
+        sources.SnapshotStore.append(rf.where(col("r_orderkey") % 2 === 0), r)
+        refresh() // bootstrap
+        sources.SnapshotStore.append(lf.where(col("l_orderkey") % 2 =!= 0), l)
+        refresh() // left-only composite delta
+        sources.SnapshotStore.append(rf.where(col("r_orderkey") % 2 =!= 0), r)
+        refresh() // right-only composite delta
+        sources.SnapshotStore.deleteWhere(s, l, col("l_quantity") > 45.0)
+        refresh() // per-line retraction: sibling lines of the order survive
+        sources.JoinView.read(s, v).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -6061,6 +6095,23 @@ object SparkEntry {
         |       l_linenumber, l_partkey, l_quantity, TRUE AS used_view
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture (45832
+    // distinct of 60000 at sf0.01) — the oracle replays the actual
+    // multiset join, duplicate key groups cross-producting exactly as
+    // the view maintains them.
+    "join_view_composite" ->
+      """WITH lf AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |                   l_extendedprice
+        |            FROM lineitem WHERE l_quantity <= 45.0),
+        |rf AS (SELECT l_orderkey AS r_orderkey,
+        |              l_linenumber AS r_linenumber,
+        |              l_returnflag, l_discount
+        |       FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_returnflag, l_discount
+        |FROM lf JOIN rf ON l_orderkey = r_orderkey
+        |                AND l_linenumber = r_linenumber""".stripMargin,
 
     "snapshot_branch_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -27,6 +27,14 @@ object MaterializedJoins {
   // with MaterializedRollups — ONE definition of each invariant
   private def canon(p: String): String = MaterializedRollups.canon(p)
 
+  /** Canonical form of a key-pair list: pairs sorted by left key name —
+    * a conjunction's equalities carry no order, so both the registration
+    * and the matched condition normalize the same way. */
+  private[plans] def keySig(lks: Seq[String], rks: Seq[String]): (String, String) = {
+    val pairs = lks.map(_.toLowerCase).zip(rks.map(_.toLowerCase)).sortBy(_._1)
+    (pairs.map(_._1).mkString(","), pairs.map(_._2).mkString(","))
+  }
+
   /** Declare `viewRoot` as [[JoinView]]-maintained over the two stores on
     * (leftKey = rightKey). From now on a user-shaped INNER equi-join of
     * the two sources' CURRENT snapshots on that key pair is answered from
@@ -35,8 +43,17 @@ object MaterializedJoins {
     * analysis-time binding contract as [[MaterializedRollups.enable]]). */
   def enable(leftRoot: String, rightRoot: String, viewRoot: String,
              leftKey: String, rightKey: String): Unit =
-    regs.put((canon(leftRoot), canon(rightRoot),
-      leftKey.toLowerCase, rightKey.toLowerCase), viewRoot)
+    enableKeys(leftRoot, rightRoot, viewRoot, Seq(leftKey), Seq(rightKey))
+
+  /** [[enable]] for COMPOSITE equi-keys (pairwise positional equalities —
+    * the [[JoinView.refreshKeys]] contract). */
+  def enableKeys(leftRoot: String, rightRoot: String, viewRoot: String,
+                 leftKeys: Seq[String], rightKeys: Seq[String]): Unit = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
+    val (lk, rk) = keySig(leftKeys, rightKeys)
+    regs.put((canon(leftRoot), canon(rightRoot), lk, rk), viewRoot)
+  }
 
   /** Unregister every pair mentioning `root` on either side (and evict
     * probe cache entries — registry queries use never-reused temp roots). */
@@ -153,31 +170,39 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Flatten a conjunction. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
+  }
+
   private def rewrite(j: Join, lchild: LogicalPlan, rchild: LogicalPlan,
                       cond: Expression): Option[LogicalPlan] = {
-    val (la, ra) = cond match {
+    // the condition must be a pure conjunction of attr = attr equalities,
+    // each orientable to (left side, right side)
+    val pairs = conjuncts(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         if (lchild.outputSet.contains(a) && rchild.outputSet.contains(b)) (a, b)
         else if (lchild.outputSet.contains(b) && rchild.outputSet.contains(a)) (b, a)
         else return None
       case _ => return None
     }
+    val (las, ras) = pairs.unzip
     val (lrel, lfilters) = dissect(lchild).getOrElse(return None)
     val (rrel, rfilters) = dissect(rchild).getOrElse(return None)
     val lpaths = MaterializedJoins.canonPaths(lrel).getOrElse(return None)
     val rpaths = MaterializedJoins.canonPaths(rrel).getOrElse(return None)
+    val sig = MaterializedJoins.keySig(las.map(_.name), ras.map(_.name))
+    val flipped = MaterializedJoins.keySig(ras.map(_.name), las.map(_.name))
     // an inner join is symmetric: match the registration in either side
     // order (the user may write R.join(L) for a view registered (L, R))
-    def matches(lr: String, rr: String, lk: String, rk: String,
-                vr: String): Boolean =
-      lk == la.name.toLowerCase && rk == ra.name.toLowerCase &&
-        MaterializedJoins.probe(lr, rr, vr).exists {
-          case (ld, rd, fresh) => fresh && ld == lpaths && rd == rpaths
-        }
     val viewRoot = MaterializedJoins.all.collectFirst {
       case ((lr, rr, lk, rk), vr)
-          if matches(lr, rr, lk, rk, vr) ||
-            (lk == ra.name.toLowerCase && rk == la.name.toLowerCase &&
+          if ((lk, rk) == sig &&
+              MaterializedJoins.probe(lr, rr, vr).exists {
+                case (ld, rd, fresh) => fresh && ld == lpaths && rd == rpaths
+              }) ||
+            ((lk, rk) == flipped &&
               MaterializedJoins.probe(lr, rr, vr).exists {
                 case (ld, rd, fresh) => fresh && ld == rpaths && rd == lpaths
               }) => vr
@@ -185,16 +210,16 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val viewPlan = JoinView.read(spark, viewRoot).queryExecution.analyzed
     val byName = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
-    // the registered right key was dropped in the view; the inner
-    // equality makes the two key columns value-identical, so whichever
-    // key name the view lacks is served from the other key's column
+    // the registered right keys were dropped in the view; each inner
+    // equality makes its two key columns value-identical, so whichever
+    // key name the view lacks is served from its PAIRED key's column
     // (covers both join orientations)
+    val pairedName: Map[String, String] =
+      (las.map(_.name.toLowerCase).zip(ras.map(_.name.toLowerCase)) ++
+        ras.map(_.name.toLowerCase).zip(las.map(_.name.toLowerCase))).toMap
     def resolve(name: String): Option[Attribute] =
       byName.get(name.toLowerCase)
-        .orElse(if (name.equalsIgnoreCase(ra.name))
-          byName.get(la.name.toLowerCase) else None)
-        .orElse(if (name.equalsIgnoreCase(la.name))
-          byName.get(ra.name.toLowerCase) else None)
+        .orElse(pairedName.get(name.toLowerCase).flatMap(byName.get))
 
     val projections = j.output.map { attr =>
       resolve(attr.name) match {

@@ -57,9 +57,38 @@ object JoinView {
       .getOrElse((0, 0))
 
   /** The view-shaped join of two source frames. */
+  /** The view-shaped join on the full key list: conjunction of pairwise
+    * equalities; the right side's key columns drop (each is recoverable
+    * from its paired left key). */
   private def joined(l: DataFrame, r: DataFrame,
-                     leftKey: String, rightKey: String): DataFrame =
-    l.join(r, l(leftKey) === r(rightKey)).drop(r(rightKey))
+                     lks: Seq[String], rks: Seq[String]): DataFrame = {
+    val cond = lks.zip(rks).map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+    rks.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
+  /** The delta's distinct key tuples as __bk0.._bkN columns — ONE
+    * checkpointed frame reused for the range-prune min/max, the bloom
+    * build, and the dedup join. */
+  private def keyTuples(delta: DataFrame, keys: Seq[String]): DataFrame =
+    delta.select(keys.zipWithIndex.map { case (k, i) =>
+      col(k).as(s"__bk$i")
+    }: _*).distinct().localCheckpoint(true)
+
+  /** standing ⋈ delta-keys with the standing rows bloom-prefiltered on
+    * the composite key (xxhash64 over the key struct — both sides hash
+    * the same shape), then deduped by the equi-join against the distinct
+    * key tuples. Only possibly-matching standing rows shuffle. */
+  private def prefiltered(standing: DataFrame, standingKeys: Seq[String],
+                          dk: DataFrame): DataFrame = {
+    val bks = dk.columns.toSeq
+    val bf = RelationalOps.buildKeyBloomAuto(dk, struct(bks.map(col): _*))
+    val cond = standingKeys.zip(bks)
+      .map { case (s, b) => standing(s) === dk(b) }.reduce(_ && _)
+    bks.foldLeft(
+      standing.where(RelationalOps.mightContainKey(bf,
+          struct(standingKeys.map(standing(_)): _*)))
+        .join(dk, cond))((df, b) => df.drop(dk(b)))
+  }
 
   /** Append/no-op commits only in (from, cur], with both endpoint
     * manifests alive (the manifest diff and the old-version read both
@@ -89,9 +118,11 @@ object JoinView {
     * non-integral keys skip range pruning (the stats sidecar is
     * long-typed). The bloom row-prefilter still applies on top. */
   private def standing(spark: SparkSession, root: String, ver: Int,
-                       key: String, deltaKeys: DataFrame): DataFrame = {
+                       keys: Seq[String], deltaKeys: DataFrame): DataFrame = {
     val full = SnapshotStore.read(spark, root, ver)
-    val integral = full.schema(key).dataType match {
+    // range pruning rides the FIRST key (the stats sidecar is per-column
+    // long min/max); further keys still gate through the bloom + join
+    val integral = full.schema(keys.head).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType => true
@@ -100,18 +131,28 @@ object JoinView {
     if (!integral) full
     else {
       val mm = deltaKeys
-        .agg(min(col("__bk").cast("long")), max(col("__bk").cast("long")))
+        .agg(min(col("__bk0").cast("long")), max(col("__bk0").cast("long")))
         .head()
       if (mm.isNullAt(0)) full.limit(0) // empty delta: nothing can match
-      else SnapshotStore.readWhere(spark, root, key,
+      else SnapshotStore.readWhere(spark, root, keys.head,
         mm.getLong(0), mm.getLong(1), ver)
     }
   }
 
-  /** Bring the view up to both sources' current versions. Returns the
-    * view version (unchanged when both cursors already match). */
+  /** Single-key [[refreshKeys]]. */
   def refresh(spark: SparkSession, leftRoot: String, rightRoot: String,
-              viewRoot: String, leftKey: String, rightKey: String): Int = {
+              viewRoot: String, leftKey: String, rightKey: String): Int =
+    refreshKeys(spark, leftRoot, rightRoot, viewRoot,
+      Seq(leftKey), Seq(rightKey))
+
+  /** Bring the view up to both sources' current versions — COMPOSITE
+    * equi-keys supported (pairwise positional equalities). Returns the
+    * view version (unchanged when both cursors already match). */
+  def refreshKeys(spark: SparkSession, leftRoot: String, rightRoot: String,
+                  viewRoot: String, leftKeys: Seq[String],
+                  rightKeys: Seq[String]): Int = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
     val lv = SnapshotStore.currentVersion(leftRoot)
     val rv = SnapshotStore.currentVersion(rightRoot)
     require(lv > 0 && rv > 0,
@@ -127,58 +168,65 @@ object JoinView {
     if (plv == 0 && prv == 0) {
       // bootstrap: non-key column collision would corrupt every later
       // dirty anti-join — fail before the first version publishes
-      val overlap = lNew.columns.toSet.intersect(rNew.columns.toSet) - rightKey
+      val overlap =
+        lNew.columns.toSet.intersect(rNew.columns.toSet) -- rightKeys
       require(overlap.isEmpty,
         s"non-key columns collide across the join view's sides: $overlap")
       SnapshotStore.appendEpoch(
-        joined(lNew, rNew, leftKey, rightKey), viewRoot, pack(lv, rv))
+        joined(lNew, rNew, leftKeys, rightKeys), viewRoot, pack(lv, rv))
     } else if (appendOnly(leftRoot, plv, lv) && appendOnly(rightRoot, prv, rv)) {
       // Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR; standing sides bloom-prefiltered
       // by the in-hand delta's keys so only possibly-matching rows join
       val parts = Seq(
         if (lv > plv) {
-          val dk = SnapshotStore.incremental(spark, leftRoot, plv, lv)
-            .select(col(leftKey).as("__bk")).distinct().localCheckpoint(true)
+          val dk = keyTuples(
+            SnapshotStore.incremental(spark, leftRoot, plv, lv), leftKeys)
           Some(joined(
             SnapshotStore.incremental(spark, leftRoot, plv, lv),
-            RelationalOps.bloomFilteredJoin(
-              standing(spark, rightRoot, rv, rightKey, dk), dk,
-              rightKey, "__bk").drop("__bk"),
-            leftKey, rightKey))
+            prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
+              rightKeys, dk),
+            leftKeys, rightKeys))
         } else None,
         if (rv > prv) {
-          val dk = SnapshotStore.incremental(spark, rightRoot, prv, rv)
-            .select(col(rightKey).as("__bk")).distinct().localCheckpoint(true)
+          val dk = keyTuples(
+            SnapshotStore.incremental(spark, rightRoot, prv, rv), rightKeys)
           Some(joined(
-            RelationalOps.bloomFilteredJoin(
-              standing(spark, leftRoot, plv, leftKey, dk), dk,
-              leftKey, "__bk").drop("__bk"),
+            prefiltered(standing(spark, leftRoot, plv, leftKeys, dk),
+              leftKeys, dk),
             SnapshotStore.incremental(spark, rightRoot, prv, rv),
-            leftKey, rightKey))
+            leftKeys, rightKeys))
         } else None).flatten
       SnapshotStore.appendEpoch(
         parts.reduce(_ unionByName _), viewRoot, pack(lv, rv))
     } else if (churnOnly(leftRoot, plv, lv) && churnOnly(rightRoot, prv, rv)) {
-      // retraction: dirty keys from both change feeds, join work bounded
-      // by them; the view rewrites once (anti-join survivors + recompute)
-      val dirty = SnapshotStore.changes(spark, leftRoot, plv, lv)
-          .select(col(leftKey).as("__dk"))
-        .unionByName(SnapshotStore.changes(spark, rightRoot, prv, rv)
-          .select(col(rightKey).as("__dk")))
-        .distinct()
-      val survivors = SnapshotStore.read(spark, viewRoot)
-        .join(broadcast(dirty), col(leftKey) === col("__dk"), "left_anti")
+      // retraction: dirty key tuples from both change feeds, join work
+      // bounded by them; the view rewrites once (anti survivors + recompute)
+      val dirty = keyTuples(
+        SnapshotStore.changes(spark, leftRoot, plv, lv)
+          .select(leftKeys.map(col): _*)
+          .unionByName(SnapshotStore.changes(spark, rightRoot, prv, rv)
+            .select(rightKeys.zip(leftKeys).map { case (rk, lk) =>
+              col(rk).as(lk)
+            }: _*)),
+        leftKeys)
+      def dirtyJoin(df: DataFrame, keys: Seq[String], how: String) =
+        df.join(broadcast(dirty),
+          keys.zipWithIndex.map { case (k, i) =>
+            df(k) === dirty(s"__bk$i")
+          }.reduce(_ && _), how)
+      val survivors = dirtyJoin(
+        SnapshotStore.read(spark, viewRoot), leftKeys, "left_anti")
       val recomputed = joined(
-        lNew.join(broadcast(dirty), col(leftKey) === col("__dk"), "left_semi"),
-        rNew.join(broadcast(dirty), col(rightKey) === col("__dk"), "left_semi"),
-        leftKey, rightKey)
+        dirtyJoin(lNew, leftKeys, "left_semi"),
+        dirtyJoin(rNew, rightKeys, "left_semi"),
+        leftKeys, rightKeys)
       SnapshotStore.compactWith(
         survivors.unionByName(recomputed), viewRoot,
         epochOverride = Some(pack(lv, rv)))
     } else {
       // a source compaction (or vacuumed baseline) broke the diff: rebuild
       SnapshotStore.compactWith(
-        joined(lNew, rNew, leftKey, rightKey), viewRoot,
+        joined(lNew, rNew, leftKeys, rightKeys), viewRoot,
         epochOverride = Some(pack(lv, rv)))
     }
   }

@@ -74,6 +74,62 @@ class JoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("an aggregate ON TOP of the join is served too, values unchanged") {
+    withStores { (l, r, v) =>
+      seed(l, r, v)
+      def agg() = {
+        val lf = SnapshotStore.read(spark, l); val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("o_id") === rf("lo_id"))
+          .groupBy("cust").agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("q"))
+      }
+      val served = agg()
+      assert(scansView(served), "join under an aggregate did not rewrite")
+      val got = served.collect().map(x => (x.getString(0), x.getLong(1),
+        x.getDouble(2))).toSet
+      MaterializedJoins.disable(l) // ground truth off the sources
+      val want = agg().collect().map(x => (x.getString(0), x.getLong(1),
+        x.getDouble(2))).toSet
+      assert(got == want && want.nonEmpty)
+    }
+  }
+
+  test("composite keys: serves on the full pair set in any order, declines on a subset") {
+    withStores { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(
+        (1L to 30L).map(i => (i % 10, i % 3, i * 1.0)).toDF("a1", "a2", "x"), l)
+      SnapshotStore.append(
+        (1L to 60L).map(i => (i % 10, i % 3, i * 2.0)).toDF("b1", "b2", "y"), r)
+      JoinView.refreshKeys(spark, l, r, v, Seq("a1", "a2"), Seq("b1", "b2"))
+      MaterializedJoins.enableKeys(l, r, v, Seq("a1", "a2"), Seq("b1", "b2"))
+      try {
+        def lf = SnapshotStore.read(spark, l)
+        def rf = SnapshotStore.read(spark, r)
+        val (l1, r1) = (lf, rf)
+        val q = l1.join(r1, l1("a1") === r1("b1") && l1("a2") === r1("b2"))
+        assert(scansView(q), "composite-key join did not rewrite")
+        // equality order flipped in the condition: still the same pair set
+        val (l2, r2) = (lf, rf)
+        val q2 = l2.join(r2, l2("a2") === r2("b2") && l2("a1") === r2("b1"))
+        assert(scansView(q2))
+        // values: the served join equals the ground-truth join
+        MaterializedJoins.disable(l)
+        val (l3, r3) = (lf, rf)
+        val want = l3.join(r3, l3("a1") === r3("b1") && l3("a2") === r3("b2"))
+          .select(col("a1"), col("a2"), col("x"), col("y"))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+        assert(q.select(col("a1"), col("a2"), col("x"), col("y"))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString) == want)
+        MaterializedJoins.enableKeys(l, r, v, Seq("a1", "a2"), Seq("b1", "b2"))
+        // a SUBSET of the registered pairs is a different join: decline
+        val (l4, r4) = (lf, rf)
+        assert(!scansView(l4.join(r4, l4("a1") === r4("b1"))))
+      } finally MaterializedJoins.disable(l)
+    }
+  }
+
   test("declines: wrong keys, outer join, non-equi, time travel") {
     withStores { (l, r, v) =>
       seed(l, r, v)
