@@ -175,6 +175,27 @@ object RelationalOps {
       .join(dim, fact.col(factKey) === dim.col(dimKey))
   }
 
+  /** [[bloomFilteredJoin]] on a COMPOSITE key: the bloom hashes
+    * xxhash64 over the key struct, so only possibly-matching fact rows
+    * reach the equi-join. CALLER CONTRACT: paired key columns must share
+    * a dataType — xxhash64 is type-sensitive (xxhash64(1) !=
+    * xxhash64(1L)), and a mixed pair would hash differently on the two
+    * sides and silently DROP matching rows (the one failure a bloom
+    * prefilter must never have). JoinView enforces this per refresh;
+    * other callers must too. */
+  def bloomFilteredJoinKeys(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyPairs: Seq[(String, String)]): DataFrame = {
+    val bf = buildKeyBloomAuto(dim,
+      struct(keyPairs.map { case (_, d) => col(d) }: _*))
+    val cond = keyPairs
+      .map { case (f, d) => fact.col(f) === dim.col(d) }.reduce(_ && _)
+    fact.where(mightContainKey(bf,
+        struct(keyPairs.map { case (f, _) => fact.col(f) }: _*)))
+      .join(dim, cond)
+  }
+
   /** [[buildKeyBloom]] with the auto-sizing rule above (one count of the
     * build side → ~10 bits/key, 8 Kbit floor, clamped to the analysis
     * ceilings). */

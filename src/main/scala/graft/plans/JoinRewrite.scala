@@ -141,12 +141,16 @@ object MaterializedJoins {
   *   - the view is FRESH: its packed cursor equals BOTH sources' current
   *     versions at planning time (analysis-time binding, as documented
   *     on [[MaterializedJoins.enable]]);
-  *   - the join condition is a single equality on the registered key
-  *     pair (either operand order). Any other shape declines.
+  *   - the join condition is a pure conjunction of attribute equalities
+  *     whose pair SET equals the registered key pairs (any conjunct
+  *     order, either operand order, either join orientation). A subset,
+  *     superset, or any other shape declines.
   *
-  * Output attributes keep the original exprIds; the right key column
-  * (dropped in the view) is served from the left key's view column —
-  * value-equal by the inner-join equality itself. */
+  * Output attributes keep the original exprIds; each right key column
+  * (dropped in the view) is served from its PAIRED left key's view
+  * column — value-equal by the inner-join equality itself. By-name
+  * resolution is safe because JoinView's bootstrap refuses a right key
+  * that shadows an unrelated left column. */
 class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -7,16 +7,18 @@ import graft.operators.RelationalOps
 
 /** Incrementally maintained equi-JOIN view between two [[SnapshotStore]]
   * tables — the denormalization half of IVM ([[RollupView]] owns the
-  * aggregate half). The view materializes `L ⋈ R` on one key pair and
+  * aggregate half). The view materializes `L ⋈ R` on an equi-key pair
+  * LIST (single or composite, pairwise positional equalities) and
   * absorbs source commits without re-running the join:
   *
   *   - append-only delta (the classic delta-join identity):
   *     Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR — the two terms are disjoint
   *     (L_old excludes ΔL) and together exactly the new rows. Each term
   *     joins a DELTA against a standing side with the standing side
-  *     bloom-prefiltered by the delta's keys
-  *     ([[RelationalOps.bloomFilteredJoin]]): only standing rows whose
-  *     key might match shuffle — O(Δ + matching), never O(standing).
+  *     bloom-prefiltered by the delta's key tuples
+  *     ([[RelationalOps.bloomFilteredJoinKeys]]): only standing rows
+  *     whose key might match shuffle — O(Δ + matching), never
+  *     O(standing).
   *   - retraction (a source lost rows to delete/upsert): the DIRTY join
   *     keys come from the sources' O(churn) change feeds; the view
   *     rewrites as (view ∖ dirty) ∪ (L_new ⋈ R_new restricted to dirty)
@@ -33,9 +35,11 @@ import graft.operators.RelationalOps
   * cursors is a true no-op), the rewrite paths through the
   * non-commutative compaction commit.
   *
-  * Contract: single equi-key per side; the two schemas' non-key columns
-  * must not collide (checked at bootstrap); the view's rows are
-  * `l.* ++ r.*` minus the right key (recoverable from the left key).
+  * Contract: paired keys share a dataType (the composite bloom hashes by
+  * type — checked every refresh); the two schemas' non-key columns must
+  * not collide, and a right key may share a name only with its OWN pair
+  * (both checked at bootstrap); the view's rows are `l.* ++ r.*` minus
+  * the right keys (each recoverable from its paired left key).
   */
 object JoinView {
 
@@ -56,7 +60,6 @@ object JoinView {
       .map(e => ((e / CursorBase).toInt, (e % CursorBase).toInt))
       .getOrElse((0, 0))
 
-  /** The view-shaped join of two source frames. */
   /** The view-shaped join on the full key list: conjunction of pairwise
     * equalities; the right side's key columns drop (each is recoverable
     * from its paired left key). */
@@ -74,20 +77,17 @@ object JoinView {
       col(k).as(s"__bk$i")
     }: _*).distinct().localCheckpoint(true)
 
-  /** standing ⋈ delta-keys with the standing rows bloom-prefiltered on
-    * the composite key (xxhash64 over the key struct — both sides hash
-    * the same shape), then deduped by the equi-join against the distinct
-    * key tuples. Only possibly-matching standing rows shuffle. */
+  /** standing ⋈ delta-keys, bloom-prefiltered on the composite key and
+    * deduped by the equi-join against the distinct key tuples — the
+    * [[RelationalOps.bloomFilteredJoinKeys]] pattern (its same-type
+    * caller contract is enforced by [[refreshKeys]]); only
+    * possibly-matching standing rows shuffle. */
   private def prefiltered(standing: DataFrame, standingKeys: Seq[String],
                           dk: DataFrame): DataFrame = {
     val bks = dk.columns.toSeq
-    val bf = RelationalOps.buildKeyBloomAuto(dk, struct(bks.map(col): _*))
-    val cond = standingKeys.zip(bks)
-      .map { case (s, b) => standing(s) === dk(b) }.reduce(_ && _)
     bks.foldLeft(
-      standing.where(RelationalOps.mightContainKey(bf,
-          struct(standingKeys.map(standing(_)): _*)))
-        .join(dk, cond))((df, b) => df.drop(dk(b)))
+      RelationalOps.bloomFilteredJoinKeys(standing, dk,
+        standingKeys.zip(bks)))((df, b) => df.drop(dk(b)))
   }
 
   /** Append/no-op commits only in (from, cur], with both endpoint
@@ -165,6 +165,15 @@ object JoinView {
     val lNew = SnapshotStore.read(spark, leftRoot, lv)
     val rNew = SnapshotStore.read(spark, rightRoot, rv)
 
+    // per-refresh (schemas can evolve): paired keys must share a type —
+    // the composite bloom hashes by type (xxhash64(1) != xxhash64(1L)),
+    // and a mixed pair would silently DROP matching rows at the prefilter
+    leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+      val (lt, rt) = (lNew.schema(lk).dataType, rNew.schema(rk).dataType)
+      require(lt == rt,
+        s"paired join keys must share a dataType: $lk:$lt vs $rk:$rt")
+    }
+
     if (plv == 0 && prv == 0) {
       // bootstrap: non-key column collision would corrupt every later
       // dirty anti-join — fail before the first version publishes
@@ -172,6 +181,16 @@ object JoinView {
         lNew.columns.toSet.intersect(rNew.columns.toSet) -- rightKeys
       require(overlap.isEmpty,
         s"non-key columns collide across the join view's sides: $overlap")
+      // a right KEY named like an UNRELATED left column would make the
+      // rewrite's by-name resolution serve the wrong column (the view
+      // drops right keys): a shared name is legal only for a key and its
+      // OWN pair
+      leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+        require(!lNew.columns.exists(_.equalsIgnoreCase(rk)) ||
+            rk.equalsIgnoreCase(lk),
+          s"right key '$rk' shadows an unrelated left column — rename one " +
+            s"(a shared name is only legal for a key and its own pair)")
+      }
       SnapshotStore.appendEpoch(
         joined(lNew, rNew, leftKeys, rightKeys), viewRoot, pack(lv, rv))
     } else if (appendOnly(leftRoot, plv, lv) && appendOnly(rightRoot, prv, rv)) {
@@ -179,22 +198,20 @@ object JoinView {
       // by the in-hand delta's keys so only possibly-matching rows join
       val parts = Seq(
         if (lv > plv) {
-          val dk = keyTuples(
-            SnapshotStore.incremental(spark, leftRoot, plv, lv), leftKeys)
-          Some(joined(
-            SnapshotStore.incremental(spark, leftRoot, plv, lv),
+          val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv)
+          val dk = keyTuples(delta, leftKeys)
+          Some(joined(delta,
             prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
               rightKeys, dk),
             leftKeys, rightKeys))
         } else None,
         if (rv > prv) {
-          val dk = keyTuples(
-            SnapshotStore.incremental(spark, rightRoot, prv, rv), rightKeys)
+          val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv)
+          val dk = keyTuples(delta, rightKeys)
           Some(joined(
             prefiltered(standing(spark, leftRoot, plv, leftKeys, dk),
               leftKeys, dk),
-            SnapshotStore.incremental(spark, rightRoot, prv, rv),
-            leftKeys, rightKeys))
+            delta, leftKeys, rightKeys))
         } else None).flatten
       SnapshotStore.appendEpoch(
         parts.reduce(_ unionByName _), viewRoot, pack(lv, rv))

@@ -152,6 +152,34 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("mixed-type key pairs and shadowing right keys refuse loudly") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      // int left key vs long right key: the composite bloom hashes by
+      // type, so a mixed pair would silently drop matches — refuse
+      SnapshotStore.append(Seq((1, "x")).toDF("k", "p"), l) // k: Int
+      SnapshotStore.append(Seq((1L, 9.0)).toDF("fk", "q"), r) // fk: Long
+      val e = intercept[IllegalArgumentException](
+        JoinView.refresh(spark, l, r, v, "k", "fk"))
+      assert(e.getMessage.contains("dataType"))
+      assert(SnapshotStore.currentVersion(v) == 0)
+    }
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      // right key 'b' paired with left 'a' while left ALSO has a column
+      // named 'b': the rewrite's by-name resolution would serve the
+      // wrong column — refuse at bootstrap
+      SnapshotStore.append(Seq((1L, 2L)).toDF("a", "b"), l)
+      SnapshotStore.append(Seq((1L, 3.0)).toDF("b", "y"), r)
+      val e = intercept[IllegalArgumentException](
+        JoinView.refresh(spark, l, r, v, "a", "b"))
+      assert(e.getMessage.contains("shadows"))
+      assert(SnapshotStore.currentVersion(v) == 0)
+    }
+  }
+
   test("delta path plan: standing side bloom-prefiltered, no cartesian") {
     withRoots { (l, r, v) =>
       SnapshotStore.append(ordersDF(1L to 50L: _*), l)
