@@ -3291,7 +3291,12 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_jvc").toString
       try {
         val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
-        val li = Tables.lineitem(s, dir)
+        // a quarter of lineitem: this query re-exercises join_view_answer's
+        // maintenance paths (which runs full-size) with composite keys +
+        // multiset semantics on top — the path evidence doesn't need the
+        // full table twice, and the view's duplicate-key cross products
+        // already amplify the compared row count
+        val li = Tables.lineitem(s, dir).where(col("l_orderkey") % 4 === 1)
         val lf = li.select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice")
         val rf = li.select(col("l_orderkey").as("r_orderkey"),
@@ -6103,11 +6108,12 @@ object SparkEntry {
     "join_view_composite" ->
       """WITH lf AS (SELECT l_orderkey, l_linenumber, l_quantity,
         |                   l_extendedprice
-        |            FROM lineitem WHERE l_quantity <= 45.0),
+        |            FROM lineitem
+        |            WHERE l_orderkey % 4 = 1 AND l_quantity <= 45.0),
         |rf AS (SELECT l_orderkey AS r_orderkey,
         |              l_linenumber AS r_linenumber,
         |              l_returnflag, l_discount
-        |       FROM lineitem)
+        |       FROM lineitem WHERE l_orderkey % 4 = 1)
         |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |       l_returnflag, l_discount
         |FROM lf JOIN rf ON l_orderkey = r_orderkey
