@@ -180,6 +180,43 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle torture: view == rejoin after every commit of a mixed sequence") {
+    withRoots { (l, r, v) =>
+      // a fixed pseudo-random (seeded → deterministic) interleaving of
+      // append/delete/upsert on both sides, refreshing and re-checking
+      // the invariant after EVERY commit — the paths compose in orders
+      // the targeted specs don't enumerate
+      val rnd = new scala.util.Random(42)
+      SnapshotStore.append(ordersDF(1L to 30L: _*), l)
+      SnapshotStore.append(linesDF((1L to 30L).map(o => (o, 1L, o * 1.0)): _*), r)
+      var nextO = 31L
+      var nextLn = 2L
+      (1 to 12).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 => // left append
+            SnapshotStore.append(ordersDF(nextO, nextO + 1), l); nextO += 2
+          case 1 => // right append (mix of new and existing orders)
+            SnapshotStore.append(
+              linesDF((nextO - 2, nextLn, step * 1.0),
+                (1L + rnd.nextInt(20), nextLn, step * 2.0)), r)
+            nextLn += 1
+          case 2 => // left delete
+            SnapshotStore.deleteWhere(spark, l,
+              col("o_id") % 7 === (step % 7).toLong)
+          case 3 => // right delete
+            SnapshotStore.deleteWhere(spark, r,
+              col("qty") > (40.0 - step))
+          case 4 => // right keyed upsert
+            SnapshotStore.upsert(spark,
+              linesDF((1L + rnd.nextInt(25), 1L, 1000.0 + step)),
+              r, Seq("lo_id", "ln"))
+        }
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+        assert(viewRows(v) == truth(l, r), s"diverged after step $step")
+      }
+    }
+  }
+
   test("delta path plan: standing side bloom-prefiltered, no cartesian") {
     withRoots { (l, r, v) =>
       SnapshotStore.append(ordersDF(1L to 50L: _*), l)
