@@ -293,6 +293,49 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle torture: served bm25 == clean rebuild after every maintenance step") {
+    withRoot { root =>
+      // seeded mixed sequence of batch ingest, epoch ingest, RTBF delete,
+      // and compaction; after EVERY step the served scores must equal an
+      // index rebuilt from scratch on the same surviving corpus
+      val rnd = new scala.util.Random(7)
+      val terms = Seq("aaa", "filler")
+      var live = Map.empty[Long, String]
+      var nextId = 0L
+      var epoch = 0L
+      def ingest(n: Int, viaEpoch: Boolean): Unit = {
+        val batch = (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          val w = ('a' + (id % 6).toInt).toChar.toString * 3
+          id -> s"$w common${id % 5} filler"
+        }
+        live ++= batch
+        val df = docsDF(batch: _*)
+        if (viaEpoch) { SearchIndex.indexEpoch(spark, df, root, epoch); epoch += 1 }
+        else SearchIndex.index(spark, df, root, buckets = 4)
+      }
+      ingest(20, viaEpoch = false)
+      (1 to 8).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => ingest(10, viaEpoch = false)
+          case 1 => ingest(10, viaEpoch = true)
+          case 2 =>
+            val m = (step % 3 + 2).toLong
+            live = live.filter { case (id, _) => id % m != 1 }
+            SearchIndex.deleteDocsWhere(spark, root, col("doc_id") % m === 1)
+          case 3 => SearchIndex.compactIndex(spark, root, targetFiles = 4)
+        }
+        withRoot { ref =>
+          SearchIndex.index(spark, docsDF(live.toSeq.sortBy(_._1): _*), ref,
+            buckets = 4)
+          assert(SearchIndex.bm25(spark, root, terms, k = 50).collect().toSeq
+            == SearchIndex.bm25(spark, ref, terms, k = 50).collect().toSeq,
+            s"diverged from the clean rebuild after step $step")
+        }
+      }
+    }
+  }
+
   test("served bm25 plan: broadcast df/stats joins, no cartesian") {
     withRoot { root =>
       SearchIndex.index(spark, corpus(32), root, buckets = 2)
