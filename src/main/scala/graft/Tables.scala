@@ -137,21 +137,26 @@ object Tables {
     // Self-referential rewrites are refused LOUDLY: df is lazy, so
     // "re-bucket the table into itself" would delete the previous
     // location before the scan materializes — unrecoverable data loss
-    // (or a silently empty table under ignoreMissingFiles). A migration
-    // must stage through a different table/location first.
+    // (or a silently empty table under ignoreMissingFiles). Both
+    // locations this call deletes are guarded: the table's previous
+    // catalog location AND the target path (data staged at the target —
+    // e.g. first registration over an existing directory — is input
+    // too). A migration must stage through a different location first.
     val norm = (s: String) =>
       java.nio.file.Paths.get(s.replaceFirst("^file:/+", "/"))
         .normalize.toAbsolutePath.toString
-    prevLoc.map(norm).foreach { prev =>
-      val reads = graft.plans.PlanProbe.scanRoots(df).map(norm)
-      require(!reads.exists(r => r == prev || r.startsWith(prev + "/")),
-        s"writeBucketed: df reads from table `$table`'s current location " +
-          s"($prev), which this rewrite deletes before df executes — " +
-          "stage the data through another location first")
-    }
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val newLoc = path.getOrElse(new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString)
+    locally {
+      val reads = graft.plans.PlanProbe.scanRoots(df).map(norm)
+      (prevLoc.toSeq :+ newLoc).map(norm).distinct.foreach { loc =>
+        require(!reads.exists(r => r == loc || r.startsWith(loc + "/")),
+          s"writeBucketed: df reads from `$loc`, which this rewrite for " +
+            s"table `$table` deletes before df executes — stage the data " +
+            "through another location first")
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     (prevLoc.toSeq :+ newLoc).distinct.foreach { l =>
       val p = new org.apache.hadoop.fs.Path(l)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -305,9 +305,27 @@ object SearchIndex {
     * The delete and the stats decrement are two commits: a crash
     * between them leaves the stats over-counted, and a RE-RUN cannot
     * recover it (the postings are already gone, so the recomputed
-    * decrement is zero) — run [[repairStats]] after a crashed delete. */
+    * decrement is zero) — run [[repairStats]] after a crashed delete.
+    *
+    * `cond` must reference ONLY `doc_id` — enforced, not just documented:
+    * the predicate evaluates against POSTING rows, so a condition on
+    * `term`/`tf`/`dl` would delete a doc's matching postings yet decrement
+    * the stats by the doc's FULL dl and whole-doc count, silently skewing
+    * BM25's global factors (partial-document deletion is out of the index
+    * contract — see the class doc). */
   def deleteDocsWhere(spark: SparkSession, root: String,
                       cond: org.apache.spark.sql.Column): Unit = {
+    val refs = org.apache.spark.sql.graftbridge.ColumnBridge
+      .eagerExpression(cond).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }
+    require(refs.nonEmpty && refs.forall(_.equalsIgnoreCase("doc_id")),
+      s"deleteDocsWhere is doc-level: cond may reference only doc_id, got " +
+        s"columns ${refs.distinct.mkString("[", ", ", "]")} — a posting-row " +
+        "predicate would desynchronize the corpus stats")
     val gone = SnapshotStore.read(spark, root).where(cond)
       .groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), // negated below; 0-row delete → (0,0)

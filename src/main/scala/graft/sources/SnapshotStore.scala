@@ -790,9 +790,13 @@ object SnapshotStore {
     * be inventing conflict semantics). The merged manifest may reference
     * branch-owned directories; [[deleteBranch]] refuses while any live
     * parent manifest does (compact + vacuum the parent first to migrate
-    * the content into parent-owned storage, then delete). The parent's
-    * epoch resume position carries forward. */
-  def mergeBranch(spark: SparkSession, root: String, name: String): Int = {
+    * the content into parent-owned storage, then delete). Epoch resume
+    * positions: the side that was stream-fed carries forward; if BOTH
+    * sides carry stamps the merge refuses unless `keepEpochChain` names
+    * the survivor (see the body comment — the other stream must restart
+    * from a fresh checkpoint). */
+  def mergeBranch(spark: SparkSession, root: String, name: String,
+                  keepEpochChain: Option[String] = None): Int = {
     val br = branchRoot(root, name)
     val bv = currentVersion(br)
     require(bv > 0, s"no branch '$name' at $root")
@@ -817,10 +821,28 @@ object SnapshotStore {
         s"branch '$name' violates the parent's CHECK $n ($sql) — " +
           s"first: ${bad.get}")
     }
-    // both resume positions carry forward: a stream that ingested into
-    // the branch and repoints at the merged parent must find its epochs
-    // stamped, or the restart replay double-ingests
-    val epoch = (lastEpoch(root).toSeq ++ lastEpoch(br).toSeq).maxOption
+    // Resume-position semantics: the merged manifest carries ONE epoch
+    // stamp, but parent and branch epoch chains come from INDEPENDENT
+    // streams with independent counters — max() of two unrelated numbers
+    // is not a resume position for either. When only one side was ever
+    // stream-fed its chain carries forward intact; when BOTH carry
+    // stamps, refuse unless the caller names the surviving chain via
+    // `keepEpochChain` ("parent" | "branch"), acknowledging the OTHER
+    // stream must restart from a fresh checkpoint (its old one would
+    // replay a trigger the merge already carried and double-ingest).
+    val (pe, be) = (lastEpoch(root), lastEpoch(br))
+    val epoch = (pe, be) match {
+      case (Some(_), Some(_)) => keepEpochChain match {
+        case Some("parent") => pe
+        case Some("branch") => be
+        case _ => throw new IllegalArgumentException(
+          s"both parent ($pe) and branch '$name' ($be) carry epoch stamps " +
+            "from independent stream chains — one resume position cannot " +
+            "represent both; pass keepEpochChain = Some(\"parent\"|\"branch\") " +
+            "and restart the other side's stream from a fresh checkpoint")
+      }
+      case _ => (pe.toSeq ++ be.toSeq).maxOption
+    }
     commitReplace(root, parent, manifestDirs(br, bv), epoch,
       manifestCols(br, bv).getOrElse(Nil), "merge")
   }

@@ -188,6 +188,28 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("merge with BOTH sides epoch-stamped refuses unless a chain is chosen") {
+    withRoot { root =>
+      // parent and branch each stream-fed: two INDEPENDENT epoch chains
+      // whose counters are not comparable (parent at 3, branch at 7)
+      SnapshotStore.appendEpoch(df(1L to 10L: _*), root, epochId = 3L)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.appendEpoch(df(11L), br, epochId = 7L)
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.mergeBranch(spark, root, "work"))
+      assert(e.getMessage.contains("independent stream chains"))
+      assert(idsOf(root) == (1L to 10L).toSet, "refused merge must not publish")
+      // naming the survivor lands the merge and stamps THAT chain — the
+      // parent's 3 would have LOST a max() comparison against the
+      // branch's 7, silently invalidating the parent stream's resume
+      // position (the double-ingest the refusal exists for)
+      SnapshotStore.mergeBranch(spark, root, "work",
+        keepEpochChain = Some("parent"))
+      assert(SnapshotStore.lastEpoch(root).contains(3L))
+      assert(idsOf(root) == (1L to 11L).toSet)
+    }
+  }
+
   test("the fork inherits CHECK constraints") {
     withRoot { root =>
       SnapshotStore.append(df(1L to 10L: _*), root)

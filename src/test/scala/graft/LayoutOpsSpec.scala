@@ -184,4 +184,34 @@ class LayoutOpsSpec extends SparkSpec {
       graft.sources.SnapshotStore.deleteTree(root)
     }
   }
+
+  test("writeBucketed refuses self-referential rewrites of BOTH doomed locations") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("bkt_guard").toString
+    try {
+      val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+      Tables.writeBucketed(orders, "t_bkt_guard", 4, "o_orderkey", Some(s"$root/a"))
+      // df reads the table's CURRENT location, which the rewrite deletes
+      // before df executes — must refuse, data intact
+      val fromPrev = spark.read.parquet(s"$root/a")
+      intercept[IllegalArgumentException](
+        Tables.writeBucketed(fromPrev, "t_bkt_guard", 8, "o_orderkey",
+          Some(s"$root/b")))
+      // df reads the TARGET location (data staged where the new table
+      // goes — e.g. first registration over an existing directory): the
+      // call deletes newLoc too, so this must refuse just the same
+      orders.write.mode("overwrite").parquet(s"$root/staged")
+      val fromTarget = spark.read.parquet(s"$root/staged")
+      intercept[IllegalArgumentException](
+        Tables.writeBucketed(fromTarget, "t_bkt_guard2", 4, "o_orderkey",
+          Some(s"$root/staged")))
+      // both refusals left the inputs alive
+      assert(spark.read.parquet(s"$root/a").count() == orders.count())
+      assert(spark.read.parquet(s"$root/staged").count() == orders.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_bkt_guard")
+      spark.sql("DROP TABLE IF EXISTS t_bkt_guard2")
+      graft.sources.SnapshotStore.deleteTree(root)
+    }
+  }
 }

@@ -141,6 +141,18 @@ class SearchIndexSpec extends SparkSpec {
       val again = SearchIndex.bm25(spark, root, terms, k = 30)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(again == after)
+      // the doc-level contract is ENFORCED: a posting-row predicate (on
+      // term/tf/dl) would delete partial postings yet decrement whole-doc
+      // stats — refused before anything rewrites, index unchanged
+      val e = intercept[IllegalArgumentException](
+        SearchIndex.deleteDocsWhere(spark, root, col("term") === "aaa"))
+      assert(e.getMessage.contains("doc-level"))
+      val mixed = intercept[IllegalArgumentException](
+        SearchIndex.deleteDocsWhere(spark, root,
+          col("doc_id") === 2L && col("tf") > 1L))
+      assert(mixed.getMessage.contains("doc-level"))
+      assert(SearchIndex.bm25(spark, root, terms, k = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == after)
     }}
   }
 
