@@ -400,6 +400,32 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("user-shaped LEFT JOIN is served from the left-outer view's scan", {
+        import graft.sources.{JoinView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_jvo").toString
+        try {
+          // 1000 left rows, right rows only for the lower 600: the view
+          // materializes real null extensions
+          SnapshotStore.append(spark.range(0, 1000)
+            .selectExpr("id AS o_id", "id % 5 AS seg"), s"$root/L")
+          SnapshotStore.append(spark.range(0, 1800)
+            .selectExpr("id % 600 AS lo_id", "id AS ln"), s"$root/R")
+          JoinView.refresh(spark, s"$root/L", s"$root/R", s"$root/jview",
+            "o_id", "lo_id", "left_outer")
+          graft.plans.MaterializedJoins.enable(s"$root/L", s"$root/R",
+            s"$root/jview", "o_id", "lo_id", "left_outer")
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          val p = lf.join(rf, lf("o_id") === rf("lo_id"), "left_outer")
+            .queryExecution.executedPlan.toString
+          // served: ONE view scan, no join operator left in the plan
+          p.contains("/jview") && !p.contains("/L") && !p.contains("/R") &&
+            !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("change feed diff plans EXCEPT without cartesian", {
         import org.apache.spark.sql.functions.col
         import graft.sources.SnapshotStore

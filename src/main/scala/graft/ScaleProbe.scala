@@ -701,6 +701,62 @@ object ScaleProbe {
         f"for re-join)")
     }
 
+    // LEFT-OUTER join-view refresh radius: ONE fixed-size right delta on
+    // already-matched keys absorbed while the view grows 1x/4x/16x. The
+    // outer-only cost on top of the inner delta path is the MATCH-ARRIVAL
+    // probe (are any of the delta's keys currently null-extended?) — it
+    // reads the view file-pruned by the delta's key range through the
+    // left-key stats every outer commit stamps, so the refresh must stay
+    // flat and stay on the pure-append path; an unpruned probe would
+    // track the 16x view scan. Opt-in:
+    // SPARK_GRAFT_PROBE_ONLY=join_view_outer_radius.
+    if (probeOnly.exists(_.contains("join_view_outer_radius"))) {
+      import graft.sources.{JoinView, SnapshotStore}
+      val legs = Seq(1, 4, 16).map { k =>
+        val root = java.nio.file.Files.createTempDirectory(s"jvorad$k").toString
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        try {
+          (0 until k).foreach { i =>
+            SnapshotStore.appendWithStats(
+              spark.range(i * 50000L, (i + 1) * 50000L).selectExpr(
+                "id AS o_id", "concat('c', id % 97) AS cust", "id * 1.0 AS total"),
+              l, Seq("o_id"))
+            SnapshotStore.appendWithStats(
+              spark.range(i * 50000L, (i + 1) * 50000L).selectExpr(
+                "id AS lo_id", "1L AS ln", "id * 2.0 AS qty"),
+              r, Seq("lo_id"))
+          }
+          // an unmatched left tail: the view carries REAL null rows, so
+          // a lazy implementation can't skip the null bookkeeping
+          SnapshotStore.appendWithStats(
+            spark.range(10000000L, 10001000L).selectExpr(
+              "id AS o_id", "concat('c', id % 97) AS cust", "id * 1.0 AS total"),
+            l, Seq("o_id"))
+          JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+          // right delta on MATCHED low keys: nothing converts — the
+          // refresh must detect that via the pruned probe and append
+          SnapshotStore.appendWithStats(
+            spark.range(0L, 1000L).selectExpr(
+              "id AS lo_id", "99L AS ln", "id * 3.0 AS qty"),
+            r, Seq("lo_id"))
+          val t0 = System.nanoTime()
+          JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+          val t = (System.nanoTime() - t0) / 1e9
+          assert(JoinView.read(spark, v).count() == k * 50000L + 2000L,
+            s"outer view wrong size after matched-key delta at k=$k")
+          val vCur = SnapshotStore.currentVersion(v)
+          assert(SnapshotStore.manifestOp(v, vCur).contains("append"),
+            s"non-converting right delta left the O(delta) append path at k=$k")
+          t
+        } finally SnapshotStore.deleteTree(root)
+      }
+      println(f"[scale] join_view_outer_radius view=1x/4x/16x " +
+        f"${legs(0)}%5.2fs ${legs(1)}%5.2fs ${legs(2)}%5.2fs " +
+        f"(flat = match-arrival probe file-prunes the view to the " +
+        f"delta's key range; ratio1→16 ${legs(2) / legs(0)}%4.2f vs 16 " +
+        f"for view-proportional)")
+    }
+
     // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
     // a FIXED corpus. The pre-rewrite formulation launched one Spark job
     // per merge (time ≈ proportional to merges); the driver-local loop

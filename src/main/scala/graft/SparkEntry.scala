@@ -3318,6 +3318,65 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // LEFT-OUTER join view lifecycle — the fact-to-optional-dim shape
+    // maintained incrementally: bootstrap with genuinely unmatched
+    // customers (null-extended), a left delta (pure append), a right
+    // delta whose MATCH ARRIVAL converts standing null rows to matched
+    // rows (retract + append, published as the view's own rewrite), and
+    // a two-sided churn whose recompute re-null-extends a customer whose
+    // orders were all deleted. The final view must equal the plain SQL
+    // LEFT JOIN of the surviving source states.
+    "join_view_outer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jvo").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val c = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        def refresh(): Unit = sources.JoinView.refresh(
+          s, l, r, v, "c_custkey", "o_custkey", "left_outer")
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 === 0), l)
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 === 0), r)
+        refresh() // bootstrap: unmatched customers null-extend
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 =!= 0), l)
+        refresh() // left-only delta: pure O(Δ) append
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 =!= 0), r)
+        refresh() // match arrival: null rows retract as their orders land
+        sources.SnapshotStore.deleteWhere(s, r, col("o_orderkey") % 5 === 0)
+        sources.SnapshotStore.deleteWhere(s, l, col("c_custkey") % 11 === 7)
+        refresh() // churn: dirty-key recompute re-null-extends
+        sources.JoinView.read(s, v).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Catalyst SERVING of the left-outer view: a USER-shaped left join
+    // (with a LEFT-side filter, the only side that commutes with ⟕) is
+    // answered from the maintained view — used_view pinned from the
+    // analyzed plan's scan roots so a declined rewrite fails the hash.
+    "join_view_outer_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jvos").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        sources.SnapshotStore.append(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), l)
+        sources.SnapshotStore.append(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), r)
+        sources.JoinView.refresh(
+          s, l, r, v, "c_custkey", "o_custkey", "left_outer")
+        graft.plans.MaterializedJoins.enable(
+          l, r, v, "c_custkey", "o_custkey", "left_outer")
+        try {
+          val lf = sources.SnapshotStore.read(s, l)
+            .where(col("c_mktsegment") === "BUILDING")
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("c_custkey") === rf("o_custkey"), "left_outer")
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
+          q.withColumn("used_view", lit(usedView)).localCheckpoint(true)
+        } finally graft.plans.MaterializedJoins.disable(l)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -6118,6 +6177,24 @@ object SparkEntry {
         |       l_returnflag, l_discount
         |FROM lf JOIN rf ON l_orderkey = r_orderkey
         |                AND l_linenumber = r_linenumber""".stripMargin,
+
+    // the final source states replayed in SQL: customers minus the
+    // churned slice, LEFT JOIN orders minus the deleted slice — null
+    // rows (c with no surviving o) included under the same hash
+    "join_view_outer" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |           WHERE c_custkey % 11 != 7),
+        |o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |      WHERE o_orderkey % 5 != 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       o_orderkey, o_custkey, o_totalprice
+        |FROM c LEFT JOIN o ON c_custkey = o_custkey""".stripMargin,
+
+    "join_view_outer_serve" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       o_orderkey, o_custkey, o_totalprice, TRUE AS used_view
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
 
     "snapshot_branch_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -20,8 +20,9 @@ import graft.sources.{JoinView, SnapshotStore}
 object MaterializedJoins {
 
   // key: (canonical left root, canonical right root, left key, right key)
+  // value: (view root, join type — "inner" | "left_outer")
   private val regs =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), (String, String)]()
 
   // path canonicalization, mtime probing, and version-pinning shared
   // with MaterializedRollups — ONE definition of each invariant
@@ -36,23 +37,28 @@ object MaterializedJoins {
   }
 
   /** Declare `viewRoot` as [[JoinView]]-maintained over the two stores on
-    * (leftKey = rightKey). From now on a user-shaped INNER equi-join of
-    * the two sources' CURRENT snapshots on that key pair is answered from
-    * the view — when, and only when, the view's packed cursor matches
+    * (leftKey = rightKey). From now on a user-shaped equi-join of the two
+    * sources' CURRENT snapshots on that key pair — INNER for an inner
+    * view, LEFT OUTER for a `how = "left_outer"` view — is answered from
+    * the view, when, and only when, the view's packed cursor matches
     * both sources' current versions at planning time (the same
     * analysis-time binding contract as [[MaterializedRollups.enable]]). */
   def enable(leftRoot: String, rightRoot: String, viewRoot: String,
-             leftKey: String, rightKey: String): Unit =
-    enableKeys(leftRoot, rightRoot, viewRoot, Seq(leftKey), Seq(rightKey))
+             leftKey: String, rightKey: String,
+             how: String = "inner"): Unit =
+    enableKeys(leftRoot, rightRoot, viewRoot, Seq(leftKey), Seq(rightKey), how)
 
   /** [[enable]] for COMPOSITE equi-keys (pairwise positional equalities —
     * the [[JoinView.refreshKeys]] contract). */
   def enableKeys(leftRoot: String, rightRoot: String, viewRoot: String,
-                 leftKeys: Seq[String], rightKeys: Seq[String]): Unit = {
+                 leftKeys: Seq[String], rightKeys: Seq[String],
+                 how: String = "inner"): Unit = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
+    require(how == "inner" || how == "left_outer",
+      s"registrable join types are inner and left_outer, got '$how'")
     val (lk, rk) = keySig(leftKeys, rightKeys)
-    regs.put((canon(leftRoot), canon(rightRoot), lk, rk), viewRoot)
+    regs.put((canon(leftRoot), canon(rightRoot), lk, rk), (viewRoot, how))
   }
 
   /** Unregister every pair mentioning `root` on either side (and evict
@@ -69,7 +75,7 @@ object MaterializedJoins {
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
-  private[plans] def all: Map[(String, String, String, String), String] =
+  private[plans] def all: Map[(String, String, String, String), (String, String)] =
     regs.asScala.toMap
 
   // Freshness-probe cache, the MaterializedRollups posture for THREE
@@ -125,11 +131,12 @@ object MaterializedJoins {
 }
 
 /** Materialized JOIN-view rewrite — transparent denormalization serving:
-  * a user-shaped INNER equi-join of two REGISTERED stores' current
-  * snapshots on the registered key pair is answered from the maintained
-  * [[JoinView]] instead of re-running the join. At 100 TB this turns
-  * every fact-to-fact navigation query from a two-sided shuffle join
-  * into a scan of rows the refresh already paid for.
+  * a user-shaped equi-join of two REGISTERED stores' current snapshots
+  * on the registered key pair — INNER over an inner view, LEFT OUTER
+  * over a left-outer view — is answered from the maintained [[JoinView]]
+  * instead of re-running the join. At 100 TB this turns every
+  * fact-to-fact navigation query from a two-sided shuffle join into a
+  * scan of rows the refresh already paid for.
   *
   * Fires only when EXACT:
   *   - both scanned relations' root paths are precisely the registered
@@ -137,27 +144,36 @@ object MaterializedJoins {
   *     reads never rewrite), with at most column-pruning Projects and
   *     deterministic row Filters between scan and join — an inner join
   *     commutes with per-side filters (σ_p(L) ⋈ R = σ_p(L ⋈ R) when p
-  *     reads only L's columns), so side filters re-apply to view rows;
+  *     reads only L's columns), so side filters re-apply to view rows.
+  *     A LEFT OUTER join commutes only with LEFT-side filters (each
+  *     left row's fate is independent); a right-side filter changes
+  *     which left rows null-extend, so it DECLINES;
   *   - the view is FRESH: its packed cursor equals BOTH sources' current
   *     versions at planning time (analysis-time binding, as documented
   *     on [[MaterializedJoins.enable]]);
   *   - the join condition is a pure conjunction of attribute equalities
   *     whose pair SET equals the registered key pairs (any conjunct
-  *     order, either operand order, either join orientation). A subset,
-  *     superset, or any other shape declines.
+  *     order, either operand order; either join ORIENTATION for inner —
+  *     a left-outer join is asymmetric, so only the registered
+  *     orientation serves). A subset, superset, or any other shape
+  *     declines.
   *
-  * Output attributes keep the original exprIds; each right key column
-  * (dropped in the view) is served from its PAIRED left key's view
-  * column — value-equal by the inner-join equality itself. By-name
-  * resolution is safe because JoinView's bootstrap refuses a right key
-  * that shadows an unrelated left column. */
+  * Output attributes keep the original exprIds. Inner views drop right
+  * key columns, so each right key is served from its PAIRED left key's
+  * view column — value-equal by the inner-join equality itself; outer
+  * views KEEP their right keys (null = unmatched, exactly the user
+  * join's output), so every column resolves by name directly. By-name
+  * resolution is safe because JoinView's bootstrap refuses colliding
+  * names. */
 class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MaterializedJoins.isEmpty) return plan
     plan.transformUp {
       case j @ Join(lchild, rchild, Inner, Some(cond), _) =>
-        rewrite(j, lchild, rchild, cond).getOrElse(j)
+        rewrite(j, lchild, rchild, cond, Inner).getOrElse(j)
+      case j @ Join(lchild, rchild, LeftOuter, Some(cond), _) =>
+        rewrite(j, lchild, rchild, cond, LeftOuter).getOrElse(j)
     }
   }
 
@@ -181,7 +197,8 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(j: Join, lchild: LogicalPlan, rchild: LogicalPlan,
-                      cond: Expression): Option[LogicalPlan] = {
+                      cond: Expression,
+                      joinType: JoinType): Option[LogicalPlan] = {
     // the condition must be a pure conjunction of attr = attr equalities,
     // each orientable to (left side, right side)
     val pairs = conjuncts(cond).map {
@@ -194,32 +211,42 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (las, ras) = pairs.unzip
     val (lrel, lfilters) = dissect(lchild).getOrElse(return None)
     val (rrel, rfilters) = dissect(rchild).getOrElse(return None)
+    // a left-outer join does NOT commute with right-side filters: a left
+    // row matched only to filtered-out right rows null-extends in the
+    // user's query, but the view materialized it matched
+    if (joinType == LeftOuter && rfilters.nonEmpty) return None
     val lpaths = MaterializedJoins.canonPaths(lrel).getOrElse(return None)
     val rpaths = MaterializedJoins.canonPaths(rrel).getOrElse(return None)
     val sig = MaterializedJoins.keySig(las.map(_.name), ras.map(_.name))
     val flipped = MaterializedJoins.keySig(ras.map(_.name), las.map(_.name))
+    val wantHow = if (joinType == LeftOuter) "left_outer" else "inner"
     // an inner join is symmetric: match the registration in either side
-    // order (the user may write R.join(L) for a view registered (L, R))
+    // order (the user may write R.join(L) for a view registered (L, R));
+    // a left-outer join serves ONLY in the registered orientation
     val viewRoot = MaterializedJoins.all.collectFirst {
-      case ((lr, rr, lk, rk), vr)
-          if ((lk, rk) == sig &&
+      case ((lr, rr, lk, rk), (vr, how))
+          if how == wantHow &&
+            (((lk, rk) == sig &&
               MaterializedJoins.probe(lr, rr, vr).exists {
                 case (ld, rd, fresh) => fresh && ld == lpaths && rd == rpaths
               }) ||
-            ((lk, rk) == flipped &&
+            (joinType == Inner && (lk, rk) == flipped &&
               MaterializedJoins.probe(lr, rr, vr).exists {
                 case (ld, rd, fresh) => fresh && ld == rpaths && rd == lpaths
-              }) => vr
+              })) => vr
     }.getOrElse(return None)
 
     val viewPlan = JoinView.read(spark, viewRoot).queryExecution.analyzed
     val byName = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
-    // the registered right keys were dropped in the view; each inner
-    // equality makes its two key columns value-identical, so whichever
-    // key name the view lacks is served from its PAIRED key's column
-    // (covers both join orientations)
+    // INNER views dropped their right keys; each inner equality makes the
+    // two key columns value-identical, so whichever key name the view
+    // lacks is served from its PAIRED key's column (covers both join
+    // orientations). OUTER views keep both key sets — and the pairing is
+    // NOT value-sound there (an unmatched row's right key is null while
+    // its left key isn't), so resolution is by name only.
     val pairedName: Map[String, String] =
-      (las.map(_.name.toLowerCase).zip(ras.map(_.name.toLowerCase)) ++
+      if (joinType == LeftOuter) Map.empty
+      else (las.map(_.name.toLowerCase).zip(ras.map(_.name.toLowerCase)) ++
         ras.map(_.name.toLowerCase).zip(las.map(_.name.toLowerCase))).toMap
     def resolve(name: String): Option[Attribute] =
       byName.get(name.toLowerCase)

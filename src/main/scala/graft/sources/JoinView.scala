@@ -61,12 +61,38 @@ object JoinView {
       .getOrElse((0, 0))
 
   /** The view-shaped join on the full key list: conjunction of pairwise
-    * equalities; the right side's key columns drop (each is recoverable
-    * from its paired left key). */
+    * equalities. INNER views drop the right key columns (each recoverable
+    * from its paired left key); LEFT-OUTER views KEEP them — a null right
+    * key IS the unmatched marker (null keys never equi-match, so a
+    * matched row always has them non-null), which both the serving
+    * rewrite and the null-conversion maintenance rely on. `joinType` is
+    * the Spark join ("inner"/"left_outer"); `keepRightKeys` is the VIEW
+    * SHAPE and is independent of it (the outer view's ΔR maintenance leg
+    * is an inner join that still keeps right keys). */
   private def joined(l: DataFrame, r: DataFrame,
-                     lks: Seq[String], rks: Seq[String]): DataFrame = {
+                     lks: Seq[String], rks: Seq[String],
+                     joinType: String = "inner",
+                     keepRightKeys: Boolean = false): DataFrame = {
     val cond = lks.zip(rks).map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
-    rks.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+    val j = l.join(r, cond, joinType)
+    if (keepRightKeys) j else rks.foldLeft(j)((df, k) => df.drop(r(k)))
+  }
+
+  /** The view's recorded join type — written once at bootstrap (BEFORE
+    * the first publish, so a crash between the two converges: re-running
+    * the bootstrap rewrites the file), read by every later refresh. A
+    * view with versions but no record is a legacy inner view. */
+  private def recordedHow(viewRoot: String): Option[String] = {
+    val p = java.nio.file.Paths.get(viewRoot, "_jointype")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  private def recordHow(viewRoot: String, how: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(viewRoot))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(viewRoot, "_jointype"), how.getBytes("UTF-8"))
   }
 
   /** The delta's distinct key tuples as __bk0.._bkN columns — ONE
@@ -88,6 +114,33 @@ object JoinView {
     bks.foldLeft(
       RelationalOps.bloomFilteredJoinKeys(standing, dk,
         standingKeys.zip(bks)))((df, b) => df.drop(dk(b)))
+  }
+
+  /** Range-cluster a FULL-DOMAIN view write on the first left key so its
+    * per-file stats actually prune (a hash-partitioned join output puts
+    * the whole key domain in every file, making min/max sidecars
+    * useless). Only the bootstrap/rewrite paths need this — a delta
+    * append's files already cover just the delta's key range. */
+  private def clustered(df: DataFrame, key: String, on: Boolean): DataFrame =
+    if (on) df.repartitionByRange(col(key)) else df
+
+  /** Stamp per-file min/max stats on the FIRST left key over the dirs a
+    * view commit just produced (OUTER views, integral key only): the
+    * match-arrival probe file-prunes the view by the right delta's key
+    * range through these — without them every right-delta refresh would
+    * re-scan the whole view just to learn nothing converted. Written
+    * AFTER the commit (pure acceleration: a crash between commit and
+    * sidecar leaves a conservatively-read version — planFiles selects
+    * statless files unconditionally). */
+  private def stampStats(spark: SparkSession, viewRoot: String,
+                         before: Int, v: Int, leftKeys: Seq[String]): Unit = {
+    if (v == before) return
+    val newDirs = SnapshotStore.manifestDirs(viewRoot, v)
+      .diff(if (before > 0 && SnapshotStore.hasManifest(viewRoot, before))
+              SnapshotStore.manifestDirs(viewRoot, before)
+            else Nil)
+    SnapshotStore.writeStatsSidecar(spark, viewRoot, v, newDirs,
+      Seq(leftKeys.head))
   }
 
   /** Append/no-op commits only in (from, cur], with both endpoint
@@ -141,18 +194,34 @@ object JoinView {
 
   /** Single-key [[refreshKeys]]. */
   def refresh(spark: SparkSession, leftRoot: String, rightRoot: String,
-              viewRoot: String, leftKey: String, rightKey: String): Int =
+              viewRoot: String, leftKey: String, rightKey: String,
+              how: String = "inner"): Int =
     refreshKeys(spark, leftRoot, rightRoot, viewRoot,
-      Seq(leftKey), Seq(rightKey))
+      Seq(leftKey), Seq(rightKey), how)
 
   /** Bring the view up to both sources' current versions — COMPOSITE
     * equi-keys supported (pairwise positional equalities). Returns the
-    * view version (unchanged when both cursors already match). */
+    * view version (unchanged when both cursors already match).
+    *
+    * `how` is the maintained join's type: "inner" (default) or
+    * "left_outer". A LEFT-OUTER view is `L ⟕ R` — unmatched left rows
+    * null-extend, right key columns are KEPT (null = unmatched marker),
+    * and maintenance adds one semantics the inner view never needs:
+    * MATCH ARRIVAL — a right delta matching a key that currently has
+    * null-extended view rows must RETRACT those rows as it appends the
+    * matched ones (detected per refresh by probing the view's null rows
+    * against the delta's key tuples; when none convert, the refresh
+    * stays a pure O(Δ) append — the common monotone-ingest shape where
+    * dims land before facts). The view's join type is recorded at
+    * bootstrap and every later refresh must pass the same `how`. */
   def refreshKeys(spark: SparkSession, leftRoot: String, rightRoot: String,
                   viewRoot: String, leftKeys: Seq[String],
-                  rightKeys: Seq[String]): Int = {
+                  rightKeys: Seq[String], how: String = "inner"): Int = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
+    require(how == "inner" || how == "left_outer",
+      s"join view supports inner and left_outer, got '$how'")
+    val outer = how == "left_outer"
     val lv = SnapshotStore.currentVersion(leftRoot)
     val rv = SnapshotStore.currentVersion(rightRoot)
     require(lv > 0 && rv > 0,
@@ -161,6 +230,14 @@ object JoinView {
     if (lv == plv && rv == prv) return SnapshotStore.currentVersion(viewRoot)
     require(lv >= plv && rv >= prv,
       s"source went backwards: ($plv,$prv) -> ($lv,$rv)")
+    // a view refreshed under one join type must never be refreshed under
+    // another (the content would silently mix semantics); a pre-record
+    // view (versions, no file) is a legacy inner view
+    if (plv != 0 || prv != 0) {
+      val rec = recordedHow(viewRoot).getOrElse("inner")
+      require(rec == how,
+        s"view at $viewRoot is maintained as '$rec', refresh asked '$how'")
+    }
 
     val lNew = SnapshotStore.read(spark, leftRoot, lv)
     val rNew = SnapshotStore.read(spark, rightRoot, rv)
@@ -173,51 +250,100 @@ object JoinView {
       require(lt == rt,
         s"paired join keys must share a dataType: $lk:$lt vs $rk:$rt")
     }
+    val keyIntegral = lNew.schema(leftKeys.head).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val vBefore = SnapshotStore.currentVersion(viewRoot)
 
-    if (plv == 0 && prv == 0) {
+    val vNew = if (plv == 0 && prv == 0) {
       // bootstrap: non-key column collision would corrupt every later
-      // dirty anti-join — fail before the first version publishes
-      val overlap =
-        lNew.columns.toSet.intersect(rNew.columns.toSet) -- rightKeys
+      // dirty anti-join — fail before the first version publishes.
+      // Case-INSENSITIVE, matching JoinRewriteRule's lowercased by-name
+      // resolution (left 'Amount' vs right 'amount' collapses to one
+      // entry in the rewrite's name map — refuse it here, at the cause).
+      // An OUTER view keeps its right keys, so those count as columns
+      // too: NO shared name is legal at all
+      val overlap = lNew.columns.map(_.toLowerCase).toSet
+        .intersect(rNew.columns.map(_.toLowerCase).toSet) --
+        (if (outer) Set.empty[String] else rightKeys.map(_.toLowerCase).toSet)
       require(overlap.isEmpty,
         s"non-key columns collide across the join view's sides: $overlap")
       // a right KEY named like an UNRELATED left column would make the
-      // rewrite's by-name resolution serve the wrong column (the view
-      // drops right keys): a shared name is legal only for a key and its
-      // OWN pair
-      leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+      // rewrite's by-name resolution serve the wrong column (the inner
+      // view drops right keys): a shared name is legal only for a key
+      // and its OWN pair
+      if (!outer) leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
         require(!lNew.columns.exists(_.equalsIgnoreCase(rk)) ||
             rk.equalsIgnoreCase(lk),
           s"right key '$rk' shadows an unrelated left column — rename one " +
             s"(a shared name is only legal for a key and its own pair)")
       }
+      recordHow(viewRoot, how) // BEFORE the publish: crash re-bootstraps
       SnapshotStore.appendEpoch(
-        joined(lNew, rNew, leftKeys, rightKeys), viewRoot, pack(lv, rv))
+        clustered(joined(lNew, rNew, leftKeys, rightKeys, how, outer),
+          leftKeys.head, outer && keyIntegral),
+        viewRoot, pack(lv, rv))
     } else if (appendOnly(leftRoot, plv, lv) && appendOnly(rightRoot, prv, rv)) {
       // Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR; standing sides bloom-prefiltered
-      // by the in-hand delta's keys so only possibly-matching rows join
-      val parts = Seq(
+      // by the in-hand delta's keys so only possibly-matching rows join.
+      // Outer adds: ΔL null-extends itself (ΔL ⟕ R_new), the ΔR leg
+      // stays an inner join (old left rows that STILL don't match keep
+      // their null rows), and match arrival retracts converted null rows
+      val lPart =
         if (lv > plv) {
           val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv)
           val dk = keyTuples(delta, leftKeys)
           Some(joined(delta,
             prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
               rightKeys, dk),
-            leftKeys, rightKeys))
-        } else None,
+            leftKeys, rightKeys, how, outer))
+        } else None
+      val (rPart, rDeltaKeys) =
         if (rv > prv) {
           val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv)
           val dk = keyTuples(delta, rightKeys)
-          Some(joined(
+          (Some(joined(
             prefiltered(standing(spark, leftRoot, plv, leftKeys, dk),
               leftKeys, dk),
-            delta, leftKeys, rightKeys))
-        } else None).flatten
-      SnapshotStore.appendEpoch(
-        parts.reduce(_ unionByName _), viewRoot, pack(lv, rv))
+            delta, leftKeys, rightKeys, "inner", outer)), Some(dk))
+        } else (None, None)
+      val adds = (lPart.toSeq ++ rPart.toSeq).reduce(_ unionByName _)
+      lazy val view = SnapshotStore.read(spark, viewRoot)
+      // MATCH ARRIVAL (outer only): does ΔR hit any key that currently
+      // has null-extended view rows? The probe reads the VIEW as a
+      // standing side — file-pruned by the delta's key range (outer
+      // commits stamp left-key stats below) and bloom-prefiltered by the
+      // delta's key tuples — O(view rows that might match), no collect
+      val converting = outer && rDeltaKeys.exists { dk =>
+        !prefiltered(
+          standing(spark, viewRoot, SnapshotStore.currentVersion(viewRoot),
+            leftKeys, dk)
+            .where(col(rightKeys.head).isNull)
+            .select(leftKeys.map(col): _*),
+          leftKeys, dk).isEmpty
+      }
+      if (!converting) {
+        SnapshotStore.appendEpoch(adds, viewRoot, pack(lv, rv))
+      } else {
+        // converted keys' null rows retract; everything else survives.
+        // Published as the view's own compaction (non-commutative commit)
+        val dk = rDeltaKeys.get
+        val keep = view.join(broadcast(dk),
+          leftKeys.zipWithIndex.map { case (k, i) =>
+            view(k) === dk(s"__bk$i")
+          }.reduce(_ && _) && view(rightKeys.head).isNull, "left_anti")
+        SnapshotStore.compactWith(
+          clustered(keep.unionByName(adds), leftKeys.head, keyIntegral),
+          viewRoot, epochOverride = Some(pack(lv, rv)))
+      }
     } else if (churnOnly(leftRoot, plv, lv) && churnOnly(rightRoot, prv, rv)) {
       // retraction: dirty key tuples from both change feeds, join work
-      // bounded by them; the view rewrites once (anti survivors + recompute)
+      // bounded by them; the view rewrites once (anti survivors +
+      // recompute — the recompute replays the VIEW's join type, so a
+      // right-side delete that un-matches a left row re-null-extends it)
       val dirty = keyTuples(
         SnapshotStore.changes(spark, leftRoot, plv, lv)
           .select(leftKeys.map(col): _*)
@@ -226,26 +352,33 @@ object JoinView {
               col(rk).as(lk)
             }: _*)),
         leftKeys)
-      def dirtyJoin(df: DataFrame, keys: Seq[String], how: String) =
+      def dirtyJoin(df: DataFrame, keys: Seq[String], jt: String) =
         df.join(broadcast(dirty),
           keys.zipWithIndex.map { case (k, i) =>
             df(k) === dirty(s"__bk$i")
-          }.reduce(_ && _), how)
+          }.reduce(_ && _), jt)
       val survivors = dirtyJoin(
         SnapshotStore.read(spark, viewRoot), leftKeys, "left_anti")
       val recomputed = joined(
         dirtyJoin(lNew, leftKeys, "left_semi"),
         dirtyJoin(rNew, rightKeys, "left_semi"),
-        leftKeys, rightKeys)
+        leftKeys, rightKeys, how, outer)
       SnapshotStore.compactWith(
-        survivors.unionByName(recomputed), viewRoot,
-        epochOverride = Some(pack(lv, rv)))
+        clustered(survivors.unionByName(recomputed), leftKeys.head,
+          outer && keyIntegral),
+        viewRoot, epochOverride = Some(pack(lv, rv)))
     } else {
       // a source compaction (or vacuumed baseline) broke the diff: rebuild
       SnapshotStore.compactWith(
-        joined(lNew, rNew, leftKeys, rightKeys), viewRoot,
-        epochOverride = Some(pack(lv, rv)))
+        clustered(joined(lNew, rNew, leftKeys, rightKeys, how, outer),
+          leftKeys.head, outer && keyIntegral),
+        viewRoot, epochOverride = Some(pack(lv, rv)))
     }
+    // outer views carry left-key file stats so the NEXT match-arrival
+    // probe prunes; inner views never scan themselves on the delta path
+    if (outer && keyIntegral)
+      stampStats(spark, viewRoot, vBefore, vNew, leftKeys)
+    vNew
   }
 
   /** The maintained join content. */

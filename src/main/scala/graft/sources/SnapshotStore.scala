@@ -1178,6 +1178,18 @@ object SnapshotStore {
     * like SearchIndex.indexEpoch) that publish first and bloom after:
     * the sidecar is pure acceleration, so a crash between commit and
     * bloom leaves a correct, conservatively-read version. */
+  /** Min/max-stats sidecar for specific dirs of an ALREADY-committed
+    * version — the stats counterpart of [[writeBloomSidecar]], for
+    * commit paths (epoch appends, compaction publishes) that stamp
+    * after the commit. Pure acceleration: a crash between commit and
+    * sidecar leaves a correct, conservatively-read version
+    * ([[planFiles]] selects statless files unconditionally). */
+  private[sources] def writeStatsSidecar(spark: SparkSession, root: String,
+                                         v: Int, dirs: Seq[String],
+                                         statsCols: Seq[String]): Unit =
+    if (dirs.nonEmpty && statsCols.nonEmpty)
+      writeStats(spark, root, v, dirs, statsCols)
+
   private[sources] def writeBloomSidecar(spark: SparkSession, root: String,
                                          v: Int, dirs: Seq[String],
                                          bloomCol: String,

@@ -130,6 +130,51 @@ class JoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("left-outer view serves the user's left join; asymmetric polarities hold") {
+    withStores { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      // orders 1..40, lines only for 1..25: real null-extended rows
+      SnapshotStore.append(
+        (1L to 40L).map(i => (i, s"c${i % 4}", i * 1.0)).toDF("o_id", "cust", "total"), l)
+      SnapshotStore.append(
+        (1L to 25L).map(i => (i, i, i * 2.0)).toDF("lo_id", "ln", "qty"), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+      MaterializedJoins.enable(l, r, v, "o_id", "lo_id", "left_outer")
+      def lf = SnapshotStore.read(spark, l)
+      def rf = SnapshotStore.read(spark, r)
+      val (l1, r1) = (lf, rf)
+      val q = l1.join(r1, l1("o_id") === r1("lo_id"), "left_outer")
+      assert(scansView(q), "fresh left-outer join did not rewrite")
+      val got = q.select(col("o_id"), col("lo_id"), col("ln"), col("qty"))
+        .collect().map(_.toString).sorted.toSeq
+      MaterializedJoins.disable(l)
+      val (l2, r2) = (lf, rf)
+      val want = l2.join(r2, l2("o_id") === r2("lo_id"), "left_outer")
+        .select(col("o_id"), col("lo_id"), col("ln"), col("qty"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want && want.size == 40,
+        "served left join diverged from ground truth (null rows included)")
+      MaterializedJoins.enable(l, r, v, "o_id", "lo_id", "left_outer")
+      // a LEFT-side filter commutes and serves
+      val (l3, r3) = (lf, rf)
+      val qf = l3.where(col("cust") === "c1")
+        .join(r3, l3("o_id") === r3("lo_id"), "left_outer")
+      assert(scansView(qf))
+      assert(qf.count() == 10)
+      // a RIGHT-side filter does NOT commute with a left join: decline
+      val (l4, r4) = (lf, rf)
+      assert(!scansView(l4.join(r4.where(col("qty") > 10.0),
+        l4("o_id") === r4("lo_id"), "left_outer")))
+      // an INNER user join never serves from an outer view (null rows)
+      val (l5, r5) = (lf, rf)
+      assert(!scansView(l5.join(r5, l5("o_id") === r5("lo_id"))))
+      // a left join in the FLIPPED orientation is a different query
+      val (l6, r6) = (lf, rf)
+      assert(!scansView(r6.join(l6, r6("lo_id") === l6("o_id"), "left_outer")))
+    }
+  }
+
   test("declines: wrong keys, outer join, non-equi, time travel") {
     withStores { (l, r, v) =>
       seed(l, r, v)

@@ -178,6 +178,92 @@ class JoinViewSpec extends SparkSpec {
       assert(e.getMessage.contains("shadows"))
       assert(SnapshotStore.currentVersion(v) == 0)
     }
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      // non-key collision check is case-INSENSITIVE like the rewrite's
+      // by-name resolution: left 'Amount' vs right 'amount' would
+      // collapse to one entry in JoinRewriteRule's lowercased name map —
+      // refuse at bootstrap, at the cause
+      SnapshotStore.append(Seq((1L, 2.0)).toDF("a", "Amount"), l)
+      SnapshotStore.append(Seq((1L, 3.0)).toDF("fk", "amount"), r)
+      val e = intercept[IllegalArgumentException](
+        JoinView.refresh(spark, l, r, v, "a", "fk"))
+      assert(e.getMessage.contains("collide"))
+      assert(SnapshotStore.currentVersion(v) == 0)
+    }
+  }
+
+  test("left-outer view: bootstrap, deltas, match arrival, churn — each equals the re-join") {
+    withRoots { (l, r, v) =>
+      def refresh(): Unit =
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+      val cols = Seq("o_id", "cust", "total", "lo_id", "ln", "qty")
+      def outerTruth(): Seq[String] = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("o_id") === rf("lo_id"), "left_outer")
+          .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      }
+      def viewNow(): Seq[String] = JoinView.read(spark, v)
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+
+      // bootstrap: orders 1..10, lines only for 1..5 → 5 matched + 5 null
+      SnapshotStore.append(ordersDF(1L to 10L: _*), l)
+      SnapshotStore.append(linesDF((1L to 5L).map(i => (i, i, i * 2.0)): _*), r)
+      refresh()
+      assert(viewNow() == outerTruth() && lastOp(v) == "append")
+      assert(JoinView.read(spark, v).where(col("lo_id").isNull).count() == 5)
+
+      // left-only delta with unmatched rows: pure append (they null-extend)
+      SnapshotStore.append(ordersDF(11L, 12L), l)
+      refresh()
+      assert(viewNow() == outerTruth() && lastOp(v) == "append")
+
+      // MATCH ARRIVAL: lines for 6 and 7 — their null rows must retract
+      SnapshotStore.append(linesDF((6L, 60L, 1.0), (7L, 70L, 1.0)), r)
+      refresh()
+      assert(viewNow() == outerTruth(), "match arrival left stale null rows")
+      assert(lastOp(v) == "compact", "conversion must publish as a rewrite")
+      assert(JoinView.read(spark, v)
+        .where(col("o_id").isin(6L, 7L) && col("lo_id").isNull).count() == 0)
+
+      // right delta touching only MATCHED (1) and ABSENT (99) keys: no
+      // null row converts → the refresh stays a pure O(Δ) append
+      SnapshotStore.append(linesDF((1L, 100L, 3.0), (99L, 990L, 9.0)), r)
+      refresh()
+      assert(viewNow() == outerTruth() && lastOp(v) == "append")
+      // the right-only row (99) contributes nothing to a LEFT outer view
+      assert(JoinView.read(spark, v).where(col("ln") === 990L).isEmpty)
+
+      // churn: deleting key 6's lines re-null-extends it; deleting left
+      // 11 removes its null row; an upsert-style delete+append recomputes
+      SnapshotStore.deleteWhere(spark, r, col("lo_id") === 6L)
+      SnapshotStore.deleteWhere(spark, l, col("o_id") === 11L)
+      refresh()
+      assert(viewNow() == outerTruth(), "churn recompute broke outer semantics")
+      assert(JoinView.read(spark, v)
+        .where(col("o_id") === 6L && col("lo_id").isNull).count() == 1,
+        "right-side delete must re-null-extend the left row")
+
+      // a later refresh (with real work pending — a cursor-matched call
+      // no-ops before publishing anything) must replay the SAME join type
+      SnapshotStore.append(ordersDF(20L), l)
+      val e = intercept[IllegalArgumentException](
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id"))
+      assert(e.getMessage.contains("left_outer"))
+    }
+    // outer bootstrap refuses shared key names (both key sets are kept)
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(Seq((1L, "x")).toDF("k", "p"), l)
+      SnapshotStore.append(Seq((1L, 9.0)).toDF("k", "q"), r)
+      val e = intercept[IllegalArgumentException](
+        JoinView.refresh(spark, l, r, v, "k", "k", "left_outer"))
+      assert(e.getMessage.contains("collide"))
+      assert(SnapshotStore.currentVersion(v) == 0)
+    }
   }
 
   test("lifecycle torture: view == rejoin after every commit of a mixed sequence") {
