@@ -3279,6 +3279,32 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Branch REBASE lifecycle — the diverged-branch reconciliation: fork,
+    // let the parent move (a new batch the branch never saw) WHILE the
+    // branch runs a curation pass (CoW delete + capped re-append of its
+    // fork-time content), rebase the branch onto the moved head (pure
+    // manifest surgery: parent's append + branch's curation compose,
+    // zero bytes copied), fast-forward merge through the rebase base,
+    // read main — which must equal both lifecycles replayed in SQL.
+    "snapshot_branch_rebase" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_brr").toString
+      try {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 0), root)
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 1), root)
+        val br = sources.SnapshotStore.createBranch(root, "curation")
+        sources.SnapshotStore.deleteWhere(s, br, col("l_quantity") > 40.0)
+        sources.SnapshotStore.append(
+          li.where(col("l_orderkey") % 3 =!= 2 && col("l_quantity") > 40.0)
+            .withColumn("l_quantity", lit(40.0)), br)
+        sources.SnapshotStore.append(li.where(col("l_orderkey") % 3 === 2), root)
+        sources.SnapshotStore.rebaseBranch(s, root, "curation")
+        sources.SnapshotStore.mergeBranch(s, root, "curation")
+        sources.SnapshotStore.read(s, root).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // COMPOSITE-key join view: two column families of lineitem keyed
     // (orderkey, linenumber), maintained through bootstrap + left/right
     // deltas + a retraction that deletes SOME lines of an order while
@@ -6210,6 +6236,15 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey,
         |       CASE WHEN l_quantity > 40.0 THEN 40.0 ELSE l_quantity END
         |         AS l_quantity
+        |FROM lineitem""".stripMargin,
+
+    // both lifecycles composed: the branch capped quantities over the
+    // fork-time slices (%3 in 0,1); the parent's post-fork slice (%3=2)
+    // rode through the rebase untouched
+    "snapshot_branch_rebase" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       CASE WHEN l_orderkey % 3 != 2 AND l_quantity > 40.0
+        |            THEN 40.0 ELSE l_quantity END AS l_quantity
         |FROM lineitem""".stripMargin,
 
     "snapshot_branch_diff" ->

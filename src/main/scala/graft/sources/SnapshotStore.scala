@@ -785,9 +785,11 @@ object SnapshotStore {
     * the branch's fork manifest), the branch's current content becomes
     * the parent's next version by REFERENCE — one manifest write, zero
     * bytes copied, exactly as cheap as the fork was. A diverged parent
-    * refuses loudly (the Nessie posture: inspect [[diff]] and reconcile
-    * explicitly — an engine that auto-merged diverged table states would
-    * be inventing conflict semantics). The merged manifest may reference
+    * refuses loudly (the Nessie posture: [[rebaseBranch]] replays the
+    * branch onto the moved head where the edits are disjoint; otherwise
+    * inspect [[diff]] and reconcile explicitly — an engine that
+    * auto-merged overlapping edits would be inventing conflict
+    * semantics). The merged manifest may reference
     * branch-owned directories; [[deleteBranch]] refuses while any live
     * parent manifest does (compact + vacuum the parent first to migrate
     * the content into parent-owned storage, then delete). Epoch resume
@@ -802,15 +804,18 @@ object SnapshotStore {
     require(bv > 0, s"no branch '$name' at $root")
     val parent = currentVersion(root)
     // fast-forward = the parent's current content is SOME surviving state
-    // of the branch's own history (the fork point, or a previous merge
-    // point — so iterate-merge-iterate keeps working); only surviving
-    // manifests are consulted, so a branch that vacuumed its history
-    // refuses with this message instead of crashing on a missing file
+    // of the branch's own history (the fork point, a previous merge
+    // point — so iterate-merge-iterate keeps working — or the BASE of a
+    // rebase, so rebase → merge fast-forwards); only surviving manifests
+    // are consulted, so a branch that vacuumed its history refuses with
+    // this message instead of crashing on a missing file
     val parentDirs = manifestDirs(root, parent).toSet
     require((1 to bv).exists(v =>
-        hasManifest(br, v) && manifestDirs(br, v).toSet == parentDirs),
+        hasManifest(br, v) && (manifestDirs(br, v).toSet == parentDirs ||
+          rebaseBase(br, v).contains(parentDirs))),
       s"parent is not an ancestor state of branch '$name' — fast-forward " +
-        "only; diff() the two and reconcile explicitly")
+        "only; rebaseBranch() onto the moved parent (or diff() and " +
+        "reconcile explicitly)")
     // a CHECK added to the parent AFTER the fork is not in the branch's
     // copied constraint set: validate the merged content against the
     // parent's CURRENT contract before it publishes, like every other
@@ -845,6 +850,109 @@ object SnapshotStore {
     }
     commitReplace(root, parent, manifestDirs(br, bv), epoch,
       manifestCols(br, bv).getOrElse(Nil), "merge")
+  }
+
+  // ---- diverged-branch reconciliation (rebase) ------------------------
+
+  private def rebaseBasePath(root: String, v: Int): Path =
+    manifestDir(root).resolve(s"rebase_base_v$v.json")
+
+  /** The parent dir set a version-`v` rebase was computed against, if
+    * version `v` is a rebase commit. (Written BEFORE the rebase manifest
+    * commits; an orphan sidecar from a crashed rebase is ignored because
+    * no manifest carries its version.) */
+  private[graft] def rebaseBase(root: String, v: Int): Option[Set[String]] = {
+    val p = rebaseBasePath(root, v)
+    if (!Files.exists(p)) None
+    else {
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      DirsRe.findFirstMatchIn(text).map(
+        _.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSet)
+    }
+  }
+
+  /** The branch's latest ANCHOR — the newest surviving manifest that
+    * re-based the branch on some parent state: the fork itself (its dirs
+    * ARE the parent-at-fork) or a previous rebase (whose recorded base
+    * is the parent-at-rebase). Everything the branch did since is its
+    * own replayable history. */
+  private def anchorOf(br: String, bv: Int): Option[(Int, Set[String])] = {
+    var v = bv
+    while (v >= 1) {
+      if (hasManifest(br, v)) manifestOp(br, v) match {
+        case Some("branch") => return Some((v, manifestDirs(br, v).toSet))
+        case Some("rebase") =>
+          // a rebase whose base sidecar is gone must FAIL, not silently
+          // fall through to an older anchor the current state no longer
+          // builds on
+          return Some((v, rebaseBase(br, v).getOrElse(sys.error(
+            s"rebase manifest v$v at $br lost its base sidecar — " +
+              "cannot re-anchor; reconcile via diff()"))))
+        case _ => ()
+      }
+      v -= 1
+    }
+    None
+  }
+
+  /** REBASE a diverged branch onto the parent's moved head — the
+    * reconciliation [[mergeBranch]]'s fast-forward posture points at.
+    * Pure MANIFEST SURGERY, zero bytes copied: the branch's own history
+    * since its anchor (fork or previous rebase) is replayed onto the
+    * parent's current state at DIRECTORY granularity —
+    *
+    *   rebased = (parent current dirs ∖ base dirs the branch dropped)
+    *             ∪ dirs the branch added (appends and CoW rewrites)
+    *
+    * Refuses on GENUINE OVERLAP, conservatively at the same granularity:
+    * a base directory that BOTH sides dropped/rewrote means both sides
+    * edited the same data (two curation passes touching one region) —
+    * inspect [[diff]] and reconcile by hand. Disjoint edits compose:
+    * parent-only edits win for dirs the branch kept, branch-only edits
+    * win for dirs the parent kept, appends from both sides union (dir
+    * names are owner-unique, so add/add never collides physically;
+    * appends commute by definition).
+    *
+    * The rebase commits as ONE non-commutative manifest (op "rebase",
+    * the branch's own epoch stamp carried) with its base recorded in a
+    * pre-written sidecar; [[mergeBranch]] accepts a parent that equals
+    * the newest rebase's base, so rebase → (parent quiet) → merge
+    * fast-forwards. Validation stays where it always was: the merge
+    * gate checks the parent's CURRENT constraints before anything
+    * publishes into the parent. Returns the branch's new version. */
+  def rebaseBranch(spark: SparkSession, root: String, name: String): Int = {
+    val br = branchRoot(root, name)
+    val bv = currentVersion(br)
+    require(bv > 0, s"no branch '$name' at $root")
+    val parent = currentVersion(root)
+    val parentDirs = manifestDirs(root, parent)
+    val (_, base) = anchorOf(br, bv).getOrElse(sys.error(
+      s"branch '$name' has no surviving anchor manifest (vacuumed?) — " +
+        "cannot establish what the branch changed; reconcile via diff()"))
+    val cur = manifestDirs(br, bv).toSet
+    val branchDropped = base -- cur
+    val branchOwn = cur -- base
+    val parentDropped = base -- parentDirs.toSet
+    // parent unmoved since the anchor: (parent ∖ dropped) ∪ own is
+    // exactly the branch's current state — nothing to commit
+    if (parentDirs.toSet == base) return bv
+    val overlap = branchDropped.intersect(parentDropped)
+    require(overlap.isEmpty,
+      s"rebase conflict: both parent and branch '$name' rewrote/dropped " +
+        s"${overlap.take(3).mkString(", ")} since the anchor — inspect " +
+        "diff() and reconcile explicitly")
+    val rebased = parentDirs.filterNot(branchDropped) ++
+      manifestDirs(br, bv).filter(branchOwn) // keep each side's list order
+    val cols = (manifestCols(root, parent).getOrElse(Nil) ++
+      manifestCols(br, bv).getOrElse(Nil)).distinct
+    // sidecar BEFORE the manifest: a crash leaves an orphan (ignored);
+    // the re-run rewrites it for the new version number
+    Files.createDirectories(manifestDir(br))
+    Files.write(rebaseBasePath(br, bv + 1),
+      parentDirs.map(d => s""""$d"""").mkString("{\"dirs\": [", ", ", "]}")
+        .getBytes("UTF-8"))
+    commitReplace(br, bv, rebased, lastEpoch(br), cols, "rebase")
   }
 
   /** Drop the branch: its manifests and its OWN data go; parent

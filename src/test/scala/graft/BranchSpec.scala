@@ -210,6 +210,85 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("rebase replays disjoint branch edits onto a moved parent; merge then fast-forwards") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)    // base dir A
+      SnapshotStore.append(df(11L to 20L: _*), root)   // base dir B
+      val br = SnapshotStore.createBranch(root, "work")
+      // branch: curate dir A's region (CoW rewrite) and append its own
+      SnapshotStore.deleteWhere(spark, br, col("id") <= 5L)
+      SnapshotStore.append(df(31L to 35L: _*), br)
+      // parent moves: append only (disjoint from the branch's edits)
+      SnapshotStore.append(df(21L to 25L: _*), root)
+      // pre-rebase, merge refuses (diverged)
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.mergeBranch(spark, root, "work"))
+      assert(e.getMessage.contains("rebaseBranch"))
+      // rebase is manifest surgery: no new data dirs appear in the branch
+      val dirsBefore = SnapshotStore.manifestDirs(br,
+        SnapshotStore.currentVersion(br)).toSet
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      val dirsAfter = SnapshotStore.manifestDirs(br,
+        SnapshotStore.currentVersion(br)).toSet
+      assert((dirsAfter -- dirsBefore).forall(d =>
+        SnapshotStore.manifestDirs(root, SnapshotStore.currentVersion(root))
+          .contains(d)), "rebase copied data instead of referencing")
+      // content = parent's edits + branch's edits composed
+      assert(idsOf(br) ==
+        ((6L to 25L) ++ (31L to 35L)).toSet)
+      // parent untouched by the rebase
+      assert(idsOf(root) == (1L to 25L).toSet)
+      // idempotent while the parent stays put
+      val v = SnapshotStore.currentVersion(br)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      assert(SnapshotStore.currentVersion(br) == v)
+      // and now the merge fast-forwards through the rebase base
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idsOf(root) == ((6L to 25L) ++ (31L to 35L)).toSet)
+      // iterate: branch keeps working after its own merge, parent quiet
+      SnapshotStore.append(df(41L), br)
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idsOf(root).contains(41L))
+    }
+  }
+
+  test("rebase refuses when both sides rewrote the same region; vacuum stays safe post-rebase") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      // BOTH sides CoW the same base dir: genuine overlap
+      SnapshotStore.deleteWhere(spark, br, col("id") === 1L)
+      SnapshotStore.deleteWhere(spark, root, col("id") === 10L)
+      val e = intercept[Exception](
+        SnapshotStore.rebaseBranch(spark, root, "work"))
+      assert(e.getMessage.contains("conflict"))
+      // branch state untouched by the refusal
+      assert(idsOf(br) == (2L to 10L).toSet)
+    }
+    withRoot { root =>
+      // vacuum safety: after a rebase the branch references parent dirs
+      // the parent may compact away — parent vacuum must retain them
+      // while the branch lives (same retained-set math as a fork)
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.append(df(21L to 25L: _*), br)
+      SnapshotStore.append(df(11L to 15L: _*), root) // parent moves
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      SnapshotStore.compact(spark, root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      // the branch still reads every row it referenced pre-vacuum
+      assert(idsOf(br) == ((1L to 15L) ++ (21L to 25L)).toSet)
+      // branch's own epoch chain survives a rebase
+      SnapshotStore.appendEpoch(df(99L), br, epochId = 5L)
+      SnapshotStore.append(df(16L), root)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      assert(SnapshotStore.lastEpoch(br).contains(5L),
+        "rebase dropped the branch's epoch stamp")
+      assert(idsOf(br) ==
+        ((1L to 16L) ++ (21L to 25L) :+ 99L).toSet)
+    }
+  }
+
   test("the fork inherits CHECK constraints") {
     withRoot { root =>
       SnapshotStore.append(df(1L to 10L: _*), root)
