@@ -426,6 +426,26 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("ranked OR retrieval reads only bloom-selected posting files", {
+        import graft.sources.{SearchIndex, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_stopk").toString
+        try {
+          // term-range-separable vocabulary: range clustering puts each
+          // letter-term into a narrow file range, blooms skip the rest
+          val docs = spark.range(0, 512).selectExpr("id AS doc_id",
+            "concat(repeat(char(97 + cast(id % 8 AS INT)), 3), ' common', id, ' filler') AS text")
+          SearchIndex.index(spark, docs, s"$root/idx", buckets = 8)
+          val (selA, totA) =
+            SnapshotStore.planFilesEq(spark, s"$root/idx", -1, "term", "aaa")
+          val (selB, totB) =
+            SnapshotStore.planFilesEq(spark, s"$root/idx", -1, "term", "hhh")
+          val ranked = SearchIndex.topkAny(spark, s"$root/idx",
+            Seq("aaa", "hhh"), k = 5).collect()
+          // both term legs pruned, and the served ranking is non-empty
+          selA.size < totA && selB.size < totB && ranked.length == 5 &&
+            ranked.map(_.getAs[Int]("rank")).toSeq == (1 to 5)
+        } finally graft.sources.SnapshotStore.deleteTree(root)
+      }),
       ("change feed diff plans EXCEPT without cartesian", {
         import org.apache.spark.sql.functions.col
         import graft.sources.SnapshotStore

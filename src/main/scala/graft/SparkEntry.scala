@@ -214,6 +214,39 @@ object SparkEntry {
 
   private lazy val BM25_ORACLE = bm25Oracle("")
 
+  /** [[bm25Oracle]] generalized to an arbitrary term list and k, with the
+    * RANK in the output — the ranked-OR-retrieval check: row order itself
+    * is pinned (score DESC, doc_id ASC), not just the (doc, score) set.
+    * Same log-free expression tree, one tf/df slot per term. */
+  private def bm25RankOracle(terms: Seq[String], k: Int): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n      |        ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n      |        ")
+    val slots = terms.indices.map(i =>
+      s"(((n - df$i) + 0.5) / (df$i + 0.5)) *\n      |    " +
+        s"((tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))")
+      .mkString("\n      |+ ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+      |d AS (SELECT doc_id,
+      |        CAST(len(w) AS DOUBLE) AS dl,
+      |        $tfs
+      |      FROM t),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |        CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) AS sumdl,
+      |        $dfs
+      |      FROM d),
+      |sc AS (SELECT doc_id,
+      |  $slots
+      |  AS score FROM d, s)
+      |SELECT doc_id, score,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+      |FROM (SELECT doc_id, score FROM sc
+      |      WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $k) q""".stripMargin
+  }
+
   /** Direct 1h aggregation over raw events — the check both tier producers
     * (batch a24 and the streaming replay) must reproduce by composing their
     * 1m tier. ONE string, two registry keys: the legs share their oracle. */
@@ -3049,6 +3082,23 @@ object SparkEntry {
     // over the full corpus in DuckDB, so a lost posting, a double-counted
     // stats row, or a bloom false NEGATIVE (a file wrongly skipped)
     // fails the hash.
+    // RANKED OR retrieval served from the index — the actual retrieval
+    // shape: top-k docs for "any of these terms", BM25-scored, with the
+    // rank itself under the hash (the bm25 legs pin the (doc, score)
+    // SET; this leg pins the ORDER and the deterministic tie-break —
+    // score DESC, doc_id ASC — plus the absent-term +0.0 contract, all
+    // against a full-scan DuckDB replay with ROW_NUMBER).
+    "search_index_topk" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_stopk").toString
+      try {
+        val idx = s"$root/idx"
+        sources.SearchIndex.index(s, Tables.documents(s, dir), idx)
+        sources.SearchIndex.topkAny(
+          s, idx, Seq("data", "vector", "nosuchterm"), k = 10)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     "search_index_and" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft_sand").toString
       try {
@@ -6164,6 +6214,9 @@ object SparkEntry {
         |FROM l0 JOIN l1 USING (doc_id, anchor) GROUP BY 1""".stripMargin,
 
     "search_index_delete" -> bm25Oracle(" WHERE doc_id % 7 != 3"),
+
+    "search_index_topk" ->
+      bm25RankOracle(Seq("data", "vector", "nosuchterm"), 10),
 
     "stream_search_index_parity" -> BM25_ORACLE,
 

@@ -267,6 +267,24 @@ object SearchIndex {
       k, col("score").desc, col("doc_id").asc)
   }
 
+  /** Ranked DISJUNCTIVE (OR) retrieval — the actual retrieval shape:
+    * top-`k` documents scored by BM25 over whichever of `terms` they
+    * contain, with the rank EXPLICIT in the output and the tie-break
+    * deterministic (score DESC, doc_id ASC — the same total order
+    * [[bm25]]'s topK uses, so rank is reproducible across engines given
+    * bit-equal scores, which the shared expression tree guarantees).
+    * Serving cost is [[bm25]]'s: union of the query terms' bloom-pruned
+    * postings, O(postings of the queried terms), corpus never scanned;
+    * the rank window runs over ≤ k in-hand rows. Without this, a caller
+    * wanting ranked results had to over-fetch and re-sort client-side. */
+  def topkAny(spark: SparkSession, root: String, terms: Seq[String],
+              k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bm25(spark, root, terms, k, k1, b)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Documents containing the exact token PHRASE, with occurrence
     * counts — the strict decontamination probe (an n-gram verbatim-match
     * lookup) served positionally from the index: each phrase word's

@@ -156,6 +156,36 @@ class SearchIndexSpec extends SparkSpec {
     }}
   }
 
+  test("topkAny: rank is deterministic under ties, misses are empty, bad input refuses") {
+    withRoot { root =>
+      // three docs with IDENTICAL text (equal scores) plus distinct ones:
+      // the tie-break must be doc_id ASC, reproducibly
+      val docs = docsDF(
+        (Seq(5L, 9L, 2L).map(i => (i, "needle in a stack")) ++
+          Seq((20L, "needle needle sharp"), (21L, "plain filler text"))): _*)
+      SearchIndex.index(spark, docs, root, buckets = 2)
+      val got = SearchIndex.topkAny(spark, root, Seq("needle", "sharp"), k = 10)
+        .select("rank", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+      // doc 20 scores highest (tf=2 + 'sharp'); the tied trio follows in id order
+      assert(got.head == (1, 20L), s"wrong top doc: ${got.toSeq}")
+      assert(got.toSeq.drop(1) == Seq((2, 2L), (3, 5L), (4, 9L)),
+        s"tie-break not doc_id ASC: ${got.toSeq}")
+      // rank agrees with an independent sort of the unranked scores
+      val scores = SearchIndex.bm25(spark, root, Seq("needle", "sharp"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (-s, id) }.map(_._1).toSeq
+      assert(got.map(_._2).toSeq == scores)
+      // absent-everything query: empty result, not a crash or NaN
+      assert(SearchIndex.topkAny(spark, root, Seq("nosuchterm"), k = 5).isEmpty)
+      // duplicate terms would double-count slots: refused like bm25
+      intercept[IllegalArgumentException](
+        SearchIndex.topkAny(spark, root, Seq("needle", "needle")))
+      // empty term list refuses (postingsFor contract)
+      intercept[IllegalArgumentException](
+        SearchIndex.topkAny(spark, root, Seq.empty))
+    }
+  }
+
   test("epoch-stamped ingest: replays are no-ops, stats never drift, blooms land") {
     withRoot { root =>
       val b0 = corpus(64).where(col("doc_id") < 32)
