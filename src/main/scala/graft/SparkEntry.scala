@@ -186,8 +186,8 @@ object SparkEntry {
     * serving leg (`search_index_bm25`), and the post-delete serving leg
     * (`search_index_delete`, whose corpus is the WHERE-surviving docs)
     * must all reproduce it bit-exactly. */
-  private def bm25Oracle(where: String): String =
-    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents$where),
+  private def bm25Oracle(where: String, textExpr: String = "text"): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex($textExpr, '\\s+') AS w FROM documents$where),
       |d AS (SELECT doc_id,
       |        CAST(len(w) AS DOUBLE) AS dl,
       |        CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
@@ -3082,6 +3082,28 @@ object SparkEntry {
     // over the full corpus in DuckDB, so a lost posting, a double-counted
     // stats row, or a bloom false NEGATIVE (a file wrongly skipped)
     // fails the hash.
+    // IN-PLACE document RE-INDEX — the update path: index the corpus,
+    // then reindex a slice with mutated text (longer docs, shifted term
+    // frequencies) under one epoch; served BM25 afterwards must be
+    // bit-equal to a from-scratch index of the UPDATED corpus — the
+    // oracle replays the full scan over the mutated text in DuckDB, so
+    // a stale posting, a half-applied delete, or a drifted stats delta
+    // all fail the hash.
+    "search_index_update" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_supd").toString
+      try {
+        val idx = s"$root/idx"
+        val docs = Tables.documents(s, dir)
+        sources.SearchIndex.indexEpoch(s, docs, idx, epochId = 0L)
+        sources.SearchIndex.reindexEpoch(s,
+          docs.where(col("doc_id") % 9 === 4)
+            .withColumn("text", concat(col("text"), lit(" spark"))),
+          idx, epochId = 1L)
+        sources.SearchIndex.bm25(s, idx, Seq("spark", "join", "vector"), k = 15)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // RANKED OR retrieval served from the index — the actual retrieval
     // shape: top-k docs for "any of these terms", BM25-scored, with the
     // rank itself under the hash (the bm25 legs pin the (doc, score)
@@ -6217,6 +6239,9 @@ object SparkEntry {
 
     "search_index_topk" ->
       bm25RankOracle(Seq("data", "vector", "nosuchterm"), 10),
+
+    "search_index_update" -> bm25Oracle("",
+      "CASE WHEN doc_id % 9 = 4 THEN text || ' spark' ELSE text END"),
 
     "stream_search_index_parity" -> BM25_ORACLE,
 

@@ -354,6 +354,106 @@ object SearchIndex {
     SnapshotStore.append(gone, statsRoot(root))
   }
 
+  /** IN-PLACE document re-index — the update path that was previously
+    * out of contract ("updates go through rebuild"): replace the indexed
+    * postings and stats of `docs`' doc_ids with their NEW text, under
+    * ONE epoch so a crash anywhere in the window converges on replay.
+    * Also inserts doc_ids not yet indexed (upsert semantics). The final
+    * index is BIT-EQUAL to a from-scratch rebuild of the updated corpus
+    * (oracle- and spec-pinned).
+    *
+    * Crash convergence, step by step (replay = foreachBatch re-delivers
+    * the SAME batch for the same epoch):
+    *   1. the net stats delta (new − old token mass) is STAGED to a
+    *      sidecar via write-temp + atomic move, keyed by epoch, BEFORE
+    *      anything mutates — replays reuse it, because after step 2 the
+    *      old postings (the only other source of the old dl) are gone;
+    *   2. the old postings CoW-delete — naturally idempotent (deleting
+    *      absent rows is a no-op), so it needs no stamp of its own;
+    *   3. the new postings append under the postings store's epoch guard
+    *      (a replay that finds the stamp skips 2 and 3 — the delete
+    *      cannot have "half happened" after the append committed, the
+    *      two publish in order);
+    *   4. the stats delta appends under the stats store's epoch guard.
+    *
+    * The batch's doc_id set drives the delete predicate through the
+    * driver (model-sized by contract: a reindex batch is a trigger's
+    * worth of updated documents, not a corpus — corpus-scale rewrites
+    * go through rebuild). `crashAfter` is test machinery: n ∈ 1..3
+    * aborts after step n so the spec can replay every window. */
+  def reindexEpoch(spark: SparkSession, docs: DataFrame, root: String,
+                   epochId: Long, buckets: Int = 8): Int =
+    reindexEpochInternal(spark, docs, root, epochId, buckets, crashAfter = 99)
+
+  private[graft] def reindexEpochInternal(spark: SparkSession,
+                                          docs: DataFrame, root: String,
+                                          epochId: Long, buckets: Int,
+                                          crashAfter: Int): Int = {
+    val sr = statsRoot(root)
+    require(SnapshotStore.currentVersion(root) > 0,
+      s"no index at $root — reindex updates an existing index; use index/indexEpoch to create")
+    if (SnapshotStore.epochStamped(root, epochId) &&
+        SnapshotStore.epochStamped(sr, epochId))
+      return SnapshotStore.currentVersion(root)
+    val stageDir = java.nio.file.Paths.get(root, "_reindex")
+    val stage = stageDir.resolve(s"epoch_$epochId.json")
+    val postingsStamped = SnapshotStore.epochStamped(root, epochId)
+    val (nd, sd) =
+      if (java.nio.file.Files.exists(stage)) {
+        // a replay reuses the staged delta — post-delete the old token
+        // mass is unrecoverable from the index
+        val t = new String(java.nio.file.Files.readAllBytes(stage), "UTF-8")
+        val m = """\{"nd":\s*(-?\d+),\s*"sd":\s*(-?\d+)\}""".r
+          .findFirstMatchIn(t).getOrElse(sys.error(
+            s"malformed reindex stage file $stage"))
+        (m.group(1).toLong, m.group(2).toLong)
+      } else {
+        require(!postingsStamped,
+          s"postings at $root carry epoch $epochId but no stage file — " +
+            "a foreign epoch chain? refuse rather than guess the stats")
+        val newS = statsOf(docs).head() // null gate fires here, pre-commit
+        val ids = docs.select("doc_id").distinct()
+        val old = SnapshotStore.read(spark, root)
+          .join(broadcast(ids), "doc_id") // model-sized batch contract
+          .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+          .head()
+        val d = (newS.getAs[Long]("n_docs") - old.getAs[Long]("n"),
+          newS.getAs[Long]("sum_dl") - old.getAs[Long]("s"))
+        java.nio.file.Files.createDirectories(stageDir)
+        val tmp = stageDir.resolve(s"epoch_$epochId.json.tmp")
+        java.nio.file.Files.write(tmp,
+          s"""{"nd": ${d._1}, "sd": ${d._2}}""".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, stage,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        d
+      }
+    require(crashAfter > 1, "test crash: after staging")
+    if (!postingsStamped) {
+      val idList = docs.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSeq // model-sized batch contract
+      if (idList.nonEmpty)
+        SnapshotStore.deleteWhere(spark, root,
+          col("doc_id").isin(idList: _*))
+      require(crashAfter > 2, "test crash: after delete")
+      val p = postingsOf(docs)
+        .repartitionByRange(buckets, col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+      val before = SnapshotStore.currentVersion(root)
+      val v = SnapshotStore.appendEpoch(p, root, epochId)
+      if (v != before)
+        SnapshotStore.writeBloomSidecar(spark, root, v,
+          SnapshotStore.manifestDirs(root, v)
+            .diff(SnapshotStore.manifestDirs(root, before)), "term")
+    }
+    require(crashAfter > 3, "test crash: after postings append")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotStore.appendEpoch(Seq((nd, sd)).toDF("n_docs", "sum_dl"),
+      sr, epochId)
+    SnapshotStore.currentVersion(root)
+  }
+
   /** Documents containing ALL of `terms` — the decontamination /
     * exact-containment probe served from the index: intersect the
     * bloom-pruned posting sets by counting distinct term hits per doc

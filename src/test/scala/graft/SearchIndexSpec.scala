@@ -186,6 +186,59 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("reindex == rebuild on the updated corpus; every crash window converges on replay") {
+    def updatedCorpus: DataFrame = {
+      val base = corpus(64)
+      // mutate a slice (longer text, new term), leave the rest alone —
+      // and add one brand-new doc (the upsert-insert leg)
+      base.where(col("doc_id") % 4 =!= 1)
+        .unionByName(base.where(col("doc_id") % 4 === 1)
+          .withColumn("text", concat(col("text"), lit(" fresh fresh"))))
+        .unionByName(docsDF((1000L, "fresh brand new doc")))
+    }
+    def updateBatch: DataFrame =
+      corpus(64).where(col("doc_id") % 4 === 1)
+        .withColumn("text", concat(col("text"), lit(" fresh fresh")))
+        .unionByName(docsDF((1000L, "fresh brand new doc")))
+    val terms = Seq("aaa", "filler", "fresh")
+    def answers(root: String): Seq[(Long, Double)] =
+      SearchIndex.bm25(spark, root, terms, k = 40)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // clean run: reindex == rebuild, bit-equal scores and stats
+    withRoot { root => withRoot { root2 =>
+      SearchIndex.indexEpoch(spark, corpus(64), root, epochId = 0L)
+      SearchIndex.reindexEpoch(spark, updateBatch, root, epochId = 1L)
+      SearchIndex.index(spark, updatedCorpus, root2)
+      assert(answers(root) == answers(root2))
+      assert(SearchIndex.corpusStats(spark, root).collect()(0)
+        == SearchIndex.corpusStats(spark, root2).collect()(0))
+      // full replay of a completed reindex is a version-level no-op
+      val v = SnapshotStore.currentVersion(root)
+      SearchIndex.reindexEpoch(spark, updateBatch, root, epochId = 1L)
+      assert(SnapshotStore.currentVersion(root) == v)
+    }}
+
+    // every crash window: abort after step n, then replay to completion —
+    // the converged index must equal the clean run's
+    (1 to 3).foreach { n =>
+      withRoot { root => withRoot { root2 =>
+        SearchIndex.indexEpoch(spark, corpus(64), root, epochId = 0L)
+        val e = intercept[IllegalArgumentException](
+          SearchIndex.reindexEpochInternal(spark, updateBatch, root,
+            epochId = 1L, buckets = 8, crashAfter = n))
+        assert(e.getMessage.contains("test crash"))
+        SearchIndex.reindexEpoch(spark, updateBatch, root, epochId = 1L)
+        SearchIndex.index(spark, updatedCorpus, root2)
+        assert(answers(root) == answers(root2),
+          s"crash window $n did not converge on replay")
+        assert(SearchIndex.corpusStats(spark, root).collect()(0)
+          == SearchIndex.corpusStats(spark, root2).collect()(0),
+          s"crash window $n drifted the corpus stats")
+      }}
+    }
+  }
+
   test("epoch-stamped ingest: replays are no-ops, stats never drift, blooms land") {
     withRoot { root =>
       val b0 = corpus(64).where(col("doc_id") < 32)
