@@ -3351,6 +3351,30 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // SCHEMA-EVOLUTION lifecycle on the snapshot store: append a narrow
+    // era, append a WIDENED era (adds o_orderstatus), run a keyed upsert
+    // whose widened batch touches BOTH eras (its CoW rewrites span
+    // pre- and post-evolution directories), then read with mergeSchema —
+    // pre-evolution survivors must read the added column as NULL, the
+    // upserted and post-evolution rows carry real values, nothing is
+    // silently dropped. The oracle replays the whole lifecycle in SQL.
+    "snapshot_schema_evolve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sev").toString
+      try {
+        val o = Tables.orders(s, dir)
+        val narrow = o.select("o_orderkey", "o_totalprice")
+        val wide = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        sources.SnapshotStore.append(narrow.where(col("o_orderkey") % 2 === 0), root)
+        sources.SnapshotStore.append(wide.where(col("o_orderkey") % 2 =!= 0), root)
+        sources.SnapshotStore.upsert(s,
+          wide.where(col("o_orderkey") % 7 === 3)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+          root, Seq("o_orderkey"))
+        sources.SnapshotStore.read(s, root, mergeSchema = true)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Branch REBASE lifecycle — the diverged-branch reconciliation: fork,
     // let the parent move (a new batch the branch never saw) WHILE the
     // branch runs a curation pass (CoW delete + capped re-append of its
@@ -6315,6 +6339,17 @@ object SparkEntry {
         |       CASE WHEN l_quantity > 40.0 THEN 40.0 ELSE l_quantity END
         |         AS l_quantity
         |FROM lineitem""".stripMargin,
+
+    // null-fill semantics pinned: era-1 rows (even keys, not upserted)
+    // read the evolved column as NULL; upserted rows (%7=3, both eras)
+    // carry the widened batch's values
+    "snapshot_schema_evolve" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 100.0
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CASE WHEN o_orderkey % 7 = 3 OR o_orderkey % 2 != 0
+        |            THEN o_orderstatus ELSE NULL END AS o_orderstatus
+        |FROM orders""".stripMargin,
 
     // both lifecycles composed: the branch capped quantities over the
     // fork-time slices (%3 in 0,1); the parent's post-fork slice (%3=2)

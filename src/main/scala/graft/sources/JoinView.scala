@@ -172,6 +172,13 @@ object JoinView {
     * long-typed). The bloom row-prefilter still applies on top. */
   private def standing(spark: SparkSession, root: String, ver: Int,
                        keys: Seq[String], deltaKeys: DataFrame): DataFrame = {
+    // an EVOLVED store (mixed-schema files) cannot be read as a file
+    // subset or from one sampled footer without silently dropping the
+    // newer columns — fall back to the full merged read (bloom
+    // row-prefiltering still applies on top; a compaction re-unifies
+    // the files and restores pruning)
+    if (SnapshotStore.schemaEvolved(spark, root, ver))
+      return SnapshotStore.readEvolved(spark, root, ver)
     val full = SnapshotStore.read(spark, root, ver)
     // range pruning rides the FIRST key (the stats sidecar is per-column
     // long min/max); further keys still gate through the bloom + join
@@ -239,8 +246,11 @@ object JoinView {
         s"view at $viewRoot is maintained as '$rec', refresh asked '$how'")
     }
 
-    val lNew = SnapshotStore.read(spark, leftRoot, lv)
-    val rNew = SnapshotStore.read(spark, rightRoot, rv)
+    // evolved-safe reads: a source whose files span a schema evolution
+    // merges footers instead of sampling one (see the schema-change
+    // rebuild below for how the VIEW absorbs the new shape)
+    val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
+    val rNew = SnapshotStore.readEvolved(spark, rightRoot, rv)
 
     // per-refresh (schemas can evolve): paired keys must share a type —
     // the composite bloom hashes by type (xxhash64(1) != xxhash64(1L)),
@@ -257,15 +267,32 @@ object JoinView {
       case _ => false
     }
     val vBefore = SnapshotStore.currentVersion(viewRoot)
+    // SCHEMA EVOLUTION: a source that widened (or narrowed) since the
+    // last refresh changes the view's row shape. The delta paths would
+    // then publish mixed-schema view versions that the plain read plans
+    // from one footer — silently DROPPING the new column on standing
+    // rows — and the rewrite paths would fail the union far from the
+    // cause. Detect the shape change against the view's recorded columns
+    // and take ONE full rebuild under the new schema (the same honest
+    // price a source compaction pays); pre-tracking legacy views keep
+    // the old behavior.
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val expectedCols = (lNew.columns ++ rNew.columns.filterNot(c =>
+      !outer && rightKeys.exists(_.equalsIgnoreCase(c)))).map(lc).toSet
+    val schemaChanged = vBefore > 0 &&
+      SnapshotStore.manifestCols(viewRoot, vBefore)
+        .exists(vc => vc.map(lc).toSet != expectedCols)
 
-    val vNew = if (plv == 0 && prv == 0) {
-      // bootstrap: non-key column collision would corrupt every later
-      // dirty anti-join — fail before the first version publishes.
-      // Case-INSENSITIVE, matching JoinRewriteRule's lowercased by-name
-      // resolution (left 'Amount' vs right 'amount' collapses to one
-      // entry in the rewrite's name map — refuse it here, at the cause).
-      // An OUTER view keeps its right keys, so those count as columns
-      // too: NO shared name is legal at all
+    // non-key column collision would corrupt every later dirty anti-join —
+    // fail before anything publishes. Case-INSENSITIVE, matching
+    // JoinRewriteRule's lowercased by-name resolution (left 'Amount' vs
+    // right 'amount' collapses to one entry in the rewrite's name map —
+    // refuse it here, at the cause). An OUTER view keeps its right keys,
+    // so those count as columns too: NO shared name is legal at all.
+    // Checked on EVERY refresh (pure driver-side name logic): schema
+    // evolution can introduce a collision bootstrap never saw, on either
+    // side, without changing the name SET the schema-change probe sees.
+    locally {
       val overlap = lNew.columns.map(_.toLowerCase).toSet
         .intersect(rNew.columns.map(_.toLowerCase).toSet) --
         (if (outer) Set.empty[String] else rightKeys.map(_.toLowerCase).toSet)
@@ -281,6 +308,14 @@ object JoinView {
           s"right key '$rk' shadows an unrelated left column — rename one " +
             s"(a shared name is only legal for a key and its own pair)")
       }
+    }
+
+    val vNew = if (schemaChanged) {
+      SnapshotStore.compactWith(
+        clustered(joined(lNew, rNew, leftKeys, rightKeys, how, outer),
+          leftKeys.head, outer && keyIntegral),
+        viewRoot, epochOverride = Some(pack(lv, rv)))
+    } else if (plv == 0 && prv == 0) {
       recordHow(viewRoot, how) // BEFORE the publish: crash re-bootstraps
       SnapshotStore.appendEpoch(
         clustered(joined(lNew, rNew, leftKeys, rightKeys, how, outer),
@@ -294,7 +329,9 @@ object JoinView {
       // their null rows), and match arrival retracts converted null rows
       val lPart =
         if (lv > plv) {
-          val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv)
+          val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
+            Some(lNew.schema)) // explicit schema: a narrow post-evolution
+                               // append still reads the full shape
           val dk = keyTuples(delta, leftKeys)
           Some(joined(delta,
             prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
@@ -303,7 +340,8 @@ object JoinView {
         } else None
       val (rPart, rDeltaKeys) =
         if (rv > prv) {
-          val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv)
+          val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
+            Some(rNew.schema))
           val dk = keyTuples(delta, rightKeys)
           (Some(joined(
             prefiltered(standing(spark, leftRoot, plv, leftKeys, dk),
@@ -311,7 +349,7 @@ object JoinView {
             delta, leftKeys, rightKeys, "inner", outer)), Some(dk))
         } else (None, None)
       val adds = (lPart.toSeq ++ rPart.toSeq).reduce(_ unionByName _)
-      lazy val view = SnapshotStore.read(spark, viewRoot)
+      lazy val view = SnapshotStore.readEvolved(spark, viewRoot)
       // MATCH ARRIVAL (outer only): does ΔR hit any key that currently
       // has null-extended view rows? The probe reads the VIEW as a
       // standing side — file-pruned by the delta's key range (outer
@@ -358,7 +396,7 @@ object JoinView {
             df(k) === dirty(s"__bk$i")
           }.reduce(_ && _), jt)
       val survivors = dirtyJoin(
-        SnapshotStore.read(spark, viewRoot), leftKeys, "left_anti")
+        SnapshotStore.readEvolved(spark, viewRoot), leftKeys, "left_anti")
       val recomputed = joined(
         dirtyJoin(lNew, leftKeys, "left_semi"),
         dirtyJoin(rNew, rightKeys, "left_semi"),
@@ -381,7 +419,8 @@ object JoinView {
     vNew
   }
 
-  /** The maintained join content. */
+  /** The maintained join content (evolved-safe: a view mid-way through a
+    * schema change still reads its full shape). */
   def read(spark: SparkSession, viewRoot: String): DataFrame =
-    SnapshotStore.read(spark, viewRoot)
+    SnapshotStore.readEvolved(spark, viewRoot)
 }

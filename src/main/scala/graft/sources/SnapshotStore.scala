@@ -353,13 +353,44 @@ object SnapshotStore {
     r.parquet(manifestDirs(root, v): _*)
   }
 
+  /** [[read]] that pays mergeSchema ONLY when the store actually evolved:
+    * the manifest records the full evolved column set, a plain read plans
+    * from one sampled footer — when the two disagree (the sample was a
+    * pre-evolution file, which would silently read the newer columns out
+    * of existence) the read re-plans with mergeSchema. Uniform stores pay
+    * nothing; evolved stores pay the per-file footer read until a
+    * compaction re-unifies their files. */
+  def readEvolved(spark: SparkSession, root: String,
+                  version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(root)
+    val plain = read(spark, root, v)
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    if (manifestCols(root, v).exists(rc =>
+        rc.map(lc).toSet != plain.columns.map(lc).toSet))
+      read(spark, root, v, mergeSchema = true)
+    else plain
+  }
+
+  /** Has `root`'s file set evolved past what a single sampled footer
+    * describes? (True ⇒ plans that read file SUBSETS or sample one
+    * footer are unsafe until a compaction re-unifies the files.) Costs
+    * one read PLAN (a footer sample), no data scan. */
+  private[sources] def schemaEvolved(spark: SparkSession, root: String,
+                                     version: Int = -1): Boolean = {
+    val v = if (version > 0) version else currentVersion(root)
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    manifestCols(root, v).exists(rc =>
+      rc.map(lc).toSet != read(spark, root, v).columns.map(lc).toSet)
+  }
+
   /** Rows added AFTER `fromExclusive` up to `to` (default: latest) — plans
     * only the directories the newer manifests introduced. This is the
     * batch "what's new since my last run" read; with compactions in the
     * range the caller should diff against logical content instead
     * (compaction introduces directories without introducing rows). */
   def incremental(spark: SparkSession, root: String,
-                  fromExclusive: Int, to: Int = -1): DataFrame = {
+                  fromExclusive: Int, to: Int = -1,
+                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val v = if (to > 0) to else currentVersion(root)
     require(fromExclusive >= 0 && v >= fromExclusive,
       s"bad incremental range ($fromExclusive, $v]")
@@ -370,8 +401,13 @@ object SnapshotStore {
       if (fromExclusive == 0) Set.empty[String]
       else manifestDirs(root, fromExclusive).toSet
     val added = manifestDirs(root, v).filterNot(before)
+    // `schema`: read the added dirs under an EXPLICIT schema (columns a
+    // dir's files lack read as null) — the evolved-store posture for
+    // consumers that must see the full shape even when the range mixes
+    // pre- and post-evolution appends
     if (added.isEmpty) read(spark, root, v).limit(0)
-    else spark.read.parquet(added: _*)
+    else schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(added: _*)
   }
 
   /** Net row-level CHANGE FEED between two snapshot versions — every row

@@ -266,6 +266,49 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("a widened source forces ONE rebuild under the new schema; deltas then resume O(Δ)") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(ordersDF(1L, 2L, 3L), l)
+      SnapshotStore.append(linesDF((1L, 1L, 5.0), (2L, 1L, 7.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(!JoinView.read(spark, v).columns.contains("note"))
+      // the left source widens ADDITIVELY (the evolveSchema contract)
+      SnapshotStore.append(
+        Seq((4L, "cust1", 40.0, "n4")).toDF("o_id", "cust", "total", "note"), l)
+      SnapshotStore.append(linesDF((4L, 1L, 9.0), (3L, 1L, 2.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      // the refresh detected the shape change and rebuilt — not a mixed-
+      // schema delta append that a plain read would silently narrow
+      assert(lastOp(v) == "compact", "schema change must rebuild, not append")
+      val got = JoinView.read(spark, v)
+        .select("o_id", "ln", "qty", "note").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+          Option(x.getString(3)))).toSet
+      // pre-evolution rows read the new column as null; the widened row
+      // carries its value — never dropped
+      assert(got == Set((1L, 1L, 5.0, None), (2L, 1L, 7.0, None),
+        (3L, 1L, 2.0, None), (4L, 1L, 9.0, Some("n4"))))
+      // subsequent appends resume the O(Δ) delta path, and a NARROW
+      // post-evolution append (legal: additive contract) still reads the
+      // full shape into the view
+      SnapshotStore.append(ordersDF(5L), l) // narrow batch, no 'note'
+      SnapshotStore.append(linesDF((5L, 2L, 1.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      assert(lastOp(v) == "append", "post-evolution delta lost the O(Δ) path")
+      assert(JoinView.read(spark, v).where(col("o_id") === 5L)
+        .select("note").collect().map(x => Option(x.getString(0))).toSeq
+        == Seq(None))
+      // an evolution that INTRODUCES a collision refuses pre-publish
+      SnapshotStore.append(
+        Seq((9L, 9L, 1.0, "x")).toDF("lo_id", "ln", "qty", "note"), r)
+      val e = intercept[IllegalArgumentException](
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id"))
+      assert(e.getMessage.contains("collide"))
+    }
+  }
+
   test("lifecycle torture: view == rejoin after every commit of a mixed sequence") {
     withRoots { (l, r, v) =>
       // a fixed pseudo-random (seeded → deterministic) interleaving of

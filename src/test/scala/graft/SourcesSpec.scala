@@ -603,6 +603,42 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("rollup view vs schema evolution: widened source exact, missing value column refuses pre-publish") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivm_sev").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      def fullRollup() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(30,2)")).as("vsum"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .collect().map(_.toString).toSet
+      def viewRows() =
+        RollupView.read(spark, view).collect().map(_.toString).toSet
+      SnapshotStore.append(
+        Seq(("m", 10L, 1.5), ("n", 86410L, 2.0)).toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      // WIDENED source: the view's spec projects its own columns, so the
+      // new column rides through and the view still equals the recompute
+      SnapshotStore.append(
+        Seq(("m", 30L, 4.0, "tagged")).toDF("metric", "e", "value", "tag"), src)
+      RollupView.refresh(spark, src, view)
+      assert(viewRows() == fullRollup(),
+        "widened source broke the rollup's delta refresh")
+      // a batch MISSING the value column (legal additive-subset append at
+      // the store level) must refuse the REFRESH loudly before anything
+      // publishes — never aggregate a silently-null value column
+      val vStable = SnapshotStore.currentVersion(view)
+      SnapshotStore.append(Seq(("m", 200L)).toDF("metric", "e"), src)
+      intercept[Exception](RollupView.refresh(spark, src, view))
+      assert(SnapshotStore.currentVersion(view) == vStable,
+        "refused refresh must not publish a view version")
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("change feed: net insert/delete rows across appends, deletes, upserts") {
     import graft.sources.SnapshotStore
     val s = spark
