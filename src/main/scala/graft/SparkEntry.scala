@@ -797,10 +797,39 @@ object SparkEntry {
     "a7_sessions" -> ((s, dir) =>
       TrendOps.sessionize(series(s, dir), TrendParams.default.sessionGapSeconds)),
 
-    // Sketch aggregates (HLL++ distinct, GK percentiles) next to exact
-    // counterparts — rows-only (sketch internals differ across engines);
-    // accuracy pinned by unit test.
-    "a9_sketch_stats" -> ((s, dir) => TrendOps.sketchStats(series(s, dir))),
+    // Sketch aggregates (HLL++ distinct, approx percentile) next to exact
+    // counterparts — BAND-ORACLED (r14, the a26 technique): the
+    // engine-specific estimates ride to the oracle via export; the exact
+    // NDV and the approx-median's RANK are re-derived independently in
+    // both engines, and both band verdicts land under the hash. Spark
+    // hard-fails out-of-band pre-export. NDV band = 15% floor 2 (3σ for
+    // rsd = 0.05); median band = rank within n/1000 + 1 of ceil(n/2)
+    // (percentile_approx accuracy 10000 ⇒ rank error ≤ n/10000).
+    "a9_sketch_stats" -> ((s, dir) => {
+      val sr = series(s, dir)
+      val st = TrendOps.sketchStats(sr).localCheckpoint(true)
+      val ap = st.select("metric", "approx_users", "p50_approx")
+      val ex = sr.groupBy("metric").agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      val rk = sr.join(broadcast(ap.select("metric", "p50_approx")), "metric")
+        .groupBy("metric")
+        .agg(count(when(col("value") <= col("p50_approx"), 1)).as("le"))
+      val verdict = ap.join(ex, "metric").join(rk, "metric")
+        .select(col("metric"), col("exact_users"), col("approx_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.15), lit(2.0))).as("ndv_ok"),
+          col("p50_approx"),
+          (abs(col("le") - ceil(col("n") / lit(2.0)).cast("long")) <=
+            expr("n div 1000") + lit(1L)).as("p50_rank_ok"))
+        .localCheckpoint(true)
+      verdict.collect().foreach { r =>
+        require(r.getAs[Boolean]("ndv_ok") && r.getAs[Boolean]("p50_rank_ok"),
+          s"sketch estimate outside its band: $r")
+      }
+      exportForOracle(ap, "a9_approx", model = true)
+      verdict
+    }),
 
     // a9's GK leg made ORACLE-CHECKABLE via the a35 technique (round-10
     // verdict item 8): the same mergeable GK summary, built per metric in
@@ -5332,6 +5361,27 @@ object SparkEntry {
     // re-derived with the same arithmetic.
     "a26_hll_tier" -> hllTierBandOracle(exportGlob("a26_approx")),
     "stream_hll_parity" -> hllTierBandOracle(exportGlob("hllstream_approx")),
+
+    // a9 band-verified (r14, the a26 technique): exact NDV and the
+    // approx-median's rank re-derived here from the series; estimates
+    // come from the export; both band verdicts re-derived with the same
+    // integer/double arithmetic as the Spark side.
+    "a9_sketch_stats" ->
+      s"""WITH $SERIES,
+         |ap AS (SELECT metric, approx_users, p50_approx
+         |       FROM read_parquet('${exportGlob("a9_approx")}')),
+         |ex AS (SELECT metric, count(DISTINCT user_id) AS exact_users,
+         |         count(*) AS n FROM series GROUP BY 1),
+         |rk AS (SELECT s.metric,
+         |         count(CASE WHEN s.value <= ap.p50_approx THEN 1 END) AS le
+         |       FROM series s JOIN ap ON s.metric = ap.metric GROUP BY 1)
+         |SELECT ex.metric, ex.exact_users, ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.15 * ex.exact_users, 2.0) AS ndv_ok,
+         |       ap.p50_approx,
+         |       abs(rk.le - CAST(CEIL(ex.n / 2.0) AS BIGINT)) <= ex.n // 1000 + 1
+         |         AS p50_rank_ok
+         |FROM ex JOIN ap USING (metric) JOIN rk USING (metric)""".stripMargin,
 
     // a9's GK leg, whole-metric grain (see the a35 note above for the
     // exactness-regime rank convention and the forced-DOUBLE multiply).
