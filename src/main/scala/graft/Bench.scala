@@ -64,54 +64,73 @@ object Bench {
       (name, first, best)
     }.map { case (name, first, best) => name -> (first, best) }
     // The harness that consumes this line keeps only the LAST ~2000
-    // characters of output (r11 showed the full-precision two-map line
-    // pushed the cold split and header out of that window, so the
-    // instrument never reached the artifact). Layout is therefore
-    // deliberate: ms-rounded per-query maps go FIRST (self-truncating),
-    // and everything needed to read the round — totals, failures, the
-    // cold-vs-steady DRIFT block (queries whose first run was inflated:
-    // env noise, not plan regressions — round-10 verdict item 6), and
-    // the slowest-steady block — prints at the very END of the line.
-    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    // characters of output (r13's full two-map line overflowed it: the
+    // headline survived but the line no longer PARSED as JSON). r14
+    // layout: stdout carries ONE compact line that fits the window
+    // whole — headline, the three lanes, drift, and the per-query map
+    // CAPPED to the slowest 30 steady timings (the informative part) —
+    // while the COMPLETE per-query maps (steady + cold, all queries) go
+    // to bench_full.json beside the run for anyone reading per-query
+    // history. Locale.ROOT: a comma-decimal default locale would corrupt
+    // the JSON.
     def ms(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, (c, _)) => "\"" + k + "\":" + ms(c) }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, (_, v)) if v >= 0 => v }.sum
     val failed = results.count(_._2._2 < 0)
-    // Decomposition: the stream_* entries are checkpointed Structured
-    // Streaming REPLAYS (verification surface) whose cost is dominated by
-    // fixed engine overhead (state-store setup, per-trigger commits), not
-    // data volume — price them separately from the batch operators.
-    val streamTotal = results.collect {
-      case (n, (_, v)) if n.startsWith("stream_") && v >= 0 => v }.sum
-    val batch = results.filterNot(_._1.startsWith("stream_"))
-    val batchTotal = batch.collect { case (_, (_, v)) if v >= 0 => v }.sum
+    // THREE lanes (r14): plain batch operators, store-LIFECYCLE queries
+    // (multi-commit maintenance + serve per run — snapshot/view/index
+    // families, whose fixed commit overhead would otherwise drift the
+    // batch mean every time one is added), and the checkpointed
+    // Structured Streaming REPLAYS (fixed per-trigger engine overhead).
+    // The 2x gate compares the BATCH lane like with like.
+    val lifecyclePrefixes =
+      Seq("snapshot_", "join_view_", "rollup_view_", "ndv_", "search_index_")
+    def lane(n: String): String =
+      if (n.startsWith("stream_")) "stream"
+      else if (lifecyclePrefixes.exists(n.startsWith) || n == "compacted_read")
+        "lifecycle"
+      else "batch"
+    def laneOf(which: String) = results.filter(r => lane(r._1) == which)
+    def totalOf(rs: Seq[(String, (Double, Double))]) =
+      rs.collect { case (_, (_, v)) if v >= 0 => v }.sum
+    val (batch, lifecycle, streams) =
+      (laneOf("batch"), laneOf("lifecycle"), laneOf("stream"))
     val coldTotal = results.collect { case (_, (c, v)) if v >= 0 => c }.sum
     // cold materially above steady = first-run-only cost (GC/IO/JIT in
     // this JVM at that moment); a REAL regression moves both runs.
     val driftAll = results.collect {
       case (n, (c, v)) if v >= 0 && c > 1.5 * v + 0.05 => (n, c, v)
     }
-    // cap at the 12 largest absolute excesses so a JIT-heavy small-sf run
-    // can't flood the tail window the harness keeps
-    val drift = driftAll.sortBy { case (_, c, v) => v - c }.take(12)
+    // cap at the 8 largest absolute excesses so a JIT-heavy small-sf run
+    // can't flood the window
+    val drift = driftAll.sortBy { case (_, c, v) => v - c }.take(8)
       .map { case (n, c, v) => "\"" + n + "\":[" + ms(c) + "," + ms(v) + "]" }
       .mkString("{", ",", "}")
-    val slowest = results.filter(_._2._2 >= 0)
-      .sortBy(-_._2._2).take(15)
+    val bySlow = results.filter(_._2._2 >= 0).sortBy(-_._2._2)
+    val slowest = bySlow.take(30)
       .map { case (k, (_, v)) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"queries_cold":$qsCold,"queries":$qs,""" +
-      s""""metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,""" +
-      s""""batch_total":${ms(batchTotal)},"batch_n":${batch.size},""" +
-      s""""stream_replay_total":${ms(streamTotal)},"stream_replay_n":${results.size - batch.size},""" +
+    val lanesJson =
+      s""""batch_total":${ms(totalOf(batch))},"batch_n":${batch.size},""" +
+      s""""lifecycle_total":${ms(totalOf(lifecycle))},"lifecycle_n":${lifecycle.size},""" +
+      s""""stream_replay_total":${ms(totalOf(streams))},"stream_replay_n":${streams.size}"""
+    // complete per-query record (steady + cold), off the stdout window
+    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val qsCold = results.map { case (k, (c, _)) => "\"" + k + "\":" + ms(c) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (s"""{"queries":$qs,"queries_cold":$qsCold,""" +
+        s""""metric":"total","value":${ms(total)},"unit":"sec",""" +
+        s""""failed":$failed,$lanesJson,"cold_total":${ms(coldTotal)},""" +
+        s""""sf":"$sfDir"}""").getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""failed":$failed,$lanesJson,""" +
       s""""cold_total":${ms(coldTotal)},"drift_n":${driftAll.size},""" +
       s""""cold_vs_steady_drift":$drift,""" +
-      s""""slowest_steady":$slowest,"sf":"$sfDir"}""")
+      s""""queries_n_total":${results.size},""" +
+      s""""queries":$slowest,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
