@@ -3380,6 +3380,34 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // MAINTAINED APPROXIMATE-QUANTILE view — the deterministic mergeable
+    // quantile summary (fixed-bin histogram) that closes the one
+    // documented IVM decline: bootstrap freezes per-metric bin edges,
+    // a delta appends bin-count partials O(Δ), a source DELETE appends
+    // NEGATIVE partials straight off the change feed (counts retract by
+    // arithmetic — no dirty-group recompute, the property GK/KLL lack),
+    // and served estimates are pure arithmetic over (counts, edges) —
+    // so the oracle hashes the ESTIMATES exactly (stronger than a band):
+    // DuckDB replays the identical binning + cumulative-interpolation
+    // expression tree over the surviving source and the exported edges.
+    "quantile_view_answer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_qv").toString
+      try {
+        val src = s"$root/src"; val v = s"$root/view"
+        val sr = series(s, dir).select("metric", "e", "value")
+        sources.SnapshotStore.append(sr.where(col("e") % 2 === 0), src)
+        sources.QuantileView.refresh(s, src, v) // bootstrap: freeze edges
+        sources.SnapshotStore.append(sr.where(col("e") % 2 =!= 0), src)
+        sources.QuantileView.refresh(s, src, v) // O(Δ) delta partials
+        sources.SnapshotStore.deleteWhere(s, src, col("e") % 5 === 0)
+        sources.QuantileView.refresh(s, src, v) // churn: NEGATIVE partials
+        exportForOracle(sources.QuantileView.edgesFor(s, v),
+          "qview_edges", model = true)
+        sources.QuantileView.quantiles(s, v, Seq(0.5, 0.9, 0.99))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // SCHEMA-EVOLUTION lifecycle on the snapshot store: append a narrow
     // era, append a WIDENED era (adds o_orderstatus), run a keyed upsert
     // whose widened batch touches BOTH eras (its CoW rewrites span
@@ -6389,6 +6417,40 @@ object SparkEntry {
         |       CASE WHEN l_quantity > 40.0 THEN 40.0 ELSE l_quantity END
         |         AS l_quantity
         |FROM lineitem""".stripMargin,
+
+    // the maintained histogram's estimates replayed exactly: bin the
+    // SURVIVING source under the exported frozen edges (same clamped
+    // integer bin), cumulative counts per (metric, day), linear
+    // interpolation inside the selected bin — identical expression tree,
+    // identical double arithmetic, hashed directly
+    "quantile_view_answer" ->
+      s"""WITH $SERIES,
+         |src AS (SELECT metric, e, value FROM series WHERE NOT (e % 5 = 0)),
+         |ed AS (SELECT metric, lo, w, bins
+         |       FROM read_parquet('${exportGlob("qview_edges")}')),
+         |b AS (SELECT src.metric, src.e // 86400 AS bucket,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((src.value - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM src JOIN ed USING (metric)),
+         |c AS (SELECT metric, bucket, bin, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY 1, 2, 3),
+         |cm AS (SELECT metric, bucket, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric, bucket
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric, bucket)
+         |           AS BIGINT) AS n
+         |       FROM c),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9, 0.99]) AS u(phi)),
+         |sel AS (SELECT metric, bucket, bin, cnt, cum, n, phi,
+         |          phi * CAST(n AS DOUBLE) AS t FROM p)
+         |SELECT sel.metric, sel.bucket, sel.phi,
+         |       ed.lo + ed.w * sel.bin +
+         |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |           CAST(sel.cnt AS DOUBLE)) AS est
+         |FROM sel JOIN ed ON sel.metric = ed.metric
+         |WHERE CAST(sel.cum AS DOUBLE) >= sel.t
+         |  AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t""".stripMargin,
 
     // null-fill semantics pinned: era-1 rows (even keys, not upserted)
     // read the evolved column as NULL; upserted rows (%7=3, both eras)

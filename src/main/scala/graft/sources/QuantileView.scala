@@ -1,0 +1,208 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained APPROXIMATE-QUANTILE view — the maintained
+  * counterpart of the a35 serving trick, closing the one documented IVM
+  * decline (COVERAGE.md: KLL nondeterminism, GK merge order-sensitivity).
+  *
+  * The insight: a FIXED-BIN histogram is the deterministic mergeable
+  * quantile summary those sketches aren't —
+  *
+  *   - partials are per-(metric, bucket, bin) COUNTS: commutative,
+  *     associative, and — unlike every rank sketch and unlike min/max —
+  *     RETRACTABLE (a source delete appends NEGATIVE count partials;
+  *     no dirty-group recompute, no view rewrite);
+  *   - the quantile estimate is a pure arithmetic function of (counts,
+  *     edges): cumulative-count bin selection + linear interpolation —
+  *     bit-reproducible across engines, so the correctness gate can hash
+  *     the ESTIMATES directly instead of settling for a band verdict;
+  *   - accuracy is a-priori bounded by the bin width (est and the true
+  *     quantile live in the same bin), a bound [[quantiles]]' caller can
+  *     check against the exact percentile (spec-pinned at ≤ 2·w, the
+  *     interpolation-edge-safe form).
+  *
+  * The price of determinism is a FROZEN value envelope: bin edges are
+  * fixed per metric at bootstrap (observed range ± 25% margin, stored in
+  * a versioned sidecar). A delta that escapes the envelope (or a brand
+  * new metric) cannot bin consistently — the refresh detects it and
+  * takes ONE full rebuild that REFREEZES the edges (the same honest
+  * price as a source compaction; the margin makes it rare under drift).
+  *
+  * Refresh skeleton follows [[RollupView]]: O(delta) appends via the
+  * manifest diff, signed partials from the row change feed for churn,
+  * rebuild across a compaction, resume position = the source version
+  * stamped as the view's epoch (replayed refresh is a true no-op).
+  * Edges sidecars are written BEFORE their rebuild publishes, keyed by
+  * the source version they were frozen for — a crash between the two
+  * leaves an orphan sidecar the old content never reads ([[edgesFor]]
+  * resolves the newest freeze at or below the view's stamp).
+  */
+object QuantileView {
+
+  val DefaultBins = 64
+
+  private def edgesDir(viewRoot: String, srcV: Int): String =
+    s"$viewRoot/_edges/v$srcV"
+
+  /** The newest frozen edges at or below the view's current stamp —
+    * (metric, lo, w, bins). */
+  def edgesFor(spark: SparkSession, viewRoot: String): DataFrame = {
+    val stamp = SnapshotStore.lastEpoch(viewRoot).getOrElse(
+      sys.error(s"no refreshed quantile view at $viewRoot")).toInt
+    val d = java.nio.file.Paths.get(viewRoot, "_edges")
+    val versions = {
+      val stream = java.nio.file.Files.list(d)
+      try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]
+          .getFileName.toString)
+        .filter(_.startsWith("v"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("v").toInt).toOption)
+        .filter(_ <= stamp)
+      finally stream.close()
+    }
+    require(versions.nonEmpty, s"no frozen edges at or below v$stamp")
+    spark.read.parquet(edgesDir(viewRoot, versions.max))
+  }
+
+  /** The shared binning expression — ONE definition for bootstrap, delta,
+    * churn, and the SQL oracle replay (documented there): clamped integer
+    * bin of a value under (lo, w, bins). */
+  private def binCol(lo: Column, w: Column, bins: Column): Column =
+    least(bins - lit(1),
+      greatest(lit(0), floor((col("value") - lo) / w).cast("int")))
+
+  /** Freeze per-metric edges from `rows` (observed range ± 25% margin;
+    * degenerate single-value metrics get unit width). Model-sized: one
+    * row per metric. */
+  private def freezeEdges(rows: DataFrame, bins: Int): DataFrame =
+    rows.groupBy("metric")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+      .select(col("metric"),
+        (col("mn") - greatest(col("mx") - col("mn"), lit(1.0)) * lit(0.25))
+          .as("lo"),
+        (greatest(col("mx") - col("mn"), lit(1.0)) * lit(1.5) / lit(bins))
+          .as("w"),
+        lit(bins).as("bins"))
+
+  private def binned(rows: DataFrame, edges: DataFrame, grainSec: Long,
+                     sign: Column): DataFrame =
+    rows.join(broadcast(edges), "metric")
+      .select(col("metric"),
+        expr(s"e div $grainSec").as("bucket"),
+        binCol(col("lo"), col("w"), col("bins")).as("bin"),
+        sign.as("sign"))
+      .groupBy("metric", "bucket", "bin")
+      .agg(sum(col("sign")).as("cnt"))
+
+  /** Rows outside the frozen envelope (or whose metric has no edges)
+    * cannot bin consistently — count them. One aggregate, no collect. */
+  private def escapes(rows: DataFrame, edges: DataFrame): Long =
+    rows.join(broadcast(edges), Seq("metric"), "left_outer")
+      .where(col("lo").isNull || col("value") < col("lo") ||
+        col("value") > col("lo") + col("w") * col("bins"))
+      .limit(1).count()
+
+  private def rowChurnOnly(root: String, from: Int, cur: Int): Boolean =
+    ((from + 1) to cur).forall(v =>
+      SnapshotStore.manifestOp(root, v)
+        .exists(op => op == "append" || op == "delete" || op == "upsert"))
+
+  private def appendOnly(root: String, from: Int, cur: Int): Boolean =
+    ((from + 1) to cur).forall(v =>
+      SnapshotStore.manifestOp(root, v).contains("append"))
+
+  /** Bring the view up to the source's current version. The source is a
+    * (metric, e, value) series store. Returns the view version. */
+  def refresh(spark: SparkSession, srcRoot: String, viewRoot: String,
+              grainSec: Long = 86400L, bins: Int = DefaultBins): Int = {
+    val srcCur = SnapshotStore.currentVersion(srcRoot)
+    require(srcCur > 0, s"no published source version at $srcRoot")
+    val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
+    if (srcCur <= from) return SnapshotStore.currentVersion(viewRoot)
+
+    def rebuild(): Int = {
+      val full = SnapshotStore.read(spark, srcRoot, srcCur)
+      val ed = freezeEdges(full, bins).localCheckpoint(true)
+      // edges BEFORE the publish, keyed by the version they freeze for:
+      // a crash between the two leaves an orphan sidecar nothing reads
+      ed.coalesce(1).write.mode("overwrite")
+        .parquet(edgesDir(viewRoot, srcCur))
+      val counts = binned(full, ed, grainSec, lit(1L))
+      if (SnapshotStore.currentVersion(viewRoot) == 0)
+        SnapshotStore.appendEpoch(counts, viewRoot, srcCur)
+      else
+        SnapshotStore.compactWith(counts, viewRoot,
+          epochOverride = Some(srcCur.toLong))
+    }
+
+    val baselineGone = from > 0 && !SnapshotStore.hasManifest(srcRoot, from)
+    if (from == 0 || baselineGone || !rowChurnOnly(srcRoot, from, srcCur))
+      return rebuild()
+    val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
+    if (appendOnly(srcRoot, from, srcCur)) {
+      val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
+      // envelope escape (new metric, drifted range): refreeze via rebuild
+      if (escapes(delta, ed) > 0) return rebuild()
+      SnapshotStore.appendEpoch(
+        binned(delta, ed, grainSec, lit(1L)), viewRoot, srcCur)
+    } else {
+      // churn: SIGNED partials straight off the row change feed — counts
+      // retract by arithmetic, no dirty-group recompute, no view rewrite
+      val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
+      val inserts = ch.where(col("_change_type") === "insert")
+      if (escapes(inserts, ed) > 0) return rebuild()
+      val signed = binned(
+        ch.select(col("metric"), col("e"), col("value"),
+          when(col("_change_type") === "insert", 1L).otherwise(-1L)
+            .as("__sign")),
+        ed, grainSec, col("__sign"))
+      SnapshotStore.appendEpoch(signed, viewRoot, srcCur)
+    }
+  }
+
+  /** Net bin counts per (metric, bucket, bin) — the fold read (zero-net
+    * bins drop; a negative net would mean a maintenance bug and is
+    * surfaced, not masked). */
+  def read(spark: SparkSession, viewRoot: String): DataFrame =
+    SnapshotStore.read(spark, viewRoot)
+      .groupBy("metric", "bucket", "bin")
+      .agg(sum("cnt").as("cnt"))
+      .where(col("cnt") =!= 0L)
+
+  /** Fold the partial history to one row per live (metric, bucket, bin)
+    * — the view's own maintenance compaction (content and stamp
+    * preserved). */
+  def compact(spark: SparkSession, viewRoot: String, targetFiles: Int = 4): Int =
+    SnapshotStore.compactWith(read(spark, viewRoot), viewRoot, targetFiles)
+
+  /** Served quantile ESTIMATES per (metric, bucket, phi): cumulative-
+    * count bin selection + linear interpolation inside the selected bin —
+    * `lo + w·bin + w·(t − cumBefore)/cnt` with `t = phi·n`. Deterministic
+    * arithmetic over integer counts and frozen edges: bit-reproducible in
+    * any engine that replays the same expression (the oracle does).
+    * Accuracy: |est − exact quantile| ≤ 2·w by construction. Cost:
+    * O(live bins), never the source. */
+  def quantiles(spark: SparkSession, viewRoot: String,
+                phis: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ed = edgesFor(spark, viewRoot)
+    val counts = read(spark, viewRoot)
+    val wSpec = Window.partitionBy("metric", "bucket").orderBy("bin")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(wSpec))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy("metric", "bucket")))
+    val withPhi = cum.select(col("*"),
+      explode(array(phis.map(p => lit(p)): _*)).as("phi"))
+      .withColumn("t", col("phi") * col("n").cast("double"))
+    withPhi
+      .where(col("cum").cast("double") >= col("t") &&
+        (col("cum") - col("cnt")).cast("double") < col("t"))
+      .join(broadcast(ed), "metric")
+      .select(col("metric"), col("bucket"), col("phi"),
+        (col("lo") + col("w") * col("bin") +
+          col("w") * ((col("t") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double"))).as("est"))
+  }
+}

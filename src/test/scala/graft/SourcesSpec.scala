@@ -639,6 +639,72 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("quantile view: delta/churn partials == rebuild, accuracy bound, refreeze on escape") {
+    import graft.sources.{QuantileView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("qview").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      def mk(rows: Seq[(String, Long, Double)]) = rows.toDF("metric", "e", "value")
+      // deterministic spread: values 0..99 across two days, two metrics
+      val base = (0 until 100).map(i =>
+        (if (i % 2 == 0) "m" else "n", (i % 2) * 86400L + i, i.toDouble))
+      SnapshotStore.append(mk(base.filter(_._3 < 50)), src)
+      QuantileView.refresh(spark, src, view) // bootstrap freezes on 0..49
+      val v0 = SnapshotStore.currentVersion(view)
+      QuantileView.refresh(spark, src, view) // same position: no-op
+      assert(SnapshotStore.currentVersion(view) == v0)
+      // values 50..99 ESCAPE the frozen envelope (margin is 25% of span):
+      // the refresh must refreeze via one rebuild, not clamp-and-drift
+      SnapshotStore.append(mk(base.filter(_._3 >= 50)), src)
+      QuantileView.refresh(spark, src, view)
+      assert(SnapshotStore.manifestOp(view,
+        SnapshotStore.currentVersion(view)).contains("compact"),
+        "envelope escape must refreeze via rebuild")
+      // an IN-envelope delta stays a pure O(Δ) append of positive partials
+      SnapshotStore.append(mk(Seq(("m", 10L, 42.0), ("n", 86420L, 77.0))), src)
+      QuantileView.refresh(spark, src, view)
+      assert(SnapshotStore.manifestOp(view,
+        SnapshotStore.currentVersion(view)).contains("append"))
+      // churn: delete a slice — NEGATIVE partials append, no rewrite
+      SnapshotStore.deleteWhere(spark, src, col("value") >= 90.0)
+      QuantileView.refresh(spark, src, view)
+      assert(SnapshotStore.manifestOp(view,
+        SnapshotStore.currentVersion(view)).contains("append"),
+        "count retraction must be arithmetic, not a view rewrite")
+      // estimates agree with the exact quantile within the 2·w bound
+      val ed = QuantileView.edgesFor(spark, view).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val exact = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("bucket"))
+        .agg(expr("percentile(value, 0.5)").as("x50"),
+          expr("percentile(value, 0.9)").as("x90"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      QuantileView.quantiles(spark, view, Seq(0.5, 0.9)).collect().foreach { r =>
+        val key = (r.getString(0), r.getLong(1))
+        val w = ed(r.getString(0))
+        val x = if (r.getDouble(2) == 0.5) exact(key)._1 else exact(key)._2
+        assert(math.abs(r.getDouble(3) - x) <= 2 * w + 1e-9,
+          s"estimate outside its 2w bound at $key phi=${r.getDouble(2)}: " +
+            s"est=${r.getDouble(3)} exact=$x w=$w")
+      }
+      // view compaction folds partials without changing answers or stamp
+      val before = QuantileView.quantiles(spark, view, Seq(0.5, 0.9))
+        .collect().map(_.toString).sorted.toSeq
+      val stamp = SnapshotStore.lastEpoch(view)
+      QuantileView.compact(spark, view)
+      assert(QuantileView.quantiles(spark, view, Seq(0.5, 0.9))
+        .collect().map(_.toString).sorted.toSeq == before)
+      assert(SnapshotStore.lastEpoch(view) == stamp)
+      // net-zero bins physically fold away; no negative net survives
+      val nets = QuantileView.read(spark, view)
+        .select("cnt").collect().map(_.getLong(0))
+      assert(nets.forall(_ > 0), s"negative net bin count: ${nets.toSeq}")
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("change feed: net insert/delete rows across appends, deletes, upserts") {
     import graft.sources.SnapshotStore
     val s = spark
