@@ -812,16 +812,25 @@ object SparkEntry {
       val ex = sr.groupBy("metric").agg(
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      // TIE-SOUND rank band: the sketch's guarantee is that SOME
+      // occurrence of the returned value sits within the rank slack of
+      // the target — so the test is interval INTERSECTION, not a
+      // max-rank distance (le alone over-counts duplicates of the
+      // returned value and would hard-fail a correct sketch on a
+      // tie-heavy metric): lt < target + slack AND le >= target − slack.
       val rk = sr.join(broadcast(ap.select("metric", "p50_approx")), "metric")
         .groupBy("metric")
-        .agg(count(when(col("value") <= col("p50_approx"), 1)).as("le"))
+        .agg(count(when(col("value") <= col("p50_approx"), 1)).as("le"),
+          count(when(col("value") < col("p50_approx"), 1)).as("lt"))
       val verdict = ap.join(ex, "metric").join(rk, "metric")
+        .withColumn("__t", ceil(col("n") / lit(2.0)).cast("long"))
+        .withColumn("__s", expr("n div 1000") + lit(1L))
         .select(col("metric"), col("exact_users"), col("approx_users"),
           (abs(col("approx_users") - col("exact_users")) <=
             greatest(col("exact_users") * lit(0.15), lit(2.0))).as("ndv_ok"),
           col("p50_approx"),
-          (abs(col("le") - ceil(col("n") / lit(2.0)).cast("long")) <=
-            expr("n div 1000") + lit(1L)).as("p50_rank_ok"))
+          (col("lt") < col("__t") + col("__s") &&
+            col("le") >= col("__t") - col("__s")).as("p50_rank_ok"))
         .localCheckpoint(true)
       verdict.collect().foreach { r =>
         require(r.getAs[Boolean]("ndv_ok") && r.getAs[Boolean]("p50_rank_ok"),
@@ -5401,13 +5410,15 @@ object SparkEntry {
          |ex AS (SELECT metric, count(DISTINCT user_id) AS exact_users,
          |         count(*) AS n FROM series GROUP BY 1),
          |rk AS (SELECT s.metric,
-         |         count(CASE WHEN s.value <= ap.p50_approx THEN 1 END) AS le
+         |         count(CASE WHEN s.value <= ap.p50_approx THEN 1 END) AS le,
+         |         count(CASE WHEN s.value < ap.p50_approx THEN 1 END) AS lt
          |       FROM series s JOIN ap ON s.metric = ap.metric GROUP BY 1)
          |SELECT ex.metric, ex.exact_users, ap.approx_users,
          |       abs(ap.approx_users - ex.exact_users) <=
          |         greatest(0.15 * ex.exact_users, 2.0) AS ndv_ok,
          |       ap.p50_approx,
-         |       abs(rk.le - CAST(CEIL(ex.n / 2.0) AS BIGINT)) <= ex.n // 1000 + 1
+         |       (rk.lt < CAST(CEIL(ex.n / 2.0) AS BIGINT) + (ex.n // 1000 + 1)
+         |        AND rk.le >= CAST(CEIL(ex.n / 2.0) AS BIGINT) - (ex.n // 1000 + 1))
          |         AS p50_rank_ok
          |FROM ex JOIN ap USING (metric) JOIN rk USING (metric)""".stripMargin,
 

@@ -19,10 +19,12 @@ import graft.sources.{JoinView, SnapshotStore}
   * relations are maintained views. */
 object MaterializedJoins {
 
-  // key: (canonical left root, canonical right root, left key, right key)
-  // value: (view root, join type — "inner" | "left_outer")
+  // key: (canonical left root, canonical right root, left key, right key,
+  // join type "inner" | "left_outer") — the type is PART of the key: an
+  // inner and a left-outer view over the same pair coexist (one put per
+  // type), instead of the second registration silently evicting the first
   private val regs =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String, String), String]()
 
   // path canonicalization, mtime probing, and version-pinning shared
   // with MaterializedRollups — ONE definition of each invariant
@@ -58,7 +60,7 @@ object MaterializedJoins {
     require(how == "inner" || how == "left_outer",
       s"registrable join types are inner and left_outer, got '$how'")
     val (lk, rk) = keySig(leftKeys, rightKeys)
-    regs.put((canon(leftRoot), canon(rightRoot), lk, rk), (viewRoot, how))
+    regs.put((canon(leftRoot), canon(rightRoot), lk, rk, how), viewRoot)
   }
 
   /** Unregister every pair mentioning `root` on either side (and evict
@@ -75,7 +77,7 @@ object MaterializedJoins {
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
-  private[plans] def all: Map[(String, String, String, String), (String, String)] =
+  private[plans] def all: Map[(String, String, String, String, String), String] =
     regs.asScala.toMap
 
   // Freshness-probe cache, the MaterializedRollups posture for THREE
@@ -224,7 +226,7 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // order (the user may write R.join(L) for a view registered (L, R));
     // a left-outer join serves ONLY in the registered orientation
     val viewRoot = MaterializedJoins.all.collectFirst {
-      case ((lr, rr, lk, rk), (vr, how))
+      case ((lr, rr, lk, rk, how), vr)
           if how == wantHow &&
             (((lk, rk) == sig &&
               MaterializedJoins.probe(lr, rr, vr).exists {

@@ -149,17 +149,14 @@ object JoinView {
   private def appendOnly(root: String, from: Int, cur: Int): Boolean =
     SnapshotStore.hasManifest(root, from) &&
       SnapshotStore.hasManifest(root, cur) &&
-      ((from + 1) to cur).forall(v =>
-        SnapshotStore.manifestOp(root, v).contains("append"))
+      SnapshotStore.opsAll(root, from, cur, Set("append"))
 
   /** Row-churn commits only (append/delete/upsert) — the change feed is
     * the row delta; a compaction or legacy manifest answers false. */
   private def churnOnly(root: String, from: Int, cur: Int): Boolean =
     SnapshotStore.hasManifest(root, from) &&
       SnapshotStore.hasManifest(root, cur) &&
-      ((from + 1) to cur).forall(v =>
-        SnapshotStore.manifestOp(root, v)
-          .exists(op => op == "append" || op == "delete" || op == "upsert"))
+      SnapshotStore.opsAll(root, from, cur, SnapshotStore.RowChurnOps)
 
   /** The standing side of a delta join, FILE-pruned by the delta's key
     * range when the standing store carries min/max stats on the join key
@@ -297,7 +294,9 @@ object JoinView {
         .intersect(rNew.columns.map(_.toLowerCase).toSet) --
         (if (outer) Set.empty[String] else rightKeys.map(_.toLowerCase).toSet)
       require(overlap.isEmpty,
-        s"non-key columns collide across the join view's sides: $overlap")
+        s"non-key columns collide across the join view's sides: $overlap — " +
+          "rename one side (compactWith on the source is the rename " +
+          "migration) and rebuild the view")
       // a right KEY named like an UNRELATED left column would make the
       // rewrite's by-name resolution serve the wrong column (the inner
       // view drops right keys): a shared name is legal only for a key
@@ -390,10 +389,16 @@ object JoinView {
               col(rk).as(lk)
             }: _*)),
         leftKeys)
+      // NULL-SAFE key equality (<=>): an OUTER view legitimately carries
+      // null-key left rows (they null-extend at bootstrap and in ΔL), so
+      // the retraction machinery must be able to target them — `===`
+      // never matches null, which would strand a deleted null-key row in
+      // the view forever and drop a churn-range-inserted one. Inner
+      // views carry no null-key rows, so <=> is equivalence there.
       def dirtyJoin(df: DataFrame, keys: Seq[String], jt: String) =
         df.join(broadcast(dirty),
           keys.zipWithIndex.map { case (k, i) =>
-            df(k) === dirty(s"__bk$i")
+            df(k) <=> dirty(s"__bk$i")
           }.reduce(_ && _), jt)
       val survivors = dirtyJoin(
         SnapshotStore.readEvolved(spark, viewRoot), leftKeys, "left_anti")

@@ -103,14 +103,23 @@ object QuantileView {
         col("value") > col("lo") + col("w") * col("bins"))
       .limit(1).count()
 
+  /** NULL metric/value rows are out of the view's contract — they cannot
+    * bin (the edges join and the bin arithmetic both null out), so a
+    * rebuild would silently drop them while the escape probe forced that
+    * rebuild on EVERY delta that carries one (an unbounded performance
+    * cliff hiding a silent drop). Refuse loudly, before anything
+    * publishes. */
+  private def requireBinnable(rows: DataFrame, where: String): Unit =
+    require(rows.where(col("metric").isNull || col("value").isNull)
+        .limit(1).isEmpty,
+      s"null metric/value row(s) in $where — out of the quantile view " +
+        "contract (they cannot bin); filter them before maintaining the view")
+
   private def rowChurnOnly(root: String, from: Int, cur: Int): Boolean =
-    ((from + 1) to cur).forall(v =>
-      SnapshotStore.manifestOp(root, v)
-        .exists(op => op == "append" || op == "delete" || op == "upsert"))
+    SnapshotStore.opsAll(root, from, cur, SnapshotStore.RowChurnOps)
 
   private def appendOnly(root: String, from: Int, cur: Int): Boolean =
-    ((from + 1) to cur).forall(v =>
-      SnapshotStore.manifestOp(root, v).contains("append"))
+    SnapshotStore.opsAll(root, from, cur, Set("append"))
 
   /** Bring the view up to the source's current version. The source is a
     * (metric, e, value) series store. Returns the view version. */
@@ -123,6 +132,7 @@ object QuantileView {
 
     def rebuild(): Int = {
       val full = SnapshotStore.read(spark, srcRoot, srcCur)
+      requireBinnable(full, s"source v$srcCur")
       val ed = freezeEdges(full, bins).localCheckpoint(true)
       // edges BEFORE the publish, keyed by the version they freeze for:
       // a crash between the two leaves an orphan sidecar nothing reads
@@ -142,6 +152,7 @@ object QuantileView {
     val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
     if (appendOnly(srcRoot, from, srcCur)) {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
+      requireBinnable(delta, "the append delta")
       // envelope escape (new metric, drifted range): refreeze via rebuild
       if (escapes(delta, ed) > 0) return rebuild()
       SnapshotStore.appendEpoch(
@@ -150,6 +161,7 @@ object QuantileView {
       // churn: SIGNED partials straight off the row change feed — counts
       // retract by arithmetic, no dirty-group recompute, no view rewrite
       val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
+      requireBinnable(ch, "the change feed")
       val inserts = ch.where(col("_change_type") === "insert")
       if (escapes(inserts, ed) > 0) return rebuild()
       val signed = binned(

@@ -239,9 +239,7 @@ object RollupView {
     * compaction, or a pre-kind legacy manifest, answers false and sends
     * refresh down the rebuild branch. */
   private def rowChurnOnly(root: String, from: Int, cur: Int): Boolean =
-    ((from + 1) to cur).forall(v =>
-      SnapshotStore.manifestOp(root, v)
-        .exists(op => op == "append" || op == "delete" || op == "upsert"))
+    SnapshotStore.opsAll(root, from, cur, SnapshotStore.RowChurnOps)
 
   /** The RETRACTION refresh: the source lost rows since `from`
     * ([[SnapshotStore.deleteWhere]]/[[SnapshotStore.upsert]] rewrote

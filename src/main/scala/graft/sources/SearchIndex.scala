@@ -379,8 +379,12 @@ object SearchIndex {
     * The batch's doc_id set drives the delete predicate through the
     * driver (model-sized by contract: a reindex batch is a trigger's
     * worth of updated documents, not a corpus — corpus-scale rewrites
-    * go through rebuild). `crashAfter` is test machinery: n ∈ 1..3
-    * aborts after step n so the spec can replay every window. */
+    * go through rebuild). Stage reuse is sound under the store's
+    * single-writer contract: a FOREIGN mutation (e.g. deleteDocsWhere)
+    * interleaved between a crash and its replay could stale the staged
+    * delta — don't run other writers against an index whose stream is
+    * mid-recovery. `crashAfter` is test machinery: n ∈ 1..3 aborts
+    * after step n so the spec can replay every window. */
   def reindexEpoch(spark: SparkSession, docs: DataFrame, root: String,
                    epochId: Long, buckets: Int = 8): Int =
     reindexEpochInternal(spark, docs, root, epochId, buckets, crashAfter = 99)
@@ -451,6 +455,11 @@ object SearchIndex {
     import spark2.implicits._
     SnapshotStore.appendEpoch(Seq((nd, sd)).toDF("n_docs", "sum_dl"),
       sr, epochId)
+    // both stores stamped: the stage has served its purpose — delete it
+    // so stages accumulate only for epochs that crashed mid-window (a
+    // crash between the stamp and this delete leaves one orphan; the
+    // fully-stamped replay early-returns without reading it)
+    java.nio.file.Files.deleteIfExists(stage)
     SnapshotStore.currentVersion(root)
   }
 

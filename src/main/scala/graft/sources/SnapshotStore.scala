@@ -115,6 +115,18 @@ object SnapshotStore {
   def manifestOp(root: String, v: Int): Option[String] =
     manifestText(root, v).flatMap(OpRe.findFirstMatchIn(_).map(_.group(1)))
 
+  /** ONE definition of the "what counts as row churn" invariant the
+    * maintained views share: the manifest ops whose directory diff IS the
+    * row diff. A compaction (or pre-kind legacy manifest) is not in the
+    * set and sends every consumer down its rebuild branch. */
+  private[sources] val RowChurnOps: Set[String] = Set("append", "delete", "upsert")
+
+  /** Are ALL commits in (from, cur] of the given manifest-op kinds?
+    * (Pre-kind/vacuumed manifests answer false — conservative.) */
+  private[sources] def opsAll(root: String, from: Int, cur: Int,
+                              kinds: Set[String]): Boolean =
+    ((from + 1) to cur).forall(v => manifestOp(root, v).exists(kinds))
+
   /** Commit wall-clock of version `v` (epoch millis), None for pre-stamp
     * or vacuumed manifests. Recorded at publish time by the committing
     * writer — monotone per writer, the VERSION CHAIN is the truth under
@@ -846,9 +858,15 @@ object SnapshotStore {
     // are consulted, so a branch that vacuumed its history refuses with
     // this message instead of crashing on a missing file
     val parentDirs = manifestDirs(root, parent).toSet
+    // a rebase BASE counts only when the manifest that took that version
+    // really is the rebase (op-gated, like anchorOf): an orphan sidecar
+    // from a crashed rebase must not attach to whatever commit later
+    // takes the number — that would let a diverged branch merge and
+    // silently drop the parent's post-fork data
     require((1 to bv).exists(v =>
         hasManifest(br, v) && (manifestDirs(br, v).toSet == parentDirs ||
-          rebaseBase(br, v).contains(parentDirs))),
+          (manifestOp(br, v).contains("rebase") &&
+            rebaseBase(br, v).contains(parentDirs)))),
       s"parent is not an ancestor state of branch '$name' — fast-forward " +
         "only; rebaseBranch() onto the moved parent (or diff() and " +
         "reconcile explicitly)")

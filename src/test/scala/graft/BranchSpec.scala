@@ -289,6 +289,37 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("an orphan rebase-base sidecar never lets a diverged merge pass") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.append(df(11L to 15L: _*), root) // parent moves
+      // simulate a CRASHED rebase: the base sidecar for v2 was written
+      // (recording the parent's current dirs) but the rebase manifest
+      // never committed...
+      val parentDirs = SnapshotStore.manifestDirs(
+        root, SnapshotStore.currentVersion(root))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(br, "_manifests", "rebase_base_v2.json"),
+        parentDirs.map(d => s""""$d"""")
+          .mkString("{\"dirs\": [", ", ", "]}").getBytes("UTF-8"))
+      // ...and an ordinary APPEND later takes version 2
+      SnapshotStore.append(df(21L), br)
+      assert(SnapshotStore.currentVersion(br) == 2)
+      // the sidecar must NOT attach to the append: merging now would
+      // publish {fork + 21} over the parent, silently dropping 11..15
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.mergeBranch(spark, root, "work"))
+      assert(e.getMessage.contains("not an ancestor"))
+      assert(idsOf(root) == (1L to 15L).toSet, "diverged merge published")
+      // the real remediation still works: rebase (writes a REAL rebase
+      // manifest) then merge
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idsOf(root) == ((1L to 15L) :+ 21L).toSet)
+    }
+  }
+
   test("the fork inherits CHECK constraints") {
     withRoot { root =>
       SnapshotStore.append(df(1L to 10L: _*), root)

@@ -175,6 +175,38 @@ class JoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("inner and left-outer views over the same pair coexist in the registry") {
+    withStores { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(
+        (1L to 20L).map(i => (i, s"c${i % 4}", i * 1.0)).toDF("o_id", "cust", "total"), l)
+      SnapshotStore.append(
+        (1L to 10L).map(i => (i, i, i * 2.0)).toDF("lo_id", "ln", "qty"), r)
+      val vOuter = v + "_outer"
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      JoinView.refresh(spark, l, r, vOuter, "o_id", "lo_id", "left_outer")
+      MaterializedJoins.enable(l, r, v, "o_id", "lo_id")
+      MaterializedJoins.enable(l, r, vOuter, "o_id", "lo_id", "left_outer")
+      def lf = SnapshotStore.read(spark, l)
+      def rf = SnapshotStore.read(spark, r)
+      // registering the outer view must NOT evict the inner registration
+      // (path-SEGMENT checks: "/view_outer/" contains "/view" as a bare
+      // substring, so scansOnly's marker would conflate the two)
+      val (l1, r1) = (lf, rf)
+      val inner = l1.join(r1, l1("o_id") === r1("lo_id"))
+      val innerRoots = graft.plans.PlanProbe.scanRoots(inner)
+      assert(innerRoots.nonEmpty && innerRoots.forall(_.contains("/view/")),
+        s"inner registration evicted by the outer one: $innerRoots")
+      val (l2, r2) = (lf, rf)
+      val outer = l2.join(r2, l2("o_id") === r2("lo_id"), "left_outer")
+      val outerRoots = graft.plans.PlanProbe.scanRoots(outer)
+      assert(outerRoots.nonEmpty && outerRoots.forall(_.contains("/view_outer/")),
+        s"outer join not served from the outer view: $outerRoots")
+      assert(inner.count() == 10 && outer.count() == 20)
+    }
+  }
+
   test("declines: wrong keys, outer join, non-equi, time travel") {
     withStores { (l, r, v) =>
       seed(l, r, v)

@@ -266,6 +266,48 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("outer view churn maintains NULL-key left rows (delete retracts, insert lands)") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      // a null-key left row (the optional-FK shape): bootstrap must
+      // null-extend it like any unmatched row
+      SnapshotStore.append(
+        Seq((Option.empty[Long], "cnull", 0.0), (Some(1L), "c1", 10.0),
+          (Some(2L), "c2", 20.0)).toDF("o_id", "cust", "total"), l)
+      SnapshotStore.append(linesDF((1L, 1L, 5.0)), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+      assert(JoinView.read(spark, v)
+        .where(col("o_id").isNull && col("lo_id").isNull).count() == 1)
+      // CHURN deleting the null-key row: the dirty machinery must be
+      // able to target it (null-safe key equality) — === would strand
+      // it in the view forever
+      SnapshotStore.deleteWhere(spark, l, col("o_id").isNull)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+      assert(JoinView.read(spark, v).where(col("o_id").isNull).count() == 0,
+        "deleted null-key left row stranded in the outer view")
+      // a null-key row arriving WITHIN a churn-op refresh range must
+      // materialize (the recompute's semi-join must match it too); the
+      // real right-side delete both forces the churn path and
+      // re-null-extends key 1
+      SnapshotStore.deleteWhere(spark, r, col("lo_id") === 1L)
+      SnapshotStore.append(
+        Seq((Option.empty[Long], "cback", 7.0)).toDF("o_id", "cust", "total"), l)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+      assert(JoinView.read(spark, v)
+        .where(col("o_id").isNull && col("cust") === "cback").count() == 1,
+        "churn-range null-key insert dropped from the outer view")
+      // full truth check
+      val lf = SnapshotStore.read(spark, l); val rf = SnapshotStore.read(spark, r)
+      val want = lf.join(rf, lf("o_id") === rf("lo_id"), "left_outer")
+        .select("o_id", "cust", "total", "lo_id", "ln", "qty")
+        .collect().map(_.toString).sorted.toSeq
+      assert(JoinView.read(spark, v)
+        .select("o_id", "cust", "total", "lo_id", "ln", "qty")
+        .collect().map(_.toString).sorted.toSeq == want)
+    }
+  }
+
   test("a widened source forces ONE rebuild under the new schema; deltas then resume O(Δ)") {
     withRoots { (l, r, v) =>
       val s = spark
