@@ -803,8 +803,9 @@ object SparkEntry {
     // NDV and the approx-median's RANK are re-derived independently in
     // both engines, and both band verdicts land under the hash. Spark
     // hard-fails out-of-band pre-export. NDV band = 15% floor 2 (3σ for
-    // rsd = 0.05); median band = rank within n/1000 + 1 of ceil(n/2)
-    // (percentile_approx accuracy 10000 ⇒ rank error ≤ n/10000).
+    // rsd = 0.05); median band = tie-sound INTERVAL test (see the
+    // rank-band comment at the rk aggregate below) with slack
+    // n/1000 + 1 (percentile_approx accuracy 10000 ⇒ rank error ≤ n/10000).
     "a9_sketch_stats" -> ((s, dir) => {
       val sr = series(s, dir)
       val st = TrendOps.sketchStats(sr).localCheckpoint(true)

@@ -74,16 +74,21 @@ object QuantileView {
 
   /** Freeze per-metric edges from `rows` (observed range ± 25% margin;
     * degenerate single-value metrics get unit width). Model-sized: one
-    * row per metric. */
+    * row per metric. `__nnull` rides the same aggregate so the null-row
+    * contract gate costs no extra scan (checked driver-side on the
+    * checkpointed model-sized result, dropped before the sidecar
+    * persists). */
   private def freezeEdges(rows: DataFrame, bins: Int): DataFrame =
     rows.groupBy("metric")
-      .agg(min("value").as("mn"), max("value").as("mx"))
+      .agg(min("value").as("mn"), max("value").as("mx"),
+        count(when(col("value").isNull, 1)).as("__nnull"))
       .select(col("metric"),
         (col("mn") - greatest(col("mx") - col("mn"), lit(1.0)) * lit(0.25))
           .as("lo"),
         (greatest(col("mx") - col("mn"), lit(1.0)) * lit(1.5) / lit(bins))
           .as("w"),
-        lit(bins).as("bins"))
+        lit(bins).as("bins"),
+        col("__nnull"))
 
   private def binned(rows: DataFrame, edges: DataFrame, grainSec: Long,
                      sign: Column): DataFrame =
@@ -95,25 +100,17 @@ object QuantileView {
       .groupBy("metric", "bucket", "bin")
       .agg(sum(col("sign")).as("cnt"))
 
-  /** Rows outside the frozen envelope (or whose metric has no edges)
-    * cannot bin consistently — count them. One aggregate, no collect. */
+  /** Rows outside the frozen envelope, whose metric has no edges, or
+    * with a NULL metric/value (the contract gate rides this same probe —
+    * no extra scan: a null metric misses the edges join, a null value is
+    * the explicit disjunct; either routes to [[refresh]]'s rebuild,
+    * whose own gate refuses with the contract message). */
   private def escapes(rows: DataFrame, edges: DataFrame): Long =
     rows.join(broadcast(edges), Seq("metric"), "left_outer")
-      .where(col("lo").isNull || col("value") < col("lo") ||
+      .where(col("lo").isNull || col("value").isNull ||
+        col("value") < col("lo") ||
         col("value") > col("lo") + col("w") * col("bins"))
       .limit(1).count()
-
-  /** NULL metric/value rows are out of the view's contract — they cannot
-    * bin (the edges join and the bin arithmetic both null out), so a
-    * rebuild would silently drop them while the escape probe forced that
-    * rebuild on EVERY delta that carries one (an unbounded performance
-    * cliff hiding a silent drop). Refuse loudly, before anything
-    * publishes. */
-  private def requireBinnable(rows: DataFrame, where: String): Unit =
-    require(rows.where(col("metric").isNull || col("value").isNull)
-        .limit(1).isEmpty,
-      s"null metric/value row(s) in $where — out of the quantile view " +
-        "contract (they cannot bin); filter them before maintaining the view")
 
   private def rowChurnOnly(root: String, from: Int, cur: Int): Boolean =
     SnapshotStore.opsAll(root, from, cur, SnapshotStore.RowChurnOps)
@@ -132,8 +129,17 @@ object QuantileView {
 
     def rebuild(): Int = {
       val full = SnapshotStore.read(spark, srcRoot, srcCur)
-      requireBinnable(full, s"source v$srcCur")
-      val ed = freezeEdges(full, bins).localCheckpoint(true)
+      val edRaw = freezeEdges(full, bins).localCheckpoint(true)
+      // the contract gate rides freezeEdges' own aggregate (model-sized,
+      // driver-cheap here): NULL metric/value rows cannot bin — a null
+      // value would even silently land in bin 0 (Spark's greatest/least
+      // skip nulls) — refuse before anything publishes
+      require(edRaw.where(col("metric").isNull || col("__nnull") > 0)
+          .isEmpty,
+        s"null metric/value row(s) in source v$srcCur — out of the " +
+          "quantile view contract (they cannot bin); filter them before " +
+          "maintaining the view")
+      val ed = edRaw.drop("__nnull")
       // edges BEFORE the publish, keyed by the version they freeze for:
       // a crash between the two leaves an orphan sidecar nothing reads
       ed.coalesce(1).write.mode("overwrite")
@@ -152,8 +158,8 @@ object QuantileView {
     val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
     if (appendOnly(srcRoot, from, srcCur)) {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
-      requireBinnable(delta, "the append delta")
-      // envelope escape (new metric, drifted range): refreeze via rebuild
+      // envelope escape, new metric, OR a null row (all one probe):
+      // refreeze via rebuild — whose gate refuses the nulls loudly
       if (escapes(delta, ed) > 0) return rebuild()
       SnapshotStore.appendEpoch(
         binned(delta, ed, grainSec, lit(1L)), viewRoot, srcCur)
@@ -161,13 +167,17 @@ object QuantileView {
       // churn: SIGNED partials straight off the row change feed — counts
       // retract by arithmetic, no dirty-group recompute, no view rewrite
       val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
-      requireBinnable(ch, "the change feed")
       val inserts = ch.where(col("_change_type") === "insert")
       if (escapes(inserts, ed) > 0) return rebuild()
+      // delete-side null rows were never binned (inserts refuse above),
+      // so retracting them is a NO-OP by definition — filter, don't
+      // refuse: a change feed cannot be pre-filtered by the caller, and
+      // binCol would otherwise silently decrement bin 0 for them
       val signed = binned(
-        ch.select(col("metric"), col("e"), col("value"),
-          when(col("_change_type") === "insert", 1L).otherwise(-1L)
-            .as("__sign")),
+        ch.where(col("metric").isNotNull && col("value").isNotNull)
+          .select(col("metric"), col("e"), col("value"),
+            when(col("_change_type") === "insert", 1L).otherwise(-1L)
+              .as("__sign")),
         ed, grainSec, col("__sign"))
       SnapshotStore.appendEpoch(signed, viewRoot, srcCur)
     }
