@@ -3539,6 +3539,28 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // STREAMING maintenance of the LEFT-OUTER join view — the
+    // match-arrival torture: customers stand (most initially unmatched →
+    // null-extended at bootstrap), orders drip through a checkpointed
+    // file stream, and every trigger's right batch converts standing
+    // null rows as their orders land (the refresh alternates pure O(Δ)
+    // appends with conversion rewrites). The stream-grown view must
+    // equal the plain SQL LEFT JOIN.
+    "stream_join_view_outer_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sjvo").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        sources.SnapshotStore.append(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), l)
+        graft.streaming.StreamReplay.joinViewIngestReplay(
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_orderkey", l, r, v, "c_custkey", "o_custkey",
+          how = "left_outer")
+        sources.JoinView.read(s, v).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Catalyst SERVING of the left-outer view: a USER-shaped left join
     // (with a LEFT-side filter, the only side that commutes with ⟕) is
     // answered from the maintained view — used_view pinned from the
@@ -6413,6 +6435,11 @@ object SparkEntry {
         |       o_orderkey, o_custkey, o_totalprice, TRUE AS used_view
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "stream_join_view_outer_parity" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       o_orderkey, o_custkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
 
     "snapshot_branch_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -341,11 +341,17 @@ object StreamReplay {
     * refreshed inside the same trigger. Both layers are idempotent
     * under trigger replay (the store by epoch, the view by its packed
     * cursor), so a crash-restarted stream converges to the same view. */
+  /** `how = "left_outer"` drips are the MATCH-ARRIVAL torture: every
+    * trigger's right batch can convert standing null-extended view rows,
+    * so the per-trigger refresh alternates between the pure O(Δ) append
+    * and the conversion rewrite — both idempotent under trigger replay
+    * exactly like the inner path. */
   def joinViewIngestReplay(rightRows: DataFrame, orderCol: String,
                            leftRoot: String, rightRoot: String,
                            viewRoot: String, leftKey: String,
                            rightKey: String,
-                           slices: Int = defaultSlices): Unit = {
+                           slices: Int = defaultSlices,
+                           how: String = "inner"): Unit = {
     val spark = rightRows.sparkSession
     val cols = rightRows.columns
     val src = rightRows.withColumn("ts", timestamp_seconds(col(orderCol)))
@@ -369,7 +375,7 @@ object StreamReplay {
             if (!batch.isEmpty) {
               graft.sources.SnapshotStore.appendEpoch(batch, rightRoot, id)
               graft.sources.JoinView.refresh(spark, leftRoot, rightRoot,
-                viewRoot, leftKey, rightKey)
+                viewRoot, leftKey, rightKey, how)
             }
             ()
           }
