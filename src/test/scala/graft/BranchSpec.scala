@@ -320,6 +320,65 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("rebase torture: random disjoint parent/branch histories compose through rebase + merge") {
+    withRoot { root =>
+      // seeded → deterministic interleaving. Edit regions kept disjoint
+      // BY ID RANGE (parent owns 100-999 post-fork, the branch owns
+      // 1000+), so every rebase must compose cleanly — any refusal or
+      // content drift is a bug, not a legitimate conflict. The invariant
+      // after each rebase: branch == parent ∪ (branch adds ∖ deletes);
+      // after each merge the parent equals it too and iteration resumes.
+      val rnd = new scala.util.Random(99)
+      SnapshotStore.append(df(1L to 20L: _*), root)
+      var parentIds = (1L to 20L).toSet
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      var branchAdds = Set.empty[Long]
+      var branchDeleted = Set.empty[Long]
+      var nextP = 100L; var nextB = 1000L
+      (1 to 12).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // parent append (its own range)
+            SnapshotStore.append(df(nextP, nextP + 1), root)
+            parentIds ++= Set(nextP, nextP + 1); nextP += 2
+          case 1 => // parent delete restricted to its own post-fork rows
+            val victim = parentIds.filter(_ >= 100L)
+            if (victim.nonEmpty) {
+              val x = victim.min
+              SnapshotStore.deleteWhere(spark, root, col("id") === x)
+              parentIds -= x
+            }
+          case 2 => // branch append (its own range)
+            SnapshotStore.append(df(nextB, nextB + 1), br)
+            branchAdds ++= Set(nextB, nextB + 1); nextB += 2
+          case 3 => // branch delete restricted to its own rows
+            val victim = branchAdds -- branchDeleted
+            if (victim.nonEmpty) {
+              val x = victim.min
+              SnapshotStore.deleteWhere(spark, br, col("id") === x)
+              branchDeleted += x
+            }
+        }
+        if (step % 3 == 0) {
+          SnapshotStore.rebaseBranch(spark, root, "work")
+          assert(idsOf(br) == parentIds ++ (branchAdds -- branchDeleted),
+            s"rebase diverged at step $step")
+          assert(idsOf(root) == parentIds, s"rebase touched the parent at step $step")
+        }
+        if (step % 6 == 0) {
+          SnapshotStore.rebaseBranch(spark, root, "work")
+          SnapshotStore.mergeBranch(spark, root, "work")
+          parentIds = parentIds ++ (branchAdds -- branchDeleted)
+          assert(idsOf(root) == parentIds, s"merge diverged at step $step")
+        }
+      }
+      // closing round-trip
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idsOf(root) == parentIds ++ (branchAdds -- branchDeleted))
+    }
+  }
+
   test("the fork inherits CHECK constraints") {
     withRoot { root =>
       SnapshotStore.append(df(1L to 10L: _*), root)

@@ -388,6 +388,70 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("OUTER lifecycle torture: view == left re-join after every commit of a mixed sequence") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      // seeded → deterministic interleaving over the LEFT-OUTER view:
+      // every inner-torture op plus the outer-only hazards — unmatched
+      // left rows, match arrivals converting standing null rows,
+      // right-side deletes re-null-extending, and a NULL-key left row
+      // churning through the middle of the sequence
+      def outerTruth(): Seq[String] = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("o_id") === rf("lo_id"), "left_outer")
+          .select("o_id", "cust", "total", "lo_id", "ln", "qty")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      def viewNow(): Seq[String] = JoinView.read(spark, v)
+        .select("o_id", "cust", "total", "lo_id", "ln", "qty")
+        .collect().map(_.toString).sorted.toSeq
+      def refresh(): Unit =
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+      val rnd = new scala.util.Random(1337)
+      // orders 1..30, lines only for 1..15: half the view null-extends
+      SnapshotStore.append(ordersDF(1L to 30L: _*), l)
+      SnapshotStore.append(linesDF((1L to 15L).map(o => (o, 1L, o * 1.0)): _*), r)
+      refresh()
+      assert(viewNow() == outerTruth(), "diverged at bootstrap")
+      var nextO = 31L
+      var nextLn = 2L
+      (1 to 14).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 => // left append (new, unmatched → null rows)
+            SnapshotStore.append(ordersDF(nextO, nextO + 1), l); nextO += 2
+          case 1 => // right append hitting standing UNMATCHED keys: the
+                    // match-arrival conversion, plus a duplicate match
+            SnapshotStore.append(
+              linesDF((16L + rnd.nextInt(14), nextLn, step * 1.0),
+                (1L + rnd.nextInt(10), nextLn, step * 2.0)), r)
+            nextLn += 1
+          case 2 => // left delete (may remove matched AND null rows)
+            SnapshotStore.deleteWhere(spark, l,
+              col("o_id") % 9 === (step % 9).toLong)
+          case 3 => // right delete: survivors must RE-null-extend
+            SnapshotStore.deleteWhere(spark, r,
+              col("qty") > (25.0 - step))
+          case 4 => // right keyed upsert
+            SnapshotStore.upsert(spark,
+              linesDF((1L + rnd.nextInt(25), 1L, 1000.0 + step)),
+              r, Seq("lo_id", "ln"))
+          case 5 => // null-key left row in, mid-sequence
+            SnapshotStore.append(
+              Seq((Option.empty[Long], s"cnull$step", step * 1.0))
+                .toDF("o_id", "cust", "total"), l)
+        }
+        refresh()
+        assert(viewNow() == outerTruth(), s"diverged after step $step")
+      }
+      // end with the null-key rows churning OUT
+      SnapshotStore.deleteWhere(spark, l, col("o_id").isNull)
+      refresh()
+      assert(viewNow() == outerTruth(), "diverged after null-key purge")
+    }
+  }
+
   test("delta path plan: standing side bloom-prefiltered, no cartesian") {
     withRoots { (l, r, v) =>
       SnapshotStore.append(ordersDF(1L to 50L: _*), l)

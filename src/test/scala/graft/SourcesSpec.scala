@@ -705,6 +705,53 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("quantile view torture: net counts == direct binning after every commit") {
+    import graft.sources.{QuantileView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("qv_tort").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      val rnd = new scala.util.Random(7)
+      def batch(n: Int): org.apache.spark.sql.DataFrame =
+        (0 until n).map { _ =>
+          (if (rnd.nextBoolean()) "m" else "n",
+            rnd.nextInt(3) * 86400L + rnd.nextInt(1000),
+            rnd.nextInt(1000) / 10.0) // values in [0, 100): inside any freeze
+        }.toDF("metric", "e", "value")
+      def directCounts(): Set[String] = {
+        val ed = QuantileView.edgesFor(spark, view)
+        SnapshotStore.read(spark, src).join(broadcast(ed), "metric")
+          .select(col("metric"), expr("e div 86400").as("bucket"),
+            least(col("bins") - lit(1), greatest(lit(0),
+              floor((col("value") - col("lo")) / col("w")).cast("int")))
+              .as("bin"))
+          .groupBy("metric", "bucket", "bin").agg(count(lit(1)).as("cnt"))
+          .collect().map(_.toString).toSet
+      }
+      def viewCounts(): Set[String] =
+        QuantileView.read(spark, view).collect().map(_.toString).toSet
+      // bootstrap over the full value range so later batches stay inside
+      SnapshotStore.append(batch(300)
+        .unionByName(Seq(("m", 0L, 0.0), ("m", 0L, 99.9),
+          ("n", 0L, 0.0), ("n", 0L, 99.9)).toDF("metric", "e", "value")), src)
+      QuantileView.refresh(spark, src, view)
+      assert(viewCounts() == directCounts(), "diverged at bootstrap")
+      (1 to 10).foreach { step =>
+        rnd.nextInt(3) match {
+          case 0 => SnapshotStore.append(batch(50), src)
+          case 1 => SnapshotStore.deleteWhere(spark, src,
+            col("value") >= (step * 7.0) && col("value") < (step * 7.0 + 3.0))
+          case 2 => SnapshotStore.compact(spark, src) // forces a rebuild
+        }
+        QuantileView.refresh(spark, src, view)
+        assert(viewCounts() == directCounts(), s"diverged after step $step")
+        // every live net count is positive — retraction never overshoots
+        assert(QuantileView.read(spark, view).where(col("cnt") <= 0).isEmpty)
+      }
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("change feed: net insert/delete rows across appends, deletes, upserts") {
     import graft.sources.SnapshotStore
     val s = spark
