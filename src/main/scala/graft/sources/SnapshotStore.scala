@@ -902,14 +902,47 @@ object SnapshotStore {
       }
       case _ => (pe.toSeq ++ be.toSeq).maxOption
     }
-    commitReplace(root, parent, manifestDirs(br, bv), epoch,
+    val mv = commitReplace(root, parent, manifestDirs(br, bv), epoch,
       manifestCols(br, bv).getOrElse(Nil), "merge")
+    // MERGE ANCHOR, written into the BRANCH after the parent commit: at
+    // this instant the branch state IS the parent state, so the branch's
+    // replayable history restarts here — without this record a later
+    // rebase would measure the branch's post-merge edits against the
+    // stale fork/rebase anchor, re-introduce the parent's merged-in copy
+    // of a dir the branch since rewrote (duplicated rows), and undo the
+    // branch's post-merge deletes. Written AFTER the commit so a failed
+    // merge can never leave a FALSE anchor (which would corrupt the next
+    // rebase the other way); the crash window between commit and anchor
+    // leaves a stale anchor whose rebase the widened dropped-set +
+    // dedup in rebaseBranch still keeps content-correct.
+    Files.write(mergeAnchorPath(br, bv),
+      manifestDirs(br, bv).map(d => s""""$d"""")
+        .mkString("{\"dirs\": [", ", ", "]}").getBytes("UTF-8"))
+    mv
   }
 
   // ---- diverged-branch reconciliation (rebase) ------------------------
 
   private def rebaseBasePath(root: String, v: Int): Path =
     manifestDir(root).resolve(s"rebase_base_v$v.json")
+
+  private def mergeAnchorPath(root: String, v: Int): Path =
+    manifestDir(root).resolve(s"merge_anchor_v$v.json")
+
+  /** The dir set recorded when branch version `v` was MERGED into the
+    * parent (valid only while it equals the manifest's own dirs — an
+    * anchor can never claim a state the manifest doesn't show). */
+  private def mergeAnchor(root: String, v: Int): Option[Set[String]] = {
+    val p = mergeAnchorPath(root, v)
+    if (!Files.exists(p)) None
+    else {
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      DirsRe.findFirstMatchIn(text).map(
+        _.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSet)
+        .filter(_ == manifestDirs(root, v).toSet)
+    }
+  }
 
   /** The parent dir set a version-`v` rebase was computed against, if
     * version `v` is a rebase commit. (Written BEFORE the rebase manifest
@@ -926,24 +959,29 @@ object SnapshotStore {
     }
   }
 
-  /** The branch's latest ANCHOR — the newest surviving manifest that
-    * re-based the branch on some parent state: the fork itself (its dirs
-    * ARE the parent-at-fork) or a previous rebase (whose recorded base
-    * is the parent-at-rebase). Everything the branch did since is its
-    * own replayable history. */
+  /** The branch's latest ANCHOR — the newest surviving point where the
+    * branch state coincided with a parent state: the fork itself (its
+    * dirs ARE the parent-at-fork), a previous rebase (whose recorded
+    * base is the parent-at-rebase), or a MERGE (at which instant the
+    * parent became exactly the branch's dirs — recorded in the branch by
+    * [[mergeBranch]]). Everything the branch did since is its own
+    * replayable history. */
   private def anchorOf(br: String, bv: Int): Option[(Int, Set[String])] = {
     var v = bv
     while (v >= 1) {
-      if (hasManifest(br, v)) manifestOp(br, v) match {
-        case Some("branch") => return Some((v, manifestDirs(br, v).toSet))
-        case Some("rebase") =>
-          // a rebase whose base sidecar is gone must FAIL, not silently
-          // fall through to an older anchor the current state no longer
-          // builds on
-          return Some((v, rebaseBase(br, v).getOrElse(sys.error(
-            s"rebase manifest v$v at $br lost its base sidecar — " +
-              "cannot re-anchor; reconcile via diff()"))))
-        case _ => ()
+      if (hasManifest(br, v)) {
+        mergeAnchor(br, v).foreach(dirs => return Some((v, dirs)))
+        manifestOp(br, v) match {
+          case Some("branch") => return Some((v, manifestDirs(br, v).toSet))
+          case Some("rebase") =>
+            // a rebase whose base sidecar is gone must FAIL, not silently
+            // fall through to an older anchor the current state no longer
+            // builds on
+            return Some((v, rebaseBase(br, v).getOrElse(sys.error(
+              s"rebase manifest v$v at $br lost its base sidecar — " +
+                "cannot re-anchor; reconcile via diff()"))))
+          case _ => ()
+        }
       }
       v -= 1
     }
@@ -953,11 +991,14 @@ object SnapshotStore {
   /** REBASE a diverged branch onto the parent's moved head — the
     * reconciliation [[mergeBranch]]'s fast-forward posture points at.
     * Pure MANIFEST SURGERY, zero bytes copied: the branch's own history
-    * since its anchor (fork or previous rebase) is replayed onto the
-    * parent's current state at DIRECTORY granularity —
+    * since its anchor (fork, previous rebase, or merge point — a merge
+    * re-anchors the branch, see [[mergeBranch]]'s anchor record) is
+    * replayed onto the parent's current state at DIRECTORY granularity —
     *
-    *   rebased = (parent current dirs ∖ base dirs the branch dropped)
-    *             ∪ dirs the branch added (appends and CoW rewrites)
+    *   rebased = (parent current dirs ∖ dirs the branch carried since
+    *              the anchor but dropped/rewrote)
+    *             ∪ dirs the branch added (appends and CoW rewrites),
+    *   deduplicated (a dir can sit on both sides after a merge)
     *
     * Refuses on GENUINE OVERLAP, conservatively at the same granularity:
     * a base directory that BOTH sides dropped/rewrote means both sides
@@ -981,23 +1022,34 @@ object SnapshotStore {
     require(bv > 0, s"no branch '$name' at $root")
     val parent = currentVersion(root)
     val parentDirs = manifestDirs(root, parent)
-    val (_, base) = anchorOf(br, bv).getOrElse(sys.error(
+    val (av, base) = anchorOf(br, bv).getOrElse(sys.error(
       s"branch '$name' has no surviving anchor manifest (vacuumed?) — " +
         "cannot establish what the branch changed; reconcile via diff()"))
     val cur = manifestDirs(br, bv).toSet
-    val branchDropped = base -- cur
+    // dirs the branch EVER carried since the anchor but no longer does —
+    // not just anchor-base drops: a dir the branch appended (or gained
+    // via an unanchored merge crash window) and later CoW-rewrote must
+    // also be filtered from the parent side, or a merged-by-reference
+    // copy of it would ride back in (duplicated rows) and the rewrite
+    // would silently lose its deletes
+    val droppedSince = (av to bv)
+      .filter(hasManifest(br, _)).flatMap(manifestDirs(br, _))
+      .toSet -- cur
     val branchOwn = cur -- base
     val parentDropped = base -- parentDirs.toSet
     // parent unmoved since the anchor: (parent ∖ dropped) ∪ own is
     // exactly the branch's current state — nothing to commit
     if (parentDirs.toSet == base) return bv
-    val overlap = branchDropped.intersect(parentDropped)
+    val overlap = droppedSince.intersect(parentDropped)
     require(overlap.isEmpty,
       s"rebase conflict: both parent and branch '$name' rewrote/dropped " +
         s"${overlap.take(3).mkString(", ")} since the anchor — inspect " +
         "diff() and reconcile explicitly")
-    val rebased = parentDirs.filterNot(branchDropped) ++
-      manifestDirs(br, bv).filter(branchOwn) // keep each side's list order
+    // .distinct: a dir can legitimately sit on BOTH sides (branch-own
+    // AND merged into the parent by reference) — it must appear in the
+    // rebased manifest exactly once or its rows read twice
+    val rebased = (parentDirs.filterNot(droppedSince) ++
+      manifestDirs(br, bv).filter(branchOwn)).distinct
     val cols = (manifestCols(root, parent).getOrElse(Nil) ++
       manifestCols(br, bv).getOrElse(Nil)).distinct
     // sidecar BEFORE the manifest: a crash leaves an orphan (ignored);

@@ -340,12 +340,12 @@ object StreamReplay {
     * epoch-stamped append on the right store with the join view
     * refreshed inside the same trigger. Both layers are idempotent
     * under trigger replay (the store by epoch, the view by its packed
-    * cursor), so a crash-restarted stream converges to the same view. */
-  /** `how = "left_outer"` drips are the MATCH-ARRIVAL torture: every
-    * trigger's right batch can convert standing null-extended view rows,
-    * so the per-trigger refresh alternates between the pure O(Δ) append
-    * and the conversion rewrite — both idempotent under trigger replay
-    * exactly like the inner path. */
+    * cursor), so a crash-restarted stream converges to the same view.
+    * `how = "left_outer"` drips are additionally the MATCH-ARRIVAL
+    * torture: every trigger's right batch can convert standing
+    * null-extended view rows, so the per-trigger refresh alternates
+    * between the pure O(Δ) append and the conversion rewrite — both
+    * idempotent under trigger replay exactly like the inner path. */
   def joinViewIngestReplay(rightRows: DataFrame, orderCol: String,
                            leftRoot: String, rightRoot: String,
                            viewRoot: String, leftKey: String,

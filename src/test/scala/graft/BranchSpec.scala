@@ -20,6 +20,12 @@ class BranchSpec extends SparkSpec {
     SnapshotStore.read(spark, root).select("id").collect()
       .map(_.getLong(0)).toSet
 
+  /** MULTISET view of the ids — duplicates visible (a Set comparison
+    * masks a dir referenced twice reading its rows twice). */
+  private def idBag(root: String): Seq[Long] =
+    SnapshotStore.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+
   private def withRoot(f: String => Unit): Unit = {
     val root = java.nio.file.Files.createTempDirectory("br_spec").toString
     try f(root) finally SnapshotStore.deleteTree(root)
@@ -320,14 +326,50 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("rebase after merge honors post-merge branch deletes and never duplicates merged dirs") {
+    withRoot { root =>
+      // the exact corruption shape a review pass caught: append on the
+      // branch → rebase → MERGE (the branch's dirs enter the parent by
+      // reference) → branch deletes a merged row (CoW rewrite of a dir
+      // the parent now also references) → rebase. Without the merge
+      // re-anchoring the branch, the parent's copy of the pre-rewrite
+      // dir rode back in: row 11 read TWICE and the delete of row 10
+      // silently undone — then merged into the parent.
+      SnapshotStore.append(df(1L, 2L), root)
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      SnapshotStore.append(df(10L, 11L), br)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idBag(root) == Seq(1L, 2L, 10L, 11L))
+      SnapshotStore.deleteWhere(spark, br, col("id") === 10L)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      assert(idBag(br) == Seq(1L, 2L, 11L),
+        "post-merge rebase duplicated or resurrected rows")
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idBag(root) == Seq(1L, 2L, 11L))
+      // and a post-merge branch edit CONFLICTING with a parent edit of
+      // the same (merged) region refuses instead of silently composing:
+      // both sides rewrite the dir that carries row 11
+      SnapshotStore.createBranch(root, "two")
+      val b2 = SnapshotStore.branchRoot(root, "two")
+      SnapshotStore.deleteWhere(spark, b2, col("id") === 11L)
+      SnapshotStore.deleteWhere(spark, root, col("id") === 11L)
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.rebaseBranch(spark, root, "two"))
+      assert(e.getMessage.contains("conflict"))
+    }
+  }
+
   test("rebase torture: random disjoint parent/branch histories compose through rebase + merge") {
     withRoot { root =>
       // seeded → deterministic interleaving. Edit regions kept disjoint
       // BY ID RANGE (parent owns 100-999 post-fork, the branch owns
       // 1000+), so every rebase must compose cleanly — any refusal or
-      // content drift is a bug, not a legitimate conflict. The invariant
-      // after each rebase: branch == parent ∪ (branch adds ∖ deletes);
-      // after each merge the parent equals it too and iteration resumes.
+      // content drift is a bug, not a legitimate conflict. Invariants
+      // are MULTISET comparisons (a Set would mask duplicated dirs) and
+      // the model honors post-merge branch deletes of merged rows: the
+      // branch view is (parent ∖ branchDeleted) ∪ (adds ∖ deleted).
       val rnd = new scala.util.Random(99)
       SnapshotStore.append(df(1L to 20L: _*), root)
       var parentIds = (1L to 20L).toSet
@@ -336,6 +378,9 @@ class BranchSpec extends SparkSpec {
       var branchAdds = Set.empty[Long]
       var branchDeleted = Set.empty[Long]
       var nextP = 100L; var nextB = 1000L
+      def expectedBranch: Seq[Long] =
+        ((parentIds -- branchDeleted) ++ (branchAdds -- branchDeleted))
+          .toSeq.sorted
       (1 to 12).foreach { step =>
         rnd.nextInt(4) match {
           case 0 => // parent append (its own range)
@@ -351,7 +396,8 @@ class BranchSpec extends SparkSpec {
           case 2 => // branch append (its own range)
             SnapshotStore.append(df(nextB, nextB + 1), br)
             branchAdds ++= Set(nextB, nextB + 1); nextB += 2
-          case 3 => // branch delete restricted to its own rows
+          case 3 => // branch delete restricted to its own rows — which
+                    // after a merge may live in PARENT-referenced dirs
             val victim = branchAdds -- branchDeleted
             if (victim.nonEmpty) {
               val x = victim.min
@@ -361,21 +407,24 @@ class BranchSpec extends SparkSpec {
         }
         if (step % 3 == 0) {
           SnapshotStore.rebaseBranch(spark, root, "work")
-          assert(idsOf(br) == parentIds ++ (branchAdds -- branchDeleted),
+          assert(idBag(br) == expectedBranch,
             s"rebase diverged at step $step")
-          assert(idsOf(root) == parentIds, s"rebase touched the parent at step $step")
+          assert(idsOf(root) == parentIds,
+            s"rebase touched the parent at step $step")
         }
         if (step % 6 == 0) {
           SnapshotStore.rebaseBranch(spark, root, "work")
           SnapshotStore.mergeBranch(spark, root, "work")
-          parentIds = parentIds ++ (branchAdds -- branchDeleted)
-          assert(idsOf(root) == parentIds, s"merge diverged at step $step")
+          parentIds = ((parentIds -- branchDeleted) ++
+            (branchAdds -- branchDeleted))
+          assert(idBag(root) == parentIds.toSeq.sorted,
+            s"merge diverged at step $step")
         }
       }
       // closing round-trip
       SnapshotStore.rebaseBranch(spark, root, "work")
       SnapshotStore.mergeBranch(spark, root, "work")
-      assert(idsOf(root) == parentIds ++ (branchAdds -- branchDeleted))
+      assert(idBag(root) == expectedBranch)
     }
   }
 
