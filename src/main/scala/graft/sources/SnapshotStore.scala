@@ -902,7 +902,11 @@ object SnapshotStore {
       }
       case _ => (pe.toSeq ++ be.toSeq).maxOption
     }
-    val mv = commitReplace(root, parent, manifestDirs(br, bv), epoch,
+    // .distinct: never PROPAGATE a duplicated dir reference (a store that
+    // hit the pre-anchor rebase bug may carry one in a branch manifest —
+    // listed twice in the parent its rows would read twice forever)
+    val mergedDirs = manifestDirs(br, bv).distinct
+    val mv = commitReplace(root, parent, mergedDirs, epoch,
       manifestCols(br, bv).getOrElse(Nil), "merge")
     // MERGE ANCHOR, written into the BRANCH after the parent commit: at
     // this instant the branch state IS the parent state, so the branch's
@@ -913,11 +917,10 @@ object SnapshotStore {
     // branch's post-merge deletes. Written AFTER the commit so a failed
     // merge can never leave a FALSE anchor (which would corrupt the next
     // rebase the other way); the crash window between commit and anchor
-    // leaves a stale anchor whose rebase the widened dropped-set +
-    // dedup in rebaseBranch still keeps content-correct.
-    Files.write(mergeAnchorPath(br, bv),
-      manifestDirs(br, bv).map(d => s""""$d"""")
-        .mkString("{\"dirs\": [", ", ", "]}").getBytes("UTF-8"))
+    // is covered by rebaseBranch's anchor REPAIR (it re-derives the
+    // anchor from the parent's surviving merge manifest) and, failing
+    // that, its crossed-dir refusal.
+    writeDirsSidecar(mergeAnchorPath(br, bv), mergedDirs)
     mv
   }
 
@@ -929,35 +932,35 @@ object SnapshotStore {
   private def mergeAnchorPath(root: String, v: Int): Path =
     manifestDir(root).resolve(s"merge_anchor_v$v.json")
 
-  /** The dir set recorded when branch version `v` was MERGED into the
-    * parent (valid only while it equals the manifest's own dirs — an
-    * anchor can never claim a state the manifest doesn't show). */
-  private def mergeAnchor(root: String, v: Int): Option[Set[String]] = {
-    val p = mergeAnchorPath(root, v)
+  // ONE reader/writer pair for the dirs-list sidecar handshake (rebase
+  // bases and merge anchors) — the format mirrors the manifest's own
+  // "dirs" field so DirsRe parses both.
+  private def writeDirsSidecar(p: Path, dirs: Seq[String]): Unit =
+    Files.write(p, dirs.map(d => s""""$d"""")
+      .mkString("{\"dirs\": [", ", ", "]}").getBytes("UTF-8"))
+
+  private def readDirsSidecar(p: Path): Option[Set[String]] =
     if (!Files.exists(p)) None
     else {
       val text = new String(Files.readAllBytes(p), "UTF-8")
       DirsRe.findFirstMatchIn(text).map(
         _.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSet)
-        .filter(_ == manifestDirs(root, v).toSet)
     }
-  }
+
+  /** The dir set recorded when branch version `v` was MERGED into the
+    * parent (valid only while it equals the manifest's own dirs — an
+    * anchor can never claim a state the manifest doesn't show). */
+  private def mergeAnchor(root: String, v: Int): Option[Set[String]] =
+    readDirsSidecar(mergeAnchorPath(root, v))
+      .filter(_ == manifestDirs(root, v).toSet)
 
   /** The parent dir set a version-`v` rebase was computed against, if
     * version `v` is a rebase commit. (Written BEFORE the rebase manifest
     * commits; an orphan sidecar from a crashed rebase is ignored because
     * no manifest carries its version.) */
-  private[graft] def rebaseBase(root: String, v: Int): Option[Set[String]] = {
-    val p = rebaseBasePath(root, v)
-    if (!Files.exists(p)) None
-    else {
-      val text = new String(Files.readAllBytes(p), "UTF-8")
-      DirsRe.findFirstMatchIn(text).map(
-        _.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSet)
-    }
-  }
+  private[graft] def rebaseBase(root: String, v: Int): Option[Set[String]] =
+    readDirsSidecar(rebaseBasePath(root, v))
 
   /** The branch's latest ANCHOR — the newest surviving point where the
     * branch state coincided with a parent state: the fork itself (its
@@ -1022,9 +1025,29 @@ object SnapshotStore {
     require(bv > 0, s"no branch '$name' at $root")
     val parent = currentVersion(root)
     val parentDirs = manifestDirs(root, parent)
-    val (av, base) = anchorOf(br, bv).getOrElse(sys.error(
+    val (av0, base0) = anchorOf(br, bv).getOrElse(sys.error(
       s"branch '$name' has no surviving anchor manifest (vacuumed?) — " +
         "cannot establish what the branch changed; reconcile via diff()"))
+    // ANCHOR REPAIR for the merge crash window (parent merge committed,
+    // branch anchor never written — incl. merges from before anchors
+    // existed): a surviving parent MERGE manifest whose dirs equal some
+    // branch version's dirs above the anchor IS the missing anchor —
+    // re-derive and persist it. Residual (documented): if that merge
+    // manifest is ALSO vacuumed before any rebase runs, the merge is
+    // unknowable here — rebase (or delete) branches before vacuuming
+    // away merge history.
+    val (av, base) = (bv to (av0 + 1) by -1).iterator.flatMap { v =>
+      if (!hasManifest(br, v)) None
+      else {
+        val dv = manifestDirs(br, v).toSet
+        if ((1 to parent).exists(pv => hasManifest(root, pv) &&
+            manifestOp(root, pv).contains("merge") &&
+            manifestDirs(root, pv).toSet == dv)) {
+          writeDirsSidecar(mergeAnchorPath(br, v), dv.toSeq.sorted)
+          Some((v, dv))
+        } else None
+      }
+    }.take(1).toSeq.headOption.getOrElse((av0, base0))
     val cur = manifestDirs(br, bv).toSet
     // dirs the branch EVER carried since the anchor but no longer does —
     // not just anchor-base drops: a dir the branch appended (or gained
@@ -1055,9 +1078,7 @@ object SnapshotStore {
     // sidecar BEFORE the manifest: a crash leaves an orphan (ignored);
     // the re-run rewrites it for the new version number
     Files.createDirectories(manifestDir(br))
-    Files.write(rebaseBasePath(br, bv + 1),
-      parentDirs.map(d => s""""$d"""").mkString("{\"dirs\": [", ", ", "]}")
-        .getBytes("UTF-8"))
+    writeDirsSidecar(rebaseBasePath(br, bv + 1), parentDirs)
     commitReplace(br, bv, rebased, lastEpoch(br), cols, "rebase")
   }
 

@@ -359,6 +359,34 @@ class BranchSpec extends SparkSpec {
         SnapshotStore.rebaseBranch(spark, root, "two"))
       assert(e.getMessage.contains("conflict"))
     }
+    withRoot { root =>
+      // the merge-anchor CRASH WINDOW: the parent merge committed but the
+      // branch-side anchor write never happened. The load-bearing
+      // direction is a PARENT edit of a merged-in branch dir: without
+      // anchor REPAIR (re-deriving the anchor from the parent's
+      // surviving merge manifest), the branch's copy of the pre-rewrite
+      // dir would ride back in — rows duplicated, the parent's delete
+      // resurrected
+      SnapshotStore.append(df(1L, 2L), root)
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      SnapshotStore.append(df(10L, 11L), br)
+      val bvAtMerge = SnapshotStore.currentVersion(br)
+      SnapshotStore.mergeBranch(spark, root, "work")
+      // simulate the crash: delete the anchor the merge just wrote
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        br, "_manifests", s"merge_anchor_v$bvAtMerge.json"))
+      // PARENT edits the merged-in dir
+      SnapshotStore.deleteWhere(spark, root, col("id") === 10L)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      assert(idBag(br) == Seq(1L, 2L, 11L),
+        "anchor repair failed: crash-window rebase duplicated/resurrected rows")
+      // and the repaired anchor persists: branch edits then compose
+      SnapshotStore.deleteWhere(spark, br, col("id") === 11L)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idBag(root) == Seq(1L, 2L))
+    }
   }
 
   test("rebase torture: random disjoint parent/branch histories compose through rebase + merge") {
@@ -387,7 +415,10 @@ class BranchSpec extends SparkSpec {
             SnapshotStore.append(df(nextP, nextP + 1), root)
             parentIds ++= Set(nextP, nextP + 1); nextP += 2
           case 1 => // parent delete restricted to its own post-fork rows
-            val victim = parentIds.filter(_ >= 100L)
+                    // (NOT merged-in branch ids >= 1000 — those dirs are
+                    // the branch's edit region, and touching them would
+                    // make the disjointness premise false)
+            val victim = parentIds.filter(id => id >= 100L && id < 1000L)
             if (victim.nonEmpty) {
               val x = victim.min
               SnapshotStore.deleteWhere(spark, root, col("id") === x)
