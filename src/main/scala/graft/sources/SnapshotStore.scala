@@ -1036,18 +1036,26 @@ object SnapshotStore {
     // manifest is ALSO vacuumed before any rebase runs, the merge is
     // unknowable here — rebase (or delete) branches before vacuuming
     // away merge history.
-    val (av, base) = (bv to (av0 + 1) by -1).iterator.flatMap { v =>
-      if (!hasManifest(br, v)) None
+    val (av, base) =
+      if (av0 >= bv) (av0, base0)
       else {
-        val dv = manifestDirs(br, v).toSet
-        if ((1 to parent).exists(pv => hasManifest(root, pv) &&
-            manifestOp(root, pv).contains("merge") &&
-            manifestDirs(root, pv).toSet == dv)) {
-          writeDirsSidecar(mergeAnchorPath(br, v), dv.toSeq.sorted)
-          Some((v, dv))
-        } else None
+        // one pass over the parent's manifests, then O(1) membership per
+        // branch version (not O(branch × parent) reads)
+        lazy val parentMergeDirs: Set[Set[String]] =
+          (1 to parent).filter(hasManifest(root, _))
+            .filter(manifestOp(root, _).contains("merge"))
+            .map(manifestDirs(root, _).toSet).toSet
+        (bv to (av0 + 1) by -1).iterator.flatMap { v =>
+          if (!hasManifest(br, v)) None
+          else {
+            val dv = manifestDirs(br, v).toSet
+            if (parentMergeDirs.contains(dv)) {
+              writeDirsSidecar(mergeAnchorPath(br, v), dv.toSeq.sorted)
+              Some((v, dv))
+            } else None
+          }
+        }.take(1).toSeq.headOption.getOrElse((av0, base0))
       }
-    }.take(1).toSeq.headOption.getOrElse((av0, base0))
     val cur = manifestDirs(br, bv).toSet
     // dirs the branch EVER carried since the anchor but no longer does —
     // not just anchor-base drops: a dir the branch appended (or gained
