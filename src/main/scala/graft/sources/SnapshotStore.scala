@@ -81,12 +81,16 @@ object SnapshotStore {
     else Some(new String(Files.readAllBytes(p), "UTF-8"))
   }
 
-  private def dirsOf(root: String, v: Int, text: String): Seq[String] = {
-    val m = DirsRe.findFirstMatchIn(text)
-      .getOrElse(sys.error(s"malformed manifest v$v at $root"))
-    m.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  /** ONE parser for the quoted-list payload every manifest/sidecar field
+    * shares (dirs, cols, rebase bases, merge anchors) — a quoting or
+    * escaping change lands in one place or nowhere. */
+  private def parseQuotedList(group: String): Seq[String] =
+    group.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty)
-  }
+
+  private def dirsOf(root: String, v: Int, text: String): Seq[String] =
+    parseQuotedList(DirsRe.findFirstMatchIn(text)
+      .getOrElse(sys.error(s"malformed manifest v$v at $root")).group(1))
 
   /** Directories of version `v` (exactly as the manifest lists them). */
   def manifestDirs(root: String, v: Int): Seq[String] = {
@@ -100,9 +104,7 @@ object SnapshotStore {
     * anything-goes behavior until the next append starts recording). */
   def manifestCols(root: String, v: Int): Option[Seq[String]] = {
     val text = new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8")
-    ColsRe.findFirstMatchIn(text).map(
-      _.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty))
+    ColsRe.findFirstMatchIn(text).map(m => parseQuotedList(m.group(1)))
   }
 
   /** The operation KIND version `v`'s manifest records — "append",
@@ -918,8 +920,10 @@ object SnapshotStore {
     // merge can never leave a FALSE anchor (which would corrupt the next
     // rebase the other way); the crash window between commit and anchor
     // is covered by rebaseBranch's anchor REPAIR (it re-derives the
-    // anchor from the parent's surviving merge manifest) and, failing
-    // that, its crossed-dir refusal.
+    // anchor from the parent's surviving merge manifest). If that merge
+    // manifest is ALSO vacuumed before any rebase runs, the merge is
+    // unknowable — the documented residual: rebase (or delete) branches
+    // before vacuuming away merge history.
     writeDirsSidecar(mergeAnchorPath(br, bv), mergedDirs)
     mv
   }
@@ -943,9 +947,7 @@ object SnapshotStore {
     if (!Files.exists(p)) None
     else {
       val text = new String(Files.readAllBytes(p), "UTF-8")
-      DirsRe.findFirstMatchIn(text).map(
-        _.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSet)
+      DirsRe.findFirstMatchIn(text).map(m => parseQuotedList(m.group(1)).toSet)
     }
 
   /** The dir set recorded when branch version `v` was MERGED into the
@@ -1039,12 +1041,15 @@ object SnapshotStore {
     val (av, base) =
       if (av0 >= bv) (av0, base0)
       else {
-        // one pass over the parent's manifests, then O(1) membership per
-        // branch version (not O(branch × parent) reads)
+        // one TEXT read per parent manifest (op + dirs extracted from the
+        // same read), then O(1) membership per branch version — not
+        // O(branch × parent) reads, and no double read per merge
         lazy val parentMergeDirs: Set[Set[String]] =
-          (1 to parent).filter(hasManifest(root, _))
-            .filter(manifestOp(root, _).contains("merge"))
-            .map(manifestDirs(root, _).toSet).toSet
+          (1 to parent).flatMap { pv =>
+            manifestText(root, pv)
+              .filter(t => OpRe.findFirstMatchIn(t).exists(_.group(1) == "merge"))
+              .map(t => dirsOf(root, pv, t).toSet)
+          }.toSet
         (bv to (av0 + 1) by -1).iterator.flatMap { v =>
           if (!hasManifest(br, v)) None
           else {
@@ -1054,7 +1059,7 @@ object SnapshotStore {
               Some((v, dv))
             } else None
           }
-        }.take(1).toSeq.headOption.getOrElse((av0, base0))
+        }.nextOption().getOrElse((av0, base0))
       }
     val cur = manifestDirs(br, bv).toSet
     // dirs the branch EVER carried since the anchor but no longer does —

@@ -373,9 +373,12 @@ class BranchSpec extends SparkSpec {
       SnapshotStore.append(df(10L, 11L), br)
       val bvAtMerge = SnapshotStore.currentVersion(br)
       SnapshotStore.mergeBranch(spark, root, "work")
-      // simulate the crash: delete the anchor the merge just wrote
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
-        br, "_manifests", s"merge_anchor_v$bvAtMerge.json"))
+      // simulate the crash: delete the anchor the merge just wrote (the
+      // assert pins the filename handshake — a silent rename would make
+      // this test stop exercising the repair path)
+      assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        br, "_manifests", s"merge_anchor_v$bvAtMerge.json")),
+        "merge anchor sidecar not found where the test expects it")
       // PARENT edits the merged-in dir
       SnapshotStore.deleteWhere(spark, root, col("id") === 10L)
       SnapshotStore.rebaseBranch(spark, root, "work")
