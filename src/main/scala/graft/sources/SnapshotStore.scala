@@ -1038,8 +1038,18 @@ object SnapshotStore {
     // manifest is ALSO vacuumed before any rebase runs, the merge is
     // unknowable here — rebase (or delete) branches before vacuuming
     // away merge history.
+    // The scan must include av0 ITSELF when the anchor is a rebase whose
+    // recorded base differs from the branch's dirs at av0: the canonical
+    // rebase → merge flow anchors the merge AT the rebase version
+    // (av0 == bv), so a lost anchor there would otherwise silently fall
+    // back to the STALE rebase base and the next rebase would undo the
+    // parent's edits to merged-in branch dirs (resurrection +
+    // duplication). A fork/merge anchor already has base0 == dirs(av0),
+    // where a found merge manifest could only re-derive the same pair —
+    // skip av0 then so the common no-crash path stays scan-free.
+    val scanLow = if (base0 == manifestDirs(br, av0).toSet) av0 + 1 else av0
     val (av, base) =
-      if (av0 >= bv) (av0, base0)
+      if (scanLow > bv) (av0, base0)
       else {
         // one TEXT read per parent manifest (op + dirs extracted from the
         // same read), then O(1) membership per branch version — not
@@ -1050,7 +1060,7 @@ object SnapshotStore {
               .filter(t => OpRe.findFirstMatchIn(t).exists(_.group(1) == "merge"))
               .map(t => dirsOf(root, pv, t).toSet)
           }.toSet
-        (bv to (av0 + 1) by -1).iterator.flatMap { v =>
+        (bv to scanLow by -1).iterator.flatMap { v =>
           if (!hasManifest(br, v)) None
           else {
             val dv = manifestDirs(br, v).toSet
@@ -1067,10 +1077,14 @@ object SnapshotStore {
     // via an unanchored merge crash window) and later CoW-rewrote must
     // also be filtered from the parent side, or a merged-by-reference
     // copy of it would ride back in (duplicated rows) and the rewrite
-    // would silently lose its deletes
-    val droppedSince = (av to bv)
-      .filter(hasManifest(br, _)).flatMap(manifestDirs(br, _))
-      .toSet -- cur
+    // would silently lose its deletes. The anchor BASE itself is part of
+    // "carried since": a rebase anchor's base holds parent dirs the
+    // branch dropped BEFORE that rebase (never carried by any manifest
+    // in av..bv), and without them here a later rebase resurrects the
+    // deleted rows and duplicates the rewritten ones. Fork/merge anchors
+    // have base ⊆ dirs(av), so this is a no-op for them.
+    val droppedSince = (base ++ (av to bv)
+      .filter(hasManifest(br, _)).flatMap(manifestDirs(br, _))) -- cur
     val branchOwn = cur -- base
     val parentDropped = base -- parentDirs.toSet
     // parent unmoved since the anchor: (parent ∖ dropped) ∪ own is

@@ -392,6 +392,77 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("second rebase filters dirs the branch dropped BEFORE its rebase anchor") {
+    withRoot { root =>
+      // fork → branch curate (drops dir A entirely, CoW-rewrites dir B)
+      // → parent append → rebase → parent append → rebase. The second
+      // rebase's anchor is the FIRST rebase, whose base carries dirs A
+      // and B that no branch manifest in (anchor..head) ever carried —
+      // a droppedSince built only from carried manifests misses them
+      // and the second rebase resurrects the deleted rows (1..7) and
+      // reads the rewritten ones (8..10) twice.
+      SnapshotStore.append(df(1L to 5L: _*), root)   // dir A
+      SnapshotStore.append(df(6L to 10L: _*), root)  // dir B
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      SnapshotStore.deleteWhere(spark, br, col("id") <= 7L)
+      SnapshotStore.append(df(11L, 12L), root)       // parent moves
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      assert(idBag(br) == (8L to 12L), "first rebase composed wrong")
+      SnapshotStore.append(df(13L, 14L), root)       // parent moves again
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      assert(idBag(br) == (8L to 14L),
+        "second rebase resurrected pre-anchor deletes or duplicated rewrites")
+      // and the composed state merges clean
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idBag(root) == (8L to 14L))
+      // conflict detection vs the pre-anchor drop is restored too: a
+      // parent rewrite of dir B (which the branch rewrote pre-anchor)
+      // must refuse, not silently compose
+      SnapshotStore.createBranch(root, "two")
+      val b2 = SnapshotStore.branchRoot(root, "two")
+      SnapshotStore.deleteWhere(spark, b2, col("id") === 8L)
+      SnapshotStore.append(df(15L), root)
+      SnapshotStore.rebaseBranch(spark, root, "two") // anchor = this rebase
+      SnapshotStore.deleteWhere(spark, root, col("id") === 9L)
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.rebaseBranch(spark, root, "two"))
+      assert(e.getMessage.contains("conflict"))
+    }
+  }
+
+  test("merge-anchor crash at the rebase version still repairs on the next rebase") {
+    withRoot { root =>
+      // canonical rebase → merge: the merge anchors AT the rebase
+      // version (av0 == bv). If that anchor write is lost in the crash
+      // window, anchorOf falls back to the STALE rebase base — the next
+      // rebase must re-derive the anchor from the parent's surviving
+      // merge manifest, or a parent edit of a merged-in branch dir is
+      // undone (10 resurrected) and its kept rows read twice (11).
+      SnapshotStore.append(df(1L, 2L), root)         // dir A
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      SnapshotStore.append(df(10L, 11L), br)         // branch-own dir B
+      SnapshotStore.append(df(3L, 4L), root)         // parent moves (dir C)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      val bvAtMerge = SnapshotStore.currentVersion(br)
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        br, "_manifests", s"merge_anchor_v$bvAtMerge.json")),
+        "merge anchor sidecar not found where the test expects it")
+      // parent edits the merged-in branch dir
+      SnapshotStore.deleteWhere(spark, root, col("id") === 10L)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      assert(idBag(br) == Seq(1L, 2L, 3L, 4L, 11L),
+        "merge-at-rebase-version anchor loss: stale rebase base used")
+      // repaired anchor persists: branch edits compose and merge clean
+      SnapshotStore.deleteWhere(spark, br, col("id") === 4L)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idBag(root) == Seq(1L, 2L, 3L, 11L))
+    }
+  }
+
   test("rebase torture: random disjoint parent/branch histories compose through rebase + merge") {
     withRoot { root =>
       // seeded → deterministic interleaving. Edit regions kept disjoint
