@@ -426,6 +426,55 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("user-shaped FULL JOIN is served from the full-outer view's scan", {
+        import graft.sources.{JoinView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_jvf").toString
+        try {
+          // left 0..999, right keys 400..1399: unmatched rows BOTH sides
+          SnapshotStore.append(spark.range(0, 1000)
+            .selectExpr("id AS o_id", "id % 5 AS seg"), s"$root/L")
+          SnapshotStore.append(spark.range(0, 2000)
+            .selectExpr("id % 1000 + 400 AS lo_id", "id AS ln"), s"$root/R")
+          JoinView.refresh(spark, s"$root/L", s"$root/R", s"$root/jview",
+            "o_id", "lo_id", "full_outer")
+          graft.plans.MaterializedJoins.enable(s"$root/L", s"$root/R",
+            s"$root/jview", "o_id", "lo_id", "full_outer")
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          val p = lf.join(rf, lf("o_id") === rf("lo_id"), "full_outer")
+            .queryExecution.executedPlan.toString
+          // served: ONE view scan, no join operator left in the plan
+          p.contains("/jview") && !p.contains("/L") && !p.contains("/R") &&
+            !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
+      ("RIGHT JOIN spelling normalizes onto the left-outer view's scan", {
+        import graft.sources.{JoinView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_jvr").toString
+        try {
+          SnapshotStore.append(spark.range(0, 1000)
+            .selectExpr("id AS o_id", "id % 5 AS seg"), s"$root/L")
+          SnapshotStore.append(spark.range(0, 1800)
+            .selectExpr("id % 600 AS lo_id", "id AS ln"), s"$root/R")
+          JoinView.refresh(spark, s"$root/L", s"$root/R", s"$root/jview",
+            "o_id", "lo_id", "left_outer")
+          graft.plans.MaterializedJoins.enable(s"$root/L", s"$root/R",
+            s"$root/jview", "o_id", "lo_id", "left_outer")
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          // R RIGHT JOIN L preserves L — the maintained ⟕ orientation
+          val p = rf.join(lf, rf("lo_id") === lf("o_id"), "right_outer")
+            .queryExecution.executedPlan.toString
+          p.contains("/jview") && !p.contains("/L") && !p.contains("/R") &&
+            !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("ranked OR retrieval reads only bloom-selected posting files", {
         import graft.sources.{SearchIndex, SnapshotStore}
         val root = java.nio.file.Files.createTempDirectory("pa_stopk").toString

@@ -757,6 +757,67 @@ object ScaleProbe {
         f"for view-proportional)")
     }
 
+    // FULL-outer join-view refresh radius: fixed-size deltas on BOTH
+    // sides (already-matched keys — nothing converts) absorbed while the
+    // view grows 1x/4x/16x. Full-outer runs TWO match-arrival probes per
+    // refresh (ΔR against null-right rows by left key, ΔL against
+    // null-left rows by right key) — both file-pruned through the
+    // two-key stats every full-outer commit stamps, so the refresh must
+    // stay flat and stay on the pure-append path. Opt-in:
+    // SPARK_GRAFT_PROBE_ONLY=join_view_full_radius.
+    if (probeOnly.exists(_.contains("join_view_full_radius"))) {
+      import graft.sources.{JoinView, SnapshotStore}
+      val legs = Seq(1, 4, 16).map { k =>
+        val root = java.nio.file.Files.createTempDirectory(s"jvfrad$k").toString
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        try {
+          (0 until k).foreach { i =>
+            SnapshotStore.appendWithStats(
+              spark.range(i * 50000L, (i + 1) * 50000L).selectExpr(
+                "id AS o_id", "concat('c', id % 97) AS cust", "id * 1.0 AS total"),
+              l, Seq("o_id"))
+            SnapshotStore.appendWithStats(
+              spark.range(i * 50000L, (i + 1) * 50000L).selectExpr(
+                "id AS lo_id", "1L AS ln", "id * 2.0 AS qty"),
+              r, Seq("lo_id"))
+          }
+          // unmatched tails on BOTH sides: the view carries real
+          // null-extended rows in both directions
+          SnapshotStore.appendWithStats(
+            spark.range(10000000L, 10001000L).selectExpr(
+              "id AS o_id", "concat('c', id % 97) AS cust", "id * 1.0 AS total"),
+            l, Seq("o_id"))
+          SnapshotStore.appendWithStats(
+            spark.range(20000000L, 20001000L).selectExpr(
+              "id AS lo_id", "7L AS ln", "id * 2.0 AS qty"),
+            r, Seq("lo_id"))
+          JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "full_outer")
+          // deltas on MATCHED low keys, both sides in one refresh:
+          // neither probe converts — both must detect that file-pruned
+          SnapshotStore.appendWithStats(
+            spark.range(0L, 1000L).selectExpr(
+              "id AS o_id", "concat('d', id % 97) AS cust", "id * 5.0 AS total"),
+            l, Seq("o_id"))
+          SnapshotStore.appendWithStats(
+            spark.range(0L, 1000L).selectExpr(
+              "id AS lo_id", "99L AS ln", "id * 3.0 AS qty"),
+            r, Seq("lo_id"))
+          val t0 = System.nanoTime()
+          JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "full_outer")
+          val t = (System.nanoTime() - t0) / 1e9
+          val vCur = SnapshotStore.currentVersion(v)
+          assert(SnapshotStore.manifestOp(v, vCur).contains("append"),
+            s"non-converting two-sided delta left the O(delta) append path at k=$k")
+          t
+        } finally SnapshotStore.deleteTree(root)
+      }
+      println(f"[scale] join_view_full_radius view=1x/4x/16x " +
+        f"${legs(0)}%5.2fs ${legs(1)}%5.2fs ${legs(2)}%5.2fs " +
+        f"(flat = BOTH match-arrival probes file-prune the view to the " +
+        f"delta key ranges; ratio1→16 ${legs(2) / legs(0)}%4.2f vs 16 " +
+        f"for view-proportional)")
+    }
+
     // BPE merge-count probe: wall-time as numMerges grows 32→256→1024 on
     // a FIXED corpus. The pre-rewrite formulation launched one Spark job
     // per merge (time ≈ proportional to merges); the driver-local loop

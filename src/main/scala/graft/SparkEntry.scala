@@ -3588,6 +3588,88 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // FULL-outer join-view lifecycle: bootstrap with unmatched rows on
+    // BOTH sides, a left delta converting standing null-LEFT rows (the
+    // ΔL-direction match arrival the left-outer view never needs), a
+    // right delta converting null-RIGHT rows, then churn on both sides —
+    // a customer delete re-null-extends its surviving orders as
+    // unmatched-RIGHT rows (retargeted by the coalesce survivor key).
+    "join_view_full_outer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jvf").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val c = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        def refresh(): Unit = sources.JoinView.refresh(
+          s, l, r, v, "c_custkey", "o_custkey", "full_outer")
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 === 0), l)
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 === 0), r)
+        refresh() // bootstrap: both sides carry null-extended rows
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 =!= 0), l)
+        refresh() // ΔL match arrival: unmatched-right orders convert
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 =!= 0), r)
+        refresh() // ΔR match arrival: null-extended customers convert
+        sources.SnapshotStore.deleteWhere(s, r, col("o_orderkey") % 5 === 0)
+        sources.SnapshotStore.deleteWhere(s, l, col("c_custkey") % 11 === 7)
+        refresh() // churn: deleted customers re-null-extend their orders
+        sources.JoinView.read(s, v).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // STREAMING maintenance of the FULL-outer join view: most customers
+    // stand, orders drip through a checkpointed file stream (each right
+    // batch both converts standing null-right rows AND null-extends its
+    // own unmatched rows — the full-only delta term), then ONE batch left
+    // delta converts the stream-accumulated unmatched-right rows. The
+    // stream-grown view must equal the plain SQL FULL JOIN.
+    "stream_join_view_full_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sjvf").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val c = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 7 =!= 3), l)
+        graft.streaming.StreamReplay.joinViewIngestReplay(
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_orderkey", l, r, v, "c_custkey", "o_custkey",
+          how = "full_outer")
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 7 === 3), l)
+        sources.JoinView.refresh(
+          s, l, r, v, "c_custkey", "o_custkey", "full_outer")
+        sources.JoinView.read(s, v).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Catalyst SERVING of the full-outer view: a USER-shaped full join
+    // (no side filters — neither commutes with ⟗) is answered from the
+    // maintained view — used_view pinned from the analyzed plan's scan
+    // roots so a declined rewrite fails the hash.
+    "join_view_full_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jvfs").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        sources.SnapshotStore.append(Tables.customer(s, dir)
+          .where(col("c_custkey") % 11 =!= 7)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), l)
+        sources.SnapshotStore.append(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), r)
+        sources.JoinView.refresh(
+          s, l, r, v, "c_custkey", "o_custkey", "full_outer")
+        graft.plans.MaterializedJoins.enable(
+          l, r, v, "c_custkey", "o_custkey", "full_outer")
+        try {
+          val lf = sources.SnapshotStore.read(s, l)
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("c_custkey") === rf("o_custkey"), "full_outer")
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
+          q.withColumn("used_view", lit(usedView)).localCheckpoint(true)
+        } finally graft.plans.MaterializedJoins.disable(l)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -6440,6 +6522,31 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |       o_orderkey, o_custkey, o_totalprice
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
+
+    // the final source states replayed in SQL: customers minus the
+    // churned slice FULL JOIN orders minus the deleted slice — null rows
+    // on BOTH sides (c with no surviving o, o whose c churned out)
+    // included under the same hash
+    "join_view_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |           WHERE c_custkey % 11 != 7),
+        |o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |      WHERE o_orderkey % 5 != 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       o_orderkey, o_custkey, o_totalprice
+        |FROM c FULL JOIN o ON c_custkey = o_custkey""".stripMargin,
+
+    "stream_join_view_full_parity" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       o_orderkey, o_custkey, o_totalprice
+        |FROM customer FULL JOIN orders ON c_custkey = o_custkey""".stripMargin,
+
+    "join_view_full_serve" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |           WHERE c_custkey % 11 != 7)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       o_orderkey, o_custkey, o_totalprice, TRUE AS used_view
+        |FROM c FULL JOIN orders ON c_custkey = o_custkey""".stripMargin,
 
     "snapshot_branch_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -20,9 +20,10 @@ import graft.sources.{JoinView, SnapshotStore}
 object MaterializedJoins {
 
   // key: (canonical left root, canonical right root, left key, right key,
-  // join type "inner" | "left_outer") — the type is PART of the key: an
-  // inner and a left-outer view over the same pair coexist (one put per
-  // type), instead of the second registration silently evicting the first
+  // join type "inner" | "left_outer" | "full_outer") — the type is PART
+  // of the key: an inner and an outer view over the same pair coexist
+  // (one put per type), instead of the second registration silently
+  // evicting the first
   private val regs =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String, String, String), String]()
 
@@ -57,8 +58,8 @@ object MaterializedJoins {
                  how: String = "inner"): Unit = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
-    require(how == "inner" || how == "left_outer",
-      s"registrable join types are inner and left_outer, got '$how'")
+    require(how == "inner" || how == "left_outer" || how == "full_outer",
+      s"registrable join types are inner, left_outer, full_outer, got '$how'")
     val (lk, rk) = keySig(leftKeys, rightKeys)
     regs.put((canon(leftRoot), canon(rightRoot), lk, rk, how), viewRoot)
   }
@@ -135,10 +136,12 @@ object MaterializedJoins {
 /** Materialized JOIN-view rewrite — transparent denormalization serving:
   * a user-shaped equi-join of two REGISTERED stores' current snapshots
   * on the registered key pair — INNER over an inner view, LEFT OUTER
-  * over a left-outer view — is answered from the maintained [[JoinView]]
-  * instead of re-running the join. At 100 TB this turns every
-  * fact-to-fact navigation query from a two-sided shuffle join into a
-  * scan of rows the refresh already paid for.
+  * over a left-outer view, FULL OUTER over a full-outer view, and a
+  * RIGHT OUTER join normalized onto the left-outer view with the sides
+  * swapped — is answered from the maintained [[JoinView]] instead of
+  * re-running the join. At 100 TB this turns every fact-to-fact
+  * navigation query from a two-sided shuffle join into a scan of rows
+  * the refresh already paid for.
   *
   * Fires only when EXACT:
   *   - both scanned relations' root paths are precisely the registered
@@ -176,6 +179,15 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rewrite(j, lchild, rchild, cond, Inner).getOrElse(j)
       case j @ Join(lchild, rchild, LeftOuter, Some(cond), _) =>
         rewrite(j, lchild, rchild, cond, LeftOuter).getOrElse(j)
+      // A RIGHT OUTER join IS a left-outer join with the sides swapped —
+      // normalize onto the left-outer view (pure plan sugar, no new
+      // maintenance): the swapped call makes the preserved side the
+      // view's left side, so the filter-commute rule lands on the right
+      // rows automatically and output attrs still resolve by name
+      case j @ Join(lchild, rchild, RightOuter, Some(cond), _) =>
+        rewrite(j, rchild, lchild, cond, LeftOuter).getOrElse(j)
+      case j @ Join(lchild, rchild, FullOuter, Some(cond), _) =>
+        rewrite(j, lchild, rchild, cond, FullOuter).getOrElse(j)
     }
   }
 
@@ -215,16 +227,26 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (rrel, rfilters) = dissect(rchild).getOrElse(return None)
     // a left-outer join does NOT commute with right-side filters: a left
     // row matched only to filtered-out right rows null-extends in the
-    // user's query, but the view materialized it matched
+    // user's query, but the view materialized it matched. A FULL outer
+    // join commutes with NEITHER side's filters (each side's filter
+    // changes which rows of the OTHER side null-extend)
     if (joinType == LeftOuter && rfilters.nonEmpty) return None
+    if (joinType == FullOuter && (lfilters.nonEmpty || rfilters.nonEmpty))
+      return None
     val lpaths = MaterializedJoins.canonPaths(lrel).getOrElse(return None)
     val rpaths = MaterializedJoins.canonPaths(rrel).getOrElse(return None)
     val sig = MaterializedJoins.keySig(las.map(_.name), ras.map(_.name))
     val flipped = MaterializedJoins.keySig(ras.map(_.name), las.map(_.name))
-    val wantHow = if (joinType == LeftOuter) "left_outer" else "inner"
-    // an inner join is symmetric: match the registration in either side
-    // order (the user may write R.join(L) for a view registered (L, R));
-    // a left-outer join serves ONLY in the registered orientation
+    val wantHow = joinType match {
+      case LeftOuter => "left_outer"
+      case FullOuter => "full_outer"
+      case _         => "inner"
+    }
+    // inner and full-outer joins are symmetric: match the registration in
+    // either side order (the user may write R.join(L) for a view
+    // registered (L, R)); a left-outer join serves ONLY in the registered
+    // orientation (its right-outer spelling is normalized by the caller)
+    val symmetric = joinType == Inner || joinType == FullOuter
     val viewRoot = MaterializedJoins.all.collectFirst {
       case ((lr, rr, lk, rk, how), vr)
           if how == wantHow &&
@@ -232,7 +254,7 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               MaterializedJoins.probe(lr, rr, vr).exists {
                 case (ld, rd, fresh) => fresh && ld == lpaths && rd == rpaths
               }) ||
-            (joinType == Inner && (lk, rk) == flipped &&
+            (symmetric && (lk, rk) == flipped &&
               MaterializedJoins.probe(lr, rr, vr).exists {
                 case (ld, rd, fresh) => fresh && ld == rpaths && rd == lpaths
               })) => vr
@@ -247,7 +269,7 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // NOT value-sound there (an unmatched row's right key is null while
     // its left key isn't), so resolution is by name only.
     val pairedName: Map[String, String] =
-      if (joinType == LeftOuter) Map.empty
+      if (joinType != Inner) Map.empty
       else (las.map(_.name.toLowerCase).zip(ras.map(_.name.toLowerCase)) ++
         ras.map(_.name.toLowerCase).zip(las.map(_.name.toLowerCase))).toMap
     def resolve(name: String): Option[Attribute] =

@@ -66,7 +66,7 @@ object JoinView {
     * key IS the unmatched marker (null keys never equi-match, so a
     * matched row always has them non-null), which both the serving
     * rewrite and the null-conversion maintenance rely on. `joinType` is
-    * the Spark join ("inner"/"left_outer"); `keepRightKeys` is the VIEW
+    * any Spark join type; `keepRightKeys` is the VIEW
     * SHAPE and is independent of it (the outer view's ΔR maintenance leg
     * is an inner join that still keeps right keys). */
   private def joined(l: DataFrame, r: DataFrame,
@@ -124,23 +124,24 @@ object JoinView {
   private def clustered(df: DataFrame, key: String, on: Boolean): DataFrame =
     if (on) df.repartitionByRange(col(key)) else df
 
-  /** Stamp per-file min/max stats on the FIRST left key over the dirs a
-    * view commit just produced (OUTER views, integral key only): the
-    * match-arrival probe file-prunes the view by the right delta's key
-    * range through these — without them every right-delta refresh would
-    * re-scan the whole view just to learn nothing converted. Written
-    * AFTER the commit (pure acceleration: a crash between commit and
-    * sidecar leaves a conservatively-read version — planFiles selects
+  /** Stamp per-file min/max stats on the head key column(s) over the dirs
+    * a view commit just produced (OUTER views, integral key only): the
+    * match-arrival probe file-prunes the view by the delta's key range
+    * through these — without them every delta refresh would re-scan the
+    * whole view just to learn nothing converted. Left-outer views stamp
+    * the left key (the ΔR-direction probe); full-outer views stamp BOTH
+    * head keys (a ΔL probes the view's null-left rows by RIGHT key).
+    * Written AFTER the commit (pure acceleration: a crash between commit
+    * and sidecar leaves a conservatively-read version — planFiles selects
     * statless files unconditionally). */
   private def stampStats(spark: SparkSession, viewRoot: String,
-                         before: Int, v: Int, leftKeys: Seq[String]): Unit = {
+                         before: Int, v: Int, cols: Seq[String]): Unit = {
     if (v == before) return
     val newDirs = SnapshotStore.manifestDirs(viewRoot, v)
       .diff(if (before > 0 && SnapshotStore.hasManifest(viewRoot, before))
               SnapshotStore.manifestDirs(viewRoot, before)
             else Nil)
-    SnapshotStore.writeStatsSidecar(spark, viewRoot, v, newDirs,
-      Seq(leftKeys.head))
+    SnapshotStore.writeStatsSidecar(spark, viewRoot, v, newDirs, cols)
   }
 
   /** Append/no-op commits only in (from, cur], with both endpoint
@@ -207,25 +208,40 @@ object JoinView {
     * equi-keys supported (pairwise positional equalities). Returns the
     * view version (unchanged when both cursors already match).
     *
-    * `how` is the maintained join's type: "inner" (default) or
-    * "left_outer". A LEFT-OUTER view is `L ⟕ R` — unmatched left rows
-    * null-extend, right key columns are KEPT (null = unmatched marker),
-    * and maintenance adds one semantics the inner view never needs:
-    * MATCH ARRIVAL — a right delta matching a key that currently has
-    * null-extended view rows must RETRACT those rows as it appends the
-    * matched ones (detected per refresh by probing the view's null rows
-    * against the delta's key tuples; when none convert, the refresh
-    * stays a pure O(Δ) append — the common monotone-ingest shape where
-    * dims land before facts). The view's join type is recorded at
-    * bootstrap and every later refresh must pass the same `how`. */
+    * `how` is the maintained join's type: "inner" (default),
+    * "left_outer", or "full_outer". A LEFT-OUTER view is `L ⟕ R` —
+    * unmatched left rows null-extend, right key columns are KEPT (null =
+    * unmatched marker), and maintenance adds one semantics the inner
+    * view never needs: MATCH ARRIVAL — a right delta matching a key that
+    * currently has null-extended view rows must RETRACT those rows as it
+    * appends the matched ones (detected per refresh by probing the
+    * view's null rows against the delta's key tuples; when none convert,
+    * the refresh stays a pure O(Δ) append — the common monotone-ingest
+    * shape where dims land before facts).
+    *
+    * A FULL-OUTER view is `L ⟗ R` — BOTH sides null-extend, and the
+    * match-arrival semantics runs SYMMETRICALLY: a ΔR can convert
+    * null-extended left rows AND a ΔL can convert null-extended right
+    * rows (identified by a null left key head — a matched row's keys are
+    * all non-null because null never equi-matches). The append-only delta
+    * identity gains one term over ⟕:
+    *
+    *   Δ(L⟗R) = (ΔL ⟕ R_new)  ∪  (L_old ⋈ ΔR)  ∪  nullext(ΔR ∖ L_new)
+    *
+    * — the unmatched-right determination runs against L_NEW, not L_old,
+    * because a ΔL row landing in the same refresh may be the match
+    * (that pair is already carried by the first term). The view's join
+    * type is recorded at bootstrap and every later refresh must pass the
+    * same `how`. */
   def refreshKeys(spark: SparkSession, leftRoot: String, rightRoot: String,
                   viewRoot: String, leftKeys: Seq[String],
                   rightKeys: Seq[String], how: String = "inner"): Int = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
-    require(how == "inner" || how == "left_outer",
-      s"join view supports inner and left_outer, got '$how'")
-    val outer = how == "left_outer"
+    require(how == "inner" || how == "left_outer" || how == "full_outer",
+      s"join view supports inner, left_outer, full_outer, got '$how'")
+    val outer = how != "inner"
+    val full = how == "full_outer"
     val lv = SnapshotStore.currentVersion(leftRoot)
     val rv = SnapshotStore.currentVersion(rightRoot)
     require(lv > 0 && rv > 0,
@@ -325,53 +341,93 @@ object JoinView {
       // by the in-hand delta's keys so only possibly-matching rows join.
       // Outer adds: ΔL null-extends itself (ΔL ⟕ R_new), the ΔR leg
       // stays an inner join (old left rows that STILL don't match keep
-      // their null rows), and match arrival retracts converted null rows
-      val lPart =
+      // their null rows), and match arrival retracts converted null rows.
+      // Full-outer adds one term: ΔR rows unmatched against L_NEW
+      // null-extend as unmatched-RIGHT view rows (see the scaladoc).
+      val (lPart, lDeltaKeys) =
         if (lv > plv) {
           val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
             Some(lNew.schema)) // explicit schema: a narrow post-evolution
                                // append still reads the full shape
           val dk = keyTuples(delta, leftKeys)
-          Some(joined(delta,
+          (Some(joined(delta,
             prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
               rightKeys, dk),
-            leftKeys, rightKeys, how, outer))
-        } else None
+            leftKeys, rightKeys,
+            if (outer) "left_outer" else "inner", outer)), Some(dk))
+        } else (None, None)
       val (rPart, rDeltaKeys) =
         if (rv > prv) {
           val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
             Some(rNew.schema))
           val dk = keyTuples(delta, rightKeys)
-          (Some(joined(
+          val matched = joined(
             prefiltered(standing(spark, leftRoot, plv, leftKeys, dk),
               leftKeys, dk),
-            delta, leftKeys, rightKeys, "inner", outer)), Some(dk))
+            delta, leftKeys, rightKeys, "inner", outer)
+          val part = if (!full) matched else {
+            // anti against the PRUNED current left side is exact: the
+            // prefilter is an equi-join against the delta's own distinct
+            // key tuples (no false negatives), so every left row that
+            // could match a ΔR key survives into the anti's build side
+            val lStand = prefiltered(
+              standing(spark, leftRoot, lv, leftKeys, dk), leftKeys, dk)
+            val unmatched = delta.join(lStand,
+              leftKeys.zip(rightKeys).map { case (a, b) =>
+                lStand(a) === delta(b)
+              }.reduce(_ && _), "left_anti")
+            // null-extend to the view's exact l.* ++ r.* shape via a
+            // right-outer join against the EMPTY left relation (types,
+            // names, and column set all come from the source itself)
+            matched.unionByName(joined(lNew.limit(0), unmatched,
+              leftKeys, rightKeys, "right_outer", keepRightKeys = true))
+          }
+          (Some(part), Some(dk))
         } else (None, None)
       val adds = (lPart.toSeq ++ rPart.toSeq).reduce(_ unionByName _)
       lazy val view = SnapshotStore.readEvolved(spark, viewRoot)
       // MATCH ARRIVAL (outer only): does ΔR hit any key that currently
       // has null-extended view rows? The probe reads the VIEW as a
       // standing side — file-pruned by the delta's key range (outer
-      // commits stamp left-key stats below) and bloom-prefiltered by the
-      // delta's key tuples — O(view rows that might match), no collect
-      val converting = outer && rDeltaKeys.exists { dk =>
+      // commits stamp key stats below) and bloom-prefiltered by the
+      // delta's key tuples — O(view rows that might match), no collect.
+      // Full-outer runs the symmetric probe too: ΔL against the view's
+      // null-LEFT rows by right key.
+      val viewVer = SnapshotStore.currentVersion(viewRoot)
+      val convertingR = outer && rDeltaKeys.exists { dk =>
         !prefiltered(
-          standing(spark, viewRoot, SnapshotStore.currentVersion(viewRoot),
-            leftKeys, dk)
+          standing(spark, viewRoot, viewVer, leftKeys, dk)
             .where(col(rightKeys.head).isNull)
             .select(leftKeys.map(col): _*),
           leftKeys, dk).isEmpty
       }
-      if (!converting) {
+      val convertingL = full && lDeltaKeys.exists { dk =>
+        !prefiltered(
+          standing(spark, viewRoot, viewVer, rightKeys, dk)
+            .where(col(leftKeys.head).isNull)
+            .select(rightKeys.map(col): _*),
+          rightKeys, dk).isEmpty
+      }
+      if (!convertingR && !convertingL) {
         SnapshotStore.appendEpoch(adds, viewRoot, pack(lv, rv))
       } else {
         // converted keys' null rows retract; everything else survives.
         // Published as the view's own compaction (non-commutative commit)
-        val dk = rDeltaKeys.get
-        val keep = view.join(broadcast(dk),
-          leftKeys.zipWithIndex.map { case (k, i) =>
-            view(k) === dk(s"__bk$i")
-          }.reduce(_ && _) && view(rightKeys.head).isNull, "left_anti")
+        var keep = view
+        if (convertingR) {
+          val dk = rDeltaKeys.get
+          keep = keep.join(broadcast(dk),
+            leftKeys.zipWithIndex.map { case (k, i) =>
+              keep(k) === dk(s"__bk$i")
+            }.reduce(_ && _) && keep(rightKeys.head).isNull, "left_anti")
+        }
+        if (convertingL) {
+          val dk = lDeltaKeys.get
+          keep = keep.join(broadcast(dk),
+            rightKeys.zipWithIndex.map { case (k, i) =>
+              keep(k) === dk(s"__bk$i")
+            }.reduce(_ && _) && keep(leftKeys.head).isNull, "left_anti")
+        }
         SnapshotStore.compactWith(
           clustered(keep.unionByName(adds), leftKeys.head, keyIntegral),
           viewRoot, epochOverride = Some(pack(lv, rv)))
@@ -400,8 +456,18 @@ object JoinView {
           keys.zipWithIndex.map { case (k, i) =>
             df(k) <=> dirty(s"__bk$i")
           }.reduce(_ && _), jt)
-      val survivors = dirtyJoin(
-        SnapshotStore.readEvolved(spark, viewRoot), leftKeys, "left_anti")
+      // a FULL-outer view row's effective key is coalesce(lk, rk): an
+      // unmatched-RIGHT row carries its key only on the right side, so a
+      // survivors anti-join on the left key alone would strand it when
+      // its right row churns (matched rows have lk == rk; both-null rows
+      // coalesce to null, which <=> targets)
+      val viewDf = SnapshotStore.readEvolved(spark, viewRoot)
+      val survivors =
+        if (!full) dirtyJoin(viewDf, leftKeys, "left_anti")
+        else viewDf.join(broadcast(dirty),
+          leftKeys.zip(rightKeys).zipWithIndex.map { case ((lk, rk), i) =>
+            coalesce(viewDf(lk), viewDf(rk)) <=> dirty(s"__bk$i")
+          }.reduce(_ && _), "left_anti")
       val recomputed = joined(
         dirtyJoin(lNew, leftKeys, "left_semi"),
         dirtyJoin(rNew, rightKeys, "left_semi"),
@@ -417,10 +483,14 @@ object JoinView {
           leftKeys.head, outer && keyIntegral),
         viewRoot, epochOverride = Some(pack(lv, rv)))
     }
-    // outer views carry left-key file stats so the NEXT match-arrival
-    // probe prunes; inner views never scan themselves on the delta path
+    // outer views carry key file stats so the NEXT match-arrival probe
+    // prunes; inner views never scan themselves on the delta path.
+    // Full-outer views stamp BOTH head keys (the ΔL-direction probe
+    // prunes by right key; paired keys share a dataType, so integral-ness
+    // of the left head covers the right head too).
     if (outer && keyIntegral)
-      stampStats(spark, viewRoot, vBefore, vNew, leftKeys)
+      stampStats(spark, viewRoot, vBefore, vNew,
+        if (full) Seq(leftKeys.head, rightKeys.head) else Seq(leftKeys.head))
     vNew
   }
 

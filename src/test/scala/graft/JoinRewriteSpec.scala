@@ -207,6 +207,92 @@ class JoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("full-outer view serves the user's full join; both orientations; filters decline") {
+    withStores { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      // orders 1..40, lines for 21..50: unmatched rows on BOTH sides
+      SnapshotStore.append(
+        (1L to 40L).map(i => (i, s"c${i % 4}", i * 1.0)).toDF("o_id", "cust", "total"), l)
+      SnapshotStore.append(
+        (21L to 50L).map(i => (i, i, i * 2.0)).toDF("lo_id", "ln", "qty"), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "full_outer")
+      MaterializedJoins.enable(l, r, v, "o_id", "lo_id", "full_outer")
+      def lf = SnapshotStore.read(spark, l)
+      def rf = SnapshotStore.read(spark, r)
+      val (l1, r1) = (lf, rf)
+      val q = l1.join(r1, l1("o_id") === r1("lo_id"), "full_outer")
+      assert(scansView(q), "fresh full-outer join did not rewrite")
+      val got = q.select(col("o_id"), col("cust"), col("lo_id"), col("ln"))
+        .collect().map(_.toString).sorted.toSeq
+      MaterializedJoins.disable(l)
+      val (l2, r2) = (lf, rf)
+      val want = l2.join(r2, l2("o_id") === r2("lo_id"), "full_outer")
+        .select(col("o_id"), col("cust"), col("lo_id"), col("ln"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want && want.size == 50,
+        "served full join diverged from ground truth (null rows both sides)")
+      MaterializedJoins.enable(l, r, v, "o_id", "lo_id", "full_outer")
+      // a full join is symmetric: the flipped orientation serves too
+      val (l3, r3) = (lf, rf)
+      assert(scansView(r3.join(l3, r3("lo_id") === l3("o_id"), "full_outer")),
+        "flipped full join did not rewrite")
+      // NO side filter commutes with a full join: both decline
+      val (l4, r4) = (lf, rf)
+      assert(!scansView(l4.where(col("cust") === "c1")
+        .join(r4, l4("o_id") === r4("lo_id"), "full_outer")))
+      val (l5, r5) = (lf, rf)
+      assert(!scansView(l5.join(r5.where(col("qty") > 10.0),
+        l5("o_id") === r5("lo_id"), "full_outer")))
+      // inner / left user joins never serve from a full view (null rows)
+      val (l6, r6) = (lf, rf)
+      assert(!scansView(l6.join(r6, l6("o_id") === r6("lo_id"))))
+      val (l7, r7) = (lf, rf)
+      assert(!scansView(l7.join(r7, l7("o_id") === r7("lo_id"), "left_outer")))
+    }
+  }
+
+  test("right-outer user join normalizes onto the left-outer view; filter polarity swaps") {
+    withStores { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(
+        (1L to 40L).map(i => (i, s"c${i % 4}", i * 1.0)).toDF("o_id", "cust", "total"), l)
+      SnapshotStore.append(
+        (1L to 25L).map(i => (i, i, i * 2.0)).toDF("lo_id", "ln", "qty"), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer")
+      MaterializedJoins.enable(l, r, v, "o_id", "lo_id", "left_outer")
+      def lf = SnapshotStore.read(spark, l)
+      def rf = SnapshotStore.read(spark, r)
+      // R RIGHT JOIN L preserves L — exactly the maintained L ⟕ R
+      val (l1, r1) = (lf, rf)
+      val q = r1.join(l1, r1("lo_id") === l1("o_id"), "right_outer")
+      assert(scansView(q), "right-outer spelling did not normalize onto the view")
+      val got = q.select(col("o_id"), col("cust"), col("lo_id"), col("ln"))
+        .collect().map(_.toString).sorted.toSeq
+      MaterializedJoins.disable(l)
+      val (l2, r2) = (lf, rf)
+      val want = r2.join(l2, r2("lo_id") === l2("o_id"), "right_outer")
+        .select(col("o_id"), col("cust"), col("lo_id"), col("ln"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want && want.size == 40,
+        "served right join diverged from ground truth")
+      MaterializedJoins.enable(l, r, v, "o_id", "lo_id", "left_outer")
+      // filter on the PRESERVED side (L) commutes and serves
+      val (l3, r3) = (lf, rf)
+      assert(scansView(r3.join(l3.where(col("cust") === "c1"),
+        r3("lo_id") === l3("o_id"), "right_outer")))
+      // filter on the null-extended side (R) declines
+      val (l4, r4) = (lf, rf)
+      assert(!scansView(r4.where(col("qty") > 10.0)
+        .join(l4, r4("lo_id") === l4("o_id"), "right_outer")))
+      // a right join in the VIEW's own orientation (preserving R) is a
+      // different query — declines
+      val (l5, r5) = (lf, rf)
+      assert(!scansView(l5.join(r5, l5("o_id") === r5("lo_id"), "right_outer")))
+    }
+  }
+
   test("declines: wrong keys, outer join, non-equi, time travel") {
     withStores { (l, r, v) =>
       seed(l, r, v)

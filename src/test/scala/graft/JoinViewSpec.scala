@@ -452,6 +452,210 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("full-outer view: bootstrap, deltas, SYMMETRIC match arrival, churn — each equals the re-join") {
+    withRoots { (l, r, v) =>
+      val cols = Seq("o_id", "cust", "total", "lo_id", "ln", "qty")
+      def fullTruth(): Seq[String] = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("o_id") === rf("lo_id"), "full_outer")
+          .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      }
+      def viewNow(): Seq[String] = JoinView.read(spark, v)
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      def refresh(): Unit =
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "full_outer")
+
+      // bootstrap: orders 1..6, lines for 4..9 → 3 matched, 3 null-right
+      // (unmatched left 1..3), 3 null-left (unmatched right 7..9)
+      SnapshotStore.append(ordersDF(1L to 6L: _*), l)
+      SnapshotStore.append(linesDF((4L to 9L).map(i => (i, i, i * 2.0)): _*), r)
+      refresh()
+      assert(viewNow() == fullTruth() && lastOp(v) == "append")
+      assert(JoinView.read(spark, v).where(col("lo_id").isNull).count() == 3)
+      assert(JoinView.read(spark, v).where(col("o_id").isNull).count() == 3)
+
+      // LEFT delta converting standing null-LEFT rows (orders 7, 8 land
+      // for waiting lines — the ΔL-direction match arrival) plus a new
+      // unmatched order: the conversion publishes as a rewrite
+      SnapshotStore.append(ordersDF(7L, 8L, 11L), l)
+      refresh()
+      assert(viewNow() == fullTruth(), "ΔL match arrival left stale null-left rows")
+      assert(lastOp(v) == "compact", "ΔL conversion must publish as a rewrite")
+      assert(JoinView.read(spark, v)
+        .where(col("lo_id").isin(7L, 8L) && col("o_id").isNull).count() == 0)
+
+      // LEFT delta with only new unmatched keys: pure O(Δ) append
+      SnapshotStore.append(ordersDF(12L, 13L), l)
+      refresh()
+      assert(viewNow() == fullTruth() && lastOp(v) == "append")
+
+      // RIGHT delta converting standing null-RIGHT rows (lines for order
+      // 1) — the ΔR-direction match arrival
+      SnapshotStore.append(linesDF((1L, 100L, 1.0)), r)
+      refresh()
+      assert(viewNow() == fullTruth(), "ΔR match arrival left stale null-right rows")
+      assert(lastOp(v) == "compact")
+
+      // RIGHT delta touching only matched (4) and ABSENT (99) keys: no
+      // conversion → pure append; 99 lands null-LEFT (the full-only term)
+      SnapshotStore.append(linesDF((4L, 101L, 1.0), (99L, 990L, 9.0)), r)
+      refresh()
+      assert(viewNow() == fullTruth() && lastOp(v) == "append")
+      assert(JoinView.read(spark, v)
+        .where(col("ln") === 990L && col("o_id").isNull).count() == 1,
+        "unmatched ΔR row must null-extend into a full view")
+
+      // BOTH sides move in ONE refresh and the deltas match EACH OTHER:
+      // the pair must appear exactly once (lPart carries ΔL×ΔR; the
+      // unmatched-right determination runs against L_new, not L_old)
+      SnapshotStore.append(ordersDF(50L), l)
+      SnapshotStore.append(linesDF((50L, 500L, 5.0)), r)
+      refresh()
+      assert(viewNow() == fullTruth(), "same-refresh ΔL×ΔR pair duplicated or null-extended")
+      assert(JoinView.read(spark, v).where(col("ln") === 500L).count() == 1)
+
+      // churn, all three full-outer shapes at once: right delete of a
+      // matched key re-null-extends LEFT (order 4); left delete of a
+      // matched key re-null-extends RIGHT (lines of 5); right delete of
+      // an unmatched-right key retracts its null-left row (99 — the
+      // coalesce survivor key)
+      SnapshotStore.deleteWhere(spark, r, col("lo_id") === 4L)
+      SnapshotStore.deleteWhere(spark, l, col("o_id") === 5L)
+      refresh()
+      assert(viewNow() == fullTruth(), "churn recompute broke full-outer semantics")
+      SnapshotStore.deleteWhere(spark, r, col("lo_id") === 99L)
+      refresh()
+      assert(viewNow() == fullTruth())
+      assert(JoinView.read(spark, v).where(col("ln") === 990L).isEmpty,
+        "churned unmatched-right row stranded (survivors matched on left key only)")
+      assert(JoinView.read(spark, v)
+        .where(col("o_id") === 4L && col("lo_id").isNull).count() == 1)
+      assert(JoinView.read(spark, v)
+        .where(col("lo_id") === 5L && col("o_id").isNull).count() == 1,
+        "left delete must re-null-extend the surviving right rows")
+
+      // join-type discipline: a pending refresh under another type refuses
+      SnapshotStore.append(ordersDF(60L), l)
+      val e = intercept[IllegalArgumentException](
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "left_outer"))
+      assert(e.getMessage.contains("full_outer"))
+    }
+  }
+
+  test("full-outer view churn maintains NULL-key rows on BOTH sides") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      def refresh(): Unit =
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "full_outer")
+      def truthNow(): Seq[String] = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("o_id") === rf("lo_id"), "full_outer")
+          .select("o_id", "cust", "total", "lo_id", "ln", "qty")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      def viewNow(): Seq[String] = JoinView.read(spark, v)
+        .select("o_id", "cust", "total", "lo_id", "ln", "qty")
+        .collect().map(_.toString).sorted.toSeq
+      // null keys on BOTH sides null-extend independently (null never
+      // equi-matches, not even null-to-null)
+      SnapshotStore.append(
+        Seq((Option.empty[Long], "cnull", 0.0), (Some(1L), "c1", 10.0))
+          .toDF("o_id", "cust", "total"), l)
+      SnapshotStore.append(
+        Seq((Option.empty[Long], 7L, 7.0), (Some(1L), 1L, 5.0))
+          .toDF("lo_id", "ln", "qty"), r)
+      refresh()
+      assert(viewNow() == truthNow(), "null-key bootstrap diverged")
+      assert(JoinView.read(spark, v)
+        .where(col("o_id").isNull && col("lo_id").isNull).count() == 2,
+        "expected one null-extended row per null-key side")
+      // churn deleting the null-key RIGHT row: the survivors anti-join
+      // must target it through coalesce(lk, rk) <=> null
+      SnapshotStore.deleteWhere(spark, r, col("lo_id").isNull)
+      refresh()
+      assert(viewNow() == truthNow(), "null-key right delete diverged")
+      assert(JoinView.read(spark, v).where(col("ln") === 7L).isEmpty,
+        "deleted null-key right row stranded in the full view")
+      // churn-range null-key RIGHT insert must land (semi-join <=>)
+      SnapshotStore.deleteWhere(spark, l, col("o_id") === 1L)
+      SnapshotStore.append(
+        Seq((Option.empty[Long], 8L, 8.0)).toDF("lo_id", "ln", "qty"), r)
+      refresh()
+      assert(viewNow() == truthNow(), "churn-range null-key insert diverged")
+      assert(JoinView.read(spark, v).where(col("ln") === 8L).count() == 1)
+    }
+  }
+
+  test("FULL-outer lifecycle torture: view == full re-join after every commit of a mixed sequence") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      def fullTruth(): Seq[String] = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("o_id") === rf("lo_id"), "full_outer")
+          .select("o_id", "cust", "total", "lo_id", "ln", "qty")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      def viewNow(): Seq[String] = JoinView.read(spark, v)
+        .select("o_id", "cust", "total", "lo_id", "ln", "qty")
+        .collect().map(_.toString).sorted.toSeq
+      def refresh(): Unit =
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "full_outer")
+      val rnd = new scala.util.Random(4242)
+      // orders 1..30, lines for 11..40: a third unmatched on each side
+      SnapshotStore.append(ordersDF(1L to 30L: _*), l)
+      SnapshotStore.append(linesDF((11L to 40L).map(o => (o, 1L, o * 1.0)): _*), r)
+      refresh()
+      assert(viewNow() == fullTruth(), "diverged at bootstrap")
+      var nextO = 41L
+      var nextLn = 2L
+      (1 to 16).foreach { step =>
+        rnd.nextInt(7) match {
+          case 0 => // left append: may CONVERT a waiting right row (31..40)
+                    // and adds a brand-new unmatched order
+            SnapshotStore.append(ordersDF(31L + rnd.nextInt(10), nextO), l)
+            nextO += 1
+          case 1 => // right append hitting standing UNMATCHED orders (the
+                    // ΔR conversion) plus a duplicate match
+            SnapshotStore.append(
+              linesDF((1L + rnd.nextInt(10), nextLn, step * 1.0),
+                (11L + rnd.nextInt(10), nextLn, step * 2.0)), r)
+            nextLn += 1
+          case 2 => // left delete: may re-null-extend surviving right rows
+            SnapshotStore.deleteWhere(spark, l,
+              col("o_id") % 9 === (step % 9).toLong)
+          case 3 => // right delete: survivors re-null-extend left rows,
+                    // unmatched-right rows retract outright
+            SnapshotStore.deleteWhere(spark, r,
+              col("qty") > (35.0 - step))
+          case 4 => // right keyed upsert
+            SnapshotStore.upsert(spark,
+              linesDF((1L + rnd.nextInt(40), 1L, 1000.0 + step)),
+              r, Seq("lo_id", "ln"))
+          case 5 => // null-key LEFT row in, mid-sequence
+            SnapshotStore.append(
+              Seq((Option.empty[Long], s"cnull$step", step * 1.0))
+                .toDF("o_id", "cust", "total"), l)
+          case 6 => // null-key RIGHT row in, mid-sequence
+            SnapshotStore.append(
+              Seq((Option.empty[Long], 900L + step, step * 1.0))
+                .toDF("lo_id", "ln", "qty"), r)
+        }
+        refresh()
+        assert(viewNow() == fullTruth(), s"diverged after step $step")
+      }
+      // end with the null-key rows churning OUT of both sides
+      SnapshotStore.deleteWhere(spark, l, col("o_id").isNull)
+      SnapshotStore.deleteWhere(spark, r, col("lo_id").isNull)
+      refresh()
+      assert(viewNow() == fullTruth(), "diverged after null-key purge")
+    }
+  }
+
   test("delta path plan: standing side bloom-prefiltered, no cartesian") {
     withRoots { (l, r, v) =>
       SnapshotStore.append(ordersDF(1L to 50L: _*), l)
