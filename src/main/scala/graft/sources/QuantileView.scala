@@ -24,11 +24,16 @@ import org.apache.spark.sql.functions._
   *     interpolation-edge-safe form).
   *
   * The price of determinism is a FROZEN value envelope: bin edges are
-  * fixed per metric at bootstrap (observed range ± 25% margin, stored in
-  * a versioned sidecar). A delta that escapes the envelope (or a brand
-  * new metric) cannot bin consistently — the refresh detects it and
-  * takes ONE full rebuild that REFREEZES the edges (the same honest
-  * price as a source compaction; the margin makes it rare under drift).
+  * fixed per metric at bootstrap (observed range ± a margin fraction,
+  * default 25%, stored in a versioned sidecar). A delta that escapes the
+  * envelope (or a brand new metric) cannot bin consistently — the
+  * refresh detects it and takes ONE full rebuild that REFREEZES the
+  * edges. An escape-triggered refreeze DOUBLES the margin (capped at
+  * [[MaxMargin]]); a bootstrap/compaction rebuild resets it to the
+  * default — so a monotone-drifting metric (counter, cumulative gauge)
+  * pays O(log drift) rebuilds instead of one per refresh, trading bin
+  * width (the accuracy bound is ≤ 2·w of the CURRENT freeze) for
+  * amortized maintenance.
   *
   * Refresh skeleton follows [[RollupView]]: O(delta) appends via the
   * manifest diff, signed partials from the row change feed for churn,
@@ -42,6 +47,14 @@ import org.apache.spark.sql.functions._
 object QuantileView {
 
   val DefaultBins = 64
+
+  /** Envelope margin as a fraction of the observed range at freeze time. */
+  val DefaultMargin = 0.25
+
+  /** Margin-growth ceiling: 8× the range on each side (envelope 17× the
+    * observed span) bounds how coarse the bins can get — past this, a
+    * drifting metric pays one rebuild per envelope-escape again. */
+  val MaxMargin = 8.0
 
   private def edgesDir(viewRoot: String, srcV: Int): String =
     s"$viewRoot/_edges/v$srcV"
@@ -72,23 +85,34 @@ object QuantileView {
     least(bins - lit(1),
       greatest(lit(0), floor((col("value") - lo) / w).cast("int")))
 
-  /** Freeze per-metric edges from `rows` (observed range ± 25% margin;
-    * degenerate single-value metrics get unit width). Model-sized: one
-    * row per metric. `__nnull` rides the same aggregate so the null-row
-    * contract gate costs no extra scan (checked driver-side on the
-    * checkpointed model-sized result, dropped before the sidecar
-    * persists). */
-  private def freezeEdges(rows: DataFrame, bins: Int): DataFrame =
+  /** Freeze per-metric edges from `rows` (observed range ± `margin` of
+    * the range on each side; degenerate single-value metrics get unit
+    * width). Model-sized: one row per metric. `__nnull` rides the same
+    * aggregate so the null-row contract gate costs no extra scan (checked
+    * driver-side on the checkpointed model-sized result, dropped before
+    * the sidecar persists). The margin persists in the sidecar so the
+    * NEXT escape-triggered refreeze can double it. */
+  private def freezeEdges(rows: DataFrame, bins: Int,
+                          margin: Double): DataFrame =
     rows.groupBy("metric")
       .agg(min("value").as("mn"), max("value").as("mx"),
         count(when(col("value").isNull, 1)).as("__nnull"))
       .select(col("metric"),
-        (col("mn") - greatest(col("mx") - col("mn"), lit(1.0)) * lit(0.25))
+        (col("mn") - greatest(col("mx") - col("mn"), lit(1.0)) * lit(margin))
           .as("lo"),
-        (greatest(col("mx") - col("mn"), lit(1.0)) * lit(1.5) / lit(bins))
-          .as("w"),
+        (greatest(col("mx") - col("mn"), lit(1.0)) * lit(1.0 + 2 * margin)
+          / lit(bins)).as("w"),
         lit(bins).as("bins"),
+        lit(margin).as("margin"),
         col("__nnull"))
+
+  /** The margin the view's current edges were frozen with (pre-margin
+    * legacy sidecars report the default). */
+  private def frozenMargin(spark: SparkSession, viewRoot: String): Double = {
+    val ed = edgesFor(spark, viewRoot)
+    if (!ed.columns.contains("margin")) DefaultMargin
+    else ed.select(max("margin")).head().getDouble(0)
+  }
 
   private def binned(rows: DataFrame, edges: DataFrame, grainSec: Long,
                      sign: Column): DataFrame =
@@ -127,9 +151,9 @@ object QuantileView {
     val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
     if (srcCur <= from) return SnapshotStore.currentVersion(viewRoot)
 
-    def rebuild(): Int = {
+    def rebuild(margin: Double = DefaultMargin): Int = {
       val full = SnapshotStore.read(spark, srcRoot, srcCur)
-      val edRaw = freezeEdges(full, bins).localCheckpoint(true)
+      val edRaw = freezeEdges(full, bins, margin).localCheckpoint(true)
       // the contract gate rides freezeEdges' own aggregate (model-sized,
       // driver-cheap here): NULL metric/value rows cannot bin — a null
       // value would even silently land in bin 0 (Spark's greatest/least
@@ -156,11 +180,16 @@ object QuantileView {
     if (from == 0 || baselineGone || !rowChurnOnly(srcRoot, from, srcCur))
       return rebuild()
     val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
+    // ESCAPE-triggered refreezes double the margin (consecutive escapes
+    // compound; any non-escape rebuild resets to the default): monotone
+    // drift costs O(log drift) rebuilds, not one per refresh
+    def grownMargin: Double =
+      math.min(frozenMargin(spark, viewRoot) * 2, MaxMargin)
     if (appendOnly(srcRoot, from, srcCur)) {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
       // envelope escape, new metric, OR a null row (all one probe):
       // refreeze via rebuild — whose gate refuses the nulls loudly
-      if (escapes(delta, ed) > 0) return rebuild()
+      if (escapes(delta, ed) > 0) return rebuild(grownMargin)
       SnapshotStore.appendEpoch(
         binned(delta, ed, grainSec, lit(1L)), viewRoot, srcCur)
     } else {
@@ -168,7 +197,7 @@ object QuantileView {
       // retract by arithmetic, no dirty-group recompute, no view rewrite
       val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
       val inserts = ch.where(col("_change_type") === "insert")
-      if (escapes(inserts, ed) > 0) return rebuild()
+      if (escapes(inserts, ed) > 0) return rebuild(grownMargin)
       // delete-side null rows were never binned (inserts refuse above),
       // so retracting them is a NO-OP by definition — filter, don't
       // refuse: a change feed cannot be pre-filtered by the caller, and
@@ -219,8 +248,16 @@ object QuantileView {
       explode(array(phis.map(p => lit(p)): _*)).as("phi"))
       .withColumn("t", col("phi") * col("n").cast("double"))
     withPhi
-      .where(col("cum").cast("double") >= col("t") &&
-        (col("cum") - col("cnt")).cast("double") < col("t"))
+      // the bin holding rank t: cumBefore < t <= cum. t = 0 (phi = 0)
+      // satisfies no bin under the strict lower bound (the first live
+      // bin has cumBefore == 0, and 0 < 0 is false) — serve it the
+      // minimum-edge estimate explicitly: cum == cnt IS "first live
+      // bin", and the shared est formula collapses to lo + w·bin there
+      // (t − cumBefore = 0). The strict bound stays for t > 0, so no
+      // bin double-serves a boundary rank.
+      .where((col("cum").cast("double") >= col("t") &&
+          (col("cum") - col("cnt")).cast("double") < col("t")) ||
+        (col("t") === 0.0 && col("cum") === col("cnt")))
       .join(broadcast(ed), "metric")
       .select(col("metric"), col("bucket"), col("phi"),
         (col("lo") + col("w") * col("bin") +

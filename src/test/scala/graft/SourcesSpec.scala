@@ -705,6 +705,64 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("quantile view: phi 0 and 1 both serve; monotone drift amortizes to O(log) rebuilds") {
+    import graft.sources.{QuantileView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("qview_drift").toString
+    try {
+      // ---- phi extremes: 0.0 must serve the minimum-edge estimate (the
+      // strict lower bound used to make it row-LESS), 1.0 the maximum
+      val src = s"$root/src"; val view = s"$root/view"
+      SnapshotStore.append((10 to 90).map(i => ("m", i.toLong, i.toDouble))
+        .toDF("metric", "e", "value"), src)
+      QuantileView.refresh(spark, src, view, grainSec = 1000000L)
+      val ext = QuantileView.quantiles(spark, view, Seq(0.0, 0.5, 1.0))
+        .collect().map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+      assert(ext.size == 3, s"phi in {0, 0.5, 1} must serve exactly one row each: $ext")
+      val w = QuantileView.edgesFor(spark, view)
+        .select("w").head().getDouble(0)
+      assert(math.abs(ext(0.0) - 10.0) <= 2 * w + 1e-9,
+        s"phi=0 estimate ${ext(0.0)} outside 2w of the minimum (w=$w)")
+      assert(math.abs(ext(1.0) - 90.0) <= 2 * w + 1e-9,
+        s"phi=1 estimate ${ext(1.0)} outside 2w of the maximum (w=$w)")
+      assert(ext(0.0) <= ext(0.5) && ext(0.5) <= ext(1.0))
+      // and phi=0 rides a delta refresh unchanged (selection, not freeze)
+      SnapshotStore.append(Seq(("m", 95L, 50.0)).toDF("metric", "e", "value"), src)
+      QuantileView.refresh(spark, src, view, grainSec = 1000000L)
+      assert(QuantileView.quantiles(spark, view, Seq(0.0)).count() == 1)
+
+      // ---- monotone drift: values step +100 per refresh. Every escape
+      // refreezes with a DOUBLED margin, so the rebuild count must grow
+      // like log(drift), not linearly with the refresh count
+      val src2 = s"$root/src2"; val view2 = s"$root/view2"
+      SnapshotStore.append((0 to 99).map(i => ("d", i.toLong, i.toDouble))
+        .toDF("metric", "e", "value"), src2)
+      QuantileView.refresh(spark, src2, view2, grainSec = 1000000000L)
+      (1 to 30).foreach { step =>
+        SnapshotStore.append(
+          Seq(("d", 100L + step, 100.0 + step * 100.0))
+            .toDF("metric", "e", "value"), src2)
+        QuantileView.refresh(spark, src2, view2, grainSec = 1000000000L)
+      }
+      val rebuilds = (1 to SnapshotStore.currentVersion(view2)).count(v =>
+        SnapshotStore.manifestOp(view2, v).contains("compact"))
+      assert(rebuilds <= 5,
+        s"monotone drift to 31x the initial range took $rebuilds rebuilds " +
+          "— the escape-refreeze margin is not compounding")
+      assert(rebuilds >= 1, "drift never escaped — the torture is vacuous")
+      // the answers stay within the CURRENT freeze's 2w bound
+      val w2 = QuantileView.edgesFor(spark, view2)
+        .select("w").head().getDouble(0)
+      val exact = SnapshotStore.read(spark, src2)
+        .agg(expr("percentile(value, 0.5)")).head().getDouble(0)
+      val est = QuantileView.quantiles(spark, view2, Seq(0.5))
+        .head().getDouble(3)
+      assert(math.abs(est - exact) <= 2 * w2 + 1e-9,
+        s"post-drift estimate $est outside 2w of exact $exact (w=$w2)")
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("quantile view torture: net counts == direct binning after every commit") {
     import graft.sources.{QuantileView, SnapshotStore}
     val s = spark
