@@ -3468,6 +3468,32 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // KEY-GRANULAR branch rebase — the row-level escalation of the dir
+    // conflict: fork, BOTH sides CoW-delete DISJOINT row sets out of the
+    // SAME fork-time directories (dir-granular reconciliation must
+    // refuse), the branch also appends a re-keyed slice, then
+    // rebaseBranch(keys = l_orderkey) replays the branch's net row
+    // changes onto the parent's current content and the merge
+    // fast-forwards. Main must equal both curation passes composed.
+    "snapshot_branch_rebase_rows" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_brw").toString
+      try {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        sources.SnapshotStore.append(li, root)
+        val br = sources.SnapshotStore.createBranch(root, "curation")
+        sources.SnapshotStore.deleteWhere(s, br, col("l_orderkey") % 7 === 1)
+        sources.SnapshotStore.append(
+          li.where(col("l_orderkey") % 7 === 3)
+            .withColumn("l_orderkey", col("l_orderkey") + lit(10000000L)), br)
+        sources.SnapshotStore.deleteWhere(s, root, col("l_orderkey") % 7 === 2)
+        sources.SnapshotStore.rebaseBranch(s, root, "curation",
+          keys = Seq("l_orderkey"))
+        sources.SnapshotStore.mergeBranch(s, root, "curation")
+        sources.SnapshotStore.read(s, root).localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // COMPOSITE-key join view: two column families of lineitem keyed
     // (orderkey, linenumber), maintained through bootstrap + left/right
     // deltas + a retraction that deletes SOME lines of an order while
@@ -6617,6 +6643,18 @@ object SparkEntry {
         |       CASE WHEN l_orderkey % 3 != 2 AND l_quantity > 40.0
         |            THEN 40.0 ELSE l_quantity END AS l_quantity
         |FROM lineitem""".stripMargin,
+
+    // the two disjoint curation passes composed row-level: branch
+    // deleted %7=1, parent deleted %7=2, branch appended a re-keyed
+    // %7=3 slice — all over the same fork-time directories
+    "snapshot_branch_rebase_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey % 7 != 1 AND l_orderkey % 7 != 2
+        |UNION ALL
+        |SELECT l_orderkey + 10000000, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 3""".stripMargin,
 
     "snapshot_branch_diff" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -461,11 +461,22 @@ object SnapshotStore {
       if (fromExclusive == 0) Seq.empty[String]
       else manifestDirs(root, fromExclusive)
     val after = manifestDirs(root, v)
+    changesBetween(spark, before, after)
+      .getOrElse(read(spark, root, v).limit(0)
+        .withColumn("_change_type", lit("insert")))
+  }
+
+  /** [[changes]]' content engine over two explicit DIRECTORY sets —
+    * factored out so [[rebaseBranch]]'s row-level reconcile can diff a
+    * branch (or the parent) against an ANCHOR BASE that is a recorded
+    * dir set rather than a surviving version of the same store. None
+    * when the sets agree (the caller owns the empty-feed shape). */
+  private def changesBetween(spark: SparkSession, before: Seq[String],
+                             after: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
     val removed = before.filterNot(after.toSet)
     val added = after.filterNot(before.toSet)
-    if (removed.isEmpty && added.isEmpty)
-      return read(spark, root, v).limit(0)
-        .withColumn("_change_type", lit("insert"))
+    if (removed.isEmpty && added.isEmpty) return None
     // One unified schema for BOTH sides (a mergeSchema plan over every
     // involved directory): EXCEPT ALL needs identical shapes, and a
     // schema-enforced parquet read serves absent columns as null.
@@ -478,8 +489,8 @@ object SnapshotStore {
       else spark.read.schema(unified).parquet(dirs: _*)
     val rem = side(removed)
     val add = side(added)
-    add.exceptAll(rem).withColumn("_change_type", lit("insert"))
-      .unionByName(rem.exceptAll(add).withColumn("_change_type", lit("delete")))
+    Some(add.exceptAll(rem).withColumn("_change_type", lit("insert"))
+      .unionByName(rem.exceptAll(add).withColumn("_change_type", lit("delete"))))
   }
 
   /** Epoch-idempotent append — the `foreachBatch` sink contract: Spark
@@ -1008,7 +1019,17 @@ object SnapshotStore {
     * Refuses on GENUINE OVERLAP, conservatively at the same granularity:
     * a base directory that BOTH sides dropped/rewrote means both sides
     * edited the same data (two curation passes touching one region) —
-    * inspect [[diff]] and reconcile by hand. Disjoint edits compose:
+    * inspect [[diff]] and reconcile by hand, OR pass `keys` to attempt
+    * KEY-GRANULAR reconciliation: both sides' row-level change sets
+    * since the anchor are derived (content diffs against the anchor
+    * base), and when they touch DISJOINT key sets the branch's net
+    * changes replay onto the parent's current content — two curation
+    * passes CoW-rewriting the same directory on different rows compose.
+    * A genuine row conflict (both sides changed some key) still refuses.
+    * Unlike the dir-granular path this MATERIALIZES the branch content
+    * (one table-sized write, the compaction price class) and requires
+    * the two sides' column sets to match (reconcile a schema evolution
+    * before reconciling rows). Disjoint edits compose:
     * parent-only edits win for dirs the branch kept, branch-only edits
     * win for dirs the parent kept, appends from both sides union (dir
     * names are owner-unique, so add/add never collides physically;
@@ -1021,7 +1042,8 @@ object SnapshotStore {
     * fast-forwards. Validation stays where it always was: the merge
     * gate checks the parent's CURRENT constraints before anything
     * publishes into the parent. Returns the branch's new version. */
-  def rebaseBranch(spark: SparkSession, root: String, name: String): Int = {
+  def rebaseBranch(spark: SparkSession, root: String, name: String,
+                   keys: Seq[String] = Nil): Int = {
     val br = branchRoot(root, name)
     val bv = currentVersion(br)
     require(bv > 0, s"no branch '$name' at $root")
@@ -1091,10 +1113,13 @@ object SnapshotStore {
     // exactly the branch's current state — nothing to commit
     if (parentDirs.toSet == base) return bv
     val overlap = droppedSince.intersect(parentDropped)
+    if (overlap.nonEmpty && keys.nonEmpty)
+      return rebaseRows(spark, root, name, keys, base, parent, parentDirs)
     require(overlap.isEmpty,
       s"rebase conflict: both parent and branch '$name' rewrote/dropped " +
         s"${overlap.take(3).mkString(", ")} since the anchor — inspect " +
-        "diff() and reconcile explicitly")
+        "diff() and reconcile explicitly, or pass keys= to attempt " +
+        "key-granular reconciliation")
     // .distinct: a dir can legitimately sit on BOTH sides (branch-own
     // AND merged into the parent by reference) — it must appear in the
     // rebased manifest exactly once or its rows read twice
@@ -1107,6 +1132,73 @@ object SnapshotStore {
     Files.createDirectories(manifestDir(br))
     writeDirsSidecar(rebaseBasePath(br, bv + 1), parentDirs)
     commitReplace(br, bv, rebased, lastEpoch(br), cols, "rebase")
+  }
+
+  /** KEY-GRANULAR rebase reconciliation — [[rebaseBranch]]'s escalation
+    * when both sides rewrote the same base directory but (possibly) on
+    * DISJOINT row sets. Both sides' net row changes since the anchor are
+    * content-diffed against the anchor BASE dirs; if the two change sets
+    * touch disjoint `keys` values, the branch's changes replay onto the
+    * parent's current content:
+    *
+    *   rebased = (parent current ∖ branch deletes) ∪ branch inserts
+    *
+    * — exact under multiset semantics because the conflict gate proved
+    * the parent never touched the branch-deleted rows' keys (so those
+    * exact rows still exist in the parent) and never produced rows under
+    * the branch-inserted keys. Publishes as a MATERIALIZING "rebase"
+    * commit (fresh data dirs, base sidecar = the parent's current dirs),
+    * so the anchor algebra downstream — merge fast-forward through the
+    * rebase base, droppedSince covering every base dir — works unchanged.
+    * Cost: one table write (the compaction price class), the honest
+    * price of row-level surgery. */
+  private def rebaseRows(spark: SparkSession, root: String, name: String,
+                         keys: Seq[String], base: Set[String], parent: Int,
+                         parentDirs: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val br = branchRoot(root, name)
+    val bv = currentVersion(br)
+    // the anchor-base DIRECTORIES must still exist: dirs both sides
+    // dropped may have been vacuumed out from under the recorded base
+    val gone = base.filterNot(d => Files.isDirectory(Paths.get(d)))
+    require(gone.isEmpty,
+      s"key-granular rebase of '$name' needs the anchor base content, " +
+        s"but ${gone.take(3).mkString(", ")} was vacuumed — reconcile " +
+        "via diff()")
+    val bCur = read(spark, br, bv)
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val pCur = read(spark, root, parent)
+    require(bCur.columns.map(lc).toSet == pCur.columns.map(lc).toSet,
+      "key-granular rebase requires matching column sets — reconcile the " +
+        s"schema evolution first (branch ${bCur.columns.toSeq} vs parent " +
+        s"${pCur.columns.toSeq})")
+    keys.foreach(k => require(bCur.columns.exists(_.equalsIgnoreCase(k)),
+      s"rebase key '$k' is not a table column"))
+    val bCh = changesBetween(spark, base.toSeq, manifestDirs(br, bv))
+      .getOrElse(return bv) // branch content == anchor base: nothing to replay
+    val pCh = changesBetween(spark, base.toSeq, parentDirs)
+      .getOrElse(sys.error("unreachable: dir overlap implies parent moved"))
+    // set-op INTERSECT is null-safe on keys, so null-keyed churn on both
+    // sides conflicts (they would compose blind otherwise)
+    val clash = bCh.select(keys.map(col): _*)
+      .intersect(pCh.select(keys.map(col): _*)).limit(3).collect()
+    require(clash.isEmpty,
+      s"rebase row-conflict: both parent and branch '$name' changed rows " +
+        s"under key(s) ${clash.mkString(", ")} since the anchor — inspect " +
+        "diff() and reconcile explicitly")
+    val bDel = bCh.where(col("_change_type") === "delete")
+      .select(pCur.columns.map(col): _*)
+    val bIns = bCh.where(col("_change_type") === "insert")
+      .select(pCur.columns.map(col): _*)
+    val rebased = pCur.exceptAll(bDel).unionByName(bIns)
+    // sidecar BEFORE the manifest, exactly like the dir-granular path
+    Files.createDirectories(manifestDir(br))
+    writeDirsSidecar(rebaseBasePath(br, bv + 1), parentDirs)
+    val dir = newDataDir(br, "rebase", bv + 1)
+    rebased.write.mode("overwrite").parquet(dir)
+    enforceConstraints(spark, br, dir)
+    commitReplace(br, bv, Seq(dir), lastEpoch(br),
+      pCur.columns.toSeq, "rebase")
   }
 
   /** Drop the branch: its manifests and its OWN data go; parent

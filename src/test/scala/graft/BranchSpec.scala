@@ -463,6 +463,53 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("key-granular rebase composes disjoint row edits in ONE dir; genuine row conflict refuses") {
+    withRoot { root =>
+      // both sides CoW the SAME directory on DISJOINT rows: dir-granular
+      // refuses, key-granular composes
+      SnapshotStore.append(df(1L to 20L: _*), root) // one dir
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      SnapshotStore.deleteWhere(spark, br, col("id") <= 5L)
+      SnapshotStore.append(df(101L, 102L), br)
+      SnapshotStore.deleteWhere(spark, root, col("id") >= 16L)
+      val e = intercept[Exception](
+        SnapshotStore.rebaseBranch(spark, root, "work"))
+      assert(e.getMessage.contains("conflict"))
+      SnapshotStore.rebaseBranch(spark, root, "work", keys = Seq("id"))
+      assert(idBag(br) == ((6L to 15L) ++ Seq(101L, 102L)),
+        "key-granular rebase lost or duplicated rows")
+      // the row-rebase anchors like any rebase: merge fast-forwards
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idBag(root) == ((6L to 15L) ++ Seq(101L, 102L)))
+      // and the NEXT (dir-granular) rebase composes off the new anchor
+      SnapshotStore.append(df(200L), root)
+      SnapshotStore.deleteWhere(spark, br, col("id") === 6L)
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      assert(idBag(br) == ((7L to 15L) ++ Seq(101L, 102L, 200L)))
+    }
+    withRoot { root =>
+      // GENUINE row conflict: the branch deletes key 7, the parent
+      // upserts it to a NEW value — both changed the same key, keys=
+      // must still refuse (an upsert to the identical value nets to no
+      // change and legitimately composes — that is not this fixture)
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      SnapshotStore.deleteWhere(spark, br, col("id") === 7L)
+      SnapshotStore.upsert(spark, Seq((7L, 99L)).toDF("id", "grp"),
+        root, Seq("id"))
+      val e = intercept[Exception](
+        SnapshotStore.rebaseBranch(spark, root, "work", keys = Seq("id")))
+      assert(e.getMessage.contains("row-conflict"))
+      // the refusal leaves both sides untouched
+      assert(idsOf(br) == ((1L to 10L).toSet - 7L))
+      assert(idsOf(root) == (1L to 10L).toSet)
+    }
+  }
+
   test("rebase torture: random disjoint parent/branch histories compose through rebase + merge") {
     withRoot { root =>
       // seeded → deterministic interleaving. Edit regions kept disjoint
