@@ -495,6 +495,27 @@ object PlanAudit {
             ranked.map(_.getAs[Int]("rank")).toSeq == (1 to 5)
         } finally graft.sources.SnapshotStore.deleteTree(root)
       }),
+      ("AND-NOT retrieval reads only the queried terms' posting files", {
+        import graft.sources.{SearchIndex, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_sxnot").toString
+        try {
+          val docs = spark.range(0, 512).selectExpr("id AS doc_id",
+            "concat(repeat(char(97 + cast(id % 8 AS INT)), 3), ' common', id, " +
+              "CASE WHEN id % 4 = 0 THEN ' banned' ELSE ' filler' END) AS text")
+          SearchIndex.index(spark, docs, s"$root/idx", buckets = 8)
+          val (selA, totA) =
+            SnapshotStore.planFilesEq(spark, s"$root/idx", -1, "term", "aaa")
+          val (selX, totX) =
+            SnapshotStore.planFilesEq(spark, s"$root/idx", -1, "term", "banned")
+          val got = SearchIndex.topkExcluding(spark, s"$root/idx",
+            Seq("aaa", "hhh"), Seq("banned"), k = 5).collect()
+          // both the scored and the exclusion legs pruned; no excluded
+          // doc survives; ranks dense from 1
+          selA.size < totA && selX.size < totX && got.length == 5 &&
+            got.forall(_.getAs[Long]("doc_id") % 4 != 0) &&
+            got.map(_.getAs[Int]("rank")).toSeq == (1 to 5)
+        } finally graft.sources.SnapshotStore.deleteTree(root)
+      }),
       ("change feed diff plans EXCEPT without cartesian", {
         import org.apache.spark.sql.functions.col
         import graft.sources.SnapshotStore

@@ -218,7 +218,16 @@ object SparkEntry {
     * RANK in the output — the ranked-OR-retrieval check: row order itself
     * is pinned (score DESC, doc_id ASC), not just the (doc, score) set.
     * Same log-free expression tree, one tf/df slot per term. */
-  private def bm25RankOracle(terms: Seq[String], k: Int): String = {
+  private def bm25RankOracle(terms: Seq[String], k: Int,
+                             exclude: Seq[String] = Nil): String = {
+    // AND-NOT: docs containing ANY excluded term drop BEFORE the LIMIT
+    // (an excluded doc must not consume a rank slot) — mirrors
+    // SearchIndex.topkExcluding's anti-join placement
+    val exPred =
+      if (exclude.isEmpty) ""
+      else "\n      |      AND doc_id NOT IN (SELECT doc_id FROM t WHERE " +
+        exclude.map(t => s"len(list_filter(w, x -> x = '$t')) > 0")
+          .mkString(" OR ") + ")"
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(",\n      |        ")
@@ -244,7 +253,7 @@ object SparkEntry {
       |SELECT doc_id, score,
       |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
       |FROM (SELECT doc_id, score FROM sc
-      |      WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $k) q""".stripMargin
+      |      WHERE score > 0$exPred ORDER BY score DESC, doc_id LIMIT $k) q""".stripMargin
   }
 
   /** Direct 1h aggregation over raw events — the check both tier producers
@@ -3156,6 +3165,24 @@ object SparkEntry {
         sources.SearchIndex.index(s, Tables.documents(s, dir), idx)
         sources.SearchIndex.topkAny(
           s, idx, Seq("data", "vector", "nosuchterm"), k = 10)
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Ranked AND-NOT retrieval — "matching X, excluding docs containing
+    // any of Y" as ONE served query (the routine curation filter): the
+    // exclusion set is the union of Y's bloom-pruned postings,
+    // anti-joined BEFORE the top-k cut so excluded docs never consume a
+    // rank slot. The oracle replays the full-scan BM25 with the same
+    // pre-LIMIT NOT IN, so a leaked excluded doc, a wrongly-consumed
+    // slot, or a rank drift all fail the hash.
+    "search_index_andnot" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sxnot").toString
+      try {
+        val idx = s"$root/idx"
+        sources.SearchIndex.index(s, Tables.documents(s, dir), idx)
+        sources.SearchIndex.topkExcluding(
+          s, idx, Seq("data", "vector"), Seq("spark"), k = 10)
           .localCheckpoint(true)
       } finally sources.SnapshotStore.deleteTree(root)
     }),
@@ -6483,6 +6510,9 @@ object SparkEntry {
 
     "search_index_topk" ->
       bm25RankOracle(Seq("data", "vector", "nosuchterm"), 10),
+
+    "search_index_andnot" ->
+      bm25RankOracle(Seq("data", "vector"), 10, exclude = Seq("spark")),
 
     "search_index_update" -> bm25Oracle("",
       "CASE WHEN doc_id % 9 = 4 THEN text || ' spark' ELSE text END"),

@@ -240,7 +240,17 @@ object SearchIndex {
     * is one aggregate keyed doc_id over only the matched docs; top-k is
     * TakeOrderedAndProject. The corpus is never scanned. */
   def bm25(spark: SparkSession, root: String, terms: Seq[String],
-           k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    RelationalOps.topK(scoredDocs(spark, root, terms, k1, b),
+      k, col("score").desc, col("doc_id").asc)
+
+  /** [[bm25]]'s scoring WITHOUT the top-k cut — every matched doc with
+    * its score. Factored out so [[topkExcluding]] can anti-join the
+    * exclusion set BEFORE ranking (an excluded doc must not consume a
+    * top-k slot). Same expression tree, bit-equal scores. */
+  private def scoredDocs(spark: SparkSession, root: String,
+                         terms: Seq[String], k1: Double,
+                         b: Double): DataFrame = {
     require(terms.distinct.size == terms.size, "bm25 terms must be distinct")
     val posts = postingsFor(spark, root, terms)
     val dfs = posts.groupBy("term")
@@ -262,9 +272,30 @@ object SearchIndex {
     val score = terms.indices
       .map(i => coalesce(col(s"c$i"), lit(0.0)))
       .reduceLeft(_ + _)
-    RelationalOps.topK(
-      per.select(col("doc_id"), score.as("score")).where(col("score") > 0),
-      k, col("score").desc, col("doc_id").asc)
+    per.select(col("doc_id"), score.as("score")).where(col("score") > 0)
+  }
+
+  /** Ranked AND-NOT retrieval — "matching any of `terms`, excluding
+    * documents containing ANY of `exclude`" as ONE served query (the
+    * routine curation filter that previously took a client-side
+    * anti-join against a second query). The exclusion set is the union
+    * of the excluded terms' bloom-pruned postings (distinct doc_ids),
+    * anti-joined BEFORE the top-k cut so excluded docs never consume a
+    * rank slot. Cost: O(postings of terms ∪ exclude), corpus never
+    * scanned; scores bit-equal to [[bm25]] on the surviving docs. */
+  def topkExcluding(spark: SparkSession, root: String, terms: Seq[String],
+                    exclude: Seq[String], k: Int = 15, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(exclude.nonEmpty, "topkExcluding needs exclusion terms — " +
+      "use topkAny for a plain ranked OR")
+    val ex = postingsFor(spark, root, exclude)
+      .select(col("doc_id")).distinct()
+    val kept = scoredDocs(spark, root, terms, k1, b)
+      .join(ex, Seq("doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    RelationalOps.topK(kept, k, col("score").desc, col("doc_id").asc)
+      .withColumn("rank", row_number().over(w))
   }
 
   /** Ranked DISJUNCTIVE (OR) retrieval — the actual retrieval shape:
@@ -340,7 +371,10 @@ object SearchIndex {
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
           a.name
       }
-    require(refs.nonEmpty && refs.forall(_.equalsIgnoreCase("doc_id")),
+    // literal-only predicates (lit(true) = delete-all) stay legal: they
+    // select whole documents by definition, so they cannot desynchronize
+    // the stats — only a reference to a posting-row column can
+    require(refs.forall(_.equalsIgnoreCase("doc_id")),
       s"deleteDocsWhere is doc-level: cond may reference only doc_id, got " +
         s"columns ${refs.distinct.mkString("[", ", ", "]")} — a posting-row " +
         "predicate would desynchronize the corpus stats")

@@ -186,6 +186,49 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("topkExcluding: excluded docs drop BEFORE ranking; polarity and delete-all relax") {
+    withRoot { root =>
+      // high-scoring docs that carry the banned term must not consume a
+      // rank slot — the surviving docs fill the top-k densely
+      val docs = docsDF(
+        (1L, "needle needle needle banned"), // would be rank 1 if excluded late
+        (2L, "needle needle plain"),
+        (3L, "needle banned extra"),
+        (4L, "needle plain text"),
+        (5L, "needle other stuff"),
+        (6L, "plain filler only"))
+      SearchIndex.index(spark, docs, root, buckets = 2)
+      val got = SearchIndex.topkExcluding(spark, root,
+        Seq("needle"), Seq("banned"), k = 3)
+        .select("rank", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1, 2L), (2, 4L), (3, 5L)),
+        s"exclusion must run before the top-k cut: ${got.toSeq}")
+      // scores bit-equal to bm25 on the surviving docs
+      val full = SearchIndex.bm25(spark, root, Seq("needle"), k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      SearchIndex.topkExcluding(spark, root, Seq("needle"), Seq("banned"), k = 3)
+        .collect().foreach(r =>
+          assert(r.getDouble(1) == full(r.getLong(0)), "score drifted"))
+      // absent exclusion term == plain ranked OR
+      val plain = SearchIndex.topkAny(spark, root, Seq("needle"), k = 3)
+        .collect().map(_.toString).toSeq
+      val noop = SearchIndex.topkExcluding(spark, root,
+        Seq("needle"), Seq("nosuchterm"), k = 3)
+        .collect().map(_.toString).toSeq
+      assert(noop == plain)
+      // empty exclusion refuses (use topkAny)
+      intercept[IllegalArgumentException](
+        SearchIndex.topkExcluding(spark, root, Seq("needle"), Seq.empty))
+      // literal-only delete (delete-all) is doc-level by definition and
+      // must be accepted: stats re-center to the empty corpus
+      SearchIndex.deleteDocsWhere(spark, root, lit(true))
+      assert(SearchIndex.containingAll(spark, root, Seq("needle")).isEmpty)
+      val st = SearchIndex.corpusStats(spark, root).collect()(0)
+      assert(st.getDouble(0) == 0.0 && st.getDouble(1) == 0.0,
+        s"delete-all left stats uncentered: $st")
+    }
+  }
+
   test("reindex == rebuild on the updated corpus; every crash window converges on replay") {
     def updatedCorpus: DataFrame = {
       val base = corpus(64)
