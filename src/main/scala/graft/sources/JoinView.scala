@@ -491,6 +491,10 @@ object JoinView {
     if (outer && keyIntegral)
       stampStats(spark, viewRoot, vBefore, vNew,
         if (full) Seq(leftKeys.head, rightKeys.head) else Seq(leftKeys.head))
+    // the refreshed cursors pin BOTH sources' vacuums (viewrefs guard):
+    // recorded AFTER the publish, so a crash leaves no false pin
+    SnapshotStore.recordViewBaseline(leftRoot, viewRoot, lv)
+    SnapshotStore.recordViewBaseline(rightRoot, viewRoot, rv)
     vNew
   }
 

@@ -150,6 +150,12 @@ object QuantileView {
     require(srcCur > 0, s"no published source version at $srcRoot")
     val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
     if (srcCur <= from) return SnapshotStore.currentVersion(viewRoot)
+    // every exit below publishes the view at cursor srcCur — pin the
+    // source's vacuum afterward (viewrefs guard; crash leaves no pin)
+    def recorded(v: Int): Int = {
+      SnapshotStore.recordViewBaseline(srcRoot, viewRoot, srcCur)
+      v
+    }
 
     def rebuild(margin: Double = DefaultMargin): Int = {
       val full = SnapshotStore.read(spark, srcRoot, srcCur)
@@ -178,7 +184,7 @@ object QuantileView {
 
     val baselineGone = from > 0 && !SnapshotStore.hasManifest(srcRoot, from)
     if (from == 0 || baselineGone || !rowChurnOnly(srcRoot, from, srcCur))
-      return rebuild()
+      return recorded(rebuild())
     val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
     // ESCAPE-triggered refreezes double the margin (consecutive escapes
     // compound; any non-escape rebuild resets to the default): monotone
@@ -189,15 +195,15 @@ object QuantileView {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
       // envelope escape, new metric, OR a null row (all one probe):
       // refreeze via rebuild — whose gate refuses the nulls loudly
-      if (escapes(delta, ed) > 0) return rebuild(grownMargin)
-      SnapshotStore.appendEpoch(
-        binned(delta, ed, grainSec, lit(1L)), viewRoot, srcCur)
+      if (escapes(delta, ed) > 0) return recorded(rebuild(grownMargin))
+      recorded(SnapshotStore.appendEpoch(
+        binned(delta, ed, grainSec, lit(1L)), viewRoot, srcCur))
     } else {
       // churn: SIGNED partials straight off the row change feed — counts
       // retract by arithmetic, no dirty-group recompute, no view rewrite
       val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
       val inserts = ch.where(col("_change_type") === "insert")
-      if (escapes(inserts, ed) > 0) return rebuild(grownMargin)
+      if (escapes(inserts, ed) > 0) return recorded(rebuild(grownMargin))
       // delete-side null rows were never binned (inserts refuse above),
       // so retracting them is a NO-OP by definition — filter, don't
       // refuse: a change feed cannot be pre-filtered by the caller, and
@@ -208,7 +214,7 @@ object QuantileView {
             when(col("_change_type") === "insert", 1L).otherwise(-1L)
               .as("__sign")),
         ed, grainSec, col("__sign"))
-      SnapshotStore.appendEpoch(signed, viewRoot, srcCur)
+      recorded(SnapshotStore.appendEpoch(signed, viewRoot, srcCur))
     }
   }
 

@@ -231,6 +231,9 @@ object RollupView {
         spec.fold(spec.bucketed(delta, grain), grain), viewRoot, srcCur)
     } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur, grain, spec)
     stampGrain(viewRoot, grain)
+    // the refreshed cursor pins the source's vacuum (see the viewrefs
+    // guard): recorded AFTER the publish, so a crash leaves no false pin
+    SnapshotStore.recordViewBaseline(srcRoot, viewRoot, srcCur)
     v
   }
 

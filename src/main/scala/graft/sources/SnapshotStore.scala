@@ -1278,10 +1278,97 @@ object SnapshotStore {
     out.filter(_.startsWith(rc + "/"))
   }
 
-  def vacuum(root: String, keepFrom: Int): Unit = {
+  // ---- view-baseline refs (vacuum guard) ------------------------------
+  //
+  // Every maintained view (rollup/NDV/join/quantile) records its refresh
+  // CURSOR against each source it reads: `_viewrefs/<sha1(viewRoot)>.json`
+  // holding {"view": path, "baseline": srcVersion}. Vacuuming the
+  // baseline manifest away doesn't break the view — the documented
+  // `baselineGone` fallback takes one full rebuild — but it silently
+  // demotes an O(Δ) refresh to an O(table) surprise, so [[vacuum]]
+  // consults these refs and RETAINS pinned manifests (loudly) unless
+  // told otherwise. Refs are overwritten per refresh and pruned when the
+  // view store itself is gone, so an abandoned view cannot pin history
+  // forever once its directory is deleted.
+
+  private def viewRefsDir(root: String): Path = Paths.get(root, "_viewrefs")
+
+  private def viewRefPath(root: String, viewRoot: String): Path = {
+    val canon = Paths.get(viewRoot).normalize().toAbsolutePath.toString
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    viewRefsDir(root).resolve(s"$sha.json")
+  }
+
+  private val ViewRefRe =
+    """\{"view":\s*"([^"]*)",\s*"baseline":\s*(\d+)\}""".r
+
+  /** Record (overwrite) a view's refresh baseline against this source —
+    * called by every view refresh AFTER its publish (a crash between the
+    * two leaves no ref; the fallback is the honest full rebuild). */
+  private[sources] def recordViewBaseline(root: String, viewRoot: String,
+                                          baseline: Int): Unit = {
+    Files.createDirectories(viewRefsDir(root))
+    val canon = Paths.get(viewRoot).normalize().toAbsolutePath.toString
+    val body = s"""{"view": "$canon", "baseline": $baseline}"""
+    val tmp = viewRefsDir(root).resolve(
+      s".${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, viewRefPath(root, viewRoot),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Live (viewRoot, baseline) refs — refs whose view store no longer
+    * exists (no manifest directory) are pruned on read. */
+  private def viewBaselines(root: String): Seq[(String, Int)] = {
+    val d = viewRefsDir(root)
+    if (!Files.isDirectory(d)) return Nil
+    val stream = Files.list(d)
+    val files =
+      try stream.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".json"))
+      finally stream.close()
+    files.flatMap { p =>
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      ViewRefRe.findFirstMatchIn(text) match {
+        case Some(m) =>
+          val view = m.group(1)
+          if (currentVersion(view) > 0) Some((view, m.group(2).toInt))
+          else { Files.deleteIfExists(p); None } // view gone: ref dies
+        case None => None
+      }
+    }
+  }
+
+  def vacuum(root: String, keepFrom: Int,
+             ignoreViewBaselines: Boolean = false): Unit = {
     val cur = currentVersion(root)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom must be in [1, $cur], got $keepFrom")
+    // registered views pin their refresh baselines: vacuuming one away
+    // demotes that view's next refresh to a full rebuild — retain the
+    // pinned manifests (loudly) unless the caller explicitly overrides
+    val keepFrom0 = keepFrom
+    val keepEff =
+      if (ignoreViewBaselines) keepFrom0
+      else {
+        val pins = viewBaselines(root).filter(p => p._2 >= 1 && p._2 < keepFrom0)
+        if (pins.isEmpty) keepFrom0
+        else {
+          val b = pins.map(_._2).min
+          println(s"[vacuum] retaining manifests from v$b (asked v$keepFrom0): " +
+            s"refresh baseline(s) of ${pins.map(_._1).distinct.take(3).mkString(", ")} — " +
+            "vacuuming past a view's cursor demotes its next refresh to a " +
+            "full rebuild; refresh the view first, or pass " +
+            "ignoreViewBaselines = true to force")
+          b
+        }
+      }
+    vacuumAt(root, keepEff)
+  }
+
+  private def vacuumAt(root: String, keepFrom: Int): Unit = {
+    val cur = currentVersion(root)
     // Manifests record raw interpolated strings ("$root/data/v1"); the
     // directory listing yields NORMALIZED paths. Compare canonical forms
     // on both sides, or a root spelled "/tmp/store/" (double slash after

@@ -1323,7 +1323,8 @@ class SourcesSpec extends SparkSpec {
       RollupView.refresh(spark, src, view) // baseline = src v1
       SnapshotStore.append(mk(("m", 20L, 2.0)), src)
       SnapshotStore.append(mk(("m", 30L, 3.0)), src)
-      SnapshotStore.vacuum(src, keepFrom = 2) // v1 manifest (the baseline) gone
+      // the view's ref pins v1 — forcing past it exercises the fallback
+      SnapshotStore.vacuum(src, keepFrom = 2, ignoreViewBaselines = true)
       // refresh detects the missing baseline and rebuilds instead of crashing
       RollupView.refresh(spark, src, view)
       val row = RollupView.read(spark, view).collect()
@@ -1333,6 +1334,42 @@ class SourcesSpec extends SparkSpec {
         SnapshotStore.incremental(spark, src, fromExclusive = 1)
       }
       assert(e.getMessage.contains("vacuumed"))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("vacuum retains a registered view's refresh baseline; override and refresh release it") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivmguard").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      def mk(rows: (String, Long, Double)*) = rows.toSeq.toDF("metric", "e", "value")
+      SnapshotStore.append(mk(("m", 10L, 1.0)), src)
+      RollupView.refresh(spark, src, view) // ref pins src v1
+      SnapshotStore.append(mk(("m", 20L, 2.0)), src)
+      SnapshotStore.append(mk(("m", 30L, 3.0)), src)
+      // vacuum past the pinned baseline RETAINS it (loud clamp): the
+      // next refresh must still take the O(Δ) append path, not a rebuild
+      SnapshotStore.vacuum(src, keepFrom = 3)
+      assert(SnapshotStore.hasManifest(src, 1),
+        "vacuum destroyed a registered view's refresh baseline")
+      RollupView.refresh(spark, src, view)
+      assert(SnapshotStore.manifestOp(view,
+        SnapshotStore.currentVersion(view)).contains("append"),
+        "guarded vacuum still demoted the refresh to a rebuild")
+      // AFTER the refresh the pin moved to v3: the same vacuum proceeds
+      SnapshotStore.vacuum(src, keepFrom = 3)
+      assert(!SnapshotStore.hasManifest(src, 1) &&
+        !SnapshotStore.hasManifest(src, 2),
+        "vacuum did not reclaim below the advanced baseline")
+      assert(RollupView.read(spark, view).collect()(0).getLong(2) == 3L)
+      // a DELETED view releases its pin (the ref prunes on read)
+      SnapshotStore.append(mk(("m", 40L, 4.0)), src)
+      SnapshotStore.deleteTree(view)
+      SnapshotStore.vacuum(src, keepFrom = SnapshotStore.currentVersion(src))
+      assert(!SnapshotStore.hasManifest(src, 3),
+        "a deleted view's stale ref still pins the source's vacuum")
     } finally SnapshotStore.deleteTree(root)
   }
 
