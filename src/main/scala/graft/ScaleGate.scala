@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{JoinView, QuantileView, SearchIndex, SnapshotStore}
+
+/** On-disk FIXED-DELTA scale gate for the lifecycle families (round-15
+  * VERDICT item 2): where [[ScaleProbe]] proves O(Δ) against in-memory
+  * self-unions, this drives the SAME maintenance ops against real scaled
+  * parquet (the /tmp/graft_sf1 and /tmp/graft_sf10 ScaleUp fixtures) with
+  * deltas of FIXED ABSOLUTE SIZE (replica-0 key ranges, identical row
+  * sets at every scale). Run at two scales, the maintenance timings must
+  * stay ~flat while the bootstrap legs (honestly O(table)) grow with the
+  * data — the per-family envelope each measurement is judged against:
+  *
+  *   - join-view outer/full delta refresh: O(Δ + matching) — flat (the
+  *     match-arrival probes file-prune the view via the stamped key
+  *     stats; the standing left side of the ΔR leg is the fixed dim).
+  *   - branch rebase + merge: pure manifest surgery — flat (O(dirs)).
+  *   - search-index reindex of a fixed doc batch: bounded by the CoW
+  *     rewrite of posting dirs owning the touched docs — sub-linear,
+  *     NOT constant (term-clustered dirs each own a slice of every doc).
+  *   - index serve (replica-0-only term): O(postings of the term) rows
+  *     through bloom-selected files — sub-linear (file count is fixed;
+  *     selected-file bytes grow with the term's range neighborhood).
+  *   - quantile-view delta/churn refresh: O(Δ) binning + escape probe,
+  *     churn CoW bounded to the dirs owning the churned rows — flat.
+  *
+  * Usage: runMain graft.ScaleGate <sfDir> [families]
+  * (families = comma list of jvouter,jvfull,rebase,search,quantile)
+  */
+object ScaleGate {
+
+  private def time[A](what: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[gate10] $what%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("gate10").toString
+    try f(root) finally SnapshotStore.deleteTree(root)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(sys.error("usage: ScaleGate <sfDir> [families]"))
+    val fams = args.lift(1).map(_.split(',').toSet)
+      .getOrElse(Set("jvouter", "jvfull", "rebase", "search", "quantile"))
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    println(s"[gate10] == $dir ==")
+
+    val customer = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // FIXED absolute deltas: replica-0 key ranges — the same rows at
+    // every ScaleUp factor
+    val dR = orders.where(col("o_orderkey") < 4096)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2_000_000_000L))
+      .localCheckpoint(true)
+    val dL = customer.where(col("c_custkey") < 1024)
+      .withColumn("c_custkey", col("c_custkey") + lit(2_000_000_000L))
+      .localCheckpoint(true)
+
+    if (fams("jvouter")) withRoot { root =>
+      val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+      SnapshotStore.append(customer, l)
+      SnapshotStore.append(orders, r)
+      time("jv_outer bootstrap")(
+        JoinView.refresh(spark, l, r, v, "c_custkey", "o_custkey", "left_outer"))
+      SnapshotStore.append(dR, r) // matched keys: the non-converting path
+      time("jv_outer deltaR refresh")(
+        JoinView.refresh(spark, l, r, v, "c_custkey", "o_custkey", "left_outer"))
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"), "outer delta left the O(delta) append path")
+    }
+
+    if (fams("jvfull")) withRoot { root =>
+      val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+      SnapshotStore.append(customer, l)
+      SnapshotStore.append(orders, r)
+      time("jv_full bootstrap")(
+        JoinView.refresh(spark, l, r, v, "c_custkey", "o_custkey", "full_outer"))
+      SnapshotStore.append(dL, l) // new keys: null-extend, no conversion
+      SnapshotStore.append(dR, r) // matched keys: no conversion
+      time("jv_full two-sided refresh")(
+        JoinView.refresh(spark, l, r, v, "c_custkey", "o_custkey", "full_outer"))
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"), "full delta left the O(delta) append path")
+    }
+
+    if (fams("rebase")) withRoot { root =>
+      val li = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val dB = li.where(col("l_orderkey") < 512)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(3_000_000_000L))
+        .localCheckpoint(true)
+      val dP = li.where(col("l_orderkey") < 512)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(4_000_000_000L))
+        .localCheckpoint(true)
+      time("rebase store bootstrap") {
+        SnapshotStore.append(li.where(col("l_orderkey") % 2 === 0), root + "/t")
+        SnapshotStore.append(li.where(col("l_orderkey") % 2 =!= 0), root + "/t")
+      }
+      SnapshotStore.createBranch(root + "/t", "work")
+      SnapshotStore.append(dB, SnapshotStore.branchRoot(root + "/t", "work"))
+      SnapshotStore.append(dP, root + "/t")
+      time("rebase + ff merge") {
+        SnapshotStore.rebaseBranch(spark, root + "/t", "work")
+        SnapshotStore.mergeBranch(spark, root + "/t", "work")
+      }
+    }
+
+    if (fams("search")) withRoot { root =>
+      val docs = Tables.documents(spark, dir)
+      val idx = s"$root/idx"
+      time("index bootstrap")(SearchIndex.index(spark, docs, idx))
+      val upd = docs.where(col("doc_id") < 200)
+        .withColumn("text", concat(col("text"), lit(" spark")))
+        .localCheckpoint(true)
+      time("reindex 200 docs")(
+        SearchIndex.reindexEpoch(spark, upd, idx, epochId = 1L))
+      // replica-0-only terms: fixed posting sets at every scale
+      time("bm25 serve")(
+        SearchIndex.bm25(spark, idx, Seq("data", "vector"), k = 10).count())
+    }
+
+    if (fams("quantile")) withRoot { root =>
+      val sr = Tables.metricSeries(spark, dir)
+        .select("metric", "e", "value")
+      val src = s"$root/src"; val v = s"$root/view"
+      SnapshotStore.append(sr, src)
+      time("qview bootstrap")(QuantileView.refresh(spark, src, v))
+      // fixed in-envelope delta, time-shifted out to its own bucket range
+      // so the churn leg below CoW-rewrites ONLY the delta's directory
+      val delta = sr.where(col("e") % 911 === 0)
+        .limit(20000)
+        .withColumn("e", col("e") + lit(10_000_000_000L))
+        .localCheckpoint(true)
+      SnapshotStore.append(delta, src)
+      time("qview delta refresh")(QuantileView.refresh(spark, src, v))
+      SnapshotStore.deleteWhere(spark, src, col("e") >= 10_000_000_000L)
+      time("qview churn refresh")(QuantileView.refresh(spark, src, v))
+    }
+
+    spark.stop()
+  }
+}
