@@ -58,6 +58,12 @@ object MaterializedJoins {
                  how: String = "inner"): Unit = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
+    // registration-side sugar mirroring the rule's plan-side
+    // normalization: a right-outer registration IS a left-outer one with
+    // the sides swapped (JoinView maintains no right_outer views)
+    if (how == "right_outer")
+      return enableKeys(rightRoot, leftRoot, viewRoot,
+        rightKeys, leftKeys, "left_outer")
     require(how == "inner" || how == "left_outer" || how == "full_outer",
       s"registrable join types are inner, left_outer, full_outer, got '$how'")
     val (lk, rk) = keySig(leftKeys, rightKeys)

@@ -290,6 +290,14 @@ class JoinRewriteSpec extends SparkSpec {
       // different query — declines
       val (l5, r5) = (lf, rf)
       assert(!scansView(l5.join(r5, l5("o_id") === r5("lo_id"), "right_outer")))
+      // registration-side sugar: declaring the SAME view as a right-outer
+      // of (R, L) — which IS L ⟕ R — lands as the swapped left-outer
+      // registration and serves identically
+      MaterializedJoins.disable(l)
+      MaterializedJoins.enable(r, l, v, "lo_id", "o_id", "right_outer")
+      val (l6, r6) = (lf, rf)
+      assert(scansView(r6.join(l6, r6("lo_id") === l6("o_id"), "right_outer")),
+        "right-outer registration sugar did not normalize")
     }
   }
 
