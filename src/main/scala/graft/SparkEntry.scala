@@ -3113,6 +3113,9 @@ object SparkEntry {
         .map { case (m, df) =>
           df.select(lit(m).as("method"), col("q_id"), col("c_id"))
         }.reduce(_ unionByName _)
+        // pin: this subtree feeds three recall legs plus the hits join —
+        // and with export disabled (Bench) there is no read-back to pin it
+        .localCheckpoint(true)
       val ap = exportForOracle(approx, "ann_approx", model = true)
       val perQ = Seq("lsh", "ivf", "ivf_kmeans").map { m =>
         SimilarityOps.recallAtK(ap.where(col("method") === m), exact)

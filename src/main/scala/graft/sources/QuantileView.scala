@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
   * default 25%, stored in a versioned sidecar). A delta that escapes the
   * envelope (or a brand new metric) cannot bin consistently — the
   * refresh detects it and takes ONE full rebuild that REFREEZES the
-  * edges. An escape-triggered refreeze DOUBLES the margin (capped at
-  * [[MaxMargin]]); a bootstrap/compaction rebuild resets it to the
-  * default — so a monotone-drifting metric (counter, cumulative gauge)
-  * pays O(log drift) rebuilds instead of one per refresh, trading bin
-  * width (the accuracy bound is ≤ 2·w of the CURRENT freeze) for
-  * amortized maintenance.
+  * edges. An escape-triggered refreeze DOUBLES the margin of the
+  * metrics that ESCAPED (per-metric, capped at [[MaxMargin]]; stable
+  * metrics refreeze at the default, so one drifting counter never
+  * coarsens its neighbors' bins); a bootstrap/compaction rebuild resets
+  * everything to the default — so a monotone-drifting metric (counter,
+  * cumulative gauge) pays O(log drift) rebuilds instead of one per
+  * refresh, trading ITS OWN bin width (the accuracy bound is ≤ 2·w of
+  * the CURRENT freeze) for amortized maintenance.
   *
   * Refresh skeleton follows [[RollupView]]: O(delta) appends via the
   * manifest diff, signed partials from the row change feed for churn,
@@ -85,34 +87,29 @@ object QuantileView {
     least(bins - lit(1),
       greatest(lit(0), floor((col("value") - lo) / w).cast("int")))
 
-  /** Freeze per-metric edges from `rows` (observed range ± `margin` of
-    * the range on each side; degenerate single-value metrics get unit
-    * width). Model-sized: one row per metric. `__nnull` rides the same
-    * aggregate so the null-row contract gate costs no extra scan (checked
-    * driver-side on the checkpointed model-sized result, dropped before
-    * the sidecar persists). The margin persists in the sidecar so the
-    * NEXT escape-triggered refreeze can double it. */
+  /** Freeze per-metric edges from `rows` (observed range ± a per-metric
+    * margin of the range on each side — `margins` rows override, absent
+    * metrics take [[DefaultMargin]]; degenerate single-value metrics get
+    * unit width). Model-sized: one row per metric. `__nnull` rides the
+    * same aggregate so the null-row contract gate costs no extra scan
+    * (checked driver-side on the checkpointed model-sized result,
+    * dropped before the sidecar persists). Margins persist in the
+    * sidecar so the NEXT escape-triggered refreeze can double them. */
   private def freezeEdges(rows: DataFrame, bins: Int,
-                          margin: Double): DataFrame =
+                          margins: DataFrame): DataFrame =
     rows.groupBy("metric")
       .agg(min("value").as("mn"), max("value").as("mx"),
         count(when(col("value").isNull, 1)).as("__nnull"))
+      .join(broadcast(margins), Seq("metric"), "left_outer")
+      .withColumn("margin", coalesce(col("margin"), lit(DefaultMargin)))
       .select(col("metric"),
-        (col("mn") - greatest(col("mx") - col("mn"), lit(1.0)) * lit(margin))
+        (col("mn") - greatest(col("mx") - col("mn"), lit(1.0)) * col("margin"))
           .as("lo"),
-        (greatest(col("mx") - col("mn"), lit(1.0)) * lit(1.0 + 2 * margin)
-          / lit(bins)).as("w"),
+        (greatest(col("mx") - col("mn"), lit(1.0)) *
+          (lit(1.0) + lit(2.0) * col("margin")) / lit(bins)).as("w"),
         lit(bins).as("bins"),
-        lit(margin).as("margin"),
+        col("margin"),
         col("__nnull"))
-
-  /** The margin the view's current edges were frozen with (pre-margin
-    * legacy sidecars report the default). */
-  private def frozenMargin(spark: SparkSession, viewRoot: String): Double = {
-    val ed = edgesFor(spark, viewRoot)
-    if (!ed.columns.contains("margin")) DefaultMargin
-    else ed.select(max("margin")).head().getDouble(0)
-  }
 
   private def binned(rows: DataFrame, edges: DataFrame, grainSec: Long,
                      sign: Column): DataFrame =
@@ -129,12 +126,30 @@ object QuantileView {
     * no extra scan: a null metric misses the edges join, a null value is
     * the explicit disjunct; either routes to [[refresh]]'s rebuild,
     * whose own gate refuses with the contract message). */
-  private def escapes(rows: DataFrame, edges: DataFrame): Long =
+  private def escapeRows(rows: DataFrame, edges: DataFrame): DataFrame =
     rows.join(broadcast(edges), Seq("metric"), "left_outer")
       .where(col("lo").isNull || col("value").isNull ||
         col("value") < col("lo") ||
         col("value") > col("lo") + col("w") * col("bins"))
-      .limit(1).count()
+
+  private def escapes(rows: DataFrame, edges: DataFrame): Long =
+    escapeRows(rows, edges).limit(1).count()
+
+  /** Doubled margins for exactly the metrics of `rows` that ESCAPED the
+    * current edges (per-metric amortization): existing escaping metrics
+    * double (capped); new metrics (no edges row) drop out of the inner
+    * join and take the default at the freeze. Model-sized. Pre-margin
+    * legacy sidecars double from the default. */
+  private def grownMargins(rows: DataFrame, ed: DataFrame): DataFrame = {
+    val prev =
+      if (ed.columns.contains("margin")) ed.select(col("metric"), col("margin"))
+      else ed.select(col("metric"), lit(DefaultMargin).as("margin"))
+    escapeRows(rows, ed)
+      .where(col("metric").isNotNull).select("metric").distinct()
+      .join(broadcast(prev), Seq("metric"))
+      .select(col("metric"),
+        least(col("margin") * lit(2.0), lit(MaxMargin)).as("margin"))
+  }
 
   private def rowChurnOnly(root: String, from: Int, cur: Int): Boolean =
     SnapshotStore.opsAll(root, from, cur, SnapshotStore.RowChurnOps)
@@ -157,9 +172,18 @@ object QuantileView {
       v
     }
 
-    def rebuild(margin: Double = DefaultMargin): Int = {
+    // no-override margins: every metric refreezes at the default
+    def noMargins: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("margin",
+          org.apache.spark.sql.types.DoubleType))))
+
+    def rebuild(margins: DataFrame): Int = {
       val full = SnapshotStore.read(spark, srcRoot, srcCur)
-      val edRaw = freezeEdges(full, bins, margin).localCheckpoint(true)
+      val edRaw = freezeEdges(full, bins, margins).localCheckpoint(true)
       // the contract gate rides freezeEdges' own aggregate (model-sized,
       // driver-cheap here): NULL metric/value rows cannot bin — a null
       // value would even silently land in bin 0 (Spark's greatest/least
@@ -184,18 +208,19 @@ object QuantileView {
 
     val baselineGone = from > 0 && !SnapshotStore.hasManifest(srcRoot, from)
     if (from == 0 || baselineGone || !rowChurnOnly(srcRoot, from, srcCur))
-      return recorded(rebuild())
+      return recorded(rebuild(noMargins))
     val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
-    // ESCAPE-triggered refreezes double the margin (consecutive escapes
-    // compound; any non-escape rebuild resets to the default): monotone
-    // drift costs O(log drift) rebuilds, not one per refresh
-    def grownMargin: Double =
-      math.min(frozenMargin(spark, viewRoot) * 2, MaxMargin)
+    // ESCAPE-triggered refreezes double the ESCAPING metrics' margins
+    // (consecutive escapes compound per metric; stable neighbors and any
+    // non-escape rebuild reset to the default): monotone drift costs
+    // O(log drift) rebuilds, not one per refresh, without coarsening the
+    // bins of metrics that never moved
     if (appendOnly(srcRoot, from, srcCur)) {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
       // envelope escape, new metric, OR a null row (all one probe):
       // refreeze via rebuild — whose gate refuses the nulls loudly
-      if (escapes(delta, ed) > 0) return recorded(rebuild(grownMargin))
+      if (escapes(delta, ed) > 0)
+        return recorded(rebuild(grownMargins(delta, ed)))
       recorded(SnapshotStore.appendEpoch(
         binned(delta, ed, grainSec, lit(1L)), viewRoot, srcCur))
     } else {
@@ -203,7 +228,8 @@ object QuantileView {
       // retract by arithmetic, no dirty-group recompute, no view rewrite
       val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
       val inserts = ch.where(col("_change_type") === "insert")
-      if (escapes(inserts, ed) > 0) return recorded(rebuild(grownMargin))
+      if (escapes(inserts, ed) > 0)
+        return recorded(rebuild(grownMargins(inserts, ed)))
       // delete-side null rows were never binned (inserts refuse above),
       // so retracting them is a NO-OP by definition — filter, don't
       // refuse: a change feed cannot be pre-filtered by the caller, and

@@ -292,11 +292,18 @@ object SearchIndex {
       .select(col("doc_id")).distinct()
     val kept = scoredDocs(spark, root, terms, k1, b)
       .join(ex, Seq("doc_id"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id").asc)
-    RelationalOps.topK(kept, k, col("score").desc, col("doc_id").asc)
-      .withColumn("rank", row_number().over(w))
+    ranked(RelationalOps.topK(kept, k, col("score").desc, col("doc_id").asc))
   }
+
+  /** ONE definition of "attach the explicit rank" over an in-hand top-k
+    * frame (≤ k rows — the unpartitioned window is deliberate), shared
+    * by [[topkAny]] and [[topkExcluding]] so the tie-break can never
+    * drift between them (score DESC, doc_id ASC, matching topK's total
+    * order). */
+  private def ranked(topk: DataFrame): DataFrame =
+    topk.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)))
 
   /** Ranked DISJUNCTIVE (OR) retrieval — the actual retrieval shape:
     * top-`k` documents scored by BM25 over whichever of `terms` they
@@ -309,12 +316,8 @@ object SearchIndex {
     * the rank window runs over ≤ k in-hand rows. Without this, a caller
     * wanting ranked results had to over-fetch and re-sort client-side. */
   def topkAny(spark: SparkSession, root: String, terms: Seq[String],
-              k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id").asc)
-    bm25(spark, root, terms, k, k1, b)
-      .withColumn("rank", row_number().over(w))
-  }
+              k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    ranked(bm25(spark, root, terms, k, k1, b))
 
   /** Documents containing the exact token PHRASE, with occurrence
     * counts — the strict decontamination probe (an n-gram verbatim-match
@@ -364,17 +367,26 @@ object SearchIndex {
     * contract — see the class doc). */
   def deleteDocsWhere(spark: SparkSession, root: String,
                       cond: org.apache.spark.sql.Column): Unit = {
-    val refs = org.apache.spark.sql.graftbridge.ColumnBridge
-      .eagerExpression(cond).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.name
-        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-          a.name
-      }
-    // literal-only predicates (lit(true) = delete-all) stay legal: they
-    // select whole documents by definition, so they cannot desynchronize
-    // the stats — only a reference to a posting-row column can
-    require(refs.forall(_.equalsIgnoreCase("doc_id")),
+    val expr = org.apache.spark.sql.graftbridge.ColumnBridge
+      .eagerExpression(cond)
+    val refs = expr.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    }
+    // the stats decrement and the CoW rewrite evaluate cond SEPARATELY —
+    // a nondeterministic predicate (rand(), partition id, input file)
+    // would retract different stats than the rows it deletes
+    require(expr.deterministic,
+      "deleteDocsWhere needs a deterministic predicate — the stats " +
+        "decrement and the postings rewrite each evaluate it")
+    // reference-free predicates are legal only when FOLDABLE (true
+    // literals — lit(true) = delete-all selects whole documents by
+    // definition); a ref-free but row-varying expression (partition id,
+    // input file name) is still a posting-row predicate in disguise
+    require(refs.forall(_.equalsIgnoreCase("doc_id")) &&
+        (refs.nonEmpty || expr.foldable),
       s"deleteDocsWhere is doc-level: cond may reference only doc_id, got " +
         s"columns ${refs.distinct.mkString("[", ", ", "]")} — a posting-row " +
         "predicate would desynchronize the corpus stats")

@@ -944,6 +944,27 @@ object SnapshotStore {
   private def rebaseBasePath(root: String, v: Int): Path =
     manifestDir(root).resolve(s"rebase_base_v$v.json")
 
+  // Highest PARENT version the merge-anchor repair sweep has already
+  // cleared negative for this branch: the sweep is sound over a parent
+  // SUFFIX because a merge manifest committed before a previous sweep
+  // could only record branch states that existed then — all covered by
+  // that sweep — and anything newer has a higher parent version. A torn
+  // or missing marker just rescans from v1 (pure cost, never wrongness).
+  private def mergeScanPath(root: String): Path =
+    manifestDir(root).resolve("merge_scan.json")
+
+  private val ScanRe = """\{"parent":\s*(\d+)\}""".r
+
+  private def mergeScanCleared(root: String): Int =
+    if (!Files.exists(mergeScanPath(root))) 0
+    else ScanRe.findFirstMatchIn(
+      new String(Files.readAllBytes(mergeScanPath(root)), "UTF-8"))
+      .map(_.group(1).toInt).getOrElse(0)
+
+  private def recordMergeScan(root: String, parent: Int): Unit =
+    Files.write(mergeScanPath(root),
+      s"""{"parent": $parent}""".getBytes("UTF-8"))
+
   private def mergeAnchorPath(root: String, v: Int): Path =
     manifestDir(root).resolve(s"merge_anchor_v$v.json")
 
@@ -1075,9 +1096,15 @@ object SnapshotStore {
       else {
         // one TEXT read per parent manifest (op + dirs extracted from the
         // same read), then O(1) membership per branch version — not
-        // O(branch × parent) reads, and no double read per merge
+        // O(branch × parent) reads, and no double read per merge. The
+        // sweep covers only the parent SUFFIX a previous sweep has not
+        // cleared (see mergeScanPath): without the marker, EVERY rebase
+        // whose anchor is a rebase (base != branch dirs, so scanLow
+        // reaches av0) would re-read the parent's whole manifest history
+        // on the perfectly healthy no-crash path.
+        val cleared = mergeScanCleared(br)
         lazy val parentMergeDirs: Set[Set[String]] =
-          (1 to parent).flatMap { pv =>
+          ((cleared + 1) to parent).flatMap { pv =>
             manifestText(root, pv)
               .filter(t => OpRe.findFirstMatchIn(t).exists(_.group(1) == "merge"))
               .map(t => dirsOf(root, pv, t).toSet)
@@ -1091,7 +1118,14 @@ object SnapshotStore {
               Some((v, dv))
             } else None
           }
-        }.nextOption().getOrElse((av0, base0))
+        }.nextOption() match {
+          case Some(found) => found
+          case None =>
+            // full negative sweep of the uncleared suffix: record it so
+            // the next rebase scans only merges committed after this one
+            recordMergeScan(br, parent)
+            (av0, base0)
+        }
       }
     val cur = manifestDirs(br, bv).toSet
     // dirs the branch EVER carried since the anchor but no longer does —

@@ -736,8 +736,12 @@ class SourcesSpec extends SparkSpec {
       // refreezes with a DOUBLED margin, so the rebuild count must grow
       // like log(drift), not linearly with the refresh count
       val src2 = s"$root/src2"; val view2 = s"$root/view2"
-      SnapshotStore.append((0 to 99).map(i => ("d", i.toLong, i.toDouble))
-        .toDF("metric", "e", "value"), src2)
+      // a STABLE neighbor metric rides along: the drifting counter's
+      // refreezes must not coarsen its bins (margins are per-metric)
+      SnapshotStore.append(
+        ((0 to 99).map(i => ("d", i.toLong, i.toDouble)) ++
+          (0 to 99).map(i => ("s", i.toLong, i.toDouble)))
+          .toDF("metric", "e", "value"), src2)
       QuantileView.refresh(spark, src2, view2, grainSec = 1000000000L)
       (1 to 30).foreach { step =>
         SnapshotStore.append(
@@ -751,13 +755,23 @@ class SourcesSpec extends SparkSpec {
         s"monotone drift to 31x the initial range took $rebuilds rebuilds " +
           "— the escape-refreeze margin is not compounding")
       assert(rebuilds >= 1, "drift never escaped — the torture is vacuous")
-      // the answers stay within the CURRENT freeze's 2w bound
+      // margins are PER-METRIC: the drifter compounded, the stable
+      // neighbor refroze at the default every time
+      val margins = QuantileView.edgesFor(spark, view2)
+        .select("metric", "margin").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(margins("d") > QuantileView.DefaultMargin,
+        s"drifting metric's margin never grew: $margins")
+      assert(margins("s") == QuantileView.DefaultMargin,
+        s"stable metric's bins coarsened by a NEIGHBOR's drift: $margins")
+      // the answers stay within the CURRENT freeze's per-metric 2w bound
       val w2 = QuantileView.edgesFor(spark, view2)
-        .select("w").head().getDouble(0)
+        .where(col("metric") === "d").select("w").head().getDouble(0)
       val exact = SnapshotStore.read(spark, src2)
+        .where(col("metric") === "d")
         .agg(expr("percentile(value, 0.5)")).head().getDouble(0)
       val est = QuantileView.quantiles(spark, view2, Seq(0.5))
-        .head().getDouble(3)
+        .where(col("metric") === "d").head().getDouble(3)
       assert(math.abs(est - exact) <= 2 * w2 + 1e-9,
         s"post-drift estimate $est outside 2w of exact $exact (w=$w2)")
     } finally SnapshotStore.deleteTree(root)
