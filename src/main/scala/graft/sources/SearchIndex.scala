@@ -367,26 +367,29 @@ object SearchIndex {
     * contract — see the class doc). */
   def deleteDocsWhere(spark: SparkSession, root: String,
                       cond: org.apache.spark.sql.Column): Unit = {
-    val expr = org.apache.spark.sql.graftbridge.ColumnBridge
-      .eagerExpression(cond)
-    val refs = expr.collect {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        a.name
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        a.name
-    }
+    // gate on the RESOLVED condition: an unresolved tree reports
+    // deterministic == true for any function (UnresolvedFunction doesn't
+    // know what it names yet — empirically, 'rand() passes), so the
+    // predicate is analyzed against the store before any contract check
+    val resolvedCond = SnapshotStore.read(spark, root).where(cond)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(sys.error(
+        "deleteDocsWhere: analyzed plan carries no Filter — cannot gate the predicate"))
+    val refs = resolvedCond.references.toSeq.map(_.name)
     // the stats decrement and the CoW rewrite evaluate cond SEPARATELY —
     // a nondeterministic predicate (rand(), partition id, input file)
     // would retract different stats than the rows it deletes
-    require(expr.deterministic,
+    require(resolvedCond.deterministic,
       "deleteDocsWhere needs a deterministic predicate — the stats " +
         "decrement and the postings rewrite each evaluate it")
     // reference-free predicates are legal only when FOLDABLE (true
     // literals — lit(true) = delete-all selects whole documents by
-    // definition); a ref-free but row-varying expression (partition id,
-    // input file name) is still a posting-row predicate in disguise
+    // definition); a ref-free but row-varying expression is still a
+    // posting-row predicate in disguise
     require(refs.forall(_.equalsIgnoreCase("doc_id")) &&
-        (refs.nonEmpty || expr.foldable),
+        (refs.nonEmpty || resolvedCond.foldable),
       s"deleteDocsWhere is doc-level: cond may reference only doc_id, got " +
         s"columns ${refs.distinct.mkString("[", ", ", "]")} — a posting-row " +
         "predicate would desynchronize the corpus stats")

@@ -1103,13 +1103,19 @@ object SnapshotStore {
         // reaches av0) would re-read the parent's whole manifest history
         // on the perfectly healthy no-crash path.
         val cleared = mergeScanCleared(br)
-        lazy val parentMergeDirs: Set[Set[String]] =
+        val parentMergeDirs: Set[Set[String]] =
           ((cleared + 1) to parent).flatMap { pv =>
             manifestText(root, pv)
               .filter(t => OpRe.findFirstMatchIn(t).exists(_.group(1) == "merge"))
               .map(t => dirsOf(root, pv, t).toSet)
           }.toSet
-        (bv to scanLow by -1).iterator.flatMap { v =>
+        if (parentMergeDirs.isEmpty) {
+          // steady state (no merges since the last sweep): skip the
+          // branch-manifest walk entirely, advance the marker only when
+          // it actually moved
+          if (parent > cleared) recordMergeScan(br, parent)
+          (av0, base0)
+        } else (bv to scanLow by -1).iterator.flatMap { v =>
           if (!hasManifest(br, v)) None
           else {
             val dv = manifestDirs(br, v).toSet

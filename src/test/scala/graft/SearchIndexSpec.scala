@@ -151,6 +151,20 @@ class SearchIndexSpec extends SparkSpec {
         SearchIndex.deleteDocsWhere(spark, root,
           col("doc_id") === 2L && col("tf") > 1L))
       assert(mixed.getMessage.contains("doc-level"))
+      // NONDETERMINISTIC predicates refuse — the stats decrement and the
+      // CoW rewrite each evaluate cond, so rand() would retract different
+      // stats than the rows deleted (gated on the RESOLVED tree: an
+      // unresolved 'rand() reports deterministic == true)
+      val nondet = intercept[IllegalArgumentException](
+        SearchIndex.deleteDocsWhere(spark, root,
+          col("doc_id") === 2L || rand() < 0.5))
+      assert(nondet.getMessage.contains("deterministic"))
+      // ref-free but row-varying refuses too (not foldable)
+      val refFree = intercept[IllegalArgumentException](
+        SearchIndex.deleteDocsWhere(spark, root,
+          org.apache.spark.sql.functions.spark_partition_id() === 0))
+      assert(refFree.getMessage.contains("deterministic") ||
+        refFree.getMessage.contains("doc-level"))
       assert(SearchIndex.bm25(spark, root, terms, k = 30)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == after)
     }}
