@@ -510,6 +510,60 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("key-granular rebase torture: parity-disjoint row edits compose through repeated rebase + merge") {
+    withRoot { root =>
+      // seeded → deterministic. The branch owns ODD ids, the parent EVEN
+      // ids — deletes hit shared fork-time dirs from both sides (the
+      // dir-overlap shape), so most rounds escalate to the row-level
+      // replay; appends land in per-side ranges. After every
+      // rebase(keys) + merge, BOTH stores must equal the model exactly
+      // (multiset view — duplicates would expose a bad compose).
+      val rnd = new scala.util.Random(7331)
+      SnapshotStore.append(df(1L to 40L: _*), root)
+      var model = (1L to 40L).toSet
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      var nextB = 1001L; var nextP = 2000L
+      (1 to 6).foreach { round =>
+        // 2-4 random ops per side per round
+        (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+          rnd.nextInt(2) match {
+            case 0 => // branch delete of a random ODD id still present
+              val odd = model.filter(_ % 2 == 1)
+              if (odd.nonEmpty) {
+                val victim = odd.toSeq.sorted.apply(rnd.nextInt(odd.size))
+                SnapshotStore.deleteWhere(spark, br, col("id") === victim)
+                model -= victim
+              }
+            case 1 => // branch append in its own ODD range
+              SnapshotStore.append(df(nextB), br)
+              model += nextB; nextB += 2
+          }
+        }
+        (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+          rnd.nextInt(2) match {
+            case 0 => // parent delete of a random EVEN id still present
+              val even = model.filter(id => id % 2 == 0 && id < 1000L)
+              if (even.nonEmpty) {
+                val victim = even.toSeq.sorted.apply(rnd.nextInt(even.size))
+                SnapshotStore.deleteWhere(spark, root, col("id") === victim)
+                model -= victim
+              }
+            case 1 => // parent append in its own EVEN range
+              SnapshotStore.append(df(nextP), root)
+              model += nextP; nextP += 2
+          }
+        }
+        SnapshotStore.rebaseBranch(spark, root, "work", keys = Seq("id"))
+        assert(idBag(br) == model.toSeq.sorted,
+          s"branch diverged from the model after round $round rebase")
+        SnapshotStore.mergeBranch(spark, root, "work")
+        assert(idBag(root) == model.toSeq.sorted,
+          s"parent diverged from the model after round $round merge")
+      }
+    }
+  }
+
   test("rebase torture: random disjoint parent/branch histories compose through rebase + merge") {
     withRoot { root =>
       // seeded → deterministic interleaving. Edit regions kept disjoint

@@ -351,6 +351,64 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("a widened source rebuilds a FULL-outer view once; unmatched rows keep null-filling") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      def refresh(): Unit =
+        JoinView.refresh(spark, l, r, v, "o_id", "lo_id", "full_outer")
+      def fullTruth(): Seq[String] = {
+        val lf = SnapshotStore.read(spark, l, mergeSchema = true)
+        val rf = SnapshotStore.read(spark, r, mergeSchema = true)
+        lf.join(rf, lf("o_id") === rf("lo_id"), "full_outer")
+          .select("o_id", "cust", "total", "lo_id", "ln", "qty", "note")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      // bootstrap with unmatched rows on both sides
+      SnapshotStore.append(ordersDF(1L, 2L, 3L), l)
+      SnapshotStore.append(linesDF((2L, 1L, 5.0), (9L, 1L, 7.0)), r)
+      refresh()
+      // the RIGHT source widens (the side whose keys the full view keeps)
+      SnapshotStore.append(
+        Seq((3L, 2L, 9.0, "n3")).toDF("lo_id", "ln", "qty", "note"), r)
+      refresh()
+      assert(lastOp(v) == "compact",
+        "full-outer schema change must rebuild, not append")
+      assert(JoinView.read(spark, v)
+        .select("o_id", "cust", "total", "lo_id", "ln", "qty", "note")
+        .collect().map(_.toString).sorted.toSeq == fullTruth(),
+        "full-outer rebuild diverged from the evolved re-join")
+      // unmatched-LEFT rows (o_id 1) read the evolved right column as
+      // null; the unmatched-RIGHT row (lo_id 9) survived the rebuild
+      assert(JoinView.read(spark, v)
+        .where(col("o_id") === 1L && col("note").isNull).count() == 1)
+      assert(JoinView.read(spark, v).where(col("lo_id") === 9L).count() == 1)
+      // a NON-converting narrow delta resumes the O(Δ) append path with
+      // null fill — including the full-only unmatched-ΔR term (key 42)
+      SnapshotStore.append(linesDF((2L, 9L, 2.0), (42L, 1L, 1.0)), r)
+      refresh()
+      assert(lastOp(v) == "append",
+        "post-evolution non-converting delta lost the O(Δ) path")
+      assert(JoinView.read(spark, v)
+        .select("o_id", "cust", "total", "lo_id", "ln", "qty", "note")
+        .collect().map(_.toString).sorted.toSeq == fullTruth(),
+        "post-evolution full-outer delta diverged")
+      assert(JoinView.read(spark, v)
+        .where(col("lo_id") === 42L && col("o_id").isNull).count() == 1,
+        "unmatched narrow ΔR row lost its null extension post-evolution")
+      // and a CONVERTING delta (lines land for the waiting o_id 1) still
+      // rewrites correctly under the evolved schema
+      SnapshotStore.append(linesDF((1L, 3L, 2.0)), r)
+      refresh()
+      assert(lastOp(v) == "compact",
+        "post-evolution match arrival must publish as a rewrite")
+      assert(JoinView.read(spark, v)
+        .select("o_id", "cust", "total", "lo_id", "ln", "qty", "note")
+        .collect().map(_.toString).sorted.toSeq == fullTruth(),
+        "post-evolution conversion diverged")
+    }
+  }
+
   test("lifecycle torture: view == rejoin after every commit of a mixed sequence") {
     withRoots { (l, r, v) =>
       // a fixed pseudo-random (seeded → deterministic) interleaving of
