@@ -6720,8 +6720,9 @@ object SparkEntry {
          |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
          |           CAST(sel.cnt AS DOUBLE)) AS est
          |FROM sel JOIN ed ON sel.metric = ed.metric
-         |WHERE CAST(sel.cum AS DOUBLE) >= sel.t
-         |  AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t""".stripMargin,
+         |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
 
     // null-fill semantics pinned: era-1 rows (even keys, not upserted)
     // read the evolved column as NULL; upserted rows (%7=3, both eras)

@@ -132,20 +132,24 @@ object QuantileView {
         col("value") < col("lo") ||
         col("value") > col("lo") + col("w") * col("bins"))
 
-  private def escapes(rows: DataFrame, edges: DataFrame): Long =
-    escapeRows(rows, edges).limit(1).count()
+  /** The distinct metrics of `rows` that ESCAPE the current edges (plus
+    * a null marker row if null metrics/values rode in) — ONE pass over
+    * the delta serving both the escape decision (nonEmpty) and the
+    * margin growth, checkpointed because both get consumed. */
+  private def escapingMetrics(rows: DataFrame, edges: DataFrame): DataFrame =
+    escapeRows(rows, edges).select(col("metric")).distinct()
+      .localCheckpoint(true)
 
-  /** Doubled margins for exactly the metrics of `rows` that ESCAPED the
-    * current edges (per-metric amortization): existing escaping metrics
-    * double (capped); new metrics (no edges row) drop out of the inner
-    * join and take the default at the freeze. Model-sized. Pre-margin
-    * legacy sidecars double from the default. */
-  private def grownMargins(rows: DataFrame, ed: DataFrame): DataFrame = {
+  /** Doubled margins for exactly the ESCAPING metrics (per-metric
+    * amortization): existing escaping metrics double (capped); new
+    * metrics (no edges row) drop out of the inner join and take the
+    * default at the freeze. Model-sized. Pre-margin legacy sidecars
+    * double from the default. */
+  private def grownMargins(escaping: DataFrame, ed: DataFrame): DataFrame = {
     val prev =
       if (ed.columns.contains("margin")) ed.select(col("metric"), col("margin"))
       else ed.select(col("metric"), lit(DefaultMargin).as("margin"))
-    escapeRows(rows, ed)
-      .where(col("metric").isNotNull).select("metric").distinct()
+    escaping.where(col("metric").isNotNull)
       .join(broadcast(prev), Seq("metric"))
       .select(col("metric"),
         least(col("margin") * lit(2.0), lit(MaxMargin)).as("margin"))
@@ -217,10 +221,11 @@ object QuantileView {
     // bins of metrics that never moved
     if (appendOnly(srcRoot, from, srcCur)) {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
-      // envelope escape, new metric, OR a null row (all one probe):
-      // refreeze via rebuild — whose gate refuses the nulls loudly
-      if (escapes(delta, ed) > 0)
-        return recorded(rebuild(grownMargins(delta, ed)))
+      // envelope escape, new metric, OR a null row (all one probe, one
+      // delta pass): refreeze via rebuild — whose gate refuses the nulls
+      val esc = escapingMetrics(delta, ed)
+      if (!esc.isEmpty)
+        return recorded(rebuild(grownMargins(esc, ed)))
       recorded(SnapshotStore.appendEpoch(
         binned(delta, ed, grainSec, lit(1L)), viewRoot, srcCur))
     } else {
@@ -228,8 +233,9 @@ object QuantileView {
       // retract by arithmetic, no dirty-group recompute, no view rewrite
       val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
       val inserts = ch.where(col("_change_type") === "insert")
-      if (escapes(inserts, ed) > 0)
-        return recorded(rebuild(grownMargins(inserts, ed)))
+      val esc = escapingMetrics(inserts, ed)
+      if (!esc.isEmpty)
+        return recorded(rebuild(grownMargins(esc, ed)))
       // delete-side null rows were never binned (inserts refuse above),
       // so retracting them is a NO-OP by definition — filter, don't
       // refuse: a change feed cannot be pre-filtered by the caller, and

@@ -1205,17 +1205,26 @@ object SnapshotStore {
       s"key-granular rebase of '$name' needs the anchor base content, " +
         s"but ${gone.take(3).mkString(", ")} was vacuumed — reconcile " +
         "via diff()")
-    val bCur = read(spark, br, bv)
+    // MERGED-schema reads on both sides: a snapshot spanning a schema
+    // evolution planned from one sampled footer would silently read the
+    // newer columns out of existence — and this rewrite REPLACES the
+    // branch's whole content, so the loss would be permanent and ride
+    // the next merge into the parent
+    val bCur = read(spark, br, bv, mergeSchema = true)
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    val pCur = read(spark, root, parent)
+    val pCur = read(spark, root, parent, mergeSchema = true)
     require(bCur.columns.map(lc).toSet == pCur.columns.map(lc).toSet,
       "key-granular rebase requires matching column sets — reconcile the " +
         s"schema evolution first (branch ${bCur.columns.toSeq} vs parent " +
         s"${pCur.columns.toSeq})")
     keys.foreach(k => require(bCur.columns.exists(_.equalsIgnoreCase(k)),
       s"rebase key '$k' is not a table column"))
+    // both sides MUST have moved relative to the anchor base here: the
+    // caller established a dir overlap, and every overlap element is a
+    // base dir absent from each side's current dirs — a None would mean
+    // the algebra upstream broke, so fail loudly rather than no-op
     val bCh = changesBetween(spark, base.toSeq, manifestDirs(br, bv))
-      .getOrElse(return bv) // branch content == anchor base: nothing to replay
+      .getOrElse(sys.error("unreachable: dir overlap implies the branch moved"))
     val pCh = changesBetween(spark, base.toSeq, parentDirs)
       .getOrElse(sys.error("unreachable: dir overlap implies parent moved"))
     // set-op INTERSECT is null-safe on keys, so null-keyed churn on both

@@ -510,6 +510,39 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("key-granular rebase of a schema-evolved store keeps the widened column") {
+    withRoot { root =>
+      val s = spark
+      import s.implicits._
+      // the store spans a schema evolution BEFORE the fork: a plain
+      // (sampled-footer) read could plan the narrow era's shape and the
+      // materializing row-rebase would write the widened column out of
+      // existence — permanently, and the merge would carry the loss
+      SnapshotStore.append(df(1L to 10L: _*), root) // narrow era
+      SnapshotStore.append(
+        (11L to 14L).map(i => (i, i % 7, s"n$i")).toDF("id", "grp", "note"),
+        root) // widened era
+      SnapshotStore.createBranch(root, "work")
+      val br = SnapshotStore.branchRoot(root, "work")
+      SnapshotStore.deleteWhere(spark, br, col("id") === 1L)
+      SnapshotStore.deleteWhere(spark, root, col("id") === 2L)
+      SnapshotStore.rebaseBranch(spark, root, "work", keys = Seq("id"))
+      val got = SnapshotStore.read(spark, br, mergeSchema = true)
+        .select("id", "note").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got.keySet == ((3L to 14L).toSet),
+        s"row-rebase lost or resurrected rows: ${got.keySet.toSeq.sorted}")
+      assert((11L to 14L).forall(i => got(i).contains(s"n$i")),
+        s"row-rebase dropped the evolved column's values: $got")
+      assert((3L to 10L).forall(i => got(i).isEmpty),
+        "narrow-era rows must read the evolved column as null")
+      // and the composed state merges clean with the column intact
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(SnapshotStore.read(spark, root, mergeSchema = true)
+        .where(col("note").isNotNull).count() == 4)
+    }
+  }
+
   test("key-granular rebase torture: parity-disjoint row edits compose through repeated rebase + merge") {
     withRoot { root =>
       // seeded → deterministic. The branch owns ODD ids, the parent EVEN
