@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   * envelope (or a brand new metric) cannot bin consistently — the
   * refresh detects it and takes ONE full rebuild that REFREEZES the
   * edges. An escape-triggered refreeze DOUBLES the margin of the
-  * metrics that ESCAPED (per-metric, capped at [[MaxMargin]]; stable
-  * metrics refreeze at the default, so one drifting counter never
-  * coarsens its neighbors' bins); a bootstrap/compaction rebuild resets
+  * metrics that ESCAPED (per-metric, capped at [[MaxMargin]]) while
+  * every other known metric CARRIES its current margin forward — a
+  * never-escaped metric stays at the default, so one drifting counter
+  * never coarsens its neighbors' bins, and independently drifting
+  * metrics compound independently (alternating escapers must not undo
+  * each other's growth). A bootstrap/compaction rebuild resets
   * everything to the default — so a monotone-drifting metric (counter,
   * cumulative gauge) pays O(log drift) rebuilds instead of one per
   * refresh, trading ITS OWN bin width (the accuracy bound is ≤ 2·w of
@@ -140,19 +143,28 @@ object QuantileView {
     escapeRows(rows, edges).select(col("metric")).distinct()
       .localCheckpoint(true)
 
-  /** Doubled margins for exactly the ESCAPING metrics (per-metric
-    * amortization): existing escaping metrics double (capped); new
-    * metrics (no edges row) drop out of the inner join and take the
-    * default at the freeze. Model-sized. Pre-margin legacy sidecars
-    * double from the default. */
+  /** Margins for an escape-triggered refreeze (per-metric amortization):
+    * ESCAPING metrics double (capped); every OTHER known metric CARRIES
+    * its current margin forward — resetting non-escapers to the default
+    * would defeat the amortization for two or more independently
+    * drifting metrics (phase-offset counters escape on alternating
+    * refreshes, and each refreeze would undo the other's growth — one
+    * O(table) rebuild per refresh forever). A grown margin sticks until
+    * a NON-escape rebuild (bootstrap, compaction, vacuumed baseline)
+    * resets everything to the default. New metrics (no edges row) are
+    * absent here and take the default at the freeze. Model-sized.
+    * Pre-margin legacy sidecars grow from the default. */
   private def grownMargins(escaping: DataFrame, ed: DataFrame): DataFrame = {
     val prev =
       if (ed.columns.contains("margin")) ed.select(col("metric"), col("margin"))
       else ed.select(col("metric"), lit(DefaultMargin).as("margin"))
-    escaping.where(col("metric").isNotNull)
-      .join(broadcast(prev), Seq("metric"))
+    val esc = escaping.where(col("metric").isNotNull)
+      .withColumn("__esc", lit(true))
+    prev.join(broadcast(esc), Seq("metric"), "left_outer")
       .select(col("metric"),
-        least(col("margin") * lit(2.0), lit(MaxMargin)).as("margin"))
+        when(col("__esc").isNotNull,
+          least(col("margin") * lit(2.0), lit(MaxMargin)))
+          .otherwise(col("margin")).as("margin"))
   }
 
   private def rowChurnOnly(root: String, from: Int, cur: Int): Boolean =

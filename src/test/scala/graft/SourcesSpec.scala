@@ -732,28 +732,33 @@ class SourcesSpec extends SparkSpec {
       QuantileView.refresh(spark, src, view, grainSec = 1000000L)
       assert(QuantileView.quantiles(spark, view, Seq(0.0)).count() == 1)
 
-      // ---- monotone drift: values step +100 per refresh. Every escape
-      // refreezes with a DOUBLED margin, so the rebuild count must grow
-      // like log(drift), not linearly with the refresh count
+      // ---- monotone drift: TWO phase-offset drifters step +100 on
+      // alternating refreshes (the common multi-counter shape). Every
+      // escape refreezes with the ESCAPER's margin doubled while the
+      // other drifter CARRIES its growth forward — resetting it would
+      // make the two undo each other and pay one rebuild per refresh —
+      // so the total rebuild count must grow like log(drift)
       val src2 = s"$root/src2"; val view2 = s"$root/view2"
-      // a STABLE neighbor metric rides along: the drifting counter's
+      // a STABLE neighbor metric rides along: the drifting counters'
       // refreezes must not coarsen its bins (margins are per-metric)
       SnapshotStore.append(
         ((0 to 99).map(i => ("d", i.toLong, i.toDouble)) ++
+          (0 to 99).map(i => ("d2", i.toLong, i.toDouble)) ++
           (0 to 99).map(i => ("s", i.toLong, i.toDouble)))
           .toDF("metric", "e", "value"), src2)
       QuantileView.refresh(spark, src2, view2, grainSec = 1000000000L)
       (1 to 30).foreach { step =>
+        val m = if (step % 2 == 0) "d" else "d2"
         SnapshotStore.append(
-          Seq(("d", 100L + step, 100.0 + step * 100.0))
+          Seq((m, 100L + step, 100.0 + step * 100.0))
             .toDF("metric", "e", "value"), src2)
         QuantileView.refresh(spark, src2, view2, grainSec = 1000000000L)
       }
       val rebuilds = (1 to SnapshotStore.currentVersion(view2)).count(v =>
         SnapshotStore.manifestOp(view2, v).contains("compact"))
-      assert(rebuilds <= 5,
-        s"monotone drift to 31x the initial range took $rebuilds rebuilds " +
-          "— the escape-refreeze margin is not compounding")
+      assert(rebuilds <= 10,
+        s"two alternating drifters to 31x the initial range took $rebuilds " +
+          "rebuilds — escape-refreeze margins are not compounding per metric")
       assert(rebuilds >= 1, "drift never escaped — the torture is vacuous")
       // margins are PER-METRIC: the drifter compounded, the stable
       // neighbor refroze at the default every time
