@@ -128,15 +128,17 @@ object ScaleGate {
     }
 
     if (fams("quantile")) withRoot { root =>
-      val sr = Tables.metricSeries(spark, dir)
-        .select("metric", "e", "value")
+      val series = Tables.metricSeries(spark, dir)
+      val sr = series.select("metric", "e", "value")
       val src = s"$root/src"; val v = s"$root/view"
       SnapshotStore.append(sr, src)
       time("qview bootstrap")(QuantileView.refresh(spark, src, v))
-      // fixed in-envelope delta, time-shifted out to its own bucket range
-      // so the churn leg below CoW-rewrites ONLY the delta's directory
-      val delta = sr.where(col("e") % 911 === 0)
-        .limit(20000)
+      // fixed in-envelope delta (replica-0 event_id range — the same
+      // absolute row set at every scale, like the other families),
+      // time-shifted out to its own bucket range so the churn leg below
+      // CoW-rewrites ONLY the delta's directory
+      val delta = series.where(col("event_id") < 20000)
+        .select("metric", "e", "value")
         .withColumn("e", col("e") + lit(10_000_000_000L))
         .localCheckpoint(true)
       SnapshotStore.append(delta, src)

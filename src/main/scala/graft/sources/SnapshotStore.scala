@@ -1359,6 +1359,12 @@ object SnapshotStore {
                                           baseline: Int): Unit = {
     Files.createDirectories(viewRefsDir(root))
     val canon = Paths.get(viewRoot).normalize().toAbsolutePath.toString
+    // same format limit publish() enforces for manifest paths: a quote
+    // would break the ref's hand-rolled JSON and silently disable the
+    // guard for this view (in practice unreachable — such a view's own
+    // data-dir commits refuse first — but fail consistently and loudly)
+    require(!canon.contains("\""),
+      s"view path contains '\"' — unsupported in the viewrefs format: $canon")
     val body = s"""{"view": "$canon", "baseline": $baseline}"""
     val tmp = viewRefsDir(root).resolve(
       s".${java.util.UUID.randomUUID.toString.take(8)}.tmp")
