@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shape (see RollupRewriteRule's doc for the exactness conditions).
     ext.injectPostHocResolutionRule(session =>
       new graft.plans.RollupRewriteRule(session))
+    // Aggregate-over-join MV rewrite — BEFORE the plain join rewrite:
+    // both match the same Join node, and serving the aggregate from
+    // O(groups) partials beats serving the join view then re-aggregating
+    // O(join rows). When this one declines, the join rewrite still may
+    // serve the inner join (re-aggregation over the served view is
+    // value-identical).
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.AggJoinRewriteRule(session))
     // Materialized JOIN-view rewrite for registered JoinView triples —
     // same post-hoc resolution slot, same exactness posture.
     ext.injectPostHocResolutionRule(session =>

@@ -475,6 +475,36 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("user-shaped join+GROUP BY is served from the agg-join view's partials", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{AggJoinView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_ajv").toString
+        try {
+          SnapshotStore.append(spark.range(0, 1000)
+            .selectExpr("id AS c_id", "concat('seg', id % 5) AS seg"), s"$root/L")
+          SnapshotStore.append(spark.range(0, 3000)
+            .selectExpr("id % 1000 AS o_id", "concat('st', id % 2) AS status",
+              "CAST(id AS DOUBLE) AS total"), s"$root/R")
+          AggJoinView.refresh(spark, s"$root/L", s"$root/R", s"$root/ajview",
+            "c_id", "o_id", Seq("seg", "status"), Seq("total"))
+          graft.plans.MaterializedAggJoins.enable(s"$root/L", s"$root/R",
+            s"$root/ajview", "c_id", "o_id", Seq("seg", "status"), Seq("total"))
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          val p = lf.join(rf, lf("c_id") === rf("o_id"))
+            .groupBy("seg", "status")
+            .agg(count(lit(1)).as("n"),
+              sum(col("total").cast("decimal(18,2)")).as("t"))
+            .queryExecution.executedPlan.toString
+          // served: the fact×dim JOIN disappears; only the O(groups)
+          // partial-merge aggregate over the view scan remains
+          p.contains("/ajview") && !p.contains("/L") && !p.contains("/R") &&
+            !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedAggJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("ranked OR retrieval reads only bloom-selected posting files", {
         import graft.sources.{SearchIndex, SnapshotStore}
         val root = java.nio.file.Files.createTempDirectory("pa_stopk").toString

@@ -47,7 +47,7 @@ object ScaleGate {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleGate <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
-      .getOrElse(Set("jvouter", "jvfull", "rebase", "search", "quantile"))
+      .getOrElse(Set("jvouter", "jvfull", "aggjoin", "rebase", "search", "quantile"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[gate10] == $dir ==")
 
@@ -89,6 +89,44 @@ object ScaleGate {
         JoinView.refresh(spark, l, r, v, "c_custkey", "o_custkey", "full_outer"))
       assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
         .contains("append"), "full delta left the O(delta) append path")
+    }
+
+    if (fams("aggjoin")) withRoot { root =>
+      import graft.sources.AggJoinView
+      val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+      // range-clustered stats-carrying sources — the layout a 100 TB
+      // deployment runs with, and what lets every maintenance leg
+      // file-prune its standing/time-travel reads by the delta's or the
+      // churn's key band
+      SnapshotStore.appendWithStats(
+        customer.repartitionByRange(col("c_custkey")), l, Seq("c_custkey"))
+      SnapshotStore.appendWithStats(
+        orders.repartitionByRange(col("o_custkey")), r, Seq("o_custkey"))
+      def refresh(): Unit = AggJoinView.refresh(spark, l, r, v,
+        "c_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_totalprice"))
+      time("aggjoin bootstrap")(refresh())
+      // monotone ingest: new dim keys land WITH the facts referencing
+      // them — both delta terms' standing reads prune to the new band
+      val dLn = dL // new custkeys (+2e9)
+      val dRn = orders.where(col("o_orderkey") < 4096)
+        .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(2_000_000_000L))
+        .localCheckpoint(true)
+      SnapshotStore.appendWithStats(dLn, l, Seq("c_custkey"))
+      SnapshotStore.appendWithStats(dRn, r, Seq("o_custkey"))
+      time("aggjoin two-sided delta")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"), "aggjoin delta left the O(delta) append path")
+      // churn of the new band: dirty keys = one narrow range → the ±
+      // partial legs' four reads (old/new × L/R) all file-prune to it
+      SnapshotStore.deleteWhere(spark, r, col("o_custkey") >= 2_000_000_000L)
+      time("aggjoin churn (band)")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "aggjoin churn must stay an arithmetic signed-partial append")
+      // churn of a LOW standing band on the dim side
+      SnapshotStore.deleteWhere(spark, l, col("c_custkey") < 1024)
+      time("aggjoin churn (dim band)")(refresh())
+      time("aggjoin serve-read")(AggJoinView.read(spark, v).count())
     }
 
     if (fams("rebase")) withRoot { root =>

@@ -3761,6 +3761,105 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // AGGREGATE-OVER-JOIN maintained view (the star-schema MV) —
+    // count/sum partials over the delta-join identity, composed through
+    // the full lifecycle: bootstrap with both sides partial, a left-only
+    // delta, a right-only delta, then churn on BOTH feeds retracted by
+    // PURE ARITHMETIC (negative partials off the change feeds — no view
+    // rewrite), and a compaction folding the signed residue. The merged
+    // groups must equal the SQL GROUP BY over the full join replay.
+    "agg_join_view_answer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ajv").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val c = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        def refresh(): Unit = sources.AggJoinView.refresh(
+          s, l, r, v, "c_custkey", "o_custkey",
+          Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"))
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 === 0), l)
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 === 0), r)
+        refresh() // bootstrap: full join folded once
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 =!= 0), l)
+        refresh() // left-only delta: ΔL⋈R_new folded positive
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 =!= 0), r)
+        refresh() // right-only delta: L_old⋈ΔR folded positive
+        sources.SnapshotStore.deleteWhere(s, r, col("o_orderkey") % 5 === 0)
+        sources.SnapshotStore.deleteWhere(s, l, col("c_custkey") % 11 === 7)
+        refresh() // two-sided churn: ±partials in ONE append, no rewrite
+        sources.AggJoinView.compact(s, v) // fold the signed residue
+        sources.AggJoinView.read(s, v)
+          .select(col("c_mktsegment"), col("o_orderstatus"),
+            col("cnt").as("n_orders"),
+            col("sum_o_totalprice").cast("double").as("revenue"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Catalyst SERVING of the aggregate-over-join MV: a USER-shaped
+    // `customer JOIN orders GROUP BY segment, status` with count/decimal-
+    // sum aggregates (and a grouping-column filter, the only kind that
+    // commutes through join AND aggregation) is answered from the
+    // O(groups) maintained partials — used_view pinned from the analyzed
+    // plan's scan roots so a declined rewrite fails the hash.
+    "agg_join_view_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ajvs").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        sources.SnapshotStore.append(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), l)
+        sources.SnapshotStore.append(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), r)
+        sources.AggJoinView.refresh(s, l, r, v, "c_custkey", "o_custkey",
+          Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"))
+        graft.plans.MaterializedAggJoins.enable(l, r, v,
+          "c_custkey", "o_custkey",
+          Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"))
+        try {
+          val lf = sources.SnapshotStore.read(s, l)
+            .where(col("c_mktsegment") === "BUILDING")
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+            .groupBy("c_mktsegment", "o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
+          q.select(col("c_mktsegment"), col("o_orderstatus"), col("n_orders"),
+              col("rev").cast("double").as("revenue"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedAggJoins.disable(l)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // STREAMING maintenance of the aggregate-over-join MV: customers
+    // stand, orders drip through a checkpointed file stream, every
+    // trigger folding its delta-join partials inside the trigger (the
+    // right-delta path under replay-idempotent epochs). The stream-grown
+    // groups must equal the SQL GROUP BY over the full join.
+    "stream_agg_join_view_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sajv").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        sources.SnapshotStore.append(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), l)
+        graft.streaming.StreamReplay.viewIngestReplay(
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          "o_orderkey", r,
+          sp => sources.AggJoinView.refresh(sp, l, r, v,
+            "c_custkey", "o_custkey",
+            Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice")))
+        sources.AggJoinView.read(s, v)
+          .select(col("c_mktsegment"), col("o_orderstatus"),
+            col("cnt").as("n_orders"),
+            col("sum_o_totalprice").cast("double").as("revenue"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -6672,6 +6771,36 @@ object SparkEntry {
         |SELECT c_custkey, c_mktsegment, c_acctbal,
         |       o_orderkey, o_custkey, o_totalprice, TRUE AS used_view
         |FROM c FULL JOIN orders ON c_custkey = o_custkey""".stripMargin,
+
+    // the surviving source states' join re-aggregated in SQL — the
+    // star-schema MV's content after bootstrap, both deltas, the
+    // arithmetic churn retraction, and a compaction
+    "agg_join_view_answer" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_custkey % 11 != 7),
+        |o AS (SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+        |      WHERE o_orderkey % 5 != 0)
+        |SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM c JOIN o ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "agg_join_view_serve" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue,
+        |       TRUE AS used_view
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "stream_agg_join_view_parity" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "snapshot_branch_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -1,0 +1,267 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.AggJoinView
+
+/** Registry of (left store, right store, key pairs, group columns,
+  * measure columns) → maintained [[AggJoinView]] the
+  * [[AggJoinRewriteRule]] may answer from. Explicit opt-in like the
+  * sibling registries — the engine never guesses which parquet
+  * relations are maintained views. */
+object MaterializedAggJoins {
+
+  // key: (canon left root, canon right root, left key sig, right key
+  // sig, sorted group cols, sorted measure cols) — the full view spec,
+  // so differently-shaped MVs over the same join coexist
+  private val regs = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, String, String, String), String]()
+
+  private def canon(p: String): String = MaterializedRollups.canon(p)
+
+  private def lcSorted(xs: Seq[String]): String =
+    xs.map(_.toLowerCase(java.util.Locale.ROOT)).sorted.mkString(",")
+
+  /** Declare `viewRoot` as [[AggJoinView]]-maintained over the two
+    * stores. From now on a user-shaped
+    * `L JOIN R ON keys GROUP BY groupCols` aggregate of count(1) /
+    * decimal sums of the registered measures over the sources' CURRENT
+    * snapshots is answered from the view — when, and only when, the
+    * view's packed cursor matches both sources' current versions at
+    * planning time (the [[MaterializedJoins]] binding contract). */
+  def enableKeys(leftRoot: String, rightRoot: String, viewRoot: String,
+                 leftKeys: Seq[String], rightKeys: Seq[String],
+                 groupCols: Seq[String], measureCols: Seq[String]): Unit = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
+    val (lk, rk) = MaterializedJoins.keySig(leftKeys, rightKeys)
+    regs.put((canon(leftRoot), canon(rightRoot), lk, rk,
+      lcSorted(groupCols), lcSorted(measureCols)), viewRoot)
+  }
+
+  def enable(leftRoot: String, rightRoot: String, viewRoot: String,
+             leftKey: String, rightKey: String,
+             groupCols: Seq[String], measureCols: Seq[String]): Unit =
+    enableKeys(leftRoot, rightRoot, viewRoot, Seq(leftKey), Seq(rightKey),
+      groupCols, measureCols)
+
+  /** Unregister every registration mentioning `root` on either side. */
+  def disable(root: String): Unit = {
+    val c = canon(root)
+    regs.keySet().asScala.filter(k => k._1 == c || k._2 == c)
+      .toSeq.foreach(regs.remove)
+  }
+
+  def clear(): Unit = regs.clear()
+
+  private[plans] def isEmpty: Boolean = regs.isEmpty
+
+  private[plans] def all: Map[(String, String, String, String, String, String), String] =
+    regs.asScala.toMap
+}
+
+/** Materialized AGGREGATE-OVER-JOIN rewrite — the star-schema MV as one
+  * Catalyst rule: a user-shaped
+  *
+  * {{{ L.join(R, lk === rk).groupBy(g…).agg(count(1), sum(m.cast(decimal(≤30,2)))) }}}
+  *
+  * over two REGISTERED stores' current snapshots is answered from the
+  * O(groups) maintained [[AggJoinView]] instead of re-running the join
+  * AND the aggregation. At 100 TB this is the flagship warehouse
+  * acceleration: the fact×dim shuffle join disappears from every
+  * dashboard query, replaced by a scan of partial rows the refresh
+  * already paid for.
+  *
+  * Fires only when EXACT (the sibling rules' posture):
+  *   - both scanned relations' root paths are precisely the registered
+  *     stores' current-version manifest dirs, with at most
+  *     column-pruning Projects and deterministic Filters between scan,
+  *     join, and aggregate — and every filter references ONLY grouping
+  *     columns (then filtering source rows, join rows, and view groups
+  *     are the same set; any other filter declines: the view covers
+  *     whole groups, not row slices);
+  *   - the view is FRESH: its packed cursor equals both sources'
+  *     current versions at planning time;
+  *   - the join is INNER on exactly the registered key-pair set (either
+  *     side order — inner is symmetric);
+  *   - grouping expressions are plain attributes whose name set, after
+  *     normalizing a grouped-on right key onto its paired left key (the
+  *     inner equality makes them value-identical), equals the
+  *     registered group columns exactly;
+  *   - every aggregate is `count(1)` (→ `cnt`) or
+  *     `sum(CAST(measure AS DECIMAL(p≤30, 2)))` (→ the view's exact
+  *     decimal partial — casting to scale 2 at any precision ≥ the
+  *     values' magnitude rounds identically, so the stored DECIMAL(30,2)
+  *     partial reproduces the user's sum bit-exactly). Anything else —
+  *     min/max (not retractable here), avg, distinct, a raw double sum —
+  *     declines rather than approximates.
+  *
+  * Output attributes keep the original exprIds. Registered BEFORE
+  * [[JoinRewriteRule]] in [[graft.GraftExtensions]]: both match the
+  * same Join, and serving the aggregate from O(groups) partials beats
+  * serving the join view and re-aggregating O(join rows). */
+class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MaterializedAggJoins.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(ge, ae, child, _) =>
+        rewrite(agg, ge, ae, child).getOrElse(agg)
+    }
+  }
+
+  /** Peel Projects/Filters between the aggregate and the join. */
+  private def dissectToJoin(plan: LogicalPlan): Option[(Join, Seq[Expression])] =
+    plan match {
+      case j: Join => Some((j, Nil))
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        dissectToJoin(child)
+      case Filter(cond, child) if cond.deterministic =>
+        dissectToJoin(child).map { case (j, fs) => (j, cond +: fs) }
+      case _ => None
+    }
+
+  /** Scan relation + Filters between it and the join (the
+    * [[JoinRewriteRule]] dissect). */
+  private def dissectSide(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => Some((lr, Nil))
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        dissectSide(child)
+      case Filter(cond, child) if cond.deterministic =>
+        dissectSide(child).map { case (lr, fs) => (lr, cond +: fs) }
+      case _ => None
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
+  }
+
+  private def rewrite(agg: Aggregate, ge: Seq[Expression],
+                      ae: Seq[NamedExpression],
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    val (j, topFilters) = dissectToJoin(child).getOrElse(return None)
+    val (lchild, rchild, cond) = j match {
+      case Join(l, r, Inner, Some(c), _) => (l, r, c)
+      case _                             => return None
+    }
+    // condition: pure conjunction of attr = attr, each orientable
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (lchild.outputSet.contains(a) && rchild.outputSet.contains(b)) (a, b)
+        else if (lchild.outputSet.contains(b) && rchild.outputSet.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    val (las, ras) = pairs.unzip
+    val (lrel, lfilters) = dissectSide(lchild).getOrElse(return None)
+    val (rrel, rfilters) = dissectSide(rchild).getOrElse(return None)
+    val lpaths = MaterializedJoins.canonPaths(lrel).getOrElse(return None)
+    val rpaths = MaterializedJoins.canonPaths(rrel).getOrElse(return None)
+    // grouping: plain attributes only
+    val groupAttrs = ge.map {
+      case a: AttributeReference => a
+      case _                     => return None
+    }
+
+    val sig = MaterializedJoins.keySig(las.map(_.name), ras.map(_.name))
+    val flipped = MaterializedJoins.keySig(ras.map(_.name), las.map(_.name))
+
+    // inner joins are symmetric: try the registration in either side
+    // order. `keyPairs` is oriented registration-left → registration-
+    // right so grouped-on registration-right keys normalize onto their
+    // stored pair.
+    case class Hit(viewRoot: String, groups: Set[String], measures: Set[String],
+                   keyPairs: Seq[(String, String)])
+    val hit = MaterializedAggJoins.all.collectFirst {
+      case ((lr, rr, lk, rk, g, m), vr)
+          if ((lk, rk) == sig &&
+            MaterializedJoins.probe(lr, rr, vr).exists {
+              case (ld, rd, fresh) => fresh && ld == lpaths && rd == rpaths
+            }) =>
+        Hit(vr, g.split(",").toSet, splitSet(m),
+          las.map(_.name.toLowerCase).zip(ras.map(_.name.toLowerCase)))
+      case ((lr, rr, lk, rk, g, m), vr)
+          if ((lk, rk) == flipped &&
+            MaterializedJoins.probe(lr, rr, vr).exists {
+              case (ld, rd, fresh) => fresh && ld == rpaths && rd == lpaths
+            }) =>
+        Hit(vr, g.split(",").toSet, splitSet(m),
+          ras.map(_.name.toLowerCase).zip(las.map(_.name.toLowerCase)))
+    }.getOrElse(return None)
+
+    // a grouped-on right key serves from its paired left key's stored
+    // column (value-identical under the inner equality); every grouping
+    // attr must land on a registered group column, covering the set
+    val rkToLk = hit.keyPairs.map(_.swap).toMap
+    def normName(n: String): String = {
+      val lc = n.toLowerCase
+      if (hit.groups.contains(lc)) lc
+      else rkToLk.getOrElse(lc, lc)
+    }
+    val normed = groupAttrs.map(a => a.exprId -> normName(a.name)).toMap
+    if (normed.values.toSet != hit.groups) return None
+
+    // every filter (above the join or on a side) must reference only
+    // grouping attributes — then it re-applies to view groups verbatim
+    val groupingSet = AttributeSet(groupAttrs)
+    val allFilters = topFilters ++ lfilters ++ rfilters
+    if (!allFilters.forall(_.references.subsetOf(groupingSet))) return None
+
+    val viewPlan = AggJoinView.read(spark, hit.viewRoot).queryExecution.analyzed
+    def viewCol(n: String): Option[Attribute] =
+      viewPlan.output.find(_.name.equalsIgnoreCase(n))
+
+    def groupViewCol(a: AttributeReference): Option[Attribute] =
+      normed.get(a.exprId).flatMap(viewCol)
+        .filter(_.dataType == a.dataType)
+
+    val projections = ae.map {
+      case a: AttributeReference if normed.contains(a.exprId) =>
+        Alias(groupViewCol(a).getOrElse(return None), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if normed.contains(a.exprId) =>
+        Alias(groupViewCol(a).getOrElse(return None), al.name)(exprId = al.exprId)
+      case al @ Alias(ag @ AggregateExpression(
+          Count(Seq(Literal(1, _))), _, false, None, _), _) =>
+        val c = viewCol("cnt").filter(_.dataType == ag.dataType)
+          .getOrElse(return None)
+        Alias(c, al.name)(exprId = al.exprId)
+      case al @ Alias(ag @ AggregateExpression(
+          Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
+          _, false, None, _), _)
+          if dt.scale == 2 && dt.precision <= 30 &&
+            hit.measures.contains(v.name.toLowerCase) =>
+        val c = viewCol(s"sum_${v.name}").getOrElse(return None)
+        Alias(Cast(c, ag.dataType), al.name)(exprId = al.exprId)
+      case _ => return None // any other shape: decline, never approximate
+    }
+    var mappable = true
+    val mapped = allFilters.map(_.transform {
+      case a: AttributeReference =>
+        groupViewCol(a) match {
+          case Some(vc) => vc
+          case None     => mappable = false; a
+        }
+    })
+    if (!mappable) return None
+    val base =
+      if (mapped.isEmpty) viewPlan
+      else Filter(mapped.reduce(And), viewPlan)
+    Some(Project(projections, base))
+  }
+
+  private def splitSet(s: String): Set[String] =
+    if (s.isEmpty) Set.empty else s.split(",").toSet
+}

@@ -1,0 +1,287 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained AGGREGATE-OVER-JOIN view — the star-schema
+  * materialized view (`SELECT g…, count(*), sum(m…) FROM L JOIN R ON
+  * lk = rk GROUP BY g…`), composing the engine's two IVM halves
+  * ([[JoinView]]'s delta-join identity, [[RollupView]]'s mergeable
+  * partials) WITHOUT materializing the join: the view stores one
+  * SIGNED partial row per group, so storage is O(groups), never
+  * O(join rows).
+  *
+  * Maintenance aggregates the same delta terms the join view computes
+  * and appends them as signed partials:
+  *
+  *   - append-only delta: Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR (disjoint,
+  *     exactly the new join rows — [[JoinView]]'s identity), folded to
+  *     POSITIVE partials per group and appended: O(Δ + matching), with
+  *     the standing sides bloom-prefiltered and file-pruned by the
+  *     delta's key range exactly like the join view's refresh.
+  *   - row churn (delete/upsert on either source): COUNT and a DECIMAL
+  *     SUM are retractable monoids, so — unlike the join view, which
+  *     must rewrite itself, and unlike [[RollupView]]'s min/max, which
+  *     force a dirty-group recompute — churn is pure arithmetic: the
+  *     dirty join keys come from the sources' O(churn) change feeds,
+  *     the OLD join rows they owned (time-travel reads at the view's
+  *     cursor, dirty-pruned) fold to NEGATIVE partials, the NEW join
+  *     rows they own fold to positive ones, and both land in ONE
+  *     append. No view rewrite, no dirty-group upsert — the reason this
+  *     view serves count/sum and declines min/max rather than
+  *     approximating.
+  *   - a source compaction (or vacuumed refresh baseline) invalidates
+  *     the manifest diff: one full rebuild, same as both parent views.
+  *
+  * Read merges partials per group and drops `cnt = 0` groups (a group
+  * whose join rows all vanished; its sums are exactly zero too —
+  * decimal arithmetic replays the same rows with opposite sign).
+  * Decimal partials keep the merge EXACT in any order, which is what
+  * makes the view bit-equal to a from-scratch GROUP BY over the join —
+  * the property the oracle checks and the serving rewrite
+  * ([[graft.plans.AggJoinRewriteRule]]) relies on.
+  *
+  * At 100 TB this is the warehouse dashboard shape: facts × dims join
+  * once per REFRESH over just the delta, and every served query reads
+  * O(groups) partial rows instead of re-running the join. The view's
+  * spec (key pairs, group columns, measure columns) is recorded at
+  * bootstrap and every later refresh must pass the same spec — a
+  * mismatched refresh would silently mix group shapes.
+  *
+  * Contract: inner equi-join only (outer joins would need null-extended
+  * group bookkeeping that retracts non-monotonically); group and
+  * measure columns must each resolve unambiguously in the joined
+  * `l.* ++ r.*` (right keys excluded — each is recoverable from its
+  * paired left key); measures are summed as DECIMAL(30,2) (the
+  * [[RollupView]] partial-sum posture: fixed so every version's schema
+  * is identical, wide enough that re-merged partials stay exact).
+  */
+object AggJoinView {
+
+  /** Fixed partial-sum type — see [[RollupView]]'s SumType rationale. */
+  private val SumType = "decimal(30,2)"
+
+  private def sumCol(m: String): String = s"sum_$m"
+
+  /** The recorded view spec — written at bootstrap BEFORE the first
+    * publish (a crash between the two re-bootstraps and rewrites the
+    * file), checked by every later refresh. */
+  private def specLine(lks: Seq[String], rks: Seq[String],
+                       groups: Seq[String], measures: Seq[String]): String = {
+    def lc(xs: Seq[String]) = xs.map(_.toLowerCase(java.util.Locale.ROOT))
+    s"lk=${lc(lks).mkString(",")};rk=${lc(rks).mkString(",")};" +
+      s"g=${lc(groups).sorted.mkString(",")};m=${lc(measures).sorted.mkString(",")}"
+  }
+
+  private def recordedSpec(viewRoot: String): Option[String] = {
+    val p = java.nio.file.Paths.get(viewRoot, "_aggspec")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  private def recordSpec(viewRoot: String, line: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(viewRoot))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(viewRoot, "_aggspec"), line.getBytes("UTF-8"))
+  }
+
+  /** The view-shaped inner join (right keys dropped — recoverable from
+    * their paired left keys) projected to group + measure columns. */
+  private def joinedSlice(l: DataFrame, r: DataFrame,
+                          lks: Seq[String], rks: Seq[String],
+                          groups: Seq[String], measures: Seq[String]): DataFrame = {
+    val cond = lks.zip(rks).map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+    val j = rks.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+    j.select((groups ++ measures).map(col): _*)
+  }
+
+  /** Fold join rows to one signed partial per group. `sign` is +1 for
+    * arriving rows, -1 for retracted ones; count/sum retract by
+    * arithmetic, which is the whole design. */
+  private def fold(rows: DataFrame, groups: Seq[String],
+                   measures: Seq[String], sign: Int): DataFrame = {
+    val aggs: Seq[Column] =
+      (count(lit(1)) * lit(sign.toLong)).as("cnt") +:
+        measures.map(m =>
+          (sum(col(m).cast(SumType)) * lit(sign)).cast(SumType).as(sumCol(m)))
+    rows.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Bring the view up to both sources' current versions. Returns the
+    * view version (unchanged when both cursors already match). Spec
+    * arguments must repeat the bootstrap's spec verbatim. */
+  def refreshKeys(spark: SparkSession, leftRoot: String, rightRoot: String,
+                  viewRoot: String, leftKeys: Seq[String],
+                  rightKeys: Seq[String], groupCols: Seq[String],
+                  measureCols: Seq[String]): Int = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
+    require(groupCols.nonEmpty, "at least one group column")
+    val lv = SnapshotStore.currentVersion(leftRoot)
+    val rv = SnapshotStore.currentVersion(rightRoot)
+    require(lv > 0 && rv > 0,
+      s"both sources must have a published version ($leftRoot=$lv, $rightRoot=$rv)")
+    val (plv, prv) = JoinView.cursors(viewRoot)
+    if (lv == plv && rv == prv) return SnapshotStore.currentVersion(viewRoot)
+    require(lv >= plv && rv >= prv,
+      s"source went backwards: ($plv,$prv) -> ($lv,$rv)")
+    val spec = specLine(leftKeys, rightKeys, groupCols, measureCols)
+    if (plv != 0 || prv != 0) {
+      val rec = recordedSpec(viewRoot).getOrElse("")
+      require(rec == spec,
+        s"view at $viewRoot is maintained with spec '$rec', refresh asked '$spec'")
+    }
+
+    val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
+    val rNew = SnapshotStore.readEvolved(spark, rightRoot, rv)
+    // paired keys must share a dataType — the composite bloom hashes by
+    // type (the JoinView contract, enforced per refresh: schemas evolve)
+    leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+      val (lt, rt) = (lNew.schema(lk).dataType, rNew.schema(rk).dataType)
+      require(lt == rt,
+        s"paired join keys must share a dataType: $lk:$lt vs $rk:$rt")
+    }
+    // every group/measure column must resolve to exactly ONE side of the
+    // joined l.* ++ r.* (right keys excluded) — an ambiguous name would
+    // make the fold group by an arbitrary side
+    locally {
+      def has(df: DataFrame, c: String) =
+        df.columns.exists(_.equalsIgnoreCase(c))
+      (groupCols ++ measureCols).foreach { c =>
+        val inR = has(rNew, c) && !rightKeys.exists(_.equalsIgnoreCase(c))
+        require(has(lNew, c) != inR,
+          s"view column '$c' must resolve on exactly one join side " +
+            "(right keys are dropped — name their paired left key instead)")
+      }
+    }
+
+    def slice(l: DataFrame, r: DataFrame): DataFrame =
+      joinedSlice(l, r, leftKeys, rightKeys, groupCols, measureCols)
+
+    val vNew = if (plv == 0 && prv == 0) {
+      recordSpec(viewRoot, spec) // BEFORE the publish: crash re-bootstraps
+      SnapshotStore.appendEpoch(fold(slice(lNew, rNew), groupCols,
+        measureCols, 1), viewRoot, JoinView.pack(lv, rv))
+    } else if (JoinView.appendOnly(leftRoot, plv, lv) &&
+               JoinView.appendOnly(rightRoot, prv, rv)) {
+      // Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR, each standing side file-pruned by
+      // the delta's key range and bloom-prefiltered by its key tuples —
+      // the JoinView delta machinery verbatim, folded to positive partials
+      val lPart =
+        if (lv > plv) {
+          val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
+            Some(lNew.schema))
+          val dk = JoinView.keyTuples(delta, leftKeys)
+          Some(slice(delta,
+            JoinView.prefiltered(
+              JoinView.standing(spark, rightRoot, rv, rightKeys, dk),
+              rightKeys, dk)))
+        } else None
+      val rPart =
+        if (rv > prv) {
+          val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
+            Some(rNew.schema))
+          val dk = JoinView.keyTuples(delta, rightKeys)
+          Some(slice(
+            JoinView.prefiltered(
+              JoinView.standing(spark, leftRoot, plv, leftKeys, dk),
+              leftKeys, dk),
+            delta))
+        } else None
+      val adds = fold((lPart.toSeq ++ rPart.toSeq).reduce(_ unionByName _),
+        groupCols, measureCols, 1)
+      // an empty delta still publishes the cursor stamp (one
+      // schema-bearing file — the RollupView empty-append posture)
+      SnapshotStore.appendEpoch(
+        if (adds.isEmpty) adds.repartition(1) else adds,
+        viewRoot, JoinView.pack(lv, rv))
+    } else if (JoinView.churnOnly(leftRoot, plv, lv) &&
+               JoinView.churnOnly(rightRoot, prv, rv)) {
+      // RETRACTION BY ARITHMETIC: dirty join keys from both change
+      // feeds; the old join rows they owned fold negative, the new join
+      // rows they own fold positive, ONE append publishes both (and the
+      // cursor stamp) — crash-idempotent because appendEpoch replays as
+      // a no-op. Old sides are time-travel reads at the view's cursor
+      // (churnOnly guarantees both endpoint manifests are alive),
+      // dirty-pruned exactly like a delta's standing side.
+      val dirty = JoinView.keyTuples(
+        SnapshotStore.changes(spark, leftRoot, plv, lv)
+          .select(leftKeys.map(col): _*)
+          .unionByName(SnapshotStore.changes(spark, rightRoot, prv, rv)
+            .select(rightKeys.zip(leftKeys).map { case (rk, lk) =>
+              col(rk).as(lk)
+            }: _*)),
+        leftKeys)
+      // σ_{key∈dirty}(L ⋈ R) factors through the equi-join:
+      // (σ L) ⋈ (σ R) — and [[JoinView.prefiltered]] IS the exact σ
+      // (an inner equi-join against the distinct dirty tuples), so each
+      // side restricts once, file-pruned by the dirty key range. Dirty
+      // NULL keys restrict to nothing on either leg (null never
+      // equi-joins), which is exactly their join contribution.
+      def dirtyJoinRows(lVer: Int, rVer: Int): DataFrame =
+        slice(
+          JoinView.prefiltered(
+            JoinView.standing(spark, leftRoot, lVer, leftKeys, dirty),
+            leftKeys, dirty),
+          JoinView.prefiltered(
+            JoinView.standing(spark, rightRoot, rVer, rightKeys, dirty),
+            rightKeys, dirty))
+      val neg = fold(dirtyJoinRows(plv, prv), groupCols, measureCols, -1)
+      val pos = fold(dirtyJoinRows(lv, rv), groupCols, measureCols, 1)
+      val partials = pos.unionByName(neg)
+      SnapshotStore.appendEpoch(
+        if (partials.isEmpty) partials.repartition(1) else partials,
+        viewRoot, JoinView.pack(lv, rv))
+    } else {
+      // a source compaction (or vacuumed baseline) broke the diff: rebuild
+      SnapshotStore.compactWith(fold(slice(lNew, rNew), groupCols,
+        measureCols, 1), viewRoot,
+        epochOverride = Some(JoinView.pack(lv, rv)))
+    }
+    // the refreshed cursors pin BOTH sources' vacuums (viewrefs guard)
+    SnapshotStore.recordViewBaseline(leftRoot, viewRoot, lv)
+    SnapshotStore.recordViewBaseline(rightRoot, viewRoot, rv)
+    vNew
+  }
+
+  /** Single-key [[refreshKeys]]. */
+  def refresh(spark: SparkSession, leftRoot: String, rightRoot: String,
+              viewRoot: String, leftKey: String, rightKey: String,
+              groupCols: Seq[String], measureCols: Seq[String]): Int =
+    refreshKeys(spark, leftRoot, rightRoot, viewRoot,
+      Seq(leftKey), Seq(rightKey), groupCols, measureCols)
+
+  /** The materialized aggregate: merge all signed partials per group,
+    * drop retracted-empty groups. Columns: groups…, `cnt`,
+    * `sum_<measure>`… (decimal-exact). */
+  def read(spark: SparkSession, viewRoot: String): DataFrame = {
+    val partials = SnapshotStore.read(spark, viewRoot)
+    // the recorded spec names the measures (a group column could itself
+    // be named sum_…, so a prefix heuristic would misclassify it)
+    val measures = recordedSpec(viewRoot) match {
+      case Some(line) =>
+        line.split(";").find(_.startsWith("m=")).map(_.drop(2)) match {
+          case Some("") | None => Seq.empty[String]
+          case Some(ms)        => ms.split(",").toSeq.map(m =>
+            partials.columns.find(_.equalsIgnoreCase(sumCol(m)))
+              .getOrElse(sumCol(m)))
+        }
+      case None => partials.columns.filter(_.startsWith("sum_")).toSeq
+    }
+    val groups = partials.columns.filterNot(c =>
+      c.equalsIgnoreCase("cnt") || measures.contains(c)).toSeq
+    val aggs: Seq[Column] = sum(col("cnt")).as("cnt") +:
+      measures.map(m => sum(col(m)).cast(SumType).as(m))
+    partials.groupBy(groups.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("cnt") > 0)
+  }
+
+  /** Fold accumulated partials to one row per group (drops cnt=0
+    * retraction residue physically), published as a view compaction —
+    * bounds the merge cost of [[read]] after many refreshes; logical
+    * content and the cursor stamp are unchanged. */
+  def compact(spark: SparkSession, viewRoot: String): Int =
+    SnapshotStore.compactWith(read(spark, viewRoot), viewRoot)
+}

@@ -49,13 +49,13 @@ object JoinView {
     * — the freshness probe the Catalyst join rewrite checks. */
   private[graft] def packedCursor(lv: Int, rv: Int): Long = pack(lv, rv)
 
-  private def pack(lv: Int, rv: Int): Long = {
+  private[sources] def pack(lv: Int, rv: Int): Long = {
     require(lv < CursorBase && rv < CursorBase,
       s"source version beyond cursor capacity: $lv/$rv")
     lv * CursorBase + rv
   }
 
-  private def cursors(viewRoot: String): (Int, Int) =
+  private[sources] def cursors(viewRoot: String): (Int, Int) =
     SnapshotStore.lastEpoch(viewRoot)
       .map(e => ((e / CursorBase).toInt, (e % CursorBase).toInt))
       .getOrElse((0, 0))
@@ -98,7 +98,7 @@ object JoinView {
   /** The delta's distinct key tuples as __bk0.._bkN columns — ONE
     * checkpointed frame reused for the range-prune min/max, the bloom
     * build, and the dedup join. */
-  private def keyTuples(delta: DataFrame, keys: Seq[String]): DataFrame =
+  private[sources] def keyTuples(delta: DataFrame, keys: Seq[String]): DataFrame =
     delta.select(keys.zipWithIndex.map { case (k, i) =>
       col(k).as(s"__bk$i")
     }: _*).distinct().localCheckpoint(true)
@@ -108,7 +108,7 @@ object JoinView {
     * [[RelationalOps.bloomFilteredJoinKeys]] pattern (its same-type
     * caller contract is enforced by [[refreshKeys]]); only
     * possibly-matching standing rows shuffle. */
-  private def prefiltered(standing: DataFrame, standingKeys: Seq[String],
+  private[sources] def prefiltered(standing: DataFrame, standingKeys: Seq[String],
                           dk: DataFrame): DataFrame = {
     val bks = dk.columns.toSeq
     bks.foldLeft(
@@ -147,14 +147,14 @@ object JoinView {
   /** Append/no-op commits only in (from, cur], with both endpoint
     * manifests alive (the manifest diff and the old-version read both
     * need them)? */
-  private def appendOnly(root: String, from: Int, cur: Int): Boolean =
+  private[sources] def appendOnly(root: String, from: Int, cur: Int): Boolean =
     SnapshotStore.hasManifest(root, from) &&
       SnapshotStore.hasManifest(root, cur) &&
       SnapshotStore.opsAll(root, from, cur, Set("append"))
 
   /** Row-churn commits only (append/delete/upsert) — the change feed is
     * the row delta; a compaction or legacy manifest answers false. */
-  private def churnOnly(root: String, from: Int, cur: Int): Boolean =
+  private[sources] def churnOnly(root: String, from: Int, cur: Int): Boolean =
     SnapshotStore.hasManifest(root, from) &&
       SnapshotStore.hasManifest(root, cur) &&
       SnapshotStore.opsAll(root, from, cur, SnapshotStore.RowChurnOps)
@@ -168,7 +168,7 @@ object JoinView {
     * stores fall back to the full snapshot read (sound, just unpruned);
     * non-integral keys skip range pruning (the stats sidecar is
     * long-typed). The bloom row-prefilter still applies on top. */
-  private def standing(spark: SparkSession, root: String, ver: Int,
+  private[sources] def standing(spark: SparkSession, root: String, ver: Int,
                        keys: Seq[String], deltaKeys: DataFrame): DataFrame = {
     // an EVOLVED store (mixed-schema files) cannot be read as a file
     // subset or from one sampled footer without silently dropping the

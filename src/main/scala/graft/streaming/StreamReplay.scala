@@ -351,7 +351,22 @@ object StreamReplay {
                            viewRoot: String, leftKey: String,
                            rightKey: String,
                            slices: Int = defaultSlices,
-                           how: String = "inner"): Unit = {
+                           how: String = "inner"): Unit =
+    viewIngestReplay(rightRows, orderCol, rightRoot,
+      spark => graft.sources.JoinView.refresh(spark, leftRoot, rightRoot,
+        viewRoot, leftKey, rightKey, how),
+      slices)
+
+  /** The drip skeleton behind [[joinViewIngestReplay]], with the
+    * per-trigger view refresh abstracted: any maintained view whose
+    * refresh is idempotent under its own cursor (JoinView's packed
+    * cursor, AggJoinView's identical stamp) composes with the
+    * epoch-idempotent store append to give crash-convergent streaming
+    * maintenance. */
+  def viewIngestReplay(rightRows: DataFrame, orderCol: String,
+                       rightRoot: String,
+                       refreshView: org.apache.spark.sql.SparkSession => Unit,
+                       slices: Int = defaultSlices): Unit = {
     val spark = rightRows.sparkSession
     val cols = rightRows.columns
     val src = rightRows.withColumn("ts", timestamp_seconds(col(orderCol)))
@@ -374,8 +389,7 @@ object StreamReplay {
           .foreachBatch { (batch: DataFrame, id: Long) =>
             if (!batch.isEmpty) {
               graft.sources.SnapshotStore.appendEpoch(batch, rightRoot, id)
-              graft.sources.JoinView.refresh(spark, leftRoot, rightRoot,
-                viewRoot, leftKey, rightKey, how)
+              refreshView(spark)
             }
             ()
           }

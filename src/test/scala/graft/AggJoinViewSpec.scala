@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.MaterializedAggJoins
+import graft.sources.{AggJoinView, SnapshotStore}
+
+/** Aggregate-over-join view contract: after ANY commit sequence on
+  * either source, the merged partials equal the from-scratch GROUP BY
+  * over the join; churn maintains by pure arithmetic (an APPEND, never
+  * a rewrite); and the serving rewrite fires exactly on the registered
+  * shape. */
+class AggJoinViewSpec extends SparkSpec {
+
+  private def ordersDF(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    // (key, group-ish status, measure)
+    ids.map(i => (i, s"st${i % 2}", i * 10.0)).toDF("o_id", "status", "total")
+  }
+
+  private def custDF(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, if (i % 5 == 0) null else s"seg${i % 3}"))
+      .toDF("c_id", "seg")
+  }
+
+  private def withRoots(f: (String, String, String) => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("ajv_spec").toString
+    val l = s"$root/L"
+    try f(l, s"$root/R", s"$root/view")
+    finally { MaterializedAggJoins.disable(l); SnapshotStore.deleteTree(root) }
+  }
+
+  private def refresh(l: String, r: String, v: String): Int =
+    AggJoinView.refresh(spark, l, r, v, "c_id", "o_id",
+      Seq("seg", "status"), Seq("total"))
+
+  private def viewRows(v: String): Set[(String, String, Long, String)] =
+    AggJoinView.read(spark, v).collect()
+      .map(x => (x.getAs[String]("seg"), x.getAs[String]("status"),
+        x.getAs[Long]("cnt"),
+        Option(x.getAs[java.math.BigDecimal]("sum_total"))
+          .map(_.stripTrailingZeros.toPlainString).orNull))
+      .toSet
+
+  private def truth(l: String, r: String): Set[(String, String, Long, String)] = {
+    val lf = SnapshotStore.read(spark, l)
+    val rf = SnapshotStore.read(spark, r)
+    lf.join(rf, lf("c_id") === rf("o_id"))
+      .groupBy("seg", "status")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("total").cast("decimal(30,2)")).cast("decimal(30,2)").as("sum_total"))
+      .collect()
+      .map(x => (x.getAs[String]("seg"), x.getAs[String]("status"),
+        x.getAs[Long]("cnt"),
+        Option(x.getAs[java.math.BigDecimal]("sum_total"))
+          .map(_.stripTrailingZeros.toPlainString).orNull))
+      .toSet
+  }
+
+  private def lastOp(v: String): String =
+    SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v)).getOrElse("?")
+
+  test("bootstrap + left/right/both deltas equal the re-aggregation (null group keys included)") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(1L to 10L: _*), l) // ids %5==0 → null seg
+      SnapshotStore.append(ordersDF(1, 2, 5, 11), r)
+      refresh(l, r, v)
+      assert(viewRows(v) == truth(l, r) && viewRows(v).nonEmpty)
+
+      SnapshotStore.append(custDF(11, 12), l) // 11 now matches
+      refresh(l, r, v)
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append")
+
+      SnapshotStore.append(ordersDF(3, 10, 12), r)
+      refresh(l, r, v)
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append")
+
+      // both sides move before one refresh — ΔL⋈ΔR counted exactly once
+      SnapshotStore.append(custDF(20), l)
+      SnapshotStore.append(ordersDF(20, 4), r)
+      refresh(l, r, v)
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append")
+
+      // no-change refresh is a no-op
+      val before = SnapshotStore.currentVersion(v)
+      refresh(l, r, v)
+      assert(SnapshotStore.currentVersion(v) == before)
+    }
+  }
+
+  test("churn retracts by arithmetic: an APPEND of signed partials, never a rewrite") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(1L to 12L: _*), l)
+      SnapshotStore.append(ordersDF(1L to 12L: _*), r)
+      refresh(l, r, v)
+
+      // delete some orders (right churn): their groups' counts shrink
+      SnapshotStore.deleteWhere(spark, r, col("o_id") % 4 === 0)
+      refresh(l, r, v)
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append",
+        "right churn must publish as a signed-partial APPEND")
+
+      // upsert changes a measure value in place (delete+insert same key):
+      // net cnt 0, net sum moves by the difference
+      val s = spark
+      import s.implicits._
+      SnapshotStore.upsert(spark,
+        Seq((1L, "st1", 999.0)).toDF("o_id", "status", "total"), r, Seq("o_id"))
+      refresh(l, r, v)
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append")
+
+      // left churn that empties a group entirely: cnt reaches 0 and read
+      // drops it (seg2 customers with surviving orders: 2, 5→null, 8, 11)
+      SnapshotStore.deleteWhere(spark, l, col("seg") === "seg2")
+      refresh(l, r, v)
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "append")
+      assert(!viewRows(v).exists(_._1 == "seg2"), "emptied group must vanish")
+
+      // compact folds the signed residue physically, content unchanged
+      val want = viewRows(v)
+      AggJoinView.compact(spark, v)
+      assert(viewRows(v) == want && lastOp(v) == "compact")
+      val partials = SnapshotStore.read(spark, v)
+      assert(partials.count() == want.size, "compact must fold to one row/group")
+      assert(partials.where(col("cnt") <= 0).isEmpty,
+        "compact must drop retraction residue")
+    }
+  }
+
+  test("a source compaction forces one full rebuild; spec mismatch refuses") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(1L to 8L: _*), l)
+      SnapshotStore.append(ordersDF(1L to 8L: _*), r)
+      refresh(l, r, v)
+      SnapshotStore.compact(spark, r)
+      refresh(l, r, v)
+      assert(viewRows(v) == truth(l, r) && lastOp(v) == "compact",
+        "post-source-compaction refresh must rebuild")
+      // a refresh under a different spec must refuse loudly
+      SnapshotStore.append(ordersDF(9), r)
+      val e = intercept[IllegalArgumentException] {
+        AggJoinView.refresh(spark, l, r, v, "c_id", "o_id",
+          Seq("seg"), Seq("total"))
+      }
+      assert(e.getMessage.contains("spec"))
+    }
+  }
+
+  test("ambiguous or missing view columns refuse at the cause") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      // both sides carry 'status' → ambiguous group column
+      SnapshotStore.append(
+        Seq((1L, "x")).toDF("c_id", "status"), l)
+      SnapshotStore.append(ordersDF(1), r)
+      val e = intercept[IllegalArgumentException] {
+        AggJoinView.refresh(spark, l, r, v, "c_id", "o_id",
+          Seq("status"), Seq("total"))
+      }
+      assert(e.getMessage.contains("exactly one join side"))
+    }
+  }
+
+  test("rewrite: serves the exact shape, declines non-grouping filters, min/max, staleness") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(1L to 30L: _*), l)
+      SnapshotStore.append(ordersDF(1L to 25L: _*), r)
+      refresh(l, r, v)
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"))
+      def userAgg(aggs: Seq[org.apache.spark.sql.Column],
+                  lFilter: Option[org.apache.spark.sql.Column] = None) = {
+        val lf0 = SnapshotStore.read(spark, l)
+        val lf = lFilter.map(lf0.where).getOrElse(lf0)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("c_id") === rf("o_id"))
+          .groupBy("seg", "status").agg(aggs.head, aggs.tail: _*)
+      }
+      def scansView(df: DataFrame) = graft.plans.PlanProbe.scansOnly(df, "/view")
+
+      val exact = userAgg(Seq(count(lit(1)).as("n"),
+        sum(col("total").cast("decimal(18,2)")).as("t")))
+      assert(scansView(exact), "exact MV shape did not rewrite")
+      // values equal the declined path's
+      val got = exact.collect().map(x => (x.getString(0), x.getString(1),
+        x.getLong(2), x.getDecimal(3))).toSet
+      MaterializedAggJoins.disable(l)
+      val want = userAgg(Seq(count(lit(1)).as("n"),
+        sum(col("total").cast("decimal(18,2)")).as("t")))
+        .collect().map(x => (x.getString(0), x.getString(1),
+          x.getLong(2), x.getDecimal(3))).toSet
+      assert(got == want && want.nonEmpty)
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"))
+
+      // a grouping-column filter rides onto the view
+      val filtered = userAgg(Seq(count(lit(1)).as("n")),
+        Some(col("seg") === "seg1"))
+      assert(scansView(filtered), "grouping-column filter must ride")
+
+      // a NON-grouping filter (on the measure side) declines
+      val rowFiltered = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r).where(col("total") > 50.0)
+        lf.join(rf, lf("c_id") === rf("o_id"))
+          .groupBy("seg", "status").agg(count(lit(1)).as("n"))
+      }
+      assert(!scansView(rowFiltered), "non-grouping filter must DECLINE")
+
+      // min/max is not a stored partial — declines, never approximates
+      val withMax = userAgg(Seq(count(lit(1)).as("n"), max(col("total")).as("m")))
+      assert(!scansView(withMax), "max() must DECLINE")
+
+      // a raw double sum (no decimal cast) declines
+      val rawSum = userAgg(Seq(sum(col("total")).as("t")))
+      assert(!scansView(rawSum), "raw double sum must DECLINE")
+
+      // staleness declines; refresh re-serves
+      SnapshotStore.append(ordersDF(26), r)
+      assert(!scansView(userAgg(Seq(count(lit(1)).as("n")))),
+        "STALE view served — correctness bug")
+      refresh(l, r, v)
+      assert(scansView(userAgg(Seq(count(lit(1)).as("n")))))
+
+      // grouping by the RIGHT key serves from the paired left key
+      MaterializedAggJoins.disable(l)
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("c_id", "status"), Seq("total"))
+      // (view above is seg/status-shaped; registration alone must not
+      // serve a shape the store doesn't carry — the read side resolves
+      // by name and c_id is absent, so the rewrite declines on dataType/
+      // name mismatch rather than serving wrong data)
+      val byKey = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("c_id") === rf("o_id"))
+          .groupBy(rf("o_id"), col("status")).agg(count(lit(1)).as("n"))
+      }
+      assert(!scansView(byKey), "mis-shaped store must not serve")
+    }
+  }
+
+  test("rewrite: grouped-on right key normalizes onto its paired stored left key") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(1L to 20L: _*), l)
+      SnapshotStore.append(ordersDF(1L to 15L: _*), r)
+      AggJoinView.refresh(spark, l, r, v, "c_id", "o_id",
+        Seq("c_id", "status"), Seq("total"))
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("c_id", "status"), Seq("total"))
+      val lf = SnapshotStore.read(spark, l)
+      val rf = SnapshotStore.read(spark, r)
+      val q = lf.join(rf, lf("c_id") === rf("o_id"))
+        .groupBy(rf("o_id"), col("status")).agg(count(lit(1)).as("n"))
+      assert(graft.plans.PlanProbe.scansOnly(q, "/view"),
+        "grouping by the right key must serve from the paired left key")
+      val got = q.collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+      MaterializedAggJoins.disable(l)
+      val want = {
+        val lf2 = SnapshotStore.read(spark, l)
+        val rf2 = SnapshotStore.read(spark, r)
+        lf2.join(rf2, lf2("c_id") === rf2("o_id"))
+          .groupBy(rf2("o_id"), col("status")).agg(count(lit(1)).as("n"))
+          .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+      }
+      assert(got == want && want.nonEmpty)
+    }
+  }
+}
