@@ -475,6 +475,41 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("stale-compensated join serve reads view + delta-band files only", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{JoinView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_jvst").toString
+        try {
+          SnapshotStore.appendWithStats(spark.range(0, 1000)
+            .selectExpr("id AS o_id", "id % 5 AS seg")
+            .repartitionByRange(col("o_id")), s"$root/L", Seq("o_id"))
+          SnapshotStore.appendWithStats(spark.range(0, 3000)
+            .selectExpr("id % 1000 AS lo_id", "id AS ln")
+            .repartitionByRange(col("lo_id")), s"$root/R", Seq("lo_id"))
+          JoinView.refresh(spark, s"$root/L", s"$root/R", s"$root/jview",
+            "o_id", "lo_id")
+          graft.plans.MaterializedJoins.enable(s"$root/L", s"$root/R",
+            s"$root/jview", "o_id", "lo_id", serveStale = true)
+          val boot = (SnapshotStore.manifestDirs(s"$root/L", 1) ++
+            SnapshotStore.manifestDirs(s"$root/R", 1)).toSet
+          // monotone ingest: gap keys strictly beyond the standing max
+          SnapshotStore.appendWithStats(spark.range(2000, 2050)
+            .selectExpr("id AS o_id", "id % 5 AS seg"), s"$root/L", Seq("o_id"))
+          SnapshotStore.appendWithStats(spark.range(2000, 2080)
+            .selectExpr("id AS lo_id", "id AS ln"), s"$root/R", Seq("lo_id"))
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          val q = lf.join(rf, lf("o_id") === rf("lo_id"))
+          val scanned = graft.plans.PlanProbe.scanRoots(q).toSet
+          // the view is in the plan; NO standing bootstrap file re-reads
+          graft.plans.PlanProbe.scansAny(q, "/jview") &&
+            !scanned.exists(p => boot.exists(b =>
+              p.startsWith(b) || b.startsWith(p)))
+        } finally {
+          graft.plans.MaterializedJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("user-shaped join+GROUP BY is served from the agg-join view's partials", {
         import org.apache.spark.sql.functions._
         import graft.sources.{AggJoinView, SnapshotStore}

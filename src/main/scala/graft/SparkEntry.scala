@@ -3860,6 +3860,78 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // DELTA-COMPENSATED (stale-view) serving — the lambda-architecture
+    // read path: both sources gained append-only commits AFTER the last
+    // refresh, and the registration opted into stale serving, so the
+    // user-shaped join is answered as view ∪ ΔL⋈R_new ∪ L_old⋈ΔR
+    // (fresh answers at O(view + Δ)) instead of declining. used_view
+    // pins that the plan still reads the maintained view; the values
+    // face the CURRENT sources' join in SQL.
+    "join_view_stale_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jvss").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        val o = Tables.orders(s, dir); val li = Tables.lineitem(s, dir)
+        sources.SnapshotStore.appendWithStats(
+          o.where(col("o_orderkey") % 2 === 0)
+            .repartitionByRange(col("o_orderkey")), l, Seq("o_orderkey"))
+        sources.SnapshotStore.appendWithStats(
+          li.where(col("l_orderkey") % 3 === 0)
+            .repartitionByRange(col("l_orderkey")), r, Seq("l_orderkey"))
+        sources.JoinView.refresh(s, l, r, v, "o_orderkey", "l_orderkey")
+        graft.plans.MaterializedJoins.enable(l, r, v,
+          "o_orderkey", "l_orderkey", serveStale = true)
+        try {
+          // the gap: append-only commits on BOTH sides, NO refresh
+          sources.SnapshotStore.appendWithStats(
+            o.where(col("o_orderkey") % 2 =!= 0)
+              .repartitionByRange(col("o_orderkey")), l, Seq("o_orderkey"))
+          sources.SnapshotStore.appendWithStats(
+            li.where(col("l_orderkey") % 3 =!= 0)
+              .repartitionByRange(col("l_orderkey")), r, Seq("l_orderkey"))
+          val lf = sources.SnapshotStore.read(s, l)
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("o_orderkey") === rf("l_orderkey"))
+          val usedView = graft.plans.PlanProbe.scansAny(q, "/view")
+          q.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedJoins.disable(l)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Stale-serving for the ROLLUP view: the source gained an
+    // append-only gap after the last refresh; the canonical day-rollup
+    // aggregate is answered as stored partials ∪ Δ-partials (one merge
+    // groupBy) instead of declining — count/sum/min/max are all
+    // insert-monotone, so the compensated merge is exact.
+    "rollup_view_stale_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mvss").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/view"
+        val se = series(s, dir).select("metric", "e", "value")
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 0), src)
+        sources.RollupView.refresh(s, src, view)
+        graft.plans.MaterializedRollups.enable(src, view, serveStale = true)
+        try {
+          sources.SnapshotStore.append(se.where(col("e") % 2 === 1), src)
+          val agg = sources.SnapshotStore.read(s, src)
+            .groupBy(col("metric"), expr("e div 86400").as("day"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("value").cast("decimal(18,2)")).as("vsum"),
+              min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+          val usedView = graft.plans.PlanProbe.scansAny(agg, "/view")
+          agg.select(col("metric"), col("day"), col("cnt"),
+              col("vsum").cast("double").as("sum_val"),
+              col("min_val"), col("max_val"),
+              (col("vsum").cast("double") / col("cnt")).as("mean_val"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedRollups.disable(src)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // OHLC candlestick bars per metric/day — the downsampled trend-display
     // rendering (open/close picked deterministically at bucket boundaries).
     "a18_ohlc" -> ((s, dir) => TrendOps.ohlcBars(series(s, dir), 86400L)),
@@ -6801,6 +6873,23 @@ object SparkEntry {
         |         AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // delta-compensated serving: the answer is the CURRENT sources'
+    // join (the view lags, the compensation closes the gap exactly);
+    // used_view TRUE pins that the plan still read the maintained view
+    "join_view_stale_serve" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       l_linenumber, l_partkey, l_quantity, TRUE AS used_view
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+
+    "rollup_view_stale_serve" ->
+      s"""WITH $SERIES
+         |SELECT metric, e // 86400 AS day, count(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+         |  min(value) AS min_val, max(value) AS max_val,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val,
+         |  TRUE AS used_view
+         |FROM series GROUP BY 1, 2""".stripMargin,
 
     "snapshot_branch_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -24,8 +24,18 @@ object MaterializedJoins {
   // of the key: an inner and an outer view over the same pair coexist
   // (one put per type), instead of the second registration silently
   // evicting the first
+  /** A registration's payload: the view plus everything the STALE
+    * serving path needs to rebuild the compensation (original-case
+    * roots and key lists — the registry key only carries the
+    * lowercased sorted signature). */
+  private[plans] final case class JReg(viewRoot: String,
+                                       leftRoot: String, rightRoot: String,
+                                       leftKeys: Seq[String],
+                                       rightKeys: Seq[String],
+                                       serveStale: Boolean)
+
   private val regs =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String, String), JReg]()
 
   // path canonicalization, mtime probing, and version-pinning shared
   // with MaterializedRollups — ONE definition of each invariant
@@ -48,14 +58,23 @@ object MaterializedJoins {
     * analysis-time binding contract as [[MaterializedRollups.enable]]). */
   def enable(leftRoot: String, rightRoot: String, viewRoot: String,
              leftKey: String, rightKey: String,
-             how: String = "inner"): Unit =
-    enableKeys(leftRoot, rightRoot, viewRoot, Seq(leftKey), Seq(rightKey), how)
+             how: String = "inner", serveStale: Boolean = false): Unit =
+    enableKeys(leftRoot, rightRoot, viewRoot, Seq(leftKey), Seq(rightKey),
+      how, serveStale)
 
   /** [[enable]] for COMPOSITE equi-keys (pairwise positional equalities —
-    * the [[JoinView.refreshKeys]] contract). */
+    * the [[JoinView.refreshKeys]] contract).
+    *
+    * `serveStale = true` additionally opts this registration into
+    * DELTA-COMPENSATED serving: when the view's cursor lags the sources
+    * but every gap commit is an append, an INNER-view query is answered
+    * as `view ∪ Δ-joins` ([[JoinView.compensated]]) instead of
+    * declining — fresh answers at O(view + Δ) between refreshes. A
+    * churned or compacted gap still declines (compensation would be
+    * unsound), as do outer shapes (conversion, not union). */
   def enableKeys(leftRoot: String, rightRoot: String, viewRoot: String,
                  leftKeys: Seq[String], rightKeys: Seq[String],
-                 how: String = "inner"): Unit = {
+                 how: String = "inner", serveStale: Boolean = false): Unit = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
     // registration-side sugar mirroring the rule's plan-side
@@ -63,11 +82,12 @@ object MaterializedJoins {
     // the sides swapped (JoinView maintains no right_outer views)
     if (how == "right_outer")
       return enableKeys(rightRoot, leftRoot, viewRoot,
-        rightKeys, leftKeys, "left_outer")
+        rightKeys, leftKeys, "left_outer", serveStale)
     require(how == "inner" || how == "left_outer" || how == "full_outer",
       s"registrable join types are inner, left_outer, full_outer, got '$how'")
     val (lk, rk) = keySig(leftKeys, rightKeys)
-    regs.put((canon(leftRoot), canon(rightRoot), lk, rk, how), viewRoot)
+    regs.put((canon(leftRoot), canon(rightRoot), lk, rk, how),
+      JReg(viewRoot, leftRoot, rightRoot, leftKeys, rightKeys, serveStale))
   }
 
   /** Unregister every pair mentioning `root` on either side (and evict
@@ -84,7 +104,7 @@ object MaterializedJoins {
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
-  private[plans] def all: Map[(String, String, String, String, String), String] =
+  private[plans] def all: Map[(String, String, String, String, String), JReg] =
     regs.asScala.toMap
 
   // Freshness-probe cache, the MaterializedRollups posture for THREE
@@ -253,20 +273,32 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // registered (L, R)); a left-outer join serves ONLY in the registered
     // orientation (its right-outer spelling is normalized by the caller)
     val symmetric = joinType == Inner || joinType == FullOuter
-    val viewRoot = MaterializedJoins.all.collectFirst {
-      case ((lr, rr, lk, rk, how), vr)
-          if how == wantHow &&
+    val (reg, fresh) = MaterializedJoins.all.collectFirst {
+      case ((lr, rr, lk, rk, how), r)
+          if how == wantHow && {
             (((lk, rk) == sig &&
-              MaterializedJoins.probe(lr, rr, vr).exists {
-                case (ld, rd, fresh) => fresh && ld == lpaths && rd == rpaths
+              MaterializedJoins.probe(lr, rr, r.viewRoot).exists {
+                case (ld, rd, _) => ld == lpaths && rd == rpaths
               }) ||
             (symmetric && (lk, rk) == flipped &&
-              MaterializedJoins.probe(lr, rr, vr).exists {
-                case (ld, rd, fresh) => fresh && ld == rpaths && rd == lpaths
-              })) => vr
+              MaterializedJoins.probe(lr, rr, r.viewRoot).exists {
+                case (ld, rd, _) => ld == rpaths && rd == lpaths
+              }))
+          } =>
+        (r, MaterializedJoins.probe(lr, rr, r.viewRoot).exists(_._3))
     }.getOrElse(return None)
 
-    val viewPlan = JoinView.read(spark, viewRoot).queryExecution.analyzed
+    // FRESH: serve the stored view. STALE + opted-in + inner + every gap
+    // commit an append: serve the delta-compensated union (same output
+    // shape — the legs drop right keys exactly like the view). Anything
+    // else declines (today's answer off the base join stays correct).
+    val baseDf =
+      if (fresh) JoinView.read(spark, reg.viewRoot)
+      else if (reg.serveStale && joinType == Inner)
+        JoinView.compensated(spark, reg.leftRoot, reg.rightRoot,
+          reg.viewRoot, reg.leftKeys, reg.rightKeys).getOrElse(return None)
+      else return None
+    val viewPlan = baseDf.queryExecution.analyzed
     val byName = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
     // INNER views dropped their right keys; each inner equality makes the
     // two key columns value-identical, so whichever key name the view

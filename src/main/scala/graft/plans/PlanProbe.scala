@@ -26,4 +26,10 @@ object PlanProbe {
     val roots = scanRoots(df)
     roots.nonEmpty && roots.forall(_.contains(marker))
   }
+
+  /** True when ANY scan root contains `marker` — the used_view pin for
+    * DELTA-COMPENSATED serving, whose plan legitimately reads the view
+    * plus the gap's delta (and pruned standing-band) files. */
+  def scansAny(df: DataFrame, marker: String): Boolean =
+    scanRoots(df).exists(_.contains(marker))
 }

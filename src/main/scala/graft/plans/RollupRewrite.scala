@@ -51,8 +51,11 @@ object MaterializedRollups {
     * hour partials are NOT re-derived into day answers (the rewrite
     * serves only the exact stored shape). */
   def enable(srcRoot: String, viewRoot: String,
-             grain: RollupView.Grain = RollupView.Day): Unit =
+             grain: RollupView.Grain = RollupView.Day,
+             serveStale: Boolean = false): Unit = {
     regs.put((canon(srcRoot), grain.seconds, "classic"), viewRoot)
+    if (serveStale) staleOk.add(viewRoot) else staleOk.remove(viewRoot)
+  }
 
   /** Declare that `viewRoot` is [[graft.sources.NdvView]]-maintained over
     * the snapshot store at `srcRoot`: distinct-count aggregates of the
@@ -73,12 +76,22 @@ object MaterializedRollups {
     * would otherwise grow without bound). */
   def disable(srcRoot: String): Unit = {
     val c = canon(srcRoot)
-    regs.keySet().asScala.filter(_._1 == c).toSeq.foreach(regs.remove)
+    regs.keySet().asScala.filter(_._1 == c).toSeq
+      .foreach(k => Option(regs.remove(k)).foreach(staleOk.remove))
     probeCache.keySet().asScala.filter(_.startsWith(c + "|")).toSeq
       .foreach(probeCache.remove)
   }
 
-  def clear(): Unit = { regs.clear(); probeCache.clear() }
+  def clear(): Unit = { regs.clear(); probeCache.clear(); staleOk.clear() }
+
+  /** Views opted into DELTA-COMPENSATED serving (classic kind only):
+    * when the view's stamp lags an append-only source gap, the rewrite
+    * serves `partials ∪ Δ-partials` ([[RollupView.compensatedRead]])
+    * instead of declining. NDV views never serve stale (their merge
+    * lives inside [[graft.sources.NdvView.read]]'s sketch fold, not the
+    * classic partial union). */
+  private[plans] val staleOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
@@ -228,10 +241,11 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** A registered, CURRENT, FRESH view of `kind` at `grain` for this
-    * relation's exact paths. */
+  /** A registered, CURRENT view of `kind` at `grain` for this
+    * relation's exact paths, with its source root and freshness — the
+    * caller decides whether a stale hit may serve compensated. */
   private def registrationFor(rel: LogicalRelation, grain: RollupView.Grain,
-                              kind: String): Option[String] = {
+                              kind: String): Option[(String, String, Boolean)] = {
     val paths = rel.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.map(p => MaterializedRollups.canon(p.toString)).toSet
@@ -241,8 +255,9 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ((srcRoot, g, k), viewRoot)
           if g == grain.seconds && k == kind &&
             MaterializedRollups.probe(srcRoot, viewRoot)
-              .exists { case (dirs, fresh) => fresh && dirs == paths } =>
-        viewRoot
+              .exists { case (dirs, _) => dirs == paths } =>
+        (srcRoot, viewRoot,
+          MaterializedRollups.probe(srcRoot, viewRoot).exists(_._2))
     }
   }
 
@@ -323,12 +338,22 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     dayOf: Expression, grain: RollupView.Grain,
                     filters: Seq[Expression], rel: LogicalRelation,
                     kind: String): Option[LogicalPlan] = {
-    val viewRoot = registrationFor(rel, grain, kind).getOrElse(return None)
+    val (srcRoot, viewRoot, fresh) =
+      registrationFor(rel, grain, kind).getOrElse(return None)
+    // FRESH: serve the stored partials. STALE + opted-in + classic +
+    // append-only gap: serve the delta-compensated merge. Anything else
+    // declines.
+    val viewDf =
+      if (fresh) kind match {
+        case "classic" => RollupView.read(spark, viewRoot, grain)
+        case _         => graft.sources.NdvView.read(spark, viewRoot, grain)
+      }
+      else if (kind == "classic" && MaterializedRollups.staleOk.contains(viewRoot))
+        RollupView.compensatedRead(spark, srcRoot, viewRoot, grain)
+          .getOrElse(return None)
+      else return None
     // the view side: analyzed merged-partials plan, columns by name
-    val viewPlan = (kind match {
-      case "classic" => RollupView.read(spark, viewRoot, grain)
-      case _         => graft.sources.NdvView.read(spark, viewRoot, grain)
-    }).queryExecution.analyzed
+    val viewPlan = viewDf.queryExecution.analyzed
     def viewCol(n: String): Attribute =
       viewPlan.output.find(_.name.equalsIgnoreCase(n)).get
     val projections = ae.map {

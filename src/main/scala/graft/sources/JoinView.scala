@@ -502,4 +502,63 @@ object JoinView {
     * schema change still reads its full shape). */
   def read(spark: SparkSession, viewRoot: String): DataFrame =
     SnapshotStore.readEvolved(spark, viewRoot)
+
+  /** DELTA-COMPENSATED content of a STALE inner view — the
+    * lambda-architecture read path: when the view's cursor (plv, prv)
+    * lags the sources' current versions and every gap commit is an
+    * APPEND, the current join is exactly
+    *
+    *   view  ∪  (ΔL ⋈ R_new)  ∪  (L_old ⋈ ΔR)
+    *
+    * (the same disjoint delta identity a refresh would append), so a
+    * reader can serve fresh answers at O(view + Δ) cost without waiting
+    * for the refresh. Standing sides are bloom-prefiltered and
+    * file-pruned by the delta's key range — with monotone ingest keys
+    * the compensation literally reads the view plus the delta-band
+    * files. None when compensation is unsound: the view isn't inner
+    * (outer shapes would need conversion, not union), a gap commit
+    * churned rows, a baseline manifest was vacuumed, or the view has no
+    * cursor yet. Already-fresh views return the plain view read.
+    *
+    * Building the compensation runs small driver jobs (the delta's key
+    * tuples and range) — the price of file-pruned standing reads; the
+    * serving rewrite only takes this path for registrations that opted
+    * into stale serving. */
+  def compensated(spark: SparkSession, leftRoot: String, rightRoot: String,
+                  viewRoot: String, leftKeys: Seq[String],
+                  rightKeys: Seq[String]): Option[DataFrame] = {
+    if (recordedHow(viewRoot).getOrElse("inner") != "inner") return None
+    val (plv, prv) = cursors(viewRoot)
+    if (plv == 0 && prv == 0) return None
+    val lv = SnapshotStore.currentVersion(leftRoot)
+    val rv = SnapshotStore.currentVersion(rightRoot)
+    if (lv < plv || rv < prv) return None
+    val view = read(spark, viewRoot)
+    if (lv == plv && rv == prv) return Some(view)
+    if (!appendOnly(leftRoot, plv, lv) || !appendOnly(rightRoot, prv, rv))
+      return None
+    val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
+    val rNew = SnapshotStore.readEvolved(spark, rightRoot, rv)
+    val lPart =
+      if (lv > plv) {
+        val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
+          Some(lNew.schema))
+        val dk = keyTuples(delta, leftKeys)
+        Some(joined(delta,
+          prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
+            rightKeys, dk),
+          leftKeys, rightKeys))
+      } else None
+    val rPart =
+      if (rv > prv) {
+        val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
+          Some(rNew.schema))
+        val dk = keyTuples(delta, rightKeys)
+        Some(joined(
+          prefiltered(standing(spark, leftRoot, plv, leftKeys, dk),
+            leftKeys, dk),
+          delta, leftKeys, rightKeys))
+      } else None
+    Some((Seq(view) ++ lPart ++ rPart).reduce(_ unionByName _))
+  }
 }

@@ -363,7 +363,13 @@ object RollupView {
   def read(spark: SparkSession, viewRoot: String,
            grain: Grain = Day): DataFrame = {
     requireGrain(viewRoot, grain, "read")
-    SnapshotStore.read(spark, viewRoot)
+    merged(SnapshotStore.read(spark, viewRoot), grain)
+  }
+
+  /** One partial-merge definition for the stored read and the
+    * delta-compensated read. */
+  private def merged(partials: DataFrame, grain: Grain): DataFrame =
+    partials
       .groupBy("metric", grain.col)
       .agg(
         sum(col("cnt")).as("cnt"),
@@ -374,6 +380,31 @@ object RollupView {
       // the group was deleted) — logically absent; compact() folds them
       // away physically
       .where(col("cnt") > 0)
+
+  /** DELTA-COMPENSATED content of a STALE classic view — the
+    * lambda-architecture read path: when the view's stamp lags the
+    * source's current version and every gap commit is an APPEND, the
+    * current rollup is exactly the stored partials merged with the
+    * GAP's delta partials (count/sum/min/max are all insert-monotone
+    * monoids — only retraction needs the refresh machinery), so a
+    * reader serves fresh answers at O(partials + Δ) without waiting for
+    * the refresh. None when compensation is unsound: a gap commit
+    * churned or compacted rows, the baseline manifest was vacuumed, or
+    * the view has no stamp yet; an already-fresh view returns the plain
+    * read. */
+  def compensatedRead(spark: SparkSession, srcRoot: String,
+                      viewRoot: String, grain: Grain = Day): Option[DataFrame] = {
+    requireGrain(viewRoot, grain, "compensatedRead")
+    val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(return None)
+    val srcCur = SnapshotStore.currentVersion(srcRoot)
+    if (srcCur < from) return None
+    if (srcCur == from) return Some(read(spark, viewRoot, grain))
+    if (!JoinView.appendOnly(srcRoot, from, srcCur)) return None
+    val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
+    Some(merged(
+      SnapshotStore.read(spark, viewRoot)
+        .unionByName(ClassicSpec.fold(ClassicSpec.bucketed(delta, grain), grain)),
+      grain))
   }
 
   /** Fold the accumulated partial rows down to one row per (metric,

@@ -1632,7 +1632,13 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.col
     val (files, _) = planFiles(spark, root, version, statsCol, lo, hi)
     val base =
-      if (files.isEmpty) read(spark, root, version).limit(0)
+      if (files.isEmpty)
+        // schema-preserving EMPTY relation, not limit(0) over the full
+        // scan: a fully-pruned read must leave NO file scan in the plan
+        // (the delta-compensated serving path asserts it reads only the
+        // view + delta-band files)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          read(spark, root, version).schema)
       else spark.read.parquet(files: _*)
     base.where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
