@@ -3559,6 +3559,36 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // KEY-GRANULAR rebase ACROSS SCHEMA EVOLUTION: the branch WIDENS
+    // (appends a batch carrying a new column) while both sides CoW the
+    // same fork-time dirs on disjoint keys — rebase(keys) composes by
+    // null-filling the narrow (parent) side per the store's own
+    // additive-evolution contract; only the both-sides-exclusive
+    // (rename) signature refuses. Main must equal both passes composed,
+    // pre-evolution survivors reading the added column as NULL.
+    "snapshot_branch_rebase_evolve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_bre").toString
+      try {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        sources.SnapshotStore.append(li, root)
+        val br = sources.SnapshotStore.createBranch(root, "curation")
+        sources.SnapshotStore.deleteWhere(s, br, col("l_orderkey") % 7 === 1)
+        sources.SnapshotStore.append( // the WIDENED batch: adds l_src
+          li.where(col("l_orderkey") % 7 === 3)
+            .withColumn("l_orderkey", col("l_orderkey") + lit(10000000L))
+            .withColumn("l_src", lit("branch")), br)
+        sources.SnapshotStore.deleteWhere(s, root, col("l_orderkey") % 7 === 2)
+        sources.SnapshotStore.rebaseBranch(s, root, "curation",
+          keys = Seq("l_orderkey"))
+        sources.SnapshotStore.mergeBranch(s, root, "curation")
+        sources.SnapshotStore.read(s, root, mergeSchema = true)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_src")
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // COMPOSITE-key join view: two column families of lineitem keyed
     // (orderkey, linenumber), maintained through bootstrap + left/right
     // deltas + a retraction that deletes SOME lines of an order while
@@ -6971,6 +7001,19 @@ object SparkEntry {
         |WHERE l_orderkey % 7 != 1 AND l_orderkey % 7 != 2
         |UNION ALL
         |SELECT l_orderkey + 10000000, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 3""".stripMargin,
+
+    // evolution-composing rebase: pre-evolution survivors null-fill the
+    // branch-added column; the branch's widened batch carries it
+    "snapshot_branch_rebase_evolve" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       CAST(NULL AS VARCHAR) AS l_src
+        |FROM lineitem
+        |WHERE l_orderkey % 7 != 1 AND l_orderkey % 7 != 2
+        |UNION ALL
+        |SELECT l_orderkey + 10000000, l_linenumber, l_partkey, l_quantity,
+        |       'branch' AS l_src
         |FROM lineitem
         |WHERE l_orderkey % 7 = 3""".stripMargin,
 

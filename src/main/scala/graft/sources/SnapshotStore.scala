@@ -183,6 +183,12 @@ object SnapshotStore {
     }
     if (qualifying.nonEmpty && qualifying.max > 1)
       vacuum(root, keepFrom = qualifying.max)
+    else
+      // say so rather than silently no-op: a horizon that qualifies only
+      // v1 (or nothing) reclaims nothing — v1 is always the retention
+      // floor (keepFrom starts at 1)
+      println(s"[vacuum] nothing older than $tsMillis to reclaim at $root " +
+        s"(qualifying: ${qualifying.mkString(",")})")
   }
 
   /** Commit history as a relation — `(version, op, ts_millis, epoch,
@@ -931,10 +937,10 @@ object SnapshotStore {
     // merge can never leave a FALSE anchor (which would corrupt the next
     // rebase the other way); the crash window between commit and anchor
     // is covered by rebaseBranch's anchor REPAIR (it re-derives the
-    // anchor from the parent's surviving merge manifest). If that merge
-    // manifest is ALSO vacuumed before any rebase runs, the merge is
-    // unknowable — the documented residual: rebase (or delete) branches
-    // before vacuuming away merge history.
+    // anchor from the parent's surviving merge manifest), and that
+    // manifest itself is vacuum-PINNED while any live branch still lacks
+    // its anchor sidecar (unclearedMergePins — forcing requires
+    // ignoreBranchAnchors = true).
     writeDirsSidecar(mergeAnchorPath(br, bv), mergedDirs)
     mv
   }
@@ -1077,10 +1083,11 @@ object SnapshotStore {
     // branch anchor never written — incl. merges from before anchors
     // existed): a surviving parent MERGE manifest whose dirs equal some
     // branch version's dirs above the anchor IS the missing anchor —
-    // re-derive and persist it. Residual (documented): if that merge
-    // manifest is ALSO vacuumed before any rebase runs, the merge is
-    // unknowable here — rebase (or delete) branches before vacuuming
-    // away merge history.
+    // re-derive and persist it. The parent's vacuum PINS such
+    // un-anchored merge manifests while the branch lives
+    // (unclearedMergePins), so the manifest survives unless the vacuum
+    // was explicitly forced past it (ignoreBranchAnchors = true — the
+    // merge is then unknowable here; reconcile via diff()).
     // The scan must include av0 ITSELF when the anchor is a rebase whose
     // recorded base differs from the branch's dirs at av0: the canonical
     // rebase → merge flow anchors the merge AT the rebase version
@@ -1210,15 +1217,41 @@ object SnapshotStore {
     // newer columns out of existence — and this rewrite REPLACES the
     // branch's whole content, so the loss would be permanent and ride
     // the next merge into the parent
-    val bCur = read(spark, br, bv, mergeSchema = true)
+    val bCur0 = read(spark, br, bv, mergeSchema = true)
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    val pCur = read(spark, root, parent, mergeSchema = true)
-    require(bCur.columns.map(lc).toSet == pCur.columns.map(lc).toSet,
-      "key-granular rebase requires matching column sets — reconcile the " +
-        s"schema evolution first (branch ${bCur.columns.toSeq} vs parent " +
-        s"${pCur.columns.toSeq})")
-    keys.foreach(k => require(bCur.columns.exists(_.equalsIgnoreCase(k)),
-      s"rebase key '$k' is not a table column"))
+    val pCur0 = read(spark, root, parent, mergeSchema = true)
+    // ONE-SIDED ADDITIVE evolution composes: when one side's column set
+    // contains the other's, the narrow side null-fills the missing
+    // columns (the store's own evolution contract — pre-evolution rows
+    // read the added column as NULL) and the rebase proceeds under the
+    // union schema. BOTH sides carrying exclusive columns is the RENAME
+    // signature (or two diverging evolutions): null-filling would
+    // silently split one logical column into two — refuse.
+    val bOnly = bCur0.columns.map(lc).toSet -- pCur0.columns.map(lc).toSet
+    val pOnly = pCur0.columns.map(lc).toSet -- bCur0.columns.map(lc).toSet
+    require(bOnly.isEmpty || pOnly.isEmpty,
+      "key-granular rebase cannot compose EXCLUSIVE columns on both " +
+        s"sides (branch-only: $bOnly, parent-only: $pOnly) — this is the " +
+        "rename/diverging-evolution signature; reconcile the schema first")
+    val wide = if (pOnly.nonEmpty) pCur0 else bCur0
+    def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val have = df.columns.map(lc).toSet
+      wide.schema.fields.filterNot(f => have.contains(lc(f.name)))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+        .select(wide.columns.map(col): _*)
+    }
+    val bCur = widen(bCur0)
+    val pCur = widen(pCur0)
+    // keys must be REAL columns on both sides: a key that exists only as
+    // a null-fill would make every row of that side key-null and the
+    // conflict gate blind
+    keys.foreach(k => require(
+      bCur0.columns.exists(_.equalsIgnoreCase(k)) &&
+        pCur0.columns.exists(_.equalsIgnoreCase(k)),
+      s"rebase key '$k' must be a column on BOTH sides (branch " +
+        s"${bCur0.columns.toSeq} vs parent ${pCur0.columns.toSeq})"))
     // both sides MUST have moved relative to the anchor base here: the
     // caller established a dir overlap, and every overlap element is a
     // base dir absent from each side's current dirs — a None would mean
@@ -1235,10 +1268,12 @@ object SnapshotStore {
       s"rebase row-conflict: both parent and branch '$name' changed rows " +
         s"under key(s) ${clash.mkString(", ")} since the anchor — inspect " +
         "diff() and reconcile explicitly")
-    val bDel = bCh.where(col("_change_type") === "delete")
-      .select(pCur.columns.map(col): _*)
-    val bIns = bCh.where(col("_change_type") === "insert")
-      .select(pCur.columns.map(col): _*)
+    // the change legs widen to the same union schema (a diff over
+    // pre-evolution dirs lacks the added columns; its rows' null-fill
+    // matches pCur's own null-fill for those rows, so EXCEPT ALL pairs
+    // them exactly)
+    val bDel = widen(bCh.where(col("_change_type") === "delete"))
+    val bIns = widen(bCh.where(col("_change_type") === "insert"))
     val rebased = pCur.exceptAll(bDel).unionByName(bIns)
     // sidecar BEFORE the manifest, exactly like the dir-granular path
     Files.createDirectories(manifestDir(br))
@@ -1294,6 +1329,76 @@ object SnapshotStore {
       (1 to currentVersion(br)).filter(hasManifest(br, _))
         .flatMap(v => manifestDirs(br, v)) ++ branchReferencedDirs(br)
     }.toSet
+
+  /** Directories recorded in live branches' ANCHOR sidecars (rebase
+    * bases and merge anchors), recursively — the anchor BASE content a
+    * later key-granular [[rebaseBranch]] diffs both sides against. A
+    * rebase base can hold parent dirs NO surviving manifest references
+    * (the branch dropped them before rebasing, the parent churned past
+    * them), so without this retention a routine parent vacuum would
+    * silently strip a live branch of its ability to reconcile rows —
+    * vacuum keeps them while the branch lives; [[deleteBranch]] (or the
+    * branch's own next rebase, which re-bases forward) releases them. */
+  private def branchAnchorDirs(root: String): Set[String] =
+    branches(root).flatMap { b =>
+      val br = branchRoot(root, b)
+      // bv + 1: a rebase-base sidecar is written for the NEXT version
+      // before its manifest commits — an in-flight rebase's base is live
+      (1 to currentVersion(br) + 1).flatMap { v =>
+        readDirsSidecar(rebaseBasePath(br, v)).toSeq ++
+          readDirsSidecar(mergeAnchorPath(br, v)).toSeq
+      }.flatten ++ branchAnchorDirs(br)
+    }.toSet
+
+  /** Parent MERGE manifests below `below` the anchor-repair sweep still
+    * needs: version v is pinned while some live branch carries a version
+    * whose dirs equal the merge's dirs but has NO merge-anchor sidecar —
+    * exactly the [[mergeBranch]] crash window whose repair
+    * ([[rebaseBranch]]'s sweep) re-derives the anchor FROM this
+    * manifest. Once the sidecar exists (normal merges write it
+    * immediately; a repair writes it on the next rebase) or the branch
+    * is deleted, the manifest is no longer needed and vacuum reclaims
+    * it. */
+  private def unclearedMergePins(root: String, below: Int): Seq[Int] = {
+    val brs = branches(root)
+    if (brs.isEmpty) return Nil
+    // Per-branch REPAIR-SCAN range, mirroring rebaseBranch's sweep: only
+    // versions ABOVE the branch's current anchor can need a re-derived
+    // merge anchor (a fork or already-anchored merge IS its own anchor —
+    // a sibling forked after someone else's merge must not pin it). A
+    // branch whose anchor is unreadable (lost rebase sidecar) pins
+    // conservatively over its whole history — the vacuum must never
+    // crash or guess-reclaim on a damaged branch.
+    val ranges = brs.flatMap { b =>
+      val br = branchRoot(root, b)
+      val bv = currentVersion(br)
+      if (bv == 0) None
+      else {
+        val scanLow =
+          try anchorOf(br, bv) match {
+            case Some((av, base)) =>
+              if (base == manifestDirs(br, av).toSet) av + 1 else av
+            case None => 1
+          } catch { case _: RuntimeException => 1 }
+        if (scanLow > bv) None else Some((br, scanLow, bv))
+      }
+    }
+    if (ranges.isEmpty) return Nil
+    (1 until below).filter { v =>
+      manifestOp(root, v).contains("merge") && {
+        val dv = manifestDirs(root, v).toSet
+        ranges.exists { case (br, lo, hi) =>
+          // a negative sweep already cleared parent versions ≤ marker
+          // for this branch — those merges can never anchor it
+          mergeScanCleared(br) < v &&
+            (lo to hi).exists { w =>
+              hasManifest(br, w) && manifestDirs(br, w).toSet == dv &&
+                readDirsSidecar(mergeAnchorPath(br, w)).isEmpty
+            }
+        }
+      }
+    }
+  }
 
   /** Directories under `root` that stores OUTSIDE its own subtree still
     * reference — possible once [[mergeBranch]] puts branch-owned dirs
@@ -1396,7 +1501,8 @@ object SnapshotStore {
   }
 
   def vacuum(root: String, keepFrom: Int,
-             ignoreViewBaselines: Boolean = false): Unit = {
+             ignoreViewBaselines: Boolean = false,
+             ignoreBranchAnchors: Boolean = false): Unit = {
     val cur = currentVersion(root)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom must be in [1, $cur], got $keepFrom")
@@ -1419,7 +1525,29 @@ object SnapshotStore {
           b
         }
       }
-    vacuumAt(root, keepEff)
+    // live branches pin un-anchored MERGE manifests: a crashed merge's
+    // anchor is only re-derivable from the parent's merge manifest
+    // (rebaseBranch's repair sweep) — vacuuming it first would make the
+    // merge unknowable and the branch's next rebase would replay against
+    // a STALE anchor (resurrected deletes, duplicated rows). Retain
+    // (loudly) unless forced; rebasing or deleting the branch clears
+    // the pin.
+    val keepEff2 =
+      if (ignoreBranchAnchors) keepEff
+      else unclearedMergePins(root, keepEff) match {
+        case Nil => keepEff
+        case pins =>
+          val b = pins.min
+          println(s"[vacuum] retaining manifests from v$b (asked v$keepEff): " +
+            s"merge manifest(s) v${pins.take(3).mkString(", v")} anchor live " +
+            "branch(es) whose merge-anchor sidecar was never written — " +
+            "rebaseBranch() the branch (its repair sweep persists the " +
+            "anchor and releases the pin), or pass ignoreBranchAnchors = " +
+            "true to force (the branch's next rebase would then replay " +
+            "against a stale anchor)")
+          b
+      }
+    vacuumAt(root, keepEff2)
   }
 
   private def vacuumAt(root: String, keepFrom: Int): Unit = {
@@ -1435,7 +1563,7 @@ object SnapshotStore {
     // ancestor or sibling subtree references after a by-reference merge —
     // vacuuming either away would delete live data someone else serves
     val retained = ((keepFrom to cur).flatMap(v => manifestDirs(root, v)) ++
-      branchReferencedDirs(root)).map(canon).toSet ++
+      branchReferencedDirs(root) ++ branchAnchorDirs(root)).map(canon).toSet ++
       externallyReferencedDirs(root)
     // A version's OWN data dirs, from its manifest diff against its
     // parent — computed BEFORE any manifest deletion. Name-pattern

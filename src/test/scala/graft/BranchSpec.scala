@@ -678,4 +678,142 @@ class BranchSpec extends SparkSpec {
       assert(idsOf(br).contains(11L))
     }
   }
+
+  test("key-granular rebase composes a POST-fork one-sided widening; rename signature refuses") {
+    withRoot { root =>
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      // branch widens (appends a batch with a new column) AND CoW-deletes
+      // a fork-time row; parent CoW-deletes a DIFFERENT row of the same dir
+      SnapshotStore.deleteWhere(spark, br, col("id") === 1L)
+      SnapshotStore.append(
+        Seq((100L, 100L % 7, "w100")).toDF("id", "grp", "note"), br)
+      SnapshotStore.deleteWhere(spark, root, col("id") === 2L)
+      SnapshotStore.rebaseBranch(spark, root, "work", keys = Seq("id"))
+      SnapshotStore.mergeBranch(spark, root, "work")
+      val got = SnapshotStore.read(spark, root, mergeSchema = true)
+        .select("id", "note").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got.keySet == (3L to 10L).toSet + 100L,
+        s"evolved row-rebase lost or resurrected rows: ${got.keySet.toSeq.sorted}")
+      assert(got(100L).contains("w100") && (3L to 10L).forall(got(_).isEmpty),
+        s"null-fill contract broken: $got")
+    }
+    withRoot { root =>
+      val s = spark
+      import s.implicits._
+      // BOTH sides carry exclusive columns — the rename/diverging-
+      // evolution signature: refuse rather than split one logical column
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.deleteWhere(spark, br, col("id") === 1L)
+      SnapshotStore.append(
+        Seq((100L, 2L, "b")).toDF("id", "grp", "branch_note"), br)
+      SnapshotStore.deleteWhere(spark, root, col("id") === 2L)
+      SnapshotStore.append(
+        Seq((200L, 4L, "p")).toDF("id", "grp", "parent_note"), root)
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.rebaseBranch(spark, root, "work", keys = Seq("id")))
+      assert(e.getMessage.contains("rename"),
+        s"expected the rename-signature refusal, got: ${e.getMessage}")
+    }
+  }
+
+  test("vacuum pins an un-anchored merge manifest; the repair sweep releases it") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      SnapshotStore.append(df(11L to 20L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.deleteWhere(spark, br, col("id") % 2 === 0)
+      val mv = SnapshotStore.mergeBranch(spark, root, "work")
+      // simulate the merge crash window: the parent commit landed, the
+      // branch-side anchor sidecar never did
+      val bv = SnapshotStore.currentVersion(br)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        br, "_manifests", s"merge_anchor_v$bv.json"))
+      SnapshotStore.append(df(21L to 30L: _*), root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      assert(SnapshotStore.hasManifest(root, mv),
+        "vacuum reclaimed the merge manifest a live branch still needs " +
+          "for anchor repair")
+      // the repair sweep re-derives and PERSISTS the anchor → pin released
+      SnapshotStore.rebaseBranch(spark, root, "work")
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      assert(!SnapshotStore.hasManifest(root, mv),
+        "anchored merge manifest should reclaim")
+      // and the branch is fully healthy: merge fast-forwards, content exact
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idsOf(root) ==
+        ((1L to 20L).filter(_ % 2 != 0) ++ (21L to 30L)).toSet)
+    }
+  }
+
+  test("the force flag reclaims past a merge pin; an anchored idle merge never pins") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      SnapshotStore.deleteWhere(spark, br, col("id") % 2 === 0)
+      val mv = SnapshotStore.mergeBranch(spark, root, "work")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        br, "_manifests",
+        s"merge_anchor_v${SnapshotStore.currentVersion(br)}.json"))
+      SnapshotStore.append(df(11L to 20L: _*), root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      assert(SnapshotStore.hasManifest(root, mv), "pin expected while the branch lives")
+      // the force flag overrides (acknowledging the stale-anchor risk)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root),
+        ignoreBranchAnchors = true)
+      assert(!SnapshotStore.hasManifest(root, mv), "force must reclaim")
+      // standard merged-branch remediation: compact migrates the content
+      // into parent-owned storage, vacuum drops the by-reference
+      // manifests, THEN the branch deletes
+      SnapshotStore.compact(spark, root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root),
+        ignoreBranchAnchors = true)
+      SnapshotStore.deleteBranch(root, "work")
+      assert(idsOf(root) == ((1L to 10L).filter(_ % 2 != 0) ++ (11L to 20L)).toSet)
+    }
+    withRoot { root =>
+      // an IDLE branch's crashed merge anchors at the fork version with
+      // the fork's own dirs — the fork anchor is equivalent, so the
+      // merge manifest is NOT needed and must not pin
+      SnapshotStore.append(df(1L to 10L: _*), root)
+      val br = SnapshotStore.branchRoot(root, "idle")
+      SnapshotStore.createBranch(root, "idle")
+      val mv = SnapshotStore.mergeBranch(spark, root, "idle")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        br, "_manifests",
+        s"merge_anchor_v${SnapshotStore.currentVersion(br)}.json"))
+      SnapshotStore.append(df(11L to 20L: _*), root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      assert(!SnapshotStore.hasManifest(root, mv),
+        "an idle branch's merge is fork-equivalent — no pin")
+    }
+  }
+
+  test("parent vacuum retains a live branch's rebase-base content; a second key-granular rebase composes") {
+    withRoot { root =>
+      SnapshotStore.append(df(1L to 40L: _*), root)
+      val br = SnapshotStore.createBranch(root, "work")
+      // both sides CoW the SAME fork-time dir on disjoint rows → the
+      // first rebase escalates to key granularity and records its base
+      SnapshotStore.deleteWhere(spark, br, col("id") === 1L)
+      SnapshotStore.deleteWhere(spark, root, col("id") === 10L)
+      SnapshotStore.rebaseBranch(spark, root, "work", keys = Seq("id"))
+      // both sides churn again, then the parent compacts and vacuums —
+      // the rebase BASE dirs leave every parent manifest; only the
+      // branch's anchor sidecar still needs their content
+      SnapshotStore.deleteWhere(spark, root, col("id") === 20L)
+      SnapshotStore.deleteWhere(spark, br, col("id") === 2L)
+      SnapshotStore.compact(spark, root)
+      SnapshotStore.vacuum(root, keepFrom = SnapshotStore.currentVersion(root))
+      // pre-guard this refused: "anchor base content ... was vacuumed"
+      SnapshotStore.rebaseBranch(spark, root, "work", keys = Seq("id"))
+      SnapshotStore.mergeBranch(spark, root, "work")
+      assert(idsOf(root) == (1L to 40L).toSet -- Set(1L, 2L, 10L, 20L),
+        "second key-granular rebase must compose both curation passes")
+    }
+  }
 }
