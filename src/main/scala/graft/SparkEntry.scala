@@ -4332,8 +4332,44 @@ object SparkEntry {
     // Rows-only (Spark's DataSketches estimates aren't reproducible in
     // DuckDB); the exact twin below is the oracle surface, and
     // TrendOpsSpec prices the estimate error against it.
-    "audience_overlap" -> ((s, dir) =>
-      TrendOps.audienceOverlapSketch(series(s, dir))),
+    // BAND-ORACLED (r16, the a26/a9/ann_recall technique): the sketch
+    // pair matrix exports its HLL estimates; DuckDB re-derives the EXACT
+    // overlap matrix from the series and replays the same band verdicts
+    // over the exported estimates — the estimates and verdicts all land
+    // under the hash. In-engine requires mirror the bands (a collapsed
+    // sketch fails loudly even with export disabled). Bands: one-sketch
+    // estimates (union) get the HLL lgK=12 3σ envelope (5%, floor 2);
+    // the inclusion-exclusion intersection stacks three estimates'
+    // errors (10% of |A|+|B|, floor 6).
+    "audience_overlap" -> ((s, dir) => {
+      val sr = series(s, dir)
+      val sk = exportForOracle(
+        TrendOps.audienceOverlapSketch(sr)
+          .select("metric_a", "metric_b", "est_union", "est_intersection"),
+        "overlap_sketch", model = true)
+      val joined = TrendOps.audienceOverlapExact(sr)
+        .join(sk, Seq("metric_a", "metric_b"))
+        .localCheckpoint(true)
+      joined.collect().foreach { r =>
+        val eu = r.getAs[Long]("union_users")
+        val au = r.getAs[Double]("est_union")
+        require(math.abs(au - eu) <= math.max(0.05 * eu, 2.0),
+          s"union estimate outside its band: $r")
+        val ei = r.getAs[Long]("inter_users")
+        val ai = r.getAs[Double]("est_intersection")
+        val ab = r.getAs[Long]("users_a") + r.getAs[Long]("users_b")
+        require(math.abs(ai - ei) <= math.max(0.10 * ab, 6.0),
+          s"intersection estimate outside its band: $r")
+      }
+      joined.select(col("metric_a"), col("metric_b"),
+        col("users_a"), col("users_b"), col("inter_users"), col("union_users"),
+        col("est_union"), col("est_intersection"),
+        (abs(col("est_union") - col("union_users")) <=
+          greatest(col("union_users") * lit(0.05), lit(2.0))).as("union_ok"),
+        (abs(col("est_intersection") - col("inter_users")) <=
+          greatest((col("users_a") + col("users_b")) * lit(0.10), lit(6.0)))
+          .as("inter_ok"))
+    }),
 
     // Exact twin: same matrix from real distinct-user sets (the honest
     // shuffle the sketch path avoids) — fully SQL-expressible.
@@ -6137,6 +6173,33 @@ object SparkEntry {
     // Audience overlap, exact leg: distinct-user sets per metric, pairwise
     // intersections by user equi-join, every pair present (zero-overlap
     // pairs included via the left join onto the full pair frame).
+    // band oracle: exact matrix re-derived from the series, the exported
+    // sketch estimates joined in, both band verdicts replayed with the
+    // same arithmetic as the Spark side — estimates AND verdicts hashed
+    "audience_overlap" ->
+      s"""WITH $SERIES,
+         |mu AS (SELECT DISTINCT metric, user_id FROM series),
+         |c AS (SELECT metric, count(*) AS users FROM mu GROUP BY 1),
+         |i AS (SELECT a.metric AS metric_a, b.metric AS metric_b, count(*) AS iu
+         |      FROM mu a JOIN mu b ON a.user_id = b.user_id AND a.metric < b.metric
+         |      GROUP BY 1, 2),
+         |ex AS (SELECT ca.metric AS metric_a, cb.metric AS metric_b,
+         |         ca.users AS users_a, cb.users AS users_b,
+         |         CAST(COALESCE(i.iu, 0) AS BIGINT) AS inter_users,
+         |         CAST(ca.users + cb.users - COALESCE(i.iu, 0) AS BIGINT)
+         |           AS union_users
+         |       FROM c ca JOIN c cb ON ca.metric < cb.metric
+         |       LEFT JOIN i ON i.metric_a = ca.metric AND i.metric_b = cb.metric),
+         |ap AS (SELECT metric_a, metric_b, est_union, est_intersection
+         |       FROM read_parquet('${exportGlob("overlap_sketch")}'))
+         |SELECT ex.metric_a, ex.metric_b, users_a, users_b,
+         |       inter_users, union_users, est_union, est_intersection,
+         |       abs(est_union - union_users) <=
+         |         greatest(union_users * 0.05, 2.0) AS union_ok,
+         |       abs(est_intersection - inter_users) <=
+         |         greatest((users_a + users_b) * 0.10, 6.0) AS inter_ok
+         |FROM ex JOIN ap USING (metric_a, metric_b)""".stripMargin,
+
     "audience_overlap_verify" ->
       s"""WITH $SERIES,
          |mu AS (SELECT DISTINCT metric, user_id FROM series),

@@ -167,6 +167,68 @@ object QuantileView {
           .otherwise(col("margin")).as("margin"))
   }
 
+  /** No-override margins: every metric refreezes at the default. */
+  private def noMargins(spark: SparkSession): DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("metric",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("margin",
+        org.apache.spark.sql.types.DoubleType))))
+
+  /** One full rebuild at source version `srcCur`: refreeze edges under
+    * `margins`, re-bin, publish (bootstrap appends, anything later
+    * compacts) — shared by [[refresh]]'s rebuild exits and
+    * [[retighten]]. */
+  private def rebuildAt(spark: SparkSession, srcRoot: String,
+                        viewRoot: String, grainSec: Long, bins: Int,
+                        srcCur: Int, margins: DataFrame): Int = {
+    val full = SnapshotStore.read(spark, srcRoot, srcCur)
+    val edRaw = freezeEdges(full, bins, margins).localCheckpoint(true)
+    // the contract gate rides freezeEdges' own aggregate (model-sized,
+    // driver-cheap here): NULL metric/value rows cannot bin — a null
+    // value would even silently land in bin 0 (Spark's greatest/least
+    // skip nulls) — refuse before anything publishes
+    require(edRaw.where(col("metric").isNull || col("__nnull") > 0)
+        .isEmpty,
+      s"null metric/value row(s) in source v$srcCur — out of the " +
+        "quantile view contract (they cannot bin); filter them before " +
+        "maintaining the view")
+    val ed = edRaw.drop("__nnull")
+    // edges BEFORE the publish, keyed by the version they freeze for:
+    // a crash between the two leaves an orphan sidecar nothing reads
+    ed.coalesce(1).write.mode("overwrite")
+      .parquet(edgesDir(viewRoot, srcCur))
+    val counts = binned(full, ed, grainSec, lit(1L))
+    if (SnapshotStore.currentVersion(viewRoot) == 0)
+      SnapshotStore.appendEpoch(counts, viewRoot, srcCur)
+    else
+      SnapshotStore.compactWith(counts, viewRoot,
+        epochOverride = Some(srcCur.toLong))
+  }
+
+  /** RE-TIGHTEN a drifted view: one explicit full rebuild that refreezes
+    * EVERY metric at the default margin, restoring the ≤ 2·w accuracy a
+    * drifting metric traded away through escape-doubled margins.
+    * Escape refreezes only ever GROW margins (amortizing maintenance
+    * during active drift); once the drift stabilizes, nothing shrinks
+    * them back — this is the operator's deliberate accuracy reclaim,
+    * priced honestly at one O(table) rebuild (the same price class as
+    * the view's own compaction, whose stamp mechanics it shares). Also
+    * brings a lagging view current as a side effect (the rebuild runs
+    * at the source's CURRENT version). */
+  def retighten(spark: SparkSession, srcRoot: String, viewRoot: String,
+                grainSec: Long = 86400L, bins: Int = DefaultBins): Int = {
+    val srcCur = SnapshotStore.currentVersion(srcRoot)
+    require(srcCur > 0, s"no published source version at $srcRoot")
+    require(SnapshotStore.lastEpoch(viewRoot).nonEmpty,
+      s"no refreshed quantile view at $viewRoot — refresh() bootstraps")
+    val v = rebuildAt(spark, srcRoot, viewRoot, grainSec, bins, srcCur,
+      noMargins(spark))
+    SnapshotStore.recordViewBaseline(srcRoot, viewRoot, srcCur)
+    v
+  }
+
   private def rowChurnOnly(root: String, from: Int, cur: Int): Boolean =
     SnapshotStore.opsAll(root, from, cur, SnapshotStore.RowChurnOps)
 
@@ -188,43 +250,12 @@ object QuantileView {
       v
     }
 
-    // no-override margins: every metric refreezes at the default
-    def noMargins: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("metric",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("margin",
-          org.apache.spark.sql.types.DoubleType))))
-
-    def rebuild(margins: DataFrame): Int = {
-      val full = SnapshotStore.read(spark, srcRoot, srcCur)
-      val edRaw = freezeEdges(full, bins, margins).localCheckpoint(true)
-      // the contract gate rides freezeEdges' own aggregate (model-sized,
-      // driver-cheap here): NULL metric/value rows cannot bin — a null
-      // value would even silently land in bin 0 (Spark's greatest/least
-      // skip nulls) — refuse before anything publishes
-      require(edRaw.where(col("metric").isNull || col("__nnull") > 0)
-          .isEmpty,
-        s"null metric/value row(s) in source v$srcCur — out of the " +
-          "quantile view contract (they cannot bin); filter them before " +
-          "maintaining the view")
-      val ed = edRaw.drop("__nnull")
-      // edges BEFORE the publish, keyed by the version they freeze for:
-      // a crash between the two leaves an orphan sidecar nothing reads
-      ed.coalesce(1).write.mode("overwrite")
-        .parquet(edgesDir(viewRoot, srcCur))
-      val counts = binned(full, ed, grainSec, lit(1L))
-      if (SnapshotStore.currentVersion(viewRoot) == 0)
-        SnapshotStore.appendEpoch(counts, viewRoot, srcCur)
-      else
-        SnapshotStore.compactWith(counts, viewRoot,
-          epochOverride = Some(srcCur.toLong))
-    }
+    def rebuild(margins: DataFrame): Int =
+      rebuildAt(spark, srcRoot, viewRoot, grainSec, bins, srcCur, margins)
 
     val baselineGone = from > 0 && !SnapshotStore.hasManifest(srcRoot, from)
     if (from == 0 || baselineGone || !rowChurnOnly(srcRoot, from, srcCur))
-      return recorded(rebuild(noMargins))
+      return recorded(rebuild(noMargins(spark)))
     val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
     // ESCAPE-triggered refreezes double the ESCAPING metrics' margins
     // (consecutive escapes compound per metric; stable neighbors and any

@@ -782,6 +782,60 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("quantile view: retighten() refreezes at the default margin, restoring 2w accuracy") {
+    import graft.sources.{QuantileView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("qview_rt").toString
+    try {
+      val src = s"$root/src"; val view = s"$root/view"
+      SnapshotStore.append((0 to 99).map(i => ("m", i.toLong, i.toDouble))
+        .toDF("metric", "e", "value"), src)
+      QuantileView.refresh(spark, src, view, grainSec = 1000000000L)
+      // monotone drift: escape-doubled margins coarsen m's bins
+      (1 to 6).foreach { step =>
+        SnapshotStore.append(
+          Seq(("m", 100L + step, 100.0 + step * 200.0))
+            .toDF("metric", "e", "value"), src)
+        QuantileView.refresh(spark, src, view, grainSec = 1000000000L)
+      }
+      def edge(col0: String): Double = QuantileView.edgesFor(spark, view)
+        .select(col0).head().getDouble(0)
+      val (mCoarse, wCoarse) = (edge("margin"), edge("w"))
+      assert(mCoarse > QuantileView.DefaultMargin,
+        s"drift never grew the margin ($mCoarse) — the fixture is vacuous")
+      // drift stabilized: the operator reclaims accuracy explicitly
+      QuantileView.retighten(spark, src, view, grainSec = 1000000000L)
+      val (mTight, wTight) = (edge("margin"), edge("w"))
+      assert(mTight == QuantileView.DefaultMargin,
+        s"retighten must refreeze at the default margin, got $mTight")
+      assert(wTight < wCoarse,
+        s"retighten must TIGHTEN the bins: w $wCoarse -> $wTight")
+      // answers now land inside the TIGHTENED 2w of the exact quantile
+      val exact = SnapshotStore.read(spark, src)
+        .agg(expr("percentile(value, 0.9)")).head().getDouble(0)
+      val est = QuantileView.quantiles(spark, view, Seq(0.9))
+        .head().getDouble(3)
+      assert(math.abs(est - exact) <= 2 * wTight + 1e-9,
+        s"post-retighten estimate $est outside tightened 2w of $exact (w=$wTight)")
+      // stamp preserved: a replayed refresh is a no-op, and an
+      // in-envelope delta stays on the O(Δ) append path
+      val vAfter = SnapshotStore.currentVersion(view)
+      QuantileView.refresh(spark, src, view, grainSec = 1000000000L)
+      assert(SnapshotStore.currentVersion(view) == vAfter)
+      SnapshotStore.append(Seq(("m", 200L, 500.0)).toDF("metric", "e", "value"), src)
+      QuantileView.refresh(spark, src, view, grainSec = 1000000000L)
+      assert(SnapshotStore.manifestOp(view, SnapshotStore.currentVersion(view))
+        .contains("append"),
+        "in-envelope delta after retighten must stay an O(Δ) append")
+      // retighten also brings a LAGGING view current (rebuild at srcCur)
+      SnapshotStore.append(Seq(("m", 201L, 9999.0)).toDF("metric", "e", "value"), src)
+      QuantileView.retighten(spark, src, view, grainSec = 1000000000L)
+      assert(SnapshotStore.lastEpoch(view)
+        .contains(SnapshotStore.currentVersion(src).toLong))
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("quantile view torture: net counts == direct binning after every commit") {
     import graft.sources.{QuantileView, SnapshotStore}
     val s = spark
