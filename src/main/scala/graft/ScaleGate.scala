@@ -126,6 +126,9 @@ object ScaleGate {
       // churn of a LOW standing band on the dim side
       SnapshotStore.deleteWhere(spark, l, col("c_custkey") < 1024)
       time("aggjoin churn (dim band)")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "aggjoin dim-band churn must stay an arithmetic signed-partial append")
       time("aggjoin serve-read")(AggJoinView.read(spark, v).count())
     }
 

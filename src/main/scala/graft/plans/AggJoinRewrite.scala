@@ -238,10 +238,16 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val c = viewCol("cnt").filter(_.dataType == ag.dataType)
           .getOrElse(return None)
         Alias(c, al.name)(exprId = al.exprId)
+      // precision FLOOR 18 (the repo-wide decimal(18,2) convention): a
+      // sub-magnitude cast like DECIMAL(4,2) overflows per-VALUE to null
+      // in the base plan (non-ANSI cast) while the stored DECIMAL(30,2)
+      // partial counted the value — the same query would answer
+      // differently served vs declined. ≥ 18 keeps 16 integer digits,
+      // far above the fixtures' value contract.
       case al @ Alias(ag @ AggregateExpression(
           Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
           _, false, None, _), _)
-          if dt.scale == 2 && dt.precision <= 30 &&
+          if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
             hit.measures.contains(v.name.toLowerCase) =>
         val c = viewCol(s"sum_${v.name}").getOrElse(return None)
         Alias(Cast(c, ag.dataType), al.name)(exprId = al.exprId)

@@ -273,20 +273,29 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // registered (L, R)); a left-outer join serves ONLY in the registered
     // orientation (its right-outer spelling is normalized by the caller)
     val symmetric = joinType == Inner || joinType == FullOuter
-    val (reg, fresh) = MaterializedJoins.all.collectFirst {
-      case ((lr, rr, lk, rk, how), r)
-          if how == wantHow && {
-            (((lk, rk) == sig &&
-              MaterializedJoins.probe(lr, rr, r.viewRoot).exists {
-                case (ld, rd, _) => ld == lpaths && rd == rpaths
-              }) ||
-            (symmetric && (lk, rk) == flipped &&
-              MaterializedJoins.probe(lr, rr, r.viewRoot).exists {
-                case (ld, rd, _) => ld == rpaths && rd == lpaths
-              }))
-          } =>
-        (r, MaterializedJoins.probe(lr, rr, r.viewRoot).exists(_._3))
-    }.getOrElse(return None)
+    // ONE probe call per registration: dirs-match and freshness must come
+    // from the SAME atomic probe result — a concurrent refresh between
+    // two probe calls could pair version-N dirs with version-N+1
+    // freshness and serve content newer than the query's pinned snapshot
+    val candidates = MaterializedJoins.all.iterator.flatMap {
+      case ((lr, rr, lk, rk, how), r) if how == wantHow &&
+          ((lk, rk) == sig || (symmetric && (lk, rk) == flipped)) =>
+        MaterializedJoins.probe(lr, rr, r.viewRoot).flatMap {
+          case (ld, rd, fresh) =>
+            if ((lk, rk) == sig && ld == lpaths && rd == rpaths)
+              Some((r, fresh))
+            else if (symmetric && (lk, rk) == flipped &&
+                ld == rpaths && rd == lpaths)
+              Some((r, fresh))
+            else None
+        }
+      case _ => None
+    }.toSeq
+    // prefer a FRESH hit over a stale one (two registrations can match
+    // the same query in opposite orientations — a stale non-opted first
+    // hit must not shadow a fresh second)
+    val (reg, fresh) = candidates.find(_._2)
+      .orElse(candidates.headOption).getOrElse(return None)
 
     // FRESH: serve the stored view. STALE + opted-in + inner + every gap
     // commit an append: serve the delta-compensated union (same output

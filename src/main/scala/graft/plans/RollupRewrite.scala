@@ -53,7 +53,10 @@ object MaterializedRollups {
   def enable(srcRoot: String, viewRoot: String,
              grain: RollupView.Grain = RollupView.Day,
              serveStale: Boolean = false): Unit = {
-    regs.put((canon(srcRoot), grain.seconds, "classic"), viewRoot)
+    // a re-registration under a DIFFERENT view must not leave the old
+    // view's stale opt-in behind
+    Option(regs.put((canon(srcRoot), grain.seconds, "classic"), viewRoot))
+      .filter(_ != viewRoot).foreach(staleOk.remove)
     if (serveStale) staleOk.add(viewRoot) else staleOk.remove(viewRoot)
   }
 
@@ -251,14 +254,16 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         fs.location.rootPaths.map(p => MaterializedRollups.canon(p.toString)).toSet
       case _ => return None
     }
-    MaterializedRollups.all.collectFirst {
-      case ((srcRoot, g, k), viewRoot)
-          if g == grain.seconds && k == kind &&
-            MaterializedRollups.probe(srcRoot, viewRoot)
-              .exists { case (dirs, _) => dirs == paths } =>
-        (srcRoot, viewRoot,
-          MaterializedRollups.probe(srcRoot, viewRoot).exists(_._2))
-    }
+    // ONE probe call: dirs-match and freshness from the same atomic
+    // result (a concurrent refresh between two calls could pair old dirs
+    // with new freshness and serve past the query's pinned snapshot)
+    MaterializedRollups.all.iterator.flatMap {
+      case ((srcRoot, g, k), viewRoot) if g == grain.seconds && k == kind =>
+        MaterializedRollups.probe(srcRoot, viewRoot).collect {
+          case (dirs, fresh) if dirs == paths => (srcRoot, viewRoot, fresh)
+        }
+      case _ => None
+    }.nextOption()
   }
 
   private val servedGrains: Map[Any, RollupView.Grain] =
@@ -304,9 +309,14 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     al match {
       case Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
         Some(Alias(viewCol("cnt"), al.name)(exprId = al.exprId))
+      // precision floor 18, mirroring AggJoinRewrite: below it a
+      // non-ANSI per-value cast can overflow to null in the base plan
+      // while the DECIMAL(30,2) partial counted the value — served and
+      // declined answers would diverge
       case Alias(ag @ AggregateExpression(
           Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _), _)
-          if nameIs(v, "value") && dt.scale == 2 && dt.precision <= 30 =>
+          if nameIs(v, "value") && dt.scale == 2 &&
+            dt.precision <= 30 && dt.precision >= 18 =>
         Some(Alias(Cast(viewCol("vsum"), ag.dataType), al.name)(exprId = al.exprId))
       case Alias(ag @ AggregateExpression(Min(v: AttributeReference), _, false, None, _), _)
           if nameIs(v, "value") && viewCol("vmin").dataType == ag.dataType =>

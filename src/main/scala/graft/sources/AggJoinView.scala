@@ -86,15 +86,13 @@ object AggJoinView {
       java.nio.file.Paths.get(viewRoot, "_aggspec"), line.getBytes("UTF-8"))
   }
 
-  /** The view-shaped inner join (right keys dropped — recoverable from
-    * their paired left keys) projected to group + measure columns. */
+  /** The view-shaped inner join ([[JoinView.joined]] — ONE definition of
+    * "conjunction of pairwise equalities, right keys dropped") projected
+    * to group + measure columns. */
   private def joinedSlice(l: DataFrame, r: DataFrame,
                           lks: Seq[String], rks: Seq[String],
-                          groups: Seq[String], measures: Seq[String]): DataFrame = {
-    val cond = lks.zip(rks).map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
-    val j = rks.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
-    j.select((groups ++ measures).map(col): _*)
-  }
+                          groups: Seq[String], measures: Seq[String]): DataFrame =
+    JoinView.joined(l, r, lks, rks).select((groups ++ measures).map(col): _*)
 
   /** Fold join rows to one signed partial per group. `sign` is +1 for
     * arriving rows, -1 for retracted ones; count/sum retract by

@@ -69,7 +69,7 @@ object JoinView {
     * any Spark join type; `keepRightKeys` is the VIEW
     * SHAPE and is independent of it (the outer view's ΔR maintenance leg
     * is an inner join that still keeps right keys). */
-  private def joined(l: DataFrame, r: DataFrame,
+  private[sources] def joined(l: DataFrame, r: DataFrame,
                      lks: Seq[String], rks: Seq[String],
                      joinType: String = "inner",
                      keepRightKeys: Boolean = false): DataFrame = {
@@ -559,6 +559,13 @@ object JoinView {
             leftKeys, dk),
           delta, leftKeys, rightKeys))
       } else None
-    Some((Seq(view) ++ lPart ++ rPart).reduce(_ unionByName _))
+    // allowMissingColumns: an append-only gap can WIDEN a source (the
+    // store's additive-evolution contract — op stays "append"), so the
+    // delta legs may carry a column the view predates, or vice versa.
+    // Null-filling is EXACT here: the view's rows joined under the old
+    // schema, and the user's own current-snapshot join reads those same
+    // pre-evolution rows' new column as null through the merged footer.
+    Some((Seq(view) ++ lPart ++ rPart)
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 }

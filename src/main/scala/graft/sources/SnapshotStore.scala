@@ -1384,18 +1384,26 @@ object SnapshotStore {
       }
     }
     if (ranges.isEmpty) return Nil
-    (1 until below).filter { v =>
-      manifestOp(root, v).contains("merge") && {
-        val dv = manifestDirs(root, v).toSet
-        ranges.exists { case (br, lo, hi) =>
-          // a negative sweep already cleared parent versions ≤ marker
-          // for this branch — those merges can never anchor it
-          mergeScanCleared(br) < v &&
-            (lo to hi).exists { w =>
-              hasManifest(br, w) && manifestDirs(br, w).toSet == dv &&
-                readDirsSidecar(mergeAnchorPath(br, w)).isEmpty
-            }
-        }
+    val merges = (1 until below).filter(manifestOp(root, _).contains("merge"))
+    if (merges.isEmpty) return Nil
+    // memoize per branch ONCE: the un-anchored versions' dir sets in its
+    // repair-scan range, plus its cleared marker — without this a long
+    // parent history pays O(merges × branches × scanRange) manifest
+    // re-reads per vacuum
+    val branchState = ranges.map { case (br, lo, hi) =>
+      val unanchored = (lo to hi).flatMap { w =>
+        if (hasManifest(br, w) && readDirsSidecar(mergeAnchorPath(br, w)).isEmpty)
+          Some(manifestDirs(br, w).toSet)
+        else None
+      }.toSet
+      (mergeScanCleared(br), unanchored)
+    }
+    merges.filter { v =>
+      val dv = manifestDirs(root, v).toSet
+      // a negative sweep already cleared parent versions ≤ marker for
+      // that branch — those merges can never anchor it
+      branchState.exists { case (cleared, unanchored) =>
+        cleared < v && unanchored.contains(dv)
       }
     }
   }

@@ -128,6 +128,30 @@ class StaleServeSpec extends SparkSpec {
     }
   }
 
+  test("join: a WIDENED append-only gap still serves compensated (null-fill contract)") {
+    withRoot { root =>
+      val s = spark
+      import s.implicits._
+      val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+      SnapshotStore.append(ordersDF(1L to 10L: _*), l)
+      SnapshotStore.append(linesDF(1L to 8L: _*), r)
+      JoinView.refresh(spark, l, r, v, "o_id", "lo_id")
+      MaterializedJoins.enable(l, r, v, "o_id", "lo_id", serveStale = true)
+      // the gap WIDENS the right source (additive evolution, still an
+      // append): the delta legs carry `note`, the view predates it —
+      // pre-fix the compensation's strict unionByName crashed analysis
+      SnapshotStore.append(
+        Seq((9L, 18.0, "w9"), (10L, 20.0, "w10"))
+          .toDF("lo_id", "qty", "note"), r)
+      val q = userJoin(l, r)
+      assert(PlanProbe.scansAny(q, "/view"),
+        "widened append-only gap must still serve compensated")
+      MaterializedJoins.disable(l)
+      assert(rows(q) == rows(userJoin(l, r)),
+        "compensated values must equal the current join under evolution")
+    }
+  }
+
   test("rollup: append-only gap serves partials ∪ Δ-partials; churn gap declines") {
     withRoot { root =>
       val src = s"$root/src"; val v = s"$root/view"
