@@ -3864,6 +3864,47 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // STALE-compensated serving of the aggregate-over-join MV — round-16
+    // items 1 and 2 COMPOSED: both sources gained append-only commits
+    // after the last refresh; the user-shaped join+GROUP BY is answered
+    // as stored partials merged with the gap's delta-join rows folded on
+    // the fly (O(partials + Δ join)), instead of declining. used_view
+    // pins the view stayed in the plan; values face the CURRENT sources.
+    "agg_join_view_stale_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ajss").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        val c = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 === 0), l)
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 === 0), r)
+        sources.AggJoinView.refresh(s, l, r, v, "c_custkey", "o_custkey",
+          Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"))
+        graft.plans.MaterializedAggJoins.enable(l, r, v,
+          "c_custkey", "o_custkey",
+          Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"),
+          serveStale = true)
+        try {
+          // the gap: append-only commits on BOTH sides, NO refresh
+          sources.SnapshotStore.append(c.where(col("c_custkey") % 2 =!= 0), l)
+          sources.SnapshotStore.append(o.where(col("o_custkey") % 3 =!= 0), r)
+          val lf = sources.SnapshotStore.read(s, l)
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+            .groupBy("c_mktsegment", "o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          val usedView = graft.plans.PlanProbe.scansAny(q, "/view")
+          q.select(col("c_mktsegment"), col("o_orderstatus"), col("n_orders"),
+              col("rev").cast("double").as("revenue"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedAggJoins.disable(l)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // STREAMING maintenance of the aggregate-over-join MV: customers
     // stand, orders drip through a checkpointed file stream, every
     // trigger folding its delta-join partials inside the trigger (the
@@ -6964,6 +7005,14 @@ object SparkEntry {
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
         |         AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "agg_join_view_stale_serve" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       TRUE AS used_view
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1, 2""".stripMargin,
 

@@ -23,8 +23,19 @@ object MaterializedAggJoins {
   // key: (canon left root, canon right root, left key sig, right key
   // sig, sorted group cols, sorted measure cols) — the full view spec,
   // so differently-shaped MVs over the same join coexist
+  /** A registration's payload: the view plus everything the STALE
+    * serving path needs to rebuild the compensation (original-case
+    * roots, key lists, and spec columns). */
+  private[plans] final case class AReg(viewRoot: String,
+                                       leftRoot: String, rightRoot: String,
+                                       leftKeys: Seq[String],
+                                       rightKeys: Seq[String],
+                                       groupCols: Seq[String],
+                                       measureCols: Seq[String],
+                                       serveStale: Boolean)
+
   private val regs = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String, String, String, String), String]()
+    (String, String, String, String, String, String), AReg]()
 
   private def canon(p: String): String = MaterializedRollups.canon(p)
 
@@ -38,21 +49,31 @@ object MaterializedAggJoins {
     * snapshots is answered from the view — when, and only when, the
     * view's packed cursor matches both sources' current versions at
     * planning time (the [[MaterializedJoins]] binding contract). */
+  /** `serveStale = true` additionally opts this registration into
+    * DELTA-COMPENSATED serving: when the view's cursor lags the sources
+    * but every gap commit is an append, the aggregate is answered as
+    * stored partials merged with the gap's delta-join rows folded on
+    * the fly ([[AggJoinView.compensatedRead]]) instead of declining. A
+    * churned gap still declines. */
   def enableKeys(leftRoot: String, rightRoot: String, viewRoot: String,
                  leftKeys: Seq[String], rightKeys: Seq[String],
-                 groupCols: Seq[String], measureCols: Seq[String]): Unit = {
+                 groupCols: Seq[String], measureCols: Seq[String],
+                 serveStale: Boolean = false): Unit = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
     val (lk, rk) = MaterializedJoins.keySig(leftKeys, rightKeys)
     regs.put((canon(leftRoot), canon(rightRoot), lk, rk,
-      lcSorted(groupCols), lcSorted(measureCols)), viewRoot)
+      lcSorted(groupCols), lcSorted(measureCols)),
+      AReg(viewRoot, leftRoot, rightRoot, leftKeys, rightKeys,
+        groupCols, measureCols, serveStale))
   }
 
   def enable(leftRoot: String, rightRoot: String, viewRoot: String,
              leftKey: String, rightKey: String,
-             groupCols: Seq[String], measureCols: Seq[String]): Unit =
+             groupCols: Seq[String], measureCols: Seq[String],
+             serveStale: Boolean = false): Unit =
     enableKeys(leftRoot, rightRoot, viewRoot, Seq(leftKey), Seq(rightKey),
-      groupCols, measureCols)
+      groupCols, measureCols, serveStale)
 
   /** Unregister every registration mentioning `root` on either side. */
   def disable(root: String): Unit = {
@@ -65,7 +86,7 @@ object MaterializedAggJoins {
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
-  private[plans] def all: Map[(String, String, String, String, String, String), String] =
+  private[plans] def all: Map[(String, String, String, String, String, String), AReg] =
     regs.asScala.toMap
 }
 
@@ -182,25 +203,31 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // inner joins are symmetric: try the registration in either side
     // order. `keyPairs` is oriented registration-left → registration-
     // right so grouped-on registration-right keys normalize onto their
-    // stored pair.
-    case class Hit(viewRoot: String, groups: Set[String], measures: Set[String],
-                   keyPairs: Seq[(String, String)])
-    val hit = MaterializedAggJoins.all.collectFirst {
-      case ((lr, rr, lk, rk, g, m), vr)
-          if ((lk, rk) == sig &&
-            MaterializedJoins.probe(lr, rr, vr).exists {
-              case (ld, rd, fresh) => fresh && ld == lpaths && rd == rpaths
-            }) =>
-        Hit(vr, g.split(",").toSet, splitSet(m),
-          las.map(_.name.toLowerCase).zip(ras.map(_.name.toLowerCase)))
-      case ((lr, rr, lk, rk, g, m), vr)
-          if ((lk, rk) == flipped &&
-            MaterializedJoins.probe(lr, rr, vr).exists {
-              case (ld, rd, fresh) => fresh && ld == rpaths && rd == lpaths
-            }) =>
-        Hit(vr, g.split(",").toSet, splitSet(m),
-          ras.map(_.name.toLowerCase).zip(las.map(_.name.toLowerCase)))
-    }.getOrElse(return None)
+    // stored pair. ONE probe per candidate (dirs match + freshness from
+    // the same atomic result — the sibling rules' TOCTOU posture); a
+    // fresh hit is preferred over a stale one.
+    case class Hit(reg: MaterializedAggJoins.AReg, groups: Set[String],
+                   measures: Set[String], keyPairs: Seq[(String, String)],
+                   fresh: Boolean)
+    val candidates = MaterializedAggJoins.all.iterator.flatMap {
+      case ((lr, rr, lk, rk, g, m), r)
+          if (lk, rk) == sig || (lk, rk) == flipped =>
+        MaterializedJoins.probe(lr, rr, r.viewRoot).flatMap {
+          case (ld, rd, fresh) =>
+            if ((lk, rk) == sig && ld == lpaths && rd == rpaths)
+              Some(Hit(r, g.split(",").toSet, splitSet(m),
+                las.map(_.name.toLowerCase).zip(ras.map(_.name.toLowerCase)),
+                fresh))
+            else if ((lk, rk) == flipped && ld == rpaths && rd == lpaths)
+              Some(Hit(r, g.split(",").toSet, splitSet(m),
+                ras.map(_.name.toLowerCase).zip(las.map(_.name.toLowerCase)),
+                fresh))
+            else None
+        }
+      case _ => None
+    }.toSeq
+    val hit = candidates.find(_.fresh)
+      .orElse(candidates.headOption).getOrElse(return None)
 
     // a grouped-on right key serves from its paired left key's stored
     // column (value-identical under the inner equality); every grouping
@@ -220,7 +247,17 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val allFilters = topFilters ++ lfilters ++ rfilters
     if (!allFilters.forall(_.references.subsetOf(groupingSet))) return None
 
-    val viewPlan = AggJoinView.read(spark, hit.viewRoot).queryExecution.analyzed
+    // FRESH: serve the stored partials. STALE + opted-in + append-only
+    // gap: serve the delta-compensated merge. Anything else declines.
+    val viewDf =
+      if (hit.fresh) AggJoinView.read(spark, hit.reg.viewRoot)
+      else if (hit.reg.serveStale)
+        AggJoinView.compensatedRead(spark, hit.reg.leftRoot,
+          hit.reg.rightRoot, hit.reg.viewRoot, hit.reg.leftKeys,
+          hit.reg.rightKeys, hit.reg.groupCols, hit.reg.measureCols)
+          .getOrElse(return None)
+      else return None
+    val viewPlan = viewDf.queryExecution.analyzed
     def viewCol(n: String): Option[Attribute] =
       viewPlan.output.find(_.name.equalsIgnoreCase(n))
 

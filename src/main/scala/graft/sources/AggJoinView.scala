@@ -163,32 +163,9 @@ object AggJoinView {
         measureCols, 1), viewRoot, JoinView.pack(lv, rv))
     } else if (JoinView.appendOnly(leftRoot, plv, lv) &&
                JoinView.appendOnly(rightRoot, prv, rv)) {
-      // Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR, each standing side file-pruned by
-      // the delta's key range and bloom-prefiltered by its key tuples —
-      // the JoinView delta machinery verbatim, folded to positive partials
-      val lPart =
-        if (lv > plv) {
-          val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
-            Some(lNew.schema))
-          val dk = JoinView.keyTuples(delta, leftKeys)
-          Some(slice(delta,
-            JoinView.prefiltered(
-              JoinView.standing(spark, rightRoot, rv, rightKeys, dk),
-              rightKeys, dk)))
-        } else None
-      val rPart =
-        if (rv > prv) {
-          val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
-            Some(rNew.schema))
-          val dk = JoinView.keyTuples(delta, rightKeys)
-          Some(slice(
-            JoinView.prefiltered(
-              JoinView.standing(spark, leftRoot, plv, leftKeys, dk),
-              leftKeys, dk),
-            delta))
-        } else None
-      val adds = fold((lPart.toSeq ++ rPart.toSeq).reduce(_ unionByName _),
-        groupCols, measureCols, 1)
+      val adds = fold(deltaJoinRows(spark, leftRoot, rightRoot,
+        leftKeys, rightKeys, groupCols, measureCols,
+        plv, prv, lv, rv, lNew, rNew), groupCols, measureCols, 1)
       // an empty delta still publishes the cursor stamp (one
       // schema-bearing file — the RollupView empty-append posture)
       SnapshotStore.appendEpoch(
@@ -241,6 +218,82 @@ object AggJoinView {
     SnapshotStore.recordViewBaseline(leftRoot, viewRoot, lv)
     SnapshotStore.recordViewBaseline(rightRoot, viewRoot, rv)
     vNew
+  }
+
+  /** The append-only gap's new join rows, sliced to (groups, measures):
+    * Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR, each standing side file-pruned by
+    * the delta's key range and bloom-prefiltered by its key tuples —
+    * the JoinView delta machinery verbatim. Shared by [[refreshKeys]]'s
+    * append path (folds positive partials) and [[compensatedRead]]
+    * (folds them on the fly for a stale serve). At least one side must
+    * have moved. */
+  private def deltaJoinRows(spark: SparkSession,
+                            leftRoot: String, rightRoot: String,
+                            leftKeys: Seq[String], rightKeys: Seq[String],
+                            groupCols: Seq[String], measureCols: Seq[String],
+                            plv: Int, prv: Int, lv: Int, rv: Int,
+                            lNew: DataFrame, rNew: DataFrame): DataFrame = {
+    def slice(l: DataFrame, r: DataFrame): DataFrame =
+      joinedSlice(l, r, leftKeys, rightKeys, groupCols, measureCols)
+    val lPart =
+      if (lv > plv) {
+        val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
+          Some(lNew.schema))
+        val dk = JoinView.keyTuples(delta, leftKeys)
+        Some(slice(delta,
+          JoinView.prefiltered(
+            JoinView.standing(spark, rightRoot, rv, rightKeys, dk),
+            rightKeys, dk)))
+      } else None
+    val rPart =
+      if (rv > prv) {
+        val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
+          Some(rNew.schema))
+        val dk = JoinView.keyTuples(delta, rightKeys)
+        Some(slice(
+          JoinView.prefiltered(
+            JoinView.standing(spark, leftRoot, plv, leftKeys, dk),
+            leftKeys, dk),
+          delta))
+      } else None
+    (lPart.toSeq ++ rPart.toSeq).reduce(_ unionByName _)
+  }
+
+  /** DELTA-COMPENSATED content of a STALE agg-join view — round-16's
+    * items 1 and 2 composed: when the view's cursor lags the sources and
+    * every gap commit is an APPEND, the current aggregate is exactly the
+    * stored partials merged with the gap's delta-join rows folded on the
+    * fly (count/decimal-sum are insert-monotone; only churn needs the
+    * signed-refresh machinery) — fresh answers at O(partials + Δ join)
+    * without waiting for the refresh. None when unsound (churned gap,
+    * vacuumed baseline, no cursor); an already-fresh view returns the
+    * plain read. */
+  def compensatedRead(spark: SparkSession, leftRoot: String,
+                      rightRoot: String, viewRoot: String,
+                      leftKeys: Seq[String], rightKeys: Seq[String],
+                      groupCols: Seq[String],
+                      measureCols: Seq[String]): Option[DataFrame] = {
+    val (plv, prv) = JoinView.cursors(viewRoot)
+    if (plv == 0 && prv == 0) return None
+    val lv = SnapshotStore.currentVersion(leftRoot)
+    val rv = SnapshotStore.currentVersion(rightRoot)
+    if (lv < plv || rv < prv) return None
+    if (lv == plv && rv == prv) return Some(read(spark, viewRoot))
+    if (!JoinView.appendOnly(leftRoot, plv, lv) ||
+        !JoinView.appendOnly(rightRoot, prv, rv)) return None
+    val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
+    val rNew = SnapshotStore.readEvolved(spark, rightRoot, rv)
+    val deltaPartials = fold(deltaJoinRows(spark, leftRoot, rightRoot,
+      leftKeys, rightKeys, groupCols, measureCols,
+      plv, prv, lv, rv, lNew, rNew), groupCols, measureCols, 1)
+    val stored = SnapshotStore.read(spark, viewRoot)
+    val aggs: Seq[Column] = sum(col("cnt")).as("cnt") +:
+      measureCols.map(m =>
+        sum(col(sumCol(m))).cast(SumType).as(sumCol(m)))
+    Some(stored.unionByName(deltaPartials)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("cnt") > 0))
   }
 
   /** Single-key [[refreshKeys]]. */

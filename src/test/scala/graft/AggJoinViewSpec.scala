@@ -245,6 +245,55 @@ class AggJoinViewSpec extends SparkSpec {
     }
   }
 
+  test("stale serving: append-only gap folds Δ-join partials on the fly; churn declines") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(1L to 20L: _*), l)
+      SnapshotStore.append(ordersDF(1L to 12L: _*), r)
+      refresh(l, r, v)
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"), serveStale = true)
+      def userAgg() = {
+        val lf = SnapshotStore.read(spark, l); val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("c_id") === rf("o_id"))
+          .groupBy("seg", "status")
+          .agg(count(lit(1)).as("n"),
+            sum(col("total").cast("decimal(18,2)")).as("t"))
+      }
+      def scansView(df: org.apache.spark.sql.DataFrame) =
+        graft.plans.PlanProbe.scansAny(df, "/view")
+      assert(graft.plans.PlanProbe.scansOnly(userAgg(), "/view")) // fresh
+
+      // append-only gap on BOTH sides, no refresh → compensated serve
+      SnapshotStore.append(custDF(21L to 25L: _*), l)
+      SnapshotStore.append(ordersDF(13L to 22L: _*), r)
+      val stale = userAgg()
+      assert(scansView(stale), "append-only stale gap must serve compensated")
+      val got = stale.collect().map(x => (x.getString(0), x.getString(1),
+        x.getLong(2), x.getDecimal(3))).toSet
+      MaterializedAggJoins.disable(l)
+      val want = userAgg().collect().map(x => (x.getString(0), x.getString(1),
+        x.getLong(2), x.getDecimal(3))).toSet
+      assert(got == want && want.nonEmpty,
+        "compensated aggregate must equal the CURRENT base aggregate")
+
+      // churned gap declines; refresh restores plain serving
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"), serveStale = true)
+      SnapshotStore.deleteWhere(spark, r, col("o_id") === 3L)
+      assert(!scansView(userAgg()),
+        "churned gap served stale — retraction is not an insert-monotone merge")
+      refresh(l, r, v)
+      assert(graft.plans.PlanProbe.scansOnly(userAgg(), "/view"))
+
+      // without the opt-in a stale gap declines
+      MaterializedAggJoins.disable(l)
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"))
+      SnapshotStore.append(ordersDF(23L), r)
+      assert(!scansView(userAgg()), "stale gap served without opt-in")
+    }
+  }
+
   test("rewrite: grouped-on right key normalizes onto its paired stored left key") {
     withRoots { (l, r, v) =>
       SnapshotStore.append(custDF(1L to 20L: _*), l)
