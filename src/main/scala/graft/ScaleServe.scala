@@ -150,6 +150,45 @@ object ScaleServe {
       } finally graft.plans.MaterializedAggJoins.disable(l)
     }
 
+    if (fams("stale")) withRoot { root =>
+      // delta-compensated serving at scale: fixed-absolute append gaps
+      // (the ScaleGate replica-0 posture) on both sides AFTER the last
+      // refresh; the compensated serve must cost ~the fresh serve plus
+      // the delta joins, far under the declined base join+agg
+      val (l, r) = factDim(root); val v = s"$root/view"
+      timed("aggjoin bootstrap")(
+        AggJoinView.refresh(spark, l, r, v, "c_custkey", "o_custkey",
+          Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice")))
+      graft.plans.MaterializedAggJoins.enable(l, r, v, "c_custkey", "o_custkey",
+        Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"),
+        serveStale = true)
+      try {
+        val dL = Tables.customer(spark, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .where(col("c_custkey") < 1024)
+          .withColumn("c_custkey", col("c_custkey") + lit(2_000_000_000L))
+        val dR = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .where(col("o_orderkey") < 4096)
+          .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(2_000_000_000L))
+        SnapshotStore.append(dL, l)
+        SnapshotStore.append(dR, r)
+        def q() = {
+          val lf = SnapshotStore.read(spark, l); val rf = SnapshotStore.read(spark, r)
+          lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+            .groupBy("c_mktsegment", "o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        }
+        val served = q()
+        require(graft.plans.PlanProbe.scansAny(served, "/view"),
+          "stale agg-join rewrite declined at scale")
+        timed("aggjoin STALE-COMPENSATED agg")(served.collect())
+        graft.plans.MaterializedAggJoins.disable(l)
+        timed("aggjoin DECLINED base agg (stale)")(q().collect())
+      } finally graft.plans.MaterializedAggJoins.disable(l)
+    }
+
     if (fams("search")) withRoot { root =>
       val idx = s"$root/idx"
       timed("index bootstrap")(
