@@ -209,7 +209,11 @@ object PlanAudit {
       ("audience overlap: the m-row pair expansion is the ONLY nested-loop join", {
         // The BNLJ is deliberate (metric_a < metric_b over the model-sized
         // sketch relation); the facts themselves must be one agg pass.
-        val p = planOf("audience_overlap")
+        // The registered query localCheckpoints before returning (its
+        // band-oracle promotion), so audit the sketch pipeline directly.
+        val p = graft.operators.TrendOps
+          .audienceOverlapSketch(Tables.metricSeries(spark, sfDir))
+          .queryExecution.executedPlan.toString
         "BroadcastNestedLoopJoin".r.findAllIn(p).size == 1 &&
           !p.contains("CartesianProduct") &&
           p.contains("ObjectHashAggregate")
@@ -237,8 +241,14 @@ object PlanAudit {
       }),
       ("cohort retention reuses the per-user day-set exchange",
         finalPlanOf("cohort_retention").contains("ReusedExchange")),
-      ("audience overlap reuses the sketch-build exchange",
-        finalPlanOf("audience_overlap").contains("ReusedExchange")),
+      ("audience overlap reuses the sketch-build exchange", {
+        // same checkpoint caveat: run the sketch pipeline itself so AQE
+        // finalizes stages and the ReusedExchange materializes
+        val df = graft.operators.TrendOps
+          .audienceOverlapSketch(Tables.metricSeries(spark, sfDir))
+        df.collect()
+        df.queryExecution.executedPlan.toString.contains("ReusedExchange")
+      }),
       ("minhash self-join reuses the signature exchange",
         finalPlanOf("minhash_neardup").contains("ReusedExchange")),
       ("simhash self-join reuses the signature exchange",
@@ -537,6 +547,58 @@ object PlanAudit {
             !p.contains("Join")
         } finally {
           graft.plans.MaterializedAggJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
+      ("avg(decimal) over the join serves join-free from stored sum / cnt", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{AggJoinView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_ajavg").toString
+        try {
+          SnapshotStore.append(spark.range(0, 500)
+            .selectExpr("id AS c_id", "concat('seg', id % 5) AS seg"), s"$root/L")
+          SnapshotStore.append(spark.range(0, 1500)
+            .selectExpr("id % 500 AS o_id", "CAST(id AS DOUBLE) AS total"),
+            s"$root/R")
+          AggJoinView.refresh(spark, s"$root/L", s"$root/R", s"$root/ajview",
+            "c_id", "o_id", Seq("seg"), Seq("total"))
+          graft.plans.MaterializedAggJoins.enable(s"$root/L", s"$root/R",
+            s"$root/ajview", "c_id", "o_id", Seq("seg"), Seq("total"))
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          val p = lf.join(rf, lf("c_id") === rf("o_id"))
+            .groupBy("seg")
+            .agg(avg(col("total").cast("decimal(18,2)")).as("a"))
+            .queryExecution.executedPlan.toString
+          p.contains("/ajview") && !p.contains("/L") && !p.contains("/R") &&
+            !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedAggJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
+      ("ndv stale-compensated serve keeps the sketch view in the plan", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{NdvView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_ndvst").toString
+        try {
+          SnapshotStore.append(spark.range(0, 2000)
+            .selectExpr("concat('m', id % 3) AS metric", "id * 3600 AS e",
+              "concat('u', id % 40) AS user_id"), s"$root/src")
+          NdvView.refresh(spark, s"$root/src", s"$root/nview")
+          graft.plans.MaterializedRollups.enableNdv(s"$root/src",
+            s"$root/nview", serveStale = true)
+          // append-only gap, NO refresh
+          SnapshotStore.append(spark.range(2000, 2400)
+            .selectExpr("concat('m', id % 3) AS metric", "id * 3600 AS e",
+              "concat('u', id % 60) AS user_id"), s"$root/src")
+          val q = SnapshotStore.read(spark, s"$root/src")
+            .groupBy(col("metric"), expr("e div 86400").as("day"))
+            .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, " +
+              s"${graft.sources.NdvView.LgK}))").as("au"))
+          graft.plans.PlanProbe.scansAny(q, "/nview")
+        } finally {
+          graft.plans.MaterializedRollups.disable(s"$root/src")
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),

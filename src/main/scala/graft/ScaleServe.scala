@@ -67,7 +67,7 @@ object ScaleServe {
       val ev = Tables.metricSeries(spark, dir).select("metric", "e", "user_id")
       timed("ndv source append")(SnapshotStore.append(ev, src))
       timed("ndv bootstrap")(NdvView.refresh(spark, src, v))
-      graft.plans.MaterializedRollups.enableNdv(src, v)
+      graft.plans.MaterializedRollups.enableNdv(src, v, serveStale = true)
       try {
         def agg() = SnapshotStore.read(spark, src)
           .groupBy(col("metric"), expr("e div 86400").as("day"))
@@ -77,8 +77,17 @@ object ScaleServe {
         require(graft.plans.PlanProbe.scansOnly(served, "/view"),
           "ndv rewrite declined at scale")
         timed("ndv SERVED day agg")(served.collect())
+        // stale: a bounded append gap (existing metrics, shifted days),
+        // NO refresh — the sketch-union compensation serves bit-equal
+        SnapshotStore.append(
+          ev.where(expr("e % 9973 = 0"))
+            .withColumn("e", col("e") + lit(400L * 86400L)), src)
+        val stale = agg()
+        require(graft.plans.PlanProbe.scansAny(stale, "/view"),
+          "stale ndv rewrite declined at scale")
+        timed("ndv STALE-COMPENSATED agg")(stale.collect())
         graft.plans.MaterializedRollups.disable(src)
-        timed("ndv DECLINED base agg")(agg().collect())
+        timed("ndv DECLINED base agg (stale)")(agg().collect())
       } finally graft.plans.MaterializedRollups.disable(src)
     }
 
@@ -88,6 +97,15 @@ object ScaleServe {
       timed("qview bootstrap")(QuantileView.refresh(spark, src, v))
       timed("qview SERVED p50/p99")(
         QuantileView.quantiles(spark, v, Seq(0.5, 0.99)).collect())
+      // stale: in-envelope append gap (values repeat the observed set,
+      // shifted days), NO refresh — signed-count compensation on the fly
+      SnapshotStore.append(
+        series.where(expr("e % 9973 = 0"))
+          .withColumn("e", col("e") + lit(400L * 86400L)), src)
+      timed("qview COMPENSATED p50/p99")(
+        QuantileView.compensatedQuantiles(spark, src, v, Seq(0.5, 0.99))
+          .getOrElse(sys.error("quantile compensation declined at scale"))
+          .collect())
       timed("qview DECLINED exact percentiles")(
         SnapshotStore.read(spark, src)
           .groupBy(col("metric"), expr("e div 86400").as("bucket"))

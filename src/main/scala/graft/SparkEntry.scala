@@ -760,12 +760,21 @@ object SparkEntry {
       TrendOps.decimateBucketized(series(s, dir),
         TrendParams.default.minSampleGapSeconds.toLong)),
 
-    // F1 (faithful): reference anchored-gap decimation — stateful scan,
-    // not SQL-expressible in one statement → rows-only + unit tests over
-    // the FULL fixture; the bounded slice below carries the oracle.
+    // F1 (faithful): reference anchored-gap decimation — a stateful scan
+    // with no single-statement SQL form, PROMOTED (round 16) from
+    // rows-only to a full oracle via the export-the-leg technique: the
+    // kept rows export, and the oracle re-derives the anchored-gap
+    // chain's DEFINING properties set-wise over the whole series (the
+    // f1_decimate_verify SQL — seed = series argmax, every gap strict,
+    // no skipped eligible row, chain exhausted, containment), filtering
+    // out any violating metric. Hash-match ⟺ the export IS the unique
+    // chain. The bounded slice below additionally carries a sequential
+    // recursive-CTE replay of the exact semantics.
     "f1_decimate_faithful" -> ((s, dir) =>
-      TrendOps.decimateFaithful(series(s, dir),
-        TrendParams.default.minSampleGapSeconds).toDF()),
+      exportForOracle(
+        TrendOps.decimateFaithful(series(s, dir),
+          TrendParams.default.minSampleGapSeconds).toDF(),
+        "f1_decimate_full")),
 
     // Chain-property verify for the FULL faithful decimation (the slice
     // oracle replays newest-300 only): the kept rows export, and DuckDB
@@ -3854,10 +3863,15 @@ object SparkEntry {
           val q = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
             .groupBy("c_mktsegment", "o_orderstatus")
             .agg(count(lit(1)).as("n_orders"),
-              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+              // avg served as stored-sum ÷ cnt with Average's own decimal
+              // arithmetic (see AggJoinRewriteRule) — the oracle replays
+              // the half-up rounding in exact integer micro-units
+              avg(col("o_totalprice").cast("decimal(18,2)")).as("ap"))
           val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
           q.select(col("c_mktsegment"), col("o_orderstatus"), col("n_orders"),
-              col("rev").cast("double").as("revenue"))
+              col("rev").cast("double").as("revenue"),
+              col("ap").cast("double").as("avg_price"))
             .withColumn("used_view", lit(usedView))
             .localCheckpoint(true)
         } finally graft.plans.MaterializedAggJoins.disable(l)
@@ -4000,6 +4014,84 @@ object SparkEntry {
             .withColumn("used_view", lit(usedView))
             .localCheckpoint(true)
         } finally graft.plans.MaterializedRollups.disable(src)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Stale-serving for the NDV view: append-only gap after the last
+    // refresh; the sketch-shaped distinct-count aggregate is answered as
+    // stored sketches ∪ the gap rows' sketches unioned on the fly —
+    // register-max union keeps even the COMPENSATED estimate bit-equal
+    // to refresh-then-read (asserted in-engine via the same band gate as
+    // ndv_view_answer; the verdict re-derives in SQL over the exported
+    // estimates). used_view pins that the rewrite actually served.
+    "ndv_view_stale_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ndvss").toString
+      try {
+        val src = s"$root/src"; val view = s"$root/nview"
+        val se = series(s, dir).select("metric", "e", "user_id")
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 0), src)
+        sources.NdvView.refresh(s, src, view)
+        graft.plans.MaterializedRollups.enableNdv(src, view,
+          serveStale = true)
+        try {
+          // the gap: an append-only commit, NO refresh
+          sources.SnapshotStore.append(se.where(col("e") % 2 === 1), src)
+          val agg = sources.SnapshotStore.read(s, src)
+            .groupBy(col("metric"), expr("e div 86400").as("day"))
+            .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, " +
+              s"${sources.NdvView.LgK}))").as("approx_users"))
+          val usedView = graft.plans.PlanProbe.scansAny(agg, "/nview")
+          val exact = sources.SnapshotStore.read(s, src)
+            .groupBy(col("metric"), expr("e div 86400").as("day"))
+            .agg(countDistinct(col("user_id")).as("exact_users"))
+          val joined = agg.join(exact, Seq("metric", "day"))
+            .localCheckpoint(true)
+          joined.collect().foreach { r =>
+            val a = r.getAs[Long]("approx_users")
+            val e = r.getAs[Long]("exact_users")
+            require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+              s"compensated ndv estimate outside its band: approx=$a exact=$e")
+          }
+          exportForOracle(joined.select("metric", "day", "approx_users"),
+            "ndvss_approx", model = true)
+          joined.select(col("metric"), col("day"),
+              col("exact_users"), col("approx_users"),
+              (abs(col("approx_users") - col("exact_users")) <=
+                greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
+            .withColumn("used_view", lit(usedView))
+        } finally graft.plans.MaterializedRollups.disable(src)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Stale-serving for the QUANTILE view — the one engine where the
+    // lambda read path covers CHURN too (bin counts retract by
+    // arithmetic): the gap holds an append (values ⊆ the bootstrap's
+    // observed set, so the frozen envelope provably holds at any SF) AND
+    // a CoW delete, no refresh; compensatedQuantiles merges the stored
+    // partials with the gap's SIGNED counts under the SAME frozen edges
+    // — bit-equal to refresh-then-serve, hashed exactly against the SQL
+    // replay of the full lifecycle under the exported edges.
+    "quantile_view_stale" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_qvss").toString
+      try {
+        val src = s"$root/src"; val v = s"$root/view"
+        val sr = series(s, dir).select("metric", "e", "value")
+        sources.SnapshotStore.append(sr.where(col("e") % 2 === 0), src)
+        sources.QuantileView.refresh(s, src, v) // bootstrap: freeze edges
+        // the gap — NO refresh: shifted re-append (every value already
+        // inside the freeze) + churn delete
+        sources.SnapshotStore.append(
+          sr.where(col("e") % 2 === 0)
+            .withColumn("e", col("e") + lit(86400L)), src)
+        sources.SnapshotStore.deleteWhere(s, src, col("e") % 7 === 0)
+        val out = sources.QuantileView.compensatedQuantiles(
+          s, src, v, Seq(0.5, 0.9, 0.99)).getOrElse(
+          sys.error("churn-gap quantile compensation unexpectedly declined"))
+        require(sources.SnapshotStore.lastEpoch(v).contains(1L),
+          "view must still be stale — compensation must not refresh")
+        exportForOracle(sources.QuantileView.edgesFor(s, v),
+          "qvss_edges", model = true)
+        out.localCheckpoint(true)
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
@@ -6992,10 +7084,22 @@ object SparkEntry {
         |FROM c JOIN o ON c_custkey = o_custkey
         |GROUP BY 1, 2""".stripMargin,
 
+    // avg replay: Spark's avg(DECIMAL(18,2)) rounds HALF_UP at scale 6
+    // (through a scale-12 intermediate — equivalent to direct scale-6
+    // rounding whenever cnt ≤ 10^6, since the value's distance to a
+    // half-boundary is 0 or ≥ 1/(2·cnt); group counts here are orders of
+    // magnitude below that). Replayed in EXACT integer micro-units:
+    // cents = per-value half-up cast (the sum oracles' contract),
+    // micro = round_half_up(cents·10^4 / cnt) = (2x + y) // (2y), and
+    // micro/1e6 is the same correctly-rounded double Spark's
+    // decimal(22,6) → double cast produces.
     "agg_join_view_serve" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
         |         AS revenue,
+        |       CAST((2 * SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |                     AS HUGEINT)) * 10000 + count(*))
+        |            // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_price,
         |       TRUE AS used_view
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -7032,6 +7136,60 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val,
          |  TRUE AS used_view
          |FROM series GROUP BY 1, 2""".stripMargin,
+
+    // exact NDV from the FULL series (the post-gap source), the exported
+    // compensated estimates, the same band verdict, used_view TRUE
+    "ndv_view_stale_serve" ->
+      s"""WITH $SERIES,
+         |ex AS (SELECT metric, e // 86400 AS day,
+         |         count(DISTINCT user_id) AS exact_users
+         |       FROM series GROUP BY 1, 2),
+         |ap AS (SELECT metric, day, approx_users
+         |       FROM read_parquet('${exportGlob("ndvss_approx")}'))
+         |SELECT ex.metric, ex.day, ex.exact_users, ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok,
+         |       TRUE AS used_view
+         |FROM ex JOIN ap USING (metric, day)""".stripMargin,
+
+    // the compensated estimates replayed exactly: the post-gap source
+    // (even-e rows ∪ their +1-day shifted copies, minus the e%7 delete)
+    // binned under the exported BOOTSTRAP-frozen edges — identical
+    // expression tree to quantile_view_answer's replay
+    "quantile_view_stale" ->
+      s"""WITH $SERIES,
+         |src AS (SELECT metric, e, value FROM (
+         |          SELECT metric, e, value FROM series WHERE e % 2 = 0
+         |          UNION ALL
+         |          SELECT metric, e + 86400 AS e, value FROM series
+         |          WHERE e % 2 = 0)
+         |        WHERE NOT (e % 7 = 0)),
+         |ed AS (SELECT metric, lo, w, bins
+         |       FROM read_parquet('${exportGlob("qvss_edges")}')),
+         |b AS (SELECT src.metric, src.e // 86400 AS bucket,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((src.value - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM src JOIN ed USING (metric)),
+         |c AS (SELECT metric, bucket, bin, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY 1, 2, 3),
+         |cm AS (SELECT metric, bucket, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric, bucket
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric, bucket)
+         |           AS BIGINT) AS n
+         |       FROM c),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9, 0.99]) AS u(phi)),
+         |sel AS (SELECT metric, bucket, bin, cnt, cum, n, phi,
+         |          phi * CAST(n AS DOUBLE) AS t FROM p)
+         |SELECT sel.metric, sel.bucket, sel.phi,
+         |       ed.lo + ed.w * sel.bin +
+         |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |           CAST(sel.cnt AS DOUBLE)) AS est
+         |FROM sel JOIN ed ON sel.metric = ed.metric
+         |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
 
     "snapshot_branch_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
@@ -7615,6 +7773,47 @@ object SparkEntry {
          |)
          |SELECT metric, e, value, event_id FROM k""".stripMargin,
 
+    // The FULL faithful decimation, promoted to a hash oracle: same
+    // set-wise chain validation as f1_decimate_verify below, over this
+    // query's own export. Hash-match ⟺ no metric violates any chain
+    // property ⟺ the export is the unique anchored-gap chain.
+    "f1_decimate_faithful" ->
+      s"""WITH $SERIES,
+         |k AS (SELECT metric, e, value, event_id
+         |      FROM read_parquet('${exportGlob("f1_decimate_full")}')),
+         |ord AS (SELECT *,
+         |    row_number() OVER (PARTITION BY metric ORDER BY e DESC, event_id DESC) AS rk,
+         |    row_number() OVER (PARTITION BY metric ORDER BY e ASC, event_id ASC) AS rka
+         |  FROM k),
+         |pairs AS (SELECT p.metric, p.e AS pe, n.e AS ne, n.event_id AS nid
+         |          FROM ord p JOIN ord n ON n.metric = p.metric AND n.rk = p.rk + 1),
+         |stop AS (SELECT metric, e, event_id FROM series
+         |         QUALIFY row_number() OVER (PARTITION BY metric ORDER BY e DESC, event_id DESC) = 1),
+         |v1 AS (SELECT t.metric FROM ord t JOIN stop s ON t.metric = s.metric
+         |       WHERE t.rk = 1 AND (t.e != s.e OR t.event_id != s.event_id)),
+         |v2 AS (SELECT metric FROM pairs WHERE NOT (ne < pe - ${P.minSampleGapSeconds})),
+         |v3 AS (SELECT DISTINCT p.metric FROM series s JOIN pairs p
+         |       ON s.metric = p.metric
+         |      AND ((s.e > p.ne AND s.e < p.pe - ${P.minSampleGapSeconds})
+         |           OR (s.e = p.ne AND s.event_id > p.nid))),
+         |v4 AS (SELECT DISTINCT s.metric FROM series s JOIN ord b
+         |       ON s.metric = b.metric AND b.rka = 1
+         |      AND s.e < b.e - ${P.minSampleGapSeconds}),
+         |v5 AS (SELECT t.metric FROM k t LEFT JOIN series s
+         |       ON s.metric = t.metric AND s.e = t.e
+         |      AND s.event_id = t.event_id AND s.value = t.value
+         |       WHERE s.metric IS NULL),
+         |bad AS (SELECT metric FROM v1 UNION SELECT metric FROM v2
+         |        UNION SELECT metric FROM v3 UNION SELECT metric FROM v4
+         |        UNION SELECT metric FROM v5),
+         |v6 AS (SELECT DISTINCT s.metric FROM series s
+         |       WHERE s.metric NOT IN (SELECT metric FROM k))
+         |SELECT metric, e, value, event_id FROM k
+         |WHERE metric NOT IN (SELECT metric FROM bad)
+         |UNION ALL
+         |SELECT metric, CAST(-1 AS BIGINT) AS e, CAST(0 AS DOUBLE) AS value,
+         |       CAST(-1 AS BIGINT) AS event_id FROM v6""".stripMargin,
+
     // Full-series chain validation of the exported faithful decimation:
     // instead of a sequential replay (unaffordable beyond the slice), the
     // anchored-gap chain's DEFINING properties are checked set-wise —
@@ -7649,9 +7848,14 @@ object SparkEntry {
          |       WHERE s.metric IS NULL),
          |bad AS (SELECT metric FROM v1 UNION SELECT metric FROM v2
          |        UNION SELECT metric FROM v3 UNION SELECT metric FROM v4
-         |        UNION SELECT metric FROM v5)
+         |        UNION SELECT metric FROM v5),
+         |v6 AS (SELECT DISTINCT s.metric FROM series s
+         |       WHERE s.metric NOT IN (SELECT metric FROM k))
          |SELECT metric, e, value, event_id FROM k
-         |WHERE metric NOT IN (SELECT metric FROM bad)""".stripMargin,
+         |WHERE metric NOT IN (SELECT metric FROM bad)
+         |UNION ALL
+         |SELECT metric, CAST(-1 AS BIGINT) AS e, CAST(0 AS DOUBLE) AS value,
+         |       CAST(-1 AS BIGINT) AS event_id FROM v6""".stripMargin,
 
     // Clustering-stage oracle over the Spark-exported LSH edge list (see
     // the neardup_groups query comment): the same recursive-CTE component

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -118,13 +118,16 @@ object MaterializedAggJoins {
   *     normalizing a grouped-on right key onto its paired left key (the
   *     inner equality makes them value-identical), equals the
   *     registered group columns exactly;
-  *   - every aggregate is `count(1)` (→ `cnt`) or
+  *   - every aggregate is `count(1)` (→ `cnt`),
   *     `sum(CAST(measure AS DECIMAL(p≤30, 2)))` (→ the view's exact
   *     decimal partial — casting to scale 2 at any precision ≥ the
   *     values' magnitude rounds identically, so the stored DECIMAL(30,2)
-  *     partial reproduces the user's sum bit-exactly). Anything else —
-  *     min/max (not retractable here), avg, distinct, a raw double sum —
-  *     declines rather than approximates.
+  *     partial reproduces the user's sum bit-exactly), or
+  *     `avg(CAST(measure AS DECIMAL(p≤30, 2)))` (→ stored sum ÷ cnt with
+  *     Average's own decimal arithmetic replicated operand-type-for-
+  *     operand-type, bit-equal to the base plan). Anything else —
+  *     min/max (not retractable here), distinct, a raw double sum or avg
+  *     — declines rather than approximates.
   *
   * Output attributes keep the original exprIds. Registered BEFORE
   * [[JoinRewriteRule]] in [[graft.GraftExtensions]]: both match the
@@ -288,6 +291,27 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             hit.measures.contains(v.name.toLowerCase) =>
         val c = viewCol(s"sum_${v.name}").getOrElse(return None)
         Alias(Cast(c, ag.dataType), al.name)(exprId = al.exprId)
+      // avg(CAST(measure AS DECIMAL(p,2))): served as stored-sum ÷ cnt
+      // with Average's OWN decimal arithmetic replicated — operands cast
+      // to Average's internal types (sum at DECIMAL(p+10,2), count at
+      // LongDecimal), so the Divide's result precision/scale — and hence
+      // its HALF_UP rounding — are identical to the base plan's, then
+      // the same final cast to Average.dataType. Both inputs are exact
+      // (the decimal partial reproduces the user's sum bit-exactly, cnt
+      // is a count), so served == declined to the last digit (spec-
+      // pinned). cnt > 0 on every served group, so the division is total.
+      case al @ Alias(ag @ AggregateExpression(
+          Average(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
+          _, false, None, _), _)
+          if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
+            hit.measures.contains(v.name.toLowerCase) =>
+        val sumC = viewCol(s"sum_${v.name}").getOrElse(return None)
+        val cntC = viewCol("cnt").getOrElse(return None)
+        val sumDt = DecimalType(math.min(dt.precision + 10, DecimalType.MAX_PRECISION), dt.scale)
+        Alias(Cast(
+          Divide(Cast(sumC, sumDt), Cast(cntC, DecimalType(20, 0)),
+            EvalMode.LEGACY),
+          ag.dataType), al.name)(exprId = al.exprId)
       case _ => return None // any other shape: decline, never approximate
     }
     var mappable = true

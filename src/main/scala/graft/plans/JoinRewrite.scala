@@ -297,13 +297,15 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (reg, fresh) = candidates.find(_._2)
       .orElse(candidates.headOption).getOrElse(return None)
 
-    // FRESH: serve the stored view. STALE + opted-in + inner + every gap
-    // commit an append: serve the delta-compensated union (same output
-    // shape — the legs drop right keys exactly like the view). Anything
-    // else declines (today's answer off the base join stays correct).
+    // FRESH: serve the stored view. STALE + opted-in: serve the
+    // delta-compensated union when [[JoinView.compensated]] deems it
+    // sound — inner views over append-only gaps on either side,
+    // left-outer views over a LEFT-side-only append gap (each leg keeps
+    // the view's own shape). Anything else declines inside compensated
+    // (today's answer off the base join stays correct).
     val baseDf =
       if (fresh) JoinView.read(spark, reg.viewRoot)
-      else if (reg.serveStale && joinType == Inner)
+      else if (reg.serveStale)
         JoinView.compensated(spark, reg.leftRoot, reg.rightRoot,
           reg.viewRoot, reg.leftKeys, reg.rightKeys).getOrElse(return None)
       else return None

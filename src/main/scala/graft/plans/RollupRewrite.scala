@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -68,10 +68,19 @@ object MaterializedRollups {
     * union is associative, so the view's merged estimate is bit-equal to
     * the single-pass aggregate); Spark's own `approx_count_distinct`
     * (HLL++, a different estimator) is never rewritten — the answer
-    * would change. Same freshness/binding contract as [[enable]]. */
+    * would change. Same freshness/binding contract as [[enable]], and
+    * the same `serveStale` opt-in: an append-only gap serves the stored
+    * sketches unioned with the gap's sketches on the fly
+    * ([[graft.sources.NdvView.compensatedRead]] — register-max union
+    * keeps even the COMPENSATED estimate bit-equal to refresh-then-read;
+    * a churned gap declines, a deleted user un-derives nothing). */
   def enableNdv(srcRoot: String, viewRoot: String,
-                grain: RollupView.Grain = RollupView.Day): Unit =
-    regs.put((canon(srcRoot), grain.seconds, "ndv"), viewRoot)
+                grain: RollupView.Grain = RollupView.Day,
+                serveStale: Boolean = false): Unit = {
+    Option(regs.put((canon(srcRoot), grain.seconds, "ndv"), viewRoot))
+      .filter(_ != viewRoot).foreach(staleOk.remove)
+    if (serveStale) staleOk.add(viewRoot) else staleOk.remove(viewRoot)
+  }
 
   /** Unregister every grain's view for `srcRoot` (and evict its probe
     * cache entries — registry queries register temp-rooted stores per
@@ -87,12 +96,12 @@ object MaterializedRollups {
 
   def clear(): Unit = { regs.clear(); probeCache.clear(); staleOk.clear() }
 
-  /** Views opted into DELTA-COMPENSATED serving (classic kind only):
-    * when the view's stamp lags an append-only source gap, the rewrite
-    * serves `partials ∪ Δ-partials` ([[RollupView.compensatedRead]])
-    * instead of declining. NDV views never serve stale (their merge
-    * lives inside [[graft.sources.NdvView.read]]'s sketch fold, not the
-    * classic partial union). */
+  /** Views opted into DELTA-COMPENSATED serving: when the view's stamp
+    * lags an append-only source gap, the rewrite serves
+    * `partials ∪ Δ-partials` ([[RollupView.compensatedRead]] for the
+    * classic kind, [[graft.sources.NdvView.compensatedRead]]'s sketch
+    * union for NDV — bit-equal to refresh-then-read in both) instead of
+    * declining. */
   private[plans] val staleOk =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -204,9 +213,11 @@ object MaterializedRollups {
   *  - every aggregate is one of the view's mergeable monoids with the
   *    view's exact semantics — `count(1)`, `sum(CAST(value AS
   *    DECIMAL(p≤30, 2)))` (the view's own partial-sum type, so decimal
-  *    merge order cannot change the answer), `min(value)`, `max(value)`
-  *    — anything else (a raw IEEE double sum, avg, distinct, a filter
-  *    clause) declines rather than approximates.
+  *    merge order cannot change the answer), `min(value)`, `max(value)`,
+  *    `avg(CAST(value AS DECIMAL(p≤30, 2)))` (stored sum ÷ cnt with
+  *    Average's own decimal arithmetic, bit-equal) — anything else (a
+  *    raw IEEE double sum or avg, distinct, a filter clause) declines
+  *    rather than approximates.
   *
   * Output attributes keep the original exprIds (aliased onto the view's
   * columns), so parent operators resolve unchanged. Registered via
@@ -318,6 +329,20 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if nameIs(v, "value") && dt.scale == 2 &&
             dt.precision <= 30 && dt.precision >= 18 =>
         Some(Alias(Cast(viewCol("vsum"), ag.dataType), al.name)(exprId = al.exprId))
+      // avg(CAST(value AS DECIMAL(p,2))): stored sum ÷ cnt with Average's
+      // own decimal arithmetic replicated operand-type-for-operand-type
+      // (sum at DECIMAL(p+10,2), count at LongDecimal, same final cast) —
+      // bit-equal to the base plan; see AggJoinRewrite's avg case
+      case Alias(ag @ AggregateExpression(
+          Average(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
+          _, false, None, _), _)
+          if nameIs(v, "value") && dt.scale == 2 &&
+            dt.precision <= 30 && dt.precision >= 18 =>
+        val sumDt = DecimalType(math.min(dt.precision + 10, DecimalType.MAX_PRECISION), dt.scale)
+        Some(Alias(Cast(
+          Divide(Cast(viewCol("vsum"), sumDt),
+            Cast(viewCol("cnt"), DecimalType(20, 0)), EvalMode.LEGACY),
+          ag.dataType), al.name)(exprId = al.exprId))
       case Alias(ag @ AggregateExpression(Min(v: AttributeReference), _, false, None, _), _)
           if nameIs(v, "value") && viewCol("vmin").dataType == ag.dataType =>
         Some(Alias(viewCol("vmin"), al.name)(exprId = al.exprId))
@@ -350,17 +375,20 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     kind: String): Option[LogicalPlan] = {
     val (srcRoot, viewRoot, fresh) =
       registrationFor(rel, grain, kind).getOrElse(return None)
-    // FRESH: serve the stored partials. STALE + opted-in + classic +
-    // append-only gap: serve the delta-compensated merge. Anything else
-    // declines.
+    // FRESH: serve the stored partials. STALE + opted-in + append-only
+    // gap: serve the delta-compensated merge (either kind — both are
+    // bit-equal to refresh-then-read). Anything else declines.
     val viewDf =
       if (fresh) kind match {
         case "classic" => RollupView.read(spark, viewRoot, grain)
         case _         => graft.sources.NdvView.read(spark, viewRoot, grain)
       }
-      else if (kind == "classic" && MaterializedRollups.staleOk.contains(viewRoot))
-        RollupView.compensatedRead(spark, srcRoot, viewRoot, grain)
-          .getOrElse(return None)
+      else if (MaterializedRollups.staleOk.contains(viewRoot)) {
+        kind match {
+          case "classic" => RollupView.compensatedRead(spark, srcRoot, viewRoot, grain)
+          case _ => graft.sources.NdvView.compensatedRead(spark, srcRoot, viewRoot, grain)
+        }
+      }.getOrElse(return None)
       else return None
     // the view side: analyzed merged-partials plan, columns by name
     val viewPlan = viewDf.queryExecution.analyzed

@@ -515,10 +515,17 @@ object JoinView {
     * for the refresh. Standing sides are bloom-prefiltered and
     * file-pruned by the delta's key range — with monotone ingest keys
     * the compensation literally reads the view plus the delta-band
-    * files. None when compensation is unsound: the view isn't inner
-    * (outer shapes would need conversion, not union), a gap commit
-    * churned rows, a baseline manifest was vacuumed, or the view has no
-    * cursor yet. Already-fresh views return the plain view read.
+    * files. A LEFT-OUTER view compensates one-sidedly: while the RIGHT
+    * source is UNCHANGED, `L_new ⟕ R  =  view ∪ (ΔL ⟕ R)` is a pure
+    * union too (no standing left row's match status can change when R
+    * didn't move; the ΔL leg's unmatched rows null-extend exactly like
+    * the view's own maintenance) — any right-side gap declines there
+    * (a ΔR arrival CONVERTS standing unmatched-left rows, and
+    * conversion is not a union), and a FULL-OUTER view always declines
+    * (either side's delta can convert the other side's unmatched rows).
+    * None otherwise when compensation is unsound: a gap commit churned
+    * rows, a baseline manifest was vacuumed, or the view has no cursor
+    * yet. Already-fresh views return the plain view read.
     *
     * Building the compensation runs small driver jobs (the delta's key
     * tuples and range) — the price of file-pruned standing reads; the
@@ -527,7 +534,8 @@ object JoinView {
   def compensated(spark: SparkSession, leftRoot: String, rightRoot: String,
                   viewRoot: String, leftKeys: Seq[String],
                   rightKeys: Seq[String]): Option[DataFrame] = {
-    if (recordedHow(viewRoot).getOrElse("inner") != "inner") return None
+    val how = recordedHow(viewRoot).getOrElse("inner")
+    if (how == "full_outer") return None
     val (plv, prv) = cursors(viewRoot)
     if (plv == 0 && prv == 0) return None
     val lv = SnapshotStore.currentVersion(leftRoot)
@@ -535,6 +543,20 @@ object JoinView {
     if (lv < plv || rv < prv) return None
     val view = read(spark, viewRoot)
     if (lv == plv && rv == prv) return Some(view)
+    if (how == "left_outer") {
+      // one-sided union: sound ONLY while R is unchanged
+      if (rv != prv || !appendOnly(leftRoot, plv, lv)) return None
+      val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
+      val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
+        Some(lNew.schema))
+      val dk = keyTuples(delta, leftKeys)
+      return Some(view.unionByName(
+        joined(delta,
+          prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
+            rightKeys, dk),
+          leftKeys, rightKeys, "left_outer", keepRightKeys = true),
+        allowMissingColumns = true))
+    }
     if (!appendOnly(leftRoot, plv, lv) || !appendOnly(rightRoot, prv, rv))
       return None
     val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)

@@ -72,12 +72,11 @@ object NdvView {
               grain: Grain = Day): Int =
     RollupView.refreshWith(spark, srcRoot, viewRoot, grain, NdvSpec)
 
-  /** Merge stored partials to one row per (metric, bucket) WITHOUT
+  /** Merge partial rows to one row per (metric, bucket) WITHOUT
     * estimating — the compaction content (sketches stay sketches so the
     * store keeps its mergeability). */
-  private def merged(spark: SparkSession, viewRoot: String,
-                     grain: Grain): DataFrame =
-    SnapshotStore.read(spark, viewRoot)
+  private def mergedOf(partials: DataFrame, grain: Grain): DataFrame =
+    partials
       .groupBy(col("metric"), col(grain.col))
       .agg(
         sum(col("cnt")).as("cnt"),
@@ -85,13 +84,46 @@ object NdvView {
       // zero-count groups are retraction tombstones — logically absent
       .where(col("cnt") > 0)
 
+  private def merged(spark: SparkSession, viewRoot: String,
+                     grain: Grain): DataFrame =
+    mergedOf(SnapshotStore.read(spark, viewRoot), grain)
+
+  /** The estimate projection of a merged-sketch frame. */
+  private def estimated(m: DataFrame, grain: Grain): DataFrame =
+    m.select(col("metric"), col(grain.col),
+      expr("hll_sketch_estimate(sk)").as("approx_users"))
+
   /** The served answer: estimated distinct users per (metric, bucket). */
   def read(spark: SparkSession, viewRoot: String,
            grain: Grain = Day): DataFrame = {
     RollupView.requireGrain(viewRoot, grain, "read")
-    merged(spark, viewRoot, grain)
-      .select(col("metric"), col(grain.col),
-        expr("hll_sketch_estimate(sk)").as("approx_users"))
+    estimated(merged(spark, viewRoot, grain), grain)
+  }
+
+  /** DELTA-COMPENSATED content of a STALE NDV view: when the view's
+    * stamp lags the source's current version and every gap commit is an
+    * APPEND, the current estimate is the stored sketches unioned with
+    * the GAP rows' sketches folded on the fly — and because HLL register
+    * state is a per-item MAX, that union is BIT-EQUAL in estimate to a
+    * refresh-then-read (not merely within the error band; the same
+    * associativity the refresh itself relies on). Retraction is the one
+    * thing a monotone sketch cannot compensate — a churned or compacted
+    * gap, a vacuumed baseline, or a stampless view returns None and the
+    * caller falls back to the base plan; an already-fresh view returns
+    * the plain read. Cost: O(partials + Δ). */
+  def compensatedRead(spark: SparkSession, srcRoot: String,
+                      viewRoot: String, grain: Grain = Day): Option[DataFrame] = {
+    RollupView.requireGrain(viewRoot, grain, "compensatedRead")
+    val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(return None)
+    val srcCur = SnapshotStore.currentVersion(srcRoot)
+    if (srcCur < from) return None
+    if (srcCur == from) return Some(read(spark, viewRoot, grain))
+    if (!JoinView.appendOnly(srcRoot, from, srcCur)) return None
+    val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
+    Some(estimated(mergedOf(
+      SnapshotStore.read(spark, viewRoot)
+        .unionByName(NdvSpec.fold(NdvSpec.bucketed(delta, grain), grain)),
+      grain), grain))
   }
 
   /** Fold accumulated partial rows to one sketch row per key (published

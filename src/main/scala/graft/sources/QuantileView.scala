@@ -64,6 +64,36 @@ object QuantileView {
   private def edgesDir(viewRoot: String, srcV: Int): String =
     s"$viewRoot/_edges/v$srcV"
 
+  // ---- grain stamp (the RollupView guard, for the raw-Long grain) ----
+  // partials key on (metric, bucket, bin) with bucket = e div grainSec;
+  // a refresh at a DIFFERENT grainSec than the bootstrap would silently
+  // mix bucket widths in one store — stamp the first publish, refuse a
+  // mismatched mutating/compensating call afterward. Pre-stamp stores
+  // (older views) stamp on their next refresh.
+
+  private def grainPath(viewRoot: String) =
+    java.nio.file.Paths.get(viewRoot, "_grainsec")
+
+  private def storedGrainSec(viewRoot: String): Option[Long] =
+    if (java.nio.file.Files.exists(grainPath(viewRoot)))
+      scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(grainPath(viewRoot)), "UTF-8")
+        .trim.toLong).toOption
+    else None
+
+  private def requireGrainSec(viewRoot: String, g: Long, op: String): Unit =
+    storedGrainSec(viewRoot).foreach(stored => require(stored == g,
+      s"$op at $viewRoot asked for grainSec $g but the view is " +
+        s"maintained at $stored — pass the view's own grain (a " +
+        "mismatched refresh would corrupt the store)"))
+
+  /** Stamp after a publish so the guard bites from the second call on. */
+  private def stampGrainSec(viewRoot: String, g: Long): Unit =
+    if (storedGrainSec(viewRoot).isEmpty &&
+        SnapshotStore.currentVersion(viewRoot) > 0)
+      java.nio.file.Files.write(grainPath(viewRoot),
+        g.toString.getBytes("UTF-8"))
+
   /** The newest frozen edges at or below the view's current stamp —
     * (metric, lo, w, bins). */
   def edgesFor(spark: SparkSession, viewRoot: String): DataFrame = {
@@ -223,8 +253,10 @@ object QuantileView {
     require(srcCur > 0, s"no published source version at $srcRoot")
     require(SnapshotStore.lastEpoch(viewRoot).nonEmpty,
       s"no refreshed quantile view at $viewRoot — refresh() bootstraps")
+    requireGrainSec(viewRoot, grainSec, "retighten")
     val v = rebuildAt(spark, srcRoot, viewRoot, grainSec, bins, srcCur,
       noMargins(spark))
+    stampGrainSec(viewRoot, grainSec)
     SnapshotStore.recordViewBaseline(srcRoot, viewRoot, srcCur)
     v
   }
@@ -241,11 +273,14 @@ object QuantileView {
               grainSec: Long = 86400L, bins: Int = DefaultBins): Int = {
     val srcCur = SnapshotStore.currentVersion(srcRoot)
     require(srcCur > 0, s"no published source version at $srcRoot")
+    requireGrainSec(viewRoot, grainSec, "refresh")
     val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
     if (srcCur <= from) return SnapshotStore.currentVersion(viewRoot)
-    // every exit below publishes the view at cursor srcCur — pin the
-    // source's vacuum afterward (viewrefs guard; crash leaves no pin)
+    // every exit below publishes the view at cursor srcCur — stamp the
+    // grain and pin the source's vacuum afterward (viewrefs guard; a
+    // crash leaves no false pin and no false stamp)
     def recorded(v: Int): Int = {
+      stampGrainSec(viewRoot, grainSec)
       SnapshotStore.recordViewBaseline(srcRoot, viewRoot, srcCur)
       v
     }
@@ -316,10 +351,68 @@ object QuantileView {
     * Accuracy: |est − exact quantile| ≤ 2·w by construction. Cost:
     * O(live bins), never the source. */
   def quantiles(spark: SparkSession, viewRoot: String,
-                phis: Seq[Double]): DataFrame = {
+                phis: Seq[Double]): DataFrame =
+    quantilesOf(read(spark, viewRoot), edgesFor(spark, viewRoot), phis)
+
+  /** DELTA-COMPENSATED quantile estimates from a STALE view — and
+    * because the partials are RETRACTABLE counts, compensation here is
+    * sound over CHURN gaps too, not just appends (the one view engine
+    * where the lambda read path covers deletes): the current estimates
+    * are the stored bin counts merged with the gap's signed counts
+    * folded on the fly under the SAME frozen edges — bit-equal to
+    * refresh-then-serve, since [[refresh]]'s in-envelope paths publish
+    * exactly those partials. Declines (None) when compensation would
+    * change the freeze: a gap insert ESCAPES the envelope or carries a
+    * new/null metric (refresh would refreeze the edges — different bins,
+    * different estimates), a gap commit compacted the source, or the
+    * baseline manifest was vacuumed (no diff). An already-fresh view
+    * returns the plain estimates. `grainSec` must repeat the value the
+    * view is maintained at (stamp-enforced, like every mutating call).
+    * Cost: O(live bins + Δ). */
+  def compensatedQuantiles(spark: SparkSession, srcRoot: String,
+                           viewRoot: String, phis: Seq[Double],
+                           grainSec: Long = 86400L): Option[DataFrame] = {
+    requireGrainSec(viewRoot, grainSec, "compensatedQuantiles")
+    val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(return None)
+    val srcCur = SnapshotStore.currentVersion(srcRoot)
+    if (srcCur < from) return None
+    if (srcCur == from) return Some(quantiles(spark, viewRoot, phis))
+    if (!SnapshotStore.hasManifest(srcRoot, from)) return None // vacuumed baseline
+    if (!rowChurnOnly(srcRoot, from, srcCur)) return None      // compaction
+    val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
+    val deltaCounts =
+      if (appendOnly(srcRoot, from, srcCur)) {
+        val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
+        if (!escapingMetrics(delta, ed).isEmpty) return None
+        binned(delta, ed, grainSec, lit(1L))
+      } else {
+        // churn: signed counts straight off the row change feed — the
+        // refresh churn path's fold verbatim (delete-side null rows were
+        // never binned, so dropping them IS their contribution)
+        val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
+        if (!escapingMetrics(ch.where(col("_change_type") === "insert"), ed)
+            .isEmpty) return None
+        binned(
+          ch.where(col("metric").isNotNull && col("value").isNotNull)
+            .select(col("metric"), col("e"), col("value"),
+              when(col("_change_type") === "insert", 1L).otherwise(-1L)
+                .as("__sign")),
+          ed, grainSec, col("__sign"))
+      }
+    Some(quantilesOf(
+      SnapshotStore.read(spark, viewRoot).unionByName(deltaCounts)
+        .groupBy("metric", "bucket", "bin")
+        .agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0L),
+      ed, phis))
+  }
+
+  /** The estimate arithmetic over (net counts, frozen edges) — shared by
+    * the fresh and the delta-compensated serve, so the two are the same
+    * expression tree over different count inputs. */
+  private def quantilesOf(counts: DataFrame, ed: DataFrame,
+                          phis: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ed = edgesFor(spark, viewRoot)
-    val counts = read(spark, viewRoot)
     val wSpec = Window.partitionBy("metric", "bucket").orderBy("bin")
     val cum = counts
       .withColumn("cum", sum("cnt").over(wSpec))

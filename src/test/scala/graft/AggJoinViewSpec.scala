@@ -245,6 +245,46 @@ class AggJoinViewSpec extends SparkSpec {
     }
   }
 
+  test("rewrite: avg(decimal measure) serves BIT-EQUAL as stored sum ÷ cnt") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(1L to 30L: _*), l)
+      SnapshotStore.append(ordersDF(1L to 25L: _*), r)
+      refresh(l, r, v)
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"))
+      def q() = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("c_id") === rf("o_id"))
+          .groupBy("seg", "status")
+          .agg(avg(col("total").cast("decimal(18,2)")).as("a"),
+            count(lit(1)).as("n"))
+      }
+      // BigDecimal equality checks value AND scale — a rounding or
+      // result-type divergence from Average's own arithmetic fails here
+      def rows(df: DataFrame) = df.collect().map(x =>
+        (x.getString(0), x.getString(1), x.getDecimal(2), x.getLong(3))).toSet
+      val served = q()
+      assert(graft.plans.PlanProbe.scansOnly(served, "/view"),
+        "avg(decimal) shape did not serve")
+      val got = rows(served)
+      MaterializedAggJoins.disable(l)
+      assert(got == rows(q()) && got.nonEmpty,
+        "served avg must be bit-equal to the declined plan")
+      // a raw double avg (no decimal cast) still declines
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"))
+      val dbl = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("c_id") === rf("o_id"))
+          .groupBy("seg", "status").agg(avg(col("total")).as("a"))
+      }
+      assert(!graft.plans.PlanProbe.scansOnly(dbl, "/view"),
+        "raw double avg must DECLINE")
+    }
+  }
+
   test("stale serving: append-only gap folds Δ-join partials on the fly; churn declines") {
     withRoots { (l, r, v) =>
       SnapshotStore.append(custDF(1L to 20L: _*), l)

@@ -302,6 +302,45 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("rollup rewrite serves avg(decimal) bit-equal via stored sum ÷ cnt") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.MaterializedRollups
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mvavg").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      // a 3-row group: 1.00 ÷ 3 exercises the repeating-decimal rounding
+      SnapshotStore.append(Seq(("m", 10L, 0.1), ("m", 20L, 0.7),
+        ("m", 30L, 0.2), ("n", 40L, 5.0), ("n", 86410L, 7.77))
+        .toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      def q() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(avg(col("value").cast("decimal(18,2)")).as("a"),
+          count(lit(1)).as("cnt"))
+      // BigDecimal equality checks value AND scale — any divergence from
+      // Average's own decimal arithmetic fails here
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDecimal(2), r.getLong(3))).toSet
+      val direct = rows(q())
+      MaterializedRollups.enable(src, view)
+      val served = q()
+      assert(served.queryExecution.executedPlan.toString.contains("/view"),
+        "avg(decimal) shape did not serve")
+      assert(rows(served) == direct)
+      // a raw double avg declines
+      val dbl = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(avg(col("value")).as("a"))
+      assert(dbl.queryExecution.executedPlan.toString.contains("/src"))
+    } finally {
+      MaterializedRollups.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
   test("rollup rewrite serves hour and day grains from their own views") {
     import org.apache.spark.sql.functions._
     import graft.plans.MaterializedRollups

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.plans.{MaterializedJoins, MaterializedRollups, PlanProbe}
-import graft.sources.{JoinView, RollupView, SnapshotStore}
+import graft.sources.{JoinView, NdvView, QuantileView, RollupView, SnapshotStore}
 
 /** Delta-compensated (stale-view) serving polarities: an append-only gap
   * serves `view ∪ Δ` with the view still in the plan; a churned gap, an
@@ -86,7 +86,8 @@ class StaleServeSpec extends SparkSpec {
       assert(!PlanProbe.scansAny(userJoin(l, r), "/view"),
         "stale gap served without opt-in")
 
-      // outer view: opted in, still declines stale (conversion ≠ union)
+      // outer view: opted in, a RIGHT-side gap declines (a ΔR arrival
+      // converts standing unmatched-left rows — conversion ≠ union)
       val vo = s"$root/view_o"
       JoinView.refresh(spark, l, r, vo, "o_id", "lo_id", "left_outer")
       MaterializedJoins.enable(l, r, vo, "o_id", "lo_id", "left_outer",
@@ -95,7 +96,27 @@ class StaleServeSpec extends SparkSpec {
       val lf = SnapshotStore.read(spark, l); val rf = SnapshotStore.read(spark, r)
       val oq = lf.join(rf, lf("o_id") === rf("lo_id"), "left_outer")
       assert(!PlanProbe.scansAny(oq, "/view"),
-        "stale OUTER view served — match-arrival conversion cannot be unioned")
+        "right-gap stale OUTER view served — conversion cannot be unioned")
+
+      // ...but a LEFT-side-only append gap IS a union for ⟕: R unchanged
+      // means no standing row's match status can move — serves compensated
+      JoinView.refresh(spark, l, r, vo, "o_id", "lo_id", "left_outer")
+      SnapshotStore.append(ordersDF(21L, 22L), l) // unmatched (R max = 12)
+      def outerQ() = {
+        val lf2 = SnapshotStore.read(spark, l)
+        val rf2 = SnapshotStore.read(spark, r)
+        lf2.join(rf2, lf2("o_id") === rf2("lo_id"), "left_outer")
+      }
+      val served = outerQ()
+      assert(PlanProbe.scansAny(served, "/view"),
+        "left-side-only append gap must serve the left-outer union")
+      def orows(df: DataFrame) = df.select(col("o_id"), col("qty")).collect()
+        .map(x => (x.getLong(0), Option(x.get(1)))).toSet
+      val got = orows(served)
+      MaterializedJoins.disable(l)
+      assert(got == orows(outerQ()) && got.exists(_._2.isEmpty),
+        "compensated left-outer must equal the current base, " +
+          "null-extending the gap's unmatched rows")
     }
   }
 
@@ -191,6 +212,106 @@ class StaleServeSpec extends SparkSpec {
       // refresh restores plain serving
       RollupView.refresh(spark, src, v)
       assert(PlanProbe.scansOnly(userAgg(), "/view"))
+    }
+  }
+
+  test("ndv: append-only gap serves sketch-union BIT-EQUAL to refresh-then-read; churn declines") {
+    withRoot { root =>
+      val s = spark
+      import s.implicits._
+      val src = s"$root/src"; val v = s"$root/nview"
+      def mk(rows: Seq[(String, Long, String)]) =
+        rows.toDF("metric", "e", "user_id")
+      SnapshotStore.append(
+        mk((1L to 40L).map(i => ("m" + i % 3, i * 3600, "u" + i % 7))), src)
+      NdvView.refresh(spark, src, v)
+      MaterializedRollups.enableNdv(src, v, serveStale = true)
+      def userAgg(): DataFrame =
+        SnapshotStore.read(spark, src)
+          .groupBy(col("metric"), expr("e div 86400").as("day"))
+          .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, " +
+            s"${NdvView.LgK}))").as("au"))
+      def got(df: DataFrame): Set[(String, Long, Long)] =
+        df.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      assert(PlanProbe.scansOnly(userAgg(), "/nview")) // fresh: plain serve
+
+      // append-only gap (repeat AND new users), no refresh
+      SnapshotStore.append(
+        mk((41L to 60L).map(i => ("m" + i % 3, i * 3600, "u" + i % 11))), src)
+      val stale = userAgg()
+      assert(PlanProbe.scansAny(stale, "/nview"),
+        "append-only stale ndv gap must serve the sketch union")
+      val compensated = got(stale)
+      MaterializedRollups.disable(src)
+      // register-max union: compensated estimate == single-pass estimate
+      assert(compensated == got(userAgg()) && compensated.nonEmpty,
+        "compensated sketch union must be bit-equal to the single pass")
+
+      // churned gap declines — a deleted user un-derives nothing
+      MaterializedRollups.enableNdv(src, v, serveStale = true)
+      SnapshotStore.deleteWhere(spark, src, col("e") === 3600L)
+      assert(!PlanProbe.scansAny(userAgg(), "/nview"),
+        "churned ndv gap served stale — sketches cannot retract")
+      NdvView.refresh(spark, src, v)
+      assert(PlanProbe.scansOnly(userAgg(), "/nview"))
+    }
+  }
+
+  test("quantile: compensation covers append AND churn gaps bit-equal; escape declines") {
+    withRoot { root =>
+      val src = s"$root/src"; val v = s"$root/qview"
+      def se(r: Range) = seriesDF(
+        r.map(i => ("m" + i % 2, i.toLong * 3600, (i % 20) * 1.0)): _*)
+        .select("metric", "e", "value")
+      SnapshotStore.append(se(1 to 60), src)
+      QuantileView.refresh(spark, src, v) // bootstrap: freeze edges
+      def got(df: DataFrame): Set[(String, Long, Double, Double)] =
+        df.collect().map(x =>
+          (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3))).toSet
+      // the gap: an in-envelope append (values repeat the observed set)
+      // AND a churn delete — the one view whose compensation covers both
+      SnapshotStore.append(se(61 to 80), src)
+      SnapshotStore.deleteWhere(spark, src, col("e") === 3600L * 5)
+      val comp = QuantileView.compensatedQuantiles(
+        spark, src, v, Seq(0.5, 0.9)).getOrElse(
+        fail("churn-gap quantile compensation declined"))
+      val compensated = got(comp)
+      assert(SnapshotStore.lastEpoch(v).contains(1L),
+        "compensation must not move the view")
+      // ground truth: refresh (publishes the same signed partials), serve
+      QuantileView.refresh(spark, src, v)
+      assert(compensated == got(QuantileView.quantiles(spark, v, Seq(0.5, 0.9)))
+        && compensated.nonEmpty,
+        "compensated estimates must be bit-equal to refresh-then-serve")
+      // a fresh view returns the plain estimates
+      assert(got(QuantileView.compensatedQuantiles(spark, src, v,
+        Seq(0.5, 0.9)).get) == compensated)
+      // an ESCAPING gap insert declines (refresh would refreeze)
+      SnapshotStore.append(seriesDF(("m0", 999999L, 1e9))
+        .select("metric", "e", "value"), src)
+      assert(QuantileView.compensatedQuantiles(spark, src, v, Seq(0.5)).isEmpty,
+        "escaping gap must decline — compensation cannot refreeze")
+      // a compacted gap declines (no manifest diff)
+      QuantileView.refresh(spark, src, v)
+      SnapshotStore.compact(spark, src)
+      SnapshotStore.append(se(81 to 85), src)
+      assert(QuantileView.compensatedQuantiles(spark, src, v, Seq(0.5)).isEmpty,
+        "compacted gap must decline")
+      // grain stamp: a mismatched grainSec REFUSES (caller bug, not a
+      // decline) on every mutating/compensating surface
+      val e1 = intercept[IllegalArgumentException] {
+        QuantileView.refresh(spark, src, v, grainSec = 3600L)
+      }
+      assert(e1.getMessage.contains("grainSec"))
+      val e2 = intercept[IllegalArgumentException] {
+        QuantileView.compensatedQuantiles(spark, src, v, Seq(0.5),
+          grainSec = 3600L)
+      }
+      assert(e2.getMessage.contains("grainSec"))
+      val e3 = intercept[IllegalArgumentException] {
+        QuantileView.retighten(spark, src, v, grainSec = 3600L)
+      }
+      assert(e3.getMessage.contains("grainSec"))
     }
   }
 }
