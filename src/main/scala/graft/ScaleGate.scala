@@ -47,7 +47,8 @@ object ScaleGate {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleGate <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
-      .getOrElse(Set("jvouter", "jvfull", "aggjoin", "rebase", "search", "quantile"))
+      .getOrElse(Set("jvouter", "jvfull", "aggjoin", "aggjoinx", "rebase",
+        "search", "quantile"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[gate10] == $dir ==")
 
@@ -130,6 +131,48 @@ object ScaleGate {
         .contains("append"),
         "aggjoin dim-band churn must stay an arithmetic signed-partial append")
       time("aggjoin serve-read")(AggJoinView.read(spark, v).count())
+    }
+
+    // EXTENTS agg-join MV: min/max partials, whose churn is the honest
+    // dirty-GROUP recompute (not signed arithmetic). Grouped on the
+    // range-clustered key itself so the dirty groups ARE a key band —
+    // the recompute's between-prefilter + semi prunes both sides to the
+    // band's files, which is what keeps the leg flat across 10x standing
+    // data (a coarse grouping would honestly pay O(dirty groups' rows)).
+    if (fams("aggjoinx")) withRoot { root =>
+      import graft.sources.AggJoinView
+      val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+      SnapshotStore.appendWithStats(
+        customer.repartitionByRange(col("c_custkey")), l, Seq("c_custkey"))
+      SnapshotStore.appendWithStats(
+        orders.repartitionByRange(col("o_custkey")), r, Seq("o_custkey"))
+      def refresh(): Unit = AggJoinView.refreshKeys(spark, l, r, v,
+        Seq("c_custkey"), Seq("o_custkey"),
+        Seq("c_custkey"), Seq("o_totalprice"), extents = true)
+      time("aggjoinx bootstrap")(refresh())
+      val dLn = customer.where(col("c_custkey") < 1024)
+        .withColumn("c_custkey", col("c_custkey") + lit(2_000_000_000L))
+        .localCheckpoint(true)
+      val dRn = orders.where(col("o_orderkey") < 4096)
+        .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(2_000_000_000L))
+        .localCheckpoint(true)
+      SnapshotStore.appendWithStats(dLn, l, Seq("c_custkey"))
+      SnapshotStore.appendWithStats(dRn, r, Seq("o_custkey"))
+      time("aggjoinx two-sided delta")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "aggjoinx delta left the O(delta) append path (min/max fold)")
+      // EXTREMUM churn inside the new band: deletes remove per-group
+      // maxima, forcing the dirty-group recompute + keyed replace
+      SnapshotStore.deleteWhere(spark, r,
+        col("o_custkey") >= 2_000_000_000L && col("o_totalprice") > 100000.0)
+      time("aggjoinx churn (band, extremum)")(refresh())
+      assert(SnapshotStore.manifestOp(v,
+          SnapshotStore.currentVersion(v) - 1).contains("upsert") &&
+        SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+          .contains("append"),
+        "extents churn must replace dirty groups by key + stamp append")
+      time("aggjoinx serve-read")(AggJoinView.read(spark, v).count())
     }
 
     if (fams("rebase")) withRoot { root =>

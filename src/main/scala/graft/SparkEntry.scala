@@ -3837,6 +3837,45 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // EXTENTS aggregate-over-join MV (min/max next to count/sum): the
+    // append legs stay O(Δ) folds (min/max are insert-monotone); the
+    // churn leg deletes per-group MAXIMA on the fact side plus a dim-side
+    // key slice — arithmetic cannot un-derive an extremum, so the dirty
+    // GROUPS re-aggregate whole from the current join and REPLACE by
+    // group key (tombstoning emptied groups). Merged groups must equal
+    // the SQL GROUP BY with min/max over the surviving join.
+    "agg_join_view_extents" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ajx").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val c = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        def refresh(): Unit = sources.AggJoinView.refreshKeys(
+          s, l, r, v, Seq("c_custkey"), Seq("o_custkey"),
+          Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"),
+          extents = true)
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 === 0), l)
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 === 0), r)
+        refresh() // bootstrap with extents
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 =!= 0), l)
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 =!= 0), r)
+        refresh() // two-sided append delta: min/max fold O(Δ)
+        sources.SnapshotStore.deleteWhere(s, r, col("o_totalprice") > 400000.0)
+        sources.SnapshotStore.deleteWhere(s, l, col("c_custkey") % 11 === 7)
+        refresh() // extremum churn: dirty-group recompute + keyed replace
+        sources.AggJoinView.compact(s, v)
+        sources.AggJoinView.read(s, v)
+          .select(col("c_mktsegment"), col("o_orderstatus"),
+            col("cnt").as("n_orders"),
+            col("sum_o_totalprice").cast("double").as("revenue"),
+            col("min_o_totalprice").as("min_price"),
+            col("max_o_totalprice").as("max_price"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Catalyst SERVING of the aggregate-over-join MV: a USER-shaped
     // `customer JOIN orders GROUP BY segment, status` with count/decimal-
     // sum aggregates (and a grouping-column filter, the only kind that
@@ -7081,6 +7120,19 @@ object SparkEntry {
         |SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
         |         AS revenue
+        |FROM c JOIN o ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "agg_join_view_extents" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_custkey % 11 != 7),
+        |o AS (SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+        |      WHERE NOT (o_totalprice > 400000.0))
+        |SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
         |FROM c JOIN o ON c_custkey = o_custkey
         |GROUP BY 1, 2""".stripMargin,
 

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -125,9 +125,11 @@ object MaterializedAggJoins {
   *     partial reproduces the user's sum bit-exactly), or
   *     `avg(CAST(measure AS DECIMAL(p≤30, 2)))` (→ stored sum ÷ cnt with
   *     Average's own decimal arithmetic replicated operand-type-for-
-  *     operand-type, bit-equal to the base plan). Anything else —
-  *     min/max (not retractable here), distinct, a raw double sum or avg
-  *     — declines rather than approximates.
+  *     operand-type, bit-equal to the base plan), or `min/max(measure)`
+  *     when the view is maintained with EXTENTS (the stored min_/max_
+  *     column must exist at the measure's own dataType; a count/sum-only
+  *     view lacks it and declines). Anything else — distinct, a raw
+  *     double sum or avg — declines rather than approximates.
   *
   * Output attributes keep the original exprIds. Registered BEFORE
   * [[JoinRewriteRule]] in [[graft.GraftExtensions]]: both match the
@@ -312,6 +314,21 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Divide(Cast(sumC, sumDt), Cast(cntC, DecimalType(20, 0)),
             EvalMode.LEGACY),
           ag.dataType), al.name)(exprId = al.exprId)
+      // min/max serve only from an EXTENTS view (the stored min_/max_
+      // column must exist with the measure's own dataType — a count/sum
+      // view simply lacks it and declines here)
+      case al @ Alias(ag @ AggregateExpression(
+          Min(v: AttributeReference), _, false, None, _), _)
+          if hit.measures.contains(v.name.toLowerCase) =>
+        val c = viewCol(s"min_${v.name}").filter(_.dataType == ag.dataType)
+          .getOrElse(return None)
+        Alias(c, al.name)(exprId = al.exprId)
+      case al @ Alias(ag @ AggregateExpression(
+          Max(v: AttributeReference), _, false, None, _), _)
+          if hit.measures.contains(v.name.toLowerCase) =>
+        val c = viewCol(s"max_${v.name}").filter(_.dataType == ag.dataType)
+          .getOrElse(return None)
+        Alias(c, al.name)(exprId = al.exprId)
       case _ => return None // any other shape: decline, never approximate
     }
     var mappable = true

@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   *     the OLD join rows they owned (time-travel reads at the view's
   *     cursor, dirty-pruned) fold to NEGATIVE partials, the NEW join
   *     rows they own fold to positive ones, and both land in ONE
-  *     append. No view rewrite, no dirty-group upsert — the reason this
-  *     view serves count/sum and declines min/max rather than
-  *     approximating.
+  *     append. No view rewrite, no dirty-group upsert.
+  *   - `extents = true` additionally stores min/max partials per
+  *     measure, trading the pure-arithmetic churn for the honest
+  *     dirty-group recompute (see [[refreshKeys]]) — the caller picks
+  *     which contract the view pays; the default keeps count/sum-only
+  *     arithmetic.
   *   - a source compaction (or vacuumed refresh baseline) invalidates
   *     the manifest diff: one full rebuild, same as both parent views.
   *
@@ -62,16 +65,25 @@ object AggJoinView {
   private val SumType = "decimal(30,2)"
 
   private def sumCol(m: String): String = s"sum_$m"
+  private def minCol(m: String): String = s"min_$m"
+  private def maxCol(m: String): String = s"max_$m"
 
   /** The recorded view spec — written at bootstrap BEFORE the first
     * publish (a crash between the two re-bootstraps and rewrites the
     * file), checked by every later refresh. */
   private def specLine(lks: Seq[String], rks: Seq[String],
-                       groups: Seq[String], measures: Seq[String]): String = {
+                       groups: Seq[String], measures: Seq[String],
+                       extents: Boolean): String = {
     def lc(xs: Seq[String]) = xs.map(_.toLowerCase(java.util.Locale.ROOT))
     s"lk=${lc(lks).mkString(",")};rk=${lc(rks).mkString(",")};" +
-      s"g=${lc(groups).sorted.mkString(",")};m=${lc(measures).sorted.mkString(",")}"
+      s"g=${lc(groups).sorted.mkString(",")};m=${lc(measures).sorted.mkString(",")}" +
+      (if (extents) ";x=1" else "")
   }
+
+  /** Does this view's recorded spec carry min/max partials? (absent flag
+    * = the count/sum-only legacy shape) */
+  private def recordedExtents(viewRoot: String): Boolean =
+    recordedSpec(viewRoot).exists(_.split(";").contains("x=1"))
 
   private def recordedSpec(viewRoot: String): Option[String] = {
     val p = java.nio.file.Paths.get(viewRoot, "_aggspec")
@@ -96,26 +108,68 @@ object AggJoinView {
 
   /** Fold join rows to one signed partial per group. `sign` is +1 for
     * arriving rows, -1 for retracted ones; count/sum retract by
-    * arithmetic, which is the whole design. */
+    * arithmetic, which is the whole design. `extents = true` adds
+    * min/max partials — insert-monotone only, so signed folding is
+    * forbidden there (the churn path replaces dirty groups whole
+    * instead). */
   private def fold(rows: DataFrame, groups: Seq[String],
-                   measures: Seq[String], sign: Int): DataFrame = {
+                   measures: Seq[String], sign: Int,
+                   extents: Boolean = false): DataFrame = {
+    require(sign == 1 || !extents,
+      "internal: min/max partials cannot fold signed")
     val aggs: Seq[Column] =
       (count(lit(1)) * lit(sign.toLong)).as("cnt") +:
-        measures.map(m =>
-          (sum(col(m).cast(SumType)) * lit(sign)).cast(SumType).as(sumCol(m)))
+        measures.flatMap(m =>
+          (sum(col(m).cast(SumType)) * lit(sign)).cast(SumType).as(sumCol(m)) +:
+            (if (extents)
+              Seq(min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m)))
+            else Nil))
     rows.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Tombstone partials for dirty groups whose join rows all vanished
+    * (extents path only — the signed path retracts to cnt = 0 by
+    * arithmetic): logically-absent markers [[read]] filters and
+    * [[compact]] folds away. */
+  private def tombstones(gone: DataFrame, recomputed: DataFrame,
+                         measures: Seq[String]): DataFrame = {
+    val cols: Seq[Column] = gone.columns.toSeq.map(col) ++
+      (lit(0L).as("cnt") +: measures.flatMap { m =>
+        val mt = recomputed.schema(recomputed.columns
+          .find(_.equalsIgnoreCase(minCol(m))).get).dataType
+        Seq(lit(0).cast(SumType).as(sumCol(m)),
+          lit(null).cast(mt).as(minCol(m)), lit(null).cast(mt).as(maxCol(m)))
+      })
+    gone.select(cols: _*)
   }
 
   /** Bring the view up to both sources' current versions. Returns the
     * view version (unchanged when both cursors already match). Spec
-    * arguments must repeat the bootstrap's spec verbatim. */
+    * arguments must repeat the bootstrap's spec verbatim — including
+    * `extents`: `extents = true` additionally stores min/max partials
+    * per measure. Extents keep the O(Δ) append path (min/max are
+    * insert-monotone), but CHURN can no longer retract by arithmetic (a
+    * deleted extremum un-derives nothing) — dirty GROUPS re-aggregate
+    * whole from the current join (group-restricted per side, the
+    * [[RollupView]] dirty-group technique lifted to the join) and
+    * REPLACE by group key, emptied groups tombstone. The count/sum-only
+    * default keeps the pure-arithmetic churn. */
   def refreshKeys(spark: SparkSession, leftRoot: String, rightRoot: String,
                   viewRoot: String, leftKeys: Seq[String],
                   rightKeys: Seq[String], groupCols: Seq[String],
-                  measureCols: Seq[String]): Int = {
+                  measureCols: Seq[String], extents: Boolean = false): Int = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
     require(groupCols.nonEmpty, "at least one group column")
+    // a group column named like a partial column would collide in the
+    // folded frame (duplicate output names — downstream writes refuse
+    // confusingly; refuse at the cause)
+    locally {
+      val reserved = "cnt" +: measureCols.flatMap(m =>
+        sumCol(m) +: (if (extents) Seq(minCol(m), maxCol(m)) else Nil))
+      groupCols.find(g => reserved.exists(_.equalsIgnoreCase(g))).foreach(g =>
+        sys.error(s"group column '$g' collides with a partial column name"))
+    }
     val lv = SnapshotStore.currentVersion(leftRoot)
     val rv = SnapshotStore.currentVersion(rightRoot)
     require(lv > 0 && rv > 0,
@@ -124,7 +178,7 @@ object AggJoinView {
     if (lv == plv && rv == prv) return SnapshotStore.currentVersion(viewRoot)
     require(lv >= plv && rv >= prv,
       s"source went backwards: ($plv,$prv) -> ($lv,$rv)")
-    val spec = specLine(leftKeys, rightKeys, groupCols, measureCols)
+    val spec = specLine(leftKeys, rightKeys, groupCols, measureCols, extents)
     if (plv != 0 || prv != 0) {
       val rec = recordedSpec(viewRoot).getOrElse("")
       require(rec == spec,
@@ -160,12 +214,12 @@ object AggJoinView {
     val vNew = if (plv == 0 && prv == 0) {
       recordSpec(viewRoot, spec) // BEFORE the publish: crash re-bootstraps
       SnapshotStore.appendEpoch(fold(slice(lNew, rNew), groupCols,
-        measureCols, 1), viewRoot, JoinView.pack(lv, rv))
+        measureCols, 1, extents), viewRoot, JoinView.pack(lv, rv))
     } else if (JoinView.appendOnly(leftRoot, plv, lv) &&
                JoinView.appendOnly(rightRoot, prv, rv)) {
       val adds = fold(deltaJoinRows(spark, leftRoot, rightRoot,
         leftKeys, rightKeys, groupCols, measureCols,
-        plv, prv, lv, rv, lNew, rNew), groupCols, measureCols, 1)
+        plv, prv, lv, rv, lNew, rNew), groupCols, measureCols, 1, extents)
       // an empty delta still publishes the cursor stamp (one
       // schema-bearing file — the RollupView empty-append posture)
       SnapshotStore.appendEpoch(
@@ -202,16 +256,98 @@ object AggJoinView {
           JoinView.prefiltered(
             JoinView.standing(spark, rightRoot, rVer, rightKeys, dirty),
             rightKeys, dirty))
-      val neg = fold(dirtyJoinRows(plv, prv), groupCols, measureCols, -1)
-      val pos = fold(dirtyJoinRows(lv, rv), groupCols, measureCols, 1)
-      val partials = pos.unionByName(neg)
-      SnapshotStore.appendEpoch(
-        if (partials.isEmpty) partials.repartition(1) else partials,
-        viewRoot, JoinView.pack(lv, rv))
+      if (!extents) {
+        val neg = fold(dirtyJoinRows(plv, prv), groupCols, measureCols, -1)
+        val pos = fold(dirtyJoinRows(lv, rv), groupCols, measureCols, 1)
+        val partials = pos.unionByName(neg)
+        SnapshotStore.appendEpoch(
+          if (partials.isEmpty) partials.repartition(1) else partials,
+          viewRoot, JoinView.pack(lv, rv))
+      } else {
+        // EXTENTS churn: min/max cannot retract, so the dirty GROUPS —
+        // every group that owned or gained a dirty-key join row —
+        // re-aggregate WHOLE from the current join and REPLACE by group
+        // key (carrying the old stamp; the closing append owns the new
+        // cursor), emptied groups tombstone. The recompute restricts
+        // each side by its own group columns first (broadcastable —
+        // dirty groups are group-key-sized) and refines to the exact
+        // dirty tuples after the join; cost is O(dirty groups' rows),
+        // the honest price of serving extrema (the RollupView
+        // dirty-group contract). NULL-keyed dirty groups would slip the
+        // null-unsafe keyed replace — one full rebuild handles them
+        // exactly (the RollupView precedent).
+        val dirtyG = dirtyJoinRows(plv, prv).select(groupCols.map(col): _*)
+          .unionByName(dirtyJoinRows(lv, rv).select(groupCols.map(col): _*))
+          .distinct().localCheckpoint(true)
+        val anyNull = groupCols.map(col(_).isNull).reduce(_ || _)
+        if (!dirtyG.where(anyNull).isEmpty) {
+          SnapshotStore.compactWith(fold(slice(lNew, rNew), groupCols,
+            measureCols, 1, extents), viewRoot,
+            epochOverride = Some(JoinView.pack(lv, rv)))
+        } else {
+          if (!dirtyG.isEmpty) {
+            val lG = groupCols.filter(c =>
+              lNew.columns.exists(_.equalsIgnoreCase(c)))
+            val rG = groupCols.filterNot(lG.contains)
+            // Each side restricts by its own group columns BEFORE the
+            // join: a conservative range pre-filter first (the
+            // RollupView day-band trick — a plain between-predicate
+            // reaches the parquet scan as a PushedFilter, so a
+            // stats-carrying layout whose files correlate with the
+            // group columns prunes), then the exact broadcast semi on
+            // the dirty tuples. A group column that IS a left join key
+            // additionally restricts the RIGHT side through its paired
+            // key (the inner equality makes them value-identical) —
+            // without it a key-grouped view's recompute would rescan
+            // the whole fact side. `pairs` maps dirtyG column → this
+            // side's column. Bounds are one model-sized driver row; the
+            // null guard is belt-and-braces (the null-group rebuild
+            // branch ran above).
+            def restrict(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+              if (pairs.isEmpty) df
+              else {
+                val b = dirtyG.agg(lit(1).as("__one"),
+                  pairs.flatMap { case (gc, _) =>
+                    Seq(min(col(gc)).as(s"__lo_$gc"),
+                      max(col(gc)).as(s"__hi_$gc"))
+                  }: _*).head()
+                val banded = pairs.foldLeft(df) { case (d, (gc, dc)) =>
+                  val lo = b.getAs[Any](s"__lo_$gc")
+                  val hi = b.getAs[Any](s"__hi_$gc")
+                  if (lo == null || hi == null) d
+                  else d.where(col(dc) >= lit(lo) && col(dc) <= lit(hi))
+                }
+                banded.join(
+                  broadcast(dirtyG.select(pairs.map { case (gc, dc) =>
+                    col(gc).as(dc)
+                  }: _*).distinct()),
+                  pairs.map(_._2), "left_semi")
+              }
+            val lPairs = lG.map(g => (g, g))
+            val rPairs = rG.map(g => (g, g)) ++ lG.flatMap(g =>
+              leftKeys.zip(rightKeys)
+                .find(_._1.equalsIgnoreCase(g)).map(p => (g, p._2)))
+            val cur = slice(restrict(lNew, lPairs), restrict(rNew, rPairs))
+              .join(broadcast(dirtyG), groupCols, "left_semi")
+            val recomputed = fold(cur, groupCols, measureCols, 1, extents)
+            val gone = dirtyG.join(
+              recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
+            SnapshotStore.upsert(spark,
+              recomputed.unionByName(tombstones(gone, recomputed, measureCols)),
+              viewRoot, groupCols)
+          }
+          // the closing append owns the cursor stamp (publishes even
+          // when the churn netted no dirty join rows)
+          val empty = fold(slice(lNew.limit(0), rNew.limit(0)),
+            groupCols, measureCols, 1, extents)
+          SnapshotStore.appendEpoch(empty.repartition(1), viewRoot,
+            JoinView.pack(lv, rv))
+        }
+      }
     } else {
       // a source compaction (or vacuumed baseline) broke the diff: rebuild
       SnapshotStore.compactWith(fold(slice(lNew, rNew), groupCols,
-        measureCols, 1), viewRoot,
+        measureCols, 1, extents), viewRoot,
         epochOverride = Some(JoinView.pack(lv, rv)))
     }
     // the refreshed cursors pin BOTH sources' vacuums (viewrefs guard)
@@ -283,13 +419,18 @@ object AggJoinView {
         !JoinView.appendOnly(rightRoot, prv, rv)) return None
     val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
     val rNew = SnapshotStore.readEvolved(spark, rightRoot, rv)
+    val extents = recordedExtents(viewRoot)
     val deltaPartials = fold(deltaJoinRows(spark, leftRoot, rightRoot,
       leftKeys, rightKeys, groupCols, measureCols,
-      plv, prv, lv, rv, lNew, rNew), groupCols, measureCols, 1)
+      plv, prv, lv, rv, lNew, rNew), groupCols, measureCols, 1, extents)
     val stored = SnapshotStore.read(spark, viewRoot)
     val aggs: Seq[Column] = sum(col("cnt")).as("cnt") +:
-      measureCols.map(m =>
-        sum(col(sumCol(m))).cast(SumType).as(sumCol(m)))
+      measureCols.flatMap(m =>
+        sum(col(sumCol(m))).cast(SumType).as(sumCol(m)) +:
+          (if (extents)
+            Seq(min(col(minCol(m))).as(minCol(m)),
+              max(col(maxCol(m))).as(maxCol(m)))
+          else Nil))
     Some(stored.unionByName(deltaPartials)
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -299,31 +440,45 @@ object AggJoinView {
   /** Single-key [[refreshKeys]]. */
   def refresh(spark: SparkSession, leftRoot: String, rightRoot: String,
               viewRoot: String, leftKey: String, rightKey: String,
-              groupCols: Seq[String], measureCols: Seq[String]): Int =
+              groupCols: Seq[String], measureCols: Seq[String],
+              extents: Boolean = false): Int =
     refreshKeys(spark, leftRoot, rightRoot, viewRoot,
-      Seq(leftKey), Seq(rightKey), groupCols, measureCols)
+      Seq(leftKey), Seq(rightKey), groupCols, measureCols, extents)
 
   /** The materialized aggregate: merge all signed partials per group,
     * drop retracted-empty groups. Columns: groups…, `cnt`,
-    * `sum_<measure>`… (decimal-exact). */
+    * `sum_<measure>`… (decimal-exact), plus `min_/max_<measure>` on an
+    * extents view. */
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
     val partials = SnapshotStore.read(spark, viewRoot)
+    val extents = recordedExtents(viewRoot)
     // the recorded spec names the measures (a group column could itself
     // be named sum_…, so a prefix heuristic would misclassify it)
-    val measures = recordedSpec(viewRoot) match {
+    val specMeasures: Seq[String] = recordedSpec(viewRoot) match {
       case Some(line) =>
         line.split(";").find(_.startsWith("m=")).map(_.drop(2)) match {
           case Some("") | None => Seq.empty[String]
-          case Some(ms)        => ms.split(",").toSeq.map(m =>
-            partials.columns.find(_.equalsIgnoreCase(sumCol(m)))
-              .getOrElse(sumCol(m)))
+          case Some(ms)        => ms.split(",").toSeq
         }
-      case None => partials.columns.filter(_.startsWith("sum_")).toSeq
+      case None =>
+        partials.columns.filter(_.startsWith("sum_")).map(_.drop(4)).toSeq
     }
+    def resolve(n: String): String =
+      partials.columns.find(_.equalsIgnoreCase(n)).getOrElse(n)
+    val aggNames = "cnt" +: specMeasures.flatMap(m =>
+      resolve(sumCol(m)) +:
+        (if (extents) Seq(resolve(minCol(m)), resolve(maxCol(m))) else Nil))
     val groups = partials.columns.filterNot(c =>
-      c.equalsIgnoreCase("cnt") || measures.contains(c)).toSeq
+      aggNames.exists(_.equalsIgnoreCase(c))).toSeq
     val aggs: Seq[Column] = sum(col("cnt")).as("cnt") +:
-      measures.map(m => sum(col(m)).cast(SumType).as(m))
+      specMeasures.flatMap { m =>
+        val s = resolve(sumCol(m))
+        sum(col(s)).cast(SumType).as(s) +:
+          (if (extents) {
+            val mn = resolve(minCol(m)); val mx = resolve(maxCol(m))
+            Seq(min(col(mn)).as(mn), max(col(mx)).as(mx))
+          } else Nil)
+      }
     partials.groupBy(groups.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .where(col("cnt") > 0)

@@ -245,6 +245,117 @@ class AggJoinViewSpec extends SparkSpec {
     }
   }
 
+  // ---- extents (min/max) views ----
+
+  private def custNN(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, s"seg${i % 3}")).toDF("c_id", "seg")
+  }
+
+  private def refreshX(l: String, r: String, v: String): Int =
+    AggJoinView.refreshKeys(spark, l, r, v, Seq("c_id"), Seq("o_id"),
+      Seq("seg", "status"), Seq("total"), extents = true)
+
+  private def viewX(v: String): Set[(String, String, Long, String, Double, Double)] =
+    AggJoinView.read(spark, v).collect()
+      .map(x => (x.getAs[String]("seg"), x.getAs[String]("status"),
+        x.getAs[Long]("cnt"),
+        Option(x.getAs[java.math.BigDecimal]("sum_total"))
+          .map(_.stripTrailingZeros.toPlainString).orNull,
+        x.getAs[Double]("min_total"), x.getAs[Double]("max_total")))
+      .toSet
+
+  private def truthX(l: String, r: String): Set[(String, String, Long, String, Double, Double)] = {
+    val lf = SnapshotStore.read(spark, l)
+    val rf = SnapshotStore.read(spark, r)
+    lf.join(rf, lf("c_id") === rf("o_id"))
+      .groupBy("seg", "status")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("total").cast("decimal(30,2)")).cast("decimal(30,2)").as("st"),
+        min(col("total")).as("mn"), max(col("total")).as("mx"))
+      .collect()
+      .map(x => (x.getAs[String]("seg"), x.getAs[String]("status"),
+        x.getAs[Long]("cnt"),
+        Option(x.getAs[java.math.BigDecimal]("st"))
+          .map(_.stripTrailingZeros.toPlainString).orNull,
+        x.getAs[Double]("mn"), x.getAs[Double]("mx")))
+      .toSet
+  }
+
+  test("extents lifecycle: appends fold, extremum churn recomputes dirty groups whole, tombstone + revival") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custNN(1L to 30L: _*), l)
+      SnapshotStore.append(ordersDF(1L to 20L: _*), r)
+      refreshX(l, r, v)
+      assert(viewX(v) == truthX(l, r))
+      // append-only delta keeps extents on the O(Δ) path
+      SnapshotStore.append(ordersDF(21L to 25L: _*), r)
+      refreshX(l, r, v)
+      assert(lastOp(v) == "append")
+      assert(viewX(v) == truthX(l, r))
+      // churn deleting a group's MAXIMUM — arithmetic cannot un-derive
+      // an extremum; the dirty groups must recompute WHOLE and replace
+      // by key (an upsert, then the stamping append)
+      SnapshotStore.deleteWhere(spark, r, col("total") === 190.0)
+      refreshX(l, r, v)
+      assert(lastOp(v) == "append" &&
+        SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v) - 1)
+          .contains("upsert"),
+        "extents churn must replace dirty groups by key, never rewrite the view")
+      assert(viewX(v) == truthX(l, r))
+      // emptying every (seg, st1) group publishes TOMBSTONES...
+      SnapshotStore.deleteWhere(spark, r, col("o_id") % 2 === 1)
+      refreshX(l, r, v)
+      assert(viewX(v) == truthX(l, r))
+      assert(!viewX(v).exists(_._2 == "st1"))
+      // ...and a revival append merges past them (min/max skip the
+      // tombstone's nulls; cnt resumes from the arithmetic zero)
+      SnapshotStore.append(ordersDF(17L), r)
+      refreshX(l, r, v)
+      assert(viewX(v) == truthX(l, r))
+      assert(viewX(v).exists(_._2 == "st1"))
+      // compact folds the signed + tombstone residue physically
+      AggJoinView.compact(spark, v)
+      assert(viewX(v) == truthX(l, r))
+    }
+  }
+
+  test("extents: null-keyed dirty group rebuilds; min/max serve from the extents view") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(1L to 30L: _*), l) // %5 == 0 → null seg
+      SnapshotStore.append(ordersDF(1L to 25L: _*), r)
+      refreshX(l, r, v)
+      // o_id 20 joins c_id 20 (null seg): the dirty group is null-keyed,
+      // the keyed replace cannot target it — one full rebuild instead
+      SnapshotStore.deleteWhere(spark, r, col("o_id") === 20L)
+      refreshX(l, r, v)
+      assert(lastOp(v) == "compact",
+        "null-keyed dirty group must take the full-rebuild branch")
+      assert(viewX(v) == truthX(l, r))
+      // the rewrite serves min/max (+ count/sum) from the extents view
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"))
+      def q() = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("c_id") === rf("o_id"))
+          .groupBy("seg", "status")
+          .agg(count(lit(1)).as("n"), min(col("total")).as("mn"),
+            max(col("total")).as("mx"))
+      }
+      val served = q()
+      assert(graft.plans.PlanProbe.scansOnly(served, "/view"),
+        "min/max over an extents view did not serve")
+      def rows(df: DataFrame) = df.collect().map(x =>
+        (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3),
+          x.getDouble(4))).toSet
+      val got = rows(served)
+      MaterializedAggJoins.disable(l)
+      assert(got == rows(q()) && got.nonEmpty)
+    }
+  }
+
   test("rewrite: avg(decimal measure) serves BIT-EQUAL as stored sum ÷ cnt") {
     withRoots { (l, r, v) =>
       SnapshotStore.append(custDF(1L to 30L: _*), l)
