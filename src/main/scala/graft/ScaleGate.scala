@@ -167,11 +167,9 @@ object ScaleGate {
       SnapshotStore.deleteWhere(spark, r,
         col("o_custkey") >= 2_000_000_000L && col("o_totalprice") > 100000.0)
       time("aggjoinx churn (band, extremum)")(refresh())
-      assert(SnapshotStore.manifestOp(v,
-          SnapshotStore.currentVersion(v) - 1).contains("upsert") &&
-        SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
-          .contains("append"),
-        "extents churn must replace dirty groups by key + stamp append")
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+          .contains("upsert"),
+        "extents churn must replace dirty groups in one stamped upsert")
       time("aggjoinx serve-read")(AggJoinView.read(spark, v).count())
     }
 

@@ -16,7 +16,8 @@ import graft.sources.{AggJoinView, JoinView, NdvView, QuantileView, RollupView, 
   * posting-file counts.
   *
   * Usage: runMain graft.ScaleServe <sfDir> [families]
-  * (families = comma list of rollup,ndv,quantile,join,aggjoin,search)
+  * (families = comma list of
+  * rollup,ndv,quantile,join,aggjoin,stale,search)
   */
 object ScaleServe {
 
@@ -35,7 +36,8 @@ object ScaleServe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleServe <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
-      .getOrElse(Set("rollup", "ndv", "quantile", "join", "aggjoin", "search"))
+      .getOrElse(Set("rollup", "ndv", "quantile", "join", "aggjoin",
+        "stale", "search"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[serve] == $dir ==")
 

@@ -4025,6 +4025,51 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Stale-serving for a LEFT-OUTER join view — the one-sided union
+    // case: while the RIGHT source is unchanged, L_new ⟕ R = view ∪
+    // (ΔL ⟕ R) is a pure union (no standing row's match status can
+    // move), so a LEFT-side-only append gap serves compensated; the
+    // spec pins that any right-side gap still declines (conversion).
+    // The gap's unmatched new orders null-extend exactly like the
+    // view's own maintenance — the oracle replays the full ⟕.
+    "join_view_stale_outer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jvso").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        sources.SnapshotStore.appendWithStats(
+          o.where(col("o_orderkey") % 2 === 0)
+            .repartitionByRange(col("o_orderkey")), l, Seq("o_orderkey"))
+        sources.SnapshotStore.appendWithStats(
+          li.where(col("l_orderkey") % 3 === 0)
+            .repartitionByRange(col("l_orderkey")), r, Seq("l_orderkey"))
+        sources.JoinView.refresh(s, l, r, v, "o_orderkey", "l_orderkey",
+          "left_outer")
+        graft.plans.MaterializedJoins.enable(l, r, v,
+          "o_orderkey", "l_orderkey", "left_outer", serveStale = true)
+        try {
+          // the gap: a LEFT-side-only append (odd orders — some match
+          // standing lineitems, some null-extend), NO refresh
+          sources.SnapshotStore.appendWithStats(
+            o.where(col("o_orderkey") % 2 =!= 0)
+              .repartitionByRange(col("o_orderkey")), l, Seq("o_orderkey"))
+          val lf = sources.SnapshotStore.read(s, l)
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("o_orderkey") === rf("l_orderkey"),
+            "left_outer")
+          val usedView = graft.plans.PlanProbe.scansAny(q, "/view")
+          q.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_quantity"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedJoins.disable(l)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Stale-serving for the ROLLUP view: the source gained an
     // append-only gap after the last refresh; the canonical day-rollup
     // aggregate is answered as stored partials ∪ Δ-partials (one merge
@@ -7179,6 +7224,16 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       l_linenumber, l_partkey, l_quantity, TRUE AS used_view
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+
+    // the full current ⟕ (all orders, the standing third of lineitem) —
+    // unmatched orders null-extend
+    "join_view_stale_outer" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       TRUE AS used_view
+        |FROM orders LEFT JOIN (SELECT * FROM lineitem
+        |                       WHERE l_orderkey % 3 = 0) li
+        |ON o_orderkey = li.l_orderkey""".stripMargin,
 
     "rollup_view_stale_serve" ->
       s"""WITH $SERIES

@@ -68,6 +68,13 @@ object AggJoinView {
   private def minCol(m: String): String = s"min_$m"
   private def maxCol(m: String): String = s"max_$m"
 
+  /** Signed NON-NULL value count per measure — what lets the merged sum
+    * stay NULL-exact: Spark's sum over an all-NULL group is NULL, but
+    * signed partials that retracted to zero (or a tombstone's 0) would
+    * otherwise serve 0 when the group re-arrives with only NULL
+    * measures. The merge serves `sum` only while `nn > 0`. */
+  private def nnCol(m: String): String = s"nn_$m"
+
   /** The recorded view spec — written at bootstrap BEFORE the first
     * publish (a crash between the two re-bootstraps and rewrites the
     * file), checked by every later refresh. */
@@ -120,7 +127,8 @@ object AggJoinView {
     val aggs: Seq[Column] =
       (count(lit(1)) * lit(sign.toLong)).as("cnt") +:
         measures.flatMap(m =>
-          (sum(col(m).cast(SumType)) * lit(sign)).cast(SumType).as(sumCol(m)) +:
+          Seq((sum(col(m).cast(SumType)) * lit(sign)).cast(SumType).as(sumCol(m)),
+            (count(col(m)) * lit(sign.toLong)).as(nnCol(m))) ++
             (if (extents)
               Seq(min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m)))
             else Nil))
@@ -137,7 +145,7 @@ object AggJoinView {
       (lit(0L).as("cnt") +: measures.flatMap { m =>
         val mt = recomputed.schema(recomputed.columns
           .find(_.equalsIgnoreCase(minCol(m))).get).dataType
-        Seq(lit(0).cast(SumType).as(sumCol(m)),
+        Seq(lit(0).cast(SumType).as(sumCol(m)), lit(0L).as(nnCol(m)),
           lit(null).cast(mt).as(minCol(m)), lit(null).cast(mt).as(maxCol(m)))
       })
     gone.select(cols: _*)
@@ -152,8 +160,11 @@ object AggJoinView {
     * deleted extremum un-derives nothing) — dirty GROUPS re-aggregate
     * whole from the current join (group-restricted per side, the
     * [[RollupView]] dirty-group technique lifted to the join) and
-    * REPLACE by group key, emptied groups tombstone. The count/sum-only
-    * default keeps the pure-arithmetic churn. */
+    * REPLACE by group key in ONE stamped publish (`upsertEpoch`: the
+    * replace and the cursor advance are atomic, so no reader ever sees
+    * recomputed groups next to a stale cursor), emptied groups
+    * tombstone. The count/sum-only default keeps the pure-arithmetic
+    * churn. */
   def refreshKeys(spark: SparkSession, leftRoot: String, rightRoot: String,
                   viewRoot: String, leftKeys: Seq[String],
                   rightKeys: Seq[String], groupCols: Seq[String],
@@ -166,7 +177,8 @@ object AggJoinView {
     // confusingly; refuse at the cause)
     locally {
       val reserved = "cnt" +: measureCols.flatMap(m =>
-        sumCol(m) +: (if (extents) Seq(minCol(m), maxCol(m)) else Nil))
+        Seq(sumCol(m), nnCol(m)) ++
+          (if (extents) Seq(minCol(m), maxCol(m)) else Nil))
       groupCols.find(g => reserved.exists(_.equalsIgnoreCase(g))).foreach(g =>
         sys.error(s"group column '$g' collides with a partial column name"))
     }
@@ -332,16 +344,21 @@ object AggJoinView {
             val recomputed = fold(cur, groupCols, measureCols, 1, extents)
             val gone = dirtyG.join(
               recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
-            SnapshotStore.upsert(spark,
+            // ONE publish: the keyed replace carries the new cursor
+            // stamp itself (upsertEpoch), so a reader never sees dirty
+            // groups at (lv,rv) next to an old cursor — the replace and
+            // the stamp are atomic, and a crashed re-run replays as an
+            // epoch no-op
+            SnapshotStore.upsertEpoch(spark,
               recomputed.unionByName(tombstones(gone, recomputed, measureCols)),
-              viewRoot, groupCols)
+              viewRoot, groupCols, JoinView.pack(lv, rv))
+          } else {
+            // no dirty join rows: just publish the cursor stamp
+            val empty = fold(slice(lNew.limit(0), rNew.limit(0)),
+              groupCols, measureCols, 1, extents)
+            SnapshotStore.appendEpoch(empty.repartition(1), viewRoot,
+              JoinView.pack(lv, rv))
           }
-          // the closing append owns the cursor stamp (publishes even
-          // when the churn netted no dirty join rows)
-          val empty = fold(slice(lNew.limit(0), rNew.limit(0)),
-            groupCols, measureCols, 1, extents)
-          SnapshotStore.appendEpoch(empty.repartition(1), viewRoot,
-            JoinView.pack(lv, rv))
         }
       }
     } else {
@@ -420,21 +437,53 @@ object AggJoinView {
     val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
     val rNew = SnapshotStore.readEvolved(spark, rightRoot, rv)
     val extents = recordedExtents(viewRoot)
+    // the caller's spec must MATCH the recorded one — a registration
+    // that drifted from the maintained spec must DECLINE here, not
+    // merge wrong-shaped partials (refreshKeys refuses loudly; a read
+    // path declines to the correct base plan)
+    if (!recordedSpec(viewRoot).contains(
+        specLine(leftKeys, rightKeys, groupCols, measureCols, extents)))
+      return None
     val deltaPartials = fold(deltaJoinRows(spark, leftRoot, rightRoot,
       leftKeys, rightKeys, groupCols, measureCols,
       plv, prv, lv, rv, lNew, rNew), groupCols, measureCols, 1, extents)
     val stored = SnapshotStore.read(spark, viewRoot)
+    Some(merged(stored.unionByName(deltaPartials), groupCols,
+      measureCols, extents))
+  }
+
+  /** Merge signed partial rows to the materialized aggregate — ONE
+    * definition shared by [[read]] and [[compensatedRead]]. The sum
+    * serves NULL while the group's merged non-null count is zero (the
+    * [[nnCol]] rationale); min/max already skip nulls natively. */
+  private def merged(partials: DataFrame, groups: Seq[String],
+                     measures: Seq[String], extents: Boolean): DataFrame = {
+    def resolve(n: String): String =
+      partials.columns.find(_.equalsIgnoreCase(n)).getOrElse(n)
+    // pre-nn stores (none persist, but the read must not crash on one)
+    val hasNn = measures.forall(m =>
+      partials.columns.exists(_.equalsIgnoreCase(nnCol(m))))
     val aggs: Seq[Column] = sum(col("cnt")).as("cnt") +:
-      measureCols.flatMap(m =>
-        sum(col(sumCol(m))).cast(SumType).as(sumCol(m)) +:
-          (if (extents)
-            Seq(min(col(minCol(m))).as(minCol(m)),
-              max(col(maxCol(m))).as(maxCol(m)))
-          else Nil))
-    Some(stored.unionByName(deltaPartials)
-      .groupBy(groupCols.map(col): _*)
+      measures.flatMap { m =>
+        val s = resolve(sumCol(m))
+        val sumMerged =
+          if (hasNn)
+            when(sum(col(resolve(nnCol(m)))) > 0, sum(col(s)).cast(SumType))
+              .otherwise(lit(null).cast(SumType)).as(s)
+          else sum(col(s)).cast(SumType).as(s)
+        sumMerged +:
+          ((if (hasNn) {
+            val nn = resolve(nnCol(m))
+            Seq(sum(col(nn)).as(nn))
+          } else Nil) ++
+            (if (extents) {
+              val mn = resolve(minCol(m)); val mx = resolve(maxCol(m))
+              Seq(min(col(mn)).as(mn), max(col(mx)).as(mx))
+            } else Nil))
+      }
+    partials.groupBy(groups.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .where(col("cnt") > 0))
+      .where(col("cnt") > 0)
   }
 
   /** Single-key [[refreshKeys]]. */
@@ -463,25 +512,12 @@ object AggJoinView {
       case None =>
         partials.columns.filter(_.startsWith("sum_")).map(_.drop(4)).toSeq
     }
-    def resolve(n: String): String =
-      partials.columns.find(_.equalsIgnoreCase(n)).getOrElse(n)
     val aggNames = "cnt" +: specMeasures.flatMap(m =>
-      resolve(sumCol(m)) +:
-        (if (extents) Seq(resolve(minCol(m)), resolve(maxCol(m))) else Nil))
+      Seq(sumCol(m), nnCol(m)) ++
+        (if (extents) Seq(minCol(m), maxCol(m)) else Nil))
     val groups = partials.columns.filterNot(c =>
       aggNames.exists(_.equalsIgnoreCase(c))).toSeq
-    val aggs: Seq[Column] = sum(col("cnt")).as("cnt") +:
-      specMeasures.flatMap { m =>
-        val s = resolve(sumCol(m))
-        sum(col(s)).cast(SumType).as(s) +:
-          (if (extents) {
-            val mn = resolve(minCol(m)); val mx = resolve(maxCol(m))
-            Seq(min(col(mn)).as(mn), max(col(mx)).as(mx))
-          } else Nil)
-      }
-    partials.groupBy(groups.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .where(col("cnt") > 0)
+    merged(partials, groups, specMeasures, extents)
   }
 
   /** Fold accumulated partials to one row per group (drops cnt=0

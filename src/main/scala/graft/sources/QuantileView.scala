@@ -61,8 +61,8 @@ object QuantileView {
     * drifting metric pays one rebuild per envelope-escape again. */
   val MaxMargin = 8.0
 
-  private def edgesDir(viewRoot: String, srcV: Int): String =
-    s"$viewRoot/_edges/v$srcV"
+  private def edgesDir(viewRoot: String, viewV: Int): String =
+    s"$viewRoot/_edges/v$viewV"
 
   // ---- grain stamp (the RollupView guard, for the raw-Long grain) ----
   // partials key on (metric, bucket, bin) with bucket = e div grainSec;
@@ -94,11 +94,18 @@ object QuantileView {
       java.nio.file.Files.write(grainPath(viewRoot),
         g.toString.getBytes("UTF-8"))
 
-  /** The newest frozen edges at or below the view's current stamp —
-    * (metric, lo, w, bins). */
+  /** The newest frozen edges at or below the view's current VERSION —
+    * (metric, lo, w, bins). Sidecars are keyed by the VIEW version that
+    * publishes them (written just before that publish), so a freeze
+    * becomes visible exactly when its re-binned counts do: a reader
+    * during a rebuild — including [[retighten]] on an ALREADY-FRESH
+    * view, where the source stamp cannot advance — keeps pairing the
+    * old edges with the old counts, and a crash between the sidecar
+    * write and the publish leaves an orphan nothing reads. */
   def edgesFor(spark: SparkSession, viewRoot: String): DataFrame = {
-    val stamp = SnapshotStore.lastEpoch(viewRoot).getOrElse(
-      sys.error(s"no refreshed quantile view at $viewRoot")).toInt
+    require(SnapshotStore.lastEpoch(viewRoot).nonEmpty,
+      s"no refreshed quantile view at $viewRoot")
+    val cap = SnapshotStore.currentVersion(viewRoot)
     val d = java.nio.file.Paths.get(viewRoot, "_edges")
     val versions = {
       val stream = java.nio.file.Files.list(d)
@@ -106,10 +113,10 @@ object QuantileView {
           .getFileName.toString)
         .filter(_.startsWith("v"))
         .flatMap(n => scala.util.Try(n.stripPrefix("v").toInt).toOption)
-        .filter(_ <= stamp)
+        .filter(_ <= cap)
       finally stream.close()
     }
-    require(versions.nonEmpty, s"no frozen edges at or below v$stamp")
+    require(versions.nonEmpty, s"no frozen edges at or below view v$cap")
     spark.read.parquet(edgesDir(viewRoot, versions.max))
   }
 
@@ -225,10 +232,13 @@ object QuantileView {
         "quantile view contract (they cannot bin); filter them before " +
         "maintaining the view")
     val ed = edRaw.drop("__nnull")
-    // edges BEFORE the publish, keyed by the version they freeze for:
-    // a crash between the two leaves an orphan sidecar nothing reads
+    // edges BEFORE the publish, keyed by the VIEW version the publish
+    // will create (currentVersion + 1 — both publish paths create
+    // exactly the next version): invisible to readers until that
+    // version exists, and a crash between the two leaves an orphan
+    // sidecar nothing reads; the re-run overwrites it
     ed.coalesce(1).write.mode("overwrite")
-      .parquet(edgesDir(viewRoot, srcCur))
+      .parquet(edgesDir(viewRoot, SnapshotStore.currentVersion(viewRoot) + 1))
     val counts = binned(full, ed, grainSec, lit(1L))
     if (SnapshotStore.currentVersion(viewRoot) == 0)
       SnapshotStore.appendEpoch(counts, viewRoot, srcCur)
@@ -337,11 +347,34 @@ object QuantileView {
       .agg(sum("cnt").as("cnt"))
       .where(col("cnt") =!= 0L)
 
+  /** Delete orphan edge sidecars keyed ABOVE the current view version —
+    * debris of a crashed rebuild. The rebuild's own re-run overwrites
+    * its orphan, but any OTHER publish (compact) would otherwise make
+    * the orphan's version exist and pair stale-binned counts with the
+    * never-committed freeze. */
+  private def dropOrphanEdges(viewRoot: String): Unit = {
+    val cap = SnapshotStore.currentVersion(viewRoot)
+    val d = java.nio.file.Paths.get(viewRoot, "_edges")
+    if (java.nio.file.Files.isDirectory(d)) {
+      val stream = java.nio.file.Files.list(d)
+      try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => scala.util.Try(
+          p.getFileName.toString.stripPrefix("v").toInt).toOption
+          .exists(_ > cap))
+        .foreach(p => SnapshotStore.deleteTree(p.toString))
+      finally stream.close()
+    }
+  }
+
   /** Fold the partial history to one row per live (metric, bucket, bin)
     * — the view's own maintenance compaction (content and stamp
-    * preserved). */
-  def compact(spark: SparkSession, viewRoot: String, targetFiles: Int = 4): Int =
+    * preserved). Clears crashed-rebuild sidecar orphans first: compact
+    * creates the next view version, which must not resurrect a freeze
+    * whose counts never published. */
+  def compact(spark: SparkSession, viewRoot: String, targetFiles: Int = 4): Int = {
+    dropOrphanEdges(viewRoot)
     SnapshotStore.compactWith(read(spark, viewRoot), viewRoot, targetFiles)
+  }
 
   /** Served quantile ESTIMATES per (metric, bucket, phi): cumulative-
     * count bin selection + linear interpolation inside the selected bin —

@@ -299,10 +299,9 @@ class AggJoinViewSpec extends SparkSpec {
       // by key (an upsert, then the stamping append)
       SnapshotStore.deleteWhere(spark, r, col("total") === 190.0)
       refreshX(l, r, v)
-      assert(lastOp(v) == "append" &&
-        SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v) - 1)
-          .contains("upsert"),
-        "extents churn must replace dirty groups by key, never rewrite the view")
+      assert(lastOp(v) == "upsert",
+        "extents churn must replace dirty groups in ONE stamped upsert, " +
+          "never rewrite the view")
       assert(viewX(v) == truthX(l, r))
       // emptying every (seg, st1) group publishes TOMBSTONES...
       SnapshotStore.deleteWhere(spark, r, col("o_id") % 2 === 1)
@@ -318,6 +317,36 @@ class AggJoinViewSpec extends SparkSpec {
       // compact folds the signed + tombstone residue physically
       AggJoinView.compact(spark, v)
       assert(viewX(v) == truthX(l, r))
+    }
+  }
+
+  test("a fully-retracted group re-arriving with all-NULL measures serves sum = NULL, not 0") {
+    withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
+      def ord(rows: (Long, String, Option[Double])*) =
+        rows.toDF("o_id", "status", "total")
+      SnapshotStore.append(custNN(1L to 6L: _*), l)
+      SnapshotStore.append(ord((1L, "st0", Some(10.0))), r)
+      def refresh(): Unit = AggJoinView.refreshKeys(spark, l, r, v,
+        Seq("c_id"), Seq("o_id"), Seq("seg", "status"), Seq("total"))
+      refresh()
+      // retract the group's only row (signed partials cancel to 0)…
+      SnapshotStore.deleteWhere(spark, r, col("o_id") === 1L)
+      refresh()
+      // …then re-arrive with ONLY NULL measures: base-plan sum over an
+      // all-NULL group is NULL; without the nn partial the stale 0-sum
+      // residue would serve 0.00 instead
+      SnapshotStore.append(ord((1L, "st0", None), (4L, "st0", None)), r)
+      refresh()
+      val row = AggJoinView.read(spark, v)
+        .where(col("seg") === "seg1" && col("status") === "st0")
+        .collect()
+      assert(row.length == 1 && row.head.getAs[Long]("cnt") == 2L &&
+        row.head.getAs[Any]("sum_total") == null,
+        s"all-NULL re-arrival must serve sum NULL: ${row.mkString}")
+      assert(viewRows(v) == truth(l, r),
+        "view must equal the re-aggregation including the NULL-sum group")
     }
   }
 
