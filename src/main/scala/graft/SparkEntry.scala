@@ -3850,8 +3850,14 @@ object SparkEntry {
         val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
         val c = Tables.customer(s, dir)
           .select("c_custkey", "c_mktsegment", "c_acctbal")
+        // half the fact universe: the 15-group star shape makes ANY churn
+        // dirty most groups, so the recompute is honestly O(join x dirty
+        // fraction) — halving the facts keeps every lifecycle path at
+        // half the bench cost (the scalable key-grouped posture is
+        // ScaleGate's aggjoinx family)
         val o = Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .where(col("o_orderkey") % 2 === 0)
         def refresh(): Unit = sources.AggJoinView.refreshKeys(
           s, l, r, v, Seq("c_custkey"), Seq("o_custkey"),
           Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"),
@@ -7172,7 +7178,7 @@ object SparkEntry {
       """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
         |           WHERE c_custkey % 11 != 7),
         |o AS (SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
-        |      WHERE NOT (o_totalprice > 400000.0))
+        |      WHERE o_orderkey % 2 = 0 AND NOT (o_totalprice > 400000.0))
         |SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
         |         AS revenue,

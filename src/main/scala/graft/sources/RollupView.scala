@@ -176,8 +176,14 @@ object RollupView {
           max(col("value")).as("vmax"))
     def tombstones(keys: DataFrame, recomputed: DataFrame, g: Grain): DataFrame = {
       val vT = recomputed.schema("vmin").dataType
+      // vsum NULL, not 0: the classic spec has no signed partials (churn
+      // recomputes dirty groups whole), so a tombstone is the ONLY
+      // possible zero-ish residue — and a group revived by rows whose
+      // values are all NULL must merge to sum NULL exactly like the
+      // base plan (sum skips the NULL tombstone either way, but a 0
+      // would survive the merge and serve 0.00 where the base says NULL)
       keys.select(col("metric"), col(g.col),
-        lit(0L).as("cnt"), lit(0).cast(SumType).as("vsum"),
+        lit(0L).as("cnt"), lit(null).cast(SumType).as("vsum"),
         lit(null).cast(vT).as("vmin"), lit(null).cast(vT).as("vmax"))
     }
   }

@@ -1029,6 +1029,34 @@ class SourcesSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("rollup tombstone revived by all-NULL values serves sum NULL, not a 0 residue") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivmnull").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      SnapshotStore.append(Seq(("n", 30L, 2.0), ("m", 10L, 1.0))
+        .toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      // kill the n group (tombstone), then revive it with ONLY NULL
+      // values — the base plan's sum over an all-NULL group is NULL, and
+      // the merged view must agree (a 0-sum tombstone would serve 0.00)
+      SnapshotStore.deleteWhere(spark, src, col("metric") === "n")
+      RollupView.refresh(spark, src, view)
+      SnapshotStore.append(
+        Seq(("n", 70L, Option.empty[Double]), ("n", 80L, Option.empty[Double]))
+          .toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      val got = RollupView.read(spark, view)
+        .where(col("metric") === "n").collect()
+      assert(got.length == 1 && got.head.getAs[Long]("cnt") == 2L &&
+        got.head.getAs[Any]("vsum") == null &&
+        got.head.getAs[Any]("vmin") == null,
+        s"all-NULL revival must serve NULL aggregates: ${got.mkString}")
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("incremental bin-packing: small dirs merge, big dirs ride by reference") {
     import graft.sources.SnapshotStore
     val s = spark
