@@ -3964,6 +3964,34 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // STREAMING maintenance of the EXTENTS agg-join MV: same checkpointed
+    // drip as stream_agg_join_view_parity, with min/max partials folding
+    // per trigger (the insert-monotone append path under replay-idempotent
+    // epochs). Groups must equal the SQL GROUP BY with min/max.
+    "stream_agg_join_extents_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sajx").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        sources.SnapshotStore.append(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), l)
+        graft.streaming.StreamReplay.viewIngestReplay(
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          "o_orderkey", r,
+          sp => sources.AggJoinView.refreshKeys(sp, l, r, v,
+            Seq("c_custkey"), Seq("o_custkey"),
+            Seq("c_mktsegment", "o_orderstatus"), Seq("o_totalprice"),
+            extents = true))
+        sources.AggJoinView.read(s, v)
+          .select(col("c_mktsegment"), col("o_orderstatus"),
+            col("cnt").as("n_orders"),
+            col("sum_o_totalprice").cast("double").as("revenue"),
+            col("min_o_totalprice").as("min_price"),
+            col("max_o_totalprice").as("max_price"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // STREAMING maintenance of the aggregate-over-join MV: customers
     // stand, orders drip through a checkpointed file stream, every
     // trigger folding its delta-join partials inside the trigger (the
@@ -7212,6 +7240,15 @@ object SparkEntry {
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
         |         AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "stream_agg_join_extents_parity" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1, 2""".stripMargin,
 

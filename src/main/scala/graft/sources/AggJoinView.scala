@@ -82,9 +82,13 @@ object AggJoinView {
                        groups: Seq[String], measures: Seq[String],
                        extents: Boolean): String = {
     def lc(xs: Seq[String]) = xs.map(_.toLowerCase(java.util.Locale.ROOT))
+    // p=2 marks the nn-carrying partial format: a store recorded without
+    // it predates the non-null counts, so a refresh refuses (spec
+    // mismatch) and compensatedRead declines instead of merging
+    // wrong-shaped partials — rebuild such a view from scratch
     s"lk=${lc(lks).mkString(",")};rk=${lc(rks).mkString(",")};" +
       s"g=${lc(groups).sorted.mkString(",")};m=${lc(measures).sorted.mkString(",")}" +
-      (if (extents) ";x=1" else "")
+      (if (extents) ";x=1" else "") + ";p=2"
   }
 
   /** Does this view's recorded spec carry min/max partials? (absent flag
@@ -496,8 +500,11 @@ object AggJoinView {
 
   /** The materialized aggregate: merge all signed partials per group,
     * drop retracted-empty groups. Columns: groups…, `cnt`,
-    * `sum_<measure>`… (decimal-exact), plus `min_/max_<measure>` on an
-    * extents view. */
+    * `sum_<measure>` (decimal-exact, NULL while the group's merged
+    * non-null count is zero) and its `nn_<measure>` bookkeeping count
+    * (kept in the output so [[compact]]'s round-trip preserves the
+    * NULL-exactness invariant), plus `min_/max_<measure>` on an extents
+    * view. */
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
     val partials = SnapshotStore.read(spark, viewRoot)
     val extents = recordedExtents(viewRoot)

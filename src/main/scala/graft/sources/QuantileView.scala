@@ -45,9 +45,11 @@ import org.apache.spark.sql.functions._
   * rebuild across a compaction, resume position = the source version
   * stamped as the view's epoch (replayed refresh is a true no-op).
   * Edges sidecars are written BEFORE their rebuild publishes, keyed by
-  * the source version they were frozen for — a crash between the two
-  * leaves an orphan sidecar the old content never reads ([[edgesFor]]
-  * resolves the newest freeze at or below the view's stamp).
+  * the VIEW version that publish creates — a crash between the two
+  * leaves an orphan sidecar nothing reads ([[edgesFor]] resolves the
+  * newest freeze at or below the view's current version, so a freeze
+  * becomes visible exactly when its re-binned counts do), and every
+  * non-rebuild publish clears orphans above the current version first.
   */
 object QuantileView {
 
@@ -286,6 +288,11 @@ object QuantileView {
     requireGrainSec(viewRoot, grainSec, "refresh")
     val from = SnapshotStore.lastEpoch(viewRoot).map(_.toInt).getOrElse(0)
     if (srcCur <= from) return SnapshotStore.currentVersion(viewRoot)
+    // clear crashed-rebuild sidecar orphans FIRST: the append/churn exits
+    // below create the next view version without writing edges, which
+    // must not resurrect a freeze whose counts never published (the
+    // rebuild exits overwrite their own slot; compact() clears its own)
+    dropOrphanEdges(viewRoot)
     // every exit below publishes the view at cursor srcCur — stamp the
     // grain and pin the source's vacuum afterward (viewrefs guard; a
     // crash leaves no false pin and no false stamp)

@@ -274,7 +274,14 @@ object RollupView {
     * stamp forward, only the closing append stamps `srcCur` — a re-run
     * after a crash between the two recomputes the same diff against the
     * same immutable manifests and replaces the same keys with the same
-    * rows (replace-by-key is content-idempotent), then stamps. */
+    * rows (replace-by-key is content-idempotent), then stamps. Between
+    * the two publishes a reader sees dirty groups at `srcCur` next to
+    * the old cursor — a DOCUMENTED window this path accepts because its
+    * second publish carries real content (the insert-only groups'
+    * delta partials must APPEND next to their standing partials, so the
+    * retraction cannot collapse into one stamped replace the way
+    * [[AggJoinView]]'s extents churn — which has no insert-only leg —
+    * does with `upsertEpoch`). */
   private def refreshRetracting(spark: SparkSession, srcRoot: String,
                                 viewRoot: String, from: Int,
                                 srcCur: Int, g: Grain,
