@@ -134,4 +134,89 @@ class MultiSeedTortureSpec extends SparkSpec {
       } finally SnapshotStore.deleteTree(root)
     }
   }
+
+  test("extents agg-join MV: 3 seeds of random append/delete/upsert churn == re-aggregation") {
+    import graft.sources.AggJoinView
+    def custT(rows: (Long, String)*): DataFrame = {
+      val s = spark; import s.implicits._
+      rows.toDF("c_id", "seg")
+    }
+    def ordT(rows: (Long, String, Option[Double])*): DataFrame = {
+      val s = spark; import s.implicits._
+      rows.toDF("o_id", "status", "total")
+    }
+    Seq(13, 555, 7777).foreach { seed =>
+      val root = java.nio.file.Files.createTempDirectory(s"ajx$seed").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val rnd = new scala.util.Random(seed)
+        // null segs on some customers: random churn rounds hit BOTH the
+        // keyed-replace path and the null-group full-rebuild branch
+        SnapshotStore.append(custT((1L to 25L).map(i =>
+          (i, if (i % 9 == 0) null else s"s${i % 4}")): _*), l)
+        SnapshotStore.append(ordT((1L to 20L).map(i =>
+          (i, s"st${i % 2}",
+            if (i % 6 == 0) None else Some(i * 1.5))): _*), r)
+        def refresh(): Unit = AggJoinView.refreshKeys(spark, l, r, v,
+          Seq("c_id"), Seq("o_id"), Seq("seg", "status"), Seq("total"),
+          extents = true)
+        def fmt(df: DataFrame) = df.collect().map { x =>
+          (Option(x.getAs[String](0)).orNull, x.getAs[String](1),
+            x.getAs[Long](2),
+            Option(x.getAs[java.math.BigDecimal](3))
+              .map(_.stripTrailingZeros.toPlainString).orNull,
+            Option(x.getAs[java.lang.Double](4)).map(_.toDouble),
+            Option(x.getAs[java.lang.Double](5)).map(_.toDouble))
+        }.toSet
+        def viewNow() = fmt(AggJoinView.read(spark, v).select(
+          col("seg"), col("status"), col("cnt"), col("sum_total"),
+          col("min_total"), col("max_total")))
+        def truth() = {
+          val lf = SnapshotStore.read(spark, l)
+          val rf = SnapshotStore.read(spark, r)
+          fmt(lf.join(rf, lf("c_id") === rf("o_id"))
+            .groupBy("seg", "status")
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("total").cast("decimal(30,2)")).cast("decimal(30,2)")
+                .as("st"),
+              min(col("total")).as("mn"), max(col("total")).as("mx")))
+        }
+        refresh()
+        assert(viewNow() == truth(), s"seed $seed bootstrap")
+        var nextO = 100L; var nextC = 50L
+        (1 to 10).foreach { step =>
+          (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+            rnd.nextInt(5) match {
+              case 0 => // new orders, occasionally NULL totals
+                SnapshotStore.append(ordT((0 until 3).map(k =>
+                  (nextO + k, s"st${rnd.nextInt(2)}",
+                    if (rnd.nextInt(4) == 0) None
+                    else Some(rnd.nextInt(100) * 1.0))): _*), r)
+                nextO += 3
+              case 1 => // delete an order band (often holds group extrema)
+                SnapshotStore.deleteWhere(spark, r,
+                  col("o_id") % 5 === rnd.nextInt(5).toLong)
+              case 2 => // keyed upsert rewrites totals (and maybe status)
+                val base = 1L + rnd.nextInt(20)
+                SnapshotStore.upsert(spark,
+                  ordT((base, s"st${rnd.nextInt(2)}",
+                    Some(500.0 + step))), r, Seq("o_id"))
+              case 3 => // dim churn: drop a customer (maybe a null-seg one)
+                SnapshotStore.deleteWhere(spark, l,
+                  col("c_id") === (1L + rnd.nextInt(25)))
+              case 4 => // dim growth: new customer, sometimes null seg
+                SnapshotStore.append(custT((nextC,
+                  if (rnd.nextInt(6) == 0) null
+                  else s"s${rnd.nextInt(4)}")), l)
+                nextC += 1
+            }
+          }
+          refresh()
+          assert(viewNow() == truth(), s"seed $seed diverged after step $step")
+        }
+        AggJoinView.compact(spark, v)
+        assert(viewNow() == truth(), s"seed $seed post-compact")
+      } finally SnapshotStore.deleteTree(root)
+    }
+  }
 }
