@@ -283,8 +283,8 @@ object AggJoinView {
         // EXTENTS churn: min/max cannot retract, so the dirty GROUPS —
         // every group that owned or gained a dirty-key join row —
         // re-aggregate WHOLE from the current join and REPLACE by group
-        // key (carrying the old stamp; the closing append owns the new
-        // cursor), emptied groups tombstone. The recompute restricts
+        // key in ONE stamped publish (upsertEpoch — see the publish
+        // site), emptied groups tombstone. The recompute restricts
         // each side by its own group columns first (broadcastable —
         // dirty groups are group-key-sized) and refines to the exact
         // dirty tuples after the join; cost is O(dirty groups' rows),
