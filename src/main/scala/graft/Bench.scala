@@ -43,7 +43,13 @@ object Bench {
     // variance (cold inflated by GC/IO/classloading pressure, warm
     // steady) from a real plan regression (both runs move together)
     // (round-10 verdict item 6).
+    // Optional args: query names to bench (comma-separated or one per
+    // arg) — the local spot-measure path (min-of-N re-runs of a flagged
+    // query without paying the full registry).
+    val only: Set[String] = args.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty).toSet
     val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .sortBy { case (name, _) => (name.startsWith("stream_"), name) }
       .map { case (name, fn) =>
       def once(): Double = {

@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shape (see RollupRewriteRule's doc for the exactness conditions).
     ext.injectPostHocResolutionRule(session =>
       new graft.plans.RollupRewriteRule(session))
+    // Multi-way (snowflake) aggregate-over-join MV rewrite — matches
+    // N ≥ 3-table inner-join trees, a shape disjoint from the two-table
+    // rule below; registered first so the decision order is
+    // deterministic.
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.MultiAggJoinRewriteRule(session))
     // Aggregate-over-join MV rewrite — BEFORE the plain join rewrite:
     // both match the same Join node, and serving the aggregate from
     // O(groups) partials beats serving the join view then re-aggregating

@@ -123,8 +123,9 @@ object MaterializedAggJoins {
   *     decimal partial — casting to scale 2 at any precision ≥ the
   *     values' magnitude rounds identically, so the stored DECIMAL(30,2)
   *     partial reproduces the user's sum bit-exactly), or
-  *     `avg(CAST(measure AS DECIMAL(p≤30, 2)))` (→ stored sum ÷ cnt with
-  *     Average's own decimal arithmetic replicated operand-type-for-
+  *     `avg(CAST(measure AS DECIMAL(p≤30, 2)))` (→ stored sum ÷ the
+  *     stored non-null count `nn_<measure>` — Average's own divisor —
+  *     with its decimal arithmetic replicated operand-type-for-
   *     operand-type, bit-equal to the base plan), or `min/max(measure)`
   *     when the view is maintained with EXTENTS (the stored min_/max_
   *     column must exist at the measure's own dataType; a count/sum-only
@@ -293,25 +294,33 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             hit.measures.contains(v.name.toLowerCase) =>
         val c = viewCol(s"sum_${v.name}").getOrElse(return None)
         Alias(Cast(c, ag.dataType), al.name)(exprId = al.exprId)
-      // avg(CAST(measure AS DECIMAL(p,2))): served as stored-sum ÷ cnt
-      // with Average's OWN decimal arithmetic replicated — operands cast
-      // to Average's internal types (sum at DECIMAL(p+10,2), count at
-      // LongDecimal), so the Divide's result precision/scale — and hence
-      // its HALF_UP rounding — are identical to the base plan's, then
-      // the same final cast to Average.dataType. Both inputs are exact
-      // (the decimal partial reproduces the user's sum bit-exactly, cnt
-      // is a count), so served == declined to the last digit (spec-
-      // pinned). cnt > 0 on every served group, so the division is total.
+      // avg(CAST(measure AS DECIMAL(p,2))): served as stored-sum ÷ the
+      // stored NON-NULL value count (`nn_<measure>` — Average divides by
+      // the count of non-null inputs, NOT the row count; a group holding
+      // a NULL measure would otherwise serve a silently wrong mean, e.g.
+      // [2.00, NULL] → 1.00) with Average's OWN decimal arithmetic
+      // replicated — operands cast to Average's internal types (sum at
+      // DECIMAL(p+10,2), count at LongDecimal), so the Divide's result
+      // precision/scale — and hence its HALF_UP rounding — are identical
+      // to the base plan's, then the same final cast to Average.dataType.
+      // Both inputs are exact (the decimal partial reproduces the user's
+      // sum bit-exactly, nn IS Average's non-null count), so served ==
+      // declined to the last digit (spec-pinned). nn CAN be 0 with
+      // cnt > 0 (an all-NULL-measure group): the stored sum is NULL
+      // there, and NULL ÷ 0 under LEGACY eval is NULL — exactly the base
+      // plan's Average over zero non-null inputs. A pre-nn view (no
+      // nn_<measure> column) declines rather than divide by the wrong
+      // count.
       case al @ Alias(ag @ AggregateExpression(
           Average(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
           _, false, None, _), _)
           if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
             hit.measures.contains(v.name.toLowerCase) =>
         val sumC = viewCol(s"sum_${v.name}").getOrElse(return None)
-        val cntC = viewCol("cnt").getOrElse(return None)
+        val nnC = viewCol(s"nn_${v.name}").getOrElse(return None)
         val sumDt = DecimalType(math.min(dt.precision + 10, DecimalType.MAX_PRECISION), dt.scale)
         Alias(Cast(
-          Divide(Cast(sumC, sumDt), Cast(cntC, DecimalType(20, 0)),
+          Divide(Cast(sumC, sumDt), Cast(nnC, DecimalType(20, 0)),
             EvalMode.LEGACY),
           ag.dataType), al.name)(exprId = al.exprId)
       // min/max serve only from an EXTENTS view (the stored min_/max_

@@ -1,0 +1,323 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.{MultiAggJoinView, SnapshotStore}
+import graft.sources.MultiAggJoinView.Edge
+
+/** Registry of N-table join-tree specs → maintained
+  * [[MultiAggJoinView]] the [[MultiAggJoinRewriteRule]] may answer
+  * from. Explicit opt-in like every sibling registry. */
+object MaterializedMultiJoins {
+
+  /** A registration: ordered roots, the edge tree, spec columns, and the
+    * stale opt-in — everything refresh-shaped so the rewrite can hand
+    * the stale path to [[MultiAggJoinView.compensatedRead]] verbatim. */
+  private[plans] final case class MReg(roots: Seq[String], viewRoot: String,
+                                       edges: Seq[Edge],
+                                       groupCols: Seq[String],
+                                       measureCols: Seq[String],
+                                       serveStale: Boolean)
+
+  private val regs =
+    new java.util.concurrent.ConcurrentHashMap[String, MReg]()
+
+  private def canon(p: String): String = MaterializedRollups.canon(p)
+
+  /** Declare `viewRoot` as [[MultiAggJoinView]]-maintained over the
+    * join tree. A user-shaped chain of INNER equi-joins over the
+    * registered stores' CURRENT snapshots whose flattened equality set
+    * equals the edge set, grouped on the registered columns, is answered
+    * from the view when fresh (or stale-compensated when `serveStale`
+    * and the gaps are append-only). */
+  def enable(roots: Seq[String], viewRoot: String, edges: Seq[Edge],
+             groupCols: Seq[String], measureCols: Seq[String],
+             serveStale: Boolean = false): Unit =
+    regs.put(canon(viewRoot),
+      MReg(roots, viewRoot, edges, groupCols, measureCols, serveStale))
+
+  /** Unregister every registration mentioning `root` as a source or as
+    * the view. */
+  def disable(root: String): Unit = {
+    val c = canon(root)
+    regs.entrySet().asScala
+      .filter(e => e.getKey == c || e.getValue.roots.exists(canon(_) == c))
+      .map(_.getKey).toSeq.foreach { k =>
+        regs.remove(k); probeCache.remove(k)
+      }
+  }
+
+  def clear(): Unit = { regs.clear(); probeCache.clear() }
+
+  private[plans] def isEmpty: Boolean = regs.isEmpty
+
+  private[plans] def all: Iterable[MReg] = regs.asScala.values
+
+  // ---- freshness probe (the sibling registries' mtime-keyed cache) ----
+
+  private final case class MProbe(srcM: Seq[Long], viewM: Long,
+                                  srcV: Seq[Int], viewV: Int,
+                                  dirs: Seq[Set[String]], fresh: Boolean)
+
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MProbe]()
+
+  /** Per-table current-snapshot dirs + view freshness, cached until any
+    * store's manifest directory moves (publishes create exactly version
+    * v+1 — the [[MaterializedRollups.storeUnmoved]] invariant). None
+    * when any source has no published version. */
+  private[plans] def probe(reg: MReg): Option[(Seq[Set[String]], Boolean)] = {
+    val key = canon(reg.viewRoot)
+    val srcM = reg.roots.map(MaterializedRollups.manifestDirMtime)
+    val viewM = MaterializedRollups.manifestDirMtime(reg.viewRoot)
+    if (srcM.exists(_ < 0)) return None
+    val cached = probeCache.get(key)
+    if (cached != null && cached.srcM == srcM && cached.viewM == viewM &&
+        reg.roots.indices.forall(i =>
+          MaterializedRollups.storeUnmoved(reg.roots(i), cached.srcV(i))) &&
+        MaterializedRollups.storeUnmoved(reg.viewRoot, cached.viewV))
+      return Some((cached.dirs, cached.fresh))
+    val srcV = reg.roots.map(SnapshotStore.currentVersion)
+    if (srcV.exists(_ == 0)) return None
+    val viewV = SnapshotStore.currentVersion(reg.viewRoot)
+    val fresh = SnapshotStore.lastEpoch(reg.viewRoot)
+      .contains(MultiAggJoinView.packAll(srcV))
+    val next = MProbe(srcM, viewM, srcV, viewV,
+      reg.roots.zip(srcV).map { case (r, v) =>
+        SnapshotStore.manifestDirs(r, v).map(canon).toSet
+      }, fresh)
+    probeCache.put(key, next)
+    Some((next.dirs, next.fresh))
+  }
+}
+
+/** Materialized MULTI-WAY aggregate-over-join rewrite — the snowflake MV
+  * as one Catalyst rule: a user-shaped chain of INNER equi-joins over N
+  * registered stores' current snapshots, grouped on registered columns
+  * and aggregated as `count(1)` / `sum(CAST(m AS DECIMAL(18..30, 2)))` /
+  * the matching `avg`, is answered from the O(groups) maintained
+  * [[MultiAggJoinView]] — the whole join TREE disappears from the plan.
+  * At 100 TB this is the standard BI dashboard shape (fact × several
+  * dims, GROUP BY dim attributes) served from partial rows the refresh
+  * already paid for.
+  *
+  * Fires only when EXACT (the [[AggJoinRewriteRule]] posture, lifted to
+  * a tree):
+  *   - the aggregate's child flattens to INNER joins over exactly the
+  *     registered stores' current-version scans (at most column-pruning
+  *     Projects and deterministic grouping-column Filters in between);
+  *     inner joins commute and associate, so the FLATTENED form — the
+  *     leaf set plus the set of equality conjuncts — is the canonical
+  *     shape, and any join ORDER the user wrote matches;
+  *   - the flattened equality set equals the registered edge set exactly
+  *     (as unordered table-qualified column pairs);
+  *   - the view is FRESH (packed cursor = every source's current
+  *     version), or `serveStale` with an append-only gap (served via
+  *     [[MultiAggJoinView.compensatedRead]]);
+  *   - grouping attributes are plain columns that normalize (child-side
+  *     edge keys map onto their paired parent keys, transitively) onto
+  *     the registered group set;
+  *   - every aggregate is `count(1)`, `sum(CAST(m AS DECIMAL(p, 2)))`
+  *     with 18 ≤ p ≤ 30 (the repo-wide precision-floor rationale), or
+  *     the matching `avg` served as stored sum ÷ the stored non-null
+  *     count with Average's own decimal arithmetic. Anything else
+  *     declines — min/max have no stored extents in the N-way view.
+  *
+  * Registered BEFORE the two-table agg-join rule: they match disjoint
+  * shapes (N ≥ 3 plans never dissect to one Join of two scans), the
+  * order just keeps the decision deterministic. */
+class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MaterializedMultiJoins.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(ge, ae, child, _) =>
+        rewrite(agg, ge, ae, child).getOrElse(agg)
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
+  }
+
+  /** Flatten a tree of inner joins to (scan leaves, equality conjuncts,
+    * filter conjuncts). Projects must be column-pruning; filters
+    * deterministic; any other node declines. */
+  private def flatten(plan: LogicalPlan):
+      Option[(Seq[LogicalRelation], Seq[Expression], Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => Some((Seq(lr), Nil, Nil))
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        flatten(child)
+      case Filter(cond, child) if cond.deterministic =>
+        flatten(child).map { case (ls, es, fs) => (ls, es, conjuncts(cond) ++ fs) }
+      case Join(l, r, Inner, Some(c), _) =>
+        for ((ll, le, lf) <- flatten(l); (rl, re, rf) <- flatten(r))
+          yield (ll ++ rl, conjuncts(c) ++ le ++ re, lf ++ rf)
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate, ge: Seq[Expression],
+                      ae: Seq[NamedExpression],
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    val (leaves, eqs, filters) = flatten(child).getOrElse(return None)
+    if (leaves.size < 3) return None // two-table shapes belong to AggJoinRewriteRule
+    val leafPaths = leaves.map(l =>
+      MaterializedJoins.canonPaths(l).getOrElse(return None))
+    // every equality must be attr = attr across two distinct leaves
+    val leafOf: Map[ExprId, Int] = leaves.zipWithIndex.flatMap {
+      case (l, i) => l.output.map(a => a.exprId -> i)
+    }.toMap
+    val eqPairs = eqs.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (la, lb) = (leafOf.get(a.exprId).getOrElse(return None),
+          leafOf.get(b.exprId).getOrElse(return None))
+        if (la == lb) return None
+        ((la, a.name.toLowerCase), (lb, b.name.toLowerCase))
+      case _ => return None
+    }
+    val groupAttrs = ge.map {
+      case a: AttributeReference => a
+      case _                     => return None
+    }
+
+    // candidate registrations: same table count, each leaf's paths match
+    // one registration table's current dirs (a bijection), and the
+    // flattened equality set equals the registered edge pairs
+    case class Hit(reg: MaterializedMultiJoins.MReg, leafToTable: Map[Int, Int],
+                   fresh: Boolean)
+    val candidates = MaterializedMultiJoins.all.iterator.flatMap { reg =>
+      if (reg.roots.size != leaves.size) None
+      else MaterializedMultiJoins.probe(reg).flatMap { case (dirs, fresh) =>
+        // leaf i ↦ the unique table whose dirs equal leaf i's paths;
+        // a leaf that matches no table of THIS registration just skips it
+        val pairs = leafPaths.zipWithIndex.flatMap { case (p, li) =>
+          dirs.indexWhere(_ == p) match {
+            case -1 => None
+            case ti => Some(li -> ti)
+          }
+        }
+        val mapping = pairs.toMap
+        if (pairs.size != leaves.size ||
+            mapping.values.toSet.size != leaves.size) None
+        else {
+          // registered edge key pairs as unordered table-qualified sets
+          val regPairs: Set[Set[(Int, String)]] = reg.edges.zipWithIndex
+            .flatMap { case (e, i) =>
+              e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
+                Set((e.parent, pk.toLowerCase), (i + 1, ck.toLowerCase))
+              }
+            }.toSet
+          val userPairs: Set[Set[(Int, String)]] = eqPairs.map {
+            case ((la, an), (lb, bn)) =>
+              Set((mapping(la), an), (mapping(lb), bn))
+          }.toSet
+          if (userPairs == regPairs) Some(Hit(reg, mapping, fresh))
+          else None
+        }
+      }
+    }.toSeq
+    val hit = candidates.find(_.fresh)
+      .orElse(candidates.headOption).getOrElse(return None)
+
+    // normalize a grouped-on child-side key onto its paired parent key,
+    // transitively (inner equality makes them value-identical)
+    val childToParent: Map[(Int, String), (Int, String)] =
+      hit.reg.edges.zipWithIndex.flatMap { case (e, i) =>
+        e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
+          ((i + 1, ck.toLowerCase), (e.parent, pk.toLowerCase))
+        }
+      }.toMap
+    @annotation.tailrec
+    def normalize(tc: (Int, String)): (Int, String) =
+      childToParent.get(tc) match {
+        case Some(up) => normalize(up)
+        case None     => tc
+      }
+    val groupSet = hit.reg.groupCols.map(_.toLowerCase).toSet
+    val normed: Map[ExprId, String] = groupAttrs.map { a =>
+      val leaf = leafOf.get(a.exprId).getOrElse(return None)
+      a.exprId -> normalize((hit.leafToTable(leaf), a.name.toLowerCase))._2
+    }.toMap
+    if (normed.values.toSet != groupSet) return None
+
+    // filters must reference only grouping attributes
+    val groupingSet = AttributeSet(groupAttrs)
+    if (!filters.forall(_.references.subsetOf(groupingSet))) return None
+
+    val measures = hit.reg.measureCols.map(_.toLowerCase).toSet
+    val viewDf =
+      if (hit.fresh) MultiAggJoinView.read(spark, hit.reg.viewRoot)
+      else if (hit.reg.serveStale)
+        MultiAggJoinView.compensatedRead(spark, hit.reg.roots,
+          hit.reg.viewRoot, hit.reg.edges, hit.reg.groupCols,
+          hit.reg.measureCols).getOrElse(return None)
+      else return None
+    val viewPlan = viewDf.queryExecution.analyzed
+    def viewCol(n: String): Option[Attribute] =
+      viewPlan.output.find(_.name.equalsIgnoreCase(n))
+    def groupViewCol(a: AttributeReference): Option[Attribute] =
+      normed.get(a.exprId).flatMap(viewCol).filter(_.dataType == a.dataType)
+
+    val projections = ae.map {
+      case a: AttributeReference if normed.contains(a.exprId) =>
+        Alias(groupViewCol(a).getOrElse(return None), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if normed.contains(a.exprId) =>
+        Alias(groupViewCol(a).getOrElse(return None), al.name)(exprId = al.exprId)
+      case al @ Alias(ag @ AggregateExpression(
+          Count(Seq(Literal(1, _))), _, false, None, _), _) =>
+        val c = viewCol("cnt").filter(_.dataType == ag.dataType)
+          .getOrElse(return None)
+        Alias(c, al.name)(exprId = al.exprId)
+      // precision floor 18 — the AggJoinRewrite rationale verbatim
+      case al @ Alias(ag @ AggregateExpression(
+          Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
+          _, false, None, _), _)
+          if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
+            measures.contains(v.name.toLowerCase) =>
+        val c = viewCol(s"sum_${v.name}").getOrElse(return None)
+        Alias(Cast(c, ag.dataType), al.name)(exprId = al.exprId)
+      // avg = stored sum ÷ stored NON-NULL count (Average's divisor),
+      // Average's decimal arithmetic replicated — the AggJoinRewrite avg
+      // case verbatim, nn declining when absent
+      case al @ Alias(ag @ AggregateExpression(
+          Average(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
+          _, false, None, _), _)
+          if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
+            measures.contains(v.name.toLowerCase) =>
+        val sumC = viewCol(s"sum_${v.name}").getOrElse(return None)
+        val nnC = viewCol(s"nn_${v.name}").getOrElse(return None)
+        val sumDt = DecimalType(
+          math.min(dt.precision + 10, DecimalType.MAX_PRECISION), dt.scale)
+        Alias(Cast(
+          Divide(Cast(sumC, sumDt), Cast(nnC, DecimalType(20, 0)),
+            EvalMode.LEGACY),
+          ag.dataType), al.name)(exprId = al.exprId)
+      case _ => return None // decline, never approximate
+    }
+    var mappable = true
+    val mapped = filters.map(_.transform {
+      case a: AttributeReference =>
+        groupViewCol(a) match {
+          case Some(vc) => vc
+          case None     => mappable = false; a
+        }
+    })
+    if (!mappable) return None
+    val base =
+      if (mapped.isEmpty) viewPlan
+      else Filter(mapped.reduce(And), viewPlan)
+    Some(Project(projections, base))
+  }
+}

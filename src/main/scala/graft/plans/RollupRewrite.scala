@@ -214,8 +214,9 @@ object MaterializedRollups {
   *    view's exact semantics — `count(1)`, `sum(CAST(value AS
   *    DECIMAL(p≤30, 2)))` (the view's own partial-sum type, so decimal
   *    merge order cannot change the answer), `min(value)`, `max(value)`,
-  *    `avg(CAST(value AS DECIMAL(p≤30, 2)))` (stored sum ÷ cnt with
-  *    Average's own decimal arithmetic, bit-equal) — anything else (a
+  *    `avg(CAST(value AS DECIMAL(p≤30, 2)))` (stored sum ÷ the stored
+  *    non-null count `nn` — Average's own divisor and arithmetic,
+  *    bit-equal) — anything else (a
   *    raw IEEE double sum or avg, distinct, a filter clause) declines
   *    rather than approximates.
   *
@@ -316,7 +317,8 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Classic-view aggregate shapes → view column (None = not this kind's
     * shape; the whole rewrite declines). */
-  private def classicAgg(al: Alias, viewCol: String => Attribute): Option[NamedExpression] =
+  private def classicAgg(al: Alias, viewCol: String => Attribute,
+                         viewColOpt: String => Option[Attribute]): Option[NamedExpression] =
     al match {
       case Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
         Some(Alias(viewCol("cnt"), al.name)(exprId = al.exprId))
@@ -329,20 +331,27 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if nameIs(v, "value") && dt.scale == 2 &&
             dt.precision <= 30 && dt.precision >= 18 =>
         Some(Alias(Cast(viewCol("vsum"), ag.dataType), al.name)(exprId = al.exprId))
-      // avg(CAST(value AS DECIMAL(p,2))): stored sum ÷ cnt with Average's
-      // own decimal arithmetic replicated operand-type-for-operand-type
-      // (sum at DECIMAL(p+10,2), count at LongDecimal, same final cast) —
-      // bit-equal to the base plan; see AggJoinRewrite's avg case
+      // avg(CAST(value AS DECIMAL(p,2))): stored sum ÷ the stored
+      // NON-NULL count (`nn` — Average divides by the count of non-null
+      // inputs, not rows: vsum ÷ cnt would silently mis-average a group
+      // holding NULL values) with Average's own decimal arithmetic
+      // replicated operand-type-for-operand-type (sum at DECIMAL(p+10,2),
+      // count at LongDecimal, same final cast) — bit-equal to the base
+      // plan, including the all-NULL group (vsum NULL ÷ 0 under LEGACY
+      // eval is NULL, Average's own answer). A pre-nn legacy view lacks
+      // the column and DECLINES avg until a refresh migrates it; see
+      // AggJoinRewrite's avg case for the twin
       case Alias(ag @ AggregateExpression(
           Average(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
           _, false, None, _), _)
           if nameIs(v, "value") && dt.scale == 2 &&
             dt.precision <= 30 && dt.precision >= 18 =>
         val sumDt = DecimalType(math.min(dt.precision + 10, DecimalType.MAX_PRECISION), dt.scale)
-        Some(Alias(Cast(
-          Divide(Cast(viewCol("vsum"), sumDt),
-            Cast(viewCol("cnt"), DecimalType(20, 0)), EvalMode.LEGACY),
-          ag.dataType), al.name)(exprId = al.exprId))
+        viewColOpt("nn").map(nn =>
+          Alias(Cast(
+            Divide(Cast(viewCol("vsum"), sumDt),
+              Cast(nn, DecimalType(20, 0)), EvalMode.LEGACY),
+            ag.dataType), al.name)(exprId = al.exprId))
       case Alias(ag @ AggregateExpression(Min(v: AttributeReference), _, false, None, _), _)
           if nameIs(v, "value") && viewCol("vmin").dataType == ag.dataType =>
         Some(Alias(viewCol("vmin"), al.name)(exprId = al.exprId))
@@ -392,15 +401,17 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else return None
     // the view side: analyzed merged-partials plan, columns by name
     val viewPlan = viewDf.queryExecution.analyzed
-    def viewCol(n: String): Attribute =
-      viewPlan.output.find(_.name.equalsIgnoreCase(n)).get
+    def viewColOpt(n: String): Option[Attribute] =
+      viewPlan.output.find(_.name.equalsIgnoreCase(n))
+    def viewCol(n: String): Attribute = viewColOpt(n).get
     val projections = ae.map {
       case m: AttributeReference if m.exprId == metricAttr.exprId =>
         Alias(viewCol("metric"), m.name)(exprId = m.exprId)
       case al @ Alias(d, _) if d.semanticEquals(dayOf) =>
         Alias(viewCol(grain.col), al.name)(exprId = al.exprId)
       case al: Alias =>
-        (if (kind == "classic") classicAgg(al, viewCol) else ndvAgg(al, viewCol))
+        (if (kind == "classic") classicAgg(al, viewCol, viewColOpt)
+         else ndvAgg(al, viewCol))
           .getOrElse(return None) // any other shape: decline, never approximate
       case _ => return None
     }

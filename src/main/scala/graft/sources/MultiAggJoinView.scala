@@ -1,0 +1,446 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained AGGREGATE over an N-WAY JOIN TREE — the
+  * snowflake-schema materialized view ([[AggJoinView]] generalized from
+  * one fact × one dim to a fact plus any TREE of dims):
+  *
+  * {{{ SELECT g…, count(*), sum(m…) FROM T0 JOIN T1 ON … JOIN T2 ON … … GROUP BY g… }}}
+  *
+  * where every join is an INNER equi-join and the join GRAPH is a tree —
+  * table `i` (i ≥ 1) attaches to exactly one earlier table through an
+  * [[MultiAggJoinView.Edge]]. That covers both the star (every dim on
+  * the fact: q5/q9-class dashboards) and the snowflake (a dim hanging
+  * off another dim, e.g. nation via supplier). Storage stays O(groups):
+  * one signed partial row per group, never O(join rows).
+  *
+  * Maintenance is ONE telescoping identity that subsumes both of the
+  * two-table view's paths. For any per-table change from `old_i` to
+  * `new_i`,
+  *
+  *   J(new…) − J(old…) = Σᵢ [ J(new_<i, new_i, old_>i) − J(new_<i, old_i, old_>i) ]
+  *
+  * and the i-th difference only involves join rows whose table-i row
+  * changed, so both of its legs restrict EXACTLY to table i's dirty key
+  * tuples (unchanged rows inside the dirty set appear in both legs and
+  * cancel arithmetically — count and decimal sums are retractable
+  * monoids). Per moved table the refresh therefore folds:
+  *
+  *   - APPEND-ONLY gap: the single positive term `ΔTᵢ ⋈ (earlier tables
+  *     at NEW, later at OLD)` — `new_i − old_i` IS the appended rows, so
+  *     no negative leg is needed (the two-table delta identity, table by
+  *     table);
+  *   - ROW-CHURN gap (delete/upsert): the dirty keys come from the
+  *     table's O(churn) change feed; `old_i` restricted to them folds
+  *     NEGATIVE, `new_i` restricted to them folds POSITIVE (the
+  *     two-table arithmetic-churn path). No view rewrite, no dirty-group
+  *     upsert.
+  *
+  * All terms land in ONE epoch-stamped append (crash-idempotent). Every
+  * standing side of every term is restricted by a semi-join CASCADE
+  * outward from the moved table along the tree edges — exact for trees
+  * (each join row reaches the delta through the unique tree path), each
+  * hop bloom-prefiltered and file-pruned by the restricting side's key
+  * range ([[JoinView.standing]]/[[JoinView.prefiltered]] per edge). At
+  * 100 TB that means a dim delta touches only the fact files its keys
+  * can live in, never the corpus.
+  *
+  * A compaction (or vacuumed baseline) on ANY source breaks the manifest
+  * diff: one full rebuild, same as the parent views. Extents (min/max)
+  * are NOT offered here — the two-table [[AggJoinView]] carries them;
+  * the N-way churn path would force a dirty-group recompute across the
+  * whole tree, a different cost class this view's contract deliberately
+  * excludes (count/sum/avg stay pure arithmetic).
+  *
+  * Read merges partials per group, drops `cnt = 0` groups, and serves
+  * each sum NULL while its merged non-null count `nn_<m>` is zero (the
+  * [[AggJoinView]] NULL-exactness bookkeeping, verbatim). Decimal
+  * partials keep the merge exact in any order — the view is bit-equal
+  * to a from-scratch GROUP BY over the N-way join, which is what the
+  * oracle checks and [[graft.plans.MultiAggJoinRewriteRule]] serves.
+  *
+  * Contract: inner equi-joins only; the join graph is a TREE (table i
+  * attaches to one earlier table); group and measure columns resolve on
+  * exactly one table (child-side keys excluded — each is recoverable
+  * from its paired parent key); an edge's parent keys must not be keys
+  * the parent itself joined through as a child (they are dropped — name
+  * the paired upstream column instead); measures are summed as
+  * DECIMAL(30,2) with signed non-null counts.
+  */
+object MultiAggJoinView {
+
+  /** Table `i`'s attachment (i = position in the edges list + 1):
+    * `parent` is an earlier table index (0-based, < i), `parentKeys`
+    * columns of that table, `childKeys` the paired columns of table i. */
+  final case class Edge(parent: Int, parentKeys: Seq[String],
+                        childKeys: Seq[String]) {
+    require(parentKeys.nonEmpty && parentKeys.size == childKeys.size,
+      s"edge keys must be non-empty and pair up: $parentKeys vs $childKeys")
+  }
+
+  private val SumType = "decimal(30,2)"
+  private def sumCol(m: String): String = s"sum_$m"
+  private def nnCol(m: String): String = s"nn_$m"
+
+  // ---- N-way cursor packing -------------------------------------------
+  // The view's epoch stamp packs ALL N source versions into one long so a
+  // replayed refresh is a true no-op and the serving rewrite's freshness
+  // probe is one comparison. Base = largest power of two with base^n
+  // below 2^62 — 2 tables get ~2^31 versions each, 5 tables 2^12 (4096),
+  // 8 tables 2^7. A store outliving its base must be compacted into a new
+  // view (the require is loud, never silent truncation).
+
+  private[graft] def packBase(n: Int): Long = 1L << (62 / n)
+
+  private[graft] def packAll(vs: Seq[Int]): Long = {
+    val b = packBase(vs.size)
+    vs.foldLeft(0L) { (acc, v) =>
+      require(v >= 0 && v < b,
+        s"source version $v beyond the ${vs.size}-way cursor base $b — " +
+          "rebuild the view into a fresh store")
+      acc * b + v
+    }
+  }
+
+  private[graft] def unpackAll(e: Long, n: Int): Seq[Int] = {
+    val b = packBase(n)
+    (1 to n).foldLeft((List.empty[Int], e)) { case ((acc, rem), _) =>
+      ((rem % b).toInt :: acc, rem / b)
+    }._1
+  }
+
+  /** The view's per-source cursor vector (all zeros before bootstrap). */
+  private[graft] def cursors(viewRoot: String, n: Int): Seq[Int] =
+    SnapshotStore.lastEpoch(viewRoot).map(unpackAll(_, n))
+      .getOrElse(Seq.fill(n)(0))
+
+  // ---- recorded spec ---------------------------------------------------
+
+  private def specLine(n: Int, edges: Seq[Edge], groups: Seq[String],
+                       measures: Seq[String]): String = {
+    def lc(xs: Seq[String]) = xs.map(_.toLowerCase(java.util.Locale.ROOT))
+    val es = edges.map(e =>
+      s"${e.parent}:${lc(e.parentKeys).mkString(",")}:${lc(e.childKeys).mkString(",")}")
+      .mkString("|")
+    s"n=$n;e=$es;g=${lc(groups).sorted.mkString(",")};" +
+      s"m=${lc(measures).sorted.mkString(",")};p=1"
+  }
+
+  private def recordedSpec(viewRoot: String): Option[String] = {
+    val p = java.nio.file.Paths.get(viewRoot, "_maggspec")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  private def recordSpec(viewRoot: String, line: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(viewRoot))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(viewRoot, "_maggspec"), line.getBytes("UTF-8"))
+  }
+
+  /** Table count recorded at `viewRoot` (needed to unpack the cursor
+    * before anything else is known about the spec). */
+  private[graft] def recordedN(viewRoot: String): Option[Int] =
+    recordedSpec(viewRoot).flatMap(_.split(";").find(_.startsWith("n="))
+      .flatMap(s => scala.util.Try(s.drop(2).toInt).toOption))
+
+  // ---- the join tree ---------------------------------------------------
+
+  /** Inner-join `frames` along the edges, dropping each child's keys
+    * after its join (recoverable from the paired parent keys), projected
+    * to (groups ++ measures). `frames(i)` must be the exact objects the
+    * conditions reference. */
+  private def joinedSlice(frames: IndexedSeq[DataFrame], edges: Seq[Edge],
+                          groups: Seq[String], measures: Seq[String]): DataFrame = {
+    val joined = edges.zipWithIndex.foldLeft(frames(0)) {
+      case (acc, (e, i)) =>
+        val child = frames(i + 1)
+        val cond = e.parentKeys.zip(e.childKeys)
+          .map { case (pk, ck) => frames(e.parent)(pk) === child(ck) }
+          .reduce(_ && _)
+        e.childKeys.foldLeft(acc.join(child, cond, "inner"))(
+          (df, k) => df.drop(child(k)))
+    }
+    joined.select((groups ++ measures).map(col): _*)
+  }
+
+  /** Fold join rows to one signed partial per group (the [[AggJoinView]]
+    * fold, extents-free). */
+  private def fold(rows: DataFrame, groups: Seq[String],
+                   measures: Seq[String], sign: Int): DataFrame = {
+    val aggs: Seq[Column] =
+      (count(lit(1)) * lit(sign.toLong)).as("cnt") +:
+        measures.flatMap(m =>
+          Seq((sum(col(m).cast(SumType)) * lit(sign)).cast(SumType).as(sumCol(m)),
+            (count(col(m)) * lit(sign.toLong)).as(nnCol(m))))
+    rows.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Undirected adjacency of the edge tree: node → (neighbor, keys on
+    * node, keys on neighbor). */
+  private def adjacency(n: Int, edges: Seq[Edge]): Map[Int, Seq[(Int, Seq[String], Seq[String])]] = {
+    val fwd = edges.zipWithIndex.flatMap { case (e, i) =>
+      Seq(e.parent -> (i + 1, e.parentKeys, e.childKeys),
+        (i + 1) -> (e.parent, e.childKeys, e.parentKeys))
+    }
+    fwd.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      .withDefaultValue(Seq.empty)
+  }
+
+  /** One telescoping TERM's frames: table `at` pinned to `pinned`
+    * (a delta, or a version restricted to dirty keys), every other table
+    * j at version `vers(j)`, restricted by a semi-join CASCADE outward
+    * from `at` along the tree — each hop reads the standing store
+    * file-pruned + bloom-prefiltered by the restricting side's key
+    * tuples ([[JoinView]] per-edge machinery; exact for trees). */
+  private def termFrames(spark: SparkSession, roots: IndexedSeq[String],
+                         n: Int, adj: Map[Int, Seq[(Int, Seq[String], Seq[String])]],
+                         at: Int, pinned: DataFrame,
+                         vers: IndexedSeq[Int]): IndexedSeq[DataFrame] = {
+    val frames = new Array[DataFrame](n)
+    frames(at) = pinned
+    var ring = List(at)
+    val seen = scala.collection.mutable.Set(at)
+    while (ring.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer.empty[Int]
+      for (u <- ring; (v, ku, kv) <- adj(u) if !seen.contains(v)) {
+        seen += v
+        val kt = JoinView.keyTuples(frames(u), ku)
+        frames(v) = JoinView.prefiltered(
+          JoinView.standing(spark, roots(v), vers(v), kv, kt), kv, kt)
+        next += v
+      }
+      ring = next.toList
+    }
+    frames.toIndexedSeq
+  }
+
+  /** Bring the view up to every source's current version. Returns the
+    * view version (unchanged when all cursors already match). The spec
+    * arguments must repeat the bootstrap's spec verbatim. */
+  def refresh(spark: SparkSession, roots: Seq[String], viewRoot: String,
+              edges: Seq[Edge], groupCols: Seq[String],
+              measureCols: Seq[String]): Int = {
+    val n = roots.size
+    require(n >= 2 && edges.size == n - 1,
+      s"need n tables and n-1 edges: got $n roots, ${edges.size} edges")
+    edges.zipWithIndex.foreach { case (e, i) =>
+      require(e.parent >= 0 && e.parent <= i,
+        s"edge ${i + 1}'s parent ${e.parent} must be an earlier table")
+    }
+    require(roots.map(p => java.nio.file.Paths.get(p).normalize()
+      .toAbsolutePath.toString).distinct.size == n,
+      "table roots must be distinct stores (self-joins are out of the " +
+        "multi-way view contract)")
+    require(groupCols.nonEmpty, "at least one group column")
+    // reserved partial names can't be group columns (duplicate output)
+    locally {
+      val reserved = "cnt" +: measureCols.flatMap(m => Seq(sumCol(m), nnCol(m)))
+      groupCols.find(g => reserved.exists(_.equalsIgnoreCase(g))).foreach(g =>
+        sys.error(s"group column '$g' collides with a partial column name"))
+    }
+    // an edge's parent keys must survive the parent's OWN join (child
+    // keys are dropped when the parent was joined in as a child)
+    edges.zipWithIndex.foreach { case (e, i) =>
+      if (e.parent > 0) {
+        val dropped = edges(e.parent - 1).childKeys
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        e.parentKeys.find(k => dropped.contains(
+          k.toLowerCase(java.util.Locale.ROOT))).foreach(k =>
+          sys.error(s"edge ${i + 1}'s parent key '$k' is dropped when " +
+            s"table ${e.parent} joins in — name its paired upstream key " +
+            "instead"))
+      }
+    }
+
+    val curVs = roots.map(SnapshotStore.currentVersion).toIndexedSeq
+    curVs.zip(roots).foreach { case (v, r) =>
+      require(v > 0, s"every source must have a published version ($r=$v)")
+    }
+    val prevVs = cursors(viewRoot, n).toIndexedSeq
+    if (curVs == prevVs) return SnapshotStore.currentVersion(viewRoot)
+    curVs.zip(prevVs).zip(roots).foreach { case ((cv, pv), r) =>
+      require(cv >= pv, s"source went backwards at $r: $pv -> $cv")
+    }
+    val spec = specLine(n, edges, groupCols, measureCols)
+    if (prevVs.exists(_ != 0)) {
+      val rec = recordedSpec(viewRoot).getOrElse("")
+      require(rec == spec,
+        s"view at $viewRoot is maintained with spec '$rec', refresh asked '$spec'")
+    }
+
+    val rootsV = roots.toIndexedSeq
+    val newFrames = rootsV.zip(curVs)
+      .map { case (r, v) => SnapshotStore.readEvolved(spark, r, v) }
+    // paired keys must share a dataType per edge (bloom hashes by type)
+    edges.zipWithIndex.foreach { case (e, i) =>
+      e.parentKeys.zip(e.childKeys).foreach { case (pk, ck) =>
+        val (pt, ct) = (newFrames(e.parent).schema(pk).dataType,
+          newFrames(i + 1).schema(ck).dataType)
+        require(pt == ct,
+          s"paired join keys must share a dataType: $pk:$pt vs $ck:$ct")
+      }
+    }
+    // every group/measure column resolves on exactly ONE table (child
+    // keys excluded — recoverable from their paired parent keys)
+    locally {
+      val childKeyOf: Map[Int, Set[String]] = edges.zipWithIndex.map {
+        case (e, i) => (i + 1) -> e.childKeys
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      }.toMap.withDefaultValue(Set.empty)
+      (groupCols ++ measureCols).foreach { c =>
+        val lc = c.toLowerCase(java.util.Locale.ROOT)
+        val owners = newFrames.indices.filter(i =>
+          newFrames(i).columns.exists(_.equalsIgnoreCase(c)) &&
+            !childKeyOf(i).contains(lc))
+        require(owners.size == 1,
+          s"view column '$c' must resolve on exactly one join table " +
+            s"(found on ${owners.size}) — child-side keys are dropped; " +
+            "name the paired parent key instead")
+      }
+    }
+
+    val adj = adjacency(n, edges)
+    def slice(frames: IndexedSeq[DataFrame]): DataFrame =
+      joinedSlice(frames, edges, groupCols, measureCols)
+
+    val vNew = if (prevVs.forall(_ == 0)) {
+      recordSpec(viewRoot, spec) // BEFORE the publish: crash re-bootstraps
+      SnapshotStore.appendEpoch(fold(slice(newFrames), groupCols,
+        measureCols, 1), viewRoot, packAll(curVs))
+    } else if (rootsV.indices.forall(i => curVs(i) == prevVs(i) ||
+        JoinView.churnOnly(rootsV(i), prevVs(i), curVs(i)))) {
+      // THE TELESCOPING REFRESH: per moved table i, one or two restricted
+      // terms with earlier tables at NEW versions and later ones at OLD —
+      // the sum of the terms IS J(new…) − J(old…); all partials publish
+      // in ONE stamped append (crash replays as an epoch no-op).
+      val terms = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      for (i <- rootsV.indices if curVs(i) > prevVs(i)) {
+        // term i's standing versions: new for j<i, old for j>i
+        val vers = rootsV.indices.map(j => if (j < i) curVs(j) else prevVs(j))
+          .toIndexedSeq
+        if (JoinView.appendOnly(rootsV(i), prevVs(i), curVs(i))) {
+          // append-only: new_i − old_i IS the appended rows — a single
+          // positive delta term
+          val delta = SnapshotStore.incremental(spark, rootsV(i),
+            prevVs(i), curVs(i), Some(newFrames(i).schema))
+          terms += fold(slice(termFrames(spark, rootsV, n, adj, i,
+            delta, vers)), groupCols, measureCols, 1)
+        } else {
+          // churn: both legs restricted to the table's dirty key tuples
+          // (unchanged dirty-key rows cancel arithmetically). Keys used
+          // for the restriction: the table's edge to its parent, or —
+          // for the root table — edge 1's parent keys on it.
+          val myKeys =
+            if (i == 0) edges.head.parentKeys else edges(i - 1).childKeys
+          val dirty = JoinView.keyTuples(
+            SnapshotStore.changes(spark, rootsV(i), prevVs(i), curVs(i))
+              .select(myKeys.map(col): _*), myKeys)
+          def leg(ver: Int): DataFrame = {
+            val restricted = JoinView.prefiltered(
+              JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
+              myKeys, dirty)
+            slice(termFrames(spark, rootsV, n, adj, i, restricted, vers))
+          }
+          terms += fold(leg(prevVs(i)), groupCols, measureCols, -1)
+          terms += fold(leg(curVs(i)), groupCols, measureCols, 1)
+        }
+      }
+      val partials = terms.reduce(_ unionByName _)
+      SnapshotStore.appendEpoch(
+        if (partials.isEmpty) partials.repartition(1) else partials,
+        viewRoot, packAll(curVs))
+    } else {
+      // a compaction (or vacuumed baseline) somewhere broke the diff
+      SnapshotStore.compactWith(fold(slice(newFrames), groupCols,
+        measureCols, 1), viewRoot, epochOverride = Some(packAll(curVs)))
+    }
+    rootsV.indices.foreach(i =>
+      SnapshotStore.recordViewBaseline(rootsV(i), viewRoot, curVs(i)))
+    vNew
+  }
+
+  /** Merge signed partials to the materialized aggregate — the
+    * [[AggJoinView]] merge (NULL-exact sums via the nn counts), shared by
+    * [[read]] and [[compensatedRead]]. */
+  private def merged(partials: DataFrame, groups: Seq[String],
+                     measures: Seq[String]): DataFrame = {
+    def resolve(nm: String): String =
+      partials.columns.find(_.equalsIgnoreCase(nm)).getOrElse(nm)
+    val aggs: Seq[Column] = sum(col("cnt")).as("cnt") +:
+      measures.flatMap { m =>
+        val s = resolve(sumCol(m)); val nn = resolve(nnCol(m))
+        Seq(
+          when(sum(col(nn)) > 0, sum(col(s)).cast(SumType))
+            .otherwise(lit(null).cast(SumType)).as(s),
+          sum(col(nn)).as(nn))
+      }
+    partials.groupBy(groups.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("cnt") > 0)
+  }
+
+  /** The materialized aggregate: groups…, `cnt`, `sum_<m>` (+ its
+    * `nn_<m>` bookkeeping, kept so [[compact]]'s round-trip preserves
+    * NULL-exactness). */
+  def read(spark: SparkSession, viewRoot: String): DataFrame = {
+    val partials = SnapshotStore.read(spark, viewRoot)
+    val specMeasures: Seq[String] = recordedSpec(viewRoot) match {
+      case Some(line) =>
+        line.split(";").find(_.startsWith("m=")).map(_.drop(2)) match {
+          case Some("") | None => Seq.empty[String]
+          case Some(ms)        => ms.split(",").toSeq
+        }
+      case None =>
+        partials.columns.filter(_.startsWith("sum_")).map(_.drop(4)).toSeq
+    }
+    val aggNames = "cnt" +: specMeasures.flatMap(m => Seq(sumCol(m), nnCol(m)))
+    val groups = partials.columns.filterNot(c =>
+      aggNames.exists(_.equalsIgnoreCase(c))).toSeq
+    merged(partials, groups, specMeasures)
+  }
+
+  /** DELTA-COMPENSATED content of a STALE view: when every moved
+    * source's gap is an APPEND, the current aggregate is the stored
+    * partials merged with the telescoped delta terms folded on the fly
+    * (the [[AggJoinView.compensatedRead]] posture, N-way). None when
+    * unsound — a churned/compacted gap, a vacuumed baseline, no cursor,
+    * or a spec mismatch; an already-fresh view returns the plain read. */
+  def compensatedRead(spark: SparkSession, roots: Seq[String],
+                      viewRoot: String, edges: Seq[Edge],
+                      groupCols: Seq[String],
+                      measureCols: Seq[String]): Option[DataFrame] = {
+    val n = roots.size
+    val prevVs = cursors(viewRoot, n).toIndexedSeq
+    if (prevVs.forall(_ == 0)) return None
+    val curVs = roots.map(SnapshotStore.currentVersion).toIndexedSeq
+    if (curVs.zip(prevVs).exists { case (cv, pv) => cv < pv }) return None
+    if (curVs == prevVs) return Some(read(spark, viewRoot))
+    val rootsV = roots.toIndexedSeq
+    if (!rootsV.indices.forall(i => curVs(i) == prevVs(i) ||
+        JoinView.appendOnly(rootsV(i), prevVs(i), curVs(i)))) return None
+    if (!recordedSpec(viewRoot).contains(
+        specLine(n, edges, groupCols, measureCols))) return None
+    val newFrames = rootsV.zip(curVs)
+      .map { case (r, v) => SnapshotStore.readEvolved(spark, r, v) }
+    val adj = adjacency(n, edges)
+    val terms = (for (i <- rootsV.indices if curVs(i) > prevVs(i)) yield {
+      val vers = rootsV.indices.map(j => if (j < i) curVs(j) else prevVs(j))
+        .toIndexedSeq
+      val delta = SnapshotStore.incremental(spark, rootsV(i),
+        prevVs(i), curVs(i), Some(newFrames(i).schema))
+      fold(joinedSlice(termFrames(spark, rootsV, n, adj, i, delta, vers),
+        edges, groupCols, measureCols), groupCols, measureCols, 1)
+    }).reduce(_ unionByName _)
+    Some(merged(SnapshotStore.read(spark, viewRoot).unionByName(terms),
+      groupCols, measureCols))
+  }
+
+  /** Fold accumulated partials to one row per group (drops retraction
+    * residue physically); content and cursor stamp unchanged. */
+  def compact(spark: SparkSession, viewRoot: String): Int =
+    SnapshotStore.compactWith(read(spark, viewRoot), viewRoot)
+}

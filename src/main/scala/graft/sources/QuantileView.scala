@@ -66,6 +66,67 @@ object QuantileView {
   private def edgesDir(viewRoot: String, viewV: Int): String =
     s"$viewRoot/_edges/v$viewV"
 
+  // ---- sidecar keying marker ------------------------------------------
+  // Edges sidecars are keyed by VIEW version; an older generation keyed
+  // them by SOURCE version. The two are indistinguishable from the
+  // directory names alone, and mis-reading one as the other is silent
+  // corruption in both directions: dropOrphanEdges would DELETE a legacy
+  // freeze keyed above the view version (leaving the view unreadable),
+  // and resolution would pair a STALE low-keyed freeze with rebuilt
+  // counts (silently wrong quantiles). So every sidecar write stamps
+  // `_edges/_keymode`, and a marker-less store is handled by
+  // [[checkEdgesKeying]]: provably-safe configurations (every key ≤ the
+  // view version — max-at-or-below resolution picks the same, newest,
+  // freeze under EITHER keying, since both keyings grow monotonically)
+  // are stamped in place; a key ABOVE the view version is ambiguous
+  // (r-16 crash orphan vs legacy live freeze) and REFUSES loudly — the
+  // AggJoinView p=2 posture — with [[retighten]] as the documented
+  // migration (its full refreeze obsoletes every older sidecar, and it
+  // stamps the marker).
+
+  private def keymodePath(viewRoot: String) =
+    java.nio.file.Paths.get(viewRoot, "_edges", "_keymode")
+
+  private def markViewKeyed(viewRoot: String): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(viewRoot, "_edges"))
+    java.nio.file.Files.write(keymodePath(viewRoot), "view".getBytes("UTF-8"))
+  }
+
+  /** List the sidecar keys under `_edges` (empty when the dir is absent). */
+  private def edgeKeys(viewRoot: String): Seq[Int] = {
+    val d = java.nio.file.Paths.get(viewRoot, "_edges")
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      val stream = java.nio.file.Files.list(d)
+      try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]
+          .getFileName.toString)
+        .filter(_.startsWith("v"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("v").toInt).toOption)
+      finally stream.close()
+    }
+  }
+
+  /** Marker-less-store gate (see the keying-marker comment): stamp the
+    * provably-equivalent configurations, refuse the ambiguous one. */
+  private def checkEdgesKeying(viewRoot: String): Unit = {
+    if (java.nio.file.Files.exists(keymodePath(viewRoot))) return
+    val keys = edgeKeys(viewRoot)
+    if (keys.isEmpty) return
+    val cap = SnapshotStore.currentVersion(viewRoot)
+    if (keys.exists(_ > cap))
+      sys.error(
+        s"edges sidecar v${keys.filter(_ > cap).max} at $viewRoot/_edges is " +
+          s"keyed above the view's version v$cap with no keying marker — " +
+          "either a legacy SOURCE-version-keyed freeze (treating it as a " +
+          "crash orphan would destroy the view's only edges) or a crashed " +
+          "rebuild's orphan (treating it as a freeze would pair stale " +
+          "counts with it). Run QuantileView.retighten(src, view) to " +
+          "refreeze under view-version keying, or delete the directory if " +
+          "you know it is an orphan.")
+    markViewKeyed(viewRoot)
+  }
+
   // ---- grain stamp (the RollupView guard, for the raw-Long grain) ----
   // partials key on (metric, bucket, bin) with bucket = e div grainSec;
   // a refresh at a DIFFERENT grainSec than the bootstrap would silently
@@ -107,17 +168,9 @@ object QuantileView {
   def edgesFor(spark: SparkSession, viewRoot: String): DataFrame = {
     require(SnapshotStore.lastEpoch(viewRoot).nonEmpty,
       s"no refreshed quantile view at $viewRoot")
+    checkEdgesKeying(viewRoot)
     val cap = SnapshotStore.currentVersion(viewRoot)
-    val d = java.nio.file.Paths.get(viewRoot, "_edges")
-    val versions = {
-      val stream = java.nio.file.Files.list(d)
-      try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]
-          .getFileName.toString)
-        .filter(_.startsWith("v"))
-        .flatMap(n => scala.util.Try(n.stripPrefix("v").toInt).toOption)
-        .filter(_ <= cap)
-      finally stream.close()
-    }
+    val versions = edgeKeys(viewRoot).filter(_ <= cap)
     require(versions.nonEmpty, s"no frozen edges at or below view v$cap")
     spark.read.parquet(edgesDir(viewRoot, versions.max))
   }
@@ -238,7 +291,9 @@ object QuantileView {
     // will create (currentVersion + 1 — both publish paths create
     // exactly the next version): invisible to readers until that
     // version exists, and a crash between the two leaves an orphan
-    // sidecar nothing reads; the re-run overwrites it
+    // sidecar nothing reads; the re-run overwrites it. The keying
+    // marker lands first, so even that crash orphan is marked.
+    markViewKeyed(viewRoot)
     ed.coalesce(1).write.mode("overwrite")
       .parquet(edgesDir(viewRoot, SnapshotStore.currentVersion(viewRoot) + 1))
     val counts = binned(full, ed, grainSec, lit(1L))
@@ -291,7 +346,11 @@ object QuantileView {
     // clear crashed-rebuild sidecar orphans FIRST: the append/churn exits
     // below create the next view version without writing edges, which
     // must not resurrect a freeze whose counts never published (the
-    // rebuild exits overwrite their own slot; compact() clears its own)
+    // rebuild exits overwrite their own slot; compact() clears its own).
+    // The keying gate runs before the drop — a marker-less legacy
+    // sidecar above the view version must refuse, not be deleted as an
+    // orphan.
+    checkEdgesKeying(viewRoot)
     dropOrphanEdges(viewRoot)
     // every exit below publishes the view at cursor srcCur — stamp the
     // grain and pin the source's vacuum afterward (viewrefs guard; a
@@ -379,6 +438,7 @@ object QuantileView {
     * creates the next view version, which must not resurrect a freeze
     * whose counts never published. */
   def compact(spark: SparkSession, viewRoot: String, targetFiles: Int = 4): Int = {
+    checkEdgesKeying(viewRoot)
     dropOrphanEdges(viewRoot)
     SnapshotStore.compactWith(read(spark, viewRoot), viewRoot, targetFiles)
   }

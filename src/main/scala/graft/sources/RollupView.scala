@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * The view's stored rows are PARTIAL aggregates per (metric, bucket) at
   * a chosen [[Grain]] — day (`e div 86400`) by default, hour
   * (`e div 3600`) as the finer serving tier; one maintained view per
-  * grain: `(cnt, vsum DECIMAL, vmin, vmax)` — count/sum/min/max are all
-  * commutative monoids, so a refresh only aggregates the DELTA the
+  * grain: `(cnt, vsum DECIMAL, nn, vmin, vmax)` — count/sum/non-null
+  * count/min/max are all commutative monoids, so a refresh only
+  * aggregates the DELTA the
   * source's newer manifests introduced and appends those partials as a
   * new view version. Nothing re-reads the standing corpus:
   *
@@ -160,9 +161,19 @@ object RollupView {
       * keys whose source rows all vanished; `recomputed` is in scope so
       * null value columns can copy its exact types. */
     def tombstones(keys: DataFrame, recomputed: DataFrame, g: Grain): DataFrame
+    /** Does a standing store with these partial columns predate this
+      * spec's CURRENT format? True forces one full-rebuild refresh (the
+      * compaction branch) that republishes every partial in the current
+      * shape — the store migration path when a spec grows a column. */
+    def legacyFormat(cols: Seq[String]): Boolean = false
   }
 
-  /** The classic rollup content: count/sum/min/max per (metric, bucket). */
+  /** The classic rollup content: count/sum/nn/min/max per (metric,
+    * bucket). `nn` is the NON-NULL value count — Average's divisor, the
+    * partial that lets [[graft.plans.RollupRewriteRule]] serve
+    * `avg(value)` exactly (vsum ÷ cnt would silently mis-average any
+    * group holding a NULL value; cnt counts rows, Average counts
+    * non-null inputs). */
   private[sources] object ClassicSpec extends PartialSpec {
     def bucketed(rows: DataFrame, g: Grain): DataFrame =
       rows.select(col("metric"), expr(s"e div ${g.seconds}").as(g.col), col("value"))
@@ -172,6 +183,7 @@ object RollupView {
         .agg(
           count(lit(1)).as("cnt"),
           sum(col("value").cast(SumType)).cast(SumType).as("vsum"),
+          count(col("value")).as("nn"),
           min(col("value")).as("vmin"),
           max(col("value")).as("vmax"))
     def tombstones(keys: DataFrame, recomputed: DataFrame, g: Grain): DataFrame = {
@@ -184,8 +196,14 @@ object RollupView {
       // would survive the merge and serve 0.00 where the base says NULL)
       keys.select(col("metric"), col(g.col),
         lit(0L).as("cnt"), lit(null).cast(SumType).as("vsum"),
+        lit(0L).as("nn"),
         lit(null).cast(vT).as("vmin"), lit(null).cast(vT).as("vmax"))
     }
+    // pre-nn stores: one full rebuild migrates them to the nn-carrying
+    // shape (an append of new-format partials would otherwise refuse on
+    // the store's schema contract, wedging the view)
+    override def legacyFormat(cols: Seq[String]): Boolean =
+      !cols.exists(_.equalsIgnoreCase("nn"))
   }
 
 
@@ -219,7 +237,16 @@ object RollupView {
       if (from == 0 || baselineGone) Set.empty[String]
       else SnapshotStore.manifestDirs(srcRoot, from).toSet
     val removed = beforeDirs.exists(d => !curDirs.contains(d))
-    val v = if (baselineGone || (removed && !rowChurnOnly(srcRoot, from, srcCur))) {
+    // a standing store in the spec's PRE-CURRENT partial shape (e.g. a
+    // pre-nn classic view) migrates through one full rebuild — appending
+    // new-format partials would refuse on the store's schema contract
+    val legacy = from > 0 && {
+      val viewCur = SnapshotStore.currentVersion(viewRoot)
+      viewCur > 0 && spec.legacyFormat(
+        SnapshotStore.manifestCols(viewRoot, viewCur).getOrElse(Seq.empty))
+    }
+    val v = if (baselineGone || legacy ||
+        (removed && !rowChurnOnly(srcRoot, from, srcCur))) {
       // a compaction (or unknown-kind legacy history) replaced directories
       // we already counted: the manifest diff is no longer the row delta —
       // rebuild once, publish as the view's own compaction (sole content),
@@ -380,19 +407,24 @@ object RollupView {
   }
 
   /** One partial-merge definition for the stored read and the
-    * delta-compensated read. */
-  private def merged(partials: DataFrame, grain: Grain): DataFrame =
+    * delta-compensated read. `nn` (the non-null value count — Average's
+    * exact divisor, what the avg rewrite divides by) merges through when
+    * the partials carry it; a pre-nn legacy store merges without it and
+    * the avg rewrite declines until a refresh migrates the store. */
+  private def merged(partials: DataFrame, grain: Grain): DataFrame = {
+    val hasNn = partials.columns.exists(_.equalsIgnoreCase("nn"))
+    val aggs =
+      Seq(sum(col("cnt")).as("cnt"), sum(col("vsum")).cast(SumType).as("vsum")) ++
+        (if (hasNn) Seq(sum(col("nn")).as("nn")) else Nil) ++
+        Seq(min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
     partials
       .groupBy("metric", grain.col)
-      .agg(
-        sum(col("cnt")).as("cnt"),
-        sum(col("vsum")).cast(SumType).as("vsum"),
-        min(col("vmin")).as("vmin"),
-        max(col("vmax")).as("vmax"))
+      .agg(aggs.head, aggs.tail: _*)
       // zero-count groups are retraction TOMBSTONES (every source row of
       // the group was deleted) — logically absent; compact() folds them
       // away physically
       .where(col("cnt") > 0)
+  }
 
   /** DELTA-COMPENSATED content of a STALE classic view — the
     * lambda-architecture read path: when the view's stamp lags the
@@ -414,9 +446,14 @@ object RollupView {
     if (srcCur == from) return Some(read(spark, viewRoot, grain))
     if (!JoinView.appendOnly(srcRoot, from, srcCur)) return None
     val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
+    val stored = SnapshotStore.read(spark, viewRoot)
+    val deltaPartials = ClassicSpec.fold(ClassicSpec.bucketed(delta, grain), grain)
+    // a pre-nn legacy store compensates in ITS shape (avg declines there
+    // until a refresh migrates; every other monoid merges unchanged)
     Some(merged(
-      SnapshotStore.read(spark, viewRoot)
-        .unionByName(ClassicSpec.fold(ClassicSpec.bucketed(delta, grain), grain)),
+      stored.unionByName(
+        if (stored.columns.exists(_.equalsIgnoreCase("nn"))) deltaPartials
+        else deltaPartials.drop("nn")),
       grain))
   }
 

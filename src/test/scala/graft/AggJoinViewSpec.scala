@@ -385,10 +385,21 @@ class AggJoinViewSpec extends SparkSpec {
     }
   }
 
-  test("rewrite: avg(decimal measure) serves BIT-EQUAL as stored sum ÷ cnt") {
+  test("rewrite: avg(decimal measure) serves BIT-EQUAL as stored sum ÷ nn, NULL measures included") {
     withRoots { (l, r, v) =>
+      val s = spark
+      import s.implicits._
       SnapshotStore.append(custDF(1L to 30L: _*), l)
       SnapshotStore.append(ordersDF(1L to 25L: _*), r)
+      // NULL measures: Average divides by the NON-null count, so a mixed
+      // group (26 → (seg2, st0), which holds non-null totals) would be
+      // silently mis-averaged by a sum ÷ cnt serve, and an all-NULL group
+      // (27/28 → hand-set status stN, no non-null totals) must serve NULL
+      SnapshotStore.append(
+        Seq((26L, "st0", null: java.lang.Double),
+          (27L, "stN", null: java.lang.Double),
+          (28L, "stN", null: java.lang.Double))
+          .toDF("o_id", "status", "total"), r)
       refresh(l, r, v)
       MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
         Seq("seg", "status"), Seq("total"))

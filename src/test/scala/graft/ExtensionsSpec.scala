@@ -302,7 +302,7 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("rollup rewrite serves avg(decimal) bit-equal via stored sum ÷ cnt") {
+  test("rollup rewrite serves avg(decimal) bit-equal via stored sum ÷ nn, NULL values included") {
     import org.apache.spark.sql.functions._
     import graft.plans.MaterializedRollups
     import graft.sources.{RollupView, SnapshotStore}
@@ -311,9 +311,16 @@ class ExtensionsSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("mvavg").toString
     val src = s"$root/src"; val view = s"$root/view"
     try {
-      // a 3-row group: 1.00 ÷ 3 exercises the repeating-decimal rounding
-      SnapshotStore.append(Seq(("m", 10L, 0.1), ("m", 20L, 0.7),
-        ("m", 30L, 0.2), ("n", 40L, 5.0), ("n", 86410L, 7.77))
+      // a 3-row group: 1.00 ÷ 3 exercises the repeating-decimal rounding.
+      // NULL values pin Average's divisor: ("m", 50) makes the (m, day 0)
+      // group 4 rows with 3 non-null — a sum ÷ cnt serve would answer
+      // 0.25 for the true 0.33; ("z", 60) is an all-NULL group that must
+      // serve avg NULL (sum NULL ÷ nn 0), not crash or serve 0
+      SnapshotStore.append(Seq(("m", 10L, 0.1: java.lang.Double),
+        ("m", 20L, 0.7: java.lang.Double), ("m", 30L, 0.2: java.lang.Double),
+        ("m", 50L, null: java.lang.Double),
+        ("n", 40L, 5.0: java.lang.Double), ("n", 86410L, 7.77: java.lang.Double),
+        ("z", 60L, null: java.lang.Double))
         .toDF("metric", "e", "value"), src)
       RollupView.refresh(spark, src, view)
       def q() = SnapshotStore.read(spark, src)

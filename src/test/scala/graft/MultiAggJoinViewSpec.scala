@@ -1,0 +1,347 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.MaterializedMultiJoins
+import graft.sources.{MultiAggJoinView, SnapshotStore}
+import graft.sources.MultiAggJoinView.Edge
+
+/** N-way (snowflake) aggregate-over-join view contract: after ANY commit
+  * sequence on ANY subset of the tree's tables, the merged partials
+  * equal the from-scratch GROUP BY over the full N-way join; churn
+  * maintains by the telescoped arithmetic (an APPEND, never a rewrite);
+  * and the serving rewrite fires exactly on the registered tree. */
+class MultiAggJoinViewSpec extends SparkSpec {
+
+  // fixture: fact(f_ok, f_pk, f_sk, qty) × part(p_pk, p_brand)
+  //          × supplier(s_sk, s_nk) × nation(n_nk, n_name)  [snowflake]
+  private val edges = Seq(
+    Edge(0, Seq("f_pk"), Seq("p_pk")),
+    Edge(0, Seq("f_sk"), Seq("s_sk")),
+    Edge(2, Seq("s_nk"), Seq("n_nk")))
+  private val groups = Seq("p_brand", "n_name")
+  private val measures = Seq("qty")
+
+  private def factDF(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, i % 7, i % 5, i * 1.0)).toDF("f_ok", "f_pk", "f_sk", "qty")
+  }
+  private def partDF(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, s"brand${i % 3}")).toDF("p_pk", "p_brand")
+  }
+  private def suppDF(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, i % 3)).toDF("s_sk", "s_nk")
+  }
+  private def nationDF(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, s"nation$i")).toDF("n_nk", "n_name")
+  }
+
+  private def withRoots(f: (IndexedSeq[String], String) => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("majv_spec").toString
+    val roots = IndexedSeq(s"$root/F", s"$root/P", s"$root/S", s"$root/N")
+    try f(roots, s"$root/view")
+    finally {
+      MaterializedMultiJoins.disable(s"$root/view")
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
+  private def refresh(roots: Seq[String], v: String): Int =
+    MultiAggJoinView.refresh(spark, roots, v, edges, groups, measures)
+
+  private def viewRows(v: String): Set[(String, String, Long, String)] =
+    MultiAggJoinView.read(spark, v).collect()
+      .map(x => (x.getAs[String]("p_brand"), x.getAs[String]("n_name"),
+        x.getAs[Long]("cnt"),
+        Option(x.getAs[java.math.BigDecimal]("sum_qty"))
+          .map(_.stripTrailingZeros.toPlainString).orNull))
+      .toSet
+
+  private def truth(roots: Seq[String]): Set[(String, String, Long, String)] = {
+    val Seq(f, p, s, n) = roots.map(SnapshotStore.read(spark, _))
+    f.join(p, f("f_pk") === p("p_pk"))
+      .join(s, f("f_sk") === s("s_sk"))
+      .join(n, s("s_nk") === n("n_nk"))
+      .groupBy("p_brand", "n_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("qty").cast("decimal(30,2)")).cast("decimal(30,2)").as("sum_qty"))
+      .collect()
+      .map(x => (x.getAs[String]("p_brand"), x.getAs[String]("n_name"),
+        x.getAs[Long]("cnt"),
+        Option(x.getAs[java.math.BigDecimal]("sum_qty"))
+          .map(_.stripTrailingZeros.toPlainString).orNull))
+      .toSet
+  }
+
+  private def lastOp(v: String): String =
+    SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v)).getOrElse("?")
+
+  private def bootstrap(roots: IndexedSeq[String], v: String): Unit = {
+    SnapshotStore.append(factDF(1L to 40L: _*), roots(0))
+    SnapshotStore.append(partDF(0L to 6L: _*), roots(1))
+    SnapshotStore.append(suppDF(0L to 4L: _*), roots(2))
+    SnapshotStore.append(nationDF(0L, 1L), roots(3)) // nation 2 missing: s_nk 2 unmatched
+    refresh(roots, v)
+  }
+
+  test("bootstrap + per-table deltas (fact, dim, snowflake leaf, several at once) == re-aggregation") {
+    withRoots { (roots, v) =>
+      bootstrap(roots, v)
+      assert(viewRows(v) == truth(roots) && viewRows(v).nonEmpty)
+
+      // fact delta
+      SnapshotStore.append(factDF(41L to 55L: _*), roots(0))
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots) && lastOp(v) == "append")
+
+      // snowflake-leaf delta: nation 2 arrives — previously-unmatched
+      // fact×supplier rows join in through the new leaf rows
+      SnapshotStore.append(nationDF(2L), roots(3))
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots) && lastOp(v) == "append")
+
+      // mid-tree dim delta (supplier 5..6) + fact delta before ONE
+      // refresh: the telescoping counts the cross term exactly once
+      SnapshotStore.append(suppDF(5L, 6L), roots(2))
+      SnapshotStore.append(factDF(56L to 70L: _*), roots(0))
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots) && lastOp(v) == "append")
+
+      // no-change refresh is a no-op
+      val before = SnapshotStore.currentVersion(v)
+      refresh(roots, v)
+      assert(SnapshotStore.currentVersion(v) == before)
+    }
+  }
+
+  test("churn telescoping: fact delete, dim upsert that MOVES groups, emptied group — all appends") {
+    withRoots { (roots, v) =>
+      bootstrap(roots, v)
+
+      // fact churn: delete a slice
+      SnapshotStore.deleteWhere(spark, roots(0), col("f_ok") % 4 === 0)
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots) && lastOp(v) == "append",
+        "fact churn must publish as a signed-partial APPEND")
+
+      // GROUP-MOVING dim churn: renaming nation 1 migrates every joined
+      // row from (brand, nation1) to (brand, renamed) — old rows fold
+      // negative under the old name, new ones positive under the new
+      val s = spark
+      import s.implicits._
+      SnapshotStore.upsert(spark, Seq((1L, "renamed"))
+        .toDF("n_nk", "n_name"), roots(3), Seq("n_nk"))
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots) && lastOp(v) == "append")
+      assert(viewRows(v).exists(_._2 == "renamed") &&
+        !viewRows(v).exists(_._2 == "nation1"))
+
+      // churn on TWO tables before one refresh (fact + supplier)
+      SnapshotStore.deleteWhere(spark, roots(0), col("f_ok") % 5 === 1)
+      SnapshotStore.upsert(spark, Seq((0L, 1L)).toDF("s_sk", "s_nk"),
+        roots(2), Seq("s_sk"))
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots) && lastOp(v) == "append")
+
+      // empty a whole group: delete every fact row of brand0 parts
+      SnapshotStore.deleteWhere(spark, roots(0), col("f_pk") % 3 === 0)
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots))
+      assert(!viewRows(v).exists(_._1 == "brand0"))
+
+      // compact folds retraction residue; content unchanged
+      val content = viewRows(v)
+      MultiAggJoinView.compact(spark, v)
+      assert(viewRows(v) == content)
+
+      // a source compaction breaks the diff: the refresh REBUILDS
+      SnapshotStore.append(factDF(100L to 105L: _*), roots(0))
+      SnapshotStore.compact(spark, roots(0))
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots) && lastOp(v) == "compact")
+    }
+  }
+
+  test("NULL keys never join; NULL measures keep sums NULL-exact through churn") {
+    withRoots { (roots, v) =>
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(factDF(1L to 20L: _*), roots(0))
+      SnapshotStore.append(partDF(0L to 6L: _*), roots(1))
+      SnapshotStore.append(suppDF(0L to 4L: _*), roots(2))
+      SnapshotStore.append(nationDF(0L, 1L, 2L), roots(3))
+      refresh(roots, v)
+
+      // NULL fact keys + NULL measures: (f_pk NULL) joins nothing;
+      // (qty NULL) counts into cnt but not nn
+      SnapshotStore.append(
+        Seq((200L, null: java.lang.Long, 1L: java.lang.Long, 5.0: java.lang.Double),
+          (201L, 1L: java.lang.Long, 1L: java.lang.Long, null: java.lang.Double),
+          (202L, 1L: java.lang.Long, 1L: java.lang.Long, null: java.lang.Double))
+          .toDF("f_ok", "f_pk", "f_sk", "qty"), roots(0))
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots) && lastOp(v) == "append")
+
+      // delete every NON-NULL qty of one group → its sum must serve NULL
+      // (the nn bookkeeping), not a 0.00 retraction residue
+      SnapshotStore.deleteWhere(spark, roots(0),
+        col("f_pk") === 1 && col("f_sk") === 1 && col("qty").isNotNull)
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots))
+      val nullGroup = viewRows(v).find(r => r._3 == 2L && r._4 == null)
+      assert(nullGroup.nonEmpty,
+        s"expected an all-NULL-measure group serving sum NULL: ${viewRows(v)}")
+    }
+  }
+
+  test("spec is recorded: a drifted refresh refuses; idempotent replay is a no-op") {
+    withRoots { (roots, v) =>
+      bootstrap(roots, v)
+      val ex = intercept[IllegalArgumentException] {
+        MultiAggJoinView.refresh(spark, roots, v, edges,
+          Seq("p_brand"), measures) // dropped a group column
+      }
+      assert(ex.getMessage.contains("maintained with spec"))
+      // cursor pack round-trips for several widths
+      Seq(2, 3, 5, 8).foreach { k =>
+        val vs = (1 to k).map(i => i * 3)
+        assert(MultiAggJoinView.unpackAll(MultiAggJoinView.packAll(vs), k) == vs)
+      }
+    }
+  }
+
+  test("rewrite: count/sum/avg serve from the view in ANY join order; the join tree leaves the plan") {
+    withRoots { (roots, v) =>
+      bootstrap(roots, v)
+      MaterializedMultiJoins.enable(roots, v, edges, groups, measures)
+      def frames() = roots.map(SnapshotStore.read(spark, _))
+      def q(): DataFrame = {
+        val Seq(f, p, s, n) = frames()
+        f.join(p, f("f_pk") === p("p_pk"))
+          .join(s, f("f_sk") === s("s_sk"))
+          .join(n, s("s_nk") === n("n_nk"))
+          .groupBy("p_brand", "n_name")
+          .agg(count(lit(1)).as("cnt2"),
+            sum(col("qty").cast("decimal(18,2)")).as("sq"),
+            avg(col("qty").cast("decimal(18,2)")).as("aq"))
+      }
+      val served = q()
+      assert(graft.plans.PlanProbe.scansOnly(served, "/view"),
+        "the flagship N-way shape did not serve")
+      assert(!served.queryExecution.optimizedPlan.toString.contains("Join"),
+        "serving must remove the whole join tree from the plan")
+      def rows(df: DataFrame) = df.collect().map(x =>
+        (x.getString(0), x.getString(1), x.getLong(2), x.getDecimal(3),
+          x.getDecimal(4))).toSet
+      val got = rows(served)
+
+      // a DIFFERENT join order (dims first, snowflake leg early) is the
+      // same flattened shape and serves identically
+      val q2 = {
+        val Seq(f, p, s, n) = frames()
+        val sn = s.join(n, s("s_nk") === n("n_nk"))
+        f.join(sn, f("f_sk") === sn("s_sk"))
+          .join(p, f("f_pk") === p("p_pk"))
+          .groupBy("p_brand", "n_name")
+          .agg(count(lit(1)).as("cnt2"),
+            sum(col("qty").cast("decimal(18,2)")).as("sq"),
+            avg(col("qty").cast("decimal(18,2)")).as("aq"))
+      }
+      assert(graft.plans.PlanProbe.scansOnly(q2, "/view"),
+        "a re-ordered join tree must still serve")
+      assert(rows(q2) == got)
+
+      // declined twin is bit-equal (including avg's decimal arithmetic)
+      MaterializedMultiJoins.disable(v)
+      assert(rows(q()) == got && got.nonEmpty)
+
+      MaterializedMultiJoins.enable(roots, v, edges, groups, measures)
+      // a grouping-column filter re-applies to view groups
+      val filtered = {
+        val Seq(f, p, s, n) = frames()
+        f.join(p, f("f_pk") === p("p_pk"))
+          .join(s, f("f_sk") === s("s_sk"))
+          .join(n, s("s_nk") === n("n_nk"))
+          .where(col("p_brand") =!= "brand1")
+          .groupBy("p_brand", "n_name")
+          .agg(count(lit(1)).as("cnt2"))
+      }
+      assert(graft.plans.PlanProbe.scansOnly(filtered, "/view"))
+      assert(filtered.collect().map(_.getString(0)).toSet == Set("brand0", "brand2"))
+
+      // declines: a measure filter, a min aggregate, a 2-table subset
+      val Seq(f, p, s, n) = frames()
+      val measureFilter = f.join(p, f("f_pk") === p("p_pk"))
+        .join(s, f("f_sk") === s("s_sk"))
+        .join(n, s("s_nk") === n("n_nk"))
+        .where(col("qty") > 3)
+        .groupBy("p_brand", "n_name").agg(count(lit(1)).as("c"))
+      assert(!graft.plans.PlanProbe.scansAny(measureFilter, "/view"),
+        "a measure filter must DECLINE")
+      val minAgg = f.join(p, f("f_pk") === p("p_pk"))
+        .join(s, f("f_sk") === s("s_sk"))
+        .join(n, s("s_nk") === n("n_nk"))
+        .groupBy("p_brand", "n_name").agg(min(col("qty")).as("m"))
+      assert(!graft.plans.PlanProbe.scansAny(minAgg, "/view"),
+        "min has no stored extent in the N-way view and must DECLINE")
+      val twoTable = f.join(p, f("f_pk") === p("p_pk"))
+        .groupBy("p_brand").agg(count(lit(1)).as("c"))
+      assert(!graft.plans.PlanProbe.scansAny(twoTable, "/view"),
+        "a subset join must DECLINE")
+
+      // stale without opt-in declines; refresh restores serving
+      SnapshotStore.append(factDF(300L to 310L: _*), roots(0))
+      assert(!graft.plans.PlanProbe.scansAny(q(), "/view"),
+        "a stale view without the opt-in must DECLINE")
+      refresh(roots, v)
+      assert(graft.plans.PlanProbe.scansOnly(q(), "/view"))
+    }
+  }
+
+  test("stale serving: append-only gaps fold telescoped Δ terms on the fly; churn declines") {
+    withRoots { (roots, v) =>
+      bootstrap(roots, v)
+      MaterializedMultiJoins.enable(roots, v, edges, groups, measures,
+        serveStale = true)
+      def q(): DataFrame = {
+        val Seq(f, p, s, n) = roots.map(SnapshotStore.read(spark, _))
+        f.join(p, f("f_pk") === p("p_pk"))
+          .join(s, f("f_sk") === s("s_sk"))
+          .join(n, s("s_nk") === n("n_nk"))
+          .groupBy("p_brand", "n_name")
+          .agg(count(lit(1)).as("n2"),
+            sum(col("qty").cast("decimal(18,2)")).as("sq"))
+      }
+      def rows(df: DataFrame) = df.collect().map(x =>
+        (x.getString(0), x.getString(1), x.getLong(2), x.getDecimal(3))).toSet
+
+      // gap on TWO tables (fact append + new nation), no refresh
+      SnapshotStore.append(factDF(400L to 420L: _*), roots(0))
+      SnapshotStore.append(nationDF(2L), roots(3))
+      val stale = q()
+      assert(graft.plans.PlanProbe.scansAny(stale, "/view"),
+        "append-only stale gap must serve compensated")
+      val got = rows(stale)
+      MaterializedMultiJoins.disable(v)
+      assert(got == rows(q()) && got.nonEmpty,
+        "compensated answer must equal the current N-way aggregate")
+
+      // churned gap declines
+      MaterializedMultiJoins.enable(roots, v, edges, groups, measures,
+        serveStale = true)
+      SnapshotStore.deleteWhere(spark, roots(0), col("f_ok") % 3 === 0)
+      assert(!graft.plans.PlanProbe.scansAny(q(), "/view"),
+        "churned gap must DECLINE the stale serve")
+      refresh(roots, v)
+      assert(graft.plans.PlanProbe.scansOnly(q(), "/view"))
+    }
+  }
+}

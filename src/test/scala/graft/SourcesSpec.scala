@@ -565,14 +565,17 @@ class SourcesSpec extends SparkSpec {
           .groupBy(col("metric"), expr("e div 86400").as("day"))
           .agg(count(lit(1)).as("cnt"),
             sum(col("value").cast("decimal(30,2)")).as("vsum"),
+            count(col("value")).as("nn"),
             min(col("value")).as("vmin"), max(col("value")).as("vmax"))
         r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
-          x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+          x.getDecimal(3).doubleValue, x.getLong(4), x.getDouble(5),
+          x.getDouble(6))).toSet
       }
       def viewRows() =
         RollupView.read(spark, view).collect().map(x =>
           (x.getString(0), x.getLong(1), x.getLong(2),
-           x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+           x.getDecimal(3).doubleValue, x.getLong(4), x.getDouble(5),
+           x.getDouble(6))).toSet
       SnapshotStore.append(mk(Seq(("m", 10L, 1.5), ("m", 86410L, 2.0),
         ("n", 20L, -1.0))), src)
       RollupView.refresh(spark, src, view)
@@ -614,6 +617,7 @@ class SourcesSpec extends SparkSpec {
         .groupBy(col("metric"), expr("e div 86400").as("day"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(30,2)")).as("vsum"),
+          count(col("value")).as("nn"),
           min(col("value")).as("vmin"), max(col("value")).as("vmax"))
         .collect().map(_.toString).toSet
       def viewRows() =
@@ -974,14 +978,17 @@ class SourcesSpec extends SparkSpec {
           .groupBy(col("metric"), expr("e div 86400").as("day"))
           .agg(count(lit(1)).as("cnt"),
             sum(col("value").cast("decimal(30,2)")).as("vsum"),
+            count(col("value")).as("nn"),
             min(col("value")).as("vmin"), max(col("value")).as("vmax"))
         r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
-          x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+          x.getDecimal(3).doubleValue, x.getLong(4), x.getDouble(5),
+          x.getDouble(6))).toSet
       }
       def viewRows() =
         RollupView.read(spark, view).collect().map(x =>
           (x.getString(0), x.getLong(1), x.getLong(2),
-           x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+           x.getDecimal(3).doubleValue, x.getLong(4), x.getDouble(5),
+           x.getDouble(6))).toSet
       // two appends: metric m spans two days, metric n one day
       SnapshotStore.append(mk(Seq(("m", 10L, 5.0), ("m", 20L, 1.0),
         ("m", 86410L, 2.0), ("n", 30L, -1.0))), src)
@@ -1004,19 +1011,19 @@ class SourcesSpec extends SparkSpec {
         .flatMap(v => SnapshotStore.manifestOp(view, v))
       assert(kinds == Seq("upsert", "append"), s"got $kinds")
       // untouched day-1 m partials were carried by reference, not rewritten
-      assert(viewRows().contains(("m", 1L, 1L, 2.0, 2.0, 2.0)))
+      assert(viewRows().contains(("m", 1L, 1L, 2.0, 1L, 2.0, 2.0)))
       // a second consecutive retraction composes (delete day-0 m minimum)
       SnapshotStore.deleteWhere(spark, src,
         col("metric") === "m" && col("value") === 1.0)
       RollupView.refresh(spark, src, view)
       assert(viewRows() == fullRollup())
-      assert(viewRows().contains(("m", 0L, 1L, 5.0, 5.0, 5.0)))
+      assert(viewRows().contains(("m", 0L, 1L, 5.0, 1L, 5.0, 5.0)))
       // re-inserting after a tombstone revives the group through the
       // ordinary append path (merged cnt > 0 again)
       SnapshotStore.append(mk(Seq(("n", 60L, 4.5))), src)
       RollupView.refresh(spark, src, view)
       assert(viewRows() == fullRollup())
-      assert(viewRows().contains(("n", 0L, 1L, 4.5, 4.5, 4.5)))
+      assert(viewRows().contains(("n", 0L, 1L, 4.5, 1L, 4.5, 4.5)))
       // compaction folds the tombstones physically; content unchanged
       RollupView.compact(spark, view)
       assert(viewRows() == fullRollup())
@@ -1305,11 +1312,12 @@ class SourcesSpec extends SparkSpec {
       // the maintained view equals a from-scratch rollup of that content
       val got = RollupView.read(spark, view).collect().map(x =>
         (x.getString(0), x.getLong(1), x.getLong(2),
-         x.getDecimal(3).doubleValue, x.getDouble(4), x.getDouble(5))).toSet
+         x.getDecimal(3).doubleValue, x.getLong(4), x.getDouble(5),
+         x.getDouble(6))).toSet
       assert(got == Set(
-        ("m", 0L, 2L, 4.0, 1.0, 3.0),   // key-2 max re-derived 9.0 -> 3.0
-        ("m", 1L, 1L, 2.0, 2.0, 2.0),
-        ("n", 0L, 2L, -3.0, -2.0, -1.0)))
+        ("m", 0L, 2L, 4.0, 2L, 1.0, 3.0), // key-2 max re-derived 9.0 -> 3.0
+        ("m", 1L, 1L, 2.0, 1L, 2.0, 2.0),
+        ("n", 0L, 2L, -3.0, 2L, -2.0, -1.0)))
     } finally SnapshotStore.deleteTree(root)
   }
 
@@ -1331,8 +1339,9 @@ class SourcesSpec extends SparkSpec {
       SnapshotStore.deleteWhere(spark, src1, col("e").isNull)
       RollupView.refresh(spark, src1, view1)
       val rows1 = RollupView.read(spark, view1).collect()
-      assert(rows1.length == 1 && rows1(0).getLong(2) == 1L
-        && rows1(0).getDouble(4) == 1.0, "null-key group survived the delete")
+      assert(rows1.length == 1 && rows1(0).getAs[Long]("cnt") == 1L
+        && rows1(0).getAs[Double]("vmin") == 1.0,
+        "null-key group survived the delete")
       // the null-key path took the rebuild branch (a view compaction)
       assert(SnapshotStore.manifestOp(view1,
         SnapshotStore.currentVersion(view1)).contains("compact"))
@@ -1345,8 +1354,9 @@ class SourcesSpec extends SparkSpec {
       SnapshotStore.deleteWhere(spark, src2, col("e") === 10L)
       RollupView.refresh(spark, src2, view2)
       val rows2 = RollupView.read(spark, view2).collect()
-      assert(rows2.length == 1 && rows2(0).getLong(1) == 0L
-        && rows2(0).getLong(2) == 1L && rows2(0).getDouble(4) == 5.0,
+      assert(rows2.length == 1 && rows2(0).getAs[Long]("day") == 0L
+        && rows2(0).getAs[Long]("cnt") == 1L
+        && rows2(0).getAs[Double]("vmin") == 5.0,
         s"negative-e day-0 survivor lost: ${rows2.mkString(",")}")
     } finally SnapshotStore.deleteTree(root)
   }
@@ -1372,8 +1382,8 @@ class SourcesSpec extends SparkSpec {
       SnapshotStore.append(Seq(("m", 20L, 7.0)).toDF("metric", "e", "value"), src)
       RollupView.refresh(spark, src, view)
       val rows = RollupView.read(spark, view).collect()
-      assert(rows.length == 1 && rows(0).getLong(2) == 1L
-        && rows(0).getDouble(4) == 7.0)
+      assert(rows.length == 1 && rows(0).getAs[Long]("cnt") == 1L
+        && rows(0).getAs[Double]("vmin") == 7.0)
     } finally SnapshotStore.deleteTree(root)
   }
 
@@ -1581,6 +1591,109 @@ class SourcesSpec extends SparkSpec {
         Seq(("m", 20L, 2.0, "u2")).toDF("metric", "e", "value", "user_id"), src)
       val ex = intercept[Exception] { NdvView.refresh(spark, src, view) }
       assert(ex.getMessage != null)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("pre-nn legacy rollup store: reads serve, avg declines, refresh migrates via one rebuild") {
+    import graft.sources.{RollupView, SnapshotStore}
+    import graft.plans.MaterializedRollups
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivmlegacy").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.0), ("m", 20L, 3.0),
+        ("n", 86410L, 5.0)).toDF("metric", "e", "value"), src)
+      // hand-publish the LEGACY (pre-nn) partial shape round-16 stores
+      // persisted — count/sum/min/max only, stamped fresh at srcV 1
+      val legacy = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(30,2)")).cast("decimal(30,2)").as("vsum"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      SnapshotStore.appendEpoch(legacy, view, 1L)
+      // the legacy shape still reads (no nn column, no crash)
+      assert(!RollupView.read(spark, view).columns.contains("nn"))
+      MaterializedRollups.enable(src, view)
+      def avgQ() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(avg(col("value").cast("decimal(18,2)")).as("a"))
+      def cntQ() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      // count serves from the legacy view; avg DECLINES — vsum ÷ cnt
+      // would mis-average any NULL-holding group, and the legacy store
+      // has no nn partial to divide by
+      assert(cntQ().queryExecution.executedPlan.toString.contains("/view"))
+      assert(avgQ().queryExecution.executedPlan.toString.contains("/src"),
+        "avg over a pre-nn view must DECLINE, not divide by cnt")
+      // the next content refresh migrates: ONE full rebuild republishes
+      // every partial in the nn-carrying shape (manifest op: compact)
+      SnapshotStore.append(Seq(("m", 30L, 2.0)).toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      assert(SnapshotStore.manifestOp(view,
+        SnapshotStore.currentVersion(view)).contains("compact"),
+        "legacy-format migration must publish as one full rebuild")
+      assert(RollupView.read(spark, view).columns.contains("nn"))
+      val served = avgQ()
+      assert(served.queryExecution.executedPlan.toString.contains("/view"),
+        "avg must serve once the store carries nn")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+      val got = rows(served)
+      MaterializedRollups.clear()
+      assert(got == rows(avgQ()) && got.nonEmpty,
+        "migrated avg serve must be bit-equal to the declined plan")
+      // a plain-append refresh after migration stays on the O(delta) path
+      SnapshotStore.append(Seq(("n", 86420L, 1.0)).toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      assert(SnapshotStore.manifestOp(view,
+        SnapshotStore.currentVersion(view)).contains("append"))
+    } finally {
+      MaterializedRollups.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
+  test("quantile edges keying: marker-less high-keyed sidecar refuses loudly; retighten migrates; in-range store stamps") {
+    import graft.sources.{QuantileView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("qkey").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.0), ("m", 20L, 5.0),
+        ("m", 86410L, 9.0)).toDF("metric", "e", "value"), src)
+      QuantileView.refresh(spark, src, view) // _edges/v1 + keying marker
+      val edges = java.nio.file.Paths.get(view, "_edges")
+      assert(java.nio.file.Files.exists(edges.resolve("_keymode")))
+      // simulate a legacy SOURCE-version-keyed store: no marker, sidecar
+      // keyed above the view's version (the advice scenario — r15 stores
+      // keyed edges at srcV, which can exceed viewV)
+      java.nio.file.Files.delete(edges.resolve("_keymode"))
+      java.nio.file.Files.move(edges.resolve("v1"), edges.resolve("v3"))
+      SnapshotStore.append(Seq(("m", 30L, 2.0)).toDF("metric", "e", "value"), src)
+      // refresh must REFUSE (deleting v3 as an orphan would destroy the
+      // store's only freeze; resolving around it serves nothing) …
+      val ex = intercept[RuntimeException] { QuantileView.refresh(spark, src, view) }
+      assert(ex.getMessage.contains("keyed above"), ex.getMessage)
+      // … and so must the read path
+      intercept[RuntimeException] { QuantileView.quantiles(spark, view, Seq(0.5)) }
+      // retighten IS the migration: full refreeze under view-version
+      // keying (marker stamped, new sidecar at the published version)
+      QuantileView.retighten(spark, src, view)
+      assert(QuantileView.quantiles(spark, view, Seq(0.5)).collect().nonEmpty)
+      // the legacy dir is obsolete after the refreeze — the next
+      // maintenance touch prunes it as a true orphan
+      QuantileView.compact(spark, view)
+      assert(!java.nio.file.Files.exists(edges.resolve("v3")))
+      assert(QuantileView.quantiles(spark, view, Seq(0.5)).collect().nonEmpty)
+      // marker-less store whose keys are all ≤ the view version resolves
+      // identically under either keying — silently stamped, keeps serving
+      java.nio.file.Files.delete(edges.resolve("_keymode"))
+      assert(QuantileView.quantiles(spark, view, Seq(0.5)).collect().nonEmpty)
+      assert(java.nio.file.Files.exists(edges.resolve("_keymode")),
+        "a provably-safe marker-less store must be stamped in place")
     } finally SnapshotStore.deleteTree(root)
   }
 }
