@@ -550,7 +550,7 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
-      ("avg(decimal) over the join serves join-free from stored sum / cnt", {
+      ("avg(decimal) over the join serves join-free from stored sum / nn", {
         import org.apache.spark.sql.functions._
         import graft.sources.{AggJoinView, SnapshotStore}
         val root = java.nio.file.Files.createTempDirectory("pa_ajavg").toString
@@ -574,6 +574,55 @@ object PlanAudit {
             !p.contains("Join")
         } finally {
           graft.plans.MaterializedAggJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
+      ("5-way join tree + GROUP BY serves join-free from the multi-way MV", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{MultiAggJoinView, SnapshotStore}
+        import graft.sources.MultiAggJoinView.Edge
+        val root = java.nio.file.Files.createTempDirectory("pa_majv").toString
+        try {
+          SnapshotStore.append(spark.range(0, 3000)
+            .selectExpr("id AS f_ok", "id % 50 AS f_pk", "id % 20 AS f_sk",
+              "CAST(id AS DOUBLE) AS qty"), s"$root/F")
+          SnapshotStore.append(spark.range(0, 50)
+            .selectExpr("id AS p_pk", "concat('b', id % 4) AS p_brand"),
+            s"$root/P")
+          SnapshotStore.append(spark.range(0, 20)
+            .selectExpr("id AS s_sk", "id % 5 AS s_nk"), s"$root/S")
+          SnapshotStore.append(spark.range(0, 5)
+            .selectExpr("id AS n_nk", "concat('n', id) AS n_name"), s"$root/N")
+          SnapshotStore.append(spark.range(0, 3000)
+            .selectExpr("id AS o_ok", "concat('pr', id % 3) AS prio"),
+            s"$root/O")
+          val roots = Seq(s"$root/F", s"$root/P", s"$root/S", s"$root/N",
+            s"$root/O")
+          val edges = Seq(Edge(0, Seq("f_pk"), Seq("p_pk")),
+            Edge(0, Seq("f_sk"), Seq("s_sk")),
+            Edge(2, Seq("s_nk"), Seq("n_nk")),
+            Edge(0, Seq("f_ok"), Seq("o_ok")))
+          MultiAggJoinView.refresh(spark, roots, s"$root/mview", edges,
+            Seq("p_brand", "n_name", "prio"), Seq("qty"))
+          graft.plans.MaterializedMultiJoins.enable(roots, s"$root/mview",
+            edges, Seq("p_brand", "n_name", "prio"), Seq("qty"))
+          val Seq(f, p2, s2, n2, o2) = roots.map(SnapshotStore.read(spark, _))
+          val p = f.join(p2, f("f_pk") === p2("p_pk"))
+            .join(s2, f("f_sk") === s2("s_sk"))
+            .join(n2, s2("s_nk") === n2("n_nk"))
+            .join(o2, f("f_ok") === o2("o_ok"))
+            .groupBy("p_brand", "n_name", "prio")
+            .agg(count(lit(1)).as("n"),
+              sum(col("qty").cast("decimal(18,2)")).as("t"),
+              avg(col("qty").cast("decimal(18,2)")).as("a"))
+            .queryExecution.executedPlan.toString
+          // served: the whole 4-edge join TREE disappears; only the
+          // O(groups) partial merge over the view scan remains
+          p.contains("/mview") && !p.contains("/F") && !p.contains("/P") &&
+            !p.contains("/S") && !p.contains("/N") && !p.contains("/O") &&
+            !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedMultiJoins.disable(s"$root/mview")
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),

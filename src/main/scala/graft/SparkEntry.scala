@@ -3964,6 +3964,190 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // MULTI-WAY (snowflake) aggregate-over-join MV — AggJoinView
+    // generalized to a fact + N-dim join TREE (lineitem × part ×
+    // supplier × nation-via-supplier × orders, the q9_product_profit
+    // shape), composed through the full lifecycle: bootstrap with a
+    // partial fact and a partial snowflake LEAF, a fact-only delta, a
+    // leaf-only delta (previously-unmatched rows join in), then CHURN on
+    // the fact (delete) AND a mid-tree dim (supplier upsert that MOVES
+    // rows between nation groups) retracted by the telescoped arithmetic
+    // (per-table ± terms in ONE append — no view rewrite), a late fact
+    // append, and a compaction folding the signed residue. The merged
+    // groups must equal the SQL GROUP BY over the full 5-way replay.
+    "agg_join_view_multiway" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_majv").toString
+      try {
+        val fr = s"$root/F"; val pr = s"$root/P"; val sr = s"$root/S"
+        val nr = s"$root/N"; val or = s"$root/O"; val v = s"$root/V"
+        val roots = Seq(fr, pr, sr, nr, or)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+          sources.MultiAggJoinView.Edge(2, Seq("s_nationkey"), Seq("n_nationkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_orderkey"), Seq("o_orderkey")))
+        val groups = Seq("n_name", "o_orderpriority")
+        val measures = Seq("l_extendedprice")
+        def refresh(): Unit = sources.MultiAggJoinView.refresh(
+          s, roots, v, edges, groups, measures)
+        // half the fact universe (the extents-MV sizing rationale): the
+        // 5-way lifecycle runs every maintenance path, and the scalable
+        // posture is ScaleGate's maggjoin family
+        val f = Tables.lineitem(s, dir).where(col("l_orderkey") % 2 === 0)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice")
+        sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 === 0), fr)
+        sources.SnapshotStore.append(
+          Tables.part(s, dir).select("p_partkey", "p_brand"), pr)
+        sources.SnapshotStore.append(
+          Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"), sr)
+        sources.SnapshotStore.append(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")
+          .where(col("n_nationkey") < 20), nr)
+        sources.SnapshotStore.append(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"), or)
+        refresh() // bootstrap: full 5-way join folded once
+        sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 === 1), fr)
+        refresh() // fact delta: ΔF ⋈ standing dims, cascade-restricted
+        sources.SnapshotStore.append(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")
+          .where(col("n_nationkey") >= 20), nr)
+        refresh() // snowflake-LEAF delta: unmatched rows join in
+        sources.SnapshotStore.deleteWhere(s, fr, col("l_quantity") > 45)
+        sources.SnapshotStore.upsert(s,
+          Tables.supplier(s, dir).where(col("s_suppkey") % 10 === 0)
+            .select(col("s_suppkey"), lit(0).as("s_nationkey")), sr,
+          Seq("s_suppkey"))
+        refresh() // fact churn + group-MOVING dim churn: ± terms, one append
+        sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 === 2), fr)
+        refresh() // late fact delta after churn
+        sources.MultiAggJoinView.compact(s, v) // fold the signed residue
+        sources.MultiAggJoinView.read(s, v)
+          .select(col("n_name"), col("o_orderpriority"),
+            col("cnt").as("n_items"),
+            col("sum_l_extendedprice").cast("double").as("revenue"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Catalyst SERVING of the multi-way MV: a USER-shaped 5-table inner
+    // join — written in a DIFFERENT join order than the registration
+    // (inner joins commute; the rule matches the flattened tree) — with
+    // count/decimal-sum/avg aggregates and a grouping-column filter is
+    // answered from the O(groups) partials; the whole join tree leaves
+    // the plan (used_view pinned from the analyzed scan roots).
+    "agg_join_view_multiway_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_majs").toString
+      try {
+        val fr = s"$root/F"; val pr = s"$root/P"; val sr = s"$root/S"
+        val nr = s"$root/N"; val or = s"$root/O"; val v = s"$root/view"
+        val roots = Seq(fr, pr, sr, nr, or)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+          sources.MultiAggJoinView.Edge(2, Seq("s_nationkey"), Seq("n_nationkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_orderkey"), Seq("o_orderkey")))
+        sources.SnapshotStore.append(Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"), fr)
+        sources.SnapshotStore.append(
+          Tables.part(s, dir).select("p_partkey", "p_brand"), pr)
+        sources.SnapshotStore.append(
+          Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"), sr)
+        sources.SnapshotStore.append(
+          Tables.nation(s, dir).select("n_nationkey", "n_name"), nr)
+        sources.SnapshotStore.append(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"), or)
+        sources.MultiAggJoinView.refresh(s, roots, v, edges,
+          Seq("n_name", "o_orderpriority"), Seq("l_extendedprice"))
+        graft.plans.MaterializedMultiJoins.enable(roots, v, edges,
+          Seq("n_name", "o_orderpriority"), Seq("l_extendedprice"))
+        try {
+          val f = sources.SnapshotStore.read(s, fr)
+          val p = sources.SnapshotStore.read(s, pr)
+          val su = sources.SnapshotStore.read(s, sr)
+          val n = sources.SnapshotStore.read(s, nr)
+            .where(col("n_name") =!= "CHINA")
+          val o = sources.SnapshotStore.read(s, or)
+          // dims-first order, snowflake leg pre-joined — NOT the
+          // registration's table order
+          val sn = su.join(n, su("s_nationkey") === n("n_nationkey"))
+          val q = f.join(o, f("l_orderkey") === o("o_orderkey"))
+            .join(sn, f("l_suppkey") === sn("s_suppkey"))
+            .join(p, f("l_partkey") === p("p_partkey"))
+            .groupBy("n_name", "o_orderpriority")
+            .agg(count(lit(1)).as("n_items"),
+              sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"),
+              avg(col("l_extendedprice").cast("decimal(18,2)")).as("ap"))
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
+          q.select(col("n_name"), col("o_orderpriority"), col("n_items"),
+              col("rev").cast("double").as("revenue"),
+              col("ap").cast("double").as("avg_price"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedMultiJoins.disable(v)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // STALE-compensated serving of the multi-way MV: append-only gaps on
+    // the fact AND the snowflake leaf, no refresh — the user-shaped
+    // 5-way aggregate is answered as stored partials merged with the
+    // telescoped Δ terms folded on the fly. Values face the CURRENT
+    // sources; used_view pins the view stayed in the plan.
+    "agg_join_view_multiway_stale" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_majt").toString
+      try {
+        val fr = s"$root/F"; val pr = s"$root/P"; val sr = s"$root/S"
+        val nr = s"$root/N"; val or = s"$root/O"; val v = s"$root/view"
+        val roots = Seq(fr, pr, sr, nr, or)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+          sources.MultiAggJoinView.Edge(2, Seq("s_nationkey"), Seq("n_nationkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_orderkey"), Seq("o_orderkey")))
+        val f = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+        sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 === 0), fr)
+        sources.SnapshotStore.append(
+          Tables.part(s, dir).select("p_partkey", "p_brand"), pr)
+        sources.SnapshotStore.append(
+          Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"), sr)
+        sources.SnapshotStore.append(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")
+          .where(col("n_nationkey") < 20), nr)
+        sources.SnapshotStore.append(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"), or)
+        sources.MultiAggJoinView.refresh(s, roots, v, edges,
+          Seq("n_name", "o_orderpriority"), Seq("l_extendedprice"))
+        graft.plans.MaterializedMultiJoins.enable(roots, v, edges,
+          Seq("n_name", "o_orderpriority"), Seq("l_extendedprice"),
+          serveStale = true)
+        try {
+          // the gap: append-only commits on fact AND leaf, NO refresh
+          sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 =!= 0), fr)
+          sources.SnapshotStore.append(Tables.nation(s, dir)
+            .select("n_nationkey", "n_name")
+            .where(col("n_nationkey") >= 20), nr)
+          val ff = sources.SnapshotStore.read(s, fr)
+          val p = sources.SnapshotStore.read(s, pr)
+          val su = sources.SnapshotStore.read(s, sr)
+          val n = sources.SnapshotStore.read(s, nr)
+          val o = sources.SnapshotStore.read(s, or)
+          val q = ff.join(p, ff("l_partkey") === p("p_partkey"))
+            .join(su, ff("l_suppkey") === su("s_suppkey"))
+            .join(n, su("s_nationkey") === n("n_nationkey"))
+            .join(o, ff("l_orderkey") === o("o_orderkey"))
+            .groupBy("n_name", "o_orderpriority")
+            .agg(count(lit(1)).as("n_items"),
+              sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+          val usedView = graft.plans.PlanProbe.scansAny(q, "/view")
+          q.select(col("n_name"), col("o_orderpriority"), col("n_items"),
+              col("rev").cast("double").as("revenue"))
+            .withColumn("used_view", lit(usedView))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedMultiJoins.disable(v)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // STREAMING maintenance of the EXTENTS agg-join MV: same checkpointed
     // drip as stream_agg_join_view_parity, with min/max partials folding
     // per trigger (the insert-monotone append path under replay-idempotent
@@ -7258,6 +7442,60 @@ object SparkEntry {
         |         AS revenue,
         |       TRUE AS used_view
         |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // multi-way MV lifecycle replay: the fact's final state is slices
+    // 0/1 minus the quantity delete plus the late slice 2 (the delete
+    // ran before slice 2 landed, so slice 2's heavy rows SURVIVE);
+    // supplier's final state applies the upsert as a CASE; dims replay
+    // whole. The 5-way GROUP BY over that state is the view's content.
+    "agg_join_view_multiway" ->
+      """WITH f AS (SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
+        |           FROM lineitem
+        |           WHERE l_orderkey % 2 = 0
+        |             AND (l_orderkey % 3 = 2 OR NOT (l_quantity > 45))),
+        |s AS (SELECT s_suppkey,
+        |             CASE WHEN s_suppkey % 10 = 0 THEN 0
+        |                  ELSE s_nationkey END AS s_nationkey
+        |      FROM supplier)
+        |SELECT n_name, o_orderpriority, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM f JOIN part ON l_partkey = p_partkey
+        |       JOIN s ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the avg replay follows agg_join_view_serve's exact integer
+    // micro-unit derivation (see its comment)
+    "agg_join_view_multiway_serve" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue,
+        |       CAST((2 * SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |                     AS HUGEINT)) * 10000 + count(*))
+        |            // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_price,
+        |       TRUE AS used_view
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN orders ON l_orderkey = o_orderkey
+        |WHERE n_name != 'CHINA'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // delta-compensated N-way serving: the answer faces the CURRENT
+    // sources (full fact, all 25 nations); used_view TRUE pins the plan
+    // kept the maintained view
+    "agg_join_view_multiway_stale" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       TRUE AS used_view
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,
 
     // delta-compensated serving: the answer is the CURRENT sources'

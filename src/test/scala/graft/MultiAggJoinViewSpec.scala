@@ -190,21 +190,28 @@ class MultiAggJoinViewSpec extends SparkSpec {
       refresh(roots, v)
       assert(viewRows(v) == truth(roots) && lastOp(v) == "append")
 
-      // delete every NON-NULL qty of one group → its sum must serve NULL
-      // (the nn bookkeeping), not a 0.00 retraction residue
+      // delete every NON-NULL qty of the (brand1, nation1) group — parts
+      // {1,4} × suppliers {1,4} — so its sum must serve NULL (the nn
+      // bookkeeping), not a 0.00 retraction residue; the two null-qty
+      // rows keep cnt = 2
       SnapshotStore.deleteWhere(spark, roots(0),
-        col("f_pk") === 1 && col("f_sk") === 1 && col("qty").isNotNull)
+        col("f_pk").isin(1, 4) && col("f_sk").isin(1, 4) &&
+          col("qty").isNotNull)
       refresh(roots, v)
       assert(viewRows(v) == truth(roots))
-      val nullGroup = viewRows(v).find(r => r._3 == 2L && r._4 == null)
-      assert(nullGroup.nonEmpty,
-        s"expected an all-NULL-measure group serving sum NULL: ${viewRows(v)}")
+      val nullGroup = viewRows(v).find(r =>
+        r._1 == "brand1" && r._2 == "nation1")
+      assert(nullGroup.exists(r => r._3 == 2L && r._4 == null),
+        s"expected (brand1, nation1) all-NULL group serving sum NULL: ${viewRows(v)}")
     }
   }
 
   test("spec is recorded: a drifted refresh refuses; idempotent replay is a no-op") {
     withRoots { (roots, v) =>
       bootstrap(roots, v)
+      // a fresh-cursor refresh is a no-op before any spec check — move a
+      // source so the drifted spec actually reaches the guard
+      SnapshotStore.append(factDF(500L), roots(0))
       val ex = intercept[IllegalArgumentException] {
         MultiAggJoinView.refresh(spark, roots, v, edges,
           Seq("p_brand"), measures) // dropped a group column
