@@ -626,6 +626,36 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("distinct-count over a join serves join-free from the ndv-join view", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{NdvJoinView, NdvView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_njv").toString
+        try {
+          SnapshotStore.append(spark.range(0, 500)
+            .selectExpr("id AS c_id", "concat('seg', id % 5) AS seg"), s"$root/L")
+          SnapshotStore.append(spark.range(0, 2000)
+            .selectExpr("id % 500 AS o_id", "concat('u', id % 60) AS user_id"),
+            s"$root/R")
+          NdvJoinView.refresh(spark, s"$root/L", s"$root/R", s"$root/njview",
+            Seq("c_id"), Seq("o_id"), Seq("seg"), "user_id")
+          graft.plans.MaterializedAggJoins.enableNdv(s"$root/L", s"$root/R",
+            s"$root/njview", "c_id", "o_id", Seq("seg"), "user_id")
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          val p = lf.join(rf, lf("c_id") === rf("o_id"))
+            .groupBy("seg")
+            .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, " +
+              s"${NdvView.LgK}))").as("au"))
+            .queryExecution.executedPlan.toString
+          // served: the join disappears; only the O(groups) sketch merge
+          // over the view scan remains
+          p.contains("/njview") && !p.contains("/L") && !p.contains("/R") &&
+            !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedAggJoins.disable(s"$root/L")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("ndv stale-compensated serve keeps the sketch view in the plan", {
         import org.apache.spark.sql.functions._
         import graft.sources.{NdvView, SnapshotStore}

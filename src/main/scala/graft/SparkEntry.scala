@@ -4148,6 +4148,114 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // DISTINCT-COUNT over a join, maintained (NdvView's HLL partials
+    // composed with AggJoinView's delta machinery): unique users per
+    // (segment, status) across customer⋈orders through the full
+    // lifecycle — bootstrap, left delta, right delta, churn (dirty-group
+    // re-sketch + atomic keyed replace), compaction. Register-max union
+    // keeps the maintained estimate bit-equal to a single-pass sketch;
+    // the approx-surface contract rides exact NDV + band verdict beside
+    // the exported estimate (Spark hard-fails out-of-band pre-export).
+    "agg_join_view_ndv" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ajn").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        // the distinct column is the join key itself — registered by its
+        // LEFT spelling (right keys are dropped from the view shape); the
+        // rewrite normalizes a user's hll(o_custkey) onto it
+        def refresh(): Unit = sources.NdvJoinView.refresh(
+          s, l, r, v, Seq("c_custkey"), Seq("o_custkey"),
+          Seq("c_mktsegment", "o_orderstatus"), "c_custkey")
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 === 0), l)
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 === 0), r)
+        refresh() // bootstrap
+        sources.SnapshotStore.append(c.where(col("c_custkey") % 2 =!= 0), l)
+        refresh() // left delta: ΔL⋈R sketches append
+        sources.SnapshotStore.append(o.where(col("o_custkey") % 3 =!= 0), r)
+        refresh() // right delta
+        sources.SnapshotStore.deleteWhere(s, r, col("o_orderkey") % 7 === 0)
+        refresh() // churn: dirty groups re-sketch + atomic replace
+        sources.NdvJoinView.compact(s, v)
+        val lf = sources.SnapshotStore.read(s, l)
+        val rf = sources.SnapshotStore.read(s, r)
+        val exact = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("exact_users"))
+        val joined = sources.NdvJoinView.read(s, v)
+          .join(exact, Seq("c_mktsegment", "o_orderstatus"))
+          .localCheckpoint(true)
+        joined.collect().foreach { x =>
+          val a = x.getAs[Long]("approx_c_custkey")
+          val e = x.getAs[Long]("exact_users")
+          require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+            s"ndv-join estimate outside its band: approx=$a exact=$e")
+        }
+        exportForOracle(joined.select(col("c_mktsegment"),
+          col("o_orderstatus"), col("approx_c_custkey").as("approx_users")),
+          "ajn_approx", model = true)
+        joined.select(col("c_mktsegment"), col("o_orderstatus"),
+          col("exact_users"),
+          col("approx_c_custkey").as("approx_users"),
+          (abs(col("approx_c_custkey") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Catalyst SERVING of the distinct-count-over-join MV: the
+    // user-shaped datasketches aggregate over the registered join —
+    // hll_sketch_estimate(hll_sketch_agg(o_custkey, lgK)) grouped
+    // (segment, status) — is answered from the stored sketches
+    // (used_view pinned), bit-equal to the single-pass aggregate; exact
+    // NDV + band verdict ride along per the approx-surface contract.
+    "agg_join_view_ndv_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ajns").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_mktsegment"), l)
+        sources.SnapshotStore.append(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus"), r)
+        sources.NdvJoinView.refresh(s, l, r, v,
+          Seq("c_custkey"), Seq("o_custkey"),
+          Seq("c_mktsegment", "o_orderstatus"), "c_custkey")
+        graft.plans.MaterializedAggJoins.enableNdv(l, r, v,
+          "c_custkey", "o_custkey",
+          Seq("c_mktsegment", "o_orderstatus"), "c_custkey")
+        try {
+          val lf = sources.SnapshotStore.read(s, l)
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+            .groupBy("c_mktsegment", "o_orderstatus")
+            .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, " +
+              s"${sources.NdvView.LgK}))").as("approx_users"))
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
+          val exact = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+            .groupBy("c_mktsegment", "o_orderstatus")
+            .agg(countDistinct(col("o_custkey")).as("exact_users"))
+          val joined = q.join(exact, Seq("c_mktsegment", "o_orderstatus"))
+            .localCheckpoint(true)
+          joined.collect().foreach { x =>
+            val a = x.getAs[Long]("approx_users")
+            val e = x.getAs[Long]("exact_users")
+            require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+              s"served ndv-join estimate outside its band: approx=$a exact=$e")
+          }
+          exportForOracle(joined.select(col("c_mktsegment"),
+            col("o_orderstatus"), col("approx_users")),
+            "ajns_approx", model = true)
+          joined.select(col("c_mktsegment"), col("o_orderstatus"),
+            col("exact_users"), col("approx_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              greatest(col("exact_users") * lit(0.05), lit(2.0)))
+              .as("bound_ok"))
+            .withColumn("used_view", lit(usedView))
+        } finally graft.plans.MaterializedAggJoins.disable(l)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // STREAMING maintenance of the EXTENTS agg-join MV: same checkpointed
     // drip as stream_agg_join_view_parity, with min/max partials folding
     // per trigger (the insert-monotone append path under replay-idempotent
@@ -7483,6 +7591,38 @@ object SparkEntry {
         |       JOIN orders ON l_orderkey = o_orderkey
         |WHERE n_name != 'CHINA'
         |GROUP BY 1, 2""".stripMargin,
+
+    // ndv-over-join lifecycle replay: exact distinct customers per
+    // (segment, status) over the surviving orders (the %7 delete), the
+    // estimate from the export, band verdict re-derived on both sides
+    "agg_join_view_ndv" ->
+      s"""WITH o AS (SELECT o_custkey, o_orderstatus FROM orders
+         |           WHERE o_orderkey % 7 != 0),
+         |ex AS (SELECT c_mktsegment, o_orderstatus,
+         |         count(DISTINCT o_custkey) AS exact_users
+         |       FROM customer JOIN o ON c_custkey = o_custkey
+         |       GROUP BY 1, 2),
+         |ap AS (SELECT c_mktsegment, o_orderstatus, approx_users
+         |       FROM read_parquet('${exportGlob("ajn_approx")}'))
+         |SELECT ex.c_mktsegment, ex.o_orderstatus, ex.exact_users,
+         |       ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok
+         |FROM ex JOIN ap USING (c_mktsegment, o_orderstatus)""".stripMargin,
+
+    "agg_join_view_ndv_serve" ->
+      s"""WITH ex AS (SELECT c_mktsegment, o_orderstatus,
+         |         count(DISTINCT o_custkey) AS exact_users
+         |       FROM customer JOIN orders ON c_custkey = o_custkey
+         |       GROUP BY 1, 2),
+         |ap AS (SELECT c_mktsegment, o_orderstatus, approx_users
+         |       FROM read_parquet('${exportGlob("ajns_approx")}'))
+         |SELECT ex.c_mktsegment, ex.o_orderstatus, ex.exact_users,
+         |       ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok,
+         |       TRUE AS used_view
+         |FROM ex JOIN ap USING (c_mktsegment, o_orderstatus)""".stripMargin,
 
     // delta-compensated N-way serving: the answer faces the CURRENT
     // sources (full fact, all 25 nations); used_view TRUE pins the plan

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -26,16 +26,21 @@ object MaterializedAggJoins {
   /** A registration's payload: the view plus everything the STALE
     * serving path needs to rebuild the compensation (original-case
     * roots, key lists, and spec columns). */
+  /** `kind`: "classic" (count/sum/avg/min/max partials) or "ndv" (HLL
+    * sketch of `measureCols.head` — the [[graft.sources.NdvJoinView]]
+    * store, serving the `hll_sketch_estimate(hll_sketch_agg(x, lgK))`
+    * shape). */
   private[plans] final case class AReg(viewRoot: String,
                                        leftRoot: String, rightRoot: String,
                                        leftKeys: Seq[String],
                                        rightKeys: Seq[String],
                                        groupCols: Seq[String],
                                        measureCols: Seq[String],
-                                       serveStale: Boolean)
+                                       serveStale: Boolean,
+                                       kind: String = "classic")
 
   private val regs = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String, String, String, String), AReg]()
+    (String, String, String, String, String, String, String), AReg]()
 
   private def canon(p: String): String = MaterializedRollups.canon(p)
 
@@ -58,14 +63,43 @@ object MaterializedAggJoins {
   def enableKeys(leftRoot: String, rightRoot: String, viewRoot: String,
                  leftKeys: Seq[String], rightKeys: Seq[String],
                  groupCols: Seq[String], measureCols: Seq[String],
-                 serveStale: Boolean = false): Unit = {
+                 serveStale: Boolean = false): Unit =
+    put(leftRoot, rightRoot, viewRoot, leftKeys, rightKeys, groupCols,
+      measureCols, serveStale, "classic")
+
+  /** Declare `viewRoot` as [[graft.sources.NdvJoinView]]-maintained:
+    * the user-shaped `L JOIN R GROUP BY g` distinct-count aggregate —
+    * `hll_sketch_estimate(hll_sketch_agg(x, lgK))` at the engine's lgK —
+    * over the sources' current snapshots is answered from the stored
+    * sketches (register-max union keeps the merged estimate bit-equal to
+    * the single-pass aggregate). `serveStale` opts append-only gaps into
+    * the compensated sketch union; churned gaps decline (a monotone
+    * sketch cannot retract). */
+  def enableNdvKeys(leftRoot: String, rightRoot: String, viewRoot: String,
+                    leftKeys: Seq[String], rightKeys: Seq[String],
+                    groupCols: Seq[String], distinctCol: String,
+                    serveStale: Boolean = false): Unit =
+    put(leftRoot, rightRoot, viewRoot, leftKeys, rightKeys, groupCols,
+      Seq(distinctCol), serveStale, "ndv")
+
+  def enableNdv(leftRoot: String, rightRoot: String, viewRoot: String,
+                leftKey: String, rightKey: String,
+                groupCols: Seq[String], distinctCol: String,
+                serveStale: Boolean = false): Unit =
+    enableNdvKeys(leftRoot, rightRoot, viewRoot, Seq(leftKey), Seq(rightKey),
+      groupCols, distinctCol, serveStale)
+
+  private def put(leftRoot: String, rightRoot: String, viewRoot: String,
+                  leftKeys: Seq[String], rightKeys: Seq[String],
+                  groupCols: Seq[String], measureCols: Seq[String],
+                  serveStale: Boolean, kind: String): Unit = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and pair up: $leftKeys vs $rightKeys")
     val (lk, rk) = MaterializedJoins.keySig(leftKeys, rightKeys)
     regs.put((canon(leftRoot), canon(rightRoot), lk, rk,
-      lcSorted(groupCols), lcSorted(measureCols)),
+      lcSorted(groupCols), lcSorted(measureCols), kind),
       AReg(viewRoot, leftRoot, rightRoot, leftKeys, rightKeys,
-        groupCols, measureCols, serveStale))
+        groupCols, measureCols, serveStale, kind))
   }
 
   def enable(leftRoot: String, rightRoot: String, viewRoot: String,
@@ -86,7 +120,7 @@ object MaterializedAggJoins {
 
   private[plans] def isEmpty: Boolean = regs.isEmpty
 
-  private[plans] def all: Map[(String, String, String, String, String, String), AReg] =
+  private[plans] def all: Map[(String, String, String, String, String, String, String), AReg] =
     regs.asScala.toMap
 }
 
@@ -216,7 +250,7 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                    measures: Set[String], keyPairs: Seq[(String, String)],
                    fresh: Boolean)
     val candidates = MaterializedAggJoins.all.iterator.flatMap {
-      case ((lr, rr, lk, rk, g, m), r)
+      case ((lr, rr, lk, rk, g, m, _), r)
           if (lk, rk) == sig || (lk, rk) == flipped =>
         MaterializedJoins.probe(lr, rr, r.viewRoot).flatMap {
           case (ld, rd, fresh) =>
@@ -232,8 +266,17 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => None
     }.toSeq
-    val hit = candidates.find(_.fresh)
-      .orElse(candidates.headOption).getOrElse(return None)
+    // the aggregate list picks the view KIND it needs: any datasketches
+    // distinct-count shape wants the ndv view, everything else classic —
+    // then freshness breaks ties among same-kind candidates
+    val wantsNdv = ae.exists {
+      case Alias(HllSketchEstimate(_), _) => true
+      case _                              => false
+    }
+    val kinded = candidates.filter(h =>
+      (h.reg.kind == "ndv") == wantsNdv)
+    val hit = kinded.find(_.fresh)
+      .orElse(kinded.headOption).getOrElse(return None)
 
     // a grouped-on right key serves from its paired left key's stored
     // column (value-identical under the inner equality); every grouping
@@ -256,12 +299,21 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // FRESH: serve the stored partials. STALE + opted-in + append-only
     // gap: serve the delta-compensated merge. Anything else declines.
     val viewDf =
-      if (hit.fresh) AggJoinView.read(spark, hit.reg.viewRoot)
-      else if (hit.reg.serveStale)
-        AggJoinView.compensatedRead(spark, hit.reg.leftRoot,
-          hit.reg.rightRoot, hit.reg.viewRoot, hit.reg.leftKeys,
-          hit.reg.rightKeys, hit.reg.groupCols, hit.reg.measureCols)
-          .getOrElse(return None)
+      if (hit.fresh) hit.reg.kind match {
+        case "ndv" => graft.sources.NdvJoinView.read(spark, hit.reg.viewRoot)
+        case _     => AggJoinView.read(spark, hit.reg.viewRoot)
+      }
+      else if (hit.reg.serveStale) {
+        hit.reg.kind match {
+          case "ndv" => graft.sources.NdvJoinView.compensatedRead(spark,
+            hit.reg.leftRoot, hit.reg.rightRoot, hit.reg.viewRoot,
+            hit.reg.leftKeys, hit.reg.rightKeys, hit.reg.groupCols,
+            hit.reg.measureCols.head)
+          case _ => AggJoinView.compensatedRead(spark, hit.reg.leftRoot,
+            hit.reg.rightRoot, hit.reg.viewRoot, hit.reg.leftKeys,
+            hit.reg.rightKeys, hit.reg.groupCols, hit.reg.measureCols)
+        }
+      }.getOrElse(return None)
       else return None
     val viewPlan = viewDf.queryExecution.analyzed
     def viewCol(n: String): Option[Attribute] =
@@ -337,6 +389,24 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if hit.measures.contains(v.name.toLowerCase) =>
         val c = viewCol(s"max_${v.name}").filter(_.dataType == ag.dataType)
           .getOrElse(return None)
+        Alias(c, al.name)(exprId = al.exprId)
+      // the datasketches distinct-count shape — served from an NDV-kind
+      // view's merged-sketch estimate (register-max union makes it
+      // bit-equal to the single-pass aggregate); the lgK must be the
+      // engine's own (a different precision would change the estimate)
+      case al @ Alias(HllSketchEstimate(AggregateExpression(
+          HllSketchAgg(u: AttributeReference, lgk, _, _), _, false, None, _)), _)
+          if hit.reg.kind == "ndv" && lgk.foldable &&
+            lgk.eval() == graft.sources.NdvView.LgK && {
+              // a distinct-count over a RIGHT key normalizes onto its
+              // paired left key (value-identical under the inner
+              // equality — the stored sketch covers both spellings)
+              hit.measures.contains(
+                rkToLk.getOrElse(u.name.toLowerCase, u.name.toLowerCase))
+            } =>
+        val norm = rkToLk.getOrElse(u.name.toLowerCase, u.name.toLowerCase)
+        val c = viewCol(s"approx_$norm")
+          .filter(_.dataType == al.dataType).getOrElse(return None)
         Alias(c, al.name)(exprId = al.exprId)
       case _ => return None // any other shape: decline, never approximate
     }

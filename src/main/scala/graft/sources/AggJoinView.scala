@@ -384,7 +384,7 @@ object AggJoinView {
     * append path (folds positive partials) and [[compensatedRead]]
     * (folds them on the fly for a stale serve). At least one side must
     * have moved. */
-  private def deltaJoinRows(spark: SparkSession,
+  private[sources] def deltaJoinRows(spark: SparkSession,
                             leftRoot: String, rightRoot: String,
                             leftKeys: Seq[String], rightKeys: Seq[String],
                             groupCols: Seq[String], measureCols: Seq[String],
