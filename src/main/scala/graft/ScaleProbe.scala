@@ -551,11 +551,11 @@ object ScaleProbe {
           val t0 = System.nanoTime()
           RollupView.refresh(spark, src, view)
           val t = (System.nanoTime() - t0) / 1e9
-          // the refresh took the retraction path (keyed replace + stamping
-          // append), not a rebuild, and the maintained content is right
+          // the refresh took the retraction path (ONE atomic keyed
+          // replace + append commit), not a rebuild, and the content is right
           val vCur = SnapshotStore.currentVersion(view)
-          val kinds = Seq(vCur - 1, vCur).flatMap(SnapshotStore.manifestOp(view, _))
-          assert(kinds == Seq("upsert", "append"), s"not retraction: $kinds")
+          val kinds = Seq(vCur).flatMap(SnapshotStore.manifestOp(view, _))
+          assert(kinds == Seq("upsert"), s"not retraction: $kinds")
           val total = RollupView.read(spark, view)
             .agg(sum(col("cnt"))).head().getLong(0)
           assert(total == k * 10000L - 5000L, s"cnt=$total at k=$k")

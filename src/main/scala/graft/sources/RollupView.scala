@@ -297,18 +297,12 @@ object RollupView {
     * is O(standing table) except the dirty-scan's read itself, which
     * partition/file pruning bounds when the store is day-keyed.
     *
-    * Crash-safe like the fast path: the keyed replace carries the OLD
-    * stamp forward, only the closing append stamps `srcCur` — a re-run
-    * after a crash between the two recomputes the same diff against the
-    * same immutable manifests and replaces the same keys with the same
-    * rows (replace-by-key is content-idempotent), then stamps. Between
-    * the two publishes a reader sees dirty groups at `srcCur` next to
-    * the old cursor — a DOCUMENTED window this path accepts because its
-    * second publish carries real content (the insert-only groups'
-    * delta partials must APPEND next to their standing partials, so the
-    * retraction cannot collapse into one stamped replace the way
-    * [[AggJoinView]]'s extents churn — which has no insert-only leg —
-    * does with `upsertEpoch`). */
+    * ATOMIC and crash-safe: the dirty groups' keyed replace AND the
+    * insert-only groups' delta-partial append publish under ONE
+    * epoch-stamped manifest swap ([[SnapshotStore.upsertAndAppendEpoch]])
+    * — no reader ever observes recomputed groups next to a stale cursor
+    * (the window the pre-atomic two-publish sequence documented is
+    * gone), and a re-run after a crash replays as an epoch no-op. */
   private def refreshRetracting(spark: SparkSession, srcRoot: String,
                                 viewRoot: String, from: Int,
                                 srcCur: Int, g: Grain,
@@ -337,6 +331,12 @@ object RollupView {
         .select(col("metric"), expr(s"e div ${g.seconds}").as(g.col))
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
       try {
+        // insert-only groups' delta partials (dirty groups re-aggregate
+        // whole in the replace below). Computed up front: both legs
+        // publish in ONE atomic commit.
+        val ins = spec.fold(
+          spec.bucketed(ch.where(col("_change_type") === "insert"), g)
+            .join(dirty, Seq("metric", g.col), "left_anti"), g)
         if (!dirty.isEmpty) {
           // Conservative day-range pre-filter: the semi-join alone gives
           // the parquet scan nothing to push down, so the re-aggregate
@@ -379,20 +379,19 @@ object RollupView {
             dirty.join(recomputed.select("metric", g.col),
               Seq("metric", g.col), "left_anti"),
             recomputed, g)
-          SnapshotStore.upsert(spark, recomputed.unionByName(tombstones),
-            viewRoot, Seq("metric", g.col))
+          // ONE atomic epoch-stamped publish: dirty groups replace, the
+          // insert-only delta partials append, the cursor advances —
+          // all in a single manifest swap (repartition(1) keeps an empty
+          // append side schema-bearing; a fileless dir would not read)
+          SnapshotStore.upsertAndAppendEpoch(spark,
+            recomputed.unionByName(tombstones),
+            if (ins.isEmpty) ins.repartition(1) else ins,
+            viewRoot, Seq("metric", g.col), srcCur)
+        } else {
+          // nothing dirty: the delta partials alone own the stamp
+          SnapshotStore.appendEpoch(
+            if (ins.isEmpty) ins.repartition(1) else ins, viewRoot, srcCur)
         }
-        // insert-only groups append their delta partials; dirty groups are
-        // already whole in the replace above. The closing append also owns
-        // the `srcCur` stamp, so it publishes even when empty (one
-        // schema-bearing empty file — repartition(1) forces the writer to
-        // emit it; a zero-partition empty write would leave a fileless
-        // directory in the manifest).
-        val ins = spec.fold(
-          spec.bucketed(ch.where(col("_change_type") === "insert"), g)
-            .join(dirty, Seq("metric", g.col), "left_anti"), g)
-        SnapshotStore.appendEpoch(
-          if (ins.isEmpty) ins.repartition(1) else ins, viewRoot, srcCur)
       } finally dirty.unpersist()
     } finally ch.unpersist()
   }

@@ -696,8 +696,26 @@ object SnapshotStore {
     if (epochSeen(root, epochId)) currentVersion(root)
     else upsertCore(spark, df, root, keyCols, Some(epochId))
 
+  /** ATOMIC keyed-replace + append under ONE manifest swap: `df`'s rows
+    * replace same-key rows ([[upsert]] semantics) AND `appendDf`'s rows
+    * land as a plain append, all visible at the same version with the
+    * same epoch stamp. This closes the maintenance shape a retraction
+    * refresh needs — dirty groups REPLACED next to insert-only delta
+    * partials APPENDED — without the reader-visible window a
+    * replace-then-append pair leaves between its two publishes (a reader
+    * there saw recomputed groups beside a stale cursor). Epoch-idempotent
+    * like [[upsertEpoch]]: a crashed re-run replays as a no-op; the
+    * commit itself is the store's ordinary atomic manifest rename. */
+  def upsertAndAppendEpoch(spark: SparkSession, df: DataFrame,
+                           appendDf: DataFrame, root: String,
+                           keyCols: Seq[String], epochId: Long): Int =
+    if (epochSeen(root, epochId)) currentVersion(root)
+    else upsertCore(spark, df, root, keyCols, Some(epochId),
+      alsoAppend = Some(appendDf))
+
   private def upsertCore(spark: SparkSession, df: DataFrame, root: String,
-                         keyCols: Seq[String], epoch: Option[Long]): Int = {
+                         keyCols: Seq[String], epoch: Option[Long],
+                         alsoAppend: Option[DataFrame] = None): Int = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val parent = currentVersion(root)
@@ -719,12 +737,20 @@ object SnapshotStore {
     require(dupKeys == 0L,
       s"upsert batch has $dupKeys duplicate key(s) on (${keyCols.mkString(", ")}) " +
         "— replace-by-key needs one source row per key; pre-aggregate the batch")
-    if (nKeys == 0L) return parent // empty batch: a true no-op, like deleteWhere
+    alsoAppend.foreach(a => require(
+      a.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet ==
+        df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
+      "the combined publish's append side must share the replace side's " +
+        s"columns: ${a.columns.toSeq} vs ${df.columns.toSeq}"))
+    // empty replace batch: a true no-op — unless a combined append still
+    // has to publish (it owns the epoch stamp)
+    if (nKeys == 0L && alsoAppend.isEmpty) return parent
     if (parent == 0) {
       // bootstrap: every batch row is an insert; the commit is an
       // ordinary (commutative, retry-safe) append
       val dir = newDataDir(root, "v", 1)
-      df.write.mode("overwrite").parquet(dir)
+      alsoAppend.map(df.unionByName(_)).getOrElse(df)
+        .write.mode("overwrite").parquet(dir)
       enforceConstraints(spark, root, dir)
       return commitAppend(root, dir, epoch, df.columns.toSeq)
     }
@@ -755,9 +781,19 @@ object SnapshotStore {
     // the batch is the NEW content; rewritten dirs only re-arrange rows
     // that passed enforcement when they first landed
     enforceConstraints(spark, root, ins)
-    val v = commitReplace(root, parent, (keep ++ rewritten) :+ ins,
-      epoch, cols, "upsert")
-    inheritStats(spark, root, parent, v, rewritten :+ ins, df.columns.toSeq)
+    // the combined publish's append side lands as its own directory in
+    // the SAME commit (repartition(1) on an empty frame is the caller's
+    // job when the stamp must publish schema-bearing)
+    val ins2 = alsoAppend.map { a =>
+      val d = newDataDir(root, "va", parent + 1)
+      a.write.mode("overwrite").parquet(d)
+      enforceConstraints(spark, root, d)
+      d
+    }
+    val v = commitReplace(root, parent,
+      keep ++ rewritten ++ Seq(ins) ++ ins2.toSeq, epoch, cols, "upsert")
+    inheritStats(spark, root, parent, v, (rewritten :+ ins) ++ ins2.toSeq,
+      df.columns.toSeq)
     v
   }
 

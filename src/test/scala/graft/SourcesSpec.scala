@@ -1005,11 +1005,12 @@ class SourcesSpec extends SparkSpec {
       assert(viewRows() == fullRollup())
       // the n group is GONE from the read (tombstoned), not zero-row garbage
       assert(!viewRows().exists(_._1 == "n"))
-      // and the refresh took the RETRACTION path, not a rebuild: a keyed
-      // replace (upsert) then the stamping append — never a compaction
+      // and the refresh took the RETRACTION path, not a rebuild: ONE
+      // atomic keyed-replace-plus-append commit — never a compaction,
+      // never a reader-visible replace/append pair
       val kinds = ((vBefore + 1) to SnapshotStore.currentVersion(view))
         .flatMap(v => SnapshotStore.manifestOp(view, v))
-      assert(kinds == Seq("upsert", "append"), s"got $kinds")
+      assert(kinds == Seq("upsert"), s"got $kinds")
       // untouched day-1 m partials were carried by reference, not rewritten
       assert(viewRows().contains(("m", 1L, 1L, 2.0, 1L, 2.0, 2.0)))
       // a second consecutive retraction composes (delete day-0 m minimum)
@@ -1591,6 +1592,57 @@ class SourcesSpec extends SparkSpec {
         Seq(("m", 20L, 2.0, "u2")).toDF("metric", "e", "value", "user_id"), src)
       val ex = intercept[Exception] { NdvView.refresh(spark, src, view) }
       assert(ex.getMessage != null)
+    } finally SnapshotStore.deleteTree(root)
+  }
+
+  test("retraction publishes atomically: every observable view version is an endpoint state, never a mix") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivmatomic").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.0), ("m", 20L, 9.0),
+        ("n", 30L, 2.0), ("k", 86410L, 5.0))
+        .toDF("metric", "e", "value"), src)
+      RollupView.refresh(spark, src, view)
+      // a version's merged content, read AT that version — what any
+      // reader pinning that manifest observes
+      def contentAt(v: Int): Set[String] =
+        SnapshotStore.read(spark, view, v)
+          .groupBy("metric", "day")
+          .agg(sum("cnt").as("cnt"), sum("vsum").as("vsum"),
+            sum("nn").as("nn"), min("vmin").as("vmin"), max("vmax").as("vmax"))
+          .where(col("cnt") > 0)
+          .collect().map(_.toString).toSet
+      val before = contentAt(SnapshotStore.currentVersion(view))
+      // the gap: churn (delete m's maximum — dirty-group recompute) AND
+      // inserts into OTHER groups (the insert-only append leg), so the
+      // retraction refresh has BOTH legs with real content
+      SnapshotStore.deleteWhere(spark, src,
+        col("metric") === "m" && col("value") === 9.0)
+      SnapshotStore.append(Seq(("n", 40L, 3.0), ("z", 50L, 7.0))
+        .toDF("metric", "e", "value"), src)
+      val vBefore = SnapshotStore.currentVersion(view)
+      RollupView.refresh(spark, src, view)
+      val vAfter = SnapshotStore.currentVersion(view)
+      // ONE commit — the replace and the append are not separate versions
+      assert(vAfter == vBefore + 1,
+        s"retraction must publish exactly one version: $vBefore -> $vAfter")
+      assert(SnapshotStore.manifestOp(view, vAfter).contains("upsert"))
+      val after = contentAt(vAfter)
+      // the content moved (both legs are visible at the new version) …
+      assert(after != before)
+      assert(after.exists(_.contains("z")), "insert-only group missing")
+      // … and EVERY observable version is one of the two endpoint
+      // states — the pre-atomicity window (recomputed groups visible
+      // without the insert-only partials / next to a stale cursor) is
+      // structurally impossible, not just unlikely
+      (1 to vAfter).foreach { v =>
+        val c = contentAt(v)
+        assert(c == before || c == after,
+          s"version $v observes a MIXED retraction state: $c")
+      }
     } finally SnapshotStore.deleteTree(root)
   }
 
