@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.DecimalType
@@ -184,6 +184,8 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def dissectToJoin(plan: LogicalPlan): Option[(Join, Seq[Expression])] =
     plan match {
       case j: Join => Some((j, Nil))
+      case SubqueryAlias(_, child) => dissectToJoin(child) // temp-view name
+      case v: View => dissectToJoin(v.child) // temp-view body wrapper
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         dissectToJoin(child)
@@ -197,6 +199,8 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def dissectSide(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
     plan match {
       case lr: LogicalRelation => Some((lr, Nil))
+      case SubqueryAlias(_, child) => dissectSide(child) // temp-view name
+      case v: View => dissectSide(v.child) // temp-view body wrapper
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         dissectSide(child)

@@ -1,0 +1,270 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+
+import graft.sources.{AggJoinView, JoinView, MultiAggJoinView, NdvJoinView, NdvView, QuantileView, RollupView}
+import graft.sources.MultiAggJoinView.Edge
+
+/** The SQL DDL surface for the engine's materialized views — the
+  * missing piece for SQL-only sessions, which could SERVE from every
+  * registered view (the rewrite rules run at analysis for any query
+  * shape, `spark.sql` included) but had no way to REGISTER one without
+  * dropping to the Scala registries. Three statements, dispatched to the
+  * SAME registries and refresh functions the Scala API uses (one
+  * definition of each view's semantics):
+  *
+  * {{{
+  * CREATE MATERIALIZED VIEW '<viewRoot>' AS <KIND>(NAME => 'value', …)
+  * REFRESH MATERIALIZED VIEW '<viewRoot>'
+  * DROP MATERIALIZED VIEW '<viewRoot>'
+  * }}}
+  *
+  * Kinds and their arguments (comma-separated name => 'literal' pairs;
+  * list-valued arguments are comma-separated INSIDE the quotes):
+  *
+  *   - `ROLLUP(SRC => '…' [, GRAIN => 'day'|'hour'] [, STALE => 'true'])`
+  *   - `NDV(SRC => '…' [, GRAIN => …] [, STALE => …])` — distinct users
+  *   - `QUANTILE(SRC => '…' [, GRAIN_SEC => '86400'] [, BINS => '64'])`
+  *     (maintained + served through [[QuantileView]]'s own API — no
+  *     Catalyst rewrite exists for quantiles, so no registry entry)
+  *   - `JOIN(LEFT => '…', RIGHT => '…', LEFT_KEYS => 'a,b',
+  *     RIGHT_KEYS => 'c,d' [, HOW => 'inner'|'left_outer'|'full_outer']
+  *     [, STALE => …])`
+  *   - `AGG_JOIN(LEFT, RIGHT, LEFT_KEYS, RIGHT_KEYS, GROUPS => 'g,…',
+  *     MEASURES => 'm,…' [, EXTENTS => 'true'] [, STALE => …])`
+  *   - `NDV_JOIN(LEFT, RIGHT, LEFT_KEYS, RIGHT_KEYS, GROUPS,
+  *     DISTINCT_COL => 'x' [, STALE => …])`
+  *   - `MULTI_AGG_JOIN(ROOTS => 'r0;r1;…', EDGES =>
+  *     'parent:pk,…:ck,…;…' (edge i attaches table i+1), GROUPS,
+  *     MEASURES [, STALE => …])`
+  *
+  * CREATE registers AND materializes (the initial refresh runs — a
+  * CREATE that didn't materialize would serve nothing); REFRESH brings
+  * the view current from the DDL catalog's recorded spec; DROP
+  * unregisters. The catalog is session-global in-memory state, exactly
+  * like the Scala registries it fronts. Any statement that doesn't
+  * match the three shapes delegates to Spark's own parser untouched.
+  */
+object GraftDdl {
+
+  sealed trait Spec { def refresh(spark: SparkSession, view: String): Int }
+
+  private final case class RollupSpec(src: String, grain: RollupView.Grain,
+                                      stale: Boolean, ndv: Boolean) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      if (ndv) NdvView.refresh(spark, src, view, grain)
+      else RollupView.refresh(spark, src, view, grain)
+  }
+  private final case class QuantileSpec(src: String, grainSec: Long,
+                                        bins: Int) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      QuantileView.refresh(spark, src, view, grainSec, bins)
+  }
+  private final case class JoinSpec(l: String, r: String, lks: Seq[String],
+                                    rks: Seq[String], how: String,
+                                    stale: Boolean) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      JoinView.refreshKeys(spark, l, r, view, lks, rks, how)
+  }
+  private final case class AggJoinSpec(l: String, r: String, lks: Seq[String],
+                                       rks: Seq[String], groups: Seq[String],
+                                       measures: Seq[String], extents: Boolean,
+                                       stale: Boolean) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      AggJoinView.refreshKeys(spark, l, r, view, lks, rks, groups,
+        measures, extents)
+  }
+  private final case class NdvJoinSpec(l: String, r: String, lks: Seq[String],
+                                       rks: Seq[String], groups: Seq[String],
+                                       x: String, stale: Boolean) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      NdvJoinView.refresh(spark, l, r, view, lks, rks, groups, x)
+  }
+  private final case class MultiSpec(roots: Seq[String], edges: Seq[Edge],
+                                     groups: Seq[String],
+                                     measures: Seq[String],
+                                     stale: Boolean) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      MultiAggJoinView.refresh(spark, roots, view, edges, groups, measures)
+  }
+
+  /** The DDL catalog: view root → recorded spec (what REFRESH/DROP
+    * resolve against). Session-global like the rewrite registries. */
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+([A-Za-z_]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val RefreshRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*$""".r
+  private val ArgRe = """(\w+)\s*=>\s*'([^']*)'""".r
+
+  /** Intercept one of the three DDL shapes, or None → delegate. */
+  def tryParse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case CreateRe(view, kind, argText) =>
+      val args = ArgRe.findAllMatchIn(argText)
+        .map(m => m.group(1).toUpperCase(java.util.Locale.ROOT) -> m.group(2))
+        .toMap
+      Some(CreateMaterializedViewCommand(view, kind.toUpperCase, args))
+    case RefreshRe(view) => Some(RefreshMaterializedViewCommand(view))
+    case DropRe(view)    => Some(DropMaterializedViewCommand(view))
+    case _               => None
+  }
+
+  private def need(args: Map[String, String], k: String, kind: String): String =
+    args.getOrElse(k, sys.error(s"$kind needs $k => '…'"))
+
+  private def list(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def flag(args: Map[String, String], k: String): Boolean =
+    args.get(k).exists(_.equalsIgnoreCase("true"))
+
+  /** Build the spec + perform the registration for CREATE. */
+  private[plans] def create(spark: SparkSession, view: String,
+                            kind: String, args: Map[String, String]): Int = {
+    val spec: Spec = kind match {
+      case "ROLLUP" | "NDV" =>
+        val grain = args.get("GRAIN").map(_.toLowerCase) match {
+          case Some("hour")       => RollupView.Hour
+          case Some("day") | None => RollupView.Day
+          case Some(other) => sys.error(s"unknown GRAIN '$other' (day|hour)")
+        }
+        RollupSpec(need(args, "SRC", kind), grain, flag(args, "STALE"),
+          ndv = kind == "NDV")
+      case "QUANTILE" =>
+        QuantileSpec(need(args, "SRC", kind),
+          args.get("GRAIN_SEC").map(_.toLong).getOrElse(86400L),
+          args.get("BINS").map(_.toInt).getOrElse(QuantileView.DefaultBins))
+      case "JOIN" =>
+        JoinSpec(need(args, "LEFT", kind), need(args, "RIGHT", kind),
+          list(need(args, "LEFT_KEYS", kind)),
+          list(need(args, "RIGHT_KEYS", kind)),
+          args.getOrElse("HOW", "inner").toLowerCase, flag(args, "STALE"))
+      case "AGG_JOIN" =>
+        AggJoinSpec(need(args, "LEFT", kind), need(args, "RIGHT", kind),
+          list(need(args, "LEFT_KEYS", kind)),
+          list(need(args, "RIGHT_KEYS", kind)),
+          list(need(args, "GROUPS", kind)),
+          list(need(args, "MEASURES", kind)),
+          flag(args, "EXTENTS"), flag(args, "STALE"))
+      case "NDV_JOIN" =>
+        NdvJoinSpec(need(args, "LEFT", kind), need(args, "RIGHT", kind),
+          list(need(args, "LEFT_KEYS", kind)),
+          list(need(args, "RIGHT_KEYS", kind)),
+          list(need(args, "GROUPS", kind)),
+          need(args, "DISTINCT_COL", kind), flag(args, "STALE"))
+      case "MULTI_AGG_JOIN" =>
+        val roots = need(args, "ROOTS", kind).split(";").map(_.trim).toSeq
+        val edges = need(args, "EDGES", kind).split(";").map(_.trim).map { e =>
+          e.split(":") match {
+            case Array(p, pks, cks) => Edge(p.trim.toInt, list(pks), list(cks))
+            case _ => sys.error(s"bad EDGES entry '$e' (parent:pk,…:ck,…)")
+          }
+        }.toSeq
+        MultiSpec(roots, edges, list(need(args, "GROUPS", kind)),
+          list(need(args, "MEASURES", kind)), flag(args, "STALE"))
+      case other =>
+        sys.error(s"unknown materialized-view kind '$other' (ROLLUP, NDV, " +
+          "QUANTILE, JOIN, AGG_JOIN, NDV_JOIN, MULTI_AGG_JOIN)")
+    }
+    // materialize FIRST (a failed bootstrap must not leave a live
+    // registration serving nothing), then register for serving
+    val v = spec.refresh(spark, view)
+    register(view, spec)
+    catalog.put(view, spec)
+    v
+  }
+
+  private def register(view: String, spec: Spec): Unit = spec match {
+    case RollupSpec(src, grain, stale, false) =>
+      MaterializedRollups.enable(src, view, grain, stale)
+    case RollupSpec(src, grain, stale, true) =>
+      MaterializedRollups.enableNdv(src, view, grain, stale)
+    case QuantileSpec(_, _, _) => () // no Catalyst rewrite for quantiles
+    case JoinSpec(l, r, lks, rks, how, stale) =>
+      MaterializedJoins.enableKeys(l, r, view, lks, rks, how, stale)
+    case AggJoinSpec(l, r, lks, rks, g, m, _, stale) =>
+      MaterializedAggJoins.enableKeys(l, r, view, lks, rks, g, m, stale)
+    case NdvJoinSpec(l, r, lks, rks, g, x, stale) =>
+      MaterializedAggJoins.enableNdvKeys(l, r, view, lks, rks, g, x, stale)
+    case MultiSpec(roots, edges, g, m, stale) =>
+      MaterializedMultiJoins.enable(roots, view, edges, g, m, stale)
+  }
+
+  private[plans] def refresh(spark: SparkSession, view: String): Int =
+    Option(catalog.get(view)).map(_.refresh(spark, view)).getOrElse(
+      sys.error(s"no materialized view registered at '$view' — " +
+        "CREATE MATERIALIZED VIEW first"))
+
+  private[plans] def drop(view: String): Unit = {
+    val spec = Option(catalog.remove(view)).getOrElse(
+      sys.error(s"no materialized view registered at '$view'"))
+    spec match {
+      case RollupSpec(src, _, _, _) => MaterializedRollups.disable(src)
+      case QuantileSpec(_, _, _)    => ()
+      case JoinSpec(l, _, _, _, _, _)       => MaterializedJoins.disable(l)
+      case AggJoinSpec(l, _, _, _, _, _, _, _) => MaterializedAggJoins.disable(l)
+      case NdvJoinSpec(l, _, _, _, _, _, _)    => MaterializedAggJoins.disable(l)
+      case MultiSpec(_, _, _, _, _) => MaterializedMultiJoins.disable(view)
+    }
+  }
+
+  def clear(): Unit = catalog.clear()
+}
+
+private[plans] trait MvCommand extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+}
+
+case class CreateMaterializedViewCommand(view: String, kind: String,
+                                         args: Map[String, String])
+    extends MvCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(view, GraftDdl.create(spark, view, kind, args)))
+}
+
+case class RefreshMaterializedViewCommand(view: String) extends MvCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(view, GraftDdl.refresh(spark, view)))
+}
+
+case class DropMaterializedViewCommand(view: String) extends MvCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDdl.drop(view)
+    Seq(Row(view, -1))
+  }
+}
+
+/** Parser injection: intercept the three materialized-view statements,
+  * delegate everything else to Spark's parser verbatim. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftDdl.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -222,6 +222,8 @@ class JoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def dissect(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
     plan match {
       case lr: LogicalRelation => Some((lr, Nil))
+      case SubqueryAlias(_, child) => dissect(child) // temp-view name
+      case v: View => dissect(v.child) // temp-view body wrapper
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         dissect(child)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.DecimalType
@@ -157,6 +157,8 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Option[(Seq[LogicalRelation], Seq[Expression], Seq[Expression])] =
     plan match {
       case lr: LogicalRelation => Some((Seq(lr), Nil, Nil))
+      case SubqueryAlias(_, child) => flatten(child) // temp-view name
+      case v: View => flatten(v.child) // temp-view body wrapper
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         flatten(child)

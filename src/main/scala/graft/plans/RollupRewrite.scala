@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -248,6 +248,8 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def dissect(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
     plan match {
       case lr: LogicalRelation => Some((lr, Nil))
+      case SubqueryAlias(_, child) => dissect(child) // temp-view name
+      case v: View => dissect(v.child) // temp-view body wrapper
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         dissect(child)

@@ -537,4 +537,77 @@ class ExtensionsSpec extends SparkSpec {
     val r3 = C2.execute("get stats", TrendParams.default, Some(counters), None)
     assert(r3.ok && r3.message.contains("\"display_uptime\": -1"))
   }
+
+  test("SQL DDL: CREATE/REFRESH/DROP MATERIALIZED VIEW register, materialize, and serve purely through spark.sql") {
+    import graft.sources.{RollupView, SnapshotStore}
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mvddl").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    val l = s"$root/L"; val r = s"$root/R"; val ajv = s"$root/ajview"
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.0), ("m", 86410L, 2.0),
+        ("n", 20L, 5.0)).toDF("metric", "e", "value"), src)
+      // CREATE registers AND materializes — returns (view, version 1)
+      val created = spark.sql(
+        s"CREATE MATERIALIZED VIEW '$view' AS ROLLUP(SRC => '$src')").collect()
+      assert(created.head.getString(0) == view && created.head.getInt(1) == 1)
+      assert(SnapshotStore.currentVersion(view) == 1)
+      def q() = {
+        SnapshotStore.read(spark, src).createOrReplaceTempView("mvddl_t")
+        spark.sql(
+          """SELECT metric, e div 86400 AS day, count(1) AS cnt
+            |FROM mvddl_t GROUP BY metric, e div 86400""".stripMargin)
+      }
+      assert(q().queryExecution.executedPlan.toString.contains("/view"),
+        "a SQL-created rollup view must serve SQL aggregates")
+      // stale after a source append; REFRESH (SQL) restores serving
+      SnapshotStore.append(Seq(("m", 30L, 3.0)).toDF("metric", "e", "value"), src)
+      assert(q().queryExecution.executedPlan.toString.contains("/src"))
+      assert(spark.sql(s"REFRESH MATERIALIZED VIEW '$view'")
+        .collect().head.getInt(1) == 2)
+      val served = q()
+      assert(served.queryExecution.executedPlan.toString.contains("/view"))
+      assert(served.collect().map(x =>
+        (x.getString(0), x.getLong(1), x.getLong(2))).toSet ==
+        Set(("m", 0L, 2L), ("m", 1L, 1L), ("n", 0L, 1L)))
+      // DROP unregisters: the same query declines back to the base scan
+      spark.sql(s"DROP MATERIALIZED VIEW '$view'")
+      assert(q().queryExecution.executedPlan.toString.contains("/src"))
+      intercept[Exception] { spark.sql(s"REFRESH MATERIALIZED VIEW '$view'") }
+
+      // an AGG_JOIN kind end-to-end through SQL (list-valued args)
+      SnapshotStore.append(spark.range(0, 200)
+        .selectExpr("id AS c_id", "concat('seg', id % 3) AS seg"), l)
+      SnapshotStore.append(spark.range(0, 600)
+        .selectExpr("id % 200 AS o_id", "CAST(id AS DOUBLE) AS total"), r)
+      spark.sql(s"""CREATE MATERIALIZED VIEW '$ajv' AS AGG_JOIN(
+        LEFT => '$l', RIGHT => '$r', LEFT_KEYS => 'c_id',
+        RIGHT_KEYS => 'o_id', GROUPS => 'seg', MEASURES => 'total')""")
+      val lf = SnapshotStore.read(spark, l)
+      val rf = SnapshotStore.read(spark, r)
+      lf.createOrReplaceTempView("mvddl_l")
+      rf.createOrReplaceTempView("mvddl_r")
+      val aq = spark.sql(
+        """SELECT seg, count(1) AS n, sum(CAST(total AS DECIMAL(18,2))) AS t
+          |FROM mvddl_l JOIN mvddl_r ON c_id = o_id GROUP BY seg""".stripMargin)
+      assert(aq.queryExecution.executedPlan.toString.contains("/ajview"),
+        "a SQL-created agg-join view must serve the SQL join aggregate")
+      assert(aq.collect().length == 3)
+      spark.sql(s"DROP MATERIALIZED VIEW '$ajv'")
+
+      // a non-DDL statement still parses through Spark's own parser
+      assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+      // a bad kind fails loudly at execution
+      intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW '$view' AS BOGUS(SRC => '$src')")
+          .collect()
+      }
+    } finally {
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedRollups.clear()
+      graft.plans.MaterializedAggJoins.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
 }
