@@ -44,11 +44,24 @@ object ScaleGate {
     try f(root) finally SnapshotStore.deleteTree(root)
   }
 
+  /** Range-cluster at CONSTANT file size (~500k rows/file): a production
+    * store's file size is fixed and its file COUNT grows with the data,
+    * which is what makes a fixed key band's pruned read O(band), not
+    * O(table/32). A fixed partition count (the repartitionByRange
+    * default) would instead grow every file 10× per ScaleUp factor and
+    * make the band-churn legs LOOK super-linear when the algorithm is
+    * not — the round-16 dim-band 1.53× was exactly this fixture
+    * artifact. */
+  private def clustered(df: DataFrame, key: String): DataFrame = {
+    val n = math.max(8, (df.count() / 500000L).toInt)
+    df.repartitionByRange(n, col(key))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleGate <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
-      .getOrElse(Set("jvouter", "jvfull", "aggjoin", "aggjoinx", "rebase",
-        "search", "quantile"))
+      .getOrElse(Set("jvouter", "jvfull", "aggjoin", "aggjoinx", "maggjoin",
+        "rebase", "search", "quantile"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[gate10] == $dir ==")
 
@@ -100,9 +113,9 @@ object ScaleGate {
       // file-prune its standing/time-travel reads by the delta's or the
       // churn's key band
       SnapshotStore.appendWithStats(
-        customer.repartitionByRange(col("c_custkey")), l, Seq("c_custkey"))
+        clustered(customer, "c_custkey"), l, Seq("c_custkey"))
       SnapshotStore.appendWithStats(
-        orders.repartitionByRange(col("o_custkey")), r, Seq("o_custkey"))
+        clustered(orders, "o_custkey"), r, Seq("o_custkey"))
       def refresh(): Unit = AggJoinView.refresh(spark, l, r, v,
         "c_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_totalprice"))
       time("aggjoin bootstrap")(refresh())
@@ -143,9 +156,9 @@ object ScaleGate {
       import graft.sources.AggJoinView
       val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
       SnapshotStore.appendWithStats(
-        customer.repartitionByRange(col("c_custkey")), l, Seq("c_custkey"))
+        clustered(customer, "c_custkey"), l, Seq("c_custkey"))
       SnapshotStore.appendWithStats(
-        orders.repartitionByRange(col("o_custkey")), r, Seq("o_custkey"))
+        clustered(orders, "o_custkey"), r, Seq("o_custkey"))
       def refresh(): Unit = AggJoinView.refreshKeys(spark, l, r, v,
         Seq("c_custkey"), Seq("o_custkey"),
         Seq("c_custkey"), Seq("o_totalprice"), extents = true)
@@ -171,6 +184,91 @@ object ScaleGate {
           .contains("upsert"),
         "extents churn must replace dirty groups in one stamped upsert")
       time("aggjoinx serve-read")(AggJoinView.read(spark, v).count())
+    }
+
+    // MULTI-WAY (snowflake) agg-join MV: lineitem × orders × part ×
+    // supplier × nation. Edge ORDER is load-bearing for churn pruning:
+    // the FIRST edge's parent keys are the fact's churn-restriction key
+    // (MultiAggJoinView picks table 0's dirty tuples from them), so the
+    // orders edge — whose l_orderkey the fact is range-clustered on —
+    // goes first and a band delete's ± legs file-prune to the band.
+    // The fact also stamps l_suppkey stats: a snowflake-LEAF delta
+    // (new nations + new suppliers + facts in a fresh key band) cascades
+    // nation → supplier → fact, and the fact hop prunes files by the new
+    // suppliers' band instead of re-scanning the corpus.
+    if (fams("maggjoin")) withRoot { root =>
+      import graft.sources.MultiAggJoinView
+      import graft.sources.MultiAggJoinView.Edge
+      val fr = s"$root/F"; val or_ = s"$root/O"; val pr = s"$root/P"
+      val sr = s"$root/S"; val nr = s"$root/N"; val v = s"$root/V"
+      val roots = Seq(fr, or_, pr, sr, nr)
+      val edges = Seq(
+        Edge(0, Seq("l_orderkey"), Seq("o_orderkey")),
+        Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+        Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+        Edge(3, Seq("s_nationkey"), Seq("n_nationkey")))
+      val groups = Seq("n_name", "o_orderpriority")
+      val fact = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val ords = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+      SnapshotStore.appendWithStats(
+        clustered(fact, "l_orderkey"), fr,
+        Seq("l_orderkey", "l_suppkey"))
+      SnapshotStore.appendWithStats(
+        clustered(ords, "o_orderkey"), or_, Seq("o_orderkey"))
+      SnapshotStore.append(
+        Tables.part(spark, dir).select("p_partkey", "p_brand"), pr)
+      SnapshotStore.appendWithStats(
+        Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"), sr,
+        Seq("s_suppkey"))
+      SnapshotStore.append(
+        Tables.nation(spark, dir).select("n_nationkey", "n_name"), nr)
+      def refresh(): Unit = MultiAggJoinView.refresh(spark, roots, v,
+        edges, groups, Seq("l_extendedprice"))
+      time("maggjoin bootstrap")(refresh())
+      // fixed-absolute two-sided delta: a fresh l_orderkey band with the
+      // orders rows it references (monotone ingest)
+      val dF = fact.where(col("l_orderkey") < 4096)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(2_000_000_000L))
+        .localCheckpoint(true)
+      val dO = ords.where(col("o_orderkey") < 4096)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(2_000_000_000L))
+        .localCheckpoint(true)
+      SnapshotStore.appendWithStats(dF, fr, Seq("l_orderkey", "l_suppkey"))
+      SnapshotStore.appendWithStats(dO, or_, Seq("o_orderkey"))
+      time("maggjoin fact+orders delta")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"), "maggjoin delta left the O(delta) append path")
+      // snowflake-LEAF delta: new nations, new suppliers in a fresh band
+      // referencing them, new facts referencing those suppliers — the
+      // term cascades nation → supplier → fact with each hop pruned
+      val dN = spark.range(500, 510)
+        .selectExpr("CAST(id AS INT) AS n_nationkey",
+          "concat('newnation', id) AS n_name").localCheckpoint(true)
+      val dS = spark.range(0, 1024)
+        .selectExpr("id + 2000000000L AS s_suppkey",
+          "CAST(500 + id % 10 AS INT) AS s_nationkey").localCheckpoint(true)
+      val dF2 = fact.where(col("l_orderkey") < 4096)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(3_000_000_000L))
+        .withColumn("l_suppkey", (col("l_suppkey") % 1024) + lit(2_000_000_000L))
+        .localCheckpoint(true)
+      SnapshotStore.append(dN, nr)
+      SnapshotStore.appendWithStats(dS, sr, Seq("s_suppkey"))
+      SnapshotStore.appendWithStats(dF2, fr, Seq("l_orderkey", "l_suppkey"))
+      time("maggjoin leaf+fact delta")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "maggjoin snowflake-leaf delta left the O(delta) append path")
+      // band churn on fact AND orders: dirty l_orderkeys = one narrow
+      // range — every ± leg's reads file-prune to the band
+      SnapshotStore.deleteWhere(spark, fr, col("l_orderkey") >= 3_000_000_000L)
+      SnapshotStore.deleteWhere(spark, or_, col("o_orderkey") >= 2_000_000_000L)
+      time("maggjoin churn (band x2)")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "maggjoin churn must stay telescoped signed-partial appends")
+      time("maggjoin serve-read")(MultiAggJoinView.read(spark, v).count())
     }
 
     if (fams("rebase")) withRoot { root =>

@@ -1633,10 +1633,38 @@ object SparkEntry {
     // documented 100 TB swap as shipped code. Rows-only (HLL estimates
     // are engine-specific); the ±2·rsd error bound vs exact NDV is pinned
     // by unit test, the single-scan/Expand-free plan by PlanAudit.
-    "table_profile_scale" -> ((s, dir) =>
-      RelationalOps.tableProfileApprox(Tables.lineitem(s, dir),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_returnflag", "l_linestatus"))),
+    // The sketch-NDV profile under the approx-surface contract (the
+    // ann_recall/audience_overlap technique): exact NDV rides beside the
+    // EXPORTED estimate, the band verdict derives independently in both
+    // engines, and Spark hard-fails an out-of-band estimate before
+    // anything exports — a full hash oracle, not a rows-only row.
+    "table_profile_scale" -> ((s, dir) => {
+      val rsd = 0.05
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      val prof = RelationalOps.tableProfileApprox(Tables.lineitem(s, dir),
+        cols)
+      val exact = cols.map { c =>
+        Tables.lineitem(s, dir)
+          .agg(countDistinct(col(c)).as("exact_nd"))
+          .select(lit(c).as("col_name"), col("exact_nd"))
+      }.reduce(_ unionByName _)
+      val joined = prof.join(exact, "col_name").localCheckpoint(true)
+      joined.collect().foreach { r =>
+        val a = r.getAs[Long]("n_distinct_approx")
+        val e = r.getAs[Long]("exact_nd")
+        require(math.abs(a - e) <= math.max(2 * rsd * e, 2.0),
+          s"profile NDV estimate outside its band on " +
+            s"${r.getAs[String]("col_name")}: approx=$a exact=$e")
+      }
+      exportForOracle(joined.select("col_name", "n_distinct_approx"),
+        "tps_approx", model = true)
+      joined.select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("min_repr"), col("max_repr"), col("exact_nd"),
+        col("n_distinct_approx"),
+        (abs(col("n_distinct_approx") - col("exact_nd")) <=
+          greatest(col("exact_nd") * lit(2 * rsd), lit(2.0))).as("bound_ok"))
+    }),
 
     // Error-bound verify twin for the approx profile: per column, the
     // EXACT NDV (DuckDB recomputes it — the hash-checked half) alongside
@@ -6460,6 +6488,27 @@ object SparkEntry {
     // check), the HLL estimate read from the export, the band verdict
     // derived from THIS engine's exact counts — agreement requires the
     // exacts to match and the estimate to sit inside the band both ways.
+    // full-profile band oracle: every EXACT statistic (row/non-null
+    // counts, min/max reprs, exact NDV) recomputes in SQL; the estimate
+    // comes from the export; the band verdict re-derives on both sides
+    "table_profile_scale" ->
+      (s"""WITH a AS (SELECT col_name, n_distinct_approx
+         |           FROM read_parquet('${exportGlob("tps_approx")}')),
+         |n AS (SELECT count(*) AS n_rows FROM lineitem),
+         |e AS (
+         |""".stripMargin +
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus").map(c =>
+          s"  SELECT '$c' AS col_name, count($c) AS n_nonnull, " +
+            s"count(DISTINCT $c) AS exact_nd, CAST(min($c) AS VARCHAR) AS " +
+            s"min_repr, CAST(max($c) AS VARCHAR) AS max_repr FROM lineitem")
+          .mkString("", "\n  UNION ALL\n", ")\n") +
+        """SELECT e.col_name, n.n_rows, e.n_nonnull, e.min_repr, e.max_repr,
+          |       e.exact_nd, a.n_distinct_approx,
+          |       abs(a.n_distinct_approx - e.exact_nd) <=
+          |         greatest(0.1 * e.exact_nd, 2.0) AS bound_ok
+          |FROM e CROSS JOIN n JOIN a ON e.col_name = a.col_name""".stripMargin),
+
     "table_profile_scale_verify" ->
       s"""WITH a AS (SELECT col_name, approx_ndv
          |           FROM read_parquet('${exportGlob("profile_approx")}')),
