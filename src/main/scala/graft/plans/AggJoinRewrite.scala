@@ -279,20 +279,25 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val kinded = candidates.filter(h =>
       (h.reg.kind == "ndv") == wantsNdv)
-    val hit = kinded.find(_.fresh)
-      .orElse(kinded.headOption).getOrElse(return None)
-
-    // a grouped-on right key serves from its paired left key's stored
-    // column (value-identical under the inner equality); every grouping
-    // attr must land on a registered group column, covering the set
-    val rkToLk = hit.keyPairs.map(_.swap).toMap
-    def normName(n: String): String = {
-      val lc = n.toLowerCase
-      if (hit.groups.contains(lc)) lc
-      else rkToLk.getOrElse(lc, lc)
+    // GROUPS participate in candidate SELECTION: registrations sharing
+    // the join but grouped differently coexist in the registry, and the
+    // query lands on the one its grouping attributes normalize onto
+    // (a grouped-on right key serves from its paired left key's stored
+    // column — value-identical under the inner equality)
+    def groupNorm(h: Hit): Option[Map[ExprId, String]] = {
+      val rkToLk = h.keyPairs.map(_.swap).toMap
+      def normName(n: String): String = {
+        val lc = n.toLowerCase
+        if (h.groups.contains(lc)) lc
+        else rkToLk.getOrElse(lc, lc)
+      }
+      val m = groupAttrs.map(a => a.exprId -> normName(a.name)).toMap
+      if (m.values.toSet == h.groups) Some(m) else None
     }
-    val normed = groupAttrs.map(a => a.exprId -> normName(a.name)).toMap
-    if (normed.values.toSet != hit.groups) return None
+    val matched = kinded.flatMap(h => groupNorm(h).map(h -> _))
+    val (hit, normed) = matched.find(_._1.fresh)
+      .orElse(matched.headOption).getOrElse(return None)
+    val rkToLk = hit.keyPairs.map(_.swap).toMap
 
     // every filter (above the join or on a side) must reference only
     // grouping attributes — then it re-applies to view groups verbatim

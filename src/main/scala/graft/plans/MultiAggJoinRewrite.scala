@@ -230,29 +230,35 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
     }.toSeq
-    val hit = candidates.find(_.fresh)
-      .orElse(candidates.headOption).getOrElse(return None)
-
-    // normalize a grouped-on child-side key onto its paired parent key,
-    // transitively (inner equality makes them value-identical)
-    val childToParent: Map[(Int, String), (Int, String)] =
-      hit.reg.edges.zipWithIndex.flatMap { case (e, i) =>
-        e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
-          ((i + 1, ck.toLowerCase), (e.parent, pk.toLowerCase))
+    // GROUPS participate in candidate SELECTION, not just validation:
+    // two registrations can share the same join tree with different
+    // group columns, and the query must land on the one whose groups its
+    // grouping attributes normalize onto (a grouped-on child-side key
+    // maps to its paired parent key, transitively — the inner equality
+    // makes them value-identical)
+    def groupNorm(h: Hit): Option[Map[ExprId, String]] = {
+      val childToParent: Map[(Int, String), (Int, String)] =
+        h.reg.edges.zipWithIndex.flatMap { case (e, i) =>
+          e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
+            ((i + 1, ck.toLowerCase), (e.parent, pk.toLowerCase))
+          }
+        }.toMap
+      @annotation.tailrec
+      def normalize(tc: (Int, String)): (Int, String) =
+        childToParent.get(tc) match {
+          case Some(up) => normalize(up)
+          case None     => tc
         }
+      val m = groupAttrs.map { a =>
+        val leaf = leafOf.get(a.exprId).getOrElse(return None)
+        a.exprId -> normalize((h.leafToTable(leaf), a.name.toLowerCase))._2
       }.toMap
-    @annotation.tailrec
-    def normalize(tc: (Int, String)): (Int, String) =
-      childToParent.get(tc) match {
-        case Some(up) => normalize(up)
-        case None     => tc
-      }
-    val groupSet = hit.reg.groupCols.map(_.toLowerCase).toSet
-    val normed: Map[ExprId, String] = groupAttrs.map { a =>
-      val leaf = leafOf.get(a.exprId).getOrElse(return None)
-      a.exprId -> normalize((hit.leafToTable(leaf), a.name.toLowerCase))._2
-    }.toMap
-    if (normed.values.toSet != groupSet) return None
+      if (m.values.toSet == h.reg.groupCols.map(_.toLowerCase).toSet) Some(m)
+      else None
+    }
+    val matched = candidates.flatMap(h => groupNorm(h).map(h -> _))
+    val (hit, normed) = matched.find(_._1.fresh)
+      .orElse(matched.headOption).getOrElse(return None)
 
     // filters must reference only grouping attributes
     val groupingSet = AttributeSet(groupAttrs)

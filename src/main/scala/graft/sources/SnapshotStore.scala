@@ -777,7 +777,11 @@ object SnapshotStore {
         Seq(rw)
       }
     val ins = newDataDir(root, "v", parent + 1)
-    df.write.mode("overwrite").parquet(ins)
+    // an empty replace side (combined publish whose content is all in
+    // the append leg) must still write a schema-bearing file — a
+    // fileless committed directory would not read back
+    (if (nKeys == 0L) df.repartition(1) else df)
+      .write.mode("overwrite").parquet(ins)
     // the batch is the NEW content; rewritten dirs only re-arrange rows
     // that passed enforcement when they first landed
     enforceConstraints(spark, root, ins)

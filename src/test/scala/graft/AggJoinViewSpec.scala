@@ -511,4 +511,34 @@ class AggJoinViewSpec extends SparkSpec {
       assert(got == want && want.nonEmpty)
     }
   }
+
+  test("two registrations over the SAME join with different groups coexist; each query lands on its own view") {
+    withRoots { (l, r, v) =>
+      val v2 = v.replace("/view", "/segonlyview")
+      SnapshotStore.append(custDF(1L to 20L: _*), l)
+      SnapshotStore.append(ordersDF(1L to 15L: _*), r)
+      AggJoinView.refresh(spark, l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"))
+      AggJoinView.refresh(spark, l, r, v2, "c_id", "o_id",
+        Seq("seg"), Seq("total"))
+      MaterializedAggJoins.enable(l, r, v, "c_id", "o_id",
+        Seq("seg", "status"), Seq("total"))
+      MaterializedAggJoins.enable(l, r, v2, "c_id", "o_id",
+        Seq("seg"), Seq("total"))
+      def q(groups: String*) = {
+        val lf = SnapshotStore.read(spark, l)
+        val rf = SnapshotStore.read(spark, r)
+        lf.join(rf, lf("c_id") === rf("o_id"))
+          .groupBy(groups.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+      }
+      // groups pick the candidate — NOT an arbitrary first hit that then
+      // vetoes the whole rewrite
+      assert(graft.plans.PlanProbe.scansOnly(q("seg", "status"), "/view") &&
+        !graft.plans.PlanProbe.scansAny(q("seg", "status"), "/segonlyview"),
+        "the two-group query must land on the (seg, status) view")
+      assert(graft.plans.PlanProbe.scansOnly(q("seg"), "/segonlyview"),
+        "the one-group query must land on the (seg) view")
+    }
+  }
 }
