@@ -4284,6 +4284,44 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // STREAMING maintenance of the MULTI-WAY MV: four dims stand, the
+    // FACT drips through a checkpointed file stream, every trigger
+    // folding its telescoped fact-delta term inside the trigger (the
+    // per-table append path under replay-idempotent packed epochs). The
+    // stream-grown groups must equal the SQL GROUP BY over the 5-way join.
+    "stream_agg_join_multiway_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_smaj").toString
+      try {
+        val fr = s"$root/F"; val pr = s"$root/P"; val sr = s"$root/S"
+        val nr = s"$root/N"; val or = s"$root/O"; val v = s"$root/V"
+        val roots = Seq(fr, pr, sr, nr, or)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+          sources.MultiAggJoinView.Edge(2, Seq("s_nationkey"), Seq("n_nationkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_orderkey"), Seq("o_orderkey")))
+        sources.SnapshotStore.append(
+          Tables.part(s, dir).select("p_partkey", "p_brand"), pr)
+        sources.SnapshotStore.append(
+          Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"), sr)
+        sources.SnapshotStore.append(
+          Tables.nation(s, dir).select("n_nationkey", "n_name"), nr)
+        sources.SnapshotStore.append(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"), or)
+        graft.streaming.StreamReplay.viewIngestReplay(
+          Tables.lineitem(s, dir).where(col("l_orderkey") % 2 === 0)
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
+          "l_orderkey", fr,
+          sp => sources.MultiAggJoinView.refresh(sp, roots, v, edges,
+            Seq("n_name", "o_orderpriority"), Seq("l_extendedprice")))
+        sources.MultiAggJoinView.read(s, v)
+          .select(col("n_name"), col("o_orderpriority"),
+            col("cnt").as("n_items"),
+            col("sum_l_extendedprice").cast("double").as("revenue"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // STREAMING maintenance of the EXTENTS agg-join MV: same checkpointed
     // drip as stream_agg_join_view_parity, with min/max partials folding
     // per trigger (the insert-monotone append path under replay-idempotent
@@ -7622,6 +7660,17 @@ object SparkEntry {
         |       JOIN s ON l_suppkey = s_suppkey
         |       JOIN nation ON s_nationkey = n_nationkey
         |       JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "stream_agg_join_multiway_parity" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 2 = 0
         |GROUP BY 1, 2""".stripMargin,
 
     // the avg replay follows agg_join_view_serve's exact integer
