@@ -37,7 +37,7 @@ object ScaleServe {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleServe <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
       .getOrElse(Set("rollup", "ndv", "quantile", "join", "aggjoin",
-        "stale", "search"))
+        "maggjoin", "stale", "search"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[serve] == $dir ==")
 
@@ -168,6 +168,56 @@ object ScaleServe {
         graft.plans.MaterializedAggJoins.disable(l)
         timed("aggjoin DECLINED base agg")(q().collect())
       } finally graft.plans.MaterializedAggJoins.disable(l)
+    }
+
+    // multi-way (snowflake) MV at scale: the 5-table q9 shape —
+    // lineitem × part × supplier × nation × orders — served from
+    // O(groups) partials vs the declined 5-way shuffle join + aggregate
+    if (fams("maggjoin")) withRoot { root =>
+      import graft.sources.MultiAggJoinView
+      import graft.sources.MultiAggJoinView.Edge
+      val fr = s"$root/F"; val pr = s"$root/P"; val sr = s"$root/S"
+      val nr = s"$root/N"; val or_ = s"$root/O"; val v = s"$root/V"
+      val roots = Seq(fr, pr, sr, nr, or_)
+      val edges = Seq(
+        Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+        Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+        Edge(2, Seq("s_nationkey"), Seq("n_nationkey")),
+        Edge(0, Seq("l_orderkey"), Seq("o_orderkey")))
+      timed("maggjoin fact append (lineitem)")(SnapshotStore.append(
+        Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
+        fr))
+      timed("maggjoin dims append")(Seq(
+        (Tables.part(spark, dir).select("p_partkey", "p_brand"), pr),
+        (Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"), sr),
+        (Tables.nation(spark, dir).select("n_nationkey", "n_name"), nr),
+        (Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"), or_))
+        .foreach { case (df, p) => SnapshotStore.append(df, p) })
+      timed("maggjoin bootstrap (O(groups) write)")(
+        MultiAggJoinView.refresh(spark, roots, v, edges,
+          Seq("n_name", "o_orderpriority"), Seq("l_extendedprice")))
+      graft.plans.MaterializedMultiJoins.enable(roots, v, edges,
+        Seq("n_name", "o_orderpriority"), Seq("l_extendedprice"))
+      try {
+        def q() = {
+          val Seq(f, p, s, n, o) = roots.map(SnapshotStore.read(spark, _))
+          f.join(p, f("l_partkey") === p("p_partkey"))
+            .join(s, f("l_suppkey") === s("s_suppkey"))
+            .join(n, s("s_nationkey") === n("n_nationkey"))
+            .join(o, f("l_orderkey") === o("o_orderkey"))
+            .groupBy("n_name", "o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"),
+              avg(col("l_extendedprice").cast("decimal(18,2)")).as("ap"))
+        }
+        val served = q()
+        require(graft.plans.PlanProbe.scansOnly(served, "/V"),
+          "multi-way rewrite declined at scale")
+        timed("maggjoin SERVED 5-way agg")(served.collect())
+        graft.plans.MaterializedMultiJoins.disable(v)
+        timed("maggjoin DECLINED 5-way base agg")(q().collect())
+      } finally graft.plans.MaterializedMultiJoins.disable(v)
     }
 
     if (fams("stale")) withRoot { root =>
