@@ -70,12 +70,18 @@ object ScaleGate {
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
     // FIXED absolute deltas: replica-0 key ranges — the same rows at
-    // every ScaleUp factor
+    // every ScaleUp factor. Synthetic "fresh band" offsets sit at 2e10+,
+    // ABOVE every scale's real keys: ScaleUp offsets replica keys by 10M
+    // each, so ×1000 (sf100) reaches ~1e10 — an offset inside that range
+    // would silently turn the band legs into mass-churn of standing
+    // replicas (a 2e9 offset cost the first sf100 maggjoin churn run
+    // 1453s of honest 480M-row retraction; the algorithm was fine, the
+    // fixture band was not a band)
     val dR = orders.where(col("o_orderkey") < 4096)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(2_000_000_000L))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(20_000_000_000L))
       .localCheckpoint(true)
     val dL = customer.where(col("c_custkey") < 1024)
-      .withColumn("c_custkey", col("c_custkey") + lit(2_000_000_000L))
+      .withColumn("c_custkey", col("c_custkey") + lit(20_000_000_000L))
       .localCheckpoint(true)
 
     if (fams("jvouter")) withRoot { root =>
@@ -123,7 +129,7 @@ object ScaleGate {
       // them — both delta terms' standing reads prune to the new band
       val dLn = dL // new custkeys (+2e9)
       val dRn = orders.where(col("o_orderkey") < 4096)
-        .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(2_000_000_000L))
+        .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(20_000_000_000L))
         .localCheckpoint(true)
       SnapshotStore.appendWithStats(dLn, l, Seq("c_custkey"))
       SnapshotStore.appendWithStats(dRn, r, Seq("o_custkey"))
@@ -132,7 +138,7 @@ object ScaleGate {
         .contains("append"), "aggjoin delta left the O(delta) append path")
       // churn of the new band: dirty keys = one narrow range → the ±
       // partial legs' four reads (old/new × L/R) all file-prune to it
-      SnapshotStore.deleteWhere(spark, r, col("o_custkey") >= 2_000_000_000L)
+      SnapshotStore.deleteWhere(spark, r, col("o_custkey") >= 20_000_000_000L)
       time("aggjoin churn (band)")(refresh())
       assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
         .contains("append"),
@@ -164,10 +170,10 @@ object ScaleGate {
         Seq("c_custkey"), Seq("o_totalprice"), extents = true)
       time("aggjoinx bootstrap")(refresh())
       val dLn = customer.where(col("c_custkey") < 1024)
-        .withColumn("c_custkey", col("c_custkey") + lit(2_000_000_000L))
+        .withColumn("c_custkey", col("c_custkey") + lit(20_000_000_000L))
         .localCheckpoint(true)
       val dRn = orders.where(col("o_orderkey") < 4096)
-        .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(2_000_000_000L))
+        .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(20_000_000_000L))
         .localCheckpoint(true)
       SnapshotStore.appendWithStats(dLn, l, Seq("c_custkey"))
       SnapshotStore.appendWithStats(dRn, r, Seq("o_custkey"))
@@ -178,7 +184,7 @@ object ScaleGate {
       // EXTREMUM churn inside the new band: deletes remove per-group
       // maxima, forcing the dirty-group recompute + keyed replace
       SnapshotStore.deleteWhere(spark, r,
-        col("o_custkey") >= 2_000_000_000L && col("o_totalprice") > 100000.0)
+        col("o_custkey") >= 20_000_000_000L && col("o_totalprice") > 100000.0)
       time("aggjoinx churn (band, extremum)")(refresh())
       assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
           .contains("upsert"),
@@ -230,10 +236,10 @@ object ScaleGate {
       // fixed-absolute two-sided delta: a fresh l_orderkey band with the
       // orders rows it references (monotone ingest)
       val dF = fact.where(col("l_orderkey") < 4096)
-        .withColumn("l_orderkey", col("l_orderkey") + lit(2_000_000_000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(20_000_000_000L))
         .localCheckpoint(true)
       val dO = ords.where(col("o_orderkey") < 4096)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(2_000_000_000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20_000_000_000L))
         .localCheckpoint(true)
       SnapshotStore.appendWithStats(dF, fr, Seq("l_orderkey", "l_suppkey"))
       SnapshotStore.appendWithStats(dO, or_, Seq("o_orderkey"))
@@ -250,8 +256,8 @@ object ScaleGate {
         .selectExpr("id + 2000000000L AS s_suppkey",
           "CAST(500 + id % 10 AS INT) AS s_nationkey").localCheckpoint(true)
       val dF2 = fact.where(col("l_orderkey") < 4096)
-        .withColumn("l_orderkey", col("l_orderkey") + lit(3_000_000_000L))
-        .withColumn("l_suppkey", (col("l_suppkey") % 1024) + lit(2_000_000_000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(30_000_000_000L))
+        .withColumn("l_suppkey", (col("l_suppkey") % 1024) + lit(20_000_000_000L))
         .localCheckpoint(true)
       SnapshotStore.append(dN, nr)
       SnapshotStore.appendWithStats(dS, sr, Seq("s_suppkey"))
@@ -262,8 +268,8 @@ object ScaleGate {
         "maggjoin snowflake-leaf delta left the O(delta) append path")
       // band churn on fact AND orders: dirty l_orderkeys = one narrow
       // range — every ± leg's reads file-prune to the band
-      SnapshotStore.deleteWhere(spark, fr, col("l_orderkey") >= 3_000_000_000L)
-      SnapshotStore.deleteWhere(spark, or_, col("o_orderkey") >= 2_000_000_000L)
+      SnapshotStore.deleteWhere(spark, fr, col("l_orderkey") >= 30_000_000_000L)
+      SnapshotStore.deleteWhere(spark, or_, col("o_orderkey") >= 20_000_000_000L)
       time("maggjoin churn (band x2)")(refresh())
       assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
         .contains("append"),
@@ -275,10 +281,10 @@ object ScaleGate {
       val li = Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
       val dB = li.where(col("l_orderkey") < 512)
-        .withColumn("l_orderkey", col("l_orderkey") + lit(3_000_000_000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(30_000_000_000L))
         .localCheckpoint(true)
       val dP = li.where(col("l_orderkey") < 512)
-        .withColumn("l_orderkey", col("l_orderkey") + lit(4_000_000_000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(40_000_000_000L))
         .localCheckpoint(true)
       time("rebase store bootstrap") {
         SnapshotStore.append(li.where(col("l_orderkey") % 2 === 0), root + "/t")
