@@ -153,7 +153,15 @@ object PlanAudit {
           p.contains("ReadSchema: struct<l_linestatus:string>")
       }),
       ("scale profile is ONE scan + one agg pair: no Expand, no join, single exchange", {
-        val p = planOf("table_profile_scale")
+        // the REGISTERED query now checkpoints and carries the band
+        // oracle's exact-NDV verify legs — the one-scan claim is about
+        // the OPERATOR, so assert its pipeline directly (the
+        // audience_overlap precedent)
+        val p = graft.operators.RelationalOps.tableProfileApprox(
+          Tables.lineitem(spark, sfDir),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"))
+          .queryExecution.executedPlan.toString
         !p.contains("Expand") && !p.contains("Join") &&
           "Scan parquet".r.findAllIn(p).size == 1 &&
           "Exchange".r.findAllIn(p).size == 1 // partial->final SinglePartition
