@@ -4018,10 +4018,11 @@ object SparkEntry {
         val measures = Seq("l_extendedprice")
         def refresh(): Unit = sources.MultiAggJoinView.refresh(
           s, roots, v, edges, groups, measures)
-        // half the fact universe (the extents-MV sizing rationale): the
-        // 5-way lifecycle runs every maintenance path, and the scalable
-        // posture is ScaleGate's maggjoin family
-        val f = Tables.lineitem(s, dir).where(col("l_orderkey") % 2 === 0)
+        // quarter the fact universe (the extents-MV sizing rationale):
+        // the 5-way lifecycle runs every maintenance path — six
+        // refreshes over a five-table tree — and the scalable posture is
+        // ScaleGate's maggjoin family (flat at 100x on the full fixture)
+        val f = Tables.lineitem(s, dir).where(col("l_orderkey") % 4 === 0)
           .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
             "l_extendedprice")
         sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 === 0), fr)
@@ -7647,7 +7648,7 @@ object SparkEntry {
     "agg_join_view_multiway" ->
       """WITH f AS (SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
         |           FROM lineitem
-        |           WHERE l_orderkey % 2 = 0
+        |           WHERE l_orderkey % 4 = 0
         |             AND (l_orderkey % 3 = 2 OR NOT (l_quantity > 45))),
         |s AS (SELECT s_suppkey,
         |             CASE WHEN s_suppkey % 10 = 0 THEN 0
