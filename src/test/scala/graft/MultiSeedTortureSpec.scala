@@ -219,4 +219,99 @@ class MultiSeedTortureSpec extends SparkSpec {
       } finally SnapshotStore.deleteTree(root)
     }
   }
+
+  // ---- multi-way (snowflake) agg-join MV torture ------------------------
+  // Random commit sequences across the FIVE tables of the q9-shaped tree
+  // (appends, deletes, group-moving dim upserts — sometimes several
+  // tables inside one refresh gap, plus occasional view compactions and a
+  // source compaction forcing the rebuild path). After every refresh the
+  // merged partials must equal the from-scratch GROUP BY over the current
+  // 5-way join — the telescoping identity has no untested composition.
+  test("multi-way agg-join MV: 3-seed random-lifecycle torture") {
+    import graft.sources.MultiAggJoinView
+    import graft.sources.MultiAggJoinView.Edge
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      Edge(0, Seq("f_pk"), Seq("p_pk")),
+      Edge(0, Seq("f_sk"), Seq("s_sk")),
+      Edge(2, Seq("s_nk"), Seq("n_nk")))
+    val groups = Seq("p_brand", "n_name")
+    def factDF(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, i % 7, i % 5, i * 1.0)).toDF("f_ok", "f_pk", "f_sk", "qty")
+    def partDF(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, s"brand${i % 3}")).toDF("p_pk", "p_brand")
+    def suppDF(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, i % 3)).toDF("s_sk", "s_nk")
+    def nationDF(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, s"nation$i")).toDF("n_nk", "n_name")
+    def truth(roots: Seq[String]): Set[String] = {
+      val Seq(f, p, su, n) = roots.map(SnapshotStore.read(spark, _))
+      f.join(p, f("f_pk") === p("p_pk"))
+        .join(su, f("f_sk") === su("s_sk"))
+        .join(n, su("s_nk") === n("n_nk"))
+        .groupBy("p_brand", "n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("qty").cast("decimal(30,2)")).cast("decimal(30,2)").as("sum_qty"))
+        .collect().map(_.toString).toSet
+    }
+    def viewRows(v: String): Set[String] =
+      MultiAggJoinView.read(spark, v)
+        .select(col("p_brand"), col("n_name"), col("cnt"), col("sum_qty"))
+        .collect().map(_.toString).toSet
+    Seq(131, 2424, 35353).foreach { seed =>
+      val root = java.nio.file.Files.createTempDirectory(s"majt$seed").toString
+      val roots = Seq(s"$root/F", s"$root/P", s"$root/S", s"$root/N")
+      val v = s"$root/V"
+      try {
+        val rnd = new scala.util.Random(seed)
+        SnapshotStore.append(factDF(1L to 50L), roots(0))
+        SnapshotStore.append(partDF(0L to 6L), roots(1))
+        SnapshotStore.append(suppDF(0L to 4L), roots(2))
+        SnapshotStore.append(nationDF(0L to 2L), roots(3))
+        MultiAggJoinView.refresh(spark, roots, v, edges, groups, Seq("qty"))
+        assert(viewRows(v) == truth(roots), s"seed $seed bootstrap")
+        var nextF = 1000L
+        (1 to 7).foreach { round =>
+          // 1..3 commits land across random tables before ONE refresh
+          (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+            rnd.nextInt(6) match {
+              case 0 => // fact append
+                SnapshotStore.append(
+                  factDF(nextF until nextF + 10L), roots(0)); nextF += 10
+              case 1 => // fact delete (some slice)
+                SnapshotStore.deleteWhere(spark, roots(0),
+                  col("f_ok") % 7 === rnd.nextInt(7).toLong)
+              case 2 => // group-moving nation upsert
+                SnapshotStore.upsert(spark,
+                  nationDF(Seq(rnd.nextInt(3).toLong))
+                    .withColumn("n_name",
+                      concat(col("n_name"), lit(s"_r$round"))),
+                  roots(3), Seq("n_nk"))
+              case 3 => // supplier re-pointing (moves rows between nations)
+                SnapshotStore.upsert(spark,
+                  Seq((rnd.nextInt(5).toLong, rnd.nextInt(3).toLong)).toDF("s_sk", "s_nk"),
+                  roots(2), Seq("s_sk"))
+              case 4 => // part churn: delete then revive a part
+                val pk = rnd.nextInt(7).toLong
+                SnapshotStore.deleteWhere(spark, roots(1), col("p_pk") === pk)
+              case 5 => // part revive/extend
+                SnapshotStore.append(partDF(Seq(rnd.nextInt(7).toLong)), roots(1))
+            }
+          }
+          MultiAggJoinView.refresh(spark, roots, v, edges, groups, Seq("qty"))
+          assert(viewRows(v) == truth(roots), s"seed $seed round $round")
+          if (round == 4) { // fold the signed residue mid-sequence
+            MultiAggJoinView.compact(spark, v)
+            assert(viewRows(v) == truth(roots), s"seed $seed round $round compact")
+          }
+        }
+        // a source compaction breaks the diff: the next refresh rebuilds
+        SnapshotStore.compact(spark, roots(0))
+        SnapshotStore.append(factDF(nextF until nextF + 5L), roots(0))
+        MultiAggJoinView.refresh(spark, roots, v, edges, groups, Seq("qty"))
+        assert(viewRows(v) == truth(roots), s"seed $seed post-compaction")
+      } finally SnapshotStore.deleteTree(root)
+    }
+  }
 }
