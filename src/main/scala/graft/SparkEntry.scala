@@ -4059,6 +4059,64 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // EXTENTS multi-way MV (min/max beside count/sum over the 5-way
+    // tree): append legs stay the O(Δ) telescoped folds (min/max are
+    // insert-monotone); the churn gap — a fact delete of per-group
+    // maxima AND a nation append in ONE gap — pays the dirty-GROUP
+    // recompute, REPLACING by group key beside the append-moved table's
+    // delta term in ONE atomic publish (upsertAndAppendEpoch). Merged
+    // groups must equal the SQL GROUP BY with min/max over the replay.
+    "agg_join_view_multiway_extents" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_majx").toString
+      try {
+        val fr = s"$root/F"; val pr = s"$root/P"; val sr = s"$root/S"
+        val nr = s"$root/N"; val or = s"$root/O"; val v = s"$root/V"
+        val roots = Seq(fr, pr, sr, nr, or)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+          sources.MultiAggJoinView.Edge(2, Seq("s_nationkey"), Seq("n_nationkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_orderkey"), Seq("o_orderkey")))
+        val groups = Seq("n_name", "o_orderpriority")
+        def refresh(): Unit = sources.MultiAggJoinView.refresh(
+          s, roots, v, edges, groups, Seq("l_extendedprice"), extents = true)
+        // eighth of the fact universe: the extents churn recomputes the
+        // dirty groups whole — honest O(dirty rows); ScaleGate maggjoin
+        // carries the scale posture
+        val f = Tables.lineitem(s, dir).where(col("l_orderkey") % 8 === 0)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+        sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 === 0), fr)
+        sources.SnapshotStore.append(
+          Tables.part(s, dir).select("p_partkey", "p_brand"), pr)
+        sources.SnapshotStore.append(
+          Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"), sr)
+        sources.SnapshotStore.append(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")
+          .where(col("n_nationkey") < 20), nr)
+        sources.SnapshotStore.append(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"), or)
+        refresh() // bootstrap with min/max partials
+        sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 =!= 0), fr)
+        refresh() // fact delta: extents fold O(Δ)
+        // the MIXED gap: extremum churn (heavy line items vanish) AND the
+        // snowflake leaf grows — one refresh, one atomic publish
+        sources.SnapshotStore.deleteWhere(s, fr,
+          col("l_extendedprice") > 80000.0)
+        sources.SnapshotStore.append(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")
+          .where(col("n_nationkey") >= 20), nr)
+        refresh()
+        sources.MultiAggJoinView.compact(s, v)
+        sources.MultiAggJoinView.read(s, v)
+          .select(col("n_name"), col("o_orderpriority"),
+            col("cnt").as("n_items"),
+            col("sum_l_extendedprice").cast("double").as("revenue"),
+            col("min_l_extendedprice").as("min_price"),
+            col("max_l_extendedprice").as("max_price"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Catalyst SERVING of the multi-way MV: a USER-shaped 5-table inner
     // join — written in a DIFFERENT join order than the registration
     // (inner joins commute; the rule matches the flattened tree) — with
@@ -7659,6 +7717,24 @@ object SparkEntry {
         |         AS revenue
         |FROM f JOIN part ON l_partkey = p_partkey
         |       JOIN s ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // extents replay: the delete ran after both fact slices landed, so
+    // the surviving fact is the eighth-universe minus the heavy rows
+    "agg_join_view_multiway_extents" ->
+      """WITH f AS (SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
+        |           FROM lineitem
+        |           WHERE l_orderkey % 8 = 0
+        |             AND NOT (l_extendedprice > 80000.0))
+        |SELECT n_name, o_orderpriority, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM f JOIN part ON l_partkey = p_partkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
         |       JOIN nation ON s_nationkey = n_nationkey
         |       JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,

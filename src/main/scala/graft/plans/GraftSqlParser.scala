@@ -15,7 +15,7 @@ import graft.sources.MultiAggJoinView.Edge
   * missing piece for SQL-only sessions, which could SERVE from every
   * registered view (the rewrite rules run at analysis for any query
   * shape, `spark.sql` included) but had no way to REGISTER one without
-  * dropping to the Scala registries. Three statements, dispatched to the
+  * dropping to the Scala registries. Four statements, dispatched to the
   * SAME registries and refresh functions the Scala API uses (one
   * definition of each view's semantics):
   *
@@ -23,6 +23,7 @@ import graft.sources.MultiAggJoinView.Edge
   * CREATE MATERIALIZED VIEW '<viewRoot>' AS <KIND>(NAME => 'value', …)
   * REFRESH MATERIALIZED VIEW '<viewRoot>'
   * DROP MATERIALIZED VIEW '<viewRoot>'
+  * SHOW MATERIALIZED VIEWS
   * }}}
   *
   * Kinds and their arguments (comma-separated name => 'literal' pairs;
@@ -42,7 +43,7 @@ import graft.sources.MultiAggJoinView.Edge
   *     DISTINCT_COL => 'x' [, STALE => …])`
   *   - `MULTI_AGG_JOIN(ROOTS => 'r0;r1;…', EDGES =>
   *     'parent:pk,…:ck,…;…' (edge i attaches table i+1), GROUPS,
-  *     MEASURES [, STALE => …])`
+  *     MEASURES [, EXTENTS => 'true'] [, STALE => …])`
   *
   * CREATE registers AND materializes (the initial refresh runs — a
   * CREATE that didn't materialize would serve nothing); REFRESH brings
@@ -89,9 +90,11 @@ object GraftDdl {
   private final case class MultiSpec(roots: Seq[String], edges: Seq[Edge],
                                      groups: Seq[String],
                                      measures: Seq[String],
+                                     extents: Boolean,
                                      stale: Boolean) extends Spec {
     def refresh(spark: SparkSession, view: String): Int =
-      MultiAggJoinView.refresh(spark, roots, view, edges, groups, measures)
+      MultiAggJoinView.refresh(spark, roots, view, edges, groups, measures,
+        extents)
   }
 
   /** The DDL catalog: view root → recorded spec (what REFRESH/DROP
@@ -105,9 +108,11 @@ object GraftDdl {
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*$""".r
+  private val ShowRe =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$""".r
   private val ArgRe = """(\w+)\s*=>\s*'([^']*)'""".r
 
-  /** Intercept one of the three DDL shapes, or None → delegate. */
+  /** Intercept one of the DDL shapes, or None → delegate. */
   def tryParse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case CreateRe(view, kind, argText) =>
       val args = ArgRe.findAllMatchIn(argText)
@@ -116,7 +121,25 @@ object GraftDdl {
       Some(CreateMaterializedViewCommand(view, kind.toUpperCase, args))
     case RefreshRe(view) => Some(RefreshMaterializedViewCommand(view))
     case DropRe(view)    => Some(DropMaterializedViewCommand(view))
+    case ShowRe()        => Some(ShowMaterializedViewsCommand())
     case _               => None
+  }
+
+  /** The DDL catalog's rows for SHOW: (view, kind, spec description). */
+  private[plans] def listViews: Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    catalog.asScala.toSeq.sortBy(_._1).map { case (view, spec) =>
+      val kind = spec match {
+        case r: RollupSpec if r.ndv => "NDV"
+        case _: RollupSpec          => "ROLLUP"
+        case _: QuantileSpec        => "QUANTILE"
+        case _: JoinSpec            => "JOIN"
+        case _: AggJoinSpec         => "AGG_JOIN"
+        case _: NdvJoinSpec         => "NDV_JOIN"
+        case _: MultiSpec           => "MULTI_AGG_JOIN"
+      }
+      (view, kind, spec.toString)
+    }
   }
 
   private def need(args: Map[String, String], k: String, kind: String): String =
@@ -171,7 +194,8 @@ object GraftDdl {
           }
         }.toSeq
         MultiSpec(roots, edges, list(need(args, "GROUPS", kind)),
-          list(need(args, "MEASURES", kind)), flag(args, "STALE"))
+          list(need(args, "MEASURES", kind)), flag(args, "EXTENTS"),
+          flag(args, "STALE"))
       case other =>
         sys.error(s"unknown materialized-view kind '$other' (ROLLUP, NDV, " +
           "QUANTILE, JOIN, AGG_JOIN, NDV_JOIN, MULTI_AGG_JOIN)")
@@ -196,7 +220,7 @@ object GraftDdl {
       MaterializedAggJoins.enableKeys(l, r, view, lks, rks, g, m, stale)
     case NdvJoinSpec(l, r, lks, rks, g, x, stale) =>
       MaterializedAggJoins.enableNdvKeys(l, r, view, lks, rks, g, x, stale)
-    case MultiSpec(roots, edges, g, m, stale) =>
+    case MultiSpec(roots, edges, g, m, _, stale) =>
       MaterializedMultiJoins.enable(roots, view, edges, g, m, stale)
   }
 
@@ -214,7 +238,7 @@ object GraftDdl {
       case JoinSpec(l, _, _, _, _, _)       => MaterializedJoins.disable(l)
       case AggJoinSpec(l, _, _, _, _, _, _, _) => MaterializedAggJoins.disable(l)
       case NdvJoinSpec(l, _, _, _, _, _, _)    => MaterializedAggJoins.disable(l)
-      case MultiSpec(_, _, _, _, _) => MaterializedMultiJoins.disable(view)
+      case MultiSpec(_, _, _, _, _, _) => MaterializedMultiJoins.disable(view)
     }
   }
 
@@ -244,6 +268,15 @@ case class DropMaterializedViewCommand(view: String) extends MvCommand {
     GraftDdl.drop(view)
     Seq(Row(view, -1))
   }
+}
+
+case class ShowMaterializedViewsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("spec", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftDdl.listViews.map { case (v, k, s) => Row(v, k, s) }
 }
 
 /** Parser injection: intercept the three materialized-view statements,

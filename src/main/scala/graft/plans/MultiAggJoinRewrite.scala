@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -312,6 +312,21 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Divide(Cast(sumC, sumDt), Cast(nnC, DecimalType(20, 0)),
             EvalMode.LEGACY),
           ag.dataType), al.name)(exprId = al.exprId)
+      // min/max serve only from an EXTENTS view (the stored min_/max_
+      // column must exist with the measure's own dataType — a count/sum
+      // view lacks it and declines here)
+      case al @ Alias(ag @ AggregateExpression(
+          Min(v: AttributeReference), _, false, None, _), _)
+          if measures.contains(v.name.toLowerCase) =>
+        val c = viewCol(s"min_${v.name}").filter(_.dataType == ag.dataType)
+          .getOrElse(return None)
+        Alias(c, al.name)(exprId = al.exprId)
+      case al @ Alias(ag @ AggregateExpression(
+          Max(v: AttributeReference), _, false, None, _), _)
+          if measures.contains(v.name.toLowerCase) =>
+        val c = viewCol(s"max_${v.name}").filter(_.dataType == ag.dataType)
+          .getOrElse(return None)
+        Alias(c, al.name)(exprId = al.exprId)
       case _ => return None // decline, never approximate
     }
     var mappable = true

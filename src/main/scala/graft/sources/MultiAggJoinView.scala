@@ -48,11 +48,16 @@ import org.apache.spark.sql.functions._
   * can live in, never the corpus.
   *
   * A compaction (or vacuumed baseline) on ANY source breaks the manifest
-  * diff: one full rebuild, same as the parent views. Extents (min/max)
-  * are NOT offered here — the two-table [[AggJoinView]] carries them;
-  * the N-way churn path would force a dirty-group recompute across the
-  * whole tree, a different cost class this view's contract deliberately
-  * excludes (count/sum/avg stay pure arithmetic).
+  * diff: one full rebuild, same as the parent views. `extents = true`
+  * (the two-table [[AggJoinView]] trade, lifted to N) additionally
+  * stores min/max partials: append legs stay on the O(Δ) telescoped
+  * fold (min/max are insert-monotone), but churn pays the honest
+  * dirty-GROUP recompute — dirty groups re-aggregate whole from the
+  * current tree (group-band + semi restriction on the owning tables,
+  * cascade-pruned outward) and REPLACE by group key beside any
+  * append-moved tables' delta terms in ONE atomic publish
+  * ([[SnapshotStore.upsertAndAppendEpoch]]); the count/sum-only default
+  * keeps churn pure arithmetic.
   *
   * Read merges partials per group, drops `cnt = 0` groups, and serves
   * each sum NULL while its merged non-null count `nn_<m>` is zero (the
@@ -83,6 +88,8 @@ object MultiAggJoinView {
   private val SumType = "decimal(30,2)"
   private def sumCol(m: String): String = s"sum_$m"
   private def nnCol(m: String): String = s"nn_$m"
+  private def minCol(m: String): String = s"min_$m"
+  private def maxCol(m: String): String = s"max_$m"
 
   // ---- N-way cursor packing -------------------------------------------
   // The view's epoch stamp packs ALL N source versions into one long so a
@@ -119,14 +126,19 @@ object MultiAggJoinView {
   // ---- recorded spec ---------------------------------------------------
 
   private def specLine(n: Int, edges: Seq[Edge], groups: Seq[String],
-                       measures: Seq[String]): String = {
+                       measures: Seq[String], extents: Boolean): String = {
     def lc(xs: Seq[String]) = xs.map(_.toLowerCase(java.util.Locale.ROOT))
     val es = edges.map(e =>
       s"${e.parent}:${lc(e.parentKeys).mkString(",")}:${lc(e.childKeys).mkString(",")}")
       .mkString("|")
     s"n=$n;e=$es;g=${lc(groups).sorted.mkString(",")};" +
-      s"m=${lc(measures).sorted.mkString(",")};p=1"
+      s"m=${lc(measures).sorted.mkString(",")}" +
+      (if (extents) ";x=1" else "") + ";p=1"
   }
+
+  /** Does this view's recorded spec carry min/max partials? */
+  private def recordedExtents(viewRoot: String): Boolean =
+    recordedSpec(viewRoot).exists(_.split(";").contains("x=1"))
 
   private def recordedSpec(viewRoot: String): Option[String] = {
     val p = java.nio.file.Paths.get(viewRoot, "_maggspec")
@@ -168,15 +180,38 @@ object MultiAggJoinView {
   }
 
   /** Fold join rows to one signed partial per group (the [[AggJoinView]]
-    * fold, extents-free). */
+    * fold). `extents = true` adds min/max partials — insert-monotone
+    * only, so signed folding is forbidden there (the churn path replaces
+    * dirty groups whole instead). */
   private def fold(rows: DataFrame, groups: Seq[String],
-                   measures: Seq[String], sign: Int): DataFrame = {
+                   measures: Seq[String], sign: Int,
+                   extents: Boolean = false): DataFrame = {
+    require(sign == 1 || !extents,
+      "internal: min/max partials cannot fold signed")
     val aggs: Seq[Column] =
       (count(lit(1)) * lit(sign.toLong)).as("cnt") +:
         measures.flatMap(m =>
           Seq((sum(col(m).cast(SumType)) * lit(sign)).cast(SumType).as(sumCol(m)),
-            (count(col(m)) * lit(sign.toLong)).as(nnCol(m))))
+            (count(col(m)) * lit(sign.toLong)).as(nnCol(m))) ++
+            (if (extents)
+              Seq(min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m)))
+            else Nil))
     rows.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Tombstone partials for dirty groups whose join rows all vanished
+    * (extents churn only — the signed path retracts to cnt = 0 by
+    * arithmetic). */
+  private def tombstones(gone: DataFrame, recomputed: DataFrame,
+                         measures: Seq[String]): DataFrame = {
+    val cols: Seq[Column] = gone.columns.toSeq.map(col) ++
+      (lit(0L).as("cnt") +: measures.flatMap { m =>
+        val mt = recomputed.schema(recomputed.columns
+          .find(_.equalsIgnoreCase(minCol(m))).get).dataType
+        Seq(lit(0).cast(SumType).as(sumCol(m)), lit(0L).as(nnCol(m)),
+          lit(null).cast(mt).as(minCol(m)), lit(null).cast(mt).as(maxCol(m)))
+      })
+    gone.select(cols: _*)
   }
 
   /** Undirected adjacency of the edge tree: node → (neighbor, keys on
@@ -220,10 +255,20 @@ object MultiAggJoinView {
 
   /** Bring the view up to every source's current version. Returns the
     * view version (unchanged when all cursors already match). The spec
-    * arguments must repeat the bootstrap's spec verbatim. */
+    * arguments must repeat the bootstrap's spec verbatim — including
+    * `extents`: `extents = true` additionally stores min/max partials
+    * per measure. Extents keep every APPEND leg on the O(Δ) telescoped
+    * fold (min/max are insert-monotone), but CHURN can no longer retract
+    * by arithmetic — dirty GROUPS (every group that owned or gained a
+    * churned table's dirty-key join row) re-aggregate WHOLE from the
+    * current tree and REPLACE by group key, while append-moved tables'
+    * delta terms land beside them, ALL in one atomic publish
+    * ([[SnapshotStore.upsertAndAppendEpoch]] — the replace, the appends,
+    * and the cursor advance are one manifest swap); emptied groups
+    * tombstone. The count/sum-only default keeps pure-arithmetic churn. */
   def refresh(spark: SparkSession, roots: Seq[String], viewRoot: String,
               edges: Seq[Edge], groupCols: Seq[String],
-              measureCols: Seq[String]): Int = {
+              measureCols: Seq[String], extents: Boolean = false): Int = {
     val n = roots.size
     require(n >= 2 && edges.size == n - 1,
       s"need n tables and n-1 edges: got $n roots, ${edges.size} edges")
@@ -238,7 +283,9 @@ object MultiAggJoinView {
     require(groupCols.nonEmpty, "at least one group column")
     // reserved partial names can't be group columns (duplicate output)
     locally {
-      val reserved = "cnt" +: measureCols.flatMap(m => Seq(sumCol(m), nnCol(m)))
+      val reserved = "cnt" +: measureCols.flatMap(m =>
+        Seq(sumCol(m), nnCol(m)) ++
+          (if (extents) Seq(minCol(m), maxCol(m)) else Nil))
       groupCols.find(g => reserved.exists(_.equalsIgnoreCase(g))).foreach(g =>
         sys.error(s"group column '$g' collides with a partial column name"))
     }
@@ -265,7 +312,7 @@ object MultiAggJoinView {
     curVs.zip(prevVs).zip(roots).foreach { case ((cv, pv), r) =>
       require(cv >= pv, s"source went backwards at $r: $pv -> $cv")
     }
-    val spec = specLine(n, edges, groupCols, measureCols)
+    val spec = specLine(n, edges, groupCols, measureCols, extents)
     if (prevVs.exists(_ != 0)) {
       val rec = recordedSpec(viewRoot).getOrElse("")
       require(rec == spec,
@@ -307,56 +354,156 @@ object MultiAggJoinView {
     def slice(frames: IndexedSeq[DataFrame]): DataFrame =
       joinedSlice(frames, edges, groupCols, measureCols)
 
+    // per-table delta/churn leg builders shared by every maintenance path
+    def versFor(i: Int): IndexedSeq[Int] =
+      rootsV.indices.map(j => if (j < i) curVs(j) else prevVs(j)).toIndexedSeq
+    def deltaTermRows(i: Int): DataFrame = {
+      val delta = SnapshotStore.incremental(spark, rootsV(i),
+        prevVs(i), curVs(i), Some(newFrames(i).schema))
+      slice(termFrames(spark, rootsV, n, adj, i, delta, versFor(i)))
+    }
+    def restrictionKeys(i: Int): Seq[String] =
+      if (i == 0) edges.head.parentKeys else edges(i - 1).childKeys
+    def churnLegRows(i: Int, dirty: DataFrame, ver: Int): DataFrame = {
+      val myKeys = restrictionKeys(i)
+      val restricted = JoinView.prefiltered(
+        JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
+        myKeys, dirty)
+      slice(termFrames(spark, rootsV, n, adj, i, restricted, versFor(i)))
+    }
+    def dirtyOf(i: Int): DataFrame = {
+      val myKeys = restrictionKeys(i)
+      JoinView.keyTuples(
+        SnapshotStore.changes(spark, rootsV(i), prevVs(i), curVs(i))
+          .select(myKeys.map(col): _*), myKeys)
+    }
+    val moved = rootsV.indices.filter(i => curVs(i) > prevVs(i))
+    def appendMoved(i: Int): Boolean =
+      JoinView.appendOnly(rootsV(i), prevVs(i), curVs(i))
+
     val vNew = if (prevVs.forall(_ == 0)) {
       recordSpec(viewRoot, spec) // BEFORE the publish: crash re-bootstraps
       SnapshotStore.appendEpoch(fold(slice(newFrames), groupCols,
-        measureCols, 1), viewRoot, packAll(curVs))
+        measureCols, 1, extents), viewRoot, packAll(curVs))
     } else if (rootsV.indices.forall(i => curVs(i) == prevVs(i) ||
         JoinView.churnOnly(rootsV(i), prevVs(i), curVs(i)))) {
-      // THE TELESCOPING REFRESH: per moved table i, one or two restricted
-      // terms with earlier tables at NEW versions and later ones at OLD —
-      // the sum of the terms IS J(new…) − J(old…); all partials publish
-      // in ONE stamped append (crash replays as an epoch no-op).
-      val terms = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      for (i <- rootsV.indices if curVs(i) > prevVs(i)) {
-        // term i's standing versions: new for j<i, old for j>i
-        val vers = rootsV.indices.map(j => if (j < i) curVs(j) else prevVs(j))
-          .toIndexedSeq
-        if (JoinView.appendOnly(rootsV(i), prevVs(i), curVs(i))) {
-          // append-only: new_i − old_i IS the appended rows — a single
-          // positive delta term
-          val delta = SnapshotStore.incremental(spark, rootsV(i),
-            prevVs(i), curVs(i), Some(newFrames(i).schema))
-          terms += fold(slice(termFrames(spark, rootsV, n, adj, i,
-            delta, vers)), groupCols, measureCols, 1)
-        } else {
-          // churn: both legs restricted to the table's dirty key tuples
-          // (unchanged dirty-key rows cancel arithmetically). Keys used
-          // for the restriction: the table's edge to its parent, or —
-          // for the root table — edge 1's parent keys on it.
-          val myKeys =
-            if (i == 0) edges.head.parentKeys else edges(i - 1).childKeys
-          val dirty = JoinView.keyTuples(
-            SnapshotStore.changes(spark, rootsV(i), prevVs(i), curVs(i))
-              .select(myKeys.map(col): _*), myKeys)
-          def leg(ver: Int): DataFrame = {
-            val restricted = JoinView.prefiltered(
-              JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
-              myKeys, dirty)
-            slice(termFrames(spark, rootsV, n, adj, i, restricted, vers))
+      val churned = moved.filterNot(appendMoved)
+      if (churned.isEmpty) {
+        // THE TELESCOPING REFRESH, all-append flavor: per moved table,
+        // the single positive delta term (new − old IS the appended
+        // rows); min/max partials fold too (insert-monotone). ONE
+        // stamped append (crash replays as an epoch no-op).
+        val partials = moved.map(i =>
+          fold(deltaTermRows(i), groupCols, measureCols, 1, extents))
+          .reduce(_ unionByName _)
+        SnapshotStore.appendEpoch(
+          if (partials.isEmpty) partials.repartition(1) else partials,
+          viewRoot, packAll(curVs))
+      } else if (!extents) {
+        // THE TELESCOPING REFRESH, signed flavor: append-moved tables
+        // fold their positive delta term, churned tables fold BOTH legs
+        // restricted to their dirty key tuples (unchanged rows cancel
+        // arithmetically); all terms in ONE stamped append.
+        val terms = moved.flatMap { i =>
+          if (appendMoved(i))
+            Seq(fold(deltaTermRows(i), groupCols, measureCols, 1))
+          else {
+            val dirty = dirtyOf(i)
+            Seq(fold(churnLegRows(i, dirty, prevVs(i)), groupCols,
+              measureCols, -1),
+              fold(churnLegRows(i, dirty, curVs(i)), groupCols,
+                measureCols, 1))
           }
-          terms += fold(leg(prevVs(i)), groupCols, measureCols, -1)
-          terms += fold(leg(curVs(i)), groupCols, measureCols, 1)
+        }
+        val partials = terms.reduce(_ unionByName _)
+        SnapshotStore.appendEpoch(
+          if (partials.isEmpty) partials.repartition(1) else partials,
+          viewRoot, packAll(curVs))
+      } else {
+        // EXTENTS churn: min/max cannot retract — the dirty GROUPS
+        // (every group owning or gaining a churned table's dirty-key
+        // join row, from the SAME restricted legs the telescoping would
+        // fold) re-aggregate WHOLE from the current tree and REPLACE by
+        // group key; append-moved tables' delta terms restrict to the
+        // NON-dirty groups (the dirty recompute already counts their
+        // rows) and land as the append side of the SAME atomic publish.
+        val dirtyG = churned.map { i =>
+          val dirty = dirtyOf(i)
+          churnLegRows(i, dirty, prevVs(i)).select(groupCols.map(col): _*)
+            .unionByName(
+              churnLegRows(i, dirty, curVs(i)).select(groupCols.map(col): _*))
+        }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+        val anyNull = groupCols.map(col(_).isNull).reduce(_ || _)
+        if (!dirtyG.where(anyNull).isEmpty) {
+          // NULL-keyed dirty groups slip the null-unsafe keyed replace —
+          // one full rebuild handles them exactly (the 2-table posture)
+          SnapshotStore.compactWith(fold(slice(newFrames), groupCols,
+            measureCols, 1, extents), viewRoot,
+            epochOverride = Some(packAll(curVs)))
+        } else {
+          // recompute restriction: each table OWNING a group column
+          // band+semi-restricts by the dirty groups' values, then the
+          // cascade prunes the rest of the tree outward from the
+          // restricted owners; the closing group-semi refines exactly
+          // (the AggJoinView extents-churn technique, lifted to N)
+          val owners: Map[Int, Seq[String]] = groupCols.groupBy(g =>
+            newFrames.indices.find(i =>
+              newFrames(i).columns.exists(_.equalsIgnoreCase(g))).get)
+          def restrict(i: Int): DataFrame = owners.get(i) match {
+            case None => newFrames(i)
+            case Some(gs) =>
+              val b = dirtyG.agg(lit(1).as("__one"),
+                gs.flatMap(g => Seq(min(col(g)).as(s"__lo_$g"),
+                  max(col(g)).as(s"__hi_$g"))): _*).head()
+              val banded = gs.foldLeft(newFrames(i)) { (d, g) =>
+                val lo = b.getAs[Any](s"__lo_$g"); val hi = b.getAs[Any](s"__hi_$g")
+                if (lo == null || hi == null) d
+                else d.where(col(g) >= lit(lo) && col(g) <= lit(hi))
+              }
+              banded.join(broadcast(dirtyG.select(gs.map(col): _*).distinct()),
+                gs, "left_semi")
+          }
+          val frames = new Array[DataFrame](n)
+          owners.keys.foreach(i => frames(i) = restrict(i))
+          // cascade outward from the restricted owners (superset-sound;
+          // the group semi below is the exact cut)
+          var ring = owners.keys.toList
+          val seen = scala.collection.mutable.Set(owners.keys.toSeq: _*)
+          while (ring.nonEmpty) {
+            val next = scala.collection.mutable.ListBuffer.empty[Int]
+            for (u <- ring; (v, ku, kv) <- adj(u) if !seen.contains(v)) {
+              seen += v
+              val kt = JoinView.keyTuples(frames(u), ku)
+              frames(v) = JoinView.prefiltered(
+                JoinView.standing(spark, rootsV(v), curVs(v), kv, kt), kv, kt)
+              next += v
+            }
+            ring = next.toList
+          }
+          val cur = slice(frames.toIndexedSeq)
+            .join(broadcast(dirtyG), groupCols, "left_semi")
+          val recomputed = fold(cur, groupCols, measureCols, 1, extents)
+          val gone = dirtyG.join(
+            recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
+          val appendTerms = moved.filter(appendMoved).map(i =>
+            fold(deltaTermRows(i), groupCols, measureCols, 1, extents)
+              .join(broadcast(dirtyG), groupCols, "left_anti"))
+          val appendSide = appendTerms
+            .reduceOption(_ unionByName _)
+            .getOrElse(recomputed.limit(0))
+          // ONE atomic publish: the keyed replace, the delta appends, and
+          // the packed cursor land in a single manifest swap
+          SnapshotStore.upsertAndAppendEpoch(spark,
+            recomputed.unionByName(tombstones(gone, recomputed, measureCols)),
+            if (appendSide.isEmpty) appendSide.repartition(1) else appendSide,
+            viewRoot, groupCols, packAll(curVs))
         }
       }
-      val partials = terms.reduce(_ unionByName _)
-      SnapshotStore.appendEpoch(
-        if (partials.isEmpty) partials.repartition(1) else partials,
-        viewRoot, packAll(curVs))
     } else {
       // a compaction (or vacuumed baseline) somewhere broke the diff
       SnapshotStore.compactWith(fold(slice(newFrames), groupCols,
-        measureCols, 1), viewRoot, epochOverride = Some(packAll(curVs)))
+        measureCols, 1, extents), viewRoot,
+        epochOverride = Some(packAll(curVs)))
     }
     rootsV.indices.foreach(i =>
       SnapshotStore.recordViewBaseline(rootsV(i), viewRoot, curVs(i)))
@@ -364,10 +511,12 @@ object MultiAggJoinView {
   }
 
   /** Merge signed partials to the materialized aggregate — the
-    * [[AggJoinView]] merge (NULL-exact sums via the nn counts), shared by
-    * [[read]] and [[compensatedRead]]. */
+    * [[AggJoinView]] merge (NULL-exact sums via the nn counts; min/max
+    * skip null tombstones natively), shared by [[read]] and
+    * [[compensatedRead]]. */
   private def merged(partials: DataFrame, groups: Seq[String],
-                     measures: Seq[String]): DataFrame = {
+                     measures: Seq[String],
+                     extents: Boolean = false): DataFrame = {
     def resolve(nm: String): String =
       partials.columns.find(_.equalsIgnoreCase(nm)).getOrElse(nm)
     val aggs: Seq[Column] = sum(col("cnt")).as("cnt") +:
@@ -376,7 +525,11 @@ object MultiAggJoinView {
         Seq(
           when(sum(col(nn)) > 0, sum(col(s)).cast(SumType))
             .otherwise(lit(null).cast(SumType)).as(s),
-          sum(col(nn)).as(nn))
+          sum(col(nn)).as(nn)) ++
+          (if (extents) {
+            val mn = resolve(minCol(m)); val mx = resolve(maxCol(m))
+            Seq(min(col(mn)).as(mn), max(col(mx)).as(mx))
+          } else Nil)
       }
     partials.groupBy(groups.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -397,10 +550,13 @@ object MultiAggJoinView {
       case None =>
         partials.columns.filter(_.startsWith("sum_")).map(_.drop(4)).toSeq
     }
-    val aggNames = "cnt" +: specMeasures.flatMap(m => Seq(sumCol(m), nnCol(m)))
+    val extents = recordedExtents(viewRoot)
+    val aggNames = "cnt" +: specMeasures.flatMap(m =>
+      Seq(sumCol(m), nnCol(m)) ++
+        (if (extents) Seq(minCol(m), maxCol(m)) else Nil))
     val groups = partials.columns.filterNot(c =>
       aggNames.exists(_.equalsIgnoreCase(c))).toSeq
-    merged(partials, groups, specMeasures)
+    merged(partials, groups, specMeasures, extents)
   }
 
   /** DELTA-COMPENSATED content of a STALE view: when every moved
@@ -422,21 +578,24 @@ object MultiAggJoinView {
     val rootsV = roots.toIndexedSeq
     if (!rootsV.indices.forall(i => curVs(i) == prevVs(i) ||
         JoinView.appendOnly(rootsV(i), prevVs(i), curVs(i)))) return None
+    val extents = recordedExtents(viewRoot)
     if (!recordedSpec(viewRoot).contains(
-        specLine(n, edges, groupCols, measureCols))) return None
+        specLine(n, edges, groupCols, measureCols, extents))) return None
     val newFrames = rootsV.zip(curVs)
       .map { case (r, v) => SnapshotStore.readEvolved(spark, r, v) }
     val adj = adjacency(n, edges)
+    // min/max are insert-monotone, so the compensated fold stays sound
+    // with extents over APPEND gaps (churn declined above)
     val terms = (for (i <- rootsV.indices if curVs(i) > prevVs(i)) yield {
       val vers = rootsV.indices.map(j => if (j < i) curVs(j) else prevVs(j))
         .toIndexedSeq
       val delta = SnapshotStore.incremental(spark, rootsV(i),
         prevVs(i), curVs(i), Some(newFrames(i).schema))
       fold(joinedSlice(termFrames(spark, rootsV, n, adj, i, delta, vers),
-        edges, groupCols, measureCols), groupCols, measureCols, 1)
+        edges, groupCols, measureCols), groupCols, measureCols, 1, extents)
     }).reduce(_ unionByName _)
     Some(merged(SnapshotStore.read(spark, viewRoot).unionByName(terms),
-      groupCols, measureCols))
+      groupCols, measureCols, extents))
   }
 
   /** Fold accumulated partials to one row per group (drops retraction

@@ -594,7 +594,12 @@ class ExtensionsSpec extends SparkSpec {
       assert(aq.queryExecution.executedPlan.toString.contains("/ajview"),
         "a SQL-created agg-join view must serve the SQL join aggregate")
       assert(aq.collect().length == 3)
+      // SHOW lists the catalog (the rollup was dropped above)
+      val shown = spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      assert(shown == Set((ajv, "AGG_JOIN")), s"got $shown")
       spark.sql(s"DROP MATERIALIZED VIEW '$ajv'")
+      assert(spark.sql("SHOW MATERIALIZED VIEWS").collect().isEmpty)
 
       // a non-DDL statement still parses through Spark's own parser
       assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)

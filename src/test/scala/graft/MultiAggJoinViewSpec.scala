@@ -313,6 +313,94 @@ class MultiAggJoinViewSpec extends SparkSpec {
     }
   }
 
+  test("extents: O(Δ) appends, dirty-group churn + atomic mixed publish, tombstones, min/max serve") {
+    withRoots { (roots, v) =>
+      def refreshX(): Int = MultiAggJoinView.refresh(spark, roots, v,
+        edges, groups, measures, extents = true)
+      def truthX(): Set[String] = {
+        val Seq(f, p, s, n) = roots.map(SnapshotStore.read(spark, _))
+        f.join(p, f("f_pk") === p("p_pk"))
+          .join(s, f("f_sk") === s("s_sk"))
+          .join(n, s("s_nk") === n("n_nk"))
+          .groupBy("p_brand", "n_name")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("qty").cast("decimal(30,2)")).cast("decimal(30,2)").as("sum_qty"),
+            min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+          .collect().map(_.toString).toSet
+      }
+      def viewX(): Set[String] = MultiAggJoinView.read(spark, v)
+        .select(col("p_brand"), col("n_name"), col("cnt"), col("sum_qty"),
+          col("min_qty"), col("max_qty"))
+        .collect().map(_.toString).toSet
+      SnapshotStore.append(factDF(1L to 40L: _*), roots(0))
+      SnapshotStore.append(partDF(0L to 6L: _*), roots(1))
+      SnapshotStore.append(suppDF(0L to 4L: _*), roots(2))
+      SnapshotStore.append(nationDF(0L, 1L, 2L), roots(3))
+      refreshX()
+      assert(viewX() == truthX() && viewX().nonEmpty)
+
+      // append-only gap (fact + a new nation) stays the O(Δ) fold
+      SnapshotStore.append(factDF(41L to 55L: _*), roots(0))
+      refreshX()
+      assert(viewX() == truthX() && lastOp(v) == "append")
+
+      // EXTREMUM churn: delete the global maxima — arithmetic cannot
+      // un-derive them; dirty groups recompute + replace atomically
+      SnapshotStore.deleteWhere(spark, roots(0), col("qty") > 50.0)
+      refreshX()
+      assert(viewX() == truthX() && lastOp(v) == "upsert",
+        "extents churn must publish as the atomic keyed replace")
+
+      // MIXED gap: a fact churn AND a nation append before ONE refresh —
+      // dirty groups replace, the append-moved table's delta term lands
+      // as the append side of the SAME single publish
+      SnapshotStore.deleteWhere(spark, roots(0), col("f_ok") % 5 === 0)
+      SnapshotStore.upsert(spark, {
+        val s2 = spark; import s2.implicits._
+        Seq((0L, 1L)).toDF("s_sk", "s_nk") // supplier re-points: group moves
+      }, roots(2), Seq("s_sk"))
+      val vBefore = SnapshotStore.currentVersion(v)
+      refreshX()
+      assert(viewX() == truthX())
+      assert(SnapshotStore.currentVersion(v) == vBefore + 1 &&
+        lastOp(v) == "upsert",
+        "a mixed churn gap must publish ONE atomic version")
+
+      // empty a whole group (tombstone leg), then revive via append
+      SnapshotStore.deleteWhere(spark, roots(0), col("f_pk") % 3 === 0)
+      refreshX()
+      assert(viewX() == truthX())
+      assert(!viewX().exists(_.contains("brand0")))
+      SnapshotStore.append(factDF(300L, 303L), roots(0)) // f_pk 6/2 — brand0 back
+      refreshX()
+      assert(viewX() == truthX())
+
+      // compact folds; content unchanged
+      val want = viewX()
+      MultiAggJoinView.compact(spark, v)
+      assert(viewX() == want)
+
+      // the rewrite serves min/max from the extents view, join-free
+      MaterializedMultiJoins.enable(roots, v, edges, groups, measures)
+      val Seq(f, p, su, n) = roots.map(SnapshotStore.read(spark, _))
+      val q = f.join(p, f("f_pk") === p("p_pk"))
+        .join(su, f("f_sk") === su("s_sk"))
+        .join(n, su("s_nk") === n("n_nk"))
+        .groupBy("p_brand", "n_name")
+        .agg(count(lit(1)).as("c"), min(col("qty")).as("mn"),
+          max(col("qty")).as("mx"))
+      assert(graft.plans.PlanProbe.scansOnly(q, "/view"),
+        "min/max over an extents multiway view must serve")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Join"))
+      def rows(df: DataFrame) = df.collect().map(x =>
+        (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3),
+          x.getDouble(4))).toSet
+      val got = rows(q)
+      MaterializedMultiJoins.disable(v)
+      assert(got == rows(q) && got.nonEmpty)
+    }
+  }
+
   test("stale serving: append-only gaps fold telescoped Δ terms on the fly; churn declines") {
     withRoots { (roots, v) =>
       bootstrap(roots, v)
