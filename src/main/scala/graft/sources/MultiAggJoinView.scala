@@ -445,10 +445,21 @@ object MultiAggJoinView {
           // band+semi-restricts by the dirty groups' values, then the
           // cascade prunes the rest of the tree outward from the
           // restricted owners; the closing group-semi refines exactly
-          // (the AggJoinView extents-churn technique, lifted to N)
+          // (the AggJoinView extents-churn technique, lifted to N).
+          // Ownership excludes edge CHILD keys exactly like the
+          // bootstrap resolution — a group column sharing a name with
+          // another table's child key must restrict the OWNER, not the
+          // key column (restricting a join key by group values would
+          // silently drop recompute rows)
+          val childKeyOf: Map[Int, Set[String]] = edges.zipWithIndex.map {
+            case (e, i) => (i + 1) -> e.childKeys
+              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          }.toMap.withDefaultValue(Set.empty)
           val owners: Map[Int, Seq[String]] = groupCols.groupBy(g =>
             newFrames.indices.find(i =>
-              newFrames(i).columns.exists(_.equalsIgnoreCase(g))).get)
+              newFrames(i).columns.exists(_.equalsIgnoreCase(g)) &&
+                !childKeyOf(i).contains(
+                  g.toLowerCase(java.util.Locale.ROOT))).get)
           def restrict(i: Int): DataFrame = owners.get(i) match {
             case None => newFrames(i)
             case Some(gs) =>

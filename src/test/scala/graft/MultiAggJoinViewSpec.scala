@@ -401,6 +401,51 @@ class MultiAggJoinViewSpec extends SparkSpec {
     }
   }
 
+  test("extents churn: a group column sharing a name with another table's CHILD KEY restricts the owner") {
+    // t1's child key is literally named like t2's group column — the
+    // recompute's band+semi must restrict the OWNING table (t2), never
+    // the key column (pre-fix, t1 was banded by group VALUES, dropping
+    // every recompute row and silently tombstoning live groups)
+    val root = java.nio.file.Files.createTempDirectory("majv_ck").toString
+    val roots = IndexedSeq(s"$root/F", s"$root/T1", s"$root/T2")
+    val v = s"$root/view"
+    val ckEdges = Seq(
+      Edge(0, Seq("k1"), Seq("gname")), // t1's child key named gname
+      Edge(0, Seq("k2"), Seq("d2k")))
+    try {
+      val s2 = spark
+      import s2.implicits._
+      SnapshotStore.append(
+        (1L to 30L).map(i => (i, s"x${i % 4}", i % 3, i * 1.0))
+          .toDF("f_ok", "k1", "k2", "qty"), roots(0))
+      SnapshotStore.append(
+        (0 until 4).map(i => (s"x$i", i)).toDF("gname", "t1v"), roots(1))
+      SnapshotStore.append(
+        (0L to 2L).map(i => (i, s"g$i")).toDF("d2k", "gname"), roots(2))
+      def refreshX(): Unit = MultiAggJoinView.refresh(spark, roots, v,
+        ckEdges, Seq("gname"), Seq("qty"), extents = true)
+      def truthX(): Set[String] = {
+        val Seq(f, t1, t2) = roots.map(SnapshotStore.read(spark, _))
+        f.join(t1, f("k1") === t1("gname"))
+          .join(t2, f("k2") === t2("d2k"))
+          .groupBy(t2("gname"))
+          .agg(count(lit(1)).as("cnt"), min(col("qty")).as("mn"),
+            max(col("qty")).as("mx"))
+          .collect().map(_.toString).toSet
+      }
+      def viewX(): Set[String] = MultiAggJoinView.read(spark, v)
+        .select(col("gname"), col("cnt"), col("min_qty"), col("max_qty"))
+        .collect().map(_.toString).toSet
+      refreshX()
+      assert(viewX() == truthX() && viewX().nonEmpty)
+      // extremum churn forces the dirty-group recompute
+      SnapshotStore.deleteWhere(spark, roots(0), col("qty") > 20.0)
+      refreshX()
+      assert(viewX() == truthX() && viewX().nonEmpty,
+        "the recompute must restrict t2 (the owner), not t1's child key")
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("stale serving: append-only gaps fold telescoped Δ terms on the fly; churn declines") {
     withRoots { (roots, v) =>
       bootstrap(roots, v)
