@@ -252,7 +252,7 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // fresh hit is preferred over a stale one.
     case class Hit(reg: MaterializedAggJoins.AReg, groups: Set[String],
                    measures: Set[String], keyPairs: Seq[(String, String)],
-                   fresh: Boolean)
+                   fresh: Boolean, userLeftIsRegLeft: Boolean)
     val candidates = MaterializedAggJoins.all.iterator.flatMap {
       case ((lr, rr, lk, rk, g, m, _), r)
           if (lk, rk) == sig || (lk, rk) == flipped =>
@@ -261,11 +261,11 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if ((lk, rk) == sig && ld == lpaths && rd == rpaths)
               Some(Hit(r, g.split(",").toSet, splitSet(m),
                 las.map(_.name.toLowerCase).zip(ras.map(_.name.toLowerCase)),
-                fresh))
+                fresh, userLeftIsRegLeft = true))
             else if ((lk, rk) == flipped && ld == rpaths && rd == lpaths)
               Some(Hit(r, g.split(",").toSet, splitSet(m),
                 ras.map(_.name.toLowerCase).zip(las.map(_.name.toLowerCase)),
-                fresh))
+                fresh, userLeftIsRegLeft = false))
             else None
         }
       case _ => None
@@ -298,6 +298,35 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (hit, normed) = matched.find(_._1.fresh)
       .orElse(matched.headOption).getOrElse(return None)
     val rkToLk = hit.keyPairs.map(_.swap).toMap
+
+    // measure/distinct attributes resolve on their SIDE, not just by
+    // name: the registered measure's OWNER side is where the stored
+    // partial came from (the refresh resolution contract — exactly one
+    // side, reg-right keys excluded), and a same-named column on the
+    // OTHER side must not serve from the owner's partials. The one
+    // cross-side spelling that IS sound: a reg-right KEY normalizes onto
+    // its paired left key (value-identical under the inner equality).
+    // Returns the stored-column name.
+    val (regLeftRel, regRightRel) =
+      if (hit.userLeftIsRegLeft) (lrel, rrel) else (rrel, lrel)
+    val regRightKeys = hit.keyPairs.map(_._2).toSet
+    def measureNorm(v: AttributeReference): Option[String] = {
+      val onRegLeft = regLeftRel.outputSet.contains(v)
+      val nm = v.name.toLowerCase
+      val norm = if (onRegLeft) nm else rkToLk.getOrElse(nm, nm)
+      if (!hit.measures.contains(norm)) None
+      else {
+        val lHas = regLeftRel.output.exists(_.name.equalsIgnoreCase(norm))
+        val rHas = regRightRel.output.exists(_.name.equalsIgnoreCase(norm)) &&
+          !regRightKeys.contains(norm)
+        (lHas, rHas) match {
+          case (true, false) =>
+            if (onRegLeft || rkToLk.contains(nm)) Some(norm) else None
+          case (false, true) => if (!onRegLeft) Some(norm) else None
+          case _             => None // ambiguous or absent: decline
+        }
+      }
+    }
 
     // every filter (above the join or on a side) must reference only
     // grouping attributes — then it re-applies to view groups verbatim
@@ -352,8 +381,8 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
           _, false, None, _), _)
           if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
-            hit.measures.contains(v.name.toLowerCase) =>
-        val c = viewCol(s"sum_${v.name}").getOrElse(return None)
+            measureNorm(v).isDefined =>
+        val c = viewCol(s"sum_${measureNorm(v).get}").getOrElse(return None)
         Alias(Cast(c, ag.dataType), al.name)(exprId = al.exprId)
       // avg(CAST(measure AS DECIMAL(p,2))): served as stored-sum ÷ the
       // stored NON-NULL value count (`nn_<measure>` — Average divides by
@@ -376,9 +405,9 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Average(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
           _, false, None, _), _)
           if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
-            hit.measures.contains(v.name.toLowerCase) =>
-        val sumC = viewCol(s"sum_${v.name}").getOrElse(return None)
-        val nnC = viewCol(s"nn_${v.name}").getOrElse(return None)
+            measureNorm(v).isDefined =>
+        val sumC = viewCol(s"sum_${measureNorm(v).get}").getOrElse(return None)
+        val nnC = viewCol(s"nn_${measureNorm(v).get}").getOrElse(return None)
         val sumDt = DecimalType(math.min(dt.precision + 10, DecimalType.MAX_PRECISION), dt.scale)
         Alias(Cast(
           Divide(Cast(sumC, sumDt), Cast(nnC, DecimalType(20, 0)),
@@ -389,15 +418,15 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // view simply lacks it and declines here)
       case al @ Alias(ag @ AggregateExpression(
           Min(v: AttributeReference), _, false, None, _), _)
-          if hit.measures.contains(v.name.toLowerCase) =>
-        val c = viewCol(s"min_${v.name}").filter(_.dataType == ag.dataType)
-          .getOrElse(return None)
+          if measureNorm(v).isDefined =>
+        val c = viewCol(s"min_${measureNorm(v).get}")
+          .filter(_.dataType == ag.dataType).getOrElse(return None)
         Alias(c, al.name)(exprId = al.exprId)
       case al @ Alias(ag @ AggregateExpression(
           Max(v: AttributeReference), _, false, None, _), _)
-          if hit.measures.contains(v.name.toLowerCase) =>
-        val c = viewCol(s"max_${v.name}").filter(_.dataType == ag.dataType)
-          .getOrElse(return None)
+          if measureNorm(v).isDefined =>
+        val c = viewCol(s"max_${measureNorm(v).get}")
+          .filter(_.dataType == ag.dataType).getOrElse(return None)
         Alias(c, al.name)(exprId = al.exprId)
       // the datasketches distinct-count shape — served from an NDV-kind
       // view's merged-sketch estimate (register-max union makes it
@@ -406,15 +435,9 @@ class AggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(HllSketchEstimate(AggregateExpression(
           HllSketchAgg(u: AttributeReference, lgk, _, _), _, false, None, _)), _)
           if hit.reg.kind == "ndv" && lgk.foldable &&
-            lgk.eval() == graft.sources.NdvView.LgK && {
-              // a distinct-count over a RIGHT key normalizes onto its
-              // paired left key (value-identical under the inner
-              // equality — the stored sketch covers both spellings)
-              hit.measures.contains(
-                rkToLk.getOrElse(u.name.toLowerCase, u.name.toLowerCase))
-            } =>
-        val norm = rkToLk.getOrElse(u.name.toLowerCase, u.name.toLowerCase)
-        val c = viewCol(s"approx_$norm")
+            lgk.eval() == graft.sources.NdvView.LgK &&
+            measureNorm(u).isDefined =>
+        val c = viewCol(s"approx_${measureNorm(u).get}")
           .filter(_.dataType == al.dataType).getOrElse(return None)
         Alias(c, al.name)(exprId = al.exprId)
       case _ => return None // any other shape: decline, never approximate

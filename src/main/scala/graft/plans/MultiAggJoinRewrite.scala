@@ -4,14 +4,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.DecimalType
 
-import graft.sources.{MultiAggJoinView, SnapshotStore}
+import graft.sources.{MultiAggJoinView, MultiNdvJoinView, SnapshotStore}
 import graft.sources.MultiAggJoinView.Edge
 
 /** Registry of N-table join-tree specs → maintained
@@ -21,12 +21,16 @@ object MaterializedMultiJoins {
 
   /** A registration: ordered roots, the edge tree, spec columns, and the
     * stale opt-in — everything refresh-shaped so the rewrite can hand
-    * the stale path to [[MultiAggJoinView.compensatedRead]] verbatim. */
+    * the stale path to [[MultiAggJoinView.compensatedRead]] verbatim.
+    * `kind`: "agg" (count/sum/avg[/extents] partials) or "ndv" (HLL
+    * sketch of `measureCols.head` — the [[MultiNdvJoinView]] store,
+    * serving the `hll_sketch_estimate(hll_sketch_agg(x, lgK))` shape). */
   private[plans] final case class MReg(roots: Seq[String], viewRoot: String,
                                        edges: Seq[Edge],
                                        groupCols: Seq[String],
                                        measureCols: Seq[String],
-                                       serveStale: Boolean)
+                                       serveStale: Boolean,
+                                       kind: String = "agg")
 
   private val regs =
     new java.util.concurrent.ConcurrentHashMap[String, MReg]()
@@ -44,6 +48,20 @@ object MaterializedMultiJoins {
              serveStale: Boolean = false): Unit =
     regs.put(canon(viewRoot),
       MReg(roots, viewRoot, edges, groupCols, measureCols, serveStale))
+
+  /** Declare `viewRoot` as [[MultiNdvJoinView]]-maintained: the
+    * user-shaped distinct-count aggregate over the registered tree —
+    * `hll_sketch_estimate(hll_sketch_agg(x, lgK))` at the engine's lgK —
+    * is answered from the stored sketches (register-max union keeps the
+    * merged estimate bit-equal to the single-pass aggregate).
+    * `serveStale` opts append-only gaps into the compensated sketch
+    * union; churned gaps decline (a monotone sketch cannot retract). */
+  def enableNdv(roots: Seq[String], viewRoot: String, edges: Seq[Edge],
+                groupCols: Seq[String], distinctCol: String,
+                serveStale: Boolean = false): Unit =
+    regs.put(canon(viewRoot),
+      MReg(roots, viewRoot, edges, groupCols, Seq(distinctCol), serveStale,
+        kind = "ndv"))
 
   /** Unregister every registration mentioning `root` as a source or as
     * the view. */
@@ -89,8 +107,12 @@ object MaterializedMultiJoins {
     val srcV = reg.roots.map(SnapshotStore.currentVersion)
     if (srcV.exists(_ == 0)) return None
     val viewV = SnapshotStore.currentVersion(reg.viewRoot)
-    val fresh = SnapshotStore.lastEpoch(reg.viewRoot)
-      .contains(MultiAggJoinView.packAll(srcV))
+    // a source whose version outgrew the packed-cursor base can never
+    // match the stored stamp — answer STALE instead of letting packAll's
+    // loud require escape a Catalyst rule into unrelated user queries
+    val fresh = srcV.forall(_ < MultiAggJoinView.packBase(srcV.size)) &&
+      SnapshotStore.lastEpoch(reg.viewRoot)
+        .contains(MultiAggJoinView.packAll(srcV))
     val next = MProbe(srcM, viewM, srcV, viewV,
       reg.roots.zip(srcV).map { case (r, v) =>
         SnapshotStore.manifestDirs(r, v).map(canon).toSet
@@ -127,10 +149,15 @@ object MaterializedMultiJoins {
   *     edge keys map onto their paired parent keys, transitively) onto
   *     the registered group set;
   *   - every aggregate is `count(1)`, `sum(CAST(m AS DECIMAL(p, 2)))`
-  *     with 18 ≤ p ≤ 30 (the repo-wide precision-floor rationale), or
-  *     the matching `avg` served as stored sum ÷ the stored non-null
-  *     count with Average's own decimal arithmetic. Anything else
-  *     declines — min/max have no stored extents in the N-way view.
+  *     with 18 ≤ p ≤ 30 (the repo-wide precision-floor rationale), the
+  *     matching `avg` served as stored sum ÷ the stored non-null count
+  *     with Average's own decimal arithmetic, `min/max(m)` from an
+  *     EXTENTS view's stored extents, or — against an "ndv"-kind
+  *     registration ([[MultiNdvJoinView]]) — the datasketches
+  *     distinct-count shape at the engine's lgK. Measure and distinct
+  *     attributes resolve through the tree onto the registered column's
+  *     OWNING table (a same-named column on another table declines).
+  *     Anything else declines.
   *
   * Registered BEFORE the two-table agg-join rule: they match disjoint
   * shapes (N ≥ 3 plans never dissect to one Join of two scans), the
@@ -256,7 +283,16 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (m.values.toSet == h.reg.groupCols.map(_.toLowerCase).toSet) Some(m)
       else None
     }
-    val matched = candidates.flatMap(h => groupNorm(h).map(h -> _))
+    // the aggregate list picks the view KIND it needs (the 2-table
+    // rule's posture): any datasketches distinct-count shape wants an
+    // ndv view, everything else the agg kind — then freshness breaks
+    // ties among same-kind candidates
+    val wantsNdv = ae.exists {
+      case Alias(HllSketchEstimate(_), _) => true
+      case _                              => false
+    }
+    val kinded = candidates.filter(h => (h.reg.kind == "ndv") == wantsNdv)
+    val matched = kinded.flatMap(h => groupNorm(h).map(h -> _))
     val (hit, normed) = matched.find(_._1.fresh)
       .orElse(matched.headOption).getOrElse(return None)
 
@@ -265,12 +301,60 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!filters.forall(_.references.subsetOf(groupingSet))) return None
 
     val measures = hit.reg.measureCols.map(_.toLowerCase).toSet
+    // measure/distinct attributes resolve THROUGH the join tree, exactly
+    // like group attributes: the attribute's leaf table, normalized
+    // along child→parent key pairs, must be the registered column's
+    // OWNING table (ownership mirrors the refresh contract — child keys
+    // excluded). A column on a DIFFERENT table merely sharing the
+    // registered measure's name must not serve from the owner's stored
+    // partials.
+    val childToParent: Map[(Int, String), (Int, String)] =
+      hit.reg.edges.zipWithIndex.flatMap { case (e, i) =>
+        e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
+          ((i + 1, ck.toLowerCase), (e.parent, pk.toLowerCase))
+        }
+      }.toMap
+    @annotation.tailrec
+    def normalizeTc(tc: (Int, String)): (Int, String) =
+      childToParent.get(tc) match {
+        case Some(up) => normalizeTc(up)
+        case None     => tc
+      }
+    val childKeyOfTable: Map[Int, Set[String]] =
+      hit.reg.edges.zipWithIndex.map { case (e, i) =>
+        (i + 1) -> e.childKeys.map(_.toLowerCase).toSet
+      }.toMap.withDefaultValue(Set.empty)
+    val leafByTable: Map[Int, Int] = hit.leafToTable.map(_.swap)
+    def ownerOf(nameLc: String): Option[Int] = {
+      val ts = leafByTable.keys.filter { t =>
+        leaves(leafByTable(t)).output.exists(_.name.equalsIgnoreCase(nameLc)) &&
+          !childKeyOfTable(t).contains(nameLc)
+      }.toSeq
+      if (ts.size == 1) Some(ts.head) else None
+    }
+    def measureNorm(v: AttributeReference): Option[String] =
+      leafOf.get(v.exprId).map(hit.leafToTable).flatMap { t =>
+        val norm = normalizeTc((t, v.name.toLowerCase))
+        if (measures.contains(norm._2) && ownerOf(norm._2).contains(norm._1))
+          Some(norm._2)
+        else None
+      }
+
     val viewDf =
-      if (hit.fresh) MultiAggJoinView.read(spark, hit.reg.viewRoot)
-      else if (hit.reg.serveStale)
-        MultiAggJoinView.compensatedRead(spark, hit.reg.roots,
-          hit.reg.viewRoot, hit.reg.edges, hit.reg.groupCols,
-          hit.reg.measureCols).getOrElse(return None)
+      if (hit.fresh) hit.reg.kind match {
+        case "ndv" => MultiNdvJoinView.read(spark, hit.reg.viewRoot)
+        case _     => MultiAggJoinView.read(spark, hit.reg.viewRoot)
+      }
+      else if (hit.reg.serveStale) {
+        hit.reg.kind match {
+          case "ndv" => MultiNdvJoinView.compensatedRead(spark,
+            hit.reg.roots, hit.reg.viewRoot, hit.reg.edges,
+            hit.reg.groupCols, hit.reg.measureCols.head)
+          case _ => MultiAggJoinView.compensatedRead(spark, hit.reg.roots,
+            hit.reg.viewRoot, hit.reg.edges, hit.reg.groupCols,
+            hit.reg.measureCols)
+        }
+      }.getOrElse(return None)
       else return None
     val viewPlan = viewDf.queryExecution.analyzed
     def viewCol(n: String): Option[Attribute] =
@@ -293,8 +377,8 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
           _, false, None, _), _)
           if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
-            measures.contains(v.name.toLowerCase) =>
-        val c = viewCol(s"sum_${v.name}").getOrElse(return None)
+            measureNorm(v).isDefined =>
+        val c = viewCol(s"sum_${measureNorm(v).get}").getOrElse(return None)
         Alias(Cast(c, ag.dataType), al.name)(exprId = al.exprId)
       // avg = stored sum ÷ stored NON-NULL count (Average's divisor),
       // Average's decimal arithmetic replicated — the AggJoinRewrite avg
@@ -303,9 +387,9 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Average(Cast(v: AttributeReference, dt: DecimalType, _, _), _),
           _, false, None, _), _)
           if dt.scale == 2 && dt.precision <= 30 && dt.precision >= 18 &&
-            measures.contains(v.name.toLowerCase) =>
-        val sumC = viewCol(s"sum_${v.name}").getOrElse(return None)
-        val nnC = viewCol(s"nn_${v.name}").getOrElse(return None)
+            measureNorm(v).isDefined =>
+        val sumC = viewCol(s"sum_${measureNorm(v).get}").getOrElse(return None)
+        val nnC = viewCol(s"nn_${measureNorm(v).get}").getOrElse(return None)
         val sumDt = DecimalType(
           math.min(dt.precision + 10, DecimalType.MAX_PRECISION), dt.scale)
         Alias(Cast(
@@ -317,15 +401,29 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // view lacks it and declines here)
       case al @ Alias(ag @ AggregateExpression(
           Min(v: AttributeReference), _, false, None, _), _)
-          if measures.contains(v.name.toLowerCase) =>
-        val c = viewCol(s"min_${v.name}").filter(_.dataType == ag.dataType)
-          .getOrElse(return None)
+          if measureNorm(v).isDefined =>
+        val c = viewCol(s"min_${measureNorm(v).get}")
+          .filter(_.dataType == ag.dataType).getOrElse(return None)
         Alias(c, al.name)(exprId = al.exprId)
       case al @ Alias(ag @ AggregateExpression(
           Max(v: AttributeReference), _, false, None, _), _)
-          if measures.contains(v.name.toLowerCase) =>
-        val c = viewCol(s"max_${v.name}").filter(_.dataType == ag.dataType)
-          .getOrElse(return None)
+          if measureNorm(v).isDefined =>
+        val c = viewCol(s"max_${measureNorm(v).get}")
+          .filter(_.dataType == ag.dataType).getOrElse(return None)
+        Alias(c, al.name)(exprId = al.exprId)
+      // the datasketches distinct-count shape — served from an NDV-kind
+      // view's merged-sketch estimate (register-max union makes it
+      // bit-equal to the single-pass aggregate over the tree); the lgK
+      // must be the engine's own, and the distinct attribute normalizes
+      // through the tree onto the registered column (a distinct-count
+      // over any edge-key spelling of it is value-identical)
+      case al @ Alias(HllSketchEstimate(AggregateExpression(
+          HllSketchAgg(u: AttributeReference, lgk, _, _), _, false, None, _)), _)
+          if hit.reg.kind == "ndv" && lgk.foldable &&
+            lgk.eval() == graft.sources.NdvView.LgK &&
+            measureNorm(u).isDefined =>
+        val c = viewCol(s"approx_${measureNorm(u).get}")
+          .filter(_.dataType == al.dataType).getOrElse(return None)
         Alias(c, al.name)(exprId = al.exprId)
       case _ => return None // decline, never approximate
     }

@@ -164,8 +164,9 @@ object MultiAggJoinView {
   /** Inner-join `frames` along the edges, dropping each child's keys
     * after its join (recoverable from the paired parent keys), projected
     * to (groups ++ measures). `frames(i)` must be the exact objects the
-    * conditions reference. */
-  private def joinedSlice(frames: IndexedSeq[DataFrame], edges: Seq[Edge],
+    * conditions reference. Shared with [[MultiNdvJoinView]] (whose
+    * "measures" is the single distinct column). */
+  private[sources] def joinedSlice(frames: IndexedSeq[DataFrame], edges: Seq[Edge],
                           groups: Seq[String], measures: Seq[String]): DataFrame = {
     val joined = edges.zipWithIndex.foldLeft(frames(0)) {
       case (acc, (e, i)) =>
@@ -216,7 +217,7 @@ object MultiAggJoinView {
 
   /** Undirected adjacency of the edge tree: node → (neighbor, keys on
     * node, keys on neighbor). */
-  private def adjacency(n: Int, edges: Seq[Edge]): Map[Int, Seq[(Int, Seq[String], Seq[String])]] = {
+  private[sources] def adjacency(n: Int, edges: Seq[Edge]): Map[Int, Seq[(Int, Seq[String], Seq[String])]] = {
     val fwd = edges.zipWithIndex.flatMap { case (e, i) =>
       Seq(e.parent -> (i + 1, e.parentKeys, e.childKeys),
         (i + 1) -> (e.parent, e.childKeys, e.parentKeys))
@@ -231,7 +232,7 @@ object MultiAggJoinView {
     * from `at` along the tree — each hop reads the standing store
     * file-pruned + bloom-prefiltered by the restricting side's key
     * tuples ([[JoinView]] per-edge machinery; exact for trees). */
-  private def termFrames(spark: SparkSession, roots: IndexedSeq[String],
+  private[sources] def termFrames(spark: SparkSession, roots: IndexedSeq[String],
                          n: Int, adj: Map[Int, Seq[(Int, Seq[String], Seq[String])]],
                          at: Int, pinned: DataFrame,
                          vers: IndexedSeq[Int]): IndexedSeq[DataFrame] = {
@@ -270,17 +271,7 @@ object MultiAggJoinView {
               edges: Seq[Edge], groupCols: Seq[String],
               measureCols: Seq[String], extents: Boolean = false): Int = {
     val n = roots.size
-    require(n >= 2 && edges.size == n - 1,
-      s"need n tables and n-1 edges: got $n roots, ${edges.size} edges")
-    edges.zipWithIndex.foreach { case (e, i) =>
-      require(e.parent >= 0 && e.parent <= i,
-        s"edge ${i + 1}'s parent ${e.parent} must be an earlier table")
-    }
-    require(roots.map(p => java.nio.file.Paths.get(p).normalize()
-      .toAbsolutePath.toString).distinct.size == n,
-      "table roots must be distinct stores (self-joins are out of the " +
-        "multi-way view contract)")
-    require(groupCols.nonEmpty, "at least one group column")
+    validateTree(roots, edges, groupCols)
     // reserved partial names can't be group columns (duplicate output)
     locally {
       val reserved = "cnt" +: measureCols.flatMap(m =>
@@ -288,19 +279,6 @@ object MultiAggJoinView {
           (if (extents) Seq(minCol(m), maxCol(m)) else Nil))
       groupCols.find(g => reserved.exists(_.equalsIgnoreCase(g))).foreach(g =>
         sys.error(s"group column '$g' collides with a partial column name"))
-    }
-    // an edge's parent keys must survive the parent's OWN join (child
-    // keys are dropped when the parent was joined in as a child)
-    edges.zipWithIndex.foreach { case (e, i) =>
-      if (e.parent > 0) {
-        val dropped = edges(e.parent - 1).childKeys
-          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-        e.parentKeys.find(k => dropped.contains(
-          k.toLowerCase(java.util.Locale.ROOT))).foreach(k =>
-          sys.error(s"edge ${i + 1}'s parent key '$k' is dropped when " +
-            s"table ${e.parent} joins in — name its paired upstream key " +
-            "instead"))
-      }
     }
 
     val curVs = roots.map(SnapshotStore.currentVersion).toIndexedSeq
@@ -322,33 +300,7 @@ object MultiAggJoinView {
     val rootsV = roots.toIndexedSeq
     val newFrames = rootsV.zip(curVs)
       .map { case (r, v) => SnapshotStore.readEvolved(spark, r, v) }
-    // paired keys must share a dataType per edge (bloom hashes by type)
-    edges.zipWithIndex.foreach { case (e, i) =>
-      e.parentKeys.zip(e.childKeys).foreach { case (pk, ck) =>
-        val (pt, ct) = (newFrames(e.parent).schema(pk).dataType,
-          newFrames(i + 1).schema(ck).dataType)
-        require(pt == ct,
-          s"paired join keys must share a dataType: $pk:$pt vs $ck:$ct")
-      }
-    }
-    // every group/measure column resolves on exactly ONE table (child
-    // keys excluded — recoverable from their paired parent keys)
-    locally {
-      val childKeyOf: Map[Int, Set[String]] = edges.zipWithIndex.map {
-        case (e, i) => (i + 1) -> e.childKeys
-          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      }.toMap.withDefaultValue(Set.empty)
-      (groupCols ++ measureCols).foreach { c =>
-        val lc = c.toLowerCase(java.util.Locale.ROOT)
-        val owners = newFrames.indices.filter(i =>
-          newFrames(i).columns.exists(_.equalsIgnoreCase(c)) &&
-            !childKeyOf(i).contains(lc))
-        require(owners.size == 1,
-          s"view column '$c' must resolve on exactly one join table " +
-            s"(found on ${owners.size}) — child-side keys are dropped; " +
-            "name the paired parent key instead")
-      }
-    }
+    validateResolution(newFrames, edges, groupCols ++ measureCols)
 
     val adj = adjacency(n, edges)
     def slice(frames: IndexedSeq[DataFrame]): DataFrame =
@@ -441,58 +393,8 @@ object MultiAggJoinView {
             measureCols, 1, extents), viewRoot,
             epochOverride = Some(packAll(curVs)))
         } else {
-          // recompute restriction: each table OWNING a group column
-          // band+semi-restricts by the dirty groups' values, then the
-          // cascade prunes the rest of the tree outward from the
-          // restricted owners; the closing group-semi refines exactly
-          // (the AggJoinView extents-churn technique, lifted to N).
-          // Ownership excludes edge CHILD keys exactly like the
-          // bootstrap resolution — a group column sharing a name with
-          // another table's child key must restrict the OWNER, not the
-          // key column (restricting a join key by group values would
-          // silently drop recompute rows)
-          val childKeyOf: Map[Int, Set[String]] = edges.zipWithIndex.map {
-            case (e, i) => (i + 1) -> e.childKeys
-              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-          }.toMap.withDefaultValue(Set.empty)
-          val owners: Map[Int, Seq[String]] = groupCols.groupBy(g =>
-            newFrames.indices.find(i =>
-              newFrames(i).columns.exists(_.equalsIgnoreCase(g)) &&
-                !childKeyOf(i).contains(
-                  g.toLowerCase(java.util.Locale.ROOT))).get)
-          def restrict(i: Int): DataFrame = owners.get(i) match {
-            case None => newFrames(i)
-            case Some(gs) =>
-              val b = dirtyG.agg(lit(1).as("__one"),
-                gs.flatMap(g => Seq(min(col(g)).as(s"__lo_$g"),
-                  max(col(g)).as(s"__hi_$g"))): _*).head()
-              val banded = gs.foldLeft(newFrames(i)) { (d, g) =>
-                val lo = b.getAs[Any](s"__lo_$g"); val hi = b.getAs[Any](s"__hi_$g")
-                if (lo == null || hi == null) d
-                else d.where(col(g) >= lit(lo) && col(g) <= lit(hi))
-              }
-              banded.join(broadcast(dirtyG.select(gs.map(col): _*).distinct()),
-                gs, "left_semi")
-          }
-          val frames = new Array[DataFrame](n)
-          owners.keys.foreach(i => frames(i) = restrict(i))
-          // cascade outward from the restricted owners (superset-sound;
-          // the group semi below is the exact cut)
-          var ring = owners.keys.toList
-          val seen = scala.collection.mutable.Set(owners.keys.toSeq: _*)
-          while (ring.nonEmpty) {
-            val next = scala.collection.mutable.ListBuffer.empty[Int]
-            for (u <- ring; (v, ku, kv) <- adj(u) if !seen.contains(v)) {
-              seen += v
-              val kt = JoinView.keyTuples(frames(u), ku)
-              frames(v) = JoinView.prefiltered(
-                JoinView.standing(spark, rootsV(v), curVs(v), kv, kt), kv, kt)
-              next += v
-            }
-            ring = next.toList
-          }
-          val cur = slice(frames.toIndexedSeq)
-            .join(broadcast(dirtyG), groupCols, "left_semi")
+          val cur = dirtyGroupJoinRows(spark, rootsV, edges, curVs,
+            newFrames, groupCols, measureCols, dirtyG)
           val recomputed = fold(cur, groupCols, measureCols, 1, extents)
           val gone = dirtyG.join(
             recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
@@ -519,6 +421,130 @@ object MultiAggJoinView {
     rootsV.indices.foreach(i =>
       SnapshotStore.recordViewBaseline(rootsV(i), viewRoot, curVs(i)))
     vNew
+  }
+
+  /** The join-graph contract shared by every N-way view flavor: n ≥ 2
+    * tables, n−1 edges each attaching to an earlier table, distinct
+    * store roots, non-empty groups, and every edge's parent keys
+    * surviving the parent's OWN join (child keys are dropped when the
+    * parent was joined in as a child). */
+  private[sources] def validateTree(roots: Seq[String], edges: Seq[Edge],
+                                    groupCols: Seq[String]): Unit = {
+    val n = roots.size
+    require(n >= 2 && edges.size == n - 1,
+      s"need n tables and n-1 edges: got $n roots, ${edges.size} edges")
+    edges.zipWithIndex.foreach { case (e, i) =>
+      require(e.parent >= 0 && e.parent <= i,
+        s"edge ${i + 1}'s parent ${e.parent} must be an earlier table")
+    }
+    require(roots.map(p => java.nio.file.Paths.get(p).normalize()
+      .toAbsolutePath.toString).distinct.size == n,
+      "table roots must be distinct stores (self-joins are out of the " +
+        "multi-way view contract)")
+    require(groupCols.nonEmpty, "at least one group column")
+    edges.zipWithIndex.foreach { case (e, i) =>
+      if (e.parent > 0) {
+        val dropped = edges(e.parent - 1).childKeys
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        e.parentKeys.find(k => dropped.contains(
+          k.toLowerCase(java.util.Locale.ROOT))).foreach(k =>
+          sys.error(s"edge ${i + 1}'s parent key '$k' is dropped when " +
+            s"table ${e.parent} joins in — name its paired upstream key " +
+            "instead"))
+      }
+    }
+  }
+
+  /** The column-resolution contract shared by every N-way view flavor:
+    * paired edge keys share a dataType (bloom hashes by type), and every
+    * view column resolves on exactly ONE table with edge child keys
+    * excluded (recoverable from their paired parent keys). */
+  private[sources] def validateResolution(newFrames: IndexedSeq[DataFrame],
+                                          edges: Seq[Edge],
+                                          viewCols: Seq[String]): Unit = {
+    edges.zipWithIndex.foreach { case (e, i) =>
+      e.parentKeys.zip(e.childKeys).foreach { case (pk, ck) =>
+        val (pt, ct) = (newFrames(e.parent).schema(pk).dataType,
+          newFrames(i + 1).schema(ck).dataType)
+        require(pt == ct,
+          s"paired join keys must share a dataType: $pk:$pt vs $ck:$ct")
+      }
+    }
+    val childKeyOf: Map[Int, Set[String]] = edges.zipWithIndex.map {
+      case (e, i) => (i + 1) -> e.childKeys
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    }.toMap.withDefaultValue(Set.empty)
+    viewCols.foreach { c =>
+      val lc = c.toLowerCase(java.util.Locale.ROOT)
+      val owners = newFrames.indices.filter(i =>
+        newFrames(i).columns.exists(_.equalsIgnoreCase(c)) &&
+          !childKeyOf(i).contains(lc))
+      require(owners.size == 1,
+        s"view column '$c' must resolve on exactly one join table " +
+          s"(found on ${owners.size}) — child-side keys are dropped; " +
+          "name the paired parent key instead")
+    }
+  }
+
+  /** CURRENT-tree join rows belonging to `dirtyG`'s groups — the
+    * dirty-GROUP recompute's input, shared by the extents churn and the
+    * [[MultiNdvJoinView]] re-sketch churn. Each table OWNING a group
+    * column band+semi-restricts by the dirty groups' values, then the
+    * cascade prunes the rest of the tree outward from the restricted
+    * owners (superset-sound); the closing group-semi refines exactly
+    * (the AggJoinView extents-churn technique, lifted to N). Ownership
+    * excludes edge CHILD keys exactly like the bootstrap resolution — a
+    * group column sharing a name with another table's child key must
+    * restrict the OWNER, not the key column (restricting a join key by
+    * group values would silently drop recompute rows). */
+  private[sources] def dirtyGroupJoinRows(spark: SparkSession,
+      rootsV: IndexedSeq[String], edges: Seq[Edge], curVs: IndexedSeq[Int],
+      newFrames: IndexedSeq[DataFrame], groupCols: Seq[String],
+      valueCols: Seq[String], dirtyG: DataFrame): DataFrame = {
+    val n = rootsV.size
+    val adj = adjacency(n, edges)
+    val childKeyOf: Map[Int, Set[String]] = edges.zipWithIndex.map {
+      case (e, i) => (i + 1) -> e.childKeys
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    }.toMap.withDefaultValue(Set.empty)
+    val owners: Map[Int, Seq[String]] = groupCols.groupBy(g =>
+      newFrames.indices.find(i =>
+        newFrames(i).columns.exists(_.equalsIgnoreCase(g)) &&
+          !childKeyOf(i).contains(
+            g.toLowerCase(java.util.Locale.ROOT))).get)
+    def restrict(i: Int): DataFrame = owners.get(i) match {
+      case None => newFrames(i)
+      case Some(gs) =>
+        val b = dirtyG.agg(lit(1).as("__one"),
+          gs.flatMap(g => Seq(min(col(g)).as(s"__lo_$g"),
+            max(col(g)).as(s"__hi_$g"))): _*).head()
+        val banded = gs.foldLeft(newFrames(i)) { (d, g) =>
+          val lo = b.getAs[Any](s"__lo_$g"); val hi = b.getAs[Any](s"__hi_$g")
+          if (lo == null || hi == null) d
+          else d.where(col(g) >= lit(lo) && col(g) <= lit(hi))
+        }
+        banded.join(broadcast(dirtyG.select(gs.map(col): _*).distinct()),
+          gs, "left_semi")
+    }
+    val frames = new Array[DataFrame](n)
+    owners.keys.foreach(i => frames(i) = restrict(i))
+    // cascade outward from the restricted owners (superset-sound;
+    // the group semi below is the exact cut)
+    var ring = owners.keys.toList
+    val seen = scala.collection.mutable.Set(owners.keys.toSeq: _*)
+    while (ring.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer.empty[Int]
+      for (u <- ring; (v, ku, kv) <- adj(u) if !seen.contains(v)) {
+        seen += v
+        val kt = JoinView.keyTuples(frames(u), ku)
+        frames(v) = JoinView.prefiltered(
+          JoinView.standing(spark, rootsV(v), curVs(v), kv, kt), kv, kt)
+        next += v
+      }
+      ring = next.toList
+    }
+    joinedSlice(frames.toIndexedSeq, edges, groupCols, valueCols)
+      .join(broadcast(dirtyG), groupCols, "left_semi")
   }
 
   /** Merge signed partials to the materialized aggregate — the
