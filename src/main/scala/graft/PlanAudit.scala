@@ -664,6 +664,42 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("distinct-count over the join TREE serves tree-free from the n-way ndv view", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{MultiNdvJoinView, NdvView, SnapshotStore}
+        import graft.sources.MultiAggJoinView.Edge
+        val root = java.nio.file.Files.createTempDirectory("pa_mnjv").toString
+        try {
+          SnapshotStore.append(spark.range(0, 3000)
+            .selectExpr("id % 400 AS f_ck", "concat('st', id % 2) AS f_st",
+              "concat('u', id % 70) AS user_id"), s"$root/F")
+          SnapshotStore.append(spark.range(0, 400)
+            .selectExpr("id AS c_ck", "id % 6 AS c_nk"), s"$root/C")
+          SnapshotStore.append(spark.range(0, 6)
+            .selectExpr("id AS n_nk", "concat('n', id) AS n_name"), s"$root/N")
+          val roots = Seq(s"$root/F", s"$root/C", s"$root/N")
+          val edges = Seq(Edge(0, Seq("f_ck"), Seq("c_ck")),
+            Edge(1, Seq("c_nk"), Seq("n_nk")))
+          MultiNdvJoinView.refresh(spark, roots, s"$root/mnview", edges,
+            Seq("n_name", "f_st"), "user_id")
+          graft.plans.MaterializedMultiJoins.enableNdv(roots, s"$root/mnview",
+            edges, Seq("n_name", "f_st"), "user_id")
+          val Seq(f, c, n) = roots.map(SnapshotStore.read(spark, _))
+          val p = f.join(c, f("f_ck") === c("c_ck"))
+            .join(n, c("c_nk") === n("n_nk"))
+            .groupBy("n_name", "f_st")
+            .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, " +
+              s"${NdvView.LgK}))").as("au"))
+            .queryExecution.executedPlan.toString
+          // served: the whole tree disappears; only the O(groups) sketch
+          // merge over the view scan remains
+          p.contains("/mnview") && !p.contains("/F") && !p.contains("/C") &&
+            !p.contains("/N") && !p.contains("Join")
+        } finally {
+          graft.plans.MaterializedMultiJoins.disable(s"$root/mnview")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("ndv stale-compensated serve keeps the sketch view in the plan", {
         import org.apache.spark.sql.functions._
         import graft.sources.{NdvView, SnapshotStore}

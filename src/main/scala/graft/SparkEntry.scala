@@ -4343,6 +4343,225 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // DISTINCT-COUNT over the N-way join TREE, maintained — the MV
+    // matrix's last cell (NdvJoinView's HLL partials x MultiAggJoinView's
+    // telescoped terms): unique customers per (nation, status) across
+    // orders⋈customer⋈nation through the full lifecycle — bootstrap,
+    // fact delta, snowflake-leaf delta, a MIXED gap (fact append + a
+    // group-MOVING customer churn in ONE atomic publish), an orders
+    // delete (dirty-group re-sketch), compaction. Register-max union
+    // keeps the maintained estimate bit-equal to a single-pass sketch;
+    // the approx-surface contract rides exact NDV + band verdict beside
+    // the exported estimate. The tree is 3 tables, not 5, on purpose:
+    // the serving matcher is table-count-blind and the lifecycle lane's
+    // budget (BENCH_LOCAL.md) prices fixtures by commit count.
+    "agg_join_view_multiway_ndv" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mjn").toString
+      try {
+        val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+        val v = s"$root/V"
+        val roots = Seq(or, cr, nr)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+          sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        val groups = Seq("n_name", "o_orderstatus")
+        def refresh(): Unit = sources.MultiNdvJoinView.refresh(
+          s, roots, v, edges, groups, "o_custkey")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 3 === 0), or)
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_nationkey"), cr)
+        sources.SnapshotStore.append(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")
+          .where(col("n_nationkey") < 15), nr)
+        refresh() // bootstrap: full 3-way join sketched once
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 3 === 1), or)
+        refresh() // fact delta: ΔO ⋈ standing dims, cascade-restricted
+        sources.SnapshotStore.append(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")
+          .where(col("n_nationkey") >= 15), nr)
+        refresh() // snowflake-LEAF delta: unmatched customers join in
+        // the MIXED gap: a fact APPEND and a group-MOVING customer churn
+        // land in ONE refresh — dirty-group re-sketch replaces beside the
+        // non-dirty append terms in one atomic publish
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 3 === 2), or)
+        sources.SnapshotStore.upsert(s,
+          Tables.customer(s, dir).where(col("c_custkey") % 10 === 0)
+            .select(col("c_custkey"), lit(0).as("c_nationkey")), cr,
+          Seq("c_custkey"))
+        refresh()
+        sources.SnapshotStore.deleteWhere(s, or, col("o_orderkey") % 7 === 0)
+        refresh() // fact churn: dirty groups re-sketch + atomic replace
+        sources.MultiNdvJoinView.compact(s, v)
+        val Seq(of, cf, nf) = roots.map(sources.SnapshotStore.read(s, _))
+        val exact = of.join(cf, of("o_custkey") === cf("c_custkey"))
+          .join(nf, cf("c_nationkey") === nf("n_nationkey"))
+          .groupBy("n_name", "o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("exact_users"))
+        val joined = sources.MultiNdvJoinView.read(s, v)
+          .join(exact, Seq("n_name", "o_orderstatus"))
+          .localCheckpoint(true)
+        joined.collect().foreach { x =>
+          val a = x.getAs[Long]("approx_o_custkey")
+          val e = x.getAs[Long]("exact_users")
+          require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+            s"n-way ndv estimate outside its band: approx=$a exact=$e")
+        }
+        exportForOracle(joined.select(col("n_name"),
+          col("o_orderstatus"), col("approx_o_custkey").as("approx_users")),
+          "mjn_approx", model = true)
+        joined.select(col("n_name"), col("o_orderstatus"),
+          col("exact_users"),
+          col("approx_o_custkey").as("approx_users"),
+          (abs(col("approx_o_custkey") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // Catalyst SERVING of the distinct-count-over-tree MV: the
+    // user-shaped datasketches aggregate over the registered 3-way join
+    // — written leaf-first, NOT the registration's order (the flattened-
+    // tree matcher is order-blind) — is answered from the stored
+    // sketches; the whole join tree leaves the plan (used_view pinned).
+    "agg_join_view_multiway_ndv_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mjns").toString
+      try {
+        val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+        val v = s"$root/view"
+        val roots = Seq(or, cr, nr)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+          sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        val groups = Seq("n_name", "o_orderstatus")
+        sources.SnapshotStore.append(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus"), or)
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_nationkey"), cr)
+        sources.SnapshotStore.append(
+          Tables.nation(s, dir).select("n_nationkey", "n_name"), nr)
+        sources.MultiNdvJoinView.refresh(s, roots, v, edges, groups,
+          "o_custkey")
+        graft.plans.MaterializedMultiJoins.enableNdv(roots, v, edges,
+          groups, "o_custkey")
+        try {
+          val Seq(of, cf, nf) = roots.map(sources.SnapshotStore.read(s, _))
+          val cn = cf.join(nf, cf("c_nationkey") === nf("n_nationkey"))
+          val q = of.join(cn, of("o_custkey") === cn("c_custkey"))
+            .groupBy("n_name", "o_orderstatus")
+            .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, " +
+              s"${sources.NdvView.LgK}))").as("approx_users"))
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
+          val exact = of.join(cf, of("o_custkey") === cf("c_custkey"))
+            .join(nf, cf("c_nationkey") === nf("n_nationkey"))
+            .groupBy("n_name", "o_orderstatus")
+            .agg(countDistinct(col("o_custkey")).as("exact_users"))
+          val joined = q.join(exact, Seq("n_name", "o_orderstatus"))
+            .localCheckpoint(true)
+          joined.collect().foreach { x =>
+            val a = x.getAs[Long]("approx_users")
+            val e = x.getAs[Long]("exact_users")
+            require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+              s"served n-way ndv estimate outside its band: approx=$a exact=$e")
+          }
+          exportForOracle(joined.select(col("n_name"),
+            col("o_orderstatus"), col("approx_users")),
+            "mjns_approx", model = true)
+          joined.select(col("n_name"), col("o_orderstatus"),
+            col("exact_users"), col("approx_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              greatest(col("exact_users") * lit(0.05), lit(2.0)))
+              .as("bound_ok"))
+            .withColumn("used_view", lit(usedView))
+        } finally graft.plans.MaterializedMultiJoins.disable(v)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // STREAMING maintenance of the NDV-over-join MV (the r16 ask-2
+    // residual): customers stand, orders drip through a checkpointed
+    // file stream, every trigger folding its delta-join SKETCHES inside
+    // the trigger (the register-max append path under replay-idempotent
+    // packed epochs). The stream-grown estimates must band-match exact
+    // NDV over the full join.
+    "stream_agg_join_ndv_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sajn").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_mktsegment"), l)
+        graft.streaming.StreamReplay.viewIngestReplay(
+          Tables.orders(s, dir).where(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus"),
+          "o_orderkey", r,
+          sp => sources.NdvJoinView.refresh(sp, l, r, v,
+            Seq("c_custkey"), Seq("o_custkey"),
+            Seq("c_mktsegment", "o_orderstatus"), "c_custkey"))
+        val lf = sources.SnapshotStore.read(s, l)
+        val rf = sources.SnapshotStore.read(s, r)
+        val exact = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("exact_users"))
+        val joined = sources.NdvJoinView.read(s, v)
+          .join(exact, Seq("c_mktsegment", "o_orderstatus"))
+          .localCheckpoint(true)
+        joined.collect().foreach { x =>
+          val a = x.getAs[Long]("approx_c_custkey")
+          val e = x.getAs[Long]("exact_users")
+          require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+            s"streamed ndv-join estimate outside its band: approx=$a exact=$e")
+        }
+        exportForOracle(joined.select(col("c_mktsegment"),
+          col("o_orderstatus"), col("approx_c_custkey").as("approx_users")),
+          "sajn_approx", model = true)
+        joined.select(col("c_mktsegment"), col("o_orderstatus"),
+          col("exact_users"),
+          col("approx_c_custkey").as("approx_users"),
+          (abs(col("approx_c_custkey") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.05), lit(2.0))).as("bound_ok"))
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // STREAMING maintenance of the MULTI-WAY MV with the SNOWFLAKE LEAF
+    // dripping: the fact and inner dims stand while NATION arrives
+    // through a checkpointed file stream — every trigger's telescoped
+    // leaf-delta term runs the semi-join CASCADE (Δnation → supplier →
+    // fact/part/orders) under replay-idempotent packed epochs. The
+    // stream-grown groups must equal the SQL GROUP BY over the 5-way join.
+    "stream_agg_join_multiway_dim_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_smjd").toString
+      try {
+        val fr = s"$root/F"; val pr = s"$root/P"; val sr = s"$root/S"
+        val nr = s"$root/N"; val or = s"$root/O"; val v = s"$root/V"
+        val roots = Seq(fr, pr, sr, nr, or)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+          sources.MultiAggJoinView.Edge(2, Seq("s_nationkey"), Seq("n_nationkey")),
+          sources.MultiAggJoinView.Edge(0, Seq("l_orderkey"), Seq("o_orderkey")))
+        sources.SnapshotStore.append(
+          Tables.lineitem(s, dir).where(col("l_orderkey") % 4 === 0)
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
+          fr)
+        sources.SnapshotStore.append(
+          Tables.part(s, dir).select("p_partkey", "p_brand"), pr)
+        sources.SnapshotStore.append(
+          Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"), sr)
+        sources.SnapshotStore.append(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"), or)
+        graft.streaming.StreamReplay.viewIngestReplay(
+          Tables.nation(s, dir).select("n_nationkey", "n_name"),
+          "n_nationkey", nr,
+          sp => sources.MultiAggJoinView.refresh(sp, roots, v, edges,
+            Seq("n_name", "o_orderpriority"), Seq("l_extendedprice")),
+          slices = 5)
+        sources.MultiAggJoinView.read(s, v)
+          .select(col("n_name"), col("o_orderpriority"),
+            col("cnt").as("n_items"),
+            col("sum_l_extendedprice").cast("double").as("revenue"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // STREAMING maintenance of the MULTI-WAY MV: four dims stand, the
     // FACT drips through a checkpointed file stream, every trigger
     // folding its telescoped fact-delta term inside the trigger (the
@@ -7798,6 +8017,77 @@ object SparkEntry {
          |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok,
          |       TRUE AS used_view
          |FROM ex JOIN ap USING (c_mktsegment, o_orderstatus)""".stripMargin,
+
+    // ndv-over-TREE lifecycle replay: exact distinct customers per
+    // (nation, status) over the surviving orders (the %7 delete ran
+    // after every third landed) against the upserted customers (the %10
+    // nation move), the estimate from the export, band verdict
+    // re-derived on both sides
+    "agg_join_view_multiway_ndv" ->
+      s"""WITH o AS (SELECT o_custkey, o_orderstatus FROM orders
+         |           WHERE o_orderkey % 7 != 0),
+         |c AS (SELECT c_custkey,
+         |             CASE WHEN c_custkey % 10 = 0 THEN 0
+         |                  ELSE c_nationkey END AS c_nationkey
+         |      FROM customer),
+         |ex AS (SELECT n_name, o_orderstatus,
+         |         count(DISTINCT o_custkey) AS exact_users
+         |       FROM o JOIN c ON o_custkey = c_custkey
+         |              JOIN nation ON c_nationkey = n_nationkey
+         |       GROUP BY 1, 2),
+         |ap AS (SELECT n_name, o_orderstatus, approx_users
+         |       FROM read_parquet('${exportGlob("mjn_approx")}'))
+         |SELECT ex.n_name, ex.o_orderstatus, ex.exact_users,
+         |       ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok
+         |FROM ex JOIN ap USING (n_name, o_orderstatus)""".stripMargin,
+
+    "agg_join_view_multiway_ndv_serve" ->
+      s"""WITH ex AS (SELECT n_name, o_orderstatus,
+         |         count(DISTINCT o_custkey) AS exact_users
+         |       FROM orders JOIN customer ON o_custkey = c_custkey
+         |              JOIN nation ON c_nationkey = n_nationkey
+         |       GROUP BY 1, 2),
+         |ap AS (SELECT n_name, o_orderstatus, approx_users
+         |       FROM read_parquet('${exportGlob("mjns_approx")}'))
+         |SELECT ex.n_name, ex.o_orderstatus, ex.exact_users,
+         |       ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok,
+         |       TRUE AS used_view
+         |FROM ex JOIN ap USING (n_name, o_orderstatus)""".stripMargin,
+
+    // the streamed ndv-join parity: exact distinct customers per
+    // (segment, status) over the dripped half of orders, the stream-grown
+    // estimate from the export, band verdict re-derived on both sides
+    "stream_agg_join_ndv_parity" ->
+      s"""WITH o AS (SELECT o_custkey, o_orderstatus FROM orders
+         |           WHERE o_orderkey % 2 = 0),
+         |ex AS (SELECT c_mktsegment, o_orderstatus,
+         |         count(DISTINCT o_custkey) AS exact_users
+         |       FROM customer JOIN o ON c_custkey = o_custkey
+         |       GROUP BY 1, 2),
+         |ap AS (SELECT c_mktsegment, o_orderstatus, approx_users
+         |       FROM read_parquet('${exportGlob("sajn_approx")}'))
+         |SELECT ex.c_mktsegment, ex.o_orderstatus, ex.exact_users,
+         |       ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok
+         |FROM ex JOIN ap USING (c_mktsegment, o_orderstatus)""".stripMargin,
+
+    // the leaf-drip parity faces the full 5-way join over the quartered
+    // fact — the dripped nation slices must converge to all 25 nations
+    "stream_agg_join_multiway_dim_parity" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 4 = 0
+        |GROUP BY 1, 2""".stripMargin,
 
     // delta-compensated N-way serving: the answer faces the CURRENT
     // sources (full fact, all 25 nations); used_view TRUE pins the plan
