@@ -42,7 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DDL for materialized views — CREATE/REFRESH/DROP MATERIALIZED
     // VIEW dispatching to the same registries the Scala API uses; every
     // other statement delegates to Spark's parser untouched.
-    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     // Materialized-view rewrite for registered RollupView pairs — a
     // post-hoc resolution rule so it sees the stable analyzed aggregate
     // shape (see RollupRewriteRule's doc for the exactness conditions).

@@ -116,6 +116,15 @@ object MaterializedAggJoins {
       .toSeq.foreach(regs.remove)
   }
 
+  /** Unregister exactly the registrations SERVING from `viewRoot` —
+    * sibling views over the same join (the ndv twin, a differently
+    * grouped MV) keep serving (the DDL DROP path). */
+  def disableView(viewRoot: String): Unit = {
+    val c = canon(viewRoot)
+    regs.entrySet().asScala.filter(e => canon(e.getValue.viewRoot) == c)
+      .map(_.getKey).toSeq.foreach(regs.remove)
+  }
+
   def clear(): Unit = regs.clear()
 
   private[plans] def isEmpty: Boolean = regs.isEmpty

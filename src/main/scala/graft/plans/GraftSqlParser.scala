@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
 
-import graft.sources.{AggJoinView, JoinView, MultiAggJoinView, NdvJoinView, NdvView, QuantileView, RollupView}
+import graft.sources.{AggJoinView, JoinView, MultiAggJoinView, MultiNdvJoinView, NdvJoinView, NdvView, QuantileView, RollupView}
 import graft.sources.MultiAggJoinView.Edge
 
 /** The SQL DDL surface for the engine's materialized views — the
@@ -44,13 +44,32 @@ import graft.sources.MultiAggJoinView.Edge
   *   - `MULTI_AGG_JOIN(ROOTS => 'r0;r1;…', EDGES =>
   *     'parent:pk,…:ck,…;…' (edge i attaches table i+1), GROUPS,
   *     MEASURES [, EXTENTS => 'true'] [, STALE => …])`
+  *   - `MULTI_NDV_JOIN(ROOTS, EDGES, GROUPS, DISTINCT_COL => 'x'
+  *     [, STALE => …])` — distinct count over the join tree
   *
   * CREATE registers AND materializes (the initial refresh runs — a
   * CREATE that didn't materialize would serve nothing); REFRESH brings
   * the view current from the DDL catalog's recorded spec; DROP
-  * unregisters. The catalog is session-global in-memory state, exactly
-  * like the Scala registries it fronts. Any statement that doesn't
-  * match the three shapes delegates to Spark's own parser untouched.
+  * unregisters exactly that view (sibling views over the same sources
+  * keep serving). Any statement that doesn't match the four shapes
+  * delegates to Spark's own parser untouched.
+  *
+  * The catalog PERSISTS: CREATE writes one small entry file (view root
+  * + kind + the CREATE's own args) under the catalog directory —
+  * `spark.graft.catalog` when set, else
+  * `<spark.sql.warehouse.dir>/graft_catalog` — and every parsed
+  * statement lazily rehydrates missing registrations from it (cached on
+  * the directory's mtime), so a RESTARTED session serves, refreshes,
+  * and lists everything it CREATEd without re-running any bootstrap.
+  * DROP removes the entry file.
+  *
+  * Operational note on refresh cadence: a MULTI view's packed cursor
+  * allots each source `2^(62/n)` versions (4096 for 5 tables, 128 for
+  * 8) — at a per-minute streaming refresh cadence a 5-table view's store
+  * lives ~3 days before it must be compacted into a fresh root
+  * ([[MultiAggJoinView.packAll]] refuses loudly, and serving declines
+  * rather than throws). Size refresh cadence × table count accordingly,
+  * or refresh through [[graft.streaming.StreamReplay]]'s batched drips.
   */
 object GraftDdl {
 
@@ -96,11 +115,97 @@ object GraftDdl {
       MultiAggJoinView.refresh(spark, roots, view, edges, groups, measures,
         extents)
   }
+  private final case class MultiNdvSpec(roots: Seq[String], edges: Seq[Edge],
+                                        groups: Seq[String], x: String,
+                                        stale: Boolean) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      MultiNdvJoinView.refresh(spark, roots, view, edges, groups, x)
+  }
 
   /** The DDL catalog: view root → recorded spec (what REFRESH/DROP
-    * resolve against). Session-global like the rewrite registries. */
+    * resolve against), rehydrated lazily from the persisted entries. */
   private val catalog =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+
+  // ---- persistence -------------------------------------------------------
+  // One small entry file per CREATEd view — view root, kind, and the
+  // CREATE's own args (URL-encoded, one per line) — under the catalog
+  // directory. That is exactly enough to rebuild the Spec and re-register
+  // the rewrite registries in a fresh session WITHOUT re-running the
+  // bootstrap: the view's store (content, cursors, spec sidecar) is
+  // already on disk.
+
+  private def catalogDir(spark: SparkSession): java.nio.file.Path = {
+    val loc = spark.conf.getOption("spark.graft.catalog").getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val base =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      s"$base/graft_catalog"
+    }
+    java.nio.file.Paths.get(loc)
+  }
+
+  private def entryFile(dir: java.nio.file.Path,
+                        view: String): java.nio.file.Path = {
+    val h = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(MaterializedRollups.canon(view).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    dir.resolve(s"$h.mv")
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def persist(spark: SparkSession, view: String, kind: String,
+                      args: Map[String, String]): Unit = {
+    val dir = catalogDir(spark)
+    java.nio.file.Files.createDirectories(dir)
+    val body = (Seq(enc(view), kind) ++
+      args.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" })
+      .mkString("\n")
+    java.nio.file.Files.write(entryFile(dir, view), body.getBytes("UTF-8"))
+  }
+
+  // dir path → last rehydrated mtime (nanos) — repeat parses cost one stat
+  private val rehydratedAt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Re-register every persisted view this session doesn't know yet —
+    * ADD-only (a missing file never unregisters: DROP is explicit in the
+    * session that issues it). Runs on every parsed statement, cached on
+    * the catalog directory's mtime. */
+  def rehydrate(spark: SparkSession): Unit = {
+    val dir = catalogDir(spark)
+    val key = dir.toString
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(dir)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => return }
+    if (Option(rehydratedAt.get(key)).contains(java.lang.Long.valueOf(mtime)))
+      return
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".mv")).foreach { f =>
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split("\n").toSeq
+        if (lines.size >= 2) {
+          val view = dec(lines.head)
+          val kind = lines(1)
+          if (!catalog.containsKey(view)) {
+            val args = lines.drop(2).filter(_.contains("=")).map { l =>
+              val i = l.indexOf('=')
+              dec(l.take(i)) -> dec(l.drop(i + 1))
+            }.toMap
+            val spec = buildSpec(kind, args)
+            register(view, spec)
+            catalog.put(view, spec)
+          }
+        }
+      }
+    rehydratedAt.put(key, mtime)
+  }
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+([A-Za-z_]+)\s*\((.*)\)\s*;?\s*$""".r
@@ -137,6 +242,7 @@ object GraftDdl {
         case _: AggJoinSpec         => "AGG_JOIN"
         case _: NdvJoinSpec         => "NDV_JOIN"
         case _: MultiSpec           => "MULTI_AGG_JOIN"
+        case _: MultiNdvSpec        => "MULTI_NDV_JOIN"
       }
       (view, kind, spec.toString)
     }
@@ -151,10 +257,23 @@ object GraftDdl {
   private def flag(args: Map[String, String], k: String): Boolean =
     args.get(k).exists(_.equalsIgnoreCase("true"))
 
-  /** Build the spec + perform the registration for CREATE. */
+  /** Build the spec + perform the registration for CREATE; the entry
+    * persists so a restarted session rehydrates it. */
   private[plans] def create(spark: SparkSession, view: String,
                             kind: String, args: Map[String, String]): Int = {
-    val spec: Spec = kind match {
+    val spec = buildSpec(kind, args)
+    // materialize FIRST (a failed bootstrap must not leave a live
+    // registration serving nothing), then register for serving
+    val v = spec.refresh(spark, view)
+    register(view, spec)
+    catalog.put(view, spec)
+    persist(spark, view, kind, args)
+    v
+  }
+
+  /** The kind → Spec constructor shared by CREATE and rehydration. */
+  private def buildSpec(kind: String, args: Map[String, String]): Spec =
+    kind match {
       case "ROLLUP" | "NDV" =>
         val grain = args.get("GRAIN").map(_.toLowerCase) match {
           case Some("hour")       => RollupView.Hour
@@ -196,17 +315,21 @@ object GraftDdl {
         MultiSpec(roots, edges, list(need(args, "GROUPS", kind)),
           list(need(args, "MEASURES", kind)), flag(args, "EXTENTS"),
           flag(args, "STALE"))
+      case "MULTI_NDV_JOIN" =>
+        val roots = need(args, "ROOTS", kind).split(";").map(_.trim).toSeq
+        val edges = need(args, "EDGES", kind).split(";").map(_.trim).map { e =>
+          e.split(":") match {
+            case Array(p, pks, cks) => Edge(p.trim.toInt, list(pks), list(cks))
+            case _ => sys.error(s"bad EDGES entry '$e' (parent:pk,…:ck,…)")
+          }
+        }.toSeq
+        MultiNdvSpec(roots, edges, list(need(args, "GROUPS", kind)),
+          need(args, "DISTINCT_COL", kind), flag(args, "STALE"))
       case other =>
         sys.error(s"unknown materialized-view kind '$other' (ROLLUP, NDV, " +
-          "QUANTILE, JOIN, AGG_JOIN, NDV_JOIN, MULTI_AGG_JOIN)")
+          "QUANTILE, JOIN, AGG_JOIN, NDV_JOIN, MULTI_AGG_JOIN, " +
+          "MULTI_NDV_JOIN)")
     }
-    // materialize FIRST (a failed bootstrap must not leave a live
-    // registration serving nothing), then register for serving
-    val v = spec.refresh(spark, view)
-    register(view, spec)
-    catalog.put(view, spec)
-    v
-  }
 
   private def register(view: String, spec: Spec): Unit = spec match {
     case RollupSpec(src, grain, stale, false) =>
@@ -222,6 +345,8 @@ object GraftDdl {
       MaterializedAggJoins.enableNdvKeys(l, r, view, lks, rks, g, x, stale)
     case MultiSpec(roots, edges, g, m, _, stale) =>
       MaterializedMultiJoins.enable(roots, view, edges, g, m, stale)
+    case MultiNdvSpec(roots, edges, g, x, stale) =>
+      MaterializedMultiJoins.enableNdv(roots, view, edges, g, x, stale)
   }
 
   private[plans] def refresh(spark: SparkSession, view: String): Int =
@@ -229,20 +354,26 @@ object GraftDdl {
       sys.error(s"no materialized view registered at '$view' — " +
         "CREATE MATERIALIZED VIEW first"))
 
-  private[plans] def drop(view: String): Unit = {
+  /** DROP unregisters exactly THIS view — by view root, never by source
+    * root: sibling views sharing a source (day+hour rollups, an
+    * AGG_JOIN and an NDV_JOIN over the same join) keep serving. The
+    * persisted entry is removed too. */
+  private[plans] def drop(spark: SparkSession, view: String): Unit = {
     val spec = Option(catalog.remove(view)).getOrElse(
       sys.error(s"no materialized view registered at '$view'"))
     spec match {
-      case RollupSpec(src, _, _, _) => MaterializedRollups.disable(src)
-      case QuantileSpec(_, _, _)    => ()
-      case JoinSpec(l, _, _, _, _, _)       => MaterializedJoins.disable(l)
-      case AggJoinSpec(l, _, _, _, _, _, _, _) => MaterializedAggJoins.disable(l)
-      case NdvJoinSpec(l, _, _, _, _, _, _)    => MaterializedAggJoins.disable(l)
-      case MultiSpec(_, _, _, _, _, _) => MaterializedMultiJoins.disable(view)
+      case _: RollupSpec   => MaterializedRollups.disableView(view)
+      case _: QuantileSpec => ()
+      case _: JoinSpec     => MaterializedJoins.disableView(view)
+      case _: AggJoinSpec  => MaterializedAggJoins.disableView(view)
+      case _: NdvJoinSpec  => MaterializedAggJoins.disableView(view)
+      case _: MultiSpec    => MaterializedMultiJoins.disable(view)
+      case _: MultiNdvSpec => MaterializedMultiJoins.disable(view)
     }
+    java.nio.file.Files.deleteIfExists(entryFile(catalogDir(spark), view))
   }
 
-  def clear(): Unit = catalog.clear()
+  def clear(): Unit = { catalog.clear(); rehydratedAt.clear() }
 }
 
 private[plans] trait MvCommand extends LeafRunnableCommand {
@@ -265,7 +396,7 @@ case class RefreshMaterializedViewCommand(view: String) extends MvCommand {
 
 case class DropMaterializedViewCommand(view: String) extends MvCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftDdl.drop(view)
+    GraftDdl.drop(spark, view)
     Seq(Row(view, -1))
   }
 }
@@ -279,11 +410,17 @@ case class ShowMaterializedViewsCommand() extends LeafRunnableCommand {
     GraftDdl.listViews.map { case (v, k, s) => Row(v, k, s) }
 }
 
-/** Parser injection: intercept the three materialized-view statements,
-  * delegate everything else to Spark's parser verbatim. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
+/** Parser injection: intercept the materialized-view statements,
+  * delegate everything else to Spark's parser verbatim. Every parsed
+  * statement first rehydrates persisted registrations (mtime-cached, one
+  * stat on the warm path), so a restarted SQL-only session serves,
+  * refreshes, and lists its views with no Scala calls. */
+class GraftSqlParser(session: SparkSession,
+                     delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    GraftDdl.rehydrate(session)
     GraftDdl.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =

@@ -100,6 +100,16 @@ object MaterializedJoins {
       .foreach(probeCache.remove)
   }
 
+  /** Unregister exactly the registrations SERVING from `viewRoot` —
+    * sibling views sharing a source keep serving (the DDL DROP path). */
+  def disableView(viewRoot: String): Unit = {
+    val c = canon(viewRoot)
+    regs.entrySet().asScala.filter(e => canon(e.getValue.viewRoot) == c)
+      .map(_.getKey).toSeq.foreach(regs.remove)
+    probeCache.keySet().asScala.filter(_.endsWith("|" + viewRoot)).toSeq
+      .foreach(probeCache.remove)
+  }
+
   def clear(): Unit = { regs.clear(); probeCache.clear() }
 
   private[plans] def isEmpty: Boolean = regs.isEmpty

@@ -94,6 +94,19 @@ object MaterializedRollups {
       .foreach(probeCache.remove)
   }
 
+  /** Unregister exactly the registrations SERVING from `viewRoot` —
+    * sibling views over the same source (the other grain, the ndv twin)
+    * keep serving. The DDL's DROP path: dropping one view must not
+    * silently unplug its siblings. */
+  def disableView(viewRoot: String): Unit = {
+    val c = canon(viewRoot)
+    regs.entrySet().asScala.filter(e => canon(e.getValue) == c)
+      .map(_.getKey).toSeq
+      .foreach(k => Option(regs.remove(k)).foreach(staleOk.remove))
+    probeCache.keySet().asScala.filter(_.endsWith("|" + viewRoot)).toSeq
+      .foreach(probeCache.remove)
+  }
+
   def clear(): Unit = { regs.clear(); probeCache.clear(); staleOk.clear() }
 
   /** Views opted into DELTA-COMPENSATED serving: when the view's stamp

@@ -615,4 +615,168 @@ class ExtensionsSpec extends SparkSpec {
       SnapshotStore.deleteTree(root)
     }
   }
+
+  test("SQL DDL: the persisted catalog survives a restart — serve, REFRESH, SHOW with no Scala calls") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mvddlp").toString
+    val src = s"$root/src"; val view = s"$root/view"
+    val l = s"$root/L"; val r = s"$root/R"; val ajv = s"$root/ajview"
+    spark.conf.set("spark.graft.catalog", s"$root/catalog")
+    // a clean registry slate stands in for a fresh JVM (the registries
+    // and the DDL catalog are the only session-global state)
+    def restart(): Unit = {
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedRollups.clear()
+      graft.plans.MaterializedAggJoins.clear()
+      graft.plans.MaterializedJoins.clear()
+      graft.plans.MaterializedMultiJoins.clear()
+    }
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.0), ("m", 86410L, 2.0),
+        ("n", 20L, 5.0)).toDF("metric", "e", "value"), src)
+      SnapshotStore.append(spark.range(0, 200)
+        .selectExpr("id AS c_id", "concat('seg', id % 3) AS seg"), l)
+      SnapshotStore.append(spark.range(0, 600)
+        .selectExpr("id % 200 AS o_id", "CAST(id AS DOUBLE) AS total"), r)
+      spark.sql(s"CREATE MATERIALIZED VIEW '$view' AS ROLLUP(SRC => '$src')")
+      spark.sql(s"""CREATE MATERIALIZED VIEW '$ajv' AS AGG_JOIN(
+        LEFT => '$l', RIGHT => '$r', LEFT_KEYS => 'c_id',
+        RIGHT_KEYS => 'o_id', GROUPS => 'seg', MEASURES => 'total')""")
+
+      restart()
+      // SHOW rehydrates both entries from the persisted catalog
+      val shown = spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      assert(shown == Set((view, "ROLLUP"), (ajv, "AGG_JOIN")), s"got $shown")
+      // SERVING works in the fresh session — no re-CREATE, no bootstrap
+      SnapshotStore.read(spark, l).createOrReplaceTempView("mvddlp_l")
+      SnapshotStore.read(spark, r).createOrReplaceTempView("mvddlp_r")
+      def aq() = spark.sql(
+        """SELECT seg, count(1) AS n, sum(CAST(total AS DECIMAL(18,2))) AS t
+          |FROM mvddlp_l JOIN mvddlp_r ON c_id = o_id GROUP BY seg""".stripMargin)
+      assert(aq().queryExecution.executedPlan.toString.contains("/ajview"),
+        "a rehydrated agg-join registration must serve")
+      // REFRESH resolves against the rehydrated catalog and advances
+      SnapshotStore.append(Seq(("m", 30L, 3.0)).toDF("metric", "e", "value"),
+        src)
+      restart()
+      assert(spark.sql(s"REFRESH MATERIALIZED VIEW '$view'")
+        .collect().head.getInt(1) == 2)
+
+      // DROP removes the persisted entry: a later restart must NOT
+      // resurrect the dropped view, and must keep the sibling
+      spark.sql(s"DROP MATERIALIZED VIEW '$view'")
+      restart()
+      val after = spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .map(_.getString(0)).toSet
+      assert(after == Set(ajv), s"got $after")
+      assert(aq().queryExecution.executedPlan.toString.contains("/ajview"))
+      spark.sql(s"DROP MATERIALIZED VIEW '$ajv'")
+    } finally {
+      spark.conf.unset("spark.graft.catalog")
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedRollups.clear()
+      graft.plans.MaterializedAggJoins.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
+  test("SQL DDL: MULTI_AGG_JOIN and MULTI_NDV_JOIN create, serve, rehydrate, and drop through spark.sql") {
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("mvddlm").toString
+    val fv = s"$root/F"; val cv = s"$root/C"; val nv = s"$root/N"
+    val aggV = s"$root/maggview"; val ndvV = s"$root/mndvview"
+    spark.conf.set("spark.graft.catalog", s"$root/catalog")
+    try {
+      SnapshotStore.append(spark.range(0, 2000)
+        .selectExpr("id % 300 AS f_ck", "concat('st', id % 2) AS f_st",
+          "CAST(id % 97 AS DOUBLE) AS amt", "concat('u', id % 50) AS user_id"),
+        fv)
+      SnapshotStore.append(spark.range(0, 300)
+        .selectExpr("id AS c_ck", "id % 5 AS c_nk"), cv)
+      SnapshotStore.append(spark.range(0, 5)
+        .selectExpr("id AS n_nk", "concat('n', id) AS n_name"), nv)
+      val edgesArg = "0:f_ck:c_ck;1:c_nk:n_nk"
+      spark.sql(s"""CREATE MATERIALIZED VIEW '$aggV' AS MULTI_AGG_JOIN(
+        ROOTS => '$fv;$cv;$nv', EDGES => '$edgesArg',
+        GROUPS => 'n_name,f_st', MEASURES => 'amt')""")
+      spark.sql(s"""CREATE MATERIALIZED VIEW '$ndvV' AS MULTI_NDV_JOIN(
+        ROOTS => '$fv;$cv;$nv', EDGES => '$edgesArg',
+        GROUPS => 'n_name,f_st', DISTINCT_COL => 'user_id')""")
+      val Seq(f, c, n) = Seq(fv, cv, nv).map(SnapshotStore.read(spark, _))
+      f.createOrReplaceTempView("mvddlm_f")
+      c.createOrReplaceTempView("mvddlm_c")
+      n.createOrReplaceTempView("mvddlm_n")
+      def aggQ() = spark.sql(
+        """SELECT n_name, f_st, count(1) AS cnt,
+          |       sum(CAST(amt AS DECIMAL(18,2))) AS t
+          |FROM mvddlm_f JOIN mvddlm_c ON f_ck = c_ck
+          |      JOIN mvddlm_n ON c_nk = n_nk
+          |GROUP BY n_name, f_st""".stripMargin)
+      def ndvQ() = spark.sql(
+        s"""SELECT n_name, f_st,
+           |  hll_sketch_estimate(hll_sketch_agg(user_id,
+           |    ${graft.sources.NdvView.LgK})) AS au
+           |FROM mvddlm_f JOIN mvddlm_c ON f_ck = c_ck
+           |      JOIN mvddlm_n ON c_nk = n_nk
+           |GROUP BY n_name, f_st""".stripMargin)
+      assert(aggQ().queryExecution.executedPlan.toString.contains("/maggview"),
+        "the SQL-created multi-way agg view must serve")
+      assert(ndvQ().queryExecution.executedPlan.toString.contains("/mndvview"),
+        "the SQL-created multi-way ndv view must serve")
+      // restart: both rehydrate and keep serving; DROP one, sibling stays
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedMultiJoins.clear()
+      assert(ndvQ().queryExecution.executedPlan.toString.contains("/mndvview"),
+        "a rehydrated multi-way ndv registration must serve")
+      spark.sql(s"DROP MATERIALIZED VIEW '$ndvV'")
+      assert(!ndvQ().queryExecution.executedPlan.toString.contains("/mndvview"))
+      assert(aggQ().queryExecution.executedPlan.toString.contains("/maggview"),
+        "dropping the ndv twin must not unplug the agg sibling")
+      spark.sql(s"DROP MATERIALIZED VIEW '$aggV'")
+    } finally {
+      spark.conf.unset("spark.graft.catalog")
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedMultiJoins.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
+  test("SQL DDL: DROP unregisters by VIEW — sibling views over the same source keep serving") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mvddls").toString
+    val src = s"$root/src"
+    val dayV = s"$root/dayview"; val hourV = s"$root/hourview"
+    spark.conf.set("spark.graft.catalog", s"$root/catalog")
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.0), ("m", 7200L, 2.0),
+        ("n", 20L, 5.0)).toDF("metric", "e", "value"), src)
+      spark.sql(s"CREATE MATERIALIZED VIEW '$dayV' AS ROLLUP(SRC => '$src')")
+      spark.sql(s"CREATE MATERIALIZED VIEW '$hourV' AS ROLLUP(SRC => '$src', " +
+        "GRAIN => 'hour')")
+      SnapshotStore.read(spark, src).createOrReplaceTempView("mvddls_t")
+      def hq() = spark.sql(
+        """SELECT metric, e div 3600 AS hour, count(1) AS cnt
+          |FROM mvddls_t GROUP BY metric, e div 3600""".stripMargin)
+      assert(hq().queryExecution.executedPlan.toString.contains("/hourview"))
+      // the regression: dropping the DAY view used to disable BY SOURCE,
+      // silently unplugging the hour sibling while SHOW still listed it
+      spark.sql(s"DROP MATERIALIZED VIEW '$dayV'")
+      assert(hq().queryExecution.executedPlan.toString.contains("/hourview"),
+        "dropping one grain must not unplug the sibling grain's serving")
+      val shown = spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .map(_.getString(0)).toSet
+      assert(shown == Set(hourV))
+      spark.sql(s"DROP MATERIALIZED VIEW '$hourV'")
+    } finally {
+      spark.conf.unset("spark.graft.catalog")
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedRollups.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
 }
