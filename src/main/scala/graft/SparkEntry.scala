@@ -2379,6 +2379,44 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // VIEW-OVER-VIEW: a maintained day-grain ROLLUP whose SOURCE is a
+    // maintained JOIN view's store — the two-tier warehouse. Upstream
+    // APPEND refreshes land as `append` commits the rollup absorbs on
+    // its O(Δ) incremental path; an upstream CHURN rewrites the join
+    // view once (published as its own compaction) and the rollup takes
+    // its honest rebuild — both tiers' cursors compose with no special
+    // plumbing (a JoinView store IS a SnapshotStore). The final partials
+    // must equal the SQL day rollup over the replayed, dim-restricted
+    // join.
+    "rollup_over_join_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vov").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"
+        val jv = s"$root/jview"; val rv = s"$root/rollup"
+        val se = series(s, dir).select("metric", "e", "value")
+        // the dim restricts the rollup to three metric families — a real
+        // enrichment join, not a pass-through
+        val dim = se.select(col("metric").as("m2")).distinct()
+          .where(col("m2").isin("click", "view", "purchase"))
+        def refreshBoth(): Unit = {
+          sources.JoinView.refreshKeys(s, l, r, jv, Seq("metric"), Seq("m2"))
+          sources.RollupView.refresh(s, jv, rv)
+        }
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 0), l)
+        sources.SnapshotStore.append(dim, r)
+        refreshBoth() // bootstrap both tiers
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 1), l)
+        refreshBoth() // upstream append → downstream O(Δ) append
+        sources.SnapshotStore.deleteWhere(s, l, col("value") > 150.0)
+        refreshBoth() // upstream churn → view rewrite → downstream rebuild
+        sources.RollupView.read(s, rv)
+          .select(col("metric"), col("day"), col("cnt"),
+            col("vsum").cast("double").as("sum_val"),
+            col("vmin").as("min_val"), col("vmax").as("max_val"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // Declarative data-expectations gate: six rules over lineitem — four
     // row-level checks folded into ONE conditional aggregate over ONE
     // scan, a uniqueness check (key-grouped count), and referential
@@ -7192,6 +7230,19 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_val,
          |  TRUE AS used_view
          |FROM series GROUP BY 1, 2""".stripMargin,
+
+    // two-tier replay: the day rollup over the dim-restricted join's
+    // FINAL state (both halves landed before the value churn, so the
+    // delete strips matching rows everywhere)
+    "rollup_over_join_view" ->
+      s"""WITH $SERIES,
+         |j AS (SELECT metric, e, value FROM series
+         |      WHERE metric IN ('click', 'view', 'purchase')
+         |        AND NOT (value > 150.0))
+         |SELECT metric, e // 86400 AS day, count(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_val,
+         |  min(value) AS min_val, max(value) AS max_val
+         |FROM j GROUP BY 1, 2""".stripMargin,
 
     // Retraction-IVM oracle: a from-scratch rollup of exactly the rows
     // that survive the lifecycle — the delete fired while slices 0/1 were
