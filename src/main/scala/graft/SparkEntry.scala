@@ -3558,6 +3558,45 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // QUANTILE-over-JOIN MV: approximate percentiles of a measure per
+    // dim attribute (p50/p90/p99 order total per market segment) as a
+    // maintained view — QuantileView's deterministic fixed-bin signed
+    // counts composed with AggJoinView's join-delta machinery under
+    // GLOBAL frozen edges (per-group edges would break the signed
+    // arithmetic when churn moves a row between groups). Deltas AND
+    // churn (a delete plus a group-MOVING dim upsert) stay pure
+    // arithmetic appends; the estimates hash EXACTLY in the oracle's
+    // replay of the same binning + interpolation under the exported
+    // frozen edges (the quantile_view_answer technique, lifted to the
+    // join).
+    "quantile_join_view_answer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_qjv").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        def refresh(): Unit = sources.QuantileJoinView.refresh(s, l, r, v,
+          Seq("c_custkey"), Seq("o_custkey"), Seq("c_mktsegment"),
+          "o_totalprice")
+        sources.SnapshotStore.append(c, l)
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 === 0), r)
+        refresh() // bootstrap: freeze global edges, bin once
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 =!= 0), r)
+        refresh() // O(Δ) delta partials
+        sources.SnapshotStore.deleteWhere(s, r, col("o_orderkey") % 5 === 0)
+        sources.SnapshotStore.upsert(s,
+          c.where(col("c_custkey") % 10 === 0)
+            .withColumn("c_mktsegment", lit("MOVED")), l, Seq("c_custkey"))
+        refresh() // churn: ± legs, group mass transfers, ONE append
+        sources.QuantileJoinView.compact(s, v)
+        exportForOracle(sources.QuantileJoinView.edgesFor(s, v)
+          .select("lo", "w", "bins"), "qjview_edges", model = true)
+        sources.QuantileJoinView.quantiles(s, v, Seq(0.5, 0.9, 0.99))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // SCHEMA-EVOLUTION lifecycle on the snapshot store: append a narrow
     // era, append a WIDENED era (adds o_orderstatus), run a keyed upsert
     // whose widened batch touches BOTH eras (its CoW rewrites span
@@ -8282,6 +8321,43 @@ object SparkEntry {
          |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
          |           CAST(sel.cnt AS DOUBLE)) AS est
          |FROM sel JOIN ed ON sel.metric = ed.metric
+         |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
+
+    // quantile-over-join replay: the SAME binning + interpolation under
+    // the exported frozen edges, over the final join state (the %5
+    // delete and the %10 segment move applied) — estimates hash EXACTLY
+    "quantile_join_view_answer" ->
+      s"""WITH c AS (SELECT c_custkey,
+         |             CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+         |                  ELSE c_mktsegment END AS c_mktsegment
+         |           FROM customer),
+         |o AS (SELECT o_custkey, o_totalprice FROM orders
+         |      WHERE o_orderkey % 5 != 0),
+         |ed AS (SELECT lo, w, bins
+         |       FROM read_parquet('${exportGlob("qjview_edges")}')),
+         |b AS (SELECT c.c_mktsegment,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((o.o_totalprice - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM o JOIN c ON o_custkey = c_custkey CROSS JOIN ed
+         |      WHERE o.o_totalprice IS NOT NULL),
+         |cnts AS (SELECT c_mktsegment, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM b GROUP BY 1, 2),
+         |cm AS (SELECT c_mktsegment, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment)
+         |           AS BIGINT) AS n
+         |       FROM cnts),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9, 0.99]) AS u(phi)),
+         |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p)
+         |SELECT sel.c_mktsegment, sel.phi,
+         |       ed.lo + ed.w * sel.bin +
+         |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |           CAST(sel.cnt AS DOUBLE)) AS est
+         |FROM sel CROSS JOIN ed
          |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
          |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
          |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
