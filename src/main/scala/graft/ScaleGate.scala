@@ -61,7 +61,7 @@ object ScaleGate {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleGate <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
       .getOrElse(Set("jvouter", "jvfull", "aggjoin", "aggjoinx", "maggjoin",
-        "rebase", "search", "quantile"))
+        "maggjoinx", "mndvjoin", "rebase", "search", "quantile"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[gate10] == $dir ==")
 
@@ -275,6 +275,154 @@ object ScaleGate {
         .contains("append"),
         "maggjoin churn must stay telescoped signed-partial appends")
       time("maggjoin serve-read")(MultiAggJoinView.read(spark, v).count())
+    }
+
+    // MULTI-WAY EXTENTS MV: min/max over the 5-way tree, whose churn is
+    // the N-way dirty-GROUP recompute (owner-band + cascade restriction)
+    // REPLACING beside any append-moved tables' delta terms in ONE atomic
+    // publish (upsertAndAppendEpoch). Grouped on the fact's range-
+    // clustered key (plus the snowflake leaf's name), so an extremum
+    // delete inside a fresh key band makes the dirty groups A BAND — the
+    // owner restriction file-prunes the fact recompute to it, and the
+    // cascade prunes the rest of the tree outward, which is what must
+    // keep the leg flat across 10x standing data.
+    if (fams("maggjoinx")) withRoot { root =>
+      import graft.sources.MultiAggJoinView
+      import graft.sources.MultiAggJoinView.Edge
+      val fr = s"$root/F"; val or_ = s"$root/O"; val pr = s"$root/P"
+      val sr = s"$root/S"; val nr = s"$root/N"; val v = s"$root/V"
+      val roots = Seq(fr, or_, pr, sr, nr)
+      val edges = Seq(
+        Edge(0, Seq("l_orderkey"), Seq("o_orderkey")),
+        Edge(0, Seq("l_partkey"), Seq("p_partkey")),
+        Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
+        Edge(3, Seq("s_nationkey"), Seq("n_nationkey")))
+      val groups = Seq("l_orderkey", "n_name")
+      val fact = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val ords = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+      SnapshotStore.appendWithStats(
+        clustered(fact, "l_orderkey"), fr,
+        Seq("l_orderkey", "l_suppkey"))
+      SnapshotStore.appendWithStats(
+        clustered(ords, "o_orderkey"), or_, Seq("o_orderkey"))
+      SnapshotStore.append(
+        Tables.part(spark, dir).select("p_partkey", "p_brand"), pr)
+      SnapshotStore.appendWithStats(
+        Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"), sr,
+        Seq("s_suppkey"))
+      SnapshotStore.append(
+        Tables.nation(spark, dir).select("n_nationkey", "n_name"), nr)
+      def refresh(): Unit = MultiAggJoinView.refresh(spark, roots, v,
+        edges, groups, Seq("l_extendedprice"), extents = true)
+      time("maggjoinx bootstrap")(refresh())
+      // fixed-absolute delta: a fresh l_orderkey band plus the orders it
+      // references — extents keep the append legs on the O(delta) fold
+      val dF = fact.where(col("l_orderkey") < 4096)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(20_000_000_000L))
+        .localCheckpoint(true)
+      val dO = ords.where(col("o_orderkey") < 4096)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20_000_000_000L))
+        .localCheckpoint(true)
+      SnapshotStore.appendWithStats(dF, fr, Seq("l_orderkey", "l_suppkey"))
+      SnapshotStore.appendWithStats(dO, or_, Seq("o_orderkey"))
+      time("maggjoinx two-sided delta")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "maggjoinx delta left the O(delta) append path (min/max fold)")
+      // the MIXED atomic gap: an EXTREMUM delete inside the fresh band
+      // (per-group maxima vanish → dirty-group recompute) AND a
+      // snowflake-leaf append land in ONE refresh — the replace and the
+      // append terms must publish as ONE version (upsertAndAppendEpoch)
+      SnapshotStore.deleteWhere(spark, fr,
+        col("l_orderkey") >= 20_000_000_000L &&
+          col("l_extendedprice") > 60000.0)
+      SnapshotStore.append(spark.range(600, 610)
+        .selectExpr("CAST(id AS INT) AS n_nationkey",
+          "concat('xnation', id) AS n_name").localCheckpoint(true), nr)
+      val vBefore = SnapshotStore.currentVersion(v)
+      time("maggjoinx churn (band extremum + leaf)")(refresh())
+      assert(SnapshotStore.currentVersion(v) == vBefore + 1,
+        "the mixed gap must land in exactly ONE view version")
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("upsert"),
+        "extents churn must replace dirty groups beside the append terms " +
+          "in one atomic publish")
+      time("maggjoinx serve-read")(MultiAggJoinView.read(spark, v).count())
+    }
+
+    // N-WAY NDV MV (this round's newest machinery): HLL sketch partials
+    // over the orders ⋈ customer ⋈ nation chain. Appends fold the
+    // telescoped delta-term sketches (register-max, O(delta)); churn
+    // re-sketches dirty GROUPS whole. The churn-restriction key of the
+    // FACT is its first edge's parent key (o_custkey) — so the fixture
+    // clusters BOTH big tables on the custkey axis, buckets the group
+    // column from it, and churns a custkey BAND: the dirty keys, the
+    // dirty groups, and the cascade hop to customer all file-prune to
+    // the band, which is what must keep the leg flat across 10x data.
+    if (fams("mndvjoin")) withRoot { root =>
+      import graft.sources.MultiNdvJoinView
+      import graft.sources.MultiAggJoinView.Edge
+      val or_ = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+      val v = s"$root/V"
+      val roots = Seq(or_, cr, nr)
+      val edges = Seq(
+        Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+        Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+      val groups = Seq("o_cb", "o_orderstatus")
+      def bucketed(df: DataFrame): DataFrame =
+        df.withColumn("o_cb", expr("o_custkey div 1048576"))
+      val ords = bucketed(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus"))
+      SnapshotStore.appendWithStats(
+        clustered(ords, "o_custkey"), or_, Seq("o_custkey"))
+      SnapshotStore.appendWithStats(
+        clustered(Tables.customer(spark, dir)
+          .select("c_custkey", "c_nationkey"), "c_custkey"),
+        cr, Seq("c_custkey"))
+      SnapshotStore.append(
+        Tables.nation(spark, dir).select("n_nationkey", "n_name"), nr)
+      def refresh(): Unit = MultiNdvJoinView.refresh(spark, roots, v,
+        edges, groups, "o_custkey")
+      time("mndvjoin bootstrap")(refresh())
+      // fixed-absolute monotone ingest: a fresh CUSTKEY band lands with
+      // the customers it references (the aggjoin posture) — both tables
+      // append-moved, two telescoped sketch terms in one publish
+      val dC = Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")
+        .where(col("c_custkey") < 1024)
+        .withColumn("c_custkey", col("c_custkey") + lit(20_000_000_000L))
+        .localCheckpoint(true)
+      val dO = bucketed(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .where(col("o_orderkey") < 4096)
+        .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(20_000_000_000L)))
+        .localCheckpoint(true)
+      SnapshotStore.appendWithStats(dC, cr, Seq("c_custkey"))
+      SnapshotStore.appendWithStats(dO, or_, Seq("o_custkey"))
+      time("mndvjoin fact+dim delta")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "mndvjoin delta left the O(delta) sketch-append path")
+      // the MIXED atomic gap: a CUSTKEY-band delete (dirty keys, dirty
+      // groups, and the customer cascade hop all prune to the band's
+      // files) + a nation leaf append in ONE refresh — replace and
+      // append terms land as one version
+      SnapshotStore.deleteWhere(spark, or_,
+        col("o_custkey") >= 20_000_000_000L && col("o_orderkey") % 3 === 0)
+      SnapshotStore.append(spark.range(700, 705)
+        .selectExpr("CAST(id AS INT) AS n_nationkey",
+          "concat('ynation', id) AS n_name").localCheckpoint(true), nr)
+      val vB = SnapshotStore.currentVersion(v)
+      time("mndvjoin churn (band re-sketch + leaf)")(refresh())
+      assert(SnapshotStore.currentVersion(v) == vB + 1,
+        "the mixed gap must land in exactly ONE view version")
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("upsert"),
+        "ndv churn must replace dirty groups beside the append terms " +
+          "in one atomic publish")
+      time("mndvjoin serve-read")(MultiNdvJoinView.read(spark, v).count())
     }
 
     if (fams("rebase")) withRoot { root =>
