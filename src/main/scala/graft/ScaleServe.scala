@@ -37,7 +37,7 @@ object ScaleServe {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleServe <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
       .getOrElse(Set("rollup", "ndv", "quantile", "join", "aggjoin",
-        "maggjoin", "stale", "search"))
+        "maggjoin", "mndvjoin", "stale", "search"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[serve] == $dir ==")
 
@@ -217,6 +217,45 @@ object ScaleServe {
         timed("maggjoin SERVED 5-way agg")(served.collect())
         graft.plans.MaterializedMultiJoins.disable(v)
         timed("maggjoin DECLINED 5-way base agg")(q().collect())
+      } finally graft.plans.MaterializedMultiJoins.disable(v)
+    }
+
+    if (fams("mndvjoin")) withRoot { root =>
+      import graft.sources.{MultiNdvJoinView, NdvView}
+      import graft.sources.MultiAggJoinView.Edge
+      val or_ = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+      val v = s"$root/V"
+      val roots = Seq(or_, cr, nr)
+      val edges = Seq(
+        Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+        Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+      timed("mndvjoin sources append")(Seq(
+        (Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus"), or_),
+        (Tables.customer(spark, dir)
+          .select("c_custkey", "c_nationkey"), cr),
+        (Tables.nation(spark, dir).select("n_nationkey", "n_name"), nr))
+        .foreach { case (df, p) => SnapshotStore.append(df, p) })
+      timed("mndvjoin bootstrap (O(groups) sketch write)")(
+        MultiNdvJoinView.refresh(spark, roots, v, edges,
+          Seq("n_name", "o_orderstatus"), "o_custkey"))
+      graft.plans.MaterializedMultiJoins.enableNdv(roots, v, edges,
+        Seq("n_name", "o_orderstatus"), "o_custkey")
+      try {
+        def q() = {
+          val Seq(o, c, n) = roots.map(SnapshotStore.read(spark, _))
+          o.join(c, o("o_custkey") === c("c_custkey"))
+            .join(n, c("c_nationkey") === n("n_nationkey"))
+            .groupBy("n_name", "o_orderstatus")
+            .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(o_custkey, " +
+              s"${NdvView.LgK}))").as("au"))
+        }
+        val served = q()
+        require(graft.plans.PlanProbe.scansOnly(served, "/V"),
+          "n-way ndv rewrite declined at scale")
+        timed("mndvjoin SERVED distinct-count over tree")(served.collect())
+        graft.plans.MaterializedMultiJoins.disable(v)
+        timed("mndvjoin DECLINED base (3-way join + sketch)")(q().collect())
       } finally graft.plans.MaterializedMultiJoins.disable(v)
     }
 
