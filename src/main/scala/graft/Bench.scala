@@ -92,7 +92,8 @@ object Bench {
     // The 2x gate compares the BATCH lane like with like.
     val lifecyclePrefixes =
       Seq("snapshot_", "join_view_", "agg_join_view_", "rollup_view_",
-        "ndv_", "search_index_", "quantile_view_")
+        "rollup_over_", "ndv_", "search_index_", "quantile_view_",
+        "quantile_join_view_")
     def lane(n: String): String =
       if (n.startsWith("stream_")) "stream"
       else if (lifecyclePrefixes.exists(n.startsWith) || n == "compacted_read")

@@ -4444,7 +4444,11 @@ object SparkEntry {
         val groups = Seq("n_name", "o_orderstatus")
         def refresh(): Unit = sources.MultiNdvJoinView.refresh(
           s, roots, v, edges, groups, "o_custkey")
-        val o = Tables.orders(s, dir)
+        // quarter the fact universe (the lifecycle-lane budget,
+        // BENCH_LOCAL.md): the coarse-group churn honestly re-sketches
+        // every dirty group; ScaleGate mndvjoin carries the flat-at-scale
+        // posture on banded groups
+        val o = Tables.orders(s, dir).where(col("o_orderkey") % 4 === 0)
           .select("o_orderkey", "o_custkey", "o_orderstatus")
         sources.SnapshotStore.append(o.where(col("o_orderkey") % 3 === 0), or)
         sources.SnapshotStore.append(
@@ -8115,7 +8119,7 @@ object SparkEntry {
     // re-derived on both sides
     "agg_join_view_multiway_ndv" ->
       s"""WITH o AS (SELECT o_custkey, o_orderstatus FROM orders
-         |           WHERE o_orderkey % 7 != 0),
+         |           WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 != 0),
          |c AS (SELECT c_custkey,
          |             CASE WHEN c_custkey % 10 = 0 THEN 0
          |                  ELSE c_nationkey END AS c_nationkey

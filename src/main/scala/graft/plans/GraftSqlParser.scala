@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
 
-import graft.sources.{AggJoinView, JoinView, MultiAggJoinView, MultiNdvJoinView, NdvJoinView, NdvView, QuantileView, RollupView}
+import graft.sources.{AggJoinView, JoinView, MultiAggJoinView, MultiNdvJoinView, NdvJoinView, NdvView, QuantileJoinView, QuantileView, RollupView}
 import graft.sources.MultiAggJoinView.Edge
 
 /** The SQL DDL surface for the engine's materialized views — the
@@ -46,6 +46,10 @@ import graft.sources.MultiAggJoinView.Edge
   *     MEASURES [, EXTENTS => 'true'] [, STALE => …])`
   *   - `MULTI_NDV_JOIN(ROOTS, EDGES, GROUPS, DISTINCT_COL => 'x'
   *     [, STALE => …])` — distinct count over the join tree
+  *   - `QUANTILE_JOIN(LEFT, RIGHT, LEFT_KEYS, RIGHT_KEYS, GROUPS,
+  *     VALUE_COL => 'm' [, BINS => '64'])` — percentiles per dim
+  *     attribute (maintained + served through [[QuantileJoinView]]'s
+  *     own API, like QUANTILE — no Catalyst rewrite for quantiles)
   *
   * CREATE registers AND materializes (the initial refresh runs — a
   * CREATE that didn't materialize would serve nothing); REFRESH brings
@@ -120,6 +124,13 @@ object GraftDdl {
                                         stale: Boolean) extends Spec {
     def refresh(spark: SparkSession, view: String): Int =
       MultiNdvJoinView.refresh(spark, roots, view, edges, groups, x)
+  }
+  private final case class QuantileJoinSpec(l: String, r: String,
+                                            lks: Seq[String], rks: Seq[String],
+                                            groups: Seq[String], x: String,
+                                            bins: Int) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      QuantileJoinView.refresh(spark, l, r, view, lks, rks, groups, x, bins)
   }
 
   /** The DDL catalog: view root → recorded spec (what REFRESH/DROP
@@ -243,6 +254,7 @@ object GraftDdl {
         case _: NdvJoinSpec         => "NDV_JOIN"
         case _: MultiSpec           => "MULTI_AGG_JOIN"
         case _: MultiNdvSpec        => "MULTI_NDV_JOIN"
+        case _: QuantileJoinSpec    => "QUANTILE_JOIN"
       }
       (view, kind, spec.toString)
     }
@@ -325,10 +337,18 @@ object GraftDdl {
         }.toSeq
         MultiNdvSpec(roots, edges, list(need(args, "GROUPS", kind)),
           need(args, "DISTINCT_COL", kind), flag(args, "STALE"))
+      case "QUANTILE_JOIN" =>
+        QuantileJoinSpec(need(args, "LEFT", kind), need(args, "RIGHT", kind),
+          list(need(args, "LEFT_KEYS", kind)),
+          list(need(args, "RIGHT_KEYS", kind)),
+          list(need(args, "GROUPS", kind)),
+          need(args, "VALUE_COL", kind),
+          args.get("BINS").map(_.toInt)
+            .getOrElse(QuantileJoinView.DefaultBins))
       case other =>
         sys.error(s"unknown materialized-view kind '$other' (ROLLUP, NDV, " +
           "QUANTILE, JOIN, AGG_JOIN, NDV_JOIN, MULTI_AGG_JOIN, " +
-          "MULTI_NDV_JOIN)")
+          "MULTI_NDV_JOIN, QUANTILE_JOIN)")
     }
 
   private def register(view: String, spec: Spec): Unit = spec match {
@@ -347,6 +367,8 @@ object GraftDdl {
       MaterializedMultiJoins.enable(roots, view, edges, g, m, stale)
     case MultiNdvSpec(roots, edges, g, x, stale) =>
       MaterializedMultiJoins.enableNdv(roots, view, edges, g, x, stale)
+    case QuantileJoinSpec(_, _, _, _, _, _, _) =>
+      () // no Catalyst rewrite for quantiles — served via the view's API
   }
 
   private[plans] def refresh(spark: SparkSession, view: String): Int =
@@ -367,8 +389,9 @@ object GraftDdl {
       case _: JoinSpec     => MaterializedJoins.disableView(view)
       case _: AggJoinSpec  => MaterializedAggJoins.disableView(view)
       case _: NdvJoinSpec  => MaterializedAggJoins.disableView(view)
-      case _: MultiSpec    => MaterializedMultiJoins.disable(view)
-      case _: MultiNdvSpec => MaterializedMultiJoins.disable(view)
+      case _: MultiSpec        => MaterializedMultiJoins.disable(view)
+      case _: MultiNdvSpec     => MaterializedMultiJoins.disable(view)
+      case _: QuantileJoinSpec => ()
     }
     java.nio.file.Files.deleteIfExists(entryFile(catalogDir(spark), view))
   }

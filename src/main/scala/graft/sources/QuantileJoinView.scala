@@ -339,6 +339,91 @@ object QuantileJoinView {
             col("cnt").cast("double"))).as("est"): _*)
   }
 
+  /** DELTA-COMPENSATED estimates from a STALE view — and because the
+    * partials are RETRACTABLE signed counts, compensation is sound over
+    * CHURN gaps too, not just appends (the [[QuantileView]] lambda-read
+    * property, lifted to the join): the current estimates are the stored
+    * counts merged with the gap's signed delta/churn counts folded on
+    * the fly under the SAME frozen edges — bit-equal to
+    * refresh-then-serve. Declines (None) when compensation would change
+    * the freeze (a gap row ESCAPES the envelope — refresh would refreeze
+    * and re-bin), when a gap commit compacted a source or the baseline
+    * vacuumed (no diff), or on spec mismatch. */
+  def compensatedQuantiles(spark: SparkSession, leftRoot: String,
+                           rightRoot: String, viewRoot: String,
+                           leftKeys: Seq[String], rightKeys: Seq[String],
+                           groupCols: Seq[String], valueCol: String,
+                           phis: Seq[Double],
+                           bins: Int = DefaultBins): Option[DataFrame] = {
+    val (plv, prv) = JoinView.cursors(viewRoot)
+    if (plv == 0 && prv == 0) return None
+    val lv = SnapshotStore.currentVersion(leftRoot)
+    val rv = SnapshotStore.currentVersion(rightRoot)
+    if (lv < plv || rv < prv) return None
+    if (lv == plv && rv == prv) return Some(quantiles(spark, viewRoot, phis))
+    if (!recordedSpec(viewRoot).contains(
+        specLine(leftKeys, rightKeys, groupCols, valueCol, bins))) return None
+    val ed = edgesFor(spark, viewRoot).localCheckpoint(true)
+    val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
+    val rNew = SnapshotStore.readEvolved(spark, rightRoot, rv)
+    def slice(l: DataFrame, r: DataFrame): DataFrame =
+      joinedSlice(l, r, leftKeys, rightKeys, groupCols, valueCol)
+    val deltaCounts =
+      if (JoinView.appendOnly(leftRoot, plv, lv) &&
+          JoinView.appendOnly(rightRoot, prv, rv)) {
+        val delta = AggJoinView.deltaJoinRows(spark, leftRoot, rightRoot,
+          leftKeys, rightKeys, groupCols, Seq(valueCol),
+          plv, prv, lv, rv, lNew, rNew).localCheckpoint(true)
+        if (escapes(delta, ed, valueCol)) return None
+        binned(delta, ed, groupCols, valueCol, 1)
+      } else if (JoinView.churnOnly(leftRoot, plv, lv) &&
+                 JoinView.churnOnly(rightRoot, prv, rv)) {
+        val dirty = JoinView.keyTuples(
+          SnapshotStore.changes(spark, leftRoot, plv, lv)
+            .select(leftKeys.map(col): _*)
+            .unionByName(SnapshotStore.changes(spark, rightRoot, prv, rv)
+              .select(rightKeys.zip(leftKeys).map { case (rk, lk) =>
+                col(rk).as(lk)
+              }: _*)),
+          leftKeys)
+        def dirtyJoinRows(lVer: Int, rVer: Int): DataFrame =
+          slice(
+            JoinView.prefiltered(
+              JoinView.standing(spark, leftRoot, lVer, leftKeys, dirty),
+              leftKeys, dirty),
+            JoinView.prefiltered(
+              JoinView.standing(spark, rightRoot, rVer, rightKeys, dirty),
+              rightKeys, dirty))
+        val newLeg = dirtyJoinRows(lv, rv).localCheckpoint(true)
+        if (escapes(newLeg, ed, valueCol)) return None
+        binned(dirtyJoinRows(plv, prv), ed, groupCols, valueCol, -1)
+          .unionByName(binned(newLeg, ed, groupCols, valueCol, 1))
+      } else return None // compaction / vacuumed baseline: no sound diff
+    import org.apache.spark.sql.expressions.Window
+    val counts = SnapshotStore.read(spark, viewRoot)
+      .unionByName(deltaCounts)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0)
+    val wSpec = Window.partitionBy(groupCols.map(col): _*).orderBy("bin")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(wSpec))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val withPhi = cum.select(col("*"),
+      explode(array(phis.map(p => lit(p)): _*)).as("phi"))
+      .withColumn("t", col("phi") * col("n").cast("double"))
+    Some(withPhi
+      .where((col("cum").cast("double") >= col("t") &&
+          (col("cum") - col("cnt")).cast("double") < col("t")) ||
+        (col("t") === 0.0 && col("cum") === col("cnt")))
+      .join(broadcast(ed.select("lo", "w")))
+      .select(groupCols.map(col) :+ col("phi") :+
+        (col("lo") + col("w") * col("bin") +
+          col("w") * ((col("t") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double"))).as("est"): _*))
+  }
+
   /** Fold signed partials to one live row per (group, bin) — drops the
     * retraction residue physically; content and cursor unchanged. */
   def compact(spark: SparkSession, viewRoot: String): Int = {

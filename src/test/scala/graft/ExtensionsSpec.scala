@@ -644,12 +644,22 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql(s"""CREATE MATERIALIZED VIEW '$ajv' AS AGG_JOIN(
         LEFT => '$l', RIGHT => '$r', LEFT_KEYS => 'c_id',
         RIGHT_KEYS => 'o_id', GROUPS => 'seg', MEASURES => 'total')""")
+      val qjv = s"$root/qjview"
+      spark.sql(s"""CREATE MATERIALIZED VIEW '$qjv' AS QUANTILE_JOIN(
+        LEFT => '$l', RIGHT => '$r', LEFT_KEYS => 'c_id',
+        RIGHT_KEYS => 'o_id', GROUPS => 'seg', VALUE_COL => 'total')""")
 
       restart()
-      // SHOW rehydrates both entries from the persisted catalog
+      // SHOW rehydrates all three entries from the persisted catalog
       val shown = spark.sql("SHOW MATERIALIZED VIEWS").collect()
         .map(x => (x.getString(0), x.getString(1))).toSet
-      assert(shown == Set((view, "ROLLUP"), (ajv, "AGG_JOIN")), s"got $shown")
+      assert(shown == Set((view, "ROLLUP"), (ajv, "AGG_JOIN"),
+        (qjv, "QUANTILE_JOIN")), s"got $shown")
+      // the rehydrated quantile-join view refreshes and serves estimates
+      // through its own API (no Catalyst rewrite for quantiles)
+      assert(graft.sources.QuantileJoinView.quantiles(spark, qjv, Seq(0.5))
+        .collect().length == 3)
+      spark.sql(s"DROP MATERIALIZED VIEW '$qjv'")
       // SERVING works in the fresh session — no re-CREATE, no bootstrap
       SnapshotStore.read(spark, l).createOrReplaceTempView("mvddlp_l")
       SnapshotStore.read(spark, r).createOrReplaceTempView("mvddlp_r")

@@ -314,4 +314,91 @@ class MultiSeedTortureSpec extends SparkSpec {
       } finally SnapshotStore.deleteTree(root)
     }
   }
+
+  test("multi-way NDV MV: 3-seed random-lifecycle torture (bit-equal to the single-pass estimate)") {
+    import graft.sources.{MultiNdvJoinView, NdvView}
+    import graft.sources.MultiAggJoinView.Edge
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      Edge(0, Seq("f_pk"), Seq("p_pk")),
+      Edge(0, Seq("f_sk"), Seq("s_sk")),
+      Edge(2, Seq("s_nk"), Seq("n_nk")))
+    val groups = Seq("p_brand", "n_name")
+    def factDF(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, i % 7, i % 5, s"u${i % 13}"))
+        .toDF("f_ok", "f_pk", "f_sk", "user_id")
+    def partDF(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, s"brand${i % 3}")).toDF("p_pk", "p_brand")
+    def suppDF(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, i % 3)).toDF("s_sk", "s_nk")
+    def nationDF(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, s"nation$i")).toDF("n_nk", "n_name")
+    def truth(roots: Seq[String]): Set[String] = {
+      val Seq(f, p, su, n) = roots.map(SnapshotStore.read(spark, _))
+      f.join(p, f("f_pk") === p("p_pk"))
+        .join(su, f("f_sk") === su("s_sk"))
+        .join(n, su("s_nk") === n("n_nk"))
+        .groupBy("p_brand", "n_name")
+        .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, " +
+          s"${NdvView.LgK}))").as("approx_user_id"))
+        .collect().map(_.toString).toSet
+    }
+    def viewRows(v: String): Set[String] =
+      MultiNdvJoinView.read(spark, v)
+        .select(col("p_brand"), col("n_name"), col("approx_user_id"))
+        .collect().map(_.toString).toSet
+    Seq(77, 888, 9999).foreach { seed =>
+      val root = java.nio.file.Files.createTempDirectory(s"mnjt$seed").toString
+      val roots = Seq(s"$root/F", s"$root/P", s"$root/S", s"$root/N")
+      val v = s"$root/V"
+      try {
+        val rnd = new scala.util.Random(seed)
+        SnapshotStore.append(factDF(1L to 50L), roots(0))
+        SnapshotStore.append(partDF(0L to 6L), roots(1))
+        SnapshotStore.append(suppDF(0L to 4L), roots(2))
+        SnapshotStore.append(nationDF(0L to 2L), roots(3))
+        MultiNdvJoinView.refresh(spark, roots, v, edges, groups, "user_id")
+        assert(viewRows(v) == truth(roots), s"seed $seed bootstrap")
+        var nextF = 1000L
+        (1 to 7).foreach { round =>
+          (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+            rnd.nextInt(6) match {
+              case 0 =>
+                SnapshotStore.append(
+                  factDF(nextF until nextF + 10L), roots(0)); nextF += 10
+              case 1 =>
+                SnapshotStore.deleteWhere(spark, roots(0),
+                  col("f_ok") % 7 === rnd.nextInt(7).toLong)
+              case 2 =>
+                SnapshotStore.upsert(spark,
+                  nationDF(Seq(rnd.nextInt(3).toLong))
+                    .withColumn("n_name",
+                      concat(col("n_name"), lit(s"_r$round"))),
+                  roots(3), Seq("n_nk"))
+              case 3 =>
+                SnapshotStore.upsert(spark,
+                  Seq((rnd.nextInt(5).toLong, rnd.nextInt(3).toLong)).toDF("s_sk", "s_nk"),
+                  roots(2), Seq("s_sk"))
+              case 4 =>
+                val pk = rnd.nextInt(7).toLong
+                SnapshotStore.deleteWhere(spark, roots(1), col("p_pk") === pk)
+              case 5 =>
+                SnapshotStore.append(partDF(Seq(rnd.nextInt(7).toLong)), roots(1))
+            }
+          }
+          MultiNdvJoinView.refresh(spark, roots, v, edges, groups, "user_id")
+          assert(viewRows(v) == truth(roots), s"seed $seed round $round")
+          if (round == 4) {
+            MultiNdvJoinView.compact(spark, v)
+            assert(viewRows(v) == truth(roots), s"seed $seed round $round compact")
+          }
+        }
+        SnapshotStore.compact(spark, roots(0))
+        SnapshotStore.append(factDF(nextF until nextF + 5L), roots(0))
+        MultiNdvJoinView.refresh(spark, roots, v, edges, groups, "user_id")
+        assert(viewRows(v) == truth(roots), s"seed $seed post-compaction")
+      } finally SnapshotStore.deleteTree(root)
+    }
+  }
 }

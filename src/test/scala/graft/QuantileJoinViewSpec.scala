@@ -129,6 +129,44 @@ class QuantileJoinViewSpec extends SparkSpec {
     }
   }
 
+  test("stale compensation is sound over APPEND and CHURN gaps (signed counts retract); escape declines") {
+    withRoots { (l, r, v) =>
+      SnapshotStore.append(custDF(0L to 39L: _*), l)
+      SnapshotStore.append(ordersDF(0L to 300L: _*), r)
+      refresh(l, r, v)
+      def compensated(): Option[Set[(String, Double, Double)]] =
+        QuantileJoinView.compensatedQuantiles(spark, l, r, v,
+          Seq("c_id"), Seq("o_cust"), Seq("seg"), "total", phis)
+          .map(_.collect().map(x => (x.getAs[String]("seg"),
+            x.getAs[Double]("phi"), x.getAs[Double]("est"))).toSet)
+
+      // APPEND gap, no refresh: compensated == refresh-then-serve
+      SnapshotStore.append(ordersDF(301L to 420L: _*), r)
+      val compAppend = compensated()
+      assert(compAppend.nonEmpty, "append gap must compensate")
+      refresh(l, r, v)
+      assert(compAppend.get == estimates(v))
+
+      // CHURN gap (delete + group-moving dim upsert): counts retract, so
+      // compensation stays sound where monotone summaries decline
+      SnapshotStore.deleteWhere(spark, r, col("o_id") % 6 === 0)
+      SnapshotStore.upsert(spark,
+        custDF(1L, 4L).withColumn("seg", lit("seg0")), l, Seq("c_id"))
+      val compChurn = compensated()
+      assert(compChurn.nonEmpty, "churn gap must compensate (signed counts)")
+      refresh(l, r, v)
+      assert(compChurn.get == estimates(v))
+
+      // an ESCAPING gap declines (compensation would change the freeze)
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append(
+        Seq((9100L, 5L, 5.0e6)).toDF("o_id", "o_cust", "total"), r)
+      assert(compensated().isEmpty,
+        "an envelope-escaping gap must DECLINE compensation")
+    }
+  }
+
   test("an envelope-escaping insert refreezes once with the margin doubled; content exact after") {
     withRoots { (l, r, v) =>
       SnapshotStore.append(custDF(0L to 39L: _*), l)
