@@ -61,7 +61,7 @@ object ScaleGate {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleGate <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
       .getOrElse(Set("jvouter", "jvfull", "aggjoin", "aggjoinx", "maggjoin",
-        "maggjoinx", "mndvjoin", "rebase", "search", "quantile"))
+        "maggjoinx", "mndvjoin", "qjoin", "rebase", "search", "quantile"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[gate10] == $dir ==")
 
@@ -423,6 +423,48 @@ object ScaleGate {
         "ndv churn must replace dirty groups beside the append terms " +
           "in one atomic publish")
       time("mndvjoin serve-read")(MultiNdvJoinView.read(spark, v).count())
+    }
+
+    // QUANTILE-over-JOIN MV: signed bin-count partials under global
+    // frozen edges — churn (even a band delete of per-group extremes) is
+    // PURE ARITHMETIC (± binned legs restricted to the dirty keys, one
+    // stamped append, no dirty-group recompute), so both maintenance
+    // legs must stay flat; only the bootstrap is O(table).
+    if (fams("qjoin")) withRoot { root =>
+      import graft.sources.QuantileJoinView
+      val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/V"
+      SnapshotStore.appendWithStats(
+        clustered(customer, "c_custkey"), l, Seq("c_custkey"))
+      SnapshotStore.appendWithStats(
+        clustered(orders, "o_custkey"), r, Seq("o_custkey"))
+      def refresh(): Unit = QuantileJoinView.refresh(spark, l, r, v,
+        Seq("c_custkey"), Seq("o_custkey"), Seq("c_mktsegment"),
+        "o_totalprice")
+      time("qjoin bootstrap (freeze + bin)")(refresh())
+      // monotone in-envelope ingest: a fresh custkey band with the
+      // orders referencing it (values inside the frozen envelope)
+      val dLn = customer.where(col("c_custkey") < 1024)
+        .withColumn("c_custkey", col("c_custkey") + lit(20_000_000_000L))
+        .localCheckpoint(true)
+      val dRn = orders.where(col("o_orderkey") < 4096)
+        .withColumn("o_custkey", (col("o_custkey") % 1024) + lit(20_000_000_000L))
+        .localCheckpoint(true)
+      SnapshotStore.appendWithStats(dLn, l, Seq("c_custkey"))
+      SnapshotStore.appendWithStats(dRn, r, Seq("o_custkey"))
+      time("qjoin two-sided delta")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"), "qjoin delta left the O(delta) binned append")
+      // EXTREMUM band churn: deletes strip per-group maxima — fatal to
+      // min/max and monotone sketches, pure arithmetic here (counts
+      // retract); the ± legs' four reads all file-prune to the band
+      SnapshotStore.deleteWhere(spark, r,
+        col("o_custkey") >= 20_000_000_000L && col("o_totalprice") > 100000.0)
+      time("qjoin churn (band, extremum)")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "quantile-join churn must stay a signed-count append")
+      time("qjoin serve (p50/p99)")(
+        QuantileJoinView.quantiles(spark, v, Seq(0.5, 0.99)).count())
     }
 
     if (fams("rebase")) withRoot { root =>

@@ -3597,6 +3597,34 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // STREAMING maintenance of the quantile-over-join MV: customers
+    // stand, orders drip through a checkpointed file stream, every
+    // trigger binning its delta-join rows as signed counts inside the
+    // trigger (the in-envelope append path under replay-idempotent
+    // packed epochs; the first trigger freezes the edges, later triggers
+    // either bin inside them or pay the refreeze rebuild — both
+    // idempotent). The stream-grown estimates must hash-match the
+    // oracle's replay under the exported FINAL edges.
+    "stream_quantile_join_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sqjv").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_mktsegment"), l)
+        graft.streaming.StreamReplay.viewIngestReplay(
+          Tables.orders(s, dir).where(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_orderkey", r,
+          sp => sources.QuantileJoinView.refresh(sp, l, r, v,
+            Seq("c_custkey"), Seq("o_custkey"), Seq("c_mktsegment"),
+            "o_totalprice"))
+        exportForOracle(sources.QuantileJoinView.edgesFor(s, v)
+          .select("lo", "w", "bins"), "sqjv_edges", model = true)
+        sources.QuantileJoinView.quantiles(s, v, Seq(0.5, 0.9))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // SCHEMA-EVOLUTION lifecycle on the snapshot store: append a narrow
     // era, append a WIDENED era (adds o_orderstatus), run a keyed upsert
     // whose widened batch touches BOTH eras (its CoW rewrites span
@@ -8356,6 +8384,38 @@ object SparkEntry {
          |       FROM cnts),
          |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
          |      FROM cm, UNNEST([0.5, 0.9, 0.99]) AS u(phi)),
+         |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p)
+         |SELECT sel.c_mktsegment, sel.phi,
+         |       ed.lo + ed.w * sel.bin +
+         |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |           CAST(sel.cnt AS DOUBLE)) AS est
+         |FROM sel CROSS JOIN ed
+         |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
+
+    // the streamed quantile-join parity: the same binning + interpolation
+    // under the stream's FINAL frozen edges over the dripped half
+    "stream_quantile_join_parity" ->
+      s"""WITH o AS (SELECT o_custkey, o_totalprice FROM orders
+         |           WHERE o_orderkey % 2 = 0),
+         |ed AS (SELECT lo, w, bins
+         |       FROM read_parquet('${exportGlob("sqjv_edges")}')),
+         |b AS (SELECT c_mktsegment,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((o.o_totalprice - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM o JOIN customer ON o_custkey = c_custkey CROSS JOIN ed
+         |      WHERE o.o_totalprice IS NOT NULL),
+         |cnts AS (SELECT c_mktsegment, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM b GROUP BY 1, 2),
+         |cm AS (SELECT c_mktsegment, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment)
+         |           AS BIGINT) AS n
+         |       FROM cnts),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9]) AS u(phi)),
          |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p)
          |SELECT sel.c_mktsegment, sel.phi,
          |       ed.lo + ed.w * sel.bin +
