@@ -189,6 +189,9 @@ object GraftDdl {
     * the catalog directory's mtime. */
   def rehydrate(spark: SparkSession): Unit = {
     val dir = catalogDir(spark)
+    // the common no-catalog session pays ONE stat here, never an
+    // exception (this runs on every parsed statement)
+    if (!java.nio.file.Files.isDirectory(dir)) return
     val key = dir.toString
     val mtime =
       try java.nio.file.Files.getLastModifiedTime(dir)
@@ -198,21 +201,29 @@ object GraftDdl {
       return
     Option(dir.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".mv")).foreach { f =>
-        val lines = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .split("\n").toSeq
-        if (lines.size >= 2) {
-          val view = dec(lines.head)
-          val kind = lines(1)
-          if (!catalog.containsKey(view)) {
-            val args = lines.drop(2).filter(_.contains("=")).map { l =>
-              val i = l.indexOf('=')
-              dec(l.take(i)) -> dec(l.drop(i + 1))
-            }.toMap
-            val spec = buildSpec(kind, args)
-            register(view, spec)
-            catalog.put(view, spec)
+        // a corrupt/foreign entry must not wedge every statement the
+        // session parses — skip it LOUDLY and keep rehydrating the rest
+        try {
+          val lines = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .split("\n").toSeq
+          if (lines.size >= 2) {
+            val view = dec(lines.head)
+            val kind = lines(1)
+            if (!catalog.containsKey(view)) {
+              val args = lines.drop(2).filter(_.contains("=")).map { l =>
+                val i = l.indexOf('=')
+                dec(l.take(i)) -> dec(l.drop(i + 1))
+              }.toMap
+              val spec = buildSpec(kind, args)
+              register(view, spec)
+              catalog.put(view, spec)
+            }
           }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] skipping unreadable catalog entry $f: $e")
         }
       }
     rehydratedAt.put(key, mtime)
