@@ -63,6 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // value-identical).
     ext.injectPostHocResolutionRule(session =>
       new graft.plans.AggJoinRewriteRule(session))
+    // Quantile-serving rewrite (percentile_approx → the maintained
+    // quantile view's O(bins) read, per-view explicit opt-in) — BEFORE
+    // the plain join rewrite: a percentile over a registered join
+    // should serve from O(bins) quantile partials, not from the join
+    // view followed by a full GK re-aggregation.
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.QuantileRewriteRule(session))
     // Materialized JOIN-view rewrite for registered JoinView triples —
     // same post-hoc resolution slot, same exactness posture.
     ext.injectPostHocResolutionRule(session =>

@@ -725,6 +725,61 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("percentile_approx serves O(bins) from the quantile view: the scan and GK agg leave the plan", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{QuantileView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_qv").toString
+        try {
+          SnapshotStore.append(spark.range(0, 4000)
+            .selectExpr("concat('m', id % 3) AS metric", "id * 3600 AS e",
+              "CAST(id % 50 AS DOUBLE) AS value"), s"$root/src")
+          QuantileView.refresh(spark, s"$root/src", s"$root/qview")
+          graft.plans.MaterializedQuantiles.enable(s"$root/src", s"$root/qview")
+          val p = SnapshotStore.read(spark, s"$root/src")
+            .groupBy(col("metric"), expr("e div 86400").as("bucket"))
+            .agg(percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90"))
+            .queryExecution.executedPlan.toString
+          // served: the source scan disappears; no ObjectHashAggregate
+          // carrying the GK sketch remains — only the O(bins) view read
+          p.contains("/qview") && !p.contains("/src") &&
+            !p.contains("approx_percentile") && !p.contains("percentile_approx")
+        } finally {
+          graft.plans.MaterializedQuantiles.disable(s"$root/src")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
+      ("percentile-per-dim over a join serves join-free from the quantile-join view", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{QuantileJoinView, SnapshotStore}
+        val root = java.nio.file.Files.createTempDirectory("pa_qjv").toString
+        try {
+          SnapshotStore.append(spark.range(0, 400)
+            .selectExpr("id AS c_id", "concat('seg', id % 5) AS seg"), s"$root/L")
+          SnapshotStore.append(spark.range(0, 3000)
+            .selectExpr("id AS o_id", "id % 400 AS o_cust",
+              "CAST((id * 37) % 1000 AS DOUBLE) AS total"), s"$root/R")
+          QuantileJoinView.refresh(spark, s"$root/L", s"$root/R",
+            s"$root/qjview", Seq("c_id"), Seq("o_cust"), Seq("seg"), "total")
+          graft.plans.MaterializedQuantiles.enableJoin(s"$root/L", s"$root/R",
+            s"$root/qjview", Seq("c_id"), Seq("o_cust"), Seq("seg"), "total")
+          val lf = SnapshotStore.read(spark, s"$root/L")
+          val rf = SnapshotStore.read(spark, s"$root/R")
+          val p = lf.join(rf, lf("c_id") === rf("o_cust"))
+            .groupBy("seg")
+            .agg(percentile_approx(col("total"), lit(0.5), lit(1000)).as("p50"))
+            .queryExecution.executedPlan.toString
+          // served: the fact×dim join AND the GK aggregate disappear —
+          // every scan is the view (partials + the ONE-ROW edges
+          // sidecar, whose broadcast into the estimate arithmetic is
+          // the only join left: no shuffle join survives)
+          p.contains("/qjview") && !p.contains("/L") && !p.contains("/R") &&
+            !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+            !p.contains("approx_percentile") && !p.contains("percentile_approx")
+        } finally {
+          graft.plans.MaterializedQuantiles.disableView(s"$root/qjview")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("ranked OR retrieval reads only bloom-selected posting files", {
         import graft.sources.{SearchIndex, SnapshotStore}
         val root = java.nio.file.Files.createTempDirectory("pa_stopk").toString

@@ -3625,6 +3625,125 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // QUANTILE SERVING ARM (the r18 ask-1 hole closed): a user-shaped
+    // percentile_approx aggregate over the REGISTERED series store is
+    // answered from the maintained view's O(bins) read — the table scan
+    // leaves the plan (used_view pins it). Serving is the registry's
+    // EXPLICIT approximation opt-in: the served estimate is the view's
+    // deterministic fixed-bin interpolation (≤ 2·w of exact), NOT
+    // percentile_approx's GK answer — which is exactly what makes the
+    // oracle STRONGER here: DuckDB replays the identical binning +
+    // interpolation under the exported frozen edges and the estimates
+    // hash EXACTLY (GK's answer could only ever band-match).
+    "quantile_view_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_qvs").toString
+      try {
+        val src = s"$root/src"; val v = s"$root/qview"
+        sources.SnapshotStore.append(
+          series(s, dir).select("metric", "e", "value"), src)
+        sources.QuantileView.refresh(s, src, v)
+        graft.plans.MaterializedQuantiles.enable(src, v)
+        try {
+          val q = sources.SnapshotStore.read(s, src)
+            .groupBy(col("metric"), expr("e div 86400").as("bucket"))
+            .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
+              .as("p50"),
+              percentile_approx(col("value"), lit(0.9), lit(1000))
+                .as("p90"))
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/qview")
+          exportForOracle(sources.QuantileView.edgesFor(s, v),
+            "qvs_edges", model = true)
+          q.withColumn("used_view", lit(usedView)).localCheckpoint(true)
+        } finally graft.plans.MaterializedQuantiles.disable(src)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // The JOIN quantile serving arm: percentile-per-dim-attribute over a
+    // registered customer⋈orders is answered from the QuantileJoinView's
+    // O(bins) counts — the fact×dim join AND the GK aggregate leave the
+    // plan. Same explicit-opt-in + exact-hash-replay contract as the
+    // single-table serve.
+    "quantile_join_view_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_qjvs").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_mktsegment"), l)
+        sources.SnapshotStore.append(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), r)
+        sources.QuantileJoinView.refresh(s, l, r, v, Seq("c_custkey"),
+          Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice")
+        graft.plans.MaterializedQuantiles.enableJoin(l, r, v,
+          Seq("c_custkey"), Seq("o_custkey"), Seq("c_mktsegment"),
+          "o_totalprice")
+        try {
+          val lf = sources.SnapshotStore.read(s, l)
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+              .as("p50"),
+              percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
+                .as("p90"))
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
+          exportForOracle(sources.QuantileJoinView.edgesFor(s, v)
+            .select("lo", "w", "bins"), "qjvs_edges", model = true)
+          q.withColumn("used_view", lit(usedView)).localCheckpoint(true)
+        } finally graft.plans.MaterializedQuantiles.disableView(v)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // STALE quantile-join serving (the r18 ask-5 residual): the view's
+    // cursor lags a gap holding an order APPEND (shifted key copies —
+    // same values, deterministically in-envelope) AND a group-MOVING
+    // customer churn, and the rewrite still serves — compensated on the
+    // fly from stored counts plus the gap's SIGNED delta counts (counts
+    // retract: the one view family whose stale path is sound over churn,
+    // which the monotone sketch views must decline). Estimates replay
+    // exact-hash in the oracle under the exported bootstrap-frozen edges.
+    "quantile_join_view_stale" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_qjvt").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"; val v = s"$root/view"
+        val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        sources.SnapshotStore.append(c, l)
+        sources.SnapshotStore.append(o, r)
+        sources.QuantileJoinView.refresh(s, l, r, v, Seq("c_custkey"),
+          Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice")
+        graft.plans.MaterializedQuantiles.enableJoin(l, r, v,
+          Seq("c_custkey"), Seq("o_custkey"), Seq("c_mktsegment"),
+          "o_totalprice", serveStale = true)
+        try {
+          // the gap, NO refresh: append shifted-key copies of the %3
+          // orders (values repeat the observed set — cannot escape the
+          // frozen envelope) and MOVE every %10 customer's segment
+          sources.SnapshotStore.append(
+            o.where(col("o_orderkey") % 3 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L), r)
+          sources.SnapshotStore.upsert(s,
+            c.where(col("c_custkey") % 10 === 0)
+              .withColumn("c_mktsegment", lit("MOVED")), l, Seq("c_custkey"))
+          val lf = sources.SnapshotStore.read(s, l)
+          val rf = sources.SnapshotStore.read(s, r)
+          val q = lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+              .as("p50"),
+              percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
+                .as("p90"))
+          val usedView = graft.plans.PlanProbe.scansAny(q, "/view")
+          require(sources.SnapshotStore.lastEpoch(v)
+            .contains(sources.JoinView.packedCursor(1, 1)),
+            "compensated serving must not move the view's cursor")
+          exportForOracle(sources.QuantileJoinView.edgesFor(s, v)
+            .select("lo", "w", "bins"), "qjvt_edges", model = true)
+          q.withColumn("used_view", lit(usedView)).localCheckpoint(true)
+        } finally graft.plans.MaterializedQuantiles.disableView(v)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // SCHEMA-EVOLUTION lifecycle on the snapshot store: append a narrow
     // era, append a WIDENED era (adds o_orderstatus), run a keyed upsert
     // whose widened batch touches BOTH eras (its CoW rewrites span
@@ -4576,6 +4695,76 @@ object SparkEntry {
           exportForOracle(joined.select(col("n_name"),
             col("o_orderstatus"), col("approx_users")),
             "mjns_approx", model = true)
+          joined.select(col("n_name"), col("o_orderstatus"),
+            col("exact_users"), col("approx_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              greatest(col("exact_users") * lit(0.05), lit(2.0)))
+              .as("bound_ok"))
+            .withColumn("used_view", lit(usedView))
+        } finally graft.plans.MaterializedMultiJoins.disable(v)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // STALE n-way NDV serving (the r18 ask-5 residual): the view's
+    // cursor lags append-only gaps on the fact AND the snowflake leaf,
+    // and the datasketches shape still serves — stored sketches unioned
+    // with the telescoped gap-term sketches on the fly
+    // (MultiNdvJoinView.compensatedRead through the flattened-tree
+    // matcher's stale arm). Register-max union keeps even the
+    // COMPENSATED estimate bit-equal to a single-pass sketch of the
+    // current tree; exact NDV rides beside it and the oracle re-derives
+    // the band verdict. used_view pins the compensated plan.
+    "agg_join_view_multiway_ndv_stale" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mjnt").toString
+      try {
+        val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+        val v = s"$root/view"
+        val roots = Seq(or, cr, nr)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+          sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        val groups = Seq("n_name", "o_orderstatus")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 3 === 0), or)
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_nationkey"), cr)
+        sources.SnapshotStore.append(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")
+          .where(col("n_nationkey") < 20), nr)
+        sources.MultiNdvJoinView.refresh(s, roots, v, edges, groups,
+          "o_custkey")
+        graft.plans.MaterializedMultiJoins.enableNdv(roots, v, edges,
+          groups, "o_custkey", serveStale = true)
+        try {
+          // the gap, NO refresh: fact append AND leaf append
+          sources.SnapshotStore.append(o.where(col("o_orderkey") % 3 =!= 0), or)
+          sources.SnapshotStore.append(Tables.nation(s, dir)
+            .select("n_nationkey", "n_name")
+            .where(col("n_nationkey") >= 20), nr)
+          val Seq(of, cf, nf) = roots.map(sources.SnapshotStore.read(s, _))
+          val q = of.join(cf, of("o_custkey") === cf("c_custkey"))
+            .join(nf, cf("c_nationkey") === nf("n_nationkey"))
+            .groupBy("n_name", "o_orderstatus")
+            .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, " +
+              s"${sources.NdvView.LgK}))").as("approx_users"))
+          val usedView = graft.plans.PlanProbe.scansAny(q, "/view")
+          val exact = of.join(cf, of("o_custkey") === cf("c_custkey"))
+            .join(nf, cf("c_nationkey") === nf("n_nationkey"))
+            .groupBy("n_name", "o_orderstatus")
+            .agg(countDistinct(col("o_custkey")).as("exact_users"))
+          val joined = q.join(exact, Seq("n_name", "o_orderstatus"))
+            .localCheckpoint(true)
+          joined.collect().foreach { x =>
+            val a = x.getAs[Long]("approx_users")
+            val e = x.getAs[Long]("exact_users")
+            require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+              s"stale-served n-way ndv estimate outside its band: " +
+                s"approx=$a exact=$e")
+          }
+          exportForOracle(joined.select(col("n_name"),
+            col("o_orderstatus"), col("approx_users")),
+            "mjnt_approx", model = true)
           joined.select(col("n_name"), col("o_orderstatus"),
             col("exact_users"), col("approx_users"),
             (abs(col("approx_users") - col("exact_users")) <=
@@ -8180,6 +8369,25 @@ object SparkEntry {
          |       TRUE AS used_view
          |FROM ex JOIN ap USING (n_name, o_orderstatus)""".stripMargin,
 
+    // the stale n-way ndv serve: exact distinct customers over the FULL
+    // post-gap tree (the %3 fact complement and the >=20 nations landed
+    // without a refresh), the compensated estimate from the export,
+    // band verdict re-derived; used_view TRUE pins the compensated plan
+    "agg_join_view_multiway_ndv_stale" ->
+      s"""WITH ex AS (SELECT n_name, o_orderstatus,
+         |         count(DISTINCT o_custkey) AS exact_users
+         |       FROM orders JOIN customer ON o_custkey = c_custkey
+         |              JOIN nation ON c_nationkey = n_nationkey
+         |       GROUP BY 1, 2),
+         |ap AS (SELECT n_name, o_orderstatus, approx_users
+         |       FROM read_parquet('${exportGlob("mjnt_approx")}'))
+         |SELECT ex.n_name, ex.o_orderstatus, ex.exact_users,
+         |       ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok,
+         |       TRUE AS used_view
+         |FROM ex JOIN ap USING (n_name, o_orderstatus)""".stripMargin,
+
     // the streamed ndv-join parity: exact distinct customers per
     // (segment, status) over the dripped half of orders, the stream-grown
     // estimate from the export, band verdict re-derived on both sides
@@ -8393,6 +8601,127 @@ object SparkEntry {
          |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
          |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
          |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
+
+    // the SERVED single-table quantiles replayed exactly: bin the full
+    // series under the exported frozen edges, interpolate, pivot to the
+    // user query's wide (p50, p90) shape; used_view TRUE pins that the
+    // Spark side actually served from the view (a declined rewrite
+    // exports false and hash-fails)
+    "quantile_view_serve" ->
+      s"""WITH $SERIES,
+         |ed AS (SELECT metric, lo, w, bins
+         |       FROM read_parquet('${exportGlob("qvs_edges")}')),
+         |b AS (SELECT series.metric, series.e // 86400 AS bucket,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((series.value - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM series JOIN ed USING (metric)),
+         |c AS (SELECT metric, bucket, bin, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY 1, 2, 3),
+         |cm AS (SELECT metric, bucket, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric, bucket
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric, bucket)
+         |           AS BIGINT) AS n
+         |       FROM c),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9]) AS u(phi)),
+         |sel AS (SELECT metric, bucket, bin, cnt, cum, n, phi,
+         |          phi * CAST(n AS DOUBLE) AS t FROM p),
+         |est AS (SELECT sel.metric, sel.bucket, sel.phi,
+         |          ed.lo + ed.w * sel.bin +
+         |            ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |              CAST(sel.cnt AS DOUBLE)) AS est
+         |        FROM sel JOIN ed ON sel.metric = ed.metric
+         |        WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |               AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |           OR (sel.t = 0.0 AND sel.cum = sel.cnt))
+         |SELECT metric, bucket,
+         |       MAX(CASE WHEN phi = 0.5 THEN est END) AS p50,
+         |       MAX(CASE WHEN phi = 0.9 THEN est END) AS p90,
+         |       TRUE AS used_view
+         |FROM est GROUP BY 1, 2""".stripMargin,
+
+    // the SERVED join quantiles replayed exactly over the full
+    // customer⋈orders under the exported frozen edges, pivoted wide
+    "quantile_join_view_serve" ->
+      s"""WITH o AS (SELECT o_custkey, o_totalprice FROM orders),
+         |ed AS (SELECT lo, w, bins
+         |       FROM read_parquet('${exportGlob("qjvs_edges")}')),
+         |b AS (SELECT c_mktsegment,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((o.o_totalprice - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM o JOIN customer ON o_custkey = c_custkey CROSS JOIN ed
+         |      WHERE o.o_totalprice IS NOT NULL),
+         |cnts AS (SELECT c_mktsegment, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM b GROUP BY 1, 2),
+         |cm AS (SELECT c_mktsegment, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment)
+         |           AS BIGINT) AS n
+         |       FROM cnts),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9]) AS u(phi)),
+         |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p),
+         |est AS (SELECT sel.c_mktsegment, sel.phi,
+         |          ed.lo + ed.w * sel.bin +
+         |            ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |              CAST(sel.cnt AS DOUBLE)) AS est
+         |        FROM sel CROSS JOIN ed
+         |        WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |               AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |           OR (sel.t = 0.0 AND sel.cum = sel.cnt))
+         |SELECT c_mktsegment,
+         |       MAX(CASE WHEN phi = 0.5 THEN est END) AS p50,
+         |       MAX(CASE WHEN phi = 0.9 THEN est END) AS p90,
+         |       TRUE AS used_view
+         |FROM est GROUP BY 1""".stripMargin,
+
+    // the STALE-compensated join quantiles replayed exactly over the
+    // post-gap state (shifted-copy appends + the %10 segment move) under
+    // the exported BOOTSTRAP-frozen edges — the signed-retraction
+    // compensation is bit-equal to refresh-then-serve, so the replay is
+    // the same expression tree as the fresh serve, just over more rows
+    "quantile_join_view_stale" ->
+      s"""WITH c AS (SELECT c_custkey,
+         |             CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+         |                  ELSE c_mktsegment END AS c_mktsegment
+         |           FROM customer),
+         |o AS (SELECT o_custkey, o_totalprice FROM orders
+         |      UNION ALL
+         |      SELECT o_custkey, o_totalprice FROM orders
+         |      WHERE o_orderkey % 3 = 0),
+         |ed AS (SELECT lo, w, bins
+         |       FROM read_parquet('${exportGlob("qjvt_edges")}')),
+         |b AS (SELECT c.c_mktsegment,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((o.o_totalprice - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM o JOIN c ON o_custkey = c_custkey CROSS JOIN ed
+         |      WHERE o.o_totalprice IS NOT NULL),
+         |cnts AS (SELECT c_mktsegment, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM b GROUP BY 1, 2),
+         |cm AS (SELECT c_mktsegment, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment)
+         |           AS BIGINT) AS n
+         |       FROM cnts),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9]) AS u(phi)),
+         |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p),
+         |est AS (SELECT sel.c_mktsegment, sel.phi,
+         |          ed.lo + ed.w * sel.bin +
+         |            ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |              CAST(sel.cnt AS DOUBLE)) AS est
+         |        FROM sel CROSS JOIN ed
+         |        WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |               AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |           OR (sel.t = 0.0 AND sel.cum = sel.cnt))
+         |SELECT c_mktsegment,
+         |       MAX(CASE WHEN phi = 0.5 THEN est END) AS p50,
+         |       MAX(CASE WHEN phi = 0.9 THEN est END) AS p90,
+         |       TRUE AS used_view
+         |FROM est GROUP BY 1""".stripMargin,
 
     // the streamed quantile-join parity: the same binning + interpolation
     // under the stream's FINAL frozen edges over the dripped half

@@ -31,9 +31,13 @@ import graft.sources.MultiAggJoinView.Edge
   *
   *   - `ROLLUP(SRC => '…' [, GRAIN => 'day'|'hour'] [, STALE => 'true'])`
   *   - `NDV(SRC => '…' [, GRAIN => …] [, STALE => …])` — distinct users
-  *   - `QUANTILE(SRC => '…' [, GRAIN_SEC => '86400'] [, BINS => '64'])`
-  *     (maintained + served through [[QuantileView]]'s own API — no
-  *     Catalyst rewrite exists for quantiles, so no registry entry)
+  *   - `QUANTILE(SRC => '…' [, GRAIN_SEC => '86400'] [, BINS => '64']
+  *     [, SERVE => 'true'] [, STALE => 'true'])` — SERVE opts
+  *     `percentile_approx`-shaped aggregates into the view's O(bins)
+  *     Catalyst serve (an EXPLICIT opt-in: the served estimate is the
+  *     view's deterministic fixed-bin interpolation, ≤ 2·w of exact,
+  *     not percentile_approx's GK answer — [[MaterializedQuantiles]]);
+  *     without SERVE the view is maintained + read through its own API
   *   - `JOIN(LEFT => '…', RIGHT => '…', LEFT_KEYS => 'a,b',
   *     RIGHT_KEYS => 'c,d' [, HOW => 'inner'|'left_outer'|'full_outer']
   *     [, STALE => …])`
@@ -47,9 +51,12 @@ import graft.sources.MultiAggJoinView.Edge
   *   - `MULTI_NDV_JOIN(ROOTS, EDGES, GROUPS, DISTINCT_COL => 'x'
   *     [, STALE => …])` — distinct count over the join tree
   *   - `QUANTILE_JOIN(LEFT, RIGHT, LEFT_KEYS, RIGHT_KEYS, GROUPS,
-  *     VALUE_COL => 'm' [, BINS => '64'])` — percentiles per dim
-  *     attribute (maintained + served through [[QuantileJoinView]]'s
-  *     own API, like QUANTILE — no Catalyst rewrite for quantiles)
+  *     VALUE_COL => 'm' [, BINS => '64'] [, SERVE => 'true']
+  *     [, STALE => 'true'])` — percentiles per dim attribute; SERVE
+  *     opts the `percentile_approx`-over-the-join shape into the
+  *     O(bins) Catalyst serve (same explicit-approximation contract
+  *     as QUANTILE; STALE adds delta-compensated serving, sound over
+  *     churn gaps too — signed counts retract)
   *
   * CREATE registers AND materializes (the initial refresh runs — a
   * CREATE that didn't materialize would serve nothing); REFRESH brings
@@ -67,13 +74,15 @@ import graft.sources.MultiAggJoinView.Edge
   * and lists everything it CREATEd without re-running any bootstrap.
   * DROP removes the entry file.
   *
-  * Operational note on refresh cadence: a MULTI view's packed cursor
-  * allots each source `2^(62/n)` versions (4096 for 5 tables, 128 for
-  * 8) — at a per-minute streaming refresh cadence a 5-table view's store
-  * lives ~3 days before it must be compacted into a fresh root
-  * ([[MultiAggJoinView.packAll]] refuses loudly, and serving declines
-  * rather than throws). Size refresh cadence × table count accordingly,
-  * or refresh through [[graft.streaming.StreamReplay]]'s batched drips.
+  * Operational note on refresh cadence: a MULTI view's cursor stamp
+  * starts in the packed form (each source gets `2^(62/n)` versions —
+  * 4096 for 5 tables, 128 for 8) and, the moment any source outgrows
+  * that base, switches automatically to the VARIABLE-WIDTH cursor (a
+  * sequence-id stamp whose version vector persists in a `_cursors`
+  * sidecar — [[MultiAggJoinView.stampFor]]), so per-trigger streaming
+  * maintenance runs to `Int.MaxValue` versions per source with no
+  * rebuild cliff. Pre-existing packed-cursor views migrate in place on
+  * their first over-base refresh.
   */
 object GraftDdl {
 
@@ -86,7 +95,8 @@ object GraftDdl {
       else RollupView.refresh(spark, src, view, grain)
   }
   private final case class QuantileSpec(src: String, grainSec: Long,
-                                        bins: Int) extends Spec {
+                                        bins: Int, serve: Boolean,
+                                        stale: Boolean) extends Spec {
     def refresh(spark: SparkSession, view: String): Int =
       QuantileView.refresh(spark, src, view, grainSec, bins)
   }
@@ -128,7 +138,8 @@ object GraftDdl {
   private final case class QuantileJoinSpec(l: String, r: String,
                                             lks: Seq[String], rks: Seq[String],
                                             groups: Seq[String], x: String,
-                                            bins: Int) extends Spec {
+                                            bins: Int, serve: Boolean,
+                                            stale: Boolean) extends Spec {
     def refresh(spark: SparkSession, view: String): Int =
       QuantileJoinView.refresh(spark, l, r, view, lks, rks, groups, x, bins)
   }
@@ -308,7 +319,8 @@ object GraftDdl {
       case "QUANTILE" =>
         QuantileSpec(need(args, "SRC", kind),
           args.get("GRAIN_SEC").map(_.toLong).getOrElse(86400L),
-          args.get("BINS").map(_.toInt).getOrElse(QuantileView.DefaultBins))
+          args.get("BINS").map(_.toInt).getOrElse(QuantileView.DefaultBins),
+          flag(args, "SERVE"), flag(args, "STALE"))
       case "JOIN" =>
         JoinSpec(need(args, "LEFT", kind), need(args, "RIGHT", kind),
           list(need(args, "LEFT_KEYS", kind)),
@@ -355,7 +367,8 @@ object GraftDdl {
           list(need(args, "GROUPS", kind)),
           need(args, "VALUE_COL", kind),
           args.get("BINS").map(_.toInt)
-            .getOrElse(QuantileJoinView.DefaultBins))
+            .getOrElse(QuantileJoinView.DefaultBins),
+          flag(args, "SERVE"), flag(args, "STALE"))
       case other =>
         sys.error(s"unknown materialized-view kind '$other' (ROLLUP, NDV, " +
           "QUANTILE, JOIN, AGG_JOIN, NDV_JOIN, MULTI_AGG_JOIN, " +
@@ -367,7 +380,11 @@ object GraftDdl {
       MaterializedRollups.enable(src, view, grain, stale)
     case RollupSpec(src, grain, stale, true) =>
       MaterializedRollups.enableNdv(src, view, grain, stale)
-    case QuantileSpec(_, _, _) => () // no Catalyst rewrite for quantiles
+    // quantile serving is the registry's EXPLICIT approximation opt-in
+    // (the served estimate is the view's fixed-bin interpolation, not
+    // percentile_approx's GK answer) — only SERVE => 'true' registers
+    case QuantileSpec(src, grainSec, _, serve, stale) =>
+      if (serve) MaterializedQuantiles.enable(src, view, grainSec, stale)
     case JoinSpec(l, r, lks, rks, how, stale) =>
       MaterializedJoins.enableKeys(l, r, view, lks, rks, how, stale)
     case AggJoinSpec(l, r, lks, rks, g, m, _, stale) =>
@@ -378,12 +395,28 @@ object GraftDdl {
       MaterializedMultiJoins.enable(roots, view, edges, g, m, stale)
     case MultiNdvSpec(roots, edges, g, x, stale) =>
       MaterializedMultiJoins.enableNdv(roots, view, edges, g, x, stale)
-    case QuantileJoinSpec(_, _, _, _, _, _, _) =>
-      () // no Catalyst rewrite for quantiles — served via the view's API
+    case QuantileJoinSpec(l, r, lks, rks, g, x, bins, serve, stale) =>
+      if (serve)
+        MaterializedQuantiles.enableJoin(l, r, view, lks, rks, g, x, bins,
+          stale)
   }
 
+  /** Catalog lookup with a MISS-triggered forced re-scan: the rehydrate
+    * cache keys on the catalog directory's mtime, and on filesystems
+    * with coarse mtime granularity an entry persisted by ANOTHER session
+    * inside the same tick as this session's scan would otherwise stay
+    * invisible until the directory mtime moves again. A miss is the rare
+    * path, so re-listing the directory there costs nothing on the warm
+    * path and closes the race. */
+  private def lookup(spark: SparkSession, view: String): Option[Spec] =
+    Option(catalog.get(view)).orElse {
+      rehydratedAt.remove(catalogDir(spark).toString)
+      rehydrate(spark)
+      Option(catalog.get(view))
+    }
+
   private[plans] def refresh(spark: SparkSession, view: String): Int =
-    Option(catalog.get(view)).map(_.refresh(spark, view)).getOrElse(
+    lookup(spark, view).map(_.refresh(spark, view)).getOrElse(
       sys.error(s"no materialized view registered at '$view' — " +
         "CREATE MATERIALIZED VIEW first"))
 
@@ -392,17 +425,20 @@ object GraftDdl {
     * AGG_JOIN and an NDV_JOIN over the same join) keep serving. The
     * persisted entry is removed too. */
   private[plans] def drop(spark: SparkSession, view: String): Unit = {
+    // same miss-triggered re-scan as refresh: a DROP racing another
+    // session's same-tick CREATE must resolve the entry, not error
+    lookup(spark, view)
     val spec = Option(catalog.remove(view)).getOrElse(
       sys.error(s"no materialized view registered at '$view'"))
     spec match {
       case _: RollupSpec   => MaterializedRollups.disableView(view)
-      case _: QuantileSpec => ()
+      case _: QuantileSpec => MaterializedQuantiles.disableView(view)
       case _: JoinSpec     => MaterializedJoins.disableView(view)
       case _: AggJoinSpec  => MaterializedAggJoins.disableView(view)
       case _: NdvJoinSpec  => MaterializedAggJoins.disableView(view)
       case _: MultiSpec        => MaterializedMultiJoins.disable(view)
       case _: MultiNdvSpec     => MaterializedMultiJoins.disable(view)
-      case _: QuantileJoinSpec => ()
+      case _: QuantileJoinSpec => MaterializedQuantiles.disableView(view)
     }
     java.nio.file.Files.deleteIfExists(entryFile(catalogDir(spark), view))
   }

@@ -107,12 +107,14 @@ object MaterializedMultiJoins {
     val srcV = reg.roots.map(SnapshotStore.currentVersion)
     if (srcV.exists(_ == 0)) return None
     val viewV = SnapshotStore.currentVersion(reg.viewRoot)
-    // a source whose version outgrew the packed-cursor base can never
-    // match the stored stamp — answer STALE instead of letting packAll's
-    // loud require escape a Catalyst rule into unrelated user queries
-    val fresh = srcV.forall(_ < MultiAggJoinView.packBase(srcV.size)) &&
-      SnapshotStore.lastEpoch(reg.viewRoot)
-        .contains(MultiAggJoinView.packAll(srcV))
+    // decode the stored stamp (packed or wide-sidecar) and compare the
+    // VECTORS — a view past its packed base keeps serving on the wide
+    // cursor; a surgically broken sidecar answers STALE, never throws
+    // (a Catalyst rule must not fail unrelated user queries)
+    val fresh = SnapshotStore.lastEpoch(reg.viewRoot).exists(e =>
+      scala.util.Try(
+        MultiAggJoinView.vecOf(reg.viewRoot, e, srcV.size) == srcV)
+        .getOrElse(false))
     val next = MProbe(srcM, viewM, srcV, viewV,
       reg.roots.zip(srcV).map { case (r, v) =>
         SnapshotStore.manifestDirs(r, v).map(canon).toSet

@@ -91,15 +91,30 @@ object MultiAggJoinView {
   private def minCol(m: String): String = s"min_$m"
   private def maxCol(m: String): String = s"max_$m"
 
-  // ---- N-way cursor packing -------------------------------------------
-  // The view's epoch stamp packs ALL N source versions into one long so a
-  // replayed refresh is a true no-op and the serving rewrite's freshness
-  // probe is one comparison. Base = largest power of two with base^n
-  // below 2^62 — 2 tables get ~2^31 versions each, 5 tables 2^12 (4096),
-  // 8 tables 2^7. A store outliving its base must be compacted into a new
-  // view (the require is loud, never silent truncation).
+  // ---- N-way cursor: packed fast path + variable-width sidecar ---------
+  // The view's epoch stamp identifies ALL N source versions so a replayed
+  // refresh is a true no-op and the serving rewrite's freshness probe is
+  // one comparison. While every version fits the packed base (largest
+  // power of two with base^n below 2^62 — 2 tables get ~2^31 versions
+  // each, 5 tables 2^12, 8 tables 2^7) the stamp IS the packed vector —
+  // zero extra I/O, and every pre-existing view keeps reading. A view
+  // that OUTLIVES its base (per-trigger streaming maintenance burns 4096
+  // versions in days at minute cadence for a 5-way tree) switches to the
+  // VARIABLE-WIDTH cursor: the stamp becomes `WideBit | seq` (seq a
+  // per-view monotone counter, so stamps stay strictly increasing across
+  // the transition) and the actual version VECTOR persists in a sidecar
+  // `_cursors/e<seq>` written BEFORE the publish — the QuantileView
+  // edges-sidecar protocol: a crash between sidecar write and publish
+  // leaves an orphan nothing reads (readers resolve exactly the sidecar
+  // named by lastEpoch), and the re-run overwrites it. The view then
+  // lives to Int.MaxValue versions PER SOURCE regardless of table count.
 
   private[graft] def packBase(n: Int): Long = 1L << (62 / n)
+
+  /** Marks a wide (sidecar-backed) cursor stamp. Legacy packed stamps
+    * are < 2^62, so the bit also keeps stamps monotone across the
+    * packed→wide transition. */
+  private[graft] val WideBit: Long = 1L << 62
 
   private[graft] def packAll(vs: Seq[Int]): Long = {
     val b = packBase(vs.size)
@@ -118,9 +133,49 @@ object MultiAggJoinView {
     }._1
   }
 
+  private def cursorVecPath(viewRoot: String, seq: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(viewRoot, "_cursors", s"e$seq")
+
+  /** The version vector a stamp identifies: packed stamps decode
+    * arithmetically, wide stamps read their sidecar (written before the
+    * publish that created the stamp, so a committed stamp always finds
+    * it — a missing sidecar is store surgery and refuses loudly). */
+  private[graft] def vecOf(viewRoot: String, e: Long, n: Int): Seq[Int] =
+    if ((e & WideBit) == 0) unpackAll(e, n)
+    else {
+      val p = cursorVecPath(viewRoot, e & ~WideBit)
+      require(java.nio.file.Files.exists(p),
+        s"wide cursor stamp e=${e & ~WideBit} at $viewRoot has no " +
+          "_cursors sidecar — the store was surgically modified")
+      val vs = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim.split(",").map(_.toInt).toSeq
+      require(vs.size == n,
+        s"cursor sidecar at $p holds ${vs.size} versions, expected $n")
+      vs
+    }
+
+  /** The stamp for publishing at `vs` — the packed form while it fits
+    * (backward-compatible, no I/O), else the next wide sequence id with
+    * its vector sidecar written NOW (before the caller's publish).
+    * Deterministic given the view's pre-publish state, so a crashed
+    * refresh's re-run recomputes the same stamp and overwrites the same
+    * sidecar — publish idempotence is preserved. */
+  private[sources] def stampFor(viewRoot: String, vs: Seq[Int]): Long = {
+    val b = packBase(vs.size)
+    if (vs.forall(v => v >= 0 && v < b)) packAll(vs)
+    else {
+      val last = SnapshotStore.lastEpoch(viewRoot).getOrElse(0L)
+      val seq = if ((last & WideBit) != 0) (last & ~WideBit) + 1 else 1L
+      val p = cursorVecPath(viewRoot, seq)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, vs.mkString(",").getBytes("UTF-8"))
+      WideBit | seq
+    }
+  }
+
   /** The view's per-source cursor vector (all zeros before bootstrap). */
   private[graft] def cursors(viewRoot: String, n: Int): Seq[Int] =
-    SnapshotStore.lastEpoch(viewRoot).map(unpackAll(_, n))
+    SnapshotStore.lastEpoch(viewRoot).map(vecOf(viewRoot, _, n))
       .getOrElse(Seq.fill(n)(0))
 
   // ---- recorded spec ---------------------------------------------------
@@ -301,6 +356,9 @@ object MultiAggJoinView {
     val newFrames = rootsV.zip(curVs)
       .map { case (r, v) => SnapshotStore.readEvolved(spark, r, v) }
     validateResolution(newFrames, edges, groupCols ++ measureCols)
+    // every branch below publishes at curVs — one stamp (wide mode
+    // writes its vector sidecar here, BEFORE any publish)
+    val stamp = stampFor(viewRoot, curVs)
 
     val adj = adjacency(n, edges)
     def slice(frames: IndexedSeq[DataFrame]): DataFrame =
@@ -336,7 +394,7 @@ object MultiAggJoinView {
     val vNew = if (prevVs.forall(_ == 0)) {
       recordSpec(viewRoot, spec) // BEFORE the publish: crash re-bootstraps
       SnapshotStore.appendEpoch(fold(slice(newFrames), groupCols,
-        measureCols, 1, extents), viewRoot, packAll(curVs))
+        measureCols, 1, extents), viewRoot, stamp)
     } else if (rootsV.indices.forall(i => curVs(i) == prevVs(i) ||
         JoinView.churnOnly(rootsV(i), prevVs(i), curVs(i)))) {
       val churned = moved.filterNot(appendMoved)
@@ -350,7 +408,7 @@ object MultiAggJoinView {
           .reduce(_ unionByName _)
         SnapshotStore.appendEpoch(
           if (partials.isEmpty) partials.repartition(1) else partials,
-          viewRoot, packAll(curVs))
+          viewRoot, stamp)
       } else if (!extents) {
         // THE TELESCOPING REFRESH, signed flavor: append-moved tables
         // fold their positive delta term, churned tables fold BOTH legs
@@ -370,7 +428,7 @@ object MultiAggJoinView {
         val partials = terms.reduce(_ unionByName _)
         SnapshotStore.appendEpoch(
           if (partials.isEmpty) partials.repartition(1) else partials,
-          viewRoot, packAll(curVs))
+          viewRoot, stamp)
       } else {
         // EXTENTS churn: min/max cannot retract — the dirty GROUPS
         // (every group owning or gaining a churned table's dirty-key
@@ -391,7 +449,7 @@ object MultiAggJoinView {
           // one full rebuild handles them exactly (the 2-table posture)
           SnapshotStore.compactWith(fold(slice(newFrames), groupCols,
             measureCols, 1, extents), viewRoot,
-            epochOverride = Some(packAll(curVs)))
+            epochOverride = Some(stamp))
         } else {
           val cur = dirtyGroupJoinRows(spark, rootsV, edges, curVs,
             newFrames, groupCols, measureCols, dirtyG)
@@ -409,14 +467,14 @@ object MultiAggJoinView {
           SnapshotStore.upsertAndAppendEpoch(spark,
             recomputed.unionByName(tombstones(gone, recomputed, measureCols)),
             if (appendSide.isEmpty) appendSide.repartition(1) else appendSide,
-            viewRoot, groupCols, packAll(curVs))
+            viewRoot, groupCols, stamp)
         }
       }
     } else {
       // a compaction (or vacuumed baseline) somewhere broke the diff
       SnapshotStore.compactWith(fold(slice(newFrames), groupCols,
         measureCols, 1, extents), viewRoot,
-        epochOverride = Some(packAll(curVs)))
+        epochOverride = Some(stamp))
     }
     rootsV.indices.foreach(i =>
       SnapshotStore.recordViewBaseline(rootsV(i), viewRoot, curVs(i)))

@@ -124,6 +124,9 @@ object MultiNdvJoinView {
       .map { case (r, v) => SnapshotStore.readEvolved(spark, r, v) }
     MultiAggJoinView.validateResolution(newFrames, edges,
       groupCols :+ distinctCol)
+    // every branch below publishes at curVs — one stamp (wide mode
+    // writes its vector sidecar here, BEFORE any publish)
+    val stamp = MultiAggJoinView.stampFor(viewRoot, curVs)
 
     val adj = MultiAggJoinView.adjacency(n, edges)
     def slice(frames: IndexedSeq[DataFrame]): DataFrame =
@@ -162,7 +165,7 @@ object MultiNdvJoinView {
     val vNew = if (prevVs.forall(_ == 0)) {
       recordSpec(viewRoot, spec) // BEFORE the publish: crash re-bootstraps
       SnapshotStore.appendEpoch(fold(slice(newFrames), groupCols,
-        distinctCol), viewRoot, MultiAggJoinView.packAll(curVs))
+        distinctCol), viewRoot, stamp)
     } else if (rootsV.indices.forall(i => curVs(i) == prevVs(i) ||
         JoinView.churnOnly(rootsV(i), prevVs(i), curVs(i)))) {
       val churned = moved.filterNot(appendMoved)
@@ -175,7 +178,7 @@ object MultiNdvJoinView {
           .reduce(_ unionByName _)
         SnapshotStore.appendEpoch(
           if (partials.isEmpty) partials.repartition(1) else partials,
-          viewRoot, MultiAggJoinView.packAll(curVs))
+          viewRoot, stamp)
       } else {
         // monotone-summary churn: dirty groups from the churned tables'
         // restricted legs (both versions) re-sketch WHOLE and REPLACE;
@@ -193,12 +196,25 @@ object MultiNdvJoinView {
           // replace — one full rebuild handles them exactly
           SnapshotStore.compactWith(fold(slice(newFrames), groupCols,
             distinctCol), viewRoot,
-            epochOverride = Some(MultiAggJoinView.packAll(curVs)))
+            epochOverride = Some(stamp))
         } else if (dirtyG.isEmpty) {
-          val empty = fold(slice(newFrames.map(_.limit(0))), groupCols,
-            distinctCol)
-          SnapshotStore.appendEpoch(empty.repartition(1), viewRoot,
-            MultiAggJoinView.packAll(curVs))
+          // no dirty groups — the churned tables' dirty keys join zero
+          // rows at BOTH versions, so there is nothing to re-sketch or
+          // tombstone. But in a MIXED gap the append-moved tables' delta
+          // terms still carry new join rows (appendOnly implies
+          // churnOnly, so this branch is reachable with appends in
+          // flight): publish THOSE, unrestricted — with no dirty groups
+          // there is nothing to exclude. An empty append here would
+          // silently drop their sketch/cnt mass while the cursor
+          // advances — permanently wrong.
+          val appendSide = moved.filter(appendMoved).map(i =>
+            fold(deltaTermRows(i), groupCols, distinctCol))
+            .reduceOption(_ unionByName _)
+            .getOrElse(fold(slice(newFrames.map(_.limit(0))), groupCols,
+              distinctCol))
+          SnapshotStore.appendEpoch(
+            if (appendSide.isEmpty) appendSide.repartition(1) else appendSide,
+            viewRoot, stamp)
         } else {
           val cur = MultiAggJoinView.dirtyGroupJoinRows(spark, rootsV,
             edges, curVs, newFrames, groupCols, Seq(distinctCol), dirtyG)
@@ -213,14 +229,14 @@ object MultiNdvJoinView {
           SnapshotStore.upsertAndAppendEpoch(spark,
             recomputed.unionByName(tombstones(gone)),
             if (appendSide.isEmpty) appendSide.repartition(1) else appendSide,
-            viewRoot, groupCols, MultiAggJoinView.packAll(curVs))
+            viewRoot, groupCols, stamp)
         }
       }
     } else {
       // a compaction (or vacuumed baseline) somewhere broke the diff
       SnapshotStore.compactWith(fold(slice(newFrames), groupCols,
         distinctCol), viewRoot,
-        epochOverride = Some(MultiAggJoinView.packAll(curVs)))
+        epochOverride = Some(stamp))
     }
     rootsV.indices.foreach(i =>
       SnapshotStore.recordViewBaseline(rootsV(i), viewRoot, curVs(i)))

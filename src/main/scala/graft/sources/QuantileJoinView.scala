@@ -214,6 +214,15 @@ object QuantileJoinView {
     def rebuild(margin: Double): Int = {
       val full = slice(lNew, rNew).localCheckpoint(true)
       val ed = freezeEdges(full, valueCol, bins, margin).localCheckpoint(true)
+      // a join with ZERO non-null measure values freezes NULL lo/w —
+      // later deltas would pass escapes() (it null-filters) and bin to
+      // NULL under the frozen NULL edges, silently poisoning every
+      // count and estimate after the data arrives. Refuse the freeze
+      // loudly instead (the single-table view's __nnull posture).
+      require(ed.where(col("lo").isNull || col("w").isNull).isEmpty,
+        s"cannot freeze quantile-join edges at $viewRoot: the join has " +
+          s"no non-null '$valueCol' values — refresh again once the " +
+          "sources carry at least one binnable row")
       val nextV = SnapshotStore.currentVersion(viewRoot) + 1
       ed.coalesce(1).write.mode("overwrite")
         .parquet(edgesDir(viewRoot, nextV))

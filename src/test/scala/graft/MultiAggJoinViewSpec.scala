@@ -225,6 +225,103 @@ class MultiAggJoinViewSpec extends SparkSpec {
     }
   }
 
+  test("variable-width cursor: a source outliving the packed base migrates to the wide sidecar in place; refresh + serve stay green") {
+    // the r18 ask-2 cliff: packAll allots 2^(62/n) versions per source
+    // (64 for a 9-table tree) and then the view was permanently stale.
+    // This drives a REAL 9-table view past the base: the over-base
+    // refresh must switch the stamp to the WideBit sidecar form without
+    // a rebuild (the in-place migration path), keep every maintenance
+    // path and the serving rewrite green, and keep per-trigger cadence
+    // (append → refresh each time) working in wide mode.
+    val base = java.nio.file.Files.createTempDirectory("majv_wide").toString
+    val fr = s"$base/F"
+    val dimRoots = (1 to 8).map(j => s"$base/D$j")
+    val roots = fr +: dimRoots
+    val v = s"$base/view"
+    val wEdges = (1 to 8).map(j =>
+      Edge(0, Seq("k"), Seq(s"d${j}_k"))).toSeq
+    val wGroups = Seq("g"); val wMeasures = Seq("m")
+    assert(MultiAggJoinView.packBase(9) == 64L)
+    try {
+      val s = spark
+      import s.implicits._
+      def fact(ids: Long*): DataFrame =
+        ids.map(i => (i % 4, s"g${i % 3}", i * 1.0)).toDF("k", "g", "m")
+      SnapshotStore.append(fact(0L to 99L: _*), fr)
+      (1 to 8).foreach(j => SnapshotStore.append(
+        (0L to 3L).map(k => (k, s"a$k")).toDF(s"d${j}_k", s"attr$j"),
+        dimRoots(j - 1)))
+      def wRefresh(): Int = MultiAggJoinView.refresh(spark, roots, v,
+        wEdges, wGroups, wMeasures)
+      def truth9(): Set[(String, Long, Double)] = {
+        val fs = SnapshotStore.read(spark, fr)
+        (1 to 8).foldLeft(fs) { (acc, j) =>
+          val d = SnapshotStore.read(spark, dimRoots(j - 1))
+          acc.join(d, acc("k") === d(s"d${j}_k")).drop(s"d${j}_k")
+        }.groupBy("g")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("m").cast("decimal(30,2)")).as("sm"))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getDecimal(2).doubleValue)).toSet
+      }
+      def got(): Set[(String, Long, Double)] =
+        MultiAggJoinView.read(spark, v).collect().map(r =>
+          (r.getAs[String]("g"), r.getAs[Long]("cnt"),
+            r.getAs[java.math.BigDecimal]("sum_m").doubleValue)).toSet
+      wRefresh()
+      assert((SnapshotStore.lastEpoch(v).get & MultiAggJoinView.WideBit) == 0,
+        "in-base versions must keep the packed stamp (zero extra I/O)")
+      assert(got() == truth9() && got().nonEmpty)
+
+      // burn D1 past the 9-way base with junk-key appends (join-inert:
+      // the telescoped delta term folds zero rows, each refresh-free)
+      (1 to 64).foreach { t =>
+        SnapshotStore.append(
+          Seq((1000L + t, s"junk$t")).toDF("d1_k", "attr1"), dimRoots(0))
+      }
+      val vv = wRefresh() // the over-base refresh: migrates IN PLACE
+      val e1 = SnapshotStore.lastEpoch(v).get
+      assert((e1 & MultiAggJoinView.WideBit) != 0,
+        "an over-base refresh must switch to the wide sidecar stamp")
+      assert(MultiAggJoinView.cursors(v, 9) == (1 +: 65 +: Seq.fill(7)(1)),
+        "the wide cursor must decode the full version vector")
+      assert(got() == truth9(), "content must survive the migration")
+      assert(wRefresh() == vv, "replayed refresh on the wide cursor is a no-op")
+
+      // the serving rewrite stays green in wide mode (fresh = vector match)
+      MaterializedMultiJoins.enable(roots, v, wEdges, wGroups, wMeasures)
+      def q(): DataFrame = {
+        val fs = SnapshotStore.read(spark, fr)
+        (1 to 8).foldLeft(fs) { (acc, j) =>
+          val d = SnapshotStore.read(spark, dimRoots(j - 1))
+          acc.join(d, acc("k") === d(s"d${j}_k"))
+        }.groupBy("g")
+          .agg(count(lit(1)).as("n"),
+            sum(col("m").cast("decimal(18,2)")).as("sm"))
+      }
+      assert(graft.plans.PlanProbe.scansOnly(q(), "/view"),
+        "the 9-way tree must serve from the wide-cursor view")
+
+      // per-trigger cadence IN wide mode: every refresh gets the next
+      // sequence id; maintenance paths keep answering exactly
+      (1 to 3).foreach { t =>
+        SnapshotStore.append(fact(100L + t), fr)
+        wRefresh()
+        assert(SnapshotStore.lastEpoch(v).get ==
+          (e1 + t), s"wide stamps must increment per publish (trigger $t)")
+        assert(got() == truth9(), s"wide-mode refresh $t must stay exact")
+      }
+      // churn in wide mode (the dirty-key signed path on the wide stamp)
+      SnapshotStore.deleteWhere(spark, fr, col("m") === 5.0)
+      wRefresh()
+      assert(got() == truth9(), "wide-mode churn must stay exact")
+      assert(graft.plans.PlanProbe.scansOnly(q(), "/view"))
+    } finally {
+      MaterializedMultiJoins.disable(v)
+      SnapshotStore.deleteTree(base)
+    }
+  }
+
   test("rewrite: count/sum/avg serve from the view in ANY join order; the join tree leaves the plan") {
     withRoots { (roots, v) =>
       bootstrap(roots, v)

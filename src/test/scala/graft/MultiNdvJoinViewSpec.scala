@@ -136,6 +136,34 @@ class MultiNdvJoinViewSpec extends SparkSpec {
     }
   }
 
+  test("mixed gap with ZERO dirty groups still lands the append terms") {
+    // the r18 ADVICE high: a churned dim key that joins no fact rows at
+    // EITHER version produces an empty dirty-group set — the old code
+    // short-circuited to an EMPTY append, silently dropping a
+    // concurrently-appended fact delta's sketch/cnt mass while the
+    // cursor advanced (permanently wrong, no rebuild would notice)
+    withRoots { (roots, v) =>
+      val Seq(fr, cr, nr) = roots
+      SnapshotStore.append(factDF(0L to 200L: _*), fr)
+      SnapshotStore.append(custDF(0L to 29L: _*), cr)
+      SnapshotStore.append(nationDF(0L to 6L: _*), nr)
+      refresh(roots, v)
+      assert(viewRows(v) == truth(roots))
+
+      // churn an ORPHAN customer (c_ck 40: no fact carries f_ck = 40 —
+      // factDF keys are i % 30) while the fact APPENDS matching rows
+      SnapshotStore.upsert(spark, custDF(40L), cr, Seq("c_ck"))
+      SnapshotStore.append(factDF(201L to 320L: _*), fr)
+      val before = SnapshotStore.currentVersion(v)
+      refresh(roots, v)
+      assert(SnapshotStore.currentVersion(v) == before + 1)
+      assert(lastOp(v) == "append",
+        "zero dirty groups + an append gap must publish the append terms")
+      assert(viewRows(v) == truth(roots),
+        "the append-moved tables' delta sketches must not be dropped")
+    }
+  }
+
   test("rewrite: the datasketches shape serves tree-free from the n-way ndv view; sums and foreign lgK decline") {
     withRoots { (roots, v) =>
       val Seq(fr, cr, nr) = roots
