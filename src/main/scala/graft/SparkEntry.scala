@@ -2408,11 +2408,64 @@ object SparkEntry {
         sources.SnapshotStore.append(se.where(col("e") % 2 === 1), l)
         refreshBoth() // upstream append → downstream O(Δ) append
         sources.SnapshotStore.deleteWhere(s, l, col("value") > 150.0)
-        refreshBoth() // upstream churn → view rewrite → downstream rebuild
+        // upstream churn → the join view's compaction-publish RECORDS its
+        // O(Δ) feed → the downstream rollup absorbs it through the
+        // RETRACTION path (keyed replace — pinned here), never a rebuild
+        refreshBoth()
+        require(sources.SnapshotStore.manifestOp(rv,
+          sources.SnapshotStore.currentVersion(rv)).contains("upsert"),
+          "tier-2 must absorb recorded upstream churn as a keyed replace")
         sources.RollupView.read(s, rv)
           .select(col("metric"), col("day"), col("cnt"),
             col("vsum").cast("double").as("sum_val"),
             col("vmin").as("min_val"), col("vmax").as("max_val"))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // The SECOND view-over-view composition (r18 ask-4): an AGG-JOIN MV
+    // whose LEFT source is a maintained JoinView's store, joined against
+    // a fresh nation dim — composition is a property of the store
+    // contract, not a rollup accident. Op kinds pinned per tier:
+    // upstream append → tier-2 absorbs on the delta-join path (append);
+    // upstream churn (the join view's compaction-publish) → tier-2 takes
+    // the honest rebuild (AggJoinView's churn algebra needs per-SOURCE
+    // dirty keys, not view-row diffs — the rollup tier is the recorded-
+    // feed consumer). Content faces a full three-table SQL replay.
+    "agg_join_over_join_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vov2").toString
+      try {
+        val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+        val jv = s"$root/jview"; val av = s"$root/aggview"
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val c = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_nationkey")
+        def refreshBoth(): Unit = {
+          sources.JoinView.refreshKeys(s, or, cr, jv,
+            Seq("o_custkey"), Seq("c_custkey"))
+          sources.AggJoinView.refreshKeys(s, jv, nr, av,
+            Seq("c_nationkey"), Seq("n_nationkey"),
+            Seq("n_name", "c_mktsegment"), Seq("o_totalprice"))
+        }
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 === 0), or)
+        sources.SnapshotStore.append(c, cr)
+        sources.SnapshotStore.append(
+          Tables.nation(s, dir).select("n_nationkey", "n_name"), nr)
+        refreshBoth() // bootstrap both tiers
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 =!= 0), or)
+        refreshBoth() // upstream append → tier-2 O(Δ) delta-join append
+        require(sources.SnapshotStore.manifestOp(av,
+          sources.SnapshotStore.currentVersion(av)).contains("append"),
+          "tier-2 must absorb an upstream append on the delta path")
+        sources.SnapshotStore.deleteWhere(s, or, col("o_orderkey") % 5 === 0)
+        refreshBoth() // upstream churn → tier-2 honest rebuild (pinned)
+        require(sources.SnapshotStore.manifestOp(av,
+          sources.SnapshotStore.currentVersion(av)).contains("compact"),
+          "tier-2 agg-join must rebuild across an upstream rewrite")
+        sources.AggJoinView.read(s, av)
+          .select(col("n_name"), col("c_mktsegment"), col("cnt"),
+            col("sum_o_totalprice").cast("double").as("revenue"))
           .localCheckpoint(true)
       } finally sources.SnapshotStore.deleteTree(root)
     }),
@@ -7503,6 +7556,18 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_val,
          |  min(value) AS min_val, max(value) AS max_val
          |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // the second composition's replay: the full three-table join over
+    // the final state (the %5 delete applied) — the two maintained tiers
+    // must be indistinguishable from the from-scratch aggregate
+    "agg_join_over_join_view" ->
+      """SELECT n_name, c_mktsegment, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |     JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderkey % 5 != 0
+        |GROUP BY 1, 2""".stripMargin,
 
     // Retraction-IVM oracle: a from-scratch rollup of exactly the rows
     // that survive the lifecycle — the delete fired while slices 0/1 were

@@ -472,6 +472,25 @@ object JoinView {
         dirtyJoin(lNew, leftKeys, "left_semi"),
         dirtyJoin(rNew, rightKeys, "left_semi"),
         leftKeys, rightKeys, how, outer)
+      // COMPOSITION sidecar: this publish is a full-content swap whose
+      // manifest diff is not the row diff — record the O(Δ) feed
+      // (replaced view rows → deletes, the dirty recompute → inserts) so
+      // a DOWNSTREAM maintained view (rollup-over-join-view) absorbs
+      // this churn through its retraction path instead of rebuilding.
+      // Unchanged rows inside the dirty set ride as cancelling pairs
+      // (documented at SnapshotStore.recordChangeFeed).
+      locally {
+        val replaced =
+          if (!full) dirtyJoin(viewDf, leftKeys, "left_semi")
+          else viewDf.join(broadcast(dirty),
+            leftKeys.zip(rightKeys).zipWithIndex.map { case ((lk, rk), i) =>
+              coalesce(viewDf(lk), viewDf(rk)) <=> dirty(s"__bk$i")
+            }.reduce(_ && _), "left_semi")
+        SnapshotStore.recordChangeFeed(
+          replaced.withColumn("_change_type", lit("delete"))
+            .unionByName(recomputed.withColumn("_change_type", lit("insert"))),
+          viewRoot, pack(lv, rv))
+      }
       SnapshotStore.compactWith(
         clustered(survivors.unionByName(recomputed), leftKeys.head,
           outer && keyIntegral),

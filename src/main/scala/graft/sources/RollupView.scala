@@ -245,8 +245,16 @@ object RollupView {
       viewCur > 0 && spec.legacyFormat(
         SnapshotStore.manifestCols(viewRoot, viewCur).getOrElse(Seq.empty))
     }
+    // the COMPOSITION path: a non-row-churn gap (an upstream maintained
+    // view's churn publish is a full-content swap) may still carry a
+    // RECORDED change feed — then the retraction machinery absorbs it as
+    // O(Δ) exactly like native source churn, instead of rebuilding
+    lazy val recordedFeed: Option[DataFrame] =
+      if (baselineGone || legacy) None
+      else SnapshotStore.changeFeedFor(spark, srcRoot, from, srcCur)
     val v = if (baselineGone || legacy ||
-        (removed && !rowChurnOnly(srcRoot, from, srcCur))) {
+        (removed && !rowChurnOnly(srcRoot, from, srcCur) &&
+          recordedFeed.isEmpty)) {
       // a compaction (or unknown-kind legacy history) replaced directories
       // we already counted: the manifest diff is no longer the row delta —
       // rebuild once, publish as the view's own compaction (sole content),
@@ -262,7 +270,13 @@ object RollupView {
       val delta = SnapshotStore.incremental(spark, srcRoot, from, srcCur)
       SnapshotStore.appendEpoch(
         spec.fold(spec.bucketed(delta, grain), grain), viewRoot, srcCur)
-    } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur, grain, spec)
+    } else if (!rowChurnOnly(srcRoot, from, srcCur)) {
+      // recorded-feed retraction (the composition path — recordedFeed is
+      // necessarily defined here, or the rebuild branch above took it)
+      refreshRetracting(spark, srcRoot, viewRoot, from, srcCur, grain, spec,
+        recordedFeed.get)
+    } else refreshRetracting(spark, srcRoot, viewRoot, from, srcCur, grain,
+      spec, SnapshotStore.changes(spark, srcRoot, from, srcCur))
     stampGrain(viewRoot, grain)
     // the refreshed cursor pins the source's vacuum (see the viewrefs
     // guard): recorded AFTER the publish, so a crash leaves no false pin
@@ -306,10 +320,10 @@ object RollupView {
   private def refreshRetracting(spark: SparkSession, srcRoot: String,
                                 viewRoot: String, from: Int,
                                 srcCur: Int, g: Grain,
-                                spec: PartialSpec): Int = {
+                                spec: PartialSpec,
+                                feed: DataFrame): Int = {
     import org.apache.spark.storage.StorageLevel
-    val ch = SnapshotStore.changes(spark, srcRoot, from, srcCur)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ch = feed.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // NULL-keyed groups (null metric or null e — outside the series
       // contract, but a delete can still target them) would slip every

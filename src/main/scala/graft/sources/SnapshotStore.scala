@@ -550,6 +550,111 @@ object SnapshotStore {
     if (stamps.isEmpty) None else Some(stamps.max)
   }
 
+  // ---- recorded change feed (the view-composition sidecar) --------------
+  // A maintained VIEW's store is itself a snapshot store, but its churn
+  // publishes are full-content swaps (compactWith) whose manifest diff is
+  // NOT the row diff — a downstream view over it (rollup-over-join-view)
+  // could only rebuild. The publisher, however, had the O(Δ) before/after
+  // rows in hand; recording them beside the publish makes tier-2 churn
+  // O(Δ) too. One sidecar per version under `_vchanges/`: the feed's
+  // parquet rows (store schema + `_change_type`) plus a `.epoch` file
+  // carrying the publish's epoch stamp. The sidecar is written BEFORE the
+  // publish, keyed by the version the publish creates (the QuantileView
+  // edges protocol): a crash leaves an orphan nothing reads — readers
+  // require the version to exist AND its manifest epoch to equal the
+  // recorded one, so a later UNRELATED publish landing on the orphan's
+  // version number (e.g. a content-preserving compact, which carries the
+  // OLD epoch forward) can never pair with it — and every record call
+  // first drops orphans above the current version. Recorded feeds MAY
+  // carry cancelling delete+insert pairs for unchanged rows inside the
+  // dirty set (the publisher does not net them); retraction-style
+  // consumers recompute dirty groups whole, so the noise only widens the
+  // dirty set, never the answer.
+
+  private def feedDir(root: String, v: Int): String =
+    s"$root/_vchanges/v$v"
+
+  private def feedEpochPath(root: String, v: Int): java.nio.file.Path =
+    Paths.get(root, "_vchanges", s"v$v.epoch")
+
+  /** Epoch stamp version `v`'s manifest carries, if any. */
+  def epochOf(root: String, v: Int): Option[Long] =
+    manifestText(root, v).flatMap(
+      EpochRe.findFirstMatchIn(_).map(_.group(1).toLong))
+
+  /** Record `feed` (store schema + `_change_type`) as the row-level
+    * change feed of the version the CALLER is about to publish with
+    * epoch stamp `targetEpoch`. Call immediately before the publish. */
+  def recordChangeFeed(feed: DataFrame, root: String,
+                       targetEpoch: Long): Unit = {
+    val nextV = currentVersion(root) + 1
+    dropOrphanFeeds(root)
+    feed.write.mode("overwrite").parquet(feedDir(root, nextV))
+    Files.createDirectories(Paths.get(root, "_vchanges"))
+    Files.write(feedEpochPath(root, nextV),
+      targetEpoch.toString.getBytes("UTF-8"))
+  }
+
+  private def dropOrphanFeeds(root: String): Unit = {
+    val cap = currentVersion(root)
+    val d = Paths.get(root, "_vchanges")
+    if (Files.isDirectory(d)) {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.foreach { p =>
+          val n = p.getFileName.toString
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".epoch").toInt)
+            .toOption.filter(_ > cap).foreach(_ => deleteTree(p.toString))
+        }
+      } finally s.close()
+    }
+  }
+
+  /** Version `v`'s recorded feed, if one exists AND its recorded epoch
+    * matches the committed manifest's stamp (see the orphan contract in
+    * the section comment). */
+  private def feedFor(spark: SparkSession, root: String,
+                      v: Int): Option[DataFrame] = {
+    val ep = feedEpochPath(root, v)
+    if (!Files.exists(ep) ||
+        !Files.isDirectory(Paths.get(root, "_vchanges", s"v$v"))) None
+    else scala.util.Try(
+      new String(Files.readAllBytes(ep), "UTF-8").trim.toLong).toOption
+      .filter(rec => epochOf(root, v).contains(rec))
+      .map(_ => spark.read.parquet(feedDir(root, v)))
+  }
+
+  /** The row-level change feed across (`fromExclusive`, `cur`] when EVERY
+    * gap version is either a row-churn commit (its manifest diff IS the
+    * row diff) or a publish that RECORDED its feed — the composition
+    * contract a downstream view needs to absorb an upstream maintained
+    * view's churn as O(Δ). None otherwise (an unrecorded compaction, a
+    * vacuumed boundary): the consumer falls back to its rebuild. */
+  def changeFeedFor(spark: SparkSession, root: String,
+                    fromExclusive: Int, cur: Int): Option[DataFrame] =
+    scala.util.Try {
+      if (cur <= fromExclusive || fromExclusive == 0 ||
+          !hasManifest(root, fromExclusive)) return None
+      val legs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var runStart = -1 // pending row-churn run baseline (exclusive)
+      def closeRun(endV: Int): Unit = if (runStart >= 0) {
+        legs += changes(spark, root, runStart, endV)
+        runStart = -1
+      }
+      for (v <- (fromExclusive + 1) to cur) {
+        feedFor(spark, root, v) match {
+          case Some(f) => closeRun(v - 1); legs += f
+          case None =>
+            if (manifestOp(root, v).exists(RowChurnOps)) {
+              if (runStart < 0) runStart = v - 1
+            } else return None
+        }
+      }
+      closeRun(cur)
+      Some(legs.reduce(_ unionByName _))
+    }.getOrElse(None) // a vacuumed interior boundary: decline, don't crash
+
   /** Compaction that publishes `df`'s rows as the new version's SOLE
     * content (vs [[compact]], which rewrites the current content
     * verbatim) — the hook for stores whose logical content is a FOLD of
