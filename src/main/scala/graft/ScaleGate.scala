@@ -61,7 +61,8 @@ object ScaleGate {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleGate <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
       .getOrElse(Set("jvouter", "jvfull", "aggjoin", "aggjoinx", "maggjoin",
-        "maggjoinx", "mndvjoin", "qjoin", "rebase", "search", "quantile"))
+        "maggjoinx", "mndvjoin", "qjoin", "vovchurn", "rebase", "search",
+        "quantile"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[gate10] == $dir ==")
 
@@ -465,6 +466,65 @@ object ScaleGate {
         "quantile-join churn must stay a signed-count append")
       time("qjoin serve (p50/p99)")(
         QuantileJoinView.quantiles(spark, v, Seq(0.5, 0.99)).count())
+      // the CATALYST serve (r19): percentile_approx over the registered
+      // join answers from O(live bins) — the structural win is serve
+      // cost independent of fact size; the declined twin re-runs the
+      // full join + GK aggregate
+      graft.plans.MaterializedQuantiles.enableJoin(l, r, v,
+        Seq("c_custkey"), Seq("o_custkey"), Seq("c_mktsegment"),
+        "o_totalprice")
+      try {
+        def userQ() = {
+          val lf = SnapshotStore.read(spark, l)
+          val rf = SnapshotStore.read(spark, r)
+          lf.join(rf, lf("c_custkey") === rf("o_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(percentile_approx(col("o_totalprice"), lit(0.9),
+              lit(10000)).as("p90"))
+        }
+        val served = userQ()
+        assert(graft.plans.PlanProbe.scansOnly(served, "/V"),
+          "the qjoin catalyst serve did not fire at scale")
+        time("qjoin catalyst serve p90")(served.count())
+        graft.plans.MaterializedQuantiles.disableView(v)
+        time("qjoin DECLINED p90 (full join+GK)")(userQ().count())
+      } finally graft.plans.MaterializedQuantiles.disableView(v)
+    }
+
+    if (fams("vovchurn")) withRoot { root =>
+      import graft.sources.RollupView
+      // VIEW-OVER-VIEW churn at scale (r19): tier-1 join view (series ⋈
+      // user dim on the high-cardinality user_id), tier-2 rollup over
+      // the join view's store. A fixed user-band × ONE-day churn on the
+      // base must absorb at tier-2 through the RECORDED feed +
+      // retraction path (keyed replace, pinned) — the feed is O(Δ); the
+      // dirty-group recompute reads the jv store under a pushed day-band
+      // predicate (sub-linear in bytes on the key-clustered layout, one
+      // column-pruned scan — the documented envelope, not claimed flat).
+      val series = Tables.metricSeries(spark, dir)
+        .select("user_id", "metric", "e", "value")
+      val l = s"$root/L"; val r = s"$root/R"
+      val jv = s"$root/JV"; val rv = s"$root/RV"
+      SnapshotStore.appendWithStats(
+        clustered(series, "user_id"), l, Seq("user_id"))
+      SnapshotStore.append(
+        series.select(col("user_id").as("u_id")).distinct(), r)
+      def refreshBoth(): Unit = {
+        JoinView.refreshKeys(spark, l, r, jv, Seq("user_id"), Seq("u_id"))
+        RollupView.refresh(spark, jv, rv)
+      }
+      time("vov bootstrap (both tiers)")(refreshBoth())
+      // fixed-band churn: replica-0 users, ONE day of their events
+      val dayLo = series.agg(min(col("e"))).head().getLong(0) / 86400L
+      SnapshotStore.deleteWhere(spark, l,
+        col("user_id") < 1024 &&
+          col("e") >= dayLo * 86400L && col("e") < (dayLo + 1) * 86400L)
+      time("vov tier-1 churn (band)")(
+        JoinView.refreshKeys(spark, l, r, jv, Seq("user_id"), Seq("u_id")))
+      time("vov tier-2 churn absorb (feed)")(RollupView.refresh(spark, jv, rv))
+      assert(SnapshotStore.manifestOp(rv, SnapshotStore.currentVersion(rv))
+        .contains("upsert"),
+        "tier-2 must absorb recorded upstream churn via the keyed replace")
     }
 
     if (fams("rebase")) withRoot { root =>

@@ -789,4 +789,133 @@ class ExtensionsSpec extends SparkSpec {
       SnapshotStore.deleteTree(root)
     }
   }
+
+  test("SQL DDL: cross-session catalog races — same-tick CREATE, DROP racing rehydrate, out-of-band deleted view root") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mvddlc").toString
+    val catDir = s"$root/catalog"
+    val src = s"$root/src"; val v1 = s"$root/v1"; val v2 = s"$root/v2"
+    spark.conf.set("spark.graft.catalog", catDir)
+    def restart(): Unit = {
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedRollups.clear()
+    }
+    // ANOTHER PROCESS's persist, byte-compatible with GraftDdl's entry
+    // format (sha1-of-canon-path name, URL-encoded lines) — the test
+    // cannot run two JVMs, so it forges the foreign write directly
+    def foreignPersist(view: String, kind: String,
+                       args: Map[String, String]): Unit = {
+      def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+      val canon = java.nio.file.Paths.get(view).normalize()
+        .toAbsolutePath.toString
+      val h = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val body = (Seq(enc(view), kind) ++
+        args.toSeq.sortBy(_._1).map { case (k, x) => s"${enc(k)}=${enc(x)}" })
+        .mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(catDir, s"$h.mv"), body.getBytes("UTF-8"))
+    }
+    try {
+      SnapshotStore.append(Seq(("m", 10L, 1.0), ("m", 86410L, 2.0),
+        ("n", 20L, 5.0)).toDF("metric", "e", "value"), src)
+      spark.sql(s"CREATE MATERIALIZED VIEW '$v1' AS ROLLUP(SRC => '$src')")
+      // warm this session's rehydrate cache at the dir's current mtime
+      spark.sql("SHOW MATERIALIZED VIEWS").collect()
+
+      // RACE 1 — same-tick CREATE: another session lands an entry and
+      // the directory mtime aliases back to the cached value (coarse
+      // filesystem clocks); the mtime cache alone would hide it forever.
+      // REFRESH must re-scan on the catalog miss and find the view.
+      val before = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(catDir))
+      foreignPersist(v2, "ROLLUP", Map("SRC" -> src))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(catDir), before)
+      assert(spark.sql(s"REFRESH MATERIALIZED VIEW '$v2'")
+        .collect().head.getInt(1) >= 1,
+        "a same-tick foreign CREATE must resolve via the miss re-scan")
+
+      // RACE 2 — DROP racing rehydrate: a fresh session drops v2 (the
+      // drop itself resolves through rehydrate), and later sessions must
+      // neither resurrect it nor lose the sibling
+      restart()
+      spark.sql(s"DROP MATERIALIZED VIEW '$v2'")
+      restart()
+      val ex = intercept[RuntimeException] {
+        spark.sql(s"REFRESH MATERIALIZED VIEW '$v2'").collect()
+      }
+      assert(ex.getMessage.contains("no materialized view"),
+        s"dropped view must not resurrect: ${ex.getMessage}")
+      val shown = spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .map(_.getString(0)).toSet
+      assert(shown == Set(v1), s"got $shown")
+
+      // RACE 3 — the view ROOT deleted out-of-band while the catalog
+      // entry survives: rehydrate must not wedge statement parsing, SHOW
+      // still lists the registration, and REFRESH re-materializes the
+      // store from the source
+      SnapshotStore.deleteTree(v1)
+      restart()
+      assert(spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .map(_.getString(0)).toSet == Set(v1))
+      assert(spark.sql(s"REFRESH MATERIALIZED VIEW '$v1'")
+        .collect().head.getInt(1) == 1,
+        "an out-of-band-deleted view root must re-materialize on REFRESH")
+      assert(graft.sources.RollupView.read(spark, v1).collect().length == 3)
+      spark.sql(s"DROP MATERIALIZED VIEW '$v1'")
+    } finally {
+      spark.conf.unset("spark.graft.catalog")
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedRollups.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
+  test("SQL DDL: QUANTILE SERVE flag opts percentile_approx into the O(bins) serve; no flag, no rewrite; DROP unplugs") {
+    import graft.sources.SnapshotStore
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mvddlq").toString
+    val src = s"$root/src"; val qv = s"$root/qview"; val qv2 = s"$root/qview2"
+    spark.conf.set("spark.graft.catalog", s"$root/catalog")
+    def restart(): Unit = {
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedQuantiles.clear()
+    }
+    try {
+      SnapshotStore.append((1 to 300).map(i =>
+        (s"m${i % 2}", i.toLong * 3600, (i % 50) * 1.0))
+        .toDF("metric", "e", "value"), src)
+      def q() = SnapshotStore.read(spark, src)
+        .groupBy(col("metric"), expr("e div 86400").as("bucket"))
+        .agg(percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90"))
+      // no SERVE flag: the view maintains but NEVER rewrites (the
+      // explicit-approximation contract)
+      spark.sql(s"CREATE MATERIALIZED VIEW '$qv2' AS QUANTILE(SRC => '$src')")
+      assert(!graft.plans.PlanProbe.scansAny(q(), "/qview"),
+        "a QUANTILE view without SERVE must not rewrite")
+      spark.sql(s"DROP MATERIALIZED VIEW '$qv2'")
+      // SERVE => 'true': the opt-in — percentile_approx serves O(bins)
+      spark.sql(
+        s"CREATE MATERIALIZED VIEW '$qv' AS QUANTILE(SRC => '$src', SERVE => 'true')")
+      assert(graft.plans.PlanProbe.scansOnly(q(), "/qview"),
+        "SERVE => 'true' must opt the shape into the view serve")
+      // the opt-in survives a session restart via the persisted catalog
+      restart()
+      spark.sql("SHOW MATERIALIZED VIEWS").collect() // rehydrates
+      assert(graft.plans.PlanProbe.scansOnly(q(), "/qview"),
+        "the SERVE opt-in must rehydrate with the entry")
+      spark.sql(s"DROP MATERIALIZED VIEW '$qv'")
+      assert(!graft.plans.PlanProbe.scansAny(q(), "/qview"),
+        "DROP must unplug the quantile serve")
+    } finally {
+      spark.conf.unset("spark.graft.catalog")
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedQuantiles.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
 }
