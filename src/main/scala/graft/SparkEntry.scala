@@ -2423,6 +2423,59 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // The THIRD composition, free from the shared engine: an NDV view
+    // (HLL sketch instance of the rollup IVM engine) maintained over a
+    // join view's store. The recorded-feed path lives in refreshWith, so
+    // an upstream CHURN absorbs downstream by dirty-group RE-SKETCH +
+    // keyed replace (op pinned — sketches cannot retract; recompute-the-
+    // dirty-group is the monotone answer), never a rebuild. Band oracle
+    // against exact distinct counts over the final join state.
+    "ndv_over_join_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vovn").toString
+      try {
+        val l = s"$root/L"; val r = s"$root/R"
+        val jv = s"$root/jview"; val nv = s"$root/nview"
+        val se = series(s, dir).select("metric", "e", "user_id")
+        val dim = se.select(col("metric").as("m2")).distinct()
+          .where(col("m2").isin("click", "view", "purchase"))
+        def refreshBoth(): Unit = {
+          sources.JoinView.refreshKeys(s, l, r, jv, Seq("metric"), Seq("m2"))
+          sources.NdvView.refresh(s, jv, nv)
+        }
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 0), l)
+        sources.SnapshotStore.append(dim, r)
+        refreshBoth() // bootstrap both tiers
+        sources.SnapshotStore.append(se.where(col("e") % 2 === 1), l)
+        refreshBoth() // upstream append → downstream O(Δ) sketch append
+        sources.SnapshotStore.deleteWhere(s, l, col("user_id") % 7 === 0)
+        refreshBoth() // upstream churn → recorded feed → dirty re-sketch
+        require(sources.SnapshotStore.manifestOp(nv,
+          sources.SnapshotStore.currentVersion(nv)).contains("upsert"),
+          "the ndv tier must absorb recorded upstream churn by " +
+            "dirty-group re-sketch, not a rebuild")
+        val est = sources.NdvView.read(s, nv)
+          .select("metric", "day", "approx_users")
+        val exact = sources.SnapshotStore.read(s, jv)
+          .groupBy(col("metric"), expr("e div 86400").as("day"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        val joined = est.join(exact, Seq("metric", "day"))
+          .localCheckpoint(true)
+        joined.collect().foreach { x =>
+          val a = x.getAs[Long]("approx_users")
+          val e = x.getAs[Long]("exact_users")
+          require(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+            s"composed ndv estimate outside its band: approx=$a exact=$e")
+        }
+        exportForOracle(joined.select("metric", "day", "approx_users"),
+          "vovn_approx", model = true)
+        joined.select(col("metric"), col("day"), col("exact_users"),
+          col("approx_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.05), lit(2.0)))
+            .as("bound_ok"))
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // The SECOND view-over-view composition (r18 ask-4): an AGG-JOIN MV
     // whose LEFT source is a maintained JoinView's store, joined against
     // a fresh nation dim — composition is a property of the store
@@ -7556,6 +7609,25 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_val,
          |  min(value) AS min_val, max(value) AS max_val
          |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // the third composition's band replay: exact distinct users per
+    // (metric, day) over the final join state (three metric families,
+    // the %7 user delete applied), the maintained two-tier estimate from
+    // the export, band verdict re-derived on both sides
+    "ndv_over_join_view" ->
+      s"""WITH $SERIES,
+         |j AS (SELECT metric, e, user_id FROM series
+         |      WHERE metric IN ('click', 'view', 'purchase')
+         |        AND NOT (user_id % 7 = 0)),
+         |ex AS (SELECT metric, e // 86400 AS day,
+         |         count(DISTINCT user_id) AS exact_users
+         |       FROM j GROUP BY 1, 2),
+         |ap AS (SELECT metric, day, approx_users
+         |       FROM read_parquet('${exportGlob("vovn_approx")}'))
+         |SELECT ex.metric, ex.day, ex.exact_users, ap.approx_users,
+         |       abs(ap.approx_users - ex.exact_users) <=
+         |         greatest(0.05 * ex.exact_users, 2.0) AS bound_ok
+         |FROM ex JOIN ap USING (metric, day)""".stripMargin,
 
     // the second composition's replay: the full three-table join over
     // the final state (the %5 delete applied) — the two maintained tiers

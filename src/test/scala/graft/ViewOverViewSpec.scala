@@ -145,6 +145,55 @@ class ViewOverViewSpec extends SparkSpec {
     } finally SnapshotStore.deleteTree(root)
   }
 
+  test("an NDV view over a join view absorbs recorded upstream churn by dirty-group re-sketch (shared engine, zero plumbing)") {
+    // the recorded-feed path lives in the SHARED refreshWith engine, so
+    // NdvView (its HLL instance) gets incremental view-over-view churn
+    // for free: dirty (metric, day) groups RE-SKETCH whole from the
+    // current join view (sketches cannot retract — recompute-the-dirty-
+    // group is the monotone answer) and REPLACE by key
+    import graft.sources.NdvView
+    val root = java.nio.file.Files.createTempDirectory("vovn_spec").toString
+    val l = s"$root/L"; val r = s"$root/R"
+    val jv = s"$root/jview"; val nv = s"$root/nview"
+    try {
+      val s = spark
+      import s.implicits._
+      def lrows(ids: Long*): DataFrame =
+        ids.map(i => (i % 25, s"m${i % 3}", i * 3600L))
+          .toDF("user_id", "metric", "e")
+      val dim = (0L to 30L).map(i => (i, s"seg${i % 2}")).toDF("u_id", "seg")
+      SnapshotStore.append(lrows(0L to 90L: _*), l)
+      SnapshotStore.append(dim, r)
+      def refreshBoth(): Unit = {
+        JoinView.refreshKeys(spark, l, r, jv, Seq("user_id"), Seq("u_id"))
+        NdvView.refresh(spark, jv, nv)
+      }
+      def truthN(): Set[(String, Long, Long)] =
+        SnapshotStore.read(spark, jv)
+          .groupBy(col("metric"), expr("e div 86400").as("day"))
+          .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, " +
+            s"${NdvView.LgK}))").as("au"))
+          .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+          .toSet
+      def gotN(): Set[(String, Long, Long)] =
+        NdvView.read(spark, nv).collect().map(x =>
+          (x.getAs[String]("metric"), x.getAs[Long]("day"),
+            x.getAs[Long]("approx_users"))).toSet
+      refreshBoth()
+      assert(gotN() == truthN() && gotN().nonEmpty)
+      // upstream churn: a user-band delete → jv compaction-publish with
+      // the recorded feed → the ndv tier re-sketches dirty groups and
+      // REPLACES (op pinned), bit-equal to the single-pass estimate
+      SnapshotStore.deleteWhere(spark, l, col("user_id") % 5 === 0L)
+      refreshBoth()
+      assert(lastOp(jv) == "compact")
+      assert(lastOp(nv) == "upsert",
+        "the ndv tier must absorb recorded upstream churn by dirty-group " +
+          "re-sketch, not a rebuild")
+      assert(gotN() == truthN())
+    } finally SnapshotStore.deleteTree(root)
+  }
+
   test("an AGG-JOIN view over a join view: upstream appends absorb O(Δ), upstream churn rebuilds (pinned), serving composes") {
     // the SECOND composition (r18 ask-4): tier-2 is an AggJoinView whose
     // LEFT source is a maintained JoinView's store joined against a
