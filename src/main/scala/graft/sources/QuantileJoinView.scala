@@ -78,10 +78,10 @@ object QuantileJoinView {
 
   // ---- edges sidecar (view-version keyed, the QuantileView protocol) ----
 
-  private def edgesDir(viewRoot: String, viewV: Int): String =
+  private[sources] def edgesDir(viewRoot: String, viewV: Int): String =
     s"$viewRoot/_jedges/v$viewV"
 
-  private def edgeKeys(viewRoot: String): Seq[Int] = {
+  private[sources] def edgeKeys(viewRoot: String): Seq[Int] = {
     val d = java.nio.file.Paths.get(viewRoot, "_jedges")
     if (!java.nio.file.Files.isDirectory(d)) Seq.empty
     else {
@@ -95,7 +95,7 @@ object QuantileJoinView {
     }
   }
 
-  private def dropOrphanEdges(viewRoot: String): Unit = {
+  private[sources] def dropOrphanEdges(viewRoot: String): Unit = {
     val cap = SnapshotStore.currentVersion(viewRoot)
     edgeKeys(viewRoot).filter(_ > cap).foreach(v =>
       SnapshotStore.deleteTree(edgesDir(viewRoot, v)))
@@ -115,7 +115,7 @@ object QuantileJoinView {
   /** Freeze global edges from the join's non-null values (observed range
     * ± margin of the range each side; degenerate single-value data gets
     * unit width). One row. */
-  private def freezeEdges(rows: DataFrame, x: String, bins: Int,
+  private[sources] def freezeEdges(rows: DataFrame, x: String, bins: Int,
                           margin: Double): DataFrame =
     rows.where(col(x).isNotNull)
       .agg(min(col(x).cast("double")).as("mn"),
@@ -137,7 +137,7 @@ object QuantileJoinView {
 
   /** Fold join rows to signed (groups…, bin, cnt) partials under the
     * frozen edges; NULL values never bin. */
-  private def binned(rows: DataFrame, ed: DataFrame, groups: Seq[String],
+  private[sources] def binned(rows: DataFrame, ed: DataFrame, groups: Seq[String],
                      x: String, sign: Int): DataFrame =
     rows.where(col(x).isNotNull)
       .join(broadcast(ed.select("lo", "w", "bins")))
@@ -148,7 +148,7 @@ object QuantileJoinView {
       .agg(sum(col("sign")).as("cnt"))
 
   /** Do any non-null values of `rows` escape the frozen envelope? */
-  private def escapes(rows: DataFrame, ed: DataFrame, x: String): Boolean = {
+  private[sources] def escapes(rows: DataFrame, ed: DataFrame, x: String): Boolean = {
     val v = col(x).cast("double")
     !rows.where(col(x).isNotNull)
       .join(broadcast(ed.select("lo", "w", "bins")))
@@ -317,16 +317,18 @@ object QuantileJoinView {
       c.equalsIgnoreCase("bin") || c.equalsIgnoreCase("cnt")).toSeq
   }
 
-  /** Quantile estimates per group: groups…, `phi`, `est` — cumulative
-    * bin selection + linear interpolation under the frozen edges (the
-    * [[QuantileView]] arithmetic, partitioned by the view's groups), so
-    * the estimates hash-match an engine replaying the same formula. */
-  def quantiles(spark: SparkSession, viewRoot: String,
-                phis: Seq[Double]): DataFrame = {
+  /** The ONE estimator every quantile-join flavor serves through:
+    * cumulative-bin selection + linear interpolation over merged signed
+    * counts under the frozen edges (the [[QuantileView]] arithmetic,
+    * partitioned by the view's groups) → groups…, `phi`, `est`. The bin
+    * holding rank t satisfies cumBefore < t <= cum; phi = 0 serves the
+    * first live bin explicitly (the QuantileView boundary contract).
+    * Shared with [[MultiQuantileJoinView]] so the estimates of every
+    * flavor hash-match an engine replaying the same formula. */
+  private[sources] def estimatesFrom(counts: DataFrame, ed: DataFrame,
+                                     groups: Seq[String],
+                                     phis: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val groups = groupsOf(spark, viewRoot)
-    val counts = mergedCounts(spark, viewRoot, groups)
-    val ed = edgesFor(spark, viewRoot)
     val wSpec = Window.partitionBy(groups.map(col): _*).orderBy("bin")
     val cum = counts
       .withColumn("cum", sum("cnt").over(wSpec))
@@ -336,8 +338,6 @@ object QuantileJoinView {
       explode(array(phis.map(p => lit(p)): _*)).as("phi"))
       .withColumn("t", col("phi") * col("n").cast("double"))
     withPhi
-      // the bin holding rank t: cumBefore < t <= cum; phi = 0 serves the
-      // first live bin explicitly (the QuantileView boundary contract)
       .where((col("cum").cast("double") >= col("t") &&
           (col("cum") - col("cnt")).cast("double") < col("t")) ||
         (col("t") === 0.0 && col("cum") === col("cnt")))
@@ -346,6 +346,15 @@ object QuantileJoinView {
         (col("lo") + col("w") * col("bin") +
           col("w") * ((col("t") - (col("cum") - col("cnt")).cast("double")) /
             col("cnt").cast("double"))).as("est"): _*)
+  }
+
+  /** Quantile estimates per group: groups…, `phi`, `est` — the shared
+    * estimator over the view's merged counts. */
+  def quantiles(spark: SparkSession, viewRoot: String,
+                phis: Seq[Double]): DataFrame = {
+    val groups = groupsOf(spark, viewRoot)
+    estimatesFrom(mergedCounts(spark, viewRoot, groups),
+      edgesFor(spark, viewRoot), groups, phis)
   }
 
   /** DELTA-COMPENSATED estimates from a STALE view — and because the
@@ -408,29 +417,12 @@ object QuantileJoinView {
         binned(dirtyJoinRows(plv, prv), ed, groupCols, valueCol, -1)
           .unionByName(binned(newLeg, ed, groupCols, valueCol, 1))
       } else return None // compaction / vacuumed baseline: no sound diff
-    import org.apache.spark.sql.expressions.Window
     val counts = SnapshotStore.read(spark, viewRoot)
       .unionByName(deltaCounts)
       .groupBy((groupCols :+ "bin").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
       .where(col("cnt") > 0)
-    val wSpec = Window.partitionBy(groupCols.map(col): _*).orderBy("bin")
-    val cum = counts
-      .withColumn("cum", sum("cnt").over(wSpec))
-      .withColumn("n", sum("cnt").over(
-        Window.partitionBy(groupCols.map(col): _*)))
-    val withPhi = cum.select(col("*"),
-      explode(array(phis.map(p => lit(p)): _*)).as("phi"))
-      .withColumn("t", col("phi") * col("n").cast("double"))
-    Some(withPhi
-      .where((col("cum").cast("double") >= col("t") &&
-          (col("cum") - col("cnt")).cast("double") < col("t")) ||
-        (col("t") === 0.0 && col("cum") === col("cnt")))
-      .join(broadcast(ed.select("lo", "w")))
-      .select(groupCols.map(col) :+ col("phi") :+
-        (col("lo") + col("w") * col("bin") +
-          col("w") * ((col("t") - (col("cum") - col("cnt")).cast("double")) /
-            col("cnt").cast("double"))).as("est"): _*))
+    Some(estimatesFrom(counts, ed, groupCols, phis))
   }
 
   /** Fold signed partials to one live row per (group, bin) — drops the
