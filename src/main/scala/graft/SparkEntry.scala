@@ -3850,6 +3850,100 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // Quantile over an N-WAY JOIN TREE — the last cell of the
+    // {agg, ndv, quantile} × {1, 2, N}-table MV matrix: signed bin
+    // counts under ONE global freeze folded through the telescoped
+    // per-table delta terms (MultiAggJoinView's identity), so fact
+    // deltas, snowflake-leaf appends, and MIXED append+churn gaps all
+    // stay pure arithmetic — ONE stamped append per refresh, never a
+    // dirty-group recompute. The oracle replays the identical binning +
+    // interpolation over the final 3-way join under the exported edges.
+    "quantile_join_view_multiway" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mqjv").toString
+      try {
+        val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+        val v = s"$root/view"
+        val roots = Seq(or, cr, nr)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+          sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        val natType = c.schema("c_nationkey").dataType
+        def refresh(): Unit = sources.MultiQuantileJoinView.refresh(
+          s, roots, v, edges, Seq("n_name"), "o_totalprice")
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 === 0), or)
+        sources.SnapshotStore.append(c, cr)
+        sources.SnapshotStore.append(n.where(col("n_nationkey") < 20), nr)
+        refresh() // bootstrap: freeze global edges over the 3-way join
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 =!= 0), or)
+        refresh() // fact delta: ONE positive telescoped term
+        sources.SnapshotStore.append(n.where(col("n_nationkey") >= 20), nr)
+        refresh() // snowflake-LEAF delta: unmatched customers join in
+        sources.SnapshotStore.deleteWhere(s, or, col("o_orderkey") % 5 === 0)
+        sources.SnapshotStore.upsert(s,
+          c.where(col("c_custkey") % 10 === 0)
+            .withColumn("c_nationkey", lit(0).cast(natType)), cr,
+          Seq("c_custkey"))
+        refresh() // mixed churn: ± legs + mass transfer, ONE append
+        sources.MultiQuantileJoinView.compact(s, v)
+        exportForOracle(sources.MultiQuantileJoinView.edgesFor(s, v)
+          .select("lo", "w", "bins"), "mqjv_edges", model = true)
+        sources.MultiQuantileJoinView.quantiles(s, v, Seq(0.5, 0.9, 0.99))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
+    // STALE N-way quantile serving: a MIXED gap (fact append + fact
+    // delete + group-moving dim churn) lands AFTER the last refresh and
+    // the answer comes from compensatedQuantiles — stored counts merged
+    // with the gap's telescoped signed terms under the SAME frozen
+    // edges, bit-equal to refresh-then-serve, while the view's cursor
+    // stays untouched. The oracle replays the final state under the
+    // exported (bootstrap-frozen) edges.
+    "quantile_join_view_multiway_stale" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mqjt").toString
+      try {
+        val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+        val v = s"$root/view"
+        val roots = Seq(or, cr, nr)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+          sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        val natType = c.schema("c_nationkey").dataType
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 === 0), or)
+        sources.SnapshotStore.append(c, cr)
+        sources.SnapshotStore.append(n, nr)
+        sources.MultiQuantileJoinView.refresh(s, roots, v, edges,
+          Seq("n_name"), "o_totalprice")
+        val stamp = sources.SnapshotStore.lastEpoch(v)
+        // the gap, NO refresh: the fact appends AND churns while a %10
+        // customer band moves nation — all inside the frozen envelope
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 =!= 0), or)
+        sources.SnapshotStore.deleteWhere(s, or, col("o_orderkey") % 5 === 0)
+        sources.SnapshotStore.upsert(s,
+          c.where(col("c_custkey") % 10 === 0)
+            .withColumn("c_nationkey", lit(0).cast(natType)), cr,
+          Seq("c_custkey"))
+        val comp = sources.MultiQuantileJoinView.compensatedQuantiles(
+          s, roots, v, edges, Seq("n_name"), "o_totalprice",
+          Seq(0.5, 0.9, 0.99))
+        require(comp.nonEmpty,
+          "an in-envelope mixed gap must compensate without a refresh")
+        require(sources.SnapshotStore.lastEpoch(v) == stamp,
+          "compensated serving must not move the view's cursor")
+        exportForOracle(sources.MultiQuantileJoinView.edgesFor(s, v)
+          .select("lo", "w", "bins"), "mqjt_edges", model = true)
+        comp.get.localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // SCHEMA-EVOLUTION lifecycle on the snapshot store: append a narrow
     // era, append a WIDENED era (adds o_orderstatus), run a keyed upsert
     // whose widened batch touches BOTH eras (its CoW rewrites span
@@ -8779,6 +8873,86 @@ object SparkEntry {
          |FROM est GROUP BY 1, 2""".stripMargin,
 
     // the SERVED join quantiles replayed exactly over the full
+    // the N-way quantile MV's replay: the identical clamped binning +
+    // cumulative selection + interpolation over the FINAL 3-way join
+    // (orders %5-deleted, %10 customers moved to nation 0) under the
+    // exported frozen edges — bit-equal arithmetic both sides
+    "quantile_join_view_multiway" ->
+      s"""WITH c AS (SELECT c_custkey,
+         |             CASE WHEN c_custkey % 10 = 0 THEN 0
+         |                  ELSE c_nationkey END AS c_nationkey
+         |           FROM customer),
+         |o AS (SELECT o_custkey, o_totalprice FROM orders
+         |      WHERE o_orderkey % 5 != 0),
+         |ed AS (SELECT lo, w, bins
+         |       FROM read_parquet('${exportGlob("mqjv_edges")}')),
+         |b AS (SELECT n.n_name,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((o.o_totalprice - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM o JOIN c ON o_custkey = c_custkey
+         |      JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |      CROSS JOIN ed
+         |      WHERE o.o_totalprice IS NOT NULL),
+         |cnts AS (SELECT n_name, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM b GROUP BY 1, 2),
+         |cm AS (SELECT n_name, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY n_name
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY n_name)
+         |           AS BIGINT) AS n
+         |       FROM cnts),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9, 0.99]) AS u(phi)),
+         |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p)
+         |SELECT sel.n_name, sel.phi,
+         |       ed.lo + ed.w * sel.bin +
+         |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |           CAST(sel.cnt AS DOUBLE)) AS est
+         |FROM sel CROSS JOIN ed
+         |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
+
+    // the stale N-way serve replays the SAME final state (the gap's
+    // append + delete + dim move applied) under the bootstrap-frozen
+    // exported edges — compensation must be bit-equal to
+    // refresh-then-serve
+    "quantile_join_view_multiway_stale" ->
+      s"""WITH c AS (SELECT c_custkey,
+         |             CASE WHEN c_custkey % 10 = 0 THEN 0
+         |                  ELSE c_nationkey END AS c_nationkey
+         |           FROM customer),
+         |o AS (SELECT o_custkey, o_totalprice FROM orders
+         |      WHERE o_orderkey % 5 != 0),
+         |ed AS (SELECT lo, w, bins
+         |       FROM read_parquet('${exportGlob("mqjt_edges")}')),
+         |b AS (SELECT n.n_name,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((o.o_totalprice - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM o JOIN c ON o_custkey = c_custkey
+         |      JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |      CROSS JOIN ed
+         |      WHERE o.o_totalprice IS NOT NULL),
+         |cnts AS (SELECT n_name, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM b GROUP BY 1, 2),
+         |cm AS (SELECT n_name, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY n_name
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY n_name)
+         |           AS BIGINT) AS n
+         |       FROM cnts),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9, 0.99]) AS u(phi)),
+         |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p)
+         |SELECT sel.n_name, sel.phi,
+         |       ed.lo + ed.w * sel.bin +
+         |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |           CAST(sel.cnt AS DOUBLE)) AS est
+         |FROM sel CROSS JOIN ed
+         |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
+
     // customer⋈orders under the exported frozen edges, pivoted wide
     "quantile_join_view_serve" ->
       s"""WITH o AS (SELECT o_custkey, o_totalprice FROM orders),
