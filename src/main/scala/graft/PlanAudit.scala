@@ -780,6 +780,46 @@ object PlanAudit {
           graft.sources.SnapshotStore.deleteTree(root)
         }
       }),
+      ("percentile over an N-way TREE serves tree-free from the multiway quantile view", {
+        import org.apache.spark.sql.functions._
+        import graft.sources.{MultiQuantileJoinView, SnapshotStore}
+        import graft.sources.MultiAggJoinView.Edge
+        val root = java.nio.file.Files.createTempDirectory("pa_mqjv").toString
+        val roots = Seq(s"$root/F", s"$root/C", s"$root/N")
+        val edges = Seq(Edge(0, Seq("o_cust"), Seq("c_id")),
+          Edge(1, Seq("nat"), Seq("n_id")))
+        try {
+          SnapshotStore.append(spark.range(0, 3000)
+            .selectExpr("id AS o_id", "id % 400 AS o_cust",
+              "CAST((id * 37) % 1000 AS DOUBLE) AS total"), roots(0))
+          SnapshotStore.append(spark.range(0, 400)
+            .selectExpr("id AS c_id", "id % 5 AS nat"), roots(1))
+          SnapshotStore.append(spark.range(0, 5)
+            .selectExpr("id AS n_id", "concat('n', id) AS n_name"), roots(2))
+          MultiQuantileJoinView.refresh(spark, roots, s"$root/mqview",
+            edges, Seq("n_name"), "total")
+          graft.plans.MaterializedMultiJoins.enableQuantile(roots,
+            s"$root/mqview", edges, Seq("n_name"), "total")
+          val f = SnapshotStore.read(spark, roots(0))
+          val c = SnapshotStore.read(spark, roots(1))
+          val n = SnapshotStore.read(spark, roots(2))
+          val p = f.join(c, f("o_cust") === c("c_id"))
+            .join(n, c("nat") === n("n_id"))
+            .groupBy("n_name")
+            .agg(percentile_approx(col("total"), lit(0.5), lit(1000)).as("p50"))
+            .queryExecution.executedPlan.toString
+          // served: all THREE tree scans and the GK aggregate disappear;
+          // the one-row edges broadcast is the only join left — never a
+          // shuffle join
+          p.contains("/mqview") && !p.contains("/F") && !p.contains("/C") &&
+            !p.contains("/N") &&
+            !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+            !p.contains("approx_percentile") && !p.contains("percentile_approx")
+        } finally {
+          graft.plans.MaterializedMultiJoins.disable(s"$root/mqview")
+          graft.sources.SnapshotStore.deleteTree(root)
+        }
+      }),
       ("ranked OR retrieval reads only bloom-selected posting files", {
         import graft.sources.{SearchIndex, SnapshotStore}
         val root = java.nio.file.Files.createTempDirectory("pa_stopk").toString

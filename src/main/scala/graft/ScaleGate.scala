@@ -61,8 +61,8 @@ object ScaleGate {
     val dir = args.headOption.getOrElse(sys.error("usage: ScaleGate <sfDir> [families]"))
     val fams = args.lift(1).map(_.split(',').toSet)
       .getOrElse(Set("jvouter", "jvfull", "aggjoin", "aggjoinx", "maggjoin",
-        "maggjoinx", "mndvjoin", "qjoin", "vovchurn", "rebase", "search",
-        "quantile"))
+        "maggjoinx", "mndvjoin", "qjoin", "mqjoin", "vovchurn", "rebase",
+        "search", "quantile"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     println(s"[gate10] == $dir ==")
 
@@ -489,6 +489,82 @@ object ScaleGate {
         graft.plans.MaterializedQuantiles.disableView(v)
         time("qjoin DECLINED p90 (full join+GK)")(userQ().count())
       } finally graft.plans.MaterializedQuantiles.disableView(v)
+    }
+
+    if (fams("mqjoin")) withRoot { root =>
+      // QUANTILE over the N-way TREE at scale (r19): fact clustered on
+      // its FIRST edge's parent keys (o_custkey — its churn-restriction
+      // axis), dims stand; every maintenance leg is the telescoped
+      // signed-bin arithmetic, so the fixed-absolute band legs must stay
+      // flat while the tree's fact side grows 10×
+      import graft.sources.MultiQuantileJoinView
+      import graft.sources.MultiAggJoinView.Edge
+      val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+      val v = s"$root/V"
+      val roots = Seq(or, cr, nr)
+      val cust3 = Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")
+      val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      val edges = Seq(Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+        Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+      SnapshotStore.appendWithStats(
+        clustered(orders, "o_custkey"), or, Seq("o_custkey"))
+      SnapshotStore.appendWithStats(
+        clustered(cust3, "c_custkey"), cr, Seq("c_custkey"))
+      SnapshotStore.append(nat, nr)
+      def refresh(): Unit = MultiQuantileJoinView.refresh(spark, roots, v,
+        edges, Seq("n_name"), "o_totalprice")
+      time("mqjoin bootstrap (freeze+bin tree)")(refresh())
+      // fresh fact+mid-dim band (values repeat the observed set — in
+      // envelope): two telescoped O(Δ) terms, cascade-pruned
+      val dC = cust3.where(col("c_custkey") < 1024)
+        .withColumn("c_custkey", col("c_custkey") + lit(20_000_000_000L))
+        .localCheckpoint(true)
+      val dO = orders.where(col("o_orderkey") < 4096)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20_000_000_000L))
+        .withColumn("o_custkey",
+          (col("o_custkey") % 1024) + lit(20_000_000_000L))
+        .localCheckpoint(true)
+      SnapshotStore.appendWithStats(dC, cr, Seq("c_custkey"))
+      SnapshotStore.appendWithStats(dO, or, Seq("o_custkey"))
+      time("mqjoin two-table delta")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "mqjoin delta left the O(delta) telescoped binned append")
+      // EXTREMUM band churn on the FACT: deletes strip high values —
+      // fatal to min/max and monotone sketches, pure signed arithmetic
+      // here; the ± legs file-prune to the custkey band
+      SnapshotStore.deleteWhere(spark, or,
+        col("o_custkey") >= 20_000_000_000L && col("o_totalprice") > 100000.0)
+      time("mqjoin churn (band, extremum)")(refresh())
+      assert(SnapshotStore.manifestOp(v, SnapshotStore.currentVersion(v))
+        .contains("append"),
+        "multiway quantile churn must stay a signed-count append")
+      time("mqjoin serve (p50/p99)")(
+        MultiQuantileJoinView.quantiles(spark, v, Seq(0.5, 0.99)).count())
+      // the CATALYST serve: percentile_approx over the registered TREE
+      // answers from O(live bins) — serve cost independent of fact
+      // size; the declined twin re-runs the full 3-way join + GK
+      graft.plans.MaterializedMultiJoins.enableQuantile(roots, v, edges,
+        Seq("n_name"), "o_totalprice")
+      try {
+        def userQ() = {
+          val of = SnapshotStore.read(spark, or)
+          val cf = SnapshotStore.read(spark, cr)
+          val nf = SnapshotStore.read(spark, nr)
+          of.join(cf, of("o_custkey") === cf("c_custkey"))
+            .join(nf, cf("c_nationkey") === nf("n_nationkey"))
+            .groupBy("n_name")
+            .agg(percentile_approx(col("o_totalprice"), lit(0.9),
+              lit(10000)).as("p90"))
+        }
+        val served = userQ()
+        assert(graft.plans.PlanProbe.scansOnly(served, "/V"),
+          "the mqjoin catalyst serve did not fire at scale")
+        time("mqjoin catalyst serve p90")(served.count())
+        graft.plans.MaterializedMultiJoins.disable(v)
+        time("mqjoin DECLINED p90 (tree+GK)")(userQ().count())
+      } finally graft.plans.MaterializedMultiJoins.disable(v)
     }
 
     if (fams("vovchurn")) withRoot { root =>

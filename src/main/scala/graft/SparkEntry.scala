@@ -3799,6 +3799,50 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // CATALYST serving of the N-WAY quantile MV: percentile_approx over
+    // the full 3-way tree, grouped by the snowflake-leaf attribute, is
+    // answered from MultiQuantileJoinView's O(bins) read through the
+    // QuantileRewriteRule's multiway arm (the shared MultiTreeMatch
+    // plan matcher) — the whole join TREE and the GK aggregate leave the
+    // plan. Estimates replay exact-hash under the exported edges.
+    "quantile_join_view_multiway_serve" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mqjs").toString
+      try {
+        val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+        val v = s"$root/view"
+        val roots = Seq(or, cr, nr)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+          sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        sources.SnapshotStore.append(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), or)
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_nationkey"), cr)
+        sources.SnapshotStore.append(
+          Tables.nation(s, dir).select("n_nationkey", "n_name"), nr)
+        sources.MultiQuantileJoinView.refresh(s, roots, v, edges,
+          Seq("n_name"), "o_totalprice")
+        graft.plans.MaterializedMultiJoins.enableQuantile(roots, v, edges,
+          Seq("n_name"), "o_totalprice")
+        try {
+          val of = sources.SnapshotStore.read(s, or)
+          val cf = sources.SnapshotStore.read(s, cr)
+          val nf = sources.SnapshotStore.read(s, nr)
+          val q = of.join(cf, of("o_custkey") === cf("c_custkey"))
+            .join(nf, cf("c_nationkey") === nf("n_nationkey"))
+            .groupBy("n_name")
+            .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+              .as("p50"),
+              percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
+                .as("p90"))
+          val usedView = graft.plans.PlanProbe.scansOnly(q, "/view")
+          exportForOracle(sources.MultiQuantileJoinView.edgesFor(s, v)
+            .select("lo", "w", "bins"), "mqjs_edges", model = true)
+          q.withColumn("used_view", lit(usedView)).localCheckpoint(true)
+        } finally graft.plans.MaterializedMultiJoins.disable(v)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // STALE quantile-join serving (the r18 ask-5 residual): the view's
     // cursor lags a gap holding an order APPEND (shifted key copies —
     // same values, deterministically in-envelope) AND a group-MOVING
@@ -8983,6 +9027,45 @@ object SparkEntry {
          |               AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
          |           OR (sel.t = 0.0 AND sel.cum = sel.cnt))
          |SELECT c_mktsegment,
+         |       MAX(CASE WHEN phi = 0.5 THEN est END) AS p50,
+         |       MAX(CASE WHEN phi = 0.9 THEN est END) AS p90,
+         |       TRUE AS used_view
+         |FROM est GROUP BY 1""".stripMargin,
+
+    // the N-way Catalyst serve's replay: same binning + interpolation
+    // over the full 3-way join under the exported edges, pivoted wide,
+    // used_view re-derived as the constant the serve asserted
+    "quantile_join_view_multiway_serve" ->
+      s"""WITH o AS (SELECT o_custkey, o_totalprice FROM orders),
+         |ed AS (SELECT lo, w, bins
+         |       FROM read_parquet('${exportGlob("mqjs_edges")}')),
+         |b AS (SELECT n.n_name,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((o.o_totalprice - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM o JOIN customer ON o_custkey = c_custkey
+         |      JOIN nation n ON c_nationkey = n_nationkey
+         |      CROSS JOIN ed
+         |      WHERE o.o_totalprice IS NOT NULL),
+         |cnts AS (SELECT n_name, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM b GROUP BY 1, 2),
+         |cm AS (SELECT n_name, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY n_name
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY n_name)
+         |           AS BIGINT) AS n
+         |       FROM cnts),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9]) AS u(phi)),
+         |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p),
+         |est AS (SELECT sel.n_name, sel.phi,
+         |          ed.lo + ed.w * sel.bin +
+         |            ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |              CAST(sel.cnt AS DOUBLE)) AS est
+         |        FROM sel CROSS JOIN ed
+         |        WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |               AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |           OR (sel.t = 0.0 AND sel.cum = sel.cnt))
+         |SELECT n_name,
          |       MAX(CASE WHEN phi = 0.5 THEN est END) AS p50,
          |       MAX(CASE WHEN phi = 0.9 THEN est END) AS p90,
          |       TRUE AS used_view

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
 
-import graft.sources.{AggJoinView, JoinView, MultiAggJoinView, MultiNdvJoinView, NdvJoinView, NdvView, QuantileJoinView, QuantileView, RollupView}
+import graft.sources.{AggJoinView, JoinView, MultiAggJoinView, MultiNdvJoinView, MultiQuantileJoinView, NdvJoinView, NdvView, QuantileJoinView, QuantileView, RollupView}
 import graft.sources.MultiAggJoinView.Edge
 
 /** The SQL DDL surface for the engine's materialized views — the
@@ -57,6 +57,13 @@ import graft.sources.MultiAggJoinView.Edge
   *     O(bins) Catalyst serve (same explicit-approximation contract
   *     as QUANTILE; STALE adds delta-compensated serving, sound over
   *     churn gaps too — signed counts retract)
+  *   - `MULTI_QUANTILE_JOIN(ROOTS, EDGES, GROUPS, VALUE_COL => 'm'
+  *     [, BINS => '64'] [, SERVE => 'true'] [, STALE => 'true'])` —
+  *     percentiles over the N-way join tree (QUANTILE_JOIN's contract
+  *     lifted to MULTI_AGG_JOIN's tree shape); SERVE opts the
+  *     `percentile_approx`-over-the-tree shape into the O(bins)
+  *     Catalyst serve, STALE adds the telescoped delta-compensated
+  *     serving (sound over churn gaps — signed counts retract)
   *
   * CREATE registers AND materializes (the initial refresh runs — a
   * CREATE that didn't materialize would serve nothing); REFRESH brings
@@ -142,6 +149,16 @@ object GraftDdl {
                                             stale: Boolean) extends Spec {
     def refresh(spark: SparkSession, view: String): Int =
       QuantileJoinView.refresh(spark, l, r, view, lks, rks, groups, x, bins)
+  }
+  private final case class MultiQuantileJoinSpec(roots: Seq[String],
+                                                 edges: Seq[Edge],
+                                                 groups: Seq[String],
+                                                 x: String, bins: Int,
+                                                 serve: Boolean,
+                                                 stale: Boolean) extends Spec {
+    def refresh(spark: SparkSession, view: String): Int =
+      MultiQuantileJoinView.refresh(spark, roots, view, edges, groups, x,
+        bins)
   }
 
   /** The DDL catalog: view root → recorded spec (what REFRESH/DROP
@@ -277,6 +294,7 @@ object GraftDdl {
         case _: MultiSpec           => "MULTI_AGG_JOIN"
         case _: MultiNdvSpec        => "MULTI_NDV_JOIN"
         case _: QuantileJoinSpec    => "QUANTILE_JOIN"
+        case _: MultiQuantileJoinSpec => "MULTI_QUANTILE_JOIN"
       }
       (view, kind, spec.toString)
     }
@@ -369,10 +387,23 @@ object GraftDdl {
           args.get("BINS").map(_.toInt)
             .getOrElse(QuantileJoinView.DefaultBins),
           flag(args, "SERVE"), flag(args, "STALE"))
+      case "MULTI_QUANTILE_JOIN" =>
+        val roots = need(args, "ROOTS", kind).split(";").map(_.trim).toSeq
+        val edges = need(args, "EDGES", kind).split(";").map(_.trim).map { e =>
+          e.split(":") match {
+            case Array(p, pks, cks) => Edge(p.trim.toInt, list(pks), list(cks))
+            case _ => sys.error(s"bad EDGES entry '$e' (parent:pk,…:ck,…)")
+          }
+        }.toSeq
+        MultiQuantileJoinSpec(roots, edges, list(need(args, "GROUPS", kind)),
+          need(args, "VALUE_COL", kind),
+          args.get("BINS").map(_.toInt)
+            .getOrElse(QuantileJoinView.DefaultBins),
+          flag(args, "SERVE"), flag(args, "STALE"))
       case other =>
         sys.error(s"unknown materialized-view kind '$other' (ROLLUP, NDV, " +
           "QUANTILE, JOIN, AGG_JOIN, NDV_JOIN, MULTI_AGG_JOIN, " +
-          "MULTI_NDV_JOIN, QUANTILE_JOIN)")
+          "MULTI_NDV_JOIN, QUANTILE_JOIN, MULTI_QUANTILE_JOIN)")
     }
 
   private def register(view: String, spec: Spec): Unit = spec match {
@@ -399,6 +430,10 @@ object GraftDdl {
       if (serve)
         MaterializedQuantiles.enableJoin(l, r, view, lks, rks, g, x, bins,
           stale)
+    case MultiQuantileJoinSpec(roots, edges, g, x, bins, serve, stale) =>
+      if (serve)
+        MaterializedMultiJoins.enableQuantile(roots, view, edges, g, x,
+          bins, stale)
   }
 
   /** Catalog lookup with a MISS-triggered forced re-scan: the rehydrate
@@ -439,6 +474,7 @@ object GraftDdl {
       case _: MultiSpec        => MaterializedMultiJoins.disable(view)
       case _: MultiNdvSpec     => MaterializedMultiJoins.disable(view)
       case _: QuantileJoinSpec => MaterializedQuantiles.disableView(view)
+      case _: MultiQuantileJoinSpec => MaterializedMultiJoins.disable(view)
     }
     java.nio.file.Files.deleteIfExists(entryFile(catalogDir(spark), view))
   }

@@ -22,15 +22,20 @@ object MaterializedMultiJoins {
   /** A registration: ordered roots, the edge tree, spec columns, and the
     * stale opt-in — everything refresh-shaped so the rewrite can hand
     * the stale path to [[MultiAggJoinView.compensatedRead]] verbatim.
-    * `kind`: "agg" (count/sum/avg[/extents] partials) or "ndv" (HLL
+    * `kind`: "agg" (count/sum/avg[/extents] partials), "ndv" (HLL
     * sketch of `measureCols.head` — the [[MultiNdvJoinView]] store,
-    * serving the `hll_sketch_estimate(hll_sketch_agg(x, lgK))` shape). */
+    * serving the `hll_sketch_estimate(hll_sketch_agg(x, lgK))` shape),
+    * or "quantile" (signed bin counts of `measureCols.head` — the
+    * [[graft.sources.MultiQuantileJoinView]] store, served by the
+    * [[QuantileRewriteRule]]'s multiway arm; `bins` is its freeze
+    * width, meaningful only there). */
   private[plans] final case class MReg(roots: Seq[String], viewRoot: String,
                                        edges: Seq[Edge],
                                        groupCols: Seq[String],
                                        measureCols: Seq[String],
                                        serveStale: Boolean,
-                                       kind: String = "agg")
+                                       kind: String = "agg",
+                                       bins: Int = 0)
 
   private val regs =
     new java.util.concurrent.ConcurrentHashMap[String, MReg]()
@@ -62,6 +67,22 @@ object MaterializedMultiJoins {
     regs.put(canon(viewRoot),
       MReg(roots, viewRoot, edges, groupCols, Seq(distinctCol), serveStale,
         kind = "ndv"))
+
+  /** Declare `viewRoot` as [[graft.sources.MultiQuantileJoinView]]-
+    * maintained: `percentile_approx`-shaped aggregates of `valueCol`
+    * over the registered tree are answered from the view's O(bins) read
+    * by the [[QuantileRewriteRule]]'s multiway arm — the registry-wide
+    * EXPLICIT approximation opt-in ([[MaterializedQuantiles]] doc: the
+    * served estimate is the view's fixed-bin interpolation, ≤ 2·w of
+    * exact, not GK's answer). `serveStale` adds delta-compensated
+    * serving, sound over churn gaps too (signed counts retract). */
+  def enableQuantile(roots: Seq[String], viewRoot: String, edges: Seq[Edge],
+                     groupCols: Seq[String], valueCol: String,
+                     bins: Int = graft.sources.QuantileJoinView.DefaultBins,
+                     serveStale: Boolean = false): Unit =
+    regs.put(canon(viewRoot),
+      MReg(roots, viewRoot, edges, groupCols, Seq(valueCol), serveStale,
+        kind = "quantile", bins = bins))
 
   /** Unregister every registration mentioning `root` as a source or as
     * the view. */
@@ -124,6 +145,163 @@ object MaterializedMultiJoins {
   }
 }
 
+/** The N-way join-TREE plan matcher shared by [[MultiAggJoinRewriteRule]]
+  * and [[QuantileRewriteRule]]'s multiway arm: flatten a chain of INNER
+  * equi-joins to (leaves, equalities, filters) — inner joins commute and
+  * associate, so the flattened form is canonical and any join order the
+  * user wrote matches — then find the registrations of a given kind
+  * whose table set (leaf↔table bijection on current-snapshot dirs) and
+  * edge set (unordered table-qualified key pairs) equal the user's, with
+  * the child→parent key normalization both rules need to resolve group
+  * and measure attributes onto registered columns. */
+private[plans] object MultiTreeMatch {
+
+  /** The flattened user plan: scan leaves, their filter conjuncts, and
+    * attribute → leaf ownership. */
+  final case class Ctx(leaves: Seq[LogicalRelation], filters: Seq[Expression],
+                       leafOf: Map[ExprId, Int])
+
+  /** One registration whose tree equals the user's. */
+  final case class Hit(reg: MaterializedMultiJoins.MReg,
+                       leafToTable: Map[Int, Int], fresh: Boolean) {
+
+    val childToParent: Map[(Int, String), (Int, String)] =
+      reg.edges.zipWithIndex.flatMap { case (e, i) =>
+        e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
+          ((i + 1, ck.toLowerCase), (e.parent, pk.toLowerCase))
+        }
+      }.toMap
+
+    @annotation.tailrec
+    final def normalizeTc(tc: (Int, String)): (Int, String) =
+      childToParent.get(tc) match {
+        case Some(up) => normalizeTc(up)
+        case None     => tc
+      }
+
+    private val childKeyOfTable: Map[Int, Set[String]] =
+      reg.edges.zipWithIndex.map { case (e, i) =>
+        (i + 1) -> e.childKeys.map(_.toLowerCase).toSet
+      }.toMap.withDefaultValue(Set.empty)
+
+    val leafByTable: Map[Int, Int] = leafToTable.map(_.swap)
+
+    /** The unique table OWNING a column name — child-side edge keys
+      * excluded, mirroring the refresh resolution contract. */
+    def ownerOf(ctx: Ctx, nameLc: String): Option[Int] = {
+      val ts = leafByTable.keys.filter { t =>
+        ctx.leaves(leafByTable(t)).output
+          .exists(_.name.equalsIgnoreCase(nameLc)) &&
+          !childKeyOfTable(t).contains(nameLc)
+      }.toSeq
+      if (ts.size == 1) Some(ts.head) else None
+    }
+
+    /** Grouping attrs normalized (child-side keys map onto their paired
+      * parent keys, transitively) onto the registered group set — None
+      * when they don't land exactly there. */
+    def groupNorm(ctx: Ctx, groupAttrs: Seq[AttributeReference]): Option[Map[ExprId, String]] = {
+      val entries = groupAttrs.map { a =>
+        ctx.leafOf.get(a.exprId).map(leaf =>
+          a.exprId -> normalizeTc((leafToTable(leaf), a.name.toLowerCase))._2)
+      }
+      if (entries.exists(_.isEmpty)) return None
+      val m = entries.flatten.toMap
+      if (m.values.toSet == reg.groupCols.map(_.toLowerCase).toSet) Some(m)
+      else None
+    }
+
+    /** A measure/value/distinct attribute normalized through the tree
+      * onto a registered column's OWNING table (a same-named column on a
+      * different table declines). */
+    def measureNorm(ctx: Ctx, measures: Set[String])(v: AttributeReference): Option[String] =
+      ctx.leafOf.get(v.exprId).map(leafToTable).flatMap { t =>
+        val norm = normalizeTc((t, v.name.toLowerCase))
+        if (measures.contains(norm._2) && ownerOf(ctx, norm._2).contains(norm._1))
+          Some(norm._2)
+        else None
+      }
+  }
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
+  }
+
+  /** Flatten a tree of inner joins to (scan leaves, equality conjuncts,
+    * filter conjuncts). Projects must be column-pruning; filters
+    * deterministic; any other node declines. */
+  def flatten(plan: LogicalPlan):
+      Option[(Seq[LogicalRelation], Seq[Expression], Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => Some((Seq(lr), Nil, Nil))
+      case SubqueryAlias(_, child) => flatten(child) // temp-view name
+      case v: View => flatten(v.child) // temp-view body wrapper
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        flatten(child)
+      case Filter(cond, child) if cond.deterministic =>
+        flatten(child).map { case (ls, es, fs) => (ls, es, conjuncts(cond) ++ fs) }
+      case Join(l, r, Inner, Some(c), _) =>
+        for ((ll, le, lf) <- flatten(l); (rl, re, rf) <- flatten(r))
+          yield (ll ++ rl, conjuncts(c) ++ le ++ re, lf ++ rf)
+      case _ => None
+    }
+
+  /** Flatten + match: every registration of `kind` whose tree equals the
+    * user plan's. None when the plan isn't an N ≥ 3 inner-join tree of
+    * plain scans or an equality isn't attr = attr across two leaves. */
+  def candidates(child: LogicalPlan, kind: String): Option[(Ctx, Seq[Hit])] = {
+    val (leaves, eqs, filters) = flatten(child).getOrElse(return None)
+    if (leaves.size < 3) return None // two-table shapes belong to the 2-way rules
+    val leafPaths = leaves.map(l =>
+      MaterializedJoins.canonPaths(l).getOrElse(return None))
+    val leafOf: Map[ExprId, Int] = leaves.zipWithIndex.flatMap {
+      case (l, i) => l.output.map(a => a.exprId -> i)
+    }.toMap
+    val eqPairs = eqs.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (la, lb) = (leafOf.get(a.exprId).getOrElse(return None),
+          leafOf.get(b.exprId).getOrElse(return None))
+        if (la == lb) return None
+        ((la, a.name.toLowerCase), (lb, b.name.toLowerCase))
+      case _ => return None
+    }
+    val hits = MaterializedMultiJoins.all.iterator
+      .filter(_.kind == kind).flatMap { reg =>
+        if (reg.roots.size != leaves.size) None
+        else MaterializedMultiJoins.probe(reg).flatMap { case (dirs, fresh) =>
+          // leaf i ↦ the unique table whose dirs equal leaf i's paths;
+          // a leaf matching no table of THIS registration skips it
+          val pairs = leafPaths.zipWithIndex.flatMap { case (p, li) =>
+            dirs.indexWhere(_ == p) match {
+              case -1 => None
+              case ti => Some(li -> ti)
+            }
+          }
+          val mapping = pairs.toMap
+          if (pairs.size != leaves.size ||
+              mapping.values.toSet.size != leaves.size) None
+          else {
+            val regPairs: Set[Set[(Int, String)]] = reg.edges.zipWithIndex
+              .flatMap { case (e, i) =>
+                e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
+                  Set((e.parent, pk.toLowerCase), (i + 1, ck.toLowerCase))
+                }
+              }.toSet
+            val userPairs: Set[Set[(Int, String)]] = eqPairs.map {
+              case ((la, an), (lb, bn)) =>
+                Set((mapping(la), an), (mapping(lb), bn))
+            }.toSet
+            if (userPairs == regPairs) Some(Hit(reg, mapping, fresh))
+            else None
+          }
+        }
+      }.toSeq
+    Some((Ctx(leaves, filters, leafOf), hits))
+  }
+}
+
 /** Materialized MULTI-WAY aggregate-over-join rewrite — the snowflake MV
   * as one Catalyst rule: a user-shaped chain of INNER equi-joins over N
   * registered stores' current snapshots, grouped on registered columns
@@ -174,127 +352,33 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => conjuncts(a) ++ conjuncts(b)
-    case other     => Seq(other)
-  }
-
-  /** Flatten a tree of inner joins to (scan leaves, equality conjuncts,
-    * filter conjuncts). Projects must be column-pruning; filters
-    * deterministic; any other node declines. */
-  private def flatten(plan: LogicalPlan):
-      Option[(Seq[LogicalRelation], Seq[Expression], Seq[Expression])] =
-    plan match {
-      case lr: LogicalRelation => Some((Seq(lr), Nil, Nil))
-      case SubqueryAlias(_, child) => flatten(child) // temp-view name
-      case v: View => flatten(v.child) // temp-view body wrapper
-      case Project(projList, child)
-          if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        flatten(child)
-      case Filter(cond, child) if cond.deterministic =>
-        flatten(child).map { case (ls, es, fs) => (ls, es, conjuncts(cond) ++ fs) }
-      case Join(l, r, Inner, Some(c), _) =>
-        for ((ll, le, lf) <- flatten(l); (rl, re, rf) <- flatten(r))
-          yield (ll ++ rl, conjuncts(c) ++ le ++ re, lf ++ rf)
-      case _ => None
-    }
-
   private def rewrite(agg: Aggregate, ge: Seq[Expression],
                       ae: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] = {
-    val (leaves, eqs, filters) = flatten(child).getOrElse(return None)
-    if (leaves.size < 3) return None // two-table shapes belong to AggJoinRewriteRule
-    val leafPaths = leaves.map(l =>
-      MaterializedJoins.canonPaths(l).getOrElse(return None))
-    // every equality must be attr = attr across two distinct leaves
-    val leafOf: Map[ExprId, Int] = leaves.zipWithIndex.flatMap {
-      case (l, i) => l.output.map(a => a.exprId -> i)
-    }.toMap
-    val eqPairs = eqs.map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        val (la, lb) = (leafOf.get(a.exprId).getOrElse(return None),
-          leafOf.get(b.exprId).getOrElse(return None))
-        if (la == lb) return None
-        ((la, a.name.toLowerCase), (lb, b.name.toLowerCase))
-      case _ => return None
-    }
     val groupAttrs = ge.map {
       case a: AttributeReference => a
       case _                     => return None
     }
-
-    // candidate registrations: same table count, each leaf's paths match
-    // one registration table's current dirs (a bijection), and the
-    // flattened equality set equals the registered edge pairs
-    case class Hit(reg: MaterializedMultiJoins.MReg, leafToTable: Map[Int, Int],
-                   fresh: Boolean)
-    val candidates = MaterializedMultiJoins.all.iterator.flatMap { reg =>
-      if (reg.roots.size != leaves.size) None
-      else MaterializedMultiJoins.probe(reg).flatMap { case (dirs, fresh) =>
-        // leaf i ↦ the unique table whose dirs equal leaf i's paths;
-        // a leaf that matches no table of THIS registration just skips it
-        val pairs = leafPaths.zipWithIndex.flatMap { case (p, li) =>
-          dirs.indexWhere(_ == p) match {
-            case -1 => None
-            case ti => Some(li -> ti)
-          }
-        }
-        val mapping = pairs.toMap
-        if (pairs.size != leaves.size ||
-            mapping.values.toSet.size != leaves.size) None
-        else {
-          // registered edge key pairs as unordered table-qualified sets
-          val regPairs: Set[Set[(Int, String)]] = reg.edges.zipWithIndex
-            .flatMap { case (e, i) =>
-              e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
-                Set((e.parent, pk.toLowerCase), (i + 1, ck.toLowerCase))
-              }
-            }.toSet
-          val userPairs: Set[Set[(Int, String)]] = eqPairs.map {
-            case ((la, an), (lb, bn)) =>
-              Set((mapping(la), an), (mapping(lb), bn))
-          }.toSet
-          if (userPairs == regPairs) Some(Hit(reg, mapping, fresh))
-          else None
-        }
-      }
-    }.toSeq
+    // the aggregate list picks the view KIND it needs (the 2-table
+    // rule's posture): any datasketches distinct-count shape wants an
+    // ndv view, everything else the agg kind — "quantile"-kind
+    // registrations never serve here (their store holds bin partials;
+    // the QuantileRewriteRule owns them). Freshness breaks ties among
+    // same-kind candidates.
+    val wantsNdv = ae.exists {
+      case Alias(HllSketchEstimate(_), _) => true
+      case _                              => false
+    }
+    val (ctx, kinded) = MultiTreeMatch.candidates(child,
+      if (wantsNdv) "ndv" else "agg").getOrElse(return None)
+    val filters = ctx.filters
     // GROUPS participate in candidate SELECTION, not just validation:
     // two registrations can share the same join tree with different
     // group columns, and the query must land on the one whose groups its
     // grouping attributes normalize onto (a grouped-on child-side key
     // maps to its paired parent key, transitively — the inner equality
     // makes them value-identical)
-    def groupNorm(h: Hit): Option[Map[ExprId, String]] = {
-      val childToParent: Map[(Int, String), (Int, String)] =
-        h.reg.edges.zipWithIndex.flatMap { case (e, i) =>
-          e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
-            ((i + 1, ck.toLowerCase), (e.parent, pk.toLowerCase))
-          }
-        }.toMap
-      @annotation.tailrec
-      def normalize(tc: (Int, String)): (Int, String) =
-        childToParent.get(tc) match {
-          case Some(up) => normalize(up)
-          case None     => tc
-        }
-      val m = groupAttrs.map { a =>
-        val leaf = leafOf.get(a.exprId).getOrElse(return None)
-        a.exprId -> normalize((h.leafToTable(leaf), a.name.toLowerCase))._2
-      }.toMap
-      if (m.values.toSet == h.reg.groupCols.map(_.toLowerCase).toSet) Some(m)
-      else None
-    }
-    // the aggregate list picks the view KIND it needs (the 2-table
-    // rule's posture): any datasketches distinct-count shape wants an
-    // ndv view, everything else the agg kind — then freshness breaks
-    // ties among same-kind candidates
-    val wantsNdv = ae.exists {
-      case Alias(HllSketchEstimate(_), _) => true
-      case _                              => false
-    }
-    val kinded = candidates.filter(h => (h.reg.kind == "ndv") == wantsNdv)
-    val matched = kinded.flatMap(h => groupNorm(h).map(h -> _))
+    val matched = kinded.flatMap(h => h.groupNorm(ctx, groupAttrs).map(h -> _))
     val (hit, normed) = matched.find(_._1.fresh)
       .orElse(matched.headOption).getOrElse(return None)
 
@@ -304,43 +388,12 @@ class MultiAggJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val measures = hit.reg.measureCols.map(_.toLowerCase).toSet
     // measure/distinct attributes resolve THROUGH the join tree, exactly
-    // like group attributes: the attribute's leaf table, normalized
-    // along child→parent key pairs, must be the registered column's
-    // OWNING table (ownership mirrors the refresh contract — child keys
-    // excluded). A column on a DIFFERENT table merely sharing the
-    // registered measure's name must not serve from the owner's stored
-    // partials.
-    val childToParent: Map[(Int, String), (Int, String)] =
-      hit.reg.edges.zipWithIndex.flatMap { case (e, i) =>
-        e.parentKeys.zip(e.childKeys).map { case (pk, ck) =>
-          ((i + 1, ck.toLowerCase), (e.parent, pk.toLowerCase))
-        }
-      }.toMap
-    @annotation.tailrec
-    def normalizeTc(tc: (Int, String)): (Int, String) =
-      childToParent.get(tc) match {
-        case Some(up) => normalizeTc(up)
-        case None     => tc
-      }
-    val childKeyOfTable: Map[Int, Set[String]] =
-      hit.reg.edges.zipWithIndex.map { case (e, i) =>
-        (i + 1) -> e.childKeys.map(_.toLowerCase).toSet
-      }.toMap.withDefaultValue(Set.empty)
-    val leafByTable: Map[Int, Int] = hit.leafToTable.map(_.swap)
-    def ownerOf(nameLc: String): Option[Int] = {
-      val ts = leafByTable.keys.filter { t =>
-        leaves(leafByTable(t)).output.exists(_.name.equalsIgnoreCase(nameLc)) &&
-          !childKeyOfTable(t).contains(nameLc)
-      }.toSeq
-      if (ts.size == 1) Some(ts.head) else None
-    }
+    // like group attributes — ownership mirrors the refresh contract
+    // (child keys excluded); a column on a DIFFERENT table merely
+    // sharing the registered measure's name must not serve from the
+    // owner's stored partials
     def measureNorm(v: AttributeReference): Option[String] =
-      leafOf.get(v.exprId).map(hit.leafToTable).flatMap { t =>
-        val norm = normalizeTc((t, v.name.toLowerCase))
-        if (measures.contains(norm._2) && ownerOf(norm._2).contains(norm._1))
-          Some(norm._2)
-        else None
-      }
+      hit.measureNorm(ctx, measures)(v)
 
     val viewDf =
       if (hit.fresh) hit.reg.kind match {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions.{col, max, when}
 import org.apache.spark.sql.types.{Decimal, DoubleType, LongType}
 
-import graft.sources.{QuantileJoinView, QuantileView}
+import graft.sources.{MultiQuantileJoinView, QuantileJoinView, QuantileView}
 
 /** Registry of maintained quantile views the [[QuantileRewriteRule]] may
   * answer `percentile_approx`-shaped aggregates from — the last serving
@@ -148,11 +148,16 @@ object MaterializedQuantiles {
 class QuantileRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MaterializedQuantiles.isEmpty) return plan
+    // multiway quantile registrations live in MaterializedMultiJoins
+    // (kind = "quantile") so the tree matcher is shared; either registry
+    // non-empty means this rule may have work
+    if (MaterializedQuantiles.isEmpty &&
+        !MaterializedMultiJoins.all.exists(_.kind == "quantile")) return plan
     plan.transformUp {
       case agg @ Aggregate(ge, ae, child, _) =>
         rewriteSingle(ge, ae, child)
           .orElse(rewriteJoin(ge, ae, child))
+          .orElse(rewriteMulti(ge, ae, child))
           .getOrElse(agg)
     }
   }
@@ -437,4 +442,85 @@ class QuantileRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def dissectSide(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
     dissect(plan)
+
+  // ---- multiway arm --------------------------------------------------------
+
+  /** `percentile_approx` over an N ≥ 3 INNER join tree, answered from a
+    * registered [[MultiQuantileJoinView]] (a "quantile"-kind
+    * [[MaterializedMultiJoins]] registration): the whole TREE leaves the
+    * plan for the view's O(live bins) read. Matching is the
+    * [[MultiAggJoinRewriteRule]]'s via the shared [[MultiTreeMatch]] —
+    * leaf↔table bijection on current-snapshot dirs, exact edge-set
+    * equality, group attrs normalizing onto the registered groups,
+    * filters over groups only — and the value attribute resolves through
+    * the tree onto the registered column's OWNING table. FRESH serves
+    * the stored counts; STALE + `serveStale` serves the telescoped
+    * delta-compensated merge (sound over churn gaps — signed counts
+    * retract); anything else declines, never a silent partial serve. */
+  private def rewriteMulti(ge: Seq[Expression], ae: Seq[NamedExpression],
+                           child: LogicalPlan): Option[LogicalPlan] = {
+    if (!MaterializedMultiJoins.all.exists(_.kind == "quantile")) return None
+    val groupAttrs = ge.map {
+      case a: AttributeReference => a
+      case _                     => return None
+    }
+    val (ctx, hits) = MultiTreeMatch.candidates(child, "quantile")
+      .getOrElse(return None)
+    val matched = hits.flatMap(h => h.groupNorm(ctx, groupAttrs).map(h -> _))
+    val (hit, normed) = matched.find(_._1.fresh)
+      .orElse(matched.headOption).getOrElse(return None)
+    val groupingSet = AttributeSet(groupAttrs)
+    if (!ctx.filters.forall(_.references.subsetOf(groupingSet))) return None
+    val valueSet = Set(hit.reg.measureCols.head
+      .toLowerCase(java.util.Locale.ROOT))
+    def valueOk(v: AttributeReference): Boolean =
+      hit.measureNorm(ctx, valueSet)(v).isDefined
+    val phis = ae.flatMap {
+      case al: Alias => phiOf(al).filter(p => valueOk(p._1)).map(_._2)
+      case _         => Seq.empty
+    }.distinct
+    if (phis.isEmpty) return None
+    val longDf =
+      if (hit.fresh)
+        MultiQuantileJoinView.quantiles(spark, hit.reg.viewRoot, phis)
+      else if (hit.reg.serveStale)
+        MultiQuantileJoinView.compensatedQuantiles(spark, hit.reg.roots,
+          hit.reg.viewRoot, hit.reg.edges, hit.reg.groupCols,
+          hit.reg.measureCols.head, phis, hit.reg.bins)
+          .getOrElse(return None)
+      else return None
+    val viewPlan =
+      widen(longDf, hit.reg.groupCols, phis).queryExecution.analyzed
+    def viewCol(n: String): Option[Attribute] =
+      viewPlan.output.find(_.name.equalsIgnoreCase(n))
+    def groupViewCol(a: AttributeReference): Option[Attribute] =
+      normed.get(a.exprId).flatMap(viewCol).filter(_.dataType == a.dataType)
+    val projections = ae.map {
+      case a: AttributeReference if normed.contains(a.exprId) =>
+        Alias(groupViewCol(a).getOrElse(return None), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if normed.contains(a.exprId) =>
+        Alias(groupViewCol(a).getOrElse(return None), al.name)(exprId = al.exprId)
+      case al: Alias =>
+        phiOf(al).filter(p => valueOk(p._1)) match {
+          case Some((_, p)) =>
+            Alias(viewCol(s"__q${phis.indexOf(p)}").getOrElse(return None),
+              al.name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+    var mappable = true
+    val mapped = ctx.filters.map(_.transform {
+      case a: AttributeReference =>
+        groupViewCol(a) match {
+          case Some(vc) => vc
+          case None     => mappable = false; a
+        }
+    })
+    if (!mappable) return None
+    val base =
+      if (mapped.isEmpty) viewPlan
+      else Filter(mapped.reduce(And), viewPlan)
+    Some(Project(projections, base))
+  }
 }

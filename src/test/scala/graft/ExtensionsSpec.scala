@@ -754,6 +754,56 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL: MULTI_QUANTILE_JOIN with SERVE opts the tree shape into the O(bins) serve; rehydrates; DROP unplugs") {
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("mvddlmq").toString
+    val fv = s"$root/F"; val cv = s"$root/C"; val nv = s"$root/N"
+    val qV = s"$root/mqview"
+    spark.conf.set("spark.graft.catalog", s"$root/catalog")
+    try {
+      SnapshotStore.append(spark.range(0, 2000)
+        .selectExpr("id % 300 AS f_ck",
+          "CAST((id * 37) % 997 AS DOUBLE) AS amt"), fv)
+      SnapshotStore.append(spark.range(0, 300)
+        .selectExpr("id AS c_ck", "id % 5 AS c_nk"), cv)
+      SnapshotStore.append(spark.range(0, 5)
+        .selectExpr("id AS n_nk", "concat('n', id) AS n_name"), nv)
+      spark.sql(s"""CREATE MATERIALIZED VIEW '$qV' AS MULTI_QUANTILE_JOIN(
+        ROOTS => '$fv;$cv;$nv', EDGES => '0:f_ck:c_ck;1:c_nk:n_nk',
+        GROUPS => 'n_name', VALUE_COL => 'amt', SERVE => 'true')""")
+      Seq(fv -> "mvddlmq_f", cv -> "mvddlmq_c", nv -> "mvddlmq_n").foreach {
+        case (p, t) => SnapshotStore.read(spark, p).createOrReplaceTempView(t)
+      }
+      def q() = spark.sql(
+        """SELECT n_name, percentile_approx(amt, 0.5, 1000) AS p50
+          |FROM mvddlmq_f JOIN mvddlmq_c ON f_ck = c_ck
+          |      JOIN mvddlmq_n ON c_nk = n_nk
+          |GROUP BY n_name""".stripMargin)
+      assert(q().queryExecution.executedPlan.toString.contains("/mqview"),
+        "the SQL-created multi-way quantile view must serve")
+      // the served estimates ARE the view's fixed-bin interpolation
+      val got = q().collect().map(x =>
+        (x.getString(0), x.getDouble(1))).toSet
+      val want = graft.sources.MultiQuantileJoinView
+        .quantiles(spark, qV, Seq(0.5)).collect().map(x =>
+          (x.getAs[String]("n_name"), x.getAs[Double]("est"))).toSet
+      assert(got == want && got.nonEmpty)
+      // restart: the registration rehydrates from the persisted catalog
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedMultiJoins.clear()
+      assert(q().queryExecution.executedPlan.toString.contains("/mqview"),
+        "a rehydrated MULTI_QUANTILE_JOIN registration must serve")
+      spark.sql(s"DROP MATERIALIZED VIEW '$qV'")
+      assert(!q().queryExecution.executedPlan.toString.contains("/mqview"),
+        "DROP must unplug the serve")
+    } finally {
+      spark.conf.unset("spark.graft.catalog")
+      graft.plans.GraftDdl.clear()
+      graft.plans.MaterializedMultiJoins.clear()
+      SnapshotStore.deleteTree(root)
+    }
+  }
+
   test("SQL DDL: DROP unregisters by VIEW — sibling views over the same source keep serving") {
     import graft.sources.SnapshotStore
     val s = spark

@@ -252,4 +252,104 @@ class QuantileServeSpec extends SparkSpec {
       SnapshotStore.deleteTree(root)
     }
   }
+
+  // ---- multiway ------------------------------------------------------------
+
+  test("multiway: percentile over an N-way tree serves tree-free; mixed-gap stale compensates; agg shapes never cross kinds") {
+    import graft.plans.MaterializedMultiJoins
+    import graft.sources.{MultiQuantileJoinView, MultiAggJoinView}
+    import graft.sources.MultiAggJoinView.Edge
+    val root = java.nio.file.Files.createTempDirectory("mqserve").toString
+    val (fr, cr, nr, v) = (s"$root/F", s"$root/C", s"$root/N", s"$root/view")
+    val roots = Seq(fr, cr, nr)
+    val edges = Seq(Edge(0, Seq("o_cust"), Seq("c_id")),
+      Edge(1, Seq("nat"), Seq("n_id")))
+    try {
+      val s = spark
+      import s.implicits._
+      SnapshotStore.append((0L to 300L).map(i =>
+        (i, i % 40, ((i * 37) % 1000).toDouble)).toDF("o_id", "o_cust", "total"),
+        fr)
+      SnapshotStore.append((0L to 39L).map(i => (i, i % 5)).toDF("c_id", "nat"),
+        cr)
+      SnapshotStore.append((0L to 4L).map(i => (i, s"n$i")).toDF("n_id", "n_name"),
+        nr)
+      def refresh(): Unit = MultiQuantileJoinView.refresh(spark, roots, v,
+        edges, Seq("n_name"), "total")
+      refresh()
+      val phis = Seq(0.5, 0.9)
+      def treeQ() = {
+        val f = SnapshotStore.read(spark, fr)
+        val c = SnapshotStore.read(spark, cr)
+        val n = SnapshotStore.read(spark, nr)
+        val aggs = phis.zipWithIndex.map { case (p, i) =>
+          percentile_approx(col("total"), lit(p), lit(1000)).as(s"p$i")
+        }
+        f.join(c, f("o_cust") === c("c_id"))
+          .join(n, c("nat") === n("n_id"))
+          .groupBy("n_name").agg(aggs.head, aggs.tail: _*)
+      }
+      def servedRows(df: org.apache.spark.sql.DataFrame): Set[(String, Double, Double)] =
+        df.collect().flatMap { x =>
+          phis.zipWithIndex.map { case (p, i) =>
+            (x.getAs[String]("n_name"), p, x.getAs[Double](s"p$i"))
+          }
+        }.toSet
+      def viewRows(): Set[(String, Double, Double)] =
+        MultiQuantileJoinView.quantiles(spark, v, phis).collect().map(x =>
+          (x.getAs[String]("n_name"), x.getAs[Double]("phi"),
+            x.getAs[Double]("est"))).toSet
+
+      assert(!PlanProbe.scansAny(treeQ(), "/view"),
+        "no serve without the explicit opt-in")
+      MaterializedMultiJoins.enableQuantile(roots, v, edges, Seq("n_name"),
+        "total", serveStale = true)
+      val served = treeQ()
+      assert(PlanProbe.scansOnly(served, "/view"),
+        "the whole tree + GK aggregate must leave the plan")
+      assert(servedRows(served) == viewRows() && viewRows().nonEmpty)
+
+      // kind separation: a count/sum shape over the SAME tree must not
+      // serve from the quantile store's bin partials
+      val f = SnapshotStore.read(spark, fr)
+      val c = SnapshotStore.read(spark, cr)
+      val n = SnapshotStore.read(spark, nr)
+      val aggShape = f.join(c, f("o_cust") === c("c_id"))
+        .join(n, c("nat") === n("n_id"))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+      assert(!PlanProbe.scansAny(aggShape, "/view"),
+        "an agg shape must never serve from a quantile-kind registration")
+      // …and a non-registered measure declines
+      val wrongMeasure = f.join(c, f("o_cust") === c("c_id"))
+        .join(n, c("nat") === n("n_id"))
+        .groupBy("n_name")
+        .agg(percentile_approx(col("o_id").cast("double"), lit(0.5),
+          lit(1000)).as("p0"))
+      assert(!PlanProbe.scansAny(wrongMeasure, "/view"))
+
+      // STALE over a MIXED gap — fact append + group-moving dim churn:
+      // serve compensated (telescoped signed terms), bit-equal to
+      // refresh-then-serve, cursor untouched
+      SnapshotStore.append((301L to 360L).map(i =>
+        (i, i % 40, ((i * 37) % 1000).toDouble)).toDF("o_id", "o_cust", "total"),
+        fr)
+      SnapshotStore.upsert(spark,
+        Seq((0L, 1L), (7L, 1L), (14L, 1L)).toDF("c_id", "nat"), cr,
+        Seq("c_id"))
+      val before = graft.sources.SnapshotStore.lastEpoch(v)
+      val stale = treeQ()
+      assert(PlanProbe.scansAny(stale, "/view"),
+        "mixed-gap stale multiway quantile must serve compensated")
+      val got = servedRows(stale)
+      assert(graft.sources.SnapshotStore.lastEpoch(v) == before,
+        "compensated serving must not move the view's cursor")
+      refresh()
+      assert(got == viewRows() && got.nonEmpty,
+        "compensated multiway serve must be bit-equal to refresh-then-serve")
+      assert(PlanProbe.scansOnly(treeQ(), "/view"))
+    } finally {
+      MaterializedMultiJoins.disable(v)
+      SnapshotStore.deleteTree(root)
+    }
+  }
 }
