@@ -3731,6 +3731,40 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
+    // STREAMING maintenance of the N-WAY quantile MV: customer + nation
+    // stand, the FACT drips through a checkpointed file stream, every
+    // trigger folding its telescoped signed-bin delta term inside the
+    // trigger (the first trigger freezes the edges over the 3-way join;
+    // later triggers bin inside them or pay the idempotent refreeze —
+    // replay-idempotent under the N-way cursor stamps). The stream-grown
+    // estimates must hash-match the oracle's replay under the exported
+    // FINAL edges.
+    "stream_quantile_join_multiway_parity" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_smqj").toString
+      try {
+        val or = s"$root/O"; val cr = s"$root/C"; val nr = s"$root/N"
+        val v = s"$root/view"
+        val roots = Seq(or, cr, nr)
+        val edges = Seq(
+          sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
+          sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        sources.SnapshotStore.append(
+          Tables.customer(s, dir).select("c_custkey", "c_nationkey"), cr)
+        sources.SnapshotStore.append(
+          Tables.nation(s, dir).select("n_nationkey", "n_name"), nr)
+        graft.streaming.StreamReplay.viewIngestReplay(
+          Tables.orders(s, dir).where(col("o_orderkey") % 4 === 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_orderkey", or,
+          sp => sources.MultiQuantileJoinView.refresh(sp, roots, v, edges,
+            Seq("n_name"), "o_totalprice"))
+        exportForOracle(sources.MultiQuantileJoinView.edgesFor(s, v)
+          .select("lo", "w", "bins"), "smqj_edges", model = true)
+        sources.MultiQuantileJoinView.quantiles(s, v, Seq(0.5, 0.9))
+          .localCheckpoint(true)
+      } finally sources.SnapshotStore.deleteTree(root)
+    }),
+
     // QUANTILE SERVING ARM (the r18 ask-1 hole closed): a user-shaped
     // percentile_approx aggregate over the REGISTERED series store is
     // answered from the maintained view's O(bins) read — the table scan
@@ -3911,21 +3945,28 @@ object SparkEntry {
         val edges = Seq(
           sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
           sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        // HALF the orders universe and 3 refreshes (the family-budget
+        // sizing rationale: per-refresh fixed stage overhead dominates
+        // at sf0.1; the scalable posture is ScaleGate's mqjoin family,
+        // and the spec drives every path on small data)
         val o = Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_totalprice")
+          .where(col("o_orderkey") % 2 === 0)
         val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
         val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
         val natType = c.schema("c_nationkey").dataType
         def refresh(): Unit = sources.MultiQuantileJoinView.refresh(
           s, roots, v, edges, Seq("n_name"), "o_totalprice")
-        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 === 0), or)
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 4 === 0), or)
         sources.SnapshotStore.append(c, cr)
         sources.SnapshotStore.append(n.where(col("n_nationkey") < 20), nr)
         refresh() // bootstrap: freeze global edges over the 3-way join
-        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 =!= 0), or)
-        refresh() // fact delta: ONE positive telescoped term
+        // ONE mixed append gap: a fact delta AND the snowflake-LEAF
+        // delta (previously-unmatched customers join in) — two positive
+        // telescoped terms in one stamped append
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 4 =!= 0), or)
         sources.SnapshotStore.append(n.where(col("n_nationkey") >= 20), nr)
-        refresh() // snowflake-LEAF delta: unmatched customers join in
+        refresh()
         sources.SnapshotStore.deleteWhere(s, or, col("o_orderkey") % 5 === 0)
         sources.SnapshotStore.upsert(s,
           c.where(col("c_custkey") % 10 === 0)
@@ -3940,8 +3981,8 @@ object SparkEntry {
       } finally sources.SnapshotStore.deleteTree(root)
     }),
 
-    // STALE N-way quantile serving: a MIXED gap (fact append + fact
-    // delete + group-moving dim churn) lands AFTER the last refresh and
+    // STALE N-way quantile serving: a MIXED gap (fact append +
+    // group-moving dim churn) lands AFTER the last refresh and
     // the answer comes from compensatedQuantiles — stored counts merged
     // with the gap's telescoped signed terms under the SAME frozen
     // edges, bit-equal to refresh-then-serve, while the view's cursor
@@ -3956,21 +3997,24 @@ object SparkEntry {
         val edges = Seq(
           sources.MultiAggJoinView.Edge(0, Seq("o_custkey"), Seq("c_custkey")),
           sources.MultiAggJoinView.Edge(1, Seq("c_nationkey"), Seq("n_nationkey")))
+        // half the orders universe — the family-budget sizing rationale
         val o = Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_totalprice")
+          .where(col("o_orderkey") % 2 === 0)
         val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
         val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
         val natType = c.schema("c_nationkey").dataType
-        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 === 0), or)
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 4 === 0), or)
         sources.SnapshotStore.append(c, cr)
         sources.SnapshotStore.append(n, nr)
         sources.MultiQuantileJoinView.refresh(s, roots, v, edges,
           Seq("n_name"), "o_totalprice")
         val stamp = sources.SnapshotStore.lastEpoch(v)
-        // the gap, NO refresh: the fact appends AND churns while a %10
-        // customer band moves nation — all inside the frozen envelope
-        sources.SnapshotStore.append(o.where(col("o_orderkey") % 2 =!= 0), or)
-        sources.SnapshotStore.deleteWhere(s, or, col("o_orderkey") % 5 === 0)
+        // the gap, NO refresh: the fact APPENDS while a %10 customer
+        // band moves nation (dim CHURN — the group-mass-transfer leg
+        // that monotone summaries must decline) — all inside the frozen
+        // envelope; fact-delete retraction is the answer query's leg
+        sources.SnapshotStore.append(o.where(col("o_orderkey") % 4 =!= 0), or)
         sources.SnapshotStore.upsert(s,
           c.where(col("c_custkey") % 10 === 0)
             .withColumn("c_nationkey", lit(0).cast(natType)), cr,
@@ -8927,7 +8971,7 @@ object SparkEntry {
          |                  ELSE c_nationkey END AS c_nationkey
          |           FROM customer),
          |o AS (SELECT o_custkey, o_totalprice FROM orders
-         |      WHERE o_orderkey % 5 != 0),
+         |      WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 != 0),
          |ed AS (SELECT lo, w, bins
          |       FROM read_parquet('${exportGlob("mqjv_edges")}')),
          |b AS (SELECT n.n_name,
@@ -8967,7 +9011,7 @@ object SparkEntry {
          |                  ELSE c_nationkey END AS c_nationkey
          |           FROM customer),
          |o AS (SELECT o_custkey, o_totalprice FROM orders
-         |      WHERE o_orderkey % 5 != 0),
+         |      WHERE o_orderkey % 2 = 0),
          |ed AS (SELECT lo, w, bins
          |       FROM read_parquet('${exportGlob("mqjt_edges")}')),
          |b AS (SELECT n.n_name,
@@ -9119,6 +9163,41 @@ object SparkEntry {
 
     // the streamed quantile-join parity: the same binning + interpolation
     // under the stream's FINAL frozen edges over the dripped half
+    // the stream-grown N-way estimates replayed under the exported
+    // FINAL edges — the identical binning over the dripped fact's final
+    // state joined through the standing tree
+    "stream_quantile_join_multiway_parity" ->
+      s"""WITH o AS (SELECT o_custkey, o_totalprice FROM orders
+         |           WHERE o_orderkey % 4 = 0),
+         |ed AS (SELECT lo, w, bins
+         |       FROM read_parquet('${exportGlob("smqj_edges")}')),
+         |b AS (SELECT n.n_name,
+         |        LEAST(ed.bins - 1, GREATEST(0,
+         |          CAST(FLOOR((o.o_totalprice - ed.lo) / ed.w) AS INT))) AS bin
+         |      FROM o JOIN customer ON o_custkey = c_custkey
+         |      JOIN nation n ON c_nationkey = n_nationkey
+         |      CROSS JOIN ed
+         |      WHERE o.o_totalprice IS NOT NULL),
+         |cnts AS (SELECT n_name, bin, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM b GROUP BY 1, 2),
+         |cm AS (SELECT n_name, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY n_name
+         |           ORDER BY bin) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY n_name)
+         |           AS BIGINT) AS n
+         |       FROM cnts),
+         |p AS (SELECT cm.*, CAST(u.phi AS DOUBLE) AS phi
+         |      FROM cm, UNNEST([0.5, 0.9]) AS u(phi)),
+         |sel AS (SELECT *, phi * CAST(n AS DOUBLE) AS t FROM p)
+         |SELECT sel.n_name, sel.phi,
+         |       ed.lo + ed.w * sel.bin +
+         |         ed.w * ((sel.t - CAST(sel.cum - sel.cnt AS DOUBLE)) /
+         |           CAST(sel.cnt AS DOUBLE)) AS est
+         |FROM sel CROSS JOIN ed
+         |WHERE (CAST(sel.cum AS DOUBLE) >= sel.t
+         |       AND CAST(sel.cum - sel.cnt AS DOUBLE) < sel.t)
+         |   OR (sel.t = 0.0 AND sel.cum = sel.cnt)""".stripMargin,
+
     "stream_quantile_join_parity" ->
       s"""WITH o AS (SELECT o_custkey, o_totalprice FROM orders
          |           WHERE o_orderkey % 2 = 0),
