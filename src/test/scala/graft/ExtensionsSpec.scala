@@ -788,6 +788,19 @@ class ExtensionsSpec extends SparkSpec {
         .quantiles(spark, qV, Seq(0.5)).collect().map(x =>
           (x.getAs[String]("n_name"), x.getAs[Double]("est"))).toSet
       assert(got == want && got.nonEmpty)
+      // a fact append goes stale; REFRESH through the DDL brings the
+      // view current (the telescoped binned append) and serving resumes
+      SnapshotStore.append(spark.range(2000, 2400)
+        .selectExpr("id % 300 AS f_ck",
+          "CAST((id * 37) % 997 AS DOUBLE) AS amt"), fv)
+      // the user's scan must see the CURRENT snapshot (the serve
+      // contract matches current-version dirs)
+      SnapshotStore.read(spark, fv).createOrReplaceTempView("mvddlmq_f")
+      assert(!q().queryExecution.executedPlan.toString.contains("/mqview"),
+        "a stale un-opted view must not serve")
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$qV'")
+      assert(q().queryExecution.executedPlan.toString.contains("/mqview"),
+        "REFRESH must bring the MULTI_QUANTILE_JOIN view back to serving")
       // restart: the registration rehydrates from the persisted catalog
       graft.plans.GraftDdl.clear()
       graft.plans.MaterializedMultiJoins.clear()
