@@ -117,13 +117,28 @@ object Bench {
       .mkString("{", ",", "}")
     // The lifecycle-lane BUDGET, machine-checked (r18 verdict ask 8 —
     // the contract used to live only in BENCH_LOCAL.md prose): lane
-    // mean ≤ 5 s/q and ≤ 35 s per FAMILY (a prefix group pools its
-    // fixtures' fixed multi-commit overhead). Violations print loudly
-    // to stderr and ride the JSON so the driver artifact records them.
+    // mean ≤ 5 s/q and ≤ 35 s per FAMILY. A family is a FIXTURE group —
+    // one lifecycle plus its serve/stale twins sharing the same store
+    // build — per the recorded contract ("the 5-way agg FAMILIES' ~29 s
+    // each are the ceiling"): the lane prefixes above pool whole CLANS
+    // (every agg-join flavor shares "agg_join_view_"), which would
+    // price coverage, exactly what the contract rejects. First match
+    // wins, so longer fixture prefixes precede their stems. Violations
+    // print loudly to stderr and ride the JSON.
     val FamilyCapSec = 35.0
     val LaneMeanCapSec = 5.0
+    val familyPrefixes = Seq(
+      "agg_join_view_multiway_extents", "agg_join_view_multiway_ndv",
+      "agg_join_view_multiway", "agg_join_view_extents",
+      "agg_join_view_ndv", "agg_join_view_", "agg_join_over_",
+      "join_view_full", "join_view_outer", "join_view_stale_outer",
+      "join_view_composite", "join_view_",
+      "rollup_view_", "rollup_over_", "ndv_over_", "ndv_",
+      "search_index_", "snapshot_branch_", "snapshot_",
+      "quantile_view_", "quantile_join_view_multiway",
+      "quantile_join_view_")
     val famOf: String => String = n =>
-      lifecyclePrefixes.find(n.startsWith).getOrElse("other_")
+      familyPrefixes.find(n.startsWith).getOrElse("other_")
     val families = lifecycle.groupBy(r => famOf(r._1))
       .map { case (f, rs) => (f, totalOf(rs), rs.size) }
       .toSeq.sortBy(-_._2)

@@ -4548,12 +4548,15 @@ object SparkEntry {
         sources.SnapshotStore.append(
           Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"), or)
         refresh() // bootstrap: full 5-way join folded once
+        // ONE multi-table append gap: the fact delta AND the
+        // snowflake-LEAF delta (unmatched rows join in) fold as two
+        // telescoped terms in one stamped append (refresh count sized to
+        // the family budget; the per-table paths are spec-pinned)
         sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 === 1), fr)
-        refresh() // fact delta: ΔF ⋈ standing dims, cascade-restricted
         sources.SnapshotStore.append(Tables.nation(s, dir)
           .select("n_nationkey", "n_name")
           .where(col("n_nationkey") >= 20), nr)
-        refresh() // snowflake-LEAF delta: unmatched rows join in
+        refresh()
         sources.SnapshotStore.deleteWhere(s, fr, col("l_quantity") > 45)
         sources.SnapshotStore.upsert(s,
           Tables.supplier(s, dir).where(col("s_suppkey") % 10 === 0)
@@ -4703,8 +4706,12 @@ object SparkEntry {
           sources.MultiAggJoinView.Edge(0, Seq("l_suppkey"), Seq("s_suppkey")),
           sources.MultiAggJoinView.Edge(2, Seq("s_nationkey"), Seq("n_nationkey")),
           sources.MultiAggJoinView.Edge(0, Seq("l_orderkey"), Seq("o_orderkey")))
+        // quarter the fact universe — the sibling lifecycle's sizing
+        // (family budget): the compensated-read semantics are
+        // data-size-blind and ScaleGate maggjoin owns the scale posture
         val f = Tables.lineitem(s, dir)
           .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+          .where(col("l_orderkey") % 4 === 0)
         sources.SnapshotStore.append(f.where(col("l_orderkey") % 3 === 0), fr)
         sources.SnapshotStore.append(
           Tables.part(s, dir).select("p_partkey", "p_brand"), pr)
@@ -4892,12 +4899,16 @@ object SparkEntry {
           .select("n_nationkey", "n_name")
           .where(col("n_nationkey") < 15), nr)
         refresh() // bootstrap: full 3-way join sketched once
+        // ONE multi-table append gap: the fact delta AND the
+        // snowflake-LEAF delta (unmatched customers join in) fold as two
+        // telescoped sketch terms in one stamped append (refresh count
+        // sized to the family budget; each term's path is also pinned
+        // separately by the spec)
         sources.SnapshotStore.append(o.where(col("o_orderkey") % 3 === 1), or)
-        refresh() // fact delta: ΔO ⋈ standing dims, cascade-restricted
         sources.SnapshotStore.append(Tables.nation(s, dir)
           .select("n_nationkey", "n_name")
           .where(col("n_nationkey") >= 15), nr)
-        refresh() // snowflake-LEAF delta: unmatched customers join in
+        refresh()
         // the MIXED gap: a fact APPEND and a group-MOVING customer churn
         // land in ONE refresh — dirty-group re-sketch replaces beside the
         // non-dirty append terms in one atomic publish
@@ -8750,6 +8761,7 @@ object SparkEntry {
         |       JOIN supplier ON l_suppkey = s_suppkey
         |       JOIN nation ON s_nationkey = n_nationkey
         |       JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 4 = 0
         |GROUP BY 1, 2""".stripMargin,
 
     // delta-compensated serving: the answer is the CURRENT sources'
