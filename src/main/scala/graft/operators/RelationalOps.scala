@@ -199,8 +199,13 @@ object RelationalOps {
   /** [[buildKeyBloom]] with the auto-sizing rule above (one count of the
     * build side → ~10 bits/key, 8 Kbit floor, clamped to the analysis
     * ceilings). */
-  def buildKeyBloomAuto(dim: DataFrame, key: Column): Array[Byte] = {
-    val n = math.max(1L, dim.count())
+  def buildKeyBloomAuto(dim: DataFrame, key: Column): Array[Byte] =
+    buildKeyBloomSized(dim, key, math.max(1L, dim.count()))
+
+  /** [[buildKeyBloomAuto]] when the build side's count is ALREADY known
+    * (a caller that probed the key set pays no second count job). */
+  def buildKeyBloomSized(dim: DataFrame, key: Column, count: Long): Array[Byte] = {
+    val n = math.max(1L, count)
     val bits = {
       val want = math.min(BLOOM_MAX_BITS, math.max(8192L, 10L * n))
       if (java.lang.Long.bitCount(want) == 1) want

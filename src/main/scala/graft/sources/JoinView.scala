@@ -95,25 +95,170 @@ object JoinView {
       java.nio.file.Paths.get(viewRoot, "_jointype"), how.getBytes("UTF-8"))
   }
 
-  /** The delta's distinct key tuples as __bk0.._bkN columns — ONE
-    * checkpointed frame reused for the range-prune min/max, the bloom
-    * build, and the dedup join. */
-  private[sources] def keyTuples(delta: DataFrame, keys: Seq[String]): DataFrame =
-    delta.select(keys.zipWithIndex.map { case (k, i) =>
-      col(k).as(s"__bk$i")
-    }: _*).distinct().localCheckpoint(true)
+  /** How many distinct delta-key tuples may be pulled to the driver for
+    * the IN-pushdown restriction path (below that, one restriction costs
+    * ONE Spark job and the standing scan prunes by an In filter; above
+    * it, the bloom + broadcast-join path). Bounds driver memory at
+    * cap × tuple-width (≈ a few MB at the default) — the same
+    * model-sized-collect posture as bloom sizing and PQ codebooks. */
+  private[graft] val SmallKeyCapConf = "spark.graft.join.smallKeyCap"
+  // 1024, not larger: a bigger In-set would still be cheap to EXECUTE,
+  // but every plan/event stringification enumerates In values
+  // (sources.In.toString and InSet.toString are untruncated), measured
+  // as seconds of driver string-building per lifecycle at 12k+ keys
+  private[graft] val SmallKeyCapDefault = 1024
 
-  /** standing ⋈ delta-keys, bloom-prefiltered on the composite key and
-    * deduped by the equi-join against the distinct key tuples — the
-    * [[RelationalOps.bloomFilteredJoinKeys]] pattern (its same-type
-    * caller contract is enforced by [[refreshKeys]]); only
-    * possibly-matching standing rows shuffle. */
+  /** The distinct key tuples of a delta/dirty set, probed ONCE per
+    * restriction (optimization-guide §1.2: fewer passes/actions —
+    * the previous shape paid FOUR driver actions per restriction:
+    * checkpoint, min/max, count, bloom build).
+    *
+    *   - SMALL sets (≤ [[SmallKeyCapConf]], inlineable key types): the
+    *     tuples live on the driver after ONE job; `df` is a
+    *     LocalRelation, range and count are driver-computed, and
+    *     [[prefiltered]] restricts with an exact In filter that reaches
+    *     the parquet scan as a PushedFilter (row-group pruning the bloom
+    *     probe could never do).
+    *   - LARGE sets: the distinct frame checkpoints and ONE fused
+    *     aggregate yields (count, head-range); the bloom build sizes
+    *     from that count instead of its own count job.
+    *
+    * Steady-state maintenance deltas are small relative to the corpus —
+    * that is the IVM premise — so the small path is the hot path; the
+    * large path's extra probe pass is noise beside its O(Δ) join. */
+  private[graft] final class DeltaKeys(
+      val df: DataFrame,
+      val n: Long,
+      val headIntegral: Boolean,
+      val headLo: Option[Long],
+      val headHi: Option[Long],
+      val rows: Option[Array[org.apache.spark.sql.Row]])
+
+  /** `column IN set` as a hash-set [[ce.InSet]] over the values'
+    * CATALYST representation — constant-size in the expression tree
+    * regardless of set cardinality (an `isin` literal list re-walks
+    * every element in each analyzer/optimizer pass) and still translated
+    * to a data-source In filter at the scan. */
+  private def inSet(column: org.apache.spark.sql.Column, values: Set[Any],
+                    dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+    ColumnBridge.column(
+      ce.InSet(ColumnBridge.eagerExpression(column), values.map(conv)))
+  }
+
+  private def inlineable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+
+  /** The delta's distinct key tuples as __bk0.._bkN columns, with their
+    * count and head-key range probed once (see [[DeltaKeys]]). */
+  private[sources] def keyTuples(delta: DataFrame, keys: Seq[String]): DeltaKeys =
+    SnapshotStore.labeled(delta.sparkSession, s"keys probe ${keys.mkString(",")}") {
+      keyTuplesImpl(delta, keys)
+    }
+
+  private def keyTuplesImpl(delta: DataFrame, keys: Seq[String]): DeltaKeys = {
+    val spark = delta.sparkSession
+    val sel = delta.select(keys.zipWithIndex.map { case (k, i) =>
+      col(k).as(s"__bk$i")
+    }: _*).distinct()
+    val headIntegral = sel.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val cap = spark.conf.getOption(SmallKeyCapConf)
+      .map(_.toInt).getOrElse(SmallKeyCapDefault)
+    // ONE full pass computes the distinct (checkpointed — every later
+    // probe is partition-local over it), then one fused tiny aggregate
+    // for (count, head range). A limit(cap).collect() probe instead
+    // would pay CollectLimit's incremental take — several SEQUENTIAL
+    // scheduling rounds per probe (measured slower than the jobs saved).
+    val ck = sel.localCheckpoint(true)
+    // head-range only for integral heads (an ANSI cast of a string key
+    // would throw; non-integral heads never range-prune anyway)
+    val rangeCols =
+      if (headIntegral)
+        Seq(min(col("__bk0").cast("long")), max(col("__bk0").cast("long")))
+      else Seq(lit(null).cast("long"), lit(null).cast("long"))
+    val st = ck.agg(count(lit(1)), rangeCols: _*).head()
+    val n = st.getLong(0)
+    val lo = if (headIntegral && !st.isNullAt(1)) Some(st.getLong(1)) else None
+    val hi = if (headIntegral && !st.isNullAt(2)) Some(st.getLong(2)) else None
+    if (n <= cap && sel.schema.forall(f => inlineable(f.dataType))) {
+      val rows = ck.collect() // tiny: ≤ cap checkpointed tuples
+      new DeltaKeys(
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), sel.schema),
+        n, headIntegral, lo, hi, Some(rows))
+    } else new DeltaKeys(ck, n, headIntegral, lo, hi, None)
+  }
+
+  /** Standing rows restricted EXACTLY to the delta's key tuples — only
+    * possibly-matching standing rows ever shuffle. Small key sets
+    * restrict with an exact In filter (pushed to the parquet scan;
+    * composite keys add the equi-join against the driver-local tuples
+    * for tuple-exactness); large sets keep the bloom prefilter + dedup
+    * equi-join ([[RelationalOps.bloomFilteredJoinKeys]] shape, bloom
+    * sized from the probed count). Both paths drop null-keyed standing
+    * rows and null tuples exactly like the equi-join they restrict. */
   private[sources] def prefiltered(standing: DataFrame, standingKeys: Seq[String],
-                          dk: DataFrame): DataFrame = {
-    val bks = dk.columns.toSeq
-    bks.foldLeft(
-      RelationalOps.bloomFilteredJoinKeys(standing, dk,
-        standingKeys.zip(bks)))((df, b) => df.drop(dk(b)))
+                          dk: DeltaKeys): DataFrame = {
+    if (dk.n == 0) return standing.limit(0)
+    dk.rows match {
+      case Some(rows) =>
+        // per-column In: exact for a single key, a pushable superset for
+        // composite keys (the join below refines to exact tuples). Built
+        // as a hash-set InSet, NOT an isin literal list — a literal In
+        // with thousands of children costs more in analyzer/optimizer
+        // tree walks than the jobs it saves (measured: +6 s driver gap
+        // on a 12k-key delta); InSet is O(1) per walk and still
+        // translates to a parquet source In filter.
+        val perCol = standingKeys.zipWithIndex.map { case (k, i) =>
+          val vs = rows.iterator.map(_.get(i)).filter(_ != null).toSet
+          if (vs.isEmpty) lit(false)
+          else inSet(standing(k), vs, dk.df.schema(s"__bk$i").dataType)
+        }.reduce(_ && _)
+        val filtered = standing.where(perCol)
+        if (standingKeys.size == 1) filtered
+        else {
+          val cond = standingKeys.zipWithIndex.map { case (k, i) =>
+            filtered(k) === dk.df(s"__bk$i")
+          }.reduce(_ && _)
+          dk.df.columns.foldLeft(
+            filtered.join(broadcast(dk.df), cond))((df, b) => df.drop(dk.df(b)))
+        }
+      case None =>
+        val bks = dk.df.columns.toSeq
+        val bf = RelationalOps.buildKeyBloomSized(dk.df,
+          struct(bks.map(dk.df(_)): _*), dk.n)
+        val cond = standingKeys.zip(bks)
+          .map { case (f, d) => standing(f) === dk.df(d) }.reduce(_ && _)
+        bks.foldLeft(
+          standing.where(RelationalOps.mightContainKey(bf,
+              struct(standingKeys.map(standing(_)): _*)))
+            .join(dk.df, cond))((df, b) => df.drop(dk.df(b)))
+    }
+  }
+
+  /** Evidence hook ([[graft.PlanDump]]): the standing side of `root`
+    * restricted to `delta`'s key tuples — the probe → range-prune →
+    * exact-restriction pipeline every view refresh funnels through, as
+    * one inspectable frame. */
+  private[graft] def restrictionPlan(spark: SparkSession, root: String,
+                                     ver: Int, keys: Seq[String],
+                                     delta: DataFrame): DataFrame = {
+    val dk = keyTuples(delta, keys)
+    prefiltered(standing(spark, root, ver, keys, dk), keys, dk)
   }
 
   /** Range-cluster a FULL-DOMAIN view write on the first left key so its
@@ -169,7 +314,7 @@ object JoinView {
     * non-integral keys skip range pruning (the stats sidecar is
     * long-typed). The bloom row-prefilter still applies on top. */
   private[sources] def standing(spark: SparkSession, root: String, ver: Int,
-                       keys: Seq[String], deltaKeys: DataFrame): DataFrame = {
+                       keys: Seq[String], deltaKeys: DeltaKeys): DataFrame = {
     // an EVOLVED store (mixed-schema files) cannot be read as a file
     // subset or from one sampled footer without silently dropping the
     // newer columns — fall back to the full merged read (bloom
@@ -178,22 +323,15 @@ object JoinView {
     if (SnapshotStore.schemaEvolved(spark, root, ver))
       return SnapshotStore.readEvolved(spark, root, ver)
     val full = SnapshotStore.read(spark, root, ver)
+    if (deltaKeys.n == 0) return full.limit(0) // empty delta: no match
     // range pruning rides the FIRST key (the stats sidecar is per-column
-    // long min/max); further keys still gate through the bloom + join
-    val integral = full.schema(keys.head).dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType => true
-      case _ => false
-    }
-    if (!integral) full
-    else {
-      val mm = deltaKeys
-        .agg(min(col("__bk0").cast("long")), max(col("__bk0").cast("long")))
-        .head()
-      if (mm.isNullAt(0)) full.limit(0) // empty delta: nothing can match
-      else SnapshotStore.readWhere(spark, root, keys.head,
-        mm.getLong(0), mm.getLong(1), ver)
+    // long min/max), already probed into the DeltaKeys — no extra job;
+    // further keys still gate through [[prefiltered]]
+    if (!deltaKeys.headIntegral) full
+    else (deltaKeys.headLo, deltaKeys.headHi) match {
+      case (Some(lo), Some(hi)) =>
+        SnapshotStore.readWhere(spark, root, keys.head, lo, hi, ver)
+      case _ => full.limit(0) // every head key null: nothing can equi-match
     }
   }
 
@@ -416,16 +554,16 @@ object JoinView {
         var keep = view
         if (convertingR) {
           val dk = rDeltaKeys.get
-          keep = keep.join(broadcast(dk),
+          keep = keep.join(broadcast(dk.df),
             leftKeys.zipWithIndex.map { case (k, i) =>
-              keep(k) === dk(s"__bk$i")
+              keep(k) === dk.df(s"__bk$i")
             }.reduce(_ && _) && keep(rightKeys.head).isNull, "left_anti")
         }
         if (convertingL) {
           val dk = lDeltaKeys.get
-          keep = keep.join(broadcast(dk),
+          keep = keep.join(broadcast(dk.df),
             rightKeys.zipWithIndex.map { case (k, i) =>
-              keep(k) === dk(s"__bk$i")
+              keep(k) === dk.df(s"__bk$i")
             }.reduce(_ && _) && keep(leftKeys.head).isNull, "left_anti")
         }
         SnapshotStore.compactWith(
@@ -452,9 +590,9 @@ object JoinView {
       // the view forever and drop a churn-range-inserted one. Inner
       // views carry no null-key rows, so <=> is equivalence there.
       def dirtyJoin(df: DataFrame, keys: Seq[String], jt: String) =
-        df.join(broadcast(dirty),
+        df.join(broadcast(dirty.df),
           keys.zipWithIndex.map { case (k, i) =>
-            df(k) <=> dirty(s"__bk$i")
+            df(k) <=> dirty.df(s"__bk$i")
           }.reduce(_ && _), jt)
       // a FULL-outer view row's effective key is coalesce(lk, rk): an
       // unmatched-RIGHT row carries its key only on the right side, so a
@@ -464,9 +602,9 @@ object JoinView {
       val viewDf = SnapshotStore.readEvolved(spark, viewRoot)
       val survivors =
         if (!full) dirtyJoin(viewDf, leftKeys, "left_anti")
-        else viewDf.join(broadcast(dirty),
+        else viewDf.join(broadcast(dirty.df),
           leftKeys.zip(rightKeys).zipWithIndex.map { case ((lk, rk), i) =>
-            coalesce(viewDf(lk), viewDf(rk)) <=> dirty(s"__bk$i")
+            coalesce(viewDf(lk), viewDf(rk)) <=> dirty.df(s"__bk$i")
           }.reduce(_ && _), "left_anti")
       val recomputed = joined(
         dirtyJoin(lNew, leftKeys, "left_semi"),
@@ -482,9 +620,9 @@ object JoinView {
       locally {
         val replaced =
           if (!full) dirtyJoin(viewDf, leftKeys, "left_semi")
-          else viewDf.join(broadcast(dirty),
+          else viewDf.join(broadcast(dirty.df),
             leftKeys.zip(rightKeys).zipWithIndex.map { case ((lk, rk), i) =>
-              coalesce(viewDf(lk), viewDf(rk)) <=> dirty(s"__bk$i")
+              coalesce(viewDf(lk), viewDf(rk)) <=> dirty.df(s"__bk$i")
             }.reduce(_ && _), "left_semi")
         SnapshotStore.recordChangeFeed(
           replaced.withColumn("_change_type", lit("delete"))

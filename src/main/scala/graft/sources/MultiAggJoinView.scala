@@ -86,6 +86,8 @@ object MultiAggJoinView {
   }
 
   private val SumType = "decimal(30,2)"
+  /** Leg-sign column of the fused churn fold (see churnUnionRows). */
+  private val SignCol = "__magg_sign"
   private def sumCol(m: String): String = s"sum_$m"
   private def nnCol(m: String): String = s"nn_$m"
   private def minCol(m: String): String = s"min_$m"
@@ -255,6 +257,23 @@ object MultiAggJoinView {
     rows.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The signed fold over a FUSED two-leg churn term (rows carry their
+    * leg's sign in [[SignCol]]): per group, `cnt = Σ sign`,
+    * `sum_m = Σ m·sign` (decimal, exact — sign only flips magnitude),
+    * `nn_m = Σ sign over non-null m`. One partial row per group equal to
+    * the SUM of the separate ± fold rows — identical after the read's
+    * merge, at half the execution. Signed only (extents churn replaces
+    * dirty groups whole instead). */
+  private def foldSigned(rows: DataFrame, groups: Seq[String],
+                         measures: Seq[String]): DataFrame = {
+    val sign = col(SignCol)
+    val aggs: Seq[Column] = sum(sign).as("cnt") +:
+      measures.flatMap(m => Seq(
+        sum(col(m).cast(SumType) * sign).cast(SumType).as(sumCol(m)),
+        sum(when(col(m).isNotNull, sign).otherwise(lit(0L))).as(nnCol(m))))
+    rows.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Tombstone partials for dirty groups whose join rows all vanished
     * (extents churn only — the signed path retracts to cnt = 0 by
     * arithmetic). */
@@ -374,14 +393,41 @@ object MultiAggJoinView {
     }
     def restrictionKeys(i: Int): Seq[String] =
       if (i == 0) edges.head.parentKeys else edges(i - 1).childKeys
-    def churnLegRows(i: Int, dirty: DataFrame, ver: Int): DataFrame = {
+    def churnLegRows(i: Int, dirty: JoinView.DeltaKeys, ver: Int): DataFrame = {
       val myKeys = restrictionKeys(i)
       val restricted = JoinView.prefiltered(
         JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
         myKeys, dirty)
       slice(termFrames(spark, rootsV, n, adj, i, restricted, versFor(i)))
     }
-    def dirtyOf(i: Int): DataFrame = {
+    // BOTH churn legs of table i in ONE term build: the old and new
+    // restrictions share the dirty keys, so pinning their UNION (old rows
+    // carrying sign −1, new +1 when `signed`) builds ONE cascade, ONE
+    // join tree and ONE fold where the two-leg shape paid all three
+    // twice (the cascade restriction by the union's keys is a superset
+    // of each leg's — restriction is pure pruning, so the join stays
+    // exact; measured: churn was 60% of the 5-way lifecycle, half of it
+    // this duplication). None when the gap evolved the table's schema
+    // mid-churn — the caller falls back to the two-leg fold.
+    def churnUnionRows(i: Int, dirty: JoinView.DeltaKeys,
+                       signed: Boolean): Option[DataFrame] = {
+      val myKeys = restrictionKeys(i)
+      def restricted(ver: Int) = JoinView.prefiltered(
+        JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
+        myKeys, dirty)
+      val old = restricted(prevVs(i)); val nw = restricted(curVs(i))
+      if (old.columns.toSeq != nw.columns.toSeq) return None
+      val pinned =
+        if (signed)
+          old.withColumn(SignCol, lit(-1L))
+            .unionByName(nw.withColumn(SignCol, lit(1L)))
+        else old.unionByName(nw)
+      Some(joinedSlice(
+        termFrames(spark, rootsV, n, adj, i, pinned, versFor(i)),
+        edges, groupCols,
+        measureCols ++ (if (signed) Seq(SignCol) else Nil)))
+    }
+    def dirtyOf(i: Int): JoinView.DeltaKeys = {
       val myKeys = restrictionKeys(i)
       JoinView.keyTuples(
         SnapshotStore.changes(spark, rootsV(i), prevVs(i), curVs(i))
@@ -391,14 +437,17 @@ object MultiAggJoinView {
     def appendMoved(i: Int): Boolean =
       JoinView.appendOnly(rootsV(i), prevVs(i), curVs(i))
 
-    val vNew = if (prevVs.forall(_ == 0)) {
+    def phase[T](name: String)(body: => T): T =
+      SnapshotStore.labeled(spark, s"magg $name")(body)
+
+    val vNew = if (prevVs.forall(_ == 0)) phase("bootstrap") {
       recordSpec(viewRoot, spec) // BEFORE the publish: crash re-bootstraps
       SnapshotStore.appendEpoch(fold(slice(newFrames), groupCols,
         measureCols, 1, extents), viewRoot, stamp)
     } else if (rootsV.indices.forall(i => curVs(i) == prevVs(i) ||
         JoinView.churnOnly(rootsV(i), prevVs(i), curVs(i)))) {
       val churned = moved.filterNot(appendMoved)
-      if (churned.isEmpty) {
+      if (churned.isEmpty) phase("append-fold") {
         // THE TELESCOPING REFRESH, all-append flavor: per moved table,
         // the single positive delta term (new − old IS the appended
         // rows); min/max partials fold too (insert-monotone). ONE
@@ -409,7 +458,7 @@ object MultiAggJoinView {
         SnapshotStore.appendEpoch(
           if (partials.isEmpty) partials.repartition(1) else partials,
           viewRoot, stamp)
-      } else if (!extents) {
+      } else if (!extents) phase("signed-churn") {
         // THE TELESCOPING REFRESH, signed flavor: append-moved tables
         // fold their positive delta term, churned tables fold BOTH legs
         // restricted to their dirty key tuples (unchanged rows cancel
@@ -419,17 +468,22 @@ object MultiAggJoinView {
             Seq(fold(deltaTermRows(i), groupCols, measureCols, 1))
           else {
             val dirty = dirtyOf(i)
-            Seq(fold(churnLegRows(i, dirty, prevVs(i)), groupCols,
-              measureCols, -1),
-              fold(churnLegRows(i, dirty, curVs(i)), groupCols,
-                measureCols, 1))
+            churnUnionRows(i, dirty, signed = true) match {
+              case Some(rows) =>
+                Seq(foldSigned(rows, groupCols, measureCols))
+              case None => // schema evolved mid-gap: honest two-leg fold
+                Seq(fold(churnLegRows(i, dirty, prevVs(i)), groupCols,
+                  measureCols, -1),
+                  fold(churnLegRows(i, dirty, curVs(i)), groupCols,
+                    measureCols, 1))
+            }
           }
         }
         val partials = terms.reduce(_ unionByName _)
         SnapshotStore.appendEpoch(
           if (partials.isEmpty) partials.repartition(1) else partials,
           viewRoot, stamp)
-      } else {
+      } else phase("extents-churn") {
         // EXTENTS churn: min/max cannot retract — the dirty GROUPS
         // (every group owning or gaining a churned table's dirty-key
         // join row, from the SAME restricted legs the telescoping would
@@ -439,9 +493,12 @@ object MultiAggJoinView {
         // rows) and land as the append side of the SAME atomic publish.
         val dirtyG = churned.map { i =>
           val dirty = dirtyOf(i)
-          churnLegRows(i, dirty, prevVs(i)).select(groupCols.map(col): _*)
-            .unionByName(
-              churnLegRows(i, dirty, curVs(i)).select(groupCols.map(col): _*))
+          churnUnionRows(i, dirty, signed = false)
+            .map(_.select(groupCols.map(col): _*))
+            .getOrElse( // schema evolved mid-gap: two-leg union
+              churnLegRows(i, dirty, prevVs(i)).select(groupCols.map(col): _*)
+                .unionByName(churnLegRows(i, dirty, curVs(i))
+                  .select(groupCols.map(col): _*)))
         }.reduce(_ unionByName _).distinct().localCheckpoint(true)
         val anyNull = groupCols.map(col(_).isNull).reduce(_ || _)
         if (!dirtyG.where(anyNull).isEmpty) {
@@ -453,7 +510,9 @@ object MultiAggJoinView {
         } else {
           val cur = dirtyGroupJoinRows(spark, rootsV, edges, curVs,
             newFrames, groupCols, measureCols, dirtyG)
+          // checkpointed: group-sized, referenced twice (replace + gone)
           val recomputed = fold(cur, groupCols, measureCols, 1, extents)
+            .localCheckpoint(true)
           val gone = dirtyG.join(
             recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
           val appendTerms = moved.filter(appendMoved).map(i =>
@@ -470,7 +529,7 @@ object MultiAggJoinView {
             viewRoot, groupCols, stamp)
         }
       }
-    } else {
+    } else phase("rebuild") {
       // a compaction (or vacuumed baseline) somewhere broke the diff
       SnapshotStore.compactWith(fold(slice(newFrames), groupCols,
         measureCols, 1, extents), viewRoot,

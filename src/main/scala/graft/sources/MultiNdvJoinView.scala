@@ -144,7 +144,7 @@ object MultiNdvJoinView {
     }
     def restrictionKeys(i: Int): Seq[String] =
       if (i == 0) edges.head.parentKeys else edges(i - 1).childKeys
-    def churnLegRows(i: Int, dirty: DataFrame, ver: Int): DataFrame = {
+    def churnLegRows(i: Int, dirty: JoinView.DeltaKeys, ver: Int): DataFrame = {
       val myKeys = restrictionKeys(i)
       val restricted = JoinView.prefiltered(
         JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
@@ -152,11 +152,35 @@ object MultiNdvJoinView {
       slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj, i, restricted,
         versFor(i)))
     }
-    def dirtyOf(i: Int): DataFrame = {
+    def dirtyOf(i: Int): JoinView.DeltaKeys = {
       val myKeys = restrictionKeys(i)
       JoinView.keyTuples(
         SnapshotStore.changes(spark, rootsV(i), prevVs(i), curVs(i))
           .select(myKeys.map(col): _*), myKeys)
+    }
+    // BOTH churn legs of table i in ONE term build (the MultiAggJoinView
+    // fused-churn shape): the dirty-GROUP probe needs the union of the
+    // old- and new-version restricted join rows' group columns, and the
+    // two restrictions share the dirty keys — pinning their UNION builds
+    // ONE cascade and ONE join tree where the two-leg shape paid both
+    // twice. The cascade restriction by the union's keys is a superset
+    // of each leg's; restriction is pure pruning and the join
+    // distributes over union, so the distinct group set is identical.
+    // Falls back to two legs when the gap evolved the table's schema.
+    def churnUnionGroups(i: Int, dirty: JoinView.DeltaKeys): DataFrame = {
+      val myKeys = restrictionKeys(i)
+      def restricted(ver: Int) = JoinView.prefiltered(
+        JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
+        myKeys, dirty)
+      val old = restricted(prevVs(i)); val nw = restricted(curVs(i))
+      if (old.columns.toSeq != nw.columns.toSeq)
+        churnLegRows(i, dirty, prevVs(i)).select(groupCols.map(col): _*)
+          .unionByName(churnLegRows(i, dirty, curVs(i))
+            .select(groupCols.map(col): _*))
+      else
+        slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj, i,
+          old.unionByName(nw), versFor(i)))
+          .select(groupCols.map(col): _*)
     }
     val moved = rootsV.indices.filter(i => curVs(i) > prevVs(i))
     def appendMoved(i: Int): Boolean =
@@ -184,12 +208,8 @@ object MultiNdvJoinView {
         // restricted legs (both versions) re-sketch WHOLE and REPLACE;
         // append-moved tables' delta sketches restrict to the NON-dirty
         // groups and land beside them in ONE atomic publish
-        val dirtyG = churned.map { i =>
-          val dirty = dirtyOf(i)
-          churnLegRows(i, dirty, prevVs(i)).select(groupCols.map(col): _*)
-            .unionByName(
-              churnLegRows(i, dirty, curVs(i)).select(groupCols.map(col): _*))
-        }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+        val dirtyG = churned.map(i => churnUnionGroups(i, dirtyOf(i)))
+          .reduce(_ unionByName _).distinct().localCheckpoint(true)
         val anyNull = groupCols.map(col(_).isNull).reduce(_ || _)
         if (!dirtyG.where(anyNull).isEmpty) {
           // NULL-keyed dirty groups would slip the null-unsafe keyed
@@ -218,7 +238,10 @@ object MultiNdvJoinView {
         } else {
           val cur = MultiAggJoinView.dirtyGroupJoinRows(spark, rootsV,
             edges, curVs, newFrames, groupCols, Seq(distinctCol), dirtyG)
+          // checkpointed: group-sized, and referenced TWICE below (the
+          // replace side and gone's anti-join) — one execution, not two
           val recomputed = fold(cur, groupCols, distinctCol)
+            .localCheckpoint(true)
           val gone = dirtyG.join(
             recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
           val appendSide = moved.filter(appendMoved).map(i =>

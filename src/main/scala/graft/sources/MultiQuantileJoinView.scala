@@ -58,6 +58,9 @@ import org.apache.spark.sql.functions._
 object MultiQuantileJoinView {
   import MultiAggJoinView.Edge
 
+  /** Leg-sign column of the fused churn fold (see refresh). */
+  private val SignCol = "__mqj_sign"
+
   val DefaultBins: Int = QuantileJoinView.DefaultBins
   val DefaultMargin: Double = QuantileJoinView.DefaultMargin
   val MaxMargin: Double = QuantileJoinView.MaxMargin
@@ -138,7 +141,7 @@ object MultiQuantileJoinView {
     }
     def restrictionKeys(i: Int): Seq[String] =
       if (i == 0) edges.head.parentKeys else edges(i - 1).childKeys
-    def churnLegRows(i: Int, dirty: DataFrame, ver: Int): DataFrame = {
+    def churnLegRows(i: Int, dirty: JoinView.DeltaKeys, ver: Int): DataFrame = {
       val myKeys = restrictionKeys(i)
       val restricted = JoinView.prefiltered(
         JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
@@ -146,11 +149,35 @@ object MultiQuantileJoinView {
       slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj, i,
         restricted, versFor(i)))
     }
-    def dirtyOf(i: Int): DataFrame = {
+    def dirtyOf(i: Int): JoinView.DeltaKeys = {
       val myKeys = restrictionKeys(i)
       JoinView.keyTuples(
         SnapshotStore.changes(spark, rootsV(i), prevVs(i), curVs(i))
           .select(myKeys.map(col): _*), myKeys)
+    }
+    // BOTH churn legs of table i in ONE term build (the MultiAggJoinView
+    // fused-churn shape): the old and new restrictions share the dirty
+    // keys, so pinning their UNION — old rows carrying sign −1, new +1 —
+    // builds ONE cascade, ONE join tree and ONE checkpoint where the
+    // two-leg shape paid all three twice. The cascade restriction by the
+    // union's keys is a superset of each leg's; restriction is pure
+    // pruning, so the join stays exact, and the signed fold sums to the
+    // same (group, bin) mass as the separate ± folds. None when the gap
+    // evolved the table's schema mid-churn — the caller falls back to
+    // the honest two-leg shape.
+    def churnUnionRows(i: Int, dirty: JoinView.DeltaKeys): Option[DataFrame] = {
+      val myKeys = restrictionKeys(i)
+      def restricted(ver: Int) = JoinView.prefiltered(
+        JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
+        myKeys, dirty)
+      val old = restricted(prevVs(i)); val nw = restricted(curVs(i))
+      if (old.columns.toSeq != nw.columns.toSeq) None
+      else Some(MultiAggJoinView.joinedSlice(
+        MultiAggJoinView.termFrames(spark, rootsV, n, adj, i,
+          old.withColumn(SignCol, lit(-1L))
+            .unionByName(nw.withColumn(SignCol, lit(1L))),
+          versFor(i)),
+        edges, groupCols, Seq(valueCol, SignCol)))
     }
     val moved = rootsV.indices.filter(i => curVs(i) > prevVs(i))
     def appendMoved(i: Int): Boolean =
@@ -193,26 +220,41 @@ object MultiQuantileJoinView {
       // THE TELESCOPING REFRESH, binned flavor: append-moved tables
       // contribute their positive delta term, churned tables their ±
       // legs restricted to the table's dirty key tuples — mixed gaps
-      // fold uniformly because signed bin counts retract. Positive legs
-      // checkpoint once (escape probe + binning read the same pass).
+      // fold uniformly because signed bin counts retract. Churn legs
+      // fuse into ONE per-row-signed term build (churnUnionRows);
+      // checkpoints are single-pass (escape probe + binning read them).
       val ed = QuantileJoinView.edgesFor(spark, viewRoot)
-      val legs: Seq[(DataFrame, Int)] = moved.flatMap { i =>
+      val plain = Seq.newBuilder[(DataFrame, Int)]
+      val fused = Seq.newBuilder[DataFrame]
+      moved.foreach { i =>
         if (appendMoved(i))
-          Seq((deltaTermRows(i).localCheckpoint(true), 1))
+          plain += ((deltaTermRows(i).localCheckpoint(true), 1))
         else {
           val dirty = dirtyOf(i)
-          Seq((churnLegRows(i, dirty, prevVs(i)), -1),
-            (churnLegRows(i, dirty, curVs(i)).localCheckpoint(true), 1))
+          churnUnionRows(i, dirty) match {
+            case Some(rows) => fused += rows.localCheckpoint(true)
+            case None => // schema evolved mid-gap: honest two-leg shape
+              plain += ((churnLegRows(i, dirty, prevVs(i)), -1))
+              plain += ((churnLegRows(i, dirty, curVs(i))
+                .localCheckpoint(true), 1))
+          }
         }
       }
+      val legs = plain.result(); val fusedLegs = fused.result()
+      // only POSITIVE mass can escape the frozen envelope: plain legs
+      // with sign +1, and the fused legs' new-version (+1) subset
       if (legs.exists { case (rows, sign) =>
-            sign > 0 && QuantileJoinView.escapes(rows, ed, valueCol) })
+            sign > 0 && QuantileJoinView.escapes(rows, ed, valueCol) } ||
+          fusedLegs.exists(rows => QuantileJoinView.escapes(
+            rows.where(col(SignCol) === 1L), ed, valueCol)))
         rebuild(math.min(currentMargin() * 2.0, MaxMargin))
       else {
         QuantileJoinView.dropOrphanEdges(viewRoot)
-        val terms = legs.map { case (rows, sign) =>
+        val terms = (legs.map { case (rows, sign) =>
           QuantileJoinView.binned(rows, ed, groupCols, valueCol, sign)
-        }.reduce(_ unionByName _)
+        } ++ fusedLegs.map(rows =>
+          QuantileJoinView.binnedBy(rows, ed, groupCols, valueCol,
+            col(SignCol)))).reduce(_ unionByName _)
         SnapshotStore.appendEpoch(
           if (terms.isEmpty) terms.repartition(1) else terms,
           viewRoot, stamp)
@@ -270,33 +312,51 @@ object MultiQuantileJoinView {
     def restrictionKeys(i: Int): Seq[String] =
       if (i == 0) edges.head.parentKeys else edges(i - 1).childKeys
     val moved = rootsV.indices.filter(i => curVs(i) > prevVs(i))
-    val legs: Seq[(DataFrame, Int)] = moved.flatMap { i =>
+    // churn legs fuse into ONE per-row-signed term build per table —
+    // the refresh's churnUnionRows shape (see there for the exactness
+    // argument); schema-evolved gaps fall back to the two-leg shape
+    val plain = Seq.newBuilder[(DataFrame, Int)]
+    val fused = Seq.newBuilder[DataFrame]
+    moved.foreach { i =>
       if (JoinView.appendOnly(rootsV(i), prevVs(i), curVs(i))) {
         val delta = SnapshotStore.incremental(spark, rootsV(i),
           prevVs(i), curVs(i), Some(newFrames(i).schema))
-        Seq((slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj, i,
-          delta, versFor(i))).localCheckpoint(true), 1))
+        plain += ((slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj,
+          i, delta, versFor(i))).localCheckpoint(true), 1))
       } else {
         val myKeys = restrictionKeys(i)
         val dirty = JoinView.keyTuples(
           SnapshotStore.changes(spark, rootsV(i), prevVs(i), curVs(i))
             .select(myKeys.map(col): _*), myKeys)
-        def leg(ver: Int): DataFrame = {
-          val restricted = JoinView.prefiltered(
-            JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
-            myKeys, dirty)
+        def restricted(ver: Int): DataFrame = JoinView.prefiltered(
+          JoinView.standing(spark, rootsV(i), ver, myKeys, dirty),
+          myKeys, dirty)
+        def leg(ver: Int): DataFrame =
           slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj, i,
-            restricted, versFor(i)))
-        }
-        Seq((leg(prevVs(i)), -1), (leg(curVs(i)).localCheckpoint(true), 1))
+            restricted(ver), versFor(i)))
+        val old = restricted(prevVs(i)); val nw = restricted(curVs(i))
+        if (old.columns.toSeq != nw.columns.toSeq) {
+          plain += ((leg(prevVs(i)), -1))
+          plain += ((leg(curVs(i)).localCheckpoint(true), 1))
+        } else fused += MultiAggJoinView.joinedSlice(
+          MultiAggJoinView.termFrames(spark, rootsV, n, adj, i,
+            old.withColumn(SignCol, lit(-1L))
+              .unionByName(nw.withColumn(SignCol, lit(1L))),
+            versFor(i)),
+          edges, groupCols, Seq(valueCol, SignCol)).localCheckpoint(true)
       }
     }
+    val legs = plain.result(); val fusedLegs = fused.result()
     if (legs.exists { case (rows, sign) =>
-          sign > 0 && QuantileJoinView.escapes(rows, ed, valueCol) })
+          sign > 0 && QuantileJoinView.escapes(rows, ed, valueCol) } ||
+        fusedLegs.exists(rows => QuantileJoinView.escapes(
+          rows.where(col(SignCol) === 1L), ed, valueCol)))
       return None
-    val deltaCounts = legs.map { case (rows, sign) =>
+    val deltaCounts = (legs.map { case (rows, sign) =>
       QuantileJoinView.binned(rows, ed, groupCols, valueCol, sign)
-    }.reduce(_ unionByName _)
+    } ++ fusedLegs.map(rows =>
+      QuantileJoinView.binnedBy(rows, ed, groupCols, valueCol,
+        col(SignCol)))).reduce(_ unionByName _)
     val counts = SnapshotStore.read(spark, viewRoot)
       .unionByName(deltaCounts)
       .groupBy((groupCols :+ "bin").map(col): _*)

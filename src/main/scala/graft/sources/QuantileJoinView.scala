@@ -139,11 +139,18 @@ object QuantileJoinView {
     * frozen edges; NULL values never bin. */
   private[sources] def binned(rows: DataFrame, ed: DataFrame, groups: Seq[String],
                      x: String, sign: Int): DataFrame =
+    binnedBy(rows, ed, groups, x, lit(sign.toLong))
+
+  /** [[binned]] with a PER-ROW sign — the fused two-leg churn fold: one
+    * partial row per (group, bin) equal to the SUM of the separate ±
+    * leg rows, identical after the read's merge, at half the execution. */
+  private[sources] def binnedBy(rows: DataFrame, ed: DataFrame, groups: Seq[String],
+                     x: String, sign: Column): DataFrame =
     rows.where(col(x).isNotNull)
       .join(broadcast(ed.select("lo", "w", "bins")))
       .select(groups.map(col) :+
         binCol(x, col("lo"), col("w"), col("bins")).as("bin") :+
-        lit(sign.toLong).as("sign"): _*)
+        sign.cast("long").as("sign"): _*)
       .groupBy((groups :+ "bin").map(col): _*)
       .agg(sum(col("sign")).as("cnt"))
 
