@@ -345,7 +345,9 @@ object AggJoinView {
                 .find(_._1.equalsIgnoreCase(g)).map(p => (g, p._2)))
             val cur = slice(restrict(lNew, lPairs), restrict(rNew, rPairs))
               .join(broadcast(dirtyG), groupCols, "left_semi")
+            // checkpointed: group-sized, referenced twice (replace + gone)
             val recomputed = fold(cur, groupCols, measureCols, 1, extents)
+              .localCheckpoint(true)
             val gone = dirtyG.join(
               recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
             // ONE publish: the keyed replace carries the new cursor

@@ -212,7 +212,9 @@ object NdvJoinView {
             .find(_._1.equalsIgnoreCase(g)).map(p => (g, p._2)))
         val cur = slice(restrict(lNew, lPairs), restrict(rNew, rPairs))
           .join(broadcast(dirtyG), groupCols, "left_semi")
+        // checkpointed: group-sized, referenced twice (replace + gone)
         val recomputed = fold(cur, groupCols, distinctCol)
+          .localCheckpoint(true)
         val gone = dirtyG.join(
           recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
         SnapshotStore.upsertEpoch(spark,

@@ -381,14 +381,18 @@ object RollupView {
                   col("e") <= dhi * g.seconds + (g.seconds - 1))
               } else srcRows
             }
-          val recomputed = spec.fold(
+          val recomputedLazy = spec.fold(
             spec.bucketed(pre, g)
               .join(dirty, Seq("metric", g.col), "left_semi"), g)
           // Plan-audit hook: the registered queries return checkpointed
           // frames (their stores are temp-rooted), so the recompute's
-          // scan-prune/broadcast posture is only visible here. One extra
+          // scan-prune/broadcast posture is only visible here — captured
+          // BEFORE the checkpoint below hides the scan. One extra
           // planning pass, model-free and ms-scale next to the refresh.
-          lastRecomputePlan = recomputed.queryExecution.executedPlan.toString
+          lastRecomputePlan = recomputedLazy.queryExecution.executedPlan.toString
+          // checkpointed: group-sized, referenced twice (replace +
+          // tombstones' anti-join) — one execution, not two
+          val recomputed = recomputedLazy.localCheckpoint(true)
           val tombstones = spec.tombstones(
             dirty.join(recomputed.select("metric", g.col),
               Seq("metric", g.col), "left_anti"),

@@ -345,8 +345,22 @@ object SnapshotStore {
     * (see [[commitAppend]]) — contended writers serialize into
     * sequential versions, neither losing files. A crashed append leaves
     * an unreferenced directory no reader ever plans; vacuum removes it. */
+  /** Run `body` under a Spark job description so multi-job operators
+    * read attributably in the UI / JobProfile (optimization guide §1.5).
+    * Nested labels compose with " > "; the previous description is
+    * restored on exit (descriptions are thread-local, so concurrent
+    * driver threads stay independently labeled). */
+  private[graft] def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(if (prev == null) desc else s"$prev > $desc")
+    try body finally sc.setJobDescription(prev)
+  }
+
   def append(df: DataFrame, root: String): Int =
-    appendReturningDir(df, root)._1
+    labeled(df.sparkSession, "store append") {
+      appendReturningDir(df, root)._1
+    }
 
   private def appendReturningDir(df: DataFrame, root: String): (Int, String) = {
     val dir = newDataDir(root, "v", currentVersion(root) + 1)
@@ -506,7 +520,8 @@ object SnapshotStore {
     * exactly-once stream→table ingestion on top of at-least-once batch
     * delivery). Epoch ids are stamped into the manifest; the scan for a
     * prior stamp is O(versions) driver-side JSON reads. */
-  def appendEpoch(df: DataFrame, root: String, epochId: Long): Int = {
+  def appendEpoch(df: DataFrame, root: String, epochId: Long): Int =
+    labeled(df.sparkSession, "store appendEpoch") {
     if (epochSeen(root, epochId)) currentVersion(root)
     else {
       val dir = newDataDir(root, "v", currentVersion(root) + 1)
@@ -662,7 +677,8 @@ object SnapshotStore {
     * collapse to one). Carries the latest epoch stamp forward so an
     * [[appendEpoch]] consumer's resume position survives the rewrite. */
   def compactWith(df: DataFrame, root: String, targetFiles: Int = 4,
-                  epochOverride: Option[Long] = None): Int = {
+                  epochOverride: Option[Long] = None): Int =
+    labeled(df.sparkSession, "store compactWith") {
     val parent = currentVersion(root)
     require(parent > 0, s"nothing to compact at $root")
     val epoch = epochOverride.orElse(lastEpoch(root))
@@ -741,7 +757,8 @@ object SnapshotStore {
     * Time travel still reads deleted rows at older versions until
     * [[vacuum]]; a legal purge is delete + vacuum. */
   def deleteWhere(spark: SparkSession, root: String,
-                  cond: org.apache.spark.sql.Column): Int = {
+                  cond: org.apache.spark.sql.Column): Int =
+    labeled(spark, "store deleteWhere") {
     import org.apache.spark.sql.functions._
     val parent = currentVersion(root)
     require(parent > 0, s"no published version at $root")
@@ -820,7 +837,8 @@ object SnapshotStore {
 
   private def upsertCore(spark: SparkSession, df: DataFrame, root: String,
                          keyCols: Seq[String], epoch: Option[Long],
-                         alsoAppend: Option[DataFrame] = None): Int = {
+                         alsoAppend: Option[DataFrame] = None): Int =
+    labeled(spark, "store upsert") {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val parent = currentVersion(root)
@@ -831,25 +849,11 @@ object SnapshotStore {
       if (parent == 0) df.columns.toSeq
       else evolveSchema(root,
         manifestCols(root, parent).getOrElse(Seq.empty), df.columns.toSeq)
-    // Replace-by-key is only well-defined for unique batch keys — a
-    // duplicate would silently publish two rows per key (the Delta/
-    // Iceberg MERGE multiple-source-rows error, enforced here too)
-    val keyCount = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .agg(coalesce(sum(when(col("__n") > 1, 1L)), lit(0L)),
-        count(lit(1))).head
-    val (dupKeys, nKeys) = (keyCount.getLong(0), keyCount.getLong(1))
-    require(dupKeys == 0L,
-      s"upsert batch has $dupKeys duplicate key(s) on (${keyCols.mkString(", ")}) " +
-        "— replace-by-key needs one source row per key; pre-aggregate the batch")
     alsoAppend.foreach(a => require(
       a.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet ==
         df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
       "the combined publish's append side must share the replace side's " +
         s"columns: ${a.columns.toSeq} vs ${df.columns.toSeq}"))
-    // empty replace batch: a true no-op — unless a combined append still
-    // has to publish (it owns the epoch stamp)
-    if (nKeys == 0L && alsoAppend.isEmpty) return parent
     if (parent == 0) {
       // bootstrap: every batch row is an insert; the commit is an
       // ordinary (commutative, retry-safe) append
@@ -859,8 +863,41 @@ object SnapshotStore {
       enforceConstraints(spark, root, dir)
       return commitAppend(root, dir, epoch, df.columns.toSeq)
     }
+    // WRITE-FIRST, one execution of the batch plan: the replace batch at
+    // the MV call sites is a dirty-group recompute — an N-way join plus
+    // aggregation — and the probe-first shape executed that plan up to
+    // FOUR times (dup-key check, affected-file semi-join, anti-join
+    // rewrite, insert write). Writing the batch ONCE and deriving the
+    // dup check and the key set from the written parquet makes every
+    // later pass a cheap column-pruned scan of batch-sized files. A
+    // validation failure after the write leaves an unreferenced
+    // directory no reader ever plans (the crashed-append posture;
+    // vacuum removes it) — nothing is published.
+    val ins = newDataDir(root, "v", parent + 1)
+    df.write.mode("overwrite").parquet(ins)
+    // an empty batch can write a FILELESS directory, which would not
+    // read back — rewrite schema-bearing (tiny: the batch was empty)
+    if (!Option(new java.io.File(ins).listFiles()).toSeq.flatten
+        .exists(_.getName.endsWith(".parquet")))
+      df.repartition(1).write.mode("overwrite").parquet(ins)
+    val written = spark.read.parquet(ins)
+    // Replace-by-key is only well-defined for unique batch keys — a
+    // duplicate would silently publish two rows per key (the Delta/
+    // Iceberg MERGE multiple-source-rows error, enforced here too)
+    val keyCount = written.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(when(col("__n") > 1, 1L)), lit(0L)),
+        count(lit(1))).head
+    val (dupKeys, nKeys) = (keyCount.getLong(0), keyCount.getLong(1))
+    require(dupKeys == 0L,
+      s"upsert batch has $dupKeys duplicate key(s) on (${keyCols.mkString(", ")}) " +
+        "— replace-by-key needs one source row per key; pre-aggregate the batch")
+    // empty replace batch: a true no-op — unless a combined append still
+    // has to publish (it owns the epoch stamp). The written directory
+    // stays unreferenced (vacuumable).
+    if (nKeys == 0L && alsoAppend.isEmpty) return parent
     val dirs = manifestDirs(root, parent)
-    val keys = df.select(keyCols.map(col): _*).distinct()
+    val keys = written.select(keyCols.map(col): _*).distinct()
     // input_file_name() is projected in the SCAN's own stage (before the
     // join): after a shuffle the file context is lost and the name reads
     // empty — the projection-then-join order here is load-bearing. The
@@ -881,12 +918,6 @@ object SnapshotStore {
           .write.parquet(rw)
         Seq(rw)
       }
-    val ins = newDataDir(root, "v", parent + 1)
-    // an empty replace side (combined publish whose content is all in
-    // the append leg) must still write a schema-bearing file — a
-    // fileless committed directory would not read back
-    (if (nKeys == 0L) df.repartition(1) else df)
-      .write.mode("overwrite").parquet(ins)
     // the batch is the NEW content; rewritten dirs only re-arrange rows
     // that passed enforcement when they first landed
     enforceConstraints(spark, root, ins)
