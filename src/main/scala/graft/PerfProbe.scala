@@ -13,6 +13,8 @@ object PerfProbe {
     val iters = if (args.nonEmpty) args(0).toInt else 3
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.local()
+    sys.env.get("GRAFT_KEYCAP").foreach(v =>
+      spark.conf.set(graft.sources.JoinView.SmallKeyCapConf, v))
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (name <- names) {
       val fn = SparkEntry.queries(name)
