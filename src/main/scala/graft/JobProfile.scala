@@ -19,6 +19,10 @@ object JobProfile {
     val spark = GraftSession.local()
     sys.env.get("GRAFT_KEYCAP").foreach(v =>
       spark.conf.set(graft.sources.JoinView.SmallKeyCapConf, v))
+    // measure under Bench's conditions: no oracle-export plumbing, the
+    // bench's minimum stream-replay slicing
+    SparkEntry.configureOracleExport("/tmp/graft_oracle_export", enabled = false)
+    graft.streaming.StreamReplay.defaultSlices = 2
     spark.range(1000000).selectExpr("sum(id)").collect()
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double, Int)]()

@@ -1923,10 +1923,13 @@ object SparkEntry {
         transform(sequence(lit(1), size(tks) - 1),
           i => concat(element_at(tks, i), lit("_"), element_at(tks, i + 1))))
         .otherwise(array().cast("array<string>"))
-      val compoundDocs = Tables.documents(s, dir)
-        .select(array_join(compounds, " ").as("text"))
+      // the compounds are whitespace-free, so exploding them IS the
+      // tokenization — no array_join → regex-resplit round trip over the
+      // corpus (guide §4: expression choice; measured ~2 s of the pass)
+      val compoundWords = Tables.documents(s, dir)
+        .select(explode(compounds).as("word"))
       exportForOracle(
-        BpeOps.train(compoundDocs, numMerges = 256, vocabCap = 800),
+        BpeOps.trainFromWords(compoundWords, numMerges = 256, vocabCap = 800),
         "bpe_merges_large", model = true).localCheckpoint(true)
     }),
 

@@ -52,8 +52,16 @@ object BpeOps {
     * corpus words by (freq desc, word asc) — the deterministic rank cut
     * that bounds every iteration's size regardless of corpus scale. */
   def wordFreqs(docs: DataFrame, vocabCap: Int): DataFrame =
-    docs
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
+    wordFreqsOf(
+      docs.select(explode(TextOps.tokens(col("text"))).as("word")), vocabCap)
+
+  /** [[wordFreqs]] over an ALREADY-TOKENIZED corpus (one `word` column) —
+    * a caller holding token arrays feeds them directly instead of
+    * re-joining into text for [[wordFreqs]] to re-split (that round trip
+    * costs a full regex pass over every document; whitespace-free tokens
+    * make the two exactly equivalent). */
+  def wordFreqsOf(words: DataFrame, vocabCap: Int): DataFrame =
+    words
       .where(length(col("word")) > 0 && !col("word").contains(D))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
@@ -104,10 +112,20 @@ object BpeOps {
     * formulation (the export oracle replays every step and would redden
     * on any divergence), but a 32k-merge production vocab now costs 32k
     * in-memory iterations instead of 32k sequential distributed jobs. */
-  def train(docs: DataFrame, numMerges: Int, vocabCap: Int = 1500): DataFrame = {
-    val spark = docs.sparkSession
+  def train(docs: DataFrame, numMerges: Int, vocabCap: Int = 1500): DataFrame =
+    trainOnFreqs(docs.sparkSession,
+      wordFreqs(docs, vocabCap).collect(), numMerges)
+
+  /** [[train]] over an already-tokenized corpus — see [[wordFreqsOf]]. */
+  def trainFromWords(words: DataFrame, numMerges: Int,
+                     vocabCap: Int = 1500): DataFrame =
+    trainOnFreqs(words.sparkSession,
+      wordFreqsOf(words, vocabCap).collect(), numMerges)
+
+  private def trainOnFreqs(spark: org.apache.spark.sql.SparkSession,
+                           wf: Array[org.apache.spark.sql.Row],
+                           numMerges: Int): DataFrame = {
     import spark.implicits._
-    val wf = wordFreqs(docs, vocabCap).collect()
     val states: Array[Array[String]] =
       wf.map(r => codePointSymbols(r.getString(0)))
     val freqs: Array[Long] = wf.map(_.getLong(1))

@@ -378,13 +378,37 @@ object SnapshotStore {
     * caller's migration, not a read option). It costs a footer read per
     * file at planning, which is why it is opt-in: the default read plans
     * from one footer, the right posture when the schema is stable. */
+  /** Sampled-footer schema per published (root, version) — a version's
+    * file set is immutable once its manifest exists, so the plain read's
+    * schema inference (a footer-sample job per call) is paid ONCE and
+    * reused; lifecycles re-read the same version dozens of times.
+    * mergeSchema reads never come here (their schema is the file-set
+    * union, not the sample). Bounded LRU; [[deleteTree]] invalidates its
+    * root (tests rebuild stores at a reused path). */
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType]) =
+        size() > 256
+    })
+
   def read(spark: SparkSession, root: String, version: Int = -1,
            mergeSchema: Boolean = false): DataFrame = {
     val v = if (version > 0) version else currentVersion(root)
     require(v > 0, s"no published version at $root")
-    val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
-            else spark.read
-    r.parquet(manifestDirs(root, v): _*)
+    if (mergeSchema)
+      spark.read.option("mergeSchema", "true").parquet(manifestDirs(root, v): _*)
+    else {
+      val key = root + "#" + v
+      val cached = schemaCache.get(key)
+      if (cached != null) spark.read.schema(cached).parquet(manifestDirs(root, v): _*)
+      else {
+        val df = spark.read.parquet(manifestDirs(root, v): _*)
+        schemaCache.put(key, df.schema)
+        df
+      }
+    }
   }
 
   /** [[read]] that pays mergeSchema ONLY when the store actually evolved:
@@ -1951,7 +1975,13 @@ object SnapshotStore {
         // view + delta-band files)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           read(spark, root, version).schema)
-      else spark.read.parquet(files: _*)
+      else
+        // the version's (cached) sampled schema — a file-subset read
+        // must not pay its own footer inference, and readWhere callers
+        // already exclude evolved stores (JoinView.standing falls back
+        // to the merged read there)
+        spark.read.schema(read(spark, root, version).schema)
+          .parquet(files: _*)
     base.where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -2182,6 +2212,15 @@ object SnapshotStore {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     rm(new java.io.File(root))
+    // a rebuilt store at the same path may publish the same version
+    // numbers with a different schema — drop its cached samples
+    schemaCache.synchronized {
+      val it = schemaCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next() // the root itself, and any branch root under it
+        if (k.startsWith(root + "#") || k.startsWith(root + "/")) it.remove()
+      }
+    }
   }
 
   /** INCREMENTAL bin-packing compaction — the 100 TB shape of the
