@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout passes through RAW (no "[info] " logger
+// prefix): Bench's one-line JSON contract requires a line that parses
+// as JSON on its own — the logger prefix broke the harness's line
+// parse two rounds running (PERF_r19 prev/now_bench_ok: false while
+// the tail plainly shows the complete line behind "[info] ").
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -163,27 +163,45 @@ object Bench {
       s""""batch_total":${ms(totalOf(batch))},"batch_n":${batch.size},""" +
       s""""lifecycle_total":${ms(totalOf(lifecycle))},"lifecycle_n":${lifecycle.size},""" +
       s""""stream_replay_total":${ms(totalOf(streams))},"stream_replay_n":${streams.size}"""
-    // complete per-query record (steady + cold), off the stdout window
+    // complete per-query record (steady + cold), off the stdout window.
+    // Written BOTH to the legacy name and to a core-count-stamped name:
+    // a same-session re-run at a different core count (the driver's
+    // scaling pass) used to overwrite the 32-core map (r19 verdict
+    // item 1) — now each core count keeps its own full record.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val qsCold = results.map { case (k, (c, _)) => "\"" + k + "\":" + ms(c) }
       .mkString("{", ",", "}")
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+    val fullJson =
       (s"""{"queries":$qs,"queries_cold":$qsCold,""" +
         s""""metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""failed":$failed,$lanesJson,"cold_total":${ms(coldTotal)},""" +
         s""""families":$famJson,""" +
         s""""lifecycle_mean":${ms(lifecycleMean)},""" +
         s""""families_over_budget":${familiesOver.size},""" +
-        s""""sf":"$sfDir"}""").getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+        s""""cpus":$cpus,"sf":"$sfDir"}""").getBytes("UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"), fullJson)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"bench_full_c$cpus.json"), fullJson)
+    val summaryLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""failed":$failed,$lanesJson,""" +
       s""""cold_total":${ms(coldTotal)},"drift_n":${driftAll.size},""" +
       s""""cold_vs_steady_drift":$drift,""" +
       s""""queries_n_total":${results.size},""" +
       s""""lifecycle_mean":${ms(lifecycleMean)},""" +
       s""""families_over_budget":${familiesOver.size},""" +
-      s""""queries":$slowest,"full":"bench_full.json","sf":"$sfDir"}""")
+      s""""queries":$slowest,"full":"bench_full.json","cpus":$cpus,""" +
+      s""""sf":"$sfDir"}"""
+    // the SAME line, verbatim, to a stable file beside the run: the
+    // harness's stdout window keeps only the tail of the output, and a
+    // log-prefixed or cut line silently breaks the round-over-round
+    // comparison (r19 verdict item 2) — the file copy is unambiguous.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
+      summaryLine.getBytes("UTF-8"))
+    println(summaryLine)
     spark.stop()
   }
 }

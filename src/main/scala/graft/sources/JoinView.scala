@@ -482,7 +482,10 @@ object JoinView {
       // their null rows), and match arrival retracts converted null rows.
       // Full-outer adds one term: ΔR rows unmatched against L_NEW
       // null-extend as unmatched-RIGHT view rows (see the scaladoc).
-      val (lPart, lDeltaKeys) =
+      // the two delta legs are independent term builds, each blocking on
+      // its keyTuples probe — overlap them (guide §2.6); the union below
+      // keeps the fixed L-then-R order, so the published plan is unchanged
+      def buildL(): (Option[DataFrame], Option[DeltaKeys]) =
         if (lv > plv) {
           val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
             Some(lNew.schema)) // explicit schema: a narrow post-evolution
@@ -494,7 +497,7 @@ object JoinView {
             leftKeys, rightKeys,
             if (outer) "left_outer" else "inner", outer)), Some(dk))
         } else (None, None)
-      val (rPart, rDeltaKeys) =
+      def buildR(): (Option[DataFrame], Option[DeltaKeys]) =
         if (rv > prv) {
           val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
             Some(rNew.schema))
@@ -522,6 +525,8 @@ object JoinView {
           }
           (Some(part), Some(dk))
         } else (None, None)
+      val Seq((lPart, lDeltaKeys), (rPart, rDeltaKeys)) =
+        Overlap.map(Seq(true, false))(isL => if (isL) buildL() else buildR())
       val adds = (lPart.toSeq ++ rPart.toSeq).reduce(_ unionByName _)
       lazy val view = SnapshotStore.readEvolved(spark, viewRoot)
       // MATCH ARRIVAL (outer only): does ΔR hit any key that currently
@@ -532,19 +537,23 @@ object JoinView {
       // Full-outer runs the symmetric probe too: ΔL against the view's
       // null-LEFT rows by right key.
       val viewVer = SnapshotStore.currentVersion(viewRoot)
-      val convertingR = outer && rDeltaKeys.exists { dk =>
-        !prefiltered(
-          standing(spark, viewRoot, viewVer, leftKeys, dk)
-            .where(col(rightKeys.head).isNull)
-            .select(leftKeys.map(col): _*),
-          leftKeys, dk).isEmpty
-      }
-      val convertingL = full && lDeltaKeys.exists { dk =>
-        !prefiltered(
-          standing(spark, viewRoot, viewVer, rightKeys, dk)
-            .where(col(leftKeys.head).isNull)
-            .select(rightKeys.map(col): _*),
-          rightKeys, dk).isEmpty
+      // the two match-arrival probes are independent isEmpty actions —
+      // overlap them too (full-outer pays both; inner pays neither)
+      val Seq(convertingR, convertingL) = Overlap.map(Seq(true, false)) {
+        case true => outer && rDeltaKeys.exists { dk =>
+          !prefiltered(
+            standing(spark, viewRoot, viewVer, leftKeys, dk)
+              .where(col(rightKeys.head).isNull)
+              .select(leftKeys.map(col): _*),
+            leftKeys, dk).isEmpty
+        }
+        case false => full && lDeltaKeys.exists { dk =>
+          !prefiltered(
+            standing(spark, viewRoot, viewVer, rightKeys, dk)
+              .where(col(leftKeys.head).isNull)
+              .select(rightKeys.map(col): _*),
+            rightKeys, dk).isEmpty
+        }
       }
       if (!convertingR && !convertingL) {
         SnapshotStore.appendEpoch(adds, viewRoot, pack(lv, rv))
@@ -718,26 +727,29 @@ object JoinView {
       return None
     val lNew = SnapshotStore.readEvolved(spark, leftRoot, lv)
     val rNew = SnapshotStore.readEvolved(spark, rightRoot, rv)
-    val lPart =
-      if (lv > plv) {
-        val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
-          Some(lNew.schema))
-        val dk = keyTuples(delta, leftKeys)
-        Some(joined(delta,
-          prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
-            rightKeys, dk),
-          leftKeys, rightKeys))
-      } else None
-    val rPart =
-      if (rv > prv) {
-        val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
-          Some(rNew.schema))
-        val dk = keyTuples(delta, rightKeys)
-        Some(joined(
-          prefiltered(standing(spark, leftRoot, plv, leftKeys, dk),
-            leftKeys, dk),
-          delta, leftKeys, rightKeys))
-      } else None
+    // the two compensation legs overlap exactly like the refresh legs
+    val Seq(lPart, rPart) = Overlap.map(Seq(true, false)) {
+      case true =>
+        if (lv > plv) {
+          val delta = SnapshotStore.incremental(spark, leftRoot, plv, lv,
+            Some(lNew.schema))
+          val dk = keyTuples(delta, leftKeys)
+          Some(joined(delta,
+            prefiltered(standing(spark, rightRoot, rv, rightKeys, dk),
+              rightKeys, dk),
+            leftKeys, rightKeys))
+        } else None
+      case false =>
+        if (rv > prv) {
+          val delta = SnapshotStore.incremental(spark, rightRoot, prv, rv,
+            Some(rNew.schema))
+          val dk = keyTuples(delta, rightKeys)
+          Some(joined(
+            prefiltered(standing(spark, leftRoot, plv, leftKeys, dk),
+              leftKeys, dk),
+            delta, leftKeys, rightKeys))
+        } else None
+    }
     // allowMissingColumns: an append-only gap can WIDEN a source (the
     // store's additive-evolution contract — op stays "append"), so the
     // delta legs may carry a column the view predates, or vice versa.

@@ -315,15 +315,19 @@ object MultiAggJoinView {
     var ring = List(at)
     val seen = scala.collection.mutable.Set(at)
     while (ring.nonEmpty) {
-      val next = scala.collection.mutable.ListBuffer.empty[Int]
-      for (u <- ring; (v, ku, kv) <- adj(u) if !seen.contains(v)) {
-        seen += v
+      // hops within one BFS ring are independent (a tree reaches each
+      // node once): overlap their probe jobs (guide §2.6) — a star's
+      // fact→all-dims ring runs its keyTuples probes concurrently
+      // instead of paying each probe's latency end-to-end
+      val hops = for {
+        u <- ring; (v, ku, kv) <- adj(u) if seen.add(v)
+      } yield (u, v, ku, kv)
+      Overlap.map(hops) { case (u, v, ku, kv) =>
         val kt = JoinView.keyTuples(frames(u), ku)
-        frames(v) = JoinView.prefiltered(
+        v -> JoinView.prefiltered(
           JoinView.standing(spark, roots(v), vers(v), kv, kt), kv, kt)
-        next += v
-      }
-      ring = next.toList
+      }.foreach { case (v, df) => frames(v) = df }
+      ring = hops.map(_._2)
     }
     frames.toIndexedSeq
   }
@@ -451,8 +455,9 @@ object MultiAggJoinView {
         // THE TELESCOPING REFRESH, all-append flavor: per moved table,
         // the single positive delta term (new − old IS the appended
         // rows); min/max partials fold too (insert-monotone). ONE
-        // stamped append (crash replays as an epoch no-op).
-        val partials = moved.map(i =>
+        // stamped append (crash replays as an epoch no-op). Per-table
+        // term builds overlap (guide §2.6) — union order stays fixed.
+        val partials = Overlap.map(moved)(i =>
           fold(deltaTermRows(i), groupCols, measureCols, 1, extents))
           .reduce(_ unionByName _)
         SnapshotStore.appendEpoch(
@@ -462,8 +467,9 @@ object MultiAggJoinView {
         // THE TELESCOPING REFRESH, signed flavor: append-moved tables
         // fold their positive delta term, churned tables fold BOTH legs
         // restricted to their dirty key tuples (unchanged rows cancel
-        // arithmetically); all terms in ONE stamped append.
-        val terms = moved.flatMap { i =>
+        // arithmetically); all terms in ONE stamped append. Per-table
+        // term builds overlap (guide §2.6) — union order stays fixed.
+        val terms = Overlap.flatMap(moved) { i =>
           if (appendMoved(i))
             Seq(fold(deltaTermRows(i), groupCols, measureCols, 1))
           else {
@@ -491,7 +497,7 @@ object MultiAggJoinView {
         // group key; append-moved tables' delta terms restrict to the
         // NON-dirty groups (the dirty recompute already counts their
         // rows) and land as the append side of the SAME atomic publish.
-        val dirtyG = churned.map { i =>
+        val dirtyG = Overlap.map(churned) { i =>
           val dirty = dirtyOf(i)
           churnUnionRows(i, dirty, signed = false)
             .map(_.select(groupCols.map(col): _*))
@@ -515,7 +521,7 @@ object MultiAggJoinView {
             .localCheckpoint(true)
           val gone = dirtyG.join(
             recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
-          val appendTerms = moved.filter(appendMoved).map(i =>
+          val appendTerms = Overlap.map(moved.filter(appendMoved))(i =>
             fold(deltaTermRows(i), groupCols, measureCols, 1, extents)
               .join(broadcast(dirtyG), groupCols, "left_anti"))
           val appendSide = appendTerms
@@ -644,21 +650,25 @@ object MultiAggJoinView {
           gs, "left_semi")
     }
     val frames = new Array[DataFrame](n)
-    owners.keys.foreach(i => frames(i) = restrict(i))
+    // per-owner band probes (one tiny head() each) overlap, as do the
+    // cascade hops within a ring (guide §2.6; assignment order is
+    // deterministic, so the recompute plan is unchanged)
+    Overlap.map(owners.keys.toSeq)(i => i -> restrict(i))
+      .foreach { case (i, df) => frames(i) = df }
     // cascade outward from the restricted owners (superset-sound;
     // the group semi below is the exact cut)
     var ring = owners.keys.toList
     val seen = scala.collection.mutable.Set(owners.keys.toSeq: _*)
     while (ring.nonEmpty) {
-      val next = scala.collection.mutable.ListBuffer.empty[Int]
-      for (u <- ring; (v, ku, kv) <- adj(u) if !seen.contains(v)) {
-        seen += v
+      val hops = for {
+        u <- ring; (v, ku, kv) <- adj(u) if seen.add(v)
+      } yield (u, v, ku, kv)
+      Overlap.map(hops) { case (u, v, ku, kv) =>
         val kt = JoinView.keyTuples(frames(u), ku)
-        frames(v) = JoinView.prefiltered(
+        v -> JoinView.prefiltered(
           JoinView.standing(spark, rootsV(v), curVs(v), kv, kt), kv, kt)
-        next += v
-      }
-      ring = next.toList
+      }.foreach { case (v, df) => frames(v) = df }
+      ring = hops.map(_._2)
     }
     joinedSlice(frames.toIndexedSeq, edges, groupCols, valueCols)
       .join(broadcast(dirtyG), groupCols, "left_semi")

@@ -197,7 +197,7 @@ object MultiNdvJoinView {
         // register-max union: the telescoped per-table delta sketches
         // merge to the exact single-pass estimate; cnt rides the same
         // terms exactly once each. ONE stamped append (crash-idempotent).
-        val partials = moved.map(i =>
+        val partials = Overlap.map(moved)(i =>
           fold(deltaTermRows(i), groupCols, distinctCol))
           .reduce(_ unionByName _)
         SnapshotStore.appendEpoch(
@@ -208,7 +208,7 @@ object MultiNdvJoinView {
         // restricted legs (both versions) re-sketch WHOLE and REPLACE;
         // append-moved tables' delta sketches restrict to the NON-dirty
         // groups and land beside them in ONE atomic publish
-        val dirtyG = churned.map(i => churnUnionGroups(i, dirtyOf(i)))
+        val dirtyG = Overlap.map(churned)(i => churnUnionGroups(i, dirtyOf(i)))
           .reduce(_ unionByName _).distinct().localCheckpoint(true)
         val anyNull = groupCols.map(col(_).isNull).reduce(_ || _)
         if (!dirtyG.where(anyNull).isEmpty) {
@@ -227,7 +227,7 @@ object MultiNdvJoinView {
           // there is nothing to exclude. An empty append here would
           // silently drop their sketch/cnt mass while the cursor
           // advances — permanently wrong.
-          val appendSide = moved.filter(appendMoved).map(i =>
+          val appendSide = Overlap.map(moved.filter(appendMoved))(i =>
             fold(deltaTermRows(i), groupCols, distinctCol))
             .reduceOption(_ unionByName _)
             .getOrElse(fold(slice(newFrames.map(_.limit(0))), groupCols,
@@ -244,7 +244,7 @@ object MultiNdvJoinView {
             .localCheckpoint(true)
           val gone = dirtyG.join(
             recomputed.select(groupCols.map(col): _*), groupCols, "left_anti")
-          val appendSide = moved.filter(appendMoved).map(i =>
+          val appendSide = Overlap.map(moved.filter(appendMoved))(i =>
             fold(deltaTermRows(i), groupCols, distinctCol)
               .join(broadcast(dirtyG), groupCols, "left_anti"))
             .reduceOption(_ unionByName _)

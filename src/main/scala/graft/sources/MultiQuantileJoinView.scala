@@ -224,23 +224,26 @@ object MultiQuantileJoinView {
       // fuse into ONE per-row-signed term build (churnUnionRows);
       // checkpoints are single-pass (escape probe + binning read them).
       val ed = QuantileJoinView.edgesFor(spark, viewRoot)
-      val plain = Seq.newBuilder[(DataFrame, Int)]
-      val fused = Seq.newBuilder[DataFrame]
-      moved.foreach { i =>
+      // per-table term builds (each blocking on probe jobs and a
+      // checkpoint) overlap (guide §2.6); leg order stays the input
+      // order, so the published union is unchanged
+      val built = Overlap.map(moved) { i =>
         if (appendMoved(i))
-          plain += ((deltaTermRows(i).localCheckpoint(true), 1))
+          (Seq((deltaTermRows(i).localCheckpoint(true), 1)),
+            Seq.empty[DataFrame])
         else {
           val dirty = dirtyOf(i)
           churnUnionRows(i, dirty) match {
-            case Some(rows) => fused += rows.localCheckpoint(true)
+            case Some(rows) =>
+              (Seq.empty[(DataFrame, Int)], Seq(rows.localCheckpoint(true)))
             case None => // schema evolved mid-gap: honest two-leg shape
-              plain += ((churnLegRows(i, dirty, prevVs(i)), -1))
-              plain += ((churnLegRows(i, dirty, curVs(i))
-                .localCheckpoint(true), 1))
+              (Seq((churnLegRows(i, dirty, prevVs(i)), -1),
+                (churnLegRows(i, dirty, curVs(i)).localCheckpoint(true), 1)),
+                Seq.empty[DataFrame])
           }
         }
       }
-      val legs = plain.result(); val fusedLegs = fused.result()
+      val legs = built.flatMap(_._1); val fusedLegs = built.flatMap(_._2)
       // only POSITIVE mass can escape the frozen envelope: plain legs
       // with sign +1, and the fused legs' new-version (+1) subset
       if (legs.exists { case (rows, sign) =>
@@ -315,14 +318,13 @@ object MultiQuantileJoinView {
     // churn legs fuse into ONE per-row-signed term build per table —
     // the refresh's churnUnionRows shape (see there for the exactness
     // argument); schema-evolved gaps fall back to the two-leg shape
-    val plain = Seq.newBuilder[(DataFrame, Int)]
-    val fused = Seq.newBuilder[DataFrame]
-    moved.foreach { i =>
+    val built = Overlap.map(moved) { i =>
       if (JoinView.appendOnly(rootsV(i), prevVs(i), curVs(i))) {
         val delta = SnapshotStore.incremental(spark, rootsV(i),
           prevVs(i), curVs(i), Some(newFrames(i).schema))
-        plain += ((slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj,
-          i, delta, versFor(i))).localCheckpoint(true), 1))
+        (Seq((slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj,
+          i, delta, versFor(i))).localCheckpoint(true), 1)),
+          Seq.empty[DataFrame])
       } else {
         val myKeys = restrictionKeys(i)
         val dirty = JoinView.keyTuples(
@@ -335,18 +337,18 @@ object MultiQuantileJoinView {
           slice(MultiAggJoinView.termFrames(spark, rootsV, n, adj, i,
             restricted(ver), versFor(i)))
         val old = restricted(prevVs(i)); val nw = restricted(curVs(i))
-        if (old.columns.toSeq != nw.columns.toSeq) {
-          plain += ((leg(prevVs(i)), -1))
-          plain += ((leg(curVs(i)).localCheckpoint(true), 1))
-        } else fused += MultiAggJoinView.joinedSlice(
+        if (old.columns.toSeq != nw.columns.toSeq)
+          (Seq((leg(prevVs(i)), -1),
+            (leg(curVs(i)).localCheckpoint(true), 1)), Seq.empty[DataFrame])
+        else (Seq.empty[(DataFrame, Int)], Seq(MultiAggJoinView.joinedSlice(
           MultiAggJoinView.termFrames(spark, rootsV, n, adj, i,
             old.withColumn(SignCol, lit(-1L))
               .unionByName(nw.withColumn(SignCol, lit(1L))),
             versFor(i)),
-          edges, groupCols, Seq(valueCol, SignCol)).localCheckpoint(true)
+          edges, groupCols, Seq(valueCol, SignCol)).localCheckpoint(true)))
       }
     }
-    val legs = plain.result(); val fusedLegs = fused.result()
+    val legs = built.flatMap(_._1); val fusedLegs = built.flatMap(_._2)
     if (legs.exists { case (rows, sign) =>
           sign > 0 && QuantileJoinView.escapes(rows, ed, valueCol) } ||
         fusedLegs.exists(rows => QuantileJoinView.escapes(

@@ -113,14 +113,19 @@ object StreamReplay {
       // checkpoint per replay means no stored-partitioning conflict.
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // the sink schema is in-hand at the first emission — capturing it
+      // saves the read-back's footer-sample schema-inference job (one
+      // whole Spark job per replay, guide §1.2: fewer passes)
+      @volatile var sinkSchema: org.apache.spark.sql.types.StructType = null
       try {
         val query = build(stream)
           .writeStream
           .outputMode(outputMode)
           .option("checkpointLocation", ckDir)
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            batch.withColumn("batch_id", lit(id))
-              .write.mode("append").parquet(outDir)
+            val tagged = batch.withColumn("batch_id", lit(id))
+            if (sinkSchema == null) sinkSchema = tagged.schema
+            tagged.write.mode("append").parquet(outDir)
           }
           .start()
         try query.processAllAvailable()
@@ -130,7 +135,10 @@ object StreamReplay {
       // Eager localCheckpoint detaches the result from the temp parquet
       // files so the whole replay root can be deleted in the finally —
       // block-manager durability is plenty for a bounded replay harness.
-      Some(spark.read.parquet(outDir).localCheckpoint(true))
+      val reader =
+        if (sinkSchema != null) spark.read.schema(sinkSchema)
+        else spark.read
+      Some(reader.parquet(outDir).localCheckpoint(true))
     } finally deleteRecursively(root.toFile)
   }
 
@@ -375,7 +383,9 @@ object StreamReplay {
     val ckDir = root.resolve("ck").toString
     try {
       if (!writeSliceFiles(src, slices, root, inDir, None)) return
-      val schema = spark.read.parquet(inDir).schema
+      // the staged slice files carry exactly src's columns (written from
+      // src minus the __slice partition key): no inference job needed
+      val schema = src.schema
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
@@ -882,6 +892,7 @@ object StreamReplay {
         return graft.sources.TopicLogFixture.decodeEvents(
           spark.read.format("topiclog").option("path", logRoot).load())
       val cap = math.max(1L, totalBytes / triggers)
+      @volatile var sinkSchema: org.apache.spark.sql.types.StructType = null
       val query = graft.sources.TopicLogFixture.decodeEvents(
           spark.readStream.format("topiclog")
             .option("path", logRoot)
@@ -891,13 +902,17 @@ object StreamReplay {
         .outputMode("append")
         .option("checkpointLocation", ckDir)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(outDir)
+          val tagged = batch.withColumn("batch_id", lit(id))
+          if (sinkSchema == null) sinkSchema = tagged.schema
+          tagged.write.mode("append").parquet(outDir)
         }
         .start()
       try query.processAllAvailable()
       finally query.stop()
-      spark.read.parquet(outDir).localCheckpoint(true).drop("batch_id")
+      val reader =
+        if (sinkSchema != null) spark.read.schema(sinkSchema)
+        else spark.read
+      reader.parquet(outDir).localCheckpoint(true).drop("batch_id")
     } finally deleteRecursively(root.toFile)
   }
 
